@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+  * vectorized parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos
+  * as raw longs (`spark.sql.legacy.parquet.nanosAsLong`) and floor-truncate
+  * to microseconds — the same truncation DuckDB applies when casting a
+  * nanosecond parquet timestamp to its microsecond TIMESTAMP, so oracle
+  * comparisons agree bit-for-bit.
+  */
+object Tables {
+
+  /** Session defaults shared by Verify / Bench / tests. */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Any TIMESTAMP(NANOS) column arrives as LongType under nanosAsLong:
+    // convert ns → µs (floor division; all testdata timestamps are post-epoch).
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.name == "ts" && f.dataType == LongType =>
+        acc.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+      case (acc, _) => acc
+    }
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -13,10 +13,21 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    Tables.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Write TIMESTAMP columns as timestamp_ntz so the parquet logical type
+    // (isAdjustedToUTC=false) matches what DuckDB produces for the oracle —
+    // values are identical under the pinned UTC session timezone.
+    def ntz(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.foldLeft(df) {
+        case (acc, f) if f.dataType == org.apache.spark.sql.types.TimestampType =>
+          acc.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+        case (acc, _) => acc
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

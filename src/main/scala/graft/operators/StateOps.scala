@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Schema-agnostic state-table operators (SURVEY.md §2.1/§2.3).
+  *
+  * Each reproduces one of the reference's JDBC state mutations as a pure
+  * dataframe-in/dataframe-out transform over columnar state, designed for a
+  * single shuffle keyed on the merge/delete keys — the plan Catalyst emits
+  * is `Exchange(hash(keys)) → Sort/WindowGroupLimit → Filter`, which scales
+  * linearly with partition count at 100 TB (no driver-side loops, no
+  * global single-partition windows).
+  */
+object StateOps {
+
+  private val SrcCol = "__graft_src"
+  private val RnCol  = "__graft_rn"
+
+  /** U1/U2 — keyed last-write-wins merge (`INSERT … ON CONFLICT DO UPDATE`;
+    * reference `PostgrePersistenceService.java:218-280,413-482`).
+    *
+    * Updates beat existing state on key collision; among duplicate keys
+    * *within* `updates`, the greatest `versionCols` tuple wins (the
+    * reference applies JDBC batch entries in order — last statement wins,
+    * so callers pass an explicit batch-sequence column; SURVEY §7.5 on A1's
+    * insertion-order guarantee).
+    *
+    * One hash-shuffle on `keys`; `row_number` runs per key group. Skewed
+    * keys are bounded by update-batch size, and AQE skew-split handles the
+    * rest at scale.
+    */
+  def mergeByKey(
+      state: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      versionCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "mergeByKey needs at least one key column")
+    val all = state.withColumn(SrcCol, lit(0))
+      .unionByName(updates.withColumn(SrcCol, lit(1)))
+    val ordering = (col(SrcCol).desc +: versionCols.map(col(_).desc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    all.withColumn(RnCol, row_number().over(w))
+      .filter(col(RnCol) === 1)
+      .drop(RnCol, SrcCol)
+  }
+
+  /** A3 — keep only the newest row per key (dedup-last-write-wins;
+    * the implicit aggregate of repeated upserts, SURVEY §2.3 A3). */
+  def dedupLastWriteWins(
+      df: DataFrame,
+      keys: Seq[String],
+      orderDescCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderDescCols.map(col(_).desc): _*)
+    df.withColumn(RnCol, row_number().over(w))
+      .filter(col(RnCol) === 1)
+      .drop(RnCol)
+  }
+
+  /** Result of [[deleteIfUnmodified]]: the rewritten state plus the
+    * processed rows that could NOT be removed because the state row changed
+    * since they were read (the reference returns these for re-processing;
+    * `PersistenceService.java:72-86`). */
+  case class DeleteResult(newState: DataFrame, notRemoved: DataFrame)
+
+  /** D1 — optimistic-concurrency delete: remove `processed` rows from
+    * `state` only where ALL columns still match (full-tuple anti-join;
+    * reference `PostgrePersistenceService.java:344-403` — `DELETE … WHERE
+    * recordIdentifier=? AND datestamp=? AND statusIsDeleted=?`).
+    *
+    * A state row re-upserted with a newer datestamp while its old version
+    * was being processed survives the delete (ST5 late-update guard,
+    * reference test `PostgrePersistenceServiceTestIT.java:452-494`).
+    */
+  def deleteIfUnmodified(state: DataFrame, processed: DataFrame): DeleteResult = {
+    val cols = state.columns.toSeq
+    val p = processed.select(cols.map(col): _*)
+    DeleteResult(
+      newState = state.join(p, cols, "left_anti"),
+      notRemoved = processed.join(state, cols, "left_anti"))
+  }
+
+  /** D2 — retention with keep-latest exception: drop rows at or before
+    * `cutoff` but always keep the row with the greatest `seqCol`, even if
+    * expired (reference `PostgrePersistenceService.java:172-216` — find max
+    * ID, then `DELETE WHERE timestampOfRun <= ? AND ID != ?`).
+    *
+    * The max is computed as a 1-row aggregate broadcast back over the data
+    * — no global-ordering window, so no single-partition bottleneck at
+    * scale.
+    */
+  def retentionKeepLatest(
+      df: DataFrame,
+      seqCol: String,
+      tsCol: String,
+      cutoff: org.apache.spark.sql.Column): DataFrame = {
+    val MaxCol = "__graft_max_seq"
+    val mx = df.agg(max(col(seqCol)).as(MaxCol))
+    df.crossJoin(broadcast(mx))
+      .filter(col(tsCol) > cutoff || col(seqCol) === col(MaxCol))
+      .drop(MaxCol)
+  }
+
+  /** A1/S3 — newest row by insertion sequence (`ORDER BY ID DESC LIMIT 1`;
+    * reference `PostgrePersistenceService.java:94-139`). Insertion order,
+    * not timestamp order, decides (reference test
+    * `PostgrePersistenceServiceTestIT.java:194-221`). Spark plans this as
+    * TakeOrderedAndProject — a per-partition top-1 then a driver merge of
+    * one row per partition; no full sort, no shuffle.
+    */
+  def top1BySeq(df: DataFrame, seqCol: String): DataFrame =
+    df.orderBy(col(seqCol).desc).limit(1)
+
+  /** L1/S4 — bounded work batch (`LIMIT 100`;
+    * reference `PostgrePersistenceService.java:288-336`). The reference
+    * takes an *arbitrary* 100; for deterministic verification callers may
+    * order first. */
+  def limitBatch(df: DataFrame, n: Int): DataFrame = df.limit(n)
+
+  /** U3 — append rows with a monotonically increasing sequence assigned
+    * after the current maximum (the reference's PostgreSQL sequence,
+    * DDL `createSequencesAndTablesProductionDB.sql:5-10`).
+    *
+    * `orderCols` fixes the intra-batch order deterministically. The window
+    * is unpartitioned and therefore only suitable for *small* appends
+    * (checkpoint rows — one per run); bulk data paths never use it.
+    */
+  def appendWithSeq(
+      state: DataFrame,
+      newRows: DataFrame,
+      seqCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val MaxCol = "__graft_max_seq"
+    val mx = state.agg(coalesce(max(col(seqCol)), lit(0L)).as(MaxCol))
+    val w = Window.orderBy(orderCols.map(col): _*)
+    val numbered = newRows.crossJoin(broadcast(mx))
+      .withColumn(seqCol, (col(MaxCol) + row_number().over(w)).cast("long"))
+      .drop(MaxCol)
+    state.unionByName(numbered.select(state.columns.map(col).toSeq: _*))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. Designed for 100 TB: every
+  * stage is either a narrow map (shingling, hashing) or a single
+  * hash-shuffle on a dedup/bucket key; candidate generation never goes
+  * quadratic — pairs only form inside LSH buckets.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash: one row per distinct fingerprint, the
+    * smallest id wins. Single shuffle on the (high-cardinality, uniform)
+    * hash — the cheapest possible plan at scale. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("text_md5", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy("text_md5")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word shingles (n-grams) as an array column: consecutive n-token
+    * windows over the whitespace tokenization. Pure codegen'd array ops. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) < n, array(array_join(toks, " "))).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  }
+
+  /** MinHash signature of a shingle array: `numHashes` permutations
+    * simulated as `xxhash64(shingle, seed)` minima — the standard
+    * one-pass, no-shuffle construction. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(array_distinct(shingles),
+        s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** MinHash + banded LSH near-duplicate candidate pairs.
+    *
+    * `bands` bands of `rowsPerBand` hashes each; a pair is a candidate if
+    * any band agrees. The plan is: narrow signature map → explode to
+    * `bands` rows per doc → hash-shuffle on (band, bandHash) → within-
+    * bucket self-join → distinct pairs. Bucket sizes stay tiny for
+    * non-duplicate corpora, so the self-join never blows up; at 100 TB the
+    * shuffle key (band hash) is uniform by construction.
+    *
+    * Returns (a_id, b_id, est_jaccard) with a_id < b_id, where
+    * est_jaccard is the signature-agreement fraction.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = df
+      .select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__sig",
+        minhashSignature(wordShingles(col("__text"), shingleLen), numHashes))
+      .select(col("__id"), col("__sig"))
+
+    val banded = sig.select(
+      col("__id"), col("__sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(array_join(
+            transform(slice(col("__sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
+              _.cast("string")), ","))
+            .as("band_hash")))).as("__b"))
+      .select(col("__id"), col("__sig"),
+        col("__b.band").as("band"), col("__b.band_hash").as("band_hash"))
+
+    val l = banded.select(col("band"), col("band_hash"),
+      col("__id").as("a_id"), col("__sig").as("a_sig"))
+    val r = banded.select(col("band"), col("band_hash"),
+      col("__id").as("b_id"), col("__sig").as("b_sig"))
+
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(
+          size(filter(zip_with(col("a_sig"), col("b_sig"),
+            (x, y) => x === y), b => b)) * lit(1.0) / lit(numHashes),
+          6).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over word tokens: per-token xxhash64, bit-majority
+    * vote. Hamming-close simhashes ⇒ near-duplicate texts. Implemented as
+    * pure array expressions (one pass, no shuffle). */
+  def simhash64(text: Column): Column = {
+    val tokenHashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
+    // For each bit i: +1 vote if set, -1 if clear; bit i of the result is
+    // 1 when the vote is positive.
+    val bits = transform(sequence(lit(0), lit(63)), i =>
+      when(
+        aggregate(tokenHashes, lit(0),
+          (acc, h) => acc + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)) > 0,
+        lit(1L)).otherwise(lit(0L)))
+    aggregate(zip_with(bits, sequence(lit(0), lit(63)),
+      (b, i) => call_function("shiftleft", b, i)), lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Exact Jaccard similarity between the distinct-word sets of two text
+    * columns (the verification step behind MinHash candidates). */
+  def wordSetJaccard(a: Column, b: Column): Column = {
+    val sa = array_distinct(split(trim(a), "\\s+"))
+    val sb = array_distinct(split(trim(b), "\\s+"))
+    round(size(array_intersect(sa, sb)) * lit(1.0) /
+      size(array_union(sa, sb)), 6)
+  }
+
+  /** Embedding near-duplicates: cosine ≥ threshold among LSH-bucketed
+    * candidates (delegates bucketing to [[Similarity.lshBuckets]]). */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 12): DataFrame = {
+    val b = Similarity.lshBuckets(
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", planes)
+    val l = b.select(col("bucket"), col("__id").as("a_id"), col("__v").as("a_v"))
+    val r = b.select(col("bucket"), col("__id").as("b_id"), col("__v").as("b_v"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        Similarity.cosine(col("a_v"), col("b_v")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+}

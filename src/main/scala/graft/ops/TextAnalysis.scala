@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting
+  * (BASELINE.json north-star extensions). All pure column expressions —
+  * whole-stage-codegen'd, no UDFs, no shuffle; they scale as a narrow map
+  * over however many partitions the scan produces.
+  */
+object TextAnalysis {
+
+  /** Marker-word sets per language for the n-gram/stopword language-ID
+    * heuristic. Kept deliberately small and disjoint so scores are cheap
+    * (one regex pass per language) and the tie-break order is explicit. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|was)\\b",
+    "de" -> "\\b(der|und|die|nicht|das|ist)\\b",
+    "fr" -> "\\b(le|la|et|les|une|est)\\b",
+    "es" -> "\\b(el|los|una|por|las|este)\\b")
+
+  def markerScore(text: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0))).cast("long")
+
+  /** Language-ID: argmax of marker-word counts with deterministic priority
+    * (earlier entry in [[LangMarkers]] wins ties); no markers at all →
+    * "und" (undetermined, BCP-47 convention). */
+  def langIdScores(df: DataFrame, textCol: Column): DataFrame = {
+    val scored = LangMarkers.foldLeft(df) { case (acc, (lang, pat)) =>
+      acc.withColumn(s"score_$lang", markerScore(textCol, pat))
+    }
+    val scores   = LangMarkers.map { case (l, _) => col(s"score_$l") }
+    val best     = greatest(scores: _*)
+    val decision = LangMarkers.foldRight(lit("und")) { case ((l, _), els) =>
+      when(col(s"score_$l") === best, lit(l)).otherwise(els)
+    }
+    scored.withColumn("predicted_lang", when(best === 0, lit("und")).otherwise(decision))
+  }
+
+  /** Token count over whitespace runs (the BPE-ish regex variant is
+    * [[tokenCountBpeIsh]]). */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** A BPE-flavored tokenizer proxy: words, numbers, and single
+    * punctuation marks each count as one token. */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Quality metrics: length, alpha ratio, whitespace ratio, mean token
+    * length — the standard cheap pre-filters for web-scale corpora. */
+  def qualityMetrics(df: DataFrame, textCol: Column): DataFrame =
+    df.withColumn("n_chars_q", length(textCol).cast("long"))
+      .withColumn("n_tokens", tokenCount(textCol))
+      .withColumn("alpha_chars",
+        length(regexp_replace(textCol, "[^a-zA-Z]", "")).cast("long"))
+      .withColumn("alpha_ratio",
+        round(col("alpha_chars") * lit(1.0) / col("n_chars_q"), 6))
+      .withColumn("mean_token_len",
+        round(col("alpha_chars") * lit(1.0) / col("n_tokens"), 6))
+
+  /** Document fingerprint: md5 over whitespace-normalized, lowercased text
+    * — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+}

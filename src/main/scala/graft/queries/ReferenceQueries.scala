@@ -1,0 +1,541 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.operators.StateOps
+import graft.streaming.OffsetStateMachine
+import graft.xml.XmlProjections
+
+/** The reference-derived operator inventory (SURVEY.md §2) as verifiable
+  * queries over the driver testdata, each with a DuckDB oracle.
+  *
+  * Numeric discipline for hash-stable oracle comparison: money-like sums
+  * are computed in integer cents (`round(x*100)::long` per row, then
+  * summed — exact in both engines); ratios are `round(_, 6)`; every
+  * integer-ish output is cast to long to match DuckDB's BIGINT defaults.
+  */
+object ReferenceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  def queries: Map[String, Q] = Map(
+    // ── A2/A3 aggregate showcase (TPC-H Q1 shape) ─────────────────────────
+    "q1_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_price_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_price_cents"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ── Join pipeline (shipping-priority shape); dims broadcast ─────────
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ── Multi-join with broadcast dims (local-supplier shape) ────────────
+    "q5_revenue_by_nation" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    }),
+
+    // ── F1: anchored-regex record filter ─────────────────────────────────
+    "f1_filter_qucosa_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("oai:example.org:"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit("qucosa:"), col("doc_id").cast("string")))
+              .otherwise(concat(lit("fedora-system:"), col("doc_id").cast("string"))))
+            .as("record_identifier"))
+        .filter(isQucosaId(col("record_identifier")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── F2: required-field validation (blank rows dropped) ───────────────
+    "f2_validate_required" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, lit("   ")).otherwise(col("text")))
+        .filter(isNotBlank(col("text")) && isNotBlank(col("lang")) &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── F3: boolean-flag predicate ────────────────────────────────────────
+    "f3_filter_flag" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ── A1/S3: newest row by insertion sequence ──────────────────────────
+    "a1_top1_by_seq" -> ((s, dir) =>
+      StateOps.top1BySeq(Tables.events(s, dir), "event_id")),
+
+    // ── A2: count ────────────────────────────────────────────────────────
+    "a2_count_rows" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(count(lit(1)).as("n_rows"))),
+
+    // ── A3: dedup last-write-wins per key ────────────────────────────────
+    "a3_dedup_last_write_wins" -> ((s, dir) =>
+      StateOps.dedupLastWriteWins(Tables.events(s, dir),
+          keys = Seq("user_id", "event_type"),
+          orderDescCols = Seq("ts", "event_id"))
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // ── L1/S4: bounded batch ─────────────────────────────────────────────
+    "l1_limit_batch" -> ((s, dir) =>
+      StateOps.limitBatch(
+        Tables.orders(s, dir).orderBy(col("o_orderkey")), 100)),
+
+    // ── U1: keyed upsert merge (updates beat state) ──────────────────────
+    "u1_merge_headers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val state = ev.filter(col("event_id") % 10 < 5)
+      val updates = ev.filter(col("event_id") % 10 >= 3 && col("event_id") % 10 <= 7)
+        .withColumn("value", col("value") + 1000.0)
+      StateOps.mergeByKey(state, updates, keys = Seq("event_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── U2: same merge shape, reporting-doc flavored ─────────────────────
+    "u2_merge_reporting_docs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "lang", "source")
+      val state = d.filter(col("doc_id") % 2 === 0)
+      val updates = d.filter(col("doc_id") % 3 === 0)
+        .withColumn("lang", lit("xx"))
+      StateOps.mergeByKey(state, updates, keys = Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── U3: append with sequence assignment ──────────────────────────────
+    "u3_append_run_result" -> ((s, dir) => {
+      val runs = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("run_day"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("max_ts"))
+      val cut = lit("2024-01-16").cast("timestamp")
+      val state = runs.filter(col("run_day") < cut)
+        .withColumn("id",
+          row_number().over(Window.orderBy(col("run_day"))).cast("long"))
+        .select("id", "run_day", "n_events", "max_ts")
+      val fresh = runs.filter(col("run_day") >= cut)
+        .withColumn("id", lit(0L))
+        .select("id", "run_day", "n_events", "max_ts")
+      StateOps.appendWithSeq(state, fresh, "id", Seq("run_day"))
+        .orderBy(col("id"))
+    }),
+
+    // ── D1: optimistic delete-if-unmodified (full-tuple anti-join) ───────
+    "d1_delete_if_unmodified" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val processed = ev.filter(col("value") >= 100)
+        .withColumn("ts",
+          when(col("event_id") % 10 === 0, col("ts") + expr("INTERVAL 1 HOUR"))
+            .otherwise(col("ts")))
+      StateOps.deleteIfUnmodified(ev, processed).newState
+        .orderBy(col("event_id"))
+    }),
+
+    // ── D1 feedback: the not-removed survivor set (ST5) ──────────────────
+    "d1_survivors" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val processed = ev.filter(col("value") >= 100)
+        .withColumn("ts",
+          when(col("event_id") % 10 === 0, col("ts") + expr("INTERVAL 1 HOUR"))
+            .otherwise(col("ts")))
+      StateOps.deleteIfUnmodified(ev, processed).notRemoved
+        .orderBy(col("event_id"))
+    }),
+
+    // ── D2: retention with keep-latest exception ─────────────────────────
+    "d2_retention_keep_latest" -> ((s, dir) =>
+      StateOps.retentionKeepLatest(Tables.events(s, dir),
+          seqCol = "event_id", tsCol = "ts",
+          cutoff = lit("2024-01-25").cast("timestamp"))
+        .orderBy(col("event_id"))),
+
+    // ── SF1: ISO-8601 multi-format timestamp parsing ─────────────────────
+    "sf1_ts_parse" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val base = date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")
+      val iso = when(col("o_orderkey") % 3 === 0, base)
+        .when(col("o_orderkey") % 3 === 1, concat(base, lit("+02:00")))
+        .otherwise(concat(base, lit("+0200")))
+      o.select(col("o_orderkey"), iso.as("iso"),
+          tsParseIso8601(iso).as("parsed"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ── SF2: FC3 vs spec timestamp formatting ────────────────────────────
+    "sf2_ts_format_dual" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          tsFormatFc3(col("o_orderdate")).as("fc3_format"),
+          tsFormatSpec(col("o_orderdate")).as("spec_format"))
+        .orderBy(col("o_orderkey"))),
+
+    // ── SF3: timestamp arithmetic (retention cutoff, skew) ───────────────
+    "sf3_ts_arith" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          (col("ts") - expr("INTERVAL 48 HOURS")).as("cutoff_ts"),
+          (unix_millis(col("ts")) -
+            unix_millis(date_trunc("day", col("ts")))).as("ms_since_midnight"))
+        .orderBy(col("event_id"))),
+
+    // ── SF4: OAI identifier → local id ───────────────────────────────────
+    "sf4_str_local_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          localId(concat(lit("oai:example.org:qucosa:"),
+            col("doc_id").cast("string"))).as("local_id"))
+        .orderBy(col("doc_id"))),
+
+    // ── P1: OAI header projection (XML round-trip) ───────────────────────
+    "p1_xml_headers_project" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val xml = concat(
+        lit("<OAI-PMH><ListIdentifiers><header"),
+        when(col("doc_id") % 4 === 0, lit(" status=\"deleted\"")).otherwise(lit("")),
+        lit("><identifier>oai:example.org:qucosa:"), col("doc_id").cast("string"),
+        lit("</identifier><datestamp>2024-01-02T03:04:05Z</datestamp>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<setSpec>"), col("lang"), lit("</setSpec><setSpec>"),
+            col("source"), lit("</setSpec>"))).otherwise(lit("")),
+        lit("</header></ListIdentifiers></OAI-PMH>"))
+      XmlProjections.projectOaiHeaders(d.select(col("doc_id"), xml.as("xml")),
+          col("xml"))
+        .select(col("doc_id"), col("record_identifier"), col("datestamp"),
+          array_join(col("set_spec"), ",").as("set_spec_csv"),
+          col("status_is_deleted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── P2: envelope scalars with tri-state resumption token ─────────────
+    "p2_envelope_tristate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val xml = when(col("doc_id") % 3 === 0, lit(
+          "<OAI-PMH><responseDate>2014-06-08T11:43:00Z</responseDate><ListIdentifiers/></OAI-PMH>"))
+        .when(col("doc_id") % 3 === 1, lit(
+          "<OAI-PMH><responseDate>2014-06-08T11:43:00Z</responseDate><ListIdentifiers><resumptionToken cursor=\"0\"/></ListIdentifiers></OAI-PMH>"))
+        .otherwise(concat(
+          lit("<OAI-PMH><responseDate>2014-06-08T11:43:00Z</responseDate><ListIdentifiers><resumptionToken expirationDate=\"2014-06-09T18:34:15Z\">  tok"),
+          col("doc_id").cast("string"),
+          lit("  </resumptionToken></ListIdentifiers></OAI-PMH>")))
+      XmlProjections.projectOaiEnvelope(
+          d.select(col("doc_id"), xml.as("xml")), col("xml"))
+        .select(col("doc_id"), col("response_date"), col("token_state"),
+          col("resumption_token"), col("token_expiration"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── P3: OAI error map (exploded to rows) ─────────────────────────────
+    "p3_errors_project" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val xml = when(col("doc_id") % 2 === 0, lit(
+          "<OAI-PMH><error code=\"noRecordsMatch\">no records</error></OAI-PMH>"))
+        .otherwise(lit(
+          "<OAI-PMH><error code=\"badArgument\">bad arg</error><error code=\"badVerb\">bad verb</error></OAI-PMH>"))
+      XmlProjections.projectOaiErrors(
+          d.select(col("doc_id"), xml.as("xml")), col("xml"))
+        .select(col("doc_id"), explode(col("errors")).as(Seq("code", "message")))
+        .orderBy(col("doc_id"), col("code"))
+    }),
+
+    // ── P4: METS 3-field projection (namespace-prefixed XML) ─────────────
+    "p4_mets_project" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, metsXml("slub", "in_book", "2016-05-24T12:33:56+0200")),
+        (2L, metsXml("SLUB", "issue", "2008-08-04")),
+        (3L, metsXml("TU Dresden", "article", "2016-10-10T11:27:33+0200")),
+        (4L, metsXmlNoAgent("issue", "2011-03-31"))
+      ).toDF("rec_id", "xml")
+      XmlProjections.projectMets(docs, col("xml"))
+        .select(col("rec_id"), col("mandator"), col("document_type"),
+          col("distribution_date"))
+        .orderBy(col("rec_id"))
+    }),
+
+    // ── ST2: checkpoint-advance decision table (all branches) ────────────
+    "st2_offset_advance" -> ((s, dir) => {
+      import s.implicits._
+      // (case_id, last_token, resp_state, error_code, fc3)
+      val cases = Seq(
+        (1L, null.asInstanceOf[String], "absent", null.asInstanceOf[String], false),
+        (2L, "tok", "absent", null.asInstanceOf[String], true),
+        (3L, "tok", "absent", null.asInstanceOf[String], false),
+        (4L, null.asInstanceOf[String], "empty", null.asInstanceOf[String], false),
+        (5L, "tok", "empty", null.asInstanceOf[String], false),
+        (6L, "tok", "value", null.asInstanceOf[String], false),
+        (7L, "tok", "absent", "noRecordsMatch", false),
+        (8L, "tok", "absent", "badResumptionToken", false),
+        (9L, "tok", "absent", "badArgument", false)
+      ).toDF("case_id", "last_token", "resp_state", "error_code", "fc3")
+      val start  = lit("2024-03-01 10:00:00").cast("timestamp")
+      val backup = lit("2024-02-01 00:00:00").cast("timestamp")
+      cases.select(col("case_id"),
+          OffsetStateMachine.nextFromColumn(col("last_token"),
+            col("resp_state"), col("error_code"), backup, start, col("fc3"))
+            .as("next_from"))
+        .orderBy(col("case_id"))
+    })
+  )
+
+  /** Self-authored minimal METS document (shape per reference fixtures,
+    * `MetsProcessor.java:67-69` XPaths). */
+  private def metsXml(mandator: String, docType: String, dist: String): String =
+    s"""<mets:mets xmlns:mets="http://www.loc.gov/METS/" xmlns:mods="http://www.loc.gov/mods/v3">
+       |<mets:metsHdr><mets:agent ROLE="EDITOR" TYPE="ORGANIZATION"><mets:name>$mandator</mets:name></mets:agent></mets:metsHdr>
+       |<mets:dmdSec><mets:mdWrap><mets:xmlData><mods:mods>
+       |<mods:originInfo eventType="distribution"><mods:dateIssued>$dist</mods:dateIssued></mods:originInfo>
+       |</mods:mods></mets:xmlData></mets:mdWrap></mets:dmdSec>
+       |<mets:structMap TYPE="LOGICAL"><mets:div TYPE="$docType"/></mets:structMap>
+       |</mets:mets>""".stripMargin
+
+  private def metsXmlNoAgent(docType: String, dist: String): String =
+    s"""<mets:mets xmlns:mets="http://www.loc.gov/METS/" xmlns:mods="http://www.loc.gov/mods/v3">
+       |<mets:metsHdr></mets:metsHdr>
+       |<mets:dmdSec><mets:mdWrap><mets:xmlData><mods:mods>
+       |<mods:originInfo eventType="distribution"><mods:dateIssued>$dist</mods:dateIssued></mods:originInfo>
+       |</mods:mods></mets:xmlData></mets:mdWrap></mets:dmdSec>
+       |<mets:structMap TYPE="LOGICAL"><mets:div TYPE="$docType"/></mets:structMap>
+       |</mets:mets>""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_revenue_by_nation" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
+    "f1_filter_qucosa_id" ->
+      """SELECT doc_id, record_identifier FROM (
+        | SELECT doc_id, 'oai:example.org:' ||
+        |  CASE WHEN doc_id % 7 = 0 THEN 'qucosa:' || CAST(doc_id AS VARCHAR)
+        |       ELSE 'fedora-system:' || CAST(doc_id AS VARCHAR) END AS record_identifier
+        | FROM documents) t
+        |WHERE regexp_matches(record_identifier, '^.+qucosa:[0-9]+$')
+        |ORDER BY doc_id""".stripMargin,
+
+    "f2_validate_required" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 13 <> 0 AND lang IS NOT NULL AND trim(lang) <> ''
+        | AND n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "f3_filter_flag" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "a1_top1_by_seq" ->
+      "SELECT * FROM events ORDER BY event_id DESC LIMIT 1",
+
+    "a2_count_rows" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
+
+    "a3_dedup_last_write_wins" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "l1_limit_batch" ->
+      "SELECT * FROM orders ORDER BY o_orderkey LIMIT 100",
+
+    "u1_merge_headers" ->
+      """SELECT event_id, ts, user_id, event_type,
+        | CASE WHEN event_id % 10 BETWEEN 3 AND 7 THEN value + 1000.0 ELSE value END AS value,
+        | props
+        |FROM events
+        |WHERE event_id % 10 < 5 OR event_id % 10 BETWEEN 3 AND 7
+        |ORDER BY event_id""".stripMargin,
+
+    "u2_merge_reporting_docs" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
+        | source
+        |FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "u3_append_run_result" ->
+      """SELECT CAST(row_number() OVER (ORDER BY run_day) AS BIGINT) AS id,
+        | run_day, n_events, max_ts
+        |FROM (SELECT date_trunc('day', ts) AS run_day,
+        |  CAST(count(*) AS BIGINT) AS n_events, max(ts) AS max_ts
+        | FROM events GROUP BY 1) t
+        |ORDER BY id""".stripMargin,
+
+    "d1_delete_if_unmodified" ->
+      """SELECT e.* FROM events e WHERE NOT EXISTS (
+        | SELECT 1 FROM (
+        |   SELECT event_id,
+        |    CASE WHEN event_id % 10 = 0 THEN ts + INTERVAL 1 HOUR ELSE ts END AS ts,
+        |    user_id, event_type, value, props
+        |   FROM events WHERE value >= 100) p
+        | WHERE p.event_id = e.event_id AND p.ts = e.ts AND p.user_id = e.user_id
+        |  AND p.event_type = e.event_type AND p.value = e.value AND p.props = e.props)
+        |ORDER BY event_id""".stripMargin,
+
+    "d1_survivors" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 10 = 0 THEN ts + INTERVAL 1 HOUR ELSE ts END AS ts,
+        | user_id, event_type, value, props
+        |FROM events WHERE value >= 100 AND event_id % 10 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "d2_retention_keep_latest" ->
+      """SELECT e.* FROM events e, (SELECT max(event_id) AS mx FROM events) m
+        |WHERE e.ts > TIMESTAMP '2024-01-25 00:00:00' OR e.event_id = m.mx
+        |ORDER BY event_id""".stripMargin,
+
+    "sf1_ts_parse" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+        |      WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+02:00'
+        |      ELSE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+0200' END AS iso,
+        | CASE WHEN o_orderkey % 3 = 0 THEN o_orderdate
+        |      ELSE o_orderdate - INTERVAL 2 HOUR END AS parsed
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "sf2_ts_format_dual" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS fc3_format,
+        | strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || 'Z' AS spec_format
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "sf3_ts_arith" ->
+      """SELECT event_id, ts - INTERVAL 48 HOUR AS cutoff_ts,
+        | CAST(epoch_ms(ts) - epoch_ms(date_trunc('day', ts)) AS BIGINT) AS ms_since_midnight
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sf4_str_local_id" ->
+      """SELECT doc_id,
+        | regexp_extract('oai:example.org:qucosa:' || CAST(doc_id AS VARCHAR),
+        |   '^oai:[^:]+:(.*)$', 1) AS local_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p1_xml_headers_project" ->
+      """SELECT doc_id,
+        | 'oai:example.org:qucosa:' || CAST(doc_id AS VARCHAR) AS record_identifier,
+        | TIMESTAMP '2024-01-02 03:04:05' AS datestamp,
+        | CASE WHEN doc_id % 2 = 0 THEN lang || ',' || source ELSE '' END AS set_spec_csv,
+        | doc_id % 4 = 0 AS status_is_deleted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p2_envelope_tristate" ->
+      """SELECT doc_id,
+        | TIMESTAMP '2014-06-08 11:43:00' AS response_date,
+        | CASE WHEN doc_id % 3 = 0 THEN 'absent'
+        |      WHEN doc_id % 3 = 1 THEN 'empty' ELSE 'value' END AS token_state,
+        | CASE WHEN doc_id % 3 = 0 THEN NULL
+        |      WHEN doc_id % 3 = 1 THEN ''
+        |      ELSE 'tok' || CAST(doc_id AS VARCHAR) END AS resumption_token,
+        | CASE WHEN doc_id % 3 = 2 THEN TIMESTAMP '2014-06-09 18:34:15'
+        |      ELSE NULL END AS token_expiration
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p3_errors_project" ->
+      """SELECT doc_id, code, message FROM (
+        | SELECT doc_id, 'noRecordsMatch' AS code, 'no records' AS message
+        | FROM documents WHERE doc_id % 2 = 0
+        | UNION ALL
+        | SELECT doc_id, 'badArgument', 'bad arg' FROM documents WHERE doc_id % 2 = 1
+        | UNION ALL
+        | SELECT doc_id, 'badVerb', 'bad verb' FROM documents WHERE doc_id % 2 = 1) t
+        |ORDER BY doc_id, code""".stripMargin,
+
+    "p4_mets_project" ->
+      """SELECT CAST(rec_id AS BIGINT) AS rec_id, mandator, document_type,
+        | distribution_date FROM (VALUES
+        | (1, 'slub', 'in_book', TIMESTAMP '2016-05-24 10:33:56'),
+        | (2, 'SLUB', 'issue', TIMESTAMP '2008-08-04 00:00:00'),
+        | (3, 'TU Dresden', 'article', TIMESTAMP '2016-10-10 09:27:33'),
+        | (4, NULL, 'issue', TIMESTAMP '2011-03-31 00:00:00'))
+        | AS t(rec_id, mandator, document_type, distribution_date)
+        |ORDER BY rec_id""".stripMargin,
+
+    "st2_offset_advance" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, next_from FROM (VALUES
+        | (1, TIMESTAMP '2024-03-01 10:00:00'),
+        | (2, TIMESTAMP '2024-03-01 10:00:00'),
+        | (3, TIMESTAMP '2024-02-01 00:00:00'),
+        | (4, TIMESTAMP '2024-02-01 00:00:00'),
+        | (5, TIMESTAMP '2024-03-01 10:00:00'),
+        | (6, TIMESTAMP '2024-02-01 00:00:00'),
+        | (7, TIMESTAMP '2024-03-01 10:00:00'),
+        | (8, TIMESTAMP '2024-02-01 00:00:00'),
+        | (9, TIMESTAMP '2024-02-01 00:00:00'))
+        | AS t(case_id, next_from)
+        |ORDER BY case_id""".stripMargin
+  )
+}

@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (BASELINE.json north-star: dedup,
+  * similarity search, multimodal columns, text analysis) as verifiable
+  * queries. Oracle-checkable ones carry DuckDB SQL; the hash-based ones
+  * (MinHash/SimHash/LSH use xxhash64, which DuckDB lacks) are covered by
+  * planted-duplicate ScalaTest specs plus a rows-only driver check.
+  */
+object TrainingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Documents plus planted near-duplicates: every doc_id % 5 == 0 row is
+    * copied to doc_id+100000 with three extra trailing tokens, so
+    * near-dup detectors have known ground truth at every scale factor. */
+  private def withPlantedNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text")))
+  }
+
+  def queries: Map[String, Q] = Map(
+    // ── Exact dedup: content-hash groupBy ────────────────────────────────
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(withPlantedNearDups(s, dir), "doc_id", "text")
+        .orderBy(col("text_md5"))),
+
+    // ── Near-dup: exact word-set Jaccard on planted pairs ────────────────
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val all = withPlantedNearDups(s, dir)
+      val a = all.filter(col("doc_id") < 100000)
+        .select(col("doc_id").as("a_id"), col("text").as("a_text"))
+      val b = all.filter(col("doc_id") >= 100000)
+        .select((col("doc_id") - 100000).as("a_id"), col("text").as("b_text"))
+      a.join(b, "a_id")
+        .select(col("a_id").as("doc_id"),
+          Dedup.wordSetJaccard(col("a_text"), col("b_text")).as("jaccard"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Near-dup: MinHash + banded LSH candidates (rows-only check) ──────
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(withPlantedNearDups(s, dir), "doc_id", "text")
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // ── Near-dup: 64-bit SimHash fingerprints (rows-only check) ──────────
+    "dedup_simhash" -> ((s, dir) =>
+      withPlantedNearDups(s, dir)
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // ── Similarity: exact brute-force cosine top-k ───────────────────────
+    "ann_cosine_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.bruteForceTopK(q, c, "q_id", "q_vec", "c_id", "c_vec", k = 3)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ── Similarity: LSH-bucketed ANN (rows-only; recall spec in tests) ───
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.lshTopK(q, c, "q_id", "q_vec", "c_id", "c_vec",
+          k = 3, planes = 8)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ── Embedding near-dups via LSH buckets (rows-only) ──────────────────
+    "embed_near_dups" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      // Plant exact dup vectors (vec_id+100000) so the detector has
+      // ground truth: cosine(v, v) = 1 ≥ any threshold.
+      val planted = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+          col("label"))
+      Dedup.embeddingNearDups(e.unionByName(planted), "vec_id", "embedding",
+          threshold = 0.95)
+        .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ── Text: language-ID heuristic ──────────────────────────────────────
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langIdScores(Tables.documents(s, dir), col("text"))
+        .select(col("doc_id"), col("score_en"), col("score_de"),
+          col("score_fr"), col("score_es"), col("predicted_lang"))
+        .orderBy(col("doc_id"))),
+
+    // ── Text: token counting (whitespace + BPE-ish) ──────────────────────
+    "text_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.tokenCountBpeIsh(col("text")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // ── Text: quality metrics ────────────────────────────────────────────
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(Tables.documents(s, dir), col("text"))
+        .select(col("doc_id"), col("n_chars_q"), col("n_tokens"),
+          col("alpha_chars"), col("alpha_ratio"), col("mean_token_len"))
+        .orderBy(col("doc_id"))),
+
+    // ── Text: document fingerprint ───────────────────────────────────────
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // ── Multimodal: binary payload → batched feature extraction ─────────
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+      Multimodal.extractFeatures(s, media).toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Streaming-analog: sessionization (30-min gap) ────────────────────
+    "events_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapUs = 1800L * 1000000L
+      val ev = Tables.events(s, dir)
+        .withColumn("new_session",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs,
+            1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ── Streaming-analog: tumbling-window aggregation ────────────────────
+    "events_windowed_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("window_start"), col("event_type")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH all_docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0)
+        |SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
+        | min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM all_docs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """SELECT doc_id,
+        | round(len(list_intersect(a, b)) * 1.0 /
+        |   len(list_distinct(list_concat(a, b))), 6) AS jaccard
+        |FROM (
+        | SELECT doc_id,
+        |  list_distinct(regexp_split_to_array(trim(text), '\s+')) AS a,
+        |  list_distinct(regexp_split_to_array(trim(text || ' zz yy xx'), '\s+')) AS b
+        | FROM documents WHERE doc_id % 5 = 0) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id >= 8),
+        |s AS (SELECT q_id, c_id,
+        |  list_dot_product(qv, cv) /
+        |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        | FROM q, c)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(cos, 4) AS cos_sim
+        |FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s) t
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars_q,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
+        | round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
+        | round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
+        |   len(regexp_split_to_array(trim(text), '\s+')), 6) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH s AS (SELECT doc_id,
+        | CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|was)\b')) AS BIGINT) AS score_en,
+        | CAST(len(regexp_extract_all(lower(text), '\b(der|und|die|nicht|das|ist)\b')) AS BIGINT) AS score_de,
+        | CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|une|est)\b')) AS BIGINT) AS score_fr,
+        | CAST(len(regexp_extract_all(lower(text), '\b(el|los|una|por|las|este)\b')) AS BIGINT) AS score_es
+        | FROM documents)
+        |SELECT doc_id, score_en, score_de, score_fr, score_es,
+        | CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+        |      WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+        |      WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+        |      WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+        |      ELSE 'es' END AS predicted_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id, 'image' AS kind,
+        | CAST(length(text) AS BIGINT) AS n_bytes,
+        | CAST(length(text) % 512 AS BIGINT) AS fake_width,
+        | CAST((length(text) * 7) % 512 AS BIGINT) AS fake_height,
+        | CAST(length(text) % 30 + 1 AS BIGINT) AS fake_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH x AS (SELECT *,
+        | CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT *, sum(new_session) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM x)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | min(ts) AS session_start, max(ts) AS session_end,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM y GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "events_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,117 @@
+package graft.xml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** P1–P4 — semi-structured → structured XML projections (SURVEY.md §2.2),
+  * built entirely on Spark's codegen'd `xpath_*` SQL functions over a
+  * string payload column. Spark's xpath evaluator is namespace-unaware
+  * (it matches local element names), which the OAI envelope's default
+  * namespace rides on for free; METS/MODS prefixed elements use
+  * `local-name()` predicates (SURVEY §7.4).
+  */
+object XmlProjections {
+
+  private def xp(xml: Column, path: String): Column =
+    call_function("xpath", xml, lit(path))
+  private def xpStr(xml: Column, path: String): Column =
+    call_function("xpath_string", xml, lit(path))
+  private def xpCount(xml: Column, path: String): Column =
+    call_function("xpath_int", xml, lit(s"count($path)"))
+
+  /** P1 — `//header` rows from an OAI-PMH `ListIdentifiers` envelope
+    * (reference `OaiHarvester.java:528-564`).
+    *
+    * A flat `xpath` over the whole envelope would mis-align the per-header
+    * repeated `setSpec` elements and optional `status` attributes, so the
+    * envelope is first sliced into one row per `<header>` fragment (the
+    * fragments are self-contained XML — element names carry no prefixes),
+    * then each fragment is projected independently. Slicing + projection
+    * are narrow, fully codegen'd operations — no shuffle.
+    *
+    * Output columns: `record_identifier`, `datestamp`, `set_spec`,
+    * `status_is_deleted` (the `status` attribute is compared
+    * case-insensitively to "deleted", reference `OaiHarvester.java:541`).
+    */
+  def projectOaiHeaders(df: DataFrame, xmlCol: Column): DataFrame = {
+    val frag = explode(
+      call_function("regexp_extract_all", xmlCol,
+        lit("<header[\\s\\S]*?</header>|<header[^>]*/>"), lit(0)))
+    df.select(df.columns.map(col).toSeq :+ frag.as("__frag"): _*)
+      .select(
+        col("*"),
+        xpStr(col("__frag"), "header/identifier").as("record_identifier"),
+        tsParseIso8601(xpStr(col("__frag"), "header/datestamp")).as("datestamp"),
+        xp(col("__frag"), "header/setSpec/text()").as("set_spec"),
+        ciEquals(xpStr(col("__frag"), "header/@status"), "deleted")
+          .as("status_is_deleted"))
+      .drop("__frag")
+  }
+
+  /** P2 — envelope scalars with the tri-state resumption token
+    * (reference `OaiHarvester.java:473-519`):
+    *
+    *   - token node absent        → `token_state='absent'`,  token null
+    *   - token node empty         → `token_state='empty'`,   token ''
+    *   - token node has a value   → `token_state='value'`,   token trimmed
+    *
+    * Spark's `xpath_string` collapses "absent" and "empty" to `''`, so
+    * presence is guarded with `count(//resumptionToken)` (SURVEY §7.4).
+    */
+  def projectOaiEnvelope(df: DataFrame, xmlCol: Column): DataFrame = {
+    val present = xpCount(xmlCol, "//resumptionToken") > 0
+    val rawTok  = trimAll(xpStr(xmlCol, "//resumptionToken"))
+    df.withColumn("response_date",
+        tsParseIso8601(xpStr(xmlCol, "//responseDate")))
+      .withColumn("resumption_token", when(present, rawTok))
+      .withColumn("token_state",
+        when(!present, lit("absent"))
+          .when(rawTok === "", lit("empty"))
+          .otherwise(lit("value")))
+      .withColumn("token_expiration",
+        tsParseIso8601(when(present,
+          xpStr(xmlCol, "//resumptionToken/@expirationDate"))))
+  }
+
+  /** P3 — OAI error elements → `map(code → message)`
+    * (reference `OaiHarvester.java:446-471`). */
+  def projectOaiErrors(df: DataFrame, xmlCol: Column): DataFrame =
+    df.withColumn("errors",
+      map_from_arrays(
+        xp(xmlCol, "//error/@code"),
+        xp(xmlCol, "//error/text()")))
+
+  /** P4 — the three reporting fields from a METS/MODS document
+    * (reference `MetsProcessor.java:67-69,195-251`). Spark's xpath is not
+    * namespace-aware, so the prefixed METS paths become `local-name()`
+    * predicates; attribute predicates (`@ROLE`, `@TYPE`, `@eventType`)
+    * keep their reference semantics exactly.
+    *
+    * `distribution_date` uses the SF1 multi-format parser (no-colon zone
+    * offsets and date-only values appear in real METS,
+    * reference `MetsProcessorTest.java:178,262-306`).
+    */
+  def projectMets(df: DataFrame, xmlCol: Column): DataFrame =
+    df.withColumn("mandator", blankToNull(xpStr(xmlCol,
+        "//*[local-name()='metsHdr']/*[local-name()='agent'][@ROLE='EDITOR']/*[local-name()='name']")))
+      .withColumn("document_type", blankToNull(xpStr(xmlCol,
+        "//*[local-name()='structMap'][@TYPE='LOGICAL']/*[local-name()='div']/@TYPE")))
+      .withColumn("distribution_date", tsParseIso8601(xpStr(xmlCol,
+        "//*[local-name()='originInfo'][@eventType='distribution']/*[local-name()='dateIssued']")))
+
+  /** F2 — required-field validation: rows with any blank/null reporting
+    * field are dropped (the reference rejects them at construction,
+    * `ReportingDocumentMetadata.java:49-58`; drop-with-log on parse
+    * failure, `MetsProcessor.java:212-218`). */
+  def validateReportingRow(df: DataFrame): DataFrame =
+    df.filter(
+      isNotBlank(col("record_identifier")) &&
+      isNotBlank(col("mandator")) &&
+      isNotBlank(col("document_type")) &&
+      col("distribution_date").isNotNull &&
+      col("header_last_modified").isNotNull)
+
+  private def blankToNull(c: Column): Column = when(trim(c) =!= "", trim(c))
+}

@@ -1,0 +1,23 @@
+package graft
+
+/** Driver-contract smoke: entry() yields rows; every declared query runs
+  * on sf0.001 and every oracle key has a matching query. */
+class EntrySpec extends SparkSpec {
+
+  test("entry() returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("all queries execute and return rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+}

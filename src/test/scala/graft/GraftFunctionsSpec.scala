@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.GraftFunctions._
+
+/** SF1–SF9 scalar-function semantics, incl. the reference's timestamp
+  * formats (`MetsProcessorTest.java:262-306`, `OaiHarvesterTest.java:821-826`)
+  * and the anchored-regex filter (`QucosaDocumentFilter.java:27`). */
+class GraftFunctionsSpec extends SparkSpec {
+
+  private def parse(s: String): Option[Timestamp] = {
+    val sp = spark
+    import sp.implicits._
+    Option(Seq(s).toDF("x").select(tsParseIso8601(col("x"))).head.getTimestamp(0))
+  }
+
+  test("SF1: parses Z, colon offset, no-colon offset, local, date-only") {
+    assert(parse("2014-05-06T17:33:25Z").contains(Timestamp.valueOf("2014-05-06 17:33:25")))
+    assert(parse("2016-05-24T12:33:56+02:00").contains(Timestamp.valueOf("2016-05-24 10:33:56")))
+    assert(parse("2016-10-10T11:27:33+0200").contains(Timestamp.valueOf("2016-10-10 09:27:33")))
+    assert(parse("2016-10-10T11:27:33").contains(Timestamp.valueOf("2016-10-10 11:27:33")))
+    assert(parse("2008-08-04").contains(Timestamp.valueOf("2008-08-04 00:00:00")))
+    assert(parse("not a timestamp").isEmpty)
+  }
+
+  test("SF2: FC3 format omits the Z, spec format appends it") {
+    val sp = spark
+    import sp.implicits._
+    val row = Seq(Timestamp.valueOf("2016-05-24 10:33:56")).toDF("t")
+      .select(tsFormatFc3(col("t")), tsFormatSpec(col("t"))).head
+    assert(row.getString(0) == "2016-05-24T10:33:56")
+    assert(row.getString(1) == "2016-05-24T10:33:56Z")
+  }
+
+  test("SF4: local id strips oai prefix and authority") {
+    val sp = spark
+    import sp.implicits._
+    val out = Seq("oai:example.org:qucosa:7455").toDF("x")
+      .select(localId(col("x"))).head.getString(0)
+    assert(out == "qucosa:7455")
+  }
+
+  test("F1/SF6: anchored full-match semantics equals Java String.matches (property)") {
+    val pattern = ".+qucosa:\\d+"
+    val gen = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.alphaNumStr.map(s => s"oai:$s:qucosa:${s.length}"),
+      Gen.alphaNumStr.map(s => s"qucosa:$s"),
+      Gen.alphaNumStr.map(s => s"${s}qucosa:123x"))
+    val samples = (0 until 200).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .filterNot(s => s.contains("\n") || s.contains("\r"))
+    val sp = spark
+    import sp.implicits._
+    val got = samples.toDF("x")
+      .select(col("x"), fullMatch(col("x"), pattern)).collect()
+    got.foreach { r =>
+      assert(r.getBoolean(1) == r.getString(0).matches(pattern),
+        s"mismatch on '${r.getString(0)}'")
+    }
+  }
+
+  test("F1: the reference's accept/reject examples") {
+    val sp = spark
+    import sp.implicits._
+    val accept = Seq("oai:example.org:qucosa:1044", "x qucosa:1")
+    val reject = Seq("qucosa:123x", "oai:example.org:qucosa:", "fedora-system:ContentModel-3.0",
+      "oai:example.org:qucosa:CModel", "")
+    (accept ++ reject).foreach { s =>
+      val got = Seq(s).toDF("x").select(isQucosaId(col("x"))).head.getBoolean(0)
+      assert(got == accept.contains(s), s"id '$s'")
+    }
+  }
+
+  test("SF5/SF9: blank and case-insensitive helpers") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("  ", "DELETED"), ("x", "deleted"), ("", "other"))
+      .toDF("a", "b")
+      .select(isBlank(col("a")), ciEquals(col("b"), "deleted"))
+    val rows = df.collect()
+    assert(rows.map(_.getBoolean(0)).toSeq == Seq(true, false, true))
+    assert(rows.map(_.getBoolean(1)).toSeq == Seq(true, true, false))
+  }
+}

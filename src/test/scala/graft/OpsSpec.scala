@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data operator specs: planted-duplicate ground truth for the
+  * hash-based detectors the DuckDB oracle can't mirror. */
+class OpsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  private lazy val withNearDups = {
+    val d = docs.select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text")))
+  }
+
+  test("dedup: minhash LSH finds every planted near-duplicate pair") {
+    val pairs = Dedup.minhashLshPairs(withNearDups, "doc_id", "text")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    val found = planted.intersect(pairs)
+    // ~0.98^16-band recall at jaccard≈0.95; demand full recall on this data
+    assert(found.size >= (planted.size * 0.95).toInt,
+      s"found ${found.size} of ${planted.size} planted pairs")
+  }
+
+  test("dedup: simhash of a near-duplicate is hamming-close, unrelated is far") {
+    val sh = withNearDups
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val planted = sh.keys.filter(_ >= 100000).take(20)
+    planted.foreach { id =>
+      assert(hamming(sh(id), sh(id - 100000)) <= 12,
+        s"near-dup $id hamming ${hamming(sh(id), sh(id - 100000))}")
+    }
+    // two unrelated docs should be far apart on average
+    val ids = sh.keys.filter(_ < 100000).toSeq.sorted.take(40)
+    val dists = ids.sliding(2).map { case Seq(a, b) => hamming(sh(a), sh(b)) }.toSeq
+    assert(dists.sum.toDouble / dists.size > 16.0)
+  }
+
+  test("dedup: exact dedup counts planted copies (identical text collapses)") {
+    val d = docs.select("doc_id", "text")
+    val dup = d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    val res = Dedup.exact(dup, "doc_id", "text")
+    assert(res.filter(col("n_copies") >= 2).count() ==
+      d.filter(col("doc_id") % 10 === 0).count())
+  }
+
+  test("similarity: brute-force top-1 of a query against itself is cosine 1") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val top1 = Similarity.bruteForceTopK(q, c, "q_id", "q_vec", "c_id", "c_vec", 1)
+      .collect()
+    assert(top1.length == 5)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("q_id") == r.getAs[Long]("c_id"))
+      assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-9)
+    }
+  }
+
+  test("similarity: LSH top-k recall vs brute force is reasonable") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val exact = Similarity.bruteForceTopK(q, c, "q_id", "q_vec", "c_id", "c_vec", 1)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, c, "q_id", "q_vec", "c_id", "c_vec", 1, planes = 8)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // self-match always shares every bucket → top-1 recall is exact here;
+    // require it to hold as a floor
+    assert(approx.intersect(exact).size == exact.size)
+  }
+
+  test("text: langid marker scores prefer english for english-marker text") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house is big"),
+      (2L, "der hund und die katze ist nicht da das"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdScores(df, col("text"))
+      .select("doc_id", "predicted_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("multimodal: batched feature extraction preserves count and derives from bytes") {
+    val media = Multimodal.asMediaTable(docs)
+    val feats = Multimodal.extractFeatures(spark, media, batchSize = 7)
+    val n = docs.count()
+    assert(feats.count() == n)
+    val joined = feats.toDF().join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+    assert(joined.filter(col("n_bytes") =!= col("len")).count() == 0)
+  }
+}

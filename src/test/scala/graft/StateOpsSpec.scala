@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.StateOps
+
+/** State-operator semantics, mirroring the reference's PostgreSQL
+  * integration tests (`PostgrePersistenceServiceTestIT.java`) as local
+  * Spark round-trips (SURVEY.md §5c). */
+class StateOpsSpec extends SparkSpec {
+
+  import testImplicits._
+  private object testImplicits {
+    val s = spark
+    import s.implicits._
+    def headers(rows: (String, String, Boolean)*) =
+      rows.toSeq.map { case (id, d, del) =>
+        (id, Timestamp.valueOf(d), del)
+      }.toDF("record_identifier", "datestamp", "status_is_deleted")
+    def runs(rows: (Long, String)*) =
+      rows.toSeq.map { case (id, t) => (id, Timestamp.valueOf(t)) }
+        .toDF("id", "timestamp_of_run")
+  }
+
+  test("U1: merge inserts new keys and updates existing ones (upsert test, IT:364-415)") {
+    val state = headers(
+      ("qucosa:1", "2020-01-01 00:00:00", false),
+      ("qucosa:2", "2020-01-02 00:00:00", false))
+    val updates = headers(
+      ("qucosa:2", "2021-06-01 00:00:00", true),  // update
+      ("qucosa:3", "2021-06-02 00:00:00", false)) // insert
+    val merged = StateOps.mergeByKey(state, updates, Seq("record_identifier"))
+      .orderBy("record_identifier").collect()
+    assert(merged.length == 3)
+    assert(merged(1).getTimestamp(1) == Timestamp.valueOf("2021-06-01 00:00:00"))
+    assert(merged(1).getBoolean(2))
+    assert(merged(2).getString(0) == "qucosa:3")
+  }
+
+  test("U1: within one update batch the highest version wins (insertion order, A3)") {
+    val s = spark
+    import s.implicits._
+    val state = Seq.empty[(String, Long, String)]
+      .toDF("k", "batch_seq", "v")
+    val updates = Seq(("a", 1L, "first"), ("a", 2L, "second"), ("b", 1L, "only"))
+      .toDF("k", "batch_seq", "v")
+    val merged = StateOps.mergeByKey(state, updates, Seq("k"), Seq("batch_seq"))
+      .orderBy("k").collect()
+    assert(merged.map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("a", "second"), ("b", "only")))
+  }
+
+  test("D1: delete-if-unmodified spares re-upserted rows and reports them (IT:417-494)") {
+    val state = headers(
+      ("qucosa:1", "2020-01-01 00:00:00", false),
+      ("qucosa:2", "2020-01-02 00:00:00", false), // re-harvested since read:
+      ("qucosa:3", "2020-01-03 00:00:00", false))
+    // consumer read qucosa:2 with the OLD datestamp
+    val processed = headers(
+      ("qucosa:1", "2020-01-01 00:00:00", false),
+      ("qucosa:2", "2019-12-31 00:00:00", false))
+    val res = StateOps.deleteIfUnmodified(state, processed)
+    assert(res.newState.orderBy("record_identifier").collect()
+      .map(_.getString(0)).toSeq == Seq("qucosa:2", "qucosa:3"))
+    assert(res.notRemoved.collect().map(_.getString(0)).toSeq == Seq("qucosa:2"))
+  }
+
+  test("D2: retention keeps the newest row even when expired (IT:230-321)") {
+    val df = runs((1L, "2020-01-01 00:00:00"), (2L, "2020-01-02 00:00:00"),
+      (3L, "2020-01-03 00:00:00"))
+    // cutoff after everything: only the max-id row survives
+    val kept = StateOps.retentionKeepLatest(df, "id", "timestamp_of_run",
+      lit("2021-01-01 00:00:00").cast("timestamp")).collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(3L))
+    // cutoff in between: newer rows + the latest survive
+    val kept2 = StateOps.retentionKeepLatest(df, "id", "timestamp_of_run",
+      lit("2020-01-01 12:00:00").cast("timestamp"))
+      .orderBy("id").collect()
+    assert(kept2.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("A1: top-1 follows insertion sequence, not timestamp (IT:194-221)") {
+    // out-of-order timestamps: the highest ID wins even with an older ts
+    val df = runs((1L, "2020-06-01 00:00:00"), (2L, "2020-01-01 00:00:00"))
+    val top = StateOps.top1BySeq(df, "id").collect()
+    assert(top.length == 1 && top(0).getLong(0) == 2L)
+  }
+
+  test("U3: appendWithSeq continues the sequence after the current max") {
+    val state = runs((1L, "2020-01-01 00:00:00"), (2L, "2020-01-02 00:00:00"))
+    val fresh = runs((0L, "2020-01-04 00:00:00"), (0L, "2020-01-03 00:00:00"))
+    val out = StateOps.appendWithSeq(state, fresh, "id", Seq("timestamp_of_run"))
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // appended rows numbered in orderCols order
+    assert(out(2).getTimestamp(1) == Timestamp.valueOf("2020-01-03 00:00:00"))
+  }
+
+  test("L1: limitBatch caps the batch") {
+    val df = Tables.orders(spark, sf0001)
+    assert(StateOps.limitBatch(df, 100).count() == 100)
+  }
+}
