@@ -15,11 +15,15 @@ import org.apache.spark.sql.types.LongType
   */
 object Tables {
 
-  /** Session defaults shared by Verify / Bench / tests. */
+  /** Session defaults shared by Verify / Bench / tests. Also registers the
+    * graft native expressions so library code works on caller-provided
+    * sessions (the `spark.sql.extensions` route via
+    * [[graft.expressions.GraftExtensions]] is equivalent). */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    graft.expressions.GraftExpressions.ensureRegistered(spark)
     spark
   }
 

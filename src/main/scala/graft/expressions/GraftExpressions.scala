@@ -1,0 +1,295 @@
+package graft.expressions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the per-row-heavy training-data
+  * operators (MinHash, SimHash, cosine, hyperplane LSH).
+  *
+  * Spark's higher-order array functions (`transform`/`aggregate`/
+  * `zip_with`) evaluate their lambda per element through the interpreted
+  * expression walker — for a 64-permutation × ~50-shingle MinHash that is
+  * ~3,000 boxed tree-walks per row, which measured ~80× slower than the
+  * tight primitive loops here. Each expression below does one pass over
+  * primitive arrays with zero per-element allocation; that is the plan
+  * shape that survives a 100 TB scan (CPU per row is what dominates a
+  * narrow map at scale).
+  */
+object Hashing {
+
+  /** splitmix64 finalizer — the permutation/mixing primitive. */
+  @inline final def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit FNV-1a over UTF-8 bytes, splitmix-finalized. */
+  final def hashString(s: String): Long = {
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    splitmix64(h)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim),
+    * uniform in [-1, 1). */
+  @inline final def planeComponent(plane: Int, dim: Int): Double =
+    ((splitmix64(plane.toLong * 0x9E3779B97F4A7C15L + dim) >>> 11).toDouble /
+      (1L << 53).toDouble) * 2.0 - 1.0
+
+  final def tokenize(text: String): Array[String] =
+    text.trim.split("\\s+")
+}
+
+/** MinHash signature straight from text: whitespace-tokenize, roll
+  * `shingleLen`-token shingles (one shingle of all tokens when shorter),
+  * hash each shingle by combining token hashes, and keep the minimum of
+  * each of `numHashes` splitmix permutations. Duplicate shingles cannot
+  * change a minimum, so no distinct pass is needed.
+  * (Shingling semantics per reference-era `Dedup.wordShingles`.) */
+case class ShingleMinHashSig(child: Expression, shingleLen: Int, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = Hashing.tokenize(input.asInstanceOf[UTF8String].toString)
+    val tokH = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { tokH(i) = Hashing.hashString(toks(i)); i += 1 }
+    val numShingles = if (toks.length < shingleLen) 1 else toks.length - shingleLen + 1
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    i = 0
+    while (i < numShingles) {
+      var h = 0x9E3779B97F4A7C15L
+      val end = math.min(toks.length, i + shingleLen)
+      var k = i
+      while (k < end) { h = Hashing.splitmix64(h ^ tokH(k)); k += 1 }
+      var p = 0
+      while (p < numHashes) {
+        val v = Hashing.splitmix64(h + p * 0xBF58476D1CE4E5B9L)
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over whitespace tokens: per-token 64-bit hash,
+  * bit-majority vote. One pass, primitive vote counters. */
+case class SimHash(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = Hashing.tokenize(input.asInstanceOf[UTF8String].toString)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = Hashing.hashString(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fraction of positions where two equal-length long arrays agree —
+  * the MinHash signature-agreement Jaccard estimate. */
+case class LongArrayAgree(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(s"$prettyName needs ARRAY<BIGINT>, got $l / $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sig_agree"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity between two numeric arrays (float or double
+  * elements) — dot product and both norms in a single pass. */
+case class CosineSim(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  private def numericArray(t: DataType): Boolean = t match {
+    case ArrayType(_: NumericType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (numericArray(left.dataType) && numericArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs numeric arrays, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_sim"
+
+  private def reader(e: Expression): (ArrayData, Int) => Double =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => (a, i) => a.getFloat(i).toDouble
+      case DoubleType => (a, i) => a.getDouble(i)
+      case LongType   => (a, i) => a.getLong(i).toDouble
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+  @transient private lazy val readL = reader(left)
+  @transient private lazy val readR = reader(right)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = readL(x, i); val yv = readR(y, i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH bucket: bit p = sign of the projection onto a
+  * deterministic pseudo-random plane; `planes` bits packed into a long.
+  * Plane components derive from (plane, dim) — no plane matrix shipped. */
+case class HyperplaneLshBucket(child: Expression, planes: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs a numeric array, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  private def reader: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => (a, i) => a.getFloat(i).toDouble
+      case DoubleType => (a, i) => a.getDouble(i)
+      case LongType   => (a, i) => a.getLong(i).toDouble
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+  @transient private lazy val read = reader
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) { proj += read(v, d) * Hashing.planeComponent(p, d); d += 1 }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Registration: the expressions are exposed as SQL functions so library
+  * code reaches them via `call_function` on ANY session.
+  *
+  * Two routes, same builders:
+  *   - [[GraftExtensions]] for `spark.sql.extensions` /
+  *     `SparkSession.builder.withExtensions` (the idiomatic plug-in path);
+  *   - [[GraftExpressions.ensureRegistered]] for live sessions the caller
+  *     did not construct (the library calls it from `Tables.configure`).
+  */
+object GraftExpressions {
+
+  private def lit(e: Expression): Int =
+    e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(
+        s"expected integer literal, got $other")
+    }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash_sig" -> (es => ShingleMinHashSig(es.head, lit(es(1)), lit(es(2)))),
+    "graft_simhash"     -> (es => SimHash(es.head)),
+    "graft_sig_agree"   -> (es => LongArrayAgree(es.head, es(1))),
+    "graft_cosine_sim"  -> (es => CosineSim(es.head, es(1))),
+    "graft_lsh_bucket"  -> (es => HyperplaneLshBucket(es.head, lit(es(1)))))
+
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id,
+          new ExpressionInfo(GraftExpressions.getClass.getName, name), builder)
+      }
+    }
+  }
+}
+
+/** `spark.sql.extensions`-compatible injector. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExpressions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(GraftExpressions.getClass.getName, name), builder))
+    }
+}

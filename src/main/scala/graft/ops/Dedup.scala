@@ -29,14 +29,11 @@ object Dedup {
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
   }
 
-  /** MinHash signature of a shingle array: `numHashes` permutations
-    * simulated as `xxhash64(shingle, seed)` minima — the standard
-    * one-pass, no-shuffle construction. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(array_distinct(shingles),
-        s => xxhash64(s, lit(seed))))
-    }: _*)
+  /** MinHash signature of a text column — a single native-expression pass
+    * ([[graft.expressions.ShingleMinHashSig]]): tokenize → shingle →
+    * per-permutation minima, with no per-element interpreted lambdas. */
+  def minhashSignature(text: Column, shingleLen: Int, numHashes: Int): Column =
+    call_function("graft_minhash_sig", text, lit(shingleLen), lit(numHashes))
 
   /** MinHash + banded LSH near-duplicate candidate pairs.
     *
@@ -58,11 +55,9 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = df
-      .select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .withColumn("__sig",
-        minhashSignature(wordShingles(col("__text"), shingleLen), numHashes))
-      .select(col("__id"), col("__sig"))
+    val sig = Balance.widen(df)
+      .select(col(idCol).as("__id"),
+        minhashSignature(col(textCol), shingleLen, numHashes).as("__sig"))
 
     val banded = sig.select(
       col("__id"), col("__sig"),
@@ -83,29 +78,16 @@ object Dedup {
     l.join(r, Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(
-          size(filter(zip_with(col("a_sig"), col("b_sig"),
-            (x, y) => x === y), b => b)) * lit(1.0) / lit(numHashes),
-          6).as("est_jaccard"))
+        round(call_function("graft_sig_agree", col("a_sig"), col("b_sig")), 6)
+          .as("est_jaccard"))
       .distinct()
   }
 
   /** 64-bit SimHash over word tokens: per-token xxhash64, bit-majority
     * vote. Hamming-close simhashes ⇒ near-duplicate texts. Implemented as
     * pure array expressions (one pass, no shuffle). */
-  def simhash64(text: Column): Column = {
-    val tokenHashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
-    // For each bit i: +1 vote if set, -1 if clear; bit i of the result is
-    // 1 when the vote is positive.
-    val bits = transform(sequence(lit(0), lit(63)), i =>
-      when(
-        aggregate(tokenHashes, lit(0),
-          (acc, h) => acc + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1)
-            .otherwise(-1)) > 0,
-        lit(1L)).otherwise(lit(0L)))
-    aggregate(zip_with(bits, sequence(lit(0), lit(63)),
-      (b, i) => call_function("shiftleft", b, i)), lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash64(text: Column): Column =
+    call_function("graft_simhash", text)
 
   /** Exact Jaccard similarity between the distinct-word sets of two text
     * columns (the verification step behind MinHash candidates). */

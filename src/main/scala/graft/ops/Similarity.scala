@@ -12,18 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cast an `Array[Float]` column to doubles so all downstream arithmetic
-    * is a deterministic left-to-right double fold. */
-  def toDouble(v: Column): Column = transform(v, _.cast("double"))
-
-  /** Sequential-fold dot product (deterministic summation order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def l2Norm(v: Column): Column = sqrt(dot(v, v))
-
+  /** Cosine similarity — one native-expression pass over float/double
+    * arrays ([[graft.expressions.CosineSim]]); deterministic left-to-right
+    * double accumulation. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    call_function("graft_cosine_sim", a, b)
 
   /** Exact brute-force cosine top-k: for every row of `queries`, the k
     * nearest rows of `corpus` by cosine.
@@ -39,37 +32,24 @@ object Similarity {
       qId: String, qVec: String,
       cId: String, cVec: String,
       k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    val joined = Balance.widen(corpus).crossJoin(broadcast(queries))
       .select(col(qId), col(cId),
-        cosine(toDouble(col(qVec)), toDouble(col(cVec))).as("cos_sim"))
+        cosine(col(qVec), col(cVec)).as("cos_sim"))
     val w = Window.partitionBy(col(qId))
       .orderBy(col("cos_sim").desc, col(cId))
     joined.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for plane `p`,
-    * dimension `d`: xxhash64 of (p, d) mapped to [-1, 1). Reproducible
-    * across executors/runs without shipping a plane matrix. */
-  private def planeComponent(p: Column, d: Column): Column =
-    (xxhash64(p, d) % 1000000L).cast("double") / 1000000.0
-
   /** Random-hyperplane LSH: `planes`-bit signature per vector (bit p =
-    * sign of <v, h_p>), returned as a `bucket` long. Cosine-close vectors
-    * collide with high probability. Narrow map, no shuffle. */
-  def lshBuckets(df: DataFrame, vecCol: String, planes: Int): DataFrame = {
-    val v = toDouble(col(vecCol))
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, d) => x * planeComponent(p, d)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L)).otherwise(lit(0L))
-    })
-    df.withColumn("bucket",
-      aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)),
-        (b, i) => call_function("shiftleft", b, i)), lit(0L), (acc, x) => acc.bitwiseOR(x)))
-  }
+    * sign of <v, h_p>), returned as a `bucket` long
+    * ([[graft.expressions.HyperplaneLshBucket]] — plane components derive
+    * deterministically from (plane, dim), so no plane matrix is shipped
+    * to executors). Cosine-close vectors collide with high probability.
+    * Narrow map, no shuffle. */
+  def lshBuckets(df: DataFrame, vecCol: String, planes: Int): DataFrame =
+    Balance.widen(df).withColumn("bucket",
+      call_function("graft_lsh_bucket", col(vecCol), lit(planes)))
 
   /** LSH-bucketed approximate top-k: exact cosine, but only within
     * matching buckets. Multi-probe via `bands` independent signatures
@@ -87,7 +67,7 @@ object Similarity {
       .select(col(cId), col(cVec), col("bucket"))
     val cand = cb.join(broadcast(qb), Seq("bucket"))
       .select(col(qId), col(cId),
-        cosine(toDouble(col(qVec)), toDouble(col(cVec))).as("cos_sim"))
+        cosine(col(qVec), col(cVec)).as("cos_sim"))
     val w = Window.partitionBy(col(qId))
       .orderBy(col("cos_sim").desc, col(cId))
     cand.withColumn("rank", row_number().over(w).cast("long"))

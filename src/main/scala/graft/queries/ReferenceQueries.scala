@@ -196,7 +196,7 @@ object ReferenceQueries {
 
     // ── SF1: ISO-8601 multi-format timestamp parsing ─────────────────────
     "sf1_ts_parse" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
+      val o = graft.ops.Balance.widen(Tables.orders(s, dir))
       val base = date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")
       val iso = when(col("o_orderkey") % 3 === 0, base)
         .when(col("o_orderkey") % 3 === 1, concat(base, lit("+02:00")))
@@ -233,7 +233,7 @@ object ReferenceQueries {
 
     // ── P1: OAI header projection (XML round-trip) ───────────────────────
     "p1_xml_headers_project" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = graft.ops.Balance.widen(Tables.documents(s, dir))
       val xml = concat(
         lit("<OAI-PMH><ListIdentifiers><header"),
         when(col("doc_id") % 4 === 0, lit(" status=\"deleted\"")).otherwise(lit("")),
@@ -253,7 +253,7 @@ object ReferenceQueries {
 
     // ── P2: envelope scalars with tri-state resumption token ─────────────
     "p2_envelope_tristate" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = graft.ops.Balance.widen(Tables.documents(s, dir))
       val xml = when(col("doc_id") % 3 === 0, lit(
           "<OAI-PMH><responseDate>2014-06-08T11:43:00Z</responseDate><ListIdentifiers/></OAI-PMH>"))
         .when(col("doc_id") % 3 === 1, lit(
@@ -271,7 +271,7 @@ object ReferenceQueries {
 
     // ── P3: OAI error map (exploded to rows) ─────────────────────────────
     "p3_errors_project" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = graft.ops.Balance.widen(Tables.documents(s, dir))
       val xml = when(col("doc_id") % 2 === 0, lit(
           "<OAI-PMH><error code=\"noRecordsMatch\">no records</error></OAI-PMH>"))
         .otherwise(lit(

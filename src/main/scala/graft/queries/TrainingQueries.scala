@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Balance, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (BASELINE.json north-star: dedup,
   * similarity search, multimodal columns, text analysis) as verifiable
@@ -53,7 +53,7 @@ object TrainingQueries {
 
     // ── Near-dup: 64-bit SimHash fingerprints (rows-only check) ──────────
     "dedup_simhash" -> ((s, dir) =>
-      withPlantedNearDups(s, dir)
+      Balance.widen(withPlantedNearDups(s, dir))
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
 

@@ -2,6 +2,7 @@ package graft.xml
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 
 import graft.functions.GraftFunctions._
 
@@ -39,15 +40,23 @@ object XmlProjections {
     val frag = explode(
       call_function("regexp_extract_all", xmlCol,
         lit("<header[\\s\\S]*?</header>|<header[^>]*/>"), lit(0)))
+    // One from_xml parse per fragment (vs 4 xpath parses): the header
+    // struct is materialized in its own projection and field-projected.
+    val headerSchema = StructType(Seq(
+      StructField("identifier", StringType),
+      StructField("datestamp", StringType),
+      StructField("setSpec", ArrayType(StringType)),
+      StructField("_status", StringType)))
     df.select(df.columns.map(col).toSeq :+ frag.as("__frag"): _*)
+      .withColumn("__h", from_xml(col("__frag"), headerSchema))
       .select(
         col("*"),
-        xpStr(col("__frag"), "header/identifier").as("record_identifier"),
-        tsParseIso8601(xpStr(col("__frag"), "header/datestamp")).as("datestamp"),
-        xp(col("__frag"), "header/setSpec/text()").as("set_spec"),
-        ciEquals(xpStr(col("__frag"), "header/@status"), "deleted")
+        col("__h.identifier").as("record_identifier"),
+        tsParseIso8601(col("__h.datestamp")).as("datestamp"),
+        coalesce(col("__h.setSpec"), array()).as("set_spec"),
+        ciEquals(coalesce(col("__h._status"), lit("")), "deleted")
           .as("status_is_deleted"))
-      .drop("__frag")
+      .drop("__frag", "__h")
   }
 
   /** P2 — envelope scalars with the tri-state resumption token
@@ -77,11 +86,23 @@ object XmlProjections {
 
   /** P3 — OAI error elements → `map(code → message)`
     * (reference `OaiHarvester.java:446-471`). */
-  def projectOaiErrors(df: DataFrame, xmlCol: Column): DataFrame =
-    df.withColumn("errors",
-      map_from_arrays(
-        xp(xmlCol, "//error/@code"),
-        xp(xmlCol, "//error/text()")))
+  def projectOaiErrors(df: DataFrame, xmlCol: Column): DataFrame = {
+    // OAI errors are direct children of the envelope root; one from_xml
+    // parse replaces two xpath parses. Absent errors → empty map (the
+    // reference builds an empty map, OaiHarvester.java:448).
+    val errSchema = StructType(Seq(
+      StructField("error", ArrayType(StructType(Seq(
+        StructField("_VALUE", StringType),
+        StructField("_code", StringType)))))))
+    df.withColumn("__e", from_xml(xmlCol, errSchema))
+      .withColumn("errors",
+        coalesce(
+          map_from_arrays(
+            transform(col("__e.error"), e => e.getField("_code")),
+            transform(col("__e.error"), e => e.getField("_VALUE"))),
+          map_from_arrays(array(), array())))
+      .drop("__e")
+  }
 
   /** P4 — the three reporting fields from a METS/MODS document
     * (reference `MetsProcessor.java:67-69,195-251`). Spark's xpath is not
