@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.model.{OaiRunResult, ParsedPage}
+import graft.operators.StateOps
+import graft.streaming.OffsetStateMachine
+import graft.xml.XmlProjections
+
+/** Result of one harvest iteration (one OAI page). */
+case class HarvestRunSummary(
+    succeeded: Boolean,
+    requestUri: String,
+    harvestedHeaders: Long,
+    errors: Map[String, String],
+    checkpoint: Option[OaiRunResult])
+
+/** Pluggable page transport: URI → Left(error) | Right(body). The real
+  * deployment plugs an HTTP client; tests plug fixture maps. Mirrors the
+  * reference's "HTTP ≠200 or empty body ⇒ failed run" contract
+  * (`OaiHarvester.java:253-264`). */
+trait PageFetcher extends (String => Either[String, String]) with Serializable
+
+/** The harvest stage (SURVEY §3.2) re-expressed Spark-first: one
+  * iteration = one micro-batch of `checkpoint → fetch page → project
+  * (P1/P2/P3) → filter (F1) → merge headers (U1) → append checkpoint (U3)
+  * → retention (D2)`.
+  *
+  * ST4 ordering is preserved exactly: the headers state commits BEFORE
+  * the checkpoint row, so a crash in between replays the page into an
+  * idempotent merge. ST3 error policy: transport failures persist
+  * nothing; OAI-level errors advance the checkpoint per the ST2 decision
+  * table (`OffsetStateMachine`).
+  *
+  * @param headerFilter F1 plug-point (reference `OaiHeaderFilter`);
+  *        identity by default, the qucosa regex filter in production.
+  */
+class HarvestPipeline(
+    spark: SparkSession,
+    headersTable: ParquetStateTable,
+    runsTable: ParquetStateTable,
+    oaiBaseUrl: String,
+    metadataPrefix: String = "oai_dc",
+    fc3CompatibilityMode: Boolean = true,
+    historyLengthHours: Long = 48L,
+    headerFilter: DataFrame => DataFrame = identity) extends Serializable {
+
+  import spark.implicits._
+
+  Tables.configure(spark)
+
+  /** Newest checkpoint (A1 top-1-by-sequence over the runs state). */
+  def lastRun(): OaiRunResult =
+    runsTable.read()
+      .map(df => StateOps.top1BySeq(df, "id").as[OaiRunResult].head())
+      .getOrElse(OffsetStateMachine.initial)
+
+  /** One poll iteration. `now` is injected (the reference's
+    * `startTimeOfCurrentRun`) so runs are deterministic and testable. */
+  def runOnce(fetch: PageFetcher, now: Timestamp): HarvestRunSummary = {
+    val last = lastRun()
+    val uri = OaiRequestBuilder.listIdentifiersUri(
+      oaiBaseUrl, last, fc3CompatibilityMode, metadataPrefix)
+
+    fetch(uri) match {
+      case Left(err) =>
+        // Transport failure: nothing persisted, no retention — the next
+        // iteration replays from the unchanged checkpoint (ST3).
+        HarvestRunSummary(succeeded = false, uri, 0L,
+          Map("transport" -> err), None)
+
+      case Right(body) =>
+        val pageDf = Seq(body).toDF("xml")
+        val page = parsePage(pageDf)
+
+        val nHeaders =
+          if (page.errors.isEmpty) {
+            val headers = headerFilter(
+              XmlProjections.projectOaiHeaders(pageDf, col("xml"))
+                .select("record_identifier", "datestamp", "set_spec",
+                  "status_is_deleted"))
+            val merged = StateOps.mergeByKey(
+              headersTable.readOrEmpty(headers), headers,
+              keys = Seq("record_identifier"))
+            // ST4: headers commit BEFORE the checkpoint row.
+            val n = headers.count()
+            headersTable.write(merged)
+            n
+          } else 0L
+
+        val next = OffsetStateMachine.advance(last, page, now, fc3CompatibilityMode)
+        val runs = runsTable.read() match {
+          case Some(df) => df.unionByName(Seq(next).toDF())
+          case None     => Seq(next).toDF()
+        }
+        // D2 retention with keep-latest runs in the same commit; cutoff =
+        // start of current run minus the configured history length.
+        val cutoff = new Timestamp(now.getTime - historyLengthHours * 3600_000L)
+        runsTable.write(StateOps.retentionKeepLatest(
+          runs, seqCol = "id", tsCol = "timestampOfRun", cutoff = lit(cutoff)))
+
+        HarvestRunSummary(succeeded = true, uri, nHeaders, page.errors, Some(next))
+    }
+  }
+
+  /** Drain a full paginated list: iterate while the checkpoint carries a
+    * resumption token (ST1 fast-drain — the reference waits only the
+    * 1-second floor between paginated requests). */
+  def runToCompletion(
+      fetch: PageFetcher,
+      now: Timestamp,
+      maxPages: Int = 1000): Seq[HarvestRunSummary] = {
+    val out = Seq.newBuilder[HarvestRunSummary]
+    var pages = 0
+    var continue = true
+    while (continue && pages < maxPages) {
+      val s = runOnce(fetch, now)
+      out += s
+      pages += 1
+      continue = s.succeeded && s.checkpoint.exists(_.hasResumptionToken)
+    }
+    out.result()
+  }
+
+  /** P2 + P3 over a one-page frame, collected to the driver's
+    * [[ParsedPage]] scalar state. */
+  private def parsePage(pageDf: DataFrame): ParsedPage = {
+    val row = XmlProjections.projectOaiErrors(
+        XmlProjections.projectOaiEnvelope(pageDf, col("xml")), col("xml"))
+      .select("response_date", "token_state", "resumption_token",
+        "token_expiration", "errors")
+      .head()
+    val token = row.getString(1) match {
+      case "absent" => None
+      case _        => Some(row.getString(2))
+    }
+    ParsedPage(
+      responseDate = Option(row.getTimestamp(0)),
+      resumptionToken = token,
+      resumptionTokenExpirationDate = Option(row.getTimestamp(3)),
+      errors = row.getMap[String, String](4).toMap)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet state table: every write lands in a fresh
+  * `v<NNNNNNNN>` directory and readers pick the newest *committed*
+  * version (one with a `_SUCCESS` marker).
+  *
+  * Two reasons this shape instead of `mode("overwrite")` on one path:
+  *  - Spark cannot overwrite a path that feeds the plan being written
+  *    (the state-rewrite ops U1/D1/D2 all read the previous state);
+  *  - a crash mid-write must not corrupt the current state — the old
+  *    version stays committed until the new one is, which is the same
+  *    commit discipline a table format (e.g. Delta) provides via its log.
+  *
+  * Old versions beyond `keepVersions` are pruned after a successful
+  * commit.
+  */
+class ParquetStateTable(
+    spark: SparkSession,
+    path: String,
+    keepVersions: Int = 2) extends Serializable {
+
+  private def root = new Path(path)
+  private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committedVersions(): Seq[(Long, Path)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap { s =>
+        val n = s.getPath.getName.drop(1)
+        if (n.forall(_.isDigit) && fs.exists(new Path(s.getPath, "_SUCCESS")))
+          Some(n.toLong -> s.getPath)
+        else None
+      }
+      .sortBy(_._1)
+
+  def latestVersion: Option[Long] = committedVersions().lastOption.map(_._1)
+
+  /** Newest committed snapshot, if any. */
+  def read(): Option[DataFrame] =
+    committedVersions().lastOption.map { case (_, p) =>
+      spark.read.parquet(p.toString)
+    }
+
+  /** Newest committed snapshot or an empty frame shaped like `like`. */
+  def readOrEmpty(like: DataFrame): DataFrame =
+    read().getOrElse(like.limit(0))
+
+  /** Commit `df` as the next version; prunes old versions afterwards.
+    * Returns the committed version number. */
+  def write(df: DataFrame): Long = {
+    val next = latestVersion.getOrElse(0L) + 1
+    df.write.mode("errorifexists").parquet(f"$path/v$next%08d")
+    val versions = committedVersions()
+    versions.dropRight(keepVersions).foreach { case (_, p) =>
+      fs.delete(p, true)
+    }
+    next
+  }
+}
