@@ -51,6 +51,53 @@ object Similarity {
     Balance.widen(df).withColumn("bucket",
       call_function("graft_lsh_bucket", col(vecCol), lit(planes)))
 
+  /** IVF (inverted-file) approximate top-k — the classic coarse-quantize
+    * scale path: corpus vectors are assigned to their nearest of
+    * `nCentroids` centroid vectors (one inverted list per centroid), and
+    * each query searches only its `nProbe` nearest lists.
+    *
+    * Centroids here are a deterministic corpus sample (lowest ids); a
+    * production index would k-means-refine them, which changes recall but
+    * not the plan shape. That shape is what matters at 100 TB: centroids
+    * broadcast, ONE narrow pass assigns the corpus (no pairwise blowup),
+    * and the candidate join hits only `nProbe/nCentroids` of the corpus
+    * per query.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String,
+      cId: String, cVec: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cent = broadcast(
+      corpus.orderBy(col(cId)).limit(nCentroids)
+        .select(col(cId).as("__cent_id"), col(cVec).as("__cent_vec")))
+
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__csim").desc, col("__cent_id"))
+      df.crossJoin(cent)
+        .withColumn("__csim", cosine(col(vec), col("__cent_vec")))
+        .withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= keep)
+        .drop("__cent_vec", "__csim", "__crank")
+    }
+
+    val lists = assign(Balance.widen(corpus), cId, cVec, keep = 1)
+    val probes = assign(queries, qId, qVec, keep = nProbe)
+      .select(col("__cent_id"), col(qId), col(qVec))
+
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("cos_sim").desc, col(cId))
+    lists.join(broadcast(probes), Seq("__cent_id"))
+      .select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qId), col("rank"), col(cId), col("cos_sim"))
+  }
+
   /** LSH-bucketed approximate top-k: exact cosine, but only within
     * matching buckets. Multi-probe via `bands` independent signatures
     * raises recall; the shuffle key is the uniform bucket hash. */

@@ -297,6 +297,36 @@ object ReferenceQueries {
         .orderBy(col("rec_id"))
     }),
 
+    // ── S2: per-record enrichment fetch (partition-parallel lookup) ──────
+    // The dissemination transport is a deterministic stub (zero-egress
+    // container); the Spark-side plumbing — typed mapPartitions with one
+    // client per partition feeding the P4 projection — is the production
+    // shape (reference MetsProcessor.java:126-147,165-187).
+    "s2_mets_enrichment" -> ((s, dir) => {
+      import s.implicits._
+      val headers = graft.ops.Balance.widen(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          concat(lit("oai:example.org:qucosa:"), col("doc_id").cast("string"))
+            .as("record_identifier"),
+          col("lang"), col("source"))
+      val fetched = headers.as[(Long, String, String, String)]
+        .mapPartitions { it =>
+          // per-partition "client"; one fetch per record
+          it.map { case (docId, rid, lang, source) =>
+            val dist = f"2020-01-${docId % 28 + 1}%02d"
+            (docId, rid,
+              s"""<mets:mets xmlns:mets="http://www.loc.gov/METS/" xmlns:mods="http://www.loc.gov/mods/v3">""" +
+              s"""<mets:metsHdr><mets:agent ROLE="EDITOR"><mets:name>$lang</mets:name></mets:agent></mets:metsHdr>""" +
+              s"""<mets:dmdSec><mods:mods><mods:originInfo eventType="distribution"><mods:dateIssued>$dist</mods:dateIssued></mods:originInfo></mods:mods></mets:dmdSec>""" +
+              s"""<mets:structMap TYPE="LOGICAL"><mets:div TYPE="$source"/></mets:structMap></mets:mets>""")
+          }
+        }.toDF("doc_id", "record_identifier", "mets_xml")
+      XmlProjections.projectMets(fetched, col("mets_xml"))
+        .select(col("doc_id"), col("record_identifier"), col("mandator"),
+          col("document_type"), col("distribution_date"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── ST2: checkpoint-advance decision table (all branches) ────────────
     "st2_offset_advance" -> ((s, dir) => {
       import s.implicits._
@@ -523,6 +553,13 @@ object ReferenceQueries {
         | (4, NULL, 'issue', TIMESTAMP '2011-03-31 00:00:00'))
         | AS t(rec_id, mandator, document_type, distribution_date)
         |ORDER BY rec_id""".stripMargin,
+
+    "s2_mets_enrichment" ->
+      """SELECT doc_id,
+        | 'oai:example.org:qucosa:' || CAST(doc_id AS VARCHAR) AS record_identifier,
+        | lang AS mandator, source AS document_type,
+        | TIMESTAMP '2020-01-01 00:00:00' + (doc_id % 28) * INTERVAL 1 DAY AS distribution_date
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "st2_offset_advance" ->
       """SELECT CAST(case_id AS BIGINT) AS case_id, next_from FROM (VALUES

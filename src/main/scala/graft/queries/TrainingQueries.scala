@@ -83,6 +83,19 @@ object TrainingQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ── Similarity: IVF coarse-quantized ANN (rows-only; recall in tests) ─
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.ivfTopK(q, c, "q_id", "q_vec", "c_id", "c_vec",
+          k = 3, nCentroids = 16, nProbe = 4)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ── Embedding near-dups via LSH buckets (rows-only) ──────────────────
     "embed_near_dups" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)

@@ -87,6 +87,22 @@ class OpsSpec extends SparkSpec {
     assert(approx.intersect(exact).size == exact.size)
   }
 
+  test("similarity: IVF top-k self-match recall is exact") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val top1 = Similarity.ivfTopK(q, c, "q_id", "q_vec", "c_id", "c_vec",
+        k = 1, nCentroids = 16, nProbe = 4).collect()
+    // A query identical to a corpus vector lands in the same inverted
+    // list (same similarities, same tie-break), so top-1 must be itself.
+    assert(top1.length == 20)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("q_id") == r.getAs[Long]("c_id"))
+      assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-9)
+    }
+  }
+
   test("text: langid marker scores prefer english for english-marker text") {
     val s = spark
     import s.implicits._

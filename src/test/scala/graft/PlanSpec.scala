@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan assertions for the headline queries — the scale
+  * contract, held as tests: filters reach the parquet scan, projections
+  * prune the read schema, small sides broadcast, top-k avoids global
+  * sorts, and aggregates combine map-side. A regression here is a 100 TB
+  * performance bug even when results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter pushed to scan, columns pruned, map-side combine") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // 6 of 11 lineitem columns read; the partkey/suppkey/tax trio must not be
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey") && !p.contains("l_tax"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q3: dimension joins broadcast; LIMIT 10 via TakeOrderedAndProject") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"))
+  }
+
+  test("q5: every dimension join broadcasts (no shuffle join in the chain)") {
+    val p = plan("q5_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 4)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("d1: full-tuple conditional delete plans as a broadcast anti-join") {
+    val p = plan("d1_delete_if_unmodified")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("a1: top-1-by-sequence avoids a global sort (per-partition top-1 + driver merge)") {
+    val p = plan("a1_top1_by_seq")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("rangepartitioning"))
+  }
+
+  test("f3: predicate on the flag column reaches the scan") {
+    val p = plan("f3_filter_flag")
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+    assert(!p.contains("l_extendedprice")) // pruned
+  }
+}
