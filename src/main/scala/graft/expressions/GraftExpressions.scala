@@ -61,7 +61,7 @@ object Hashing {
   * hash each shingle by combining token hashes, and keep the minimum of
   * each of `numHashes` splitmix permutations. Duplicate shingles cannot
   * change a minimum, so no distinct pass is needed.
-  * (Shingling semantics per reference-era `Dedup.wordShingles`.) */
+  */
 case class ShingleMinHashSig(child: Expression, shingleLen: Int, numHashes: Int)
   extends UnaryExpression with CodegenFallback {
 

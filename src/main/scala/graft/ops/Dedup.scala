@@ -20,15 +20,6 @@ object Dedup {
       .groupBy("text_md5")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word shingles (n-grams) as an array column: consecutive n-token
-    * windows over the whitespace tokenization. Pure codegen'd array ops. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    when(size(toks) < n, array(array_join(toks, " "))).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-  }
-
   /** MinHash signature of a text column — a single native-expression pass
     * ([[graft.expressions.ShingleMinHashSig]]): tokenize → shingle →
     * per-permutation minima, with no per-element interpreted lambdas. */

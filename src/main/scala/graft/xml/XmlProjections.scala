@@ -15,8 +15,6 @@ import graft.functions.GraftFunctions._
   */
 object XmlProjections {
 
-  private def xp(xml: Column, path: String): Column =
-    call_function("xpath", xml, lit(path))
   private def xpStr(xml: Column, path: String): Column =
     call_function("xpath_string", xml, lit(path))
   private def xpCount(xml: Column, path: String): Column =
