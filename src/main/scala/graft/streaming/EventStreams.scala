@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators — the Structured Streaming face of the engine
+  * (`readStream → transform → writeStream`). Batch twins of both
+  * transforms live in the query inventory (`events_windowed_agg`,
+  * `events_sessionize`), so the same semantics are oracle-checked in
+  * batch and exercised as true streams in `EventStreamsSpec`.
+  */
+/** One event (matches the `events` testdata schema minus `props`).
+  * Top-level: codegen'd encoders resolve object-nested classes badly. */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** One closed (or in-flight) session per user. */
+case class Session(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, value_sum: Double,
+    closed: Boolean)
+
+private[streaming] case class SessionState(
+    start: Long, end: Long, n: Long, total: Double)
+
+object EventStreams {
+
+  /** Tumbling-window aggregation with a watermark: counts + value sums
+    * per (window, event_type). Late events beyond `watermark` are
+    * dropped; state for closed windows is evicted — the property that
+    * keeps an unbounded 100 TB/day stream's state bounded. */
+  def windowedAgg(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
+  /** Gap-based sessionization as custom keyed state
+    * (`flatMapGroupsWithState` + event-time timeout): a session closes
+    * when no event arrives within `gap` of its last event (watermark
+    * advancing past end+gap fires the timeout). Emits closed sessions —
+    * the streaming twin of the batch `events_sessionize` window query. */
+  def sessionize(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapSeconds: Long = 1800L,
+      watermark: String = "30 minutes"): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed end+gap: the open session is closed.
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.total, closed = true))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closedSessions = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closedSessions ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n, s.total, closed = true)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closedSessions.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.{Event, Session}
+
+/** True-streaming tests (MemoryStream micro-batches): watermarked window
+  * aggregation and stateful gap sessionization. */
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long = 1L, typ: String = "click",
+      v: Double = 1.0) = Event(id, ts(t), user, typ, v)
+
+  test("streaming: watermarked tumbling-window agg emits closed windows and drops late data") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+
+    val q = EventStreams.windowedAgg(in.toDF(), window = "1 hour",
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events in the 10:00 window
+      in.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00", v = 2.0))
+      q.processAllAvailable()
+      // batch 2: event far ahead — watermark advances to 11:30, closing 10:00
+      in.addData(ev(3, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      // batch 3: a LATE event for the already-closed 10:00 window — dropped
+      in.addData(ev(4, "2024-01-01 10:40:00"))
+      q.processAllAvailable()
+
+      val rows = s.sql("SELECT * FROM win_agg ORDER BY window_start").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Timestamp]("window_start") == ts("2024-01-01 10:00:00"))
+      assert(rows(0).getAs[Long]("n_events") == 2L)   // late event NOT counted
+      assert(rows(0).getAs[Double]("value_sum") == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming: flatMapGroupsWithState sessionization closes sessions on gap timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+
+    val q = EventStreams.sessionize(s, in.toDS(), gapSeconds = 1800L,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10 min apart (one session); user 2: one event
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", user = 1),
+        ev(2, "2024-01-01 10:10:00", user = 1, v = 2.0),
+        ev(3, "2024-01-01 10:15:00", user = 2, v = 5.0))
+      q.processAllAvailable()
+      // advance event time far beyond both sessions' end+gap → timeouts fire
+      in.addData(ev(9, "2024-01-01 13:00:00", user = 99))
+      q.processAllAvailable()
+      in.addData(ev(10, "2024-01-01 15:00:00", user = 99))
+      q.processAllAvailable()
+
+      val rows = s.sql(
+        "SELECT * FROM sessions WHERE user_id IN (1, 2) ORDER BY user_id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("user_id") == 1L)
+      assert(rows(0).getAs[Timestamp]("session_start") == ts("2024-01-01 10:00:00"))
+      assert(rows(0).getAs[Timestamp]("session_end") == ts("2024-01-01 10:10:00"))
+      assert(rows(0).getAs[Long]("n_events") == 2L)
+      assert(rows(0).getAs[Double]("value_sum") == 3.0)
+      assert(rows(1).getAs[Long]("user_id") == 2L)
+      assert(rows(1).getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming: a new event within the gap extends the open session") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(s, in.toDS(), gapSeconds = 1800L,
+        watermark = "1 minutes")
+      .writeStream.format("memory").queryName("sessions2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00", user = 7))
+      q.processAllAvailable()
+      in.addData(ev(2, "2024-01-01 10:25:00", user = 7)) // within gap → extends
+      q.processAllAvailable()
+      in.addData(ev(3, "2024-01-01 23:00:00", user = 99)) // fires timeout
+      q.processAllAvailable()
+      in.addData(ev(4, "2024-01-02 23:00:00", user = 99))
+      q.processAllAvailable()
+
+      val rows = s.sql("SELECT * FROM sessions2 WHERE user_id = 7").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Timestamp]("session_end") == ts("2024-01-01 10:25:00"))
+      assert(rows(0).getAs[Long]("n_events") == 2L)
+    } finally q.stop()
+  }
+}
