@@ -19,12 +19,16 @@ object Scale {
       df: DataFrame,
       table: String,
       keys: Seq[String],
-      numBuckets: Int): Unit =
-    df.write
+      numBuckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
-      .saveAsTable(table)
+    // explicit path → external table; avoids LOCATION_ALREADY_EXISTS when
+    // a fresh (in-memory) catalog meets a leftover managed-table dir
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Salted join against a skewed fact side: the dimension is replicated
     * `saltFactor` times (one copy per salt value) and the fact side gets

@@ -9,11 +9,14 @@ import graft.operators.Scale
 class ScaleSpec extends SparkSpec {
 
   test("bucketing: equal-bucketed tables join with no shuffle exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket").toString
     val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey", "o_orderdate")
     val l = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
-    Scale.writeBucketed(o, "b_orders", Seq("o_orderkey"), numBuckets = 8)
+    Scale.writeBucketed(o, "b_orders", Seq("o_orderkey"), numBuckets = 8,
+      path = Some(s"$tmp/b_orders"))
     Scale.writeBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"),
-      "b_lineitem", Seq("o_orderkey"), numBuckets = 8)
+      "b_lineitem", Seq("o_orderkey"), numBuckets = 8,
+      path = Some(s"$tmp/b_lineitem"))
 
     val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
     // disable broadcast so the join planner actually considers an exchange
