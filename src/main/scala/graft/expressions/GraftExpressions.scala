@@ -266,12 +266,21 @@ object GraftExpressions {
         s"expected integer literal, got $other")
     }
 
+  private def lits(e: Expression): Seq[String] =
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(StringType).map(_.toString).toSeq
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_sig" -> (es => ShingleMinHashSig(es.head, lit(es(1)), lit(es(2)))),
     "graft_simhash"     -> (es => SimHash(es.head)),
     "graft_sig_agree"   -> (es => LongArrayAgree(es.head, es(1))),
     "graft_cosine_sim"  -> (es => CosineSim(es.head, es(1))),
-    "graft_lsh_bucket"  -> (es => HyperplaneLshBucket(es.head, lit(es(1)))))
+    "graft_lsh_bucket"  -> (es => HyperplaneLshBucket(es.head, lit(es(1)))),
+    "graft_xpath_struct" -> (es => {
+      val names = lits(es(1)); val paths = lits(es(2))
+      val prefixes = lits(es(3)); val uris = lits(es(4))
+      XPathStructNs(es.head, names.zip(paths), prefixes.zip(uris).toMap)
+    }))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry

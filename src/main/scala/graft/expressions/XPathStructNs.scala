@@ -1,0 +1,98 @@
+package graft.expressions
+
+import java.io.ByteArrayInputStream
+
+import javax.xml.XMLConstants
+import javax.xml.namespace.NamespaceContext
+import javax.xml.parsers.DocumentBuilderFactory
+import javax.xml.xpath.{XPathConstants, XPathExpression, XPathFactory}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.w3c.dom.Node
+
+/** Namespace-aware multi-field XPath projection: ONE secure DOM parse
+  * per document, N compiled XPath evaluations → a struct of strings
+  * (null per field when the path matches nothing).
+  *
+  * Closes both gaps of Spark's built-in `xpath_*` family (SURVEY §7.4):
+  *  - built-ins are namespace-UNaware (local-name matching only), while
+  *    the reference resolves real METS/MODS namespace URIs
+  *    (`MetsProcessor.java:81-85,305-326`);
+  *  - N built-in calls parse the XML string N times; this parses once.
+  *
+  * XXE-hardened: external entities and DTDs disabled. Parser and
+  * compiled XPath machinery are per-thread (neither is thread-safe) and
+  * rebuilt after serialization to executors.
+  */
+case class XPathStructNs(
+    child: Expression,
+    fields: Seq[(String, String)],
+    namespaces: Map[String, String])
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs STRING, got ${child.dataType}")
+
+  override def dataType: DataType =
+    StructType(fields.map { case (name, _) => StructField(name, StringType) })
+
+  override def prettyName: String = "graft_xpath_struct"
+
+  @transient private lazy val machinery =
+    ThreadLocal.withInitial[(javax.xml.parsers.DocumentBuilder, Array[XPathExpression])] { () =>
+      val dbf = DocumentBuilderFactory.newInstance()
+      dbf.setNamespaceAware(true)
+      dbf.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      dbf.setExpandEntityReferences(false)
+      val xpf = XPathFactory.newInstance()
+      val ctx = new NamespaceContext {
+        override def getNamespaceURI(prefix: String): String =
+          namespaces.getOrElse(prefix, XMLConstants.NULL_NS_URI)
+        override def getPrefix(uri: String): String =
+          namespaces.collectFirst { case (p, u) if u == uri => p }.orNull
+        override def getPrefixes(uri: String): java.util.Iterator[String] =
+          java.util.Collections.emptyIterator()
+      }
+      val compiled = fields.map { case (_, path) =>
+        val xp = xpf.newXPath()
+        xp.setNamespaceContext(ctx)
+        xp.compile(path)
+      }.toArray
+      (dbf.newDocumentBuilder(), compiled)
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val (builder, compiled) = machinery.get()
+    val doc =
+      try {
+        builder.reset()
+        builder.parse(new ByteArrayInputStream(
+          input.asInstanceOf[UTF8String].getBytes))
+      } catch { case _: Exception => null }
+    if (doc == null) {
+      InternalRow.fromSeq(Seq.fill(fields.size)(null))
+    } else {
+      InternalRow.fromSeq(compiled.toSeq.map { xp =>
+        val node = xp.evaluate(doc, XPathConstants.NODE).asInstanceOf[Node]
+        if (node == null) null
+        else {
+          val text =
+            if (node.getNodeType == Node.ATTRIBUTE_NODE) node.getNodeValue
+            else node.getTextContent
+          if (text == null) null else UTF8String.fromString(text)
+        }
+      })
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

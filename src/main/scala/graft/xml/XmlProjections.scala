@@ -102,23 +102,33 @@ object XmlProjections {
       .drop("__e")
   }
 
-  /** P4 — the three reporting fields from a METS/MODS document
-    * (reference `MetsProcessor.java:67-69,195-251`). Spark's xpath is not
-    * namespace-aware, so the prefixed METS paths become `local-name()`
-    * predicates; attribute predicates (`@ROLE`, `@TYPE`, `@eventType`)
-    * keep their reference semantics exactly.
+  /** P4 — the three reporting fields from a METS/MODS document, with the
+    * reference's EXACT namespace-resolved XPaths
+    * (`MetsProcessor.java:67-69,81-85`) via the custom namespace-aware
+    * projection expression [[graft.expressions.XPathStructNs]] — one DOM
+    * parse per document, all three fields evaluated on it (Spark's
+    * built-in `xpath_*` is namespace-unaware and re-parses per call).
     *
     * `distribution_date` uses the SF1 multi-format parser (no-colon zone
     * offsets and date-only values appear in real METS,
     * reference `MetsProcessorTest.java:178,262-306`).
     */
-  def projectMets(df: DataFrame, xmlCol: Column): DataFrame =
-    df.withColumn("mandator", blankToNull(xpStr(xmlCol,
-        "//*[local-name()='metsHdr']/*[local-name()='agent'][@ROLE='EDITOR']/*[local-name()='name']")))
-      .withColumn("document_type", blankToNull(xpStr(xmlCol,
-        "//*[local-name()='structMap'][@TYPE='LOGICAL']/*[local-name()='div']/@TYPE")))
-      .withColumn("distribution_date", tsParseIso8601(xpStr(xmlCol,
-        "//*[local-name()='originInfo'][@eventType='distribution']/*[local-name()='dateIssued']")))
+  def projectMets(df: DataFrame, xmlCol: Column): DataFrame = {
+    val struct = call_function("graft_xpath_struct", xmlCol,
+      array(lit("mandator"), lit("document_type"), lit("distribution_date")),
+      array(
+        lit("//mets:metsHdr/mets:agent[@ROLE='EDITOR']/mets:name"),
+        lit("//mets:structMap[@TYPE='LOGICAL']/mets:div/@TYPE"),
+        lit("//mods:originInfo[@eventType='distribution']/mods:dateIssued")),
+      array(lit("mets"), lit("mods")),
+      array(lit("http://www.loc.gov/METS/"), lit("http://www.loc.gov/mods/v3")))
+    df.withColumn("__mets", struct)
+      .withColumn("mandator", blankToNull(col("__mets.mandator")))
+      .withColumn("document_type", blankToNull(col("__mets.document_type")))
+      .withColumn("distribution_date",
+        tsParseIso8601(col("__mets.distribution_date")))
+      .drop("__mets")
+  }
 
   /** F2 — required-field validation: rows with any blank/null reporting
     * field are dropped (the reference rejects them at construction,

@@ -98,6 +98,22 @@ class XmlProjectionsSpec extends SparkSpec {
     assert(rows(3).getTimestamp(3) == ts("2016-10-10 09:27:33"))
   }
 
+  test("P4: namespace fidelity — identical local names in a foreign namespace do NOT match") {
+    // Same element structure, wrong namespace URI: a local-name() match
+    // would wrongly project these; the namespace-aware expression must not
+    // (reference resolves real METS/MODS URIs, MetsProcessor.java:305-326).
+    val foreign =
+      """<m:mets xmlns:m="http://evil.example/NotMETS" xmlns:mods="http://evil.example/NotMODS">
+        |<m:metsHdr><m:agent ROLE="EDITOR"><m:name>slub</m:name></m:agent></m:metsHdr>
+        |<m:dmdSec><mods:mods><mods:originInfo eventType="distribution"><mods:dateIssued>2016-05-24</mods:dateIssued></mods:originInfo></mods:mods></m:dmdSec>
+        |<m:structMap TYPE="LOGICAL"><m:div TYPE="article"/></m:structMap>
+        |</m:mets>""".stripMargin
+    val row = XmlProjections.projectMets(xmlDf(foreign), col("xml")).head
+    assert(row.getAs[String]("mandator") == null)
+    assert(row.getAs[String]("document_type") == null)
+    assert(row.getAs[java.sql.Timestamp]("distribution_date") == null)
+  }
+
   test("F2: incomplete METS (no agent) is dropped by validation") {
     val projected = XmlProjections.projectMets(
       xmlDf(fixture("/mets/qucosa31789-mets.xml")), col("xml"))
