@@ -1,0 +1,229 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1 as a DataSource V2 connector: `spark.read.format("oai-pages")` /
+  * `spark.readStream.format("oai-pages")` yields one row per OAI
+  * `ListIdentifiers` page — `(page_index, request_uri, xml)` — following
+  * the resumption-token chain exactly like the reference's harvest loop
+  * (`OaiHarvester.java:239-269,304-318`).
+  *
+  * Page fetching is inherently sequential (each request URI depends on
+  * the previous page's token), so the DRIVER walks the chain at planning
+  * time and ships page bodies to executors as input partitions; all
+  * downstream work (P1 projection, filtering, merging) is distributed.
+  * In streaming mode each trigger advances the chain by up to
+  * `maxPagesPerTrigger` pages; the offset is the count of pages consumed
+  * (Structured Streaming replays uncommitted batches from the cache —
+  * the engine-side half of ST4's at-least-once contract).
+  *
+  * Options:
+  *   - `url` (required): OAI endpoint base URL
+  *   - `metadataPrefix` (default `oai_dc`), `from` (optional),
+  *     `fc3` (default true) — request building per `OaiRequestBuilder`
+  *   - `maxPages` (batch, default 100), `maxPagesPerTrigger` (streaming,
+  *     default 10)
+  *   - `fetcher`: name of a transport registered via
+  *     [[OaiPageSource.registerFetcher]] (tests, custom HTTP stacks);
+  *     defaults to `java.net.URL.openStream` (http/https/file)
+  */
+class OaiPageSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "oai-pages"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OaiPageSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new OaiPageTable(new CaseInsensitiveStringMap(properties))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object OaiPageSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("page_index", LongType, nullable = false),
+    StructField("request_uri", StringType, nullable = false),
+    StructField("xml", StringType, nullable = false)))
+
+  /** URI → page body; None = transport failure (run skipped, reference
+    * `OaiHarvester.java:253-264`). */
+  type Fetch = String => Option[String]
+
+  private val fetchers = new ConcurrentHashMap[String, Fetch]()
+
+  /** Register a named transport (in-JVM; for tests and custom clients). */
+  def registerFetcher(name: String, fetch: Fetch): Unit =
+    fetchers.put(name, fetch)
+
+  private[sources] def resolveFetcher(options: CaseInsensitiveStringMap): Fetch =
+    Option(options.get("fetcher")) match {
+      case Some(name) =>
+        Option(fetchers.get(name)).getOrElse(
+          throw new IllegalArgumentException(s"no fetcher registered as '$name'"))
+      case None => uri =>
+        try {
+          val in = new java.net.URI(uri).toURL.openStream()
+          try Some(new String(in.readAllBytes(), "UTF-8"))
+          finally in.close()
+        } catch { case _: Exception => None }
+    }
+
+  /** Walk the resumption-token chain from `state`, fetching up to `max`
+    * pages. Returns fetched (uri, xml) pages plus the next chain state
+    * (None = chain exhausted). Driver-side by necessity: request N+1
+    * depends on page N's token. */
+  private[sources] def fetchChain(
+      options: CaseInsensitiveStringMap,
+      state: Option[ChainState],
+      max: Int): (Seq[(String, String)], Option[ChainState]) = {
+    val fetch = resolveFetcher(options)
+    val base = Option(options.get("url")).getOrElse(
+      throw new IllegalArgumentException("oai-pages requires option 'url'"))
+    val prefix = options.getOrDefault("metadataPrefix", "oai_dc")
+    val from = Option(options.get("from"))
+
+    var cur = state.getOrElse(ChainState(firstRequest = true, token = None))
+    val out = Seq.newBuilder[(String, String)]
+    var n = 0
+    var done = false
+    while (n < max && !done) {
+      if (!cur.firstRequest && cur.token.isEmpty) { done = true }
+      else {
+        val uri = cur.token match {
+          case Some(t) => s"$base${if (base.contains("?")) "&" else "?"}verb=ListIdentifiers&resumptionToken=" +
+            java.net.URLEncoder.encode(t, "UTF-8")
+          case None =>
+            val b = new StringBuilder(base)
+            b.append(if (base.contains("?")) "&" else "?")
+            b.append("verb=ListIdentifiers&metadataPrefix=")
+            b.append(java.net.URLEncoder.encode(prefix, "UTF-8"))
+            from.foreach(f => b.append("&from=").append(java.net.URLEncoder.encode(f, "UTF-8")))
+            b.result()
+        }
+        fetch(uri) match {
+          case None => done = true // transport failure: stop the chain here
+          case Some(xml) =>
+            out += ((uri, xml))
+            n += 1
+            cur = ChainState(firstRequest = false, token = extractToken(xml))
+        }
+      }
+    }
+    (out.result(), if (cur.firstRequest || cur.token.nonEmpty) Some(cur) else None)
+  }
+
+  /** Resumption token of a page (trimmed); None when absent or empty —
+    * either way the chain ends (P2's tri-state matters for checkpoint
+    * semantics, not for pagination). */
+  private[sources] def extractToken(xml: String): Option[String] = {
+    val m = "<resumptionToken[^>]*>([\\s\\S]*?)</resumptionToken>".r
+      .findFirstMatchIn(xml)
+    m.map(_.group(1).trim).filter(_.nonEmpty)
+  }
+}
+
+private[sources] case class ChainState(firstRequest: Boolean, token: Option[String])
+
+private[sources] class OaiPageTable(options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+  override def name(): String = s"oai-pages(${options.get("url")})"
+  override def schema(): StructType = OaiPageSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new OaiPageScan(opts)
+}
+
+private[sources] class OaiPageScan(options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = OaiPageSource.Schema
+  override def toBatch: Batch = new OaiPageBatch(options)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new OaiPageMicroBatchStream(options)
+}
+
+private[sources] case class PagePartition(startIndex: Long, uri: String, xml: String)
+  extends InputPartition
+
+private[sources] object PageReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[PagePartition]
+    new PartitionReader[InternalRow] {
+      private var consumed = false
+      override def next(): Boolean = if (consumed) false else { consumed = true; true }
+      override def get(): InternalRow = InternalRow(
+        part.startIndex,
+        UTF8String.fromString(part.uri),
+        UTF8String.fromString(part.xml))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[sources] class OaiPageBatch(options: CaseInsensitiveStringMap) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val max = options.getInt("maxPages", 100)
+    val (pages, _) = OaiPageSource.fetchChain(options, None, max)
+    pages.zipWithIndex.map { case ((uri, xml), i) =>
+      PagePartition(i.toLong, uri, xml): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = PageReaderFactory
+}
+
+private[sources] case class PageOffset(pagesConsumed: Long) extends Offset {
+  override def json(): String = s"""{"pagesConsumed":$pagesConsumed}"""
+}
+
+/** Streaming chain walker: each `latestOffset` call advances the chain by
+  * up to `maxPagesPerTrigger` pages and caches them until committed. */
+private[sources] class OaiPageMicroBatchStream(options: CaseInsensitiveStringMap)
+  extends MicroBatchStream {
+
+  private val maxPerTrigger = options.getInt("maxPagesPerTrigger", 10)
+  private var consumed = 0L
+  private var chain: Option[ChainState] = Some(ChainState(firstRequest = true, None))
+  private val cache = scala.collection.mutable.Map[Long, (String, String)]()
+
+  override def initialOffset(): Offset = PageOffset(0L)
+
+  override def latestOffset(): Offset = synchronized {
+    if (chain.nonEmpty) {
+      val (pages, next) = OaiPageSource.fetchChain(options, chain, maxPerTrigger)
+      pages.foreach { p => cache(consumed) = p; consumed += 1 }
+      chain = next
+    }
+    PageOffset(consumed)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    PageOffset("\"pagesConsumed\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(0L))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = synchronized {
+    val s = start.asInstanceOf[PageOffset].pagesConsumed
+    val e = end.asInstanceOf[PageOffset].pagesConsumed
+    (s until e).flatMap { i =>
+      cache.get(i).map { case (uri, xml) => PagePartition(i, uri, xml): InputPartition }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = PageReaderFactory
+
+  override def commit(end: Offset): Unit = synchronized {
+    val e = end.asInstanceOf[PageOffset].pagesConsumed
+    cache.keys.filter(_ < e).toSeq.foreach(cache.remove)
+  }
+
+  override def stop(): Unit = ()
+}
