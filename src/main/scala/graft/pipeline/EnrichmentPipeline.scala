@@ -72,6 +72,22 @@ class EnrichmentPipeline(
       case Some(queue) => drain(queue, fetch)
     }
 
+  /** Drain the whole backlog: iterate batches while the queue yields
+    * rows (the reference's `moreOAIHeadersToProcess` fast-drain,
+    * `MetsProcessor.java:108-116,260-268`). */
+  def runToCompletion(fetch: DocumentFetcher, maxBatches: Int = 1000): Seq[EnrichmentSummary] = {
+    val out = Seq.newBuilder[EnrichmentSummary]
+    var batches = 0
+    var continue = true
+    while (continue && batches < maxBatches) {
+      val s = runOnce(fetch)
+      out += s
+      batches += 1
+      continue = s.processed > 0
+    }
+    out.result()
+  }
+
   private def drain(queue: DataFrame, fetch: DocumentFetcher): EnrichmentSummary = {
 
     // L1 — bounded drain. The reference takes an arbitrary 100; we order

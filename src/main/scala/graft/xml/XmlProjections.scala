@@ -6,19 +6,15 @@ import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructTyp
 
 import graft.functions.GraftFunctions._
 
-/** P1–P4 — semi-structured → structured XML projections (SURVEY.md §2.2),
-  * built entirely on Spark's codegen'd `xpath_*` SQL functions over a
-  * string payload column. Spark's xpath evaluator is namespace-unaware
-  * (it matches local element names), which the OAI envelope's default
-  * namespace rides on for free; METS/MODS prefixed elements use
-  * `local-name()` predicates (SURVEY §7.4).
+/** P1–P4 — semi-structured → structured XML projections (SURVEY.md §2.2)
+  * over a string payload column, each parsing every document exactly
+  * once: `from_xml` with a struct schema for the repeated-element shapes
+  * (P1 headers, P3 errors) and the namespace-aware multi-path expression
+  * [[graft.expressions.XPathStructNs]] for the scalar projections
+  * (P2 envelope incl. the tri-state token, P4 METS fields with real
+  * namespace URIs).
   */
 object XmlProjections {
-
-  private def xpStr(xml: Column, path: String): Column =
-    call_function("xpath_string", xml, lit(path))
-  private def xpCount(xml: Column, path: String): Column =
-    call_function("xpath_int", xml, lit(s"count($path)"))
 
   /** P1 — `//header` rows from an OAI-PMH `ListIdentifiers` envelope
     * (reference `OaiHarvester.java:528-564`).
@@ -64,22 +60,34 @@ object XmlProjections {
     *   - token node empty         → `token_state='empty'`,   token ''
     *   - token node has a value   → `token_state='value'`,   token trimmed
     *
-    * Spark's `xpath_string` collapses "absent" and "empty" to `''`, so
-    * presence is guarded with `count(//resumptionToken)` (SURVEY §7.4).
+    * One [[graft.expressions.XPathStructNs]] parse: the expression
+    * returns null for an unmatched path and "" for a matched-but-empty
+    * element, which IS the tri-state — no `count()` presence guard, no
+    * re-parse per field (Spark's `xpath_string` collapses absent and
+    * empty to `''`, SURVEY §7.4). `local-name()` paths match both the
+    * default-namespaced real OAI envelope and namespace-free test
+    * documents, mirroring the reference's namespace-unaware parse.
     */
   def projectOaiEnvelope(df: DataFrame, xmlCol: Column): DataFrame = {
-    val present = xpCount(xmlCol, "//resumptionToken") > 0
-    val rawTok  = trimAll(xpStr(xmlCol, "//resumptionToken"))
-    df.withColumn("response_date",
-        tsParseIso8601(xpStr(xmlCol, "//responseDate")))
-      .withColumn("resumption_token", when(present, rawTok))
+    val struct = call_function("graft_xpath_struct", xmlCol,
+      array(lit("response_date"), lit("resumption_token"), lit("token_expiration")),
+      array(
+        lit("//*[local-name()='responseDate']"),
+        lit("//*[local-name()='resumptionToken']"),
+        lit("//*[local-name()='resumptionToken']/@expirationDate")),
+      array(), array())
+    val rawTok = col("__env.resumption_token")
+    df.withColumn("__env", struct)
+      .withColumn("response_date", tsParseIso8601(col("__env.response_date")))
+      .withColumn("resumption_token",
+        when(rawTok.isNotNull, trimAll(rawTok)))
       .withColumn("token_state",
-        when(!present, lit("absent"))
-          .when(rawTok === "", lit("empty"))
+        when(rawTok.isNull, lit("absent"))
+          .when(trimAll(rawTok) === "", lit("empty"))
           .otherwise(lit("value")))
       .withColumn("token_expiration",
-        tsParseIso8601(when(present,
-          xpStr(xmlCol, "//resumptionToken/@expirationDate"))))
+        tsParseIso8601(col("__env.token_expiration")))
+      .drop("__env")
   }
 
   /** P3 — OAI error elements → `map(code → message)`

@@ -65,6 +65,41 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("SF1: format→parse round-trips across the whole timestamp-format union (property)") {
+    // Random post-epoch instants, rendered in each of the reference's
+    // formats; parsing must recover the UTC instant exactly.
+    val seconds = (0 until 150).flatMap(i =>
+      Gen.chooseNum(0L, 4102444800L).apply(Gen.Parameters.default, Seed(i.toLong)))
+    val sp = spark
+    import sp.implicits._
+    val rendered = seconds.zipWithIndex.map { case (sec, i) =>
+      val utc = java.time.Instant.ofEpochSecond(sec)
+      val local = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC).format(utc)
+      i % 5 match {
+        case 0 => (local + "Z", sec)                 // zulu
+        case 1 => // colon offset, shifted so the instant is preserved
+          val plus2 = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+            .withZone(java.time.ZoneOffset.ofHours(2)).format(utc)
+          (plus2 + "+02:00", sec)
+        case 2 => // Joda-style no-colon offset
+          val plus2 = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+            .withZone(java.time.ZoneOffset.ofHours(2)).format(utc)
+          (plus2 + "+0200", sec)
+        case 3 => (local, sec)                        // zone-less (session UTC)
+        case 4 => // date-only → instant truncated to day
+          (local.take(10), sec / 86400L * 86400L)
+      }
+    }
+    val got = rendered.toDF("iso", "expected_sec")
+      .select(col("expected_sec"), unix_timestamp(tsParseIso8601(col("iso"))))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("F1: the reference's accept/reject examples") {
     val sp = spark
     import sp.implicits._
