@@ -30,16 +30,32 @@ object Multimodal {
       fake_height: Long,
       fake_frames: Long)
 
+  /** One sampled frame of a (fake-)decoded video payload. */
+  case class FrameSample(doc_id: Long, frame_index: Long, frame_bytes: Array[Byte])
+
+  /** One resized image. */
+  case class ResizedImage(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+
   /** STUB decoder ??? — replace with a real codec binding in production.
-    * Deterministic: features are pure functions of payload size, so the
+    * Deterministic: outputs are pure functions of payload bytes, so the
     * DuckDB oracle can verify the full pipeline. A real decoder would
-    * consume the byte array exactly the same way. */
+    * consume the byte arrays exactly the same way. */
   object FakeDecoder {
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
       batch.map { r =>
         val n = r.payload.length.toLong
         MediaFeatures(r.doc_id, r.kind, n, n % 512, (n * 7) % 512, n % 30 + 1)
       }
+
+    /** ??? — a real impl decodes frame `idx`; the stub returns a
+      * deterministic 64-byte-capped slice. */
+    def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte] =
+      payload.take(64)
+
+    /** ??? — a real impl rescales pixels; the stub truncates/pads the
+      * byte budget of the target resolution. */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      java.util.Arrays.copyOf(payload, math.min(payload.length, w * h))
   }
 
   /** Wrap a text table as a fake media table: binary payload + metadata.
@@ -61,6 +77,34 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { iter =>
       iter.grouped(batchSize).flatMap(b => FakeDecoder.decodeBatch(b.toSeq))
+    }
+  }
+
+  /** Frame sampling — the 1→N multimodal shape: each payload explodes
+    * into every `everyNth`-th frame of its (stub-)decoded stream. Narrow
+    * per-partition flatMap; output cardinality is data-dependent, which
+    * is exactly why it must run distributed, not on the driver. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      everyNth: Int = 10): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { iter =>
+      iter.flatMap { r =>
+        val nFrames = r.payload.length % 30 + 1
+        (0 until nFrames by everyNth).iterator.map(i =>
+          FrameSample(r.doc_id, i.toLong, FakeDecoder.decodeFrame(r.payload, i)))
+      }
+    }
+  }
+
+  /** Batched resize — same batch shape as [[extractFeatures]], binary →
+    * binary. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      width: Int, height: Int, batchSize: Int = 64): Dataset[ResizedImage] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { iter =>
+      iter.grouped(batchSize).flatMap(_.map(r =>
+        ResizedImage(r.doc_id, width, height,
+          FakeDecoder.resize(r.payload, width, height))))
     }
   }
 }

@@ -139,11 +139,42 @@ object TrainingQueries {
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // ── Composed corpus filter: quality + language + exact-dedup keep ────
+    // The end-use of the text metrics: a training-corpus materialization
+    // that keeps one copy per content hash, in a target language, inside
+    // quality bounds. One narrow metrics pass + one hash-shuffle for the
+    // keep-one-per-fingerprint window.
+    "corpus_filter" -> ((s, dir) => {
+      val d = withPlantedNearDups(s, dir)
+      val scored = TextAnalysis.langIdScores(
+        TextAnalysis.qualityMetrics(d, col("text")), col("text"))
+      val kept = scored.filter(
+        col("predicted_lang").isin("en", "de") &&
+        col("alpha_ratio") >= 0.6 && col("n_tokens").between(10, 1000))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+      kept.withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("predicted_lang"),
+          round(col("alpha_ratio"), 6).as("alpha_ratio"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Multimodal: binary payload → batched feature extraction ─────────
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(Tables.documents(s, dir))
       Multimodal.extractFeatures(s, media).toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    // ── Multimodal: 1→N frame sampling (exploding per-record shape) ─────
+    "multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+      Multimodal.sampleFrames(s, media, everyNth = 10).toDF()
+        .select(col("doc_id"), col("frame_index"),
+          length(col("frame_bytes")).cast("long").as("frame_bytes_len"))
+        .orderBy(col("doc_id"), col("frame_index"))
     }),
 
     // ── Streaming-analog: sessionization (30-min gap) ────────────────────
@@ -249,6 +280,38 @@ object TrainingQueries {
         |      ELSE 'es' END AS predicted_lang
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    "corpus_filter" ->
+      """WITH all_docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0),
+        |scored AS (
+        | SELECT doc_id, text,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|was)\b')) AS BIGINT) AS score_en,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(der|und|die|nicht|das|ist)\b')) AS BIGINT) AS score_de,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|une|est)\b')) AS BIGINT) AS score_fr,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|una|por|las|este)\b')) AS BIGINT) AS score_es
+        | FROM all_docs),
+        |lang AS (
+        | SELECT *,
+        |  CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+        |       WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+        |       WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+        |       WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+        |       ELSE 'es' END AS predicted_lang
+        | FROM scored),
+        |kept AS (
+        | SELECT *, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        | FROM lang
+        | WHERE predicted_lang IN ('en', 'de') AND alpha_ratio >= 0.6
+        |  AND n_tokens BETWEEN 10 AND 1000)
+        |SELECT doc_id, predicted_lang, alpha_ratio, n_tokens FROM (
+        | SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        | FROM kept) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "multimodal_features" ->
       """SELECT doc_id, 'image' AS kind,
         | CAST(length(text) AS BIGINT) AS n_bytes,
@@ -256,6 +319,12 @@ object TrainingQueries {
         | CAST((length(text) * 7) % 512 AS BIGINT) AS fake_height,
         | CAST(length(text) % 30 + 1 AS BIGINT) AS fake_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id,
+        | CAST(unnest(range(0, length(text) % 30 + 1, 10)) AS BIGINT) AS frame_index,
+        | CAST(least(64, length(text)) AS BIGINT) AS frame_bytes_len
+        |FROM documents ORDER BY doc_id, frame_index""".stripMargin,
 
     "events_sessionize" ->
       """WITH x AS (SELECT *,

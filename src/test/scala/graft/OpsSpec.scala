@@ -126,4 +126,12 @@ class OpsSpec extends SparkSpec {
     val joined = feats.toDF().join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
     assert(joined.filter(col("n_bytes") =!= col("len")).count() == 0)
   }
+
+  test("multimodal: resize caps every payload at the target byte budget") {
+    val media = Multimodal.asMediaTable(docs)
+    val resized = Multimodal.resizeImages(spark, media, width = 8, height = 8)
+    assert(resized.count() == docs.count())
+    assert(resized.filter(r => r.payload.length > 64).count() == 0)
+    assert(resized.filter(r => r.width != 8 || r.height != 8).count() == 0)
+  }
 }
