@@ -80,6 +80,54 @@ object Dedup {
   def simhash64(text: Column): Column =
     call_function("graft_simhash", text)
 
+  /** Connected components over near-duplicate pairs → one cluster id
+    * (the minimum member id) per document. This is the step that turns a
+    * candidate-pair list into keep/drop decisions: keep `id == cluster`,
+    * drop the rest.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label in its neighborhood; rounds = graph diameter (near-
+    * dup clusters are tiny, so convergence is fast). Each iteration is
+    * one shuffle; results are persisted per round and the loop stops on
+    * a converged count — the standard Spark pattern for iterative graph
+    * algorithms without lineage blowup.
+    *
+    * Returns (id, cluster).
+    */
+  def clusterPairs(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster", "n_cluster"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_cluster")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("n_min"), col("cluster")))
+            .as("cluster"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact Jaccard similarity between the distinct-word sets of two text
     * columns (the verification step behind MinHash candidates). */
   def wordSetJaccard(a: Column, b: Column): Column = {

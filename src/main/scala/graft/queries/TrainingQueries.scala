@@ -51,6 +51,12 @@ object TrainingQueries {
       Dedup.minhashLshPairs(withPlantedNearDups(s, dir), "doc_id", "text")
         .orderBy(col("a_id"), col("b_id"))),
 
+    // ── Near-dup: cluster resolution over MinHash pairs (rows-only) ──────
+    "dedup_cluster" -> ((s, dir) =>
+      Dedup.clusterPairs(
+          Dedup.minhashLshPairs(withPlantedNearDups(s, dir), "doc_id", "text"))
+        .orderBy(col("id"))),
+
     // ── Near-dup: 64-bit SimHash fingerprints (rows-only check) ──────────
     "dedup_simhash" -> ((s, dir) =>
       Balance.widen(withPlantedNearDups(s, dir))

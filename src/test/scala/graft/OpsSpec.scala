@@ -49,6 +49,29 @@ class OpsSpec extends SparkSpec {
     assert(dists.sum.toDouble / dists.size > 12.0)
   }
 
+  test("dedup: clusterPairs resolves transitive chains to the minimum member id") {
+    val s = spark
+    import s.implicits._
+    // two chains: 1-2-3-4 (transitive, never directly 1-4) and 10-11;
+    // plus an isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("a_id", "b_id")
+    val clusters = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L))
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+    assert(clusters(20L) == 20L && clusters(21L) == 20L)
+  }
+
+  test("dedup: minhash pairs + clustering keep exactly one doc per planted dup group") {
+    val pairs = Dedup.minhashLshPairs(withNearDups, "doc_id", "text")
+    val clusters = Dedup.clusterPairs(pairs)
+    // every cluster has exactly one keeper (id == cluster)
+    val keepers = clusters.filter(col("id") === col("cluster")).count()
+    val nClusters = clusters.select("cluster").distinct().count()
+    assert(keepers == nClusters)
+  }
+
   test("dedup: exact dedup counts planted copies (identical text collapses)") {
     val d = docs.select("doc_id", "text")
     val dup = d.unionByName(
