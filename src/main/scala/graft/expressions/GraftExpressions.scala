@@ -187,6 +187,8 @@ case class CosineSim(left: Expression, right: Expression)
   @transient private lazy val readL = reader(left)
   @transient private lazy val readR = reader(right)
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -198,7 +200,11 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    // Zero/empty vectors have no defined cosine: null, not NaN — Spark
+    // sorts NaN ABOVE every value, which would rank zero vectors as the
+    // best match in every descending top-k window.
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

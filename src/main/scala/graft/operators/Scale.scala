@@ -32,11 +32,14 @@ object Scale {
 
   /** Salted join against a skewed fact side: the dimension is replicated
     * `saltFactor` times (one copy per salt value) and the fact side gets
-    * a deterministic per-row salt, splitting each hot key across
-    * `saltFactor` reducers. Equivalent to `fact.join(dim, keys, "inner")`.
+    * a per-row salt, splitting each hot key across `saltFactor` reducers.
+    * Equivalent to `fact.join(dim, keys, "inner")`.
     *
-    * The fact salt derives from xxhash64 over the whole row — stable
-    * across retries (no `rand()`), uniform across the factor.
+    * The salt hashes the row's position (`monotonically_increasing_id`:
+    * partition id + offset — stable under task retry for a deterministic
+    * scan) rather than the row's VALUES: fully identical duplicate rows
+    * are the classic hot-key shape, and a value-derived salt would send
+    * them all back to one reducer.
     */
   def saltedJoin(
       fact: DataFrame,
@@ -45,7 +48,7 @@ object Scale {
       saltFactor: Int): DataFrame = {
     val SaltCol = "__graft_salt"
     val salted = fact.withColumn(SaltCol,
-      pmod(xxhash64(fact.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
     val replicated = dim.withColumn(SaltCol,
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, keys :+ SaltCol).drop(SaltCol)

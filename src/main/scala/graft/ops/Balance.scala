@@ -14,6 +14,13 @@ import org.apache.spark.sql.DataFrame
 object Balance {
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // inputFiles walks the analyzed plan for file scans — much cheaper
+    // than df.rdd, which forces full physical planning just to read a
+    // partition count. Fall back to the RDD only for non-file plans.
+    val files = df.inputFiles.length
+    val narrow =
+      if (files > 0) files < target
+      else df.rdd.getNumPartitions < target
+    if (narrow) df.repartition(target) else df
   }
 }

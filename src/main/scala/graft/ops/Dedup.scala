@@ -125,6 +125,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs did not converge in $maxIter rounds (component " +
+          "diameter exceeds maxIter) — raise maxIter; silent partial labels " +
+          "would keep redundant near-duplicates")
     labels
   }
 

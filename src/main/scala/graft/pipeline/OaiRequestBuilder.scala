@@ -31,25 +31,36 @@ object OaiRequestBuilder {
   def formatFrom(ts: Timestamp, fc3CompatibilityMode: Boolean): String =
     (if (fc3CompatibilityMode) Fc3Format else SpecFormat).format(ts.toInstant)
 
+  /** Low-level request assembly shared by the pipeline and the DSv2
+    * connector — a token excludes `metadataPrefix`/`from` entirely. */
+  def listIdentifiersUriRaw(
+      baseUrl: String,
+      resumptionToken: Option[String],
+      metadataPrefix: String,
+      fromFormatted: Option[String]): String = {
+    val b = new StringBuilder(baseUrl)
+    b.append(if (baseUrl.contains("?")) "&" else "?")
+    b.append("verb=ListIdentifiers")
+    resumptionToken match {
+      case Some(t) =>
+        b.append("&resumptionToken=").append(enc(t.trim))
+      case None =>
+        b.append("&metadataPrefix=").append(enc(metadataPrefix))
+        fromFormatted.foreach(f => b.append("&from=").append(enc(f)))
+    }
+    b.toString
+  }
+
   /** Build the harvest request URI for the state recorded in `lastRun`. */
   def listIdentifiersUri(
       baseUrl: String,
       lastRun: OaiRunResult,
       fc3CompatibilityMode: Boolean,
-      metadataPrefix: String = "oai_dc"): String = {
-    val b = new StringBuilder(baseUrl)
-    b.append(if (baseUrl.contains("?")) "&" else "?")
-    b.append("verb=ListIdentifiers")
-    if (lastRun.hasResumptionToken) {
-      b.append("&resumptionToken=").append(enc(lastRun.resumptionToken.get.trim))
-    } else {
-      b.append("&metadataPrefix=").append(enc(metadataPrefix))
-      lastRun.nextFromTimestamp.foreach { from =>
-        b.append("&from=").append(enc(formatFrom(from, fc3CompatibilityMode)))
-      }
-    }
-    b.toString
-  }
+      metadataPrefix: String = "oai_dc"): String =
+    listIdentifiersUriRaw(baseUrl,
+      if (lastRun.hasResumptionToken) lastRun.resumptionToken else None,
+      metadataPrefix,
+      lastRun.nextFromTimestamp.map(formatFrom(_, fc3CompatibilityMode)))
 
   /** S2/SF4 — the local identifier of an OAI id: everything after the
     * first `:` at or past index 4 (reference `MetsProcessor.java:285-287`,

@@ -49,14 +49,32 @@ class ParquetStateTable(
   def readOrEmpty(like: DataFrame): DataFrame =
     read().getOrElse(like.limit(0))
 
-  /** Commit `df` as the next version; prunes old versions afterwards.
-    * Returns the committed version number. */
+  /** Every version directory, committed or not — a crashed write leaves
+    * an orphan without `_SUCCESS` that must still advance the next
+    * version number (and get cleaned up), or the table would refuse
+    * writes forever. */
+  private def allVersionDirs(): Seq[(Long, Path)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap { s =>
+        val n = s.getPath.getName.drop(1)
+        if (n.forall(_.isDigit)) Some(n.toLong -> s.getPath) else None
+      }
+      .sortBy(_._1)
+
+  /** Commit `df` as the next version; prunes old versions (and orphaned
+    * uncommitted directories from crashed writes) afterwards. Returns
+    * the committed version number. */
   def write(df: DataFrame): Long = {
-    val next = latestVersion.getOrElse(0L) + 1
+    val next = allVersionDirs().lastOption.map(_._1).getOrElse(0L) + 1
     df.write.mode("errorifexists").parquet(f"$path/v$next%08d")
-    val versions = committedVersions()
-    versions.dropRight(keepVersions).foreach { case (_, p) =>
-      fs.delete(p, true)
+    val committed = committedVersions().map(_._1).toSet
+    val keep = committedVersions().takeRight(keepVersions).map(_._1).toSet
+    allVersionDirs().foreach { case (v, p) =>
+      // drop superseded committed versions AND uncommitted orphans
+      if (v != next && !keep.contains(v)) fs.delete(p, true)
+      else if (v < next && !committed.contains(v)) fs.delete(p, true)
     }
     next
   }

@@ -74,16 +74,14 @@ object JdbcUpsertSink {
     }
   }
 
-  /** Upsert `df` into `table` keyed on `keys`: one connection + one
-    * transaction per partition, statements batched `batchSize` at a time. */
-  def writeUpsert(
+  /** Shared per-partition transaction loop: one connection + one
+    * transaction per partition, statements batched `batchSize` at a
+    * time, every row bound positionally with [[binder]]. */
+  private def executeBatched(
       df: DataFrame,
-      table: String,
-      keys: Seq[String],
+      sql: String,
       connectionFactory: ConnectionFactory,
-      batchSize: Int = 500): Unit = {
-    val cols = df.columns.toSeq
-    val sql = upsertSql(table, cols, keys)
+      batchSize: Int): Unit = {
     val fields = df.schema.fields
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
@@ -109,6 +107,16 @@ object JdbcUpsertSink {
     }
   }
 
+  /** Upsert `df` into `table` keyed on `keys`. */
+  def writeUpsert(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      connectionFactory: ConnectionFactory,
+      batchSize: Int = 500): Unit =
+    executeBatched(df, upsertSql(table, df.columns.toSeq, keys),
+      connectionFactory, batchSize)
+
   /** Conditional full-tuple delete of `df`'s rows from `table` (D1).
     * Rows whose stored tuple changed since they were read survive —
     * the database-side twin of `StateOps.deleteIfUnmodified`. */
@@ -116,30 +124,7 @@ object JdbcUpsertSink {
       df: DataFrame,
       table: String,
       connectionFactory: ConnectionFactory,
-      batchSize: Int = 500): Unit = {
-    val sql = deleteIfUnmodifiedSql(table, df.columns.toSeq)
-    val fields = df.schema.fields
-    df.foreachPartition { rows: Iterator[Row] =>
-      if (rows.nonEmpty) {
-        val conn = connectionFactory()
-        try {
-          conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(sql)
-          try {
-            val bind = binder(conn, ps, fields)
-            var pending = 0
-            rows.foreach { row =>
-              var i = 0
-              while (i < fields.length) { bind(row, i); i += 1 }
-              ps.addBatch()
-              pending += 1
-              if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
-            }
-            if (pending > 0) ps.executeBatch()
-            conn.commit()
-          } finally ps.close()
-        } finally conn.close()
-      }
-    }
-  }
+      batchSize: Int = 500): Unit =
+    executeBatched(df, deleteIfUnmodifiedSql(table, df.columns.toSeq),
+      connectionFactory, batchSize)
 }

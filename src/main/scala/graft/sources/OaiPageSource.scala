@@ -100,17 +100,8 @@ object OaiPageSource {
     while (n < max && !done) {
       if (!cur.firstRequest && cur.token.isEmpty) { done = true }
       else {
-        val uri = cur.token match {
-          case Some(t) => s"$base${if (base.contains("?")) "&" else "?"}verb=ListIdentifiers&resumptionToken=" +
-            java.net.URLEncoder.encode(t, "UTF-8")
-          case None =>
-            val b = new StringBuilder(base)
-            b.append(if (base.contains("?")) "&" else "?")
-            b.append("verb=ListIdentifiers&metadataPrefix=")
-            b.append(java.net.URLEncoder.encode(prefix, "UTF-8"))
-            from.foreach(f => b.append("&from=").append(java.net.URLEncoder.encode(f, "UTF-8")))
-            b.result()
-        }
+        val uri = graft.pipeline.OaiRequestBuilder.listIdentifiersUriRaw(
+          base, cur.token, prefix, from)
         fetch(uri) match {
           case None => done = true // transport failure: stop the chain here
           case Some(xml) =>
@@ -186,7 +177,15 @@ private[sources] case class PageOffset(pagesConsumed: Long) extends Offset {
 }
 
 /** Streaming chain walker: each `latestOffset` call advances the chain by
-  * up to `maxPagesPerTrigger` pages and caches them until committed. */
+  * up to `maxPagesPerTrigger` pages and caches them until committed.
+  *
+  * RESTART LIMITATION: OAI resumption tokens are single-use — a page
+  * consumed but not committed before a driver restart CANNOT be
+  * re-fetched (the chain state lived in memory). Rather than silently
+  * committing an empty replacement batch (data loss), `planInputPartitions`
+  * fails fast on a cache miss with instructions. Durable harvesting
+  * belongs to `HarvestPipeline`, which checkpoints `OaiRunResult` rows
+  * and re-harvests from the backed-up `from` timestamp on replay. */
 private[sources] class OaiPageMicroBatchStream(options: CaseInsensitiveStringMap)
   extends MicroBatchStream {
 
@@ -213,8 +212,16 @@ private[sources] class OaiPageMicroBatchStream(options: CaseInsensitiveStringMap
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = synchronized {
     val s = start.asInstanceOf[PageOffset].pagesConsumed
     val e = end.asInstanceOf[PageOffset].pagesConsumed
-    (s until e).flatMap { i =>
-      cache.get(i).map { case (uri, xml) => PagePartition(i, uri, xml): InputPartition }
+    (s until e).map { i =>
+      cache.get(i) match {
+        case Some((uri, xml)) => PagePartition(i, uri, xml): InputPartition
+        case None => throw new IllegalStateException(
+          s"oai-pages: page $i is not in the in-memory chain cache — the " +
+            "query was restarted with uncommitted pages. OAI resumption " +
+            "tokens are single-use, so these pages cannot be re-fetched; " +
+            "delete the checkpoint to re-harvest from the start, or use " +
+            "HarvestPipeline for durable checkpointed harvesting.")
+      }
     }.toArray
   }
 

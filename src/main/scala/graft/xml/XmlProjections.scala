@@ -31,9 +31,14 @@ object XmlProjections {
     * case-insensitively to "deleted", reference `OaiHarvester.java:541`).
     */
   def projectOaiHeaders(df: DataFrame, xmlCol: Column): DataFrame = {
+    // Self-closing branch FIRST: with the lazy full-element branch first,
+    // a '<header .../>'' would match across element boundaries up to the
+    // NEXT '</header>', swallowing a sibling header into one malformed
+    // fragment. The lookahead pins the element name exactly.
     val frag = explode(
       call_function("regexp_extract_all", xmlCol,
-        lit("<header[\\s\\S]*?</header>|<header[^>]*/>"), lit(0)))
+        lit("<header(?=[\\s/>])[^>]*/>|<header(?=[\\s>])[\\s\\S]*?</header>"),
+        lit(0)))
     // One from_xml parse per fragment (vs 4 xpath parses): the header
     // struct is materialized in its own projection and field-projected.
     val headerSchema = StructType(Seq(

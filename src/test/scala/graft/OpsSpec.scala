@@ -110,6 +110,20 @@ class OpsSpec extends SparkSpec {
     assert(approx.intersect(exact).size == exact.size)
   }
 
+  test("similarity: zero vectors yield null cosine, never rank in top-k") {
+    val s = spark
+    import s.implicits._
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val c = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f))).toDF("c_id", "c_vec")
+    val top = Similarity.bruteForceTopK(q, c, "q_id", "q_vec", "c_id", "c_vec", 3)
+      .orderBy(col("rank")).collect()
+    // the zero vector's cosine is null (NOT NaN, which Spark sorts first)
+    // so it ranks LAST
+    assert(top.map(_.getAs[Long]("c_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(top.last.isNullAt(top.last.fieldIndex("cos_sim")))
+  }
+
   test("similarity: IVF top-k self-match recall is exact") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter(col("vec_id") < 20)

@@ -244,6 +244,23 @@ class PipelineSpec extends SparkSpec {
     assert(headers.read().get.count() == 0L)
   }
 
+  test("state table: a crashed (uncommitted) write does not brick the table") {
+    val dir = tmp()
+    val t = new ParquetStateTable(spark, s"$dir/state")
+    val s = spark
+    import s.implicits._
+    t.write(Seq((1L, "a")).toDF("id", "v"))
+    // simulate a crash: an orphan version dir without _SUCCESS
+    val orphan = java.nio.file.Paths.get(s"$dir/state/v00000002")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-junk.parquet"), "partial")
+    // the next write must still commit (and clean the orphan up)
+    t.write(Seq((2L, "b")).toDF("id", "v"))
+    assert(t.read().get.count() == 1L)
+    assert(t.read().get.head.getLong(0) == 2L)
+    assert(!Files.exists(orphan))
+  }
+
   // ── Structured Streaming wrapper (ST1/ST3/ST4 via engine checkpoint) ──
 
   test("streaming: file-source harvest stream merges pages incrementally") {

@@ -98,6 +98,20 @@ class XmlProjectionsSpec extends SparkSpec {
     assert(rows(3).getTimestamp(3) == ts("2016-10-10 09:27:33"))
   }
 
+  test("P1: a self-closing header does not swallow its sibling") {
+    val page = "<OAI-PMH><ListIdentifiers>" +
+      "<header status=\"deleted\"/>" +
+      "<header><identifier>oai:x:qucosa:7</identifier>" +
+      "<datestamp>2024-01-02T03:04:05Z</datestamp></header>" +
+      "</ListIdentifiers></OAI-PMH>"
+    val rows = XmlProjections.projectOaiHeaders(xmlDf(page), col("xml"))
+      .select("record_identifier", "status_is_deleted")
+      .orderBy(col("record_identifier").asc_nulls_first).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == null && rows(0).getBoolean(1)) // the deleted stub
+    assert(rows(1).getString(0) == "oai:x:qucosa:7" && !rows(1).getBoolean(1))
+  }
+
   test("P4: namespace fidelity — identical local names in a foreign namespace do NOT match") {
     // Same element structure, wrong namespace URI: a local-name() match
     // would wrongly project these; the namespace-aware expression must not
