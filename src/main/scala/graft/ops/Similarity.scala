@@ -59,9 +59,13 @@ object Similarity {
     * Centroids here are a deterministic corpus sample (lowest ids); a
     * production index would k-means-refine them, which changes recall but
     * not the plan shape. That shape is what matters at 100 TB: centroids
-    * broadcast, ONE narrow pass assigns the corpus (no pairwise blowup),
-    * and the candidate join hits only `nProbe/nCentroids` of the corpus
-    * per query.
+    * are COLLECTED (tiny) and inlined as literals, so corpus assignment
+    * is a narrow per-row argmax — no window, no corpus shuffle, no
+    * pairwise blowup — and the only exchange is the per-query top-k over
+    * the candidate set (`~nProbe/nCentroids` of the corpus).
+    *
+    * Zero vectors have undefined cosine (null) and drop out of both the
+    * index and the probes.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -71,27 +75,40 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    val cent = broadcast(
-      corpus.orderBy(col(cId)).limit(nCentroids)
-        .select(col(cId).as("__cent_id"), col(cVec).as("__cent_vec")))
+    val cents: Seq[Seq[Double]] = corpus
+      .orderBy(col(cId)).limit(nCentroids).select(col(cVec)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: java.lang.Number => n.doubleValue
+      }.toSeq).toSeq
+    require(cents.nonEmpty, "ivfTopK needs a non-empty corpus")
 
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__csim").desc, col("__cent_id"))
-      df.crossJoin(cent)
-        .withColumn("__csim", cosine(col(vec), col("__cent_vec")))
-        .withColumn("__crank", row_number().over(w))
-        .filter(col("__crank") <= keep)
-        .drop("__cent_vec", "__csim", "__crank")
-    }
+    def scores(vec: Column): Column =
+      array(cents.map(c => cosine(vec, typedlit(c))): _*)
 
-    val lists = assign(Balance.widen(corpus), cId, cVec, keep = 1)
-    val probes = assign(queries, qId, qVec, keep = nProbe)
-      .select(col("__cent_id"), col(qId), col(qVec))
+    // argmax over the literal centroid array — first index wins ties
+    val lists = Balance.widen(corpus)
+      .withColumn("__scores", scores(col(cVec)))
+      .withColumn("__cent",
+        (call_function("array_position", col("__scores"),
+          array_max(col("__scores"))) - 1).cast("long"))
+      .filter(col("__cent").isNotNull)
+      .drop("__scores")
+
+    // top-nProbe centroid indices per query: sort (−score, index) structs
+    val idx = sequence(lit(0), lit(cents.length - 1))
+    val probes = queries
+      .withColumn("__scores", scores(col(qVec)))
+      .withColumn("__cent", explode(transform(
+        slice(array_sort(zip_with(col("__scores"), idx,
+          (s, i) => struct((-s).as("negs"), i.as("i")))), 1, nProbe),
+        x => x.getField("i").cast("long"))))
+      .select(col("__cent"), col(qId), col(qVec))
 
     val w = Window.partitionBy(col(qId))
       .orderBy(col("cos_sim").desc, col(cId))
-    lists.join(broadcast(probes), Seq("__cent_id"))
+    lists.join(broadcast(probes), Seq("__cent"))
       .select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -44,6 +44,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"))
   }
 
+  test("ivf: corpus centroid assignment is narrow (no corpus-wide shuffle)") {
+    val p = plan("ann_ivf_topk")
+    // broadcast probe join, no sort-merge; shuffles limited to the widen
+    // repartition, the candidate top-k window, and the output sort
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert("Exchange (?!SinglePartition)".r.findAllMatchIn(p).size <= 4, p)
+  }
+
   test("f3: predicate on the flag column reaches the scan") {
     val p = plan("f3_filter_flag")
     assert(p.contains("EqualTo(l_returnflag,R)"))
