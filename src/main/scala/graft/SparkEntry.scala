@@ -41,9 +41,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_headers"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every query
+    * configures the session first (timezone, nanos handling, custom
+    * expression registration) so the map works on ANY caller-provided
+    * session, not just our Verify/Bench mains. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries ++ TrainingQueries.queries
+    (ReferenceQueries.queries ++ TrainingQueries.queries).map {
+      case (name, fn) =>
+        name -> ((s: SparkSession, dir: String) => {
+          Tables.configure(s); fn(s, dir)
+        })
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the xxhash64-based ops

@@ -63,6 +63,22 @@ class ParquetStateTable(
       }
       .sortBy(_._1)
 
+  /** Exactly-once helper for `foreachBatch` sinks: commit `df` unless
+    * `batchId` was already committed (marker in `_batches/`). A crash
+    * between the version commit and the marker replays as an idempotent
+    * re-write of the same merge — at-least-once degrading safely, which
+    * is the ST4 contract. Returns true when the write happened. */
+  def writeOnceForBatch(df: DataFrame, batchId: Long): Boolean = {
+    val marker = new Path(root, f"_batches/batch$batchId%012d")
+    if (fs.exists(marker)) false
+    else {
+      write(df)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
   /** Commit `df` as the next version; prunes old versions (and orphaned
     * uncommitted directories from crashed writes) afterwards. Returns
     * the committed version number. */

@@ -48,14 +48,16 @@ object HarvestStream {
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val headers = headerFilter(
           XmlProjections.projectOaiHeaders(batch, col("xml"))
             .select("record_identifier", "datestamp", "set_spec",
               "status_is_deleted"))
-        headersTable.write(StateOps.mergeByKey(
+        // batch-id marker upgrades foreachBatch's at-least-once replay to
+        // effective exactly-once (replayed batches skip the rewrite)
+        headersTable.writeOnceForBatch(StateOps.mergeByKey(
           headersTable.readOrEmpty(headers), headers,
-          keys = Seq("record_identifier")))
+          keys = Seq("record_identifier")), batchId)
         ()
       }
       .start()

@@ -244,6 +244,17 @@ class PipelineSpec extends SparkSpec {
     assert(headers.read().get.count() == 0L)
   }
 
+  test("state table: writeOnceForBatch skips a replayed batch id") {
+    val dir = tmp()
+    val t = new ParquetStateTable(spark, s"$dir/state")
+    val s = spark
+    import s.implicits._
+    assert(t.writeOnceForBatch(Seq((1L, "a")).toDF("id", "v"), batchId = 0L))
+    assert(!t.writeOnceForBatch(Seq((1L, "DUP")).toDF("id", "v"), batchId = 0L))
+    assert(t.writeOnceForBatch(Seq((2L, "b")).toDF("id", "v"), batchId = 1L))
+    assert(t.read().get.head.getString(1) == "b") // replay never landed
+  }
+
   test("state table: a crashed (uncommitted) write does not brick the table") {
     val dir = tmp()
     val t = new ParquetStateTable(spark, s"$dir/state")
