@@ -66,10 +66,15 @@ class EnrichmentPipeline(
 
   Tables.configure(spark)
 
+  /** A drained-and-fetched batch awaiting commit. `fetched` is persisted
+    * — the remote fetches ran exactly once. */
+  case class ProcessedBatch private[EnrichmentPipeline] (
+      fetched: DataFrame, queueColumns: Seq[String])
+
   def runOnce(fetch: DocumentFetcher): EnrichmentSummary =
-    headersTable.read() match {
-      case None        => EnrichmentSummary(0, 0, 0, 0)
-      case Some(queue) => drain(queue, fetch)
+    processBatch(fetch) match {
+      case None     => EnrichmentSummary(0, 0, 0, 0)
+      case Some(pb) => commit(pb)
     }
 
   /** Drain the whole backlog: iterate batches while the queue yields
@@ -88,23 +93,36 @@ class EnrichmentPipeline(
     out.result()
   }
 
-  private def drain(queue: DataFrame, fetch: DocumentFetcher): EnrichmentSummary = {
+  /** Phase 1 — drain a bounded batch (L1) and run the per-record fetch
+    * (S2). The batch is held (persisted) while fetches run, exactly like
+    * the reference holds its `List<OaiHeader>` during its minutes-long
+    * fetch loop — the window in which a concurrent harvest may re-upsert
+    * a drained record. */
+  def processBatch(fetch: DocumentFetcher): Option[ProcessedBatch] =
+    headersTable.read().map { queue =>
+      val batch = StateOps.limitBatch(
+        queue.orderBy(col("record_identifier")), batchSize).as[QueuedHeader]
+      val fetched = batch.mapPartitions { it =>
+        it.map { h =>
+          val xml = fetch(OaiRequestBuilder.localIdentifier(h.record_identifier))
+          FetchedHeader(h.record_identifier, h.datestamp, h.set_spec,
+            h.status_is_deleted, xml.orNull)
+        }
+      }.toDF().persist()
+      fetched.count() // materialize: every remote fetch runs exactly once
+      ProcessedBatch(fetched, queue.columns.toSeq)
+    }
 
-    // L1 — bounded drain. The reference takes an arbitrary 100; we order
-    // by key so runs are deterministic.
-    val batch = StateOps.limitBatch(
-      queue.orderBy(col("record_identifier")), batchSize).as[QueuedHeader]
-
-    // S2 — per-record enrichment fetch, parallel across partitions.
-    // Persisted so the downstream merge + delete don't re-trigger the
-    // remote fetch (one HTTP call per record per drain).
-    val fetched = batch.mapPartitions { it =>
-      it.map { h =>
-        val xml = fetch(OaiRequestBuilder.localIdentifier(h.record_identifier))
-        FetchedHeader(h.record_identifier, h.datestamp, h.set_spec,
-          h.status_is_deleted, xml.orNull)
-      }
-    }.toDF().persist()
+  /** Phase 2 — commit: merge reporting rows (U2), then delete the
+    * processed headers from the LATEST queue snapshot (D1). Re-reading
+    * the queue here is what honors ST5: a record re-upserted with a new
+    * datestamp while its old version was in flight fails the full-tuple
+    * match, survives the delete, and is reported in `notRemoved`
+    * (reference `PostgrePersistenceServiceTestIT.java:452-494` — the
+    * reference's DELETE runs against current DB state for the same
+    * reason). */
+  def commit(pb: ProcessedBatch): EnrichmentSummary = {
+    val fetched = pb.fetched
 
     // P4 projection + F2 validation → reporting rows. Null XML (fetch
     // miss) nulls every projected field, so F2 drops it.
@@ -117,14 +135,13 @@ class EnrichmentPipeline(
     val processed = fetched.count()
     val reported = reportingRows.count()
 
-    // U2 — idempotent keyed merge into the reporting table.
     reportingTable.write(StateOps.mergeByKey(
       reportingTable.readOrEmpty(reportingRows), reportingRows,
       keys = Seq("record_identifier")))
 
-    // D1 — optimistic full-tuple delete of exactly the drained rows.
-    val processedHeaders = fetched.select(queue.columns.map(col).toSeq: _*)
-    val delete = StateOps.deleteIfUnmodified(queue, processedHeaders)
+    val processedHeaders = fetched.select(pb.queueColumns.map(col): _*)
+    val latestQueue = headersTable.read().getOrElse(processedHeaders.limit(0))
+    val delete = StateOps.deleteIfUnmodified(latestQueue, processedHeaders)
     val notRemoved = delete.notRemoved.count()
     headersTable.write(delete.newState)
     fetched.unpersist()

@@ -215,7 +215,7 @@ class PipelineSpec extends SparkSpec {
         ts("2016-05-24 10:33:56"), ts("2024-01-01 01:00:00"))))
   }
 
-  test("enrichment: ST5 late-update guard — re-harvested row survives the delete") {
+  test("enrichment: ST5 late-update guard — a mid-flight re-harvest survives the delete") {
     val dir = tmp()
     val headers = new ParquetStateTable(spark, s"$dir/headers")
     val reporting = new ParquetStateTable(spark, s"$dir/reporting")
@@ -223,25 +223,40 @@ class PipelineSpec extends SparkSpec {
     import s.implicits._
 
     headers.write(Seq(
-      QueuedHeader("oai:example.org:qucosa:7455", ts("2024-01-01 01:00:00"), Nil, false)
+      QueuedHeader("oai:example.org:qucosa:7455", ts("2024-01-01 01:00:00"), Nil, false),
+      QueuedHeader("oai:example.org:qucosa:13", ts("2024-01-01 02:00:00"), Nil, false)
     ).toDF())
 
-    val mets = fixture("/mets/qucosa7455-mets.xml")
-    // Fetcher that simulates a concurrent re-harvest: bump the queue row's
-    // datestamp after the batch was drained but before the delete commits.
+    val mets = Map(
+      "qucosa:7455" -> fixture("/mets/qucosa7455-mets.xml"),
+      "qucosa:13" -> fixture("/mets/qucosa13-mets.xml"))
     val fetch = new DocumentFetcher {
-      def apply(localId: String): Option[String] = Some(mets)
+      def apply(localId: String): Option[String] = mets.get(localId)
     }
-    val e = new EnrichmentPipeline(spark, headers, reporting) {
-      // not overridable cleanly — instead emulate: drain happens against v1
-    }
-    // Emulate the race by writing the newer version AFTER constructing the
-    // batch source frame the pipeline will read: simplest faithful check is
-    // the StateOps-level one (StateOpsSpec covers D1); here we assert the
-    // pipeline reports notRemoved=0 in the no-race case.
-    val summary = e.runOnce(fetch)
-    assert(summary.notRemoved == 0L)
-    assert(headers.read().get.count() == 0L)
+    val e = new EnrichmentPipeline(spark, headers, reporting)
+
+    // Phase 1: batch drained (datestamps as of v1) and fetches done…
+    val pb = e.processBatch(fetch).get
+    // …then a concurrent harvest re-upserts 7455 with a NEWER datestamp
+    // before the enrichment commit.
+    val reharvested = graft.operators.StateOps.mergeByKey(
+      headers.read().get,
+      Seq(QueuedHeader("oai:example.org:qucosa:7455",
+        ts("2024-06-01 00:00:00"), Nil, false)).toDF(),
+      keys = Seq("record_identifier"))
+    headers.write(reharvested)
+
+    val summary = e.commit(pb)
+    // the stale 7455 tuple failed the full-tuple match: reported back and
+    // still queued (with its NEW datestamp); 13 was removed normally
+    assert(summary.notRemoved == 1L)
+    val left = headers.read().get.collect()
+    assert(left.length == 1)
+    assert(left.head.getAs[String]("record_identifier") == "oai:example.org:qucosa:7455")
+    assert(left.head.getAs[Timestamp]("datestamp") == ts("2024-06-01 00:00:00"))
+    // the reporting row from the stale read still landed (idempotent merge
+    // will refresh it when the re-harvested version is processed)
+    assert(reporting.read().get.count() == 2L)
   }
 
   test("state table: writeOnceForBatch skips a replayed batch id") {
