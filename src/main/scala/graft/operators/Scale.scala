@@ -32,23 +32,27 @@ object Scale {
 
   /** Salted join against a skewed fact side: the dimension is replicated
     * `saltFactor` times (one copy per salt value) and the fact side gets
-    * a per-row salt, splitting each hot key across `saltFactor` reducers.
-    * Equivalent to `fact.join(dim, keys, "inner")`.
+    * a DETERMINISTIC per-row salt, splitting each hot key across
+    * `saltFactor` reducers. Equivalent to `fact.join(dim, keys, "inner")`.
     *
-    * The salt hashes the row's position (`monotonically_increasing_id`:
-    * partition id + offset — stable under task retry for a deterministic
-    * scan) rather than the row's VALUES: fully identical duplicate rows
-    * are the classic hot-key shape, and a value-derived salt would send
-    * them all back to one reducer.
+    * The salt hashes `saltOn` when given (pass the fact's unique id —
+    * deterministic under task retry AND distinct for value-identical
+    * hot rows), else all fact columns (retry-safe; fully identical
+    * duplicate rows then share a salt, so provide `saltOn` when the
+    * skew is duplicate-shaped). Position-based salts
+    * (`monotonically_increasing_id`, `rand`) are NOT used: they change
+    * across task retries and can duplicate/lose join rows.
     */
   def saltedJoin(
       fact: DataFrame,
       dim: DataFrame,
       keys: Seq[String],
-      saltFactor: Int): DataFrame = {
+      saltFactor: Int,
+      saltOn: Seq[String] = Nil): DataFrame = {
     val SaltCol = "__graft_salt"
+    val saltCols = if (saltOn.nonEmpty) saltOn else fact.columns.toSeq
     val salted = fact.withColumn(SaltCol,
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(saltCols.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = dim.withColumn(SaltCol,
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, keys :+ SaltCol).drop(SaltCol)

@@ -14,13 +14,11 @@ import org.apache.spark.sql.DataFrame
 object Balance {
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    // inputFiles walks the analyzed plan for file scans — much cheaper
-    // than df.rdd, which forces full physical planning just to read a
-    // partition count. Fall back to the RDD only for non-file plans.
-    val files = df.inputFiles.length
-    val narrow =
-      if (files > 0) files < target
-      else df.rdd.getNumPartitions < target
-    if (narrow) df.repartition(target) else df
+    // df.rdd forces physical planning, but it is the only honest
+    // partition count: file COUNTS mis-estimate in both directions
+    // (large files split into many scan partitions; many small files
+    // coalesce into few). Planning a second time costs milliseconds;
+    // a wrong widening decision costs a full-table shuffle.
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 }

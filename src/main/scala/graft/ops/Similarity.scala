@@ -75,14 +75,19 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
+    // null and zero vectors are excluded from the centroid sample — a
+    // null would NPE the driver-side collect and a zero-norm centroid
+    // scores null against everything
     val cents: Seq[Seq[Double]] = corpus
-      .orderBy(col(cId)).limit(nCentroids).select(col(cVec)).collect()
+      .filter(col(cVec).isNotNull).orderBy(col(cId)).limit(nCentroids)
+      .select(col(cVec)).collect()
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d
         case n: java.lang.Number => n.doubleValue
       }.toSeq).toSeq
-    require(cents.nonEmpty, "ivfTopK needs a non-empty corpus")
+      .filter(_.exists(_ != 0.0))
+    require(cents.nonEmpty, "ivfTopK needs a non-empty corpus with nonzero vectors")
 
     def scores(vec: Column): Column =
       array(cents.map(c => cosine(vec, typedlit(c))): _*)
@@ -96,13 +101,17 @@ object Similarity {
       .filter(col("__cent").isNotNull)
       .drop("__scores")
 
-    // top-nProbe centroid indices per query: sort (−score, index) structs
+    // top-nProbe centroid indices per query: sort (−score, index)
+    // structs. Null scores (zero-vector queries) map to +∞ so they sort
+    // LAST — struct-field nulls would otherwise sort FIRST and a dead
+    // centroid would occupy every query's first probe slot.
     val idx = sequence(lit(0), lit(cents.length - 1))
     val probes = queries
       .withColumn("__scores", scores(col(qVec)))
       .withColumn("__cent", explode(transform(
         slice(array_sort(zip_with(col("__scores"), idx,
-          (s, i) => struct((-s).as("negs"), i.as("i")))), 1, nProbe),
+          (s, i) => struct(coalesce(-s, lit(Double.MaxValue)).as("negs"),
+            i.as("i")))), 1, nProbe),
         x => x.getField("i").cast("long"))))
       .select(col("__cent"), col(qId), col(qVec))
 
@@ -110,6 +119,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(cId))
     lists.join(broadcast(probes), Seq("__cent"))
       .select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("cos_sim"))
+      .filter(col("cos_sim").isNotNull) // zero-vector queries emit nothing
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(qId), col("rank"), col(cId), col("cos_sim"))

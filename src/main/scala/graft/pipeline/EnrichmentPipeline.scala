@@ -66,10 +66,14 @@ class EnrichmentPipeline(
 
   Tables.configure(spark)
 
-  /** A drained-and-fetched batch awaiting commit. `fetched` is persisted
-    * — the remote fetches ran exactly once. */
+  /** A drained-and-fetched batch awaiting commit, materialized to disk
+    * under the queue table (`_inflight/`) so the remote fetches ran
+    * exactly once no matter how long the caller holds the batch or what
+    * state pruning happens meanwhile (a cache would recompute — and
+    * silently re-fetch — on block loss once the source snapshot is
+    * pruned). */
   case class ProcessedBatch private[EnrichmentPipeline] (
-      fetched: DataFrame, queueColumns: Seq[String])
+      inflightPath: String, queueColumns: Seq[String])
 
   def runOnce(fetch: DocumentFetcher): EnrichmentSummary =
     processBatch(fetch) match {
@@ -108,9 +112,11 @@ class EnrichmentPipeline(
           FetchedHeader(h.record_identifier, h.datestamp, h.set_spec,
             h.status_is_deleted, xml.orNull)
         }
-      }.toDF().persist()
-      fetched.count() // materialize: every remote fetch runs exactly once
-      ProcessedBatch(fetched, queue.columns.toSeq)
+      }.toDF()
+      val inflight = new org.apache.hadoop.fs.Path(headersTable.tableRoot,
+        s"_inflight/${java.util.UUID.randomUUID()}").toString
+      fetched.write.parquet(inflight) // every remote fetch runs exactly once
+      ProcessedBatch(inflight, queue.columns.toSeq)
     }
 
   /** Phase 2 — commit: merge reporting rows (U2), then delete the
@@ -122,7 +128,7 @@ class EnrichmentPipeline(
     * reference's DELETE runs against current DB state for the same
     * reason). */
   def commit(pb: ProcessedBatch): EnrichmentSummary = {
-    val fetched = pb.fetched
+    val fetched = spark.read.parquet(pb.inflightPath)
 
     // P4 projection + F2 validation → reporting rows. Null XML (fetch
     // miss) nulls every projected field, so F2 drops it.
@@ -144,7 +150,8 @@ class EnrichmentPipeline(
     val delete = StateOps.deleteIfUnmodified(latestQueue, processedHeaders)
     val notRemoved = delete.notRemoved.count()
     headersTable.write(delete.newState)
-    fetched.unpersist()
+    headersTable.fileSystem.delete(
+      new org.apache.hadoop.fs.Path(pb.inflightPath), true)
 
     EnrichmentSummary(processed, reported, processed - reported, notRemoved)
   }

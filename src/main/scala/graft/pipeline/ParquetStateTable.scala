@@ -64,17 +64,29 @@ class ParquetStateTable(
       .sortBy(_._1)
 
   /** Exactly-once helper for `foreachBatch` sinks: commit `df` unless
-    * `batchId` was already committed (marker in `_batches/`). A crash
-    * between the version commit and the marker replays as an idempotent
-    * re-write of the same merge — at-least-once degrading safely, which
-    * is the ST4 contract. Returns true when the write happened. */
-  def writeOnceForBatch(df: DataFrame, batchId: Long): Boolean = {
-    val marker = new Path(root, f"_batches/batch$batchId%012d")
+    * `batchId` was already committed by the SAME stream — markers are
+    * scoped by `streamScope` (derived from the checkpoint location)
+    * because batch ids restart at 0 with a fresh checkpoint, and a
+    * global marker would silently swallow the new stream's first
+    * batches. A crash between the version commit and the marker replays
+    * as an idempotent re-write of the same merge — at-least-once
+    * degrading safely, which is the ST4 contract. Returns true when the
+    * write happened. */
+  def writeOnceForBatch(df: DataFrame, batchId: Long, streamScope: String): Boolean = {
+    val scopeDir = new Path(root,
+      "_batches/" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(streamScope).toLong & 0xffffffffL))
+    val marker = new Path(scopeDir, f"batch$batchId%012d")
     if (fs.exists(marker)) false
     else {
       write(df)
-      fs.mkdirs(marker.getParent)
+      fs.mkdirs(scopeDir)
       fs.create(marker, true).close()
+      // bounded marker history: drop markers far behind the current batch
+      fs.listStatus(scopeDir).foreach { st =>
+        val n = st.getPath.getName.stripPrefix("batch")
+        if (n.forall(_.isDigit) && n.toLong < batchId - 100) fs.delete(st.getPath, false)
+      }
       true
     }
   }
@@ -85,13 +97,15 @@ class ParquetStateTable(
   def write(df: DataFrame): Long = {
     val next = allVersionDirs().lastOption.map(_._1).getOrElse(0L) + 1
     df.write.mode("errorifexists").parquet(f"$path/v$next%08d")
-    val committed = committedVersions().map(_._1).toSet
     val keep = committedVersions().takeRight(keepVersions).map(_._1).toSet
+    // one listing: drops superseded committed versions and uncommitted
+    // orphans alike (keep ⊆ committed, orphans are never in keep)
     allVersionDirs().foreach { case (v, p) =>
-      // drop superseded committed versions AND uncommitted orphans
       if (v != next && !keep.contains(v)) fs.delete(p, true)
-      else if (v < next && !committed.contains(v)) fs.delete(p, true)
     }
     next
   }
+
+  private[pipeline] def tableRoot: Path = root
+  private[pipeline] def fileSystem = fs
 }

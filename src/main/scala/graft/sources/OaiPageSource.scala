@@ -191,12 +191,24 @@ private[sources] class OaiPageMicroBatchStream(options: CaseInsensitiveStringMap
 
   private val maxPerTrigger = options.getInt("maxPagesPerTrigger", 10)
   private var consumed = 0L
+  private var restoredFloor = 0L
   private var chain: Option[ChainState] = Some(ChainState(firstRequest = true, None))
   private val cache = scala.collection.mutable.Map[Long, (String, String)]()
+
+  private def failRestart(detail: String): Nothing =
+    throw new IllegalStateException(
+      s"oai-pages: $detail. OAI resumption tokens are single-use, so a " +
+        "restarted query cannot seek back into the page chain; delete the " +
+        "checkpoint to re-harvest from the start, or use HarvestPipeline " +
+        "for durable checkpointed harvesting.")
 
   override def initialOffset(): Offset = PageOffset(0L)
 
   override def latestOffset(): Offset = synchronized {
+    if (restoredFloor > consumed)
+      failRestart(s"restarted at committed offset $restoredFloor but this " +
+        "stream instance has consumed 0 pages — offsets would regress and " +
+        "re-walk the chain under stale ordinals")
     if (chain.nonEmpty) {
       val (pages, next) = OaiPageSource.fetchChain(options, chain, maxPerTrigger)
       pages.foreach { p => cache(consumed) = p; consumed += 1 }
@@ -205,9 +217,12 @@ private[sources] class OaiPageMicroBatchStream(options: CaseInsensitiveStringMap
     PageOffset(consumed)
   }
 
-  override def deserializeOffset(json: String): Offset =
-    PageOffset("\"pagesConsumed\":(\\d+)".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong).getOrElse(0L))
+  override def deserializeOffset(json: String): Offset = {
+    val off = "\"pagesConsumed\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(0L)
+    synchronized { restoredFloor = math.max(restoredFloor, off) }
+    PageOffset(off)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = synchronized {
     val s = start.asInstanceOf[PageOffset].pagesConsumed

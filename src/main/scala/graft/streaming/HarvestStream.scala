@@ -53,11 +53,11 @@ object HarvestStream {
           XmlProjections.projectOaiHeaders(batch, col("xml"))
             .select("record_identifier", "datestamp", "set_spec",
               "status_is_deleted"))
-        // batch-id marker upgrades foreachBatch's at-least-once replay to
-        // effective exactly-once (replayed batches skip the rewrite)
+        // batch-id marker (scoped to this checkpoint) upgrades
+        // foreachBatch's at-least-once replay to effective exactly-once
         headersTable.writeOnceForBatch(StateOps.mergeByKey(
           headersTable.readOrEmpty(headers), headers,
-          keys = Seq("record_identifier")), batchId)
+          keys = Seq("record_identifier")), batchId, checkpointDir)
         ()
       }
       .start()

@@ -264,10 +264,13 @@ class PipelineSpec extends SparkSpec {
     val t = new ParquetStateTable(spark, s"$dir/state")
     val s = spark
     import s.implicits._
-    assert(t.writeOnceForBatch(Seq((1L, "a")).toDF("id", "v"), batchId = 0L))
-    assert(!t.writeOnceForBatch(Seq((1L, "DUP")).toDF("id", "v"), batchId = 0L))
-    assert(t.writeOnceForBatch(Seq((2L, "b")).toDF("id", "v"), batchId = 1L))
+    assert(t.writeOnceForBatch(Seq((1L, "a")).toDF("id", "v"), 0L, "ckptA"))
+    assert(!t.writeOnceForBatch(Seq((1L, "DUP")).toDF("id", "v"), 0L, "ckptA"))
+    assert(t.writeOnceForBatch(Seq((2L, "b")).toDF("id", "v"), 1L, "ckptA"))
     assert(t.read().get.head.getString(1) == "b") // replay never landed
+    // a FRESH checkpoint restarts batch ids at 0 and must NOT be skipped
+    assert(t.writeOnceForBatch(Seq((3L, "c")).toDF("id", "v"), 0L, "ckptB"))
+    assert(t.read().get.head.getString(1) == "c")
   }
 
   test("state table: a crashed (uncommitted) write does not brick the table") {
