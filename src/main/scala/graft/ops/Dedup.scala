@@ -133,6 +133,25 @@ object Dedup {
     labels
   }
 
+  /** One-call near-duplicate corpus dedup: MinHash-LSH candidate pairs →
+    * connected components → drop every document that is not its
+    * cluster's canonical (minimum-id) member. Documents in no cluster
+    * pass through. The anti-join ships only (id, cluster) pairs — tiny
+    * next to the corpus. */
+  def dedupCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, shingleLen, bands, rowsPerBand)
+    val losers = clusterPairs(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard similarity between the distinct-word sets of two text
     * columns (the verification step behind MinHash candidates). */
   def wordSetJaccard(a: Column, b: Column): Column = {

@@ -72,6 +72,23 @@ class OpsSpec extends SparkSpec {
     assert(keepers == nClusters)
   }
 
+  test("dedup: dedupCorpus keeps exactly one member per near-dup cluster") {
+    val kept = Dedup.dedupCorpus(withNearDups, "doc_id", "text")
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val planted = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every planted copy (higher id than its original) is dropped
+    assert(planted.forall(id => !keptIds.contains(id + 100000)))
+    // per cluster exactly the canonical member survives (the corpus also
+    // contains organic near-dup pairs among originals — those dedup too)
+    val clusters = Dedup.clusterPairs(
+        Dedup.minhashLshPairs(withNearDups, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    clusters.foreach { case (id, cluster) =>
+      assert(keptIds.contains(id) == (id == cluster), s"id=$id cluster=$cluster")
+    }
+  }
+
   test("dedup: exact dedup counts planted copies (identical text collapses)") {
     val d = docs.select("doc_id", "text")
     val dup = d.unionByName(
