@@ -47,12 +47,6 @@ case class XPathStructNs(
 
   @transient private lazy val machinery =
     ThreadLocal.withInitial[(javax.xml.parsers.DocumentBuilder, Array[XPathExpression])] { () =>
-      val dbf = DocumentBuilderFactory.newInstance()
-      dbf.setNamespaceAware(true)
-      dbf.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
-      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      dbf.setExpandEntityReferences(false)
-      val xpf = XPathFactory.newInstance()
       val ctx = new NamespaceContext {
         override def getNamespaceURI(prefix: String): String =
           namespaces.getOrElse(prefix, XMLConstants.NULL_NS_URI)
@@ -62,11 +56,11 @@ case class XPathStructNs(
           java.util.Collections.emptyIterator()
       }
       val compiled = fields.map { case (_, path) =>
-        val xp = xpf.newXPath()
+        val xp = XPathStructNs.newXPath()
         xp.setNamespaceContext(ctx)
         xp.compile(path)
       }.toArray
-      (dbf.newDocumentBuilder(), compiled)
+      (XPathStructNs.newDocumentBuilder(), compiled)
     }
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -95,4 +89,28 @@ case class XPathStructNs(
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** JVM-global factories: `DocumentBuilderFactory.newInstance` /
+  * `XPathFactory.newInstance` run a ServiceLoader scan under a global
+  * lock — doing that per task (each deserialized expression instance
+  * builds fresh per-thread machinery) serialized all tasks on classpath
+  * scanning and dominated wall time. The factories are created once;
+  * the (cheap) per-thread builder/XPath creation synchronizes on them
+  * because the factory classes are not thread-safe. */
+private object XPathStructNs {
+  private lazy val dbf = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(true)
+    f.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setExpandEntityReferences(false)
+    f
+  }
+  private lazy val xpf = XPathFactory.newInstance()
+
+  def newDocumentBuilder(): javax.xml.parsers.DocumentBuilder =
+    dbf.synchronized { dbf.newDocumentBuilder() }
+  def newXPath(): javax.xml.xpath.XPath =
+    xpf.synchronized { xpf.newXPath() }
 }
