@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -56,23 +56,31 @@ object Hashing {
     text.trim.split("\\s+")
 }
 
-/** MinHash signature straight from text: whitespace-tokenize, roll
-  * `shingleLen`-token shingles (one shingle of all tokens when shorter),
-  * hash each shingle by combining token hashes, and keep the minimum of
-  * each of `numHashes` splitmix permutations. Duplicate shingles cannot
-  * change a minimum, so no distinct pass is needed.
-  */
-case class ShingleMinHashSig(child: Expression, shingleLen: Int, numHashes: Int)
-  extends UnaryExpression with CodegenFallback {
+/** Static kernels shared by interpreted eval and generated code —
+  * `doGenCode` emits a single static call, so the expressions
+  * participate in whole-stage codegen instead of falling back (a
+  * fallback splits the codegen span and re-wraps rows per expression).
+  * Element-type dispatch uses int codes fixed at plan time:
+  * 0=float 1=double 2=long 3=int. */
+object Kernels {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_minhash_sig"
+  def elemCode(t: DataType): Int = t.asInstanceOf[ArrayType].elementType match {
+    case FloatType   => 0
+    case DoubleType  => 1
+    case LongType    => 2
+    case IntegerType => 3
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = Hashing.tokenize(input.asInstanceOf[UTF8String].toString)
+  @inline private def read(a: ArrayData, i: Int, code: Int): Double = code match {
+    case 0 => a.getFloat(i).toDouble
+    case 1 => a.getDouble(i)
+    case 2 => a.getLong(i).toDouble
+    case _ => a.getInt(i).toDouble
+  }
+
+  def minhashSig(input: UTF8String, shingleLen: Int, numHashes: Int): ArrayData = {
+    val toks = Hashing.tokenize(input.toString)
     val tokH = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) { tokH(i) = Hashing.hashString(toks(i)); i += 1 }
@@ -95,23 +103,8 @@ case class ShingleMinHashSig(child: Expression, shingleLen: Int, numHashes: Int)
     new GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** 64-bit SimHash over whitespace tokens: per-token 64-bit hash,
-  * bit-majority vote. One pass, primitive vote counters. */
-case class SimHash(child: Expression)
-  extends UnaryExpression with CodegenFallback {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_simhash"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = Hashing.tokenize(input.asInstanceOf[UTF8String].toString)
+  def simhash(input: UTF8String): Long = {
+    val toks = Hashing.tokenize(input.toString)
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
@@ -129,6 +122,88 @@ case class SimHash(child: Expression)
     out
   }
 
+  def agree(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
+  /** null (boxed) when either vector has zero norm — NaN would sort
+    * ABOVE every value in a descending top-k window. */
+  def cosine(x: ArrayData, y: ArrayData, cx: Int, cy: Int): java.lang.Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = read(x, i, cx); val yv = read(y, i, cy)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
+  def lshBucket(v: ArrayData, planes: Int, code: Int): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) { proj += read(v, d, code) * Hashing.planeComponent(p, d); d += 1 }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** MinHash signature straight from text: whitespace-tokenize, roll
+  * `shingleLen`-token shingles (one shingle of all tokens when shorter),
+  * hash each shingle by combining token hashes, and keep the minimum of
+  * each of `numHashes` splitmix permutations. Duplicate shingles cannot
+  * change a minimum, so no distinct pass is needed.
+  */
+case class ShingleMinHashSig(child: Expression, shingleLen: Int, numHashes: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.minhashSig(input.asInstanceOf[UTF8String], shingleLen, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.Kernels.minhashSig($c, $shingleLen, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over whitespace tokens: per-token 64-bit hash,
+  * bit-majority vote. One pass, primitive vote counters. */
+case class SimHash(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.simhash($c)")
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -136,7 +211,7 @@ case class SimHash(child: Expression)
 /** Fraction of positions where two equal-length long arrays agree —
   * the MinHash signature-agreement Jaccard estimate. */
 case class LongArrayAgree(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -146,16 +221,11 @@ case class LongArrayAgree(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_sig_agree"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    if (n == 0) return 0.0
-    var eq = 0
-    var i = 0
-    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
-    eq.toDouble / n
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.Kernels.agree($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -164,7 +234,7 @@ case class LongArrayAgree(left: Expression, right: Expression)
 /** Cosine similarity between two numeric arrays (float or double
   * elements) — dot product and both norms in a single pass. */
 case class CosineSim(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   private def numericArray(t: DataType): Boolean = t match {
     case ArrayType(_: NumericType, _) => true
@@ -176,36 +246,30 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine_sim"
 
-  private def reader(e: Expression): (ArrayData, Int) => Double =
-    e.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType  => (a, i) => a.getFloat(i).toDouble
-      case DoubleType => (a, i) => a.getDouble(i)
-      case LongType   => (a, i) => a.getLong(i).toDouble
-      case IntegerType => (a, i) => a.getInt(i).toDouble
-      case t => throw new IllegalArgumentException(s"unsupported element type $t")
-    }
-  @transient private lazy val readL = reader(left)
-  @transient private lazy val readR = reader(right)
+  @transient private lazy val codeL = Kernels.elemCode(left.dataType)
+  @transient private lazy val codeR = Kernels.elemCode(right.dataType)
 
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var nx = 0.0; var ny = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = readL(x, i); val yv = readR(y, i)
-      dot += xv * yv; nx += xv * xv; ny += yv * yv
-      i += 1
-    }
-    // Zero/empty vectors have no defined cosine: null, not NaN — Spark
-    // sorts NaN ABOVE every value, which would rank zero vectors as the
-    // best match in every descending top-k window.
-    if (nx == 0.0 || ny == 0.0) null
-    else dot / (math.sqrt(nx) * math.sqrt(ny))
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      codeL, codeR)
+
+  // custom codegen: the kernel returns a boxed Double whose null means
+  // "undefined cosine" (zero-norm input), mapped to SQL NULL
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $boxed =
+         |  graft.expressions.Kernels.cosine($a, $b, $codeL, $codeR);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -215,7 +279,7 @@ case class CosineSim(left: Expression, right: Expression)
   * deterministic pseudo-random plane; `planes` bits packed into a long.
   * Plane components derive from (plane, dim) — no plane matrix shipped. */
 case class HyperplaneLshBucket(child: Expression, planes: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
@@ -224,30 +288,14 @@ case class HyperplaneLshBucket(child: Expression, planes: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_bucket"
 
-  private def reader: (ArrayData, Int) => Double =
-    child.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType  => (a, i) => a.getFloat(i).toDouble
-      case DoubleType => (a, i) => a.getDouble(i)
-      case LongType   => (a, i) => a.getLong(i).toDouble
-      case IntegerType => (a, i) => a.getInt(i).toDouble
-      case t => throw new IllegalArgumentException(s"unsupported element type $t")
-    }
-  @transient private lazy val read = reader
+  @transient private lazy val code = Kernels.elemCode(child.dataType)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val n = v.numElements()
-    var bucket = 0L
-    var p = 0
-    while (p < planes) {
-      var proj = 0.0
-      var d = 0
-      while (d < n) { proj += read(v, d) * Hashing.planeComponent(p, d); d += 1 }
-      if (proj >= 0) bucket |= (1L << p)
-      p += 1
-    }
-    bucket
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.lshBucket(input.asInstanceOf[ArrayData], planes, code)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.Kernels.lshBucket($c, $planes, $code)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
