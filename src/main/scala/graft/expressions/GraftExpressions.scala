@@ -64,11 +64,23 @@ object Hashing {
   * 0=float 1=double 2=long 3=int. */
 object Kernels {
 
+  /** Every fixed-width numeric element type is supported — int8/int16
+    * quantized embeddings included. checkInputDataTypes on the consuming
+    * expressions mirrors this set, so an unsupported type is an analysis
+    * error, never a driver-side throw from doGenCode. */
+  def supportsElem(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType | LongType | IntegerType |
+                   ShortType | ByteType, _) => true
+    case _ => false
+  }
+
   def elemCode(t: DataType): Int = t.asInstanceOf[ArrayType].elementType match {
     case FloatType   => 0
     case DoubleType  => 1
     case LongType    => 2
     case IntegerType => 3
+    case ShortType   => 4
+    case ByteType    => 5
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
   }
 
@@ -76,7 +88,9 @@ object Kernels {
     case 0 => a.getFloat(i).toDouble
     case 1 => a.getDouble(i)
     case 2 => a.getLong(i).toDouble
-    case _ => a.getInt(i).toDouble
+    case 3 => a.getInt(i).toDouble
+    case 4 => a.getShort(i).toDouble
+    case _ => a.getByte(i).toDouble
   }
 
   def minhashSig(input: UTF8String, shingleLen: Int, numHashes: Int): ArrayData = {
@@ -236,13 +250,11 @@ case class LongArrayAgree(left: Expression, right: Expression)
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  private def numericArray(t: DataType): Boolean = t match {
-    case ArrayType(_: NumericType, _) => true
-    case _ => false
-  }
   override def checkInputDataTypes(): TypeCheckResult =
-    if (numericArray(left.dataType) && numericArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs numeric arrays, got ${left.dataType} / ${right.dataType}")
+    if (Kernels.supportsElem(left.dataType) && Kernels.supportsElem(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs fixed-width numeric arrays, got ${left.dataType} / ${right.dataType}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine_sim"
 
@@ -281,10 +293,10 @@ case class CosineSim(left: Expression, right: Expression)
 case class HyperplaneLshBucket(child: Expression, planes: Int)
   extends UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs a numeric array, got $t")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Kernels.supportsElem(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a fixed-width numeric array, got ${child.dataType}")
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_bucket"
 

@@ -46,7 +46,11 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = Balance.widen(df)
+    // Null text must not reach the banding: a null signature slices to
+    // null band inputs, and xxhash64(null) is a CONSTANT — every
+    // null-text row would share every bucket (quadratic self-join, all
+    // but one null row "deduped"). Null-text rows simply have no pairs.
+    val sig = Balance.widen(df.filter(col(textCol).isNotNull))
       .select(col(idCol).as("__id"),
         minhashSignature(col(textCol), shingleLen, numHashes).as("__sig"))
 
@@ -124,29 +128,42 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
-    if (!converged)
+    if (!converged) {
+      labels.unpersist(); edges.unpersist()
       throw new IllegalStateException(
         s"clusterPairs did not converge in $maxIter rounds (component " +
           "diameter exceeds maxIter) — raise maxIter; silent partial labels " +
           "would keep redundant near-duplicates")
-    labels
+    }
+    // Hand back a lineage-cut copy and release the iteration caches —
+    // a persisted result would pin executor storage until the caller
+    // remembered to unpersist it. (localCheckpoint blocks are GC-cleaned
+    // once the returned frame is dropped.)
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    out
   }
 
-  /** One-call near-duplicate corpus dedup: MinHash-LSH candidate pairs →
-    * connected components → drop every document that is not its
-    * cluster's canonical (minimum-id) member. Documents in no cluster
-    * pass through. The anti-join ships only (id, cluster) pairs — tiny
-    * next to the corpus. */
+  /** One-call near-duplicate corpus dedup: MinHash-LSH candidate pairs,
+    * VERIFIED against the signature-agreement estimate (`minJaccard` —
+    * raw LSH candidates include ~Jaccard-0.5 false positives at the
+    * default banding), → connected components → drop every document that
+    * is not its cluster's canonical (minimum-id) member. Documents in no
+    * cluster (including null-text rows) pass through. The anti-join
+    * ships only (id, cluster) pairs — tiny next to the corpus. */
   def dedupCorpus(
       df: DataFrame,
       idCol: String,
       textCol: String,
+      minJaccard: Double = 0.7,
       shingleLen: Int = 3,
       bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      maxIter: Int = 20): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, shingleLen, bands, rowsPerBand)
-    val losers = clusterPairs(pairs)
+      .filter(col("est_jaccard") >= minJaccard)
+    val losers = clusterPairs(pairs, maxIter = maxIter)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
