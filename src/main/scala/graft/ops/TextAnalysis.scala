@@ -64,4 +64,17 @@ object TextAnalysis {
     * — the exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** PII redaction — the standard pre-training scrub: emails, bare
+    * URLs, and long digit runs (phone/account numbers) replaced by
+    * typed placeholder tokens. Patterns use only portable regex
+    * constructs (character classes, quantifiers) so the same semantics
+    * hold across engines. One codegen'd pass per pattern, no shuffle. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email,
+      "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[0-9][0-9 ()+./-]{7,}[0-9]", "<NUMBER>")
+  }
 }

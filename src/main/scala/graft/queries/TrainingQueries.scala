@@ -138,6 +138,18 @@ object TrainingQueries {
           col("alpha_chars"), col("alpha_ratio"), col("mean_token_len"))
         .orderBy(col("doc_id"))),
 
+    // ── Text: PII redaction ──────────────────────────────────────────────
+    "text_redact_pii" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("text",
+          concat(col("text"),
+            lit(" contact "), col("lang"), lit(".user@example.org"),
+            lit(" or call 01234 5678"), col("doc_id").cast("string"),
+            lit(" see https://example.org/d/"), col("doc_id").cast("string")))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy(col("doc_id"))),
+
     // ── Text: document fingerprint ───────────────────────────────────────
     "text_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -264,6 +276,17 @@ object TrainingQueries {
         | round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
         | round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
         |   len(regexp_split_to_array(trim(text), '\s+')), 6) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_redact_pii" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   text || ' contact ' || lang || '.user@example.org' ||
+        |     ' or call 01234 5678' || CAST(doc_id AS VARCHAR) ||
+        |     ' see https://example.org/d/' || CAST(doc_id AS VARCHAR),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   'https?://[^\s]+', '<URL>', 'g'),
+        |   '[0-9][0-9 ()+./-]{7,}[0-9]', '<NUMBER>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->

@@ -45,6 +45,32 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("value_sum"))
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same user within `[left.ts, left.ts + interval]`.
+    * Both sides carry watermarks and the join condition bounds event
+    * time on both, so the engine can evict buffered state once the
+    * watermark passes the interval — the third bounded-state streaming
+    * primitive next to windowed aggregation and keyed session state
+    * (attribution joins: click→conversion within N minutes). */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      intervalSeconds: Long = 600L,
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_event_id"),
+        col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user_id"), col("event_id").as("r_event_id"),
+        col("ts").as("r_ts"), col("event_type").as("r_type"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** Gap-based sessionization as custom keyed state
     * (`flatMapGroupsWithState` + event-time timeout): a session closes
     * when no event arrives within `gap` of its last event (watermark

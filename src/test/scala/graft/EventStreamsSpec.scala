@@ -82,6 +82,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: stream-stream interval join pairs events within the window only") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = MemoryStream[Event]
+    val convs = MemoryStream[Event]
+
+    val q = EventStreams.intervalJoin(clicks.toDF(), convs.toDF(),
+        intervalSeconds = 600L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(ev(1, "2024-01-01 10:00:00", user = 1, typ = "click"))
+      convs.addData(
+        ev(100, "2024-01-01 10:05:00", user = 1, typ = "conv"),   // within 10 min
+        ev(101, "2024-01-01 10:20:00", user = 1, typ = "conv"),   // outside
+        ev(102, "2024-01-01 10:05:00", user = 2, typ = "conv"))   // other user
+      q.processAllAvailable()
+      // advance both watermarks so results flush
+      clicks.addData(ev(9, "2024-01-01 12:00:00", user = 99))
+      convs.addData(ev(999, "2024-01-01 12:00:00", user = 99))
+      q.processAllAvailable()
+
+      val rows = s.sql("SELECT * FROM attrib WHERE user_id = 1").collect()
+      assert(rows.map(r => (r.getAs[Long]("l_event_id"), r.getAs[Long]("r_event_id"))).toSet
+        == Set((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("streaming: a new event within the gap extends the open session") {
     val s = spark
     import s.implicits._
