@@ -67,6 +67,42 @@ object Similarity {
     * Zero vectors have undefined cosine (null) and drop out of both the
     * index and the probes.
     */
+  /** One-or-more Lloyd iterations over the corpus to refine IVF
+    * centroids: narrow argmax assignment (centroids inlined as
+    * literals), then per-(cluster, dimension) means via posexplode —
+    * map-side combined, so the shuffle carries only
+    * `nCentroids × dims` partials. Each iteration collects the tiny
+    * centroid matrix back to the driver; empty clusters keep their
+    * previous centroid. */
+  def refineCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      initial: Seq[Seq[Double]],
+      iterations: Int = 2): Seq[Seq[Double]] = {
+    var cents = initial
+    for (_ <- 0 until iterations) {
+      val current = cents
+      val scores = array(current.map(c =>
+        cosine(col("__v"), typedlit(c))): _*)
+      val means = Balance.widen(corpus)
+        .filter(col(vecCol).isNotNull)
+        .select(col(vecCol).as("__v"))
+        .withColumn("__cent",
+          (call_function("array_position", scores, array_max(scores)) - 1)
+            .cast("int"))
+        .filter(col("__cent").isNotNull)
+        .select(col("__cent"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy("__cent", "__d").agg(avg(col("__x")).as("__m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cent, rows) =>
+          cent -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = current.indices.map(i => means.getOrElse(i, current(i)))
+    }
+    cents
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -74,11 +110,12 @@ object Similarity {
       cId: String, cVec: String,
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      refineIterations: Int = 0): DataFrame = {
     // null and zero vectors are excluded from the centroid sample — a
     // null would NPE the driver-side collect and a zero-norm centroid
     // scores null against everything
-    val cents: Seq[Seq[Double]] = corpus
+    val sampled: Seq[Seq[Double]] = corpus
       .filter(col(cVec).isNotNull).orderBy(col(cId)).limit(nCentroids)
       .select(col(cVec)).collect()
       .map(_.getSeq[Any](0).map {
@@ -87,7 +124,11 @@ object Similarity {
         case n: java.lang.Number => n.doubleValue
       }.toSeq).toSeq
       .filter(_.exists(_ != 0.0))
-    require(cents.nonEmpty, "ivfTopK needs a non-empty corpus with nonzero vectors")
+    require(sampled.nonEmpty, "ivfTopK needs a non-empty corpus with nonzero vectors")
+    val cents =
+      if (refineIterations > 0)
+        refineCentroids(corpus, cVec, sampled, refineIterations)
+      else sampled
 
     def scores(vec: Column): Column =
       array(cents.map(c => cosine(vec, typedlit(c))): _*)

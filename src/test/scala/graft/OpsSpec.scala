@@ -162,6 +162,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("similarity: Lloyd-refined IVF centroids preserve exact self-match recall") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val top1 = Similarity.ivfTopK(q, c, "q_id", "q_vec", "c_id", "c_vec",
+        k = 1, nCentroids = 8, nProbe = 3, refineIterations = 2).collect()
+    assert(top1.length == 10)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("q_id") == r.getAs[Long]("c_id"))
+      assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-9)
+    }
+    // refinement actually moves the centroids off the raw sample
+    val sample = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val s = spark
+    import s.implicits._
+    val tiny = Seq(Tuple1(Array(0.9f, 0.1f)), Tuple1(Array(0.8f, 0.0f)),
+      Tuple1(Array(0.1f, 0.9f))).toDF("v")
+    val refined = Similarity.refineCentroids(tiny, "v", sample, iterations = 1)
+    assert(refined.head != sample.head)
+    assert(math.abs(refined.head.head - 0.85) < 1e-6) // mean of 0.9, 0.8
+  }
+
   test("text: langid marker scores prefer english for english-marker text") {
     val s = spark
     import s.implicits._
