@@ -195,6 +195,34 @@ object TrainingQueries {
         .orderBy(col("doc_id"), col("frame_index"))
     }),
 
+    // ── Analytics surface: exact percentiles per group ───────────────────
+    "agg_quantiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy(col("event_type"))),
+
+    // ── Analytics surface: ROLLUP with subtotal rows ─────────────────────
+    "agg_rollup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
+
+    // ── Analytics surface: pivot (wide per-type counts) ──────────────────
+    "agg_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("user_bucket", col("user_id") % 10)
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy(col("user_bucket"))),
+
     // ── Streaming-analog: sessionization (30-min gap) ────────────────────
     "events_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -354,6 +382,29 @@ object TrainingQueries {
         | CAST(unnest(range(0, length(text) % 30 + 1, 10)) AS BIGINT) AS frame_index,
         | CAST(least(64, length(text)) AS BIGINT) AS frame_bytes_len
         |FROM documents ORDER BY doc_id, frame_index""".stripMargin,
+
+    "agg_quantiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY ROLLUP (event_type, day)
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        | CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        | CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        | CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        | CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        | CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
 
     "events_sessionize" ->
       """WITH x AS (SELECT *,
