@@ -297,6 +297,38 @@ object ReferenceQueries {
         .orderBy(col("rec_id"))
     }),
 
+    // ── Engine-completeness: set difference (free from Spark SQL; the
+    // reference has no set ops — SURVEY §2.3 note) ────────────────────────
+    "set_except" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select("event_id", "user_id", "event_type")
+        .except(ev.filter(col("value") >= 50)
+          .select("event_id", "user_id", "event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── Engine-completeness: semi join (queue ∩ referenced keys) ─────────
+    "join_semi" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ── Engine-completeness: running windows (rank / running sum / lead) ─
+    "window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("running_cents",
+          sum(round(col("value") * 100).cast("long"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select("event_id", "user_id", "rn", "running_cents", "next_type")
+        .orderBy(col("event_id"))
+    }),
+
     // ── S2: per-record enrichment fetch (partition-parallel lookup) ──────
     // The dissemination transport is a deterministic stub (zero-egress
     // container); the Spark-side plumbing — typed mapPartitions with one
@@ -553,6 +585,29 @@ object ReferenceQueries {
         | (4, NULL, 'issue', TIMESTAMP '2011-03-31 00:00:00'))
         | AS t(rec_id, mandator, document_type, distribution_date)
         |ORDER BY rec_id""".stripMargin,
+
+    "set_except" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |EXCEPT
+        |SELECT event_id, user_id, event_type FROM events WHERE value >= 50
+        |ORDER BY event_id""".stripMargin,
+
+    "join_semi" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "window_running" ->
+      """SELECT event_id, user_id,
+        | CAST(row_number() OVER w AS BIGINT) AS rn,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+        | lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "s2_mets_enrichment" ->
       """SELECT doc_id,
