@@ -79,20 +79,32 @@ object Similarity {
       vecCol: String,
       initial: Seq[Seq[Double]],
       iterations: Int = 2): Seq[Seq[Double]] = {
+    // widen once; reused every iteration. Members are L2-NORMALIZED
+    // before averaging — assignment is by cosine, so the spherical
+    // k-means update is the mean of directions; a raw mean would let
+    // large-norm vectors drag the centroid (the resulting centroid need
+    // not be re-normalized: cosine argmax is scale-invariant).
+    val wide = Balance.widen(corpus)
+      .filter(col(vecCol).isNotNull)
+      .select(col(vecCol).as("__v"))
+      .withColumn("__norm", expr(
+        "sqrt(aggregate(transform(__v, x -> cast(x as double) * x), " +
+          "cast(0.0 as double), (a, b) -> a + b))"))
+      .filter(col("__norm") > 0.0)
     var cents = initial
     for (_ <- 0 until iterations) {
       val current = cents
       val scores = array(current.map(c =>
         cosine(col("__v"), typedlit(c))): _*)
-      val means = Balance.widen(corpus)
-        .filter(col(vecCol).isNotNull)
-        .select(col(vecCol).as("__v"))
+      val means = wide
         .withColumn("__cent",
           (call_function("array_position", scores, array_max(scores)) - 1)
             .cast("int"))
         .filter(col("__cent").isNotNull)
-        .select(col("__cent"), posexplode(col("__v")).as(Seq("__d", "__x")))
-        .groupBy("__cent", "__d").agg(avg(col("__x")).as("__m"))
+        .select(col("__cent"), col("__norm"),
+          posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy("__cent", "__d")
+        .agg(avg(col("__x") / col("__norm")).as("__m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cent, rows) =>

@@ -322,7 +322,7 @@ object ReferenceQueries {
       Tables.events(s, dir)
         .withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("running_cents",
-          sum(round(col("value") * 100).cast("long"))
+          sum(cents(col("value")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .select("event_id", "user_id", "rn", "running_cents", "next_type")

@@ -215,13 +215,18 @@ object TrainingQueries {
         .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
 
     // ── Analytics surface: pivot (wide per-type counts) ──────────────────
-    "agg_pivot" -> ((s, dir) =>
-      Tables.events(s, dir)
+    "agg_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.events(s, dir)
         .withColumn("user_bucket", col("user_id") % 10)
         .groupBy(col("user_bucket"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .pivot("event_type", types)
         .agg(count(lit(1)))
-        .orderBy(col("user_bucket"))),
+      // empty (bucket, type) cells pivot to NULL; count semantics say 0
+      pivoted.select(col("user_bucket") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("user_bucket"))
+    }),
 
     // ── Streaming-analog: sessionization (30-min gap) ────────────────────
     "events_sessionize" -> ((s, dir) => {

@@ -68,7 +68,7 @@ object EventStreams {
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"))
       .select(col("user_id"), col("l_event_id"), col("r_event_id"),
-        col("l_ts"), col("r_ts"))
+        col("l_ts"), col("r_ts"), col("l_type"), col("r_type"))
   }
 
   /** Gap-based sessionization as custom keyed state

@@ -182,7 +182,9 @@ class OpsSpec extends SparkSpec {
       Tuple1(Array(0.1f, 0.9f))).toDF("v")
     val refined = Similarity.refineCentroids(tiny, "v", sample, iterations = 1)
     assert(refined.head != sample.head)
-    assert(math.abs(refined.head.head - 0.85) < 1e-6) // mean of 0.9, 0.8
+    // spherical update: mean of L2-normalized members' first components
+    val expected = (0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1) + 0.8 / 0.8) / 2.0
+    assert(math.abs(refined.head.head - expected) < 1e-6)
   }
 
   test("text: langid marker scores prefer english for english-marker text") {
