@@ -146,10 +146,16 @@ class EnrichmentPipeline(
       keys = Seq("record_identifier")))
 
     val processedHeaders = fetched.select(pb.queueColumns.map(col): _*)
-    val latestQueue = headersTable.read().getOrElse(processedHeaders.limit(0))
-    val delete = StateOps.deleteIfUnmodified(latestQueue, processedHeaders)
-    val notRemoved = delete.notRemoved.count()
-    headersTable.write(delete.newState)
+    // atomic read-modify-write: the latest queue snapshot is read and
+    // rewritten under the table's write lock, so a harvest merge cannot
+    // land between them and be clobbered
+    var notRemoved = 0L
+    headersTable.update { state =>
+      val latestQueue = state.getOrElse(processedHeaders.limit(0))
+      val delete = StateOps.deleteIfUnmodified(latestQueue, processedHeaders)
+      notRemoved = delete.notRemoved.count()
+      delete.newState
+    }
     headersTable.fileSystem.delete(
       new org.apache.hadoop.fs.Path(pb.inflightPath), true)
 

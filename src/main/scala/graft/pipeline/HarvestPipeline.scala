@@ -83,12 +83,13 @@ class HarvestPipeline(
               XmlProjections.projectOaiHeaders(pageDf, col("xml"))
                 .select("record_identifier", "datestamp", "set_spec",
                   "status_is_deleted"))
-            val merged = StateOps.mergeByKey(
-              headersTable.readOrEmpty(headers), headers,
-              keys = Seq("record_identifier"))
-            // ST4: headers commit BEFORE the checkpoint row.
+            // ST4: headers commit BEFORE the checkpoint row; the merge is
+            // an atomic read-modify-write so a concurrent enrichment
+            // delete cannot be clobbered.
             val n = headers.count()
-            headersTable.write(merged)
+            headersTable.update(state => StateOps.mergeByKey(
+              state.getOrElse(headers.limit(0)), headers,
+              keys = Seq("record_identifier")))
             n
           } else 0L
 

@@ -63,49 +63,74 @@ class ParquetStateTable(
       }
       .sortBy(_._1)
 
-  /** Exactly-once helper for `foreachBatch` sinks: commit `df` unless
-    * `batchId` was already committed by the SAME stream — markers are
-    * scoped by `streamScope` (derived from the checkpoint location)
-    * because batch ids restart at 0 with a fresh checkpoint, and a
-    * global marker would silently swallow the new stream's first
-    * batches. A crash between the version commit and the marker replays
-    * as an idempotent re-write of the same merge — at-least-once
-    * degrading safely, which is the ST4 contract. Returns true when the
-    * write happened. */
-  def writeOnceForBatch(df: DataFrame, batchId: Long, streamScope: String): Boolean = {
-    val scopeDir = new Path(root,
-      "_batches/" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(streamScope).toLong & 0xffffffffL))
-    val marker = new Path(scopeDir, f"batch$batchId%012d")
-    if (fs.exists(marker)) false
-    else {
-      write(df)
-      fs.mkdirs(scopeDir)
-      fs.create(marker, true).close()
-      // bounded marker history: drop markers far behind the current batch
-      fs.listStatus(scopeDir).foreach { st =>
-        val n = st.getPath.getName.stripPrefix("batch")
-        if (n.forall(_.isDigit) && n.toLong < batchId - 100) fs.delete(st.getPath, false)
+  /** Atomic read-modify-write: `f` maps the current committed snapshot
+    * to the next one UNDER the same per-path lock `write` takes, so no
+    * concurrent writer can commit between the read and the write (the
+    * lost-update race the reference avoids via database transactions).
+    * Returns the committed version. */
+  def update(f: Option[DataFrame] => DataFrame): Long =
+    ParquetStateTable.lockFor(path).synchronized { write(f(read())) }
+
+  /** Exactly-once helper for `foreachBatch` sinks: apply `f` as an
+    * atomic [[update]] unless `batchId` was already committed by the
+    * SAME stream — markers are scoped by `streamScope` (derived from the
+    * checkpoint location) because batch ids restart at 0 with a fresh
+    * checkpoint, and a global marker would silently swallow the new
+    * stream's first batches. A crash between the version commit and the
+    * marker replays as an idempotent re-write of the same merge —
+    * at-least-once degrading safely, which is the ST4 contract. Returns
+    * true when the write happened. */
+  def writeOnceForBatch(batchId: Long, streamScope: String)(
+      f: Option[DataFrame] => DataFrame): Boolean =
+    ParquetStateTable.lockFor(path).synchronized {
+      val scopeDir = new Path(root,
+        "_batches/" + java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(streamScope).toLong & 0xffffffffL))
+      val marker = new Path(scopeDir, f"batch$batchId%012d")
+      if (fs.exists(marker)) false
+      else {
+        update(f)
+        fs.mkdirs(scopeDir)
+        fs.create(marker, true).close()
+        // bounded marker history: drop markers far behind the current batch
+        fs.listStatus(scopeDir).foreach { st =>
+          val n = st.getPath.getName.stripPrefix("batch")
+          if (n.forall(_.isDigit) && n.toLong < batchId - 100) fs.delete(st.getPath, false)
+        }
+        true
       }
-      true
     }
-  }
 
   /** Commit `df` as the next version; prunes old versions (and orphaned
     * uncommitted directories from crashed writes) afterwards. Returns
-    * the committed version number. */
-  def write(df: DataFrame): Long = {
-    val next = allVersionDirs().lastOption.map(_._1).getOrElse(0L) + 1
-    df.write.mode("errorifexists").parquet(f"$path/v$next%08d")
-    val keep = committedVersions().takeRight(keepVersions).map(_._1).toSet
-    // one listing: drops superseded committed versions and uncommitted
-    // orphans alike (keep ⊆ committed, orphans are never in keep)
-    allVersionDirs().foreach { case (v, p) =>
-      if (v != next && !keep.contains(v)) fs.delete(p, true)
+    * the committed version number.
+    *
+    * Writers to the SAME path serialize on a JVM-wide per-path lock —
+    * the harvest and enrichment loops both rewrite the headers table
+    * concurrently, and two writers racing to the same version number
+    * would otherwise fail on `errorifexists` (the reference serializes
+    * through database transactions). Cross-process writers would need a
+    * filesystem lock or a transactional table format. */
+  def write(df: DataFrame): Long =
+    ParquetStateTable.lockFor(path).synchronized {
+      val next = allVersionDirs().lastOption.map(_._1).getOrElse(0L) + 1
+      df.write.mode("errorifexists").parquet(f"$path/v$next%08d")
+      val keep = committedVersions().takeRight(keepVersions).map(_._1).toSet
+      // one listing: drops superseded committed versions and uncommitted
+      // orphans alike (keep ⊆ committed, orphans are never in keep)
+      allVersionDirs().foreach { case (v, p) =>
+        if (v != next && !keep.contains(v)) fs.delete(p, true)
+      }
+      next
     }
-    next
-  }
 
   private[pipeline] def tableRoot: Path = root
   private[pipeline] def fileSystem = fs
+}
+
+object ParquetStateTable {
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
 }

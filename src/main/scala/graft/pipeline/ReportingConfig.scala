@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import java.io.{InputStreamReader, Reader}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.Properties
+
+import scala.jdk.CollectionConverters._
+
+/** Typed configuration for the two-stage reporting deployment, with the
+  * reference's exact three-layer precedence
+  * (`ReportingProperties.java:43-89`):
+  *
+  *   1. a defaults properties file (reference:
+  *      `/opt/reporting/config/default.properties`),
+  *   2. an optional classpath `local.properties` overlay,
+  *   3. `db.*` / `oai.*` / `mets.*` JVM system properties, highest.
+  *
+  * Keys and defaults mirror the reference's
+  * `src/main/resources/default.properties`.
+  */
+case class ReportingConfig(
+    dbUrl: String,
+    dbUser: String,
+    dbPassword: String,
+    oaiUrl: String,
+    oaiPollSeconds: Long,
+    fc3CompatibilityMode: Boolean,
+    runResultHistoryHours: Long,
+    metsUrl: String,
+    metsPollSeconds: Long)
+
+object ReportingConfig {
+
+  val Defaults: Map[String, String] = Map(
+    "db.url" -> "jdbc:postgresql://localhost:5432/reporting",
+    "db.user" -> "reportingDB",
+    "db.passwd" -> "reportingDB",
+    "oai.url" -> "http://localhost:8080/fedora/oai",
+    "oai.pollseconds" -> "360",
+    "oai.fc3compatibility" -> "true",
+    "oai.runresulthistorylengthhours" -> "48",
+    "mets.url" -> "http://localhost:8080/mets",
+    "mets.pollseconds" -> "600")
+
+  private val Prefixes = Seq("db.", "oai.", "mets.")
+
+  /** Load with full layering. `defaultsFile` is optional (falls back to
+    * compiled-in defaults), as is the classpath overlay. */
+  def load(
+      defaultsFile: Option[Path] = Some(Paths.get("/opt/reporting/config/default.properties")),
+      localPropertiesResource: String = "/local.properties",
+      systemProperties: Map[String, String] =
+        sys.props.toMap): ReportingConfig = {
+    val props = new Properties()
+    Defaults.foreach { case (k, v) => props.setProperty(k, v) }
+
+    defaultsFile.filter(Files.exists(_)).foreach { p =>
+      val reader: Reader = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+      try props.load(reader) finally reader.close()
+    }
+    Option(getClass.getResourceAsStream(localPropertiesResource)).foreach { in =>
+      val reader = new InputStreamReader(in, StandardCharsets.UTF_8)
+      try props.load(reader) finally reader.close()
+    }
+    systemProperties.foreach { case (k, v) =>
+      if (Prefixes.exists(k.startsWith)) props.setProperty(k, v)
+    }
+    fromProperties(props)
+  }
+
+  def fromProperties(props: Properties): ReportingConfig = {
+    def get(k: String): String =
+      Option(props.getProperty(k)).getOrElse(Defaults(k))
+    ReportingConfig(
+      dbUrl = get("db.url"),
+      dbUser = get("db.user"),
+      dbPassword = get("db.passwd"),
+      oaiUrl = get("oai.url"),
+      oaiPollSeconds = get("oai.pollseconds").trim.toLong,
+      fc3CompatibilityMode = get("oai.fc3compatibility").trim.toBoolean,
+      runResultHistoryHours = get("oai.runresulthistorylengthhours").trim.toLong,
+      metsUrl = get("mets.url"),
+      metsPollSeconds = get("mets.pollseconds").trim.toLong)
+  }
+
+  def fromMap(entries: Map[String, String]): ReportingConfig = {
+    val props = new Properties()
+    (Defaults ++ entries).foreach { case (k, v) => props.setProperty(k, v) }
+    fromProperties(props)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import java.util.concurrent.CountDownLatch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.OffsetStateMachine
+
+/** The deployment wiring (reference `ReportingManager.java:51-125`): two
+  * independent poll loops — harvest and enrichment — that communicate
+  * ONLY through the shared headers state table, each with the
+  * reference's wait policy (ST1) and cooperative termination (ST6,
+  * reference `TerminateableRunnable.java` + 60 s shutdown grace).
+  *
+  * Loop cadence mirrors the reference: harvest waits per the
+  * `OffsetStateMachine.waitMillis` 4-case policy (first run 0, pagination
+  * pending the 1 s floor, normal poll-interval-minus-elapsed, error full
+  * interval); enrichment fast-drains while batches come back full and
+  * sleeps `mets.pollseconds` when the queue is empty
+  * (`MetsProcessor.java:260-268`).
+  *
+  * `clock` and `sleeper` are injectable so loop behavior is testable
+  * without wall-clock waits.
+  */
+class ReportingRunner(
+    spark: SparkSession,
+    config: ReportingConfig,
+    stateRoot: String,
+    pageFetcher: PageFetcher,
+    docFetcher: DocumentFetcher,
+    headerFilter: DataFrame => DataFrame = identity,
+    batchSize: Int = 100,
+    clock: () => Long = () => System.currentTimeMillis(),
+    sleeper: Long => Unit = Thread.sleep) {
+
+  val headersTable = new ParquetStateTable(spark, s"$stateRoot/headers")
+  val runsTable = new ParquetStateTable(spark, s"$stateRoot/runs")
+  val reportingTable = new ParquetStateTable(spark, s"$stateRoot/reporting")
+
+  val harvest = new HarvestPipeline(spark, headersTable, runsTable,
+    config.oaiUrl, fc3CompatibilityMode = config.fc3CompatibilityMode,
+    historyLengthHours = config.runResultHistoryHours,
+    headerFilter = headerFilter)
+  val enrichment = new EnrichmentPipeline(spark, headersTable,
+    reportingTable, batchSize = batchSize)
+
+  @volatile private var running = true
+  @volatile private var lastHarvestFailed = false
+
+  /** ST6 — cooperative stop; loops exit at their next check. */
+  def stop(): Unit = running = false
+  def isRunning: Boolean = running
+
+  private val MinWaitMs = 1000L // reference OaiHarvesterBuilder.java:33
+
+  /** One harvest wait+poll cycle; returns the wait that was applied. */
+  def harvestIteration(): Long = {
+    val last = Option(harvest.lastRun()).filter(_.id > 0L)
+    val wait = OffsetStateMachine.waitMillis(last, lastHarvestFailed,
+      clock(), config.oaiPollSeconds * 1000L, MinWaitMs)
+    if (wait > 0) sleeper(wait)
+    if (running) {
+      val summary = harvest.runOnce(pageFetcher, new Timestamp(clock()))
+      lastHarvestFailed = !summary.succeeded
+    }
+    wait
+  }
+
+  /** One enrichment drain cycle; fast-drains on full batches. */
+  def enrichmentIteration(): Long = {
+    val summary = enrichment.runOnce(docFetcher)
+    val wait =
+      if (summary.processed >= batchSize) MinWaitMs // backlog: drain fast
+      else config.metsPollSeconds * 1000L
+    if (running && wait > 0) sleeper(wait)
+    wait
+  }
+
+  /** Start both loops as daemon threads (the reference's cached thread
+    * pool with two runnables). Returns after both have started. */
+  def start(): (Thread, Thread) = {
+    val started = new CountDownLatch(2)
+    def loop(name: String)(body: () => Unit): Thread = {
+      val t = new Thread(() => {
+        started.countDown()
+        while (running) {
+          // reference loops log persistence errors and retry next cycle
+          // (MetsProcessor.java:117-123) — an uncaught throw must not
+          // silently kill the loop thread
+          try body()
+          catch {
+            case _: InterruptedException => ()
+            case e: Throwable =>
+              System.err.println(s"[$name] iteration failed: ${e.getMessage}")
+              try sleeper(MinWaitMs) catch { case _: InterruptedException => () }
+          }
+        }
+      }, name)
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    val h = loop("graft-harvest")(() => harvestIteration())
+    val e = loop("graft-enrichment")(() => enrichmentIteration())
+    started.await()
+    (h, e)
+  }
+
+  /** Stop and await both loops (reference 60 s executor grace,
+    * `ReportingManager.java:99-116`). Returns true when both exited. */
+  def stopAndAwait(threads: (Thread, Thread), graceMillis: Long = 60000L): Boolean = {
+    stop()
+    threads._1.interrupt(); threads._2.interrupt()
+    threads._1.join(graceMillis); threads._2.join(graceMillis)
+    !threads._1.isAlive && !threads._2.isAlive
+  }
+}

@@ -54,10 +54,13 @@ object HarvestStream {
             .select("record_identifier", "datestamp", "set_spec",
               "status_is_deleted"))
         // batch-id marker (scoped to this checkpoint) upgrades
-        // foreachBatch's at-least-once replay to effective exactly-once
-        headersTable.writeOnceForBatch(StateOps.mergeByKey(
-          headersTable.readOrEmpty(headers), headers,
-          keys = Seq("record_identifier")), batchId, checkpointDir)
+        // foreachBatch's at-least-once replay to effective exactly-once;
+        // the merge runs as an atomic read-modify-write
+        headersTable.writeOnceForBatch(batchId, checkpointDir) { state =>
+          StateOps.mergeByKey(
+            state.getOrElse(headers.limit(0)), headers,
+            keys = Seq("record_identifier"))
+        }
         ()
       }
       .start()

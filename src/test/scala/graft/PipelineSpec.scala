@@ -264,12 +264,12 @@ class PipelineSpec extends SparkSpec {
     val t = new ParquetStateTable(spark, s"$dir/state")
     val s = spark
     import s.implicits._
-    assert(t.writeOnceForBatch(Seq((1L, "a")).toDF("id", "v"), 0L, "ckptA"))
-    assert(!t.writeOnceForBatch(Seq((1L, "DUP")).toDF("id", "v"), 0L, "ckptA"))
-    assert(t.writeOnceForBatch(Seq((2L, "b")).toDF("id", "v"), 1L, "ckptA"))
+    assert(t.writeOnceForBatch(0L, "ckptA")(_ => Seq((1L, "a")).toDF("id", "v")))
+    assert(!t.writeOnceForBatch(0L, "ckptA")(_ => Seq((1L, "DUP")).toDF("id", "v")))
+    assert(t.writeOnceForBatch(1L, "ckptA")(_ => Seq((2L, "b")).toDF("id", "v")))
     assert(t.read().get.head.getString(1) == "b") // replay never landed
     // a FRESH checkpoint restarts batch ids at 0 and must NOT be skipped
-    assert(t.writeOnceForBatch(Seq((3L, "c")).toDF("id", "v"), 0L, "ckptB"))
+    assert(t.writeOnceForBatch(0L, "ckptB")(_ => Seq((3L, "c")).toDF("id", "v")))
     assert(t.read().get.head.getString(1) == "c")
   }
 
