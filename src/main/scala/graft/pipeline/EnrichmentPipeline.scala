@@ -103,20 +103,32 @@ class EnrichmentPipeline(
     * fetch loop — the window in which a concurrent harvest may re-upsert
     * a drained record. */
   def processBatch(fetch: DocumentFetcher): Option[ProcessedBatch] =
-    headersTable.read().map { queue =>
-      val batch = StateOps.limitBatch(
-        queue.orderBy(col("record_identifier")), batchSize).as[QueuedHeader]
-      val fetched = batch.mapPartitions { it =>
-        it.map { h =>
-          val xml = fetch(OaiRequestBuilder.localIdentifier(h.record_identifier))
-          FetchedHeader(h.record_identifier, h.datestamp, h.set_spec,
-            h.status_is_deleted, xml.orNull)
-        }
-      }.toDF()
-      val inflight = new org.apache.hadoop.fs.Path(headersTable.tableRoot,
-        s"_inflight/${java.util.UUID.randomUUID()}").toString
-      fetched.write.parquet(inflight) // every remote fetch runs exactly once
-      ProcessedBatch(inflight, queue.columns.toSeq)
+    headersTable.read().flatMap { queue =>
+      // The bounded batch is COLLECTED (≤ batchSize rows — the
+      // reference's in-memory List<OaiHeader>): the versioned snapshot
+      // is only pinned for this brief read, so concurrent writers'
+      // version pruning can never delete files under the minutes-long
+      // fetch job that follows. Empty queue → no batch, no state churn
+      // (the reference sleeps without touching persistence,
+      // MetsProcessor.java:110-116).
+      val queueColumns = queue.columns.toSeq
+      val batchRows = StateOps.limitBatch(
+        queue.orderBy(col("record_identifier")), batchSize)
+        .as[QueuedHeader].collect().toSeq
+      if (batchRows.isEmpty) None
+      else {
+        val fetched = spark.createDataset(batchRows).mapPartitions { it =>
+          it.map { h =>
+            val xml = fetch(OaiRequestBuilder.localIdentifier(h.record_identifier))
+            FetchedHeader(h.record_identifier, h.datestamp, h.set_spec,
+              h.status_is_deleted, xml.orNull)
+          }
+        }.toDF()
+        val inflight = new org.apache.hadoop.fs.Path(headersTable.tableRoot,
+          s"_inflight/${java.util.UUID.randomUUID()}").toString
+        fetched.write.parquet(inflight) // every remote fetch runs exactly once
+        Some(ProcessedBatch(inflight, queueColumns))
+      }
     }
 
   /** Phase 2 — commit: merge reporting rows (U2), then delete the

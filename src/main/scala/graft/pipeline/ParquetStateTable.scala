@@ -15,15 +15,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    commit discipline a table format (e.g. Delta) provides via its log.
   *
   * Old versions beyond `keepVersions` are pruned after a successful
-  * commit.
+  * commit. Known limitation: readers are not tracked, so a reader
+  * holding a lazy plan over an old snapshot through `keepVersions`
+  * further commits can lose its files to pruning — long-running reads
+  * should collect promptly (the enrichment batch does) or raise
+  * `keepVersions`; a transactional table format adds true reader
+  * retention.
   */
 class ParquetStateTable(
     spark: SparkSession,
     path: String,
-    keepVersions: Int = 2) extends Serializable {
+    keepVersions: Int = 3) extends Serializable {
 
   private def root = new Path(path)
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  // lock key normalized so differently-spelled paths to the same
+  // directory (relative, doubled slashes) share one lock
+  private lazy val lockKey = fs.makeQualified(root).toUri.toString
 
   private def committedVersions(): Seq[(Long, Path)] =
     if (!fs.exists(root)) Nil
@@ -69,7 +77,7 @@ class ParquetStateTable(
     * lost-update race the reference avoids via database transactions).
     * Returns the committed version. */
   def update(f: Option[DataFrame] => DataFrame): Long =
-    ParquetStateTable.lockFor(path).synchronized { write(f(read())) }
+    ParquetStateTable.lockFor(lockKey).synchronized { write(f(read())) }
 
   /** Exactly-once helper for `foreachBatch` sinks: apply `f` as an
     * atomic [[update]] unless `batchId` was already committed by the
@@ -82,7 +90,7 @@ class ParquetStateTable(
     * true when the write happened. */
   def writeOnceForBatch(batchId: Long, streamScope: String)(
       f: Option[DataFrame] => DataFrame): Boolean =
-    ParquetStateTable.lockFor(path).synchronized {
+    ParquetStateTable.lockFor(lockKey).synchronized {
       val scopeDir = new Path(root,
         "_batches/" + java.lang.Long.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(streamScope).toLong & 0xffffffffL))
@@ -112,7 +120,7 @@ class ParquetStateTable(
     * through database transactions). Cross-process writers would need a
     * filesystem lock or a transactional table format. */
   def write(df: DataFrame): Long =
-    ParquetStateTable.lockFor(path).synchronized {
+    ParquetStateTable.lockFor(lockKey).synchronized {
       val next = allVersionDirs().lastOption.map(_._1).getOrElse(0L) + 1
       df.write.mode("errorifexists").parquet(f"$path/v$next%08d")
       val keep = committedVersions().takeRight(keepVersions).map(_._1).toSet

@@ -55,12 +55,16 @@ object ReportingConfig {
     val props = new Properties()
     Defaults.foreach { case (k, v) => props.setProperty(k, v) }
 
+    // ISO-8859-1, the reference's PROPERTIES_FILE_FORMAT
+    // (ReportingProperties.java:36) and the java.util.Properties default —
+    // a migrated Latin-1 config must not crash the UTF-8 decoder
     defaultsFile.filter(Files.exists(_)).foreach { p =>
-      val reader: Reader = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+      val reader: Reader =
+        Files.newBufferedReader(p, StandardCharsets.ISO_8859_1)
       try props.load(reader) finally reader.close()
     }
     Option(getClass.getResourceAsStream(localPropertiesResource)).foreach { in =>
-      val reader = new InputStreamReader(in, StandardCharsets.UTF_8)
+      val reader = new InputStreamReader(in, StandardCharsets.ISO_8859_1)
       try props.load(reader) finally reader.close()
     }
     systemProperties.foreach { case (k, v) =>
@@ -78,7 +82,11 @@ object ReportingConfig {
       dbPassword = get("db.passwd"),
       oaiUrl = get("oai.url"),
       oaiPollSeconds = get("oai.pollseconds").trim.toLong,
-      fc3CompatibilityMode = get("oai.fc3compatibility").trim.toBoolean,
+      // Boolean.parseBoolean semantics (reference: non-"true" → false),
+      // not Scala's throwing toBoolean — the reference boots on
+      // oai.fc3compatibility=yes, so must we
+      fc3CompatibilityMode =
+        java.lang.Boolean.parseBoolean(get("oai.fc3compatibility").trim),
       runResultHistoryHours = get("oai.runresulthistorylengthhours").trim.toLong,
       metsUrl = get("mets.url"),
       metsPollSeconds = get("mets.pollseconds").trim.toLong)

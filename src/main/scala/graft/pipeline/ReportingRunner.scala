@@ -59,7 +59,7 @@ class ReportingRunner(
     val last = Option(harvest.lastRun()).filter(_.id > 0L)
     val wait = OffsetStateMachine.waitMillis(last, lastHarvestFailed,
       clock(), config.oaiPollSeconds * 1000L, MinWaitMs)
-    if (wait > 0) sleeper(wait)
+    if (running && wait > 0) sleeper(wait)
     if (running) {
       val summary = harvest.runOnce(pageFetcher, new Timestamp(clock()))
       lastHarvestFailed = !summary.succeeded
@@ -67,11 +67,15 @@ class ReportingRunner(
     wait
   }
 
-  /** One enrichment drain cycle; fast-drains on full batches. */
+  /** One enrichment drain cycle; re-polls at the 1 s floor whenever the
+    * drained batch was non-empty (reference sets
+    * `moreOAIHeadersToProcess` for ANY non-empty list,
+    * `MetsProcessor.java:108-116`) — survivors of the ST5 check and
+    * partial batches retry promptly, not a full poll interval later. */
   def enrichmentIteration(): Long = {
     val summary = enrichment.runOnce(docFetcher)
     val wait =
-      if (summary.processed >= batchSize) MinWaitMs // backlog: drain fast
+      if (summary.processed > 0) MinWaitMs
       else config.metsPollSeconds * 1000L
     if (running && wait > 0) sleeper(wait)
     wait
