@@ -103,18 +103,7 @@ class EnrichmentPipeline(
     * fetch loop — the window in which a concurrent harvest may re-upsert
     * a drained record. */
   def processBatch(fetch: DocumentFetcher): Option[ProcessedBatch] =
-    headersTable.read().flatMap { queue =>
-      // The bounded batch is COLLECTED (≤ batchSize rows — the
-      // reference's in-memory List<OaiHeader>): the versioned snapshot
-      // is only pinned for this brief read, so concurrent writers'
-      // version pruning can never delete files under the minutes-long
-      // fetch job that follows. Empty queue → no batch, no state churn
-      // (the reference sleeps without touching persistence,
-      // MetsProcessor.java:110-116).
-      val queueColumns = queue.columns.toSeq
-      val batchRows = StateOps.limitBatch(
-        queue.orderBy(col("record_identifier")), batchSize)
-        .as[QueuedHeader].collect().toSeq
+    readBatchWithRetry().flatMap { case (queueColumns, batchRows) =>
       if (batchRows.isEmpty) None
       else {
         val fetched = spark.createDataset(batchRows).mapPartitions { it =>
@@ -130,6 +119,37 @@ class EnrichmentPipeline(
         Some(ProcessedBatch(inflight, queueColumns))
       }
     }
+
+  /** The bounded batch is COLLECTED (≤ batchSize rows — the reference's
+    * in-memory `List<OaiHeader>`): the versioned snapshot is pinned only
+    * for this brief read, so pruning can never delete files under the
+    * minutes-long fetch job that follows. The read itself can still lose
+    * a pruning race against a rapidly-committing harvester, so it
+    * retries on a fresh snapshot. Empty queue → no batch, no state churn
+    * (the reference sleeps without touching persistence,
+    * `MetsProcessor.java:110-116`). */
+  private def readBatchWithRetry(
+      attempts: Int = 3): Option[(Seq[String], Seq[QueuedHeader])] = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      headersTable.read() match {
+        case None => return None
+        case Some(queue) =>
+          try {
+            val rows = StateOps.limitBatch(
+              queue.orderBy(col("record_identifier")), batchSize)
+              .as[QueuedHeader].collect().toSeq
+            return Some((queue.columns.toSeq, rows))
+          } catch {
+            case e: Throwable => last = e // snapshot pruned mid-read; re-list
+          }
+      }
+      i += 1
+    }
+    throw new IllegalStateException(
+      s"queue snapshot unreadable after $attempts attempts", last)
+  }
 
   /** Phase 2 — commit: merge reporting rows (U2), then delete the
     * processed headers from the LATEST queue snapshot (D1). Re-reading

@@ -55,22 +55,34 @@ object ReportingConfig {
     val props = new Properties()
     Defaults.foreach { case (k, v) => props.setProperty(k, v) }
 
-    // ISO-8859-1, the reference's PROPERTIES_FILE_FORMAT
-    // (ReportingProperties.java:36) and the java.util.Properties default —
-    // a migrated Latin-1 config must not crash the UTF-8 decoder
+    // UTF-8 when the bytes decode cleanly, else the reference's
+    // ISO-8859-1 (ReportingProperties.java:36): UTF-8-authored configs
+    // keep their non-ASCII values intact and a migrated Latin-1 file
+    // still loads instead of crashing the decoder.
     defaultsFile.filter(Files.exists(_)).foreach { p =>
-      val reader: Reader =
-        Files.newBufferedReader(p, StandardCharsets.ISO_8859_1)
-      try props.load(reader) finally reader.close()
+      loadBytes(props, Files.readAllBytes(p))
     }
     Option(getClass.getResourceAsStream(localPropertiesResource)).foreach { in =>
-      val reader = new InputStreamReader(in, StandardCharsets.ISO_8859_1)
-      try props.load(reader) finally reader.close()
+      try loadBytes(props, in.readAllBytes()) finally in.close()
     }
     systemProperties.foreach { case (k, v) =>
       if (Prefixes.exists(k.startsWith)) props.setProperty(k, v)
     }
     fromProperties(props)
+  }
+
+  private def loadBytes(props: Properties, bytes: Array[Byte]): Unit = {
+    val text =
+      try {
+        StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      } catch {
+        case _: java.nio.charset.CharacterCodingException =>
+          new String(bytes, StandardCharsets.ISO_8859_1)
+      }
+    val reader: Reader = new java.io.StringReader(text)
+    try props.load(reader) finally reader.close()
   }
 
   def fromProperties(props: Properties): ReportingConfig = {

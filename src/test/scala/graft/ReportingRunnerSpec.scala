@@ -50,10 +50,10 @@ class ReportingRunnerSpec extends SparkSpec {
       sleeper = ms => { sleeps.add(ms); Thread.sleep(math.min(ms, 20L)) })
 
     val threads = runner.start()
+    var n = 0L
     try {
       // wait (bounded) until the enrichment stage produced both rows
       val deadline = System.currentTimeMillis() + 120000L
-      var n = 0L
       while (n < 2 && System.currentTimeMillis() < deadline) {
         Thread.sleep(200L)
         // a concurrent commit may prune the version between list and
@@ -61,18 +61,18 @@ class ReportingRunnerSpec extends SparkSpec {
         n = scala.util.Try(
           runner.reportingTable.read().map(_.count()).getOrElse(0L)).getOrElse(n)
       }
-      assert(n == 2L, s"reporting rows after drain: $n")
-      // checkpoint chain advanced at least once
-      assert(runner.harvest.lastRun().id >= 1L)
-      // golden check: enrichment projected the right reporting fields
-      val byId = runner.reportingTable.read().get.collect()
-        .map(r => r.getAs[String]("record_identifier") ->
-          r.getAs[String]("mandator")).toMap
-      assert(byId("oai:example.org:qucosa:1044") == "slub")
-      assert(byId("oai:example.org:qucosa:1234") == "SLUB")
     } finally {
       assert(runner.stopAndAwait(threads, graceMillis = 30000L)) // ST6
     }
     assert(!runner.isRunning)
+    // assertions run against QUIESCED tables (no more concurrent pruning)
+    assert(n == 2L, s"reporting rows after drain: $n")
+    assert(runner.harvest.lastRun().id >= 1L)
+    // golden check: enrichment projected the right reporting fields
+    val byId = runner.reportingTable.read().get.collect()
+      .map(r => r.getAs[String]("record_identifier") ->
+        r.getAs[String]("mandator")).toMap
+    assert(byId("oai:example.org:qucosa:1044") == "slub")
+    assert(byId("oai:example.org:qucosa:1234") == "SLUB")
   }
 }
