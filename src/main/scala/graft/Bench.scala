@@ -9,11 +9,18 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through the `noop` sink so the FULL plan executes
   * (a bare `count()` would let Catalyst prune projections and undercount
   * the work).
+  *
+  * Host-noise hardening: every query runs SPARK_GRAFT_BENCH_TRIALS
+  * times (default 3) and reports the per-query MINIMUM — the sandbox has
+  * documented run-to-run CPU contention of up to +50%, and the min is
+  * the standard low-noise estimator of a query's true cost (noise only
+  * ever ADDS time). The headline total is the sum of per-query minima.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,16 +37,20 @@ object Bench {
     catch { case _: Throwable => () }
 
     // A failed query reports -1, not its elapsed time — a broken query
-    // must never masquerade as a fast one in the JSON.
+    // must never masquerade as a fast one in the JSON. A query that
+    // failed on ANY trial is failed (no cherry-picking a lucky run).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> -1.0
+      val times = (0 until trials).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
       }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -3,7 +3,7 @@ package graft.expressions
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
@@ -136,13 +136,17 @@ object Kernels {
     out
   }
 
-  def agree(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
-    if (n == 0) return 0.0
+  /** null (boxed) when the signatures have different lengths — mixing
+    * signatures built with different numHashes would otherwise yield a
+    * silently wrong prefix-only Jaccard estimate. */
+  def agree(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    if (n == 0) return java.lang.Double.valueOf(0.0)
     var eq = 0
     var i = 0
     while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
-    eq.toDouble / n
+    java.lang.Double.valueOf(eq.toDouble / n)
   }
 
   /** null (boxed) when either vector has zero norm — NaN would sort
@@ -158,6 +162,171 @@ object Kernels {
     }
     if (nx == 0.0 || ny == 0.0) null
     else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
+  /** Marker-word tables for the fused text-metrics kernel — MUST stay in
+    * sync with `graft.ops.TextAnalysis.LangMarkers` (the regex form the
+    * DuckDB oracles use). Order: en, de, fr, es. */
+  private val langMarkers: Array[Array[String]] = Array(
+    Array("the", "and", "of", "to", "is", "was"),
+    Array("der", "und", "die", "nicht", "das", "ist"),
+    Array("le", "la", "et", "les", "une", "est"),
+    Array("el", "los", "una", "por", "las", "este"))
+
+  @inline private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /** One fused pass computing every per-document text metric the
+    * text-analysis operators need — replaces ~10 independent regex scans
+    * (4 marker passes + alpha strip + token split + BPE-ish extract)
+    * with two tight char loops (raw + lowercased). Semantics mirror the
+    * regex definitions exactly so the DuckDB oracles keep matching:
+    *
+    *  - score_xx: count of `\b(marker|…)\b` matches in lower(text) —
+    *    i.e. maximal ASCII-word-char runs equal to a marker word;
+    *  - n_chars: codepoint length (Spark `length`);
+    *  - n_tokens: `size(split(trim(text), "\s+"))` with Spark/DuckDB
+    *    semantics: `trim` strips SPACES only (not tabs/newlines) and
+    *    `split` keeps empty leading/trailing segments, so the count is
+    *    (number of `\s+` runs in the space-trimmed text) + 1;
+    *  - n_bpe_tokens: matches of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`;
+    *  - alpha_chars: count of ASCII letters.
+    */
+  def textMetrics(input: UTF8String): InternalRow = {
+    val s = input.toString
+    val n = s.length
+    // token counting runs over the SPACE-trimmed span (Spark's trim
+    // strips 0x20 only — "\t\n" survives trim and still splits)
+    var tokStart = 0
+    var tokEnd = n
+    while (tokStart < tokEnd && s.charAt(tokStart) == ' ') tokStart += 1
+    while (tokEnd > tokStart && s.charAt(tokEnd - 1) == ' ') tokEnd -= 1
+    var nChars = 0L; var alpha = 0L; var wsRuns = 0L; var bpe = 0L
+    var prevType = 0 // 0 ws, 1 alpha, 2 digit, 3 other
+    var prevWasWsInSpan = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (!(Character.isLowSurrogate(c) && i > 0 &&
+          Character.isHighSurrogate(s.charAt(i - 1)))) nChars += 1
+      val t =
+        if (isAsciiWs(c)) 0
+        else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) 1
+        else if (c >= '0' && c <= '9') 2
+        else 3
+      if (i >= tokStart && i < tokEnd) {
+        if (t == 0 && !prevWasWsInSpan) wsRuns += 1
+        prevWasWsInSpan = t == 0
+      }
+      t match {
+        case 1 => alpha += 1; if (prevType != 1) bpe += 1
+        case 2 => if (prevType != 2) bpe += 1
+        case 3 => bpe += 1
+        case _ => ()
+      }
+      prevType = t
+      i += 1
+    }
+    // split-with-limit(-1) semantics: segments = separator runs + 1,
+    // counting empty leading/trailing segments (matches both Spark's
+    // split and DuckDB's regexp_split_to_array)
+    val nTokens = wsRuns + 1L
+    // marker scores over the lowercased text (the oracle regex runs on
+    // lower(text)); ASCII-word-char runs compared against the tables
+    val low = s.toLowerCase(java.util.Locale.ROOT)
+    val m = low.length
+    val scores = new Array[Long](4)
+    var runStart = -1
+    var j = 0
+    while (j <= m) {
+      val w = j < m && isWordChar(low.charAt(j))
+      if (w && runStart < 0) runStart = j
+      else if (!w && runStart >= 0) {
+        val len = j - runStart
+        var lang = 0
+        while (lang < 4) {
+          val words = langMarkers(lang)
+          var k = 0
+          while (k < words.length) {
+            val wd = words(k)
+            if (wd.length == len && low.regionMatches(runStart, wd, 0, len))
+              scores(lang) += 1
+            k += 1
+          }
+          lang += 1
+        }
+        runStart = -1
+      }
+      j += 1
+    }
+    InternalRow(scores(0), scores(1), scores(2), scores(3),
+      nChars, nTokens, bpe, alpha)
+  }
+
+  /** Spark-semantics tokenization for the shingle-Jaccard kernel:
+    * `split(trim(s), "\s+")` where Spark's trim strips SPACES only and
+    * split keeps empty leading/trailing segments (limit −1) — the exact
+    * token list the column-level `Dedup.shingleSet` and the DuckDB
+    * oracle (`trim` + `regexp_split_to_array`) produce. */
+  private def sparkTokens(s0: String): Array[String] = {
+    var a = 0
+    var b = s0.length
+    while (a < b && s0.charAt(a) == ' ') a += 1
+    while (b > a && s0.charAt(b - 1) == ' ') b -= 1
+    val s = s0.substring(a, b)
+    if (s.isEmpty) Array("")
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      var n = s.length
+      while (i < n) {
+        val c = s.charAt(i)
+        if (isAsciiWs(c)) {
+          out += sb.toString; sb.setLength(0)
+          while (i + 1 < n && isAsciiWs(s.charAt(i + 1))) i += 1
+        } else sb.append(c)
+        i += 1
+      }
+      out += sb.toString
+      out.toArray
+    }
+  }
+
+  private def shingleStrings(s: String, n: Int): java.util.HashSet[String] = {
+    val toks = sparkTokens(s)
+    val set = new java.util.HashSet[String]()
+    if (toks.length < n) set.add(toks.mkString(" "))
+    else {
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        set.add(sb.toString)
+        i += 1
+      }
+    }
+    set
+  }
+
+  /** Exact Jaccard of the distinct n-token-shingle sets of two texts —
+    * one kernel call per CANDIDATE pair (the LSH-verified set is tiny),
+    * replacing interpreted higher-order array lambdas that dominated the
+    * verify join. Matches `Dedup.shingleSet` + array_intersect/union
+    * column semantics bit-for-bit (integer counts divided as doubles). */
+  def shingleJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = shingleStrings(a.toString, n)
+    val sb = shingleStrings(b.toString, n)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
   }
 
   def lshBucket(v: ArrayData, planes: Int, code: Int): Long = {
@@ -223,7 +392,9 @@ case class SimHash(child: Expression)
 }
 
 /** Fraction of positions where two equal-length long arrays agree —
-  * the MinHash signature-agreement Jaccard estimate. */
+  * the MinHash signature-agreement Jaccard estimate. Mismatched lengths
+  * (signatures from different numHashes) yield SQL NULL, not a wrong
+  * prefix estimate. */
 case class LongArrayAgree(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -235,11 +406,24 @@ case class LongArrayAgree(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_sig_agree"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     Kernels.agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
+  // boxed-null → SQL NULL mapping, same pattern as CosineSim
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.Kernels.agree($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("agree")
+      s"""
+         |java.lang.Double $boxed = graft.expressions.Kernels.agree($a, $b);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -285,6 +469,61 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Exact n-token-shingle-set Jaccard between two text columns — the
+  * MinHash-candidate verification metric as a single kernel call per
+  * pair ([[Kernels.shingleJaccard]]). */
+case class ShingleJaccard(left: Expression, right: Expression, shingleLen: Int)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got $l / $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_shingle_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.shingleJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], shingleLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.Kernels.shingleJaccard($a, $b, $shingleLen)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fused per-document text metrics — marker-language scores, codepoint
+  * length, whitespace-token count, BPE-ish token count, ASCII-letter
+  * count — in a single struct from one kernel call
+  * ([[Kernels.textMetrics]]). Replaces the r1 stack of ~10 regex scans
+  * that dominated `corpus_filter` / `text_langid` bench time. */
+case class TextMetrics(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = TextMetrics.schema
+  override def prettyName: String = "graft_text_metrics"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.textMetrics(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.textMetrics($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextMetrics {
+  val schema: StructType = StructType(Seq(
+    "score_en", "score_de", "score_fr", "score_es",
+    "n_chars", "n_tokens", "n_bpe_tokens", "alpha_chars")
+    .map(StructField(_, LongType, nullable = false)))
 }
 
 /** Random-hyperplane LSH bucket: bit p = sign of the projection onto a
@@ -342,6 +581,8 @@ object GraftExpressions {
     "graft_sig_agree"   -> (es => LongArrayAgree(es.head, es(1))),
     "graft_cosine_sim"  -> (es => CosineSim(es.head, es(1))),
     "graft_lsh_bucket"  -> (es => HyperplaneLshBucket(es.head, lit(es(1)))),
+    "graft_text_metrics" -> (es => TextMetrics(es.head)),
+    "graft_shingle_jaccard" -> (es => ShingleJaccard(es.head, es(1), lit(es(2)))),
     "graft_xpath_struct" -> (es => {
       val names = lits(es(1)); val paths = lits(es(2))
       val prefixes = lits(es(3)); val uris = lits(es(4))

@@ -10,7 +10,7 @@ import javax.xml.xpath.{XPathConstants, XPathExpression, XPathFactory}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.w3c.dom.Node
@@ -28,12 +28,18 @@ import org.w3c.dom.Node
   * XXE-hardened: external entities and DTDs disabled. Parser and
   * compiled XPath machinery are per-thread (neither is thread-safe) and
   * rebuilt after serialization to executors.
+  *
+  * Codegen: emits a single virtual call on the serialized expression
+  * instance (via `addReferenceObj`) instead of `CodegenFallback` — the
+  * DOM work is unchanged, but the expression participates in
+  * whole-stage codegen, so it no longer splits the codegen span of
+  * every plan it appears in (r1's main P2/P4 perf finding).
   */
 case class XPathStructNs(
     child: Expression,
     fields: Seq[(String, String)],
     namespaces: Map[String, String])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -63,13 +69,22 @@ case class XPathStructNs(
       (XPathStructNs.newDocumentBuilder(), compiled)
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any =
+    evalRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("xpathStructNs", this,
+      classOf[XPathStructNs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalRow($c);")
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def evalRow(input: UTF8String): InternalRow = {
     val (builder, compiled) = machinery.get()
     val doc =
       try {
         builder.reset()
-        builder.parse(new ByteArrayInputStream(
-          input.asInstanceOf[UTF8String].getBytes))
+        builder.parse(new ByteArrayInputStream(input.getBytes))
       } catch { case _: Exception => null }
     if (doc == null) {
       InternalRow.fromSeq(Seq.fill(fields.size)(null))

@@ -8,20 +8,25 @@ import org.apache.spark.sql.functions._
   * extraction running as a batched per-partition transform (the Scala
   * analog of an Arrow-batched pandas UDF).
   *
-  * The actual media decode is STUBBED — this container has no image/audio
-  * codecs — behind [[FakeDecoder]], a deterministic stand-in with the same
-  * signature a real decoder would have. The Spark-side plumbing (schema,
-  * binary encoding, batch shape, partition-parallel execution) is real and
-  * tested.
+  * Decoding is pluggable via [[Multimodal.MediaDecoder]]:
+  *  - [[Multimodal.ImageIoDecoder]] is a REAL image decoder bound to the
+  *    JDK's `javax.imageio` (PNG/JPEG/GIF/BMP — no external codec
+  *    needed), used for genuine image payloads;
+  *  - [[Multimodal.FakeDecoder]] is the deterministic stand-in for the
+  *    synthetic test corpus (text bytes are not decodable images), kept
+  *    so the driver's DuckDB oracle can verify the full pipeline
+  *    end-to-end.
+  * Both satisfy the same contract (`MultimodalSpec`'s decoder-contract
+  * tests), so swapping in a production codec is a one-line change.
   */
 object Multimodal {
 
   /** One media record: id + raw bytes + declared kind. */
   case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte])
 
-  /** Extracted features. For a real decoder these would be pixel/sample
-    * stats; the stub derives them deterministically from the byte length
-    * so results are verifiable end-to-end. */
+  /** Extracted features. A real decoder reports pixel dimensions and
+    * frame counts; the stub derives them deterministically from the byte
+    * length so results are verifiable end-to-end. */
   case class MediaFeatures(
       doc_id: Long,
       kind: String,
@@ -30,32 +35,112 @@ object Multimodal {
       fake_height: Long,
       fake_frames: Long)
 
-  /** One sampled frame of a (fake-)decoded video payload. */
+  /** One sampled frame of a decoded video/animation payload. */
   case class FrameSample(doc_id: Long, frame_index: Long, frame_bytes: Array[Byte])
 
   /** One resized image. */
   case class ResizedImage(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
 
-  /** STUB decoder ??? — replace with a real codec binding in production.
-    * Deterministic: outputs are pure functions of payload bytes, so the
-    * DuckDB oracle can verify the full pipeline. A real decoder would
-    * consume the byte arrays exactly the same way. */
-  object FakeDecoder {
-    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+  /** The decode contract every codec binding implements. Runs on
+    * executors inside `mapPartitions` — implementations must be
+    * serializable and stateless (or build state lazily per partition).
+    * Undecodable payloads are DROPPED from `decodeBatch` output (the
+    * F2-style validate-and-drop discipline), and yield 0 from
+    * [[frameCount]] / empty bytes from the per-frame calls. */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures]
+    def frameCount(payload: Array[Byte]): Int
+    def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte]
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  /** Deterministic stub decoder for non-image payloads (the synthetic
+    * corpus): outputs are pure functions of payload bytes, so the DuckDB
+    * oracle can verify the full pipeline. A real decoder consumes the
+    * byte arrays exactly the same way. */
+  object FakeDecoder extends MediaDecoder {
+    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
       batch.map { r =>
         val n = r.payload.length.toLong
         MediaFeatures(r.doc_id, r.kind, n, n % 512, (n * 7) % 512, n % 30 + 1)
       }
 
-    /** ??? — a real impl decodes frame `idx`; the stub returns a
-      * deterministic 64-byte-capped slice. */
-    def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte] =
+    override def frameCount(payload: Array[Byte]): Int =
+      payload.length % 30 + 1
+
+    /** Deterministic 64-byte-capped slice standing in for frame `idx`. */
+    override def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte] =
       payload.take(64)
 
-    /** ??? — a real impl rescales pixels; the stub truncates/pads the
-      * byte budget of the target resolution. */
-    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+    /** Truncates/pads to the byte budget of the target resolution. */
+    override def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       java.util.Arrays.copyOf(payload, math.min(payload.length, w * h))
+  }
+
+  /** REAL image decoder over the JDK's `javax.imageio` (PNG, JPEG, GIF,
+    * BMP readers ship with Java SE — zero external dependencies).
+    * Features carry true pixel dimensions; GIF animations report their
+    * real frame count; `decodeFrame` re-encodes the requested frame as
+    * PNG; `resize` is a bilinear raster rescale re-encoded as PNG.
+    * Undecodable payloads are dropped (decodeBatch) / empty (frames). */
+  object ImageIoDecoder extends MediaDecoder {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    private def withReader[A](payload: Array[Byte])(
+        f: javax.imageio.ImageReader => A): Option[A] = {
+      val in = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(in); Some(f(r)) }
+          catch { case _: Exception => None }
+          finally r.dispose()
+        }
+      } finally in.close()
+    }
+
+    private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.flatMap { r =>
+        withReader(r.payload) { rd =>
+          MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong,
+            rd.getWidth(0).toLong, rd.getHeight(0).toLong,
+            math.max(rd.getNumImages(true), 1).toLong)
+        }
+      }
+
+    override def frameCount(payload: Array[Byte]): Int =
+      withReader(payload)(rd => math.max(rd.getNumImages(true), 1)).getOrElse(0)
+
+    override def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte] =
+      withReader(payload)(rd => encodePng(rd.read(idx)))
+        .getOrElse(Array.emptyByteArray)
+
+    override def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = try ImageIO.read(new ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) Array.emptyByteArray
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        encodePng(dst)
+      }
+    }
   }
 
   /** Wrap a text table as a fake media table: binary payload + metadata.
@@ -73,25 +158,27 @@ object Multimodal {
     * plan is scan → this narrow map → sink, with partition count sized by
     * `spark.sql.files.maxPartitionBytes`. */
   def extractFeatures(spark: SparkSession, media: DataFrame,
-      batchSize: Int = 64): Dataset[MediaFeatures] = {
+      batchSize: Int = 64,
+      decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { iter =>
-      iter.grouped(batchSize).flatMap(b => FakeDecoder.decodeBatch(b.toSeq))
+      iter.grouped(batchSize).flatMap(b => decoder.decodeBatch(b.toSeq))
     }
   }
 
   /** Frame sampling — the 1→N multimodal shape: each payload explodes
-    * into every `everyNth`-th frame of its (stub-)decoded stream. Narrow
+    * into every `everyNth`-th frame of its decoded stream. Narrow
     * per-partition flatMap; output cardinality is data-dependent, which
     * is exactly why it must run distributed, not on the driver. */
   def sampleFrames(spark: SparkSession, media: DataFrame,
-      everyNth: Int = 10): Dataset[FrameSample] = {
+      everyNth: Int = 10,
+      decoder: MediaDecoder = FakeDecoder): Dataset[FrameSample] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { iter =>
       iter.flatMap { r =>
-        val nFrames = r.payload.length % 30 + 1
-        (0 until nFrames by everyNth).iterator.map(i =>
-          FrameSample(r.doc_id, i.toLong, FakeDecoder.decodeFrame(r.payload, i)))
+        val nFrames = decoder.frameCount(r.payload)
+        (0 until nFrames by math.max(everyNth, 1)).iterator.map(i =>
+          FrameSample(r.doc_id, i.toLong, decoder.decodeFrame(r.payload, i)))
       }
     }
   }
@@ -99,12 +186,13 @@ object Multimodal {
   /** Batched resize — same batch shape as [[extractFeatures]], binary →
     * binary. */
   def resizeImages(spark: SparkSession, media: DataFrame,
-      width: Int, height: Int, batchSize: Int = 64): Dataset[ResizedImage] = {
+      width: Int, height: Int, batchSize: Int = 64,
+      decoder: MediaDecoder = FakeDecoder): Dataset[ResizedImage] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { iter =>
       iter.grouped(batchSize).flatMap(_.map(r =>
         ResizedImage(r.doc_id, width, height,
-          FakeDecoder.resize(r.payload, width, height))))
+          decoder.resize(r.payload, width, height))))
     }
   }
 }

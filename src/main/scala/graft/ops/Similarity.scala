@@ -18,13 +18,48 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine_sim", a, b)
 
+  /** Two-phase distributed top-k over a scored (qId, cId, cos_sim)
+    * frame — the 100-TB-safe reduction shape.
+    *
+    * A single `Window.partitionBy(qId)` would shuffle EVERY candidate row
+    * of a query into one partition and sort it there: with a huge corpus
+    * each per-query partition is an unbounded straggler. Instead:
+    *
+    *  1. salt each row by `hash(cId) % salts` and take a LOCAL top-k per
+    *     (query, salt) — bounded partitions, k rows kept per salt;
+    *  2. run the global top-k window over the surviving `≤ salts × k`
+    *     rows per query — a trivially small sort.
+    *
+    * Both phases are `row_number` windows ordered by (cos_sim desc, cId)
+    * so results are deterministic under ties. Null scores (zero-norm
+    * vectors) sort last and can never enter a top-k that has k real
+    * candidates.
+    */
+  def topKPerQuery(
+      scored: DataFrame,
+      qId: String, cId: String,
+      k: Int,
+      salts: Int = 32): DataFrame = {
+    val wLocal = Window.partitionBy(col(qId), col("__salt"))
+      .orderBy(col("cos_sim").desc, col(cId))
+    val wGlobal = Window.partitionBy(col(qId))
+      .orderBy(col("cos_sim").desc, col(cId))
+    scored
+      .withColumn("__salt", pmod(xxhash64(col(cId)), lit(salts)))
+      .withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= k)
+      .drop("__salt", "__lr")
+      .withColumn("rank", row_number().over(wGlobal).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact brute-force cosine top-k: for every row of `queries`, the k
     * nearest rows of `corpus` by cosine.
     *
     * The query side is broadcast (ANN query batches are small by nature);
     * the corpus streams through a single narrow pass — at 100 TB this is
-    * one full scan, no shuffle of the corpus, and a k-row-per-query
-    * window reduction on the (tiny) result.
+    * one full scan, no shuffle of the corpus — and the top-k reduction is
+    * the salted two-phase [[topKPerQuery]].
     */
   def bruteForceTopK(
       queries: DataFrame,
@@ -35,10 +70,8 @@ object Similarity {
     val joined = Balance.widen(corpus).crossJoin(broadcast(queries))
       .select(col(qId), col(cId),
         cosine(col(qVec), col(cVec)).as("cos_sim"))
-    val w = Window.partitionBy(col(qId))
-      .orderBy(col("cos_sim").desc, col(cId))
-    joined.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topKPerQuery(joined, qId, cId, k)
+      .select(col(qId), col("rank"), col(cId), col("cos_sim"))
   }
 
   /** Random-hyperplane LSH: `planes`-bit signature per vector (bit p =
@@ -51,22 +84,56 @@ object Similarity {
     Balance.widen(df).withColumn("bucket",
       call_function("graft_lsh_bucket", col(vecCol), lit(planes)))
 
-  /** IVF (inverted-file) approximate top-k — the classic coarse-quantize
-    * scale path: corpus vectors are assigned to their nearest of
-    * `nCentroids` centroid vectors (one inverted list per centroid), and
-    * each query searches only its `nProbe` nearest lists.
+  /** LSH-bucketed approximate top-k: exact cosine, but only within
+    * matching buckets.
     *
-    * Centroids here are a deterministic corpus sample (lowest ids); a
-    * production index would k-means-refine them, which changes recall but
-    * not the plan shape. That shape is what matters at 100 TB: centroids
-    * are COLLECTED (tiny) and inlined as literals, so corpus assignment
-    * is a narrow per-row argmax — no window, no corpus shuffle, no
-    * pairwise blowup — and the only exchange is the per-query top-k over
-    * the candidate set (`~nProbe/nCentroids` of the corpus).
+    * Multi-band recall boost: ONE `planes × bands`-bit signature is
+    * computed per vector (a single narrow pass), then sliced into
+    * `bands` independent `planes`-bit sub-buckets; a (query, candidate)
+    * pair is considered if ANY band's sub-buckets collide. Identical
+    * vectors share every band deterministically — an exact-duplicate
+    * neighbor is therefore ALWAYS found, which is what makes the
+    * near-dup-probe query oracle-checkable. The shuffle key is the
+    * uniform (band, sub-bucket) hash; the final reduction is the salted
+    * two-phase [[topKPerQuery]].
     *
-    * Zero vectors have undefined cosine (null) and drop out of both the
-    * index and the probes.
+    * `excludeSelf` drops candidates whose id equals the query id (for
+    * corpora that contain the query rows themselves).
     */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String,
+      cId: String, cVec: String,
+      k: Int,
+      planes: Int = 10,
+      bands: Int = 1,
+      excludeSelf: Boolean = false): DataFrame = {
+    val total = planes * bands
+    require(total <= 63, s"planes*bands must be <= 63, got $total")
+    val mask = (1L << planes) - 1
+    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+      lshBuckets(df.select(col(id), col(vec)), vec, total)
+        .select(col(id), col(vec),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("bucket"), b * planes)
+                .bitwiseAND(lit(mask)).as("sub"))): _*)).as("__b"))
+        .select(col(id), col(vec),
+          col("__b.band").as("band"), col("__b.sub").as("sub"))
+    val qb = banded(queries, qId, qVec)
+    val cb = banded(corpus, cId, cVec)
+    val joined = cb.join(broadcast(qb), Seq("band", "sub"))
+    val pairs0 =
+      if (excludeSelf) joined.filter(col(cId) =!= col(qId)) else joined
+    // a pair colliding in several bands must score once, not `bands` times
+    val cand = pairs0.dropDuplicates(qId, cId)
+      .select(col(qId), col(cId),
+        cosine(col(qVec), col(cVec)).as("cos_sim"))
+    topKPerQuery(cand, qId, cId, k)
+      .select(col(qId), col("rank"), col(cId), col("cos_sim"))
+  }
+
   /** One-or-more Lloyd iterations over the corpus to refine IVF
     * centroids: narrow argmax assignment (centroids inlined as
     * literals), then per-(cluster, dimension) means via posexplode —
@@ -115,6 +182,24 @@ object Similarity {
     cents
   }
 
+  /** IVF (inverted-file) approximate top-k — the classic coarse-quantize
+    * scale path: corpus vectors are assigned to their nearest of
+    * `nCentroids` centroid vectors (one inverted list per centroid), and
+    * each query searches only its `nProbe` nearest lists.
+    *
+    * Centroids here are a deterministic corpus sample (lowest ids); a
+    * production index would k-means-refine them
+    * ([[refineCentroids]]), which changes recall but not the plan shape.
+    * That shape is what matters at 100 TB: centroids are COLLECTED
+    * (tiny) and inlined as literals, so corpus assignment is a narrow
+    * per-row argmax — no window, no corpus shuffle, no pairwise blowup —
+    * and the only exchange is the per-query top-k over the candidate set
+    * (`~nProbe/nCentroids` of the corpus), reduced by the salted
+    * two-phase [[topKPerQuery]].
+    *
+    * Zero vectors have undefined cosine (null) and drop out of both the
+    * index and the probes.
+    */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -168,36 +253,10 @@ object Similarity {
         x => x.getField("i").cast("long"))))
       .select(col("__cent"), col(qId), col(qVec))
 
-    val w = Window.partitionBy(col(qId))
-      .orderBy(col("cos_sim").desc, col(cId))
-    lists.join(broadcast(probes), Seq("__cent"))
+    val cand = lists.join(broadcast(probes), Seq("__cent"))
       .select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("cos_sim"))
       .filter(col("cos_sim").isNotNull) // zero-vector queries emit nothing
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topKPerQuery(cand, qId, cId, k)
       .select(col(qId), col("rank"), col(cId), col("cos_sim"))
-  }
-
-  /** LSH-bucketed approximate top-k: exact cosine, but only within
-    * matching buckets. Multi-probe via `bands` independent signatures
-    * raises recall; the shuffle key is the uniform bucket hash. */
-  def lshTopK(
-      queries: DataFrame,
-      corpus: DataFrame,
-      qId: String, qVec: String,
-      cId: String, cVec: String,
-      k: Int,
-      planes: Int = 10): DataFrame = {
-    val qb = lshBuckets(queries, qVec, planes)
-      .select(col(qId), col(qVec), col("bucket"))
-    val cb = lshBuckets(corpus, cVec, planes)
-      .select(col(cId), col(cVec), col("bucket"))
-    val cand = cb.join(broadcast(qb), Seq("bucket"))
-      .select(col(qId), col(cId),
-        cosine(col(qVec), col(cVec)).as("cos_sim"))
-    val w = Window.partitionBy(col(qId))
-      .orderBy(col("cos_sim").desc, col(cId))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
   }
 }

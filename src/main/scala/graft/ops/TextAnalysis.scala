@@ -20,6 +20,18 @@ object TextAnalysis {
     "fr" -> "\\b(le|la|et|les|une|est)\\b",
     "es" -> "\\b(el|los|una|por|las|este)\\b")
 
+  /** The fused one-pass metrics struct
+    * ([[graft.expressions.TextMetrics]]): every scan-derived metric —
+    * 4 marker-language scores, codepoint length, token counts, alpha
+    * count — from a single kernel call instead of ~10 independent regex
+    * passes (r1's dominant `corpus_filter`/`text_langid` cost). Repeated
+    * use inside one projection collapses to one evaluation via Spark's
+    * subexpression elimination. */
+  def metrics(text: Column): Column =
+    call_function("graft_text_metrics", text)
+
+  /** Reference regex form of a marker score (the semantics
+    * [[metrics]]'s `score_xx` fields implement natively). */
   def markerScore(text: Column, pattern: String): Column =
     size(regexp_extract_all(lower(text), lit(pattern), lit(0))).cast("long")
 
@@ -27,8 +39,9 @@ object TextAnalysis {
     * (earlier entry in [[LangMarkers]] wins ties); no markers at all →
     * "und" (undetermined, BCP-47 convention). */
   def langIdScores(df: DataFrame, textCol: Column): DataFrame = {
-    val scored = LangMarkers.foldLeft(df) { case (acc, (lang, pat)) =>
-      acc.withColumn(s"score_$lang", markerScore(textCol, pat))
+    val m = metrics(textCol)
+    val scored = LangMarkers.foldLeft(df) { case (acc, (lang, _)) =>
+      acc.withColumn(s"score_$lang", m.getField(s"score_$lang"))
     }
     val scores   = LangMarkers.map { case (l, _) => col(s"score_$l") }
     val best     = greatest(scores: _*)
@@ -38,23 +51,24 @@ object TextAnalysis {
     scored.withColumn("predicted_lang", when(best === 0, lit("und")).otherwise(decision))
   }
 
-  /** Token count over whitespace runs (the BPE-ish regex variant is
-    * [[tokenCountBpeIsh]]). */
+  /** Token count over whitespace runs (the BPE-ish variant is
+    * [[tokenCountBpeIsh]]); both are fields of the fused [[metrics]]
+    * struct, so selecting several counts costs one text pass. */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+")).cast("long")
+    metrics(text).getField("n_tokens")
 
   /** A BPE-flavored tokenizer proxy: words, numbers, and single
     * punctuation marks each count as one token. */
   def tokenCountBpeIsh(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    metrics(text).getField("n_bpe_tokens")
 
   /** Quality metrics: length, alpha ratio, whitespace ratio, mean token
-    * length — the standard cheap pre-filters for web-scale corpora. */
+    * length — the standard cheap pre-filters for web-scale corpora.
+    * One fused text pass; the ratios are arithmetic on the struct. */
   def qualityMetrics(df: DataFrame, textCol: Column): DataFrame =
-    df.withColumn("n_chars_q", length(textCol).cast("long"))
-      .withColumn("n_tokens", tokenCount(textCol))
-      .withColumn("alpha_chars",
-        length(regexp_replace(textCol, "[^a-zA-Z]", "")).cast("long"))
+    df.withColumn("n_chars_q", metrics(textCol).getField("n_chars"))
+      .withColumn("n_tokens", metrics(textCol).getField("n_tokens"))
+      .withColumn("alpha_chars", metrics(textCol).getField("alpha_chars"))
       .withColumn("alpha_ratio",
         round(col("alpha_chars") * lit(1.0) / col("n_chars_q"), 6))
       .withColumn("mean_token_len",

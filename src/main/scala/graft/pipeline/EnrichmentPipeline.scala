@@ -54,11 +54,26 @@ case class EnrichmentSummary(
   *    after a crash between them is safe because the merge is idempotent
   *    (`MetsProcessor.java:148-156`).
   */
+  /**
+  * @param interRequestDelayMillis S2 pacing: minimum wait between
+  *        consecutive fetches WITHIN a partition (the reference enforces
+  *        ≥1 s between METS requests to protect the dissemination
+  *        service, `MetsProcessor.java:135-141`, wait built at
+  *        `ReportingManager.java:85`). The aggregate request rate is
+  *        `partitions / delay` — tune partition count together with the
+  *        delay for the upstream's budget. 0 (default) disables pacing
+  *        for bench/bulk runs; the reference-faithful deployment profile
+  *        uses 1000.
+  * @param sleep injectable so specs observe pacing with a fake clock
+  *        instead of wall-clock sleeps.
+  */
 class EnrichmentPipeline(
     spark: SparkSession,
     headersTable: ParquetStateTable,
     reportingTable: ParquetStateTable,
-    batchSize: Int = 100) extends Serializable {
+    batchSize: Int = 100,
+    interRequestDelayMillis: Long = 0L,
+    sleep: Long => Unit = Thread.sleep(_)) extends Serializable {
   // Serializable so shell/notebook-defined fetchers (anonymous classes
   // whose $outer drags this instance into the task closure) still ship.
 
@@ -106,8 +121,16 @@ class EnrichmentPipeline(
     readBatchWithRetry().flatMap { case (queueColumns, batchRows) =>
       if (batchRows.isEmpty) None
       else {
+        val delay = interRequestDelayMillis
+        val doSleep = sleep
         val fetched = spark.createDataset(batchRows).mapPartitions { it =>
+          // per-partition pacing (S2): first request immediate, then the
+          // configured inter-request wait — a token-bucket of depth 1,
+          // matching the reference's sequential 1 s floor per client
+          var first = true
           it.map { h =>
+            if (!first && delay > 0L) doSleep(delay)
+            first = false
             val xml = fetch(OaiRequestBuilder.localIdentifier(h.record_identifier))
             FetchedHeader(h.record_identifier, h.datestamp, h.set_spec,
               h.status_is_deleted, xml.orNull)

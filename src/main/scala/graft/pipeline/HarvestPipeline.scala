@@ -38,6 +38,13 @@ trait PageFetcher extends (String => Either[String, String]) with Serializable
   *
   * @param headerFilter F1 plug-point (reference `OaiHeaderFilter`);
   *        identity by default, the qucosa regex filter in production.
+  * @param onClockSkew invoked with a warning message when the server's
+  *        `responseDate` differs from local `now` by more than
+  *        [[HarvestPipeline.MaxClockSkewMillis]] (SF3 skew check,
+  *        reference `OaiHarvester.java:69,513-517` — a skewed server
+  *        clock mis-aligns the `from`-window of subsequent requests).
+  *        Defaults to a log warning; specs inject a recorder, mirroring
+  *        the reference's mocked-appender log-assertion tests.
   */
 class HarvestPipeline(
     spark: SparkSession,
@@ -47,7 +54,8 @@ class HarvestPipeline(
     metadataPrefix: String = "oai_dc",
     fc3CompatibilityMode: Boolean = true,
     historyLengthHours: Long = 48L,
-    headerFilter: DataFrame => DataFrame = identity) extends Serializable {
+    headerFilter: DataFrame => DataFrame = identity,
+    onClockSkew: String => Unit = HarvestPipeline.logWarning) extends Serializable {
 
   import spark.implicits._
 
@@ -76,6 +84,17 @@ class HarvestPipeline(
       case Right(body) =>
         val pageDf = Seq(body).toDF("xml")
         val page = parsePage(pageDf)
+
+        // SF3 clock-skew check (reference OaiHarvester.java:513-517):
+        // warn when |responseDate − now| exceeds the 2-minute tolerance
+        page.responseDate.foreach { rd =>
+          val skew = math.abs(rd.getTime - now.getTime)
+          if (skew > HarvestPipeline.MaxClockSkewMillis)
+            onClockSkew(
+              s"OAI server responseDate $rd differs from local time $now by " +
+                s"$skew ms (> ${HarvestPipeline.MaxClockSkewMillis} ms); " +
+                "from-windows of subsequent requests may mis-align")
+        }
 
         val nHeaders =
           if (page.errors.isEmpty) {
@@ -145,4 +164,14 @@ class HarvestPipeline(
       resumptionTokenExpirationDate = Option(row.getTimestamp(3)),
       errors = row.getMap[String, String](4).toMap)
   }
+}
+
+object HarvestPipeline {
+  /** Server-clock skew tolerance before warning — the reference's
+    * hard-coded 2 minutes (`OaiHarvester.java:69`). */
+  val MaxClockSkewMillis: Long = 2L * 60L * 1000L
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[HarvestPipeline])
+  private[pipeline] val logWarning: String => Unit = msg => log.warn(msg)
 }

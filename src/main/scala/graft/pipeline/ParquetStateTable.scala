@@ -15,17 +15,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    commit discipline a table format (e.g. Delta) provides via its log.
   *
   * Old versions beyond `keepVersions` are pruned after a successful
-  * commit. Known limitation: readers are not tracked, so a reader
-  * holding a lazy plan over an old snapshot through `keepVersions`
-  * further commits can lose its files to pruning — long-running reads
-  * should collect promptly (the enrichment batch does) or raise
-  * `keepVersions`; a transactional table format adds true reader
+  * commit, but NEVER before they are `retentionFloorMillis` old — the
+  * time floor bounds the reader/pruner race for ANY reader (a lazy plan
+  * over a snapshot stays readable for at least the floor regardless of
+  * how fast a concurrent writer commits; the reference gets the same
+  * guarantee from PostgreSQL transactions). Readers holding plans longer
+  * than the floor should collect promptly (the enrichment batch does) or
+  * raise the floor; a transactional table format adds lease-based reader
   * retention.
   */
 class ParquetStateTable(
     spark: SparkSession,
     path: String,
-    keepVersions: Int = 3) extends Serializable {
+    keepVersions: Int = 3,
+    retentionFloorMillis: Long = 10 * 60 * 1000L) extends Serializable {
 
   private def root = new Path(path)
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -125,9 +128,14 @@ class ParquetStateTable(
       df.write.mode("errorifexists").parquet(f"$path/v$next%08d")
       val keep = committedVersions().takeRight(keepVersions).map(_._1).toSet
       // one listing: drops superseded committed versions and uncommitted
-      // orphans alike (keep ⊆ committed, orphans are never in keep)
+      // orphans alike (keep ⊆ committed, orphans are never in keep) —
+      // but nothing younger than the retention floor, so a concurrent
+      // reader's snapshot outlives any burst of commits
+      val now = System.currentTimeMillis()
       allVersionDirs().foreach { case (v, p) =>
-        if (v != next && !keep.contains(v)) fs.delete(p, true)
+        if (v != next && !keep.contains(v) &&
+            now - fs.getFileStatus(p).getModificationTime >= retentionFloorMillis)
+          fs.delete(p, true)
       }
       next
     }

@@ -51,10 +51,17 @@ object JdbcUpsertSink {
   }
 
   /** D1's full-tuple conditional delete as a statement
-    * (reference `PostgrePersistenceService.java:351`). */
+    * (reference `PostgrePersistenceService.java:351`).
+    *
+    * `IS NOT DISTINCT FROM` instead of `=`: a plain equality never
+    * matches SQL NULL, so a processed row carrying a null column could
+    * never be deleted from the queue (infinite reprocess). The
+    * reference's columns are all NOT NULL, which made this latent — but
+    * this sink is schema-agnostic, so null-safe matching is the correct
+    * general form. */
   def deleteIfUnmodifiedSql(table: String, cols: Seq[String]): String =
     s"DELETE FROM ${q(table)} WHERE " +
-      cols.map(c => s"${q(c)} = ?").mkString(" AND ")
+      cols.map(c => s"${q(c)} IS NOT DISTINCT FROM ?").mkString(" AND ")
 
   private def binder(conn: Connection, ps: PreparedStatement,
       fields: Array[StructField]): (Row, Int) => Unit = { (row, i) =>

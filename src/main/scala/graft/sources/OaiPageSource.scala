@@ -86,7 +86,8 @@ object OaiPageSource {
   private[sources] def fetchChain(
       options: CaseInsensitiveStringMap,
       state: Option[ChainState],
-      max: Int): (Seq[(String, String)], Option[ChainState]) = {
+      max: Int,
+      failOnFetchError: Boolean = false): (Seq[(String, String)], Option[ChainState]) = {
     val fetch = resolveFetcher(options)
     val base = Option(options.get("url")).getOrElse(
       throw new IllegalArgumentException("oai-pages requires option 'url'"))
@@ -103,7 +104,16 @@ object OaiPageSource {
         val uri = graft.pipeline.OaiRequestBuilder.listIdentifiersUriRaw(
           base, cur.token, prefix, from)
         fetch(uri) match {
-          case None => done = true // transport failure: stop the chain here
+          case None if failOnFetchError =>
+            // batch semantics: a mid-chain transport failure must FAIL
+            // the read — returning fewer pages would be silent truncation
+            // indistinguishable from a complete harvest (the reference
+            // treats HTTP failure as a failed run, OaiHarvester.java:253-264)
+            throw new java.io.IOException(
+              s"oai-pages: transport failure fetching $uri after $n page(s); " +
+                "failing the batch read rather than returning a silently " +
+                "truncated page set")
+          case None => done = true // streaming: stop here, retry next trigger
           case Some(xml) =>
             out += ((uri, xml))
             n += 1
@@ -164,7 +174,8 @@ private[sources] object PageReaderFactory extends PartitionReaderFactory {
 private[sources] class OaiPageBatch(options: CaseInsensitiveStringMap) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val max = options.getInt("maxPages", 100)
-    val (pages, _) = OaiPageSource.fetchChain(options, None, max)
+    val (pages, _) =
+      OaiPageSource.fetchChain(options, None, max, failOnFetchError = true)
     pages.zipWithIndex.map { case ((uri, xml), i) =>
       PagePartition(i.toLong, uri, xml): InputPartition
     }.toArray

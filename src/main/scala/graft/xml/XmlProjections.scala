@@ -65,34 +65,41 @@ object XmlProjections {
     *   - token node empty         → `token_state='empty'`,   token ''
     *   - token node has a value   → `token_state='value'`,   token trimmed
     *
-    * One [[graft.expressions.XPathStructNs]] parse: the expression
-    * returns null for an unmatched path and "" for a matched-but-empty
-    * element, which IS the tri-state — no `count()` presence guard, no
-    * re-parse per field (Spark's `xpath_string` collapses absent and
-    * empty to `''`, SURVEY §7.4). `local-name()` paths match both the
-    * default-namespaced real OAI envelope and namespace-free test
-    * documents, mirroring the reference's namespace-unaware parse.
+    * Fully codegen'd StAX path (no per-row DOM walk — the r1 DOM
+    * expression made P2 ~9× slower than its `from_xml` sibling P1):
+    * `responseDate` comes from ONE `from_xml` parse of the envelope, and
+    * the token element is sliced out with the same fragment regex P1
+    * uses, which preserves the tri-state that `xpath_string` collapses
+    * (absent and empty both → `''`, SURVEY §7.4): a missing fragment is
+    * SQL null = 'absent', a parsed fragment with no text is 'empty'.
+    * The OAI envelope paths are namespace-free element names, matching
+    * the reference's namespace-unaware parse — the namespace-aware DOM
+    * expression [[graft.expressions.XPathStructNs]] is reserved for P4,
+    * where real METS/MODS namespace URIs are the point.
     */
   def projectOaiEnvelope(df: DataFrame, xmlCol: Column): DataFrame = {
-    val struct = call_function("graft_xpath_struct", xmlCol,
-      array(lit("response_date"), lit("resumption_token"), lit("token_expiration")),
-      array(
-        lit("//*[local-name()='responseDate']"),
-        lit("//*[local-name()='resumptionToken']"),
-        lit("//*[local-name()='resumptionToken']/@expirationDate")),
-      array(), array())
-    val rawTok = col("__env.resumption_token")
-    df.withColumn("__env", struct)
-      .withColumn("response_date", tsParseIso8601(col("__env.response_date")))
+    val envSchema = StructType(Seq(StructField("responseDate", StringType)))
+    val tokSchema = StructType(Seq(
+      StructField("_VALUE", StringType),
+      StructField("_expirationDate", StringType)))
+    // Self-closing branch FIRST (same pitfall as the P1 fragment regex)
+    val frags = call_function("regexp_extract_all", xmlCol,
+      lit("<resumptionToken(?=[\\s/>])[^>]*/>|<resumptionToken(?=[\\s>])[\\s\\S]*?</resumptionToken>"),
+      lit(0))
+    val tokText = trimAll(col("__tok._VALUE"))
+    df.withColumn("__env", from_xml(xmlCol, envSchema))
+      .withColumn("__frag", get(frags, lit(0))) // null ⇔ token absent
+      .withColumn("__tok", from_xml(col("__frag"), tokSchema))
+      .withColumn("response_date", tsParseIso8601(col("__env.responseDate")))
       .withColumn("resumption_token",
-        when(rawTok.isNotNull, trimAll(rawTok)))
+        when(col("__frag").isNotNull, coalesce(tokText, lit(""))))
       .withColumn("token_state",
-        when(rawTok.isNull, lit("absent"))
-          .when(trimAll(rawTok) === "", lit("empty"))
+        when(col("__frag").isNull, lit("absent"))
+          .when(coalesce(tokText, lit("")) === "", lit("empty"))
           .otherwise(lit("value")))
       .withColumn("token_expiration",
-        tsParseIso8601(col("__env.token_expiration")))
-      .drop("__env")
+        tsParseIso8601(col("__tok._expirationDate")))
+      .drop("__env", "__frag", "__tok")
   }
 
   /** P3 — OAI error elements → `map(code → message)`

@@ -122,4 +122,39 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(rows.map(_.getBoolean(0)).toSeq == Seq(true, false, true))
     assert(rows.map(_.getBoolean(1)).toSeq == Seq(true, true, false))
   }
+
+  test("text metrics: fused kernel matches the regex definitions on edge cases") {
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      "", " ", "   \t\n", "the", "The THE the.", "a_b the-and to",
+      "auto to too", "der und die nicht", "le la et el los une est",
+      "é ü ñ the", "123 456a !!", "word",
+      "theand of", "the  and\tof\nto is was", "to-to,to;to",
+      "was_", "_was", "3was was3 was")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val m = graft.ops.TextAnalysis.metrics(col("t"))
+    val fused = df.select(col("id"),
+      m.getField("score_en"), m.getField("score_de"),
+      m.getField("score_fr"), m.getField("score_es"),
+      m.getField("n_chars"), m.getField("n_tokens"),
+      m.getField("n_bpe_tokens"), m.getField("alpha_chars"))
+      .orderBy("id").collect().map(_.toSeq.drop(1))
+    def score(pat: String) =
+      size(regexp_extract_all(lower(col("t")), lit(pat), lit(0))).cast("long")
+    val regex = df.select(col("id"),
+      score("\\b(the|and|of|to|is|was)\\b"),
+      score("\\b(der|und|die|nicht|das|ist)\\b"),
+      score("\\b(le|la|et|les|une|est)\\b"),
+      score("\\b(el|los|una|por|las|este)\\b"),
+      length(col("t")).cast("long"),
+      size(split(trim(col("t")), "\\s+")).cast("long"),
+      size(regexp_extract_all(col("t"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"),
+      length(regexp_replace(col("t"), "[^a-zA-Z]", "")).cast("long"))
+      .orderBy("id").collect().map(_.toSeq.drop(1))
+    fused.zip(regex).zipWithIndex.foreach { case ((f, r), i) =>
+      assert(f == r, s"metrics mismatch on case ${i}: '${cases(i)}' fused=$f regex=$r")
+    }
+  }
 }

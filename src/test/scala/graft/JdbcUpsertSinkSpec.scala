@@ -84,10 +84,15 @@ class JdbcUpsertSinkSpec extends SparkSpec {
       """INSERT INTO "T" ("k") VALUES (?) ON CONFLICT ("k") DO NOTHING""")
   }
 
-  test("deleteIfUnmodifiedSql matches every column (full-tuple delete)") {
+  test("deleteIfUnmodifiedSql matches every column (full-tuple delete, null-safe)") {
+    // IS NOT DISTINCT FROM: a '=' comparison never matches SQL NULL, so
+    // a null-bearing processed row could never be deleted (infinite
+    // reprocess) — latent in the reference only because its columns are
+    // NOT NULL
     assert(JdbcUpsertSink.deleteIfUnmodifiedSql("OAIHeader",
       Seq("recordIdentifier", "datestamp", "statusIsDeleted")) ==
-      """DELETE FROM "OAIHeader" WHERE "recordIdentifier" = ? AND "datestamp" = ? AND "statusIsDeleted" = ?""")
+      """DELETE FROM "OAIHeader" WHERE "recordIdentifier" IS NOT DISTINCT FROM ? """ +
+        """AND "datestamp" IS NOT DISTINCT FROM ? AND "statusIsDeleted" IS NOT DISTINCT FROM ?""")
   }
 
   test("writeUpsert batches rows per partition in one transaction, arrays via createArrayOf") {

@@ -78,14 +78,24 @@ class OaiPageSourceSpec extends SparkSpec {
     assert(rows.count(_.getAs[Boolean]("status_is_deleted")) == 1)
   }
 
-  test("transport failure mid-chain yields the pages fetched so far") {
+  test("transport failure mid-chain FAILS the batch read (no silent truncation)") {
+    // A partial page set would be indistinguishable from a complete
+    // harvest — batch reads must fail instead (the reference treats HTTP
+    // failure as a failed run, OaiHarvester.java:253-264). Streaming
+    // keeps stop-and-retry semantics (chain state is preserved across
+    // triggers), covered by the micro-batch specs.
     OaiPageSource.registerFetcher("spec-fail",
       uri => if (uri.contains("metadataPrefix"))
         Some(fixture("/oai/resumptionToken.xml")) else None)
-    val rows = spark.read.format("oai-pages")
-      .option("url", "http://h/oai")
-      .option("fetcher", "spec-fail")
-      .load().collect()
-    assert(rows.length == 1) // page 2's fetch failed; page 1 still delivered
+    val ex = intercept[Exception] {
+      spark.read.format("oai-pages")
+        .option("url", "http://h/oai")
+        .option("fetcher", "spec-fail")
+        .load().collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(t => Option(t.getMessage).exists(_.contains("transport failure"))))
   }
 }

@@ -218,4 +218,131 @@ class OpsSpec extends SparkSpec {
     assert(resized.filter(r => r.payload.length > 64).count() == 0)
     assert(resized.filter(r => r.width != 8 || r.height != 8).count() == 0)
   }
+
+  // ── Decoder contract: the REAL javax.imageio binding and the stub
+  // satisfy the same MediaDecoder interface, so production codecs drop
+  // in without touching the Spark plumbing. ────────────────────────────
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("multimodal: ImageIoDecoder decodes real PNG dimensions, resizes, and drops junk") {
+    import Multimodal.{ImageIoDecoder, MediaRecord}
+    val png = pngBytes(13, 7)
+    val feats = ImageIoDecoder.decodeBatch(Seq(
+      MediaRecord(1L, "image", png),
+      MediaRecord(2L, "image", "not an image".getBytes("UTF-8"))))
+    // junk payload dropped (F2-style validate-and-drop), real one decoded
+    assert(feats.map(_.doc_id) == Seq(1L))
+    assert(feats.head.fake_width == 13L && feats.head.fake_height == 7L)
+    assert(feats.head.fake_frames == 1L)
+    assert(feats.head.n_bytes == png.length.toLong)
+    // resize produces a decodable PNG at the target resolution
+    val resized = ImageIoDecoder.resize(png, 4, 5)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 4 && back.getHeight == 5)
+    // frame 0 of a still image is the image itself
+    val frame = ImageIoDecoder.decodeFrame(png, 0)
+    val f0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+    assert(f0.getWidth == 13 && f0.getHeight == 7)
+    assert(ImageIoDecoder.frameCount(png) == 1)
+    assert(ImageIoDecoder.frameCount("junk".getBytes("UTF-8")) == 0)
+  }
+
+  test("multimodal: the Spark plumbing runs unchanged over the real decoder") {
+    val s = spark
+    import s.implicits._
+    val media = Seq(
+      (1L, "image", pngBytes(16, 9)),
+      (2L, "image", pngBytes(3, 3)),
+      (3L, "image", "junk".getBytes("UTF-8"))
+    ).toDF("doc_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(spark, media,
+        decoder = Multimodal.ImageIoDecoder)
+      .collect().sortBy(_.doc_id)
+    assert(feats.map(f => (f.doc_id, f.fake_width, f.fake_height)).toSeq ==
+      Seq((1L, 16L, 9L), (2L, 3L, 3L)))
+    val frames = Multimodal.sampleFrames(spark, media, everyNth = 1,
+      decoder = Multimodal.ImageIoDecoder).collect()
+    assert(frames.map(_.doc_id).sorted.toSeq == Seq(1L, 2L)) // junk → 0 frames
+  }
+
+  // ── Verified near-dup pairs (the oracle-checkable two-stage shape) ───
+
+  test("dedup: verifiedNearDupPairs returns exact shingle Jaccard for every planted pair") {
+    val pairs = Dedup.verifiedNearDupPairs(withNearDups, "doc_id", "text",
+      minJaccard = 0.5).collect()
+    val planted = withNearDups.filter(col("doc_id") >= 100000).count()
+    val found = pairs.filter(p =>
+      p.getAs[Long]("b_id") == p.getAs[Long]("a_id") + 100000)
+    assert(found.length == planted)
+    // jaccard is the EXACT (n-2)/(n+1) shingle overlap of an n-token doc
+    // extended by 3 tokens — spot-check bounds rather than re-derive
+    assert(found.forall { p =>
+      val j = p.getAs[Double]("jaccard"); j > 0.5 && j <= 1.0
+    })
+  }
+
+  test("dedup: native shingle-jaccard kernel matches the column-expression semantics") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      ("a b c d e", "a b c d e zz yy xx"),
+      ("", ""), (" ", "\t"), ("one two", "one two"),
+      ("a b c", "x y z"), ("a  b\tc ", "a b c"),
+      ("tiny", "tiny doc"), ("a b", "a b c d"))
+    val df = cases.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+    val colExpr = {
+      val sa = Dedup.shingleSet(col("a"), 3)
+      val sb = Dedup.shingleSet(col("b"), 3)
+      size(array_intersect(sa, sb)) * lit(1.0) / size(array_union(sa, sb))
+    }
+    val rows = df.select(col("id"),
+      call_function("graft_shingle_jaccard", col("a"), col("b"), lit(3)).as("k"),
+      colExpr.as("c")).orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"case ${r.getLong(0)}: kernel=${r.getDouble(1)} column=${r.getDouble(2)}")
+    }
+  }
+
+  test("dedup: simhashBandPairs finds every pair within the pigeonhole bound") {
+    val s = spark
+    import s.implicits._
+    // identical texts (hamming 0) MUST collide in all 4 bands
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words entirely here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashBandPairs(d, "doc_id", "text").collect()
+    val exact = pairs.filter(_.getAs[Int]("hamming") == 0)
+      .map(p => (p.getAs[Long]("a_id"), p.getAs[Long]("b_id")))
+    assert(exact.toSeq == Seq((1L, 2L)))
+  }
+
+  test("similarity: multi-band LSH always finds an identical twin at top-1") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val twins = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("c_id"), col("embedding").as("c_vec"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .unionByName(twins)
+    val top1 = Similarity.lshTopK(q, c, "q_id", "q_vec", "c_id", "c_vec",
+      k = 1, planes = 8, bands = 2, excludeSelf = true).collect()
+    assert(top1.nonEmpty)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("c_id") == r.getAs[Long]("q_id") + 100000)
+      assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-9)
+    }
+  }
 }

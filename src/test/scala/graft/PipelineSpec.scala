@@ -275,7 +275,9 @@ class PipelineSpec extends SparkSpec {
 
   test("state table: a crashed (uncommitted) write does not brick the table") {
     val dir = tmp()
-    val t = new ParquetStateTable(spark, s"$dir/state")
+    // floor 0 so the orphan is cleaned immediately (the floor's reader
+    // protection is covered by its own test below)
+    val t = new ParquetStateTable(spark, s"$dir/state", retentionFloorMillis = 0L)
     val s = spark
     import s.implicits._
     t.write(Seq((1L, "a")).toDF("id", "v"))
@@ -288,6 +290,78 @@ class PipelineSpec extends SparkSpec {
     assert(t.read().get.count() == 1L)
     assert(t.read().get.head.getLong(0) == 2L)
     assert(!Files.exists(orphan))
+  }
+
+  test("state table: retention floor shields a lazy reader's snapshot from a commit burst") {
+    val dir = tmp()
+    val s = spark
+    import s.implicits._
+    // Without the floor (r1 behavior): a burst of commits prunes the
+    // files under a still-lazy plan and the late collect fails.
+    val eager = new ParquetStateTable(spark, s"$dir/eager",
+      keepVersions = 1, retentionFloorMillis = 0L)
+    eager.write(Seq((1L, "a")).toDF("id", "v"))
+    val staleEager = eager.read().get
+    (2 to 5).foreach(i => eager.write(Seq((i.toLong, "x")).toDF("id", "v")))
+    assertThrows[Exception](staleEager.collect())
+    // With a floor: same burst, the old snapshot stays readable.
+    val floored = new ParquetStateTable(spark, s"$dir/floored",
+      keepVersions = 1, retentionFloorMillis = 10 * 60 * 1000L)
+    floored.write(Seq((1L, "a")).toDF("id", "v"))
+    val stale = floored.read().get
+    (2 to 5).foreach(i => floored.write(Seq((i.toLong, "x")).toDF("id", "v")))
+    assert(stale.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(floored.read().get.head.getLong(0) == 5L) // newest still wins
+  }
+
+  test("S2: inter-request pacing — injected sleeper observes the per-partition delay") {
+    val dir = tmp()
+    val headers = new ParquetStateTable(spark, s"$dir/headers")
+    val reporting = new ParquetStateTable(spark, s"$dir/reporting")
+    val s = spark
+    import s.implicits._
+    val n = 9
+    headers.write((1 to n).map(i =>
+      QueuedHeader(s"oai:example.org:qucosa:$i",
+        ts("2024-01-01 01:00:00"), Nil, false)).toDF())
+    // fixture loaded OUTSIDE the fetcher: calling fixture() inside apply
+    // would capture the (non-serializable) suite in the task closure
+    val body = fixture("/mets/qucosa7455-mets.xml")
+    val fetch = new DocumentFetcher {
+      def apply(localId: String): Option[String] = Some(body)
+    }
+    PipelineSpec.sleeps.clear()
+    val e = new EnrichmentPipeline(spark, headers, reporting,
+      interRequestDelayMillis = 1000L, sleep = PipelineSpec.recordSleep)
+    val summary = e.runOnce(fetch)
+    assert(summary.processed == n.toLong)
+    val observed = {
+      val b = Seq.newBuilder[Long]
+      PipelineSpec.sleeps.forEach(v => b += v)
+      b.result()
+    }
+    // every wait is the configured delay, and the FIRST request of each
+    // non-empty partition is immediate: waits = records − partitions
+    assert(observed.nonEmpty && observed.forall(_ == 1000L))
+    val slices = math.min(spark.sparkContext.defaultParallelism, n)
+    assert(observed.size == n - slices)
+  }
+
+  test("harvest: clock-skew warning fires beyond the 2-minute tolerance, not within") {
+    val dir = tmp()
+    val headers = new ParquetStateTable(spark, s"$dir/headers")
+    val runs = new ParquetStateTable(spark, s"$dir/runs")
+    val warnings = scala.collection.mutable.ListBuffer[String]()
+    val p = new HarvestPipeline(spark, headers, runs, "http://h/oai",
+      onClockSkew = msg => warnings.synchronized { warnings += msg })
+    val fetch = fetcher(Map("verb" -> fixture("/oai/errorNoRecordsMatch.xml")))
+    // fixture responseDate = 2016-07-26T18:05:24Z; 66 s skew → silent
+    p.runOnce(fetch, ts("2016-07-26 18:06:30"))
+    assert(warnings.isEmpty)
+    // 1 h skew → exactly one warning naming both clocks
+    p.runOnce(fetch, ts("2016-07-26 19:05:24"))
+    assert(warnings.size == 1)
+    assert(warnings.head.contains("differs from local time"))
   }
 
   // ── Structured Streaming wrapper (ST1/ST3/ST4 via engine checkpoint) ──
@@ -314,4 +388,12 @@ class PipelineSpec extends SparkSpec {
     assert(hs.length == 2) // 1044 merged from both pages, 1234 added
     assert(hs(1).getAs[Boolean]("status_is_deleted"))
   }
+}
+
+object PipelineSpec {
+  /** Static recorder for the S2 pacing spec — executors share the JVM in
+    * local mode, so the injected sleeper can log here instead of
+    * wall-clock sleeping. */
+  val sleeps = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  val recordSleep: Long => Unit = ms => { sleeps.add(ms); () }
 }

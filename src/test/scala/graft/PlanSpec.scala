@@ -47,10 +47,23 @@ class PlanSpec extends SparkSpec {
   test("ivf: corpus centroid assignment is narrow (no corpus-wide shuffle)") {
     val p = plan("ann_ivf_topk")
     // broadcast probe join, no sort-merge; shuffles limited to the widen
-    // repartition, the candidate top-k window, and the output sort
+    // repartition, the TWO top-k window phases (salted partial + global),
+    // and the output sort
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
-    assert("Exchange (?!SinglePartition)".r.findAllMatchIn(p).size <= 4, p)
+    assert("Exchange (?!SinglePartition)".r.findAllMatchIn(p).size <= 5, p)
+  }
+
+  test("ann top-k: no single-partition-per-query sort of the full candidate set") {
+    for (q <- Seq("ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk")) {
+      val p = plan(q)
+      // phase 1: a window partitioned by (q_id, salt) bounds what any
+      // final per-query partition can receive to salts × k rows
+      assert(p.contains("__salt"), s"$q lost the salted partial top-k phase\n$p")
+      // and Spark's rank-limit pushdown caps rows BEFORE each exchange
+      assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+        s"$q lost the partial window-group-limit pushdown\n$p")
+    }
   }
 
   test("f3: predicate on the flag column reaches the scan") {
