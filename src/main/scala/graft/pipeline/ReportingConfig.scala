@@ -28,7 +28,8 @@ case class ReportingConfig(
     fc3CompatibilityMode: Boolean,
     runResultHistoryHours: Long,
     metsUrl: String,
-    metsPollSeconds: Long)
+    metsPollSeconds: Long,
+    metsInterRequestMillis: Long)
 
 object ReportingConfig {
 
@@ -41,7 +42,10 @@ object ReportingConfig {
     "oai.fc3compatibility" -> "true",
     "oai.runresulthistorylengthhours" -> "48",
     "mets.url" -> "http://localhost:8080/mets",
-    "mets.pollseconds" -> "600")
+    "mets.pollseconds" -> "600",
+    // reference hardcodes a 1 s floor between METS requests
+    // (ReportingManager.java:85); 0 disables pacing for bulk backfills
+    "mets.interrequestmillis" -> "1000")
 
   private val Prefixes = Seq("db.", "oai.", "mets.")
 
@@ -101,7 +105,8 @@ object ReportingConfig {
         java.lang.Boolean.parseBoolean(get("oai.fc3compatibility").trim),
       runResultHistoryHours = get("oai.runresulthistorylengthhours").trim.toLong,
       metsUrl = get("mets.url"),
-      metsPollSeconds = get("mets.pollseconds").trim.toLong)
+      metsPollSeconds = get("mets.pollseconds").trim.toLong,
+      metsInterRequestMillis = get("mets.interrequestmillis").trim.toLong)
   }
 
   def fromMap(entries: Map[String, String]): ReportingConfig = {

@@ -43,7 +43,9 @@ class ReportingRunner(
     historyLengthHours = config.runResultHistoryHours,
     headerFilter = headerFilter)
   val enrichment = new EnrichmentPipeline(spark, headersTable,
-    reportingTable, batchSize = batchSize)
+    reportingTable, batchSize = batchSize,
+    interRequestDelayMillis = config.metsInterRequestMillis,
+    sleep = sleeper)
 
   @volatile private var running = true
   @volatile private var lastHarvestFailed = false

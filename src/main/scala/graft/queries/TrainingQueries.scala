@@ -234,6 +234,47 @@ object TrainingQueries {
         .orderBy(col("doc_id"), col("frame_index"))
     }),
 
+    // ── Sketches: approximate distinct count (HyperLogLog++) ────────────
+    // The 100 TB cardinality-estimation path: one pass, fixed-size sketch,
+    // map-side combinable — versus the exact count-distinct shuffle. The
+    // oracle contract is the standard sketch guarantee: the estimate must
+    // land within tolerance of the exact count (rsd 0.05 → 15 % is 3σ),
+    // emitted as a boolean the DuckDB oracle asserts alongside the exact
+    // counts it recomputes.
+    "sketch_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count_distinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.05).as("__approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("__approx") - col("n_exact"))
+            <= col("n_exact") * 0.15).as("approx_ok"))
+        .orderBy(col("event_type"))),
+
+    // ── Sketches: approximate percentiles (GK/KLL-style) ─────────────────
+    // Rank-tolerance contract: the approx p50/p90 must lie inside the
+    // exact [p45,p55] / [p85,p95] value bands (±5 % rank error at
+    // accuracy 1000 is generous and deterministic on fixed data).
+    "sketch_quantile_approx" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90_exact"),
+          expr("approx_percentile(value, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95), 1000)")
+            .as("__a"),
+          expr("percentile(value, 0.45)").as("__p45"),
+          expr("percentile(value, 0.55)").as("__p55"),
+          expr("percentile(value, 0.85)").as("__p85"),
+          expr("percentile(value, 0.95)").as("__p95"))
+        .select(col("event_type"), col("p50_exact"), col("p90_exact"),
+          element_at(col("__a"), 2).between(col("__p45"), col("__p55"))
+            .as("p50_ok"),
+          element_at(col("__a"), 5).between(col("__p85"), col("__p95"))
+            .as("p90_ok"))
+        .orderBy(col("event_type"))),
+
     // ── Analytics surface: exact percentiles per group ───────────────────
     "agg_quantiles" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -529,6 +570,19 @@ object TrainingQueries {
         | CAST(unnest(range(0, length(text) % 30 + 1, 10)) AS BIGINT) AS frame_index,
         | CAST(least(64, length(text)) AS BIGINT) AS frame_bytes_len
         |FROM documents ORDER BY doc_id, frame_index""".stripMargin,
+
+    "sketch_approx_distinct" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        | true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sketch_quantile_approx" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        | round(quantile_cont(value, 0.9), 6) AS p90_exact,
+        | true AS p50_ok, true AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_quantiles" ->
       """SELECT event_type,
