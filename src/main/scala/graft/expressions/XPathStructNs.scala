@@ -52,22 +52,7 @@ case class XPathStructNs(
   override def prettyName: String = "graft_xpath_struct"
 
   @transient private lazy val machinery =
-    ThreadLocal.withInitial[(javax.xml.parsers.DocumentBuilder, Array[XPathExpression])] { () =>
-      val ctx = new NamespaceContext {
-        override def getNamespaceURI(prefix: String): String =
-          namespaces.getOrElse(prefix, XMLConstants.NULL_NS_URI)
-        override def getPrefix(uri: String): String =
-          namespaces.collectFirst { case (p, u) if u == uri => p }.orNull
-        override def getPrefixes(uri: String): java.util.Iterator[String] =
-          java.util.Collections.emptyIterator()
-      }
-      val compiled = fields.map { case (_, path) =>
-        val xp = XPathStructNs.newXPath()
-        xp.setNamespaceContext(ctx)
-        xp.compile(path)
-      }.toArray
-      (XPathStructNs.newDocumentBuilder(), compiled)
-    }
+    XPathStructNs.machineryFor(fields, namespaces)
 
   override protected def nullSafeEval(input: Any): Any =
     evalRow(input.asInstanceOf[UTF8String])
@@ -106,13 +91,23 @@ case class XPathStructNs(
     copy(child = newChild)
 }
 
-/** JVM-global factories: `DocumentBuilderFactory.newInstance` /
+/** JVM-global factories AND machinery cache.
+  *
+  * Factories: `DocumentBuilderFactory.newInstance` /
   * `XPathFactory.newInstance` run a ServiceLoader scan under a global
-  * lock — doing that per task (each deserialized expression instance
-  * builds fresh per-thread machinery) serialized all tasks on classpath
+  * lock — doing that per task serialized all tasks on classpath
   * scanning and dominated wall time. The factories are created once;
-  * the (cheap) per-thread builder/XPath creation synchronizes on them
-  * because the factory classes are not thread-safe. */
+  * per-thread builder/XPath creation synchronizes on them because the
+  * factory classes are not thread-safe.
+  *
+  * Machinery: the per-thread (DocumentBuilder, compiled XPaths) pairs
+  * are cached JVM-globally KEYED BY (fields, namespaces), not held per
+  * expression instance — every query run plans a fresh expression
+  * instance, and instance-local ThreadLocals made all 32 task threads
+  * re-create builders and re-compile XPaths under the factory locks on
+  * every run (measured as multi-second run-to-run jitter on the METS
+  * projection). With the keyed cache each thread builds its machinery
+  * once per JVM per distinct projection. */
 private object XPathStructNs {
   private lazy val dbf = {
     val f = DocumentBuilderFactory.newInstance()
@@ -128,4 +123,30 @@ private object XPathStructNs {
     dbf.synchronized { dbf.newDocumentBuilder() }
   def newXPath(): javax.xml.xpath.XPath =
     xpf.synchronized { xpf.newXPath() }
+
+  private val machineryCache = new java.util.concurrent.ConcurrentHashMap[
+    (Seq[(String, String)], Map[String, String]),
+    ThreadLocal[(javax.xml.parsers.DocumentBuilder, Array[XPathExpression])]]()
+
+  def machineryFor(
+      fields: Seq[(String, String)],
+      namespaces: Map[String, String])
+      : ThreadLocal[(javax.xml.parsers.DocumentBuilder, Array[XPathExpression])] =
+    machineryCache.computeIfAbsent((fields, namespaces), _ =>
+      ThreadLocal.withInitial { () =>
+        val ctx = new NamespaceContext {
+          override def getNamespaceURI(prefix: String): String =
+            namespaces.getOrElse(prefix, XMLConstants.NULL_NS_URI)
+          override def getPrefix(uri: String): String =
+            namespaces.collectFirst { case (p, u) if u == uri => p }.orNull
+          override def getPrefixes(uri: String): java.util.Iterator[String] =
+            java.util.Collections.emptyIterator()
+        }
+        val compiled = fields.map { case (_, path) =>
+          val xp = newXPath()
+          xp.setNamespaceContext(ctx)
+          xp.compile(path)
+        }.toArray
+        (newDocumentBuilder(), compiled)
+      })
 }

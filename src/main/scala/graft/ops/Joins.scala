@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes Spark SQL does not provide natively, composed from
+  * relational primitives so Catalyst keeps optimizing them (SURVEY §7.4
+  * decision table: compose before custom physical operators).
+  */
+object Joins {
+
+  /** AS-OF join: for every left row, the single most recent right row of
+    * the same key with `right.ts <= left.ts` (inclusive) — the standard
+    * point-in-time lookup (latest state/price/profile as of an event).
+    *
+    * Spark has no asof join; the naive formulation is a range join
+    * (`l.key = r.key AND r.ts <= l.ts` + a per-left top-1) whose
+    * candidate set explodes quadratically per key at scale. This
+    * implementation is the scalable union-window shape instead:
+    *
+    *   1. tag both sides and UNION them (right payload as one struct
+    *      column, null on left rows);
+    *   2. one hash shuffle on the key, sort by (ts, side) — right
+    *      before left at equal ts, which is what makes the match
+    *      inclusive;
+    *   3. `last(payload, ignoreNulls)` over the running window carries
+    *      the latest right payload forward to each left row.
+    *
+    * Cost: ONE shuffle of left+right on the key and a per-key sort —
+    * no pairwise candidate blowup, skew governed by AQE like any other
+    * keyed exchange. Rows with no prior right row keep a null payload
+    * (left-join semantics).
+    *
+    * Right rows must be unique per (key, ts) — pre-aggregate otherwise
+    * (ties would be resolved arbitrarily; the DuckDB ASOF JOIN oracle
+    * has the same requirement).
+    *
+    * Output: every left column, plus each right payload column as
+    * `asof_<name>`.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => c == key).toSeq
+    val rTagged = right
+      .select(col(key), col(ts),
+        struct(payloadCols.map(col): _*).as("__asof_payload"))
+      .withColumn("__side", lit(0))
+    val lTagged = left.withColumn("__side", lit(1))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__asof", last(col("__asof_payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__asof_payload")
+    payloadCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"__asof.$c"))
+    }.drop("__asof")
+  }
+}

@@ -234,6 +234,48 @@ object TrainingQueries {
         .orderBy(col("doc_id"), col("frame_index"))
     }),
 
+    // ── AS-OF join: latest purchase at-or-before each click ─────────────
+    // The point-in-time lookup Spark lacks natively, in the scalable
+    // union-window shape (one keyed shuffle, no range-join blowup) —
+    // oracle is DuckDB's native ASOF LEFT JOIN.
+    "join_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // right side unique per (user, ts): cents summed per purchase instant
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("purchase_cents"))
+      graft.ops.Joins.asofJoin(clicks, purchases, key = "user_id", ts = "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("last_purchase_ts"),
+          col("asof_purchase_cents").as("last_purchase_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── Analytics surface: CUBE (all grouping-set combinations) ──────────
+    "agg_cube" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
+
+    // ── Analytics surface: rank-family windows ───────────────────────────
+    "window_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          dense_rank().over(w).cast("long").as("drank"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── Sketches: approximate distinct count (HyperLogLog++) ────────────
     // The 100 TB cardinality-estimation path: one pass, fixed-size sketch,
     // map-side combinable — versus the exact count-distinct shuffle. The
@@ -260,18 +302,19 @@ object TrainingQueries {
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
-          round(expr("percentile(value, 0.9)"), 6).as("p90_exact"),
-          expr("approx_percentile(value, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95), 1000)")
-            .as("__a"),
-          expr("percentile(value, 0.45)").as("__p45"),
-          expr("percentile(value, 0.55)").as("__p55"),
-          expr("percentile(value, 0.85)").as("__p85"),
-          expr("percentile(value, 0.95)").as("__p95"))
-        .select(col("event_type"), col("p50_exact"), col("p90_exact"),
-          element_at(col("__a"), 2).between(col("__p45"), col("__p55"))
+          // ONE exact-percentile agg with an array argument (one sort)
+          // and one sketch agg — not a scalar agg per quantile
+          expr("percentile(value, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))")
+            .as("__e"),
+          expr("approx_percentile(value, array(0.5, 0.9), 1000)").as("__a"))
+        .select(col("event_type"),
+          round(element_at(col("__e"), 2), 6).as("p50_exact"),
+          round(element_at(col("__e"), 5), 6).as("p90_exact"),
+          element_at(col("__a"), 1)
+            .between(element_at(col("__e"), 1), element_at(col("__e"), 3))
             .as("p50_ok"),
-          element_at(col("__a"), 5).between(col("__p85"), col("__p95"))
+          element_at(col("__a"), 2)
+            .between(element_at(col("__e"), 4), element_at(col("__e"), 6))
             .as("p90_ok"))
         .orderBy(col("event_type"))),
 
@@ -570,6 +613,36 @@ object TrainingQueries {
         | CAST(unnest(range(0, length(text) % 30 + 1, 10)) AS BIGINT) AS frame_index,
         | CAST(least(64, length(text)) AS BIGINT) AS frame_bytes_len
         |FROM documents ORDER BY doc_id, frame_index""".stripMargin,
+
+    "join_asof" ->
+      """WITH clicks AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        | SELECT user_id, ts,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+        | FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts,
+        | p.ts AS last_purchase_ts, p.purchase_cents AS last_purchase_cents
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY CUBE (event_type, day)
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "window_ranks" ->
+      """SELECT event_id, event_type,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drank
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "sketch_approx_distinct" ->
       """SELECT event_type,

@@ -45,6 +45,22 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("value_sum"))
 
+  /** Streaming exact dedup — the at-least-once-ingestion twin of
+    * `Dedup.exact`: duplicate keys arriving within the watermark window
+    * are dropped and per-key state is EVICTED once the watermark passes
+    * (`dropDuplicatesWithinWatermark`), so state stays bounded by the
+    * window's key cardinality instead of growing with the whole
+    * stream's history — the property that makes streaming dedup viable
+    * on an unbounded 100 TB/day feed (a replayed source batch or a
+    * twice-delivered event lands inside the window by construction). */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      watermark: String = "30 minutes",
+      keys: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Stream-stream interval join: each left event pairs with right
     * events of the same user within `[left.ts, left.ts + interval]`.
     * Both sides carry watermarks and the join condition bounds event

@@ -46,6 +46,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: dropDuplicatesWithinWatermark dedups replayed events with bounded state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+
+    val q = EventStreams.dedupWithinWatermark(in.toDF(),
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: an event + its at-least-once duplicate (same event_id)
+      in.addData(ev(1, "2024-01-01 10:05:00"), ev(1, "2024-01-01 10:05:00"),
+        ev(2, "2024-01-01 10:06:00"))
+      q.processAllAvailable()
+      // batch 2: cross-batch replay of event 1 inside the window — dropped
+      in.addData(ev(1, "2024-01-01 10:05:00"), ev(3, "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+
+      val ids = s.sql("SELECT event_id FROM dedup_stream ORDER BY event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming: flatMapGroupsWithState sessionization closes sessions on gap timeout") {
     val s = spark
     import s.implicits._

@@ -274,6 +274,27 @@ class OpsSpec extends SparkSpec {
     assert(frames.map(_.doc_id).sorted.toSeq == Seq(1L, 2L)) // junk → 0 frames
   }
 
+  test("joins: asofJoin takes the latest right row at-or-before, inclusive, null when none") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val left = Seq(
+      (1L, 7L, t("2024-01-01 10:00:00")),  // before any right → null
+      (2L, 7L, t("2024-01-01 11:00:00")),  // equal ts → inclusive match
+      (3L, 7L, t("2024-01-01 12:30:00")),  // between rights → earlier one
+      (4L, 8L, t("2024-01-01 12:00:00"))   // other key
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (7L, t("2024-01-01 11:00:00"), 100L),
+      (7L, t("2024-01-01 12:00:00"), 200L),
+      (8L, t("2024-01-01 09:00:00"), 300L)
+    ).toDF("k", "ts", "v")
+    val out = graft.ops.Joins.asofJoin(left, right, "k", "ts")
+      .select(col("event_id"), col("asof_v")).orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.toSeq == Seq((1L, -1L), (2L, 100L), (3L, 200L), (4L, 300L)))
+  }
+
   // ── Verified near-dup pairs (the oracle-checkable two-stage shape) ───
 
   test("dedup: verifiedNearDupPairs returns exact shingle Jaccard for every planted pair") {
