@@ -62,4 +62,44 @@ object Joins {
       df.withColumn(s"asof_$c", col(s"__asof.$c"))
     }.drop("__asof")
   }
+
+  /** Bucketed RANGE join: pair every left row with the right rows whose
+    * half-open interval `[lo, hi)` contains `left.value`.
+    *
+    * Spark plans a bare `l.value >= r.lo AND l.value < r.hi` condition
+    * as a broadcast-nested-loop (or cartesian) join — per-row interval
+    * scans that collapse at scale. This is the standard bucketization
+    * rewrite instead: intervals explode to the fixed-width buckets they
+    * overlap, points map to their single bucket, and the join becomes an
+    * EQUI-join on the bucket id (hash shuffle, AQE-governed) followed by
+    * the exact interval filter. A (point, interval) pair can meet in
+    * only the point's bucket, so no dedup pass is needed.
+    *
+    * `bucketWidth` trades shuffle fan-out (wide intervals explode to
+    * `len/width` rows) against candidate precision — pick it near the
+    * typical interval length. Negative values are fine (floor division
+    * buckets correctly); null values/bounds drop out (no bucket).
+    */
+  def rangeJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      valueCol: String,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val lb = left.withColumn("__bucket",
+      floor(col(valueCol) / bucketWidth).cast("long"))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        // hi is EXCLUSIVE: an interval ending exactly on a bucket
+        // boundary does not reach into that bucket
+        greatest(
+          floor(col(loCol) / bucketWidth).cast("long"),
+          ceil(col(hiCol) / bucketWidth).cast("long") - 1L))))
+    lb.join(rb, Seq("__bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bucket")
+  }
 }

@@ -253,6 +253,20 @@ object TrainingQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ── RANGE join: value-in-interval matching via bucketization ────────
+    // A bare BETWEEN join plans as broadcast-nested-loop; the bucketized
+    // rewrite is an equi-join on bucket ids (hash/broadcast, AQE-governed)
+    // plus the exact filter — the shape that survives big×big range joins.
+    "join_range" -> ((s, dir) => {
+      val bands = s.range(0, 10).select(col("id").as("band_id"),
+        (col("id") * 10.0).as("lo"), (col("id") * 10.0 + 10.0).as("hi"))
+      graft.ops.Joins.rangeJoinBucketed(
+          Tables.events(s, dir).select("event_id", "value"), bands,
+          valueCol = "value", loCol = "lo", hiCol = "hi", bucketWidth = 10.0)
+        .select(col("event_id"), col("band_id"))
+        .orderBy(col("event_id"), col("band_id"))
+    }),
+
     // ── Analytics surface: CUBE (all grouping-set combinations) ──────────
     "agg_cube" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -626,6 +640,14 @@ object TrainingQueries {
         |FROM clicks c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "join_range" ->
+      """WITH bands AS (
+        | SELECT CAST(x AS BIGINT) AS band_id, x * 10.0 AS lo, x * 10.0 + 10.0 AS hi
+        | FROM range(0, 10) t(x))
+        |SELECT e.event_id, b.band_id
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |ORDER BY e.event_id, b.band_id""".stripMargin,
 
     "agg_cube" ->
       """SELECT event_type, date_trunc('day', ts) AS day,

@@ -295,6 +295,23 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, -1L), (2L, 100L), (3L, 200L), (4L, 300L)))
   }
 
+  test("joins: rangeJoinBucketed matches half-open intervals across bucket boundaries") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, -5.0), (2L, 0.0), (3L, 9.99), (4L, 10.0), (5L, 15.0), (6L, 25.0))
+      .toDF("event_id", "value")
+    val right = Seq(("A", -10.0, 0.0), ("B", 0.0, 10.0), ("C", 5.0, 25.0))
+      .toDF("band", "lo", "hi")
+    val out = graft.ops.Joins.rangeJoinBucketed(left, right,
+        "value", "lo", "hi", bucketWidth = 10.0)
+      .select(col("event_id"), col("band")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // half-open [lo, hi): 0.0 not in A, 10.0 not in B, 25.0 in nothing;
+    // C spans three buckets and still matches 9.99 / 10 / 15
+    assert(out == Set(
+      (1L, "A"), (2L, "B"), (3L, "B"), (3L, "C"), (4L, "C"), (5L, "C")))
+  }
+
   // ── Verified near-dup pairs (the oracle-checkable two-stage shape) ───
 
   test("dedup: verifiedNearDupPairs returns exact shingle Jaccard for every planted pair") {

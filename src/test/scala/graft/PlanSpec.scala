@@ -54,6 +54,14 @@ class PlanSpec extends SparkSpec {
     assert("Exchange (?!SinglePartition)".r.findAllMatchIn(p).size <= 5, p)
   }
 
+  test("asof/range joins: no nested-loop or cartesian fallback") {
+    for (q <- Seq("join_asof", "join_range")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q fell back to BNLJ\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q fell back to cartesian\n$p")
+    }
+  }
+
   test("ann top-k: no single-partition-per-query sort of the full candidate set") {
     for (q <- Seq("ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk")) {
       val p = plan(q)
