@@ -329,6 +329,67 @@ object Kernels {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Round-half-away-from-zero without the `floor(y + 0.5)` edge bug
+    * (0.49999999999999994 + 0.5 == 1.0 in doubles): matches Spark's
+    * BigDecimal HALF_UP and DuckDB's round on every double. */
+  @inline private def roundHalfAway(y: Double): Long = {
+    val a = Math.abs(y)
+    val f = Math.floor(a)
+    val r = if (a - f >= 0.5) f + 1.0 else f
+    (if (y < 0) -r else r).toLong
+  }
+
+  /** L2-normalize + micro-scale + CSV-serialize in ONE pass: returns
+    * struct(unit_vec_micro: STRING — comma-joined round(x/‖v‖ × 10⁶)
+    * integers, null for zero vectors — , l2_norm: DOUBLE raw). The
+    * integer-CSV form is what keeps the driver's cross-engine hash
+    * comparison exact (float formatting differs between engines);
+    * the single fused loop replaces three interpreted lambda passes
+    * that dominated the query. */
+  def vecUnitCsv(v: ArrayData, code: Int): InternalRow = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = read(v, i, code); ss += x * x; i += 1 }
+    val norm = math.sqrt(ss)
+    if (!(norm > 0.0)) return InternalRow(null, norm)
+    val sb = new java.lang.StringBuilder(n * 8)
+    i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      sb.append(roundHalfAway(read(v, i, code) / norm * 1e6))
+      i += 1
+    }
+    InternalRow(UTF8String.fromString(sb.toString), norm)
+  }
+
+  /** Symmetric int8 quantization + CSV-serialize in ONE pass: returns
+    * struct(q8_csv: STRING — comma-joined round(x × 127/max|x|) ints,
+    * all zeros for zero vectors — , scale: DOUBLE 127/max|x|, null for
+    * zero vectors). */
+  def vecQuant8Csv(v: ArrayData, code: Int): InternalRow = {
+    val n = v.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val a = Math.abs(read(v, i, code)); if (a > mx) mx = a; i += 1
+    }
+    val sb = new java.lang.StringBuilder(n * 5)
+    if (!(mx > 0.0)) {
+      i = 0
+      while (i < n) { if (i > 0) sb.append(','); sb.append('0'); i += 1 }
+      return InternalRow(UTF8String.fromString(sb.toString), null)
+    }
+    val scale = 127.0 / mx
+    i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      sb.append(roundHalfAway(read(v, i, code) * scale))
+      i += 1
+    }
+    InternalRow(UTF8String.fromString(sb.toString), scale)
+  }
+
   def lshBucket(v: ArrayData, planes: Int, code: Int): Long = {
     val n = v.numElements()
     var bucket = 0L
@@ -496,6 +557,46 @@ case class ShingleJaccard(left: Expression, right: Expression, shingleLen: Int)
     copy(left = l, right = r)
 }
 
+/** One-pass L2-normalize + micro-int CSV + norm
+  * ([[Kernels.vecUnitCsv]]). */
+case class VecUnitMicroCsv(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Kernels.supportsElem(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a fixed-width numeric array, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("unit_vec_micro", StringType),
+    StructField("l2_norm", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_vec_unit_csv"
+  @transient private lazy val code = Kernels.elemCode(child.dataType)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.vecUnitCsv(input.asInstanceOf[ArrayData], code)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.vecUnitCsv($c, $code)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass symmetric int8 quantization + CSV + scale
+  * ([[Kernels.vecQuant8Csv]]). */
+case class VecQuant8Csv(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Kernels.supportsElem(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a fixed-width numeric array, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("q8_csv", StringType, nullable = false),
+    StructField("scale", DoubleType)))
+  override def prettyName: String = "graft_vec_q8_csv"
+  @transient private lazy val code = Kernels.elemCode(child.dataType)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.vecQuant8Csv(input.asInstanceOf[ArrayData], code)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.vecQuant8Csv($c, $code)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused per-document text metrics — marker-language scores, codepoint
   * length, whitespace-token count, BPE-ish token count, ASCII-letter
   * count — in a single struct from one kernel call
@@ -583,6 +684,8 @@ object GraftExpressions {
     "graft_lsh_bucket"  -> (es => HyperplaneLshBucket(es.head, lit(es(1)))),
     "graft_text_metrics" -> (es => TextMetrics(es.head)),
     "graft_shingle_jaccard" -> (es => ShingleJaccard(es.head, es(1), lit(es(2)))),
+    "graft_vec_unit_csv" -> (es => VecUnitMicroCsv(es.head)),
+    "graft_vec_q8_csv"   -> (es => VecQuant8Csv(es.head)),
     "graft_xpath_struct" -> (es => {
       val names = lits(es(1)); val paths = lits(es(2))
       val prefixes = lits(es(3)); val uris = lits(es(4))

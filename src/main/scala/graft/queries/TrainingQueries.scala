@@ -155,6 +155,29 @@ object TrainingQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ── Embedding preprocessing: L2 normalize (unit vectors) ─────────────
+    // Components ship as micro-scaled-integer CSV: the driver compare
+    // hashes flat values (arrays don't hash), and integers stringify
+    // identically across engines where float formatting would not.
+    "embed_normalize" -> ((s, dir) => {
+      val u = graft.ops.Embeddings.unitCsvStruct(col("embedding"))
+      Balance.widen(Tables.embeddings(s, dir))
+        .select(col("vec_id"),
+          u.getField("unit_vec_micro").as("unit_vec_micro"),
+          round(u.getField("l2_norm"), 6).as("l2_norm"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ── Embedding preprocessing: symmetric int8 quantization ─────────────
+    "embed_quantize" -> ((s, dir) => {
+      val q = graft.ops.Embeddings.quant8CsvStruct(col("embedding"))
+      Balance.widen(Tables.embeddings(s, dir))
+        .select(col("vec_id"),
+          q.getField("q8_csv").as("q8_csv"),
+          round(q.getField("scale"), 6).as("scale"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ── Text: language-ID heuristic ──────────────────────────────────────
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langIdScores(Tables.documents(s, dir), col("text"))
@@ -534,6 +557,28 @@ object TrainingQueries {
         |FROM (SELECT *, row_number() OVER (
         |  PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s) t
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "embed_normalize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT vec_id,
+        | CASE WHEN nrm > 0 THEN array_to_string(
+        |   list_transform(v, x -> CAST(CAST(round(x / nrm * 1000000.0) AS BIGINT) AS VARCHAR)), ',')
+        | END AS unit_vec_micro,
+        | round(nrm, 6) AS l2_norm
+        |FROM n ORDER BY vec_id""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS mx FROM e)
+        |SELECT vec_id,
+        | CASE WHEN mx > 0
+        |   THEN array_to_string(list_transform(v,
+        |     x -> CAST(CAST(round(x * (127.0 / mx)) AS INTEGER) AS VARCHAR)), ',')
+        |   ELSE array_to_string(list_transform(v, x -> '0'), ',') END AS q8_csv,
+        | CASE WHEN mx > 0 THEN round(127.0 / mx, 6) END AS scale
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,

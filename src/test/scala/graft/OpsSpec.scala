@@ -295,6 +295,56 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, -1L), (2L, 100L), (3L, 200L), (4L, 300L)))
   }
 
+  test("embeddings: normalize yields unit vectors, zero vectors map to null / zero quant") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(-2.0f, 0.0f))
+    ).toDF("vec_id", "v")
+    import graft.ops.Embeddings
+    val rows = df.select(col("vec_id"),
+      Embeddings.l2Normalize(col("v")).as("u"),
+      Embeddings.quantizeInt8(col("v")).as("q"),
+      Embeddings.quantizeScale(col("v")).as("s")).orderBy("vec_id").collect()
+    assert(rows(0).getSeq[Double](1) == Seq(0.6, 0.8))
+    assert(rows(0).getSeq[Int](2) == Seq(95, 127)) // round(3*127/4), 127
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(3))
+    assert(rows(1).getSeq[Int](2) == Seq(0, 0))
+    assert(rows(2).getSeq[Double](1) == Seq(-1.0, 0.0))
+    assert(rows(2).getSeq[Int](2) == Seq(-127, 0))
+  }
+
+  test("embeddings: fused CSV kernels match the column-function semantics") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Embeddings
+    val real = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding").as("v"))
+    val zero = Seq((100000L, Array.fill(4)(0.0f))).toDF("vec_id", "v")
+    val df = real.unionByName(zero)
+    val u = Embeddings.unitCsvStruct(col("v"))
+    val q = Embeddings.quant8CsvStruct(col("v"))
+    val rows = df.select(
+      u.getField("unit_vec_micro").as("ku"),
+      array_join(transform(Embeddings.l2Normalize(col("v")),
+        x => round(x * 1e6).cast("long").cast("string")), ",").as("cu"),
+      round(u.getField("l2_norm"), 6).as("kn"),
+      round(sqrt(Embeddings.l2NormSq(col("v"))), 6).as("cn"),
+      q.getField("q8_csv").as("kq"),
+      array_join(transform(Embeddings.quantizeInt8(col("v")),
+        _.cast("string")), ",").as("cq"),
+      round(q.getField("scale"), 6).as("ks"),
+      round(Embeddings.quantizeScale(col("v")), 6).as("cs")).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("ku") == r.getAs[String]("cu"))
+      assert(r.getAs[Any]("kn") == r.getAs[Any]("cn"))
+      assert(r.getAs[String]("kq") == r.getAs[String]("cq"))
+      assert(r.getAs[Any]("ks") == r.getAs[Any]("cs"))
+    }
+  }
+
   test("joins: rangeJoinBucketed matches half-open intervals across bucket boundaries") {
     val s = spark
     import s.implicits._
