@@ -313,6 +313,11 @@ object TrainingQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ── Data profiling: per-column counts in one aggregation pass ────────
+    "profile_table" -> ((s, dir) =>
+      graft.ops.Profile.table(Tables.orders(s, dir))
+        .orderBy(col("column_name"))),
+
     // ── Sketches: approximate distinct count (HyperLogLog++) ────────────
     // The 100 TB cardinality-estimation path: one pass, fixed-size sketch,
     // map-side combinable — versus the exact count-distinct shuffle. The
@@ -710,6 +715,24 @@ object TrainingQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "profile_table" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+        |SELECT column_name, n_rows, n_nonnull, n_distinct FROM n, (
+        | SELECT 'o_orderkey' AS column_name,
+        |  CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+        | UNION ALL SELECT 'o_custkey', CAST(count(o_custkey) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        | UNION ALL SELECT 'o_orderstatus', CAST(count(o_orderstatus) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        | UNION ALL SELECT 'o_totalprice', CAST(count(o_totalprice) AS BIGINT),
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+        | UNION ALL SELECT 'o_orderdate', CAST(count(o_orderdate) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+        | UNION ALL SELECT 'o_orderpriority', CAST(count(o_orderpriority) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders) t
+        |ORDER BY column_name""".stripMargin,
 
     "sketch_approx_distinct" ->
       """SELECT event_type,
