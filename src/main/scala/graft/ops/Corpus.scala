@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for large-scale training-data pipelines:
+  * sequence packing, stratified sampling, per-domain quotas, benchmark
+  * decontamination, and deterministic global shuffling. These are the
+  * steps BETWEEN cleaning (TextAnalysis/Dedup) and tokenizer output —
+  * the part of a pretraining pipeline that decides what the model
+  * actually sees and in what mixture.
+  *
+  * Scale stance shared by every operator here:
+  *   - no global windows — every window is partitioned by an explicit
+  *     shard/domain key, so work parallelizes across however many
+  *     executors hold the shards;
+  *   - determinism from content, not from partitioning — sampling and
+  *     shuffling decisions hash stable ids (md5), never `rand()`, so a
+  *     retried task or a re-run cluster reproduces the same corpus
+  *     (the at-least-once replay contract the reference's upsert
+  *     pipeline establishes, SURVEY §2 ST4);
+  *   - narrow where possible — sampling and packing metadata are pure
+  *     column maps; only quota ranking and shuffle positioning shuffle,
+  *     and each shuffles once on its partition key.
+  */
+object Corpus {
+
+  /** A uniform-in-[0,1) draw as an 8-hex-char string, derived from
+    * md5(seed:id). Comparing the hex string against a fixed-point hex
+    * threshold is an engine-portable "u < p" test: fixed-length
+    * lowercase hex compares lexicographically exactly like the integer
+    * it encodes, so Spark, DuckDB, and any SQL engine agree without
+    * any hex→int parsing. */
+  def uniformHex(id: Column, seed: String): Column =
+    substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 8)
+
+  /** The 8-hex-char threshold encoding probability `p` (e.g. 0.25 →
+    * "40000000"): floor(p·2^32) zero-padded to 8 nibbles. */
+  def hexThreshold(p: Double): String = {
+    require(p >= 0.0 && p <= 1.0, s"probability out of range: $p")
+    val v = math.min((p * 4294967296.0).toLong, 0xffffffffL)
+    f"$v%08x"
+  }
+
+  /** Deterministic stratified sampling: keep a row iff its content-hash
+    * uniform draw falls under its stratum's rate. This is the mixture
+    * step of corpus assembly (downsample over-represented domains /
+    * languages). Pure narrow filter — no shuffle, no state, and the
+    * same rows survive on any cluster, any partitioning, any retry.
+    *
+    * 100 TB: the filter sits directly on the scan, so column pruning
+    * and predicate pushdown still apply to everything else; the
+    * md5 is one codegen'd call per row. */
+  def sampleStratified(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      seed: String = "graft"): DataFrame = {
+    val u = uniformHex(col(idCol), seed)
+    val threshold = rates.foldRight(lit(hexThreshold(defaultRate))) {
+      case ((stratum, p), els) =>
+        when(col(strataCol) === stratum, lit(hexThreshold(p))).otherwise(els)
+    }
+    df.filter(u < threshold)
+  }
+
+  /** Per-domain quota: keep at most `quota` rows per domain, ranked by
+    * the given ordering (pass a deterministic tie-break, e.g. the id,
+    * as the last column) — the "cap the biggest domains" half of data
+    * mixing, where [[sampleStratified]] is the proportional half.
+    *
+    * 100 TB: one hash shuffle on the domain key; the rank window is
+    * per-domain and Spark's `WindowGroupLimit` pushes the `rank <=
+    * quota` bound into a partial top-k BEFORE the shuffle, so no
+    * executor ever sorts a whole domain (plan-asserted in PlanSpec).
+    * Skewed domains (the usual: en ≫ everything) are exactly the rows
+    * the partial limit discards early. */
+  def domainQuota(
+      df: DataFrame,
+      domainCol: String,
+      quota: Int,
+      ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(domainCol)).orderBy(ordering: _*)
+    df.withColumn("qrank", row_number().over(w).cast("long"))
+      .filter(col("qrank") <= quota)
+  }
+
+  /** Sequence packing, concat-and-chunk style: documents are laid out
+    * back-to-back per shard in id order, and the resulting token stream
+    * is cut into fixed `chunkTokens` windows. Emits where each document
+    * lands: (shard, chunk_id, chunk_offset) — chunk_id is the chunk the
+    * document STARTS in; a document may span into following chunks
+    * (split-allowed packing, the standard pretraining layout where
+    * documents are concatenated with EOD separators and chunked).
+    *
+    * 100 TB: token counts come from the fused one-pass text kernel
+    * (narrow); the only shuffle is the per-shard running sum, and
+    * shards are a free parameter — 10k shards at 100 TB keeps every
+    * window partition bounded. Within a shard the layout is
+    * id-deterministic, so two runs produce byte-identical packing. */
+  def packChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int,
+      chunkTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    df.withColumn("shard", pmod(col(idCol), lit(nShards)).cast("long"))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("token_start", col("__cum") - col("n_tokens"))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (col("token_start") / chunkTokens).cast("long").as("chunk_id"),
+        (col("token_start") % chunkTokens).cast("long").as("chunk_offset"))
+  }
+
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one `k`-token shingle with a benchmark/eval document — the
+    * standard n-gram-overlap test-set leak check run before training.
+    * Returns the distinct contaminated ids.
+    *
+    * 100 TB: the benchmark side is small by construction (eval sets are
+    * thousands of documents, not billions) — its distinct shingle set is
+    * broadcast, so the corpus side stays a narrow explode + broadcast
+    * semi-join: NO shuffle of corpus data at all. The explode is 1→~L
+    * rows per document but each row is one short shingle string, and
+    * the semi-join short-circuits per partition. */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 8): DataFrame = {
+    val corpusShingles = corpus.select(col(idCol),
+      explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
+    val benchShingles = benchmark
+      .select(explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
+      .distinct()
+    corpusShingles
+      .join(broadcast(benchShingles), Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  /** Deterministic global shuffle: the final randomize-before-training
+    * pass. Each row gets a content-derived shuffle key md5(seed:id);
+    * the total order is (shard, pos) where shard = first key byte and
+    * pos ranks within the shard — equivalent to ordering the whole
+    * corpus by md5 key, but computed with per-shard windows only.
+    *
+    * 100 TB: one hash shuffle into 256 shards (generalize the prefix
+    * length for more), each sorted independently — the classic
+    * sort-within-partitions shuffle that never materializes a global
+    * sort. Deterministic: same seed → same permutation on any cluster
+    * topology, which makes training runs reproducible and resumable. */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCol: String,
+      seed: String = "shuffle"): DataFrame = {
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("shard", substring(col("__key"), 1, 2))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
+}

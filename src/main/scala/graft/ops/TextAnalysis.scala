@@ -79,6 +79,27 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** All `n`-token shingles of a text, duplicates KEPT (unlike
+    * [[Dedup.shingleSet]], which is a set) — the denominator of the
+    * repetition ratio needs multiplicity. Texts shorter than `n`
+    * tokens yield one shingle of all tokens. */
+  def ngramsWithDuplicates(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Repetition ratio (Gopher-style quality signal): distinct n-grams /
+    * total n-grams. Near 1 for natural text; collapses toward 0 for
+    * boilerplate and degenerate repetition — the cheap filter that
+    * catches templated/spammy documents dedup misses. Pure array
+    * expressions over one tokenize — narrow, codegen'd, no shuffle. */
+  def ngramDistinctRatio(text: Column, n: Int): Column = {
+    val grams = ngramsWithDuplicates(text, n)
+    round(size(array_distinct(grams)) * lit(1.0) / size(grams), 6)
+  }
+
   /** PII redaction — the standard pre-training scrub: emails, bare
     * URLs, and long digit runs (phone/account numbers) replaced by
     * typed placeholder tokens. Patterns use only portable regex

@@ -423,7 +423,81 @@ object TrainingQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"),
           count_distinct(col("user_id")).as("n_users"))
-        .orderBy(col("window_start"), col("event_type")))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // ── Streaming-analog: native session_window aggregation — the same
+    // gap-merge semantics Structured Streaming uses (EventStreams has
+    // the streaming twin), exercised in batch where the oracle can
+    // recompute it via the lag-gap construction. ────────────────────────
+    "events_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("value_cents"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // ── Corpus assembly: concat-and-chunk sequence packing ──────────────
+    // Where each document lands in the fixed-size token-chunk stream,
+    // per shard — the layout step between cleaning and tokenization.
+    "corpus_pack_chunks" -> ((s, dir) =>
+      graft.ops.Corpus.packChunks(Tables.documents(s, dir), "doc_id", "text",
+          nShards = 8, chunkTokens = 256)
+        .orderBy(col("doc_id"))),
+
+    // ── Corpus assembly: deterministic stratified sampling ──────────────
+    // Content-hash mixture control: per-language keep rates with an
+    // engine-portable hex-threshold u < p test (no rand(), replay-safe).
+    "corpus_sample_stratified" -> ((s, dir) =>
+      graft.ops.Corpus.sampleStratified(Tables.documents(s, dir),
+          "doc_id", "lang",
+          rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.125, "es" -> 0.25),
+          defaultRate = 0.0625, seed = "graft42")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // ── Corpus assembly: per-domain quota (cap the biggest domains) ─────
+    "corpus_domain_quota" -> ((s, dir) =>
+      graft.ops.Corpus.domainQuota(Tables.documents(s, dir), "lang",
+          quota = 40,
+          ordering = Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("qrank"))
+        .orderBy(col("doc_id"))),
+
+    // ── Corpus assembly: benchmark decontamination ──────────────────────
+    // Planted leaks (benchmark texts with a prefix, shifted ids) must be
+    // flagged by 8-token shingle overlap; the oracle enumerates overlap
+    // exhaustively, so natural collisions agree across engines too.
+    "corpus_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") % 97 === 0)
+      val corpus = d.filter(col("doc_id") % 97 =!= 0)
+        .unionByName(bench.select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("leaked copy "), col("text")).as("text")))
+      graft.ops.Corpus.decontaminate(corpus, bench, "doc_id", "text",
+          shingleLen = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Corpus assembly: deterministic global shuffle ───────────────────
+    // (shard, pos) IS the total order; per-shard windows only — the
+    // randomize-before-training pass without a global sort.
+    "corpus_global_shuffle" -> ((s, dir) =>
+      graft.ops.Corpus.deterministicShuffle(
+          Tables.documents(s, dir).select("doc_id"), "doc_id", seed = "shuf7")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))),
+
+    // ── Text: repetition ratios (Gopher-style quality signal) ───────────
+    "text_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.ngramDistinctRatio(col("text"), 2)
+            .as("distinct_2gram_ratio"),
+          graft.ops.TextAnalysis.ngramDistinctRatio(col("text"), 3)
+            .as("distinct_3gram_ratio"))
+        .orderBy(col("doc_id")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -791,6 +865,94 @@ object TrainingQueries {
         | CAST(count(*) AS BIGINT) AS n_events,
         | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // session_window gap-merge semantics: an event extends the session
+    // iff it lands strictly before last_ts + gap; end = last_ts + gap.
+    "events_session_window" ->
+      """WITH x AS (SELECT *,
+        | CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT *, sum(new_session) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        | max(ts) + INTERVAL 30 MINUTE AS session_end,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "corpus_pack_chunks" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (
+        |  PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM d)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+        | CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id,
+        | CAST((cum - n_tokens) % 256 AS BIGINT) AS chunk_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5('graft42:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+        |            WHEN 'fr' THEN '20000000' WHEN 'es' THEN '40000000'
+        |            ELSE '10000000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_domain_quota" ->
+      """SELECT doc_id, lang, n_chars, qrank FROM (
+        | SELECT doc_id, lang, n_chars,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS qrank
+        | FROM documents) t
+        |WHERE qrank <= 40 ORDER BY doc_id""".stripMargin,
+
+    // 8-token shingle overlap with the benchmark set (doc_id % 97 = 0),
+    // corpus = originals minus benchmark plus planted leaked copies.
+    "corpus_decontaminate" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |corpus AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        | UNION ALL
+        | SELECT doc_id + 300000, 'leaked copy ' || text FROM bench),
+        |ct AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus),
+        |bt AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM bench),
+        |cs AS (SELECT doc_id, unnest(
+        |  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' ')) END) AS sh
+        | FROM ct),
+        |bs AS (SELECT DISTINCT unnest(
+        |  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' ')) END) AS sh
+        | FROM bt)
+        |SELECT DISTINCT c.doc_id FROM cs c JOIN bs b USING (sh)
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_global_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  md5('shuf7:' || CAST(doc_id AS VARCHAR)) AS key FROM documents)
+        |SELECT doc_id, substr(key, 1, 2) AS shard,
+        | CAST(row_number() OVER (
+        |   PARTITION BY substr(key, 1, 2) ORDER BY key, doc_id) AS BIGINT) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) END AS g2,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END AS g3
+        | FROM t)
+        |SELECT doc_id,
+        | round(len(list_distinct(g2)) * 1.0 / len(g2), 6) AS distinct_2gram_ratio,
+        | round(len(list_distinct(g3)) * 1.0 / len(g3), 6) AS distinct_3gram_ratio
+        |FROM g ORDER BY doc_id""".stripMargin
   )
 }
