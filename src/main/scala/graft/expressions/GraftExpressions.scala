@@ -314,6 +314,41 @@ object Kernels {
     set
   }
 
+  /** Distinct n-token shingle set as a string array — the kernel form
+    * of `Dedup.shingleSet`'s column definition (whitespace tokens with
+    * Spark trim/split semantics, one shingle of all tokens when fewer
+    * than n, duplicates removed). One pass, one HashSet, no interpreted
+    * lambda per shingle. Iteration order of the HashSet is irrelevant:
+    * every consumer treats the result as a set (explode + equi-join). */
+  def shingleSetArray(input: UTF8String, n: Int): ArrayData = {
+    val set = shingleStrings(input.toString, n)
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Total and distinct n-token shingle counts in one pass — the
+    * repetition-ratio inputs (distinct/total is the Gopher-style
+    * signal). Total counts duplicates: texts shorter than n tokens
+    * count as one shingle. */
+  def ngramStats(input: UTF8String, n: Int): InternalRow = {
+    val toks = sparkTokens(input.toString)
+    if (toks.length < n) return InternalRow(1L, 1L)
+    val total = toks.length - n + 1
+    val set = new java.util.HashSet[String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      set.add(sb.toString)
+      i += 1
+    }
+    InternalRow(total.toLong, set.size.toLong)
+  }
+
   /** Exact Jaccard of the distinct n-token-shingle sets of two texts —
     * one kernel call per CANDIDATE pair (the LSH-verified set is tiny),
     * replacing interpreted higher-order array lambdas that dominated the
@@ -597,6 +632,52 @@ case class VecQuant8Csv(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct n-token shingle set of a text as ARRAY<STRING>
+  * ([[Kernels.shingleSetArray]]) — the explode-side of shingle joins
+  * (decontamination, near-dup verification) without per-shingle
+  * interpreted lambdas. */
+case class ShingleSetExpr(child: Expression, shingleLen: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.shingleSetArray(input.asInstanceOf[UTF8String], shingleLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.Kernels.shingleSetArray($c, $shingleLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** struct(n_grams, n_distinct) of the n-token shingles of a text
+  * ([[Kernels.ngramStats]]) — one pass for the repetition ratio. */
+case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+  override def prettyName: String = "graft_ngram_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.ngramStats(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.ngramStats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused per-document text metrics — marker-language scores, codepoint
   * length, whitespace-token count, BPE-ish token count, ASCII-letter
   * count — in a single struct from one kernel call
@@ -684,6 +765,8 @@ object GraftExpressions {
     "graft_lsh_bucket"  -> (es => HyperplaneLshBucket(es.head, lit(es(1)))),
     "graft_text_metrics" -> (es => TextMetrics(es.head)),
     "graft_shingle_jaccard" -> (es => ShingleJaccard(es.head, es(1), lit(es(2)))),
+    "graft_shingle_set" -> (es => ShingleSetExpr(es.head, lit(es(1)))),
+    "graft_ngram_stats" -> (es => NgramStats(es.head, lit(es(1)))),
     "graft_vec_unit_csv" -> (es => VecUnitMicroCsv(es.head)),
     "graft_vec_q8_csv"   -> (es => VecQuant8Csv(es.head)),
     "graft_xpath_struct" -> (es => {

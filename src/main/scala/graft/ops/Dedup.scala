@@ -81,8 +81,18 @@ object Dedup {
   /** Distinct `n`-token shingle set of a text column — EXACTLY the
     * shingle definition of [[minhashSignature]] (whitespace tokens, one
     * shingle of all tokens when fewer than `n`), so exact-Jaccard
-    * verification measures the same quantity the MinHash estimates. */
-  def shingleSet(text: Column, n: Int): Column = {
+    * verification measures the same quantity the MinHash estimates.
+    * Kernel-backed ([[graft.expressions.ShingleSetExpr]]): one pass,
+    * no per-shingle interpreted lambda — [[shingleSetColumnForm]] is
+    * the column-expression reference it must match (parity spec). */
+  def shingleSet(text: Column, n: Int): Column =
+    call_function("graft_shingle_set", text, lit(n))
+
+  /** Column-expression reference form of [[shingleSet]] (HOF
+    * transform/slice) — kept for the kernel parity spec; the kernel is
+    * ~50× faster per row. Element ORDER may differ from the kernel
+    * (set semantics); compare sorted. */
+  def shingleSetColumnForm(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
     when(size(toks) < n, array(array_join(toks, " ")))
       .otherwise(array_distinct(transform(

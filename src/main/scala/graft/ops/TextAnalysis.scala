@@ -80,9 +80,10 @@ object TextAnalysis {
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
   /** All `n`-token shingles of a text, duplicates KEPT (unlike
-    * [[Dedup.shingleSet]], which is a set) — the denominator of the
-    * repetition ratio needs multiplicity. Texts shorter than `n`
-    * tokens yield one shingle of all tokens. */
+    * [[Dedup.shingleSet]], which is a set) — the column-expression
+    * reference form of the [[ngramDistinctRatio]] kernel's total/
+    * distinct counts (parity spec). Texts shorter than `n` tokens
+    * yield one shingle of all tokens. */
   def ngramsWithDuplicates(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
     when(size(toks) < n, array(array_join(toks, " ")))
@@ -93,11 +94,11 @@ object TextAnalysis {
   /** Repetition ratio (Gopher-style quality signal): distinct n-grams /
     * total n-grams. Near 1 for natural text; collapses toward 0 for
     * boilerplate and degenerate repetition — the cheap filter that
-    * catches templated/spammy documents dedup misses. Pure array
-    * expressions over one tokenize — narrow, codegen'd, no shuffle. */
+    * catches templated/spammy documents dedup misses. Kernel-backed
+    * ([[graft.expressions.NgramStats]]): one pass, narrow, no shuffle. */
   def ngramDistinctRatio(text: Column, n: Int): Column = {
-    val grams = ngramsWithDuplicates(text, n)
-    round(size(array_distinct(grams)) * lit(1.0) / size(grams), 6)
+    val st = call_function("graft_ngram_stats", text, lit(n))
+    round(st.getField("n_distinct") * lit(1.0) / st.getField("n_grams"), 6)
   }
 
   /** PII redaction — the standard pre-training scrub: emails, bare

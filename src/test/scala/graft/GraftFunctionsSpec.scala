@@ -157,4 +157,31 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(f == r, s"metrics mismatch on case ${i}: '${cases(i)}' fused=$f regex=$r")
     }
   }
+
+  test("shingle-set and ngram-stats kernels match the column-expression forms") {
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      "", " ", "   \t\n", "word", "a b", "a b c", "a b c d",
+      "a a a a a", "one two three four five", "x  y\tz ",
+      " lead and trail ", "a b a b a b", "é ü ñ the and of")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val rows = df.select(col("id"),
+        sort_array(graft.ops.Dedup.shingleSet(col("t"), n)).as("kernel"),
+        sort_array(graft.ops.Dedup.shingleSetColumnForm(col("t"), n)).as("colform"),
+        call_function("graft_ngram_stats", col("t"), lit(n)).as("st"),
+        graft.ops.TextAnalysis.ngramsWithDuplicates(col("t"), n).as("dups"))
+        .orderBy("id").collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"shingle set mismatch n=$n case '${cases(i)}'")
+        val st = r.getStruct(3)
+        assert(st.getLong(0) === r.getSeq[String](4).length.toLong,
+          s"ngram total mismatch n=$n case '${cases(i)}'")
+        assert(st.getLong(1) === r.getSeq[String](4).distinct.length.toLong,
+          s"ngram distinct mismatch n=$n case '${cases(i)}'")
+      }
+    }
+  }
 }
