@@ -87,6 +87,25 @@ object EventStreams {
         col("l_ts"), col("r_ts"), col("l_type"), col("r_type"))
   }
 
+  /** Gap-based sessionization via the NATIVE `session_window` function —
+    * the built-in path Spark provides for exactly this shape (prefer it
+    * over custom state when the aggregate is expressible): sessions
+    * merge while events land within `gap`, state is evicted once the
+    * watermark passes a session's end. Batch twin with a DuckDB oracle:
+    * `events_session_window` in the query inventory; the custom-state
+    * variant below ([[sessionize]]) exists for aggregates session_window
+    * can't express (e.g. emitting mid-session or non-algebraic state). */
+  def sessionWindowAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("value_sum"))
+
   /** Gap-based sessionization as custom keyed state
     * (`flatMapGroupsWithState` + event-time timeout): a session closes
     * when no event arrives within `gap` of its last event (watermark

@@ -46,6 +46,38 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: native session_window merges within gap, closes after watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+
+    val q = EventStreams.sessionWindowAgg(in.toDF(), gap = "30 minutes",
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("sw_agg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one session: 10:00 and 10:20 merge (gap < 30 min); 11:10 starts a
+      // second session (10:20 session ends 10:50 < 11:10)
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:20:00", v = 2.0),
+        ev(3, "2024-01-01 11:10:00", v = 5.0))
+      q.processAllAvailable()
+      // advance the watermark far past both session ends to close them
+      in.addData(ev(4, "2024-01-01 15:00:00"))
+      q.processAllAvailable()
+
+      val rows = s.sql("SELECT * FROM sw_agg ORDER BY session_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Timestamp]("session_start") == ts("2024-01-01 10:00:00"))
+      // session end = last event + gap
+      assert(rows(0).getAs[Timestamp]("session_end") == ts("2024-01-01 10:50:00"))
+      assert(rows(0).getAs[Long]("n_events") == 2L)
+      assert(rows(0).getAs[Double]("value_sum") == 3.0)
+      assert(rows(1).getAs[Timestamp]("session_start") == ts("2024-01-01 11:10:00"))
+      assert(rows(1).getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+
   test("streaming: dropDuplicatesWithinWatermark dedups replayed events with bounded state") {
     val s = spark
     import s.implicits._
