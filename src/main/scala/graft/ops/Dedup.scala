@@ -215,7 +215,8 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "a_id",
       bCol: String = "b_id",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      driverEdgeLimit: Long = 2000000L): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
@@ -223,7 +224,48 @@ object Dedup {
     // subtree several times (neighbor join, label init, jump), and racing
     // cache population would re-run the upstream pair pipeline — typically
     // the expensive part — once per reference
-    edges.count()
+    val edgeCount = edges.count()
+
+    // Hybrid small-graph path: the verified near-dup edge set is orders
+    // of magnitude smaller than the corpus (only pairs above the Jaccard
+    // threshold survive verification — ~0.03 % of rows on the planted
+    // corpora, and real web corpora cluster similarly sparsely). When it
+    // fits the driver comfortably (2 M symmetric long edges ≈ 32 MB),
+    // exact union-find in one collect beats 4-6 distributed rounds of
+    // 2-join jobs by the per-round scheduling constant — the same reason
+    // the reference runs its whole dedup single-node. The distributed
+    // pointer-jumping loop below remains the path for graphs that DON'T
+    // fit (billions of edges at 100 TB), and for non-long id types.
+    val idsAreLong = edges.schema("src").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (idsAreLong && edgeCount <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.get(x) != x) {
+          parent.put(x, parent.get(parent.get(x))) // path halving
+          x = parent.get(x)
+        }
+        x
+      }
+      edges.select("src", "dst").collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // min-label union keeps the distributed path's invariant:
+        // cluster = minimum member id
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = new Array[(Long, Long)](parent.size)
+      val it = parent.keySet().iterator()
+      var i = 0
+      while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
+      edges.unpersist()
+      import spark.implicits._
+      return spark.createDataset(out.toSeq).toDF("id", "cluster")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint(true)
     var converged = false

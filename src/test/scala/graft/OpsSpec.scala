@@ -63,6 +63,22 @@ class OpsSpec extends SparkSpec {
     assert(clusters(20L) == 20L && clusters(21L) == 20L)
   }
 
+  test("dedup: driver union-find and distributed pointer jumping agree exactly") {
+    val s = spark
+    import s.implicits._
+    // deep chain (forces several distributed rounds), a star, an
+    // isolated pair, and reversed-order edges
+    val pairs = ((1L to 40L).sliding(2).map { case Seq(a, b) => (b, a) }.toSeq ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (200L, 201L)))
+      .toDF("a_id", "b_id")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val small = asMap(Dedup.clusterPairs(pairs)) // driver path (default limit)
+    val dist = asMap(Dedup.clusterPairs(pairs, driverEdgeLimit = 0L)) // forced distributed
+    assert(small === dist)
+    assert(small(40L) === 1L && small(103L) === 100L && small(201L) === 200L)
+  }
+
   test("dedup: minhash pairs + clustering keep exactly one doc per planted dup group") {
     val pairs = Dedup.minhashLshPairs(withNearDups, "doc_id", "text")
     val clusters = Dedup.clusterPairs(pairs)
