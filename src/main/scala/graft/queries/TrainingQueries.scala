@@ -489,6 +489,18 @@ object TrainingQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))),
 
+    // ── Text: global token frequencies, top-20 — the vocabulary-building
+    // pass. Explode → hash agg (map-side combined: the shuffle carries
+    // one partial count per distinct token per partition, not one row
+    // per token occurrence) → TakeOrderedAndProject (per-partition
+    // top-k + driver merge, no global sort). ────────────────────────────
+    "text_word_freq_topk" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)),
+
     // ── Text: repetition ratios (Gopher-style quality signal) ───────────
     "text_repetition" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -941,6 +953,13 @@ object TrainingQueries {
         | CAST(row_number() OVER (
         |   PARTITION BY substr(key, 1, 2) ORDER BY key, doc_id) AS BIGINT) AS pos
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "text_word_freq_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |      FROM documents) t
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

@@ -79,4 +79,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(l_returnflag,R)"))
     assert(!p.contains("l_extendedprice")) // pruned
   }
+
+  test("domain quota: rank bound pushes a partial WindowGroupLimit below the shuffle") {
+    val p = plan("corpus_domain_quota")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"quota rank not partially limited before the exchange\n$p")
+  }
+
+  test("decontaminate: benchmark shingles broadcast; corpus side never shuffles") {
+    val p = plan("corpus_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"decontamination lost the broadcast semi-join\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("stratified sample: pure narrow filter — no exchange before the scan filter") {
+    val q = graft.ops.Corpus.sampleStratified(
+      Tables.documents(spark, sf0001), "doc_id", "lang",
+      Map("en" -> 0.5), 0.1)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampling must not shuffle\n$p")
+  }
+
+  test("pack/shuffle: windows are shard-partitioned, never single-partition") {
+    for (q <- Seq("corpus_pack_chunks", "corpus_global_shuffle")) {
+      // executedPlan includes the final orderBy's range partitioning (the
+      // oracle-stable output sort) — assert on the WINDOW partitioning:
+      // hashpartitioning on the shard key, and no SinglePartition window
+      val p = plan(q)
+      assert("Window .*\\[shard".r.findFirstIn(p.replace("\n", " ")).isDefined
+        || p.contains("hashpartitioning(shard"), s"$q window not shard-keyed\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q has a global window\n$p")
+    }
+  }
 }
