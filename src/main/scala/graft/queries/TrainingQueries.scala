@@ -489,6 +489,26 @@ object TrainingQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))),
 
+    // ── Skew-safe big×small join via deterministic salting — the manual
+    // mitigation for hot keys AQE's skew-split can't fix (a single hot
+    // key within one logical partition). Salting is result-invariant:
+    // the oracle is the PLAIN join + aggregate. Salt derives from the
+    // fact row's unique id (retry-safe; never rand()/monotonic id). ─────
+    "join_salted_skew" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Scale.saltedJoin(li, o, Seq("l_orderkey"),
+          saltFactor = 4, saltOn = Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ── Text: global token frequencies, top-20 — the vocabulary-building
     // pass. Explode → hash agg (map-side combined: the shuffle carries
     // one partial count per distinct token per partition, not one row
@@ -953,6 +973,14 @@ object TrainingQueries {
         | CAST(row_number() OVER (
         |   PARTITION BY substr(key, 1, 2) ORDER BY key, doc_id) AS BIGINT) AS pos
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // plain join — salting must not change the result
+    "join_salted_skew" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |  AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_word_freq_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n

@@ -101,6 +101,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"sampling must not shuffle\n$p")
   }
 
+  test("salted join: join keys carry the salt, so hot keys split across reducers") {
+    val p = plan("join_salted_skew")
+    assert(p.contains("__graft_salt"), s"salt column missing from the join\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("pack/shuffle: windows are shard-partitioned, never single-partition") {
     for (q <- Seq("corpus_pack_chunks", "corpus_global_shuffle")) {
       // executedPlan includes the final orderBy's range partitioning (the
