@@ -157,6 +157,57 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  // ── property tests (generated corpora) ────────────────────────────────
+
+  test("property: nested sample rates — every row kept at rate p survives at rate q > p") {
+    // hex thresholds are monotone in p, and the draw is per-row fixed,
+    // so samples are NESTED: raising a stratum's rate only ADDS rows.
+    // This is the property that makes rate changes reproducible corpus
+    // diffs instead of full reshuffles.
+    val lo = Corpus.sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> 0.2), 0.05, "pseed").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val hi = Corpus.sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> 0.6), 0.15, "pseed").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi), s"missing at higher rate: ${lo -- hi}")
+  }
+
+  test("property: packChunks conserves the token stream for generated corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val wordGen = Gen.oneOf("alpha", "beta", "g", "dd", "e55", "", " ")
+    val textGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    val texts = (0 until 120).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(i.toLong)).map(t => (i.toLong, t)))
+    val df = texts.toDF("doc_id", "text")
+    val packed = Corpus.packChunks(df, "doc_id", "text", nShards = 3,
+      chunkTokens = 16).collect()
+    // 1) every doc appears exactly once
+    assert(packed.length === texts.length)
+    // 2) per shard: chunk stream is gapless — total tokens equals the
+    //    final doc's start + its tokens, and chunk_ids are the floor
+    //    division of reconstructed starts (cross-checked in Scala)
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      var expectStart = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        val start = r.getAs[Long]("chunk_id") * 16 + r.getAs[Long]("chunk_offset")
+        assert(start === expectStart, s"gap at doc ${r.getAs[Long]("doc_id")}")
+        expectStart = start + r.getAs[Long]("n_tokens")
+      }
+    }
+    // 3) kernel n_tokens matches Spark's split semantics (split keeps
+    //    empty leading/trailing segments; all-space text → [""] → 1)
+    val expected = df.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    packed.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === expected(r.getAs[Long]("doc_id")))
+    }
+  }
+
   // ── ngramDistinctRatio ────────────────────────────────────────────────
 
   test("repetition ratio: degenerate text scores low, varied text high") {
