@@ -329,6 +329,26 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** ALL n-token grams of a text in document order, duplicates KEPT —
+    * the multiset form a tokenizer-training pair count needs (the
+    * distinct [[shingleSetArray]] would under-count repeated pairs).
+    * Texts with fewer than n tokens yield an empty array: a 1-token
+    * document has no adjacent pair and must contribute nothing. */
+  def ngramListArray(input: UTF8String, n: Int): ArrayData = {
+    val toks = sparkTokens(input.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Total and distinct n-token shingle counts in one pass — the
     * repetition-ratio inputs (distinct/total is the Gopher-style
     * signal). Total counts duplicates: texts shorter than n tokens
@@ -656,6 +676,28 @@ case class ShingleSetExpr(child: Expression, shingleLen: Int)
     copy(child = newChild)
 }
 
+/** Ordered multiset of the n-token grams of a text as ARRAY<STRING>
+  * ([[Kernels.ngramListArray]]) — the explode-side of global pair
+  * counting (tokenizer-merge statistics), where repeats must count. */
+case class NgramListExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngram_list"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.ngramListArray(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.Kernels.ngramListArray($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** struct(n_grams, n_distinct) of the n-token shingles of a text
   * ([[Kernels.ngramStats]]) — one pass for the repetition ratio. */
 case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
@@ -767,6 +809,7 @@ object GraftExpressions {
     "graft_shingle_jaccard" -> (es => ShingleJaccard(es.head, es(1), lit(es(2)))),
     "graft_shingle_set" -> (es => ShingleSetExpr(es.head, lit(es(1)))),
     "graft_ngram_stats" -> (es => NgramStats(es.head, lit(es(1)))),
+    "graft_ngram_list"  -> (es => NgramListExpr(es.head, lit(es(1)))),
     "graft_vec_unit_csv" -> (es => VecUnitMicroCsv(es.head)),
     "graft_vec_q8_csv"   -> (es => VecQuant8Csv(es.head)),
     "graft_xpath_struct" -> (es => {

@@ -144,6 +144,24 @@ object Corpus {
       .select(col(idCol)).distinct()
   }
 
+  /** Length-bucket assignment for batch assembly: documents grouped
+    * into power-of-two-ish token-length buckets so a training batcher
+    * can pad within a bucket instead of to the global max. Buckets are
+    * explicit threshold CASEs (portable integer comparisons — no
+    * float log2 whose boundary rounding could differ across engines).
+    *
+    * 100 TB: the label is a narrow one-pass expression (token count
+    * from the fused kernel); the per-bucket stats aggregate is
+    * map-side combined into at most |buckets| rows per partition. */
+  def lengthBucket(textCol: Column, bounds: Seq[Long] = Seq(32L, 64L, 128L, 256L)): Column = {
+    val n = TextAnalysis.tokenCount(textCol)
+    val labeled = bounds.zipWithIndex.foldRight(
+      lit(s"${bounds.size}_gt_${bounds.last}")) { case ((b, i), els) =>
+      when(n <= b, lit(s"${i}_le_$b")).otherwise(els)
+    }
+    labeled
+  }
+
   /** Deterministic global shuffle: the final randomize-before-training
     * pass. Each row gets a content-derived shuffle key md5(seed:id);
     * the total order is (shard, pos) where shard = first key byte and

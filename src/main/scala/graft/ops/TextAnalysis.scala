@@ -101,6 +101,37 @@ object TextAnalysis {
     round(st.getField("n_distinct") * lit(1.0) / st.getField("n_grams"), 6)
   }
 
+  /** All `n`-token grams, duplicates kept, shorter-than-n texts empty —
+    * the multiset a tokenizer-training pair count consumes
+    * ([[graft.expressions.NgramListExpr]] kernel: one pass, narrow). The
+    * semantic differs from [[ngramsWithDuplicates]] on short texts
+    * deliberately: a 1-token document has no adjacent pair and must
+    * contribute nothing to merge statistics. */
+  def ngramList(text: Column, n: Int): Column =
+    call_function("graft_ngram_list", text, lit(n))
+
+  /** Composed logistic document-quality score — the shape of a distilled
+    * fasttext-style quality classifier: fixed weights over the fused
+    * text metrics (alpha ratio, log-length, 2-gram repetition). All
+    * inputs come from single-pass kernels, the score is a narrow
+    * codegen'd expression, and every operation (including `exp`) is
+    * bitwise-reproducible against the SQL oracle form — thresholds are
+    * applied to the UNROUNDED score.
+    *
+    * quality = sigmoid(-2.0 + 2.5·alpha_ratio + 0.5·ln(1+n_tokens)
+    *                        + 1.0·distinct_2gram_ratio)
+    */
+  def qualityLogistic(text: Column): Column = {
+    val m  = metrics(text)
+    val st = call_function("graft_ngram_stats", text, lit(2))
+    val alphaRatio = m.getField("alpha_chars") * lit(1.0) /
+      nullif(m.getField("n_chars"), lit(0L))
+    val lnTok = log(lit(1.0) + m.getField("n_tokens"))
+    val d2 = st.getField("n_distinct") * lit(1.0) / st.getField("n_grams")
+    val z = lit(-2.0) + lit(2.5) * alphaRatio + lit(0.5) * lnTok + lit(1.0) * d2
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** PII redaction — the standard pre-training scrub: emails, bare
     * URLs, and long digit runs (phone/account numbers) replaced by
     * typed placeholder tokens. Patterns use only portable regex

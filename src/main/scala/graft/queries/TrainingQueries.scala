@@ -529,7 +529,63 @@ object TrainingQueries {
             .as("distinct_2gram_ratio"),
           graft.ops.TextAnalysis.ngramDistinctRatio(col("text"), 3)
             .as("distinct_3gram_ratio"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ── Events: JSON property extraction through the VARIANT type —
+    // Spark 4's semi-structured path (parse once into variant, typed
+    // get at query time). Narrow map; the variant never shuffles. ──────
+    "events_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k_val"))
+        .orderBy(col("event_id"))),
+
+    // ── Text: adjacent-token pair counts, top-20 — the tokenizer-
+    // training (BPE merge) statistic. Kernel multiset grams (repeats
+    // count, <2-token docs contribute nothing) → map-side-combined
+    // hash agg → TakeOrderedAndProject. ─────────────────────────────────
+    "text_bpe_pairs" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(graft.ops.TextAnalysis.ngramList(col("text"), 2))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)),
+
+    // ── Text: composed logistic quality classifier — fixed-weight
+    // sigmoid over fused kernel metrics; threshold applied to the
+    // UNROUNDED score, rounded only for display/compare. ────────────────
+    "text_quality_logistic" -> ((s, dir) => {
+      val q = graft.ops.TextAnalysis.qualityLogistic(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), round(q, 6).as("quality"),
+          (q >= 0.945).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Corpus assembly: token-length buckets for pad-efficient
+    // batching (integer threshold CASEs — no float log2 boundaries). ────
+    "corpus_length_buckets" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(graft.ops.Corpus.lengthBucket(col("text")).as("bucket"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("bucket")),
+
+    // ── Warehouse: SCD2 validity intervals — turn an order event
+    // history into [valid_from, valid_to) dimension rows (lead() per
+    // key; one keyed shuffle, windows bounded by per-customer history). ─
+    "scd2_intervals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("valid_from"))
+        .withColumn("valid_to",
+          date_sub(lead(col("valid_from"), 1).over(w), 1))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -1000,6 +1056,61 @@ object TrainingQueries {
         |SELECT doc_id,
         | round(len(list_distinct(g2)) * 1.0 / len(g2), 6) AS distinct_2gram_ratio,
         | round(len(list_distinct(g3)) * 1.0 / len(g3), 6) AS distinct_3gram_ratio
-        |FROM g ORDER BY doc_id""".stripMargin
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "events_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // Zipped unnest of the shifted token arrays = adjacent pairs with
+    // repeats kept; docs with <2 tokens contribute nothing (matches the
+    // graft_ngram_list kernel contract).
+    "text_bpe_pairs" ->
+      """WITH toks AS (
+        | SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |pairs AS (
+        | SELECT unnest(t[1:len(t)-1]) || ' ' || unnest(t[2:len(t)]) AS pair
+        | FROM toks WHERE len(t) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // Same fixed weights, same operation order; keep-threshold on the
+    // unrounded score (cross-engine exp/ln agree bitwise on doubles).
+    "text_quality_logistic" ->
+      """WITH toks AS (
+        | SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |g AS (SELECT doc_id, text, t,
+        |  CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |   ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) END AS g2
+        | FROM toks),
+        |f AS (SELECT doc_id,
+        |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / nullif(length(text), 0) AS alpha_ratio,
+        |  ln(1.0 + len(t)) AS ln_tok,
+        |  len(list_distinct(g2)) * 1.0 / len(g2) AS d2
+        | FROM g),
+        |sc AS (SELECT doc_id,
+        |  1.0 / (1.0 + exp(-(-2.0 + 2.5 * alpha_ratio + 0.5 * ln_tok + 1.0 * d2))) AS q
+        | FROM f)
+        |SELECT doc_id, round(q, 6) AS quality, q >= 0.945 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "corpus_length_buckets" ->
+      """WITH n AS (
+        | SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+        | FROM documents)
+        |SELECT CASE WHEN nt <= 32 THEN '0_le_32' WHEN nt <= 64 THEN '1_le_64'
+        |            WHEN nt <= 128 THEN '2_le_128' WHEN nt <= 256 THEN '3_le_256'
+        |            ELSE '4_gt_256' END AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scd2_intervals" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(o_orderdate AS DATE) AS valid_from,
+        | lead(CAST(o_orderdate AS DATE)) OVER (
+        |   PARTITION BY o_custkey
+        |   ORDER BY CAST(o_orderdate AS DATE), o_orderkey) - 1 AS valid_to
+        |FROM orders ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
   )
 }

@@ -184,4 +184,29 @@ class GraftFunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("ngram-list kernel: ordered multiset, empty below n tokens") {
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      "", " ", "word", "a b", "a b c", "a a a a a",
+      "x  y\tz ", " lead and trail ", "a b a b a b")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for (n <- Seq(2, 3)) {
+      // reference semantics: Spark's split/trim token array, adjacent
+      // n-windows in order, repeats kept, <n tokens -> empty
+      val toks = split(trim(col("t")), "\\s+")
+      val ref = when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      val rows = df.select(col("id"),
+        call_function("graft_ngram_list", col("t"), lit(n)).as("kernel"),
+        ref.as("colform")).orderBy("id").collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"ngram list mismatch n=$n case '${cases(i)}': " +
+            s"kernel=${r.getSeq[String](1)} ref=${r.getSeq[String](2)}")
+      }
+    }
+  }
 }

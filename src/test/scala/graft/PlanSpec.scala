@@ -118,4 +118,44 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Exchange SinglePartition"), s"$q has a global window\n$p")
     }
   }
+
+  test("bpe pairs: map-side combined count, top-k without a global sort") {
+    val p = plan("text_bpe_pairs")
+    assert(p.contains("partial_count"), s"pair count not map-side combined\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 should be TakeOrdered\n$p")
+  }
+
+  test("scd2: lead window partitioned by the dimension key, no global window") {
+    val p = plan("scd2_intervals")
+    assert(p.contains("hashpartitioning(o_custkey"), s"window not custkey-keyed\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"global window\n$p")
+  }
+
+  test("runtime bloom filter: Spark injects might_contain into the big side of a selective shuffle join") {
+    // At 100 TB the optimizer's runtime bloom filter prunes the fact-side
+    // shuffle of a selective dim join. The size thresholds that gate the
+    // rewrite never fire on KB-scale test data, so lower them to observe
+    // the injected filter — the production configs stay at defaults.
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      c.set("spark.sql.adaptive.enabled", "false")
+      val li = Tables.lineitem(spark, sf0001)
+      val o = Tables.orders(spark, sf0001)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val p = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), s"no runtime bloom filter injected\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
+  }
 }
