@@ -3,8 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * SPARK_GRAFT_SF_DIR and prints one compact JSON line PER QUERY
+  * ({"metric":"query","name":…,"value":…}) followed by a final compact
+  * {"metric":"total","value":N,"unit":"sec","nqueries":…,"sf":…} line.
+  * The total comes LAST and carries no embedded per-query map, so a
+  * bounded tail capture of stdout always retains the headline number
+  * (round 3 lost it to tail truncation of one giant line).
   *
   * Each query is forced through the `noop` sink so the FULL plan executes
   * (a bare `count()` would let Catalyst prune projections and undercount
@@ -50,16 +54,16 @@ object Bench {
           -1.0
         }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val best = if (times.exists(_ < 0)) -1.0 else times.min
+      println(s"""{"metric":"query","name":"$name","value":$best,"unit":"sec"}""")
+      name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // any failure poisons the headline total: a run missing its slowest
     // query must not look FASTER than a healthy run
     val total =
       if (results.exists(_._2 < 0)) -1.0
       else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,293 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.StateOps
+
+/** Key-bucketed parquet state table: rows live in `numBuckets` stable
+  * hash buckets (`pmod(xxhash64(keyCols), numBuckets)`) and every
+  * mutation rewrites ONLY the buckets its input batch touches — a 1,515-
+  * record micro-batch merged into 100 TB of header state rewrites a few
+  * buckets, not the table. This is the columnar answer to the
+  * reference's row-level upsert, which touches only affected rows
+  * (`PostgrePersistenceService.java:218-280`); [[ParquetStateTable]]'s
+  * whole-snapshot rewrite is the small-table fallback.
+  *
+  * Layout (a minimal transactional-table commit log, the same shape a
+  * format like Delta provides):
+  * {{{
+  *   root/
+  *     _commits/c00000003.txt     # manifest: bucket -> commit holding its data
+  *     data/c00000001/__bucket=17/part-*.parquet
+  *     data/c00000003/__bucket=42/part-*.parquet
+  * }}}
+  * A commit writes its dirty buckets' new contents under one
+  * `data/c<N>` directory, then publishes atomically by renaming a
+  * temp manifest into `_commits/` — readers resolve the newest manifest
+  * and read exactly one directory per bucket, so a crash mid-write
+  * leaves an unreferenced orphan (pruned later) and never a torn state.
+  *
+  * Sizing at 100 TB: pick `numBuckets ≈ stateBytes / targetBucketBytes`
+  * with a 1-16 GB target bucket (e.g. 16,384 buckets for 100 TB at
+  * ~6 GB), so a merge's write amplification is bounded by
+  * `dirtyBuckets * bucketSize` and a single bucket rewrite is one
+  * healthy task-set. The bucket count is fixed at table creation (it
+  * defines the layout); re-bucketing is a full rewrite, as with any
+  * hash-bucketed table.
+  *
+  * Concurrency matches [[ParquetStateTable]]: writers to the same path
+  * serialize on a JVM-wide per-path lock; cross-process writers would
+  * need a filesystem lock or a transactional table format.
+  */
+class BucketedStateTable(
+    spark: SparkSession,
+    path: String,
+    keyCols: Seq[String],
+    numBuckets: Int = 64,
+    keepCommits: Int = 3,
+    retentionFloorMillis: Long = 10 * 60 * 1000L) extends StateTable {
+
+  require(keyCols.nonEmpty, "BucketedStateTable needs at least one key column")
+  require(numBuckets > 0, "numBuckets must be positive")
+
+  /** What one commit touched — the spec's evidence that mutations are
+    * bucket-pruned. */
+  case class CommitStats(
+      commitId: Long, bucketsRead: Seq[Int], bucketsWritten: Seq[Int])
+
+  @volatile private var last: Option[CommitStats] = None
+  /** Stats of the most recent commit through this instance. */
+  def lastCommit: Option[CommitStats] = last
+
+  private val BucketCol = "__bucket"
+  private def root = new Path(path)
+  private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def commitsDir = new Path(root, "_commits")
+  private def dataDir = new Path(root, "data")
+  private lazy val lockKey =
+    "bucketed:" + fs.makeQualified(root).toUri.toString
+
+  private def bucketOf =
+    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
+
+  // ---- manifest -----------------------------------------------------
+  // Plain-text manifest (`commit=<id>` header then `<bucket>=<commit>`
+  // lines) — no JSON parser needed, diffable, and the rename that
+  // publishes it is the atomic commit point.
+
+  private case class Manifest(commitId: Long, buckets: Map[Int, Long])
+
+  private def manifestFiles(): Seq[(Long, Path)] =
+    if (!fs.exists(commitsDir)) Nil
+    else fs.listStatus(commitsDir).toSeq
+      .flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("c") && n.endsWith(".txt") &&
+            n.drop(1).dropRight(4).forall(_.isDigit))
+          Some(n.drop(1).dropRight(4).toLong -> s.getPath)
+        else None
+      }
+      .sortBy(_._1)
+
+  private def readManifest(p: Path): Manifest = {
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val kv = lines.map { l =>
+      val Array(k, v) = l.split("=", 2); (k, v)
+    }.toMap
+    Manifest(
+      kv("commit").toLong,
+      lines.collect {
+        case l if l.nonEmpty && l.head.isDigit =>
+          val Array(b, c) = l.split("=", 2); b.toInt -> c.toLong
+      }.toMap)
+  }
+
+  private def currentManifest(): Option[Manifest] =
+    manifestFiles().lastOption.map { case (_, p) => readManifest(p) }
+
+  private def writeManifest(m: Manifest): Unit = {
+    fs.mkdirs(commitsDir)
+    val body = (s"commit=${m.commitId}\nnumBuckets=$numBuckets\n" +
+      m.buckets.toSeq.sorted.map { case (b, c) => s"$b=$c\n" }.mkString)
+    val tmp = new Path(commitsDir, f".c${m.commitId}%08d.txt.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(commitsDir, f"c${m.commitId}%08d.txt")
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"commit ${m.commitId} lost a publish race at $dest")
+  }
+
+  /** Next commit id must clear BOTH published manifests and orphan data
+    * dirs from crashed writes, or a replayed writer would collide on
+    * `errorifexists`. */
+  private def nextCommitId(): Long = {
+    val fromManifests = manifestFiles().lastOption.map(_._1).getOrElse(0L)
+    val fromData =
+      if (!fs.exists(dataDir)) 0L
+      else fs.listStatus(dataDir).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("c") && n.drop(1).forall(_.isDigit))
+          Some(n.drop(1).toLong)
+        else None
+      }.maxOption.getOrElse(0L)
+    math.max(fromManifests, fromData) + 1
+  }
+
+  // ---- reads --------------------------------------------------------
+
+  private def bucketPath(bucket: Int, commit: Long): Path =
+    new Path(dataDir, f"c$commit%08d/$BucketCol=$bucket")
+
+  private def readFrom(m: Manifest, buckets: Seq[Int]): Option[DataFrame] = {
+    val paths = buckets.sorted.flatMap(b => m.buckets.get(b).map(c => bucketPath(b, c).toString))
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths: _*))
+  }
+
+  override def read(): Option[DataFrame] =
+    currentManifest().flatMap(m => readFrom(m, m.buckets.keys.toSeq))
+
+  override def readOrEmpty(like: DataFrame): DataFrame =
+    read().getOrElse(like.limit(0))
+
+  /** The listed buckets' current rows (empty-shaped like `like` when
+    * none exist) — the only state a bucket-pruned mutation reads. */
+  private def readBucketsOrEmpty(buckets: Seq[Int], like: DataFrame): DataFrame =
+    currentManifest().flatMap(readFrom(_, buckets)).getOrElse(like.limit(0))
+
+  private def dirtyBucketsOf(batch: DataFrame): Seq[Int] = {
+    import spark.implicits._
+    batch.select(bucketOf.as("b")).distinct().as[Int].collect().toSeq.sorted
+  }
+
+  // ---- commit -------------------------------------------------------
+
+  /** Write `rows` as the new contents of exactly the `dirty` buckets and
+    * publish. Buckets in `dirty` that end up with zero rows drop out of
+    * the manifest (partitioned writes materialize no empty directories —
+    * the listing after the write is the truth). */
+  private def commit(rows: DataFrame, dirty: Seq[Int]): CommitStats = {
+    val next = nextCommitId()
+    val out = new Path(dataDir, f"c$next%08d")
+    // one task per dirty bucket: the write's file count tracks the dirty
+    // set, not (tasks × buckets)
+    rows.withColumn(BucketCol, bucketOf)
+      .repartition(math.max(dirty.size, 1), col(BucketCol))
+      .write.partitionBy(BucketCol).mode("errorifexists").parquet(out.toString)
+    val written =
+      fs.listStatus(out).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+        .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
+        .sorted
+    val prev = currentManifest().map(_.buckets).getOrElse(Map.empty)
+    writeManifest(Manifest(next, prev -- dirty ++ written.map(_ -> next)))
+    prune()
+    val stats = CommitStats(next, dirty, written)
+    last = Some(stats)
+    stats
+  }
+
+  /** Drop data dirs no retained manifest references and manifests beyond
+    * `keepCommits` — but nothing younger than the retention floor, so a
+    * concurrent reader's resolved snapshot outlives a burst of commits
+    * (same contract as [[ParquetStateTable]]). */
+  private def prune(): Unit = {
+    val manifests = manifestFiles()
+    val retained = manifests.takeRight(keepCommits)
+    val live: Set[Long] =
+      retained.flatMap { case (_, p) => readManifest(p).buckets.values }.toSet ++
+        retained.map(_._1)
+    val now = System.currentTimeMillis()
+    def oldEnough(p: Path): Boolean =
+      now - fs.getFileStatus(p).getModificationTime >= retentionFloorMillis
+    manifests.dropRight(keepCommits).foreach { case (_, p) =>
+      if (oldEnough(p)) fs.delete(p, false)
+    }
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).foreach { s =>
+        val n = s.getPath.getName
+        val id = if (n.startsWith("c") && n.drop(1).forall(_.isDigit))
+          Some(n.drop(1).toLong) else None
+        id match {
+          case Some(i) if !live.contains(i) && oldEnough(s.getPath) =>
+            fs.delete(s.getPath, true)
+          case _ => ()
+        }
+      }
+  }
+
+  // ---- mutations (all bucket-pruned, all under the write lock) ------
+
+  override def merge(updates: DataFrame, keys: Seq[String],
+      versionCols: Seq[String] = Nil): Unit = {
+    require(keys == keyCols,
+      s"bucketed table is laid out on $keyCols; cannot merge on $keys")
+    BucketedStateTable.lockFor(lockKey).synchronized {
+      val dirty = dirtyBucketsOf(updates)
+      if (dirty.nonEmpty) {
+        val cur = readBucketsOrEmpty(dirty, like = updates)
+        commit(StateOps.mergeByKey(cur, updates, keys, versionCols), dirty)
+      }
+    }
+  }
+
+  override def deleteWhereUnmodified(processed: DataFrame): Long =
+    BucketedStateTable.lockFor(lockKey).synchronized {
+      val dirty = dirtyBucketsOf(processed)
+      if (dirty.isEmpty) 0L
+      else {
+        val cur = readBucketsOrEmpty(dirty, like = processed)
+        val res = StateOps.deleteIfUnmodified(cur, processed)
+        val notRemoved = res.notRemoved.count()
+        commit(res.newState, dirty)
+        notRemoved
+      }
+    }
+
+  override def mergeOnceForBatch(batchId: Long, streamScope: String,
+      updates: DataFrame, keys: Seq[String],
+      versionCols: Seq[String] = Nil): Boolean =
+    BucketedStateTable.lockFor(lockKey).synchronized {
+      BatchMarkers.runOnce(fs, root, batchId, streamScope) {
+        merge(updates, keys, versionCols)
+      }
+    }
+
+  /** D2 — retention with keep-latest, bucket-pruned: one read pass finds
+    * the global max `seqCol` and the buckets that actually HOLD expired
+    * rows; only those buckets are rewritten (a retention sweep over
+    * mostly-fresh 100 TB state is a metadata-cheap scan plus a few
+    * bucket rewrites, not a full rewrite). */
+  def retentionKeepLatest(seqCol: String, tsCol: String,
+      cutoff: org.apache.spark.sql.Column): Unit =
+    BucketedStateTable.lockFor(lockKey).synchronized {
+      read().foreach { df =>
+        import spark.implicits._
+        val maxSeq = df.agg(max(col(seqCol))).first().get(0)
+        val dirty = df
+          .filter(col(tsCol) <= cutoff && col(seqCol) =!= lit(maxSeq))
+          .select(bucketOf.as("b")).distinct().as[Int].collect().toSeq.sorted
+        if (dirty.nonEmpty) {
+          val cur = readBucketsOrEmpty(dirty, like = df)
+          commit(
+            cur.filter(col(tsCol) > cutoff || col(seqCol) === lit(maxSeq)),
+            dirty)
+        }
+      }
+    }
+
+  private[pipeline] override def tableRoot: Path = root
+  private[pipeline] override def fileSystem = fs
+}
+
+object BucketedStateTable {
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
+}

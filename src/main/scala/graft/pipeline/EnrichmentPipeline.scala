@@ -69,8 +69,8 @@ case class EnrichmentSummary(
   */
 class EnrichmentPipeline(
     spark: SparkSession,
-    headersTable: ParquetStateTable,
-    reportingTable: ParquetStateTable,
+    headersTable: StateTable,
+    reportingTable: StateTable,
     batchSize: Int = 100,
     interRequestDelayMillis: Long = 0L,
     sleep: Long => Unit = Thread.sleep(_)) extends Serializable {
@@ -196,21 +196,14 @@ class EnrichmentPipeline(
     val processed = fetched.count()
     val reported = reportingRows.count()
 
-    reportingTable.write(StateOps.mergeByKey(
-      reportingTable.readOrEmpty(reportingRows), reportingRows,
-      keys = Seq("record_identifier")))
+    reportingTable.merge(reportingRows, keys = Seq("record_identifier"))
 
     val processedHeaders = fetched.select(pb.queueColumns.map(col): _*)
     // atomic read-modify-write: the latest queue snapshot is read and
     // rewritten under the table's write lock, so a harvest merge cannot
-    // land between them and be clobbered
-    var notRemoved = 0L
-    headersTable.update { state =>
-      val latestQueue = state.getOrElse(processedHeaders.limit(0))
-      val delete = StateOps.deleteIfUnmodified(latestQueue, processedHeaders)
-      notRemoved = delete.notRemoved.count()
-      delete.newState
-    }
+    // land between them and be clobbered; a bucketed queue rewrites only
+    // the batch's buckets
+    val notRemoved = headersTable.deleteWhereUnmodified(processedHeaders)
     headersTable.fileSystem.delete(
       new org.apache.hadoop.fs.Path(pb.inflightPath), true)
 

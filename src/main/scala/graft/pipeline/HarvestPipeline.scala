@@ -48,7 +48,7 @@ trait PageFetcher extends (String => Either[String, String]) with Serializable
   */
 class HarvestPipeline(
     spark: SparkSession,
-    headersTable: ParquetStateTable,
+    headersTable: StateTable,
     runsTable: ParquetStateTable,
     oaiBaseUrl: String,
     metadataPrefix: String = "oai_dc",
@@ -104,11 +104,10 @@ class HarvestPipeline(
                   "status_is_deleted"))
             // ST4: headers commit BEFORE the checkpoint row; the merge is
             // an atomic read-modify-write so a concurrent enrichment
-            // delete cannot be clobbered.
+            // delete cannot be clobbered. Through the StateTable trait a
+            // bucketed headers table rewrites only the page's buckets.
             val n = headers.count()
-            headersTable.update(state => StateOps.mergeByKey(
-              state.getOrElse(headers.limit(0)), headers,
-              keys = Seq("record_identifier")))
+            headersTable.merge(headers, keys = Seq("record_identifier"))
             n
           } else 0L
 

@@ -28,7 +28,8 @@ class ParquetStateTable(
     spark: SparkSession,
     path: String,
     keepVersions: Int = 3,
-    retentionFloorMillis: Long = 10 * 60 * 1000L) extends Serializable {
+    retentionFloorMillis: Long = 10 * 60 * 1000L)
+  extends StateTable with Serializable {
 
   private def root = new Path(path)
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -51,14 +52,44 @@ class ParquetStateTable(
   def latestVersion: Option[Long] = committedVersions().lastOption.map(_._1)
 
   /** Newest committed snapshot, if any. */
-  def read(): Option[DataFrame] =
+  override def read(): Option[DataFrame] =
     committedVersions().lastOption.map { case (_, p) =>
       spark.read.parquet(p.toString)
     }
 
   /** Newest committed snapshot or an empty frame shaped like `like`. */
-  def readOrEmpty(like: DataFrame): DataFrame =
+  override def readOrEmpty(like: DataFrame): DataFrame =
     read().getOrElse(like.limit(0))
+
+  /** U1/U2 as a [[StateTable]] op: an atomic whole-snapshot rewrite —
+    * correct at any size, economical only while the table is small (the
+    * bucket-pruned rewrite lives in [[BucketedStateTable]]). */
+  override def merge(updates: DataFrame, keys: Seq[String],
+      versionCols: Seq[String] = Nil): Unit =
+    update { state =>
+      graft.operators.StateOps.mergeByKey(
+        state.getOrElse(updates.limit(0)), updates, keys, versionCols)
+    }
+
+  /** D1 as a [[StateTable]] op (atomic read-modify-write; ST5). */
+  override def deleteWhereUnmodified(processed: DataFrame): Long = {
+    var notRemoved = 0L
+    update { state =>
+      val latest = state.getOrElse(processed.limit(0))
+      val res = graft.operators.StateOps.deleteIfUnmodified(latest, processed)
+      notRemoved = res.notRemoved.count()
+      res.newState
+    }
+    notRemoved
+  }
+
+  override def mergeOnceForBatch(batchId: Long, streamScope: String,
+      updates: DataFrame, keys: Seq[String],
+      versionCols: Seq[String] = Nil): Boolean =
+    writeOnceForBatch(batchId, streamScope) { state =>
+      graft.operators.StateOps.mergeByKey(
+        state.getOrElse(updates.limit(0)), updates, keys, versionCols)
+    }
 
   /** Every version directory, committed or not — a crashed write leaves
     * an orphan without `_SUCCESS` that must still advance the next
@@ -94,22 +125,7 @@ class ParquetStateTable(
   def writeOnceForBatch(batchId: Long, streamScope: String)(
       f: Option[DataFrame] => DataFrame): Boolean =
     ParquetStateTable.lockFor(lockKey).synchronized {
-      val scopeDir = new Path(root,
-        "_batches/" + java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(streamScope).toLong & 0xffffffffL))
-      val marker = new Path(scopeDir, f"batch$batchId%012d")
-      if (fs.exists(marker)) false
-      else {
-        update(f)
-        fs.mkdirs(scopeDir)
-        fs.create(marker, true).close()
-        // bounded marker history: drop markers far behind the current batch
-        fs.listStatus(scopeDir).foreach { st =>
-          val n = st.getPath.getName.stripPrefix("batch")
-          if (n.forall(_.isDigit) && n.toLong < batchId - 100) fs.delete(st.getPath, false)
-        }
-        true
-      }
+      BatchMarkers.runOnce(fs, root, batchId, streamScope) { update(f) }
     }
 
   /** Commit `df` as the next version; prunes old versions (and orphaned
@@ -140,8 +156,8 @@ class ParquetStateTable(
       next
     }
 
-  private[pipeline] def tableRoot: Path = root
-  private[pipeline] def fileSystem = fs
+  private[pipeline] override def tableRoot: Path = root
+  private[pipeline] override def fileSystem = fs
 }
 
 object ParquetStateTable {

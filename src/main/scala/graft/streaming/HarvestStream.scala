@@ -5,8 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.Tables
-import graft.operators.StateOps
-import graft.pipeline.ParquetStateTable
+import graft.pipeline.StateTable
 import graft.xml.XmlProjections
 
 /** Structured Streaming wrapper for the harvest stage (SURVEY §7.1's
@@ -35,7 +34,7 @@ object HarvestStream {
       spark: SparkSession,
       pagesDir: String,
       checkpointDir: String,
-      headersTable: ParquetStateTable,
+      headersTable: StateTable,
       headerFilter: DataFrame => DataFrame = identity,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     Tables.configure(spark)
@@ -56,11 +55,8 @@ object HarvestStream {
         // batch-id marker (scoped to this checkpoint) upgrades
         // foreachBatch's at-least-once replay to effective exactly-once;
         // the merge runs as an atomic read-modify-write
-        headersTable.writeOnceForBatch(batchId, checkpointDir) { state =>
-          StateOps.mergeByKey(
-            state.getOrElse(headers.limit(0)), headers,
-            keys = Seq("record_identifier"))
-        }
+        headersTable.mergeOnceForBatch(batchId, checkpointDir, headers,
+          keys = Seq("record_identifier"))
         ()
       }
       .start()

@@ -1,0 +1,227 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.StateOps
+import graft.pipeline._
+
+/** BucketedStateTable: bucket-pruned rewrites (the 100 TB state layout)
+  * must touch only dirty buckets while matching StateOps semantics
+  * exactly, and the pipelines must behave identically over either
+  * layout. */
+class BucketedStateTableSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-bucket").toString
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).toSeq.flatten.flatMap { f =>
+      if (f.isDirectory) parquetFiles(f)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    }
+
+  // ── the 100 TB contract: a tiny merge must not rewrite the table ──────
+
+  test("1-row merge into a 1M-row state reads and writes exactly one bucket") {
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 64, retentionFloorMillis = 0L)
+
+    val base = spark.range(1000000)
+      .select(concat(lit("k"), col("id")).as("k"), col("id").as("v"))
+    t.merge(base, keys = Seq("k"))
+    assert(t.read().get.count() == 1000000L)
+    val seeded = t.lastCommit.get
+    assert(seeded.bucketsWritten.size == 64) // seed populated every bucket
+
+    val upd = spark.range(1).select(lit("k123456").as("k"), lit(-1L).as("v"))
+    t.merge(upd, keys = Seq("k"))
+
+    val stats = t.lastCommit.get
+    val expectedBucket = upd
+      .select(pmod(xxhash64(col("k")), lit(64L)).cast("int")).head().getInt(0)
+    assert(stats.bucketsRead == Seq(expectedBucket))
+    assert(stats.bucketsWritten == Seq(expectedBucket))
+
+    // file-count evidence: the merge's commit directory holds ONE bucket
+    // subdirectory with ONE parquet file — not a rewrite of 64 buckets
+    val commitDir = new java.io.File(f"$dir/state/data/c${stats.commitId}%08d")
+    val bucketDirs = commitDir.listFiles().filter(_.getName.startsWith("__bucket="))
+    assert(bucketDirs.map(_.getName).toSeq == Seq(s"__bucket=$expectedBucket"))
+    assert(parquetFiles(commitDir).size == 1)
+
+    // and the logical state is the full million rows with the update applied
+    assert(t.read().get.count() == 1000000L)
+    assert(t.read().get.filter(col("k") === "k123456").head().getLong(1) == -1L)
+  }
+
+  // ── semantics parity with StateOps over plain frames ──────────────────
+
+  test("merge parity: updates beat state, greatest version wins within a batch") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)
+
+    val state = (0 until 200).map(i => (s"k$i", 1L, s"old$i")).toDF("k", "ver", "v")
+    val updates = Seq(
+      ("k7", 2L, "new7"), ("k7", 3L, "newest7"), // in-batch dup: ver 3 wins
+      ("k42", 2L, "new42"), ("k999", 1L, "fresh")).toDF("k", "ver", "v")
+
+    t.merge(state, keys = Seq("k"))
+    t.merge(updates, keys = Seq("k"), versionCols = Seq("ver"))
+
+    val expected = StateOps.mergeByKey(state, updates,
+      keys = Seq("k"), versionCols = Seq("ver"))
+      .as[(String, Long, String)].collect().toSet
+    val got = t.read().get.as[(String, Long, String)].collect().toSet
+    assert(got == expected)
+    assert(got.contains(("k7", 3L, "newest7")))
+    // only the 3 updated keys' buckets were touched
+    val touched = updates.select(pmod(xxhash64(col("k")), lit(8L)).cast("int"))
+      .distinct().as[Int].collect().toSeq.sorted
+    assert(t.lastCommit.get.bucketsRead == touched)
+  }
+
+  test("deleteWhereUnmodified parity: modified rows survive, emptied buckets leave the manifest") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L)
+
+    val state = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("k", "ver")
+    t.merge(state, keys = Seq("k"))
+
+    // processed snapshot: a as-read, b STALE (state moved to ver 2), c as-read
+    t.merge(Seq(("b", 2L)).toDF("k", "ver"), keys = Seq("k"), versionCols = Seq("ver"))
+    val processed = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("k", "ver")
+
+    val notRemoved = t.deleteWhereUnmodified(processed)
+    assert(notRemoved == 1L) // the stale b tuple failed the full-tuple match
+
+    val leftover = t.read().get.as[(String, Long)].collect().toSet
+    assert(leftover == Set(("b", 2L))) // ST5: the re-upserted row survives
+
+    // every bucket that lost ALL its rows dropped out of the manifest: the
+    // survivor's bucket is the only one a fresh reader resolves
+    val manifest = new java.io.File(s"$dir/state/_commits").listFiles()
+      .filter(_.getName.endsWith(".txt")).sortBy(_.getName).last
+    val bucketLines = Files.readAllLines(manifest.toPath).toArray.map(_.toString)
+      .filter(l => l.nonEmpty && l.head.isDigit)
+    val bBucket = Seq(("b", 2L)).toDF("k", "ver")
+      .select(pmod(xxhash64(col("k")), lit(4L)).cast("int")).head().getInt(0)
+    assert(bucketLines.map(_.split("=")(0).toInt).toSeq == Seq(bBucket))
+  }
+
+  test("retentionKeepLatest parity: expired rows drop, global max survives, fresh buckets untouched") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)
+
+    val rows = (1 to 50).map { i =>
+      (s"k$i", i.toLong, ts(f"2024-01-${(i % 28) + 1}%02d 00:00:00"))
+    }.toDF("k", "id", "t")
+    t.merge(rows, keys = Seq("k"))
+
+    val cutoff = lit(ts("2024-01-15 00:00:00"))
+    t.retentionKeepLatest(seqCol = "id", tsCol = "t", cutoff = cutoff)
+
+    val expected = StateOps.retentionKeepLatest(rows, "id", "t", cutoff)
+      .as[(String, Long, Timestamp)].collect().toSet
+    assert(t.read().get.as[(String, Long, Timestamp)].collect().toSet == expected)
+    assert(t.read().get.filter(col("id") === 50L).count() == 1L) // keep-latest
+    // pruned rewrite: only buckets holding expired rows were committed
+    val expiredBuckets = rows
+      .filter(col("t") <= cutoff && col("id") =!= 50L)
+      .select(pmod(xxhash64(col("k")), lit(8L)).cast("int"))
+      .distinct().as[Int].collect().toSeq.sorted
+    assert(t.lastCommit.get.bucketsRead == expiredBuckets)
+  }
+
+  test("crash orphan: an unpublished data directory neither corrupts reads nor blocks commits") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
+    t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+
+    // a writer crashed after its data write, before publishing a manifest
+    new java.io.File(s"$dir/state/data/c00000007").mkdirs()
+
+    assert(t.read().get.as[(String, Long)].collect().toSet == Set(("a", 1L)))
+    t.merge(Seq(("b", 2L)).toDF("k", "v"), keys = Seq("k"))
+    assert(t.lastCommit.get.commitId == 8L) // id advanced past the orphan
+    assert(t.read().get.count() == 2L)
+  }
+
+  test("mergeOnceForBatch skips a replayed batch id per stream scope") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L)
+    assert(t.mergeOnceForBatch(0L, "ckptA", Seq(("a", 1L)).toDF("k", "v"), Seq("k")))
+    assert(!t.mergeOnceForBatch(0L, "ckptA", Seq(("a", 99L)).toDF("k", "v"), Seq("k")))
+    assert(t.mergeOnceForBatch(0L, "ckptB", Seq(("b", 2L)).toDF("k", "v"), Seq("k")))
+    assert(t.read().get.as[(String, Long)].collect().toSet
+      == Set(("a", 1L), ("b", 2L)))
+  }
+
+  // ── the pipelines run unchanged over the bucketed layout ──────────────
+
+  test("e2e: harvest + enrichment over bucketed tables matches the whole-snapshot run") {
+    val s = spark
+    import s.implicits._
+
+    def run(headers: StateTable, reporting: StateTable, dir: String): Unit = {
+      val runs = new ParquetStateTable(spark, s"$dir/runs")
+      val p = new HarvestPipeline(spark, headers, runs, "http://h/oai",
+        headerFilter = _.filter(
+          graft.functions.GraftFunctions.isQucosaId(col("record_identifier"))))
+      val fetch = new PageFetcher {
+        def apply(uri: String): Either[String, String] =
+          Map(
+            "resumptionToken=111111111111111" -> fixture("/oai/listIdentifiers.xml"),
+            "metadataPrefix" -> fixture("/oai/resumptionToken.xml"))
+            .collectFirst { case (k, v) if uri.contains(k) => v }
+            .toRight(s"404 for $uri")
+      }
+      p.runToCompletion(fetch, ts("2024-03-01 10:00:00"))
+
+      val mets = Map("qucosa:1044" -> fixture("/mets/qucosa7455-mets.xml"))
+      val e = new EnrichmentPipeline(spark, headers, reporting)
+      e.runToCompletion(new DocumentFetcher {
+        def apply(localId: String): Option[String] = mets.get(localId)
+      })
+    }
+
+    val dirA = tmp()
+    val headersA = new ParquetStateTable(spark, s"$dirA/headers")
+    val reportingA = new ParquetStateTable(spark, s"$dirA/reporting")
+    run(headersA, reportingA, dirA)
+
+    val dirB = tmp()
+    val headersB = new BucketedStateTable(spark, s"$dirB/headers",
+      keyCols = Seq("record_identifier"), numBuckets = 16, retentionFloorMillis = 0L)
+    val reportingB = new BucketedStateTable(spark, s"$dirB/reporting",
+      keyCols = Seq("record_identifier"), numBuckets = 16, retentionFloorMillis = 0L)
+    run(headersB, reportingB, dirB)
+
+    def snap(t: StateTable): Set[String] =
+      t.read().map(_.orderBy("record_identifier").collect()
+        .map(_.toString).toSet).getOrElse(Set.empty)
+    assert(snap(headersB) == snap(headersA))
+    assert(snap(reportingB) == snap(reportingA))
+    assert(snap(reportingB).nonEmpty)
+  }
+}
