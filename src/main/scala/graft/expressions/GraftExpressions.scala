@@ -193,8 +193,16 @@ object Kernels {
     *    semantics: `trim` strips SPACES only (not tabs/newlines) and
     *    `split` keeps empty leading/trailing segments, so the count is
     *    (number of `\s+` runs in the space-trimmed text) + 1;
-    *  - n_bpe_tokens: matches of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`;
-    *  - alpha_chars: count of ASCII letters.
+    *  - n_bpe_tokens: matches of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`
+    *    (one match per non-ASCII codepoint, as a codepoint regex engine
+    *    produces);
+    *  - alpha_chars: count of Unicode LETTER codepoints (`\p{L}` —
+    *    Character.isLetter), so CJK/Cyrillic/Arabic text scores a real
+    *    alpha ratio instead of ≈0 and survives quality gates;
+    *  - {latin,cyrillic,cjk,arabic}_chars: codepoints whose Unicode
+    *    SCRIPT is Latin / Cyrillic / (Han|Hiragana|Katakana|Hangul) /
+    *    Arabic — `[\p{Latin}]` etc. in an RE2/Java oracle. Non-ASCII
+    *    codepoints pay one script lookup; the ASCII fast path doesn't.
     */
   def textMetrics(input: UTF8String): InternalRow = {
     val s = input.toString
@@ -206,16 +214,21 @@ object Kernels {
     while (tokStart < tokEnd && s.charAt(tokStart) == ' ') tokStart += 1
     while (tokEnd > tokStart && s.charAt(tokEnd - 1) == ' ') tokEnd -= 1
     var nChars = 0L; var alpha = 0L; var wsRuns = 0L; var bpe = 0L
-    var prevType = 0 // 0 ws, 1 alpha, 2 digit, 3 other
+    var latin = 0L; var cyrillic = 0L; var cjk = 0L; var arabic = 0L
+    var prevType = 0 // 0 ws, 1 ascii-alpha, 2 digit, 3 other
     var prevWasWsInSpan = false
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
-      if (!(Character.isLowSurrogate(c) && i > 0 &&
-          Character.isHighSurrogate(s.charAt(i - 1)))) nChars += 1
+      val cp =
+        if (Character.isHighSurrogate(c) && i + 1 < n &&
+            Character.isLowSurrogate(s.charAt(i + 1))) s.codePointAt(i)
+        else c.toInt
+      nChars += 1
+      val asciiLetter = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
       val t =
         if (isAsciiWs(c)) 0
-        else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) 1
+        else if (asciiLetter) 1
         else if (c >= '0' && c <= '9') 2
         else 3
       if (i >= tokStart && i < tokEnd) {
@@ -223,13 +236,26 @@ object Kernels {
         prevWasWsInSpan = t == 0
       }
       t match {
-        case 1 => alpha += 1; if (prevType != 1) bpe += 1
+        case 1 => if (prevType != 1) bpe += 1
         case 2 => if (prevType != 2) bpe += 1
         case 3 => bpe += 1
         case _ => ()
       }
+      if (cp < 0x80) { // ASCII fast path: no table lookups
+        if (asciiLetter) { alpha += 1; latin += 1 }
+      } else {
+        if (Character.isLetter(cp)) alpha += 1
+        import java.lang.Character.{UnicodeScript => Us}
+        Us.of(cp) match {
+          case Us.LATIN    => latin += 1
+          case Us.CYRILLIC => cyrillic += 1
+          case Us.HAN | Us.HIRAGANA | Us.KATAKANA | Us.HANGUL => cjk += 1
+          case Us.ARABIC   => arabic += 1
+          case _           => ()
+        }
+      }
       prevType = t
-      i += 1
+      i += Character.charCount(cp)
     }
     // split-with-limit(-1) semantics: segments = separator runs + 1,
     // counting empty leading/trailing segments (matches both Spark's
@@ -264,7 +290,7 @@ object Kernels {
       j += 1
     }
     InternalRow(scores(0), scores(1), scores(2), scores(3),
-      nChars, nTokens, bpe, alpha)
+      nChars, nTokens, bpe, alpha, latin, cyrillic, cjk, arabic)
   }
 
   /** Spark-semantics tokenization for the shingle-Jaccard kernel:
@@ -721,8 +747,8 @@ case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** Fused per-document text metrics — marker-language scores, codepoint
-  * length, whitespace-token count, BPE-ish token count, ASCII-letter
-  * count — in a single struct from one kernel call
+  * length, whitespace-token count, BPE-ish token count, Unicode-letter
+  * count, per-script counts — in a single struct from one kernel call
   * ([[Kernels.textMetrics]]). Replaces the r1 stack of ~10 regex scans
   * that dominated `corpus_filter` / `text_langid` bench time. */
 case class TextMetrics(child: Expression) extends UnaryExpression {
@@ -746,7 +772,8 @@ case class TextMetrics(child: Expression) extends UnaryExpression {
 object TextMetrics {
   val schema: StructType = StructType(Seq(
     "score_en", "score_de", "score_fr", "score_es",
-    "n_chars", "n_tokens", "n_bpe_tokens", "alpha_chars")
+    "n_chars", "n_tokens", "n_bpe_tokens", "alpha_chars",
+    "latin_chars", "cyrillic_chars", "cjk_chars", "arabic_chars")
     .map(StructField(_, LongType, nullable = false)))
 }
 

@@ -64,7 +64,11 @@ object TextAnalysis {
 
   /** Quality metrics: length, alpha ratio, whitespace ratio, mean token
     * length — the standard cheap pre-filters for web-scale corpora.
-    * One fused text pass; the ratios are arithmetic on the struct. */
+    * One fused text pass; the ratios are arithmetic on the struct.
+    * `alpha_chars` counts Unicode LETTERS (`\p{L}`), not `[a-zA-Z]` —
+    * on a multilingual corpus, CJK/Cyrillic/Arabic documents keep a
+    * real alpha ratio and survive `alpha_ratio`-based gates instead of
+    * being silently dropped as garbage. */
   def qualityMetrics(df: DataFrame, textCol: Column): DataFrame =
     df.withColumn("n_chars_q", metrics(textCol).getField("n_chars"))
       .withColumn("n_tokens", metrics(textCol).getField("n_tokens"))
@@ -73,6 +77,37 @@ object TextAnalysis {
         round(col("alpha_chars") * lit(1.0) / col("n_chars_q"), 6))
       .withColumn("mean_token_len",
         round(col("alpha_chars") * lit(1.0) / col("n_tokens"), 6))
+
+  /** Script order for [[scriptMetrics]]'s dominant-script decision:
+    * earlier wins ties (same explicit-priority pattern as
+    * [[LangMarkers]]). */
+  val Scripts: Seq[String] = Seq("latin", "cyrillic", "cjk", "arabic")
+
+  /** Per-script codepoint counts plus a dominant-script call — the
+    * routing signal a multilingual pipeline partitions on (per-script
+    * quality thresholds, tokenizer choice). Counts come from the same
+    * fused kernel pass as the other metrics; `cjk` covers
+    * Han+Hiragana+Katakana+Hangul. A document whose letters are all
+    * outside the four tracked scripts (Greek, Thai, …) is "other";
+    * no letters at all is "none". */
+  def scriptMetrics(df: DataFrame, textCol: Column): DataFrame = {
+    val m = metrics(textCol)
+    val withCounts = df
+      .withColumn("alpha_chars", m.getField("alpha_chars"))
+      .withColumn("latin_chars", m.getField("latin_chars"))
+      .withColumn("cyrillic_chars", m.getField("cyrillic_chars"))
+      .withColumn("cjk_chars", m.getField("cjk_chars"))
+      .withColumn("arabic_chars", m.getField("arabic_chars"))
+    val counts = Scripts.map(sc => col(s"${sc}_chars"))
+    val best = greatest(counts: _*)
+    val decision = Scripts.foldRight(lit("other")) { case (sc, els) =>
+      when(col(s"${sc}_chars") === best, lit(sc)).otherwise(els)
+    }
+    withCounts.withColumn("dominant_script",
+      when(col("alpha_chars") === 0, lit("none"))
+        .when(best === 0, lit("other"))
+        .otherwise(decision))
+  }
 
   /** Document fingerprint: md5 over whitespace-normalized, lowercased text
     * — the exact-dedup key. */
@@ -115,8 +150,9 @@ object TextAnalysis {
     * text metrics (alpha ratio, log-length, 2-gram repetition). All
     * inputs come from single-pass kernels, the score is a narrow
     * codegen'd expression, and every operation (including `exp`) is
-    * bitwise-reproducible against the SQL oracle form — thresholds are
-    * applied to the UNROUNDED score.
+    * bitwise-reproducible against the SQL oracle form — but since
+    * `exp`/`ln` are only 1-ulp accurate (not correctly rounded), keep
+    * thresholds must be applied to the ROUNDED score on both engines.
     *
     * quality = sigmoid(-2.0 + 2.5·alpha_ratio + 0.5·ln(1+n_tokens)
     *                        + 1.0·distinct_2gram_ratio)

@@ -200,6 +200,30 @@ object TrainingQueries {
           col("alpha_chars"), col("alpha_ratio"), col("mean_token_len"))
         .orderBy(col("doc_id"))),
 
+    // ── Text: per-script counts + dominant script (multilingual
+    // routing). Non-Latin rows are PLANTED as literal values — SQL-
+    // expressible on both engines — so the oracle verifies real
+    // CJK/Cyrillic/Arabic/Greek handling, not just the ASCII corpus. ─────
+    "text_scripts" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (-7L, "mixed script: 深度 данные data 123"),
+        (-6L, "Η μηχανική μάθηση χρειάζεται δεδομένα"),
+        (-5L, "머신 러닝 모델은 많은 데이터가 필요하다"),
+        (-4L, "深層学習には大量のデータが必要です"),
+        (-3L, "التعلم العميق يتطلب كميات كبيرة من البيانات"),
+        (-2L, "Глубокое обучение требует больших объёмов данных"),
+        (-1L, "深度学习模型需要大量的训练数据来学习语言结构"))
+        .toDF("doc_id", "text")
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 40).select(col("doc_id"), col("text"))
+      TextAnalysis.scriptMetrics(base.unionByName(planted), col("text"))
+        .select(col("doc_id"), col("alpha_chars"), col("latin_chars"),
+          col("cyrillic_chars"), col("cjk_chars"), col("arabic_chars"),
+          col("dominant_script"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Text: PII redaction ──────────────────────────────────────────────
     "text_redact_pii" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -553,11 +577,12 @@ object TrainingQueries {
 
     // ── Text: composed logistic quality classifier — fixed-weight
     // sigmoid over fused kernel metrics; threshold applied to the
-    // UNROUNDED score, rounded only for display/compare. ────────────────
+    // 6-dp ROUNDED score (exp is 1-ulp accurate, not correctly rounded,
+    // so a raw-score threshold could flip `keep` across engines). ───────
     "text_quality_logistic" -> ((s, dir) => {
-      val q = graft.ops.TextAnalysis.qualityLogistic(col("text"))
+      val q = round(graft.ops.TextAnalysis.qualityLogistic(col("text")), 6)
       Tables.documents(s, dir)
-        .select(col("doc_id"), round(q, 6).as("quality"),
+        .select(col("doc_id"), q.as("quality"),
           (q >= 0.945).as("keep"))
         .orderBy(col("doc_id"))
     }),
@@ -757,11 +782,39 @@ object TrainingQueries {
       """SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars_q,
         | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        | CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
-        | round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
-        | round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
+        | CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS BIGINT) AS alpha_chars,
+        | round(length(regexp_replace(text, '[^\p{L}]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
+        | round(length(regexp_replace(text, '[^\p{L}]', '', 'g')) * 1.0 /
         |   len(regexp_split_to_array(trim(text), '\s+')), 6) AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_scripts" ->
+      """WITH base AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id < 40
+        | UNION ALL SELECT * FROM (VALUES
+        |  (CAST(-7 AS BIGINT), 'mixed script: 深度 данные data 123'),
+        |  (CAST(-6 AS BIGINT), 'Η μηχανική μάθηση χρειάζεται δεδομένα'),
+        |  (CAST(-5 AS BIGINT), '머신 러닝 모델은 많은 데이터가 필요하다'),
+        |  (CAST(-4 AS BIGINT), '深層学習には大量のデータが必要です'),
+        |  (CAST(-3 AS BIGINT), 'التعلم العميق يتطلب كميات كبيرة من البيانات'),
+        |  (CAST(-2 AS BIGINT), 'Глубокое обучение требует больших объёмов данных'),
+        |  (CAST(-1 AS BIGINT), '深度学习模型需要大量的训练数据来学习语言结构')) t(doc_id, text)),
+        |c AS (
+        | SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS BIGINT) AS alpha_chars,
+        |  CAST(length(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS BIGINT) AS latin_chars,
+        |  CAST(length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) AS BIGINT) AS cyrillic_chars,
+        |  CAST(length(regexp_replace(text, '[^\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]', '', 'g')) AS BIGINT) AS cjk_chars,
+        |  CAST(length(regexp_replace(text, '[^\p{Arabic}]', '', 'g')) AS BIGINT) AS arabic_chars
+        | FROM base)
+        |SELECT doc_id, alpha_chars, latin_chars, cyrillic_chars, cjk_chars, arabic_chars,
+        | CASE WHEN alpha_chars = 0 THEN 'none'
+        |  WHEN greatest(latin_chars, cyrillic_chars, cjk_chars, arabic_chars) = 0 THEN 'other'
+        |  WHEN latin_chars = greatest(latin_chars, cyrillic_chars, cjk_chars, arabic_chars) THEN 'latin'
+        |  WHEN cyrillic_chars = greatest(latin_chars, cyrillic_chars, cjk_chars, arabic_chars) THEN 'cyrillic'
+        |  WHEN cjk_chars = greatest(latin_chars, cyrillic_chars, cjk_chars, arabic_chars) THEN 'cjk'
+        |  ELSE 'arabic' END AS dominant_script
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_redact_pii" ->
       """SELECT doc_id,
@@ -802,7 +855,7 @@ object TrainingQueries {
         |scored AS (
         | SELECT doc_id, text,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
+        |  round(length(regexp_replace(text, '[^\p{L}]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
         |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|was)\b')) AS BIGINT) AS score_en,
         |  CAST(len(regexp_extract_all(lower(text), '\b(der|und|die|nicht|das|ist)\b')) AS BIGINT) AS score_de,
         |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|une|est)\b')) AS BIGINT) AS score_fr,
@@ -1075,7 +1128,9 @@ object TrainingQueries {
         |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     // Same fixed weights, same operation order; keep-threshold on the
-    // unrounded score (cross-engine exp/ln agree bitwise on doubles).
+    // ROUNDED score — JVM Math.exp is 1-ulp accurate, not correctly
+    // rounded, so a raw score within 1 ulp of the threshold could flip
+    // `keep` across engines; 6-dp rounding removes that cliff.
     "text_quality_logistic" ->
       """WITH toks AS (
         | SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
@@ -1085,14 +1140,14 @@ object TrainingQueries {
         |   ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) END AS g2
         | FROM toks),
         |f AS (SELECT doc_id,
-        |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / nullif(length(text), 0) AS alpha_ratio,
+        |  length(regexp_replace(text, '[^\p{L}]', '', 'g')) * 1.0 / nullif(length(text), 0) AS alpha_ratio,
         |  ln(1.0 + len(t)) AS ln_tok,
         |  len(list_distinct(g2)) * 1.0 / len(g2) AS d2
         | FROM g),
         |sc AS (SELECT doc_id,
-        |  1.0 / (1.0 + exp(-(-2.0 + 2.5 * alpha_ratio + 0.5 * ln_tok + 1.0 * d2))) AS q
+        |  round(1.0 / (1.0 + exp(-(-2.0 + 2.5 * alpha_ratio + 0.5 * ln_tok + 1.0 * d2))), 6) AS q
         | FROM f)
-        |SELECT doc_id, round(q, 6) AS quality, q >= 0.945 AS keep
+        |SELECT doc_id, q AS quality, q >= 0.945 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "corpus_length_buckets" ->

@@ -131,17 +131,27 @@ class GraftFunctionsSpec extends SparkSpec {
       "auto to too", "der und die nicht", "le la et el los une est",
       "é ü ñ the", "123 456a !!", "word",
       "theand of", "the  and\tof\nto is was", "to-to,to;to",
-      "was_", "_was", "3was was3 was")
+      "was_", "_was", "3was was3 was",
+      // multilingual: Unicode alpha + script buckets (kernel must match
+      // the \p{...} regex definitions, including supplementary planes)
+      "深度学习模型需要大量的训练数据", "Глубокое обучение требует данных",
+      "التعلم العميق يتطلب بيانات", "深層学習には大量のデータが必要です",
+      "머신 러닝 모델", "Ελληνικά γράμματα", "mixed 深度 данные data 123",
+      "😀 emoji 𝕏 math", "ﬁ ligature ℕ ℤ")
     val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
     val m = graft.ops.TextAnalysis.metrics(col("t"))
     val fused = df.select(col("id"),
       m.getField("score_en"), m.getField("score_de"),
       m.getField("score_fr"), m.getField("score_es"),
       m.getField("n_chars"), m.getField("n_tokens"),
-      m.getField("n_bpe_tokens"), m.getField("alpha_chars"))
+      m.getField("n_bpe_tokens"), m.getField("alpha_chars"),
+      m.getField("latin_chars"), m.getField("cyrillic_chars"),
+      m.getField("cjk_chars"), m.getField("arabic_chars"))
       .orderBy("id").collect().map(_.toSeq.drop(1))
     def score(pat: String) =
       size(regexp_extract_all(lower(col("t")), lit(pat), lit(0))).cast("long")
+    def strip(cls: String) =
+      length(regexp_replace(col("t"), s"[^$cls]", "")).cast("long")
     val regex = df.select(col("id"),
       score("\\b(the|and|of|to|is|was)\\b"),
       score("\\b(der|und|die|nicht|das|ist)\\b"),
@@ -151,11 +161,48 @@ class GraftFunctionsSpec extends SparkSpec {
       size(split(trim(col("t")), "\\s+")).cast("long"),
       size(regexp_extract_all(col("t"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"),
-      length(regexp_replace(col("t"), "[^a-zA-Z]", "")).cast("long"))
+      strip("\\p{L}"),
+      strip("\\p{IsLatin}"), strip("\\p{IsCyrillic}"),
+      strip("\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}"),
+      strip("\\p{IsArabic}"))
       .orderBy("id").collect().map(_.toSeq.drop(1))
     fused.zip(regex).zipWithIndex.foreach { case ((f, r), i) =>
       assert(f == r, s"metrics mismatch on case ${i}: '${cases(i)}' fused=$f regex=$r")
     }
+  }
+
+  test("unicode alpha: a CJK document passes the corpus_filter alpha gate") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "深度学习模型需要大量的训练数据来学习语言结构"), // zh
+      (2L, "Глубокое обучение требует больших объёмов данных"), // ru
+      (3L, "the quick brown fox jumps over the lazy dog"), // en
+      (4L, "!!! 123 ??? ### 456 $$$")) // genuine garbage
+      .toDF("doc_id", "text")
+    val q = graft.ops.TextAnalysis.qualityMetrics(docs, col("text"))
+      .select(col("doc_id"), col("alpha_ratio")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) >= 0.6, s"CJK doc must pass the alpha gate, got ${q(1L)}")
+    assert(q(2L) >= 0.6, s"Cyrillic doc must pass the alpha gate, got ${q(2L)}")
+    assert(q(3L) >= 0.6)
+    assert(q(4L) < 0.6, "symbol soup must still fail the gate")
+  }
+
+  test("scriptMetrics: dominant script routes multilingual docs with explicit tie order") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "latin only text"), (2L, "Только кириллица"),
+      (3L, "深度学习"), (4L, "ひらがなとカタカナ"), (5L, "한글 텍스트"),
+      (6L, "نص عربي"), (7L, "Ελληνικά"), (8L, "123 !!!"),
+      (9L, "mixed 深度 данные data")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.scriptMetrics(docs, col("text"))
+      .select(col("doc_id"), col("dominant_script")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "latin", 2L -> "cyrillic", 3L -> "cjk",
+      4L -> "cjk", 5L -> "cjk", 6L -> "arabic", 7L -> "other",
+      8L -> "none", 9L -> "latin"))
   }
 
   test("shingle-set and ngram-stats kernels match the column-expression forms") {
