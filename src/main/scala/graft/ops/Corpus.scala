@@ -36,11 +36,26 @@ object Corpus {
     substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 8)
 
   /** The 8-hex-char threshold encoding probability `p` (e.g. 0.25 →
-    * "40000000"): floor(p·2^32) zero-padded to 8 nibbles. */
+    * "40000000"): floor(p·2^32) zero-padded to 8 nibbles. `p = 1.0`
+    * returns "g0000000" — every hex digit sorts below 'g', so `u <
+    * threshold` is keep-ALL (a clamped "ffffffff" would drop the one
+    * row in 2^32 whose draw is exactly ffffffff). The sentinel obeys
+    * the same lexicographic rule in any engine, so oracle SQL carries
+    * the literal unchanged. */
   def hexThreshold(p: Double): String = {
     require(p >= 0.0 && p <= 1.0, s"probability out of range: $p")
-    val v = math.min((p * 4294967296.0).toLong, 0xffffffffL)
-    f"$v%08x"
+    if (p >= 1.0) "g0000000"
+    else f"${(p * 4294967296.0).toLong}%08x"
+  }
+
+  /** Guard for operators that add contract output columns (`shard`,
+    * `pos`, `qrank`, …): refuse input that already carries the name
+    * instead of silently clobbering caller data. */
+  private def requireFresh(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — rename them; " +
+        "these names are produced by this operator")
   }
 
   /** Deterministic stratified sampling: keep a row iff its content-hash
@@ -83,6 +98,7 @@ object Corpus {
       domainCol: String,
       quota: Int,
       ordering: Seq[Column]): DataFrame = {
+    requireFresh(df, "qrank")
     val w = Window.partitionBy(col(domainCol)).orderBy(ordering: _*)
     df.withColumn("qrank", row_number().over(w).cast("long"))
       .filter(col("qrank") <= quota)
@@ -90,11 +106,14 @@ object Corpus {
 
   /** Sequence packing, concat-and-chunk style: documents are laid out
     * back-to-back per shard in id order, and the resulting token stream
-    * is cut into fixed `chunkTokens` windows. Emits where each document
-    * lands: (shard, chunk_id, chunk_offset) — chunk_id is the chunk the
-    * document STARTS in; a document may span into following chunks
-    * (split-allowed packing, the standard pretraining layout where
-    * documents are concatenated with EOD separators and chunked).
+    * is cut into fixed `chunkTokens` windows. Emits the full span each
+    * document occupies: (shard, chunk_id, chunk_offset, end_chunk,
+    * end_offset) — chunk_id/chunk_offset locate the first token,
+    * end_chunk/end_offset the last (inclusive), so a consumer can
+    * materialize every chunk's contents directly from the spans without
+    * re-deriving the running layout (split-allowed packing, the
+    * standard pretraining layout where documents are concatenated with
+    * EOD separators and chunked).
     *
     * 100 TB: token counts come from the fused one-pass text kernel
     * (narrow); the only shuffle is the per-shard running sum, and
@@ -107,14 +126,20 @@ object Corpus {
       textCol: String,
       nShards: Int,
       chunkTokens: Int): DataFrame = {
+    requireFresh(df, "shard", "n_tokens")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    // last token of the document (inclusive): every text has ≥1 token
+    // under split semantics, so token_end = token_start + n_tokens − 1
+    val tokenEnd = col("token_start") + col("n_tokens") - 1
     df.withColumn("shard", pmod(col(idCol), lit(nShards)).cast("long"))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .withColumn("token_start", col("__cum") - col("n_tokens"))
       .select(col(idCol), col("shard"), col("n_tokens"),
         (col("token_start") / chunkTokens).cast("long").as("chunk_id"),
-        (col("token_start") % chunkTokens).cast("long").as("chunk_offset"))
+        (col("token_start") % chunkTokens).cast("long").as("chunk_offset"),
+        (tokenEnd / chunkTokens).cast("long").as("end_chunk"),
+        (tokenEnd % chunkTokens).cast("long").as("end_offset"))
   }
 
   /** Benchmark decontamination: flag every corpus document sharing at
@@ -122,25 +147,37 @@ object Corpus {
     * standard n-gram-overlap test-set leak check run before training.
     * Returns the distinct contaminated ids.
     *
-    * 100 TB: the benchmark side is small by construction (eval sets are
-    * thousands of documents, not billions) — its distinct shingle set is
-    * broadcast, so the corpus side stays a narrow explode + broadcast
-    * semi-join: NO shuffle of corpus data at all. The explode is 1→~L
-    * rows per document but each row is one short shingle string, and
-    * the semi-join short-circuits per partition. */
+    * 100 TB: the benchmark side is usually small by construction (eval
+    * sets are thousands of documents, not billions) — its distinct
+    * shingle set is broadcast, so the corpus side stays a narrow
+    * explode + broadcast semi-join: NO shuffle of corpus data at all.
+    * The explode is 1→~L rows per document but each row is one short
+    * shingle string, and the semi-join short-circuits per partition.
+    *
+    * A benchmark that is NOT broadcast-small (decontaminating against
+    * another large corpus) would OOM the driver/executors, so the
+    * shingle count is probed against `maxBroadcastShingles` first
+    * (a bounded `limit(n+1).count()` — never a full count) and the
+    * join falls back to a plain shuffle left-semi with identical
+    * output; the probe touches only the benchmark side. */
   def decontaminate(
       corpus: DataFrame,
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
-      shingleLen: Int = 8): DataFrame = {
+      shingleLen: Int = 8,
+      maxBroadcastShingles: Long = 4_000_000L): DataFrame = {
     val corpusShingles = corpus.select(col(idCol),
       explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
     val benchShingles = benchmark
       .select(explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
       .distinct()
+    val broadcastable =
+      benchShingles.limit(maxBroadcastShingles.toInt.max(1) + 1).count() <=
+        maxBroadcastShingles
+    val bench = if (broadcastable) broadcast(benchShingles) else benchShingles
     corpusShingles
-      .join(broadcast(benchShingles), Seq("__sh"), "left_semi")
+      .join(bench, Seq("__sh"), "left_semi")
       .select(col(idCol)).distinct()
   }
 
@@ -164,24 +201,47 @@ object Corpus {
 
   /** Deterministic global shuffle: the final randomize-before-training
     * pass. Each row gets a content-derived shuffle key md5(seed:id);
-    * the total order is (shard, pos) where shard = first key byte and
-    * pos ranks within the shard — equivalent to ordering the whole
-    * corpus by md5 key, but computed with per-shard windows only.
+    * the total order is (shard, pos) where shard = the first
+    * `shardHexChars` key nibbles and pos ranks within the shard —
+    * equivalent to ordering the whole corpus by md5 key, but computed
+    * with per-shard windows only.
     *
-    * 100 TB: one hash shuffle into 256 shards (generalize the prefix
-    * length for more), each sorted independently — the classic
-    * sort-within-partitions shuffle that never materializes a global
-    * sort. Deterministic: same seed → same permutation on any cluster
-    * topology, which makes training runs reproducible and resumable. */
+    * 100 TB: one hash shuffle into 16^shardHexChars shards, each
+    * sorted independently — the classic sort-within-partitions shuffle
+    * that never materializes a global sort. ONE shard is ONE window
+    * task's sort, so size the fan-out to the data: at the default 2
+    * (256 shards) 100 TB means ~400 GB per task — a straggler/spill
+    * wall; 4 (65,536 shards) keeps tasks at ~1.5 GB
+    * ([[shardHexCharsFor]] computes this). Deterministic: same seed +
+    * same fan-out → same permutation on any cluster topology, which
+    * makes training runs reproducible and resumable. */
   def deterministicShuffle(
       df: DataFrame,
       idCol: String,
-      seed: String = "shuffle"): DataFrame = {
+      seed: String = "shuffle",
+      shardHexChars: Int = 2): DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 8,
+      s"shardHexChars must be in [1,8], got $shardHexChars")
+    requireFresh(df, "shard", "pos")
     val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
     val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
     df.withColumn("__key", key)
-      .withColumn("shard", substring(col("__key"), 1, 2))
+      .withColumn("shard", substring(col("__key"), 1, shardHexChars))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__key")
+  }
+
+  /** Shard fan-out sized so one shard's sort stays a healthy task:
+    * the smallest hex-prefix length whose 16^n shards hold at most
+    * `targetRowsPerShard` rows each. */
+  def shardHexCharsFor(
+      totalRows: Long, targetRowsPerShard: Long = 4_000_000L): Int = {
+    require(totalRows >= 0 && targetRowsPerShard > 0)
+    var n = 1
+    var shards = 16L
+    while (n < 8 && totalRows / shards > targetRowsPerShard) {
+      n += 1; shards *= 16L
+    }
+    n
   }
 }

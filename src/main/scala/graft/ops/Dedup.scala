@@ -249,8 +249,11 @@ object Dedup {
         }
         x
       }
-      edges.select("src", "dst").collect().foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
+      // typed collect: primitive (Long, Long) tuples, not boxed Rows —
+      // 2M GenericRows would cost ~10× the raw-long estimate the
+      // driverEdgeLimit sizing assumes (~32 MB) and risk a driver OOM
+      import spark.implicits._
+      edges.select("src", "dst").as[(Long, Long)].collect().foreach { case (a, b) =>
         if (!parent.containsKey(a)) parent.put(a, a)
         if (!parent.containsKey(b)) parent.put(b, b)
         val (ra, rb) = (find(a), find(b))
@@ -263,7 +266,6 @@ object Dedup {
       var i = 0
       while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
       edges.unpersist()
-      import spark.implicits._
       return spark.createDataset(out.toSeq).toDF("id", "cluster")
     }
     var labels = edges.select(col("src").as("id")).distinct()

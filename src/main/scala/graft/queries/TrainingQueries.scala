@@ -141,6 +141,24 @@ object TrainingQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ── ANN: IVF with Lloyd-refined centroids. Two spherical k-means
+    // iterations run LIVE (assignment + per-dimension means); probing
+    // every list (nProbe = nCentroids) makes the result exact by
+    // construction, so the DuckDB top-k oracle checks the whole refined
+    // pipeline — any refinement bug that corrupts assignment, drops
+    // rows, or skews cosines breaks the hash. ───────────────────────────
+    "ann_ivf_refined" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.ivfTopK(q, c, "q_id", "q_vec", "c_id", "c_vec",
+          k = 3, nCentroids = 16, nProbe = 16, refineIterations = 2)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ── Embedding near-dups via LSH buckets (rows-only) ──────────────────
     "embed_near_dups" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -702,6 +720,20 @@ object TrainingQueries {
         |  PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s) t
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
+    // Refined IVF probes every list → exact top-k; same oracle shape.
+    "ann_ivf_refined" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e),
+        |s AS (SELECT q_id, c_id,
+        |  list_dot_product(qv, cv) /
+        |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        | FROM q, c)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(cos, 4) AS cos_sim
+        |FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s) t
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
     // Exhaustive ≥0.95-cosine pair enumeration over the twin-planted
     // corpus; only the identical twins qualify, and identical vectors
     // share every LSH bucket deterministically.
@@ -1035,7 +1067,9 @@ object TrainingQueries {
         | FROM d)
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
         | CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id,
-        | CAST((cum - n_tokens) % 256 AS BIGINT) AS chunk_offset
+        | CAST((cum - n_tokens) % 256 AS BIGINT) AS chunk_offset,
+        | CAST((cum - 1) // 256 AS BIGINT) AS end_chunk,
+        | CAST((cum - 1) % 256 AS BIGINT) AS end_offset
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "corpus_sample_stratified" ->

@@ -17,8 +17,18 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.hexThreshold(0.5) === "80000000")
     assert(Corpus.hexThreshold(0.25) === "40000000")
     assert(Corpus.hexThreshold(0.0) === "00000000")
-    assert(Corpus.hexThreshold(1.0) === "ffffffff")
+    // p = 1.0 is the above-any-hex sentinel, so `u < t` keeps ALL rows
+    // (a clamped ffffffff would drop a draw of exactly ffffffff)
+    assert(Corpus.hexThreshold(1.0) === "g0000000")
     assertThrows[IllegalArgumentException](Corpus.hexThreshold(1.5))
+  }
+
+  test("rate 1.0 keeps every row of the stratum") {
+    val kept = Corpus.sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.0, seed = "s1")
+    val en = docs.filter(col("lang") === "en")
+    assert(kept.count() === en.count())
+    assert(kept.filter(col("lang") =!= "en").count() === 0L)
   }
 
   // ── sampleStratified ──────────────────────────────────────────────────
@@ -95,6 +105,34 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("packed chunks: end spans locate the last token — chunk contents are recomputable") {
+    val p = Corpus.packChunks(docs, "doc_id", "text", nShards = 4,
+      chunkTokens = 128).collect()
+    p.foreach { r =>
+      val start = r.getAs[Long]("chunk_id") * 128 + r.getAs[Long]("chunk_offset")
+      val end   = r.getAs[Long]("end_chunk") * 128 + r.getAs[Long]("end_offset")
+      assert(end === start + r.getAs[Long]("n_tokens") - 1,
+        s"span mismatch: $r")
+      assert(r.getAs[Long]("end_offset") >= 0 && r.getAs[Long]("end_offset") < 128)
+      assert(r.getAs[Long]("end_chunk") >= r.getAs[Long]("chunk_id"))
+    }
+    // a consumer materializing chunk (shard, c) selects docs whose span
+    // covers c — every token slot of every non-final chunk is covered
+    p.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rows) =>
+      val lastEnd = rows.map(r =>
+        r.getAs[Long]("end_chunk") * 128 + r.getAs[Long]("end_offset")).max
+      val fullChunks = (lastEnd + 1) / 128
+      val covered = Array.fill(((lastEnd + 1).toInt))(false)
+      rows.foreach { r =>
+        val s0 = r.getAs[Long]("chunk_id") * 128 + r.getAs[Long]("chunk_offset")
+        val e0 = r.getAs[Long]("end_chunk") * 128 + r.getAs[Long]("end_offset")
+        (s0 to e0).foreach(i => covered(i.toInt) = true)
+      }
+      assert(covered.take((fullChunks * 128).toInt).forall(identity),
+        s"shard $sh has uncovered token slots")
+    }
+  }
+
   // ── decontaminate ─────────────────────────────────────────────────────
 
   test("decontamination flags every planted leak and nothing on a clean corpus") {
@@ -136,6 +174,18 @@ class CorpusSpec extends SparkSpec {
     assert(flagged === trueContaminated)
   }
 
+  test("decontaminate: shuffle fallback for a non-broadcastable benchmark matches the broadcast path") {
+    val d = docs.select("doc_id", "text")
+    val bench = d.filter(col("doc_id") % 7 === 0)
+    val corpus = d.filter(col("doc_id") % 7 =!= 0)
+    val viaBroadcast = Corpus.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    // threshold 1 forces the probe over the limit → shuffle left-semi
+    val viaShuffle = Corpus.decontaminate(corpus, bench, "doc_id", "text",
+      maxBroadcastShingles = 1L).collect().map(_.getLong(0)).toSet
+    assert(viaShuffle === viaBroadcast)
+  }
+
   // ── deterministicShuffle ──────────────────────────────────────────────
 
   test("deterministic shuffle is a stable permutation with per-shard dense positions") {
@@ -155,6 +205,45 @@ class CorpusSpec extends SparkSpec {
       assert(again(r.getAs[Long]("doc_id")) ===
         (r.getAs[String]("shard"), r.getAs[Long]("pos")))
     }
+  }
+
+  test("shuffle fan-out parameterized: 65,536 shards produce the same global order as 256") {
+    // 4 hex chars = 65,536 shards (the ≥4096 scale fan-out); the total
+    // order (shard, pos) must equal ordering the corpus by md5 key for
+    // ANY fan-out — shards are just prefix buckets of the same keys
+    def order(hexChars: Int): Seq[Long] =
+      Corpus.deterministicShuffle(docs.select("doc_id"), "doc_id", "z", hexChars)
+        .orderBy(col("shard"), col("pos")).collect().map(_.getAs[Long]("doc_id")).toSeq
+    val at2 = order(2)
+    val at4 = order(4)
+    assert(at2 === at4, "fan-out must not change the permutation")
+    // and shards really fan out: 4-char prefixes are strictly finer
+    val shards4 = Corpus.deterministicShuffle(
+      docs.select("doc_id"), "doc_id", "z", 4)
+      .select("shard").distinct().collect().map(_.getString(0))
+    assert(shards4.forall(_.length == 4))
+    assert(shards4.length > docs.count() / 2,
+      "md5 prefixes at 4 nibbles should spread ~one row per shard here")
+  }
+
+  test("shardHexCharsFor sizes the fan-out from the row count") {
+    assert(Corpus.shardHexCharsFor(1000L) === 1)
+    assert(Corpus.shardHexCharsFor(100_000_000L) === 2) // 256 shards × ~390k
+    assert(Corpus.shardHexCharsFor(100_000_000_000L) === 4) // 100 TB scale
+    assert(Corpus.shardHexCharsFor(Long.MaxValue / 2) === 8)
+  }
+
+  test("operators refuse inputs that already carry their output columns") {
+    val s = spark
+    import s.implicits._
+    val clash = Seq((1L, "t", 2L)).toDF("doc_id", "text", "shard")
+    assertThrows[IllegalArgumentException](
+      Corpus.packChunks(clash, "doc_id", "text", 4, 128))
+    assertThrows[IllegalArgumentException](
+      Corpus.deterministicShuffle(clash, "doc_id"))
+    val clashQ = Seq((1L, "en", 5L)).toDF("doc_id", "lang", "qrank")
+    assertThrows[IllegalArgumentException](
+      Corpus.domainQuota(clashQ, "lang", 5, Seq(col("doc_id"))))
   }
 
   // ── property tests (generated corpora) ────────────────────────────────
