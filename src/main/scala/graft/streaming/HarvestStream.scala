@@ -30,13 +30,19 @@ object HarvestStream {
     * pending pages, then stop — the reference's backlog fast-drain); use
     * `Trigger.ProcessingTime("360 seconds")` for the reference's steady
     * 6-minute poll (ST1). */
+  /** @param afterBatch invoked after each micro-batch's merge commits
+    *        but BEFORE the engine commits the batch — a metrics seam,
+    *        and the crash-injection point the recovery spec uses to
+    *        prove that a failure in exactly that window replays as an
+    *        idempotent no-op merge (ST4). */
   def start(
       spark: SparkSession,
       pagesDir: String,
       checkpointDir: String,
       headersTable: StateTable,
       headerFilter: DataFrame => DataFrame = identity,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      afterBatch: Long => Unit = _ => ()): StreamingQuery = {
     Tables.configure(spark)
     val pages = spark.readStream
       .format("text")
@@ -57,7 +63,7 @@ object HarvestStream {
         // the merge runs as an atomic read-modify-write
         headersTable.mergeOnceForBatch(batchId, checkpointDir, headers,
           keys = Seq("record_identifier"))
-        ()
+        afterBatch(batchId)
       }
       .start()
   }
