@@ -181,6 +181,51 @@ object Corpus {
       .select(col(idCol)).distinct()
   }
 
+  /** Token-budget mixture: downsample each source so its EXPECTED token
+    * contribution hits `budgets(source)` — the third leg of mixture
+    * control ([[sampleStratified]] fixes proportions, [[domainQuota]]
+    * caps row counts, this targets token budgets, which is how
+    * pretraining mixtures are actually specified). Per-source keep rate
+    * = min(1, budget / totalTokens); sources without a budget keep
+    * everything.
+    *
+    * Decisions stay content-hash deterministic ([[uniformHex]]), so the
+    * mixture is reproducible and NESTED under budget increases (raising
+    * a budget only adds rows). Returns the sampled frame plus each
+    * row's token count as `n_tokens`.
+    *
+    * 100 TB: one map-side-combined aggregate computes per-source token
+    * totals (rows = |sources|, collected to the driver — mixture specs
+    * have tens of sources, not millions); the sample itself is the same
+    * pure narrow filter as [[sampleStratified]]. Rates derive from
+    * IEEE-double division and [[hexThreshold]]'s fixed-point floor, so
+    * any engine recomputes the identical keep set. */
+  def mixByTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      budgets: Map[String, Long],
+      seed: String = "mix"): DataFrame = {
+    requireFresh(df, "n_tokens")
+    val withTokens = df.withColumn("n_tokens",
+      TextAnalysis.tokenCount(col(textCol)))
+    val totals = withTokens.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = budgets.flatMap { case (src, budget) =>
+      totals.get(src).map(t =>
+        src -> math.min(1.0, budget.toDouble / t.toDouble))
+    }
+    val u = uniformHex(col(idCol), seed)
+    val threshold = rates.foldRight(lit(hexThreshold(1.0))) {
+      case ((src, p), els) =>
+        when(col(sourceCol) === src, lit(hexThreshold(p))).otherwise(els)
+    }
+    withTokens.filter(u < threshold)
+  }
+
   /** Length-bucket assignment for batch assembly: documents grouped
     * into power-of-two-ish token-length buckets so a training batcher
     * can pad within a bucket instead of to the global max. Buckets are

@@ -615,6 +615,19 @@ object TrainingQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
         .orderBy("bucket")),
 
+    // ── Corpus: token-budget mixture — per-source keep rates derived
+    // from aggregate token totals (en/de downsampled, zh budget above
+    // total → keep-all, fr unbudgeted → keep-all, es zero → drop-all).
+    // Rates are IEEE-double arithmetic both engines reproduce exactly. ──
+    "corpus_mix_budget" -> ((s, dir) =>
+      graft.ops.Corpus.mixByTokenBudget(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "lang", "text",
+        budgets = Map("en" -> 4000L, "de" -> 1500L, "zh" -> 999999L, "es" -> 0L),
+        seed = "mix9")
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id"))),
+
     // ── Warehouse: SCD2 validity intervals — turn an order event
     // history into [valid_from, valid_to) dimension rows (lead() per
     // key; one keyed shuffle, windows bounded by per-customer history). ─
@@ -1193,6 +1206,30 @@ object TrainingQueries {
         |            ELSE '4_gt_256' END AS bucket,
         | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same rate derivation: double division, fixed-point floor, hex
+    // threshold compare; 'g0000000' is the above-any-hex keep-all
+    // sentinel (every hex digit < 'g' lexicographically).
+    "corpus_mix_budget" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |tot AS (SELECT lang, sum(n_tokens) AS t FROM tok GROUP BY lang),
+        |th AS (SELECT lang,
+        |  CASE lang
+        |   WHEN 'en' THEN least(1.0, 4000.0 / t)
+        |   WHEN 'de' THEN least(1.0, 1500.0 / t)
+        |   WHEN 'zh' THEN least(1.0, 999999.0 / t)
+        |   WHEN 'es' THEN least(1.0, 0.0 / t)
+        |   ELSE NULL END AS rate
+        | FROM tot)
+        |SELECT doc_id, lang, n_tokens
+        |FROM tok JOIN th USING (lang)
+        |WHERE substr(md5('mix9:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        | CASE WHEN rate IS NULL OR rate >= 1.0 THEN 'g0000000'
+        |      ELSE printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT)) END
+        |ORDER BY doc_id""".stripMargin,
 
     "scd2_intervals" ->
       """SELECT o_custkey, o_orderkey,

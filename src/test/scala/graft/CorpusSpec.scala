@@ -81,6 +81,46 @@ class CorpusSpec extends SparkSpec {
     assert(keptEn === expectEn)
   }
 
+  // ── mixByTokenBudget ──────────────────────────────────────────────────
+
+  test("token-budget mixture: rates track budgets, unbudgeted sources keep all, budgets nest") {
+    val base = docs.select(col("doc_id"), col("lang"), col("text"))
+    val totals = base
+      .withColumn("n", graft.ops.TextAnalysis.tokenCount(col("text")))
+      .groupBy("lang").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val budget = totals("en") / 3
+    val mixed = Corpus.mixByTokenBudget(base, "doc_id", "lang", "text",
+      budgets = Map("en" -> budget), seed = "m1")
+    val keptTokens = mixed.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // unbudgeted sources keep every row
+    (totals.keySet - "en").foreach { lang =>
+      assert(keptTokens(lang) === totals(lang), s"$lang must keep all tokens")
+    }
+    // budgeted source lands near its budget (sampling noise at ~70 docs)
+    assert(keptTokens("en") < totals("en"))
+    assert(math.abs(keptTokens("en") - budget).toDouble / budget < 0.6,
+      s"en kept ${keptTokens("en")} vs budget $budget")
+
+    // zero budget drops the source entirely; huge budget keeps all
+    val extremes = Corpus.mixByTokenBudget(base, "doc_id", "lang", "text",
+      budgets = Map("en" -> 0L, "de" -> Long.MaxValue / 2), seed = "m1")
+    val perLang = extremes.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!perLang.contains("en"))
+    assert(perLang("de") === docs.filter(col("lang") === "de").count())
+
+    // nested: raising the budget only ADDS rows (same seed)
+    val lo = Corpus.mixByTokenBudget(base, "doc_id", "lang", "text",
+      Map("en" -> budget), "m1").select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = Corpus.mixByTokenBudget(base, "doc_id", "lang", "text",
+      Map("en" -> budget * 2), "m1").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+  }
+
   // ── packChunks ────────────────────────────────────────────────────────
 
   test("packed chunks: offsets bounded, shard streams contiguous") {
