@@ -99,6 +99,15 @@ class BucketedStateTable(
     val kv = lines.map { l =>
       val Array(k, v) = l.split("=", 2); (k, v)
     }.toMap
+    // the bucket count DEFINES the layout: opening an existing table
+    // with a different numBuckets would hash keys into the wrong
+    // buckets and silently corrupt merges — refuse instead
+    kv.get("numBuckets").foreach { n =>
+      require(n.toInt == numBuckets,
+        s"table at $path is laid out with numBuckets=$n; this instance " +
+          s"was constructed with numBuckets=$numBuckets — re-bucketing " +
+          "requires a full rewrite into a new table")
+    }
     Manifest(
       kv("commit").toLong,
       lines.collect {

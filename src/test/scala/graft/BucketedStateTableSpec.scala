@@ -164,6 +164,38 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(t.read().get.count() == 2L)
   }
 
+  test("opening an existing table with a different bucket count is refused") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    new BucketedStateTable(spark, s"$dir/state", keyCols = Seq("k"),
+      numBuckets = 8, retentionFloorMillis = 0L)
+      .merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+    val wrong = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 16, retentionFloorMillis = 0L)
+    val ex = intercept[IllegalArgumentException](wrong.read())
+    assert(ex.getMessage.contains("numBuckets"))
+  }
+
+  test("concurrent writers serialize: interleaved merges lose no update") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    def table() = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        val mine = table() // distinct instances share the per-path lock
+        (0 until 5).foreach { i =>
+          mine.merge(Seq((s"k$t-$i", t.toLong)).toDF("k", "v"), keys = Seq("k"))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val keys = table().read().get.select("k").collect().map(_.getString(0)).toSet
+    assert(keys == (for (t <- 0 until 4; i <- 0 until 5) yield s"k$t-$i").toSet)
+  }
+
   test("mergeOnceForBatch skips a replayed batch id per stream scope") {
     val s = spark
     import s.implicits._

@@ -93,6 +93,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("decontaminate fallback: over-budget benchmark drops the forced broadcast hint") {
+    // the guard removes OUR unconditional broadcast() hint and returns
+    // the decision to Catalyst's size estimation — which at a real
+    // over-threshold benchmark picks a shuffle join. The tiny fixture
+    // would still auto-broadcast on statistics, so emulate the at-scale
+    // estimate by disabling auto-broadcast for this plan.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      val q = graft.ops.Corpus.decontaminate(
+        docs, docs.limit(50), "doc_id", "text", maxBroadcastShingles = 1L)
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("LeftSemi"), s"fallback lost semi-join semantics\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"over-budget benchmark must not force a broadcast\n$p")
+      // and the normal path DOES force the broadcast even without
+      // Catalyst's size estimate backing it
+      val forced = graft.ops.Corpus.decontaminate(
+        docs, docs.limit(50), "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(forced.contains("BroadcastHashJoin"))
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("token-budget mixture: the sample itself is a narrow filter on the scan") {
+    val p = plan("corpus_mix_budget")
+    // the per-source totals are a separate collected aggregate; the
+    // surviving plan is scan → filter(+sort for the oracle ordering) —
+    // no join against the totals, no exchange below the filter
+    assert(!p.contains("Join"), s"mixture must inline rates as literals\n$p")
+    val filterIdx = p.indexOf("Filter")
+    val exchangeIdx = p.lastIndexOf("Exchange")
+    assert(filterIdx >= 0)
+    assert(exchangeIdx < filterIdx,
+      s"no exchange may sit below the mixture filter\n$p")
+  }
+
   test("stratified sample: pure narrow filter — no exchange before the scan filter") {
     val q = graft.ops.Corpus.sampleStratified(
       Tables.documents(spark, sf0001), "doc_id", "lang",
