@@ -337,6 +337,42 @@ object Dedup {
 
   /** Exact Jaccard similarity between the distinct-word sets of two text
     * columns (the verification step behind MinHash candidates). */
+  /** C4-style GLOBAL line dedup: across the whole corpus, each distinct
+    * non-blank line survives only in the first document that carries it
+    * (order: (id, line position)); blank/whitespace-only lines always
+    * survive. This is the standard boilerplate killer — nav bars,
+    * cookie banners, "all rights reserved" footers repeat across
+    * millions of pages and line-level exact dedup removes them where
+    * document-level dedup cannot. Returns `(idCol, text)` with each
+    * document rebuilt from its surviving lines in original order
+    * (documents reduced to nothing come back as "").
+    *
+    * 100 TB: one hash shuffle keyed on LINE CONTENT (uniform — a hot
+    * boilerplate line is one key but its group reduces to a first-
+    * occurrence row_number, and blank lines — the one guaranteed-skewed
+    * key — never enter the window at all), then one shuffle back on the
+    * document id to reassemble. Both are plain keyed exchanges; no
+    * global sort. */
+  def dedupLinesGlobal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("__ln", "__line")))
+    val blank = trim(col("__line")) === ""
+    val w = Window.partitionBy(col("__line")).orderBy(col(idCol), col("__ln"))
+    val keptNonBlank = lines.filter(!blank)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val kept = keptNonBlank.unionByName(lines.filter(blank))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__ln"), col("__line")))),
+          x => x.getField("__line"))).as("text"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .withColumn("text", coalesce(col("text"), lit("")))
+  }
+
   def wordSetJaccard(a: Column, b: Column): Column = {
     val sa = array_distinct(split(trim(a), "\\s+"))
     val sb = array_distinct(split(trim(b), "\\s+"))

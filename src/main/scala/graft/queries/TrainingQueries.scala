@@ -615,6 +615,22 @@ object TrainingQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
         .orderBy("bucket")),
 
+    // ── Text: C4-style global line dedup — boilerplate footer lines are
+    // PLANTED on every document (SQL-expressible construction: split the
+    // text on a common word, append two shared footer lines), so the
+    // oracle verifies that each footer survives only in the first
+    // document corpus-wide while every document's own lines remain. ─────
+    "text_dedup_lines" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(
+            call_function("replace", col("text"), lit(" the "), lit("\n")),
+            lit("\nsubscribe to our newsletter for updates"),
+            lit("\nall rights reserved site footer")).as("text"))
+      graft.ops.Dedup.dedupLinesGlobal(corpus, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Corpus: token-budget mixture — per-source keep rates derived
     // from aggregate token totals (en/de downsampled, zh budget above
     // total → keep-all, fr unbudgeted → keep-all, es zero → drop-all).
@@ -1206,6 +1222,31 @@ object TrainingQueries {
         |            ELSE '4_gt_256' END AS bucket,
         | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Parallel unnest keeps (position, line) aligned; first occurrence
+    // corpus-wide = row_number over (doc_id, position); blank lines
+    // bypass dedup; docs rebuilt in original line order.
+    "text_dedup_lines" ->
+      """WITH corpus AS (
+        | SELECT doc_id,
+        |  replace(text, ' the ', chr(10)) || chr(10) ||
+        |  'subscribe to our newsletter for updates' || chr(10) ||
+        |  'all rights reserved site footer' AS t
+        | FROM documents),
+        |lines AS (
+        | SELECT doc_id, unnest(range(1, len(s) + 1)) AS ln, unnest(s) AS line
+        | FROM (SELECT doc_id, string_split(t, chr(10)) AS s FROM corpus)),
+        |keep AS (
+        | SELECT doc_id, ln, line FROM (
+        |  SELECT doc_id, ln, line,
+        |   CASE WHEN trim(line) = '' THEN 1
+        |    ELSE row_number() OVER (PARTITION BY line ORDER BY doc_id, ln)
+        |   END AS rn
+        |  FROM lines) q WHERE rn = 1)
+        |SELECT c.doc_id,
+        | coalesce(string_agg(k.line, chr(10) ORDER BY k.ln), '') AS text
+        |FROM corpus c LEFT JOIN keep k USING (doc_id)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     // Same rate derivation: double division, fixed-point floor, hex
     // threshold compare; 'g0000000' is the above-any-hex keep-all

@@ -110,6 +110,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup: global line dedup keeps boilerplate only in its first document") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "unique alpha line\nshared footer\n\nunique beta line"),
+      (2L, "another doc body\nshared footer\nits own ending"),
+      (3L, "shared footer"), // nothing but boilerplate → reduced to ""
+      (4L, "  \nunique gamma line\n  ")) // whitespace lines always survive
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dedupLinesGlobal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique alpha line\nshared footer\n\nunique beta line",
+      "first occurrence keeps the footer and the blank line")
+    assert(out(2L) == "another doc body\nits own ending")
+    assert(out(3L) == "", "a document of pure boilerplate reduces to empty")
+    assert(out(4L) == "  \nunique gamma line\n  ")
+    assert(out.size == 4, "every input document comes back")
+  }
+
   test("dedup: exact dedup counts planted copies (identical text collapses)") {
     val d = docs.select("doc_id", "text")
     val dup = d.unionByName(
