@@ -109,6 +109,35 @@ object TextAnalysis {
         .otherwise(decision))
   }
 
+  /** Quality-filter cascade with REASONS: every document annotated with
+    * the comma-joined list of gates it fails (`fail_reasons`, "" = clean)
+    * plus the resulting `keep` flag — the debuggable form of
+    * `corpus_filter`. When a mixture suddenly loses 40% of a source, the
+    * reason histogram says WHICH gate did it; a bare boolean filter
+    * cannot. Gates (all from the fused one-pass kernels, thresholds on
+    * 6-dp-rounded ratios so engines agree): low_alpha, too_short,
+    * too_long, repetitive, wrong_lang — reason order is fixed, so the
+    * string is deterministic. */
+  def filterReasons(
+      df: DataFrame,
+      textCol: Column,
+      targetLangs: Seq[String] = Seq("en", "de"),
+      minTokens: Long = 10L,
+      maxTokens: Long = 1000L): DataFrame = {
+    val scored = langIdScores(qualityMetrics(df, textCol), textCol)
+    val st = call_function("graft_ngram_stats", textCol, lit(2))
+    val d2 = round(st.getField("n_distinct") * lit(1.0) /
+      st.getField("n_grams"), 6)
+    val reasons = concat_ws(",",
+      when(col("alpha_ratio") < 0.6, lit("low_alpha")),
+      when(col("n_tokens") < minTokens, lit("too_short")),
+      when(col("n_tokens") > maxTokens, lit("too_long")),
+      when(d2 < 0.3, lit("repetitive")),
+      when(!col("predicted_lang").isin(targetLangs: _*), lit("wrong_lang")))
+    scored.withColumn("fail_reasons", reasons)
+      .withColumn("keep", col("fail_reasons") === "")
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized, lowercased text
     * — the exact-dedup key. */
   def fingerprint(text: Column): Column =

@@ -283,6 +283,26 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Corpus filter with REASONS: the debuggable cascade — planted
+    // degenerate documents (too short, repetitive, symbol soup, 1100
+    // tokens of filler) exercise every gate; the reason string is
+    // deterministic and SQL-recomputable. ───────────────────────────────
+    "corpus_filter_reasons" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (-4L, "__LONG__"), // placeholder replaced by the repeat below
+        (-3L, "!!! 000 ??? 111 !!!"),
+        (-2L, "x y x y x y x y x y x y"),
+        (-1L, "a b c")).toDF("doc_id", "text")
+        .withColumn("text", when(col("doc_id") === -4L,
+          trim(repeat(lit("w "), 1100))).otherwise(col("text")))
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.filterReasons(base.unionByName(planted), col("text"))
+        .select(col("doc_id"), col("predicted_lang"),
+          col("fail_reasons"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Multimodal: binary payload → batched feature extraction ─────────
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(Tables.documents(s, dir))
@@ -1222,6 +1242,48 @@ object TrainingQueries {
         |            ELSE '4_gt_256' END AS bucket,
         | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same gates, same rounded thresholds; concat_ws skips NULL CASEs in
+    // both engines so the reason string is identical.
+    "corpus_filter_reasons" ->
+      """WITH all_docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL SELECT * FROM (VALUES
+        |  (CAST(-4 AS BIGINT), trim(repeat('w ', 1100))),
+        |  (CAST(-3 AS BIGINT), '!!! 000 ??? 111 !!!'),
+        |  (CAST(-2 AS BIGINT), 'x y x y x y x y x y x y'),
+        |  (CAST(-1 AS BIGINT), 'a b c')) t(doc_id, text)),
+        |toks AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS tk FROM all_docs),
+        |g AS (SELECT doc_id, text, tk,
+        |  CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |   ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) END AS g2
+        | FROM toks),
+        |m AS (SELECT doc_id, text,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  round(length(regexp_replace(text, '[^\p{L}]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
+        |  round(len(list_distinct(g2)) * 1.0 / len(g2), 6) AS d2,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|was)\b')) AS BIGINT) AS score_en,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(der|und|die|nicht|das|ist)\b')) AS BIGINT) AS score_de,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|une|est)\b')) AS BIGINT) AS score_fr,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|una|por|las|este)\b')) AS BIGINT) AS score_es
+        | FROM g),
+        |lang AS (SELECT *,
+        |  CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+        |       WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+        |       WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+        |       WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+        |       ELSE 'es' END AS predicted_lang
+        | FROM m),
+        |r AS (SELECT doc_id, predicted_lang,
+        |  concat_ws(',',
+        |   CASE WHEN alpha_ratio < 0.6 THEN 'low_alpha' END,
+        |   CASE WHEN n_tokens < 10 THEN 'too_short' END,
+        |   CASE WHEN n_tokens > 1000 THEN 'too_long' END,
+        |   CASE WHEN d2 < 0.3 THEN 'repetitive' END,
+        |   CASE WHEN predicted_lang NOT IN ('en', 'de') THEN 'wrong_lang' END) AS fail_reasons
+        | FROM lang)
+        |SELECT doc_id, predicted_lang, fail_reasons, fail_reasons = '' AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Parallel unnest keeps (position, line) aligned; first occurrence
     // corpus-wide = row_number over (doc_id, position); blank lines

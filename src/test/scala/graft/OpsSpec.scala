@@ -222,6 +222,24 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(refined.head.head - expected) < 1e-6)
   }
 
+  test("text: filter cascade names every failed gate in fixed order") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog went to the market and was happy to see all of it"),
+      (2L, "a b c"),                       // short + und
+      (3L, "x y x y x y x y x y x y"),     // low alpha + repetitive + und
+      (4L, "le chat et le chien et le chat et le chien et le chat marchent"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.filterReasons(docs, col("text"))
+      .select(col("doc_id"), col("fail_reasons"), col("keep")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ("" -> true))
+    assert(out(2L) == ("too_short,wrong_lang" -> false))
+    assert(out(3L) == ("low_alpha,repetitive,wrong_lang" -> false))
+    assert(out(4L)._1.contains("wrong_lang") && !out(4L)._2) // fr is not a target
+  }
+
   test("text: langid marker scores prefer english for english-marker text") {
     val s = spark
     import s.implicits._
