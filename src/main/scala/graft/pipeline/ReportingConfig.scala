@@ -29,7 +29,9 @@ case class ReportingConfig(
     runResultHistoryHours: Long,
     metsUrl: String,
     metsPollSeconds: Long,
-    metsInterRequestMillis: Long)
+    metsInterRequestMillis: Long,
+    stateBucketed: Boolean,
+    stateBuckets: Int)
 
 object ReportingConfig {
 
@@ -45,9 +47,14 @@ object ReportingConfig {
     "mets.pollseconds" -> "600",
     // reference hardcodes a 1 s floor between METS requests
     // (ReportingManager.java:85); 0 disables pacing for bulk backfills
-    "mets.interrequestmillis" -> "1000")
+    "mets.interrequestmillis" -> "1000",
+    // graft extension (no reference analogue — its state is PostgreSQL):
+    // bucket-partitioned headers/reporting tables so merges rewrite only
+    // dirty buckets; enable for big state, size buckets ≈ state/1–16 GB
+    "state.bucketed" -> "false",
+    "state.buckets" -> "1024")
 
-  private val Prefixes = Seq("db.", "oai.", "mets.")
+  private val Prefixes = Seq("db.", "oai.", "mets.", "state.")
 
   /** Load with full layering. `defaultsFile` is optional (falls back to
     * compiled-in defaults), as is the classpath overlay. */
@@ -106,7 +113,10 @@ object ReportingConfig {
       runResultHistoryHours = get("oai.runresulthistorylengthhours").trim.toLong,
       metsUrl = get("mets.url"),
       metsPollSeconds = get("mets.pollseconds").trim.toLong,
-      metsInterRequestMillis = get("mets.interrequestmillis").trim.toLong)
+      metsInterRequestMillis = get("mets.interrequestmillis").trim.toLong,
+      stateBucketed =
+        java.lang.Boolean.parseBoolean(get("state.bucketed").trim),
+      stateBuckets = get("state.buckets").trim.toInt)
   }
 
   def fromMap(entries: Map[String, String]): ReportingConfig = {

@@ -34,9 +34,18 @@ class ReportingRunner(
     clock: () => Long = () => System.currentTimeMillis(),
     sleeper: Long => Unit = Thread.sleep) {
 
-  val headersTable = new ParquetStateTable(spark, s"$stateRoot/headers")
+  // headers/reporting are the tables that GROW — `state.bucketed=true`
+  // switches them to bucket-pruned rewrites; the runs table holds one
+  // checkpoint row per poll and stays a whole-snapshot table either way
+  private def growingTable(path: String): StateTable =
+    if (config.stateBucketed)
+      new BucketedStateTable(spark, path,
+        keyCols = Seq("record_identifier"), numBuckets = config.stateBuckets)
+    else new ParquetStateTable(spark, path)
+
+  val headersTable: StateTable = growingTable(s"$stateRoot/headers")
   val runsTable = new ParquetStateTable(spark, s"$stateRoot/runs")
-  val reportingTable = new ParquetStateTable(spark, s"$stateRoot/reporting")
+  val reportingTable: StateTable = growingTable(s"$stateRoot/reporting")
 
   val harvest = new HarvestPipeline(spark, headersTable, runsTable,
     config.oaiUrl, fc3CompatibilityMode = config.fc3CompatibilityMode,

@@ -26,11 +26,22 @@ class ReportingRunnerSpec extends SparkSpec {
   }
 
   test("runner: two loops drain OAI pages into reporting rows, then stop cleanly") {
+    driveRunner(bucketed = false)
+  }
+
+  test("runner: state.bucketed=true swaps in bucket-pruned tables, same end state") {
+    driveRunner(bucketed = true)
+  }
+
+  private def driveRunner(bucketed: Boolean): Unit = {
     val root = Files.createTempDirectory("graft-runner").toString
     val cfg = ReportingConfig.fromMap(Map(
       "oai.url" -> "http://h/oai",
       "oai.pollseconds" -> "1",
-      "mets.pollseconds" -> "1"))
+      "mets.pollseconds" -> "1",
+      "state.bucketed" -> bucketed.toString,
+      "state.buckets" -> "8"))
+    if (bucketed) assert(cfg.stateBucketed && cfg.stateBuckets == 8)
 
     val pages = new PageFetcher {
       def apply(uri: String): Either[String, String] =
