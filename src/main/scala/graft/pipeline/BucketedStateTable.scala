@@ -119,16 +119,43 @@ class BucketedStateTable(
   private def currentManifest(): Option[Manifest] =
     manifestFiles().lastOption.map { case (_, p) => readManifest(p) }
 
-  private def writeManifest(m: Manifest): Unit = {
+  /** Publish with optimistic cross-process conflict detection. The JVM
+    * per-path lock serializes THIS process's writers; a second process
+    * could still interleave (read manifest N → both commit) and one
+    * writer's bucket pointers would silently vanish from the other's
+    * manifest — the lost update the reference prevents with database
+    * transactions. So: verify `basedOn` is still the newest manifest
+    * immediately before the rename, and again after — if a manifest
+    * appeared in between, withdraw OUR manifest (the state reverts to
+    * the competing commit, which is consistent) and fail loudly for the
+    * caller to retry. Detection, not prevention: the window shrinks to
+    * the rename itself; full prevention needs a filesystem lease or a
+    * transactional table format. */
+  private def writeManifest(m: Manifest, basedOn: Long): Unit = {
     fs.mkdirs(commitsDir)
     val body = (s"commit=${m.commitId}\nnumBuckets=$numBuckets\n" +
       m.buckets.toSeq.sorted.map { case (b, c) => s"$b=$c\n" }.mkString)
     val tmp = new Path(commitsDir, f".c${m.commitId}%08d.txt.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    def latestId: Long = manifestFiles().lastOption.map(_._1).getOrElse(0L)
+    if (latestId != basedOn) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"commit ${m.commitId} was based on manifest $basedOn but $latestId " +
+          "is now newest — a concurrent writer committed first; retry the mutation")
+    }
     val dest = new Path(commitsDir, f"c${m.commitId}%08d.txt")
     if (!fs.rename(tmp, dest))
       throw new IllegalStateException(s"commit ${m.commitId} lost a publish race at $dest")
+    val intervening = manifestFiles().map(_._1)
+      .filter(id => id > basedOn && id < m.commitId)
+    if (intervening.nonEmpty) {
+      fs.delete(dest, false) // withdraw: the intervening commit stays current
+      throw new java.util.ConcurrentModificationException(
+        s"commit ${m.commitId} raced concurrent commit(s) " +
+          s"${intervening.mkString(",")} and was withdrawn; retry the mutation")
+    }
   }
 
   /** Next commit id must clear BOTH published manifests and orphan data
@@ -176,6 +203,11 @@ class BucketedStateTable(
 
   // ---- commit -------------------------------------------------------
 
+  /** Injection seam for the concurrency spec: runs between the data
+    * write and the manifest publish — the window a concurrent process's
+    * commit can land in. */
+  private[graft] var beforePublish: () => Unit = () => ()
+
   /** Write `rows` as the new contents of exactly the `dirty` buckets and
     * publish. Buckets in `dirty` that end up with zero rows drop out of
     * the manifest (partitioned writes materialize no empty directories —
@@ -193,8 +225,16 @@ class BucketedStateTable(
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
         .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
         .sorted
-    val prev = currentManifest().map(_.buckets).getOrElse(Map.empty)
-    writeManifest(Manifest(next, prev -- dirty ++ written.map(_ -> next)))
+    val base = currentManifest()
+    val basedOn = base.map(_.commitId).getOrElse(0L)
+    beforePublish()
+    if (basedOn >= next)
+      // a concurrent process consumed our id space after we planned the
+      // commit; our data dir is an orphan (pruned later) — fail for retry
+      throw new java.util.ConcurrentModificationException(
+        s"planned commit $next but manifest $basedOn is already newer; retry")
+    val prev = base.map(_.buckets).getOrElse(Map.empty)
+    writeManifest(Manifest(next, prev -- dirty ++ written.map(_ -> next)), basedOn)
     prune()
     val stats = CommitStats(next, dirty, written)
     last = Some(stats)

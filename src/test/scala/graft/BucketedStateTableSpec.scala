@@ -177,6 +177,38 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(ex.getMessage.contains("numBuckets"))
   }
 
+  test("cross-process race: a commit landing in the publish window is detected, never silently lost") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
+    t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+
+    // simulate a SECOND PROCESS committing between our data write and
+    // manifest publish: copy the newest manifest under the next id
+    t.beforePublish = () => {
+      val commits = new java.io.File(s"$dir/state/_commits")
+      val latest = commits.listFiles().filter(_.getName.endsWith(".txt"))
+        .maxBy(_.getName)
+      val id = latest.getName.stripPrefix("c").stripSuffix(".txt").toLong
+      val body = new String(Files.readAllBytes(latest.toPath), "UTF-8")
+        .replaceFirst("commit=\\d+", s"commit=${id + 2}")
+      Files.write(new java.io.File(commits, f"c${id + 2}%08d.txt").toPath,
+        body.getBytes("UTF-8"))
+      t.beforePublish = () => () // fire once
+    }
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.merge(Seq(("b", 2L)).toDF("k", "v"), keys = Seq("k"))
+    }
+    assert(ex.getMessage.contains("retry"))
+    // the competing commit's state is intact; ours was withdrawn/aborted
+    assert(t.read().get.as[(String, Long)].collect().toSet == Set(("a", 1L)))
+    // and the failed mutation can simply be retried
+    t.merge(Seq(("b", 2L)).toDF("k", "v"), keys = Seq("k"))
+    assert(t.read().get.count() == 2L)
+  }
+
   test("concurrent writers serialize: interleaved merges lose no update") {
     val s = spark
     import s.implicits._
