@@ -158,8 +158,13 @@ object Similarity {
         "sqrt(aggregate(transform(__v, x -> cast(x as double) * x), " +
           "cast(0.0 as double), (a, b) -> a + b))"))
       .filter(col("__norm") > 0.0)
+      // every iteration re-reads this projection; cache it for the loop
+      // (vectors + one double ≪ the source table — at 100 TB the
+      // serialized MEMORY_AND_DISK blocks spill per-executor rather than
+      // re-scanning parquet `iterations` times)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var cents = initial
-    for (_ <- 0 until iterations) {
+    try for (_ <- 0 until iterations) {
       val current = cents
       val scores = array(current.map(c =>
         cosine(col("__v"), typedlit(c))): _*)
@@ -178,7 +183,7 @@ object Similarity {
           cent -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
         }
       cents = current.indices.map(i => means.getOrElse(i, current(i)))
-    }
+    } finally wide.unpersist(blocking = false)
     cents
   }
 
