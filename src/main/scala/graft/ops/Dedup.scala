@@ -380,6 +380,52 @@ object Dedup {
       size(array_union(sa, sb)), 6)
   }
 
+  /** Incremental exact dedup against a PERSISTENT seen-set — the
+    * daily-ingest shape of [[exact]]. Filters `batch` to rows whose
+    * normalized content fingerprint ([[TextAnalysis.fingerprint]]) is
+    * (a) unique within the batch (smallest id wins, map-side-combined
+    * `min_by`, one shuffle of the BATCH only) and (b) absent from the
+    * seen-set held in a [[graft.pipeline.BucketedStateTable]] keyed on
+    * `content_hash`; then commits the survivors' fingerprints so the
+    * next batch sees them. Null-text rows are dropped (no fingerprint).
+    *
+    * Returns the surviving batch rows plus their `content_hash`.
+    *
+    * 100 TB: the corpus-wide groupBy of [[exact]] never happens here —
+    * the anti-join probes ONLY the state buckets the batch's
+    * fingerprints hash into
+    * ([[graft.pipeline.BucketedStateTable.readForKeys]]), and the
+    * commit rewrites only those buckets. A 1,515-row micro-batch
+    * against 100 TB of accumulated seen-state touches a handful of
+    * bucket directories; re-ingesting the same batch is a no-op (the
+    * replay-idempotence the reference gets from its keyed upsert,
+    * `PostgrePersistenceService.java:218-280`). The survivors are
+    * pinned (persist + count) BEFORE the state commit so the returned
+    * frame cannot observe its own hashes. */
+  def incrementalExact(
+      state: graft.pipeline.BucketedStateTable,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val fp = batch.filter(col(textCol).isNotNull)
+      .withColumn("content_hash", TextAnalysis.fingerprint(col(textCol)))
+    val firsts = fp
+      .groupBy(col("content_hash"))
+      .agg(min_by(struct(col("*")), col(idCol)).as("__r"))
+      .select(col("__r.*")) // the struct already carries content_hash
+    val like = firsts
+      .select(col("content_hash"), col(idCol).cast("long").as("first_id"))
+    val seen = state.readForKeys(firsts.select(col("content_hash")), like)
+    val kept = firsts
+      .join(seen.select(col("content_hash")), Seq("content_hash"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    kept.count()
+    state.merge(
+      kept.select(col("content_hash"), col(idCol).cast("long").as("first_id")),
+      keys = Seq("content_hash"))
+    kept
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold among LSH-bucketed
     * candidates (delegates bucketing to [[Similarity.lshBuckets]]). */
   def embeddingNearDups(

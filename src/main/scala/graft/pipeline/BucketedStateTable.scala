@@ -196,6 +196,20 @@ class BucketedStateTable(
   private def readBucketsOrEmpty(buckets: Seq[Int], like: DataFrame): DataFrame =
     currentManifest().flatMap(readFrom(_, buckets)).getOrElse(like.limit(0))
 
+  /** Current rows of ONLY the buckets that `probe`'s key values hash
+    * into — the state slice an incremental anti-join needs. `probe`
+    * must carry the table's key columns; `like` shapes the empty
+    * result. A small batch probed against 100 TB of seen-state reads a
+    * few bucket directories, never the table
+    * ([[graft.ops.Dedup.incrementalExact]] is the canonical caller).
+    * The returned plan is pinned to the resolved commit's files, so a
+    * concurrent commit does not shift it mid-query (old commits
+    * outlive the retention floor). */
+  def readForKeys(probe: DataFrame, like: DataFrame): DataFrame =
+    currentManifest()
+      .flatMap(readFrom(_, dirtyBucketsOf(probe)))
+      .getOrElse(like.limit(0))
+
   private def dirtyBucketsOf(batch: DataFrame): Seq[Int] = {
     import spark.implicits._
     batch.select(bucketOf.as("b")).distinct().as[Int].collect().toSeq.sorted

@@ -37,6 +37,40 @@ object TrainingQueries {
       Dedup.exact(withPlantedNearDups(s, dir), "doc_id", "text")
         .orderBy(col("text_md5"))),
 
+    // ── Incremental dedup: a new batch filtered against a PERSISTENT
+    // seen-set (BucketedStateTable keyed on content_hash — the real
+    // state path runs inside the oracle-checked query). seen = the
+    // whole documents table; the batch plants all three outcomes:
+    // exact re-ingests (dropped as seen), a twice-planted fresh text
+    // (intra-batch dup — smallest id wins), and unique fresh texts
+    // (kept). Oracle = the same construction as one anti-join in SQL. ──
+    "dedup_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val batch = d.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 9 === 2)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 9 === 2)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 11 === 3)
+          .select((col("doc_id") + 600000).as("doc_id"),
+            concat(col("text"), lit(" unique")).as("text")))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-incr-").toString
+      val state = new graft.pipeline.BucketedStateTable(
+        s, s"$root/seen", keyCols = Seq("content_hash"), numBuckets = 16)
+      state.merge(
+        d.select(TextAnalysis.fingerprint(col("text")).as("content_hash"),
+            col("doc_id").cast("long").as("first_id"))
+          .groupBy("content_hash").agg(min("first_id").as("first_id")),
+        keys = Seq("content_hash"))
+      Dedup.incrementalExact(state, batch, "doc_id", "text")
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Near-dup: exact word-set Jaccard on planted pairs ────────────────
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val all = withPlantedNearDups(s, dir)
@@ -806,6 +840,27 @@ object TrainingQueries {
         |SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
         | min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM all_docs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH seen AS (
+        | SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h
+        | FROM documents),
+        |batch AS (
+        | SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 1
+        | UNION ALL
+        | SELECT doc_id + 400000, text || ' fresh' FROM documents WHERE doc_id % 9 = 2
+        | UNION ALL
+        | SELECT doc_id + 500000, text || ' fresh' FROM documents WHERE doc_id % 9 = 2
+        | UNION ALL
+        | SELECT doc_id + 600000, text || ' unique' FROM documents WHERE doc_id % 11 = 3),
+        |firsts AS (
+        | SELECT min(doc_id) AS doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash
+        | FROM batch GROUP BY 2)
+        |SELECT f.doc_id, f.content_hash
+        |FROM firsts f LEFT JOIN seen s ON f.content_hash = s.h
+        |WHERE s.h IS NULL
+        |ORDER BY f.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """SELECT doc_id,

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+import graft.pipeline.BucketedStateTable
+
+/** Incremental exact dedup against a persistent bucketed seen-set: the
+  * anti-join must probe ONLY the buckets the batch hashes into, the
+  * commit must write only those buckets, and a replayed batch must be a
+  * no-op — the daily-ingest contract at 100 TB. */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-incr").toString
+
+  private def state(dir: String, buckets: Int = 64) =
+    new BucketedStateTable(spark, s"$dir/seen",
+      keyCols = Seq("content_hash"), numBuckets = buckets,
+      retentionFloorMillis = 0L)
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def seed(t: BucketedStateTable, rows: (Long, String)*): Unit =
+    t.merge(
+      docs(rows: _*)
+        .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("content_hash"),
+          col("doc_id").as("first_id"))
+        .groupBy("content_hash").agg(min("first_id").as("first_id")),
+      keys = Seq("content_hash"))
+
+  test("seen drops, intra-batch keeps the smallest id, fresh survives, nulls vanish") {
+    val t = state(tmp())
+    seed(t, 1L -> "alpha beta", 2L -> "gamma delta")
+
+    val batch = docs(
+      10L -> "alpha beta",      // exact re-ingest → dropped
+      11L -> "Alpha  beta",     // normalized re-ingest (case+ws) → dropped
+      12L -> "epsilon zeta",    // fresh, duplicated intra-batch
+      13L -> "epsilon zeta",    //   → only id 12 survives
+      14L -> "eta theta",       // fresh unique → kept
+      15L -> null)              // null text → no fingerprint, vanishes
+    val kept = Dedup.incrementalExact(t, batch, "doc_id", "text")
+    assert(kept.select("doc_id").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted.toSeq == Seq(12L, 14L))
+
+    // the survivors' hashes are now state: a replay is a no-op
+    val replay = Dedup.incrementalExact(t, batch, "doc_id", "text")
+    assert(replay.count() == 0L)
+    assert(t.read().get.count() == 4L) // 2 seeded + 2 new
+  }
+
+  test("probe reads and commit writes only the batch's buckets against a large seen-set") {
+    val s = spark
+    import s.implicits._
+    val t = state(tmp())
+    // seed 50k distinct texts → every bucket populated
+    val big = spark.range(50000)
+      .select(col("id").as("doc_id"),
+        concat(lit("document number "), col("id")).as("text"))
+    t.merge(
+      big.select(graft.ops.TextAnalysis.fingerprint(col("text")).as("content_hash"),
+        col("doc_id").as("first_id")),
+      keys = Seq("content_hash"))
+    assert(t.lastCommit.get.bucketsWritten.size == 64)
+
+    val batch = docs(900001L -> "a brand new document")
+    val kept = Dedup.incrementalExact(t, batch, "doc_id", "text")
+    assert(kept.count() == 1L)
+
+    // the read was bucket-pruned: the probe slice touched ONE bucket dir
+    val probe = batch
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("content_hash"))
+    val sliceFiles = t.readForKeys(probe, probe.limit(0)).inputFiles
+    val sliceBuckets = sliceFiles.map(f =>
+      f.split("/").find(_.startsWith("__bucket=")).get).distinct
+    assert(sliceBuckets.length == 1)
+
+    // and the commit rewrote exactly that bucket
+    val commit = t.lastCommit.get
+    assert(commit.bucketsWritten.length == 1)
+    assert(sliceBuckets.head == s"__bucket=${commit.bucketsWritten.head}")
+  }
+
+  test("readForKeys returns the empty shape for an unseeded table") {
+    val t = state(tmp())
+    val probe = docs(1L -> "x")
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("content_hash"),
+        lit(0L).as("first_id"))
+    assert(t.readForKeys(probe, probe).count() == 0L)
+  }
+}
