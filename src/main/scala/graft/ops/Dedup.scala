@@ -373,6 +373,82 @@ object Dedup {
       .withColumn("text", coalesce(col("text"), lit("")))
   }
 
+  /** Substring-level (span) dedup: every `w`-token shingle that occurs
+    * in TWO OR MORE documents survives only at its globally-first
+    * occurrence — the minimum `(id, start)` — and every other
+    * occurrence's token positions are excised from their documents.
+    * This is the span-granular boilerplate/memorization killer from the
+    * "deduplicating training data" line of work: document-level dedup
+    * misses a license header or lyrics block pasted into millions of
+    * otherwise-distinct pages; span-level removal excises exactly the
+    * repeated text. Line dedup ([[dedupLinesGlobal]]) is the
+    * line-granular special case.
+    *
+    * Tokens are the non-empty `\s+`-separated runs; output text is
+    * therefore whitespace-normalized (single spaces). Returns one row
+    * per input document: `(idCol, n_tokens, n_removed, text)`.
+    *
+    * 100 TB plan shape: shingling is a narrow map; the duplicated-key
+    * test (`min(id) != max(id)`) and the owner election
+    * (`min(struct(id, start))`) are ONE map-side-combined aggregate on
+    * the shingle key — deliberately NOT a per-key window, so a
+    * boilerplate span repeated in millions of documents partial-
+    * aggregates on the mappers instead of sorting one giant key
+    * partition. Non-owner occurrences then rejoin the shingle stream
+    * (hash join on the same key), explode to at most
+    * `w × duplicated-occurrences` covered positions, and one anti-join
+    * plus a per-document rebuild (bounded by document size) finish the
+    * job. Nothing in the plan holds more than one document's tokens in
+    * a single group. */
+  def exciseRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 5): DataFrame = {
+    require(w >= 2, s"span width must be at least 2 tokens, got $w")
+    val Sep = "\u001f" // unit separator — cannot occur inside a \S+ token of normal text
+    val toks = df.select(col(idCol),
+      filter(split(coalesce(col(textCol), lit("")), "\\s+"), t => t =!= "")
+        .as("__ts"))
+      .withColumn("__n", size(col("__ts")).cast("long"))
+    // narrow shingle map: (id, start, key) for start = 1 .. n-w+1
+    val sh = toks
+      .select(col(idCol), explode(
+        when(col("__n") >= w,
+          transform(sequence(lit(1), (col("__n") - (w - 1)).cast("int")), i =>
+            struct(i.cast("long").as("__start"),
+              concat_ws(Sep, slice(col("__ts"), i, lit(w))).as("__key"))))
+          .otherwise(array().cast("array<struct<__start:bigint,__key:string>>")))
+        .as("__s"))
+      .select(col(idCol), col("__s.__start").as("__start"), col("__s.__key").as("__key"))
+    // skew-immune: duplicated-test + owner election as one combinable agg
+    val owners = sh.groupBy(col("__key"))
+      .agg(min(col(idCol)).as("__mind"), max(col(idCol)).as("__maxd"),
+        min(struct(col(idCol).as("__oid"), col("__start").as("__ostart"))).as("__owner"))
+      .filter(col("__mind") =!= col("__maxd"))
+      .select(col("__key"), col("__owner"))
+    val nonOwner = sh.join(owners, Seq("__key"))
+      .filter(struct(col(idCol).as("__oid"), col("__start").as("__ostart")) =!= col("__owner"))
+    val covered = nonOwner
+      .select(col(idCol),
+        explode(sequence(col("__start"), col("__start") + (w - 1))).as("__p"))
+      .distinct()
+    val pos = toks
+      .select(col(idCol), posexplode(col("__ts")).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("__p"), col("__tok"))
+    val rebuilt = pos.join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nkept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__p"), col("__tok")))),
+            x => x.getField("__tok"))).as("__text"))
+    toks.select(col(idCol), col("__n"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("__n").as("n_tokens"),
+        (col("__n") - coalesce(col("__nkept"), lit(0L))).as("n_removed"),
+        coalesce(col("__text"), lit("")).as("text"))
+  }
+
   def wordSetJaccard(a: Column, b: Column): Column = {
     val sa = array_distinct(split(trim(a), "\\s+"))
     val sb = array_distinct(split(trim(b), "\\s+"))

@@ -71,6 +71,23 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Span-level dedup: 5-token shingles duplicated across documents
+    // are excised everywhere but their globally-first occurrence. A
+    // boilerplate sentence is planted on every doc_id % 4 == 0 row, so
+    // ground truth exists at every scale factor; any NATURAL cross-doc
+    // spans are computed identically by both engines (the semantics are
+    // exact, not probabilistic). ─────────────────────────────────────────
+    "text_dedup_spans" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = d.withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"),
+            lit(" subscribe to our newsletter for daily updates today")))
+          .otherwise(col("text")))
+      Dedup.exciseRepeatedSpans(corpus, "doc_id", "text", w = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Near-dup: exact word-set Jaccard on planted pairs ────────────────
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val all = withPlantedNearDups(s, dir)
@@ -861,6 +878,51 @@ object TrainingQueries {
         |FROM firsts f LEFT JOIN seen s ON f.content_hash = s.h
         |WHERE s.h IS NULL
         |ORDER BY f.doc_id""".stripMargin,
+
+    "text_dedup_spans" ->
+      """WITH corpus AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0
+        |   THEN text || ' subscribe to our newsletter for daily updates today'
+        |   ELSE text END AS text
+        | FROM documents),
+        |toks AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+        | FROM corpus),
+        |pos AS (
+        | SELECT doc_id, unnest(range(1, len(ts) + 1)) AS p, unnest(ts) AS tok
+        | FROM toks),
+        |sh AS (
+        | SELECT doc_id, p AS start,
+        |  tok || chr(31) || lead(tok, 1) OVER w || chr(31) || lead(tok, 2) OVER w
+        |      || chr(31) || lead(tok, 3) OVER w || chr(31) || lead(tok, 4) OVER w AS key
+        | FROM pos
+        | WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        | QUALIFY lead(tok, 4) OVER w IS NOT NULL),
+        |occ AS (
+        | SELECT doc_id, start,
+        |  min(doc_id) OVER (PARTITION BY key) AS mind,
+        |  max(doc_id) OVER (PARTITION BY key) AS maxd,
+        |  row_number() OVER (PARTITION BY key ORDER BY doc_id, start) AS rn
+        | FROM sh),
+        |covered AS (
+        | SELECT DISTINCT doc_id, start + off AS p
+        | FROM (SELECT doc_id, start FROM occ WHERE mind <> maxd AND rn > 1)
+        | CROSS JOIN (SELECT unnest(range(0, 5)) AS off)),
+        |kept AS (
+        | SELECT pos.doc_id, pos.p, pos.tok
+        | FROM pos LEFT JOIN covered c ON pos.doc_id = c.doc_id AND pos.p = c.p
+        | WHERE c.p IS NULL),
+        |reb AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(tok, ' ' ORDER BY p) AS text
+        | FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+        | CAST(len(t.ts) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+        | coalesce(r.text, '') AS text
+        |FROM toks t LEFT JOIN reb r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """SELECT doc_id,

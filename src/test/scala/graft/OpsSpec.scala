@@ -129,6 +129,43 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 4, "every input document comes back")
   }
 
+  test("dedup: repeated spans are excised everywhere but the globally-first occurrence") {
+    val s = spark
+    import s.implicits._
+    val shared = "one two three four five" // exactly w=5 tokens
+    val docs = Seq(
+      (1L, s"intro words here $shared closing remarks now"), // owner: keeps the span
+      (2L, s"different start $shared different end"),        // non-owner: span excised
+      (3L, s"$shared"),                                      // nothing but the span → ""
+      (4L, "short doc"),                                     // < w tokens: untouched
+      (5L, "self self self self self self self self self self")) // within-ONE-doc repeat only
+      .toDF("doc_id", "text")
+    val out = Dedup.exciseRepeatedSpans(docs, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((11L, 0L, s"intro words here $shared closing remarks now")))
+    assert(out(2L)._3 == "different start different end", "non-owner loses exactly the span")
+    assert(out(2L)._2 == 5L)
+    assert(out(3L) == ((5L, 5L, "")), "a document of pure duplicated span reduces to empty")
+    assert(out(4L) == ((2L, 0L, "short doc")))
+    assert(out(5L)._2 == 0L, "a span repeated only within one document is NOT excised")
+    assert(out.size == 5)
+  }
+
+  test("dedup: overlapping duplicated spans merge their covered positions") {
+    val s = spark
+    import s.implicits._
+    // docs 1 and 2 share a 7-token run → three overlapping 5-shingles are
+    // duplicated; coverage in doc 2 must merge to the 7 tokens, not 15
+    val run = "a b c d e f g"
+    val docs = Seq(
+      (1L, s"owner text $run and more"),
+      (2L, s"copycat $run trailing")).toDF("doc_id", "text")
+    val out = Dedup.exciseRepeatedSpans(docs, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((0L, s"owner text $run and more")))
+    assert(out(2L) == ((7L, "copycat trailing")))
+  }
+
   test("dedup: exact dedup counts planted copies (identical text collapses)") {
     val d = docs.select("doc_id", "text")
     val dup = d.unionByName(

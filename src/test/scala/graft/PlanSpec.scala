@@ -170,6 +170,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"global window\n$p")
   }
 
+  test("span dedup: owner election is a map-side-combined agg, no per-key window, no cartesian") {
+    val p = plan("text_dedup_spans")
+    // the duplicated-key test + owner election must partial-aggregate on
+    // the mappers (skew immunity for hot boilerplate spans) …
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      "owner election should partially aggregate map-side")
+    // … and never fall back to a pairwise or single-partition shape
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window [")
+      || !p.contains("Window [, "), "no empty-partition global window")
+    assert(!p.contains("SinglePartition"), "no single-partition exchange")
+  }
+
   test("runtime bloom filter: Spark injects might_contain into the big side of a selective shuffle join") {
     // At 100 TB the optimizer's runtime bloom filter prunes the fact-side
     // shuffle of a selective dim join. The size thresholds that gate the
