@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -136,6 +137,52 @@ object TextAnalysis {
       when(!col("predicted_lang").isin(targetLangs: _*), lit("wrong_lang")))
     scored.withColumn("fail_reasons", reasons)
       .withColumn("keep", col("fail_reasons") === "")
+  }
+
+  /** Top-`k` most characteristic terms per document by tf-idf, scored
+    * with the LOG-FREE variant `score = tf · (N+1)/(df+1)` — monotone in
+    * the same quantities as `tf · idf` but computed entirely with
+    * integer arithmetic and one IEEE division, which are CORRECTLY
+    * ROUNDED and therefore bitwise identical across engines. (`ln` is
+    * only 1-ulp accurate; with millions of near-tied scores per corpus
+    * a log-based score WILL eventually flip a rank between engines —
+    * see the `text_quality_logistic` threshold note.) Terms are the
+    * non-empty whitespace tokens; ties break ascending by term.
+    *
+    * Returns `(idCol, rank, term, score)` with score rounded to 6 dp,
+    * `rank` 1-based.
+    *
+    * 100 TB: tf is one map-side-combined shuffle on (doc, term); df is
+    * a second, much smaller one on term (input already one row per
+    * (doc, term)). The df join back is keyed on term — Zipf-skewed by
+    * construction (a stopword's key carries one row per document it
+    * appears in) — which is exactly the shape AQE skew-join splitting
+    * handles; the alternative (broadcast df) dies at 100 TB vocabulary
+    * size, so the shuffle join is the right default. The per-document
+    * rank-≤-k filter plans as a partial WindowGroupLimit below the
+    * final shuffle (plan-asserted), so the full scored stream is
+    * top-k-pruned map-side. */
+  def tfidfTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    val nDocs = df.count() // tiny eager scalar, inlined as a literal
+    val toks = df.select(col(idCol),
+      explode(filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+        t => t =!= "")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", (col("tf") * lit(nDocs + 1)) / (col("df") + 1))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"),
+        round(col("score"), 6).as("score"))
   }
 
   /** Document fingerprint: md5 over whitespace-normalized, lowercased text

@@ -634,6 +634,16 @@ object TrainingQueries {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(20)),
 
+    // ── Text: per-document top-3 characteristic terms by a log-free
+    // tf-idf (integer ops + one IEEE division → bitwise cross-engine
+    // score parity; a ln-based idf can flip near-tied RANKS between
+    // engines' 1-ulp libm implementations). ─────────────────────────────
+    "text_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(
+          Tables.documents(s, dir).select("doc_id", "text"),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // ── Text: repetition ratios (Gopher-style quality signal) ───────────
     "text_repetition" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1297,6 +1307,27 @@ object TrainingQueries {
         |      FROM documents) t
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "text_tfidf_topk" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+        | FROM documents),
+        |tf AS (
+        | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        | FROM toks GROUP BY 1, 2),
+        |dfreq AS (
+        | SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |ranked AS (
+        | SELECT tf.doc_id, tf.term,
+        |  tf.tf * (n.n + 1) / (dfreq.df + 1) AS score,
+        |  row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf * (n.n + 1) / (dfreq.df + 1) DESC, tf.term) AS rank
+        | FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, rank, term, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

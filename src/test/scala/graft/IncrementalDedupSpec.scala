@@ -88,6 +88,39 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(sliceBuckets.head == s"__bucket=${commit.bucketsWritten.head}")
   }
 
+  test("streaming ingest: foreachBatch dedup drops cross-batch dups; a replayed batch is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = tmp()
+    val t = state(root, buckets = 8)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.SortedSet.empty[Long]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.incrementalExact(t, batch, "doc_id", "text")
+          .select("doc_id").collect() // driver collect is TEST evidence only
+          .foreach(r => kept.synchronized { kept += r.getLong(0) })
+      }
+      .start()
+    try {
+      in.addData(1L -> "alpha", 2L -> "beta"); q.processAllAvailable()
+      in.addData(3L -> "alpha", 4L -> "gamma"); q.processAllAvailable() // 3 seen
+      in.addData(5L -> "gamma", 6L -> "gamma"); q.processAllAvailable() // both seen
+      assert(kept.toSeq == Seq(1L, 2L, 4L))
+      assert(t.read().get.count() == 3L)
+    } finally q.stop()
+    // crash-replay at the state layer: re-running an already-committed
+    // micro-batch finds every hash already in the seen-set — a no-op,
+    // so at-least-once delivery cannot double-ingest
+    val replay = Dedup.incrementalExact(
+      t, docs(3L -> "alpha", 4L -> "gamma"), "doc_id", "text")
+    assert(replay.count() == 0L)
+    assert(t.read().get.count() == 3L)
+  }
+
   test("readForKeys returns the empty shape for an unseeded table") {
     val t = state(tmp())
     val probe = docs(1L -> "x")

@@ -170,6 +170,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"global window\n$p")
   }
 
+  test("tfidf: per-doc rank bound pushes a partial WindowGroupLimit; counts combine map-side") {
+    val p = plan("text_tfidf_topk")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"tfidf top-k rank not partially limited before the exchange\n$p")
+    assert(p.contains("partial_count"), "tf/df counts should partially aggregate")
+  }
+
   test("span dedup: owner election is a map-side-combined agg, no per-key window, no cartesian") {
     val p = plan("text_dedup_spans")
     // the duplicated-key test + owner election must partial-aggregate on
