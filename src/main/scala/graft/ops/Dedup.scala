@@ -45,25 +45,7 @@ object Dedup {
       shingleLen: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // Null text must not reach the banding: a null signature slices to
-    // null band inputs, and xxhash64(null) is a CONSTANT — every
-    // null-text row would share every bucket (quadratic self-join, all
-    // but one null row "deduped"). Null-text rows simply have no pairs.
-    val sig = Balance.widen(df.filter(col(textCol).isNotNull))
-      .select(col(idCol).as("__id"),
-        minhashSignature(col(textCol), shingleLen, numHashes).as("__sig"))
-
-    val banded = sig.select(
-      col("__id"), col("__sig"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(array_join(
-            transform(slice(col("__sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
-              _.cast("string")), ","))
-            .as("band_hash")))).as("__b"))
-      .select(col("__id"), col("__sig"),
-        col("__b.band").as("band"), col("__b.band_hash").as("band_hash"))
+    val banded = bandedSignatures(df, idCol, textCol, shingleLen, bands, rowsPerBand)
 
     val l = banded.select(col("band"), col("band_hash"),
       col("__id").as("a_id"), col("__sig").as("a_sig"))
@@ -76,6 +58,36 @@ object Dedup {
         round(call_function("graft_sig_agree", col("a_sig"), col("b_sig")), 6)
           .as("est_jaccard"))
       .distinct()
+  }
+
+  /** `(__id, __sig, band, band_hash)` banding of the non-null-text rows
+    * — the shared candidate-generation core of [[minhashLshPairs]] and
+    * the persistent LSH index ([[indexNearDups]] /
+    * [[incrementalNearDups]]). Null text must not reach the banding: a
+    * null signature slices to null band inputs, and xxhash64(null) is a
+    * CONSTANT — every null-text row would share every bucket (quadratic
+    * self-join). Null-text rows simply have no pairs. */
+  private[graft] def bandedSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = Balance.widen(df.filter(col(textCol).isNotNull))
+      .select(col(idCol).as("__id"),
+        minhashSignature(col(textCol), shingleLen, numHashes).as("__sig"))
+    sig.select(
+      col("__id"), col("__sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(array_join(
+            transform(slice(col("__sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
+              _.cast("string")), ","))
+            .as("band_hash")))).as("__b"))
+      .select(col("__id"), col("__sig"),
+        col("__b.band").as("band"), col("__b.band_hash").as("band_hash"))
   }
 
   /** Distinct `n`-token shingle set of a text column — EXACTLY the
@@ -500,6 +512,101 @@ object Dedup {
       kept.select(col("content_hash"), col(idCol).cast("long").as("first_id")),
       keys = Seq("content_hash"))
     kept
+  }
+
+  /** Build (or extend) a persistent MinHash-LSH band index over `df`:
+    * one `(band, band_hash, doc_id)` row per document per band, stored
+    * in a [[graft.pipeline.BucketedStateTable]] keyed on all three
+    * columns but BUCKETED on `(band, band_hash)` — so a later probe
+    * that knows only its band hashes ([[incrementalNearDups]]) reads
+    * only the matching buckets. Construct the table as:
+    * {{{
+    * new BucketedStateTable(spark, path,
+    *   keyCols = Seq("band", "band_hash", "doc_id"),
+    *   bucketCols = Seq("band", "band_hash"))
+    * }}}
+    * Banding parameters must match between indexing and probing (they
+    * define the hash space; the table cannot check this for you). */
+  def indexNearDups(
+      index: graft.pipeline.BucketedStateTable,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): Unit =
+    index.merge(
+      bandedSignatures(df, idCol, textCol, shingleLen, bands, rowsPerBand)
+        .select(col("band"), col("band_hash"), col("__id").as("doc_id")),
+      keys = Seq("band", "band_hash", "doc_id"))
+
+  /** Incremental NEAR-dup detection: find every verified ≥-`minJaccard`
+    * pair that involves at least one document of `batch`, against a
+    * corpus whose LSH band index was built incrementally by
+    * [[indexNearDups]] — then add the batch to the index. This is the
+    * production shape: ingesting a day's crawl must not re-LSH the
+    * accumulated 100 TB corpus.
+    *
+    * `corpus` is the doc store for verification text lookup (ids must
+    * be unique across corpus ∪ batch; a batch row REUSING a corpus id
+    * is treated as the same document and never paired with itself).
+    * Returns `(a_id, b_id, jaccard)` with a_id < b_id, jaccard the
+    * EXACT shingle Jaccard (same two-stage candidates→verify shape as
+    * [[verifiedNearDupPairs]]).
+    *
+    * 100 TB: the batch is banded (narrow kernel map) and the index
+    * probed via a bucket-pruned read — only the state buckets holding
+    * the batch's `(band, band_hash)` values are listed and scanned,
+    * never the corpus-sized index. Candidates are batch-proportional;
+    * the text lookup joins the tiny candidate list to the doc store.
+    * Replaying an already-ingested batch re-emits the same pairs and
+    * leaves the index unchanged (merge is keyed — at-least-once safe).
+    */
+  def incrementalNearDups(
+      index: graft.pipeline.BucketedStateTable,
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.8,
+      shingleLen: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val bNew = bandedSignatures(batch, idCol, textCol, shingleLen, bands, rowsPerBand)
+      .select(col("band"), col("band_hash"), col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    bNew.count()
+    val like = bNew.select(col("band"), col("band_hash"),
+      col("__id").as("doc_id")).limit(0)
+    // pinned eagerly to the CURRENT commit's files — the merge below
+    // cannot make the probe see the batch's own rows
+    val slice = index.readForKeys(bNew.select(col("band"), col("band_hash")), like)
+    val cross = bNew.select(col("band"), col("band_hash"), col("__id").as("__nid"))
+      .join(slice.select(col("band"), col("band_hash"), col("doc_id").as("__oid")),
+        Seq("band", "band_hash"))
+      .filter(col("__oid") =!= col("__nid"))
+      .select(least(col("__oid"), col("__nid")).as("a_id"),
+        greatest(col("__oid"), col("__nid")).as("b_id"))
+    val intra = bNew.select(col("band"), col("band_hash"), col("__id").as("a_id"))
+      .join(bNew.select(col("band"), col("band_hash"), col("__id").as("b_id")),
+        Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val cand = cross.unionByName(intra).distinct()
+    val txt = corpus.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__tid"), col(textCol).as("__t"))
+    val pairs = cand
+      .join(txt.select(col("__tid").as("a_id"), col("__t").as("__at")), "a_id")
+      .join(txt.select(col("__tid").as("b_id"), col("__t").as("__bt")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        call_function("graft_shingle_jaccard",
+          col("__at"), col("__bt"), lit(shingleLen)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    index.merge(bNew.select(col("band"), col("band_hash"), col("__id").as("doc_id")),
+      keys = Seq("band", "band_hash", "doc_id"))
+    pairs
   }
 
   /** Embedding near-duplicates: cosine ≥ threshold among LSH-bucketed

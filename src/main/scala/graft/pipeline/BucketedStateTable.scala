@@ -47,10 +47,21 @@ class BucketedStateTable(
     keyCols: Seq[String],
     numBuckets: Int = 64,
     keepCommits: Int = 3,
-    retentionFloorMillis: Long = 10 * 60 * 1000L) extends StateTable {
+    retentionFloorMillis: Long = 10 * 60 * 1000L,
+    bucketCols: Seq[String] = Nil) extends StateTable {
 
   require(keyCols.nonEmpty, "BucketedStateTable needs at least one key column")
   require(numBuckets > 0, "numBuckets must be positive")
+  require(bucketCols.forall(keyCols.contains),
+    s"bucketCols $bucketCols must be a subset of keyCols $keyCols")
+
+  /** Columns rows are BUCKETED by — defaults to the full key. A proper
+    * subset makes the table an index: rows stay unique per `keyCols`
+    * but co-locate by the prefix, so a probe that knows only the prefix
+    * (e.g. an LSH (band, band_hash) lookup that cannot know which
+    * doc_ids it will find) is still bucket-pruned via [[readForKeys]]. */
+  private val effBucketCols: Seq[String] =
+    if (bucketCols.isEmpty) keyCols else bucketCols
 
   /** What one commit touched — the spec's evidence that mutations are
     * bucket-pruned. */
@@ -70,7 +81,7 @@ class BucketedStateTable(
     "bucketed:" + fs.makeQualified(root).toUri.toString
 
   private def bucketOf =
-    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
+    pmod(xxhash64(effBucketCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
 
   // ---- manifest -----------------------------------------------------
   // Plain-text manifest (`commit=<id>` header then `<bucket>=<commit>`
@@ -108,6 +119,13 @@ class BucketedStateTable(
           s"was constructed with numBuckets=$numBuckets — re-bucketing " +
           "requires a full rewrite into a new table")
     }
+    // the bucketing COLUMNS equally define the layout
+    kv.get("bucketCols").foreach { bc =>
+      require(bc == effBucketCols.mkString(","),
+        s"table at $path is bucketed by [$bc]; this instance buckets by " +
+          s"[${effBucketCols.mkString(",")}] — re-bucketing requires a " +
+          "full rewrite into a new table")
+    }
     Manifest(
       kv("commit").toLong,
       lines.collect {
@@ -134,6 +152,7 @@ class BucketedStateTable(
   private def writeManifest(m: Manifest, basedOn: Long): Unit = {
     fs.mkdirs(commitsDir)
     val body = (s"commit=${m.commitId}\nnumBuckets=$numBuckets\n" +
+      s"bucketCols=${effBucketCols.mkString(",")}\n" +
       m.buckets.toSeq.sorted.map { case (b, c) => s"$b=$c\n" }.mkString)
     val tmp = new Path(commitsDir, f".c${m.commitId}%08d.txt.tmp")
     val out = fs.create(tmp, true)
@@ -196,10 +215,11 @@ class BucketedStateTable(
   private def readBucketsOrEmpty(buckets: Seq[Int], like: DataFrame): DataFrame =
     currentManifest().flatMap(readFrom(_, buckets)).getOrElse(like.limit(0))
 
-  /** Current rows of ONLY the buckets that `probe`'s key values hash
-    * into — the state slice an incremental anti-join needs. `probe`
-    * must carry the table's key columns; `like` shapes the empty
-    * result. A small batch probed against 100 TB of seen-state reads a
+  /** Current rows of ONLY the buckets that `probe`'s bucket-column
+    * values hash into — the state slice an incremental anti-join or
+    * index lookup needs. `probe` must carry the table's BUCKET columns
+    * (the full key when `bucketCols` was not narrowed); `like` shapes
+    * the empty result. A small batch probed against 100 TB of seen-state reads a
     * few bucket directories, never the table
     * ([[graft.ops.Dedup.incrementalExact]] is the canonical caller).
     * The returned plan is pinned to the resolved commit's files, so a

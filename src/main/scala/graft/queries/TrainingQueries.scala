@@ -111,6 +111,31 @@ object TrainingQueries {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))),
 
+    // ── Incremental near-dup: the planted batch probed against a
+    // PERSISTENT LSH band index of the original corpus (built, then
+    // probed bucket-pruned, inside the oracle-checked query). The
+    // verified output is every exact-Jaccard ≥ 0.8 pair INVOLVING the
+    // batch — which the DuckDB oracle enumerates exhaustively; recall
+    // of the banding is the same deterministic-on-this-corpus argument
+    // as dedup_minhash_lsh. ─────────────────────────────────────────────
+    "dedup_incr_near" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val batch = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-incrnd-").toString
+      val index = new graft.pipeline.BucketedStateTable(
+        s, s"$root/index",
+        keyCols = Seq("band", "band_hash", "doc_id"), numBuckets = 32,
+        bucketCols = Seq("band", "band_hash"))
+      Dedup.indexNearDups(index, d, "doc_id", "text")
+      Dedup.incrementalNearDups(index, d, batch, "doc_id", "text",
+          minJaccard = 0.8)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ── Near-dup: connected components over the VERIFIED pair set; the
     // oracle recomputes the same components via a recursive-CTE
     // transitive closure in DuckDB. ──────────────────────────────────────
@@ -759,6 +784,25 @@ object TrainingQueries {
         |  len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS j
         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Same exhaustive enumeration, restricted to pairs involving the
+    // incrementally-ingested batch (ids >= 100000).
+    "dedup_incr_near" ->
+      """WITH all_docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM all_docs),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+        | FROM tk),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS j
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, round(j, 6) AS jaccard FROM p
+        |WHERE j >= 0.8 AND b_id >= 100000
         |ORDER BY a_id, b_id""".stripMargin,
 
     // Transitive closure (recursive CTE) over the same verified pair set

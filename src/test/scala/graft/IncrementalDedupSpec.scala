@@ -121,6 +121,72 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(t.read().get.count() == 3L)
   }
 
+  test("near-dup index: probe is bucket-pruned, replay re-emits identical pairs, index stable") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val index = new BucketedStateTable(spark, s"$root/index",
+      keyCols = Seq("band", "band_hash", "doc_id"), numBuckets = 32,
+      bucketCols = Seq("band", "band_hash"), retentionFloorMillis = 0L)
+    val corpus = Tables.documents(spark, sf0001).select("doc_id", "text")
+    Dedup.indexNearDups(index, corpus, "doc_id", "text")
+    val indexed = index.read().get.count()
+    assert(indexed > 0L)
+
+    // batch: one near-dup of doc 0 plus one unrelated fresh doc
+    val d0 = corpus.filter(col("doc_id") === 0L).select("text")
+      .collect().head.getString(0)
+    val batch = docs(100000L -> (d0 + " zz yy xx"),
+      100001L -> "completely unrelated fresh content never seen before")
+    val pairs = Dedup.incrementalNearDups(index, corpus, batch,
+      "doc_id", "text", minJaccard = 0.8)
+    val got = pairs.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 100000L)), s"planted near-dup not found: $got")
+    assert(!got.exists(p => p._1 == 100001L || p._2 == 100001L))
+
+    // probe read a strict subset of buckets (2 docs × 16 bands = ≤32
+    // band keys, but the seeded index populates ~all 32 buckets from
+    // hundreds of docs — the probe must NOT read them all)… evidence:
+    val banded = Dedup.bandedSignatures(batch, "doc_id", "text", 3, 16, 4)
+    val probe = banded.select(col("band"), col("band_hash"))
+    val slice = index.readForKeys(probe, index.read().get.limit(0))
+    val bucketsRead = slice.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("__bucket="))).distinct
+    assert(bucketsRead.length < 32, s"probe read ${bucketsRead.length}/32 buckets")
+
+    // replay: same pairs, index row count unchanged
+    val afterFirst = index.read().get.count()
+    val replay = Dedup.incrementalNearDups(index, corpus, batch,
+      "doc_id", "text", minJaccard = 0.8)
+    val got2 = replay.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == got)
+    assert(index.read().get.count() == afterFirst)
+  }
+
+  test("bucketCols narrower than the key define the layout and are guarded") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/ix",
+      keyCols = Seq("k1", "k2"), numBuckets = 8, bucketCols = Seq("k1"))
+    t.merge(Seq(("a", 1L, "x"), ("a", 2L, "y")).toDF("k1", "k2", "v"),
+      keys = Seq("k1", "k2"))
+    // two rows share bucket col k1 but are distinct keys — both live
+    assert(t.read().get.count() == 2L)
+    // probing by k1 alone finds both
+    val probe = Seq(Tuple1("a")).toDF("k1")
+    assert(t.readForKeys(probe, t.read().get.limit(0)).count() == 2L)
+    // a differently-bucketed instance over the same path is refused
+    val wrong = new BucketedStateTable(spark, s"$dir/ix",
+      keyCols = Seq("k1", "k2"), numBuckets = 8)
+    val ex = intercept[IllegalArgumentException] {
+      wrong.merge(Seq(("b", 3L, "z")).toDF("k1", "k2", "v"), keys = Seq("k1", "k2"))
+    }
+    assert(ex.getMessage.contains("bucketed by"))
+  }
+
   test("readForKeys returns the empty shape for an unseeded table") {
     val t = state(tmp())
     val probe = docs(1L -> "x")
