@@ -36,4 +36,24 @@ object Profile {
       .select(col("column_name"), col("n_rows"), col("n_nonnull"),
         col("n_distinct"))
   }
+
+  /** Top-`k` heaviest values of a key column with their share of all
+    * rows — the diagnosis you run BEFORE deciding to salt a join or
+    * aggregate on that key ([[graft.operators.Scale.saltedJoin]]): a
+    * top key holding >1/partitions of the rows is the straggler.
+    *
+    * 100 TB: one map-side-combined count per key plus a single-row
+    * total broadcast into the share division; the top-k reduces via
+    * TakeOrderedAndProject (per-partition heads + driver merge), never
+    * a global sort. Keys render as strings so the profile is
+    * column-type-agnostic. */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("n"),
+        round(col("n") / col("__total"), 6).as("share"))
+      .orderBy(col("n").desc, col("key")).limit(k)
+  }
 }

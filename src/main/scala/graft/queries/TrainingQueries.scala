@@ -437,6 +437,25 @@ object TrainingQueries {
           sum(round(col("value") * 100).cast("long")).as("value_cents"))
         .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
 
+    // ── Analytics surface: explicit GROUPING SETS — disjoint
+    // single-column sets plus the grand total, a shape neither cube nor
+    // rollup expresses. ──────────────────────────────────────────────────
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .createOrReplaceTempView("events_gs")
+      s.sql("""SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+              |  sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+              |FROM events_gs
+              |GROUP BY GROUPING SETS ((event_type), (day), ())
+              |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST"""
+        .stripMargin)
+    }),
+
+    // ── Profiling: key-skew diagnosis (run BEFORE salting a join) ───────
+    "profile_key_skew" -> ((s, dir) =>
+      graft.ops.Profile.keySkew(Tables.events(s, dir), "user_id", k = 10)),
+
     // ── Analytics surface: rank-family windows ───────────────────────────
     "window_ranks" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1172,6 +1191,20 @@ object TrainingQueries {
         | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY CUBE (event_type, day)
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY GROUPING SETS ((event_type), (day), ())
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "profile_key_skew" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(count(*) / (SELECT count(*) FROM events), 6) AS share
+        |FROM events GROUP BY 1
+        |ORDER BY n DESC, key LIMIT 10""".stripMargin,
 
     "window_ranks" ->
       """SELECT event_id, event_type,
