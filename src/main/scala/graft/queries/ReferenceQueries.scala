@@ -307,6 +307,16 @@ object ReferenceQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ── Engine-completeness: set intersection ────────────────────────────
+    "set_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "event_type")
+        .intersect(ev.filter(col("value") >= 50)
+          .select("event_id", "user_id", "event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── Engine-completeness: semi join (queue ∩ referenced keys) ─────────
     "join_semi" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -589,6 +599,12 @@ object ReferenceQueries {
     "set_except" ->
       """SELECT event_id, user_id, event_type FROM events
         |EXCEPT
+        |SELECT event_id, user_id, event_type FROM events WHERE value >= 50
+        |ORDER BY event_id""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+        |INTERSECT
         |SELECT event_id, user_id, event_type FROM events WHERE value >= 50
         |ORDER BY event_id""".stripMargin,
 

@@ -688,6 +688,18 @@ object TrainingQueries {
           "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // ── Text: exact edit distance (fuzzy matching; integer DP — same
+    // algorithm both engines, no float parity risk) ─────────────────────
+    "text_levenshtein" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          levenshtein(
+            substring(col("text"), 1, 80),
+            substring(concat(lit("typo "), col("text")), 1, 80))
+            .cast("long").as("edit_distance"))
+        .orderBy(col("doc_id"))),
+
     // ── Text: repetition ratios (Gopher-style quality signal) ───────────
     "text_repetition" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1405,6 +1417,13 @@ object TrainingQueries {
         |SELECT doc_id, rank, term, round(score, 6) AS score
         |FROM ranked WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "text_levenshtein" ->
+      """SELECT doc_id,
+        | CAST(levenshtein(substr(text, 1, 80),
+        |   substr('typo ' || text, 1, 80)) AS BIGINT) AS edit_distance
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
