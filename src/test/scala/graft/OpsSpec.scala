@@ -166,6 +166,59 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == ((7L, "copycat trailing")))
   }
 
+  test("property: span excision matches a sequential reference implementation") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val w = 3
+    // tiny alphabet → natural cross-doc spans; "" and " " stress the
+    // tokenizer's empty-segment filtering
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "", " ")
+    val textGen = Gen.listOfN(10, wordGen).map(_.mkString(" "))
+    val texts = (0 until 60).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(1000L + i)).map(t => (i.toLong, t)))
+
+    // sequential reference: same semantics, no Spark
+    val toks = texts.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    case class Occ(id: Long, start: Int)
+    val occs = scala.collection.mutable.Map.empty[String, Vector[Occ]]
+    for ((id, ts) <- toks.toSeq.sortBy(_._1); st <- 1 to ts.length - w + 1) {
+      val key = ts.slice(st - 1, st - 1 + w).mkString("")
+      occs(key) = occs.getOrElse(key, Vector()) :+ Occ(id, st)
+    }
+    val covered = scala.collection.mutable.Set.empty[(Long, Int)]
+    for ((_, os) <- occs if os.map(_.id).distinct.size >= 2) {
+      val owner = os.minBy(o => (o.id, o.start))
+      for (o <- os if o != owner; p <- o.start until o.start + w)
+        covered += ((o.id, p))
+    }
+    val expected = texts.map { case (id, _) =>
+      val ts = toks(id)
+      val kept = ts.zipWithIndex.collect {
+        case (t, i) if !covered((id, i + 1)) => t }
+      id -> ((ts.length.toLong, (ts.length - kept.length).toLong,
+        kept.mkString(" ")))
+    }.toMap
+
+    val got = Dedup.exciseRepeatedSpans(
+        texts.toDF("doc_id", "text"), "doc_id", "text", w)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, actual) =>
+      assert(actual == expected(id), s"doc $id: got $actual, want ${expected(id)}")
+      // conservation: kept-token count equals n_tokens - n_removed
+      val keptCount =
+        if (actual._3.isEmpty) 0 else actual._3.split(" ").length
+      assert(keptCount == actual._1 - actual._2)
+    }
+    // sanity: the generator actually produced cross-doc duplicated spans
+    assert(covered.nonEmpty, "generator produced no duplicated spans — test is vacuous")
+  }
+
   test("dedup: exact dedup counts planted copies (identical text collapses)") {
     val d = docs.select("doc_id", "text")
     val dup = d.unionByName(
