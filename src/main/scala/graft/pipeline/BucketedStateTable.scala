@@ -207,6 +207,26 @@ class BucketedStateTable(
   override def read(): Option[DataFrame] =
     currentManifest().flatMap(m => readFrom(m, m.buckets.keys.toSeq))
 
+  /** Ids of the currently-retained commits, oldest → newest — the
+    * snapshots [[readAt]] can still resolve ([[prune]] keeps
+    * `keepCommits` manifests plus whatever the retention floor
+    * shields). */
+  def commits(): Seq[Long] = manifestFiles().map(_._1)
+
+  /** Time-travel read: the whole table AS OF `commitId`, resolved from
+    * that commit's manifest exactly as a contemporary reader would have
+    * — the debugging/audit affordance a transactional commit log buys.
+    * Throws if the commit has been pruned; `None` for a commit that
+    * published an empty table. */
+  def readAt(commitId: Long): Option[DataFrame] = {
+    val p = manifestFiles().find(_._1 == commitId).map(_._2)
+      .getOrElse(throw new NoSuchElementException(
+        s"commit $commitId is not retained at $path " +
+          s"(retained: ${commits().mkString(", ")})"))
+    val m = readManifest(p)
+    readFrom(m, m.buckets.keys.toSeq)
+  }
+
   override def readOrEmpty(like: DataFrame): DataFrame =
     read().getOrElse(like.limit(0))
 

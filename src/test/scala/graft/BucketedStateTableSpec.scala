@@ -177,6 +177,25 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(ex.getMessage.contains("numBuckets"))
   }
 
+  test("time travel: readAt resolves each retained commit's snapshot; pruned commits throw") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
+    t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+    t.merge(Seq(("a", 2L)).toDF("k", "v"), keys = Seq("k"))
+    t.merge(Seq(("b", 9L)).toDF("k", "v"), keys = Seq("k"))
+    val cs = t.commits()
+    assert(cs == cs.sorted && cs.size == 3)
+    def snap(c: Long) = t.readAt(c).get.as[(String, Long)].collect().toSet
+    assert(snap(cs.head) == Set(("a", 1L)), "first commit's world is intact")
+    assert(snap(cs(1)) == Set(("a", 2L)))
+    assert(snap(cs.last) == Set(("a", 2L), ("b", 9L)))
+    assert(t.read().get.count() == 2L)
+    intercept[NoSuchElementException] { t.readAt(cs.last + 100) }
+  }
+
   test("cross-process race: a commit landing in the publish window is detected, never silently lost") {
     val s = spark
     import s.implicits._
