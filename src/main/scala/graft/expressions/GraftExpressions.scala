@@ -164,6 +164,61 @@ object Kernels {
     else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
   }
 
+  /** Product-quantization encode: argmin-L2 code per contiguous
+    * subvector against a flattened `[m][k][dim/m]` codebook. Strictly-
+    * smaller comparison ⇒ the LOWEST code wins distance ties (the same
+    * deterministic tie-break the SQL oracle's `ORDER BY d2, code`
+    * expresses). Distances accumulate dimension-ascending, so any
+    * engine replaying the same IEEE ops gets identical argmins. */
+  def pqEncode(v: ArrayData, code: Int, cb: Array[Double], m: Int, k: Int): ArrayData = {
+    val dim = v.numElements()
+    val sub = dim / m
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var ki = 0
+      while (ki < k) {
+        val base = (mi * k + ki) * sub
+        var d2 = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = read(v, mi * sub + j, code) - cb(base + j)
+          d2 += diff * diff
+          j += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = ki }
+        ki += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance computation (ADC): squared L2 between a full
+    * query vector and a PQ-coded candidate reconstructed from the
+    * codebook — the scoring kernel of PQ search, one pass over the
+    * query's dimensions. */
+  def pqAdc(q: ArrayData, codes: ArrayData, cq: Int, cb: Array[Double], m: Int, k: Int): Double = {
+    val dim = q.numElements()
+    val sub = dim / m
+    var total = 0.0
+    var mi = 0
+    while (mi < m) {
+      val base = (mi * k + codes.getInt(mi)) * sub
+      var j = 0
+      while (j < sub) {
+        val diff = read(q, mi * sub + j, cq) - cb(base + j)
+        total += diff * diff
+        j += 1
+      }
+      mi += 1
+    }
+    total
+  }
+
   /** Marker-word tables for the fused text-metrics kernel — MUST stay in
     * sync with `graft.ops.TextAnalysis.LangMarkers` (the regex form the
     * DuckDB oracles use). Order: en, de, fr, es. */
@@ -678,6 +733,70 @@ case class VecQuant8Csv(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Product-quantization encode ([[Kernels.pqEncode]]): a vector's `m`
+  * argmin-L2 codes against a codebook fixed at plan time. The codebook
+  * ships to executors once via the codegen reference array — not
+  * re-serialized per row, not re-broadcast per batch. */
+case class PqEncode(child: Expression, codebook: Seq[Double], m: Int, k: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Kernels.supportsElem(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a fixed-width numeric array, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val code = Kernels.elemCode(child.dataType)
+  @transient private lazy val cbArr: Array[Double] = codebook.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.pqEncode(input.asInstanceOf[ArrayData], code, cbArr, m, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.Kernels.pqEncode($c, $code, $cbRef, $m, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** PQ asymmetric distance ([[Kernels.pqAdc]]): squared L2 between a
+  * full query vector (left) and a PQ code array (right) under the
+  * plan-time codebook. */
+case class PqAdc(left: Expression, right: Expression,
+    codebook: Seq[Double], m: Int, k: Int)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (l, ArrayType(IntegerType, _)) if Kernels.supportsElem(l) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (numeric array, ARRAY<INT>), got $l / $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  @transient private lazy val cq = Kernels.elemCode(left.dataType)
+  @transient private lazy val cbArr: Array[Double] = codebook.toArray
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      cq, cbArr, m, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.Kernels.pqAdc($a, $b, $cq, $cbRef, $m, $k)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Distinct n-token shingle set of a text as ARRAY<STRING>
   * ([[Kernels.shingleSetArray]]) — the explode-side of shingle joins
   * (decontamination, near-dup verification) without per-shingle
@@ -826,6 +945,10 @@ object GraftExpressions {
     e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toObjectArray(StringType).map(_.toString).toSeq
 
+  private def dlits(e: Expression): Seq[Double] =
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray().toSeq
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_sig" -> (es => ShingleMinHashSig(es.head, lit(es(1)), lit(es(2)))),
     "graft_simhash"     -> (es => SimHash(es.head)),
@@ -839,6 +962,8 @@ object GraftExpressions {
     "graft_ngram_list"  -> (es => NgramListExpr(es.head, lit(es(1)))),
     "graft_vec_unit_csv" -> (es => VecUnitMicroCsv(es.head)),
     "graft_vec_q8_csv"   -> (es => VecQuant8Csv(es.head)),
+    "graft_pq_encode"    -> (es => PqEncode(es.head, dlits(es(1)), lit(es(2)), lit(es(3)))),
+    "graft_pq_adc"       -> (es => PqAdc(es.head, es(1), dlits(es(2)), lit(es(3)), lit(es(4)))),
     "graft_xpath_struct" -> (es => {
       val names = lits(es(1)); val paths = lits(es(2))
       val prefixes = lits(es(3)); val uris = lits(es(4))

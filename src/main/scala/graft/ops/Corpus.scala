@@ -142,6 +142,52 @@ object Corpus {
         (tokenEnd % chunkTokens).cast("long").as("end_offset"))
   }
 
+  /** Sliding-window chunking with overlap: each document is cut into
+    * windows of `chunkTokens` whitespace tokens advancing by
+    * `strideTokens` (< chunk ⇒ consecutive chunks overlap) — the
+    * retrieval/context-assembly layout, where [[packChunks]] is the
+    * pretraining concat-and-chunk layout. A document of `n` tokens
+    * yields `1` chunk when `n <= chunkTokens`, else
+    * `(n - chunkTokens + strideTokens - 1) div strideTokens + 1`
+    * (integer arithmetic — no float ceil whose boundary rounding could
+    * differ across engines); the final chunk is clipped to the text.
+    * Emits `(id, chunk_idx, start_tok, end_tok, chunk_text)` with
+    * `start_tok` 0-based and `end_tok` exclusive; an empty document
+    * yields one empty chunk (span [0,0)).
+    *
+    * 100 TB: a pure narrow map + explode — no shuffle, no state; the
+    * ~(n/stride)× row fan-out is the contract (chunks ARE the output),
+    * and each output row carries one bounded window, never the whole
+    * document. Chunk identity is (id, chunk_idx) — deterministic on
+    * any partitioning or retry. */
+  def chunkOverlap(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      s"strideTokens must be in [1, chunkTokens]: $strideTokens")
+    requireFresh(df, "chunk_idx", "start_tok", "end_tok", "chunk_text")
+    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => t =!= "")
+    val n = size(toks).cast("long")
+    val nChunks = when(n <= chunkTokens, lit(1L)).otherwise(
+      expr(s"(__n - $chunkTokens + $strideTokens - 1) div $strideTokens") + 1L)
+    val start = col("chunk_idx") * strideTokens
+    val end = least(start + chunkTokens, col("__n"))
+    df.withColumn("__toks", toks)
+      .withColumn("__n", n)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), nChunks - 1)))
+      .select(col(idCol), col("chunk_idx"),
+        start.as("start_tok"), end.as("end_tok"),
+        array_join(
+          slice(col("__toks"), (start + 1).cast("int"), (end - start).cast("int")),
+          " ").as("chunk_text"))
+  }
+
   /** Benchmark decontamination: flag every corpus document sharing at
     * least one `k`-token shingle with a benchmark/eval document — the
     * standard n-gram-overlap test-set leak check run before training.

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the data-quality sweep a training pipeline runs
@@ -56,4 +57,62 @@ object Profile {
         round(col("n") / col("__total"), 6).as("share"))
       .orderBy(col("n").desc, col("key")).limit(k)
   }
+
+  /** Distribution-drift check between two slices of a numeric column —
+    * the gate a long-running ingest pipeline runs when a new crawl/day
+    * lands: Kolmogorov–Smirnov distance (max CDF gap) and Population
+    * Stability Index over fixed-width bins, one row per occupied bin
+    * plus the running statistics, so the caller can both threshold the
+    * scalars (`max(ks_gap)`, `sum(psi_term)`) and see WHICH value region
+    * drifted.
+    *
+    * Bins are `floor(value / binWidth)` with a caller-fixed width — data-
+    * independent, so two engines (and two runs over different partitions)
+    * bin identically; pick a binary-exact width (0.25, 0.5, 1, 2 …) and
+    * the division itself is exact IEEE. PSI terms use the standard
+    * "skip one-sided bins" convention (a bin empty on either side
+    * contributes null, not ±∞); `ln` is 1-ulp, so threshold on the
+    * 6-dp-rounded sums.
+    *
+    * 100 TB: two map-side-combined counts (one per slice) shuffle at
+    * most `|occupied bins|` rows each; the CDF windows run over that
+    * bin frame — bounded by the bin count, NOT the data (an
+    * unpartitioned window over ≤ thousands of bin rows, the same
+    * checkpoint-scale exception as `appendWithSeq`) — so the heavy side
+    * of the plan is two narrow scans. */
+  def driftBins(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    def binned(df: DataFrame, n: String) = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / binWidth).as("bin"))
+      .agg(count(lit(1)).as(n))
+    val joined = binned(a, "n_a").join(binned(b, "n_b"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    joined
+      .withColumn("cdf_a", sum(col("n_a")).over(w) / sum(col("n_a")).over(tot))
+      .withColumn("cdf_b", sum(col("n_b")).over(w) / sum(col("n_b")).over(tot))
+      .withColumn("ks_gap", round(abs(col("cdf_a") - col("cdf_b")), 6))
+      .withColumn("psi_term",
+        round(psiTerm(col("n_a") / sum(col("n_a")).over(tot),
+          col("n_b") / sum(col("n_b")).over(tot)), 6))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(col("cdf_a"), 6).as("cdf_a"),
+        round(col("cdf_b"), 6).as("cdf_b"),
+        col("ks_gap"), col("psi_term"))
+  }
+
+  /** (pa − pb)·ln(pa/pb) when both shares are positive, else null (the
+    * standard skip-one-sided-bins PSI convention). */
+  private def psiTerm(pa: Column, pb: Column): Column =
+    when(pa > 0 && pb > 0, (pa - pb) * log(pa / pb))
 }

@@ -187,6 +187,102 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization codebooks: `kCodes` sample vectors (the
+    * corpus's lowest ids — the same deterministic-sample discipline as
+    * [[ivfTopK]]'s centroids; k-means-refined codebooks change recall,
+    * not the plan), each sliced into `m` contiguous subvectors. Returned
+    * flattened `[m][k][dim/m]`, the layout the [[graft.expressions.PqEncode]]
+    * kernel consumes. */
+  def pqCodebooks(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      kCodes: Int): Seq[Double] = {
+    val sample: Seq[Seq[Double]] = corpus
+      .filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(kCodes)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: java.lang.Number => n.doubleValue
+      }.toSeq).toSeq
+    require(sample.nonEmpty, "pqCodebooks needs a non-empty corpus")
+    val dim = sample.head.length
+    require(sample.forall(_.length == dim), "pqCodebooks needs equal-length vectors")
+    require(dim % m == 0, s"dim $dim must divide evenly into $m subvectors")
+    val sub = dim / m
+    // [m][k][sub]: subvector mi of sample ki at (mi*k + ki)*sub
+    (0 until m).flatMap { mi =>
+      sample.flatMap(v => v.slice(mi * sub, mi * sub + sub))
+    }
+  }
+
+  /** PQ-encode a vector column: `m` argmin-L2 codes per row against the
+    * flattened codebook — a pure narrow kernel map. At 100 TB the coded
+    * corpus is what a PQ index STORES: `m` ints per row instead of the
+    * full vector (64 floats → 8 codes is a 16–32× working-set cut),
+    * which is the point — candidate scans read codes, not vectors. */
+  def pqEncode(
+      df: DataFrame,
+      vecCol: String,
+      codebook: Seq[Double],
+      m: Int,
+      kCodes: Int): DataFrame =
+    Balance.widen(df).withColumn("pq_codes",
+      call_function("graft_pq_encode", col(vecCol),
+        typedlit(codebook), lit(m), lit(kCodes)))
+
+  /** PQ approximate top-k with exact re-ranking — the standard two-stage
+    * PQ search: (1) score every CODED candidate against each query by
+    * asymmetric distance (ADC — one narrow kernel pass over codes, the
+    * full vectors never stream through this stage), keep each query's
+    * `rerank` best via the salted two-phase reduction; (2) join only
+    * those candidates back to their true vectors and rank the survivors
+    * by exact cosine. An identical twin shares the query's codes and
+    * per-subvector argmin codes minimize every ADC term, so the twin
+    * always scores the MINIMAL possible ADC and survives re-ranking —
+    * the property that makes the probe query oracle-checkable; general
+    * recall is spec-tested.
+    *
+    * 100 TB: stage 1 reads (id, codes) — the 16–32×-smaller coded
+    * corpus — broadcast queries, no corpus shuffle; stage 2 touches
+    * `rerank × |queries|` rows of the full corpus via a semi-join on id. */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String,
+      cId: String, cVec: String,
+      k: Int,
+      m: Int = 8,
+      kCodes: Int = 16,
+      rerank: Int = 32,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val cb = pqCodebooks(corpus, cVec, cId, m, kCodes)
+    val coded = pqEncode(corpus, cVec, cb, m, kCodes).select(col(cId), col("pq_codes"))
+    val scored0 = coded.crossJoin(broadcast(queries.select(col(qId), col(qVec))))
+    val scored1 =
+      if (excludeSelf) scored0.filter(col(cId) =!= col(qId)) else scored0
+    // topKPerQuery ranks cos_sim DESCENDING; negated ADC distance has
+    // exactly the right order (closer = larger)
+    val cand = topKPerQuery(
+      scored1.select(col(qId), col(cId),
+        (-call_function("graft_pq_adc", col(qVec), col("pq_codes"),
+          typedlit(cb), lit(m), lit(kCodes))).as("cos_sim")),
+      qId, cId, rerank)
+      .select(col(qId), col(cId))
+    // candidates are tiny (rerank × |queries|): BROADCAST them against
+    // the corpus so the full-vector side never shuffles
+    val exact = corpus.select(col(cId), col(cVec))
+      .join(broadcast(cand), Seq(cId))
+      .join(broadcast(queries.select(col(qId), col(qVec))), Seq(qId))
+      .select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("cos_sim"))
+      .filter(col("cos_sim").isNotNull)
+    topKPerQuery(exact, qId, cId, k)
+      .select(col(qId), col("rank"), col(cId), col("cos_sim"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the classic coarse-quantize
     * scale path: corpus vectors are assigned to their nearest of
     * `nCentroids` centroid vectors (one inverted list per centroid), and

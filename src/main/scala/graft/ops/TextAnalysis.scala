@@ -185,6 +185,120 @@ object TextAnalysis {
         round(col("score"), 6).as("score"))
   }
 
+  /** BM25 lexical retrieval: score every document against a fixed query
+    * term set and return the top `k` by the Okapi BM25 formula
+    * (Robertson/Spärck Jones; the standard of-the-shelf retrieval
+    * baseline a RAG pipeline runs before any embedding model):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *
+    * Ordering and the top-k boundary use the 6-dp ROUNDED score (then id
+    * ascending) — `ln` is 1-ulp accurate, so a raw-score boundary could
+    * admit different documents across engines (same discipline as the
+    * `text_quality_logistic` threshold). Documents containing no query
+    * term are excluded (score 0 carries no ranking information).
+    *
+    * 100 TB: tokenize + explode is narrow, and rows are filtered to the
+    * QUERY terms before the only shuffle (a map-side-combined aggregate
+    * on doc id — uniform key, no skew), so the shuffled volume is the
+    * query terms' posting lists, not the corpus. N/avgdl/df are tiny
+    * driver scalars inlined as literals (three small jobs), and the
+    * final top-k plans as `TakeOrderedAndProject` — per-partition heads
+    * + a k-row driver merge, never a global sort. */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => t =!= "")
+    // N and avgdl over ALL documents (including empty ones) — two driver
+    // scalars from one small aggregate job
+    val stats = df.agg(
+      count(lit(1)).as("n"),
+      avg(size(toks).cast("long")).as("avgdl")).first()
+    val nDocs = stats.getLong(0)
+    // avg over an empty frame is SQL NULL; any positive stand-in works —
+    // the per-doc frame is empty and the top-k returns no rows
+    val avgdl = if (stats.isNullAt(1)) 1.0 else stats.getDouble(1)
+    // per-document dl + per-query-term tf: explode filtered to the query
+    // terms pre-shuffle; dl rides along (computed narrowly pre-explode)
+    val perDoc = df
+      .select(col(idCol), size(toks).cast("long").as("__dl"),
+        explode(toks).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+      .groupBy(col(idCol))
+      .agg(max(col("__dl")).as("__dl"),
+        queryTerms.map(t =>
+          sum(when(col("__term") === t, 1L).otherwise(0L)).as(s"__tf_$t")): _*)
+    // per-term document frequencies: |queryTerms| driver scalars
+    val dfreqAggs = queryTerms.map(t =>
+      sum(when(col(s"__tf_$t") > 0, 1L).otherwise(0L)).as(t))
+    val dfreqRow = perDoc.agg(dfreqAggs.head, dfreqAggs.tail: _*).first()
+    // sums over an EMPTY per-doc frame (no document contains any query
+    // term) are SQL NULL — treat as df = 0, yielding an empty top-k
+    // instead of a driver NPE
+    val dfreq = queryTerms.zipWithIndex
+      .map { case (t, i) =>
+        t -> (if (dfreqRow.isNullAt(i)) 0L else dfreqRow.getLong(i))
+      }.toMap
+    // same operation order as the SQL oracle: both engines run identical
+    // IEEE double arithmetic, so only ln's 1-ulp (handled by rounding)
+    // separates them
+    val score = queryTerms.map { t =>
+      val idf = math.log((nDocs - dfreq(t) + 0.5) / (dfreq(t) + 0.5) + 1.0)
+      val tf = col(s"__tf_$t").cast("double")
+      lit(idf) * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl))
+    }.reduce(_ + _)
+    perDoc
+      .select(col(idCol), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Bigram language-model quality score — the CCNet/Wikipedia-LM shape
+    * of corpus quality filtering: train a token-bigram unigram-smoothed
+    * model ON the corpus itself, then score each document by its mean
+    * negative log-likelihood per bigram (low = looks like the corpus,
+    * high = outlier/garbage). Add-one smoothing over the observed
+    * vocabulary: P(g) = (count(g) + 1) / (T + V) with T total and V
+    * distinct bigram occurrences corpus-wide. Emits
+    * `(id, n_bigrams, nll)` (6-dp) for every document with ≥ 1 bigram
+    * (< 2 tokens ⇒ no signal, excluded — [[ngramList]] semantics).
+    *
+    * 100 TB: training is one map-side-combined count per bigram (the
+    * `text_bpe_pairs` aggregate); T and V are driver scalars. Scoring
+    * joins each document's bigrams back on the bigram key — Zipf-skewed
+    * by construction, the AQE-skew-join shape (a 100 TB bigram
+    * vocabulary does not broadcast; same stance as [[tfidfTopK]]'s df
+    * join) — then one aggregate on doc id. */
+  def lmBigramScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(ngramList(col(textCol), 2)).as("__g"))
+    val model = grams.groupBy(col("__g")).agg(count(lit(1)).as("__cnt"))
+    val tv = model.agg(sum(col("__cnt")).as("t"),
+      count(lit(1)).as("v")).first()
+    // an all-short corpus has no bigrams: sum is SQL NULL; the result is
+    // empty either way, but the literals must still build
+    val tTot = if (tv.isNullAt(0)) 0L else tv.getLong(0)
+    val vSize = tv.getLong(1)
+    val denom = math.max(1L, tTot + vSize).toDouble
+    grams.join(model, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log((col("__cnt") + 1.0) / denom)).as("__nll"))
+      .select(col(idCol), col("n_bigrams"), round(col("__nll"), 6).as("nll"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized, lowercased text
     * — the exact-dedup key. */
   def fingerprint(text: Column): Column =

@@ -235,6 +235,43 @@ object TrainingQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ── Embedding: product-quantization codes — the compressed index a
+    // PQ ANN search scans (8 codes instead of 64 floats). The argmin is
+    // deterministic (lowest code wins ties) and both engines replay the
+    // same subvector L2 arithmetic over the same deterministic sample
+    // codebook, so the codes themselves are oracle-exact. Ships as CSV
+    // (the driver compare hashes flat values, not arrays). ──────────────
+    "embed_pq_codes" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = Similarity.pqCodebooks(e, "embedding", "vec_id", m = 8, kCodes = 16)
+      Similarity.pqEncode(e, "embedding", cb, m = 8, kCodes = 16)
+        .select(col("vec_id"),
+          array_join(col("pq_codes").cast("array<string>"), ",").as("pq_csv"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ── ANN: PQ search with exact re-ranking as a near-dup probe — the
+    // same planted-twin construction as ann_lsh_topk: the twin shares
+    // the query's codes, and per-subvector argmin codes MINIMIZE each
+    // ADC term, so no candidate can score a lower ADC — the twin always
+    // survives the rerank cut and wins top-1 at cosine 1.0 = the exact
+    // top-1 the oracle computes by brute force. General-k recall is
+    // spec-tested (OpsSpec). ────────────────────────────────────────────
+    "ann_pq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val twins = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("c_id"), col("embedding").as("c_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        .unionByName(twins)
+      Similarity.pqTopK(q, c, "q_id", "q_vec", "c_id", "c_vec",
+          k = 1, m = 8, kCodes = 16, rerank = 16, excludeSelf = true)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("q_id"))
+    }),
+
     // ── Embedding near-dups via LSH buckets (rows-only) ──────────────────
     "embed_near_dups" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -780,6 +817,97 @@ object TrainingQueries {
         seed = "mix9")
         .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy(col("doc_id"))),
+
+    // ── Corpus: sliding-window chunking with overlap — the RAG/context
+    // layout (packChunks is the pretraining concat-and-chunk layout).
+    // Pure narrow map + explode, no shuffle (plan-asserted). ────────────
+    "corpus_chunk_overlap" -> ((s, dir) =>
+      graft.ops.Corpus.chunkOverlap(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkTokens = 40, strideTokens = 30)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // ── Text: BM25 top-k retrieval against a fixed query term set — the
+    // lexical-retrieval baseline of a RAG stack. Shuffled rows are the
+    // query terms' posting lists only; final top-k plans as
+    // TakeOrderedAndProject. Boundary on the 6-dp ROUNDED score. ────────
+    "text_bm25_topk" -> ((s, dir) =>
+      graft.ops.TextAnalysis.bm25TopK(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text",
+        queryTerms = Seq("spark", "vector", "merge", "window"), k = 15)),
+
+    // ── Text: bigram-LM quality score (CCNet shape) — model trained ON
+    // the corpus (one map-side-combined bigram count), documents scored
+    // by mean negative log-likelihood via a skew-tolerant join back on
+    // the bigram key. ───────────────────────────────────────────────────
+    "text_lm_score" -> ((s, dir) =>
+      graft.ops.TextAnalysis.lmBigramScore(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ── Layout: Morton (Z-order) interleave of two join/filter
+    // dimensions — the multi-dimensional clustering key behind min/max
+    // file skipping. Pure integer shift/mask arithmetic, exact in any
+    // engine; the write-side range partitioning is ScaleSpec-asserted. ──
+    "layout_zorder" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.operators.Scale.zorderValue(
+            col("l_partkey"), col("l_suppkey")).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // ── Events: funnel analysis — strict ordering of FIRST occurrences
+    // (first view < first click < first purchase). One map-side-combined
+    // shuffle on user_id; conditional mins, no joins, no windows. ───────
+    "events_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val perUser = e.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t1"),
+        min(when(col("event_type") === "click", col("ts"))).as("t2"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t3"))
+      val s1 = col("t1").isNotNull
+      val s2 = s1 && col("t2") > col("t1")
+      val s3 = s2 && col("t3") > col("t2")
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(s1.cast("long")).as("n_viewed"),
+        sum(s2.cast("long")).as("n_clicked_after"),
+        sum(s3.cast("long")).as("n_purchased_after"))
+    }),
+
+    // ── Events: cohort retention — users grouped by first-activity week
+    // (ISO date_trunc, engine-portable), counted per week offset. Two
+    // keyed shuffles (first-week agg, distinct activity weeks). ─────────
+    "events_cohort_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      val firstWeek = e.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val active = e.distinct()
+      active.join(firstWeek, Seq("user_id"))
+        .select(col("cohort_week"),
+          ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week")))
+            / 604800L).cast("long").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // ── Profile: distribution drift between two event slices — binned
+    // KS gaps + PSI terms (binary-exact bin width 8, so the float
+    // division is exact in any engine; ln-carrying PSI rounded 6 dp).
+    // The window runs over the BIN frame (≤ ~65 rows), never the data. ──
+    "profile_drift" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.ops.Profile.driftBins(
+        e.filter(col("event_type") === "click").select(col("value")),
+        e.filter(col("event_type") === "view").select(col("value")),
+        "value", binWidth = 8.0)
+        .orderBy(col("bin"))
+    }),
 
     // ── Warehouse: SCD2 validity intervals — turn an order event
     // history into [valid_from, valid_to) dimension rows (lead() per
@@ -1584,6 +1712,188 @@ object TrainingQueries {
         | lead(CAST(o_orderdate AS DATE)) OVER (
         |   PARTITION BY o_custkey
         |   ORDER BY CAST(o_orderdate AS DATE), o_orderkey) - 1 AS valid_to
-        |FROM orders ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    // Same integer chunk-count arithmetic (no float ceil), same 1-based
+    // inclusive list slicing; an empty document yields one empty chunk.
+    "corpus_chunk_overlap" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d),
+        |c AS (SELECT doc_id, toks, n,
+        |  CAST(CASE WHEN n <= 40 THEN 1 ELSE ((n - 40 + 30 - 1) // 30) + 1 END AS BIGINT) AS n_chunks
+        | FROM n),
+        |e AS (SELECT doc_id, toks, n, unnest(range(n_chunks)) AS chunk_idx FROM c),
+        |s AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 30 AS BIGINT) AS start_tok,
+        |  CAST(least(chunk_idx * 30 + 40, n) AS BIGINT) AS end_tok, toks
+        | FROM e)
+        |SELECT doc_id, chunk_idx, start_tok, end_tok,
+        | array_to_string(toks[CAST(start_tok + 1 AS INT):CAST(end_tok AS INT)], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Okapi BM25, operation-for-operation the Spark expression (double
+    // constants written as the same arithmetic, e.g. (1.2 + 1.0), so
+    // both engines fold identical IEEE values); ln is 1-ulp so ordering
+    // and the top-k boundary use the 6-dp ROUNDED score.
+    "text_bm25_topk" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |st AS (SELECT count(*) AS n, avg(CAST(len(toks) AS BIGINT)) AS avgdl FROM d),
+        |tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, max(dl) AS dl,
+        |  count(*) FILTER (WHERE term = 'spark') AS tf_spark,
+        |  count(*) FILTER (WHERE term = 'vector') AS tf_vector,
+        |  count(*) FILTER (WHERE term = 'merge') AS tf_merge,
+        |  count(*) FILTER (WHERE term = 'window') AS tf_window
+        | FROM tk WHERE term IN ('spark', 'vector', 'merge', 'window')
+        | GROUP BY doc_id),
+        |dfq AS (SELECT
+        |  count(*) FILTER (WHERE tf_spark > 0) AS df_spark,
+        |  count(*) FILTER (WHERE tf_vector > 0) AS df_vector,
+        |  count(*) FILTER (WHERE tf_merge > 0) AS df_merge,
+        |  count(*) FILTER (WHERE tf_window > 0) AS df_window
+        | FROM tf),
+        |sc AS (SELECT doc_id,
+        |   ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1.0) * (tf_spark * (1.2 + 1.0)) / (tf_spark + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        | + ln((n - df_vector + 0.5) / (df_vector + 0.5) + 1.0) * (tf_vector * (1.2 + 1.0)) / (tf_vector + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        | + ln((n - df_merge + 0.5) / (df_merge + 0.5) + 1.0) * (tf_merge * (1.2 + 1.0)) / (tf_merge + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        | + ln((n - df_window + 0.5) / (df_window + 0.5) + 1.0) * (tf_window * (1.2 + 1.0)) / (tf_window + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |  AS score
+        | FROM tf, st, dfq)
+        |SELECT doc_id, round(score, 6) AS score FROM sc
+        |ORDER BY round(score, 6) DESC, doc_id LIMIT 15""".stripMargin,
+
+    // Same bigram extraction as text_bpe_pairs (zipped unnest, repeats
+    // kept, <2-token docs contribute nothing), add-one smoothing over
+    // the observed vocabulary.
+    "text_lm_score" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |pairs AS (
+        | SELECT doc_id, unnest(t[1:len(t)-1]) || ' ' || unnest(t[2:len(t)]) AS g
+        | FROM toks WHERE len(t) >= 2),
+        |model AS (SELECT g, count(*) AS cnt FROM pairs GROUP BY g),
+        |tv AS (SELECT sum(cnt) AS t_tot, count(*) AS v FROM model),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  avg(-ln((cnt + 1.0) / (t_tot + v))) AS nll
+        | FROM pairs JOIN model USING (g), tv GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, round(nll, 6) AS nll
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // NULL step-times fall out identically: a null comparison makes the
+    // AND null → CASE false → 0, matching Spark's null-skipping sum of
+    // a null boolean cast.
+    "events_funnel" ->
+      """WITH p AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        | FROM events GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+        | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after
+        |FROM p""".stripMargin,
+
+    // Same ISO Monday week truncation; offsets are exact multiples of
+    // 604800 s, so the division is exact in either engine.
+    "events_cohort_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, week FROM e)
+        |SELECT cohort_week,
+        | CAST((epoch(week) - epoch(cohort_week)) / 604800 AS BIGINT) AS week_offset,
+        | CAST(count(*) AS BIGINT) AS n_active_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same binning (floor over an exact-width division), same long
+    // count arithmetic, same skip-one-sided-bins PSI convention; CDF
+    // divisions are long/long in both engines.
+    "profile_drift" ->
+      """WITH a AS (SELECT floor(value / 8.0) AS bin, count(*) AS n_a
+        |           FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1),
+        |b AS (SELECT floor(value / 8.0) AS bin, count(*) AS n_b
+        |      FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
+        |j AS (SELECT coalesce(a.bin, b.bin) AS bin,
+        |        coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |      FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+        |c AS (SELECT bin, n_a, n_b,
+        |  sum(n_a) OVER (ORDER BY bin) * 1.0 / sum(n_a) OVER () AS cdf_a,
+        |  sum(n_b) OVER (ORDER BY bin) * 1.0 / sum(n_b) OVER () AS cdf_b,
+        |  n_a * 1.0 / sum(n_a) OVER () AS pa,
+        |  n_b * 1.0 / sum(n_b) OVER () AS pb
+        | FROM j)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_a AS BIGINT) AS n_a,
+        | CAST(n_b AS BIGINT) AS n_b,
+        | round(cdf_a, 6) AS cdf_a, round(cdf_b, 6) AS cdf_b,
+        | round(abs(cdf_a - cdf_b), 6) AS ks_gap,
+        | round(CASE WHEN pa > 0 AND pb > 0 THEN (pa - pb) * ln(pa / pb) END, 6) AS psi_term
+        |FROM c ORDER BY bin""".stripMargin,
+
+    // The codebook is RECONSTRUCTED in SQL from the same deterministic
+    // sample (16 lowest vec_ids, subvector mi of sample ki), distances
+    // replay the same dimension-ascending IEEE arithmetic, and ties
+    // break to the lowest code in both engines (kernel: strict <;
+    // SQL: ORDER BY d2, code).
+    "embed_pq_codes" ->
+      """WITH s AS (
+        | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS smp,
+        |        CAST(embedding AS DOUBLE[]) AS sv
+        | FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16),
+        |ms AS (SELECT unnest(range(8)) AS m_idx),
+        |cb AS (SELECT CAST(smp AS INT) AS code, m_idx,
+        |         sv[m_idx * 8 + 1 : m_idx * 8 + 8] AS c
+        |       FROM s CROSS JOIN ms),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sub AS (SELECT vec_id, m_idx, e[m_idx * 8 + 1 : m_idx * 8 + 8] AS sv
+        |        FROM v CROSS JOIN ms),
+        |d AS (SELECT vec_id, m_idx, code,
+        |        list_sum(list_transform(range(1, 9),
+        |          i -> (sv[i] - c[i]) * (sv[i] - c[i]))) AS d2
+        |      FROM sub JOIN cb USING (m_idx)),
+        |r AS (SELECT vec_id, m_idx, code, row_number() OVER (
+        |        PARTITION BY vec_id, m_idx ORDER BY d2, code) AS rn FROM d)
+        |SELECT vec_id,
+        | string_agg(CAST(code AS VARCHAR), ',' ORDER BY m_idx) AS pq_csv
+        |FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // Identical construction to ann_lsh_topk's oracle: exact brute-force
+    // top-1 over the twin-planted corpus (PQ only changes HOW the
+    // candidate is found, and twin recall is deterministic — see the
+    // query comment).
+    "ann_pq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e
+        |      UNION ALL
+        |      SELECT vec_id + 100000 AS c_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT q_id, c_id,
+        |  list_dot_product(qv, cv) /
+        |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        | FROM q, c WHERE c_id <> q_id)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(cos, 4) AS cos_sim
+        |FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s) t
+        |WHERE rank <= 1 ORDER BY q_id""".stripMargin,
+
+    // Bit-for-bit the same shift/mask interleave as Scale.zorderValue.
+    "layout_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         | CAST($zorderSqlExpr AS BIGINT) AS zval
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
+
+  /** The 16-bit Morton interleave of (l_partkey, l_suppkey) as portable
+    * SQL — generated term-by-term so the oracle is the same shift/mask
+    * arithmetic as [[graft.operators.Scale.zorderValue]]. */
+  private def zorderSqlExpr: String =
+    (0 until 16).map { i =>
+      s"(((l_partkey >> $i) & 1) << ${2 * i}) | (((l_suppkey >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
 }

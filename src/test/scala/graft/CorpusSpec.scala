@@ -356,4 +356,50 @@ class CorpusSpec extends SparkSpec {
     assert(r(3) === 1.0)
     assert(r(4) === 1.0)
   }
+
+  // ── chunkOverlap ──────────────────────────────────────────────────────
+
+  test("chunkOverlap: spans tile the token stream with the configured stride") {
+    val s = spark
+    import s.implicits._
+    val text = (1 to 95).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "a b c"), (3L, "")).toDF("id", "text")
+    val rows = Corpus.chunkOverlap(df, "id", "text", 40, 30)
+      .orderBy(col("id"), col("chunk_idx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+
+    // 95 tokens, C=40, S=30 → ceil((95-40)/30)+1 = 3 chunks
+    val doc1 = rows.filter(_._1 == 1L)
+    assert(doc1.map(c => (c._3, c._4)).toSeq ===
+      Seq((0L, 40L), (30L, 70L), (60L, 95L)))
+    // consecutive chunks overlap by C - S = 10 tokens
+    assert(doc1(0)._5.split(" ").takeRight(10).toSeq ===
+      doc1(1)._5.split(" ").take(10).toSeq)
+    // every chunk's text is exactly its span's tokens
+    val toks = text.split(" ")
+    doc1.foreach { case (_, _, st, en, ct) =>
+      assert(ct === toks.slice(st.toInt, en.toInt).mkString(" "))
+    }
+    // short doc: one clipped chunk; empty doc: one empty chunk
+    assert(rows.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, 3L, "a b c")))
+    assert(rows.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 0L, 0L, "")))
+  }
+
+  test("chunkOverlap: stride == chunk gives disjoint cover (no overlap, no gap)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    val spans = Corpus.chunkOverlap(df, "id", "text", 32, 32)
+      .orderBy(col("chunk_idx"))
+      .select("start_tok", "end_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(spans.head._1 === 0L)
+    assert(spans.last._2 === 100L)
+    spans.sliding(2).foreach {
+      case Array((_, e1), (s2, _)) => assert(e1 === s2, "disjoint tiling")
+      case _ => ()
+    }
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Profile, Similarity, TextAnalysis}
 
 /** Training-data operator specs: planted-duplicate ground truth for the
   * hash-based detectors the DuckDB oracle can't mirror. */
@@ -575,5 +575,101 @@ class OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("c_id") == r.getAs[Long]("q_id") + 100000)
       assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-9)
     }
+  }
+
+  test("drift: identical slices score zero KS and PSI; a location shift scores both") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 1000).map(i => (i % 100).toDouble).toDF("value")
+    val b = (1 to 1000).map(i => (i % 100).toDouble + 40.0).toDF("value")
+    val same = Profile.driftBins(a, a, "value", binWidth = 8.0).collect()
+    assert(same.nonEmpty)
+    assert(same.forall(r => r.getAs[Double]("ks_gap") == 0.0))
+    assert(same.forall(r => r.getAs[Double]("psi_term") == 0.0))
+
+    val drift = Profile.driftBins(a, b, "value", binWidth = 8.0)
+    val maxKs = drift.agg(max(col("ks_gap"))).head().getDouble(0)
+    assert(maxKs > 0.3, s"40-point shift must show a large CDF gap, got $maxKs")
+    // every PSI term is (pa-pb)·ln(pa/pb) ≥ 0; the shift makes some > 0
+    val psi = drift.filter(col("psi_term").isNotNull)
+      .agg(sum(col("psi_term"))).head().getDouble(0)
+    assert(psi > 0.0, s"PSI over overlapping bins must be positive, got $psi")
+  }
+
+  test("pq: codes are m argmins in [0, k); identical vectors share codes") {
+    val e = Tables.embeddings(spark, sf0001)
+    val cb = Similarity.pqCodebooks(e, "embedding", "vec_id", m = 8, kCodes = 16)
+    assert(cb.length === 8 * 16 * 8) // [m][k][sub] for dim 64
+    val coded = Similarity.pqEncode(e, "embedding", cb, m = 8, kCodes = 16)
+      .select(col("vec_id"), col("pq_codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(coded.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // a codebook sample vector reconstructs exactly → codes (i, i, …, i)?
+    // no — sample ki supplies subvector ki of EVERY block, so sample 3's
+    // codes are all 3 unless another sample's subvector ties closer
+    val self = coded(3L)
+    assert(self.forall(_ == 3), s"sample vector should pick itself: $self")
+  }
+
+  test("pq: twin recall at small rerank — ADC of a code-identical twin is minimal") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val twins = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("c_id"), col("embedding").as("c_vec"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .unionByName(twins)
+    val top1 = Similarity.pqTopK(q, c, "q_id", "q_vec", "c_id", "c_vec",
+      k = 1, m = 8, kCodes = 16, rerank = 8, excludeSelf = true).collect()
+    assert(top1.nonEmpty)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("c_id") == r.getAs[Long]("q_id") + 100000)
+      assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-9)
+    }
+  }
+
+  test("bm25: term-stuffed document ranks first; termless documents are excluded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "spark spark spark runs fast"),
+      (2L, "spark is one engine among many engines in the world"),
+      (3L, "nothing relevant whatsoever appears here"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      queryTerms = Seq("spark"), k = 10).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "higher tf (and shorter doc) must outrank; docs without the term drop out")
+    assert(top.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("bm25: longer document with equal tf scores lower (length normalization)") {
+    val s = spark
+    import s.implicits._
+    val short = "vector index"
+    val long = "vector " + (1 to 60).map(i => s"pad$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val scores = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      Seq("vector"), k = 2).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(2L))
+  }
+
+  test("lm score: corpus-typical text scores lower NLL than an outlier document") {
+    val s = spark
+    import s.implicits._
+    val common = (1 to 30).map(_ => "the quick brown fox jumps")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val outlier = Seq((1000L, "zzq xkw vvm pqr lmn"))
+    val df = (common ++ outlier).toDF("doc_id", "text")
+    val r = TextAnalysis.lmBigramScore(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(0L) < r(1000L),
+      s"typical ${r(0L)} should beat outlier ${r(1000L)}")
+    // a <2-token document has no bigrams and is excluded
+    val tiny = Seq((1L, "word"), (2L, "two tokens")).toDF("doc_id", "text")
+    val ids = TextAnalysis.lmBigramScore(tiny, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L))
   }
 }

@@ -218,4 +218,58 @@ class PlanSpec extends SparkSpec {
       v.fold(c.unset(k))(c.set(k, _))
     }
   }
+
+  test("chunk overlap: pure narrow map + explode — no exchange at all") {
+    val df = graft.ops.Corpus.chunkOverlap(
+      Tables.documents(spark, sf0001).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")),
+      "doc_id", "text", chunkTokens = 40, strideTokens = 30)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle\n$p")
+  }
+
+  test("bm25: posting lists filtered before the one doc-id shuffle; top-k is TakeOrdered") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k should be per-partition heads + driver merge\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_sum"),
+      s"per-doc agg should combine map-side\n$p")
+    // the isin(queryTerms) filter must sit below the aggregate's exchange:
+    // shuffled rows are query-term occurrences, not the whole token stream
+    // (" IN (" prints only in the Filter node; children print after parents)
+    val exchangeIdx = p.indexOf("Exchange")
+    val filterIdx = p.indexOf(" IN (")
+    assert(filterIdx > exchangeIdx && exchangeIdx >= 0,
+      s"query-term filter should be below (printed after) the shuffle\n$p")
+  }
+
+  test("lm score: bigram model combines map-side; scoring join is a shuffle join (vocab does not broadcast at scale)") {
+    val p = plan("text_lm_score")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bigram counts should combine map-side\n$p")
+  }
+
+  test("pq: coded corpus streams narrow through ADC; rerank fetch broadcasts the candidates") {
+    val p = plan("ann_pq_topk")
+    // the ADC stage reads (id, codes) with broadcast queries — the full
+    // corpus vectors must not shuffle; the only hash exchanges are the
+    // salted top-k phases (keyed on q_id) and the rerank joins, whose
+    // small sides broadcast
+    assert(p.contains("graft_pq_adc"), s"ADC kernel missing\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"candidate/query sides should broadcast\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-shuffling join in the PQ path\n$p")
+  }
+
+  test("zorder: interleave is codegen'd integer arithmetic — no UDF, no shuffle") {
+    val p = plan("layout_zorder")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"zorder must be pure column arithmetic\n$p")
+    // the interleave is plain shift/mask expressions inside the Project
+    assert(p.contains("shiftleft") || p.contains("<<"),
+      s"zval should be shift/mask arithmetic in the projection\n$p")
+  }
 }

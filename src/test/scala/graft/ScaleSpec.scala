@@ -56,4 +56,59 @@ class ScaleSpec extends SparkSpec {
       .select(countDistinct(col("salt"))).head().getLong(0)
     assert(spread == 8L)
   }
+
+  test("zorder: interleave round-trips the two dimensions bit-exactly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L)).toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+        Scale.zorderValue(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    got.foreach { case (a, b, z) => assert(z === ref(a, b), s"($a,$b)") }
+    assert(ref(0, 0) === 0L)
+    assert(ref(1, 0) === 1L)
+    assert(ref(0, 1) === 2L)
+    assert(ref(65535, 65535) === (1L << 32) - 1)
+  }
+
+  test("zorder: range partitioning yields disjoint per-partition z-ranges and a skippable box query") {
+    val li = Tables.lineitem(spark, sf0001)
+    val parts = 8
+    // persist: the layout is fixed at write time — without it Catalyst
+    // pushes the probe filter BELOW repartitionByRange and the range
+    // bounds get recomputed over the filtered rows (observed), which is
+    // not what a reader of written files sees
+    val laid = Scale.zorderRepartition(li, "l_partkey", "l_suppkey", parts)
+      .persist()
+    try {
+      laid.count()
+      // per-partition [min,max] z-ranges must not overlap — the property
+      // that gives parquet files disjoint min/max footers (file skipping)
+      val ranges = laid
+        .groupBy(spark_partition_id().as("pid"))
+        .agg(min(col("zval")).as("lo"), max(col("zval")).as("hi"))
+        .orderBy(col("lo"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 <= lo2, s"partition z-ranges overlap: $hi1 > $lo2")
+        case _ => ()
+      }
+      // a box predicate on BOTH dimensions maps to a z interval touching
+      // a strict subset of partitions: the aligned box [0,127]² is
+      // exactly z <= z(127,127), so only partitions whose range
+      // intersects that interval hold matching rows
+      val boxMax = Scale.zorderValue(lit(127L), lit(127L))
+      val hit = laid
+        .filter(col("zval") <= boxMax &&
+          col("l_partkey") <= 127 && col("l_suppkey") <= 127)
+        .select(spark_partition_id()).distinct().count()
+      assert(hit < parts, s"box query should touch < $parts partitions, hit $hit")
+    } finally laid.unpersist()
+  }
 }
