@@ -68,11 +68,17 @@ object EventStreams {
     * watermark passes the interval — the third bounded-state streaming
     * primitive next to windowed aggregation and keyed session state
     * (attribution joins: click→conversion within N minutes). */
+  /** `joinType = "left_outer"` additionally emits every unmatched left
+    * event null-padded ONCE the watermark passes its interval — the
+    * attribution "click that never converted" row, which only becomes
+    * knowable when no matching right event can still arrive. Bounded
+    * state either way. */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
       intervalSeconds: Long = 600L,
-      watermark: String = "30 minutes"): DataFrame = {
+      watermark: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col("user_id"), col("event_id").as("l_event_id"),
         col("ts").as("l_ts"), col("event_type").as("l_type"))
@@ -82,7 +88,8 @@ object EventStreams {
     l.join(r,
       col("user_id") === col("r_user_id") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"),
+      joinType)
       .select(col("user_id"), col("l_event_id"), col("r_event_id"),
         col("l_ts"), col("r_ts"), col("l_type"), col("r_type"))
   }

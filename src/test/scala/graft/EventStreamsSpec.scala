@@ -168,6 +168,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: LEFT OUTER interval join null-pads an unmatched click once the watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = MemoryStream[Event]
+    val convs = MemoryStream[Event]
+
+    val q = EventStreams.intervalJoin(clicks.toDF(), convs.toDF(),
+        intervalSeconds = 600L, watermark = "10 minutes",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        ev(1, "2024-01-01 10:00:00", user = 1, typ = "click"), // converts
+        ev(2, "2024-01-01 10:00:00", user = 2, typ = "click")) // never does
+      convs.addData(ev(100, "2024-01-01 10:05:00", user = 1, typ = "conv"))
+      q.processAllAvailable()
+      // the unmatched click can only emit once NO conversion can still
+      // arrive for it: advance both watermarks past click_ts + interval
+      clicks.addData(ev(9, "2024-01-01 12:00:00", user = 99))
+      convs.addData(ev(999, "2024-01-01 12:00:00", user = 99))
+      q.processAllAvailable()
+
+      val rows = s.sql(
+        "SELECT * FROM attrib_outer WHERE user_id IN (1, 2)").collect()
+      val matched = rows.filter(!_.isNullAt(2))
+        .map(r => (r.getAs[Long]("l_event_id"), r.getAs[Long]("r_event_id")))
+      val unmatched = rows.filter(_.isNullAt(2))
+        .map(_.getAs[Long]("l_event_id"))
+      assert(matched.toSet == Set((1L, 100L)))
+      assert(unmatched.toSet == Set(2L),
+        "the never-converted click must emit exactly once, null-padded")
+    } finally q.stop()
+  }
+
   test("streaming: a new event within the gap extends the open session") {
     val s = spark
     import s.implicits._
