@@ -317,6 +317,44 @@ object ReferenceQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ── Engine-completeness: bag-semantics set ops — EXCEPT ALL /
+    // INTERSECT ALL over a deliberately duplicate-heavy projection
+    // (multiset counts must subtract / min, not collapse). ───────────────
+    "set_except_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select("user_id", "event_type")
+        .exceptAll(ev.filter(col("value") >= 50)
+          .select("user_id", "event_type"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    "set_intersect_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type").isin("click", "view"))
+        .select("user_id", "event_type")
+        .intersectAll(ev.filter(col("value") >= 50)
+          .select("user_id", "event_type"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ── Engine-completeness: RANGE-frame rolling window — trailing
+    // 7-day per-user sum keyed on exact microsecond epochs. Values sum
+    // as DECIMAL(12,2) (exact in any engine — the synthetic values have
+    // 2 decimals) and only the final total casts back to double. One
+    // keyed shuffle; frames are per-user history, never global. ──────────
+    "window_rolling_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-604800000000L, 0L)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").cast("decimal(12,2)").as("v"))
+        .withColumn("rolling_7d", sum(col("v")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("rolling_7d"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── Engine-completeness: semi join (queue ∩ referenced keys) ─────────
     "join_semi" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -607,6 +645,27 @@ object ReferenceQueries {
         |INTERSECT
         |SELECT event_id, user_id, event_type FROM events WHERE value >= 50
         |ORDER BY event_id""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT user_id, event_type FROM events
+        |EXCEPT ALL
+        |SELECT user_id, event_type FROM events WHERE value >= 50
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT user_id, event_type FROM events WHERE event_type IN ('click', 'view')
+        |INTERSECT ALL
+        |SELECT user_id, event_type FROM events WHERE value >= 50
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // DECIMAL(12,2) summation is exact in both engines; only the total
+    // casts back to double. Frame keys are exact microsecond epochs.
+    "window_rolling_range" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "join_semi" ->
       """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
