@@ -387,6 +387,51 @@ class CorpusSpec extends SparkSpec {
     assert(rows.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 0L, 0L, "")))
   }
 
+  test("property: chunkOverlap tiles generated corpora against a sequential reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "d4", "", " ")
+    val textGen = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    val cases = Seq((5, 3), (7, 7), (4, 1), (1, 1))
+    for ((c, st) <- cases) {
+      val texts = (0 until 60).flatMap(i =>
+        textGen.apply(Gen.Parameters.default, Seed(1000L * c + st + i))
+          .map(t => (i.toLong, t)))
+      val df = texts.toDF("doc_id", "text")
+      val got = Corpus.chunkOverlap(df, "doc_id", "text", c, st).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+        .groupBy(_._1)
+      // sequential reference: same tokenization (non-empty split), same
+      // chunk-count formula, slices recomputed independently
+      texts.foreach { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val n = toks.length
+        val expChunks =
+          if (n <= c) 1 else ((n - c + st - 1) / st + 1)
+        val rows = got(id).sortBy(_._2)
+        assert(rows.length === expChunks, s"doc $id n=$n C=$c S=$st")
+        rows.zipWithIndex.foreach { case ((_, idx, s0, e0, txt), i) =>
+          assert(idx === i.toLong)
+          assert(s0 === (i.toLong * st))
+          assert(e0 === math.min(s0 + c, n.toLong))
+          assert(txt === toks.slice(s0.toInt, e0.toInt).mkString(" "))
+        }
+        // every token position is covered by at least one chunk
+        if (n > 0) {
+          val covered = Array.fill(n)(false)
+          rows.foreach { case (_, _, s0, e0, _) =>
+            (s0.toInt until e0.toInt).foreach(covered(_) = true)
+          }
+          assert(covered.forall(identity), s"doc $id has uncovered tokens")
+        }
+      }
+    }
+  }
+
   test("chunkOverlap: stride == chunk gives disjoint cover (no overlap, no gap)") {
     val s = spark
     import s.implicits._

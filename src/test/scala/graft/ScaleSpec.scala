@@ -76,6 +76,41 @@ class ScaleSpec extends SparkSpec {
     assert(ref(65535, 65535) === (1L << 32) - 1)
   }
 
+  test("property: zorder preserves box containment on generated keys") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val keyGen = Gen.choose(0L, 65535L)
+    val pairs = (0 until 200).flatMap { i =>
+      for {
+        a <- keyGen.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- keyGen.apply(Gen.Parameters.default, Seed(i + 7919L))
+      } yield (a, b)
+    }
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Scale.zorderValue(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) =>
+      // de-interleave recovers both keys exactly (bijectivity on 16 bits)
+      var ra = 0L; var rb = 0L
+      (0 until 16).foreach { i =>
+        ra |= ((z >> (2 * i)) & 1L) << i
+        rb |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(ra === a && rb === b, s"($a,$b) -> $z -> ($ra,$rb)")
+      // aligned power-of-two box containment: masking low key bits
+      // can only lower z, so z is within the box's z-interval
+      val boxA = a & ~15L; val boxB = b & ~15L
+      var lo = 0L
+      (0 until 16).foreach { i =>
+        lo |= ((boxA >> i) & 1L) << (2 * i)
+        lo |= ((boxB >> i) & 1L) << (2 * i + 1)
+      }
+      assert(z >= lo, "z must be >= its aligned box's lower corner")
+    }
+  }
+
   test("zorder: range partitioning yields disjoint per-partition z-ranges and a skippable box query") {
     val li = Tables.lineitem(spark, sf0001)
     val parts = 8
