@@ -859,6 +859,32 @@ object TrainingQueries {
             col("l_partkey"), col("l_suppkey")).as("zval"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // ── Learn: one distributed logistic-regression gradient pass over
+    // kernel-derived document features (label: lang == 'en') at fixed
+    // weights — the data-parallel half of the quality-classifier
+    // training loop, ONE map-side-combined aggregate. Driver rounding
+    // uses HALF_UP to match both engines' round(). ──────────────────────
+    "ml_logreg_grad" -> ((s, dir) => {
+      val m = graft.ops.TextAnalysis.metrics(col("text"))
+      val st = call_function("graft_ngram_stats", col("text"), lit(2))
+      val feats = Tables.documents(s, dir).select(
+        (m.getField("alpha_chars") * lit(1.0) /
+          nullif(m.getField("n_chars"), lit(0L))).as("x_alpha"),
+        log(lit(1.0) + m.getField("n_tokens")).as("x_lntok"),
+        (st.getField("n_distinct") * lit(1.0) / st.getField("n_grams"))
+          .as("x_rep"),
+        (col("lang") === "en").cast("double").as("label"))
+      val (gw, gb, n) = graft.ops.Learn.logisticGradient(
+        feats, Seq("x_alpha", "x_lntok", "x_rep"), "label",
+        weights = Seq(0.5, -0.25, 1.0), bias = 0.1)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      import s.implicits._
+      Seq((r6(gw(0)), r6(gw(1)), r6(gw(2)), r6(gb), n))
+        .toDF("grad_alpha", "grad_lntok", "grad_rep", "grad_bias", "n_rows")
+    }),
+
     // ── Events: funnel analysis — strict ordering of FIRST occurrences
     // (first view < first click < first purchase). One map-side-combined
     // shuffle on user_id; conditional mins, no joins, no windows. ───────
@@ -1784,6 +1810,33 @@ object TrainingQueries {
         | FROM pairs JOIN model USING (g), tv GROUP BY doc_id)
         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, round(nll, 6) AS nll
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Same feature construction as text_quality_logistic's oracle, same
+    // left-to-right z accumulation, same residual products; exp is
+    // 1-ulp, handled by the 6-dp rounding on each gradient component.
+    "ml_logreg_grad" ->
+      """WITH toks AS (
+        | SELECT doc_id, text, lang, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |g AS (SELECT doc_id, text, lang, t,
+        |  CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |   ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) END AS g2
+        | FROM toks),
+        |f AS (SELECT
+        |  length(regexp_replace(text, '[^\p{L}]', '', 'g')) * 1.0 / nullif(length(text), 0) AS x1,
+        |  ln(1.0 + len(t)) AS x2,
+        |  len(list_distinct(g2)) * 1.0 / len(g2) AS x3,
+        |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        | FROM g),
+        |c AS (SELECT x1, x2, x3, y,
+        |  (1.0 / (1.0 + exp(-(((0.1 + (x1 * 0.5)) + (x2 * -0.25)) + (x3 * 1.0))))) - y AS r
+        | FROM f WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL AND y IS NOT NULL)
+        |SELECT round(avg(r * x1), 6) AS grad_alpha,
+        | round(avg(r * x2), 6) AS grad_lntok,
+        | round(avg(r * x3), 6) AS grad_rep,
+        | round(avg(r), 6) AS grad_bias,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM c""".stripMargin,
 
     // NULL step-times fall out identically: a null comparison makes the
     // AND null → CASE false → 0, matching Spark's null-skipping sum of

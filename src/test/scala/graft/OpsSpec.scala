@@ -577,6 +577,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("learn: batch GD fits a separable rule — loss decreases, classes separate") {
+    val s = spark
+    import s.implicits._
+    // y = 1 iff x1 > 0.5, with margin; x2 is noise
+    val rows = (0 until 400).map { i =>
+      val x1 = (i % 100) / 100.0
+      val x2 = ((i * 37) % 100) / 100.0
+      (x1, x2, if (x1 > 0.5) 1.0 else 0.0)
+    }.filter(r => math.abs(r._1 - 0.5) > 0.05)
+    val df = rows.toDF("x1", "x2", "label")
+    val before = graft.ops.Learn.logLoss(df, Seq("x1", "x2"), "label",
+      Seq(0.0, 0.0), 0.0)
+    val (w, b) = graft.ops.Learn.fitLogistic(df, Seq("x1", "x2"), "label",
+      learningRate = 4.0, iterations = 60)
+    val after = graft.ops.Learn.logLoss(df, Seq("x1", "x2"), "label", w, b)
+    assert(after < before * 0.5, s"loss must halve: $before -> $after")
+    assert(w.head > 0.0, "the discriminative feature must gain positive weight")
+    // decision accuracy on the training rule
+    val z = col("x1") * w(0) + col("x2") * w(1) + lit(b)
+    val acc = df.select(avg(((z > 0) === (col("label") === 1.0)).cast("double")))
+      .head().getDouble(0)
+    assert(acc > 0.95, s"separable rule should classify >95%: $acc")
+  }
+
+  test("learn: gradient at the optimum of a constant label is zero bias direction") {
+    val s = spark
+    import s.implicits._
+    // all labels 1, weights pushed far positive → sigmoid ≈ 1 → residual ≈ 0
+    val df = (1 to 100).map(i => (i / 100.0, 1.0)).toDF("x", "label")
+    val (gw, gb, n) = graft.ops.Learn.logisticGradient(
+      df, Seq("x"), "label", Seq(50.0), 50.0)
+    assert(n === 100L)
+    assert(math.abs(gb) < 1e-9 && math.abs(gw.head) < 1e-9)
+  }
+
   test("drift: identical slices score zero KS and PSI; a location shift scores both") {
     val s = spark
     import s.implicits._
