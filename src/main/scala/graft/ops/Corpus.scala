@@ -227,6 +227,44 @@ object Corpus {
       .select(col(idCol)).distinct()
   }
 
+  /** Graded contamination report: for every corpus document, the
+    * FRACTION of its distinct `k`-token shingles that appear in the
+    * benchmark — the report form of [[decontaminate]] (binary flagging
+    * drops documents; real decontamination reviews usually threshold on
+    * overlap share and inspect the gray zone). Returns
+    * `(id, n_shingles, n_hit, share)` for every document with ≥ 1
+    * shingle.
+    *
+    * 100 TB: same shape as [[decontaminate]] — benchmark shingles
+    * broadcast (with the same size-guarded fallback), corpus side is a
+    * narrow explode; the per-document counts are one map-side-combined
+    * aggregate on the document id. */
+  def contaminationShare(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 8,
+      maxBroadcastShingles: Long = 4_000_000L): DataFrame = {
+    val corpusShingles = corpus.select(col(idCol),
+      explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
+    val benchShingles = benchmark
+      .select(explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
+      .distinct()
+    val broadcastable =
+      benchShingles.limit(maxBroadcastShingles.toInt.max(1) + 1).count() <=
+        maxBroadcastShingles
+    val bench = (if (broadcastable) broadcast(benchShingles) else benchShingles)
+      .withColumn("__hit", lit(1L))
+    corpusShingles
+      .join(bench, Seq("__sh"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col(idCol), col("n_shingles"), col("n_hit"),
+        round(col("n_hit") * lit(1.0) / col("n_shingles"), 6).as("share"))
+  }
+
   /** Token-budget mixture: downsample each source so its EXPECTED token
     * contribution hits `budgets(source)` — the third leg of mixture
     * control ([[sampleStratified]] fixes proportions, [[domainQuota]]

@@ -674,6 +674,57 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Corpus: graded contamination — per-document benchmark-shingle
+    // overlap SHARE (the review-form of binary decontamination). Same
+    // broadcast shape; one map-side-combined per-doc count. ─────────────
+    "corpus_contamination_share" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") % 97 === 0)
+      val corpus = d.filter(col("doc_id") % 97 =!= 0)
+        .unionByName(bench.select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("leaked copy "), col("text")).as("text")))
+      graft.ops.Corpus.contaminationShare(corpus, bench, "doc_id", "text",
+          shingleLen = 8)
+        .filter(col("n_hit") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Text: within-document duplicated-ngram coverage (Gopher's
+    // dup_ngram_frac): the fraction of token positions covered by a
+    // 2-gram occurring ≥ 2 times in the SAME document — the quality
+    // signal that catches internal boilerplate repetition distinct from
+    // the cross-document span dedup. Shuffles on (doc, gram) then doc —
+    // per-document cardinalities, never corpus-wide. ────────────────────
+    "text_dup_ngram_frac" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(trim(col("text")), "\\s+")
+      val base = Tables.documents(s, dir)
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+          posexplode(graft.ops.TextAnalysis.ngramList(col("text"), 2))
+            .as(Seq("__p0", "__g")))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("__p0") + 1).cast("long").as("__i"), col("__g"))
+      val cnt = Window.partitionBy(col("doc_id"), col("__g"))
+      val covered = base
+        .withColumn("__c", count(lit(1)).over(cnt))
+        .filter(col("__c") >= 2)
+        .select(col("doc_id"), col("n_tokens"),
+          explode(array(col("__i"), col("__i") + 1)).as("__pos"))
+        .distinct()
+        .groupBy(col("doc_id"), col("n_tokens"))
+        .agg(count(lit(1)).as("n_dup_tokens"))
+      val all = Tables.documents(s, dir)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 2)
+      all.join(covered, Seq("doc_id", "n_tokens"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+          round(coalesce(col("n_dup_tokens"), lit(0L)) * lit(1.0) /
+            col("n_tokens"), 6).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Corpus assembly: deterministic global shuffle ───────────────────
     // (shard, pos) IS the total order; per-shard windows only — the
     // randomize-before-training pass without a global sort.
@@ -1810,6 +1861,53 @@ object TrainingQueries {
         | FROM pairs JOIN model USING (g), tv GROUP BY doc_id)
         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, round(nll, 6) AS nll
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Same shingle definition as corpus_decontaminate's oracle (distinct
+    // 8-token shingles, single shingle when shorter), counted per doc.
+    "corpus_contamination_share" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |corpus AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        | UNION ALL
+        | SELECT doc_id + 300000, 'leaked copy ' || text FROM bench),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')) END)) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM corpus) x),
+        |bs AS (SELECT DISTINCT
+        |  unnest(list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')) END)) AS s
+        | FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM bench) x),
+        |agg AS (SELECT doc_id, count(*) AS n_shingles,
+        |  sum(CASE WHEN bs.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        | FROM sh LEFT JOIN bs USING (s) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        | CAST(n_hit AS BIGINT) AS n_hit,
+        | round(n_hit * 1.0 / n_shingles, 6) AS share
+        |FROM agg WHERE n_hit > 0 ORDER BY doc_id""".stripMargin,
+
+    // Same gram construction as text_bpe_pairs, positions 1-based; a
+    // gram occurring >= 2 times in ONE document covers token positions
+    // {i, i+1} of each occurrence.
+    "text_dup_ngram_frac" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |gr AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |   unnest(range(1, len(t))) AS i, t
+        | FROM toks WHERE len(t) >= 2),
+        |g2 AS (SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS i,
+        |   t[i] || ' ' || t[i + 1] AS gram FROM gr),
+        |dup AS (SELECT doc_id, gram FROM g2
+        |        GROUP BY doc_id, gram HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |  SELECT g2.doc_id, unnest([g2.i, g2.i + 1]) AS pos
+        |  FROM g2 JOIN dup USING (doc_id, gram)) u),
+        |agg AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+        | round(coalesce(a.n_dup, 0) * 1.0 / len(t.t), 6) AS dup_frac
+        |FROM toks t LEFT JOIN agg a USING (doc_id)
+        |WHERE len(t.t) >= 2 ORDER BY t.doc_id""".stripMargin,
 
     // Same feature construction as text_quality_logistic's oracle, same
     // left-to-right z accumulation, same residual products; exp is

@@ -357,6 +357,29 @@ class CorpusSpec extends SparkSpec {
     assert(r(4) === 1.0)
   }
 
+  // ── contaminationShare ────────────────────────────────────────────────
+
+  test("contamination share: leaked copy scores 1.0, clean doc 0.0; fallback path identical") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota"), // leak
+      (11L, "one two three four five six seven eight nine ten"))   // clean
+      .toDF("doc_id", "text")
+    def run(budget: Long) = Corpus.contaminationShare(
+      corpus, bench, "doc_id", "text", shingleLen = 8,
+      maxBroadcastShingles = budget)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val broadcastPath = run(4_000_000L)
+    assert(broadcastPath(0)._4 === 1.0, "identical leak must score share 1")
+    assert(broadcastPath(1)._4 === 0.0, "clean doc must score share 0")
+    assert(run(1L).toSeq === broadcastPath.toSeq,
+      "shuffle fallback must produce identical output")
+  }
+
   // ── chunkOverlap ──────────────────────────────────────────────────────
 
   test("chunkOverlap: spans tile the token stream with the configured stride") {
