@@ -227,32 +227,35 @@ object TextAnalysis {
     // the per-doc frame is empty and the top-k returns no rows
     val avgdl = if (stats.isNullAt(1)) 1.0 else stats.getDouble(1)
     // per-document dl + per-query-term tf: explode filtered to the query
-    // terms pre-shuffle; dl rides along (computed narrowly pre-explode)
+    // terms pre-shuffle; dl rides along (computed narrowly pre-explode).
+    // tf columns are INDEX-aliased — a term is data, not a safe column
+    // name (dots/backticks would break resolution, duplicates would
+    // double-count)
+    val terms = queryTerms.distinct
     val perDoc = df
       .select(col(idCol), size(toks).cast("long").as("__dl"),
         explode(toks).as("__term"))
-      .filter(col("__term").isin(queryTerms: _*))
+      .filter(col("__term").isin(terms: _*))
       .groupBy(col(idCol))
       .agg(max(col("__dl")).as("__dl"),
-        queryTerms.map(t =>
-          sum(when(col("__term") === t, 1L).otherwise(0L)).as(s"__tf_$t")): _*)
-    // per-term document frequencies: |queryTerms| driver scalars
-    val dfreqAggs = queryTerms.map(t =>
-      sum(when(col(s"__tf_$t") > 0, 1L).otherwise(0L)).as(t))
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("__term") === t, 1L).otherwise(0L)).as(s"__tf_$i")
+        }: _*)
+    // per-term document frequencies: |terms| driver scalars
+    val dfreqAggs = terms.indices.map(i =>
+      sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
     val dfreqRow = perDoc.agg(dfreqAggs.head, dfreqAggs.tail: _*).first()
     // sums over an EMPTY per-doc frame (no document contains any query
     // term) are SQL NULL — treat as df = 0, yielding an empty top-k
     // instead of a driver NPE
-    val dfreq = queryTerms.zipWithIndex
-      .map { case (t, i) =>
-        t -> (if (dfreqRow.isNullAt(i)) 0L else dfreqRow.getLong(i))
-      }.toMap
+    val dfreq = terms.indices
+      .map(i => if (dfreqRow.isNullAt(i)) 0L else dfreqRow.getLong(i))
     // same operation order as the SQL oracle: both engines run identical
     // IEEE double arithmetic, so only ln's 1-ulp (handled by rounding)
     // separates them
-    val score = queryTerms.map { t =>
-      val idf = math.log((nDocs - dfreq(t) + 0.5) / (dfreq(t) + 0.5) + 1.0)
-      val tf = col(s"__tf_$t").cast("double")
+    val score = terms.indices.map { i =>
+      val idf = math.log((nDocs - dfreq(i) + 0.5) / (dfreq(i) + 0.5) + 1.0)
+      val tf = col(s"__tf_$i").cast("double")
       lit(idf) * (tf * (k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl))
     }.reduce(_ + _)

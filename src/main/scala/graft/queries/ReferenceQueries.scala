@@ -355,6 +355,42 @@ object ReferenceQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ── Engine-completeness: anti join (orders with NO big lineitem) ─────
+    "join_anti" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ── Engine-completeness: correlation / covariance / stddev per
+    // group — the moment statistics a profiling sweep reports. ───────────
+    "agg_corr_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("qty_disc_covar"),
+          round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // ── Engine-completeness: unpivot/melt — wide per-group aggregates
+    // to (group, metric, value) long form. ───────────────────────────────
+    "agg_unpivot" -> ((s, dir) => {
+      val wide = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).cast("double").as("n_rows"),
+          round(avg(col("l_discount")), 6).as("avg_disc"))
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("n_rows"), col("avg_disc")),
+        "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
     // ── Engine-completeness: semi join (queue ∩ referenced keys) ─────────
     "join_semi" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -657,6 +693,32 @@ object ReferenceQueries {
         |INTERSECT ALL
         |SELECT user_id, event_type FROM events WHERE value >= 50
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "join_anti" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "agg_corr_stats" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,
+        | round(stddev_samp(l_quantity), 6) AS qty_stddev,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // UNION ALL long form — portable across engines, same metric names
+    // and value types as the Spark unpivot.
+    "agg_unpivot" ->
+      """WITH w AS (SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS DOUBLE) AS n_rows, round(avg(l_discount), 6) AS avg_disc
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        | SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        | UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w
+        | UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM w) u
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     // DECIMAL(12,2) summation is exact in both engines; only the total
     // casts back to double. Frame keys are exact microsecond epochs.
