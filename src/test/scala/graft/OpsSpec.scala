@@ -690,6 +690,57 @@ class OpsSpec extends SparkSpec {
     assert(scores(1L) > scores(2L))
   }
 
+  test("property: bm25 matches a sequential reference bit-for-bit on generated corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val wordGen = Gen.oneOf("red", "blue", "green", "fish", "cat", "dog", "x")
+    val textGen = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    val texts = (0 until 80).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(i + 31L)).map(t => (i.toLong, t)))
+    val df = texts.toDF("doc_id", "text")
+    val terms = Seq("red", "fish", "dog")
+    val (k1, b) = (1.2, 0.75)
+    val got = TextAnalysis.bm25TopK(df, "doc_id", "text", terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+
+    // sequential reference: same formula, same operation order
+    val toks = texts.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val n = texts.size.toLong
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+    def df0(t: String) = toks.values.count(_.contains(t)).toLong
+    val scores = toks.toSeq.flatMap { case (id, tk) =>
+      val dl = tk.size.toLong
+      val score = terms.map { t =>
+        val tf = tk.count(_ == t).toDouble
+        val idf = math.log((n - df0(t) + 0.5) / (df0(t) + 0.5) + 1.0)
+        idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+      }.sum
+      if (tk.exists(terms.contains)) Some(id ->
+        BigDecimal(score).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      else None
+    }.toMap
+    val expected = scores.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    assert(got.toSeq === expected,
+      s"engine top-10 must equal the sequential reference")
+  }
+
+  test("bm25/lm: degenerate inputs return empty results, not driver errors") {
+    val s = spark
+    import s.implicits._
+    val noTerms = Seq((1L, "nothing matches here"), (2L, ""))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.bm25TopK(noTerms, "doc_id", "text",
+      Seq("absent"), k = 5).count() === 0L)
+    val tiny = Seq((1L, "word"), (2L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.lmBigramScore(tiny, "doc_id", "text").count() === 0L)
+  }
+
   test("lm score: corpus-typical text scores lower NLL than an outlier document") {
     val s = spark
     import s.implicits._
