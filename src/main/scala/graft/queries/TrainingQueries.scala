@@ -788,6 +788,39 @@ object TrainingQueries {
             .cast("long").as("edit_distance"))
         .orderBy(col("doc_id"))),
 
+    // ── Text: token-distribution entropy — low entropy = templated or
+    // keyword-stuffed text (complements the n-gram repetition ratio).
+    // Two map-side-combined shuffles: (doc, token) counts, then doc. ────
+    "text_ngram_entropy" -> ((s, dir) => {
+      val toks = filter(split(coalesce(col("text"), lit("")), "\\s+"),
+        t => t =!= "")
+      val tk = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("term"))
+      val c = tk.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("c"))
+      val n = c.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+      val p = col("c") * lit(1.0) / col("n")
+      c.join(n, Seq("doc_id"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(round(-sum(p * log(p)), 6).as("token_entropy"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          col("token_entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Embedding: per-label centroids — classifier prototypes / the
+    // semantic-dedup cluster summary. Map-side-combined partials: the
+    // shuffle carries |labels| × dims rows, never the corpus. ───────────
+    "embed_centroid_per_label" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("mean_val"),
+          count(lit(1)).as("n"))
+        .orderBy(col("label"), col("dim"))),
+
     // ── Text: repetition ratios (Gopher-style quality signal) ───────────
     "text_repetition" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1861,6 +1894,27 @@ object TrainingQueries {
         | FROM pairs JOIN model USING (g), tv GROUP BY doc_id)
         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, round(nll, 6) AS nll
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Same tokenization, same p·ln(p) terms; the sum order differs only
+    // in FP last bits, absorbed by the 6-dp rounding.
+    "text_ngram_entropy" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS term
+        | FROM documents),
+        |c AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        | round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS token_entropy
+        |FROM c JOIN n USING (doc_id) GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
+    "embed_centroid_per_label" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT label, unnest(v) AS x,
+        |        CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim FROM e)
+        |SELECT label, dim, round(avg(x), 6) AS mean_val,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM d GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     // Same shingle definition as corpus_decontaminate's oracle (distinct
     // 8-token shingles, single shingle when shorter), counted per doc.
