@@ -94,6 +94,26 @@ object EventStreams {
         col("l_ts"), col("r_ts"), col("l_type"), col("r_type"))
   }
 
+  /** Windowed value histogram — the streaming face of
+    * [[graft.ops.Profile.driftBins]]: per (event-time window, bin)
+    * counts with the same data-independent `floor(value / binWidth)`
+    * binning, so a monitor can compare a live window's histogram
+    * against a reference distribution (KS/PSI on the driver — the bin
+    * frame is tiny) while watermarks bound the state exactly as in
+    * [[windowedAgg]]. */
+  def binnedHistogram(
+      events: DataFrame,
+      binWidth: Double,
+      window: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        floor(col("value") / binWidth).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("bin"), col("n"))
+
   /** Gap-based sessionization via the NATIVE `session_window` function —
     * the built-in path Spark provides for exactly this shape (prefer it
     * over custom state when the aggregate is expressible): sessions

@@ -168,6 +168,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: windowed histogram bins values per event-time window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.binnedHistogram(in.toDF(), binWidth = 8.0,
+        window = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("histo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:05:00", user = 1, v = 3.0),   // bin 0
+        ev(2, "2024-01-01 10:10:00", user = 2, v = 7.9),   // bin 0
+        ev(3, "2024-01-01 10:20:00", user = 3, v = 8.0),   // bin 1
+        ev(4, "2024-01-01 11:10:00", user = 4, v = 20.0))  // next window, bin 2
+      q.processAllAvailable()
+      // advance the watermark past both windows so they close and emit
+      in.addData(ev(9, "2024-01-01 14:00:00", user = 99, v = 1.0))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT window_start, bin, n FROM histo WHERE window_start < timestamp'2024-01-01 12:00:00' ORDER BY window_start, bin")
+        .collect()
+        .map(r => (r.getAs[Timestamp](0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq === Seq(
+        (ts("2024-01-01 10:00:00"), 0L, 2L),
+        (ts("2024-01-01 10:00:00"), 1L, 1L),
+        (ts("2024-01-01 11:00:00"), 2L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming: LEFT OUTER interval join null-pads an unmatched click once the watermark passes") {
     val s = spark
     import s.implicits._
