@@ -40,25 +40,16 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // Between queries (outside the timed window), drop whatever the
-    // previous query left in the block manager: a few operators persist
-    // intermediates whose lifetime the caller owns (incremental-dedup
-    // batches, checkpointed CC rounds), and 91 queries × 3 trials of
-    // leftovers squeeze the unified memory pool until shuffle-heavy
-    // queries spill — measured as multi-× slowdowns late in a bench run.
-    // Each query is measured from a clean cache state.
-    def dropLeftovers(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
-
     // A failed query reports -1, not its elapsed time — a broken query
     // must never masquerade as a fast one in the JSON. A query that
     // failed on ANY trial is failed (no cherry-picking a lucky run).
+    // Each query is measured from a clean cache state
+    // (Tables.dropCachedLeftovers runs OUTSIDE the timed window —
+    // leftover persisted blocks were measured causing multi-× slowdowns
+    // late in a 90+-query run).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until trials).map { _ =>
-        dropLeftovers()
+        Tables.dropCachedLeftovers(spark)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -27,6 +27,18 @@ object Tables {
     spark
   }
 
+  /** Drop whatever the previous query left in the block manager — a few
+    * operators hand back persisted frames whose lifetime the caller
+    * owns, and a long session of queries (Verify's 100+, Bench's ×3
+    * trials) accumulating leftovers squeezes the unified memory pool
+    * until shuffle-heavy queries spill. Shared by both driver mains so
+    * the hygiene cannot diverge. */
+  def dropCachedLeftovers(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")

@@ -33,12 +33,7 @@ object Verify {
       }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {
-        // drop the previous query's leftover persisted blocks (a few
-        // operators hand back persisted frames whose lifetime the
-        // caller owns) so 90+ queries don't squeeze the memory pool
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        Tables.dropCachedLeftovers(spark)
         try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

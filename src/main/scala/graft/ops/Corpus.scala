@@ -213,6 +213,25 @@ object Corpus {
       textCol: String,
       shingleLen: Int = 8,
       maxBroadcastShingles: Long = 4_000_000L): DataFrame = {
+    val (corpusShingles, bench) = shingleProbe(
+      corpus, benchmark, idCol, textCol, shingleLen, maxBroadcastShingles)
+    corpusShingles
+      .join(bench, Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  /** Shared probe for the contamination operators: the corpus exploded
+    * to (id, shingle) and the benchmark's distinct shingle set —
+    * broadcast when its size (probed with a bounded `limit(n+1).count()`,
+    * never a full count) fits `maxBroadcastShingles`, a plain shuffle
+    * side otherwise. */
+  private def shingleProbe(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      maxBroadcastShingles: Long): (DataFrame, DataFrame) = {
     val corpusShingles = corpus.select(col(idCol),
       explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
     val benchShingles = benchmark
@@ -221,10 +240,8 @@ object Corpus {
     val broadcastable =
       benchShingles.limit(maxBroadcastShingles.toInt.max(1) + 1).count() <=
         maxBroadcastShingles
-    val bench = if (broadcastable) broadcast(benchShingles) else benchShingles
-    corpusShingles
-      .join(bench, Seq("__sh"), "left_semi")
-      .select(col(idCol)).distinct()
+    (corpusShingles,
+      if (broadcastable) broadcast(benchShingles) else benchShingles)
   }
 
   /** Graded contamination report: for every corpus document, the
@@ -246,16 +263,9 @@ object Corpus {
       textCol: String,
       shingleLen: Int = 8,
       maxBroadcastShingles: Long = 4_000_000L): DataFrame = {
-    val corpusShingles = corpus.select(col(idCol),
-      explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
-    val benchShingles = benchmark
-      .select(explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
-      .distinct()
-    val broadcastable =
-      benchShingles.limit(maxBroadcastShingles.toInt.max(1) + 1).count() <=
-        maxBroadcastShingles
-    val bench = (if (broadcastable) broadcast(benchShingles) else benchShingles)
-      .withColumn("__hit", lit(1L))
+    val (corpusShingles, benchSide) = shingleProbe(
+      corpus, benchmark, idCol, textCol, shingleLen, maxBroadcastShingles)
+    val bench = benchSide.withColumn("__hit", lit(1L))
     corpusShingles
       .join(bench, Seq("__sh"), "left_outer")
       .groupBy(col(idCol))

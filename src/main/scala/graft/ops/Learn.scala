@@ -76,7 +76,8 @@ object Learn {
   /** Mean log-loss of the model on the frame — the convergence metric
     * ([[fitLogistic]]'s spec asserts it decreases). Clamped away from
     * exact 0/1 so a confidently-wrong row scores a large finite loss,
-    * not infinity. */
+    * not infinity. `Double.NaN` when no complete row exists (the mean
+    * of nothing is undefined — not a driver NPE). */
   def logLoss(
       df: DataFrame,
       featureCols: Seq[String],
@@ -91,7 +92,9 @@ object Learn {
     val y = col(labelCol).cast("double")
     val complete = df.filter(
       featureCols.map(col(_).isNotNull).reduce(_ && _) && col(labelCol).isNotNull)
-    complete.agg(avg(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))))
-      .first().getDouble(0)
+    val row = complete
+      .agg(avg(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))))
+      .first()
+    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
   }
 }

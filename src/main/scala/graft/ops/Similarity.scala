@@ -207,7 +207,11 @@ object Similarity {
         case d: Double => d
         case n: java.lang.Number => n.doubleValue
       }.toSeq).toSeq
-    require(sample.nonEmpty, "pqCodebooks needs a non-empty corpus")
+    // a short sample would build a codebook the kernels (which loop
+    // ki < kCodes) index out of bounds — fail clearly on the driver
+    require(sample.size == kCodes,
+      s"pqCodebooks needs >= $kCodes non-null vectors, found ${sample.size}; " +
+        "lower kCodes for small corpora")
     val dim = sample.head.length
     require(sample.forall(_.length == dim), "pqCodebooks needs equal-length vectors")
     require(dim % m == 0, s"dim $dim must divide evenly into $m subvectors")

@@ -67,8 +67,9 @@ object EventStreams {
     * time on both, so the engine can evict buffered state once the
     * watermark passes the interval — the third bounded-state streaming
     * primitive next to windowed aggregation and keyed session state
-    * (attribution joins: click→conversion within N minutes). */
-  /** `joinType = "left_outer"` additionally emits every unmatched left
+    * (attribution joins: click→conversion within N minutes).
+    *
+    * `joinType = "left_outer"` additionally emits every unmatched left
     * event null-padded ONCE the watermark passes its interval — the
     * attribution "click that never converted" row, which only becomes
     * knowable when no matching right event can still arrive. Bounded
@@ -105,7 +106,10 @@ object EventStreams {
       events: DataFrame,
       binWidth: Double,
       window: String = "1 hour",
-      watermark: String = "30 minutes"): DataFrame =
+      watermark: String = "30 minutes"): DataFrame = {
+    // same contract as the batch twin — a zero width would silently
+    // put every event in one NULL bin
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
     events
       .filter(col("value").isNotNull)
       .withWatermark("ts", watermark)
@@ -113,6 +117,7 @@ object EventStreams {
         floor(col("value") / binWidth).as("bin"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("bin"), col("n"))
+  }
 
   /** Gap-based sessionization via the NATIVE `session_window` function —
     * the built-in path Spark provides for exactly this shape (prefer it
