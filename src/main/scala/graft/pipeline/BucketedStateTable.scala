@@ -270,9 +270,15 @@ class BucketedStateTable(
     val next = nextCommitId()
     val out = new Path(dataDir, f"c$next%08d")
     // one task per dirty bucket: the write's file count tracks the dirty
-    // set, not (tasks × buckets)
+    // set, not (tasks × buckets). Rows are SORTED by key within each
+    // bucket file, so parquet row-group min/max stats prune a point or
+    // range probe INSIDE a multi-GB bucket — readForKeys narrows to the
+    // bucket directory, the footer stats narrow further to the row
+    // groups holding the keys (free at write time: the sort is per
+    // already-shuffled bucket partition, no extra exchange).
     rows.withColumn(BucketCol, bucketOf)
       .repartition(math.max(dirty.size, 1), col(BucketCol))
+      .sortWithinPartitions(BucketCol, keyCols: _*)
       .write.partitionBy(BucketCol).mode("errorifexists").parquet(out.toString)
     val written =
       fs.listStatus(out).toSeq

@@ -60,6 +60,26 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(t.read().get.filter(col("k") === "k123456").head().getLong(1) == -1L)
   }
 
+  test("bucket files are key-sorted so row-group stats prune point probes") {
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L)
+    val rows = spark.range(20000)
+      .select(concat(lit("k"), format_string("%06d", col("id"))).as("k"),
+        col("id").as("v"))
+    t.merge(rows, keys = Seq("k"))
+    val commitDir = new java.io.File(
+      f"$dir/state/data/c${t.lastCommit.get.commitId}%08d")
+    val files = parquetFiles(commitDir)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val keys = spark.read.parquet(f.getPath).select("k")
+        .collect().map(_.getString(0)).toSeq
+      assert(keys == keys.sorted,
+        s"${f.getName} must be written key-sorted for min/max pruning")
+    }
+  }
+
   // ── semantics parity with StateOps over plain frames ──────────────────
 
   test("merge parity: updates beat state, greatest version wins within a batch") {
