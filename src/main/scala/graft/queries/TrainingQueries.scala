@@ -943,6 +943,26 @@ object TrainingQueries {
             col("l_partkey"), col("l_suppkey")).as("zval"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // ── Join: blocked fuzzy matching — planted last-char typos share
+    // their original's prefix block by construction, so the blocked
+    // contract is exactly reproducible; distance verified by codegen'd
+    // Levenshtein on candidate pairs only. ──────────────────────────────
+    "join_fuzzy_blocked" -> ((s, dir) => {
+      // distinct entities (min id per name): ER runs on deduped records,
+      // and the synthetic part names repeat heavily — raw rows would make
+      // every block quadratic in the scale factor
+      val p = Tables.part(s, dir).groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("id"))
+        .select(col("id"), col("p_name").as("name"))
+      val typos = p.filter(col("id") % 3 === 0)
+        .select((col("id") + 100000).as("id"),
+          concat(expr("substring(name, 1, length(name) - 1)"), lit("x"))
+            .as("name"))
+      graft.ops.Joins.fuzzyJoinBlocked(p.unionByName(typos),
+          "id", "name", blockLen = 6, maxDist = 2)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ── Learn: one distributed logistic-regression gradient pass over
     // kernel-derived document features (label: lang == 'en') at fixed
     // weights — the data-parallel half of the quality-classifier
@@ -1962,6 +1982,23 @@ object TrainingQueries {
         | round(coalesce(a.n_dup, 0) * 1.0 / len(t.t), 6) AS dup_frac
         |FROM toks t LEFT JOIN agg a USING (doc_id)
         |WHERE len(t.t) >= 2 ORDER BY t.doc_id""".stripMargin,
+
+    // Same prefix blocking, same integer edit distance (parity
+    // established by text_levenshtein).
+    "join_fuzzy_blocked" ->
+      """WITH ents AS (
+        | SELECT min(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name),
+        |p AS (
+        | SELECT id, name FROM ents
+        | UNION ALL
+        | SELECT id + 100000, substr(name, 1, length(name) - 1) || 'x'
+        | FROM ents WHERE id % 3 = 0),
+        |b AS (SELECT id, name, substr(name, 1, 6) AS blk FROM p)
+        |SELECT a.id AS a_id, b2.id AS b_id,
+        | CAST(levenshtein(a.name, b2.name) AS BIGINT) AS dist
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
+        |WHERE levenshtein(a.name, b2.name) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // Same feature construction as text_quality_logistic's oracle, same
     // left-to-right z accumulation, same residual products; exp is
