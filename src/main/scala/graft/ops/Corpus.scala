@@ -82,6 +82,31 @@ object Corpus {
     df.filter(u < threshold)
   }
 
+  /** Exact-SIZE deterministic sample: the `n` rows of each stratum whose
+    * content-hash draw ranks lowest — the fixed-size counterpart of
+    * [[sampleStratified]]'s fixed-rate keep (eval subsets are specified
+    * as "1,000 documents per language", not as rates). Ranking by
+    * `(uniformHex, id)` makes the sample deterministic on any cluster
+    * and NESTED: the top-n sample is a prefix of the top-m (m > n)
+    * sample, so growing an eval set only adds documents.
+    *
+    * 100 TB: one hash shuffle on the stratum; the `srank <= n` bound
+    * pushes a partial `WindowGroupLimit` below the exchange (same
+    * plan-asserted shape as [[domainQuota]]), so over-quota rows are
+    * discarded map-side. */
+  def sampleExactN(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      n: Int,
+      seed: String = "graft"): DataFrame = {
+    requireFresh(df, "srank")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(uniformHex(col(idCol), seed), col(idCol))
+    df.withColumn("srank", row_number().over(w).cast("long"))
+      .filter(col("srank") <= n)
+  }
+
   /** Per-domain quota: keep at most `quota` rows per domain, ranked by
     * the given ordering (pass a deterministic tie-break, e.g. the id,
     * as the last column) — the "cap the biggest domains" half of data

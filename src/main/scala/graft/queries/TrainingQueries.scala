@@ -674,6 +674,15 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Corpus: exact-size deterministic sample — 20 docs per language
+    // by content-hash rank (nested under size increases; WindowGroupLimit
+    // discards over-quota rows map-side). ───────────────────────────────
+    "corpus_sample_exact_n" -> ((s, dir) =>
+      graft.ops.Corpus.sampleExactN(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", n = 20, seed = "ev1")
+        .orderBy(col("doc_id"))),
+
     // ── Corpus: graded contamination — per-document benchmark-shingle
     // overlap SHARE (the review-form of binary decontamination). Same
     // broadcast shape; one map-side-combined per-doc count. ─────────────
@@ -1935,6 +1944,16 @@ object TrainingQueries {
         |SELECT label, dim, round(avg(x), 6) AS mean_val,
         | CAST(count(*) AS BIGINT) AS n
         |FROM d GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // Same md5-hex draw as the rate-based sampler oracles, ranked per
+    // stratum with the id tie-break.
+    "corpus_sample_exact_n" ->
+      """SELECT doc_id, lang, CAST(srank AS BIGINT) AS srank FROM (
+        | SELECT doc_id, lang, row_number() OVER (
+        |   PARTITION BY lang
+        |   ORDER BY substr(md5('ev1:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS srank
+        | FROM documents) t
+        |WHERE srank <= 20 ORDER BY doc_id""".stripMargin,
 
     // Same shingle definition as corpus_decontaminate's oracle (distinct
     // 8-token shingles, single shingle when shorter), counted per doc.

@@ -357,6 +357,19 @@ class CorpusSpec extends SparkSpec {
     assert(r(4) === 1.0)
   }
 
+  // ── sampleExactN ──────────────────────────────────────────────────────
+
+  test("exact-n sample: correct size per stratum, nested under size increases") {
+    val small = Corpus.sampleExactN(docs, "doc_id", "lang", n = 5, seed = "e1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = Corpus.sampleExactN(docs, "doc_id", "lang", n = 12, seed = "e1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val perLang = Corpus.sampleExactN(docs, "doc_id", "lang", n = 5, seed = "e1")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    perLang.foreach { case (lang, c) => assert(c <= 5L, s"$lang got $c") }
+    assert(small.subsetOf(large), "growing n must only ADD documents")
+  }
+
   // ── contaminationShare ────────────────────────────────────────────────
 
   test("contamination share: leaked copy scores 1.0, clean doc 0.0; fallback path identical") {
