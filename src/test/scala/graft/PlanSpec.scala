@@ -219,6 +219,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exact-n sample: rank bound pushes a partial WindowGroupLimit below the shuffle") {
+    val p = plan("corpus_sample_exact_n")
+    assert(p.contains("WindowGroupLimit"),
+      s"srank <= n should push a group limit\n$p")
+    assert(p.contains("Partial") || p.contains("partial"),
+      s"the limit should run map-side before the exchange\n$p")
+  }
+
   test("chunk overlap: pure narrow map + explode — no exchange at all") {
     val df = graft.ops.Corpus.chunkOverlap(
       Tables.documents(spark, sf0001).select(
