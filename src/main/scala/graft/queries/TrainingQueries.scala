@@ -998,6 +998,21 @@ object TrainingQueries {
         .toDF("grad_alpha", "grad_lntok", "grad_rep", "grad_bias", "n_rows")
     }),
 
+    // ── Events: trending types per hour window — the windowed top-k
+    // dashboard shape (map-side-combined hourly counts, then a rank
+    // whose ≤3 bound pushes a partial WindowGroupLimit). ────────────────
+    "events_windowed_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("hour"))
+        .orderBy(col("n").desc, col("event_type"))
+      hourly.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("hour"), col("rnk"))
+    }),
+
     // ── Events: funnel analysis — strict ordering of FIRST occurrences
     // (first view < first click < first purchase). One map-side-combined
     // shuffle on user_id; conditional mins, no joins, no windows. ───────
@@ -2045,6 +2060,14 @@ object TrainingQueries {
         | round(avg(r), 6) AS grad_bias,
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM c""".stripMargin,
+
+    "events_windowed_topk" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT hour, event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT hour, event_type, n, row_number() OVER (
+        |        PARTITION BY hour ORDER BY n DESC, event_type) AS rnk FROM h) t
+        |WHERE rnk <= 3 ORDER BY hour, rnk""".stripMargin,
 
     // NULL step-times fall out identically: a null comparison makes the
     // AND null → CASE false → 0, matching Spark's null-skipping sum of
