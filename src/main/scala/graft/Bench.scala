@@ -33,7 +33,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     Tables.configure(spark)
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the deliberate global windows used to spray hundreds
+    // of WindowExec "No Partition Defined" WARN lines into stderr, and the
+    // driver's bounded tail capture evicted the per-query stdout lines
+    // (BENCH_r03..r05 all lost their per-query record to this).
+    spark.sparkContext.setLogLevel("ERROR")
 
     // JVM/codegen warmup on the smallest SF so per-query numbers measure
     // the plan, not first-use classloading.

@@ -19,7 +19,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     Tables.configure(spark)
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN — same bounded-tail-capture protection as Bench.scala:
+    // WindowExec WARN spam must not evict driver-visible output.
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     // Write TIMESTAMP columns as timestamp_ntz so the parquet logical type
     // (isAdjustedToUTC=false) matches what DuckDB produces for the oracle —

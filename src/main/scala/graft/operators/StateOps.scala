@@ -133,6 +133,7 @@ object StateOps {
       seqCol: String,
       orderCols: Seq[String]): DataFrame = {
     val MaxCol = "__graft_max_seq"
+    graft.util.Logs.quietGlobalWindowWarning()
     val mx = state.agg(coalesce(max(col(seqCol)), lit(0L)).as(MaxCol))
     val w = Window.orderBy(orderCols.map(col): _*)
     val numbered = newRows.crossJoin(broadcast(mx))

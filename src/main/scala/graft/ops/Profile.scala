@@ -94,6 +94,7 @@ object Profile {
       .select(col("bin"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
+    graft.util.Logs.quietGlobalWindowWarning()
     val w = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.rowsBetween(

@@ -167,7 +167,15 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       k: Int = 3): DataFrame = {
-    val nDocs = df.count() // tiny eager scalar, inlined as a literal
+    val NCol = "__graft_n_docs"
+    // Corpus size N (ALL documents — empty-text ones count toward idf) as
+    // a one-row broadcast joined into the scoring plan, NOT an eager
+    // `df.count()`: the eager count was a second full-corpus action — a
+    // zero-column scan, but at 100 TB still a complete extra job and
+    // scheduler round-trip before the real query could start. As a
+    // broadcast subtree it executes inside the SAME job, scans no data
+    // columns, and AQE overlaps it with the tf shuffle's map stage.
+    val n = df.agg(count(lit(1)).as(NCol))
     val toks = df.select(col(idCol),
       explode(filter(split(coalesce(col(textCol), lit("")), "\\s+"),
         t => t =!= "")).as("term"))
@@ -178,7 +186,13 @@ object TextAnalysis {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(dfreq, Seq("term"))
-      .withColumn("score", (col("tf") * lit(nDocs + 1)) / (col("df") + 1))
+      .crossJoin(broadcast(n))
+      // (N+1) arrives as a LongType column, exactly as the old
+      // `lit(nDocs + 1)` literal did — the long/long Divide casts both
+      // sides to double, so scores are bitwise identical to before.
+      .withColumn("score",
+        (col("tf") * (col(NCol) + lit(1L))) / (col("df") + lit(1L)))
+      .drop(NCol)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"),

@@ -155,8 +155,10 @@ object ReferenceQueries {
         .agg(count(lit(1)).as("n_events"), max(col("ts")).as("max_ts"))
       val cut = lit("2024-01-16").cast("timestamp")
       val state = runs.filter(col("run_day") < cut)
-        .withColumn("id",
-          row_number().over(Window.orderBy(col("run_day"))).cast("long"))
+        .withColumn("id", {
+          graft.util.Logs.quietGlobalWindowWarning()
+          row_number().over(Window.orderBy(col("run_day"))).cast("long")
+        })
         .select("id", "run_day", "n_events", "max_ts")
       val fresh = runs.filter(col("run_day") >= cut)
         .withColumn("id", lit(0L))

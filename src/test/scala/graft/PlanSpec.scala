@@ -175,6 +175,44 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
       s"tfidf top-k rank not partially limited before the exchange\n$p")
     assert(p.contains("partial_count"), "tf/df counts should partially aggregate")
+    // corpus N rides inside the plan as a broadcast one-row subtree …
+    assert(p.contains("__graft_n_docs"),
+      s"corpus N not folded into the plan as a broadcast scalar\n$p")
+  }
+
+  test("tfidf: query construction is lazy — no eager count() job for corpus N") {
+    // The old implementation ran `df.count()` while BUILDING the query —
+    // a full extra corpus action at 100 TB. Constructing the DataFrame
+    // must now schedule zero Spark jobs. Ordering trick: the listener
+    // bus is FIFO, so once a later marker job is observed, any job the
+    // construction had launched would already be in the map.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sc = spark.sparkContext
+    val groups = scala.collection.concurrent.TrieMap.empty[Int, String]
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        groups(js.jobId) = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+    }
+    sc.addSparkListener(listener)
+    try {
+      // In-memory input: the full query's parquet read runs a (legit)
+      // schema-inference job; the regression under guard is tfidfTopK
+      // itself running an action during construction.
+      val s = spark
+      import s.implicits._
+      val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+      sc.setJobGroup("tfidf-construct", "construction must be lazy", false)
+      graft.ops.TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+      sc.setJobGroup("tfidf-marker", "bus drain marker", false)
+      spark.range(1).count()
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!groups.values.exists(_ == "tfidf-marker")
+        && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(groups.values.exists(_ == "tfidf-marker"), "marker job never observed")
+      assert(!groups.values.exists(_ == "tfidf-construct"),
+        "building text_tfidf_topk launched Spark jobs (eager corpus count)")
+    } finally { sc.removeSparkListener(listener); sc.clearJobGroup() }
   }
 
   test("span dedup: owner election is a map-side-combined agg, no per-key window, no cartesian") {
