@@ -115,11 +115,21 @@ object Joins {
     * entity-resolution pipeline makes, and it is what makes the result
     * exactly reproducible in any engine.
     *
-    * 100 TB: one hash shuffle on the block key; pairs are |block|²
-    * bounded per block (choose `blockLen` so blocks stay small — the
-    * hot-prefix skew is visible in `Profile.keySkew` and splittable by
-    * AQE); the verify metric is a codegen'd primitive-loop function,
-    * one call per CANDIDATE pair only. */
+    * 100 TB: one hash shuffle on the COMPOSITE block key
+    * `(prefix, length-band)`. The length band exploits
+    * `levenshtein(a,b) >= |len(a) - len(b)|`: a pair whose lengths
+    * differ by more than `maxDist` can never survive the distance
+    * filter, so banding by `floor(len / (2·maxDist+1))` drops it from
+    * the CANDIDATE set without changing the result — and it bounds the
+    * hot-prefix quadratic (one shared prefix no longer forms a single
+    * |block|² blob; pairs only form between near-equal lengths). The
+    * `b` side explodes to the ≤2 bands reachable within ±maxDist, so a
+    * qualifying pair always meets — in exactly one band, since the
+    * exploded values are distinct and `a` carries a single band.
+    * Verification uses the THRESHOLDED `levenshtein(l, r, maxDist)`
+    * kernel, which abandons a pair's DP as soon as the running minimum
+    * exceeds `maxDist` (returns -1) — O(maxDist·len) per candidate
+    * instead of O(len²). */
   def fuzzyJoinBlocked(
       df: DataFrame,
       idCol: String,
@@ -128,14 +138,22 @@ object Joins {
       maxDist: Int): DataFrame = {
     require(blockLen > 0, s"blockLen must be positive: $blockLen")
     require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
+    // band width > 2·maxDist ⇒ [len−maxDist, len+maxDist] spans ≤2 bands
+    val bandW = 2 * maxDist + 1
     val a = df.select(col(idCol).as("a_id"), col(strCol).as("__a"),
-      substring(col(strCol), 1, blockLen).as("__blk"))
+      substring(col(strCol), 1, blockLen).as("__blk"),
+      floor(length(col(strCol)) / bandW).cast("long").as("__band"))
     val b = df.select(col(idCol).as("b_id"), col(strCol).as("__b"),
-      substring(col(strCol), 1, blockLen).as("__blk"))
-    a.join(b, Seq("__blk"))
+        substring(col(strCol), 1, blockLen).as("__blk"))
+      .withColumn("__band", explode(array_distinct(array(
+        floor((length(col("__b")) - maxDist) / bandW).cast("long"),
+        floor((length(col("__b")) + maxDist) / bandW).cast("long")))))
+    a.join(b, Seq("__blk", "__band"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("dist", levenshtein(col("__a"), col("__b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("__a"), col("__b"), maxDist).cast("long"))
+      // thresholded kernel reports “> maxDist” as -1
+      .filter(col("dist") >= 0L)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 }

@@ -505,6 +505,45 @@ class OpsSpec extends SparkSpec {
       (1L, "A"), (2L, "B"), (3L, "B"), (3L, "C"), (4L, "C"), (5L, "C")))
   }
 
+  test("joins: fuzzyJoinBlocked on a hot-prefix corpus matches the brute-force pair set") {
+    val s = spark
+    import s.implicits._
+    // Every string shares the 4-char block prefix — the worst case the
+    // length band exists for. Lengths vary so the band splits the block.
+    val strs = Seq(
+      1L -> "abcd", 2L -> "abcde", 3L -> "abcdx", 4L -> "abcdefgh",
+      5L -> "abcdefghx", 6L -> "abcdefghxy", 7L -> "abcdefghijklmnop",
+      8L -> "abcdefghijklmnoq", 9L -> "abcd", 10L -> "abcdefghijklmnopqrstuvwx")
+    val maxDist = 2
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val expected = (for {
+      (ai, as_) <- strs; (bi, bs) <- strs if ai < bi
+      d = lev(as_, bs) if d <= maxDist
+    } yield (ai, bi, d.toLong)).toSet
+    val out = graft.ops.Joins.fuzzyJoinBlocked(
+        strs.toDF("id", "name"), "id", "name", blockLen = 4, maxDist = maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == expected, s"got $out\nexpected $expected")
+  }
+
+  test("joins: fuzzyJoinBlocked shuffles on (prefix, length-band) — the band reaches the join key") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L -> "aaaa", 2L -> "aaab").toDF("id", "name")
+    val p = graft.ops.Joins.fuzzyJoinBlocked(df, "id", "name", 3, 1)
+      .queryExecution.executedPlan.toString
+    // both join key components present in the hash partitioning / join keys
+    assert(p.contains("__blk") && p.contains("__band"),
+      s"length band missing from the join key\n$p")
+  }
+
   // ── Verified near-dup pairs (the oracle-checkable two-stage shape) ───
 
   test("dedup: verifiedNearDupPairs returns exact shingle Jaccard for every planted pair") {
