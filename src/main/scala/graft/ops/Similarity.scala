@@ -222,6 +222,87 @@ object Similarity {
     }
   }
 
+  /** Lloyd-refine PQ codebooks: the raw lowest-id sample from
+    * [[pqCodebooks]] is only as diverse as the corpus's id order — on a
+    * clustered corpus it can spend all `kCodes` codes on one region and
+    * quantize the rest coarsely. Each iteration runs standard L2 k-means
+    * independently in every subspace (the metric [[graft.expressions.PqEncode]]
+    * assigns by — NOT the cosine of [[refineCentroids]]; PQ codes are
+    * argmin-L2 per subvector, so the update must be the L2 mean), but all
+    * `m` subspaces train in ONE distributed pass: encode the training
+    * sample with the current codebook (narrow kernel), posexplode
+    * dimensions, and average per `(subspace, code, dim)`. Codes that
+    * attract no members keep their previous codeword.
+    *
+    * 100 TB: codebooks train on a BOUNDED deterministic sample
+    * (`trainLimit` lowest ids — refining on the full corpus buys nothing
+    * once the sample covers the distribution, and keeps each iteration's
+    * shuffle + driver collect fixed-size: `m·kCodes·sub = dim·kCodes`
+    * doubles regardless of corpus size). */
+  def refinePqCodebooks(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      kCodes: Int,
+      iterations: Int = 2,
+      trainLimit: Int = 4096): Seq[Double] = {
+    if (iterations <= 0) return pqCodebooks(corpus, vecCol, idCol, m, kCodes)
+    val train = Balance.widen(corpus)
+      .filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(trainLimit)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      // each iteration re-encodes the same bounded sample; keep it hot
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // STRIDED init, not lowest-k: Lloyd cannot separate duplicate
+    // centroids (a codeword with no members keeps its old position, and
+    // near-identical codewords split one cluster's members instead of
+    // covering the space), so seeding with the k lowest ids — which on a
+    // clustered corpus may all be ONE cluster — leaves refinement stuck
+    // where it started. Striding the sorted training sample is as
+    // deterministic and spans whatever diversity the sample has.
+    val ids = train.select(col("__id")).collect().map(_.get(0)).toSeq
+    require(ids.size >= kCodes,
+      s"refinePqCodebooks needs >= $kCodes non-null vectors, found ${ids.size}; " +
+        "lower kCodes for small corpora")
+    val picks = (0 until kCodes).map(j => ids(j * ids.size / kCodes))
+    val byId = train.filter(col("__id").isin(picks: _*)).collect()
+      .map(r => r.get(0) -> r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: java.lang.Number => n.doubleValue
+      }.toSeq).toMap
+    val seed: Seq[Seq[Double]] = picks.map(byId)
+    val dim = seed.head.length
+    require(seed.forall(_.length == dim), "refinePqCodebooks needs equal-length vectors")
+    require(dim % m == 0, s"dim $dim must divide evenly into $m subvectors")
+    val sub = dim / m
+    var cb: Seq[Double] = (0 until m).flatMap { mi =>
+      seed.flatMap(v => v.slice(mi * sub, mi * sub + sub))
+    }
+    try for (_ <- 0 until iterations) {
+      val means = train
+        .withColumn("__codes", call_function("graft_pq_encode",
+          col("__v"), typedlit(cb), lit(m), lit(kCodes)))
+        .select(col("__codes"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .withColumn("__mi", (col("__d") / sub).cast("int"))
+        .select(col("__mi"),
+          expr("__codes[__mi]").as("__ki"),
+          (col("__d") % sub).cast("int").as("__sd"),
+          col("__x").cast("double").as("__x"))
+        .groupBy("__mi", "__ki", "__sd")
+        .agg(avg(col("__x")).as("__mean"))
+        .collect() // bounded: m·kCodes·sub rows = dim·kCodes doubles
+      val next = cb.toArray
+      means.foreach { r =>
+        val mi = r.getInt(0); val ki = r.getInt(1); val sd = r.getInt(2)
+        next((mi * kCodes + ki) * sub + sd) = r.getDouble(3)
+      }
+      cb = next.toSeq
+    } finally train.unpersist(blocking = false)
+    cb
+  }
+
   /** PQ-encode a vector column: `m` argmin-L2 codes per row against the
     * flattened codebook — a pure narrow kernel map. At 100 TB the coded
     * corpus is what a PQ index STORES: `m` ints per row instead of the
@@ -261,9 +342,13 @@ object Similarity {
       m: Int = 8,
       kCodes: Int = 16,
       rerank: Int = 32,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      refineIterations: Int = 0): DataFrame = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
-    val cb = pqCodebooks(corpus, cVec, cId, m, kCodes)
+    val cb =
+      if (refineIterations > 0)
+        refinePqCodebooks(corpus, cVec, cId, m, kCodes, refineIterations)
+      else pqCodebooks(corpus, cVec, cId, m, kCodes)
     val coded = pqEncode(corpus, cVec, cb, m, kCodes).select(col(cId), col("pq_codes"))
     val scored0 = coded.crossJoin(broadcast(queries.select(col(qId), col(qVec))))
     val scored1 =

@@ -272,6 +272,26 @@ object TrainingQueries {
         .orderBy(col("q_id"))
     }),
 
+    // ── ANN: PQ with Lloyd-refined codebooks (production index path;
+    // same twin-recall argument — argmin codes score minimal ADC under
+    // ANY codebook, so the exact-top-1 oracle still applies; the two
+    // Lloyd iterations run live inside the measured query) ──────────────
+    "ann_pq_refined" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val twins = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("c_id"), col("embedding").as("c_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        .unionByName(twins)
+      Similarity.pqTopK(q, c, "q_id", "q_vec", "c_id", "c_vec",
+          k = 1, m = 8, kCodes = 16, rerank = 16, excludeSelf = true,
+          refineIterations = 2)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("q_id"))
+    }),
+
     // ── Embedding near-dups via LSH buckets (rows-only) ──────────────────
     "embed_near_dups" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2152,6 +2172,24 @@ object TrainingQueries {
     // candidate is found, and twin recall is deterministic — see the
     // query comment).
     "ann_pq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e
+        |      UNION ALL
+        |      SELECT vec_id + 100000 AS c_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT q_id, c_id,
+        |  list_dot_product(qv, cv) /
+        |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        | FROM q, c WHERE c_id <> q_id)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(cos, 4) AS cos_sim
+        |FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s) t
+        |WHERE rank <= 1 ORDER BY q_id""".stripMargin,
+
+    // Refined-codebook PQ answers the same exact-top-1 question — the
+    // codebook only changes how the candidate is FOUND, never which
+    // candidate is the true nearest.
+    "ann_pq_refined" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
         |c AS (SELECT vec_id AS c_id, v AS cv FROM e

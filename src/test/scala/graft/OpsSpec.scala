@@ -702,6 +702,54 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pq: Lloyd-refined codebooks recover recall a degenerate id-order sample loses") {
+    val s = spark
+    import s.implicits._
+    // Adversarial-for-raw-sampling corpus: the 16 LOWEST ids (exactly
+    // kCodes — the raw codebook sample) sit in ONE tight cluster, so
+    // every raw codeword is nearly identical and ADC can barely
+    // distinguish candidates. The real structure — 8 spread clusters on
+    // the coordinate axes — lives at higher ids. All deterministic.
+    val dim = 8
+    def vec(base: Int, i: Int): Seq[Double] =
+      Seq.tabulate(dim)(d =>
+        (if (d == base) 1.0 else 0.0) + (if (d == (base + 1) % dim) 0.01 * i else 0.0))
+    val tight = (0 until 16).map(i => i.toLong -> Seq.tabulate(dim)(d => 1.0 + 0.001 * i * d))
+    val spread = for (c <- 0 until 8; i <- 0 until 10)
+      yield (100L + c * 10 + i) -> vec(c, i)
+    val corpus = (tight ++ spread).toDF("c_id", "c_vec")
+    val queries = (0 until 8).map(c => (1000L + c) -> vec(c, 3)).toDF("q_id", "q_vec")
+    val k = 3
+    // ground truth by exact cosine, computed locally
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val all = (tight ++ spread)
+    val truth: Map[Long, Set[Long]] = (0 until 8).map { c =>
+      val qv = vec(c, 3)
+      (1000L + c) -> all.sortBy { case (id, v) => (-cos(qv, v), id) }.take(k).map(_._1).toSet
+    }.toMap
+    def recall(refine: Int): Double = {
+      // rerank = one cluster's size: stage-1 ADC must place the right
+      // CLUSTER into the candidate set (that's what codebook quality
+      // controls — within a cluster all members share codes and tie),
+      // and the exact re-rank orders within it. A corpus-sized rerank
+      // would let exact re-scoring paper over any codebook.
+      val got = Similarity.pqTopK(queries, corpus, "q_id", "q_vec", "c_id", "c_vec",
+          k = k, m = 4, kCodes = 16, rerank = 10, refineIterations = refine)
+        .collect().groupBy(_.getAs[Long]("q_id"))
+        .view.mapValues(_.map(_.getAs[Long]("c_id")).toSet).toMap
+      truth.map { case (q, t) => got.getOrElse(q, Set.empty).count(t) / k.toDouble }
+        .sum / truth.size
+    }
+    val raw = recall(0)
+    val refined = recall(2)
+    assert(refined >= raw, s"refined recall $refined < raw $raw")
+    assert(refined >= 0.6, s"refined codebooks should mostly find the true top-$k, got $refined")
+    assert(raw < refined || raw >= 0.6, s"corpus not adversarial enough to exercise refinement (raw=$raw)")
+  }
+
   test("bm25: term-stuffed document ranks first; termless documents are excluded") {
     val s = spark
     import s.implicits._
