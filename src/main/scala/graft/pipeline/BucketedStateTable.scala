@@ -37,9 +37,20 @@ import graft.operators.StateOps
   * defines the layout); re-bucketing is a full rewrite, as with any
   * hash-bucketed table.
   *
-  * Concurrency matches [[ParquetStateTable]]: writers to the same path
-  * serialize on a JVM-wide per-path lock; cross-process writers would
-  * need a filesystem lock or a transactional table format.
+  * Concurrency: writers to the same path serialize on a JVM-wide
+  * per-path lock (in-process) and on a create-if-absent FILESYSTEM
+  * LEASE (`_lease` under the table root) across processes — a second
+  * process's writer WAITS for the lease instead of living in
+  * `ConcurrentModificationException` retry loops (the prevention the
+  * reference gets from PostgreSQL transactions,
+  * `PostgrePersistenceService.java:227-252`). A lease older than
+  * `leaseStaleMillis` is presumed crashed and taken over. The
+  * detect-and-withdraw check in [[writeManifest]] stays as
+  * defense-in-depth: `create(overwrite=false)` is atomic on HDFS and
+  * object stores with conditional-put, but only best-effort on the
+  * local filesystem. A transactional format (Delta/Iceberg) is the
+  * production answer where available; this lease gives plain parquet
+  * the same single-writer discipline.
   */
 class BucketedStateTable(
     spark: SparkSession,
@@ -48,7 +59,9 @@ class BucketedStateTable(
     numBuckets: Int = 64,
     keepCommits: Int = 3,
     retentionFloorMillis: Long = 10 * 60 * 1000L,
-    bucketCols: Seq[String] = Nil) extends StateTable {
+    bucketCols: Seq[String] = Nil,
+    leaseStaleMillis: Long = 60_000L,
+    leaseAcquireTimeoutMillis: Long = 10 * 60 * 1000L) extends StateTable {
 
   require(keyCols.nonEmpty, "BucketedStateTable needs at least one key column")
   require(numBuckets > 0, "numBuckets must be positive")
@@ -82,6 +95,60 @@ class BucketedStateTable(
 
   private def bucketOf =
     pmod(xxhash64(effBucketCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
+
+  // ---- writer lease (cross-process single-writer discipline) --------
+
+  private def leasePath = new Path(root, "_lease")
+  private val leasePollMillis = 50L
+  // reentrancy: mergeOnceForBatch -> merge must not re-acquire (the
+  // file lease, unlike the JVM monitor, is not reentrant by itself)
+  private val leaseDepth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+
+  private def acquireLease(): Unit = {
+    val holder = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName + "#" + Thread.currentThread().getId
+    val deadline = System.currentTimeMillis() + leaseAcquireTimeoutMillis
+    while (true) {
+      try {
+        // create-if-absent IS the acquisition (atomic on HDFS;
+        // conditional-put on object stores; best-effort locally)
+        val out = fs.create(leasePath, false)
+        try out.write(
+          s"$holder\n${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        finally out.close()
+        return
+      } catch {
+        case _: java.io.IOException =>
+          val stale =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(leasePath).getModificationTime > leaseStaleMillis
+            catch { case _: java.io.FileNotFoundException => false } // just freed
+          if (stale) {
+            // holder presumed crashed — break its lease and re-contend
+            fs.delete(leasePath, false)
+          } else if (System.currentTimeMillis() > deadline) {
+            throw new IllegalStateException(
+              s"writer lease $leasePath held by a concurrent writer for " +
+                s"longer than ${leaseAcquireTimeoutMillis}ms — raise the " +
+                "timeout, or check for a wedged (not crashed) holder")
+          } else Thread.sleep(leasePollMillis)
+      }
+    }
+  }
+
+  private def withLease[T](body: => T): T =
+    if (leaseDepth.get > 0) body
+    else {
+      acquireLease()
+      leaseDepth.set(1)
+      try body finally {
+        leaseDepth.set(0)
+        try fs.delete(leasePath, false)
+        catch { case _: java.io.IOException => () }
+      }
+    }
 
   // ---- manifest -----------------------------------------------------
   // Plain-text manifest (`commit=<id>` header then `<bucket>=<commit>`
@@ -336,17 +403,17 @@ class BucketedStateTable(
       versionCols: Seq[String] = Nil): Unit = {
     require(keys == keyCols,
       s"bucketed table is laid out on $keyCols; cannot merge on $keys")
-    BucketedStateTable.lockFor(lockKey).synchronized {
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
       val dirty = dirtyBucketsOf(updates)
       if (dirty.nonEmpty) {
         val cur = readBucketsOrEmpty(dirty, like = updates)
         commit(StateOps.mergeByKey(cur, updates, keys, versionCols), dirty)
       }
-    }
+    } }
   }
 
   override def deleteWhereUnmodified(processed: DataFrame): Long =
-    BucketedStateTable.lockFor(lockKey).synchronized {
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
       val dirty = dirtyBucketsOf(processed)
       if (dirty.isEmpty) 0L
       else {
@@ -356,16 +423,16 @@ class BucketedStateTable(
         commit(res.newState, dirty)
         notRemoved
       }
-    }
+    } }
 
   override def mergeOnceForBatch(batchId: Long, streamScope: String,
       updates: DataFrame, keys: Seq[String],
       versionCols: Seq[String] = Nil): Boolean =
-    BucketedStateTable.lockFor(lockKey).synchronized {
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
       BatchMarkers.runOnce(fs, root, batchId, streamScope) {
         merge(updates, keys, versionCols)
       }
-    }
+    } }
 
   /** D2 — retention with keep-latest, bucket-pruned: one read pass finds
     * the global max `seqCol` and the buckets that actually HOLD expired
@@ -374,7 +441,7 @@ class BucketedStateTable(
     * bucket rewrites, not a full rewrite). */
   def retentionKeepLatest(seqCol: String, tsCol: String,
       cutoff: org.apache.spark.sql.Column): Unit =
-    BucketedStateTable.lockFor(lockKey).synchronized {
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
       read().foreach { df =>
         import spark.implicits._
         val maxSeq = df.agg(max(col(seqCol))).first().get(0)
@@ -388,7 +455,7 @@ class BucketedStateTable(
             dirty)
         }
       }
-    }
+    } }
 
   private[pipeline] override def tableRoot: Path = root
   private[pipeline] override def fileSystem = fs

@@ -248,6 +248,52 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(t.read().get.count() == 2L)
   }
 
+  test("writer lease: a second writer WAITS for the lease instead of failing, then proceeds") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L,
+      leaseStaleMillis = 60_000L, leaseAcquireTimeoutMillis = 60_000L)
+    // simulate ANOTHER PROCESS holding the lease (the JVM per-path lock
+    // can't see it — only the filesystem lease can)
+    val lease = new java.io.File(s"$dir/state/_lease")
+    lease.getParentFile.mkdirs()
+    Files.write(lease.toPath, "other-process#1\n0\n".getBytes("UTF-8"))
+    @volatile var committed = false
+    val writer = new Thread(() => {
+      t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+      committed = true
+    })
+    writer.start()
+    Thread.sleep(1500)
+    assert(!committed, "writer must wait while a foreign lease is held")
+    assert(writer.isAlive)
+    Files.delete(lease.toPath) // foreign holder releases
+    writer.join(60_000)
+    assert(committed, "writer must proceed once the lease frees")
+    assert(t.read().get.count() == 1L)
+    assert(!lease.exists(), "lease must be released after the commit")
+  }
+
+  test("writer lease: a stale lease (crashed holder) is broken and taken over") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L,
+      leaseStaleMillis = 500L, leaseAcquireTimeoutMillis = 60_000L)
+    val lease = new java.io.File(s"$dir/state/_lease")
+    lease.getParentFile.mkdirs()
+    Files.write(lease.toPath, "crashed-process#1\n0\n".getBytes("UTF-8"))
+    assert(lease.setLastModified(System.currentTimeMillis() - 10_000))
+    val t0 = System.nanoTime()
+    t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+    assert((System.nanoTime() - t0) / 1e9 < 30.0)
+    assert(t.read().get.count() == 1L)
+    assert(!lease.exists())
+  }
+
   test("concurrent writers serialize: interleaved merges lose no update") {
     val s = spark
     import s.implicits._
