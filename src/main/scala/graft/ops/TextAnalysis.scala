@@ -375,6 +375,73 @@ object TextAnalysis {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** BPE merge training — the iterative step `text_bpe_pairs` is one
+    * round of: count adjacent token pairs corpus-wide, take the top
+    * pair (count DESC, then pair string ASC — the deterministic
+    * tie-break), fuse every left-to-right non-overlapping occurrence
+    * into one token, recount. Returns the learned merge table
+    * `(merge_step, pair, n)` for `merges` rounds — the same
+    * driver-loop-over-distributed-aggregate shape as
+    * [[Learn.fitLogistic]] (k tiny driver scalars, k corpus passes).
+    *
+    * Token sequences are carried as one sentinel-delimited string per
+    * document (`\u0001tok\u0001\u0001tok\u0001…`): the merge is then a
+    * single codegen'd `replace` of `␁a␁␁b␁` with `␁a b␁` — sentinels
+    * make token boundaries explicit so a pair can never match inside a
+    * longer token, and `replace`'s left-to-right non-overlapping scan
+    * IS the classic BPE merge order (`a a a` merges once). Merged
+    * tokens keep an interior space; pair strings stay space-joined.
+    *
+    * 100 TB: k merges = k (narrow map → map-side-combined pair count →
+    * top-1) passes; only the pair count shuffles, and the per-round
+    * state is persisted serialized and replaced, never accumulated.
+    * Production tokenizer training runs this over a sampled slice of
+    * the corpus — the loop shape is identical, `docs` is just smaller. */
+  def bpeMerges(docs: DataFrame, textCol: Column, merges: Int): DataFrame = {
+    val S = "\u0001"
+    val spark = docs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    var state = docs.filter(textCol.isNotNull)
+      .select(concat(lit(S), array_join(split(trim(textCol), "\\s+"), S + S),
+        lit(S)).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      // NOT trim(s, S): the two-arg TRIM signature WARNs as deprecated
+      // in Spark 4 and this loop must keep bench stderr clean
+      val t = split(regexp_replace(col("s"), "^" + S + "|" + S + "$", ""), S + S)
+      val top = state
+        .select(t.as("t")).filter(size(col("t")) >= 2)
+        .select(explode(transform(slice(col("t"), lit(1), size(col("t")) - 1),
+          (x, i) => struct(x.as("l"), element_at(col("t"), i + lit(2)).as("r"))))
+          .as("p"))
+        .select(col("p.l").as("l"), col("p.r").as("r"),
+          concat(col("p.l"), lit(" "), col("p.r")).as("pair"))
+        .groupBy(col("l"), col("r"), col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"), col("l"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top.head.getAs[String]("l"), top.head.getAs[String]("r"))
+        learned += ((step, top.head.getAs[String]("pair"), top.head.getAs[Long]("n")))
+        val next = state
+          .select(call_function("replace", col("s"),
+            lit(S + l + S + S + r + S), lit(S + l + " " + r + S)).as("s"))
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        next.count()
+        state.unpersist()
+        state = next
+        step += 1
+      }
+    }
+    state.unpersist()
+    import spark.implicits._
+    learned.toSeq.toDF("merge_step", "pair", "n")
+  }
+
   /** PII redaction — the standard pre-training scrub: emails, bare
     * URLs, and long digit runs (phone/account numbers) replaced by
     * typed placeholder tokens. Patterns use only portable regex

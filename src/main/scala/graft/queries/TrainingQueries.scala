@@ -880,6 +880,17 @@ object TrainingQueries {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(20)),
 
+    // ── Text: the full BPE merge LOOP — 4 rounds of top-pair → fuse →
+    // recount (driver-loop over a distributed aggregate, like
+    // Learn.fitLogistic). The oracle unrolls the same 4 rounds as
+    // static CTE stages; the merge itself is a sentinel-guarded
+    // `replace`, identical left-to-right non-overlapping semantics in
+    // both engines. ─────────────────────────────────────────────────────
+    "text_bpe_merges" -> ((s, dir) =>
+      graft.ops.TextAnalysis.bpeMerges(
+        Tables.documents(s, dir), col("text"), merges = 4)
+        .orderBy(col("merge_step"))),
+
     // ── Text: composed logistic quality classifier — fixed-weight
     // sigmoid over fused kernel metrics; threshold applied to the
     // 6-dp ROUNDED score (exp is 1-ulp accurate, not correctly rounded,
@@ -1755,6 +1766,60 @@ object TrainingQueries {
         | FROM toks WHERE len(t) >= 2)
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
         |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // The 4-round merge loop unrolled: each stage recounts pairs from
+    // the previous state and fuses the top pair via the same
+    // sentinel-guarded replace the Spark loop uses. Tie-break is
+    // (n DESC, pair ASC, l ASC) in both engines.
+    "text_bpe_merges" ->
+      """WITH state0 AS (
+        | SELECT chr(1) || array_to_string(regexp_split_to_array(trim(text), '\s+'), chr(1)||chr(1)) || chr(1) AS s
+        | FROM documents WHERE text IS NOT NULL),
+        |cnt1 AS (
+        | SELECT l, r, l || ' ' || r AS pair, CAST(count(*) AS BIGINT) AS n
+        | FROM (SELECT unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r
+        |       FROM (SELECT string_split(trim(s, chr(1)), chr(1)||chr(1)) AS t FROM state0)
+        |       WHERE len(t) >= 2)
+        | GROUP BY l, r),
+        |top1 AS (SELECT l, r, pair, n FROM cnt1 ORDER BY n DESC, pair, l LIMIT 1),
+        |state1 AS (
+        | SELECT replace(s, chr(1)||top1.l||chr(1)||chr(1)||top1.r||chr(1),
+        |                   chr(1)||top1.l||' '||top1.r||chr(1)) AS s
+        | FROM state0, top1),
+        |cnt2 AS (
+        | SELECT l, r, l || ' ' || r AS pair, CAST(count(*) AS BIGINT) AS n
+        | FROM (SELECT unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r
+        |       FROM (SELECT string_split(trim(s, chr(1)), chr(1)||chr(1)) AS t FROM state1)
+        |       WHERE len(t) >= 2)
+        | GROUP BY l, r),
+        |top2 AS (SELECT l, r, pair, n FROM cnt2 ORDER BY n DESC, pair, l LIMIT 1),
+        |state2 AS (
+        | SELECT replace(s, chr(1)||top2.l||chr(1)||chr(1)||top2.r||chr(1),
+        |                   chr(1)||top2.l||' '||top2.r||chr(1)) AS s
+        | FROM state1, top2),
+        |cnt3 AS (
+        | SELECT l, r, l || ' ' || r AS pair, CAST(count(*) AS BIGINT) AS n
+        | FROM (SELECT unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r
+        |       FROM (SELECT string_split(trim(s, chr(1)), chr(1)||chr(1)) AS t FROM state2)
+        |       WHERE len(t) >= 2)
+        | GROUP BY l, r),
+        |top3 AS (SELECT l, r, pair, n FROM cnt3 ORDER BY n DESC, pair, l LIMIT 1),
+        |state3 AS (
+        | SELECT replace(s, chr(1)||top3.l||chr(1)||chr(1)||top3.r||chr(1),
+        |                   chr(1)||top3.l||' '||top3.r||chr(1)) AS s
+        | FROM state2, top3),
+        |cnt4 AS (
+        | SELECT l, r, l || ' ' || r AS pair, CAST(count(*) AS BIGINT) AS n
+        | FROM (SELECT unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r
+        |       FROM (SELECT string_split(trim(s, chr(1)), chr(1)||chr(1)) AS t FROM state3)
+        |       WHERE len(t) >= 2)
+        | GROUP BY l, r),
+        |top4 AS (SELECT l, r, pair, n FROM cnt4 ORDER BY n DESC, pair, l LIMIT 1)
+        |SELECT 1 AS merge_step, pair, n FROM top1
+        |UNION ALL SELECT 2, pair, n FROM top2
+        |UNION ALL SELECT 3, pair, n FROM top3
+        |UNION ALL SELECT 4, pair, n FROM top4
+        |ORDER BY merge_step""".stripMargin,
 
     // Same fixed weights, same operation order; keep-threshold on the
     // ROUNDED score — JVM Math.exp is 1-ulp accurate, not correctly

@@ -845,4 +845,31 @@ class OpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids === Set(2L))
   }
+
+  test("bpe merges: leftmost non-overlapping fuse, tie-break on pair string, merged tokens pair on") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a a a"), (2L, "b c b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, col("text"), merges = 4)
+      .orderBy("merge_step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // round 1: (a,a)=2 from "a a a" (LEFTMOST pair only — the merged
+    //   "a a" token must not re-pair with the trailing "a" this round)
+    //   ties (b,c)=2; "a a" < "b c" → "a a" wins
+    // round 2: doc1 is now ["a a", "a"]; (b,c)=2 wins
+    // round 3: both docs offer one pair; "a a a" < "b c b c"
+    // round 4: only doc2 has a pair left
+    assert(got == Seq((1, "a a", 2L), (2, "b c", 2L),
+      (3, "a a a", 1L), (4, "b c b c", 1L)))
+  }
+
+  test("bpe merges: loop stops early when no pairs remain") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x y"), (2L, "z"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, col("text"), merges = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "x y", 1L)))
+  }
 }
