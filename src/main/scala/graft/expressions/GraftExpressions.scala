@@ -450,6 +450,44 @@ object Kernels {
     InternalRow(total.toLong, set.size.toLong)
   }
 
+  /** struct(n_tokens, n_dup_tokens): token count plus the number of
+    * token POSITIONS covered by an n-gram that occurs ≥2 times within
+    * the same document — the Gopher dup-ngram-coverage signal, fused
+    * into one pass. Replaces a corpus-wide (doc, gram) window + a
+    * position-distinct shuffle with per-row O(tokens) work: gram counts
+    * into a hash map, then a second sweep marks covered positions. */
+  def dupNgramCov(input: UTF8String, n: Int): InternalRow = {
+    val toks = sparkTokens(input.toString)
+    val nt = toks.length.toLong
+    if (toks.length < n) return InternalRow(nt, 0L)
+    val total = toks.length - n + 1
+    val grams = new Array[String](total)
+    val counts = new java.util.HashMap[String, Int](total * 2)
+    var i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      val g = sb.toString
+      grams(i) = g
+      counts.put(g, counts.getOrDefault(g, 0) + 1)
+      i += 1
+    }
+    val covered = new Array[Boolean](toks.length)
+    i = 0
+    while (i < total) {
+      if (counts.get(grams(i)) >= 2) {
+        var k = 0
+        while (k < n) { covered(i + k) = true; k += 1 }
+      }
+      i += 1
+    }
+    var dup = 0L
+    i = 0
+    while (i < toks.length) { if (covered(i)) dup += 1; i += 1 }
+    InternalRow(nt, dup)
+  }
+
   /** Exact Jaccard of the distinct n-token-shingle sets of two texts —
     * one kernel call per CANDIDATE pair (the LSH-verified set is tiny),
     * replacing interpreted higher-order array lambdas that dominated the
@@ -865,6 +903,30 @@ case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** struct(n_tokens, n_dup_tokens) — within-document duplicated-n-gram
+  * token coverage ([[Kernels.dupNgramCov]]): the whole
+  * `text_dup_ngram_frac` signal as one narrow codegen'd pass instead of
+  * a corpus-wide (doc, gram) window plus a position-distinct shuffle. */
+case class DupNgramCov(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_dup_tokens", LongType, nullable = false)))
+  override def prettyName: String = "graft_dup_ngram_cov"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.dupNgramCov(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.dupNgramCov($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused per-document text metrics — marker-language scores, codepoint
   * length, whitespace-token count, BPE-ish token count, Unicode-letter
   * count, per-script counts — in a single struct from one kernel call
@@ -959,6 +1021,7 @@ object GraftExpressions {
     "graft_shingle_jaccard" -> (es => ShingleJaccard(es.head, es(1), lit(es(2)))),
     "graft_shingle_set" -> (es => ShingleSetExpr(es.head, lit(es(1)))),
     "graft_ngram_stats" -> (es => NgramStats(es.head, lit(es(1)))),
+    "graft_dup_ngram_cov" -> (es => DupNgramCov(es.head, lit(es(1)))),
     "graft_ngram_list"  -> (es => NgramListExpr(es.head, lit(es(1)))),
     "graft_vec_unit_csv" -> (es => VecUnitMicroCsv(es.head)),
     "graft_vec_q8_csv"   -> (es => VecQuant8Csv(es.head)),

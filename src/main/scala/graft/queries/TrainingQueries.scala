@@ -725,32 +725,18 @@ object TrainingQueries {
     // the cross-document span dedup. Shuffles on (doc, gram) then doc —
     // per-document cardinalities, never corpus-wide. ────────────────────
     "text_dup_ngram_frac" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = split(trim(col("text")), "\\s+")
-      val base = Tables.documents(s, dir)
-        .filter(size(toks) >= 2)
-        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
-          posexplode(graft.ops.TextAnalysis.ngramList(col("text"), 2))
-            .as(Seq("__p0", "__g")))
-        .select(col("doc_id"), col("n_tokens"),
-          (col("__p0") + 1).cast("long").as("__i"), col("__g"))
-      val cnt = Window.partitionBy(col("doc_id"), col("__g"))
-      val covered = base
-        .withColumn("__c", count(lit(1)).over(cnt))
-        .filter(col("__c") >= 2)
-        .select(col("doc_id"), col("n_tokens"),
-          explode(array(col("__i"), col("__i") + 1)).as("__pos"))
-        .distinct()
-        .groupBy(col("doc_id"), col("n_tokens"))
-        .agg(count(lit(1)).as("n_dup_tokens"))
-      val all = Tables.documents(s, dir)
-        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      // the whole signal is per-document, so it's ONE fused kernel pass
+      // (graft_dup_ngram_cov) — the previous corpus-wide (doc, gram)
+      // window + position-distinct shuffle formulation survives as the
+      // reference semantics in OpsSpec's parity test and the oracle SQL
+      val st = call_function("graft_dup_ngram_cov", col("text"), lit(2))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), st.getField("n_tokens").as("n_tokens"),
+          st.getField("n_dup_tokens").as("n_dup_tokens"))
         .filter(col("n_tokens") >= 2)
-      all.join(covered, Seq("doc_id", "n_tokens"), "left_outer")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
-          round(coalesce(col("n_dup_tokens"), lit(0L)) * lit(1.0) /
-            col("n_tokens"), 6).as("dup_frac"))
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+          round(col("n_dup_tokens") * lit(1.0) / col("n_tokens"), 6)
+            .as("dup_frac"))
         .orderBy(col("doc_id"))
     }),
 

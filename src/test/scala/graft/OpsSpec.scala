@@ -846,6 +846,58 @@ class OpsSpec extends SparkSpec {
     assert(ids === Set(2L))
   }
 
+  test("dup-ngram coverage kernel: hand cases + parity with the window-based reference semantics") {
+    val s = spark
+    import s.implicits._
+    def kernel(df: org.apache.spark.sql.DataFrame) = {
+      val st = call_function("graft_dup_ngram_cov", col("text"), lit(2))
+      df.select(col("doc_id"), st.getField("n_tokens").as("n_tokens"),
+        st.getField("n_dup_tokens").as("n_dup_tokens"))
+    }
+    val hand = Seq(
+      1L -> "a b a b c", // "a b" twice -> positions 1..4 covered
+      2L -> "x x x",     // "x x" twice, overlapping -> all 3 covered
+      3L -> "a b c",     // no repeats
+      4L -> "solo")      // <2 tokens -> no grams
+      .toDF("doc_id", "text")
+    val got = kernel(hand).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((5L, 4L)))
+    assert(got(2L) == ((3L, 3L)))
+    assert(got(3L) == ((3L, 0L)))
+    assert(got(4L) == ((1L, 0L)))
+
+    // parity on a generated repetitive corpus vs the pre-kernel
+    // formulation (corpus-wide (doc, gram) window + position distinct)
+    val words = Seq("a", "b", "c", "d", "e")
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 200).map { i =>
+      i.toLong -> (0 until (2 + rnd.nextInt(30)))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    }.toDF("doc_id", "text")
+    val reference = {
+      import org.apache.spark.sql.expressions.Window
+      val base = corpus
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.ngramList(col("text"), 2))
+            .as(Seq("__p0", "__g")))
+        .select(col("doc_id"), (col("__p0") + 1).cast("long").as("__i"),
+          col("__g"))
+      base.withColumn("__c", count(lit(1))
+          .over(Window.partitionBy(col("doc_id"), col("__g"))))
+        .filter(col("__c") >= 2)
+        .select(col("doc_id"),
+          explode(array(col("__i"), col("__i") + 1)).as("__pos"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tokens"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    kernel(corpus).collect().foreach { r =>
+      assert(r.getLong(2) == reference.getOrElse(r.getLong(0), 0L),
+        s"doc ${r.getLong(0)}: kernel ${r.getLong(2)} vs reference ${reference.getOrElse(r.getLong(0), 0L)}")
+    }
+  }
+
   test("bpe merges: leftmost non-overlapping fuse, tie-break on pair string, merged tokens pair on") {
     val s = spark
     import s.implicits._
