@@ -442,6 +442,49 @@ object TextAnalysis {
     learned.toSeq.toDF("merge_step", "pair", "n")
   }
 
+  /** EXACT heavy-hitter tokens (count ≥ `minShare` of all tokens)
+    * without a full-vocabulary shuffle: phase 1 runs a fixed-memory
+    * Misra-Gries summary ([[Sketches.MisraGries]], `k` counters per
+    * partition partial) whose superset guarantee — any token with true
+    * count > total/(k+1) survives — makes its ≤ k survivors a complete
+    * candidate set whenever `k + 1 > 1/minShare`; phase 2 recounts ONLY
+    * the candidates exactly (an `isin` literal filter pushed to the
+    * scan, then a ≤ k-key aggregate) and applies the threshold to exact
+    * counts. The answer is exact; the corpus-wide pass is sketch-sized.
+    *
+    * 100 TB: the alternative — `groupBy(token)` then HAVING — shuffles
+    * the entire Zipf-tailed vocabulary to answer a question about its
+    * head. Here the full-corpus aggregate moves k counters per
+    * partition, and the recount's shuffle carries at most k distinct
+    * keys. `k` defaults to `2/minShare` (safety factor 2 over the
+    * guarantee's minimum). */
+  def heavyHitters(
+      df: DataFrame,
+      textCol: Column,
+      minShare: Double,
+      k: Int = 0): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0,
+      s"minShare must be in (0, 1], got $minShare")
+    val kEff = if (k > 0) k else math.ceil(2.0 / minShare).toInt
+    require(kEff + 1 > 1.0 / minShare,
+      s"k=$kEff cannot guarantee completeness at minShare=$minShare " +
+        s"(need k+1 > ${1.0 / minShare})")
+    val toks = df.filter(textCol.isNotNull)
+      .select(explode(split(trim(textCol), "\\s+")).as("token"))
+    val summary = Sketches.misraGries(toks, "token", kEff)
+    val cutoff = math.ceil(summary.total * minShare).toLong
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (summary.items.isEmpty) {
+      Seq.empty[(String, Long)].toDF("token", "n_occurrences")
+    } else {
+      toks.filter(col("token").isin(summary.items.toIndexedSeq: _*))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .filter(col("n_occurrences") >= cutoff)
+    }
+  }
+
   /** PII redaction — the standard pre-training scrub: emails, bare
     * URLs, and long digit runs (phone/account numbers) replaced by
     * typed placeholder tokens. Patterns use only portable regex

@@ -866,6 +866,17 @@ object TrainingQueries {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(20)),
 
+    // ── Text: exact heavy-hitter tokens via a fixed-memory Misra-Gries
+    // sketch (superset-guaranteed candidates) + exact recount of ≤ k
+    // keys — the head of a Zipf vocabulary WITHOUT shuffling its tail.
+    // The oracle recomputes the ground truth with a plain GROUP BY /
+    // HAVING; equality holds because the sketch phase cannot lose a
+    // true heavy hitter and the recount is exact. ───────────────────────
+    "text_heavy_hitters" -> ((s, dir) =>
+      graft.ops.TextAnalysis.heavyHitters(
+        Tables.documents(s, dir), col("text"), minShare = 0.002)
+        .orderBy(col("n_occurrences").desc, col("token"))),
+
     // ── Text: the full BPE merge LOOP — 4 rounds of top-pair → fuse →
     // recount (driver-loop over a distributed aggregate, like
     // Learn.fitLogistic). The oracle unrolls the same 4 rounds as
@@ -1752,6 +1763,20 @@ object TrainingQueries {
         | FROM toks WHERE len(t) >= 2)
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
         |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // Ground truth for the sketch-plus-recount pipeline: the exact
+    // full-vocabulary answer. ceil() keeps the cutoff semantics aligned
+    // with the Spark side's math.ceil(total * minShare).
+    "text_heavy_hitters" ->
+      """WITH toks AS (
+        | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        | FROM documents WHERE text IS NOT NULL),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM toks, tot
+        |GROUP BY token, tot.n
+        |HAVING count(*) >= ceil(tot.n * 0.002)
+        |ORDER BY n_occurrences DESC, token""".stripMargin,
 
     // The 4-round merge loop unrolled: each stage recounts pairs from
     // the previous state and fuses the top pair via the same

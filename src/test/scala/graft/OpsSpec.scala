@@ -846,6 +846,33 @@ class OpsSpec extends SparkSpec {
     assert(ids === Set(2L))
   }
 
+  test("misra-gries: superset guarantee holds across partitions; heavyHitters is exact") {
+    val s = spark
+    import s.implicits._
+    // adversarial shape for a k=3 sketch: one true heavy hitter buried
+    // in a long tail of singletons, spread over many partitions so the
+    // merge path (normalize, sum, cut at (k+1)-th largest) is exercised
+    val hot = Seq.fill(400)("hot")
+    val tail = (0 until 900).map(i => s"t$i")
+    val stream = new scala.util.Random(11).shuffle(hot ++ tail)
+    val df = stream.toDF("token").repartition(16)
+    val summary = graft.ops.Sketches.misraGries(df, "token", k = 3)
+    assert(summary.total == 1300L)
+    // true freq 400 > total/(k+1) = 325 -> MUST survive the sketch
+    assert(summary.items.contains("hot"),
+      s"superset guarantee violated: ${summary.items.mkString(",")}")
+
+    // end-to-end: exact counts after recount, sketch noise gone
+    val docs = Seq(
+      1L -> (Seq.fill(50)("alpha") ++ Seq.fill(30)("beta")).mkString(" "),
+      2L -> (Seq.fill(25)("alpha") ++ (0 until 80).map(i => s"u$i")).mkString(" "),
+      3L -> null.asInstanceOf[String]).toDF("doc_id", "text")
+    // total tokens = 80 + 105 = 185; minShare 0.15 -> cutoff ceil(27.75)=28
+    val hh = graft.ops.TextAnalysis.heavyHitters(docs, col("text"), minShare = 0.15)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("alpha" -> 75L, "beta" -> 30L), s"got $hh")
+  }
+
   test("dup-ngram coverage kernel: hand cases + parity with the window-based reference semantics") {
     val s = spark
     import s.implicits._
