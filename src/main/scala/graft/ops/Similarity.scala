@@ -390,6 +390,25 @@ object Similarity {
     * Zero vectors have undefined cosine (null) and drop out of both the
     * index and the probes.
     */
+  /** Deterministic centroid sample: the `n` lowest-id non-null vectors
+    * with zero vectors dropped (a null would NPE the driver-side
+    * collect and a zero-norm centroid scores null against everything).
+    * Shared by [[ivfTopK]] and the persistent [[indexIvf]]/[[probeIvf]]
+    * pair — index build and probe must agree on centroids, and a
+    * deterministic sample is reproducible from the corpus alone. */
+  def sampleCentroids(
+      corpus: DataFrame,
+      cId: String, cVec: String,
+      n: Int): Seq[Seq[Double]] = corpus
+    .filter(col(cVec).isNotNull).orderBy(col(cId)).limit(n)
+    .select(col(cVec)).collect()
+    .map(_.getSeq[Any](0).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case nb: java.lang.Number => nb.doubleValue
+    }.toSeq).toSeq
+    .filter(_.exists(_ != 0.0))
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -399,18 +418,7 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       refineIterations: Int = 0): DataFrame = {
-    // null and zero vectors are excluded from the centroid sample — a
-    // null would NPE the driver-side collect and a zero-norm centroid
-    // scores null against everything
-    val sampled: Seq[Seq[Double]] = corpus
-      .filter(col(cVec).isNotNull).orderBy(col(cId)).limit(nCentroids)
-      .select(col(cVec)).collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case n: java.lang.Number => n.doubleValue
-      }.toSeq).toSeq
-      .filter(_.exists(_ != 0.0))
+    val sampled = sampleCentroids(corpus, cId, cVec, nCentroids)
     require(sampled.nonEmpty, "ivfTopK needs a non-empty corpus with nonzero vectors")
     val cents =
       if (refineIterations > 0)
@@ -429,24 +437,112 @@ object Similarity {
       .filter(col("__cent").isNotNull)
       .drop("__scores")
 
-    // top-nProbe centroid indices per query: sort (−score, index)
-    // structs. Null scores (zero-vector queries) map to +∞ so they sort
-    // LAST — struct-field nulls would otherwise sort FIRST and a dead
-    // centroid would occupy every query's first probe slot.
-    val idx = sequence(lit(0), lit(cents.length - 1))
-    val probes = queries
-      .withColumn("__scores", scores(col(qVec)))
-      .withColumn("__cent", explode(transform(
-        slice(array_sort(zip_with(col("__scores"), idx,
-          (s, i) => struct(coalesce(-s, lit(Double.MaxValue)).as("negs"),
-            i.as("i")))), 1, nProbe),
-        x => x.getField("i").cast("long"))))
-      .select(col("__cent"), col(qId), col(qVec))
+    val probes = centroidProbes(queries, qId, qVec, cents, nProbe)
 
     val cand = lists.join(broadcast(probes), Seq("__cent"))
       .select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("cos_sim"))
       .filter(col("cos_sim").isNotNull) // zero-vector queries emit nothing
     topKPerQuery(cand, qId, cId, k)
       .select(col(qId), col("rank"), col(cId), col("cos_sim"))
+  }
+
+  /** Top-`nProbe` centroid indices per query, one row per (query,
+    * probed centroid): sort (−score, index) structs. Null scores
+    * (zero-vector queries) map to +∞ so they sort LAST — struct-field
+    * nulls would otherwise sort FIRST and a dead centroid would occupy
+    * every query's first probe slot. */
+  private def centroidProbes(
+      queries: DataFrame,
+      qId: String, qVec: String,
+      cents: Seq[Seq[Double]],
+      nProbe: Int): DataFrame = {
+    val scores = array(cents.map(c => cosine(col(qVec), typedlit(c))): _*)
+    val idx = sequence(lit(0), lit(cents.length - 1))
+    queries
+      .withColumn("__scores", scores)
+      .withColumn("__cent", explode(transform(
+        slice(array_sort(zip_with(col("__scores"), idx,
+          (s, i) => struct(coalesce(-s, lit(Double.MaxValue)).as("negs"),
+            i.as("i")))), 1, nProbe),
+        x => x.getField("i").cast("long"))))
+      .select(col("__cent"), col(qId), col(qVec))
+  }
+
+  /** Build (or EXTEND) a persistent IVF index over `df`: one
+    * `(centroid_id, vec_id, vec)` row per vector, nearest-centroid
+    * assignment as a narrow literal-argmax map, stored in a
+    * [[graft.pipeline.BucketedStateTable]] keyed on
+    * `(centroid_id, vec_id)` but BUCKETED on `centroid_id` — so a probe
+    * that knows its `nProbe` centroid ids reads only the matching
+    * bucket directories, never the corpus-sized index. Construct as:
+    * {{{
+    * new BucketedStateTable(spark, path,
+    *   keyCols = Seq("centroid_id", "vec_id"),
+    *   bucketCols = Seq("centroid_id"))
+    * }}}
+    * `centroids` must match between indexing and probing (they define
+    * the list geometry; the table cannot check this for you — same
+    * contract as [[Dedup.indexNearDups]]'s banding parameters). The
+    * merge is keyed, so re-ingesting a batch is a no-op: at-least-once
+    * ingest converges, and a vector re-submitted with a changed
+    * embedding moves list only if its assignment changes (stale row
+    * remains under the old centroid — delete first for true updates).
+    *
+    * 100 TB: ingest cost is batch-proportional (narrow assignment map +
+    * a merge that rewrites only the buckets the batch's centroids hash
+    * into); the accumulated index never rescans. */
+  def indexIvf(
+      index: graft.pipeline.BucketedStateTable,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]]): Unit = {
+    require(centroids.nonEmpty, "indexIvf needs at least one centroid")
+    val scores = array(centroids.map(c => cosine(col(vecCol), typedlit(c))): _*)
+    val lists = Balance.widen(df)
+      .filter(col(vecCol).isNotNull)
+      .withColumn("__scores", scores)
+      .withColumn("centroid_id",
+        (call_function("array_position", col("__scores"),
+          array_max(col("__scores"))) - 1).cast("long"))
+      .filter(col("centroid_id").isNotNull) // zero vectors have no list
+      .select(col("centroid_id"), col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("vec"))
+    index.merge(lists, keys = Seq("centroid_id", "vec_id"))
+  }
+
+  /** Query a persistent IVF index built by [[indexIvf]]: each query
+    * searches only its `nProbe` nearest lists, read bucket-pruned from
+    * the state table. Returns `(qId, rank, vec_id, cos_sim)`.
+    *
+    * 100 TB: the probe read lists only the bucket directories the
+    * probed centroid ids hash into (`readForKeys`), the tiny probe set
+    * broadcasts, and the top-k reduction is the salted two-phase
+    * [[topKPerQuery]] — no corpus shuffle anywhere. */
+  def probeIvf(
+      index: graft.pipeline.BucketedStateTable,
+      queries: DataFrame,
+      qId: String, qVec: String,
+      centroids: Seq[Seq[Double]],
+      k: Int,
+      nProbe: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val probes = centroidProbes(queries, qId, qVec, centroids, nProbe)
+      .withColumnRenamed("__cent", "centroid_id")
+    val slice = index.read() match {
+      case None => return queries.sparkSession.emptyDataFrame
+        .select(lit(0L).as(qId), lit(0L).as("rank"),
+          lit(0L).as("vec_id"), lit(0.0).as("cos_sim")).limit(0)
+      case Some(cur) =>
+        index.readForKeys(probes.select(col("centroid_id")), cur.limit(0))
+    }
+    val joined = slice.join(broadcast(probes), Seq("centroid_id"))
+    val cand = (if (excludeSelf) joined.filter(col("vec_id") =!= col(qId))
+      else joined)
+      .select(col(qId), col("vec_id"),
+        cosine(col(qVec), col("vec")).as("cos_sim"))
+      .filter(col("cos_sim").isNotNull)
+    topKPerQuery(cand, qId, "vec_id", k)
+      .select(col(qId), col("rank"), col("vec_id"), col("cos_sim"))
   }
 }

@@ -217,6 +217,37 @@ object TrainingQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ── ANN: PERSISTENT incremental IVF index — the serving shape: the
+    // index lives in a BucketedStateTable bucketed by centroid_id, a
+    // second batch (planted exact twins) is ingested incrementally, and
+    // the probe reads only its nProbe centroids' buckets. Twins share
+    // their original's list by construction, so the same nProbe=6/16
+    // full-recall argument as ann_ivf_topk extends to the union and the
+    // exact-top-k DuckDB oracle applies; a lost batch, a stale slice or
+    // broken bucket pruning all change the ranks and break the hash. ────
+    "ann_ivf_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val cents = Similarity.sampleCentroids(c, "c_id", "c_vec", 16)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfidx-").toString
+      val index = new graft.pipeline.BucketedStateTable(
+        s, s"$root/index",
+        keyCols = Seq("centroid_id", "vec_id"), numBuckets = 16,
+        bucketCols = Seq("centroid_id"))
+      Similarity.indexIvf(index, c, "c_id", "c_vec", cents)
+      val batch = c.filter(col("c_id") % 7 === 0)
+        .select((col("c_id") + 100000).as("c_id"), col("c_vec"))
+      Similarity.indexIvf(index, batch, "c_id", "c_vec", cents)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.probeIvf(index, q, "q_id", "q_vec", cents,
+          k = 3, nProbe = 6)
+        .select(col("q_id"), col("rank"), col("vec_id").as("c_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ── ANN: IVF with Lloyd-refined centroids. Two spherical k-means
     // iterations run LIVE (assignment + per-dimension means); probing
     // every list (nProbe = nCentroids) makes the result exact by
@@ -1202,6 +1233,24 @@ object TrainingQueries {
 
     // Exact top-3 over the FULL corpus (self-matches included, as in the
     // Spark query); IVF at nProbe=6/16 reaches full recall here.
+    // Exact top-3 over corpus ∪ planted twins: the probe must surface
+    // the incrementally ingested batch (twins tie their originals at
+    // cos 1.0 and rank right behind them on the c_id tie-break).
+    "ann_ivf_incremental" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e
+        |      UNION ALL
+        |      SELECT vec_id + 100000, v FROM e WHERE vec_id % 7 = 0),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q_id, c_id,
+        |  list_dot_product(qv, cv) /
+        |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        | FROM q, c)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(cos, 4) AS cos_sim
+        |FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s) t
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
     "ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
