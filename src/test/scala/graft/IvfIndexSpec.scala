@@ -69,4 +69,42 @@ class IvfIndexSpec extends SparkSpec {
     Similarity.indexIvf(index, batch, "c_id", "c_vec", cents)
     assert(index.read().get.count() == n)
   }
+
+  test("streaming ingest: vectors searchable after their micro-batch; replayed batch is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = tmp()
+    val e = Tables.embeddings(spark, sf0001)
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val cents = Similarity.sampleCentroids(c, "c_id", "c_vec", 16)
+    val index = new BucketedStateTable(spark, s"$root/index",
+      keyCols = Seq("centroid_id", "vec_id"), numBuckets = 16,
+      bucketCols = Seq("centroid_id"), retentionFloorMillis = 0L)
+    Similarity.indexIvf(index, c, "c_id", "c_vec", cents)
+
+    val v0 = c.filter(col("c_id") === 0L).select("c_vec")
+      .collect().head.getSeq[Float](0)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.IvfIngestStream.start(
+      in.toDF().toDF("vec_id", "embedding"), index, cents,
+      checkpointDir = s"$root/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      in.addData(910000L -> v0) // exact twin of vec 0, streamed in
+      q.processAllAvailable()
+      val queries = e.filter(col("vec_id") === 0L)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val top = Similarity.probeIvf(index, queries, "q_id", "q_vec", cents,
+        k = 2, nProbe = 4).orderBy("rank").collect()
+      assert(top(0).getLong(2) == 0L && top(1).getLong(2) == 910000L,
+        s"streamed twin not searchable: ${top.mkString(";")}")
+    } finally q.stop()
+
+    // replay the same ingest by hand: keyed merge, count unchanged
+    val n = index.read().get.count()
+    val batch = Seq(910000L -> v0).toDF("vec_id", "embedding")
+    Similarity.indexIvf(index, batch, "vec_id", "embedding", cents)
+    assert(index.read().get.count() == n)
+  }
 }
