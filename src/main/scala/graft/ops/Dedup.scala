@@ -609,6 +609,33 @@ object Dedup {
     pairs
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    * connected components over the embedding-cosine ≥ `threshold` pair
+    * graph ([[embeddingNearDups]] candidates), keep each component's
+    * MINIMUM id, drop the rest. Component semantics matter: a chain
+    * a~b~c collapses to one survivor even when cos(a, c) is below the
+    * threshold — a greedy pairwise rule would keep two of the three and
+    * re-admit the duplicate cluster the paper's clustering step exists
+    * to remove.
+    *
+    * 100 TB: candidates form only inside LSH buckets (linear-ish, no
+    * quadratic blowup), components run through [[clusterPairs]]'
+    * hybrid union-find (driver for the typical sparse pair graph,
+    * distributed pointer-jumping beyond the edge limit), and survivors
+    * are one left-anti join on the id. */
+  def semanticSurvivors(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 12): DataFrame = {
+    val pairs = embeddingNearDups(df, idCol, vecCol, threshold, planes)
+    val dropped = clusterPairs(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold among LSH-bucketed
     * candidates (delegates bucketing to [[Similarity.lshBuckets]]). */
   def embeddingNearDups(

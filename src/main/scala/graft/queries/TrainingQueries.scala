@@ -337,6 +337,21 @@ object TrainingQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ── Embedding: SemDeDup-style semantic dedup — survivors after
+    // dropping every non-minimum member of each cosine-≥0.95 connected
+    // component. Planted exact twins give deterministic pairs; the
+    // oracle recomputes components via recursive transitive closure. ────
+    "dedup_semantic" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val planted = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+          col("label"))
+      Dedup.semanticSurvivors(e.unionByName(planted), "vec_id", "embedding",
+          threshold = 0.95)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ── Embedding preprocessing: L2 normalize (unit vectors) ─────────────
     // Components ship as micro-scaled-integer CSV: the driver compare
     // hashes flat values (arrays don't hash), and integers stringify
@@ -1292,6 +1307,28 @@ object TrainingQueries {
         | FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id)
         |SELECT a_id, b_id, round(cos, 4) AS cos_sim FROM p WHERE cos >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Survivors = everything minus ids with a smaller node reachable in
+    // the ≥0.95 cosine pair graph (same closure technique as
+    // dedup_cluster's oracle; same pair geometry as embed_near_dups).
+    "dedup_semantic" ->
+      """WITH RECURSIVE all_e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        | FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id),
+        |edg AS (SELECT a_id AS s, b_id AS d FROM p WHERE cos >= 0.95
+        |        UNION SELECT b_id, a_id FROM p WHERE cos >= 0.95),
+        |reach(s, d) AS (
+        | SELECT s, d FROM edg
+        | UNION
+        | SELECT r.s, edg.d FROM reach r JOIN edg ON r.d = edg.s),
+        |dropped AS (SELECT s AS id FROM reach GROUP BY s HAVING min(d) < s)
+        |SELECT vec_id FROM all_e WHERE vec_id NOT IN (SELECT id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
 
     "dedup_exact" ->
       """WITH all_docs AS (

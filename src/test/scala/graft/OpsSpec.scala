@@ -846,6 +846,28 @@ class OpsSpec extends SparkSpec {
     assert(ids === Set(2L))
   }
 
+  test("semantic survivors: component collapses to its min id, chain semantics, singletons survive") {
+    val s = spark
+    import s.implicits._
+    // identical triplet {1,2,3} -> one component (collides in every LSH
+    // bucket deterministically); 9 points the other way -> singleton
+    val v = Seq.fill(8)(1.0f) ++ Seq.fill(8)(0.0f)
+    val w = v.reverse
+    val df = Seq(3L -> v, 1L -> v, 2L -> v, 9L -> w)
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticSurvivors(df, "vec_id", "embedding", 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 9L), s"got $kept")
+
+    // chain semantics via clusterPairs directly: a~b, b~c but not a~c
+    // still collapses to min(a) — the property a greedy pairwise rule
+    // lacks (LSH-free check; the pair graph is given)
+    val chain = Seq((10L, 11L), (11L, 12L)).toDF("a_id", "b_id")
+    val cl = Dedup.clusterPairs(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("misra-gries: superset guarantee holds across partitions; heavyHitters is exact") {
     val s = spark
     import s.implicits._
