@@ -74,6 +74,32 @@ object Similarity {
       .select(col(qId), col("rank"), col(cId), col("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-`k` most cosine-similar corpus rows whose LABEL differs from
+    * the query's — the "closest wrong answers" a contrastive or
+    * metric-learning objective needs as negatives. Same candidate →
+    * salted two-phase top-k shape as [[bruteForceTopK]] with the label
+    * predicate applied at candidate generation (before any reduction,
+    * so k survivors are guaranteed label-mismatched, no over-fetch
+    * heuristics).
+    *
+    * 100 TB: broadcast queries, corpus streams narrow; swap the cross
+    * join for [[probeIvf]]'s bucket-pruned candidates when the corpus
+    * is indexed — the label filter composes the same way. */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String, qLabel: String,
+      cId: String, cVec: String, cLabel: String,
+      k: Int): DataFrame = {
+    val joined = Balance.widen(corpus).crossJoin(broadcast(queries))
+      .filter(col(cLabel) =!= col(qLabel))
+      .select(col(qId), col(cId),
+        cosine(col(qVec), col(cVec)).as("cos_sim"))
+    topKPerQuery(joined, qId, cId, k)
+      .select(col(qId), col("rank"), col(cId), col("cos_sim"))
+  }
+
   /** Random-hyperplane LSH: `planes`-bit signature per vector (bit p =
     * sign of <v, h_p>), returned as a `bucket` long
     * ([[graft.expressions.HyperplaneLshBucket]] — plane components derive

@@ -179,6 +179,24 @@ object TrainingQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ── Similarity: hard-negative mining — per query the top-3 nearest
+    // corpus vectors with a DIFFERENT label (the contrastive-training
+    // negatives). Label predicate applies before the top-k reduction. ───
+    "ann_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val c = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+          col("label").as("c_label"))
+      Similarity.hardNegatives(q, c, "q_id", "q_vec", "q_label",
+          "c_id", "c_vec", "c_label", k = 3)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ── Similarity: LSH-bucketed ANN as a near-dup probe. Queries are
     // the 10 vectors with a planted identical twin; the twin shares
     // every LSH band deterministically and wins top-1 at cosine 1.0, so
@@ -1415,6 +1433,19 @@ object TrainingQueries {
         |  list_distinct(regexp_split_to_array(trim(text || ' zz yy xx'), '\s+')) AS b
         | FROM documents WHERE doc_id % 5 = 0) t
         |ORDER BY doc_id""".stripMargin,
+
+    "ann_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, label AS ql FROM e WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS c_id, v AS cv, label AS cl FROM e WHERE vec_id >= 8),
+        |s AS (SELECT q_id, c_id,
+        |  list_dot_product(qv, cv) /
+        |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        | FROM q, c WHERE cl <> ql)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(cos, 4) AS cos_sim
+        |FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s) t
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

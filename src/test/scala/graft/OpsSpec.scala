@@ -846,6 +846,25 @@ class OpsSpec extends SparkSpec {
     assert(ids === Set(2L))
   }
 
+  test("hard negatives: same-label neighbors never appear, even when they are the nearest") {
+    val s = spark
+    import s.implicits._
+    val a = Seq.fill(8)(1.0f)
+    def tilt(i: Int) = a.updated(0, 1.0f + i * 0.1f)
+    val q = Seq((1L, a, 0)).toDF("q_id", "q_vec", "q_label")
+    // nearest corpus rows share the query's label; the best negatives
+    // are farther — they must still fill all k slots
+    val c = Seq(
+      (10L, a, 0),          // identical, same label -> excluded
+      (11L, tilt(1), 0),    // near, same label -> excluded
+      (12L, tilt(2), 1), (13L, tilt(3), 1), (14L, tilt(4), 2))
+      .toDF("c_id", "c_vec", "c_label")
+    val got = Similarity.hardNegatives(q, c, "q_id", "q_vec", "q_label",
+      "c_id", "c_vec", "c_label", k = 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(12L, 13L, 14L), s"got $got")
+  }
+
   test("semantic survivors: component collapses to its min id, chain semantics, singletons survive") {
     val s = spark
     import s.implicits._
