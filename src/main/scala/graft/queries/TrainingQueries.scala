@@ -1124,6 +1124,17 @@ object TrainingQueries {
         sum(s3.cast("long")).as("n_purchased_after"))
     }),
 
+    // ── Events: STRICT ordered funnel — min-chain semantics (stage i+1
+    // counts only strictly after the earliest valid stage i, resuming
+    // past out-of-order occurrences), which `events_funnel`'s
+    // min-per-type comparison cannot express: a user who clicks both
+    // before AND after their first view advances here, not there. One
+    // shuffle: per-user sorted fold over stage-type events. ─────────────
+    "events_funnel_strict" -> ((s, dir) =>
+      graft.ops.Events.funnel(Tables.events(s, dir),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))),
+
     // ── Events: cohort retention — users grouped by first-activity week
     // (ISO date_trunc, engine-portable), counted per week offset. Two
     // keyed shuffles (first-week agg, distinct activity weeks). ─────────
@@ -2285,6 +2296,24 @@ object TrainingQueries {
     // NULL step-times fall out identically: a null comparison makes the
     // AND null → CASE false → 0, matching Spark's null-skipping sum of
     // a null boolean cast.
+    // Min-chain ground truth: each stage's timestamp is the earliest
+    // occurrence strictly after the previous stage's.
+    "events_funnel_strict" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        | CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |           WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached_stage,
+        | (t3 IS NOT NULL) AS completed
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
     "events_funnel" ->
       """WITH p AS (SELECT user_id,
         |  min(CASE WHEN event_type = 'view' THEN ts END) AS t1,

@@ -846,6 +846,34 @@ class OpsSpec extends SparkSpec {
     assert(ids === Set(2L))
   }
 
+  test("strict funnel: min-chain semantics, out-of-order resumption, same-ts ties, completion counts") {
+    val s = spark
+    import s.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val rows = Seq(
+      // u1: click BEFORE first view and again after -> advances (the
+      // case the min-per-type formulation gets wrong), completes
+      (1L, ts(1), "click"), (1L, ts(2), "view"), (1L, ts(3), "click"),
+      (1L, ts(4), "purchase"),
+      // u2: purchase before click -> stuck at stage 2
+      (2L, ts(1), "view"), (2L, ts(2), "purchase"), (2L, ts(3), "click"),
+      // u3: click at the SAME ts as the first view -> strict > rejects it
+      (3L, ts(1), "view"), (3L, ts(1), "click"),
+      // u4: only irrelevant events -> stage 0
+      (4L, ts(1), "error"))
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.ops.Events.funnel(rows, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got == Map(1L -> ((3, true)), 2L -> ((2, false)),
+      3L -> ((1, false)), 4L -> ((0, false))), s"got $got")
+
+    val counts = graft.ops.Events.funnelCounts(rows, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1 -> 3L, 2 -> 2L, 3 -> 1L), s"got $counts")
+  }
+
   test("hard negatives: same-label neighbors never appear, even when they are the nearest") {
     val s = spark
     import s.implicits._
