@@ -74,6 +74,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dup-ngram coverage: fused kernel leaves only the output sort exchange") {
+    val p = plan("text_dup_ngram_frac")
+    // the per-document kernel removed the (doc, gram) window and the
+    // position-distinct shuffle: no Window, no aggregate, one exchange
+    assert(!p.contains("Window"), s"window reappeared\n$p")
+    assert(!p.contains("HashAggregate"), s"aggregate reappeared\n$p")
+    assert("Exchange".r.findAllMatchIn(p).size == 1, p)
+  }
+
+  test("hard negatives: label filter applies before the salted top-k, queries broadcast") {
+    val p = plan("ann_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries not broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("__salt"), s"lost the salted partial top-k phase\n$p")
+  }
+
+  test("strict funnel: one keyed shuffle over type-pruned events, stage filter at the scan") {
+    val p = plan("events_funnel_strict")
+    // the stage-type isin prune must reach the parquet scan
+    assert(p.contains("PushedFilters: [In(event_type"), s"type prune not pushed\n$p")
+    // no per-stage join chain over the event table: the funnel fold is
+    // one aggregate; joins are only the tiny distinct-users stitch
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("f3: predicate on the flag column reaches the scan") {
     val p = plan("f3_filter_flag")
     assert(p.contains("EqualTo(l_returnflag,R)"))
