@@ -146,4 +146,69 @@ class ScaleSpec extends SparkSpec {
       assert(hit < parts, s"box query should touch < $parts partitions, hit $hit")
     } finally laid.unpersist()
   }
+
+  test("property: strict funnel equals a sequential min-chain reference on generated streams") {
+    val s = spark
+    import s.implicits._
+    val stages = Seq("A", "B", "C")
+    val types = stages ++ Seq("X", "Y") // noise types interleave
+    val rnd = new scala.util.Random(42)
+    // several shapes per run: sparse users, dense users, heavy ties
+    val events = (0 until 2000).map { i =>
+      val u = rnd.nextInt(40).toLong
+      // coarse timestamps force plenty of equal-ts ties
+      val t = java.sql.Timestamp.valueOf(
+        f"2026-02-01 00:${rnd.nextInt(60)}%02d:00")
+      (u, t, types(rnd.nextInt(types.length)))
+    }
+    def reference(evs: Seq[(java.sql.Timestamp, String)]): Int = {
+      // min-chain: t1 = min ts of stage 1; t_i = min ts of stage i > t_(i-1)
+      var last = Long.MinValue
+      var stage = 0
+      var found = true
+      while (stage < stages.size && found) {
+        val nxt = evs.filter(e => e._2 == stages(stage) && e._1.getTime > last)
+          .map(_._1.getTime).minOption
+        nxt match {
+          case Some(t) => last = t; stage += 1
+          case None => found = false
+        }
+      }
+      stage
+    }
+    val expected = events.groupBy(_._1).map { case (u, evs) =>
+      u -> reference(evs.map(e => (e._2, e._3)))
+    }
+    val got = graft.ops.Events.funnel(
+      events.toDF("user_id", "ts", "event_type").repartition(16),
+      "user_id", "ts", "event_type", stages)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected,
+      s"diverged: ${got.toSet.diff(expected.toSet)} vs ${expected.toSet.diff(got.toSet)}")
+  }
+
+  test("property: heavy hitters are exact against a naive count on Zipf-ish streams") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // Zipf-ish: token i drawn with weight ~ 1/(i+1)
+    val vocab = (0 until 500).map(i => s"w$i")
+    val weights = vocab.indices.map(i => 1.0 / (i + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    val stream = (0 until 20000).map { _ =>
+      val x = rnd.nextDouble() * total
+      vocab(cum.indexWhere(x <= _))
+    }
+    val docs = stream.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(8)
+    val minShare = 0.01
+    val naive = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= math.ceil(stream.size * minShare).toLong)
+    val got = graft.ops.TextAnalysis.heavyHitters(docs, col("text"), minShare)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == naive,
+      s"diverged: ${got.toSet.diff(naive.toSet)} vs ${naive.toSet.diff(got.toSet)}")
+  }
 }
