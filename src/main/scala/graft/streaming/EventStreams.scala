@@ -25,6 +25,13 @@ case class Session(user_id: Long, session_start: Timestamp,
 private[streaming] case class SessionState(
     start: Long, end: Long, n: Long, total: Double)
 
+/** Per-user funnel progress carried between micro-batches. */
+private[streaming] case class FunnelState(stage: Int, lastMs: Long)
+
+/** One funnel-progress update (emitted whenever a user's batch could
+  * change their stage). */
+case class FunnelProgress(user_id: Long, reached_stage: Int, completed: Boolean)
+
 object EventStreams {
 
   /** Tumbling-window aggregation with a watermark: counts + value sums
@@ -137,6 +144,50 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("value_sum"))
+
+  /** Streaming funnel progression — the real-time face of
+    * [[graft.ops.Events.funnel]]: per-user keyed state
+    * `(stage, last ts)` advanced by each micro-batch's events (sorted
+    * by event time within the batch, strict `ts > last` between
+    * stages). Emits the user's current `reached_stage` after any batch
+    * containing their events.
+    *
+    * Semantics are ADVANCE-ONLY: when batches arrive in event-time
+    * order the result equals the batch min-chain exactly (the
+    * per-batch sort makes the fold identical); an event arriving LATE —
+    * behind a stage the user already passed — cannot retroactively
+    * lower or re-derive progress, it can only advance the funnel if it
+    * still qualifies against the recorded `last`. Exact event-time
+    * funnels over arbitrarily late data belong to the batch operator
+    * over the closed corpus; per-user state here is two fields, bounded
+    * regardless of stream length. */
+  def funnelStream(
+      spark: SparkSession,
+      events: Dataset[Event],
+      stages: Seq[String]): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      "funnel stages must be non-empty and distinct")
+    val n = stages.size
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelProgress](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          var stage = st.stage
+          var last = st.lastMs
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+            if (stage < n && e.event_type == stages(stage) &&
+              e.ts.getTime > last) {
+              stage += 1
+              last = e.ts.getTime
+            }
+          }
+          state.update(FunnelState(stage, last))
+          FunnelProgress(userId, stage, stage == n)
+      }
+  }
 
   /** Gap-based sessionization as custom keyed state
     * (`flatMapGroupsWithState` + event-time timeout): a session closes

@@ -139,6 +139,54 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: funnel state advances across micro-batches, matches batch on in-order data, never regresses") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+    val stages = Seq("view", "click", "purchase")
+    val q = EventStreams.funnelStream(s, in.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_prog")
+      .outputMode(OutputMode.Update()).start()
+    def stageOf(u: Long): Int = {
+      // memory sink in Update mode appends; latest row wins
+      val rows = s.sql(
+        s"SELECT reached_stage FROM funnel_prog WHERE user_id = $u").collect()
+      rows.last.getInt(0)
+    }
+    try {
+      // u1 advances across three batches; u2 stalls without a click
+      in.addData(ev(1, "2024-01-01 10:00:00", user = 1, typ = "view"),
+        ev(2, "2024-01-01 10:00:00", user = 2, typ = "view"))
+      q.processAllAvailable()
+      assert(stageOf(1) == 1 && stageOf(2) == 1)
+      in.addData(ev(3, "2024-01-01 10:05:00", user = 1, typ = "click"),
+        ev(4, "2024-01-01 10:05:00", user = 2, typ = "purchase")) // out of order for u2
+      q.processAllAvailable()
+      assert(stageOf(1) == 2 && stageOf(2) == 1)
+      in.addData(ev(5, "2024-01-01 10:10:00", user = 1, typ = "purchase"))
+      q.processAllAvailable()
+      assert(stageOf(1) == 3)
+
+      // a LATE event (ts behind u1's progress) cannot regress the stage
+      in.addData(ev(6, "2024-01-01 09:00:00", user = 1, typ = "view"))
+      q.processAllAvailable()
+      assert(stageOf(1) == 3)
+
+      // parity with the batch operator on the in-order event set
+      val batch = graft.ops.Events.funnel(
+        Seq((1L, ts("2024-01-01 10:00:00"), "view"),
+          (1L, ts("2024-01-01 10:05:00"), "click"),
+          (1L, ts("2024-01-01 10:10:00"), "purchase"),
+          (2L, ts("2024-01-01 10:00:00"), "view"),
+          (2L, ts("2024-01-01 10:05:00"), "purchase"))
+          .toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", stages)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(batch == Map(1L -> 3, 2L -> 1))
+    } finally q.stop()
+  }
+
   test("streaming: stream-stream interval join pairs events within the window only") {
     val s = spark
     import s.implicits._
