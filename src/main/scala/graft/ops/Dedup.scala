@@ -609,6 +609,74 @@ object Dedup {
     pairs
   }
 
+  /** Build (or extend) a persistent hyperplane-LSH index over an
+    * embedding column: one `(bucket, vec_id, vec)` row per vector in a
+    * [[graft.pipeline.BucketedStateTable]] keyed `(bucket, vec_id)` but
+    * BUCKETED on `bucket` — the embedding analogue of
+    * [[indexNearDups]]. The vector rides in the index row, so probes
+    * never need a separate store lookup (unlike the text index, where
+    * verification text lives in the doc store). `planes` must match
+    * between indexing and probing. */
+  def indexEmbeddings(
+      index: graft.pipeline.BucketedStateTable,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int = 12): Unit =
+    index.merge(
+      Similarity.lshBuckets(
+        df.filter(col(vecCol).isNotNull)
+          .select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
+        "vec", planes)
+        .select(col("bucket"), col("vec_id"), col("vec")),
+      keys = Seq("bucket", "vec_id"))
+
+  /** Incremental embedding near-dup detection: every cosine ≥
+    * `threshold` pair involving at least one vector of `batch`, against
+    * a corpus indexed by [[indexEmbeddings]] — then the batch joins the
+    * index. Same contract as [[incrementalNearDups]]: the probe reads
+    * ONLY the index buckets the batch's LSH buckets hash into, the
+    * slice is pinned before the merge, candidates are
+    * batch-proportional, and replaying an ingested batch re-emits the
+    * same pairs over an unchanged index (keyed merge — at-least-once
+    * safe). Returns `(a_id, b_id, cos_sim)` with a_id < b_id. */
+  def incrementalEmbeddingNearDups(
+      index: graft.pipeline.BucketedStateTable,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 12): DataFrame = {
+    val b = Similarity.lshBuckets(
+      batch.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
+      "vec", planes)
+      .select(col("bucket"), col("vec_id"), col("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    b.count()
+    val slice = index.readForKeys(b.select(col("bucket")), b.limit(0))
+    val cross = b.select(col("bucket"), col("vec_id").as("__nid"),
+        col("vec").as("__nv"))
+      .join(slice.select(col("bucket"), col("vec_id").as("__oid"),
+        col("vec").as("__ov")), Seq("bucket"))
+      .filter(col("__oid") =!= col("__nid"))
+      .select(least(col("__oid"), col("__nid")).as("a_id"),
+        greatest(col("__oid"), col("__nid")).as("b_id"),
+        Similarity.cosine(col("__nv"), col("__ov")).as("cos_sim"))
+    val intra = b.select(col("bucket"), col("vec_id").as("a_id"),
+        col("vec").as("__av"))
+      .join(b.select(col("bucket"), col("vec_id").as("b_id"),
+        col("vec").as("__bv")), Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        Similarity.cosine(col("__av"), col("__bv")).as("cos_sim"))
+    val pairs = cross.unionByName(intra)
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+    index.merge(b, keys = Seq("bucket", "vec_id"))
+    pairs
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
     * connected components over the embedding-cosine ≥ `threshold` pair
     * graph ([[embeddingNearDups]] candidates), keep each component's

@@ -355,6 +355,29 @@ object TrainingQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ── Embedding: INCREMENTAL near-dup against a persistent LSH
+    // index — the embedding twin of dedup_incr_near: index the corpus
+    // once, probe a twin batch bucket-pruned, add the batch. Exact
+    // twins share their original's LSH bucket deterministically; the
+    // oracle enumerates all ≥-threshold pairs involving the batch. ──────
+    "embed_incr_near" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-embidx-").toString
+      val index = new graft.pipeline.BucketedStateTable(
+        s, s"$root/index",
+        keyCols = Seq("bucket", "vec_id"), numBuckets = 16,
+        bucketCols = Seq("bucket"))
+      Dedup.indexEmbeddings(index, e, "vec_id", "embedding")
+      val batch = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Dedup.incrementalEmbeddingNearDups(index, batch, "vec_id",
+          "embedding", threshold = 0.95)
+        .select(col("a_id"), col("b_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ── Embedding: SemDeDup-style semantic dedup — survivors after
     // dropping every non-minimum member of each cosine-≥0.95 connected
     // component. Planted exact twins give deterministic pairs; the
@@ -1336,6 +1359,24 @@ object TrainingQueries {
         | FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id)
         |SELECT a_id, b_id, round(cos, 4) AS cos_sim FROM p WHERE cos >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // All ≥-threshold pairs with at least one side in the twin batch
+    // (same exhaustive-enumeration soundness as embed_near_dups: every
+    // qualifying pair collides in its LSH bucket on this geometry).
+    "embed_incr_near" ->
+      """WITH corpus AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |batch AS (
+        | SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+        | FROM embeddings WHERE vec_id % 50 = 0),
+        |all_e AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+        |p AS (SELECT least(a.vec_id, b.vec_id) AS a_id,
+        |  greatest(a.vec_id, b.vec_id) AS b_id,
+        |  list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        | FROM all_e a JOIN batch b ON a.vec_id <> b.vec_id)
+        |SELECT DISTINCT a_id, b_id, round(cos, 4) AS cos_sim FROM p
+        |WHERE cos >= 0.95 ORDER BY a_id, b_id""".stripMargin,
 
     // Survivors = everything minus ids with a smaller node reachable in
     // the ≥0.95 cosine pair graph (same closure technique as

@@ -121,6 +121,49 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(t.read().get.count() == 3L)
   }
 
+  test("embedding index: probe bucket-pruned, planted twin found, replay stable") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val index = new BucketedStateTable(spark, s"$root/embidx",
+      keyCols = Seq("bucket", "vec_id"), numBuckets = 16,
+      bucketCols = Seq("bucket"), retentionFloorMillis = 0L)
+    val e = Tables.embeddings(spark, sf0001)
+    Dedup.indexEmbeddings(index, e, "vec_id", "embedding")
+    val indexed = index.read().get.count()
+    assert(indexed > 0L)
+
+    val v0 = e.filter(col("vec_id") === 0L).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val batch = Seq(800000L -> v0).toDF("vec_id", "embedding")
+    val pairs = Dedup.incrementalEmbeddingNearDups(index, batch,
+      "vec_id", "embedding", threshold = 0.95)
+    val got = pairs.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 800000L)), s"planted twin not found: $got")
+
+    // the one-bucket batch must not read the whole index
+    val slice = index.readForKeys(
+      graft.ops.Similarity.lshBuckets(
+        batch.select(col("vec_id"), col("embedding").as("vec")), "vec", 12)
+        .select("bucket"),
+      index.read().get.limit(0))
+    val bucketsRead = slice.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("__bucket="))).distinct
+    val bucketsAll = index.read().get.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("__bucket="))).distinct
+    assert(bucketsRead.length < bucketsAll.length,
+      s"probe read ${bucketsRead.length}/${bucketsAll.length} buckets")
+
+    // replay: identical pairs, index unchanged
+    val n1 = index.read().get.count()
+    val replay = Dedup.incrementalEmbeddingNearDups(index, batch,
+      "vec_id", "embedding", threshold = 0.95)
+    assert(replay.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == got)
+    assert(index.read().get.count() == n1)
+  }
+
   test("near-dup index: probe is bucket-pruned, replay re-emits identical pairs, index stable") {
     val s = spark
     import s.implicits._
