@@ -408,4 +408,45 @@ object Corpus {
     }
     n
   }
+
+  /** Write the corpus hive-partitioned by `partitionCols` with an
+    * explicit file-count and row-order contract — the output layout a
+    * downstream consumer (training job, per-language tokenizer, spot
+    * audit) prunes by:
+    *
+    *   - ONE shuffle on (partitionCols, salt) with the salt ranging
+    *     over `filesPerPartition` values, so a naive
+    *     `write.partitionBy` from `P` upstream tasks cannot explode
+    *     into `P × |values|` small files — the classic layout killer at
+    *     100 TB — and a hot partition value fans out over UP TO
+    *     `filesPerPartition` writers instead of one straggler (hash
+    *     collisions can only merge writers, never multiply files);
+    *   - rows sorted by `sortCols` within each file, so parquet
+    *     row-group min/max footers prune point/range reads INSIDE a
+    *     partition (same discipline as the bucketed state table's
+    *     commit sort);
+    *   - directory pruning comes free from the hive layout: a filter on
+    *     the partition columns reads only matching directories
+    *     (spec-asserted via `inputFiles`).
+    *
+    * Determinism from content: the salt hashes `sortCols`, never
+    * `rand()`, so a retried task writes identical files. */
+  def writeLayout(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String],
+      filesPerPartition: Int = 1): Unit = {
+    require(partitionCols.nonEmpty, "writeLayout needs partition columns")
+    require(sortCols.nonEmpty,
+      "writeLayout needs sort columns (row-group pruning + deterministic salt)")
+    require(filesPerPartition > 0, "filesPerPartition must be positive")
+    val salt = pmod(xxhash64(sortCols.map(col): _*), lit(filesPerPartition))
+    df.repartition((partitionCols.map(col) :+ salt): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .mode("errorifexists")
+      .parquet(path)
+  }
 }

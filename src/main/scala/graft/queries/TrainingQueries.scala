@@ -953,6 +953,26 @@ object TrainingQueries {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(20)),
 
+    // ── Corpus: partitioned output layout — route by (language, length
+    // bucket), write hive-partitioned with the file-count/sort
+    // contract, READ BACK and count per partition: the oracle checks
+    // the full write→read round trip, not just the routing columns. ─────
+    "corpus_write_layout" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-layout-").toString
+      val routed = graft.ops.TextAnalysis
+        .langIdScores(Tables.documents(s, dir), col("text"))
+        .select(col("doc_id"), col("text"), col("predicted_lang"),
+          graft.ops.Corpus.lengthBucket(col("text")).as("bucket"))
+      graft.ops.Corpus.writeLayout(routed, s"$root/corpus",
+        partitionCols = Seq("predicted_lang", "bucket"),
+        sortCols = Seq("doc_id"))
+      s.read.parquet(s"$root/corpus")
+        .groupBy(col("predicted_lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("predicted_lang"), col("bucket"))
+    }),
+
     // ── Text: exact heavy-hitter tokens via a fixed-memory Misra-Gries
     // sketch (superset-guaranteed candidates) + exact recount of ≤ k
     // keys — the head of a Zipf vocabulary WITHOUT shuffling its tail.
@@ -1932,6 +1952,31 @@ object TrainingQueries {
         | FROM toks WHERE len(t) >= 2)
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
         |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // Partition counts from the same routing logic (langid priority
+    // en>de>fr>es, token-length buckets) — equality after the round
+    // trip proves no rows were lost or misrouted by the writer.
+    "corpus_write_layout" ->
+      """WITH s AS (SELECT doc_id, text,
+        | CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|was)\b')) AS BIGINT) AS score_en,
+        | CAST(len(regexp_extract_all(lower(text), '\b(der|und|die|nicht|das|ist)\b')) AS BIGINT) AS score_de,
+        | CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|une|est)\b')) AS BIGINT) AS score_fr,
+        | CAST(len(regexp_extract_all(lower(text), '\b(el|los|una|por|las|este)\b')) AS BIGINT) AS score_es
+        | FROM documents),
+        |r AS (SELECT doc_id,
+        | CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+        |      WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+        |      WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+        |      WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+        |      ELSE 'es' END AS predicted_lang,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+        | FROM s)
+        |SELECT predicted_lang,
+        | CASE WHEN nt <= 32 THEN '0_le_32' WHEN nt <= 64 THEN '1_le_64'
+        |      WHEN nt <= 128 THEN '2_le_128' WHEN nt <= 256 THEN '3_le_256'
+        |      ELSE '4_gt_256' END AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Ground truth for the sketch-plus-recount pipeline: the exact
     // full-vocabulary answer. ceil() keeps the cutoff semantics aligned
