@@ -442,6 +442,50 @@ object TextAnalysis {
     learned.toSeq.toDF("merge_step", "pair", "n")
   }
 
+  /** Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
+    * scheme): hash every `k`-token gram, slide a `window` of
+    * consecutive gram hashes, and select each window's minimum (ties →
+    * RIGHTMOST, the paper's rule); the distinct selected (hash,
+    * position) pairs are the document's fingerprints. Winnowing's
+    * guarantee — any shared run of `window + k - 1` tokens between two
+    * documents yields at least one shared fingerprint — is what makes
+    * it the standard local fingerprint for plagiarism/near-dup
+    * detection, complementing [[fingerprint]]'s whole-document hash.
+    *
+    * The gram hash is the first 8 hex digits of md5 — deliberately
+    * PORTABLE arithmetic (identical in any engine), not a
+    * Spark-internal hash, so fingerprints are oracle-checkable and
+    * stable across systems. Documents shorter than `window + k - 1`
+    * tokens have no full window and emit nothing (the guarantee does
+    * not cover them).
+    *
+    * 100 TB: per-document windows only (partitioned by id — bounded by
+    * document length, embarrassingly parallel); no corpus-wide state.
+    * Returns `(idCol, fp, fp_pos)`. */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      window: Int = 4): DataFrame = {
+    require(k > 0 && window > 0, "k and window must be positive")
+    val grams = df
+      .select(col(idCol), posexplode(ngramList(col(textCol), k))
+        .as(Seq("__p", "__g")))
+      .select(col(idCol), (col("__p") + 1).cast("long").as("pos"),
+        conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long").as("gh"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    grams
+      .withColumn("__cnt", count(lit(1)).over(w))
+      // min over (hash, -pos) structs = smallest hash, rightmost on ties
+      .withColumn("__sel", min(struct(col("gh"), (-col("pos")).as("np"))).over(w))
+      .filter(col("__cnt") === window) // only full windows select
+      .select(col(idCol), col("__sel.gh").as("fp"),
+        (-col("__sel.np")).as("fp_pos"))
+      .distinct()
+  }
+
   /** EXACT heavy-hitter tokens (count ≥ `minShare` of all tokens)
     * without a full-vocabulary shuffle: phase 1 runs a fixed-memory
     * Misra-Gries summary ([[Sketches.MisraGries]], `k` counters per

@@ -973,6 +973,14 @@ object TrainingQueries {
         .orderBy(col("predicted_lang"), col("bucket"))
     }),
 
+    // ── Text: winnowing fingerprints (MOSS) — windowed rightmost-min
+    // selection over portable md5-derived gram hashes; any shared
+    // window+k-1 token run between documents shares a fingerprint. ──────
+    "text_winnow" -> ((s, dir) =>
+      graft.ops.TextAnalysis.winnowFingerprints(
+        Tables.documents(s, dir), "doc_id", "text", k = 3, window = 4)
+        .orderBy(col("doc_id"), col("fp_pos"), col("fp"))),
+
     // ── Text: exact heavy-hitter tokens via a fixed-memory Misra-Gries
     // sketch (superset-guaranteed candidates) + exact recount of ≤ k
     // keys — the head of a Zipf vocabulary WITHOUT shuffling its tail.
@@ -1977,6 +1985,26 @@ object TrainingQueries {
         |      ELSE '4_gt_256' END AS bucket,
         | CAST(count(*) AS BIGINT) AS n_docs
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same winnowing selection: grams as in the span-dedup oracle,
+    // first-8-hex-of-md5 hashes, struct-min windows (ties rightmost via
+    // the negated position).
+    "text_winnow" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |g AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |  CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 8)) AS BIGINT) AS gh
+        | FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        | WHERE len(t) >= 3),
+        |w AS (
+        | SELECT doc_id, pos, gh,
+        |  count(*) OVER win AS cnt,
+        |  min({'gh': gh, 'np': -pos}) OVER win AS sel
+        | FROM g
+        | WINDOW win AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+        |SELECT DISTINCT doc_id, sel.gh AS fp, -sel.np AS fp_pos
+        |FROM w WHERE cnt = 4 ORDER BY doc_id, fp_pos, fp""".stripMargin,
 
     // Ground truth for the sketch-plus-recount pipeline: the exact
     // full-vocabulary answer. ceil() keeps the cutoff semantics aligned

@@ -893,6 +893,28 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(12L, 13L, 14L), s"got $got")
   }
 
+  test("winnowing: shared-run guarantee, rightmost tie-break, short docs emit nothing") {
+    val s = spark
+    import s.implicits._
+    val sharedRun = "alpha beta gamma delta epsilon zeta" // 6 = window+k-1 tokens
+    val docs = Seq(
+      1L -> s"one two $sharedRun three four",
+      2L -> s"$sharedRun completely different tail here",
+      3L -> "x x x x x x",   // all gram hashes equal -> rightmost wins
+      4L -> "too short")     // < window+k-1 tokens -> no full window
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // guarantee: any shared window+k-1 token run yields >= 1 shared hash
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      s"shared run produced no shared fingerprint: $byDoc")
+    // identical grams: one window (pos 1..4), tie -> rightmost pos 4
+    val d3 = fps.filter(_._1 == 3L)
+    assert(d3.length == 1 && d3.head._3 == 4L, s"got ${d3.toSeq}")
+    assert(!fps.exists(_._1 == 4L))
+  }
+
   test("semantic survivors: component collapses to its min id, chain semantics, singletons survive") {
     val s = spark
     import s.implicits._
