@@ -609,6 +609,62 @@ object Dedup {
     pairs
   }
 
+  /** Near-dup pairs via winnowing fingerprints
+    * ([[TextAnalysis.winnowFingerprints]]): candidates are document
+    * pairs sharing at least `minShared` selected fingerprints, verified
+    * by exact shingle Jaccard — the MOSS pipeline as a dedup operator,
+    * sitting next to the MinHash-LSH ([[verifiedNearDupPairs]]) and
+    * SimHash ([[simhashBandPairs]]) candidate generators. Winnowing's
+    * guarantee makes candidates COMPLETE for any pair sharing a
+    * `window + k - 1` token run (modulo the boilerplate cap below) —
+    * LSH's per-pair collision probability becomes a structural
+    * certainty.
+    *
+    * `maxDocFreq` drops fingerprints shared by more than that many
+    * documents before pairing (MOSS's boilerplate filter): a
+    * corpus-wide hot gram that survives winnowing would otherwise pair
+    * every pair of its thousands of documents — the quadratic hot-key
+    * blowup. With the cap, candidate count is bounded by
+    * `maxDocFreq × |fingerprints|`. Near-dup pairs share MANY
+    * fingerprints, so losing the boilerplate ones does not lose the
+    * pair.
+    *
+    * Returns `(a_id, b_id, jaccard)`, a_id < b_id, Jaccard the exact
+    * distinct-shingle measure of [[verifiedNearDupPairs]]. */
+  def winnowNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      k: Int = 3,
+      window: Int = 4,
+      minShared: Int = 1,
+      maxDocFreq: Int = 50): DataFrame = {
+    val fps = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, window)
+      .select(col(idCol).as("__id"), col("fp")).distinct()
+    val kept = fps
+      .withColumn("__df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("__df") <= maxDocFreq)
+      .drop("__df")
+    val cand = kept.select(col("__id").as("a_id"), col("fp"))
+      .join(kept.select(col("__id").as("b_id"), col("fp")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select(col("a_id"), col("b_id"))
+    val txt = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__tid"), col(textCol).as("__t"))
+    cand
+      .join(txt.select(col("__tid").as("a_id"), col("__t").as("__at")), "a_id")
+      .join(txt.select(col("__tid").as("b_id"), col("__t").as("__bt")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        call_function("graft_shingle_jaccard",
+          col("__at"), col("__bt"), lit(k)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Build (or extend) a persistent hyperplane-LSH index over an
     * embedding column: one `(bucket, vec_id, vec)` row per vector in a
     * [[graft.pipeline.BucketedStateTable]] keyed `(bucket, vec_id)` but

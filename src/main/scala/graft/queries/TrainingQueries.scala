@@ -973,6 +973,17 @@ object TrainingQueries {
         .orderBy(col("predicted_lang"), col("bucket"))
     }),
 
+    // ── Near-dup via winnowing: fingerprint-sharing candidates (with
+    // the MOSS boilerplate cap), exact-Jaccard verified — candidates
+    // are structurally complete for pairs sharing a 6-token run, so the
+    // planted twins are found deterministically. ────────────────────────
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowNearDupPairs(withPlantedNearDups(s, dir), "doc_id",
+          "text", minJaccard = 0.8)
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))),
+
     // ── Text: winnowing fingerprints (MOSS) — windowed rightmost-min
     // selection over portable md5-derived gram hashes; any shared
     // window+k-1 token run between documents shares a fingerprint. ──────
@@ -1985,6 +1996,43 @@ object TrainingQueries {
         |      ELSE '4_gt_256' END AS bucket,
         | CAST(count(*) AS BIGINT) AS n_docs
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Winnow both corpora, cap boilerplate fingerprints at the same
+    // doc-frequency, pair on shared fingerprints, verify with the same
+    // distinct-shingle Jaccard as the other dedup oracles.
+    "dedup_winnow" ->
+      """WITH all_docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0),
+        |toks AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM all_docs),
+        |g AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |  CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 8)) AS BIGINT) AS gh
+        | FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        | WHERE len(t) >= 3),
+        |w AS (
+        | SELECT doc_id, gh,
+        |  count(*) OVER win AS cnt,
+        |  min({'gh': gh, 'np': -pos}) OVER win AS sel
+        | FROM g
+        | WINDOW win AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+        |fp AS (SELECT DISTINCT doc_id, sel.gh AS fp FROM w WHERE cnt = 4),
+        |kept AS (SELECT doc_id, fp FROM fp QUALIFY count(*) OVER (PARTITION BY fp) <= 50),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        | FROM kept a JOIN kept b USING (fp) WHERE a.doc_id < b.doc_id),
+        |sh AS (SELECT doc_id,
+        | list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |   ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+        | FROM toks),
+        |p AS (
+        | SELECT a_id, b_id,
+        |  len(list_intersect(sa.s, sb.s)) * 1.0 / len(list_distinct(list_concat(sa.s, sb.s))) AS j
+        | FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+        |SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // Same winnowing selection: grams as in the span-dedup oracle,
     // first-8-hex-of-md5 hashes, struct-min windows (ties rightmost via
