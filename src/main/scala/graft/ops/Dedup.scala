@@ -639,17 +639,24 @@ object Dedup {
       k: Int = 3,
       window: Int = 4,
       minShared: Int = 1,
-      maxDocFreq: Int = 50): DataFrame = {
+      maxDocFreq: Int = 8): DataFrame = {
     val fps = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, window)
       .select(col(idCol).as("__id"), col("fp")).distinct()
-    val kept = fps
-      .withColumn("__df", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .filter(col("__df") <= maxDocFreq)
-      .drop("__df")
-    val cand = kept.select(col("__id").as("a_id"), col("fp"))
-      .join(kept.select(col("__id").as("b_id"), col("fp")), Seq("fp"))
-      .filter(col("a_id") < col("b_id"))
+    // ONE fp-keyed shuffle does cap + pairing: group each fingerprint's
+    // document list (bounded by the cap — a hot fp's list is dropped
+    // whole, so per-group state is ≤ maxDocFreq ids), then emit the
+    // i<j pairs narrowly from the sorted list. The alternative —
+    // df-count window + fp self-join — shuffles the same rows twice and
+    // recomputes the winnow projection per side.
+    val sortedIds = array_sort(col("__ids"))
+    val pairList = flatten(transform(sortedIds, (a, i) =>
+      transform(slice(sortedIds, i + 2, size(sortedIds)),
+        b => struct(a.as("a_id"), b.as("b_id")))))
+    val cand = fps.groupBy(col("fp"))
+      .agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxDocFreq))
+      .select(explode(pairList).as("__p"))
+      .select(col("__p.a_id").as("a_id"), col("__p.b_id").as("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") >= minShared)

@@ -459,9 +459,11 @@ object TextAnalysis {
     * tokens have no full window and emit nothing (the guarantee does
     * not cover them).
     *
-    * 100 TB: per-document windows only (partitioned by id — bounded by
-    * document length, embarrassingly parallel); no corpus-wide state.
-    * Returns `(idCol, fp, fp_pos)`. */
+    * 100 TB: selection is entirely per-document, so it runs as PURE
+    * ARRAY ARITHMETIC inside the scan projection — no explode-then-
+    * window, no doc-keyed exchange, no sort; the only shuffle in sight
+    * is whatever the caller does with the fingerprints. O(tokens ×
+    * window) work per row. Returns `(idCol, fp, fp_pos)`. */
   def winnowFingerprints(
       df: DataFrame,
       idCol: String,
@@ -469,20 +471,23 @@ object TextAnalysis {
       k: Int = 3,
       window: Int = 4): DataFrame = {
     require(k > 0 && window > 0, "k and window must be positive")
-    val grams = df
-      .select(col(idCol), posexplode(ngramList(col(textCol), k))
-        .as(Seq("__p", "__g")))
-      .select(col(idCol), (col("__p") + 1).cast("long").as("pos"),
-        conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long").as("gh"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, window - 1)
-    grams
-      .withColumn("__cnt", count(lit(1)).over(w))
-      // min over (hash, -pos) structs = smallest hash, rightmost on ties
-      .withColumn("__sel", min(struct(col("gh"), (-col("pos")).as("np"))).over(w))
-      .filter(col("__cnt") === window) // only full windows select
-      .select(col(idCol), col("__sel.gh").as("fp"),
-        (-col("__sel.np")).as("fp_pos"))
+    val ghs = transform(ngramList(col(textCol), k), g =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    val selType = "array<struct<gh:bigint,np:bigint>>"
+    // per window start i (1-based): fold (hash, -pos) structs with
+    // least() — smallest hash, rightmost position on ties
+    val zero = struct(lit(Long.MaxValue).as("gh"), lit(0L).as("np"))
+    val sels = when(size(col("__ghs")) >= window,
+      array_distinct(transform(
+        sequence(lit(1), size(col("__ghs")) - window + 1),
+        i => aggregate(sequence(i, i + window - 1), zero,
+          (acc, j) => least(acc,
+            struct(element_at(col("__ghs"), j).as("gh"),
+              (-j).cast("long").as("np")))))))
+      .otherwise(array().cast(selType)) // no full window -> no fingerprints
+    df.select(col(idCol), ghs.as("__ghs"))
+      .select(col(idCol), explode(sels).as("__s"))
+      .select(col(idCol), col("__s.gh").as("fp"), (-col("__s.np")).as("fp_pos"))
       .distinct()
   }
 

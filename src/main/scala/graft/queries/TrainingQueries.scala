@@ -2019,7 +2019,7 @@ object TrainingQueries {
         | FROM g
         | WINDOW win AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
         |fp AS (SELECT DISTINCT doc_id, sel.gh AS fp FROM w WHERE cnt = 4),
-        |kept AS (SELECT doc_id, fp FROM fp QUALIFY count(*) OVER (PARTITION BY fp) <= 50),
+        |kept AS (SELECT doc_id, fp FROM fp QUALIFY count(*) OVER (PARTITION BY fp) <= 8),
         |cand AS (
         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         | FROM kept a JOIN kept b USING (fp) WHERE a.doc_id < b.doc_id),
