@@ -457,6 +457,28 @@ class BucketedStateTable(
       }
     } }
 
+  /** Maintenance view: one row per bucket of the CURRENT snapshot —
+    * `(bucket, commit, n_files, total_bytes, n_rows)` — the input for
+    * the two operational questions a bucketed table raises at scale:
+    * is a bucket skewed (rebucket / salt upstream), and is the table
+    * over- or under-bucketed for its volume (`numBuckets ≈ bytes /
+    * 1–16 GB`, §10). File counts and byte sizes come from filesystem
+    * metadata; row counts from parquet footers (a metadata-only
+    * `count()` — no data pages are read). Empty table → empty frame. */
+  def stats(): DataFrame = {
+    import spark.implicits._
+    val rows = currentManifest().toSeq.flatMap { m =>
+      m.buckets.toSeq.sorted.map { case (bucket, commit) =>
+        val dir = bucketPath(bucket, commit)
+        val files = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+        val nRows = spark.read.parquet(dir.toString).count()
+        (bucket, commit, files.length.toLong,
+          files.map(_.getLen).sum, nRows)
+      }
+    }
+    rows.toDF("bucket", "commit", "n_files", "total_bytes", "n_rows")
+  }
+
   private[pipeline] override def tableRoot: Path = root
   private[pipeline] override def fileSystem = fs
 }

@@ -294,6 +294,26 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(!lease.exists())
   }
 
+  test("stats: per-bucket rows sum to the table, partial commits show mixed commit ids") {
+    val s = spark
+    import s.implicits._
+    val t = new BucketedStateTable(spark, s"${tmp()}/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L)
+    t.merge((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), keys = Seq("k"))
+    val st1 = t.stats().collect()
+    assert(st1.map(_.getAs[Long]("n_rows")).sum == 100L)
+    assert(st1.forall(_.getAs[Long]("n_files") >= 1L))
+    assert(st1.forall(_.getAs[Long]("total_bytes") > 0L))
+
+    // a one-row merge dirties one bucket: its commit id advances, the
+    // untouched buckets keep their old commit in the stats view
+    t.merge(Seq((1L, "updated")).toDF("k", "v"), keys = Seq("k"))
+    val st2 = t.stats().collect()
+    assert(st2.map(_.getAs[Long]("n_rows")).sum == 100L)
+    assert(st2.map(_.getAs[Long]("commit")).distinct.length == 2,
+      s"expected mixed commits: ${st2.mkString(";")}")
+  }
+
   test("concurrent writers serialize: interleaved merges lose no update") {
     val s = spark
     import s.implicits._
