@@ -601,6 +601,22 @@ object TrainingQueries {
       graft.ops.Profile.keySkew(Tables.events(s, dir), "user_id", k = 10)),
 
     // ── Analytics surface: rank-family windows ───────────────────────────
+    // ── Join: FULL OUTER over two per-user aggregates with asymmetric
+    // coverage (high-value clicks vs high-value purchases) — both
+    // null-padded sides exercised, coalesced to zeros. ──────────────────
+    "join_full_outer" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click" && col("value") > 90.0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_big_clicks"))
+      val purchases = e.filter(col("event_type") === "purchase" && col("value") > 90.0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_big_purchases"))
+      clicks.join(purchases, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_big_clicks"), lit(0L)).as("n_big_clicks"),
+          coalesce(col("n_big_purchases"), lit(0L)).as("n_big_purchases"))
+        .orderBy(col("user_id"))
+    }),
+
     "window_ranks" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("event_type"))
@@ -1735,6 +1751,19 @@ object TrainingQueries {
         | round(count(*) / (SELECT count(*) FROM events), 6) AS share
         |FROM events GROUP BY 1
         |ORDER BY n DESC, key LIMIT 10""".stripMargin,
+
+    "join_full_outer" ->
+      """WITH c AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n_big_clicks
+        | FROM events WHERE event_type = 'click' AND value > 90 GROUP BY user_id),
+        |p AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n_big_purchases
+        | FROM events WHERE event_type = 'purchase' AND value > 90 GROUP BY user_id)
+        |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+        | coalesce(n_big_clicks, 0) AS n_big_clicks,
+        | coalesce(n_big_purchases, 0) AS n_big_purchases
+        |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        |ORDER BY user_id""".stripMargin,
 
     "window_ranks" ->
       """SELECT event_id, event_type,
