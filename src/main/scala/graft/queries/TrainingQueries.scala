@@ -1213,6 +1213,13 @@ object TrainingQueries {
           "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
         .orderBy(col("user_id"))),
 
+    // ── Events: funnel chart counts — users reaching AT LEAST each
+    // stage of the strict funnel. ───────────────────────────────────────
+    "events_funnel_counts" -> ((s, dir) =>
+      graft.ops.Events.funnelCounts(Tables.events(s, dir),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))),
+
     // ── Events: cohort retention — users grouped by first-activity week
     // (ISO date_trunc, engine-portable), counted per week offset. Two
     // keyed shuffles (first-week agg, distinct activity weeks). ─────────
@@ -2487,6 +2494,21 @@ object TrainingQueries {
     // NULL step-times fall out identically: a null comparison makes the
     // AND null → CASE false → 0, matching Spark's null-skipping sum of
     // a null boolean cast.
+    // At-least-stage counts from the same min-chain ground truth.
+    "events_funnel_counts" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS INT) AS stage, (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+        |UNION ALL
+        |SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |UNION ALL
+        |SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        |ORDER BY stage""".stripMargin,
+
     // Min-chain ground truth: each stage's timestamp is the earliest
     // occurrence strictly after the previous stage's.
     "events_funnel_strict" ->

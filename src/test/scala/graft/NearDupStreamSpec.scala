@@ -87,4 +87,49 @@ class NearDupStreamSpec extends SparkSpec {
     assert(pairs.read().get.count() == pairCount)
     assert(docs.read().get.count() == docCount)
   }
+
+  test("embedding stream: cross-batch pairs via the persistent LSH index; replay stable") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = tmp()
+    val index = new BucketedStateTable(spark, s"$root/embidx",
+      keyCols = Seq("bucket", "vec_id"), numBuckets = 16,
+      bucketCols = Seq("bucket"), retentionFloorMillis = 0L)
+    val pairs = new BucketedStateTable(spark, s"$root/pairs",
+      keyCols = Seq("a_id", "b_id"), numBuckets = 8,
+      retentionFloorMillis = 0L)
+    val e = Tables.embeddings(spark, sf0001)
+    Dedup.indexEmbeddings(index, e, "vec_id", "embedding")
+    val v0 = e.filter(col("vec_id") === 0L).select("embedding")
+      .collect().head.getSeq[Float](0)
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.EmbedNearDupStream.start(
+      in.toDF().toDF("vec_id", "embedding"), index, pairs,
+      checkpointDir = s"$root/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    def pairSet(): Set[(Long, Long)] = pairs.read()
+      .map(_.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      .getOrElse(Set.empty)
+    try {
+      in.addData(700000L -> v0) // twin of corpus vec 0
+      q.processAllAvailable()
+      assert(pairSet().contains((0L, 700000L)), s"twin pair missing: ${pairSet()}")
+      // batch 2 pairs with the STREAMED vector of batch 1 through the index
+      in.addData(700001L -> v0)
+      q.processAllAvailable()
+      assert(pairSet().contains((700000L, 700001L)),
+        s"cross-batch pair missing: ${pairSet()}")
+    } finally q.stop()
+
+    // replay batch 2 by hand: same pairs, no state growth
+    val (ni, np) = (index.read().get.count(), pairs.read().get.count())
+    val replayed = Dedup.incrementalEmbeddingNearDups(index,
+      Seq(700001L -> v0).toDF("vec_id", "embedding"), "vec_id", "embedding", 0.95)
+    pairs.merge(replayed, keys = Seq("a_id", "b_id"))
+    assert(index.read().get.count() == ni)
+    assert(pairs.read().get.count() == np)
+  }
 }
