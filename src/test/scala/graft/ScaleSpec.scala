@@ -187,6 +187,42 @@ class ScaleSpec extends SparkSpec {
       s"diverged: ${got.toSet.diff(expected.toSet)} vs ${expected.toSet.diff(got.toSet)}")
   }
 
+  test("property: winnowing equals a sequential reference on generated corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val words = Seq("a", "b", "c", "d") // tiny vocab -> dense hash ties
+    val docs = (0 until 150).map { i =>
+      i.toLong -> (0 until rnd.nextInt(20)) // includes too-short docs
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    }
+    val (k, w) = (3, 4)
+    def md5_8(sx: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def reference(text: String): Set[(Long, Long)] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < k) return Set.empty
+      val ghs = toks.sliding(k).map(g => md5_8(g.mkString(" "))).toArray
+      if (ghs.length < w) return Set.empty
+      (0 to ghs.length - w).map { i =>
+        // min hash in the window, rightmost position on ties (1-based)
+        val win = (i until i + w).map(j => (ghs(j), j + 1))
+        win.minBy { case (h, p) => (h, -p) }
+      }.map { case (h, p) => (h, p.toLong) }.toSet
+    }
+    val expected = docs.flatMap { case (id, t) =>
+      reference(t).map { case (h, p) => (id, h, p) }
+    }.toSet
+    val got = graft.ops.TextAnalysis.winnowFingerprints(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"diverged: extra=${got.diff(expected).take(5)} missing=${expected.diff(got).take(5)}")
+  }
+
   test("property: heavy hitters are exact against a naive count on Zipf-ish streams") {
     val s = spark
     import s.implicits._
