@@ -409,6 +409,43 @@ object Corpus {
     n
   }
 
+  /** Leakage-safe train/test split: assign each document its near-dup
+    * CLUSTER (connected components over the verified ≥-`minJaccard`
+    * pair graph; singletons are their own cluster), then split by a
+    * content-derived hash of the CLUSTER id — so two near-duplicate
+    * documents can never straddle the split. Splitting by document hash
+    * instead would leak: a test document's near-twin lands in train and
+    * the eval measures memorization of the twin, not generalization —
+    * the intra-corpus counterpart of benchmark decontamination
+    * ([[decontaminate]]).
+    *
+    * Returns `df` plus `cluster` and `split` ("train"/"test") columns.
+    * Deterministic from content ([[uniformHex]] of the cluster id,
+    * [[hexThreshold]] cut) — reruns and retried tasks agree.
+    *
+    * 100 TB: the pair graph and components come from the bucketed LSH
+    * + hybrid union-find machinery ([[Dedup.verifiedNearDupPairs]] /
+    * [[Dedup.clusterPairs]] — candidates never go quadratic); the
+    * assignment itself is one left join on the id plus a narrow hash
+    * map. */
+  def splitByNearDupCluster(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      testFrac: Double,
+      seed: String = "graftsplit"): DataFrame = {
+    requireFresh(df, "cluster", "split")
+    val clusters = Dedup.clusterPairs(
+      Dedup.verifiedNearDupPairs(df, idCol, textCol, minJaccard))
+      .withColumnRenamed("id", idCol)
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("split",
+        when(uniformHex(col("cluster"), seed) < lit(hexThreshold(testFrac)),
+          lit("test")).otherwise(lit("train")))
+  }
+
   /** Write the corpus hive-partitioned by `partitionCols` with an
     * explicit file-count and row-order contract — the output layout a
     * downstream consumer (training job, per-language tokenizer, spot

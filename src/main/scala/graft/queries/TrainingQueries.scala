@@ -969,6 +969,16 @@ object TrainingQueries {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(20)),
 
+    // ── Corpus: leakage-safe train/test split — split by near-dup
+    // CLUSTER hash, so no verified near-dup pair straddles the split
+    // (the intra-corpus counterpart of decontamination). ────────────────
+    "corpus_split_leakage_safe" -> ((s, dir) =>
+      graft.ops.Corpus.splitByNearDupCluster(
+          withPlantedNearDups(s, dir), "doc_id", "text",
+          minJaccard = 0.8, testFrac = 0.1)
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))),
+
     // ── Corpus: partitioned output layout — route by (language, length
     // bucket), write hive-partitioned with the file-count/sort
     // contract, READ BACK and count per partition: the oracle checks
@@ -2007,6 +2017,36 @@ object TrainingQueries {
         | FROM toks WHERE len(t) >= 2)
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
         |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // Near-dup clusters via the same recursive closure as
+    // dedup_cluster's oracle; singletons cluster as themselves; split
+    // by the portable md5-hex threshold on the CLUSTER id
+    // (hexThreshold(0.1) = '19999999').
+    "corpus_split_leakage_safe" ->
+      """WITH RECURSIVE all_docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM all_docs),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+        | FROM tk),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS j
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |edg AS (SELECT a_id AS s, b_id AS d FROM p WHERE j >= 0.8
+        |        UNION SELECT b_id, a_id FROM p WHERE j >= 0.8),
+        |reach(s, d) AS (
+        | SELECT s, d FROM edg
+        | UNION
+        | SELECT r.s, edg.d FROM reach r JOIN edg ON r.d = edg.s),
+        |cl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster FROM reach GROUP BY s)
+        |SELECT a.doc_id, coalesce(cl.cluster, a.doc_id) AS cluster,
+        | CASE WHEN substr(md5('graftsplit:' || CAST(coalesce(cl.cluster, a.doc_id) AS VARCHAR)), 1, 8)
+        |        < '19999999' THEN 'test' ELSE 'train' END AS split
+        |FROM all_docs a LEFT JOIN cl ON a.doc_id = cl.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     // Partition counts from the same routing logic (langid priority
     // en>de>fr>es, token-length buckets) — equality after the round

@@ -484,6 +484,30 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split: no verified near-dup pair straddles the split; both splits populated") {
+    val s = spark
+    import s.implicits._
+    val d = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val planted = d.unionByName(
+      d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text")))
+    val out = Corpus.splitByNearDupCluster(planted, "doc_id", "text",
+      minJaccard = 0.8, testFrac = 0.3)
+    val splitOf = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.ops.Dedup.verifiedNearDupPairs(planted, "doc_id",
+      "text", minJaccard = 0.8).select("a_id", "b_id").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(splitOf(a) == splitOf(b),
+        s"near-dup pair ($a, $b) straddles the split: ${splitOf(a)} vs ${splitOf(b)}")
+    }
+    val frac = splitOf.values.count(_ == "test").toDouble / splitOf.size
+    assert(frac > 0.05 && frac < 0.6, s"test fraction $frac implausible for 0.3")
+  }
+
   test("writeLayout: file-count contract, directory pruning, within-file sort, lossless round trip") {
     val s = spark
     import s.implicits._
