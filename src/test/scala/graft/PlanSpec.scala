@@ -100,6 +100,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("winnow: selection is array arithmetic in the projection — no Window operator") {
+    val p = plan("text_winnow")
+    // the per-doc windowed-min runs as a fold inside the scan
+    // projection; a Window operator here means the explode+window
+    // formulation (and its doc-keyed exchange + sort) regressed
+    assert(!p.contains("RunningWindowFunction") && !p.contains("WindowExec")
+      && !"\\bWindow\\b".r.findFirstIn(p).isDefined, s"window reappeared\n$p")
+  }
+
   test("f3: predicate on the flag column reaches the scan") {
     val p = plan("f3_filter_flag")
     assert(p.contains("EqualTo(l_returnflag,R)"))
