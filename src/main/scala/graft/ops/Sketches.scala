@@ -103,12 +103,7 @@ object Sketches {
         if (w > 0) sums.update(t, sums.getOrElse(t, 0L) + w)
       }
       val out = new MgBuffer(a.total + c.total, 0L, mutable.HashMap.empty)
-      if (sums.size <= k) out.counters ++= sums
-      else {
-        // subtract the (k+1)-th largest weight, keep positives
-        val cut = sums.values.toArray.sorted(Ordering[Long].reverse)(k)
-        sums.foreach { case (t, w) => if (w > cut) out.counters.update(t, w - cut) }
-      }
+      out.counters ++= Sketches.cutToK(sums, k)
       if (out.counters.nonEmpty) out.minStored = out.counters.values.min
       out
     }
@@ -124,6 +119,33 @@ object Sketches {
     override def bufferEncoder: Encoder[MgBuffer] = Encoders.kryo[MgBuffer]
     override def outputEncoder: Encoder[MgSummary] =
       org.apache.spark.sql.Encoders.product[MgSummary]
+  }
+
+  /** The Mergeable-Summaries reduction shared by the Aggregator's merge
+    * and [[mergeSummaries]]: keep all weights when they fit `k`
+    * counters, else subtract the (k+1)-th largest and keep positives. */
+  private[graft] def cutToK(
+      sums: scala.collection.Map[String, Long], k: Int): Map[String, Long] =
+    if (sums.size <= k) sums.toMap
+    else {
+      val cut = sums.values.toArray.sorted(Ordering[Long].reverse)(k)
+      sums.iterator.collect { case (t, w) if w > cut => t -> (w - cut) }.toMap
+    }
+
+  /** Merge two FINISHED summaries (Agarwal et al.: pointwise sum, cut
+    * at the (k+1)-th largest). Associative and commutative, so batch
+    * summaries can accumulate across micro-batches / days / sources in
+    * any order while preserving the superset guarantee for the UNION
+    * stream: any item with true total count > (a.total + c.total)/(k+1)
+    * survives the merged summary. */
+  def mergeSummaries(a: MgSummary, c: MgSummary, k: Int): MgSummary = {
+    val sums = mutable.HashMap.empty[String, Long]
+    a.items.indices.foreach(i =>
+      sums.update(a.items(i), sums.getOrElse(a.items(i), 0L) + a.weights(i)))
+    c.items.indices.foreach(i =>
+      sums.update(c.items(i), sums.getOrElse(c.items(i), 0L) + c.weights(i)))
+    val kept = cutToK(sums, k).toArray.sortBy { case (t, w) => (-w, t) }
+    MgSummary(a.total + c.total, kept.map(_._1), kept.map(_._2))
   }
 
   /** Run the summary over one String column of `df`; returns the single

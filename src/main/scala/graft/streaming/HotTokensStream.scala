@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.Sketches
+import graft.pipeline.MgSummaryStore
+
+/** Streaming vocabulary monitor: per micro-batch a distributed
+  * Misra-Gries summary of the batch's tokens (fixed k counters per
+  * partition partial), merged into a persistent accumulated summary —
+  * the what-is-hot-in-the-stream question answered with state bounded
+  * by k REGARDLESS of stream length, where a groupBy-count monitor's
+  * state grows with the vocabulary.
+  *
+  * Mergeable-summaries associativity means the accumulated summary is
+  * exactly a one-shot summary of the concatenated stream: the superset
+  * guarantee (any token with total count > total/(k+1) is present)
+  * holds over ALL data ever streamed, so the summary's survivors are a
+  * complete candidate set for an exact offline recount at any time
+  * ([[graft.ops.TextAnalysis.heavyHitters]] phase 2).
+  *
+  * Sketch merges are not idempotent, so unlike the engine's keyed-merge
+  * twins this stream NEEDS its batch marker:
+  * [[graft.pipeline.MgSummaryStore.updateOnceForBatch]] makes an
+  * at-least-once replay a no-op. */
+object HotTokensStream {
+
+  /** Start the monitor over `batches` (a streaming DataFrame); `textCol`
+    * is whitespace-tokenized, matching the batch heavy-hitter
+    * tokenization. */
+  def start(
+      batches: DataFrame,
+      store: MgSummaryStore,
+      checkpointDir: String,
+      textCol: Column,
+      k: Int = 1000,
+      trigger: Trigger = Trigger.AvailableNow(),
+      afterBatch: Long => Unit = _ => ()): StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val toks = batch.filter(textCol.isNotNull)
+          .select(explode(split(trim(textCol), "\\s+")).as("token"))
+        val bs = Sketches.misraGries(toks, "token", k)
+        store.updateOnceForBatch(batchId, checkpointDir) {
+          case Some(prev) => Sketches.mergeSummaries(prev, bs, k)
+          case None => bs
+        }
+        afterBatch(batchId)
+      }
+      .start()
+}
