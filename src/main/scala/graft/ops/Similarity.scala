@@ -557,7 +557,8 @@ object Similarity {
       .withColumnRenamed("__cent", "centroid_id")
     val slice = index.read() match {
       case None => return queries.sparkSession.emptyDataFrame
-        .select(lit(0L).as(qId), lit(0L).as("rank"),
+        // rank is INT to match the populated path's row_number()
+        .select(lit(0L).as(qId), lit(0).as("rank"),
           lit(0L).as("vec_id"), lit(0.0).as("cos_sim")).limit(0)
       case Some(cur) =>
         index.readForKeys(probes.select(col("centroid_id")), cur.limit(0))
