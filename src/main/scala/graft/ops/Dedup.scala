@@ -640,21 +640,30 @@ object Dedup {
       window: Int = 4,
       minShared: Int = 1,
       maxDocFreq: Int = 8): DataFrame = {
+    // pinned: the df-count pass and the collect pass both read this —
+    // without the cache the winnow projection runs twice
     val fps = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, window)
       .select(col(idCol).as("__id"), col("fp")).distinct()
-    // ONE fp-keyed shuffle does cap + pairing: group each fingerprint's
-    // document list (bounded by the cap — a hot fp's list is dropped
-    // whole, so per-group state is ≤ maxDocFreq ids), then emit the
-    // i<j pairs narrowly from the sorted list. The alternative —
-    // df-count window + fp self-join — shuffles the same rows twice and
-    // recomputes the winnow projection per side.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // Cap BEFORE collecting: the doc-frequency count is a map-side-
+    // combined aggregate (counters, never lists), and only fingerprints
+    // inside [2, maxDocFreq] reach the collect_list — so no aggregation
+    // buffer ever holds more than maxDocFreq ids, even for a
+    // boilerplate fingerprint shared by millions of documents. (A
+    // collect-then-filter would gather the hot fp's full list first —
+    // the OOM this cap exists to prevent.) Pairs then emit narrowly
+    // from each bounded sorted list.
+    val keptFps = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2, maxDocFreq))
+      .select(col("fp"))
     val sortedIds = array_sort(col("__ids"))
     val pairList = flatten(transform(sortedIds, (a, i) =>
       transform(slice(sortedIds, i + 2, size(sortedIds)),
         b => struct(a.as("a_id"), b.as("b_id")))))
-    val cand = fps.groupBy(col("fp"))
+    val cand = fps.join(keptFps, Seq("fp"))
+      .groupBy(col("fp"))
       .agg(collect_list(col("__id")).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxDocFreq))
       .select(explode(pairList).as("__p"))
       .select(col("__p.a_id").as("a_id"), col("__p.b_id").as("b_id"))
       .groupBy(col("a_id"), col("b_id"))
