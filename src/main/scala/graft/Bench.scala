@@ -73,6 +73,25 @@ object Bench {
       if (results.exists(_._2 < 0)) -1.0
       else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"sf":"$sfDir"}""")
+
+    // Durable record: stdout passes through a bounded (~2k char) tail
+    // capture that can hold ~21 of 120+ per-query lines, so the official
+    // artifact has carried "parsed": null for six straight rounds. The
+    // full per-query map + total is therefore ALSO written to
+    // BENCH_LOCAL.json in the working directory (the repo root under
+    // sbt), committed per round, so regressions can be diffed without
+    // tail archaeology.
+    val queriesJson = results
+      .map { case (n, v) => s""""$n":$v""" }
+      .mkString("{", ",", "}")
+    val localJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"trials":$trials,"sf":"$sfDir","queries":$queriesJson}"""
+    try {
+      val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      java.nio.file.Files.write(out, (localJson + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
