@@ -105,6 +105,46 @@ class BucketedStateTable(
   private val leaseDepth = new ThreadLocal[Integer] {
     override def initialValue: Integer = 0
   }
+  // the holder's heartbeat thread (at most one live: mutations are
+  // serialized per table path by the JVM lock before withLease)
+  @volatile private var heartbeat: Option[Thread] = None
+
+  private def writeLeaseFile(holder: String, overwrite: Boolean): Unit = {
+    val out = fs.create(leasePath, overwrite)
+    try out.write(
+      s"$holder\n${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Refresh the lease's mtime every staleMillis/3 while the holder is
+    * alive, so staleness observed by a waiter really means "holder
+    * crashed" — without this, any commit outlasting `leaseStaleMillis`
+    * (routine for a large bucket rewrite) looks identical to a crash
+    * and a waiter breaks the lease MID-WRITE, producing exactly the
+    * double-writer interleaving the lease exists to prevent. */
+  private def startHeartbeat(holder: String): Unit = {
+    val period = math.max(leaseStaleMillis / 3, 10L)
+    val t = new Thread({ () =>
+      var live = true
+      while (live) {
+        try {
+          Thread.sleep(period)
+          writeLeaseFile(holder, overwrite = true)
+        } catch {
+          case _: InterruptedException => live = false
+          case _: java.io.IOException => () // transient; retry next beat
+        }
+      }
+    }: Runnable, s"graft-lease-heartbeat-${root.getName}")
+    t.setDaemon(true)
+    t.start()
+    heartbeat = Some(t)
+  }
+
+  private def stopHeartbeat(): Unit = {
+    heartbeat.foreach { t => t.interrupt(); t.join(2000) }
+    heartbeat = None
+  }
 
   private def acquireLease(): Unit = {
     val holder = java.lang.management.ManagementFactory
@@ -114,10 +154,8 @@ class BucketedStateTable(
       try {
         // create-if-absent IS the acquisition (atomic on HDFS;
         // conditional-put on object stores; best-effort locally)
-        val out = fs.create(leasePath, false)
-        try out.write(
-          s"$holder\n${System.currentTimeMillis()}\n".getBytes("UTF-8"))
-        finally out.close()
+        writeLeaseFile(holder, overwrite = false)
+        startHeartbeat(holder)
         return
       } catch {
         case _: java.io.IOException =>
@@ -126,8 +164,18 @@ class BucketedStateTable(
               fs.getFileStatus(leasePath).getModificationTime > leaseStaleMillis
             catch { case _: java.io.FileNotFoundException => false } // just freed
           if (stale) {
-            // holder presumed crashed — break its lease and re-contend
-            fs.delete(leasePath, false)
+            // Holder presumed crashed (heartbeat means a LIVE holder never
+            // looks stale). Break by atomic rename to a unique tombstone:
+            // of N waiters that all observed staleness, exactly one rename
+            // wins and frees the slot — delete-then-create would let two
+            // waiters both delete (the second deleting the NEW holder's
+            // fresh lease) and both acquire.
+            val tomb = new Path(
+              root, s"_lease.broken.${java.util.UUID.randomUUID()}")
+            val won =
+              try fs.rename(leasePath, tomb)
+              catch { case _: java.io.IOException => false }
+            if (won) fs.delete(tomb, false)
           } else if (System.currentTimeMillis() > deadline) {
             throw new IllegalStateException(
               s"writer lease $leasePath held by a concurrent writer for " +
@@ -145,6 +193,7 @@ class BucketedStateTable(
       leaseDepth.set(1)
       try body finally {
         leaseDepth.set(0)
+        stopHeartbeat()
         try fs.delete(leasePath, false)
         catch { case _: java.io.IOException => () }
       }
@@ -216,9 +265,10 @@ class BucketedStateTable(
     * caller to retry. Detection, not prevention: the window shrinks to
     * the rename itself; full prevention needs a filesystem lease or a
     * transactional table format. */
-  private def writeManifest(m: Manifest, basedOn: Long): Unit = {
+  private def writeManifest(m: Manifest, basedOn: Long,
+      forNumBuckets: Int = numBuckets): Unit = {
     fs.mkdirs(commitsDir)
-    val body = (s"commit=${m.commitId}\nnumBuckets=$numBuckets\n" +
+    val body = (s"commit=${m.commitId}\nnumBuckets=$forNumBuckets\n" +
       s"bucketCols=${effBucketCols.mkString(",")}\n" +
       m.buckets.toSeq.sorted.map { case (b, c) => s"$b=$c\n" }.mkString)
     val tmp = new Path(commitsDir, f".c${m.commitId}%08d.txt.tmp")
@@ -478,6 +528,79 @@ class BucketedStateTable(
     }
     rows.toDF("bucket", "commit", "n_files", "total_bytes", "n_rows")
   }
+
+  /** Re-shard the table into `newNumBuckets` buckets IN PLACE — the
+    * maintenance op a table that grew 100× needs once [[stats]] shows
+    * 100-GB buckets. A lease-guarded full rewrite (the heartbeat keeps
+    * the lease alive however long it takes): the current snapshot is
+    * re-hashed into the new bucket count under a fresh commit, the new
+    * manifest (recording the new layout) publishes via the same atomic
+    * rename as any commit, and THEN the old-layout manifests are
+    * dropped — history is explicitly truncated at the rebucket point
+    * (`readAt` across a layout change would lie about bucket pruning).
+    * A concurrent reader that already resolved an old manifest keeps
+    * reading its files untouched — old data dirs outlive their
+    * manifests by the retention floor, exactly as after any commit.
+    *
+    * Returns the NEW handle; this instance refuses further reads and
+    * writes (its layout check no longer matches the manifest — by
+    * design, so a stale handle cannot hash keys into wrong buckets). */
+  def rebucket(newNumBuckets: Int): BucketedStateTable =
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      require(newNumBuckets > 0, "newNumBuckets must be positive")
+      val snapshot = read()
+      val next = nextCommitId()
+      val newBucketOf = pmod(xxhash64(effBucketCols.map(col): _*),
+        lit(newNumBuckets.toLong)).cast("int")
+      val written: Seq[Int] = snapshot match {
+        case None => Nil
+        case Some(df) =>
+          val out = new Path(dataDir, f"c$next%08d")
+          df.withColumn(BucketCol, newBucketOf)
+            .repartition(newNumBuckets, col(BucketCol))
+            .sortWithinPartitions(BucketCol, keyCols: _*)
+            .write.partitionBy(BucketCol).mode("errorifexists")
+            .parquet(out.toString)
+          fs.listStatus(out).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+            .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
+            .sorted
+      }
+      val basedOn = currentManifest().map(_.commitId).getOrElse(0L)
+      writeManifest(Manifest(next, written.map(_ -> next).toMap), basedOn,
+        forNumBuckets = newNumBuckets)
+      // truncate: every pre-rebucket manifest describes the OLD layout
+      // and must not resolve anymore; their data dirs fall to the new
+      // handle's pruning once past the retention floor
+      manifestFiles().filter(_._1 < next).foreach { case (_, p) =>
+        fs.delete(p, false)
+      }
+      new BucketedStateTable(spark, path, keyCols, newNumBuckets,
+        keepCommits, retentionFloorMillis, bucketCols, leaseStaleMillis,
+        leaseAcquireTimeoutMillis)
+    } }
+
+  /** Export the current snapshot to `outPath` in `format` — the
+    * migration bridge out of this bespoke commit log into a
+    * production table format's import path (e.g. write parquet, then
+    * `CONVERT TO DELTA` / Iceberg `add_files` on a real deployment;
+    * those libraries aren't on this classpath, so the contract stops at
+    * a clean columnar snapshot). Plain unpartitioned files keyed by
+    * `keyCols` row order within each file; returns the exported row
+    * count. The read resolves ONE manifest, so the export is a
+    * consistent snapshot even if writers keep committing during it. */
+  def exportTo(outPath: String, format: String = "parquet"): Long =
+    read() match {
+      case None =>
+        // an empty table has no schema to export (the commit log never
+        // saw a row) — create the target dir and export nothing
+        fs.mkdirs(new Path(outPath))
+        0L
+      case Some(df) =>
+        val snap = df.sortWithinPartitions(keyCols.map(col): _*)
+        snap.write.format(format).mode("overwrite").save(outPath)
+        spark.read.format(format).load(outPath).count()
+    }
 
   private[pipeline] override def tableRoot: Path = root
   private[pipeline] override def fileSystem = fs

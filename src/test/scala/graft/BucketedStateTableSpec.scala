@@ -294,6 +294,93 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(!lease.exists())
   }
 
+  test("writer lease: heartbeat keeps a slow commit's lease fresh past the staleness window") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L,
+      leaseStaleMillis = 1000L, leaseAcquireTimeoutMillis = 60_000L)
+    // hold the commit open well past leaseStaleMillis: without the
+    // heartbeat the lease mtime would age past staleness and a waiter
+    // would break it MID-WRITE (the double-writer corruption)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    t.beforePublish = () => gate.await()
+    @volatile var done = false
+    val writer = new Thread(() => {
+      t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+      done = true
+    })
+    writer.start()
+    val lease = new java.io.File(s"$dir/state/_lease")
+    val deadline = System.currentTimeMillis() + 30_000
+    while (!lease.exists() && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(lease.exists(), "holder must have acquired the lease")
+    Thread.sleep(2500) // 2.5x the staleness window
+    val age = System.currentTimeMillis() - lease.lastModified()
+    assert(age < 1000L,
+      s"heartbeat must keep a live holder's lease fresh; age=${age}ms")
+    gate.countDown()
+    writer.join(60_000)
+    assert(done, "held commit must complete")
+    assert(!lease.exists(), "lease must release after the commit")
+    t.beforePublish = () => ()
+  }
+
+  test("rebucket: 4 -> 16 under a concurrent reader; stats reflect the new layout; history truncates") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
+    t.merge((1L to 500L).map(i => (s"k$i", i)).toDF("k", "v"), keys = Seq("k"))
+    t.merge(Seq(("k1", -1L)).toDF("k", "v"), keys = Seq("k"))
+    val reader = t.read().get // resolves the OLD layout's manifest
+
+    val t16 = t.rebucket(16)
+
+    // the stale handle refuses instead of hashing into wrong buckets
+    intercept[IllegalArgumentException] { t.read() }
+    // the concurrent reader's resolved snapshot still reads: data dirs
+    // outlive their (truncated) manifests by the retention floor
+    assert(reader.count() == 500L)
+    // same logical state through the new handle, genuinely re-sharded
+    assert(t16.read().get.count() == 500L)
+    assert(t16.read().get.filter(col("k") === "k1").head().getLong(1) == -1L)
+    val st = t16.stats().collect()
+    assert(st.map(_.getAs[Long]("n_rows")).sum == 500L)
+    val buckets = st.map(_.getAs[Int]("bucket")).toSet
+    assert(buckets.subsetOf((0 until 16).toSet))
+    assert(buckets.size > 4, s"500 keys must spread past 4 buckets: $buckets")
+    // history is explicitly truncated at the rebucket commit
+    assert(t16.commits().size == 1)
+    // and post-rebucket mutations stay bucket-pruned on the NEW layout
+    t16.merge(Seq(("k2", -2L)).toDF("k", "v"), keys = Seq("k"))
+    assert(t16.lastCommit.get.bucketsWritten.size == 1)
+    assert(t16.read().get.count() == 500L)
+  }
+
+  test("exportTo round-trips the current snapshot into plain columnar files") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L)
+    t.merge((1L to 100L).map(i => (s"k$i", i)).toDF("k", "v"), keys = Seq("k"))
+    t.merge(Seq(("k1", -1L)).toDF("k", "v"), keys = Seq("k"))
+    assert(t.exportTo(s"$dir/export") == 100L)
+    val back = spark.read.parquet(s"$dir/export")
+      .as[(String, Long)].collect().toSet
+    val cur = t.read().get.as[(String, Long)].collect().toSet
+    assert(back == cur, "export must equal the merged snapshot")
+    assert(back(("k1", -1L)))
+    // empty table: no schema to export — no files, zero count
+    val e = new BucketedStateTable(spark, s"$dir/empty",
+      keyCols = Seq("k"), numBuckets = 4)
+    assert(e.exportTo(s"$dir/export-empty") == 0L)
+  }
+
   test("stats: per-bucket rows sum to the table, partial commits show mixed commit ids") {
     val s = spark
     import s.implicits._
