@@ -17,36 +17,64 @@ object Events {
     * ts > tᵢ₋₁). Returns `(userCol, reached_stage, completed)` for
     * every user with at least one event.
     *
-    * Implemented as ONE shuffle: events are pruned to the stage types,
-    * collected and sorted per user, and folded through a codegen'd
-    * `aggregate` lambda — processing events in ts order and advancing
-    * greedily at the first qualifying event IS the min-chain (greedy
-    * earliest-advance is exactly tᵢ's minimality, and the strict
-    * `ts > last` guard resolves equal-timestamp ties identically to the
-    * join-chain formulation regardless of sort order). The stage-join
-    * alternative costs one shuffle join per stage over the full event
-    * table; here the per-user state is just that user's stage-type
-    * events.
+    * Typical users take ONE shuffle: events are pruned to the stage
+    * types, collected and sorted per user, and folded through a
+    * codegen'd `aggregate` lambda — processing events in ts order and
+    * advancing greedily at the first qualifying event IS the min-chain
+    * (greedy earliest-advance is exactly tᵢ's minimality, and the
+    * strict `ts > last` guard resolves equal-timestamp ties identically
+    * to the join-chain formulation regardless of sort order).
     *
-    * 100 TB: the type prune cuts the shuffle to funnel-relevant rows;
-    * per-user lists are bounded by per-user activity (the same bound
-    * sessionization state carries). A pathological single user with
-    * billions of events would need the join-chain form instead. */
+    * 100 TB: the type prune cuts the shuffle to funnel-relevant rows,
+    * and per-user fold state is bounded by `maxEventsPerUser` — a
+    * map-side-combined count pass routes any user above the cap (a bot
+    * with 10⁸ events would otherwise OOM the aggregation buffer) to the
+    * join-chain evaluation instead: n bounded min-aggregates
+    * ([[funnelJoinChain]]'s tᵢ definition computed literally), whose
+    * state per user is ONE (ts) row regardless of history length. Both
+    * paths compute the same min-chain, so routing never changes the
+    * answer — it only moves pathological users off the list-building
+    * path. */
   def funnel(
       events: DataFrame,
       userCol: String,
       tsCol: String,
       typeCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String],
+      maxEventsPerUser: Int = 1 << 20): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size,
       "funnel stages must be distinct (a repeated type is ambiguous)")
+    require(maxEventsPerUser > 0, "maxEventsPerUser must be positive")
     val n = stages.size
-    val stageArr = array(stages.map(lit): _*)
-    val perUser = events
+    val pruned = events
       .filter(col(typeCol).isin(stages: _*))
       .select(col(userCol), unix_micros(col(tsCol)).as("__t"),
         col(typeCol).as("__ty"))
+    val overflow = pruned.groupBy(col(userCol))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxEventsPerUser)
+      .select(col(userCol))
+    val perUser = foldReached(
+        pruned.join(overflow, Seq(userCol), "left_anti"), userCol, stages)
+      .unionByName(chainReached(
+        pruned.join(overflow, Seq(userCol), "left_semi"), userCol, stages))
+    events.select(col(userCol)).distinct()
+      .join(perUser, Seq(userCol), "left")
+      .select(col(userCol),
+        coalesce(col("reached_stage"), lit(0)).as("reached_stage"),
+        (coalesce(col("reached_stage"), lit(0)) === n).as("completed"))
+  }
+
+  /** The one-shuffle fold: per-user sorted stage events through a
+    * codegen'd `aggregate` lambda. Input is the pruned
+    * `(userCol, __t, __ty)` shape; per-user buffer is that user's
+    * stage-event list (callers bound it via [[funnel]]'s routing). */
+  private def foldReached(
+      pruned: DataFrame, userCol: String, stages: Seq[String]): DataFrame = {
+    val n = stages.size
+    val stageArr = array(stages.map(lit): _*)
+    pruned
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(struct(col("__t"), col("__ty"))))
         .as("__evs"))
@@ -63,11 +91,34 @@ object Events {
             when(ok, struct((stage + 1).as("stage"),
               e.getField("__t").as("last"))).otherwise(acc)
           }).getField("stage").as("reached_stage"))
-    events.select(col(userCol)).distinct()
-      .join(perUser, Seq(userCol), "left")
-      .select(col(userCol),
-        coalesce(col("reached_stage"), lit(0)).as("reached_stage"),
-        (coalesce(col("reached_stage"), lit(0)) === n).as("completed"))
+  }
+
+  /** The join-chain evaluation of the SAME min-chain, with per-user
+    * state bounded by one row per stage: t₁ = per-user min ts of
+    * stage-1 events; tᵢ = per-user min ts of stage-i events with
+    * ts > tᵢ₋₁ (one bounded min-aggregate per stage, each joined to
+    * the previous frontier). Users who never reach stage 1 are simply
+    * absent (callers coalesce to 0). Costs n shuffles instead of one —
+    * which is why [[funnel]] reserves it for users whose history
+    * exceeds the fold's buffer cap. */
+  private def chainReached(
+      pruned: DataFrame, userCol: String, stages: Seq[String]): DataFrame = {
+    val n = stages.size
+    var frontier = pruned.filter(col("__ty") === stages.head)
+      .groupBy(col(userCol)).agg(min(col("__t")).as("__last"))
+    var acc = frontier.select(col(userCol), lit(1).as("reached_stage"))
+    var i = 1
+    while (i < n) {
+      frontier = pruned.filter(col("__ty") === stages(i))
+        .join(frontier, Seq(userCol))
+        .filter(col("__t") > col("__last"))
+        .groupBy(col(userCol)).agg(min(col("__t")).as("__last"))
+      acc = acc.unionByName(
+        frontier.select(col(userCol), lit(i + 1).as("reached_stage")))
+      i += 1
+    }
+    acc.groupBy(col(userCol))
+      .agg(max(col("reached_stage")).as("reached_stage"))
   }
 
   /** Funnel completion counts: how many users reached AT LEAST each
@@ -78,8 +129,9 @@ object Events {
       userCol: String,
       tsCol: String,
       typeCol: String,
-      stages: Seq[String]): DataFrame = {
-    val per = funnel(events, userCol, tsCol, typeCol, stages)
+      stages: Seq[String],
+      maxEventsPerUser: Int = 1 << 20): DataFrame = {
+    val per = funnel(events, userCol, tsCol, typeCol, stages, maxEventsPerUser)
     val n = stages.size
     per.select(explode(sequence(lit(1), lit(n))).as("stage"),
         col("reached_stage"))
