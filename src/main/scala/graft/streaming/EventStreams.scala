@@ -32,6 +32,11 @@ private[streaming] case class FunnelState(stage: Int, lastMs: Long)
   * change their stage). */
 case class FunnelProgress(user_id: Long, reached_stage: Int, completed: Boolean)
 
+/** One stage-crossing: `user_id` newly reached (at least) `stage`.
+  * Emitted EXACTLY ONCE per (user, stage) by [[EventStreams.funnelCountsStream]]
+  * — advance-only state makes each crossing a one-time event. */
+case class StageTransition(user_id: Long, stage: Int)
+
 object EventStreams {
 
   /** Tumbling-window aggregation with a watermark: counts + value sums
@@ -161,6 +166,22 @@ object EventStreams {
     * funnels over arbitrarily late data belong to the batch operator
     * over the closed corpus; per-user state here is two fields, bounded
     * regardless of stream length. */
+  /** The shared per-batch fold: advance `st` through this batch's
+    * events (event-time sorted, strict `ts > last` between stages). */
+  private def advanceFunnel(
+      st: FunnelState, it: Iterator[Event], stages: Seq[String]): FunnelState = {
+    val n = stages.size
+    var stage = st.stage
+    var last = st.lastMs
+    it.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+      if (stage < n && e.event_type == stages(stage) && e.ts.getTime > last) {
+        stage += 1
+        last = e.ts.getTime
+      }
+    }
+    FunnelState(stage, last)
+  }
+
   def funnelStream(
       spark: SparkSession,
       events: Dataset[Event],
@@ -174,19 +195,55 @@ object EventStreams {
       .mapGroupsWithState[FunnelState, FunnelProgress](
         GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
-          val st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-          var stage = st.stage
-          var last = st.lastMs
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
-            if (stage < n && e.event_type == stages(stage) &&
-              e.ts.getTime > last) {
-              stage += 1
-              last = e.ts.getTime
-            }
-          }
-          state.update(FunnelState(stage, last))
-          FunnelProgress(userId, stage, stage == n)
+          val st = advanceFunnel(
+            state.getOption.getOrElse(FunnelState(0, Long.MinValue)),
+            it, stages)
+          state.update(st)
+          FunnelProgress(userId, st.stage, st.stage == n)
       }
+  }
+
+  /** Aggregated funnel counts — the report a live funnel dashboard
+    * reads: one row per stage, `n_users` = how many users have reached
+    * AT LEAST that stage so far (the streaming face of
+    * [[graft.ops.Events.funnelCounts]]).
+    *
+    * Built as keyed-state transitions → tiny aggregate: the same
+    * advance-only per-user state as [[funnelStream]] emits each
+    * (user, stage) crossing EXACTLY ONCE (a user advancing 1→3 emits
+    * crossings 2 and 3; a replayed or late event behind the recorded
+    * stage emits nothing), so `count` per stage IS the at-least-stage
+    * user count — no distinct needed, and counts can never regress.
+    * `flatMapGroupsWithState` in Append mode composes with the
+    * downstream aggregation; run the query in Update (or Complete)
+    * output mode.
+    *
+    * State stays bounded by construction: two fields per user (the
+    * same bound sessionization carries) plus one counter row per stage
+    * — the aggregate's state is `stages.size` rows regardless of
+    * stream length, and late events are absorbed by the advance-only
+    * guard rather than buffered, so no watermark-grown state
+    * accumulates anywhere. */
+  def funnelCountsStream(
+      spark: SparkSession,
+      events: Dataset[Event],
+      stages: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      "funnel stages must be non-empty and distinct")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageTransition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val before = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val after = advanceFunnel(before, it, stages)
+          state.update(after)
+          ((before.stage + 1) to after.stage).iterator
+            .map(i => StageTransition(userId, i))
+      }
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** Gap-based sessionization as custom keyed state

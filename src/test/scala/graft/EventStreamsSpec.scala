@@ -187,6 +187,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: funnel counts accumulate across batches; a late event never regresses them") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+    val stages = Seq("view", "click", "purchase")
+    val q = EventStreams.funnelCountsStream(s, in.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_counts")
+      .outputMode(OutputMode.Complete()).start()
+    def counts(): Map[Int, Long] = s.sql(
+        "SELECT stage, n_users FROM funnel_counts")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    try {
+      // batch 1: u1 and u2 view; u1 also clicks
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", user = 1, typ = "view"),
+        ev(2, "2024-01-01 10:05:00", user = 1, typ = "click"),
+        ev(3, "2024-01-01 10:00:00", user = 2, typ = "view"))
+      q.processAllAvailable()
+      assert(counts() == Map(1 -> 2L, 2 -> 1L), s"got ${counts()}")
+      // batch 2: u1 completes; u2 clicks. Each crossing counted once.
+      in.addData(
+        ev(4, "2024-01-01 10:10:00", user = 1, typ = "purchase"),
+        ev(5, "2024-01-01 10:06:00", user = 2, typ = "click"))
+      q.processAllAvailable()
+      assert(counts() == Map(1 -> 2L, 2 -> 2L, 3 -> 1L), s"got ${counts()}")
+      // a LATE view behind u1's progress emits no transition — counts
+      // hold (no double-count, no regression)
+      in.addData(ev(6, "2024-01-01 09:00:00", user = 1, typ = "view"))
+      q.processAllAvailable()
+      assert(counts() == Map(1 -> 2L, 2 -> 2L, 3 -> 1L), s"got ${counts()}")
+    } finally q.stop()
+  }
+
   test("streaming: stream-stream interval join pairs events within the window only") {
     val s = spark
     import s.implicits._
