@@ -143,6 +143,103 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio features: container metadata + one signal statistic
+    * (RMS over normalized samples — the level/silence screen an audio
+    * curation pipeline filters on). */
+  case class AudioFeatures(
+      doc_id: Long,
+      kind: String,
+      n_bytes: Long,
+      sample_rate: Double,
+      channels: Int,
+      n_frames: Long,
+      duration_sec: Double,
+      rms: Double)
+
+  /** Audio decode contract — same discipline as [[MediaDecoder]]:
+    * executor-side, serializable, undecodable payloads DROPPED. */
+  trait AudioDecoder extends Serializable {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[AudioFeatures]
+  }
+
+  /** REAL WAV decoder over the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * readers ship with Java SE — zero external dependencies, the audio
+    * analogue of [[ImageIoDecoder]]). Reports the container's true
+    * sample rate / channel count / frame length, duration from frames ÷
+    * frame rate, and RMS over all interleaved PCM samples normalized to
+    * [-1, 1] (16-bit and 8-bit signed PCM; other encodings report NaN
+    * rather than a wrong number). Non-audio payloads are dropped. */
+  object WavDecoder extends AudioDecoder {
+    import javax.sound.sampled.AudioSystem
+
+    override def decodeBatch(batch: Seq[MediaRecord]): Seq[AudioFeatures] =
+      batch.flatMap { r =>
+        try {
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val f = ais.getFormat
+            val nFrames = ais.getFrameLength
+            val data = ais.readAllBytes()
+            val rms = f.getSampleSizeInBits match {
+              case 16 =>
+                val bb = java.nio.ByteBuffer.wrap(data).order(
+                  if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                  else java.nio.ByteOrder.LITTLE_ENDIAN)
+                var sum = 0.0; var n = 0L
+                while (bb.remaining() >= 2) {
+                  val v = bb.getShort / 32767.0; sum += v * v; n += 1
+                }
+                if (n == 0) 0.0 else math.sqrt(sum / n)
+              case 8 =>
+                var sum = 0.0
+                data.foreach { b => val v = b / 127.0; sum += v * v }
+                if (data.isEmpty) 0.0 else math.sqrt(sum / data.length)
+              case _ => Double.NaN
+            }
+            Some(AudioFeatures(r.doc_id, r.kind, r.payload.length.toLong,
+              f.getSampleRate.toDouble, f.getChannels, nFrames,
+              nFrames / f.getFrameRate.toDouble, rms))
+          } finally ais.close()
+        } catch { case _: Exception => None }
+      }
+  }
+
+  /** Deterministic mono 16-bit PCM WAV payload: `nSamples` of a
+    * ±`amplitude` square wave at `sampleRate` — a REAL RIFF/WAVE byte
+    * stream (written by `AudioSystem`, decoded back by [[WavDecoder]])
+    * whose features are closed-form: duration = nSamples/sampleRate,
+    * RMS = amplitude/32767. The planted payload the audio oracle query
+    * round-trips. */
+  def syntheticWav(nSamples: Int, amplitude: Short, sampleRate: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](nSamples * 2)
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort(if (i % 2 == 0) amplitude else (-amplitude).toShort)
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Batched per-partition audio decode — identical plumbing to
+    * [[extractFeatures]] (scan → narrow batched map → sink; no shuffle,
+    * partition count from `maxPartitionBytes`). */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64,
+      decoder: AudioDecoder = WavDecoder): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { iter =>
+      iter.grouped(batchSize).flatMap(b => decoder.decodeBatch(b.toSeq))
+    }
+  }
+
   /** Wrap a text table as a fake media table: binary payload + metadata.
     * In production this is `spark.read.format("binaryFile")` or a parquet
     * table with a binary column. */
