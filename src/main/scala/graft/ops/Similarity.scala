@@ -532,7 +532,10 @@ object Similarity {
         (call_function("array_position", col("__scores"),
           array_max(col("__scores"))) - 1).cast("long"))
       .filter(col("centroid_id").isNotNull) // zero vectors have no list
-      .select(col("centroid_id"), col(idCol).cast("long").as("vec_id"),
+      // id keeps its NATIVE type (as indexEmbeddings does): a silent
+      // cast("long") turned non-numeric ids into all-null vec_ids and
+      // corrupted the index keys without any error surfacing
+      .select(col("centroid_id"), col(idCol).as("vec_id"),
         col(vecCol).as("vec"))
     index.merge(lists, keys = Seq("centroid_id", "vec_id"))
   }
@@ -556,10 +559,15 @@ object Similarity {
     val probes = centroidProbes(queries, qId, qVec, centroids, nProbe)
       .withColumnRenamed("__cent", "centroid_id")
     val slice = index.read() match {
-      case None => return queries.sparkSession.emptyDataFrame
-        // rank is INT to match the populated path's row_number()
-        .select(lit(0L).as(qId), lit(0).as("rank"),
-          lit(0L).as("vec_id"), lit(0.0).as("cos_sim")).limit(0)
+      case None =>
+        // Empty-index schema derives qId from the QUERIES frame (its
+        // native type, matching what the populated path's join carries);
+        // rank is INT to match row_number(). vec_id defaults to long —
+        // an empty index carries no evidence of the indexed id type.
+        return queries.select(col(qId)).limit(0)
+          .withColumn("rank", lit(0))
+          .withColumn("vec_id", lit(0L))
+          .withColumn("cos_sim", lit(0.0))
       case Some(cur) =>
         index.readForKeys(probes.select(col("centroid_id")), cur.limit(0))
     }
@@ -571,5 +579,56 @@ object Similarity {
       .filter(col("cos_sim").isNotNull)
     topKPerQuery(cand, qId, "vec_id", k)
       .select(col(qId), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** Recall@k diagnostic: how much of the EXACT top-k does an index's
+    * answer recover, measured on a deterministic sample of queries — the
+    * number a user tunes `nProbe` / `bands` / `rerank` against on THEIR
+    * corpus, where planted-twin constructions don't apply.
+    *
+    * `approx` is any ANN answer carrying `(qId, cId)` rows (extra
+    * columns like rank/score are ignored). Ground truth is
+    * [[bruteForceTopK]] over the sampled queries only. Per sampled
+    * query, recall = |approx ∩ truth| / |truth| (|truth| < k only when
+    * the corpus itself is smaller than k); one summary row
+    * `(k, n_queries, avg_recall, min_recall)` comes back. Ties at the
+    * k-th score count against the index only if it returned neither
+    * tied candidate (the standard recall@k caveat — both sides break
+    * ties by id, so an index using the same tie-break is never
+    * penalized).
+    *
+    * 100 TB: the brute-force truth pass is the diagnostic's whole cost,
+    * and sampling bounds it — `sampleN` queries broadcast against ONE
+    * narrow corpus scan; every join after that is sample-sized. */
+  def recallAtK(
+      approx: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String,
+      cId: String, cVec: String,
+      k: Int,
+      sampleN: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(sampleN > 0, "sampleN must be positive")
+    // hash-ordered deterministic sample (no rand(): reruns and
+    // cross-engine comparisons must see the same queries)
+    val sampleQ = queries.orderBy(xxhash64(col(qId)), col(qId)).limit(sampleN)
+    val truth = bruteForceTopK(sampleQ, corpus, qId, qVec, cId, cVec, k)
+      .select(col(qId), col(cId))
+    val hits = truth.join(approx.select(col(qId), col(cId)).distinct(),
+      Seq(qId, cId), "left_semi")
+    val perQuery = truth.groupBy(col(qId))
+      .agg(count(lit(1)).as("__n_truth"))
+      .join(hits.groupBy(col(qId)).agg(count(lit(1)).as("__n_hit")),
+        Seq(qId), "left")
+      .select(col(qId),
+        (coalesce(col("__n_hit"), lit(0L)).cast("double") /
+          col("__n_truth")).as("recall"))
+    perQuery
+      .agg(count(lit(1)).as("n_queries"),
+        avg(col("recall")).as("avg_recall"),
+        min(col("recall")).as("min_recall"))
+      .select(lit(k).as("k"), col("n_queries"),
+        col("avg_recall"), col("min_recall"))
   }
 }
