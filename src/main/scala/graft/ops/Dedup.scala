@@ -604,9 +604,16 @@ object Dedup {
         call_function("graft_shingle_jaccard",
           col("__at"), col("__bt"), lit(shingleLen)).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+    // Eager localCheckpoint BEFORE the merge: (a) pins the emitted pairs
+    // to the pre-merge snapshot by construction, and (b) cuts the lineage
+    // back to bNew so its persisted blocks can be freed HERE instead of
+    // leaking into the caller's session (SURVEY §10 documents that leak
+    // squeezing the unified pool across a bench run).
+    val out = pairs.localCheckpoint(true)
     index.merge(bNew.select(col("band"), col("band_hash"), col("__id").as("doc_id")),
       keys = Seq("band", "band_hash", "doc_id"))
-    pairs
+    bNew.unpersist()
+    out
   }
 
   /** Near-dup pairs via winnowing fingerprints
@@ -672,13 +679,18 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
     val txt = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__tid"), col(textCol).as("__t"))
-    cand
+    val verified = cand
       .join(txt.select(col("__tid").as("a_id"), col("__t").as("__at")), "a_id")
       .join(txt.select(col("__tid").as("b_id"), col("__t").as("__bt")), "b_id")
       .select(col("a_id"), col("b_id"),
         call_function("graft_shingle_jaccard",
           col("__at"), col("__bt"), lit(k)).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+    // eager checkpoint cuts the lineage back to fps so its persisted
+    // blocks free here instead of leaking into the caller's session
+    val out = verified.localCheckpoint(true)
+    fps.unpersist()
+    out
   }
 
   /** Build (or extend) a persistent hyperplane-LSH index over an
@@ -745,8 +757,12 @@ object Dedup {
     val pairs = cross.unionByName(intra)
       .filter(col("cos_sim") >= threshold)
       .distinct()
+    // same discipline as incrementalNearDups: eager pre-merge checkpoint
+    // pins the snapshot and lets b's persisted blocks free here
+    val out = pairs.localCheckpoint(true)
     index.merge(b, keys = Seq("bucket", "vec_id"))
-    pairs
+    b.unpersist()
+    out
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):

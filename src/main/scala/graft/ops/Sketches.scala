@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * associatively (pointwise sum, then subtract the (k+1)-th largest and
   * keep positives — Agarwal et al., "Mergeable Summaries", PODS'12),
   * and guarantees NO FALSE NEGATIVES for any item with true frequency
-  * > N/(k+1). [[TextAnalysis.heavyHitters]] exploits exactly that: the
+  * > N/k (N/(k+1) in the classic variant; the insert-after-reap step in
+  * [[MisraGries.reduce]] trades one k of bound for better typical-case
+  * retention). [[TextAnalysis.heavyHitters]] exploits exactly that: the
   * sketch nominates ≤ k candidates, an exact recount over the candidate
   * set (a semi-join, never a full-vocabulary aggregate) fixes the
   * counts — so the final answer is EXACT while the full-corpus pass
@@ -46,9 +48,9 @@ object Sketches {
   case class MgSummary(total: Long, items: Array[String], weights: Array[Long])
 
   /** Misra-Gries heavy-hitter summary over a String column with `k`
-    * counters. Any item with true count > total/(k+1) is guaranteed
+    * counters. Any item with true count > total/k is guaranteed
     * present in the result (the superset property the exact-recount
-    * phase relies on). */
+    * phase relies on — see the variant note on the object doc). */
   class MisraGries(k: Int)
       extends Aggregator[String, MgBuffer, MgSummary] {
     require(k > 0, "k must be positive")

@@ -405,6 +405,12 @@ object TextAnalysis {
       .select(concat(lit(S), array_join(split(trim(textCol), "\\s+"), S + S),
         lit(S)).as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // Each round runs exactly ONE action: its top-pair collect. That
+    // collect is also what materializes the round's persisted state (the
+    // cache fills inside the same job), so the PREDECESSOR round's
+    // blocks are released only after the collect has run — a dedicated
+    // per-round `count()` materializer would double the action count.
+    var prev: Option[DataFrame] = None
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var step = 1
     var exhausted = false
@@ -423,20 +429,25 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"), col("l"))
         .limit(1).collect()
+      // `state` is materialized now; its predecessor can finally go
+      prev.foreach(_.unpersist())
+      prev = None
       if (top.isEmpty) exhausted = true
       else {
         val (l, r) = (top.head.getAs[String]("l"), top.head.getAs[String]("r"))
         learned += ((step, top.head.getAs[String]("pair"), top.head.getAs[Long]("n")))
-        val next = state
-          .select(call_function("replace", col("s"),
-            lit(S + l + S + S + r + S), lit(S + l + " " + r + S)).as("s"))
-          .persist(StorageLevel.MEMORY_AND_DISK_SER)
-        next.count()
-        state.unpersist()
-        state = next
+        if (step < merges) { // the last round's merge result is never read
+          val next = state
+            .select(call_function("replace", col("s"),
+              lit(S + l + S + S + r + S), lit(S + l + " " + r + S)).as("s"))
+            .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          prev = Some(state)
+          state = next
+        }
         step += 1
       }
     }
+    prev.foreach(_.unpersist())
     state.unpersist()
     import spark.implicits._
     learned.toSeq.toDF("merge_step", "pair", "n")
@@ -495,8 +506,8 @@ object TextAnalysis {
     * without a full-vocabulary shuffle: phase 1 runs a fixed-memory
     * Misra-Gries summary ([[Sketches.MisraGries]], `k` counters per
     * partition partial) whose superset guarantee — any token with true
-    * count > total/(k+1) survives — makes its ≤ k survivors a complete
-    * candidate set whenever `k + 1 > 1/minShare`; phase 2 recounts ONLY
+    * count > total/k survives — makes its ≤ k survivors a complete
+    * candidate set whenever `k > 1/minShare`; phase 2 recounts ONLY
     * the candidates exactly (an `isin` literal filter pushed to the
     * scan, then a ≤ k-key aggregate) and applies the threshold to exact
     * counts. The answer is exact; the corpus-wide pass is sketch-sized.
@@ -515,9 +526,14 @@ object TextAnalysis {
     require(minShare > 0.0 && minShare <= 1.0,
       s"minShare must be in (0, 1], got $minShare")
     val kEff = if (k > 0) k else math.ceil(2.0 / minShare).toInt
-    require(kEff + 1 > 1.0 / minShare,
+    // strict N/k bound, not the classic N/(k+1): the sketch's
+    // insert-after-reap variant (Sketches.MisraGries.reduce) trades the
+    // (k+1)-th of guarantee for better typical-case retention, so a
+    // caller-supplied k at the old boundary could adversarially miss an
+    // item with count exactly at the cutoff
+    require(kEff > 1.0 / minShare,
       s"k=$kEff cannot guarantee completeness at minShare=$minShare " +
-        s"(need k+1 > ${1.0 / minShare})")
+        s"(need k > ${1.0 / minShare})")
     val toks = df.filter(textCol.isNotNull)
       .select(explode(split(trim(textCol), "\\s+")).as("token"))
     val summary = Sketches.misraGries(toks, "token", kEff)
