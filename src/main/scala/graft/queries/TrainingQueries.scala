@@ -266,6 +266,29 @@ object TrainingQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ── ANN: recall@k diagnostic. The "index" under test is a brute-
+    // force search over only the EVEN-id half of the corpus — an index
+    // blind to odd ids by construction — so the exact recall fraction
+    // is SQL-reproducible: per query, recall@3 = |top-3-among-evens ∩
+    // global top-3| / 3. Exercises the real diagnostic machinery
+    // (sampled brute-force truth, per-query intersection, summary row)
+    // with a non-trivial answer strictly between 0 and 1. ──────────────
+    "ann_recall_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val approx = Similarity.bruteForceTopK(
+        q, c.filter(col("c_id") % 2 === 0),
+        "q_id", "q_vec", "c_id", "c_vec", k = 3)
+      Similarity.recallAtK(approx, q, c, "q_id", "q_vec", "c_id", "c_vec",
+          k = 3, sampleN = 8)
+        .select(col("k"), col("n_queries"),
+          round(col("avg_recall"), 4).as("avg_recall"),
+          round(col("min_recall"), 4).as("min_recall"))
+    }),
+
     // ── ANN: IVF with Lloyd-refined centroids. Two spherical k-means
     // iterations run LIVE (assignment + per-dimension means); probing
     // every list (nProbe = nCentroids) makes the result exact by
@@ -537,6 +560,31 @@ object TrainingQueries {
         .select(col("doc_id"), col("frame_index"),
           length(col("frame_bytes")).cast("long").as("frame_bytes_len"))
         .orderBy(col("doc_id"), col("frame_index"))
+    }),
+
+    // ── Multimodal: REAL WAV round-trip. Payloads are genuine RIFF/WAVE
+    // byte streams (square wave, parameters closed-form in doc_id)
+    // written and then DECODED by javax.sound.sampled — the features
+    // the oracle recomputes arithmetically: duration = n/8000,
+    // RMS = amplitude/32767. A header mis-parse, channel/rate confusion
+    // or sample-normalization bug all break the hash. ───────────────────
+    "multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") < 100).select(col("doc_id")).as[Long]
+      val media = ids.map { id =>
+        Multimodal.MediaRecord(id, "audio",
+          Multimodal.syntheticWav(
+            nSamples = 800 + (id % 5).toInt * 400,
+            amplitude = (1000 + (id % 7).toInt * 100).toShort,
+            sampleRate = 8000))
+      }.toDF()
+      Multimodal.extractAudioFeatures(s, media).toDF()
+        .select(col("doc_id"), col("n_frames"), col("sample_rate"),
+          col("channels"),
+          round(col("duration_sec"), 6).as("duration_sec"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy(col("doc_id"))
     }),
 
     // ── AS-OF join: latest purchase at-or-before each click ─────────────
@@ -1403,6 +1451,36 @@ object TrainingQueries {
         |  PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s) t
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
+    // Recall@3 of a brute-force "index" that only knows even-id
+    // candidates, against the exact global top-3 — both sides are plain
+    // windowed top-k, so the recall fractions replay exactly.
+    "ann_recall_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id >= 8),
+        |s AS (SELECT q_id, c_id,
+        |  list_dot_product(qv, cv) /
+        |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        | FROM q, c),
+        |truth AS (SELECT q_id, c_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, c_id) AS r FROM s) t
+        |  WHERE r <= 3),
+        |approx AS (SELECT q_id, c_id FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, c_id) AS r
+        |  FROM s WHERE c_id % 2 = 0) t
+        |  WHERE r <= 3),
+        |pq AS (SELECT truth.q_id,
+        |  CAST(count(approx.c_id) AS DOUBLE) / count(*) AS recall
+        | FROM truth LEFT JOIN approx
+        |   ON truth.q_id = approx.q_id AND truth.c_id = approx.c_id
+        | GROUP BY truth.q_id)
+        |SELECT 3 AS k, count(*) AS n_queries,
+        |  round(avg(recall), 4) AS avg_recall,
+        |  round(min(recall), 4) AS min_recall
+        |FROM pq""".stripMargin,
+
     // Refined IVF probes every list → exact top-k; same oracle shape.
     "ann_ivf_refined" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1726,6 +1804,17 @@ object TrainingQueries {
         | CAST(unnest(range(0, length(text) % 30 + 1, 10)) AS BIGINT) AS frame_index,
         | CAST(least(64, length(text)) AS BIGINT) AS frame_bytes_len
         |FROM documents ORDER BY doc_id, frame_index""".stripMargin,
+
+    // The planted square-wave WAVs have closed-form features; the Spark
+    // side genuinely encodes and decodes RIFF bytes to recover them.
+    "multimodal_audio" ->
+      """SELECT doc_id,
+        | CAST(800 + (doc_id % 5) * 400 AS BIGINT) AS n_frames,
+        | CAST(8000.0 AS DOUBLE) AS sample_rate,
+        | CAST(1 AS INTEGER) AS channels,
+        | round((800 + (doc_id % 5) * 400) / 8000.0, 6) AS duration_sec,
+        | round((1000 + (doc_id % 7) * 100) / 32767.0, 6) AS rms
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     "join_asof" ->
       """WITH clicks AS (

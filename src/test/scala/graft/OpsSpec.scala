@@ -417,6 +417,37 @@ class OpsSpec extends SparkSpec {
     assert(frames.map(_.doc_id).sorted.toSeq == Seq(1L, 2L)) // junk → 0 frames
   }
 
+  test("multimodal: WavDecoder recovers real WAV metadata and RMS, drops non-audio") {
+    import Multimodal.{MediaRecord, WavDecoder}
+    // a genuine RIFF/WAVE round-trip: encode 1600 samples of a ±2000
+    // square wave at 16 kHz, decode it back
+    val wav = Multimodal.syntheticWav(nSamples = 1600, amplitude = 2000, sampleRate = 16000)
+    val feats = WavDecoder.decodeBatch(Seq(
+      MediaRecord(1L, "audio", wav),
+      MediaRecord(2L, "audio", "definitely not audio".getBytes("UTF-8"))))
+    assert(feats.map(_.doc_id) == Seq(1L), "non-audio payload must drop")
+    val f = feats.head
+    assert(f.sample_rate == 16000.0)
+    assert(f.channels == 1)
+    assert(f.n_frames == 1600L)
+    assert(math.abs(f.duration_sec - 0.1) < 1e-9)
+    // square wave RMS = amplitude / 32767 exactly
+    assert(math.abs(f.rms - 2000.0 / 32767.0) < 1e-9, s"rms ${f.rms}")
+    assert(f.n_bytes == wav.length.toLong)
+
+    // the Spark plumbing runs the same decode distributed
+    val s = spark
+    import s.implicits._
+    val media = Seq(
+      (10L, "audio", Multimodal.syntheticWav(800, 1000, 8000)),
+      (11L, "audio", "junk".getBytes("UTF-8")))
+      .toDF("doc_id", "kind", "payload")
+    val got = Multimodal.extractAudioFeatures(s, media).collect()
+    assert(got.map(_.doc_id).toSeq == Seq(10L))
+    assert(math.abs(got.head.rms - 1000.0 / 32767.0) < 1e-9)
+    assert(math.abs(got.head.duration_sec - 0.1) < 1e-9)
+  }
+
   test("joins: asofJoin takes the latest right row at-or-before, inclusive, null when none") {
     val s = spark
     import s.implicits._
@@ -750,6 +781,48 @@ class OpsSpec extends SparkSpec {
     assert(raw < refined || raw >= 0.6, s"corpus not adversarial enough to exercise refinement (raw=$raw)")
   }
 
+  test("recallAtK: exact fractions for a constructed miss; refined PQ never loses to raw") {
+    val s = spark
+    import s.implicits._
+    // truth@2 is unambiguous by construction: q10's nearest two are
+    // {1, 2}, q11's are {3, 2}. The approx answer recovers both for q10
+    // but swaps 2 for 1 on q11 → avg 0.75, min 0.5 — checked EXACTLY.
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)))
+      .toDF("c_id", "c_vec")
+    val queries = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.0, 1.0)))
+      .toDF("q_id", "q_vec")
+    val approx = Seq((10L, 1L), (10L, 2L), (11L, 3L), (11L, 1L))
+      .toDF("q_id", "c_id")
+    val r = Similarity.recallAtK(approx, queries, corpus,
+      "q_id", "q_vec", "c_id", "c_vec", k = 2, sampleN = 2).collect().head
+    assert(r.getInt(0) === 2 && r.getLong(1) === 2L)
+    assert(math.abs(r.getDouble(2) - 0.75) < 1e-9, s"avg ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-9, s"min ${r.getDouble(3)}")
+
+    // The tuning story the diagnostic exists for: measured through
+    // recallAtK, Lloyd-refined PQ codebooks never score below the raw
+    // id-order sample on the adversarial corpus of the previous test.
+    val dim = 8
+    def vec(base: Int, i: Int): Seq[Double] =
+      Seq.tabulate(dim)(d =>
+        (if (d == base) 1.0 else 0.0) + (if (d == (base + 1) % dim) 0.01 * i else 0.0))
+    val tight = (0 until 16).map(i => i.toLong -> Seq.tabulate(dim)(d => 1.0 + 0.001 * i * d))
+    val spread = for (c <- 0 until 8; i <- 0 until 10)
+      yield (100L + c * 10 + i) -> vec(c, i)
+    val c2 = (tight ++ spread).toDF("c_id", "c_vec")
+    val q2 = (0 until 8).map(c => (1000L + c) -> vec(c, 3)).toDF("q_id", "q_vec")
+    def measured(refine: Int): Double =
+      Similarity.recallAtK(
+        Similarity.pqTopK(q2, c2, "q_id", "q_vec", "c_id", "c_vec",
+          k = 3, m = 4, kCodes = 16, rerank = 10, refineIterations = refine),
+        q2, c2, "q_id", "q_vec", "c_id", "c_vec", k = 3, sampleN = 8)
+      .collect().head.getDouble(2)
+    val rawR = measured(0)
+    val refR = measured(2)
+    assert(refR >= rawR, s"refined recall@3 $refR < raw $rawR")
+  }
+
   test("bm25: term-stuffed document ranks first; termless documents are excluded") {
     val s = spark
     import s.implicits._
@@ -872,6 +945,39 @@ class OpsSpec extends SparkSpec {
         "event_type", Seq("view", "click", "purchase"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(counts == Map(1 -> 3L, 2 -> 2L, 3 -> 1L), s"got $counts")
+
+    // Routing equivalence: with cap=1 EVERY user with >1 stage event is
+    // forced through the join-chain path; the answer must be identical
+    // (both paths compute the same min-chain, incl. the same-ts tie)
+    val routed = graft.ops.Events.funnel(rows, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), maxEventsPerUser = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(routed == got, s"join-chain routing diverged: $routed vs $got")
+  }
+
+  test("funnel overflow routing: a 1M-event user completes without an oversized fold buffer") {
+    val s = spark
+    import s.implicits._
+    // One bot user with 10^6 stage events (view-spam, then one click and
+    // one purchase at the end), one normal user. With the cap at 1000
+    // the bot routes to the join-chain (per-user state = one row per
+    // stage) while the normal user takes the fold; without routing this
+    // history would sit in a single million-element aggregation buffer.
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000L)
+    val bot = s.range(1000000L).select(
+      lit(7L).as("user_id"),
+      expr(s"timestamp_millis($base + id * 1000)").as("ts"),
+      lit("view").as("event_type"))
+    val tail = Seq(
+      (7L, ts(2000000L), "click"), (7L, ts(2000001L), "purchase"),
+      (8L, ts(1L), "view"), (8L, ts(2L), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.ops.Events.funnel(bot.unionByName(tail), "user_id",
+        "ts", "event_type", Seq("view", "click", "purchase"),
+        maxEventsPerUser = 1000)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got == Map(7L -> ((3, true)), 8L -> ((2, false))), s"got $got")
   }
 
   test("hard negatives: same-label neighbors never appear, even when they are the nearest") {
@@ -1041,5 +1147,37 @@ class OpsSpec extends SparkSpec {
     val got = TextAnalysis.bpeMerges(docs, col("text"), merges = 10)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == Seq((1, "x y", 1L)))
+  }
+
+  test("bpe merges: one action per round — no dedicated materializer job") {
+    val s = spark
+    import s.implicits._
+    // Long repetitive docs so every round has a pair to merge. The
+    // marginal Spark-job cost of one EXTRA round must not exceed the
+    // cost of a whole one-round run (top-pair collect + setup): the old
+    // shape added a per-round count() on top of the collect, making the
+    // marginal cost strictly larger.
+    val docs = Seq.tabulate(20)(i => (i.toLong, ("t" + i + " u v w x y z ") * 4))
+      .toDF("doc_id", "text")
+    def jobsDuring(body: => Unit): Int = {
+      val st = s.sparkContext.statusTracker
+      val before = st.getJobIdsForGroup(null).length
+      body
+      // the status store is fed asynchronously; give the bus a moment
+      Thread.sleep(1500)
+      st.getJobIdsForGroup(null).length - before
+    }
+    val j1 = jobsDuring {
+      TextAnalysis.bpeMerges(docs, col("text"), merges = 1).collect()
+    }
+    val j3 = jobsDuring {
+      TextAnalysis.bpeMerges(docs, col("text"), merges = 3).collect()
+    }
+    val marginalPerRound = (j3 - j1) / 2.0
+    assert(marginalPerRound >= 1.0,
+      s"each round must run its collect: marginal=$marginalPerRound")
+    assert(marginalPerRound <= j1,
+      s"a round must cost one action, not collect+materializer: " +
+        s"marginal=$marginalPerRound vs one-round total=$j1")
   }
 }
