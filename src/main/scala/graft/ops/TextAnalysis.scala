@@ -398,8 +398,22 @@ object TextAnalysis {
     * Production tokenizer training runs this over a sampled slice of
     * the corpus — the loop shape is identical, `docs` is just smaller. */
   def bpeMerges(docs: DataFrame, textCol: Column, merges: Int): DataFrame = {
-    val S = "\u0001"
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, textCol, merges)
+      .map { case (step, l, r, n) => (step, l + " " + r, n) }
+      .toDF("merge_step", "pair", "n")
+  }
+
+  /** The typed training loop behind [[bpeMerges]]: one learned merge is
+    * `(step, left, right, count)` with left/right kept SEPARATE — the
+    * space-joined pair string is ambiguous once merged tokens carry
+    * interior spaces ("a a a" could split either way), and [[bpeEncode]]
+    * must replay each merge exactly. */
+  def bpeTrain(
+      docs: DataFrame, textCol: Column,
+      merges: Int): Seq[(Int, String, String, Long)] = {
+    val S = "\u0001"
     import org.apache.spark.storage.StorageLevel
     var state = docs.filter(textCol.isNotNull)
       .select(concat(lit(S), array_join(split(trim(textCol), "\\s+"), S + S),
@@ -411,7 +425,8 @@ object TextAnalysis {
     // blocks are released only after the collect has run — a dedicated
     // per-round `count()` materializer would double the action count.
     var prev: Option[DataFrame] = None
-    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= merges && !exhausted) {
@@ -435,7 +450,7 @@ object TextAnalysis {
       if (top.isEmpty) exhausted = true
       else {
         val (l, r) = (top.head.getAs[String]("l"), top.head.getAs[String]("r"))
-        learned += ((step, top.head.getAs[String]("pair"), top.head.getAs[Long]("n")))
+        learned += ((step, l, r, top.head.getAs[Long]("n")))
         if (step < merges) { // the last round's merge result is never read
           val next = state
             .select(call_function("replace", col("s"),
@@ -449,8 +464,35 @@ object TextAnalysis {
     }
     prev.foreach(_.unpersist())
     state.unpersist()
-    import spark.implicits._
-    learned.toSeq.toDF("merge_step", "pair", "n")
+    learned.toSeq
+  }
+
+  /** Apply an ORDERED learned merge list — the ENCODE half of tokenizer
+    * training ([[bpeTrain]] learns the merges, this tokenizes the
+    * corpus with them). All k merges compose as k sentinel-guarded
+    * `replace`s inside ONE narrow codegen'd projection: training costs
+    * k corpus passes, but encoding is a single pass — no shuffle, no
+    * driver action, however many merges were learned. Returns the
+    * input plus `bpe_tokens` (the token array, merged tokens keeping
+    * interior spaces) and `n_bpe_tokens`.
+    *
+    * 100 TB: the plan shape is the point — the encode lives in the
+    * scan projection, composing with pushdown/pruning and streaming
+    * sources; joining a merge TABLE instead would shuffle the corpus
+    * once per merge rank batch. */
+  def bpeEncode(
+      df: DataFrame, textCol: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val S = 1.toChar.toString // same sentinel discipline as bpeTrain
+    val start =
+      concat(lit(S), array_join(split(trim(textCol), "\\s+"), S + S), lit(S))
+    val encoded = merges.foldLeft(start) { case (acc, (l, r)) =>
+      call_function("replace", acc,
+        lit(S + l + S + S + r + S), lit(S + l + " " + r + S))
+    }
+    val toks = split(regexp_replace(encoded, "^" + S + "|" + S + "$", ""), S + S)
+    df.withColumn("bpe_tokens", toks)
+      .withColumn("n_bpe_tokens", size(toks).cast("long"))
   }
 
   /** Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS

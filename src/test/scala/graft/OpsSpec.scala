@@ -1149,6 +1149,36 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1, "x y", 1L)))
   }
 
+  test("bpe encode: learned merges tokenize in one projection, ambiguous pairs replay exactly") {
+    val s = spark
+    import s.implicits._
+    // "a a a" learns merge (a,a) then ("a a", a) — the second merge's
+    // pair STRING is "a a a", ambiguous without the typed (l, r) split
+    val docs = Seq((1L, "a a a"), (2L, "b c b c")).toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeTrain(docs, col("text"), merges = 4)
+    assert(learned.map { case (_, l, r, _) => (l, r) } ==
+      Seq(("a", "a"), ("b", "c"), ("a a", "a"), ("b c", "b c")))
+    val enc = TextAnalysis.bpeEncode(docs, col("text"),
+        learned.map { case (_, l, r, _) => (l, r) })
+      .select(col("doc_id"), col("bpe_tokens"), col("n_bpe_tokens"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1).toSeq, r.getLong(2)))).toMap
+    // doc 1: a a a -> [a a, a] -> [a a a]; doc 2: [b c, b c] -> [b c b c]
+    assert(enc(1L) == ((Seq("a a a"), 1L)), s"got ${enc(1L)}")
+    assert(enc(2L) == ((Seq("b c b c"), 1L)), s"got ${enc(2L)}")
+    // encoding with a PREFIX of the merges stops mid-way
+    val partial = TextAnalysis.bpeEncode(docs, col("text"), Seq(("a", "a")))
+      .select(col("doc_id"), col("bpe_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(partial(1L) == Seq("a a", "a"))
+    assert(partial(2L) == Seq("b", "c", "b", "c"))
+    // no merges = whitespace tokenization
+    val none = TextAnalysis.bpeEncode(docs, col("text"), Nil)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none == Map(1L -> 3L, 2L -> 4L))
+  }
+
   test("bpe merges: one action per round — no dedicated materializer job") {
     val s = spark
     import s.implicits._
