@@ -345,6 +345,54 @@ object Corpus {
     withTokens.filter(u < threshold)
   }
 
+  /** Temperature-flattened token mixture (the multilingual-pretraining
+    * rebalance: sample source s with probability ∝ tokens_s^tau): keep
+    * rate `r_s = (t_min / t_s)^(1-tau)`, so expected post-sampling
+    * token mass follows the temperature distribution while the
+    * SMALLEST source is kept whole — maximum data retention subject to
+    * r ≤ 1. `tau = 1` keeps everything (proportional mixture); tau → 0
+    * equalizes sources. The fourth leg of mixture control next to
+    * [[sampleStratified]] / [[domainQuota]] / [[mixByTokenBudget]].
+    *
+    * Rates round to 6 dp before the [[hexThreshold]] fixed-point floor,
+    * and `tau = 0.5` computes via `sqrt` (correctly rounded per IEEE —
+    * `pow`'s 1-ulp slack is the one place two engines could disagree),
+    * so the keep set replays exactly cross-engine. Same narrow
+    * hash-threshold filter as every sampler here; the only distributed
+    * work is one map-side-combined per-source token total. */
+  def mixByTemperature(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      tau: Double,
+      seed: String = "mix"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    requireFresh(df, "n_tokens")
+    val withTokens = df.withColumn("n_tokens",
+      TextAnalysis.tokenCount(col(textCol)))
+    val totals = withTokens.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (totals.isEmpty) return withTokens
+    val tMin = totals.values.min.toDouble
+    val e = 1.0 - tau
+    def powE(x: Double): Double =
+      if (e == 0.5) math.sqrt(x) else math.pow(x, e)
+    val rates = totals.map { case (src, t) =>
+      val raw = powE(tMin / t.toDouble)
+      src -> BigDecimal(raw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val u = uniformHex(col(idCol), seed)
+    val threshold = rates.foldRight(lit(hexThreshold(1.0))) {
+      case ((src, p), els) =>
+        when(col(sourceCol) === src, lit(hexThreshold(p))).otherwise(els)
+    }
+    withTokens.filter(u < threshold)
+  }
+
   /** Length-bucket assignment for batch assembly: documents grouped
     * into power-of-two-ish token-length buckets so a training batcher
     * can pad within a bucket instead of to the global max. Buckets are

@@ -121,6 +121,41 @@ class CorpusSpec extends SparkSpec {
     assert(lo.subsetOf(hi))
   }
 
+  // ── mixByTemperature ──────────────────────────────────────────────────
+
+  test("temperature mixture: smallest source kept whole, tau=1 keeps all, lower tau nests downward") {
+    val base = docs.select(col("doc_id"), col("lang"), col("text"))
+    val totals = base
+      .withColumn("n", graft.ops.TextAnalysis.tokenCount(col("text")))
+      .groupBy("lang").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = totals.minBy(_._2)._1
+    val maxLang = totals.maxBy(_._2)._1
+
+    // tau = 1: proportional mixture = keep everything
+    assert(Corpus.mixByTemperature(base, "doc_id", "lang", "text",
+      tau = 1.0, seed = "t1").count() === base.count())
+
+    val mixed = Corpus.mixByTemperature(base, "doc_id", "lang", "text",
+      tau = 0.5, seed = "t1")
+    val perLang = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the smallest source is kept whole by construction (rate = 1)
+    assert(perLang(minLang) ===
+      base.filter(col("lang") === minLang).count(), "min source must keep all")
+    // the biggest source is genuinely downsampled
+    assert(perLang(maxLang) < base.filter(col("lang") === maxLang).count(),
+      "max source must shed rows")
+
+    // rates are monotone in tau, and the hash-threshold keep is nested:
+    // a colder (smaller-tau) mixture is a subset of a warmer one
+    val cold = Corpus.mixByTemperature(base, "doc_id", "lang", "text",
+      tau = 0.25, seed = "t1").select("doc_id").collect().map(_.getLong(0)).toSet
+    val warm = Corpus.mixByTemperature(base, "doc_id", "lang", "text",
+      tau = 0.5, seed = "t1").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cold.subsetOf(warm), "tau=0.25 keep set must nest inside tau=0.5")
+  }
+
   // ── packChunks ────────────────────────────────────────────────────────
 
   test("packed chunks: offsets bounded, shard streams contiguous") {
