@@ -488,8 +488,9 @@ object Dedup {
     * bucket directories; re-ingesting the same batch is a no-op (the
     * replay-idempotence the reference gets from its keyed upsert,
     * `PostgrePersistenceService.java:218-280`). The survivors are
-    * pinned (persist + count) BEFORE the state commit so the returned
-    * frame cannot observe its own hashes. */
+    * eagerly checkpointed BEFORE the state commit so the returned
+    * frame cannot observe its own hashes — and no persisted blocks
+    * escape into the caller's session. */
   def incrementalExact(
       state: graft.pipeline.BucketedStateTable,
       batch: DataFrame,
@@ -506,8 +507,7 @@ object Dedup {
     val seen = state.readForKeys(firsts.select(col("content_hash")), like)
     val kept = firsts
       .join(seen.select(col("content_hash")), Seq("content_hash"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    kept.count()
+      .localCheckpoint(true)
     state.merge(
       kept.select(col("content_hash"), col(idCol).cast("long").as("first_id")),
       keys = Seq("content_hash"))
