@@ -1088,6 +1088,23 @@ object TrainingQueries {
         Tables.documents(s, dir), col("text"), merges = 4)
         .orderBy(col("merge_step"))),
 
+    // ── Text: BPE ENCODE — tokenize the corpus with the merges learned
+    // by bpeTrain (train: 4 corpus passes; encode: ONE narrow pass, the
+    // 4 sentinel replaces composed in the scan projection). The oracle
+    // replays the same 4 learned rounds as static CTEs, then hashes
+    // each document's final token sequence — any divergence in merge
+    // order, boundary guarding, or token splitting breaks the hash. ─────
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      val learned = graft.ops.TextAnalysis.bpeTrain(docs, col("text"), merges = 4)
+      graft.ops.TextAnalysis.bpeEncode(docs, col("text"),
+          learned.map { case (_, l, r, _) => (l, r) })
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          md5(array_join(col("bpe_tokens"), 1.toChar.toString)).as("enc_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Text: composed logistic quality classifier — fixed-weight
     // sigmoid over fused kernel metrics; threshold applied to the
     // 6-dp ROUNDED score (exp is 1-ulp accurate, not correctly rounded,
@@ -1136,6 +1153,18 @@ object TrainingQueries {
         "doc_id", "lang", "text",
         budgets = Map("en" -> 4000L, "de" -> 1500L, "zh" -> 999999L, "es" -> 0L),
         seed = "mix9")
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // ── Corpus: temperature-flattened mixture — keep rate
+    // (t_min/t_s)^(1-tau) per source, tau=0.5 so the exponent computes
+    // via IEEE-exact sqrt (pow's 1-ulp slack is the one cross-engine
+    // divergence risk); rates round to 6 dp before the fixed-point
+    // threshold. Smallest source keeps everything by construction. ──────
+    "corpus_mix_temperature" -> ((s, dir) =>
+      graft.ops.Corpus.mixByTemperature(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "lang", "text", tau = 0.5, seed = "temp7")
         .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy(col("doc_id"))),
 
@@ -2287,6 +2316,62 @@ object TrainingQueries {
         |UNION ALL SELECT 4, pair, n FROM top4
         |ORDER BY merge_step""".stripMargin,
 
+    // The encode oracle replays the same four learned rounds (identical
+    // CTE chain, doc_id carried through the per-doc states), then hashes
+    // each document's final token sequence.
+    "text_bpe_encode" ->
+      """WITH state0 AS (
+        | SELECT doc_id, chr(1) || array_to_string(regexp_split_to_array(trim(text), '\s+'), chr(1)||chr(1)) || chr(1) AS s
+        | FROM documents WHERE text IS NOT NULL),
+        |cnt1 AS (
+        | SELECT l, r, l || ' ' || r AS pair, CAST(count(*) AS BIGINT) AS n
+        | FROM (SELECT unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r
+        |       FROM (SELECT string_split(trim(s, chr(1)), chr(1)||chr(1)) AS t FROM state0)
+        |       WHERE len(t) >= 2)
+        | GROUP BY l, r),
+        |top1 AS (SELECT l, r FROM cnt1 ORDER BY n DESC, pair, l LIMIT 1),
+        |state1 AS (
+        | SELECT doc_id, replace(s, chr(1)||top1.l||chr(1)||chr(1)||top1.r||chr(1),
+        |                   chr(1)||top1.l||' '||top1.r||chr(1)) AS s
+        | FROM state0, top1),
+        |cnt2 AS (
+        | SELECT l, r, l || ' ' || r AS pair, CAST(count(*) AS BIGINT) AS n
+        | FROM (SELECT unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r
+        |       FROM (SELECT string_split(trim(s, chr(1)), chr(1)||chr(1)) AS t FROM state1)
+        |       WHERE len(t) >= 2)
+        | GROUP BY l, r),
+        |top2 AS (SELECT l, r FROM cnt2 ORDER BY n DESC, pair, l LIMIT 1),
+        |state2 AS (
+        | SELECT doc_id, replace(s, chr(1)||top2.l||chr(1)||chr(1)||top2.r||chr(1),
+        |                   chr(1)||top2.l||' '||top2.r||chr(1)) AS s
+        | FROM state1, top2),
+        |cnt3 AS (
+        | SELECT l, r, l || ' ' || r AS pair, CAST(count(*) AS BIGINT) AS n
+        | FROM (SELECT unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r
+        |       FROM (SELECT string_split(trim(s, chr(1)), chr(1)||chr(1)) AS t FROM state2)
+        |       WHERE len(t) >= 2)
+        | GROUP BY l, r),
+        |top3 AS (SELECT l, r FROM cnt3 ORDER BY n DESC, pair, l LIMIT 1),
+        |state3 AS (
+        | SELECT doc_id, replace(s, chr(1)||top3.l||chr(1)||chr(1)||top3.r||chr(1),
+        |                   chr(1)||top3.l||' '||top3.r||chr(1)) AS s
+        | FROM state2, top3),
+        |cnt4 AS (
+        | SELECT l, r, l || ' ' || r AS pair, CAST(count(*) AS BIGINT) AS n
+        | FROM (SELECT unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r
+        |       FROM (SELECT string_split(trim(s, chr(1)), chr(1)||chr(1)) AS t FROM state3)
+        |       WHERE len(t) >= 2)
+        | GROUP BY l, r),
+        |top4 AS (SELECT l, r FROM cnt4 ORDER BY n DESC, pair, l LIMIT 1),
+        |state4 AS (
+        | SELECT doc_id, replace(s, chr(1)||top4.l||chr(1)||chr(1)||top4.r||chr(1),
+        |                   chr(1)||top4.l||' '||top4.r||chr(1)) AS s
+        | FROM state3, top4)
+        |SELECT doc_id,
+        | CAST(len(string_split(trim(s, chr(1)), chr(1)||chr(1))) AS BIGINT) AS n_bpe_tokens,
+        | md5(array_to_string(string_split(trim(s, chr(1)), chr(1)||chr(1)), chr(1))) AS enc_hash
+        |FROM state4 ORDER BY doc_id""".stripMargin,
+
     // Same fixed weights, same operation order; keep-threshold on the
     // ROUNDED score — JVM Math.exp is 1-ulp accurate, not correctly
     // rounded, so a raw score within 1 ulp of the threshold could flip
@@ -2390,6 +2475,23 @@ object TrainingQueries {
     // Same rate derivation: double division, fixed-point floor, hex
     // threshold compare; 'g0000000' is the above-any-hex keep-all
     // sentinel (every hex digit < 'g' lexicographically).
+    // Same hash-threshold replay as corpus_mix_budget; the rate derives
+    // from per-source token totals via sqrt (IEEE-exact in any engine).
+    "corpus_mix_temperature" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |tot AS (SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS t FROM tok GROUP BY lang),
+        |mn AS (SELECT min(t) AS tmin FROM tot),
+        |th AS (SELECT lang, round(sqrt(tmin / t), 6) AS rate FROM tot, mn)
+        |SELECT doc_id, lang, n_tokens
+        |FROM tok JOIN th USING (lang)
+        |WHERE substr(md5('temp7:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        | CASE WHEN rate >= 1.0 THEN 'g0000000'
+        |      ELSE printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT)) END
+        |ORDER BY doc_id""".stripMargin,
+
     "corpus_mix_budget" ->
       """WITH tok AS (
         | SELECT doc_id, lang,
