@@ -615,11 +615,18 @@ object Similarity {
     val sampleQ = queries.orderBy(xxhash64(col(qId)), col(qId)).limit(sampleN)
     val truth = bruteForceTopK(sampleQ, corpus, qId, qVec, cId, cVec, k)
       .select(col(qId), col(cId))
-    val hits = truth.join(approx.select(col(qId), col(cId)).distinct(),
-      Seq(qId, cId), "left_semi")
+    // prune the index answer to the sampled queries FIRST: after that
+    // both intersect sides are sample-bounded (≤ sampleN × per-query
+    // answer size), so they broadcast instead of shuffling
+    val approxSample = approx.select(col(qId), col(cId)).distinct()
+      .join(broadcast(sampleQ.select(col(qId))), Seq(qId), "left_semi")
+    val hits = truth.join(broadcast(approxSample), Seq(qId, cId), "left_semi")
     val perQuery = truth.groupBy(col(qId))
       .agg(count(lit(1)).as("__n_truth"))
-      .join(hits.groupBy(col(qId)).agg(count(lit(1)).as("__n_hit")),
+      // both sides are ≤ sampleN rows; size stats are opaque post-agg,
+      // so broadcast explicitly rather than let this plan as a
+      // sort-merge join
+      .join(broadcast(hits.groupBy(col(qId)).agg(count(lit(1)).as("__n_hit"))),
         Seq(qId), "left")
       .select(col(qId),
         (coalesce(col("__n_hit"), lit(0L)).cast("double") /

@@ -100,6 +100,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("bpe encode: the whole tokenization is one projection — no agg, no join, only the sort exchange") {
+    val p = plan("text_bpe_encode")
+    // training collected its merges at construction; the ENCODE plan
+    // must be scan → (replace-chain projection) → sort, nothing else
+    assert(!p.contains("HashAggregate"), s"aggregate leaked into encode\n$p")
+    assert(!p.contains("Join"), s"join leaked into encode\n$p")
+    assert(!"\\bWindow\\b".r.findFirstIn(p).isDefined, s"window leaked into encode\n$p")
+    assert("Exchange".r.findAllMatchIn(p).size == 1, p)
+  }
+
+  test("temperature mixture: the sample is a narrow filter — no join, only the sort exchange") {
+    val p = plan("corpus_mix_temperature")
+    // per-source totals were collected at construction; the returned
+    // plan is scan → token-count projection → hash-threshold filter
+    assert(!p.contains("Join"), s"join leaked into the sample\n$p")
+    assert(!p.contains("HashAggregate"), s"aggregate leaked into the sample\n$p")
+    assert("Exchange".r.findAllMatchIn(p).size == 1, p)
+  }
+
+  test("recall probe: truth pass broadcasts queries and keeps the salted top-k shape") {
+    val p = plan("ann_recall_probe")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries not broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("__salt"), s"lost the salted partial top-k phase\n$p")
+  }
+
+  test("audio decode: doc filter pushed to scan, decode stays narrow (only the sort exchange)") {
+    val p = plan("multimodal_audio")
+    assert(p.contains("LessThan(doc_id,100)"), s"id filter not pushed\n$p")
+    assert("Exchange".r.findAllMatchIn(p).size == 1, p)
+  }
+
   test("winnow: selection is array arithmetic in the projection — no Window operator") {
     val p = plan("text_winnow")
     // the per-doc windowed-min runs as a fold inside the scan
