@@ -345,6 +345,32 @@ object Corpus {
     withTokens.filter(u < threshold)
   }
 
+  /** Quality-weighted downsampling: keep each row with probability
+    * equal to its own (clamped to [0, 1]) score — soft curation where
+    * higher-quality documents survive at higher rates instead of a
+    * hard keep/drop threshold. The per-ROW generalization of
+    * [[sampleStratified]]'s per-stratum rate: the same content-hash
+    * draw, compared against a threshold computed from the row's score
+    * in the same fixed-point hex encoding, so the survivor set is
+    * deterministic, replayable cross-engine, and NESTED under score
+    * increases (raising a document's score can only keep it).
+    *
+    * Pass an engine-exact score (round to 6 dp — same discipline as
+    * the quality-classifier queries) or two engines can disagree at
+    * the fixed-point floor. Pure narrow filter: no shuffle, composes
+    * with scan pushdown at 100 TB. */
+  def sampleByScore(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: org.apache.spark.sql.Column,
+      seed: String = "score"): DataFrame = {
+    val p = least(greatest(scoreCol, lit(0.0)), lit(1.0))
+    val th = when(p >= 1.0, lit("g0000000"))
+      .otherwise(format_string("%08x",
+        floor(p * lit(4294967296.0)).cast("long")))
+    df.filter(uniformHex(col(idCol), seed) < th)
+  }
+
   /** Temperature-flattened token mixture (the multilingual-pretraining
     * rebalance: sample source s with probability ∝ tokens_s^tau): keep
     * rate `r_s = (t_min / t_s)^(1-tau)`, so expected post-sampling

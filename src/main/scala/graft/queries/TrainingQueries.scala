@@ -1156,6 +1156,19 @@ object TrainingQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy(col("doc_id"))),
 
+    // ── Corpus: quality-WEIGHTED sampling — keep probability = the
+    // document's own 6-dp-rounded logistic quality score (soft curation,
+    // vs corpus_filter's hard threshold). Per-row fixed-point threshold
+    // against the same md5 draw as every sampler; exact replay. ─────────
+    "corpus_sample_by_score" -> ((s, dir) => {
+      val q = round(graft.ops.TextAnalysis.qualityLogistic(col("text")), 6)
+      graft.ops.Corpus.sampleByScore(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", q, seed = "qs3")
+        .select(col("doc_id"), q.as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Corpus: temperature-flattened mixture — keep rate
     // (t_min/t_s)^(1-tau) per source, tau=0.5 so the exponent computes
     // via IEEE-exact sqrt (pow's 1-ulp slack is the one cross-engine
@@ -2475,6 +2488,31 @@ object TrainingQueries {
     // Same rate derivation: double division, fixed-point floor, hex
     // threshold compare; 'g0000000' is the above-any-hex keep-all
     // sentinel (every hex digit < 'g' lexicographically).
+    // Same quality formula as text_quality_logistic (rounded before the
+    // threshold), same per-row fixed-point hash-threshold replay.
+    "corpus_sample_by_score" ->
+      """WITH toks AS (
+        | SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |g AS (SELECT doc_id, text, t,
+        |  CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |   ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) END AS g2
+        | FROM toks),
+        |f AS (SELECT doc_id,
+        |  length(regexp_replace(text, '[^\p{L}]', '', 'g')) * 1.0 / nullif(length(text), 0) AS alpha_ratio,
+        |  ln(1.0 + len(t)) AS ln_tok,
+        |  len(list_distinct(g2)) * 1.0 / len(g2) AS d2
+        | FROM g),
+        |sc AS (SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-(-2.0 + 2.5 * alpha_ratio + 0.5 * ln_tok + 1.0 * d2))), 6) AS q
+        | FROM f)
+        |SELECT doc_id, q AS quality
+        |FROM sc
+        |WHERE substr(md5('qs3:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        | CASE WHEN q >= 1.0 THEN 'g0000000'
+        |      ELSE printf('%08x', CAST(floor(q * 4294967296.0) AS BIGINT)) END
+        |ORDER BY doc_id""".stripMargin,
+
     // Same hash-threshold replay as corpus_mix_budget; the rate derives
     // from per-source token totals via sqrt (IEEE-exact in any engine).
     "corpus_mix_temperature" ->

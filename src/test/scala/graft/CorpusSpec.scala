@@ -156,6 +156,33 @@ class CorpusSpec extends SparkSpec {
     assert(cold.subsetOf(warm), "tau=0.25 keep set must nest inside tau=0.5")
   }
 
+  // ── sampleByScore ─────────────────────────────────────────────────────
+
+  test("score-weighted sample: score 1 always kept, 0 always dropped, survivors nest under score increases") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 400L).map(i => (i, (i % 5) * 0.25)).toDF("doc_id", "sc")
+    val kept = Corpus.sampleByScore(rows, "doc_id", col("sc"), seed = "t")
+      .collect().map(r => r.getLong(0)).toSet
+    // score 1.0 rows (i%5==4) all survive; score 0.0 rows never do
+    assert((1L to 400L).filter(_ % 5 == 4).forall(kept))
+    assert((1L to 400L).filter(_ % 5 == 0).forall(!kept(_)))
+    // mid scores keep a nontrivial subset
+    val mid = (1L to 400L).filter(i => i % 5 == 2) // score 0.5
+    val midKept = mid.count(kept)
+    assert(midKept > 0 && midKept < mid.size, s"0.5 kept $midKept of ${mid.size}")
+    // nested: uniformly raising scores only ADDS survivors
+    val keptHi = Corpus.sampleByScore(rows, "doc_id",
+        least(col("sc") + 0.25, lit(1.0)), seed = "t")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(kept.subsetOf(keptHi), "raising scores must never drop a survivor")
+    // out-of-range scores clamp instead of corrupting the threshold
+    val clamped = Corpus.sampleByScore(
+        Seq((1L, 7.5), (2L, -3.0)).toDF("doc_id", "sc"), "doc_id", col("sc"), "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(clamped == Set(1L))
+  }
+
   // ── packChunks ────────────────────────────────────────────────────────
 
   test("packed chunks: offsets bounded, shard streams contiguous") {
