@@ -185,6 +185,17 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == expected,
       s"diverged: ${got.toSet.diff(expected.toSet)} vs ${expected.toSet.diff(got.toSet)}")
+
+    // the overflow join-chain path must agree with both on the SAME
+    // generated tie-heavy stream: cap=1 routes every multi-event user
+    // through it
+    val chained = graft.ops.Events.funnel(
+      events.toDF("user_id", "ts", "event_type").repartition(16),
+      "user_id", "ts", "event_type", stages, maxEventsPerUser = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chained == expected,
+      s"join-chain diverged: ${chained.toSet.diff(expected.toSet)} " +
+        s"vs ${expected.toSet.diff(chained.toSet)}")
   }
 
   test("property: winnowing equals a sequential reference on generated corpora") {
