@@ -540,6 +540,32 @@ object Similarity {
     index.merge(lists, keys = Seq("centroid_id", "vec_id"))
   }
 
+  /** Re-cluster a persistent IVF index onto NEW centroids — the index
+    * maintenance op for centroid drift (a corpus that outgrew the
+    * geometry it was indexed under, diagnosed by falling
+    * [[recallAtK]] or skewed [[graft.pipeline.BucketedStateTable.stats]]):
+    * one lease-guarded full rewrite, assignments recomputed by the
+    * same narrow argmax map as [[indexIvf]]. History stays
+    * time-travelable (a normal commit). Probes must switch to the new
+    * centroids together with the index — they define the list
+    * geometry, exactly as at build time. */
+  def reclusterIvf(
+      index: graft.pipeline.BucketedStateTable,
+      centroids: Seq[Seq[Double]]): Unit = {
+    require(centroids.nonEmpty, "reclusterIvf needs at least one centroid")
+    index.read().foreach { cur =>
+      val scores = array(centroids.map(c => cosine(col("vec"), typedlit(c))): _*)
+      val reassigned = cur
+        .withColumn("__scores", scores)
+        .withColumn("centroid_id",
+          (call_function("array_position", col("__scores"),
+            array_max(col("__scores"))) - 1).cast("long"))
+        .filter(col("centroid_id").isNotNull)
+        .select(col("centroid_id"), col("vec_id"), col("vec"))
+      index.replaceAll(reassigned)
+    }
+  }
+
   /** Query a persistent IVF index built by [[indexIvf]]: each query
     * searches only its `nProbe` nearest lists, read bucket-pruned from
     * the state table. Returns `(qId, rank, vec_id, cos_sim)`.

@@ -529,6 +529,19 @@ class BucketedStateTable(
     rows.toDF("bucket", "commit", "n_files", "total_bytes", "n_rows")
   }
 
+  /** Replace the ENTIRE table contents with `rows` in one commit — the
+    * full-rewrite maintenance primitive under the same lease/manifest
+    * discipline as any mutation (re-cluster an index onto new
+    * geometry, re-derive a materialized projection). Every bucket is
+    * dirty; buckets receiving no rows drop from the manifest. Unlike
+    * [[rebucket]] this is a NORMAL commit: the layout is unchanged and
+    * history stays time-travelable via [[readAt]]. */
+  def replaceAll(rows: DataFrame): Unit =
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      commit(rows, (0 until numBuckets).toSeq)
+      ()
+    } }
+
   /** Re-shard the table into `newNumBuckets` buckets IN PLACE — the
     * maintenance op a table that grew 100× needs once [[stats]] shows
     * 100-GB buckets. A lease-guarded full rewrite (the heartbeat keeps

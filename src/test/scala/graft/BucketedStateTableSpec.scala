@@ -361,6 +361,24 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(t16.read().get.count() == 500L)
   }
 
+  test("replaceAll swaps the whole contents in one commit; history stays time-travelable") {
+    val s = spark
+    import s.implicits._
+    val t = new BucketedStateTable(spark, s"${tmp()}/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
+    t.merge((1L to 100L).map(i => (s"k$i", i)).toDF("k", "v"), keys = Seq("k"))
+    val before = t.commits().last
+    t.replaceAll((1L to 10L).map(i => (s"n$i", -i)).toDF("k", "v"))
+    // new contents entirely replace the old
+    val cur = t.read().get.as[(String, Long)].collect().toSet
+    assert(cur == (1L to 10L).map(i => (s"n$i", -i)).toSet)
+    // normal commit semantics: the old snapshot still resolves
+    assert(t.readAt(before).get.count() == 100L)
+    // replacing with nothing empties the table
+    t.replaceAll(Seq.empty[(String, Long)].toDF("k", "v"))
+    assert(t.read().isEmpty)
+  }
+
   test("exportTo round-trips the current snapshot into plain columnar files") {
     val s = spark
     import s.implicits._

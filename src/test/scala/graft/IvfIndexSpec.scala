@@ -70,6 +70,46 @@ class IvfIndexSpec extends SparkSpec {
     assert(index.read().get.count() == n)
   }
 
+  test("recluster: index moves to new geometry in place, probes match a fresh build") {
+    val e = Tables.embeddings(spark, sf0001)
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // index under a deliberately poor 2-centroid geometry, then
+    // recluster in place onto the 16-centroid geometry
+    val poor = Similarity.sampleCentroids(c, "c_id", "c_vec", 2)
+    val good = Similarity.sampleCentroids(c, "c_id", "c_vec", 16)
+    val root = tmp()
+    val index = new BucketedStateTable(spark, s"$root/index",
+      keyCols = Seq("centroid_id", "vec_id"), numBuckets = 16,
+      bucketCols = Seq("centroid_id"), retentionFloorMillis = 60_000L)
+    Similarity.indexIvf(index, c, "c_id", "c_vec", poor)
+    val beforeCommits = index.commits()
+    val n = index.read().get.count()
+
+    Similarity.reclusterIvf(index, good)
+
+    // same vectors, new lists: row count preserved, assignments spread
+    assert(index.read().get.count() == n)
+    assert(index.read().get.select("centroid_id").distinct().count() > 2L)
+    // probe parity with an index built fresh under the same geometry
+    val fresh = new BucketedStateTable(spark, s"$root/fresh",
+      keyCols = Seq("centroid_id", "vec_id"), numBuckets = 16,
+      bucketCols = Seq("centroid_id"), retentionFloorMillis = 0L)
+    Similarity.indexIvf(fresh, c, "c_id", "c_vec", good)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e4))
+    val reclustered = Similarity.probeIvf(index, q, "q_id", "q_vec", good,
+      k = 3, nProbe = 4).collect().map(key).toSet
+    val rebuilt = Similarity.probeIvf(fresh, q, "q_id", "q_vec", good,
+      k = 3, nProbe = 4).collect().map(key).toSet
+    assert(reclustered == rebuilt,
+      s"diverged: ${reclustered.diff(rebuilt)} vs ${rebuilt.diff(reclustered)}")
+    // a normal commit: the pre-recluster snapshot is still time-travelable
+    assert(index.readAt(beforeCommits.last).get.count() == n)
+  }
+
   test("streaming ingest: vectors searchable after their micro-batch; replayed batch is a no-op") {
     val s = spark
     import s.implicits._
