@@ -393,7 +393,6 @@ object Corpus {
       textCol: String,
       tau: Double,
       seed: String = "mix"): DataFrame = {
-    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     requireFresh(df, "n_tokens")
     val withTokens = df.withColumn("n_tokens",
       TextAnalysis.tokenCount(col(textCol)))
@@ -401,22 +400,43 @@ object Corpus {
       .agg(sum(col("n_tokens")).as("__t"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (totals.isEmpty) return withTokens
+    keepBySourceRates(withTokens, idCol, sourceCol,
+      temperatureRates(totals, tau), seed)
+  }
+
+  /** The pure temperature rate rule — `(t_min / t_s)^(1-tau)`, 6-dp
+    * rounded, sqrt-exact at tau=0.5 — shared by [[mixByTemperature]]
+    * and the streaming twin (which feeds RUNNING totals instead of a
+    * one-shot aggregate). */
+  def temperatureRates(
+      totals: Map[String, Long], tau: Double): Map[String, Double] = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    if (totals.isEmpty) return Map.empty
     val tMin = totals.values.min.toDouble
     val e = 1.0 - tau
     def powE(x: Double): Double =
       if (e == 0.5) math.sqrt(x) else math.pow(x, e)
-    val rates = totals.map { case (src, t) =>
-      val raw = powE(tMin / t.toDouble)
-      src -> BigDecimal(raw)
+    totals.map { case (src, t) =>
+      src -> BigDecimal(powE(tMin / t.toDouble))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
+  }
+
+  /** Hash-threshold keep at per-source rates (sources absent from
+    * `rates` keep everything) — the shared narrow filter behind the
+    * mixture samplers. */
+  def keepBySourceRates(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      rates: Map[String, Double],
+      seed: String): DataFrame = {
     val u = uniformHex(col(idCol), seed)
     val threshold = rates.foldRight(lit(hexThreshold(1.0))) {
       case ((src, p), els) =>
         when(col(sourceCol) === src, lit(hexThreshold(p))).otherwise(els)
     }
-    withTokens.filter(u < threshold)
+    df.filter(u < threshold)
   }
 
   /** Length-bucket assignment for batch assembly: documents grouped
