@@ -411,12 +411,17 @@ object Corpus {
   def temperatureRates(
       totals: Map[String, Long], tau: Double): Map[String, Double] = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
-    if (totals.isEmpty) return Map.empty
-    val tMin = totals.values.min.toDouble
+    // a zero-token source has nothing to rebalance: it neither anchors
+    // tMin (0/0 = NaN would crash the rounding, and a zero tMin would
+    // zero EVERY other source's rate) nor gets a rate (absent = keep,
+    // harmless for rows with no tokens)
+    val positive = totals.filter(_._2 > 0L)
+    if (positive.isEmpty) return Map.empty
+    val tMin = positive.values.min.toDouble
     val e = 1.0 - tau
     def powE(x: Double): Double =
       if (e == 0.5) math.sqrt(x) else math.pow(x, e)
-    totals.map { case (src, t) =>
+    positive.map { case (src, t) =>
       src -> BigDecimal(powE(tMin / t.toDouble))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }

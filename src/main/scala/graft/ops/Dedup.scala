@@ -608,7 +608,13 @@ object Dedup {
     // to the pre-merge snapshot by construction, and (b) cuts the lineage
     // back to bNew so its persisted blocks can be freed HERE instead of
     // leaking into the caller's session (SURVEY §10 documents that leak
-    // squeezing the unified pool across a bench run).
+    // squeezing the unified pool across a bench run). Deliberate
+    // fault-tolerance stance: losing an executor after the checkpoint
+    // fails the job LOUDLY — the lineage alternative would silently
+    // recompute against the POST-merge index and emit different pairs
+    // (the batch observing its own hashes), which is worse than a retry.
+    // Callers needing executor-loss durability should write the pairs to
+    // a reliable sink immediately (they are already materialized).
     val out = pairs.localCheckpoint(true)
     index.merge(bNew.select(col("band"), col("band_hash"), col("__id").as("doc_id")),
       keys = Seq("band", "band_hash", "doc_id"))

@@ -27,8 +27,10 @@ object Events {
     *
     * 100 TB: the type prune cuts the shuffle to funnel-relevant rows,
     * and per-user fold state is bounded by `maxEventsPerUser` — a
-    * map-side-combined count pass routes any user above the cap (a bot
-    * with 10⁸ events would otherwise OOM the aggregation buffer) to the
+    * map-side-combined count pass (resolved eagerly at call time; with
+    * no overflow the plan stays exactly the single-fold shape) routes
+    * any user above the cap (a bot with 10⁸ events would otherwise OOM
+    * the aggregation buffer) to the
     * join-chain evaluation instead: n bounded min-aggregates
     * ([[funnelJoinChain]]'s tᵢ definition computed literally), whose
     * state per user is ONE (ts) row regardless of history length. Both
@@ -55,10 +57,17 @@ object Events {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxEventsPerUser)
       .select(col(userCol))
-    val perUser = foldReached(
-        pruned.join(overflow, Seq(userCol), "left_anti"), userCol, stages)
-      .unionByName(chainReached(
-        pruned.join(overflow, Seq(userCol), "left_semi"), userCol, stages))
+    // The cap check has to run regardless; resolving it EAGERLY here
+    // (one map-side-combined counting pass) lets the overwhelmingly
+    // common no-overflow case keep the ORIGINAL single-fold plan — no
+    // anti/semi joins, no extra scans of the pruned events. The routing
+    // plan only materializes when a pathological user actually exists.
+    val perUser =
+      if (overflow.isEmpty) foldReached(pruned, userCol, stages)
+      else foldReached(
+          pruned.join(overflow, Seq(userCol), "left_anti"), userCol, stages)
+        .unionByName(chainReached(
+          pruned.join(overflow, Seq(userCol), "left_semi"), userCol, stages))
     events.select(col(userCol)).distinct()
       .join(perUser, Seq(userCol), "left")
       .select(col(userCol),

@@ -553,16 +553,18 @@ object Similarity {
       index: graft.pipeline.BucketedStateTable,
       centroids: Seq[Seq[Double]]): Unit = {
     require(centroids.nonEmpty, "reclusterIvf needs at least one centroid")
-    index.read().foreach { cur =>
+    // read + rewrite as ONE exclusive op: a separate read()-then-replace
+    // would silently drop any ingest batch a concurrent writer commits
+    // in the gap (the streaming-ingest pattern makes that routine)
+    index.replaceAllTransformed { cur =>
       val scores = array(centroids.map(c => cosine(col("vec"), typedlit(c))): _*)
-      val reassigned = cur
+      cur
         .withColumn("__scores", scores)
         .withColumn("centroid_id",
           (call_function("array_position", col("__scores"),
             array_max(col("__scores"))) - 1).cast("long"))
         .filter(col("centroid_id").isNotNull)
         .select(col("centroid_id"), col("vec_id"), col("vec"))
-      index.replaceAll(reassigned)
     }
   }
 

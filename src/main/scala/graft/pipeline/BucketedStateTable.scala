@@ -106,8 +106,14 @@ class BucketedStateTable(
     override def initialValue: Integer = 0
   }
   // the holder's heartbeat thread (at most one live: mutations are
-  // serialized per table path by the JVM lock before withLease)
+  // serialized per table path by the JVM lock before withLease).
+  // Termination rides on the FLAG, not the interrupt alone: an
+  // interrupt landing inside a filesystem write can surface as
+  // InterruptedIOException (an IOException) and be absorbed by the
+  // retry arm with the interrupt status consumed — a zombie heartbeat
+  // would then recreate the deleted lease forever, wedging the table.
   @volatile private var heartbeat: Option[Thread] = None
+  @volatile private var heartbeatStop = false
 
   private def writeLeaseFile(holder: String, overwrite: Boolean): Unit = {
     val out = fs.create(leasePath, overwrite)
@@ -124,14 +130,14 @@ class BucketedStateTable(
     * double-writer interleaving the lease exists to prevent. */
   private def startHeartbeat(holder: String): Unit = {
     val period = math.max(leaseStaleMillis / 3, 10L)
+    heartbeatStop = false
     val t = new Thread({ () =>
-      var live = true
-      while (live) {
+      while (!heartbeatStop) {
         try {
           Thread.sleep(period)
-          writeLeaseFile(holder, overwrite = true)
+          if (!heartbeatStop) writeLeaseFile(holder, overwrite = true)
         } catch {
-          case _: InterruptedException => live = false
+          case _: InterruptedException => () // loop condition decides
           case _: java.io.IOException => () // transient; retry next beat
         }
       }
@@ -142,6 +148,7 @@ class BucketedStateTable(
   }
 
   private def stopHeartbeat(): Unit = {
+    heartbeatStop = true
     heartbeat.foreach { t => t.interrupt(); t.join(2000) }
     heartbeat = None
   }
@@ -218,7 +225,11 @@ class BucketedStateTable(
       }
       .sortBy(_._1)
 
-  private def readManifest(p: Path): Manifest = {
+  /** `checkLayout = false` is for liveness bookkeeping only ([[prune]]
+    * needs the commit ids an old-layout manifest still references, e.g.
+    * right after a [[rebucket]], without resolving its data) — every
+    * data-reading path keeps the check. */
+  private def readManifest(p: Path, checkLayout: Boolean = true): Manifest = {
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -229,14 +240,14 @@ class BucketedStateTable(
     // the bucket count DEFINES the layout: opening an existing table
     // with a different numBuckets would hash keys into the wrong
     // buckets and silently corrupt merges — refuse instead
-    kv.get("numBuckets").foreach { n =>
+    if (checkLayout) kv.get("numBuckets").foreach { n =>
       require(n.toInt == numBuckets,
         s"table at $path is laid out with numBuckets=$n; this instance " +
           s"was constructed with numBuckets=$numBuckets — re-bucketing " +
           "requires a full rewrite into a new table")
     }
     // the bucketing COLUMNS equally define the layout
-    kv.get("bucketCols").foreach { bc =>
+    if (checkLayout) kv.get("bucketCols").foreach { bc =>
       require(bc == effBucketCols.mkString(","),
         s"table at $path is bucketed by [$bc]; this instance buckets by " +
           s"[${effBucketCols.mkString(",")}] — re-bucketing requires a " +
@@ -426,7 +437,9 @@ class BucketedStateTable(
     val manifests = manifestFiles()
     val retained = manifests.takeRight(keepCommits)
     val live: Set[Long] =
-      retained.flatMap { case (_, p) => readManifest(p).buckets.values }.toSet ++
+      retained.flatMap { case (_, p) =>
+        readManifest(p, checkLayout = false).buckets.values
+      }.toSet ++
         retained.map(_._1)
     val now = System.currentTimeMillis()
     def oldEnough(p: Path): Boolean =
@@ -542,15 +555,30 @@ class BucketedStateTable(
       ()
     } }
 
+  /** Read-transform-replace as ONE exclusive operation: `f` maps the
+    * current snapshot to the new contents, and BOTH the read and the
+    * replacing commit happen under the lock + lease — a caller doing
+    * `read()` then `replaceAll(...)` separately would silently discard
+    * any merge a concurrent writer lands in between (the commit's
+    * conflict check only compares manifest ids, and the interleaved
+    * merge IS the newest manifest by then). No-op on an empty table. */
+  def replaceAllTransformed(f: DataFrame => DataFrame): Unit =
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      read().foreach { cur =>
+        commit(f(cur), (0 until numBuckets).toSeq)
+      }
+    } }
+
   /** Re-shard the table into `newNumBuckets` buckets IN PLACE — the
     * maintenance op a table that grew 100× needs once [[stats]] shows
     * 100-GB buckets. A lease-guarded full rewrite (the heartbeat keeps
     * the lease alive however long it takes): the current snapshot is
     * re-hashed into the new bucket count under a fresh commit, the new
     * manifest (recording the new layout) publishes via the same atomic
-    * rename as any commit, and THEN the old-layout manifests are
-    * dropped — history is explicitly truncated at the rebucket point
-    * (`readAt` across a layout change would lie about bucket pruning).
+    * rename as any commit, and old-layout manifests are dropped once
+    * past the retention floor — history truncates at the rebucket point
+    * (`readAt` across a layout change refuses via the layout check;
+    * lingering young manifests are collected by later prunes).
     * A concurrent reader that already resolved an old manifest keeps
     * reading its files untouched — old data dirs outlive their
     * manifests by the retention floor, exactly as after any commit.
@@ -582,11 +610,17 @@ class BucketedStateTable(
       val basedOn = currentManifest().map(_.commitId).getOrElse(0L)
       writeManifest(Manifest(next, written.map(_ -> next).toMap), basedOn,
         forNumBuckets = newNumBuckets)
-      // truncate: every pre-rebucket manifest describes the OLD layout
-      // and must not resolve anymore; their data dirs fall to the new
-      // handle's pruning once past the retention floor
+      // Truncate pre-rebucket manifests — but ONLY past the retention
+      // floor, the same shield prune() honors: a reader that listed a
+      // manifest moments ago must still be able to open it (an
+      // unconditional delete raced exactly that listing-to-open window).
+      // Younger old-layout manifests linger briefly; they cannot be
+      // resolved through any handle (the layout check refuses) and
+      // later prunes collect them.
+      val now = System.currentTimeMillis()
       manifestFiles().filter(_._1 < next).foreach { case (_, p) =>
-        fs.delete(p, false)
+        if (now - fs.getFileStatus(p).getModificationTime >= retentionFloorMillis)
+          fs.delete(p, false)
       }
       new BucketedStateTable(spark, path, keyCols, newNumBuckets,
         keepCommits, retentionFloorMillis, bucketCols, leaseStaleMillis,
@@ -606,8 +640,13 @@ class BucketedStateTable(
     read() match {
       case None =>
         // an empty table has no schema to export (the commit log never
-        // saw a row) — create the target dir and export nothing
-        fs.mkdirs(new Path(outPath))
+        // saw a row) — create the target dir and export nothing. The
+        // TARGET's filesystem, not the table's: the export may cross
+        // schemes (hdfs table → s3 export), as Spark's writer does in
+        // the non-empty branch
+        new Path(outPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .mkdirs(new Path(outPath))
         0L
       case Some(df) =>
         val snap = df.sortWithinPartitions(keyCols.map(col): _*)

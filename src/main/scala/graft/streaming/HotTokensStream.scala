@@ -16,7 +16,8 @@ import graft.pipeline.MgSummaryStore
   *
   * Mergeable-summaries associativity means the accumulated summary is
   * exactly a one-shot summary of the concatenated stream: the superset
-  * guarantee (any token with total count > total/(k+1) is present)
+  * guarantee (any token with total count > total/k is present — the
+  * insert-after-reap variant's bound, see [[graft.ops.Sketches]])
   * holds over ALL data ever streamed, so the summary's survivors are a
   * complete candidate set for an exact offline recount at any time
   * ([[graft.ops.TextAnalysis.heavyHitters]] phase 2).

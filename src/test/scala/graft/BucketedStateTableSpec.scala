@@ -337,6 +337,7 @@ class BucketedStateTableSpec extends SparkSpec {
     t.merge((1L to 500L).map(i => (s"k$i", i)).toDF("k", "v"), keys = Seq("k"))
     t.merge(Seq(("k1", -1L)).toDF("k", "v"), keys = Seq("k"))
     val reader = t.read().get // resolves the OLD layout's manifest
+    val oldCommits = t.commits()
 
     val t16 = t.rebucket(16)
 
@@ -353,8 +354,15 @@ class BucketedStateTableSpec extends SparkSpec {
     val buckets = st.map(_.getAs[Int]("bucket")).toSet
     assert(buckets.subsetOf((0 until 16).toSet))
     assert(buckets.size > 4, s"500 keys must spread past 4 buckets: $buckets")
-    // history is explicitly truncated at the rebucket commit
-    assert(t16.commits().size == 1)
+    // history truncates at the rebucket point: the current manifest is
+    // the rebucket commit, and any old-layout manifest still inside the
+    // retention floor (shielding racing readers) refuses to resolve
+    // through the new handle instead of lying about the layout
+    val newest = t16.commits().last
+    assert(!oldCommits.contains(newest))
+    oldCommits.filter(t16.commits().contains).foreach { c =>
+      intercept[IllegalArgumentException] { t16.readAt(c) }
+    }
     // and post-rebucket mutations stay bucket-pruned on the NEW layout
     t16.merge(Seq(("k2", -2L)).toDF("k", "v"), keys = Seq("k"))
     assert(t16.lastCommit.get.bucketsWritten.size == 1)

@@ -154,6 +154,11 @@ class CorpusSpec extends SparkSpec {
     val warm = Corpus.mixByTemperature(base, "doc_id", "lang", "text",
       tau = 0.5, seed = "t1").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(cold.subsetOf(warm), "tau=0.25 keep set must nest inside tau=0.5")
+
+    // a zero-token source neither crashes the rate rule (0/0 -> NaN)
+    // nor anchors tMin at 0 (which would zero every other rate)
+    val r = Corpus.temperatureRates(Map("z" -> 0L, "b" -> 100L, "c" -> 400L), 0.5)
+    assert(!r.contains("z") && r("b") == 1.0 && r("c") == 0.5, s"got $r")
   }
 
   // ── sampleByScore ─────────────────────────────────────────────────────
