@@ -53,4 +53,34 @@ object HotTokensStream {
         afterBatch(batchId)
       }
       .start()
+
+  /** TRENDING tokens per event-time window — the windowed face of the
+    * monitor ([[start]] accumulates one global summary; this answers
+    * "what was hot BETWEEN 9 and 10"): the Misra-Gries Aggregator runs
+    * as a native windowed streaming aggregate, so per-window state is k
+    * counters (not the window's vocabulary), partials combine map-side,
+    * and the watermark evicts closed windows exactly as any windowed
+    * agg — bounded state in both dimensions. Emits one row per
+    * surviving (window, token): `(window_start, token, weight_lb)`,
+    * weight the MG lower-bound counter (superset guarantee per window:
+    * any token with count > windowTotal/k is present). Run the query in
+    * Append mode; rows finalize when the watermark closes the window. */
+  def perWindow(
+      events: DataFrame,
+      textCol: Column,
+      windowDur: String = "1 hour",
+      watermark: String = "30 minutes",
+      k: Int = 100): DataFrame = {
+    val mg = udaf(new Sketches.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    events.filter(textCol.isNotNull)
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(trim(textCol), "\\s+")).as("token"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), windowDur))
+      .agg(mg(col("token")).as("mg"))
+      .select(col("window.start").as("window_start"),
+        explode(arrays_zip(col("mg.items"), col("mg.weights"))).as("hot"))
+      .select(col("window_start"), col("hot.items").as("token"),
+        col("hot.weights").as("weight_lb"))
+  }
 }

@@ -53,4 +53,41 @@ class HotTokensStreamSpec extends SparkSpec {
     assert(after.total == before.total &&
       after.items.sameElements(before.items))
   }
+
+  test("per-window trending: each window's hot token finalizes when the watermark closes it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val q = HotTokensStream.perWindow(
+        in.toDF().toDF("ts", "text"), col("text"),
+        windowDur = "1 hour", watermark = "10 minutes", k = 4)
+      .writeStream.format("memory").queryName("trending")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    try {
+      // hour 10: "alpha" dominates; hour 11: "beta" dominates
+      in.addData(
+        ts("2024-01-01 10:05:00") -> Seq.fill(20)("alpha").mkString(" "),
+        ts("2024-01-01 10:10:00") -> "x y z",
+        ts("2024-01-01 11:05:00") -> Seq.fill(20)("beta").mkString(" "))
+      q.processAllAvailable()
+      // advance the watermark far past both windows -> both finalize
+      in.addData(ts("2024-01-01 13:00:00") -> "flush")
+      q.processAllAvailable()
+      val rows = s.sql(
+          "SELECT window_start, token, weight_lb FROM trending").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      val h10 = rows.filter(_._1 == ts("2024-01-01 10:00:00"))
+      val h11 = rows.filter(_._1 == ts("2024-01-01 11:00:00"))
+      assert(h10.exists(r => r._2 == "alpha" && r._3 <= 20L && r._3 > 0L),
+        s"hour-10 alpha missing: ${rows.mkString(";")}")
+      assert(h11.exists(_._2 == "beta"),
+        s"hour-11 beta missing: ${rows.mkString(";")}")
+      // per-window sketch: hour 10's summary never leaks hour 11 tokens
+      assert(!h10.exists(_._2 == "beta"))
+    } finally q.stop()
+  }
 }
