@@ -27,8 +27,8 @@ object Events {
     *
     * 100 TB: the type prune cuts the shuffle to funnel-relevant rows,
     * and per-user fold state is bounded by `maxEventsPerUser` — a
-    * map-side-combined count pass (resolved eagerly at call time; with
-    * no overflow the plan stays exactly the single-fold shape) routes
+    * map-side-combined count pass (kept lazily IN the plan, so the
+    * guard is correct at every re-execution) routes
     * any user above the cap (a bot with 10⁸ events would otherwise OOM
     * the aggregation buffer) to the
     * join-chain evaluation instead: n bounded min-aggregates
@@ -57,17 +57,18 @@ object Events {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxEventsPerUser)
       .select(col(userCol))
-    // The cap check has to run regardless; resolving it EAGERLY here
-    // (one map-side-combined counting pass) lets the overwhelmingly
-    // common no-overflow case keep the ORIGINAL single-fold plan — no
-    // anti/semi joins, no extra scans of the pruned events. The routing
-    // plan only materializes when a pathological user actually exists.
-    val perUser =
-      if (overflow.isEmpty) foldReached(pruned, userCol, stages)
-      else foldReached(
-          pruned.join(overflow, Seq(userCol), "left_anti"), userCol, stages)
-        .unionByName(chainReached(
-          pruned.join(overflow, Seq(userCol), "left_semi"), userCol, stages))
+    // The routing guard stays IN the lazy plan: an eager existence
+    // check here would freeze the decision at BUILD time, and a plan
+    // re-executed later over a grown source (new files, cache refresh)
+    // would take the bare fold into exactly the unbounded buffer the
+    // cap exists to prevent. Cost of keeping it lazy: one map-side-
+    // combined count aggregate plus two joins on the same user-hash
+    // partitioning — a constant factor, and the price of a guard that
+    // is correct at every execution.
+    val perUser = foldReached(
+        pruned.join(overflow, Seq(userCol), "left_anti"), userCol, stages)
+      .unionByName(chainReached(
+        pruned.join(overflow, Seq(userCol), "left_semi"), userCol, stages))
     events.select(col(userCol)).distinct()
       .join(perUser, Seq(userCol), "left")
       .select(col(userCol),

@@ -105,15 +105,20 @@ class BucketedStateTable(
   private val leaseDepth = new ThreadLocal[Integer] {
     override def initialValue: Integer = 0
   }
-  // the holder's heartbeat thread (at most one live: mutations are
+  // The holder's heartbeat thread (at most one live: mutations are
   // serialized per table path by the JVM lock before withLease).
-  // Termination rides on the FLAG, not the interrupt alone: an
-  // interrupt landing inside a filesystem write can surface as
-  // InterruptedIOException (an IOException) and be absorbed by the
-  // retry arm with the interrupt status consumed — a zombie heartbeat
-  // would then recreate the deleted lease forever, wedging the table.
-  @volatile private var heartbeat: Option[Thread] = None
-  @volatile private var heartbeatStop = false
+  // Termination rides on a PER-GENERATION stop token, not the
+  // interrupt alone: an interrupt landing inside a filesystem write
+  // can surface as InterruptedIOException (an IOException) and be
+  // absorbed by the retry arm with the interrupt status consumed — a
+  // zombie heartbeat would then recreate the deleted lease forever. A
+  // shared flag would be just as bad one step later: the NEXT
+  // mutation's start would reset it and revive a join-timeout zombie.
+  // With its own token, a straggler that outlives join(2000) can
+  // recreate the lease at most once (its in-flight write) — the old
+  // mtime then ages past staleness and the next writer breaks it.
+  @volatile private var heartbeat:
+    Option[(Thread, java.util.concurrent.atomic.AtomicBoolean)] = None
 
   private def writeLeaseFile(holder: String, overwrite: Boolean): Unit = {
     val out = fs.create(leasePath, overwrite)
@@ -130,12 +135,12 @@ class BucketedStateTable(
     * double-writer interleaving the lease exists to prevent. */
   private def startHeartbeat(holder: String): Unit = {
     val period = math.max(leaseStaleMillis / 3, 10L)
-    heartbeatStop = false
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val t = new Thread({ () =>
-      while (!heartbeatStop) {
+      while (!stop.get) {
         try {
           Thread.sleep(period)
-          if (!heartbeatStop) writeLeaseFile(holder, overwrite = true)
+          if (!stop.get) writeLeaseFile(holder, overwrite = true)
         } catch {
           case _: InterruptedException => () // loop condition decides
           case _: java.io.IOException => () // transient; retry next beat
@@ -144,12 +149,13 @@ class BucketedStateTable(
     }: Runnable, s"graft-lease-heartbeat-${root.getName}")
     t.setDaemon(true)
     t.start()
-    heartbeat = Some(t)
+    heartbeat = Some((t, stop))
   }
 
   private def stopHeartbeat(): Unit = {
-    heartbeatStop = true
-    heartbeat.foreach { t => t.interrupt(); t.join(2000) }
+    heartbeat.foreach { case (t, stop) =>
+      stop.set(true); t.interrupt(); t.join(2000)
+    }
     heartbeat = None
   }
 
@@ -338,7 +344,10 @@ class BucketedStateTable(
   /** Ids of the currently-retained commits, oldest → newest — the
     * snapshots [[readAt]] can still resolve ([[prune]] keeps
     * `keepCommits` manifests plus whatever the retention floor
-    * shields). */
+    * shields). Exception: right after a [[rebucket]], PRE-rebucket ids
+    * may linger inside the retention floor but refuse [[readAt]] (the
+    * layout check) — audit loops should skip ids below the rebucket
+    * commit or catch the refusal. */
   def commits(): Seq[Long] = manifestFiles().map(_._1)
 
   /** Time-travel read: the whole table AS OF `commitId`, resolved from
@@ -564,9 +573,9 @@ class BucketedStateTable(
     * merge IS the newest manifest by then). No-op on an empty table. */
   def replaceAllTransformed(f: DataFrame => DataFrame): Unit =
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
-      read().foreach { cur =>
-        commit(f(cur), (0 until numBuckets).toSeq)
-      }
+      // monitor and lease are both reentrant, so the delegation keeps
+      // full-rewrite semantics in ONE place
+      read().foreach(cur => replaceAll(f(cur)))
     } }
 
   /** Re-shard the table into `newNumBuckets` buckets IN PLACE — the

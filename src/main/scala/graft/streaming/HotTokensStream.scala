@@ -45,6 +45,9 @@ object HotTokensStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val toks = batch.filter(textCol.isNotNull)
           .select(explode(split(trim(textCol), "\\s+")).as("token"))
+          // empty/whitespace-only text splits to [""] — without this an
+          // "" pseudo-token occupies one of the k counters
+          .filter(col("token") =!= "")
         val bs = Sketches.misraGries(toks, "token", k)
         store.updateOnceForBatch(batchId, checkpointDir) {
           case Some(prev) => Sketches.mergeSummaries(prev, bs, k)
@@ -76,6 +79,7 @@ object HotTokensStream {
     events.filter(textCol.isNotNull)
       .withWatermark("ts", watermark)
       .select(col("ts"), explode(split(trim(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "") // [""] from empty text is not a token
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), windowDur))
       .agg(mg(col("token")).as("mg"))
       .select(col("window.start").as("window_start"),

@@ -360,7 +360,13 @@ class BucketedStateTableSpec extends SparkSpec {
     // through the new handle instead of lying about the layout
     val newest = t16.commits().last
     assert(!oldCommits.contains(newest))
-    oldCommits.filter(t16.commits().contains).foreach { c =>
+    // the 60s floor guarantees the old manifests LINGER (an
+    // unconditional delete would empty this set and make the refusal
+    // loop vacuous — this assertion keeps it load-bearing)
+    val lingering = oldCommits.filter(t16.commits().contains)
+    assert(lingering.nonEmpty,
+      "retention floor must shield pre-rebucket manifests from deletion")
+    lingering.foreach { c =>
       intercept[IllegalArgumentException] { t16.readAt(c) }
     }
     // and post-rebucket mutations stay bucket-pruned on the NEW layout
