@@ -329,8 +329,12 @@ object Corpus {
     requireFresh(df, "n_tokens")
     val withTokens = df.withColumn("n_tokens",
       TextAnalysis.tokenCount(col(textCol)))
+    // coalesce: a source whose rows are all null-text sums to NULL and
+    // Row.getLong would NPE — report 0 tokens instead (a 0-token source
+    // has nothing to rebalance/budget, so downstream rate rules ignore
+    // or full-keep it, both harmless)
     val totals = withTokens.groupBy(col(sourceCol))
-      .agg(sum(col("n_tokens")).as("__t"))
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__t"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val rates = budgets.flatMap { case (src, budget) =>
@@ -396,8 +400,12 @@ object Corpus {
     requireFresh(df, "n_tokens")
     val withTokens = df.withColumn("n_tokens",
       TextAnalysis.tokenCount(col(textCol)))
+    // coalesce: a source whose rows are all null-text sums to NULL and
+    // Row.getLong would NPE — report 0 tokens instead (a 0-token source
+    // has nothing to rebalance/budget, so downstream rate rules ignore
+    // or full-keep it, both harmless)
     val totals = withTokens.groupBy(col(sourceCol))
-      .agg(sum(col("n_tokens")).as("__t"))
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__t"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     keepBySourceRates(withTokens, idCol, sourceCol,

@@ -167,10 +167,12 @@ object Multimodal {
     * analogue of [[ImageIoDecoder]]). Reports the container's true
     * sample rate / channel count / frame length, duration from frames ÷
     * frame rate, and RMS over all interleaved PCM samples normalized to
-    * [-1, 1] (16-bit and 8-bit signed PCM; other encodings report NaN
-    * rather than a wrong number). Non-audio payloads are dropped. */
+    * [-1, 1] (16-bit signed, 8-bit signed, and 8-bit unsigned PCM — WAV's
+    * canonical 8-bit form IS unsigned, so the branch is picked on
+    * (encoding, bits), not bit width alone; any other encoding reports
+    * NaN rather than a wrong number). Non-audio payloads are dropped. */
   object WavDecoder extends AudioDecoder {
-    import javax.sound.sampled.AudioSystem
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
 
     override def decodeBatch(batch: Seq[MediaRecord]): Seq[AudioFeatures] =
       batch.flatMap { r =>
@@ -181,8 +183,8 @@ object Multimodal {
             val f = ais.getFormat
             val nFrames = ais.getFrameLength
             val data = ais.readAllBytes()
-            val rms = f.getSampleSizeInBits match {
-              case 16 =>
+            val rms = (f.getEncoding, f.getSampleSizeInBits) match {
+              case (AudioFormat.Encoding.PCM_SIGNED, 16) =>
                 val bb = java.nio.ByteBuffer.wrap(data).order(
                   if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
                   else java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -191,9 +193,14 @@ object Multimodal {
                   val v = bb.getShort / 32767.0; sum += v * v; n += 1
                 }
                 if (n == 0) 0.0 else math.sqrt(sum / n)
-              case 8 =>
+              case (AudioFormat.Encoding.PCM_SIGNED, 8) =>
                 var sum = 0.0
                 data.foreach { b => val v = b / 127.0; sum += v * v }
+                if (data.isEmpty) 0.0 else math.sqrt(sum / data.length)
+              case (AudioFormat.Encoding.PCM_UNSIGNED, 8) =>
+                // WAV's native 8-bit form: 0..255 with silence at 128.
+                var sum = 0.0
+                data.foreach { b => val v = ((b & 0xff) - 128) / 127.0; sum += v * v }
                 if (data.isEmpty) 0.0 else math.sqrt(sum / data.length)
               case _ => Double.NaN
             }

@@ -583,18 +583,23 @@ object Similarity {
       centroids: Seq[Seq[Double]],
       k: Int,
       nProbe: Int,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      emptyVecIdType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType): DataFrame = {
     val probes = centroidProbes(queries, qId, qVec, centroids, nProbe)
       .withColumnRenamed("__cent", "centroid_id")
     val slice = index.read() match {
       case None =>
         // Empty-index schema derives qId from the QUERIES frame (its
         // native type, matching what the populated path's join carries);
-        // rank is INT to match row_number(). vec_id defaults to long —
-        // an empty index carries no evidence of the indexed id type.
+        // rank is INT to match row_number(). A never-written index
+        // carries no evidence of the indexed id type, so vec_id takes
+        // `emptyVecIdType` — callers indexing non-long ids pass theirs
+        // (e.g. StringType) to keep the schema stable across the
+        // empty/populated boundary for unionByName and writers.
         return queries.select(col(qId)).limit(0)
           .withColumn("rank", lit(0))
-          .withColumn("vec_id", lit(0L))
+          .withColumn("vec_id", lit(null).cast(emptyVecIdType))
           .withColumn("cos_sim", lit(0.0))
       case Some(cur) =>
         index.readForKeys(probes.select(col("centroid_id")), cur.limit(0))

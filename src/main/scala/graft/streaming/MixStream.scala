@@ -56,8 +56,10 @@ object MixStream {
     import spark.implicits._
     val withTokens = batch.withColumn("n_tokens",
       TextAnalysis.tokenCount(col(textCol)))
+    // coalesce mirrors the batch operator: an all-null-text source must
+    // sum to 0, not NULL (getLong on NULL would kill the stream)
     val batchTotals = withTokens.groupBy(col(sourceCol))
-      .agg(sum(col("n_tokens")).as("n")).collect()
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val cur = totals.read()
       .map(_.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)

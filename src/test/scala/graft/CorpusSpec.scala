@@ -159,6 +159,19 @@ class CorpusSpec extends SparkSpec {
     // nor anchors tMin at 0 (which would zero every other rate)
     val r = Corpus.temperatureRates(Map("z" -> 0L, "b" -> 100L, "c" -> 400L), 0.5)
     assert(!r.contains("z") && r("b") == 1.0 && r("c") == 0.5, s"got $r")
+
+    // a source whose rows are ALL null text sums to NULL in the totals
+    // aggregate — must coalesce to 0 (and keep the rows), not NPE
+    val s = spark
+    import s.implicits._
+    val withNullSrc = base.unionByName(
+      Seq((900001L, "xx", null.asInstanceOf[String]),
+          (900002L, "xx", null.asInstanceOf[String]))
+        .toDF("doc_id", "lang", "text"))
+    val gotNull = Corpus.mixByTemperature(withNullSrc, "doc_id", "lang", "text",
+      tau = 0.5, seed = "t1")
+    assert(gotNull.filter(col("lang") === "xx").count() === 2L,
+      "null-text source keeps its rows (no rate applies)")
   }
 
   // ── sampleByScore ─────────────────────────────────────────────────────

@@ -448,6 +448,32 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.head.duration_sec - 0.1) < 1e-9)
   }
 
+  test("multimodal: WavDecoder handles 8-bit UNSIGNED PCM (WAV's native 8-bit form)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import Multimodal.{MediaRecord, WavDecoder}
+    // 8-bit WAV is unsigned with silence at 128: a constant-128 stream
+    // must read as RMS 0 (the old signed-byte math read it near FULL
+    // scale: (-128/127)^2 ≈ 1), and a 128±100 square wave as 100/127
+    def wav8(samples: Array[Int], rate: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate.toFloat, 8, 1, /*signed=*/ false, false)
+      val data = samples.map(_.toByte)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val silence = wav8(Array.fill(400)(128), 8000)
+    val square = wav8(Array.tabulate(400)(i => if (i % 2 == 0) 228 else 28), 8000)
+    val feats = WavDecoder.decodeBatch(Seq(
+      MediaRecord(1L, "audio", silence), MediaRecord(2L, "audio", square)))
+    assert(feats.map(_.doc_id) == Seq(1L, 2L))
+    assert(math.abs(feats(0).rms - 0.0) < 1e-9, s"silence rms ${feats(0).rms}")
+    assert(math.abs(feats(1).rms - 100.0 / 127.0) < 1e-9, s"square rms ${feats(1).rms}")
+    assert(feats.forall(_.sample_rate == 8000.0))
+    assert(feats.forall(_.n_frames == 400L))
+  }
+
   test("joins: asofJoin takes the latest right row at-or-before, inclusive, null when none") {
     val s = spark
     import s.implicits._
