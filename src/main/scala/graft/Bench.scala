@@ -38,6 +38,7 @@ object Bench {
     // driver's bounded tail capture evicted the per-query stdout lines
     // (BENCH_r03..r05 all lost their per-query record to this).
     spark.sparkContext.setLogLevel("ERROR")
+    val metrics = BenchMetrics.install(spark.sparkContext)
 
     // JVM/codegen warmup on the smallest SF so per-query numbers measure
     // the plan, not first-use classloading.
@@ -52,20 +53,28 @@ object Bench {
     // leftover persisted blocks were measured causing multi-× slowdowns
     // late in a 90+-query run).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until trials).map { _ =>
+      val trialRuns = (0 until trials).map { _ =>
         Tables.dropCachedLeftovers(spark)
+        metrics.reset()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          (sec, metrics.snapshot(spark.sparkContext))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
+          (-1.0, metrics.snapshot(spark.sparkContext))
         }
       }
-      val best = if (times.exists(_ < 0)) -1.0 else times.min
+      // Shuffle/spill come from the FASTEST trial: bytes are plan-
+      // deterministic (identical across trials), but spill is a
+      // pressure symptom and the min-time trial is the one the
+      // headline number describes.
+      val (best, bestSnap) =
+        if (trialRuns.exists(_._1 < 0)) (-1.0, trialRuns.head._2)
+        else trialRuns.minBy(_._1)
       println(s"""{"metric":"query","name":"$name","value":$best,"unit":"sec"}""")
-      name -> best
+      (name, best, bestSnap)
     }
     // any failure poisons the headline total: a run missing its slowest
     // query must not look FASTER than a healthy run
@@ -82,10 +91,16 @@ object Bench {
     // sbt), committed per round, so regressions can be diffed without
     // tail archaeology.
     val queriesJson = results
-      .map { case (n, v) => s""""$n":$v""" }
+      .map { case (n, v, _) => s""""$n":$v""" }
+      .mkString("{", ",", "}")
+    // Resource record per query (shuffle read/write, mem/disk spill from
+    // the fastest trial) rides in a PARALLEL map so existing consumers
+    // of the numeric "queries" map keep parsing unchanged.
+    val metricsJson = results
+      .map { case (n, _, snap) => s""""$n":${snap.json}""" }
       .mkString("{", ",", "}")
     val localJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"trials":$trials,"sf":"$sfDir","queries":$queriesJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"trials":$trials,"sf":"$sfDir","queries":$queriesJson,"resources":$metricsJson}"""
     try {
       val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
       java.nio.file.Files.write(out, (localJson + "\n").getBytes("UTF-8"))
