@@ -175,12 +175,31 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4): DataFrame =
+    bandPairs64(
+      Balance.widen(df.filter(col(textCol).isNotNull))
+        .select(col(idCol), simhash64(col(textCol)).as("__hash64")),
+      idCol, "__hash64", bands)
+
+  /** Banded candidate pairing over ANY precomputed 64-bit hash column —
+    * the generator behind [[simhashBandPairs]] (text) and
+    * [[graft.ops.Multimodal.imageNearDups]] (perceptual image hashes):
+    * the hash is sliced into `bands` equal bit-bands and rows bucket-join
+    * per band, so pairs only form inside a (band, band-bits) bucket,
+    * never across the corpus. Returns (a_id, b_id, hamming), a_id < b_id.
+    *
+    * Pigeonhole guarantee (same as the text face): a pair at Hamming
+    * distance < `bands` always shares an untouched band and is found
+    * DETERMINISTICALLY; larger distances are probabilistic. */
+  def bandPairs64(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bands: Int): DataFrame = {
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = Balance.widen(df.filter(col(textCol).isNotNull))
-      .select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
+    val sh = df.select(col(idCol).as("__id"), col(hashCol).as("__sh"))
     val banded = sh.select(col("__id"), col("__sh"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

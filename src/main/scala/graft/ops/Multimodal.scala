@@ -299,4 +299,113 @@ object Multimodal {
           decoder.resize(r.payload, width, height))))
     }
   }
+
+  // ── Perceptual image hashing / near-dup ──────────────────────────────
+
+  /** One hashed image. */
+  case class ImageHash(doc_id: Long, phash: Long)
+
+  /** ITU-R BT.601 luma of a packed RGB int. */
+  private def luma(rgb: Int): Double =
+    0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+
+  /** 64-bit difference hash (dHash) of an encoded image: decode
+    * (`javax.imageio`), bilinear-downsample to 9x8 grayscale, then bit
+    * i = y*8+x set iff luma(x+1, y) > luma(x, y) — the standard
+    * horizontal-gradient perceptual hash (public algorithm; robust to
+    * re-encode/resize, brittle to crops by design). None for
+    * undecodable payloads (the validate-and-drop discipline). */
+  def dHash64(payload: Array[Byte]): Option[Long] = {
+    val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val dst = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 9, 8, null)
+      } finally g.dispose()
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (luma(dst.getRGB(x + 1, y)) > luma(dst.getRGB(x, y)))
+            bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** Deterministic 9x8 grayscale PNG whose [[dHash64]] is EXACTLY `v` —
+    * the planted fixture the image-dedup oracle query round-trips (the
+    * image analogue of [[syntheticWav]]'s closed-form RMS). Per row the
+    * pixel walk starts at 128 and steps +-8 per bit (range 64..192), so
+    * every horizontal comparison is strict and the hash is recovered
+    * bit-for-bit through the real PNG encode -> ImageIO decode ->
+    * bilinear 9x8 resample path (identity at equal size). */
+  def plantedImage(v: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var p = 128
+      img.setRGB(0, y, (p << 16) | (p << 8) | p)
+      var x = 0
+      while (x < 8) {
+        p = if (((v >>> (y * 8 + x)) & 1L) == 1L) p + 8 else p - 8
+        img.setRGB(x + 1, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Batched per-partition dHash — the same scan → narrow map plumbing
+    * as [[extractFeatures]]; undecodable payloads drop. */
+  def imageHashes(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { iter =>
+      iter.grouped(batchSize).flatMap(_.flatMap(r =>
+        dHash64(r.payload).map(h => ImageHash(r.doc_id, h))))
+    }
+  }
+
+  /** Perceptual near-duplicate image pairs — the multimodal-corpus
+    * cleaning step (re-encoded / slightly-recompressed copies of the
+    * same picture): dHash each payload, then band the 64-bit hashes
+    * through [[graft.ops.Dedup.bandPairs64]] (the SimHash banding shape
+    * — candidates only ever form inside a (band, band-bits) bucket,
+    * never all-pairs) and keep candidates at Hamming <= `maxHamming`.
+    * The Hamming cut IS the exact verification: it runs on the full
+    * 64-bit hash of each candidate, not on band bits.
+    *
+    * Deterministic recall for `maxHamming < bands` by the pigeonhole
+    * guarantee — near-identical images (re-encodes: hamming 0) are
+    * always found. 100 TB: decode is a narrow batched map; pairing
+    * shuffles (band, bucket) keys whose occupancy a production corpus
+    * spreads by hash (a pathological single-bucket corpus degrades the
+    * same way text SimHash does, and the same maxDocFreq-style cap
+    * applies if needed). */
+  def imageNearDups(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3, bands: Int = 4,
+      batchSize: Int = 64): DataFrame = {
+    require(maxHamming < bands,
+      s"maxHamming ($maxHamming) must stay below bands ($bands) for deterministic recall")
+    Dedup.bandPairs64(imageHashes(spark, media, batchSize).toDF(),
+        "doc_id", "phash", bands)
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -587,6 +587,31 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Multimodal: perceptual-hash image dedup. Payloads are REAL PNGs
+    // whose dHash is doc_id by construction (plantedImage round-trips
+    // the 64 bits through PNG encode → ImageIO decode → bilinear 9x8
+    // resample), with re-encoded twins planted at +100000 — so the
+    // near-dup pair set is exactly { (a,b) : popcount(v_a XOR v_b) <= 3 },
+    // which DuckDB enumerates arithmetically. maxHamming=3 < bands=4
+    // keeps every qualifying pair inside the pigeonhole guarantee, so
+    // banding finds them deterministically, not probabilistically. A
+    // decode bug, luma/resample drift, banding miss or hamming slip all
+    // break the hash. ───────────────────────────────────────────────────
+    "multimodal_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 64).select(col("doc_id"))
+      val ids = base.select(col("doc_id").as("id"), col("doc_id").as("v"))
+        .unionByName(base.filter(col("doc_id") % 8 === 0)
+          .select((col("doc_id") + 100000).as("id"), col("doc_id").as("v")))
+      val media = ids.as[(Long, Long)].map { case (id, v) =>
+        Multimodal.MediaRecord(id, "image", Multimodal.plantedImage(v))
+      }.toDF()
+      Multimodal.imageNearDups(s, media, maxHamming = 3, bands = 4)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ── AS-OF join: latest purchase at-or-before each click ─────────────
     // The point-in-time lookup Spark lacks natively, in the scalable
     // union-window shape (one keyed shuffle, no range-join blowup) —
@@ -1857,6 +1882,22 @@ object TrainingQueries {
         | round((800 + (doc_id % 5) * 400) / 8000.0, 6) AS duration_sec,
         | round((1000 + (doc_id % 7) * 100) / 32767.0, 6) AS rms
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    // The planted PNGs carry dHash = doc_id bit-for-bit, so the pair set
+    // is pure 64-bit arithmetic: popcount(v_a XOR v_b) <= 3 over the
+    // planted (id, v) catalog, twins at +100000 sharing their original's
+    // hash. Mirrors the Spark side's a_id < b_id, (a,b) by id ordering.
+    "multimodal_dedup" ->
+      """WITH imgs AS (
+        | SELECT doc_id AS id, doc_id AS v FROM documents WHERE doc_id < 64
+        | UNION ALL
+        | SELECT doc_id + 100000 AS id, doc_id AS v FROM documents
+        | WHERE doc_id < 64 AND doc_id % 8 = 0)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        | CAST(bit_count(xor(a.v, b.v)) AS INTEGER) AS hamming
+        |FROM imgs a JOIN imgs b ON a.id < b.id
+        |WHERE bit_count(xor(a.v, b.v)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "join_asof" ->
       """WITH clicks AS (

@@ -448,6 +448,41 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got.head.duration_sec - 0.1) < 1e-9)
   }
 
+  test("multimodal: dHash64 round-trips plantedImage bit-for-bit, drops junk") {
+    import Multimodal.{dHash64, plantedImage}
+    // arbitrary patterns including the sign bit and dense/sparse mixes —
+    // the whole 64-bit space must survive PNG encode → decode → resample
+    val vs = Seq(0L, -1L, 42L, 0x8000000000000000L, 0xDEADBEEFCAFEBABEL,
+      0x0123456789ABCDEFL, 1L << 63 | 1L)
+    vs.foreach { v =>
+      assert(dHash64(plantedImage(v)) == Some(v), s"round-trip failed for $v")
+    }
+    assert(dHash64("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("multimodal: imageNearDups finds re-encodes and close hashes, cuts at maxHamming") {
+    val s = spark
+    import s.implicits._
+    val v = 0x0F0F0F0F0F0F0F0FL
+    val media = Seq(
+      (1L, v),          // base
+      (2L, v),          // exact twin (re-encode: identical hash)
+      (3L, v ^ 1L),              // hamming 1
+      (4L, v ^ 0xF000000000000001L) // hamming 5 from base, 4 from doc 3 — cut
+    ).toDF("doc_id", "v").as[(Long, Long)]
+      .map { case (id, x) =>
+        Multimodal.MediaRecord(id, "image", Multimodal.plantedImage(x)) }
+      .toDF()
+      // junk row: must drop, not crash or pair
+      .unionByName(Seq((9L, "image", "junk".getBytes("UTF-8")))
+        .toDF("doc_id", "kind", "payload"))
+    val pairs = Multimodal.imageNearDups(s, media, maxHamming = 3, bands = 4)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    assert(pairs == Seq((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)),
+      s"got $pairs")
+  }
+
   test("multimodal: WavDecoder handles 8-bit UNSIGNED PCM (WAV's native 8-bit form)") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     import Multimodal.{MediaRecord, WavDecoder}

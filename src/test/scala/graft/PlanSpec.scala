@@ -133,6 +133,14 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllMatchIn(p).size == 1, p)
   }
 
+  test("image dedup: candidates pair through the banded equi-join, never all-pairs") {
+    val p = plan("multimodal_dedup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs join\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs join\n$p")
+    // the (band, band-bits) bucket join is an equi-join on band keys
+    assert(p.contains("band"), s"band keys missing from the join\n$p")
+  }
+
   test("winnow: selection is array arithmetic in the projection — no Window operator") {
     val p = plan("text_winnow")
     // the per-doc windowed-min runs as a fold inside the scan
