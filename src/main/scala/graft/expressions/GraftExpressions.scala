@@ -430,6 +430,50 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Apply an ordered BPE merge list to one document — the vocab-scale
+    * tokenizer-apply kernel ([[BpeApply]]): tokens from the same
+    * whitespace discipline as the other text kernels, then repeatedly
+    * merge the LOWEST-RANK adjacent pair present, greedy left-to-right
+    * within each rank pass. This is observationally identical to
+    * replaying the merge list as sequential global replaces (a merged
+    * pair can never re-emerge — merges only create strictly newer
+    * tokens — so processing present ranks in ascending order replays
+    * the sequential semantics while skipping the k - |distinct ranks
+    * present| passes a composed-replace plan pays), and it is O(1) in
+    * merge-list size at PLAN level: a 32k-vocab tokenizer is one
+    * reference object, not 32k nested expressions. */
+  def bpeApply(input: UTF8String, t: BpeTable): ArrayData = {
+    var toks: Array[String] = sparkTokens(input.toString)
+    if (t.size > 0) {
+      var go = true
+      while (go) {
+        var best = Int.MaxValue
+        var i = 0
+        while (i < toks.length - 1) {
+          val r = t.rank(toks(i), toks(i + 1))
+          if (r < best) best = r
+          i += 1
+        }
+        if (best == Int.MaxValue) go = false
+        else {
+          val l = t.lefts(best); val r = t.rights(best); val m = t.merged(best)
+          val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+          i = 0
+          while (i < toks.length) {
+            if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) {
+              out += m; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.toArray
+        }
+      }
+    }
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Total and distinct n-token shingle counts in one pass — the
     * repetition-ratio inputs (distinct/total is the Gopher-style
     * signal). Total counts duplicates: texts shorter than n tokens
@@ -984,6 +1028,69 @@ case class HyperplaneLshBucket(child: Expression, planes: Int)
     copy(child = newChild)
 }
 
+/** The broadcast-able merge-rank table behind [[BpeApply]] /
+  * [[Kernels.bpeApply]]: parallel left/right token arrays in LEARNED
+  * ORDER (index = rank), a lazily-rebuilt pair→rank hash (transient —
+  * rebuilt per executor after deserialization), and the precomputed
+  * merged-token strings. Rank lookup keys join tokens with U+0001 - the
+  * same cannot-appear-in-a-token assumption the sentinel replace
+  * encoding made. Duplicate pairs keep their FIRST (lowest) rank. */
+final class BpeTable(val lefts: Array[String], val rights: Array[String])
+  extends Serializable {
+  require(lefts.length == rights.length,
+    "left/right merge arrays must align")
+  val size: Int = lefts.length
+  private val mergedArr: Array[String] =
+    Array.tabulate(size)(i => lefts(i) + " " + rights(i))
+  @transient private lazy val rankMap: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](size * 2)
+    var i = 0
+    while (i < size) {
+      m.putIfAbsent(lefts(i) + "\u0001" + rights(i), Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+  def rank(l: String, r: String): Int = {
+    val v = rankMap.get(l + "\u0001" + r)
+    if (v == null) Int.MaxValue else v.intValue()
+  }
+  def merged(i: Int): String = mergedArr(i)
+}
+
+/** Vocab-scale BPE apply ([[Kernels.bpeApply]]): tokenizes a document
+  * with a learned merge list held as ONE reference object — plan depth
+  * and codegen size are O(1) in merge count, versus the k nested
+  * sentinel `replace`s the composed-Column encoding costs (a 32k-vocab
+  * tokenizer would be thousands of expressions deep there). Same
+  * observable semantics (spec'd against the sequential reference). */
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_apply"
+
+  @transient private lazy val table =
+    new BpeTable(merges.map(_._1).toArray, merges.map(_._2).toArray)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.bpeApply(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.Kernels.bpeApply($c, $tRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: the expressions are exposed as SQL functions so library
   * code reaches them via `call_function` on ANY session.
   *
@@ -1026,6 +1133,7 @@ object GraftExpressions {
     "graft_vec_unit_csv" -> (es => VecUnitMicroCsv(es.head)),
     "graft_vec_q8_csv"   -> (es => VecQuant8Csv(es.head)),
     "graft_pq_encode"    -> (es => PqEncode(es.head, dlits(es(1)), lit(es(2)), lit(es(3)))),
+    "graft_bpe_apply"    -> (es => BpeApply(es.head, lits(es(1)).zip(lits(es(2))))),
     "graft_pq_adc"       -> (es => PqAdc(es.head, es(1), dlits(es(2)), lit(es(3)), lit(es(4)))),
     "graft_xpath_struct" -> (es => {
       val names = lits(es(1)); val paths = lits(es(2))

@@ -36,7 +36,16 @@ object Events {
     * state per user is ONE (ts) row regardless of history length. Both
     * paths compute the same min-chain, so routing never changes the
     * answer — it only moves pathological users off the list-building
-    * path. */
+    * path.
+    *
+    * Passing `maxEventsPerUser = Int.MaxValue` is the caller's
+    * ASSERTION that per-user history is bounded (a pre-filtered slice,
+    * a capped source): the guard — its count aggregate and both
+    * routing joins — drops out of the plan entirely and every user
+    * takes the one-shuffle fold. The assertion is the caller's to
+    * keep: a genuinely unbounded user then builds an unbounded
+    * aggregation buffer, exactly what the default guard exists to
+    * prevent. */
   def funnel(
       events: DataFrame,
       userCol: String,
@@ -53,10 +62,6 @@ object Events {
       .filter(col(typeCol).isin(stages: _*))
       .select(col(userCol), unix_micros(col(tsCol)).as("__t"),
         col(typeCol).as("__ty"))
-    val overflow = pruned.groupBy(col(userCol))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxEventsPerUser)
-      .select(col(userCol))
     // The routing guard stays IN the lazy plan: an eager existence
     // check here would freeze the decision at BUILD time, and a plan
     // re-executed later over a grown source (new files, cache refresh)
@@ -64,11 +69,22 @@ object Events {
     // cap exists to prevent. Cost of keeping it lazy: one map-side-
     // combined count aggregate plus two joins on the same user-hash
     // partitioning — a constant factor, and the price of a guard that
-    // is correct at every execution.
-    val perUser = foldReached(
-        pruned.join(overflow, Seq(userCol), "left_anti"), userCol, stages)
-      .unionByName(chainReached(
-        pruned.join(overflow, Seq(userCol), "left_semi"), userCol, stages))
+    // is correct at every execution. The Int.MaxValue sentinel (caller
+    // asserts a bounded source) is the one case where the guard can
+    // soundly vanish: no count can exceed it, so the anti join is the
+    // identity and the semi join is empty BY CONSTRUCTION, not by data.
+    val perUser =
+      if (maxEventsPerUser == Int.MaxValue) foldReached(pruned, userCol, stages)
+      else {
+        val overflow = pruned.groupBy(col(userCol))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxEventsPerUser)
+          .select(col(userCol))
+        foldReached(
+            pruned.join(overflow, Seq(userCol), "left_anti"), userCol, stages)
+          .unionByName(chainReached(
+            pruned.join(overflow, Seq(userCol), "left_semi"), userCol, stages))
+      }
     events.select(col(userCol)).distinct()
       .join(perUser, Seq(userCol), "left")
       .select(col(userCol),

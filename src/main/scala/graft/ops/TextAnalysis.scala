@@ -469,12 +469,16 @@ object TextAnalysis {
 
   /** Apply an ORDERED learned merge list — the ENCODE half of tokenizer
     * training ([[bpeTrain]] learns the merges, this tokenizes the
-    * corpus with them). All k merges compose as k sentinel-guarded
-    * `replace`s inside ONE narrow codegen'd projection: training costs
-    * k corpus passes, but encoding is a single pass — no shuffle, no
-    * driver action, however many merges were learned. Returns the
-    * input plus `bpe_tokens` (the token array, merged tokens keeping
-    * interior spaces) and `n_bpe_tokens`.
+    * corpus with them) — as ONE codegen'd kernel expression
+    * ([[graft.expressions.BpeApply]]) holding the whole merge list as a
+    * single reference object: training costs k corpus passes, but
+    * encoding is a single narrow pass whose PLAN is O(1) in merge-list
+    * size (the previous composed-`replace` formulation nested one
+    * expression per merge — a 32k-vocab tokenizer would be thousands of
+    * expressions deep and blow codegen limits). Semantics are the
+    * sequential-global-replace replay, spec'd identical to the
+    * reference fold. Returns the input plus `bpe_tokens` (the token
+    * array, merged tokens keeping interior spaces) and `n_bpe_tokens`.
     *
     * 100 TB: the plan shape is the point — the encode lives in the
     * scan projection, composing with pushdown/pruning and streaming
@@ -483,16 +487,11 @@ object TextAnalysis {
   def bpeEncode(
       df: DataFrame, textCol: Column,
       merges: Seq[(String, String)]): DataFrame = {
-    val S = 1.toChar.toString // same sentinel discipline as bpeTrain
-    val start =
-      concat(lit(S), array_join(split(trim(textCol), "\\s+"), S + S), lit(S))
-    val encoded = merges.foldLeft(start) { case (acc, (l, r)) =>
-      call_function("replace", acc,
-        lit(S + l + S + S + r + S), lit(S + l + " " + r + S))
-    }
-    val toks = split(regexp_replace(encoded, "^" + S + "|" + S + "$", ""), S + S)
-    df.withColumn("bpe_tokens", toks)
-      .withColumn("n_bpe_tokens", size(toks).cast("long"))
+    val toks = call_function("graft_bpe_apply", textCol,
+      typedlit(merges.map(_._1)), typedlit(merges.map(_._2)))
+    val out = df.withColumn("bpe_tokens", toks)
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+    out
   }
 
   /** Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS

@@ -1240,6 +1240,72 @@ class OpsSpec extends SparkSpec {
     assert(none == Map(1L -> 3L, 2L -> 4L))
   }
 
+  test("bpe encode: kernel replays the sequential-global-replace reference exactly") {
+    val s = spark
+    import s.implicits._
+    // reference: the semantics the composed sentinel-replace plan had —
+    // per merge IN ORDER, one global greedy left-to-right token pass
+    def reference(text: String, merges: Seq[(String, String)]): Seq[String] = {
+      var toks: Vector[String] = text.trim.split("\\s+").toVector
+      merges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) {
+            out += (l + " " + r); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks
+    }
+    // edge-heavy corpus: overlap runs, chained merges consuming merged
+    // tokens, absent ranks interleaved, multi-space and tab whitespace,
+    // single tokens, and a rank that only becomes applicable through a
+    // LATER-learned constituent (never — but the case documents it)
+    val merges = Seq(("a", "a"), ("x", "y"), ("a a", "a"), ("q", "q"),
+      ("a a a", "b"), ("x y", "x y"), ("c", "d"))
+    val texts = Seq(
+      "a a a a a", "a a a b", "x y x y x y", "a", "", "  a\t b  ",
+      "q q q q", "c d c d x y", "a a a b x y c", "z z z",
+      "a a a a b b", "x y q q a a")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, col("text"), merges)
+      .select(col("doc_id"), col("bpe_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == reference(t, merges),
+        s"mismatch on '$t': got ${got(i.toLong)}, want ${reference(t, merges)}")
+    }
+  }
+
+  test("bpe encode: plan depth is O(1) in merge-list size (1k merges, one kernel call)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5")).toDF("doc_id", "text")
+    // cumulative chain: rank i merges the growing prefix with t_{i+1},
+    // so the first 5 ranks fold the 6-token doc to ONE token and the
+    // other 995 are absent-but-registered vocab (the 32k-vocab shape)
+    val big = (0 until 1000).map(i =>
+      ((0 to i).map(k => s"t$k").mkString(" "), s"t${i + 1}"))
+    val small = big.take(2)
+    def exprDepth(m: Seq[(String, String)]): Int = {
+      def depth(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+        if (e.children.isEmpty) 1 else 1 + e.children.map(depth).max
+      TextAnalysis.bpeEncode(docs, col("text"), m)
+        .queryExecution.analyzed.expressions.map(depth).max
+    }
+    // the merge table rides as ONE literal pair of arrays, not one
+    // nested replace per merge: tree depth must not move at all
+    assert(exprDepth(big) == exprDepth(small),
+      s"expression depth grew with merges: ${exprDepth(small)} -> ${exprDepth(big)}")
+    // and the kernel applies the chain: the doc folds to one token
+    val enc = TextAnalysis.bpeEncode(docs, col("text"), big)
+      .select(col("n_bpe_tokens")).collect().head.getLong(0)
+    assert(enc == 1L, s"1k-merge chain should fold the doc to one token, got $enc")
+  }
+
   test("bpe merges: one action per round — no dedicated materializer job") {
     val s = spark
     import s.implicits._
