@@ -169,11 +169,11 @@ object EventStreams {
   /** The shared per-batch fold: advance `st` through this batch's
     * events (event-time sorted, strict `ts > last` between stages). */
   private def advanceFunnel(
-      st: FunnelState, it: Iterator[Event], stages: Seq[String]): FunnelState = {
+      st: FunnelState, evs: Seq[Event], stages: Seq[String]): FunnelState = {
     val n = stages.size
     var stage = st.stage
     var last = st.lastMs
-    it.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+    evs.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
       if (stage < n && e.event_type == stages(stage) && e.ts.getTime > last) {
         stage += 1
         last = e.ts.getTime
@@ -182,24 +182,69 @@ object EventStreams {
     FunnelState(stage, last)
   }
 
+  /** Arm an event-time idle timeout: the user's state is dropped once
+    * the watermark passes their last SEEN event (any event, advancing
+    * or not) plus the TTL. The timestamp must stay ahead of the
+    * current watermark or the engine rejects it — a user whose events
+    * are all older than (watermark − ttl) gets the earliest legal
+    * deadline instead, i.e. eviction at the next watermark advance. */
+  private def armIdleTimeout(
+      state: GroupState[FunnelState], evs: Seq[Event], ttlMs: Long): Unit = {
+    val lastSeen = evs.iterator.map(_.ts.getTime).max
+    state.setTimeoutTimestamp(
+      math.max(lastSeen + ttlMs, state.getCurrentWatermarkMs() + 1))
+  }
+
+  /** Streaming funnel progression; see the semantics note above.
+    *
+    * STATE BOUND: per-user state is two fields, but the NUMBER of users
+    * grows with the stream's lifetime key cardinality — exact
+    * exactly-once crossing emission requires remembering every user
+    * ever seen. `idleTtlSeconds` bounds it instead: state for a user
+    * idle (no events at all) longer than the TTL in EVENT time is
+    * evicted once the watermark passes, at the cost of exactness for
+    * returning users — an evicted user who comes back restarts at
+    * stage 0, so their emitted `reached_stage` can REGRESS and a
+    * re-walked funnel re-emits. Pick the TTL ≥ the longest
+    * funnel-completion horizon the report cares about (e.g. 30 days)
+    * and the loss is exactly the users the report would have expired
+    * anyway. Requires event-time watermarking on `events`
+    * (`withWatermark` upstream — timeouts fire as the watermark
+    * advances); with `None` (the default) state is exact and unbounded,
+    * the original contract. */
   def funnelStream(
       spark: SparkSession,
       events: Dataset[Event],
-      stages: Seq[String]): Dataset[FunnelProgress] = {
+      stages: Seq[String],
+      idleTtlSeconds: Option[Long] = None): Dataset[FunnelProgress] = {
     import spark.implicits._
     require(stages.nonEmpty && stages.distinct.size == stages.size,
       "funnel stages must be non-empty and distinct")
+    require(idleTtlSeconds.forall(_ > 0), "idleTtlSeconds must be positive")
     val n = stages.size
+    val timeoutConf = idleTtlSeconds.fold(GroupStateTimeout.NoTimeout()) { _ =>
+      GroupStateTimeout.EventTimeTimeout()
+    }
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelState, FunnelProgress](
-        GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState[FunnelState, FunnelProgress](timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
-          val st = advanceFunnel(
-            state.getOption.getOrElse(FunnelState(0, Long.MinValue)),
-            it, stages)
-          state.update(st)
-          FunnelProgress(userId, st.stage, st.stage == n)
+          if (state.hasTimedOut) {
+            // Idle past the TTL: emit a final snapshot and evict. The
+            // snapshot repeats the user's last progress row, so a sink
+            // keyed on user_id sees no change — only the state goes.
+            val st = state.get
+            state.remove()
+            FunnelProgress(userId, st.stage, st.stage == n)
+          } else {
+            val evs = it.toSeq
+            val st = advanceFunnel(
+              state.getOption.getOrElse(FunnelState(0, Long.MinValue)),
+              evs, stages)
+            state.update(st)
+            idleTtlSeconds.foreach(t => armIdleTimeout(state, evs, t * 1000L))
+            FunnelProgress(userId, st.stage, st.stage == n)
+          }
       }
   }
 
