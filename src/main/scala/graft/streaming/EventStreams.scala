@@ -263,29 +263,49 @@ object EventStreams {
     * downstream aggregation; run the query in Update (or Complete)
     * output mode.
     *
-    * State stays bounded by construction: two fields per user (the
-    * same bound sessionization carries) plus one counter row per stage
-    * — the aggregate's state is `stages.size` rows regardless of
-    * stream length, and late events are absorbed by the advance-only
-    * guard rather than buffered, so no watermark-grown state
-    * accumulates anywhere. */
+    * STATE BOUND: the aggregate's own state is `stages.size` counter
+    * rows regardless of stream length, and per-user state is two
+    * fields — but the NUMBER of per-user entries grows with the
+    * stream's lifetime key cardinality, exactly as in [[funnelStream]]
+    * (exact exactly-once crossing emission must remember every user
+    * ever seen). `idleTtlSeconds` bounds it the same way, at the same
+    * documented cost made WORSE by counting: an evicted user who
+    * returns restarts at stage 0 and RE-EMITS crossings they already
+    * contributed, so with a TTL the per-stage counts are UPPER BOUNDS
+    * (exact whenever no evicted user returns). Late events are still
+    * absorbed by the advance-only guard, so counts never regress
+    * either way. */
   def funnelCountsStream(
       spark: SparkSession,
       events: Dataset[Event],
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String],
+      idleTtlSeconds: Option[Long] = None): DataFrame = {
     import spark.implicits._
     require(stages.nonEmpty && stages.distinct.size == stages.size,
       "funnel stages must be non-empty and distinct")
+    require(idleTtlSeconds.forall(_ > 0), "idleTtlSeconds must be positive")
+    val timeoutConf = idleTtlSeconds.fold(GroupStateTimeout.NoTimeout()) { _ =>
+      GroupStateTimeout.EventTimeTimeout()
+    }
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, StageTransition](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
-          val before = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-          val after = advanceFunnel(before, it, stages)
-          state.update(after)
-          ((before.stage + 1) to after.stage).iterator
-            .map(i => StageTransition(userId, i))
+          if (state.hasTimedOut) {
+            // Idle past the TTL: drop the state, emit nothing — counts
+            // hold; only the memory of this user's progress goes.
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = it.toSeq
+            val before = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val after = advanceFunnel(before, evs, stages)
+            state.update(after)
+            idleTtlSeconds.foreach(t => armIdleTimeout(state, evs, t * 1000L))
+            ((before.stage + 1) to after.stage).iterator
+              .map(i => StageTransition(userId, i))
+          }
       }
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("n_users"))

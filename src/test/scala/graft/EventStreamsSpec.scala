@@ -221,6 +221,52 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: funnel idle TTL evicts a stale user; a returning user restarts at stage 0") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+    val stages = Seq("view", "click", "purchase")
+    // TTL = 1h of EVENT time; the TTL contract requires a watermarked
+    // source (timeouts fire as the watermark advances)
+    val q = EventStreams.funnelStream(s,
+        in.toDS().withWatermark("ts", "0 seconds"), stages,
+        idleTtlSeconds = Some(3600L))
+      .writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode(OutputMode.Update()).start()
+    def rowsOf(u: Long): Seq[Int] = s.sql(
+        s"SELECT reached_stage FROM funnel_ttl WHERE user_id = $u")
+      .collect().map(_.getInt(0)).toSeq
+    try {
+      // B1: both users view. Deadlines armed at 11:00.
+      in.addData(ev(1, "2024-01-01 10:00:00", user = 1, typ = "view"),
+        ev(2, "2024-01-01 10:00:00", user = 2, typ = "view"))
+      q.processAllAvailable()
+      assert(rowsOf(1) == Seq(1) && rowsOf(2) == Seq(1))
+      // B2: only u2 advances, far ahead — watermark moves to 13:00
+      // AFTER this batch, so u1 (deadline 11:00) is not evicted yet.
+      in.addData(ev(3, "2024-01-01 13:00:00", user = 2, typ = "click"))
+      q.processAllAvailable()
+      assert(rowsOf(1) == Seq(1))
+      // B3: u2 again; the batch RUNS with watermark 13:00 > u1's
+      // deadline -> u1 times out: one final snapshot row (same stage,
+      // so a keyed sink sees no change), then the state is gone.
+      in.addData(ev(4, "2024-01-01 13:30:00", user = 2, typ = "purchase"))
+      q.processAllAvailable()
+      assert(rowsOf(1) == Seq(1, 1), s"expected timeout snapshot, got ${rowsOf(1)}")
+      assert(rowsOf(2).last == 3)
+      // B4: u1 RETURNS with a click. An un-evicted u1 would advance
+      // 1 -> 2; the documented TTL semantics restart them at 0 instead
+      // (click is not stage 1's type), pinning the regress tradeoff.
+      in.addData(ev(5, "2024-01-01 14:00:00", user = 1, typ = "click"))
+      q.processAllAvailable()
+      assert(rowsOf(1) == Seq(1, 1, 0),
+        s"evicted user should restart at stage 0, got ${rowsOf(1)}")
+      // u2 kept eventing, so their state survived throughout.
+      assert(rowsOf(2) == Seq(1, 2, 3))
+    } finally q.stop()
+  }
+
   test("streaming: stream-stream interval join pairs events within the window only") {
     val s = spark
     import s.implicits._

@@ -1041,6 +1041,37 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(7L -> ((3, true)), 8L -> ((2, false))), s"got $got")
   }
 
+  test("funnel bounded-source assertion: Int.MaxValue sentinel drops the guard from the plan") {
+    val s = spark
+    import s.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val rows = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "view"), (2L, ts(2), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val stages = Seq("view", "click", "purchase")
+    def plan(cap: Int): String = graft.ops.Events.funnel(
+      rows, "user_id", "ts", "event_type", stages, maxEventsPerUser = cap)
+      .queryExecution.executedPlan.toString
+    // Bounded assertion: the overflow count-aggregate and both routing
+    // joins vanish — no anti/semi join anywhere, and the only joins
+    // left are the final left join onto the distinct user list.
+    val bounded = plan(Int.MaxValue)
+    assert(!bounded.contains("LeftAnti") && !bounded.contains("LeftSemi"),
+      s"routing joins survived the bounded assertion\n$bounded")
+    // Default guard: the routing pair is present (correct-under-
+    // re-execution lazy guard), unchanged by the sentinel's existence.
+    val guarded = plan(1000)
+    assert(guarded.contains("LeftAnti") && guarded.contains("LeftSemi"),
+      s"default guard lost its routing joins\n$guarded")
+    // Both variants compute the same funnel.
+    def run(cap: Int) = graft.ops.Events.funnel(
+      rows, "user_id", "ts", "event_type", stages, maxEventsPerUser = cap)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(run(Int.MaxValue) == run(1000))
+    assert(run(Int.MaxValue) == Map(1L -> 3, 2L -> 1))
+  }
+
   test("hard negatives: same-label neighbors never appear, even when they are the nearest") {
     val s = spark
     import s.implicits._
