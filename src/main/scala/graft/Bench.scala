@@ -46,42 +46,50 @@ object Bench {
     catch { case _: Throwable => () }
 
     // A failed query reports -1, not its elapsed time — a broken query
-    // must never masquerade as a fast one in the JSON. A query that
-    // failed on ANY trial is failed (no cherry-picking a lucky run).
-    // Each query is measured from a clean cache state
-    // (Tables.dropCachedLeftovers runs OUTSIDE the timed window —
-    // leftover persisted blocks were measured causing multi-× slowdowns
-    // late in a 90+-query run).
+    // must never masquerade as a fast one in the JSON — and FAILS FAST:
+    // a query whose first trial throws is recorded broken immediately
+    // instead of burning (and error-spewing) the remaining trials
+    // (round 9's five analysis-broken queries each re-threw 3× and
+    // drowned the log). A query that failed on any LATER trial is also
+    // failed (no cherry-picking a lucky run). Each query is measured
+    // from a clean cache state (Tables.dropCachedLeftovers runs OUTSIDE
+    // the timed window — leftover persisted blocks were measured causing
+    // multi-× slowdowns late in a 90+-query run).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val trialRuns = (0 until trials).map { _ =>
+      var trialRuns = Vector.empty[(Double, BenchMetrics.Snapshot)]
+      var trial = 0
+      while (trial < trials && !trialRuns.exists(_._1 < 0)) {
         Tables.dropCachedLeftovers(spark)
         metrics.reset()
         val t0 = System.nanoTime()
-        try {
+        val run = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val sec = (System.nanoTime() - t0) / 1e9
-          (sec, metrics.snapshot(spark.sparkContext))
+          ((System.nanoTime() - t0) / 1e9, metrics.snapshot(spark.sparkContext))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           (-1.0, metrics.snapshot(spark.sparkContext))
         }
+        trialRuns :+= run
+        trial += 1
       }
       // Shuffle/spill come from the FASTEST trial: bytes are plan-
       // deterministic (identical across trials), but spill is a
       // pressure symptom and the min-time trial is the one the
       // headline number describes.
       val (best, bestSnap) =
-        if (trialRuns.exists(_._1 < 0)) (-1.0, trialRuns.head._2)
+        if (trialRuns.exists(_._1 < 0)) (-1.0, trialRuns.last._2)
         else trialRuns.minBy(_._1)
       println(s"""{"metric":"query","name":"$name","value":$best,"unit":"sec"}""")
       (name, best, bestSnap)
     }
-    // any failure poisons the headline total: a run missing its slowest
-    // query must not look FASTER than a healthy run
-    val total =
-      if (results.exists(_._2 < 0)) -1.0
-      else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"sf":"$sfDir"}""")
+    // The headline total covers the PASSING queries so one red query
+    // can't zero out the whole artifact; `failed` rides alongside so a
+    // run missing its slowest queries can never masquerade as a healthy
+    // speedup (consumers must treat failed>0 as incomparable).
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"failed":${failed.size},"failed_names":$failedJson,"sf":"$sfDir"}""")
 
     // Durable record: stdout passes through a bounded (~2k char) tail
     // capture that can hold ~21 of 120+ per-query lines, so the official

@@ -2,16 +2,26 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
-  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos
-  * as raw longs (`spark.sql.legacy.parquet.nanosAsLong`) and floor-truncate
-  * to microseconds — the same truncation DuckDB applies when casting a
-  * nanosecond parquet timestamp to its microsecond TIMESTAMP, so oracle
-  * comparisons agree bit-for-bit.
+  * The driver has shipped `events.parquet`'s `ts` column in three different
+  * physical shapes across regenerations, and the loader must accept all of
+  * them so the suite survives the next one:
+  *
+  *   - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+  *     ([PARQUET_TYPE_ILLEGAL]) unless `nanosAsLong` is set, under which it
+  *     arrives as raw LongType nanos — we floor-truncate to microseconds,
+  *     the same truncation DuckDB applies, so oracles agree bit-for-bit.
+  *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+  *     TIMESTAMP_NTZ by default, which `unix_micros`/`unix_millis` reject
+  *     at analysis. We disable NTZ inference (session TZ is UTC, so the
+  *     wall-clock micros are identical to what DuckDB reads) and keep a
+  *     defensive NTZ→TIMESTAMP cast arm for frames loaded by sessions we
+  *     didn't configure.
+  *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=true): plain TimestampType,
+  *     passes through untouched.
   */
 object Tables {
 
@@ -21,6 +31,7 @@ object Tables {
     * [[graft.expressions.GraftExtensions]] is equivalent). */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     graft.expressions.GraftExpressions.ensureRegistered(spark)
@@ -39,16 +50,22 @@ object Tables {
       .foreach(_.unpersist(blocking = false))
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    configure(spark)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Any TIMESTAMP(NANOS) column arrives as LongType under nanosAsLong:
-    // convert ns → µs (floor division; all testdata timestamps are post-epoch).
+  /** Normalize every historical `ts` shape to TimestampType (UTC session):
+    * NANOS-as-long → floor ns→µs; NTZ (a reader configured elsewhere with
+    * inference on) → value-identical cast under the UTC session TZ; plain
+    * TIMESTAMP passes through. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) {
       case (acc, f) if f.name == "ts" && f.dataType == LongType =>
         acc.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+      case (acc, f) if f.name == "ts" && f.dataType == TimestampNTZType =>
+        acc.withColumn(f.name, col(f.name).cast(TimestampType))
       case (acc, _) => acc
     }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")

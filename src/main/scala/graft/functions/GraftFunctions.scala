@@ -76,5 +76,17 @@ object GraftFunctions {
   /** SF3 — absolute difference in milliseconds (clock-skew check,
     * reference `OaiHarvester.java:513-517`). */
   def absMillisBetween(a: Column, b: Column): Column =
-    abs(unix_millis(a) - unix_millis(b))
+    abs(tsEpochMillis(a) - tsEpochMillis(b))
+
+  /** Epoch microseconds of a timestamp column, tolerant of TIMESTAMP_NTZ
+    * inputs. `unix_micros`/`unix_millis` reject NTZ at analysis time, and
+    * the driver's parquet testdata has shipped `ts` as NTZ micros in some
+    * regenerations ([[graft.Tables.load]]); casting to TimestampType first
+    * is value-identical under the UTC session TZ and a no-op for columns
+    * already of TimestampType, so every `ts` consumer should go through
+    * these instead of calling `unix_micros`/`unix_millis` directly. */
+  def tsEpochMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Epoch milliseconds; see [[tsEpochMicros]] for the NTZ rationale. */
+  def tsEpochMillis(c: Column): Column = unix_millis(c.cast("timestamp"))
 }

@@ -60,7 +60,8 @@ object Events {
     val n = stages.size
     val pruned = events
       .filter(col(typeCol).isin(stages: _*))
-      .select(col(userCol), unix_micros(col(tsCol)).as("__t"),
+      .select(col(userCol),
+        graft.functions.GraftFunctions.tsEpochMicros(col(tsCol)).as("__t"),
         col(typeCol).as("__ty"))
     // The routing guard stays IN the lazy plan: an eager existence
     // check here would freeze the decision at BUILD time, and a plan

@@ -221,8 +221,8 @@ object ReferenceQueries {
       Tables.events(s, dir)
         .select(col("event_id"),
           (col("ts") - expr("INTERVAL 48 HOURS")).as("cutoff_ts"),
-          (unix_millis(col("ts")) -
-            unix_millis(date_trunc("day", col("ts")))).as("ms_since_midnight"))
+          (tsEpochMillis(col("ts")) -
+            tsEpochMillis(date_trunc("day", col("ts")))).as("ms_since_midnight"))
         .orderBy(col("event_id"))),
 
     // ── SF4: OAI identifier → local id ───────────────────────────────────
@@ -347,7 +347,7 @@ object ReferenceQueries {
     "window_rolling_range" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(unix_micros(col("ts")))
+        .orderBy(tsEpochMicros(col("ts")))
         .rangeBetween(-604800000000L, 0L)
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"),

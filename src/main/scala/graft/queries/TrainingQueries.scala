@@ -792,7 +792,8 @@ object TrainingQueries {
       val ev = Tables.events(s, dir)
         .withColumn("new_session",
           when(lag(col("ts"), 1).over(w).isNull ||
-            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs,
+            graft.functions.GraftFunctions.tsEpochMicros(col("ts")) -
+              graft.functions.GraftFunctions.tsEpochMicros(lag(col("ts"), 1).over(w)) > gapUs,
             1L).otherwise(0L))
         .withColumn("session_id",
           sum(col("new_session")).over(

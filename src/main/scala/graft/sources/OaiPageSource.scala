@@ -37,7 +37,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     default 10)
   *   - `fetcher`: name of a transport registered via
   *     [[OaiPageSource.registerFetcher]] (tests, custom HTTP stacks);
-  *     defaults to `java.net.URL.openStream` (http/https/file)
+  *     defaults to [[OaiPageSource.httpFetch]] — `HttpURLConnection`
+  *     with timeouts + status handling for http/https, plain stream
+  *     open for other schemes (e.g. `file:` fixtures)
+  *   - `connectTimeoutMs` (default 10000), `readTimeoutMs` (default
+  *     30000) — timeouts for the default transport
   */
 class OaiPageSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -66,17 +70,47 @@ object OaiPageSource {
   def registerFetcher(name: String, fetch: Fetch): Unit =
     fetchers.put(name, fetch)
 
+  /** The default real-socket transport: `HttpURLConnection` with explicit
+    * connect/read timeouts and status handling — the same failure surface
+    * the reference's `CloseableHttpClient` loop distinguishes
+    * (`OaiHarvester.java:239-269`: non-200 or transport error ⇒ failed
+    * run, never a silently-empty page). Non-http(s) URIs (e.g. `file:`
+    * fixtures) fall back to a plain stream open. Any failure maps to
+    * None; the chain walker decides whether that fails the batch or ends
+    * the trigger. */
+  def httpFetch(uri: String, connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 30000): Option[String] =
+    try {
+      val url = new java.net.URI(uri).toURL
+      url.openConnection() match {
+        case http: java.net.HttpURLConnection =>
+          http.setConnectTimeout(connectTimeoutMs)
+          http.setReadTimeout(readTimeoutMs)
+          http.setRequestProperty("Accept", "text/xml, application/xml")
+          try {
+            if (http.getResponseCode != 200) None
+            else {
+              val in = http.getInputStream
+              try Some(new String(in.readAllBytes(), "UTF-8"))
+              finally in.close()
+            }
+          } finally http.disconnect()
+        case conn =>
+          val in = conn.getInputStream
+          try Some(new String(in.readAllBytes(), "UTF-8"))
+          finally in.close()
+      }
+    } catch { case _: Exception => None }
+
   private[sources] def resolveFetcher(options: CaseInsensitiveStringMap): Fetch =
     Option(options.get("fetcher")) match {
       case Some(name) =>
         Option(fetchers.get(name)).getOrElse(
           throw new IllegalArgumentException(s"no fetcher registered as '$name'"))
-      case None => uri =>
-        try {
-          val in = new java.net.URI(uri).toURL.openStream()
-          try Some(new String(in.readAllBytes(), "UTF-8"))
-          finally in.close()
-        } catch { case _: Exception => None }
+      case None =>
+        val connectMs = options.getInt("connectTimeoutMs", 10000)
+        val readMs = options.getInt("readTimeoutMs", 30000)
+        uri => httpFetch(uri, connectMs, readMs)
     }
 
   /** Walk the resumption-token chain from `state`, fetching up to `max`

@@ -274,7 +274,18 @@ object EventStreams {
     * contributed, so with a TTL the per-stage counts are UPPER BOUNDS
     * (exact whenever no evicted user returns). Late events are still
     * absorbed by the advance-only guard, so counts never regress
-    * either way. */
+    * either way. A TTL requires event-time watermarking on `events`
+    * (`withWatermark` upstream — timeouts fire as the watermark
+    * advances); without one the query fails at analysis time. With a
+    * TTL the caller must ALSO set
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * before starting the query: Spark's global-watermark check rejects
+    * any stateful operator downstream of another in Update mode, but
+    * the concern it guards — a watermark-driven operator finalizing
+    * results that the upstream state op can still emit behind — cannot
+    * arise here, because the transition rows carry NO event-time
+    * column: the downstream aggregation never drops late rows nor
+    * finalizes on the watermark, it is a pure running count. */
   def funnelCountsStream(
       spark: SparkSession,
       events: Dataset[Event],

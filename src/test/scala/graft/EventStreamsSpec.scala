@@ -243,17 +243,22 @@ class EventStreamsSpec extends SparkSpec {
         ev(2, "2024-01-01 10:00:00", user = 2, typ = "view"))
       q.processAllAvailable()
       assert(rowsOf(1) == Seq(1) && rowsOf(2) == Seq(1))
-      // B2: only u2 advances, far ahead — watermark moves to 13:00
-      // AFTER this batch, so u1 (deadline 11:00) is not evicted yet.
+      // B2: only u2 advances, far ahead — the watermark jumps to 13:00,
+      // past u1's 11:00 deadline. processAllAvailable() also drains the
+      // no-data micro-batch Spark runs after the watermark advance
+      // (spark.sql.streaming.noDataMicroBatches.enabled defaults true),
+      // so u1's timeout fires within THIS call: one final snapshot row
+      // (same stage, so a keyed sink sees no change), then the state is
+      // gone. Assert the eviction OUTCOME, not a batch index — which
+      // micro-batch carries the timeout is an engine scheduling detail.
       in.addData(ev(3, "2024-01-01 13:00:00", user = 2, typ = "click"))
       q.processAllAvailable()
-      assert(rowsOf(1) == Seq(1))
-      // B3: u2 again; the batch RUNS with watermark 13:00 > u1's
-      // deadline -> u1 times out: one final snapshot row (same stage,
-      // so a keyed sink sees no change), then the state is gone.
+      assert(rowsOf(1) == Seq(1, 1), s"expected timeout snapshot, got ${rowsOf(1)}")
+      // B3: u2 again. u1's state is already gone — no second snapshot,
+      // no resurrection of the evicted user on later watermark advances.
       in.addData(ev(4, "2024-01-01 13:30:00", user = 2, typ = "purchase"))
       q.processAllAvailable()
-      assert(rowsOf(1) == Seq(1, 1), s"expected timeout snapshot, got ${rowsOf(1)}")
+      assert(rowsOf(1) == Seq(1, 1), s"evicted user must not re-fire, got ${rowsOf(1)}")
       assert(rowsOf(2).last == 3)
       // B4: u1 RETURNS with a click. An un-evicted u1 would advance
       // 1 -> 2; the documented TTL semantics restart them at 0 instead
@@ -264,6 +269,102 @@ class EventStreamsSpec extends SparkSpec {
         s"evicted user should restart at stage 0, got ${rowsOf(1)}")
       // u2 kept eventing, so their state survived throughout.
       assert(rowsOf(2) == Seq(1, 2, 3))
+    } finally q.stop()
+  }
+
+  test("streaming: funnel counts TTL holds counts on eviction; a returning user re-emits (upper bound)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+    val stages = Seq("view", "click", "purchase")
+    // documented TTL requirement: the transition rows carry no event-time
+    // column, so the downstream count agg cannot misbehave on the global
+    // watermark — disable the (conservative) multi-stateful-op check
+    val checkConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prevCheck = s.conf.getOption(checkConf)
+    s.conf.set(checkConf, "false")
+    val q = EventStreams.funnelCountsStream(s,
+        in.toDS().withWatermark("ts", "0 seconds"), stages,
+        idleTtlSeconds = Some(3600L))
+      .writeStream.format("memory").queryName("funnel_counts_ttl")
+      .outputMode(OutputMode.Update()).start()
+    // The memory sink ACCUMULATES update-mode rows across batches, so
+    // read each stage's latest value — counts are monotone
+    // non-decreasing (advance-only emission), so MAX is latest.
+    def counts(): Map[Int, Long] = s.sql(
+        "SELECT stage, MAX(n_users) AS n_users FROM funnel_counts_ttl GROUP BY stage")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    try {
+      // B1: u1 views+clicks, u2 views. Crossings: u1 -> 1,2; u2 -> 1.
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", user = 1, typ = "view"),
+        ev(2, "2024-01-01 10:05:00", user = 1, typ = "click"),
+        ev(3, "2024-01-01 10:00:00", user = 2, typ = "view"))
+      q.processAllAvailable()
+      assert(counts() == Map(1 -> 2L, 2 -> 1L), s"got ${counts()}")
+      // B2: u2 jumps far ahead — the watermark passes u1's 11:05
+      // deadline (incl. the no-data micro-batch), so u1 is EVICTED.
+      // Eviction emits nothing: counts hold at their pre-eviction
+      // values (only the memory of u1's progress is dropped).
+      in.addData(ev(4, "2024-01-01 14:00:00", user = 2, typ = "click"))
+      q.processAllAvailable()
+      assert(counts() == Map(1 -> 2L, 2 -> 2L), s"eviction must hold counts, got ${counts()}")
+      // B3: evicted u1 RETURNS and re-walks view->click. With their
+      // state gone they restart at stage 0 and RE-EMIT crossings 1 and
+      // 2 — the documented upper-bound behavior: stage 1 counts u1
+      // twice (3 = u1×2 + u2), stage 2 likewise.
+      in.addData(
+        ev(5, "2024-01-01 14:10:00", user = 1, typ = "view"),
+        ev(6, "2024-01-01 14:15:00", user = 1, typ = "click"))
+      q.processAllAvailable()
+      assert(counts() == Map(1 -> 3L, 2 -> 3L),
+        s"returning evicted user re-emits crossings (upper bound), got ${counts()}")
+    } finally {
+      q.stop()
+      prevCheck.fold(s.conf.unset(checkConf))(v => s.conf.set(checkConf, v))
+    }
+  }
+
+  test("streaming: a chronically-late user is evicted exactly once, not resurrected per batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+    val stages = Seq("view", "click")
+    val q = EventStreams.funnelStream(s,
+        in.toDS().withWatermark("ts", "0 seconds"), stages,
+        idleTtlSeconds = Some(3600L))
+      .writeStream.format("memory").queryName("funnel_ttl_once")
+      .outputMode(OutputMode.Update()).start()
+    def rowsOf(u: Long): Seq[Int] = s.sql(
+        s"SELECT reached_stage FROM funnel_ttl_once WHERE user_id = $u")
+      .collect().map(_.getInt(0)).toSeq
+    try {
+      // B1: u9 and u2 both view at 09:00 — watermark lands at 09:00,
+      // below u9's 10:00 deadline, so nothing fires yet. (A user whose
+      // events sit BEHIND the watermark never reaches the state op at
+      // all — stateful operators filter late rows — which is why
+      // armIdleTimeout's watermark+1 clamp is defensive, not a path a
+      // public caller can hit.)
+      in.addData(
+        ev(1, "2024-01-01 09:00:00", user = 9, typ = "view"),
+        ev(2, "2024-01-01 09:00:00", user = 2, typ = "view"))
+      q.processAllAvailable()
+      assert(rowsOf(9) == Seq(1))
+      // B2: u2 jumps the watermark to 20:00, far past u9's deadline —
+      // u9 is evicted: exactly one snapshot row, state removed.
+      in.addData(ev(3, "2024-01-01 20:00:00", user = 2, typ = "click"))
+      q.processAllAvailable()
+      assert(rowsOf(9) == Seq(1, 1), s"expected one eviction snapshot, got ${rowsOf(9)}")
+      // B3+B4: further watermark advances with NO u9 events must not
+      // resurrect them — no state, no timeout, no more rows.
+      in.addData(ev(4, "2024-01-01 22:00:00", user = 2, typ = "view"))
+      q.processAllAvailable()
+      in.addData(ev(5, "2024-01-01 23:00:00", user = 2, typ = "view"))
+      q.processAllAvailable()
+      assert(rowsOf(9) == Seq(1, 1),
+        s"evicted user resurrected by later watermark advances: ${rowsOf(9)}")
     } finally q.stop()
   }
 
