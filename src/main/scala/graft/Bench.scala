@@ -55,7 +55,15 @@ object Bench {
     // from a clean cache state (Tables.dropCachedLeftovers runs OUTSIDE
     // the timed window — leftover persisted blocks were measured causing
     // multi-× slowdowns late in a 90+-query run).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (iterating on one
+    // query / re-measuring outliers in isolation); BENCH_LOCAL.json is
+    // NOT overwritten for partial runs so the committed record always
+    // covers the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var trialRuns = Vector.empty[(Double, BenchMetrics.Snapshot)]
       var trial = 0
       while (trial < trials && !trialRuns.exists(_._1 < 0)) {
@@ -109,11 +117,13 @@ object Bench {
       .mkString("{", ",", "}")
     val localJson =
       s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"trials":$trials,"sf":"$sfDir","queries":$queriesJson,"resources":$metricsJson}"""
-    try {
-      val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
-      java.nio.file.Files.write(out, (localJson + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+    if (only.isEmpty) {
+      try {
+        val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
+        java.nio.file.Files.write(out, (localJson + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

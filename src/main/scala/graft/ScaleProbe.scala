@@ -30,10 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  /** The 8 costliest queries per BENCH_LOCAL.json, each with the
+  /** The costliest queries per BENCH_LOCAL.json, each with the
     * scaling shape the engine design predicts — the probe prints the
     * measured ratio next to this expectation. */
   val probeQueries: Seq[(String, String)] = Seq(
+    "ann_pq_topk" -> ("linear: codebooks train on a BOUNDED sample (trainLimit rows — " +
+      "constant work); corpus coding and the ADC scan are per-row kernels; the query " +
+      "set is fixed, so per-query cost grows only with corpus rows"),
+    "ann_pq_refined" -> ("linear: same bounded-train + linear ADC scan as ann_pq_topk; " +
+      "the exact-rerank leg re-scores a FIXED candidate count per query (broadcast " +
+      "fetch), so refinement adds O(queries x candidates) constant work"),
     "dedup_incr_near" -> ("~linear: batch grows with the corpus but probes are " +
       "bucket-pruned and band keys are copy-disjoint, so per-probe candidates stay O(1)"),
     "dedup_winnow" -> "linear: winnow gram groups are copy-disjoint under the token salt",
