@@ -30,6 +30,22 @@ private[pipeline] case class FetchedHeader(
   * HTTP client lazily per partition. */
 trait DocumentFetcher extends (String => Option[String]) with Serializable
 
+object DocumentFetcher {
+  /** Default real-socket transport: maps the local id through `urlFor`
+    * (e.g. `id => s"http://host/mets?pid=$id"` — must be a serializable
+    * closure, it ships to executors) and fetches via `HttpURLConnection`
+    * with timeouts + status handling
+    * ([[graft.sources.OaiPageSource.httpFetch]]); 404/non-200/transport
+    * error → None (reference `MetsProcessor.java:165-187`). */
+  def http(urlFor: String => String, connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 30000): DocumentFetcher =
+    new DocumentFetcher {
+      def apply(localId: String): Option[String] =
+        graft.sources.OaiPageSource.httpFetch(
+          urlFor(localId), connectTimeoutMs, readTimeoutMs)
+    }
+}
+
 /** Result of one enrichment iteration. */
 case class EnrichmentSummary(
     processed: Long,

@@ -25,6 +25,19 @@ case class HarvestRunSummary(
   * (`OaiHarvester.java:253-264`). */
 trait PageFetcher extends (String => Either[String, String]) with Serializable
 
+object PageFetcher {
+  /** Default real-socket transport — `HttpURLConnection` with timeouts
+    * and status handling ([[graft.sources.OaiPageSource.httpFetch]]);
+    * non-200 or transport error maps to `Left` (failed run, reference
+    * `OaiHarvester.java:253-264`). */
+  def http(connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000): PageFetcher =
+    new PageFetcher {
+      def apply(uri: String): Either[String, String] =
+        graft.sources.OaiPageSource.httpFetch(uri, connectTimeoutMs, readTimeoutMs)
+          .toRight(s"transport failure or non-200 fetching $uri")
+    }
+}
+
 /** The harvest stage (SURVEY §3.2) re-expressed Spark-first: one
   * iteration = one micro-batch of `checkpoint → fetch page → project
   * (P1/P2/P3) → filter (F1) → merge headers (U1) → append checkpoint (U3)

@@ -72,6 +72,28 @@ class OaiHttpSpec extends SparkSpec {
     }
   }
 
+  test("HarvestPipeline.runOnce completes a full harvest iteration over a real socket") {
+    import graft.pipeline.{HarvestPipeline, PageFetcher, ParquetStateTable}
+    serve(chainHandler) { url =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-http-harvest").toString
+      val headers = new ParquetStateTable(spark, s"$dir/headers")
+      val runs = new ParquetStateTable(spark, s"$dir/runs")
+      val p = new HarvestPipeline(spark, headers, runs, url)
+      // iteration 1: first request -> fixture page with a pending token;
+      // headers merged, checkpoint carries the token
+      val s1 = p.runOnce(PageFetcher.http(),
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(s1.succeeded, s"harvest over HTTP failed: ${s1.errors}")
+      assert(s1.harvestedHeaders > 0)
+      assert(s1.checkpoint.exists(_.resumptionToken.exists(_.trim.nonEmpty)))
+      // iteration 2: token request -> terminal page, chain ends
+      val s2 = p.runOnce(PageFetcher.http(),
+        java.sql.Timestamp.valueOf("2024-01-01 10:01:00"))
+      assert(s2.succeeded && s2.requestUri.contains("resumptionToken="))
+      assert(s2.checkpoint.exists(_.resumptionToken.forall(_.trim.isEmpty)))
+    }
+  }
+
   test("httpFetch: non-200 and connection-refused map to None; 200 returns the body") {
     serve(chainHandler) { url =>
       assert(OaiPageSource.httpFetch(url + "?verb=ListIdentifiers&metadataPrefix=oai_dc")

@@ -1347,13 +1347,24 @@ class OpsSpec extends SparkSpec {
     // marginal cost strictly larger.
     val docs = Seq.tabulate(20)(i => (i.toLong, ("t" + i + " u v w x y z ") * 4))
       .toDF("doc_id", "text")
+    // Count via a dedicated listener, NOT statusTracker.getJobIdsForGroup:
+    // the status store retains a bounded number of jobs, so once a long
+    // test session passes the retention limit, async eviction between the
+    // before/after reads makes the delta arbitrary (observed -97 in full-
+    // suite runs while the same test passed in isolation).
     def jobsDuring(body: => Unit): Int = {
-      val st = s.sparkContext.statusTracker
-      val before = st.getJobIdsForGroup(null).length
-      body
-      // the status store is fed asynchronously; give the bus a moment
-      Thread.sleep(1500)
-      st.getJobIdsForGroup(null).length - before
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      s.sparkContext.addSparkListener(listener)
+      // the listener bus is asynchronous; give it a moment to drain
+      try { body; Thread.sleep(1500) }
+      finally s.sparkContext.removeSparkListener(listener)
+      n.get()
     }
     val j1 = jobsDuring {
       TextAnalysis.bpeMerges(docs, col("text"), merges = 1).collect()
