@@ -817,6 +817,52 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Semantic decontamination: drop every corpus row whose embedding has
+    * cosine ≥ `threshold` against ANY benchmark vector — the
+    * embedding-space counterpart of [[graft.ops.Corpus.decontaminate]]'s
+    * shingle overlap (modern eval-leak checks must catch paraphrases,
+    * which share meaning but not 8-grams). Candidates come from a
+    * sign-LSH bucket equi-join under ONE shared hyperplane set
+    * (`graft_lsh_bucket` derives plane components deterministically from
+    * (plane, dim), so both sides bucket identically with no shipped
+    * matrix) — never corpus × benchmark all-pairs. Exact cosine verifies
+    * every candidate: precision is exact, recall is the LSH collision
+    * probability (an identical or near-identical leak always collides).
+    *
+    * 100 TB: eval benchmarks are small by construction, so the bucketed
+    * benchmark broadcasts after a bounded `limit(n+1).count()` probe
+    * (corpus-sized "benchmarks" fall back to a shuffle join with
+    * identical output). The contaminated-id set gets the same bounded
+    * probe before the anti join — when it is small (the normal case)
+    * the corpus is never shuffled AT ALL: narrow bucket map, broadcast
+    * candidate join, broadcast anti join. */
+  def decontaminateSemantic(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      benchmark: DataFrame,
+      benchVecCol: String,
+      threshold: Double,
+      planes: Int = 12,
+      maxBroadcastRows: Long = 1_000_000L): DataFrame = {
+    def fitsBroadcast(df: DataFrame): Boolean =
+      df.limit(maxBroadcastRows.toInt.max(1) + 1).count() <= maxBroadcastRows
+    val c = Similarity.lshBuckets(
+      corpus.select(col(idCol), col(vecCol).as("__cv")), "__cv", planes)
+    val bRaw = Similarity.lshBuckets(
+      benchmark.select(col(benchVecCol).as("__bv")), "__bv", planes)
+    val b = if (fitsBroadcast(bRaw)) broadcast(bRaw) else bRaw
+    val contaminated = c.join(b, Seq("bucket"))
+      .filter(Similarity.cosine(col("__cv"), col("__bv")) >= threshold)
+      .select(col(idCol)).distinct()
+    // post-aggregation stats are opaque to the planner (a sort-merge
+    // anti join here would shuffle the WHOLE corpus), so probe and hint
+    // explicitly, exactly like the candidate side
+    val drop = if (fitsBroadcast(contaminated)) broadcast(contaminated)
+               else contaminated
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold among LSH-bucketed
     * candidates (delegates bucketing to [[Similarity.lshBuckets]]). */
   def embeddingNearDups(

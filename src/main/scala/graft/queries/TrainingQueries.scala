@@ -416,6 +416,21 @@ object TrainingQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // ── Embedding: SEMANTIC decontamination — corpus rows within 0.95
+    // cosine of any benchmark vector are dropped (paraphrase-level eval
+    // leakage, vs corpus_decontaminate's exact 8-gram overlap). The
+    // benchmark is exact copies of every 40th vector, so the planted
+    // leaks collide in their LSH bucket deterministically and the
+    // oracle's exhaustive corpus × benchmark enumeration agrees. ────────
+    "corpus_decontaminate_semantic" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val bench = e.filter(col("vec_id") % 40 === 0).select(col("embedding"))
+      Dedup.decontaminateSemantic(e, "vec_id", "embedding",
+          bench, "embedding", threshold = 0.95)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ── Embedding preprocessing: L2 normalize (unit vectors) ─────────────
     // Components ship as micro-scaled-integer CSV: the driver compare
     // hashes flat values (arrays don't hash), and integers stringify
@@ -1595,6 +1610,20 @@ object TrainingQueries {
         | FROM all_e a JOIN batch b ON a.vec_id <> b.vec_id)
         |SELECT DISTINCT a_id, b_id, round(cos, 4) AS cos_sim FROM p
         |WHERE cos >= 0.95 ORDER BY a_id, b_id""".stripMargin,
+
+    // Survivors = corpus minus every row within 0.95 cosine of some
+    // benchmark vector, enumerated exhaustively (the planted exact
+    // copies are the only qualifying pairs on this geometry, and they
+    // share their original's LSH bucket deterministically).
+    "corpus_decontaminate_semantic" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bench AS (SELECT v AS bv FROM e WHERE vec_id % 40 = 0),
+        |hits AS (SELECT DISTINCT e.vec_id FROM e JOIN bench b
+        | ON list_dot_product(e.v, b.bv) /
+        |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.bv, b.bv))) >= 0.95)
+        |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+        |ORDER BY vec_id""".stripMargin,
 
     // Survivors = everything minus ids with a smaller node reachable in
     // the ≥0.95 cosine pair graph (same closure technique as

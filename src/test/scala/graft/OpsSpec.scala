@@ -1135,6 +1135,37 @@ class OpsSpec extends SparkSpec {
     assert(cl == Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("semantic decontamination: drops exactly the within-threshold rows; shuffle fallback identical; empty benchmark is a no-op") {
+    val s = spark
+    import s.implicits._
+    // v1 and its scaled copy v3 (cosine exactly 1, identical LSH signs)
+    // lie on the benchmark direction; v2/v4 are orthogonal axes
+    val corpus = Seq(
+      1L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      2L -> Array(0.0f, 1.0f, 0.0f, 0.0f),
+      3L -> Array(2.0f, 0.0f, 0.0f, 0.0f),
+      4L -> Array(0.0f, 0.0f, 0.0f, 1.0f)
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      Tuple1(Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      Tuple1(Array(0.0f, 0.0f, 0.0f, 3.0f))
+    ).toDF("embedding")
+    def run(maxBroadcastRows: Long): Seq[Long] =
+      Dedup.decontaminateSemantic(corpus, "vec_id", "embedding",
+          bench, "embedding", threshold = 0.95,
+          maxBroadcastRows = maxBroadcastRows)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    // b1 contaminates v1 and v3; b2 contaminates v4; only v2 survives
+    assert(run(1_000_000L) == Seq(2L))
+    // over-budget probe (2 bucketed bench rows > 1): shuffle path, same answer
+    assert(run(1L) == Seq(2L))
+    // empty benchmark: nothing is contaminated, corpus passes through whole
+    val none = Dedup.decontaminateSemantic(corpus, "vec_id", "embedding",
+        bench.limit(0), "embedding", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(none == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("misra-gries: superset guarantee holds across partitions; heavyHitters is exact") {
     val s = spark
     import s.implicits._

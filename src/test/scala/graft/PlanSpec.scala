@@ -195,6 +195,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("semantic decontamination: candidate and anti joins both broadcast — corpus never sort-merges") {
+    val p = plan("corpus_decontaminate_semantic")
+    assert(p.contains("BroadcastHashJoin"),
+      s"semantic decontamination lost the broadcast candidate join\n$p")
+    assert(p.contains("LeftAnti"),
+      s"semantic decontamination lost the anti join\n$p")
+    // post-aggregation stats are opaque: without the probed hint the
+    // anti join would sort-merge and shuffle the whole corpus
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bucket join must stay an equi-join\n$p")
+  }
+
   test("token-budget mixture: the sample itself is a narrow filter on the scan") {
     val p = plan("corpus_mix_budget")
     // the per-source totals are a separate collected aggregate; the
