@@ -845,22 +845,66 @@ object Dedup {
       threshold: Double,
       planes: Int = 12,
       maxBroadcastRows: Long = 1_000_000L): DataFrame = {
-    def fitsBroadcast(df: DataFrame): Boolean =
-      df.limit(maxBroadcastRows.toInt.max(1) + 1).count() <= maxBroadcastRows
-    val c = Similarity.lshBuckets(
-      corpus.select(col(idCol), col(vecCol).as("__cv")), "__cv", planes)
-    val bRaw = Similarity.lshBuckets(
-      benchmark.select(col(benchVecCol).as("__bv")), "__bv", planes)
-    val b = if (fitsBroadcast(bRaw)) broadcast(bRaw) else bRaw
-    val contaminated = c.join(b, Seq("bucket"))
-      .filter(Similarity.cosine(col("__cv"), col("__bv")) >= threshold)
+    val contaminated = semanticHits(corpus, idCol, vecCol,
+        benchmark, benchVecCol, threshold, planes, maxBroadcastRows)
       .select(col(idCol)).distinct()
     // post-aggregation stats are opaque to the planner (a sort-merge
     // anti join here would shuffle the WHOLE corpus), so probe and hint
     // explicitly, exactly like the candidate side
-    val drop = if (fitsBroadcast(contaminated)) broadcast(contaminated)
-               else contaminated
+    val drop =
+      if (fitsBroadcast(contaminated, maxBroadcastRows)) broadcast(contaminated)
+      else contaminated
     corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Graded report form of [[decontaminateSemantic]]: for every corpus
+    * row with at least one benchmark vector within `threshold` cosine,
+    * the number of such hits and the strongest similarity among them —
+    * the gray-zone review tool (real decontamination reviews threshold
+    * on evidence strength and inspect borderline documents rather than
+    * dropping outright). Same LSH candidate generation and broadcast
+    * regime; rows with no qualifying hit are absent. The aggregate
+    * combines map-side (count + max over a per-id handful of hits). */
+  def semanticContaminationReport(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      benchmark: DataFrame,
+      benchVecCol: String,
+      threshold: Double,
+      planes: Int = 12,
+      maxBroadcastRows: Long = 1_000_000L): DataFrame =
+    semanticHits(corpus, idCol, vecCol,
+        benchmark, benchVecCol, threshold, planes, maxBroadcastRows)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), max(col("__cos")).as("max_cos"))
+
+  private def fitsBroadcast(df: DataFrame, maxRows: Long): Boolean =
+    df.limit(maxRows.toInt.max(1) + 1).count() <= maxRows
+
+  /** Shared candidate path for the semantic-contamination operators:
+    * `(idCol, __cos)` for every (corpus row, benchmark vector) pair that
+    * collides in its sign-LSH bucket AND verifies at ≥ `threshold` exact
+    * cosine. One bucket per vector (single band), so a pair can appear
+    * at most once. */
+  private def semanticHits(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      benchmark: DataFrame,
+      benchVecCol: String,
+      threshold: Double,
+      planes: Int,
+      maxBroadcastRows: Long): DataFrame = {
+    val c = Similarity.lshBuckets(
+      corpus.select(col(idCol), col(vecCol).as("__cv")), "__cv", planes)
+    val bRaw = Similarity.lshBuckets(
+      benchmark.select(col(benchVecCol).as("__bv")), "__bv", planes)
+    val b = if (fitsBroadcast(bRaw, maxBroadcastRows)) broadcast(bRaw) else bRaw
+    c.join(b, Seq("bucket"))
+      .select(col(idCol),
+        Similarity.cosine(col("__cv"), col("__bv")).as("__cos"))
+      .filter(col("__cos") >= threshold)
   }
 
   /** Embedding near-duplicates: cosine ≥ threshold among LSH-bucketed

@@ -431,6 +431,20 @@ object TrainingQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // ── Embedding: graded semantic-contamination report — per flagged
+    // corpus row, how many benchmark vectors sit within 0.95 cosine and
+    // the strongest of those similarities (the gray-zone review form of
+    // corpus_decontaminate_semantic). ────────────────────────────────────
+    "corpus_contamination_semantic" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val bench = e.filter(col("vec_id") % 40 === 0).select(col("embedding"))
+      Dedup.semanticContaminationReport(e, "vec_id", "embedding",
+          bench, "embedding", threshold = 0.95)
+        .select(col("vec_id"), col("n_hits"),
+          round(col("max_cos"), 4).as("max_cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ── Embedding preprocessing: L2 normalize (unit vectors) ─────────────
     // Components ship as micro-scaled-integer CSV: the driver compare
     // hashes flat values (arrays don't hash), and integers stringify
@@ -1610,6 +1624,21 @@ object TrainingQueries {
         | FROM all_e a JOIN batch b ON a.vec_id <> b.vec_id)
         |SELECT DISTINCT a_id, b_id, round(cos, 4) AS cos_sim FROM p
         |WHERE cos >= 0.95 ORDER BY a_id, b_id""".stripMargin,
+
+    // Per-row qualifying-hit count and max similarity, enumerated
+    // exhaustively (the planted exact copies are the only ≥-threshold
+    // pairs on this geometry, and they collide deterministically).
+    "corpus_contamination_semantic" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bench AS (SELECT v AS bv FROM e WHERE vec_id % 40 = 0),
+        |hits AS (SELECT e.vec_id,
+        |  list_dot_product(e.v, b.bv) /
+        |   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.bv, b.bv))) AS cos
+        | FROM e JOIN bench b ON true)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  round(max(cos), 4) AS max_cos
+        |FROM hits WHERE cos >= 0.95 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // Survivors = corpus minus every row within 0.95 cosine of some
     // benchmark vector, enumerated exhaustively (the planted exact

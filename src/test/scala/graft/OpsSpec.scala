@@ -1164,6 +1164,12 @@ class OpsSpec extends SparkSpec {
         bench.limit(0), "embedding", threshold = 0.95)
       .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
     assert(none == Seq(1L, 2L, 3L, 4L))
+    // graded report: each flagged row carries its hit count + max cosine
+    // (all three planted hits are exact-direction matches -> cos 1.0)
+    val rep = Dedup.semanticContaminationReport(corpus, "vec_id", "embedding",
+        bench, "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rep == Set((1L, 1L, 1.0), (3L, 1L, 1.0), (4L, 1L, 1.0)), s"got $rep")
   }
 
   test("misra-gries: superset guarantee holds across partitions; heavyHitters is exact") {
