@@ -34,6 +34,9 @@ object ScaleProbe {
     * scaling shape the engine design predicts — the probe prints the
     * measured ratio next to this expectation. */
   val probeQueries: Seq[(String, String)] = Seq(
+    "corpus_decontaminate_semantic" -> ("linear: the benchmark (every 40th vector) grows " +
+      "with the corpus but stays broadcast-small; the corpus side is a narrow bucket map + " +
+      "broadcast candidate join + broadcast anti join — zero corpus shuffles either leg"),
     "ann_pq_topk" -> ("linear: codebooks train on a BOUNDED sample (trainLimit rows — " +
       "constant work); corpus coding and the ADC scan are per-row kernels; the query " +
       "set is fixed, so per-query cost grows only with corpus rows"),
