@@ -844,9 +844,10 @@ object Dedup {
       benchVecCol: String,
       threshold: Double,
       planes: Int = 12,
+      bands: Int = 1,
       maxBroadcastRows: Long = 1_000_000L): DataFrame = {
     val contaminated = semanticHits(corpus, idCol, vecCol,
-        benchmark, benchVecCol, threshold, planes, maxBroadcastRows)
+        benchmark, benchVecCol, threshold, planes, bands, maxBroadcastRows)
       .select(col(idCol)).distinct()
     // post-aggregation stats are opaque to the planner (a sort-merge
     // anti join here would shuffle the WHOLE corpus), so probe and hint
@@ -873,9 +874,10 @@ object Dedup {
       benchVecCol: String,
       threshold: Double,
       planes: Int = 12,
+      bands: Int = 1,
       maxBroadcastRows: Long = 1_000_000L): DataFrame =
     semanticHits(corpus, idCol, vecCol,
-        benchmark, benchVecCol, threshold, planes, maxBroadcastRows)
+        benchmark, benchVecCol, threshold, planes, bands, maxBroadcastRows)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), max(col("__cos")).as("max_cos"))
 
@@ -883,10 +885,20 @@ object Dedup {
     df.limit(maxRows.toInt.max(1) + 1).count() <= maxRows
 
   /** Shared candidate path for the semantic-contamination operators:
-    * `(idCol, __cos)` for every (corpus row, benchmark vector) pair that
-    * collides in its sign-LSH bucket AND verifies at ≥ `threshold` exact
-    * cosine. One bucket per vector (single band), so a pair can appear
-    * at most once. */
+    * `(idCol, __cos)` for every (corpus row, distinct benchmark vector)
+    * pair that collides in a sign-LSH sub-bucket AND verifies at ≥
+    * `threshold` exact cosine.
+    *
+    * `bands` trades work for recall exactly as in
+    * [[Similarity.lshTopK]]: ONE `planes × bands`-bit signature per
+    * vector sliced into `bands` independent sub-buckets, a pair
+    * considered if ANY band collides (collision probability per pair
+    * rises from `p^1` to `1-(1-p)^bands` where `p = (1-θ/π)^planes`) —
+    * identical vectors still collide in EVERY band, so exact-copy
+    * recall stays 1 at any setting. A pair colliding in several bands
+    * is deduplicated BY VECTOR VALUE before scoring, so `n_hits` counts
+    * distinct benchmark vectors (a duplicated eval row is not twice the
+    * evidence) at every `bands` setting. */
   private def semanticHits(
       corpus: DataFrame,
       idCol: String,
@@ -895,13 +907,29 @@ object Dedup {
       benchVecCol: String,
       threshold: Double,
       planes: Int,
+      bands: Int,
       maxBroadcastRows: Long): DataFrame = {
-    val c = Similarity.lshBuckets(
-      corpus.select(col(idCol), col(vecCol).as("__cv")), "__cv", planes)
-    val bRaw = Similarity.lshBuckets(
-      benchmark.select(col(benchVecCol).as("__bv")), "__bv", planes)
+    val total = planes * bands
+    require(planes > 0 && bands > 0 && total <= 63,
+      s"planes*bands must be in [1, 63], got $planes*$bands")
+    val mask = (1L << planes) - 1
+    def banded(df: DataFrame, keep: Seq[String]): DataFrame =
+      df.select(keep.map(col) :+
+        explode(array((0 until bands).map(band =>
+          struct(lit(band).as("band"),
+            shiftrightunsigned(col("bucket"), band * planes)
+              .bitwiseAND(lit(mask)).as("sub"))): _*)).as("__b"): _*)
+        .select(keep.map(col) :+ col("__b.band").as("band") :+
+          col("__b.sub").as("sub"): _*)
+    val c = banded(Similarity.lshBuckets(
+      corpus.select(col(idCol), col(vecCol).as("__cv")), "__cv", total),
+      Seq(idCol, "__cv"))
+    val bRaw = banded(Similarity.lshBuckets(
+      benchmark.select(col(benchVecCol).as("__bv")), "__bv", total),
+      Seq("__bv"))
     val b = if (fitsBroadcast(bRaw, maxBroadcastRows)) broadcast(bRaw) else bRaw
-    c.join(b, Seq("bucket"))
+    c.join(b, Seq("band", "sub"))
+      .dropDuplicates(idCol, "__bv")
       .select(col(idCol),
         Similarity.cosine(col("__cv"), col("__bv")).as("__cos"))
       .filter(col("__cos") >= threshold)

@@ -1170,6 +1170,18 @@ class OpsSpec extends SparkSpec {
         bench, "embedding", threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rep == Set((1L, 1L, 1.0), (3L, 1L, 1.0), (4L, 1L, 1.0)), s"got $rep")
+    // multi-band: exact copies collide in EVERY band, so recall of the
+    // planted leaks is unchanged; a pair colliding in several bands
+    // scores once, and duplicate benchmark VECTORS count once
+    val benchDup = bench.unionByName(bench.limit(1))
+    val rep4 = Dedup.semanticContaminationReport(corpus, "vec_id", "embedding",
+        benchDup, "embedding", threshold = 0.95, planes = 12, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rep4 == rep, s"banded/duplicated report diverged: $rep4 vs $rep")
+    val banded = Dedup.decontaminateSemantic(corpus, "vec_id", "embedding",
+        bench, "embedding", threshold = 0.95, planes = 12, bands = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(banded == Seq(2L), s"got $banded")
   }
 
   test("misra-gries: superset guarantee holds across partitions; heavyHitters is exact") {
