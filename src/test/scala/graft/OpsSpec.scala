@@ -1184,6 +1184,39 @@ class OpsSpec extends SparkSpec {
     assert(banded == Seq(2L), s"got $banded")
   }
 
+  test("cosine kernel properties: self-similarity 1, symmetry, bounded, scale-invariant (property)") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random vectors across dims 2..48, incl.
+    // negative components and magnitudes spanning 6 orders
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 60).map { i =>
+      val dim = 2 + rnd.nextInt(47)
+      val scale = math.pow(10.0, rnd.nextInt(7) - 3).toFloat
+      (i.toLong, Array.fill(dim)((rnd.nextFloat() * 2 - 1) * scale))
+    }.filter(_._2.exists(_ != 0.0f))
+    val pairs = for ((ia, va) <- vecs; (ib, vb) <- vecs
+                     if ia < ib && va.length == vb.length)
+      yield (ia, ib, va, vb)
+    val df = (vecs.map { case (i, v) => (i, i, v, v) } ++ pairs)
+      .toDF("a_id", "b_id", "a_v", "b_v")
+      .select(col("a_id"), col("b_id"),
+        graft.ops.Similarity.cosine(col("a_v"), col("b_v")).as("ab"),
+        graft.ops.Similarity.cosine(col("b_v"), col("a_v")).as("ba"),
+        graft.ops.Similarity.cosine(
+          transform(col("a_v"), x => x * lit(4.0f)), col("b_v")).as("ab_scaled"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ab, ba, abS) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(ab - ba) < 1e-9, s"asymmetric cos($a,$b): $ab vs $ba")
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9, s"cos($a,$b) out of range: $ab")
+      assert(math.abs(ab - abS) < 1e-6, s"not scale-invariant at ($a,$b): $ab vs $abS")
+      if (a == b) assert(math.abs(ab - 1.0) < 1e-6, s"cos($a,$a) != 1: $ab")
+    }
+  }
+
   test("misra-gries: superset guarantee holds across partitions; heavyHitters is exact") {
     val s = spark
     import s.implicits._
