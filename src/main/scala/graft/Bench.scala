@@ -61,6 +61,13 @@ object Bench {
     // covers the full suite.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd name would silently shrink the run to an empty/partial
+    // set and print total=0 — easy to mistake for a real measurement.
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -97,7 +104,8 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"failed":${failed.size},"failed_names":$failedJson,"sf":"$sfDir"}""")
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"failed":${failed.size},"failed_names":$failedJson,"sf":"$sfDir"}"""
 
     // Durable record: stdout passes through a bounded (~2k char) tail
     // capture that can hold ~21 of 120+ per-query lines, so the official
@@ -115,8 +123,12 @@ object Bench {
     val metricsJson = results
       .map { case (n, _, snap) => s""""$n":${snap.json}""" }
       .mkString("{", ",", "}")
+    // failed/failed_names ride in the durable record too: the committed
+    // artifact must be self-describing — a run missing its slowest
+    // queries would otherwise read as a healthy speedup to anyone
+    // diffing committed totals across rounds.
     val localJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"trials":$trials,"sf":"$sfDir","queries":$queriesJson,"resources":$metricsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"trials":$trials,"failed":${failed.size},"failed_names":$failedJson,"sf":"$sfDir","queries":$queriesJson,"resources":$metricsJson}"""
     if (only.isEmpty) {
       try {
         val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
@@ -125,6 +137,12 @@ object Bench {
         System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
       }
     }
+    // The total line prints LAST — after spark.stop(), whose shutdown
+    // used to be the stdout noise between the headline JSON and EOF that
+    // kept the driver's tail parse at "parsed": null — and flushes, so
+    // the final Bench-owned stdout line is exactly this JSON.
     spark.stop()
+    println(totalLine)
+    System.out.flush()
   }
 }

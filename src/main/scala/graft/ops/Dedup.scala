@@ -809,12 +809,49 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Int = 12): DataFrame = {
-    val pairs = embeddingNearDups(df, idCol, vecCol, threshold, planes)
-    val dropped = clusterPairs(pairs)
+      planes: Int = 12,
+      maxBucketSize: Int = 4096): DataFrame = {
+    // Exact-duplicate collapse: rows sharing a vector VALUE are
+    // interchangeable in every cosine comparison, so elect the min-id
+    // row per distinct vector as representative, attach members to
+    // their rep with a LINEAR edge set, and run LSH pairing over
+    // DISTINCT vectors only. Connected components — and therefore
+    // survivors — are provably unchanged: cos(x, ·) == cos(rep(x), ·)
+    // for equal vectors, so every naive edge re-routes through the two
+    // reps; the member edge itself uses the naive edge condition
+    // cos(v, v) >= threshold (NULL for zero-norm vectors, which never
+    // form edges in the naive graph either). This is what turns a
+    // boilerplate-heavy corpus — a million copies of one page — from a
+    // quadratic hot bucket into one groupBy plus a small rep problem.
+    val dropped = clusterPairs(
+        semanticEdges(df, idCol, vecCol, threshold, planes, maxBucketSize))
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** Component-equivalent edge frame behind [[semanticSurvivors]]
+    * (exposed for specs: for N copies of one distinct vector this emits
+    * N-1 member edges, not N(N-1)/2 pairs). */
+  private[graft] def semanticEdges(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int,
+      maxBucketSize: Int): DataFrame = {
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val reps = v.groupBy(col("__v")).agg(min(col("__id")).as("__rep"))
+    val repPairs = embeddingNearDups(
+      reps.select(col("__rep"), col("__v")), "__rep", "__v",
+      threshold, planes, maxBucketSize)
+      .select(col("a_id"), col("b_id"))
+    // rep is the group minimum, so (rep, member) is already ordered
+    val memberEdges = v.join(reps, Seq("__v"))
+      .filter(col("__id") =!= col("__rep") &&
+        Similarity.cosine(col("__v"), col("__v")) >= threshold)
+      .select(col("__rep").as("a_id"), col("__id").as("b_id"))
+    repPairs.unionByName(memberEdges)
   }
 
   /** Semantic decontamination: drop every corpus row whose embedding has
@@ -881,8 +918,13 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), max(col("__cos")).as("max_cos"))
 
-  private def fitsBroadcast(df: DataFrame, maxRows: Long): Boolean =
-    df.limit(maxRows.toInt.max(1) + 1).count() <= maxRows
+  private def fitsBroadcast(df: DataFrame, maxRows: Long): Boolean = {
+    // clamp BEFORE toInt: a maxRows above Int.MaxValue would wrap
+    // negative, turn the probe into limit(2), and green-light
+    // broadcasting an arbitrarily large frame
+    val probe = math.min(maxRows, Int.MaxValue - 1L).toInt.max(1) + 1
+    df.limit(probe).count() <= maxRows
+  }
 
   /** Shared candidate path for the semantic-contamination operators:
     * `(idCol, __cos)` for every (corpus row, distinct benchmark vector)
@@ -924,9 +966,16 @@ object Dedup {
     val c = banded(Similarity.lshBuckets(
       corpus.select(col(idCol), col(vecCol).as("__cv")), "__cv", total),
       Seq(idCol, "__cv"))
+    // Hot-bucket guard, benchmark side: a benchmark containing the same
+    // vector many times (duplicated eval rows — exactly the boilerplate
+    // regime) would multiply every colliding corpus row by the
+    // duplicate count. The post-join dedup is already BY VECTOR VALUE,
+    // so collapsing identical (band, sub, __bv) rows before the join
+    // preserves the output bit-for-bit while making the per-bucket
+    // candidate fan-out proportional to DISTINCT benchmark vectors.
     val bRaw = banded(Similarity.lshBuckets(
       benchmark.select(col(benchVecCol).as("__bv")), "__bv", total),
-      Seq("__bv"))
+      Seq("__bv")).distinct()
     val b = if (fitsBroadcast(bRaw, maxBroadcastRows)) broadcast(bRaw) else bRaw
     c.join(b, Seq("band", "sub"))
       .dropDuplicates(idCol, "__bv")
@@ -936,20 +985,60 @@ object Dedup {
   }
 
   /** Embedding near-duplicates: cosine ≥ threshold among LSH-bucketed
-    * candidates (delegates bucketing to [[Similarity.lshBuckets]]). */
+    * candidates (delegates bucketing to [[Similarity.lshBuckets]]).
+    *
+    * Hot-bucket guard: a degenerate embedding distribution (mass-
+    * duplicated boilerplate — precisely the dedup workload) concentrates
+    * rows in ONE sign-LSH bucket, and a plain intra-bucket self-join
+    * would land the whole quadratic bucket on a single shuffle task.
+    * Buckets above `maxBucketSize` are decomposed into a blocked
+    * self-join: rows get a group `g ∈ [0, G)` by id hash with
+    * `G = ceil(occupancy / maxBucketSize)`; the left side covers group
+    * pairs `(g, g..G-1)`, the right side `(0..g, g)`, so every unordered
+    * group pair co-locates on exactly one `(bucket, gl, gr)` key and no
+    * task scores more than ~`maxBucketSize²` candidate pairs. The PAIR
+    * SET is provably identical to the naive join — an all-duplicates
+    * bucket's output is inherently quadratic, but the work now spreads
+    * over `G(G+1)/2` tasks instead of one (no task-level straggler or
+    * OOM at 100 TB). Cold buckets (`G = 1`) degenerate to the original
+    * single-copy join. Occupancy is a map-side-combined aggregate with
+    * at most `2^planes` rows, broadcast back when `planes` bounds it
+    * below ~2 M rows. */
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Int = 12): DataFrame = {
+      planes: Int = 12,
+      maxBucketSize: Int = 4096): DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val b = Similarity.lshBuckets(
       df.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", planes)
-    val l = b.select(col("bucket"), col("__id").as("a_id"), col("__v").as("a_v"))
-    val r = b.select(col("bucket"), col("__id").as("b_id"), col("__v").as("b_v"))
-    l.join(r, Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+    val occRaw = b.groupBy("bucket").agg(count(lit(1)).as("__occ"))
+    val occ = if (planes <= 21) broadcast(occRaw) else occRaw
+    // __ngroups / __g, NOT __G/__g: column resolution is case-
+    // INsensitive by default, so "__G" and "__g" would be one column
+    // and the second withColumn would silently replace the first
+    val grouped = b.join(occ, Seq("bucket"))
+      .withColumn("__ngroups",
+        greatest(lit(1L), ceil(col("__occ") / maxBucketSize)).cast("int"))
+      .withColumn("__g",
+        pmod(xxhash64(col("__id")), col("__ngroups")).cast("int"))
+    // distinct names per side + explicit condition: a usingColumns
+    // self-join over same-lineage frames can resolve both sides to one
+    // attribute and silently drop the cross-group keys
+    val l = grouped.select(col("bucket").as("__bkl"), col("__g").as("__gll"),
+      explode(sequence(col("__g"), col("__ngroups") - 1)).as("__grl"),
+      col("__id").as("__aid"), col("__v").as("a_v"))
+    val r = grouped.select(col("bucket").as("__bkr"),
+      explode(sequence(lit(0), col("__g"))).as("__glr"),
+      col("__g").as("__grr"),
+      col("__id").as("__bid"), col("__v").as("b_v"))
+    l.join(r, col("__bkl") === col("__bkr") &&
+        col("__gll") === col("__glr") && col("__grl") === col("__grr"))
+      .filter(col("__aid") =!= col("__bid"))
+      .select(least(col("__aid"), col("__bid")).as("a_id"),
+        greatest(col("__aid"), col("__bid")).as("b_id"),
         Similarity.cosine(col("a_v"), col("b_v")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .distinct()

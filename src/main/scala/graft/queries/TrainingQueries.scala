@@ -445,6 +445,52 @@ object TrainingQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // ── Embedding: semantic-decontamination RECALL probe — quantifies
+    // the multi-band recall knob. Perturbed leaks (one coordinate of
+    // each benchmark vector nudged by a fixed delta — NOT exact copies,
+    // so sign-LSH collision is genuinely probabilistic) are pushed
+    // through decontaminateSemantic at bands=1 and bands=3; recall is
+    // caught/true-leaks. Oracle-exact because the hyperplanes derive
+    // deterministically from (plane, dim): the oracle SQL replays the
+    // SAME sign bits from inlined plane constants and the same exact
+    // cosine, so both engines compute the identical caught set. Band 0
+    // of the 3-band signature IS the 1-band signature, so recall is
+    // provably monotone in bands. ────────────────────────────────────────
+    "corpus_decontaminate_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val bench = e.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("src_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("bv"))
+      val variants = Seq((1, 1, 0.20), (2, 2, -0.25), (3, 3, 0.30), (4, 4, -0.35))
+        .toDF("variant", "coord", "delta")
+      val planted = bench.crossJoin(broadcast(variants))
+        .select((col("src_id") * 10 + col("variant")).as("leak_id"),
+          expr("concat(slice(bv, 1, coord - 1), " +
+            "array(element_at(bv, coord) + delta), " +
+            "slice(bv, coord + 1, size(bv) - coord))").as("lv"))
+      val benchV = bench.select(col("bv"))
+      // ground truth: planted rows whose EXACT cosine reaches the
+      // threshold against any benchmark vector (brute force)
+      val nLeaks = planted.crossJoin(broadcast(benchV))
+        .filter(Similarity.cosine(col("lv"), col("bv")) >= 0.95)
+        .select(col("leak_id")).distinct()
+        .agg(count(lit(1)).as("n_leaks"))
+      val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+      def recallRow(bands: Int): DataFrame = {
+        // every dropped row is exact-cosine-verified, so caught ⊆ leaks
+        val surv = Dedup.decontaminateSemantic(planted, "leak_id", "lv",
+          benchV, "bv", threshold = 0.95, planes = 12, bands = bands)
+        surv.agg(count(lit(1)).as("n_surv"))
+          .crossJoin(nPlanted).crossJoin(nLeaks)
+          .select(lit(bands).as("bands"), col("n_leaks"),
+            (col("n_planted") - col("n_surv")).as("n_caught"),
+            round((col("n_planted") - col("n_surv")).cast("double") /
+              col("n_leaks"), 4).as("recall"))
+      }
+      recallRow(1).unionByName(recallRow(3)).orderBy(col("bands"))
+    }),
+
     // ── Embedding preprocessing: L2 normalize (unit vectors) ─────────────
     // Components ship as micro-scaled-integer CSV: the driver compare
     // hashes flat values (arrays don't hash), and integers stringify
@@ -1653,6 +1699,60 @@ object TrainingQueries {
         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.bv, b.bv))) >= 0.95)
         |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM hits)
         |ORDER BY vec_id""".stripMargin,
+
+    // Recall probe: the oracle replays the engine's sign-LSH exactly —
+    // the hyperplane components are deterministic constants of
+    // (plane, dim) (Hashing.planeComponent, splitmix64-derived), so
+    // they are inlined below as literal DOUBLE arrays generated from
+    // the very same function. Caught = collides in some band (replayed
+    // sign bits) AND exact cosine ≥ 0.95; recall = caught / true leaks
+    // (brute force). Both engines do identical double arithmetic on
+    // identical inputs, so the caught set matches bit-for-bit.
+    "corpus_decontaminate_recall" -> {
+      val planeRows = (0 until 36).map { p =>
+        val comps = (0 until 64)
+          .map(d => graft.expressions.Hashing.planeComponent(p, d).toString)
+          .mkString(", ")
+        s"($p, [$comps])"
+      }.mkString(",\n")
+      s"""WITH planes(p, comp) AS (SELECT * FROM (VALUES
+        |$planeRows
+        |) t(p, comp)),
+        |bench AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS bv
+        | FROM embeddings WHERE vec_id % 40 = 0),
+        |variants(variant, coord, delta) AS (SELECT * FROM (VALUES
+        | (1, 1, CAST(0.20 AS DOUBLE)), (2, 2, CAST(-0.25 AS DOUBLE)),
+        | (3, 3, CAST(0.30 AS DOUBLE)), (4, 4, CAST(-0.35 AS DOUBLE))) v(variant, coord, delta)),
+        |planted AS (SELECT src_id * 10 + variant AS leak_id,
+        |  list_concat(list_concat(bv[1:coord-1], [bv[coord] + delta]), bv[coord+1:]) AS lv
+        | FROM bench, variants),
+        |cosines AS (SELECT p.leak_id, b.src_id AS bench_id,
+        |  list_dot_product(p.lv, b.bv) /
+        |   (sqrt(list_dot_product(p.lv, p.lv)) * sqrt(list_dot_product(b.bv, b.bv))) AS cos
+        | FROM planted p, bench b),
+        |leaks AS (SELECT DISTINCT leak_id FROM cosines WHERE cos >= 0.95),
+        |lsig AS (SELECT p.leak_id, pl.p // 12 AS band,
+        |  string_agg(CASE WHEN list_dot_product(p.lv, pl.comp) >= 0 THEN '1' ELSE '0' END,
+        |    '' ORDER BY pl.p) AS sub
+        | FROM planted p, planes pl GROUP BY p.leak_id, pl.p // 12),
+        |bsig AS (SELECT b.src_id AS bench_id, pl.p // 12 AS band,
+        |  string_agg(CASE WHEN list_dot_product(b.bv, pl.comp) >= 0 THEN '1' ELSE '0' END,
+        |    '' ORDER BY pl.p) AS sub
+        | FROM bench b, planes pl GROUP BY b.src_id, pl.p // 12),
+        |hits AS (SELECT c.leak_id, ls.band
+        | FROM cosines c
+        | JOIN lsig ls ON ls.leak_id = c.leak_id
+        | JOIN bsig bs ON bs.bench_id = c.bench_id AND bs.band = ls.band AND bs.sub = ls.sub
+        | WHERE c.cos >= 0.95),
+        |settings(bands) AS (SELECT * FROM (VALUES (1), (3)) s(bands)),
+        |caught AS (SELECT s.bands, count(DISTINCT h.leak_id) AS n_caught
+        | FROM settings s LEFT JOIN hits h ON h.band < s.bands
+        | GROUP BY s.bands)
+        |SELECT c.bands, (SELECT count(*) FROM leaks) AS n_leaks,
+        |  c.n_caught,
+        |  round(CAST(c.n_caught AS DOUBLE) / (SELECT count(*) FROM leaks), 4) AS recall
+        |FROM caught c ORDER BY bands""".stripMargin
+    },
 
     // Survivors = everything minus ids with a smaller node reachable in
     // the ≥0.95 cosine pair graph (same closure technique as

@@ -40,9 +40,13 @@ object DecontaminateStream {
       planes: Int = 12): DataFrame = {
     require(threshold > -1.0 && threshold <= 1.0,
       s"threshold must be a cosine in (-1, 1]: $threshold")
-    // one row per occupied benchmark bucket: (bucket, candidate vectors)
+    // one row per occupied benchmark bucket: (bucket, candidate
+    // vectors). distinct() first: a duplicated eval row is not more
+    // evidence, and it keeps candidate lists proportional to DISTINCT
+    // benchmark vectors even for boilerplate-duplicated benchmarks
     val benchBuckets = benchmark
       .select(col(benchVecCol).as("__bv"))
+      .distinct()
       .withColumn("__bench_bucket",
         call_function("graft_lsh_bucket", col("__bv"), lit(planes)))
       .groupBy(col("__bench_bucket"))
@@ -51,10 +55,15 @@ object DecontaminateStream {
       call_function("graft_lsh_bucket", col(vecCol), lit(planes)))
     val hit: Column = exists(col("__cands"),
       v => Similarity.cosine(v, col(vecCol)) >= lit(threshold))
+    // coalesce the NULL-cosine case (zero-norm incoming or candidate
+    // vector → graft_cosine_sim yields SQL NULL → `exists` yields NULL
+    // when no other candidate is a true hit): a null hit is NOT a hit,
+    // matching the batch operator where `__cos >= threshold` filters
+    // the null out and the row SURVIVES the anti join
     bucketed
       .join(broadcast(benchBuckets),
         col("__bucket") === col("__bench_bucket"), "left_outer")
-      .filter(col("__cands").isNull || !hit)
+      .filter(col("__cands").isNull || !coalesce(hit, lit(false)))
       .drop("__bucket", "__bench_bucket", "__cands")
   }
 }

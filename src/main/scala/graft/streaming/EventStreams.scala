@@ -285,7 +285,16 @@ object EventStreams {
     * results that the upstream state op can still emit behind — cannot
     * arise here, because the transition rows carry NO event-time
     * column: the downstream aggregation never drops late rows nor
-    * finalizes on the watermark, it is a pure running count. */
+    * finalizes on the watermark, it is a pure running count.
+    *
+    * BLAST RADIUS of that conf: it is SESSION-WIDE, not per-query — it
+    * disables the multi-stateful-operator correctness guard for EVERY
+    * streaming query subsequently started on the same SparkSession, so
+    * a genuinely unsafe chained-stateful query elsewhere would then
+    * start without its analysis error. Start this query from a
+    * dedicated session (`spark.newSession()` shares state stores but
+    * isolates confs), or restore the conf immediately after `.start()`
+    * returns — as `EventStreamsSpec` does in its `finally` block. */
   def funnelCountsStream(
       spark: SparkSession,
       events: Dataset[Event],

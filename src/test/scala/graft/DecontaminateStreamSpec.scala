@@ -69,4 +69,30 @@ class DecontaminateStreamSpec extends SparkSpec {
     assert(DecontaminateStream(corpus, "embedding", benchDf, "embedding", 0.95)
       .columns.toSeq == Seq("vec_id", "embedding"))
   }
+
+  test("batch parity holds under zero-norm vectors: NULL cosine is not a hit") {
+    val s = spark
+    import s.implicits._
+    // a zero-norm corpus row (NULL cosine against every candidate), a
+    // clean row that shares its LSH bucket with a zero-norm BENCHMARK
+    // vector (exists() scans a null cosine before deciding), and a leak
+    val corpus = Seq(
+      1L -> Seq(0.0f, 0.0f, 0.0f, 0.0f),   // zero-norm: must SURVIVE
+      2L -> Seq(0.0f, 1.0f, 0.0f, 0.0f),   // clean: must survive
+      3L -> Seq(1.0f, 0.0f, 0.0f, 0.0f)    // exact leak: must drop
+    ).toDF("vec_id", "embedding")
+    // the zero benchmark vector lands in bucket 0 alongside nothing in
+    // particular, but its NULL cosine rides in every list it joins
+    val benchDf = (bench :+ Seq(0.0f, 0.0f, 0.0f, 0.0f))
+      .map(Tuple1(_)).toDF("embedding")
+    val viaStreamShape = DecontaminateStream(
+        corpus, "embedding", benchDf, "embedding", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val viaBatch = graft.ops.Dedup.decontaminateSemantic(
+        corpus, "vec_id", "embedding", benchDf, "embedding", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaBatch == Set(1L, 2L), s"batch kept $viaBatch")
+    assert(viaStreamShape == viaBatch,
+      s"zero-norm parity broke: stream $viaStreamShape vs batch $viaBatch")
+  }
 }
