@@ -45,6 +45,9 @@ object ScaleProbe {
       "fetch), so refinement adds O(queries x candidates) constant work"),
     "dedup_incr_near" -> ("~linear: batch grows with the corpus but probes are " +
       "bucket-pruned and band keys are copy-disjoint, so per-probe candidates stay O(1)"),
+    "dedup_incremental" -> ("~linear: index build+commit grows with the corpus; the " +
+      "batch anti-join probe reads ONLY the buckets the batch hashes into (file-count-" +
+      "asserted in IncrementalDedupSpec), so probe cost is batch-proportional"),
     "dedup_winnow" -> "linear: winnow gram groups are copy-disjoint under the token salt",
     "ann_ivf_incremental" -> ("linear: the query set is fixed (8 ids); index build and " +
       "the 6 probed lists grow with the corpus"),
@@ -92,8 +95,8 @@ object ScaleProbe {
   }
 
   private def runLeg(spark: SparkSession, metrics: BenchMetrics, dir: String,
-      trials: Int): Map[String, (Double, BenchMetrics.Snapshot)] =
-    probeQueries.map { case (name, _) =>
+      trials: Int, selected: Seq[(String, String)]): Map[String, (Double, BenchMetrics.Snapshot)] =
+    selected.map { case (name, _) =>
       val fn = SparkEntry.queries(name)
       val runs = (0 until trials).map { _ =>
         Tables.dropCachedLeftovers(spark)
@@ -113,6 +116,18 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val copies = sys.env.getOrElse("SPARK_GRAFT_PROBE_COPIES", "10").toInt.max(2)
     val trials = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIALS", "2").toInt.max(1)
+    // SPARK_GRAFT_PROBE_ONLY=a,b restricts to named queries (deeper-
+    // octave runs on a tail subset); SPARK_GRAFT_PROBE_OUT renames the
+    // artifact so a 30x tail probe does not clobber the 10x record.
+    val selected = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .fold(probeQueries) { names =>
+        val unknown = names.diff(probeQueries.map(_._1).toSet)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_PROBE_ONLY names not in probeQueries: ${unknown.toSeq.sorted.mkString(", ")}")
+        probeQueries.filter(q => names(q._1))
+      }
+    val outName = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "SCALE_PROBE.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -134,10 +149,10 @@ object ScaleProbe {
     SparkEntry.queries("dedup_exact")(spark, dir1)
       .write.format("noop").mode("overwrite").save()
 
-    val leg1 = runLeg(spark, metrics, dir1, trials)
-    val legN = runLeg(spark, metrics, dirN, trials)
+    val leg1 = runLeg(spark, metrics, dir1, trials, selected)
+    val legN = runLeg(spark, metrics, dirN, trials, selected)
 
-    val rows = probeQueries.map { case (name, expected) =>
+    val rows = selected.map { case (name, expected) =>
       val (s1, m1) = leg1(name)
       val (sN, mN) = legN(name)
       val ratio = if (s1 > 0) sN / s1 else -1.0
@@ -148,7 +163,7 @@ object ScaleProbe {
     val json =
       s"""{"base_sf_dir":"$sfDir","copies":$copies,"trials":$trials,""" +
         s""""note":"N-times corpus = per-copy token-salted documents / circular-shifted embeddings with id stride 10000000; 1x leg is copy 0 of the same transformation","queries":{${rows.mkString(",")}}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_PROBE.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()

@@ -38,26 +38,95 @@ object Dedup {
     * Returns (a_id, b_id, est_jaccard) with a_id < b_id, where
     * est_jaccard is the signature-agreement fraction.
     */
+  /** Hot-bucket guard (same decomposition as [[embeddingNearDups]]):
+    * a boilerplate-heavy corpus puts N identical signatures into one
+    * (band, band_hash) bucket and a plain self-join would score the
+    * whole N² on a single task. Buckets above `maxBucketSize` split
+    * into a G×G blocked self-join; the occupancy count rides a WINDOW
+    * over the band key rather than a separate aggregate, because the
+    * signature pass is the expensive stage here and must not run a
+    * third time — the trade is one extra (band, band_hash) exchange
+    * per side, linear and uniform, against the unbounded single-task
+    * quadratic. Pair set is provably unchanged. */
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleLen: Int = 3,
       bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 4096): DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val banded = bandedSignatures(df, idCol, textCol, shingleLen, bands, rowsPerBand)
-
-    val l = banded.select(col("band"), col("band_hash"),
-      col("__id").as("a_id"), col("__sig").as("a_sig"))
-    val r = banded.select(col("band"), col("band_hash"),
-      col("__id").as("b_id"), col("__sig").as("b_sig"))
-
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+    val w = Window.partitionBy("band", "band_hash")
+    val grouped = banded
+      .withColumn("__ngroups",
+        greatest(lit(1L), ceil(count(lit(1)).over(w) / maxBucketSize)).cast("int"))
+      .withColumn("__g", pmod(xxhash64(col("__id")), col("__ngroups")).cast("int"))
+    val l = grouped.select(col("band").as("__bandl"), col("band_hash").as("__bhl"),
+      col("__g").as("__gll"),
+      explode(sequence(col("__g"), col("__ngroups") - 1)).as("__grl"),
+      col("__id").as("__aid"), col("__sig").as("a_sig"))
+    val r = grouped.select(col("band").as("__bandr"), col("band_hash").as("__bhr"),
+      explode(sequence(lit(0), col("__g"))).as("__glr"),
+      col("__g").as("__grr"),
+      col("__id").as("__bid"), col("__sig").as("b_sig"))
+    l.join(r, col("__bandl") === col("__bandr") && col("__bhl") === col("__bhr") &&
+        col("__gll") === col("__glr") && col("__grl") === col("__grr"))
+      .filter(col("__aid") =!= col("__bid"))
+      .select(least(col("__aid"), col("__bid")).as("a_id"),
+        greatest(col("__aid"), col("__bid")).as("b_id"),
         round(call_function("graft_sig_agree", col("a_sig"), col("b_sig")), 6)
           .as("est_jaccard"))
       .distinct()
+  }
+
+  /** All (left row, right row) pairs sharing `keys`, via a BIPARTITE
+    * blocked equi-join: each side gets an occupancy-derived group count
+    * per key (`G = ceil(occ / maxBucketSize)`) and a group by id hash;
+    * the left row replicates across `(gl, 0..Gr-1)`, the right across
+    * `(0..Gl-1, gr)`, so every (left-group, right-group) cell lands on
+    * exactly one task and no task scores more than ~`maxBucketSize²`
+    * pairs — the guard for a hot ACCUMULATED-index bucket (boilerplate
+    * corpus indexed over months) meeting a hot batch bucket. Cold keys
+    * degenerate to the original single-cell join. Occupancy aggregates
+    * are broadcast: callers pass BOUNDED sides (a batch and a
+    * bucket-pruned index slice), so each occ frame is at most
+    * side-rows tall. Output columns are the two sides' non-key payload
+    * columns (caller must make them disjoint). */
+  private def blockedBipartiteJoin(
+      l: DataFrame, lIdCol: String,
+      r: DataFrame, rIdCol: String,
+      keys: Seq[String],
+      maxBucketSize: Int = 4096): DataFrame = {
+    val kc = keys.map(col)
+    val lPay = l.columns.filterNot(keys.contains).toSeq
+    val rPay = r.columns.filterNot(keys.contains).toSeq
+    val occL = broadcast(l.groupBy(kc: _*).agg(count(lit(1)).as("__loc")))
+    val occR = broadcast(r.groupBy(kc: _*).agg(count(lit(1)).as("__roc")))
+    def grouped(df: DataFrame, idCol: String, groupOn: String): DataFrame =
+      df.join(occL, keys).join(occR, keys)
+        .withColumn("__ngl",
+          greatest(lit(1L), ceil(col("__loc") / maxBucketSize)).cast("int"))
+        .withColumn("__ngr",
+          greatest(lit(1L), ceil(col("__roc") / maxBucketSize)).cast("int"))
+        .withColumn(groupOn,
+          pmod(xxhash64(col(idCol)),
+            col(if (groupOn == "__gl") "__ngl" else "__ngr")).cast("int"))
+    val le = grouped(l, lIdCol, "__gl").select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"__bk${i}l") } ++
+        Seq(col("__gl").as("__gll"),
+          explode(sequence(lit(0), col("__ngr") - 1)).as("__grl")) ++
+        lPay.map(col): _*)
+    val re = grouped(r, rIdCol, "__gr").select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"__bk${i}r") } ++
+        Seq(explode(sequence(lit(0), col("__ngl") - 1)).as("__glr"),
+          col("__gr").as("__grr")) ++
+        rPay.map(col): _*)
+    val cond = keys.indices.map(i => col(s"__bk${i}l") === col(s"__bk${i}r"))
+      .reduce(_ && _) && col("__gll") === col("__glr") &&
+      col("__grl") === col("__grr")
+    le.join(re, cond).select((lPay ++ rPay).map(col): _*)
   }
 
   /** `(__id, __sig, band, band_hash)` banding of the non-null-text rows
@@ -590,7 +659,8 @@ object Dedup {
       minJaccard: Double = 0.8,
       shingleLen: Int = 3,
       bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 4096): DataFrame = {
     val bNew = bandedSignatures(batch, idCol, textCol, shingleLen, bands, rowsPerBand)
       .select(col("band"), col("band_hash"), col("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -600,15 +670,22 @@ object Dedup {
     // pinned eagerly to the CURRENT commit's files — the merge below
     // cannot make the probe see the batch's own rows
     val slice = index.readForKeys(bNew.select(col("band"), col("band_hash")), like)
-    val cross = bNew.select(col("band"), col("band_hash"), col("__id").as("__nid"))
-      .join(slice.select(col("band"), col("band_hash"), col("doc_id").as("__oid")),
-        Seq("band", "band_hash"))
+    // hot-bucket-guarded joins: an accumulated boilerplate index makes
+    // a slice bucket huge, a duplicated batch makes its own bucket
+    // huge — both decompose into bounded bipartite cells (bNew is
+    // persisted, so the occupancy aggregates read cache, not a third
+    // signature pass)
+    val cross = blockedBipartiteJoin(
+      bNew.select(col("band"), col("band_hash"), col("__id").as("__nid")), "__nid",
+      slice.select(col("band"), col("band_hash"), col("doc_id").as("__oid")), "__oid",
+      keys = Seq("band", "band_hash"), maxBucketSize = maxBucketSize)
       .filter(col("__oid") =!= col("__nid"))
       .select(least(col("__oid"), col("__nid")).as("a_id"),
         greatest(col("__oid"), col("__nid")).as("b_id"))
-    val intra = bNew.select(col("band"), col("band_hash"), col("__id").as("a_id"))
-      .join(bNew.select(col("band"), col("band_hash"), col("__id").as("b_id")),
-        Seq("band", "band_hash"))
+    val intra = blockedBipartiteJoin(
+      bNew.select(col("band"), col("band_hash"), col("__id").as("a_id")), "a_id",
+      bNew.select(col("band"), col("band_hash"), col("__id").as("b_id")), "b_id",
+      keys = Seq("band", "band_hash"), maxBucketSize = maxBucketSize)
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
     val cand = cross.unionByName(intra).distinct()
@@ -755,7 +832,8 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Int = 12): DataFrame = {
+      planes: Int = 12,
+      maxBucketSize: Int = 4096): DataFrame = {
     val b = Similarity.lshBuckets(
       batch.filter(col(vecCol).isNotNull)
         .select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
@@ -764,21 +842,24 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     b.count()
     val slice = index.readForKeys(b.select(col("bucket")), b.limit(0))
-    val cross = b.select(col("bucket"), col("vec_id").as("__nid"),
-        col("vec").as("__nv"))
-      .join(slice.select(col("bucket"), col("vec_id").as("__oid"),
-        col("vec").as("__ov")), Seq("bucket"))
+    // hot-bucket-guarded batch x index-slice pairing (same bounded
+    // bipartite decomposition as the text path)
+    val cross = blockedBipartiteJoin(
+      b.select(col("bucket"), col("vec_id").as("__nid"), col("vec").as("__nv")),
+      "__nid",
+      slice.select(col("bucket"), col("vec_id").as("__oid"), col("vec").as("__ov")),
+      "__oid",
+      keys = Seq("bucket"), maxBucketSize = maxBucketSize)
       .filter(col("__oid") =!= col("__nid"))
       .select(least(col("__oid"), col("__nid")).as("a_id"),
         greatest(col("__oid"), col("__nid")).as("b_id"),
         Similarity.cosine(col("__nv"), col("__ov")).as("cos_sim"))
-    val intra = b.select(col("bucket"), col("vec_id").as("a_id"),
-        col("vec").as("__av"))
-      .join(b.select(col("bucket"), col("vec_id").as("b_id"),
-        col("vec").as("__bv")), Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        Similarity.cosine(col("__av"), col("__bv")).as("cos_sim"))
+    // intra-batch pairs through the hot-bucket-guarded join (a
+    // boilerplate-heavy BATCH has the same one-task quadratic shape);
+    // bucketing recomputes over b's persisted blocks — a narrow map
+    val intra = embeddingNearDups(
+      b.select(col("vec_id"), col("vec")), "vec_id", "vec",
+      threshold, planes, maxBucketSize)
     val pairs = cross.unionByName(intra)
       .filter(col("cos_sim") >= threshold)
       .distinct()

@@ -110,6 +110,23 @@ class HotBucketSpec extends SparkSpec {
       s"survivors diverge: extra=${kept.diff(expectKept)} missing=${expectKept.diff(kept)}")
   }
 
+  test("minhash blocked self-join emits the exact naive pair set on a boilerplate corpus") {
+    val s = spark
+    import s.implicits._
+    // 200 identical documents (identical signatures -> one hot
+    // (band, band_hash) bucket in EVERY band) + distinct singletons
+    val rows = (0 until 200).map(i => (i.toLong, "the same boilerplate page body repeated verbatim")) ++
+      Seq(900L -> "completely different text one", 901L -> "another unrelated document body")
+    val df = rows.toDF("doc_id", "text")
+    def run(cap: Int): Set[(Long, Long, Double)] =
+      Dedup.minhashLshPairs(df, "doc_id", "text", maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = run(Int.MaxValue)
+    assert(naive.size == 200 * 199 / 2, s"naive pair count ${naive.size}")
+    assert(naive.forall(_._3 == 1.0), "identical docs must agree on every hash")
+    assert(run(16) == naive)
+  }
+
   test("duplicated benchmark mass collapses: decontamination output and hit counts unchanged") {
     val s = spark
     import s.implicits._
@@ -128,6 +145,36 @@ class HotBucketSpec extends SparkSpec {
         benchDup, "embedding", threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rep == Set((1L, 1L)), s"got $rep")
+  }
+
+  test("incremental bipartite guard: duplicated batch x duplicated index emits the exact pair set") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hotincr-").toString
+    // index holds 40 copies of the hot vector (ids 0..39); the batch
+    // brings 30 more copies (ids 1000..1029) plus a clean orthogonal row
+    def run(cap: Int): Set[(Long, Long)] = {
+      val index = new graft.pipeline.BucketedStateTable(
+        s, s"$root/idx-$cap",
+        keyCols = Seq("bucket", "vec_id"), numBuckets = 8,
+        bucketCols = Seq("bucket"))
+      Dedup.indexEmbeddings(index,
+        (0 until 40).map(i => (i.toLong, hotVec)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      val batch = ((1000 until 1030).map(i => (i.toLong, hotVec)) :+
+        (2000L, axis(5))).toDF("vec_id", "embedding")
+      Dedup.incrementalEmbeddingNearDups(index, batch, "vec_id", "embedding",
+          threshold = 0.95, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // expected: every (index copy, batch copy) cross pair + every
+    // intra-batch pair among the 30 copies; the clean row pairs nothing
+    val expected =
+      (for (o <- 0 until 40; n <- 1000 until 1030) yield (o.toLong, n.toLong)).toSet ++
+      (for (a <- 1000 until 1030; b <- (a + 1) until 1030) yield (a.toLong, b.toLong)).toSet
+    assert(run(Int.MaxValue) == expected)
+    assert(run(8) == expected)
   }
 
   test("fitsBroadcast boundary: maxBroadcastRows above Int.MaxValue must not wrap") {
