@@ -1135,6 +1135,17 @@ object GraftExpressions {
     "graft_pq_encode"    -> (es => PqEncode(es.head, dlits(es(1)), lit(es(2)), lit(es(3)))),
     "graft_bpe_apply"    -> (es => BpeApply(es.head, lits(es(1)).zip(lits(es(2))))),
     "graft_pq_adc"       -> (es => PqAdc(es.head, es(1), dlits(es(2)), lit(es(3)), lit(es(4)))),
+    // Spark's own runtime-filter bloom expressions, surfaced under
+    // graft names (they are not in the public registry): the standard
+    // scale tool for "does this value appear in that big set" without
+    // shuffling the probe side. Aggregate → binary filter; the probe
+    // expects the SAME xxhash64 pre-hash on both sides.
+    "graft_bloom_agg" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es.head, es(1), es(2))),
+    "graft_bloom_might_contain" -> (es =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es.head, es(1))),
     "graft_xpath_struct" -> (es => {
       val names = lits(es(1)); val paths = lits(es(2))
       val prefixes = lits(es(3)); val uris = lits(es(4))

@@ -262,11 +262,68 @@ object Corpus {
     val benchShingles = benchmark
       .select(explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
       .distinct()
+    // clamp BEFORE toInt: a budget above Int.MaxValue would wrap
+    // negative and turn the probe into limit(2)
+    val probe =
+      math.min(maxBroadcastShingles, Int.MaxValue - 1L).toInt.max(1) + 1
     val broadcastable =
-      benchShingles.limit(maxBroadcastShingles.toInt.max(1) + 1).count() <=
-        maxBroadcastShingles
+      benchShingles.limit(probe).count() <= maxBroadcastShingles
     (corpusShingles,
       if (broadcastable) broadcast(benchShingles) else benchShingles)
+  }
+
+  /** Bloom-filter decontamination — [[decontaminate]]'s plan shape for
+    * the regime where the benchmark's shingle set is TOO BIG to
+    * broadcast (decontaminating one corpus against another, or against
+    * a very large eval union). Output is IDENTICAL to [[decontaminate]]
+    * by construction: the bloom only PRE-FILTERS (its false positives
+    * are eliminated by an exact semi-join on the real shingle strings),
+    * and a bloom has no false negatives.
+    *
+    * 100 TB shape: the benchmark aggregates once into a `numBits`-wide
+    * bloom (Spark's own runtime-filter aggregate, ~`numBits/8` bytes —
+    * megabytes where the distinct shingle set would be gigabytes),
+    * which ships to every task as a LITERAL; the corpus side is then a
+    * narrow explode + bloom probe with NO shuffle and no broadcast of
+    * benchmark data. Only the surviving candidate rows — true leaks
+    * plus the bloom's small false-positive mass — reach the exact
+    * verify join, so where [[decontaminate]]'s non-broadcast fallback
+    * shuffles EVERY corpus shingle, this path shuffles only candidates.
+    * The driver materializes just the bloom bytes (bounded by
+    * `numBits`), never benchmark rows. */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 8,
+      expectedShingles: Long = 4_000_000L,
+      numBits: Long = 33_554_432L,
+      maxBroadcastShingles: Long = 4_000_000L): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
+    val bf = benchShingles
+      .agg(call_function("graft_bloom_agg", xxhash64(col("__sh")),
+        lit(expectedShingles), lit(numBits)).as("bf"))
+      .collect()(0).getAs[Array[Byte]]("bf")
+    if (bf == null) {
+      // empty benchmark: nothing can be contaminated
+      corpus.select(col(idCol)).limit(0)
+    } else {
+      val cand = corpus
+        .select(col(idCol), explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
+        .filter(call_function("graft_bloom_might_contain",
+          lit(bf), xxhash64(col("__sh"))))
+      val benchDistinct = benchShingles.distinct()
+      val probe =
+        math.min(maxBroadcastShingles, Int.MaxValue - 1L).toInt.max(1) + 1
+      val bench =
+        if (benchDistinct.limit(probe).count() <= maxBroadcastShingles)
+          broadcast(benchDistinct)
+        else benchDistinct
+      cand.join(bench, Seq("__sh"), "left_semi")
+        .select(col(idCol)).distinct()
+    }
   }
 
   /** Graded contamination report: for every corpus document, the

@@ -668,8 +668,11 @@ object Dedup {
     val like = bNew.select(col("band"), col("band_hash"),
       col("__id").as("doc_id")).limit(0)
     // pinned eagerly to the CURRENT commit's files — the merge below
-    // cannot make the probe see the batch's own rows
+    // cannot make the probe see the batch's own rows; persisted because
+    // the guarded join reads it twice (occupancy + pairing), and a
+    // second bucket-pruned file read would double the probe I/O
     val slice = index.readForKeys(bNew.select(col("band"), col("band_hash")), like)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // hot-bucket-guarded joins: an accumulated boilerplate index makes
     // a slice bucket huge, a duplicated batch makes its own bucket
     // huge — both decompose into bounded bipartite cells (bNew is
@@ -715,6 +718,7 @@ object Dedup {
     index.merge(bNew.select(col("band"), col("band_hash"), col("__id").as("doc_id")),
       keys = Seq("band", "band_hash", "doc_id"))
     bNew.unpersist()
+    slice.unpersist()
     out
   }
 
@@ -841,7 +845,10 @@ object Dedup {
       .select(col("bucket"), col("vec_id"), col("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     b.count()
+    // persisted: the guarded join reads the slice twice (occupancy +
+    // pairing) and a second bucket-pruned read would double probe I/O
     val slice = index.readForKeys(b.select(col("bucket")), b.limit(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // hot-bucket-guarded batch x index-slice pairing (same bounded
     // bipartite decomposition as the text path)
     val cross = blockedBipartiteJoin(
@@ -868,6 +875,7 @@ object Dedup {
     val out = pairs.localCheckpoint(true)
     index.merge(b, keys = Seq("bucket", "vec_id"))
     b.unpersist()
+    slice.unpersist()
     out
   }
 

@@ -946,6 +946,23 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Corpus: BLOOM-prefiltered decontamination — same contaminated
+    // ids as corpus_decontaminate (the bloom only pre-filters; an exact
+    // semi-join on the real shingles kills its false positives), but
+    // the corpus side never shuffles even when the benchmark shingle
+    // set exceeds the broadcast budget. Oracle: identical enumeration
+    // to corpus_decontaminate's, because the OUTPUT is identical. ────────
+    "corpus_decontaminate_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") % 97 === 0)
+      val corpus = d.filter(col("doc_id") % 97 =!= 0)
+        .unionByName(bench.select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("leaked copy "), col("text")).as("text")))
+      graft.ops.Corpus.decontaminateBloom(corpus, bench, "doc_id", "text",
+          shingleLen = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Corpus: exact-size deterministic sample — 20 docs per language
     // by content-hash rank (nested under size increases; WindowGroupLimit
     // discards over-quota rows map-side). ───────────────────────────────
@@ -2251,6 +2268,29 @@ object TrainingQueries {
     // 8-token shingle overlap with the benchmark set (doc_id % 97 = 0),
     // corpus = originals minus benchmark plus planted leaked copies.
     "corpus_decontaminate" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |corpus AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        | UNION ALL
+        | SELECT doc_id + 300000, 'leaked copy ' || text FROM bench),
+        |ct AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus),
+        |bt AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM bench),
+        |cs AS (SELECT doc_id, unnest(
+        |  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' ')) END) AS sh
+        | FROM ct),
+        |bs AS (SELECT DISTINCT unnest(
+        |  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' ')) END) AS sh
+        | FROM bt)
+        |SELECT DISTINCT c.doc_id FROM cs c JOIN bs b USING (sh)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Bloom pre-filter + exact verify = the SAME contaminated-id set as
+    // corpus_decontaminate (no false negatives in a bloom; false
+    // positives die in the exact semi-join), so the oracle is the same
+    // exhaustive shingle-overlap enumeration.
+    "corpus_decontaminate_bloom" ->
       """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
         |corpus AS (
         | SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0

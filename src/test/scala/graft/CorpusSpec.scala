@@ -306,6 +306,34 @@ class CorpusSpec extends SparkSpec {
     assert(viaShuffle === viaBroadcast)
   }
 
+  test("bloom decontamination matches the exact path bit-for-bit, even under heavy false-positive pressure") {
+    val d = docs.select("doc_id", "text")
+    val bench = d.filter(col("doc_id") % 7 === 0)
+    val leaks = bench.select((col("doc_id") + 500000).as("doc_id"),
+      concat(lit("prefix tokens here "), col("text")).as("text"))
+    val corpus = d.filter(col("doc_id") % 7 =!= 0).unionByName(leaks)
+    val exact = Corpus.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val viaBloom = Corpus.decontaminateBloom(corpus, bench, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaBloom === exact)
+    // a DELIBERATELY tiny bloom (64 bits for thousands of shingles →
+    // near-every probe is a false positive) must still be exact: the
+    // verify semi-join, not the bloom, decides membership
+    val tiny = Corpus.decontaminateBloom(corpus, bench, "doc_id", "text",
+      expectedShingles = 8L, numBits = 64L)
+      .collect().map(_.getLong(0)).toSet
+    assert(tiny === exact, "false positives leaked through the verify join")
+    // shuffle-fallback verify (non-broadcastable benchmark) agrees too
+    val shuffled = Corpus.decontaminateBloom(corpus, bench, "doc_id", "text",
+      maxBroadcastShingles = 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(shuffled === exact)
+    // empty benchmark: null bloom aggregate -> empty result, no crash
+    assert(Corpus.decontaminateBloom(corpus, bench.limit(0), "doc_id", "text")
+      .count() == 0L)
+  }
+
   // ── deterministicShuffle ──────────────────────────────────────────────
 
   test("deterministic shuffle is a stable permutation with per-shard dense positions") {
