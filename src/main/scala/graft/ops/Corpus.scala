@@ -650,4 +650,83 @@ object Corpus {
       .mode("errorifexists")
       .parquet(path)
   }
+
+  /** Hashed unigram+bigram feature buckets of one document — the DSIR
+    * feature map (Xie et al., "Data Selection for Language Models via
+    * Importance Resampling", NeurIPS 2023): every word and every
+    * adjacent word pair hashes into one of `buckets` cells. The hash is
+    * the engine-portable md5-prefix integer (same idiom as the winnow
+    * gram hash), so a SQL oracle reproduces the bucketing exactly. */
+  private def dsirBuckets(text: Column, buckets: Int): Column = {
+    val feats = concat(TextAnalysis.ngramList(coalesce(text, lit("")), 1),
+      TextAnalysis.ngramList(coalesce(text, lit("")), 2))
+    transform(feats, w =>
+      pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), lit(buckets)))
+  }
+
+  /** Per-bucket feature counts of a corpus: `buckets` rows of
+    * `(bucket, count)`, map-side combined — the shuffle moves at most
+    * `buckets × partitions` counter cells no matter the corpus size. */
+  private def dsirBucketCounts(
+      df: DataFrame, textCol: String, buckets: Int): Array[Long] = {
+    val rows = df
+      .select(explode(dsirBuckets(col(textCol), buckets)).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .collect()
+    val counts = new Array[Long](buckets)
+    rows.foreach(r => counts(r.getLong(0).toInt) = r.getLong(1))
+    counts
+  }
+
+  /** The per-bucket log-likelihood-ratio table
+    * `ln((target_b + 1) / (targetTotal + B)) − ln((raw_b + 1) /
+    * (rawTotal + B))` (Laplace-smoothed), as a plain array — at most
+    * `buckets` doubles, a driver-side object by construction, reusable
+    * as a literal in batch scoring ([[dsirWeights]]) or in a streaming
+    * projection (the scorer is stateless once the table is fixed). */
+  def dsirLlrTable(
+      raw: DataFrame, rawTextCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 1024): Seq[Double] = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20] (the table broadcasts as a literal): $buckets")
+    val rc = dsirBucketCounts(raw, rawTextCol, buckets)
+    val tc = dsirBucketCounts(target, targetTextCol, buckets)
+    val rTot = rc.sum.toDouble + buckets
+    val tTot = tc.sum.toDouble + buckets
+    (0 until buckets).map(b =>
+      math.log((tc(b) + 1.0) / tTot) - math.log((rc(b) + 1.0) / rTot))
+  }
+
+  /** Score column: Σ over the document's hashed unigram+bigram
+    * features of `llr(bucket)` — the DSIR importance log-weight. A
+    * narrow codegen'd projection (kernel n-gram list + literal-array
+    * lookup + fold): scoring shuffles NOTHING, whatever the corpus
+    * size, and the same column works unchanged over a stream. */
+  def dsirScore(llr: Seq[Double], text: Column): Column = {
+    val table = typedLit(llr)
+    aggregate(dsirBuckets(text, llr.size), lit(0.0),
+      (acc, b) => acc + element_at(table, (b + 1).cast("int")))
+  }
+
+  /** DSIR importance weights for every `raw` document against a
+    * `target` domain sample: rows of `(idCol, llr_weight)` where
+    * positive means "looks more like the target corpus than like the
+    * raw corpus" under smoothed hashed-n-gram unigram+bigram models.
+    * Selection composes downstream: threshold at 0, take the top
+    * fraction, or resample ∝ exp(weight) via [[sampleByScore]].
+    *
+    * 100 TB shape: two bounded aggregates (one over raw, one over the
+    * — typically far smaller — target) build the `buckets`-entry LLR
+    * table; the scoring pass is a narrow projection with the table as
+    * a literal. Zero joins, zero corpus shuffle, and the target corpus
+    * never needs to fit anywhere but its own aggregate. */
+  def dsirWeights(
+      raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 1024): DataFrame = {
+    val llr = dsirLlrTable(raw, textCol, target, targetTextCol, buckets)
+    raw.select(col(idCol),
+      round(dsirScore(llr, col(textCol)), 6).as("llr_weight"))
+  }
 }

@@ -782,7 +782,62 @@ object Dedup {
       k: Int = 3,
       window: Int = 4,
       minShared: Int = 1,
-      maxDocFreq: Int = 8): DataFrame = {
+      maxDocFreq: Int = 8): DataFrame =
+    winnowVerifiedPairs(df, idCol, textCol, k, window, minShared, maxDocFreq,
+      scoreName = "jaccard",
+      score = (a, b) =>
+        call_function("graft_shingle_jaccard", a, b, lit(k)),
+      minScore = minJaccard)
+
+  /** Near-CONTAINMENT pairs: document pairs where the k-shingle set of
+    * one side is (almost) a SUBSET of the other's —
+    * `max(|A∩B|/|A|, |A∩B|/|B|) >= minContainment` over distinct word
+    * k-grams. This is the asymmetric dedup case symmetric Jaccard
+    * systematically misses: a fragment quoted verbatim inside a much
+    * larger document has `|A∩B|/|A∪B| ≈ |A|/|B| → 0` but containment
+    * 1.0, and quote-inclusion / boilerplate-wrapping is a dominant
+    * duplication mode in crawled training corpora. Candidates come
+    * from shared winnow fingerprints (the MOSS selection — any shared
+    * run of `window + k - 1` tokens shares a fingerprint, and winnow
+    * fingerprints are LOCAL, so a fragment's fingerprints survive
+    * inside the containing document; MinHash-LSH on the full signature
+    * would miss exactly these skewed-size pairs because the small
+    * side's bands are dominated by the large side's absent shingles).
+    * Same doc-frequency cap and verify shape as
+    * [[winnowNearDupPairs]]; pairs whose either side has no full
+    * k-shingle are never emitted. Returns `(a_id, b_id, containment)`
+    * with a_id < b_id, containment rounded to 6 dp. */
+  def containmentNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minContainment: Double,
+      k: Int = 3,
+      window: Int = 4,
+      minShared: Int = 1,
+      maxDocFreq: Int = 8): DataFrame =
+    winnowVerifiedPairs(df, idCol, textCol, k, window, minShared, maxDocFreq,
+      scoreName = "containment",
+      score = (a, b) => {
+        val sa = array_distinct(TextAnalysis.ngramList(a, k))
+        val sb = array_distinct(TextAnalysis.ngramList(b, k))
+        val inter = size(array_intersect(sa, sb)).cast("double")
+        when(size(sa) > 0 && size(sb) > 0,
+          round(greatest(inter / size(sa), inter / size(sb)), 6))
+      },
+      minScore = minContainment)
+
+  private def winnowVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      window: Int,
+      minShared: Int,
+      maxDocFreq: Int,
+      scoreName: String,
+      score: (Column, Column) => Column,
+      minScore: Double): DataFrame = {
     // pinned: the df-count pass and the collect pass both read this —
     // without the cache the winnow projection runs twice
     val fps = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, window)
@@ -819,9 +874,8 @@ object Dedup {
       .join(txt.select(col("__tid").as("a_id"), col("__t").as("__at")), "a_id")
       .join(txt.select(col("__tid").as("b_id"), col("__t").as("__bt")), "b_id")
       .select(col("a_id"), col("b_id"),
-        call_function("graft_shingle_jaccard",
-          col("__at"), col("__bt"), lit(k)).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+        score(col("__at"), col("__bt")).as(scoreName))
+      .filter(col(scoreName) >= minScore)
     // eager checkpoint cuts the lineage back to fps so its persisted
     // blocks free here instead of leaking into the caller's session
     val out = verified.localCheckpoint(true)

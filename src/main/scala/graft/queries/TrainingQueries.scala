@@ -1482,10 +1482,102 @@ object TrainingQueries {
         .withColumn("valid_to",
           date_sub(lead(col("valid_from"), 1).over(w), 1))
         .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    }),
+
+    // ── Dedup: near-CONTAINMENT pairs — the asymmetric case symmetric
+    // Jaccard misses (a 15-token fragment quoted inside its source doc
+    // has Jaccard ≈ 0.1 but containment 1.0). Planted fragments =
+    // 15-token prefixes of every 7th doc; candidates via shared winnow
+    // fingerprints (local, so they survive inside the containing doc),
+    // verified by exact distinct-shingle containment. The oracle is the
+    // exhaustive ≥-0.9 containment pair set — equality proves the
+    // fingerprint candidate stage loses no qualifying pair. ─────────────
+    "dedup_containment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      val frags = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 15), " ")
+            .as("text"))
+      Dedup.containmentNearDupPairs(d.unionByName(frags), "doc_id", "text",
+          minContainment = 0.9)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ── Corpus: DSIR importance weights (hashed unigram+bigram
+    // log-likelihood ratio vs a target domain — here lang='en') — the
+    // standard "make the corpus look like the target" selection score.
+    // Two bounded bucket aggregates + one narrow scoring projection;
+    // the oracle recomputes the same smoothed counts per feature
+    // occurrence. ───────────────────────────────────────────────────────
+    "corpus_dsir_weights" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.ops.Corpus.dsirWeights(d, "doc_id", "text",
+          d.filter(col("lang") === "en"), "text", buckets = 1024)
+        .orderBy(col("doc_id"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // Exhaustive ≥-0.9 distinct-shingle containment pair set over
+    // documents ∪ planted 15-token-prefix fragments (ids +200000).
+    // max(|A∩B|/|A|, |A∩B|/|B|) — both directions, either side may be
+    // the contained one. Docs with no full 3-token shingle drop out on
+    // both engines (len(toks) >= 3 here; empty ngram list in Spark).
+    "dedup_containment" ->
+      """WITH all_docs AS (
+        | SELECT doc_id, trim(text) AS t FROM documents WHERE text IS NOT NULL
+        | UNION ALL
+        | SELECT doc_id + 200000,
+        |   array_to_string(regexp_split_to_array(trim(text), '\s+')[1:15], ' ')
+        | FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0),
+        |tk AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS toks FROM all_docs),
+        |sh AS (
+        | SELECT doc_id, list(DISTINCT gram) AS s FROM (
+        |   SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+        |   FROM tk, unnest(range(1, len(toks) - 1)) AS u(i)
+        |   WHERE len(toks) >= 3)
+        | GROUP BY doc_id)
+        |SELECT a_id, b_id, containment FROM (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(greatest(
+        |    len(list_intersect(a.s, b.s)) * 1.0 / len(a.s),
+        |    len(list_intersect(a.s, b.s)) * 1.0 / len(b.s)), 6) AS containment
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE containment >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // DSIR log-likelihood-ratio weight per document: hashed (md5-prefix
+    // % 1024) unigram+bigram buckets, Laplace-smoothed target(lang=en)
+    // vs raw counts, summed per feature occurrence. Token discipline
+    // matches the Spark kernel: split of trim(text), NO empty-token
+    // filter (empty text → one '' unigram on both engines). Docs whose
+    // text is NULL score 0 via the '' coalesce on both engines.
+    "corpus_dsir_weights" ->
+      """WITH docs AS (
+        | SELECT doc_id, lang,
+        |  regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+        | FROM documents),
+        |feats AS (
+        | SELECT doc_id, lang, w FROM docs, unnest(t) AS u(w)
+        | UNION ALL
+        | SELECT doc_id, lang, t[i] || ' ' || t[i + 1]
+        | FROM docs, unnest(range(1, len(t))) AS r(i)),
+        |fb AS (SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS b FROM feats),
+        |tc AS (SELECT b, count(*) AS c FROM fb WHERE lang = 'en' GROUP BY b),
+        |tt AS (SELECT count(*) + 1024 AS n FROM fb WHERE lang = 'en'),
+        |rc AS (SELECT b, count(*) AS c FROM fb GROUP BY b),
+        |rt AS (SELECT count(*) + 1024 AS n FROM fb),
+        |pd AS (
+        | SELECT doc_id, sum(
+        |   ln((coalesce(tc.c, 0) + 1.0) / tt.n) -
+        |   ln((coalesce(rc.c, 0) + 1.0) / rt.n)) AS w
+        | FROM fb LEFT JOIN tc USING (b) LEFT JOIN rc USING (b), tt, rt
+        | GROUP BY doc_id)
+        |SELECT d.doc_id, round(coalesce(pd.w, 0.0), 6) AS llr_weight
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Exhaustive enumeration of the ≥0.8 shingle-Jaccard pair set — the
     // LSH-verified Spark result must equal it (same shingle definition:
     // whitespace tokens, 3-token shingles, one shingle when shorter).

@@ -655,4 +655,39 @@ class CorpusSpec extends SparkSpec {
       s"no partition filter in plan:\n$plan")
     assert(pruned.count() == (0 until 500).count(_ % 3 == 0))
   }
+
+  // ── DSIR importance weights ───────────────────────────────────────────
+
+  test("dsir: target-like documents outscore off-target ones, weights are deterministic") {
+    val s = spark
+    import s.implicits._
+    val wiki = (1 to 8).map(i => (100L + i, "the quick brown fox jumps " + i))
+    val spam = (1 to 8).map(i => (200L + i, "buy cheap pills now click " + i))
+    val raw = (wiki ++ spam).toDF("doc_id", "text")
+    val target = wiki.toDF("doc_id", "text")
+    val w = Corpus.dsirWeights(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wikiMin = wiki.map(d => w(d._1)).min
+    val spamMax = spam.map(d => w(d._1)).max
+    assert(wikiMin > spamMax,
+      s"target docs must outscore off-target: wikiMin=$wikiMin spamMax=$spamMax")
+    val w2 = Corpus.dsirWeights(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w == w2, "weights must be deterministic across runs")
+  }
+
+  test("dsir: scoring is a narrow projection — no exchange in the scoring plan") {
+    val s = spark
+    import s.implicits._
+    val raw = (1 to 20).map(i => (i.toLong, s"tok$i common words here")).toDF("doc_id", "text")
+    val llr = Corpus.dsirLlrTable(raw, "text", raw.limit(5), "text", buckets = 64)
+    assert(llr.size == 64)
+    val plan = raw.select(col("doc_id"),
+        Corpus.dsirScore(llr, col("text")).as("w"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"dsir scoring must not shuffle:\n$plan")
+    assertThrows[IllegalArgumentException](
+      Corpus.dsirLlrTable(raw, "text", raw, "text", buckets = 0))
+  }
 }

@@ -1461,4 +1461,37 @@ class OpsSpec extends SparkSpec {
       s"a round must cost one action, not collect+materializer: " +
         s"marginal=$marginalPerRound vs one-round total=$j1")
   }
+
+  test("containment: fragment-in-document found at 1.0 where Jaccard misses it") {
+    val s = spark
+    import s.implicits._
+    val body = (1 to 40).map(i => s"w$i").mkString(" ")
+    val frag = (1 to 12).map(i => s"w$i").mkString(" ") // 12-token prefix
+    val docs = Seq(
+      1L -> body,                         // containing document
+      2L -> frag,                         // fragment: S(2) subset of S(1)
+      3L -> (1 to 40).map(i => s"z$i").mkString(" "), // unrelated
+      4L -> "too short")                  // < k tokens -> no shingles
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentNearDupPairs(docs, "doc_id", "text",
+        minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 1.0)), s"got $got")
+    // the same pair is invisible to symmetric Jaccard at any near-dup
+    // threshold: |A intersect B| / |A union B| = 10/38
+    val jac = Dedup.winnowNearDupPairs(docs, "doc_id", "text",
+      minJaccard = 0.8).collect()
+    assert(jac.isEmpty, s"Jaccard unexpectedly found ${jac.toSeq}")
+  }
+
+  test("containment: symmetric for equal docs, direction-max for subsets, short side never divides by zero") {
+    val s = spark
+    import s.implicits._
+    val t = (1 to 20).map(i => s"q$i").mkString(" ")
+    val docs = Seq(5L -> t, 6L -> t, 7L -> "a b").toDF("doc_id", "text")
+    val got = Dedup.containmentNearDupPairs(docs, "doc_id", "text",
+        minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((5L, 6L, 1.0)), s"got $got")
+  }
 }
