@@ -61,7 +61,10 @@ object ScaleProbe {
       "grows N-fold AND fixed-geometry LSH bucket occupancy grows N-fold, so candidate " +
       "cosine evaluations grow ~N^2 (a production deployment re-sizes hash bits with the " +
       "corpus; batch size does not scale with corpus size)"),
-    "dedup_cluster" -> "linear: verified pairs are copy-local; union-find is edge-proportional")
+    "dedup_cluster" -> "linear: verified pairs are copy-local; union-find is edge-proportional",
+    "corpus_snapshot_diff" -> ("linear: each side prunes to (key, md5) before its one " +
+      "hash exchange, so shuffle bytes grow with ROW COUNT only (never document size); " +
+      "the full-outer join is key-unique on both sides - no skew, no window"))
 
   /** Materialize `copies` divergent copies of documents + embeddings
     * from `srcDir` into `outDir` (see class doc for the divergence

@@ -729,4 +729,87 @@ object Corpus {
     raw.select(col(idCol),
       round(dsirScore(llr, col(textCol)), 6).as("llr_weight"))
   }
+
+  /** Snapshot delta between two corpus versions: every key classified
+    * as `added` (new only), `removed` (old only), `changed` (both, but
+    * content hash differs), or `unchanged`. This is the incremental-
+    * refresh primitive of a continuously recrawled corpus — the
+    * downstream pipeline (re-embed, re-dedup, re-tokenize) runs over
+    * `added ∪ changed` instead of the full snapshot, and `removed`
+    * drives retention deletes (the reference's queue-drain shape,
+    * SURVEY §2 D1/D2, generalized to whole-corpus versions).
+    *
+    * 100 TB: each side is pruned to `(key, md5(content))` — ~50 bytes a
+    * row regardless of document size, with the hash computed BEFORE the
+    * exchange — so the full-outer hash join shuffles two key+hash
+    * columns, never document bodies. One shuffle per side, AQE-coalesced;
+    * no window, no skew (keys are unique per side by contract). */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      keyCol: String, contentCol: String): DataFrame = {
+    val o = oldDf.select(col(keyCol).as("__k"),
+      md5(col(contentCol).cast("string")).as("__old_h"))
+    val n = newDf.select(col(keyCol).as("__k"),
+      md5(col(contentCol).cast("string")).as("__new_h"))
+    o.join(n, Seq("__k"), "full_outer")
+      .select(col("__k").as(keyCol),
+        when(col("__old_h").isNull, lit("added"))
+          .when(col("__new_h").isNull, lit("removed"))
+          .when(col("__old_h") === col("__new_h"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Per-status counts of [[snapshotDiff]] — the one-line dashboard form
+    * (4 rows out, map-side-combined aggregate over the diff). */
+  def snapshotDiffCounts(
+      oldDf: DataFrame, newDf: DataFrame,
+      keyCol: String, contentCol: String): DataFrame =
+    snapshotDiff(oldDf, newDf, keyCol, contentCol)
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+
+  /** Cluster-balanced sampling (the SemDeDup/topic-balance shape): every
+    * vector is assigned to its nearest centroid
+    * ([[graft.ops.Similarity.assignClusters]] — a NARROW literal-argmax
+    * map), then each cluster is capped at `quota` rows chosen by the
+    * deterministic md5 draw ([[uniformHex]]) — so an over-represented
+    * topic (boilerplate, templated pages) cannot dominate the mixture,
+    * while small topics survive whole. Returns the kept rows with their
+    * `cluster` and `qrank`; [[clusterBalanceCounts]] is the dashboard
+    * form.
+    *
+    * 100 TB: assignment shuffles nothing; the only exchange is the
+    * per-cluster quota window, partitioned by cluster — with `quota`
+    * bounded the window state is bounded, and Spark's WindowGroupLimit
+    * pushes the rank cutoff below the shuffle (the [[sampleExactN]]
+    * plan shape), so over-quota clusters drop rows map-side instead of
+    * sorting whole topics in one task. */
+  def clusterBalance(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]],
+      quota: Int,
+      seed: String = "cluster-balance"): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    val assigned =
+      graft.ops.Similarity.assignClusters(emb, vecCol, cents)
+    domainQuota(assigned, "cluster", quota,
+      Seq(uniformHex(col(idCol), seed).asc, col(idCol).asc))
+  }
+
+  /** Per-cluster before/after row counts of [[clusterBalance]] — one
+    * row per cluster, the balance report a mixture owner reads. */
+  def clusterBalanceCounts(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]],
+      quota: Int,
+      seed: String = "cluster-balance"): DataFrame = {
+    val assigned =
+      graft.ops.Similarity.assignClusters(emb, vecCol, cents)
+    val before = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = clusterBalance(emb, idCol, vecCol, cents, quota, seed)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+  }
 }

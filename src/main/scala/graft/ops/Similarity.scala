@@ -671,4 +671,58 @@ object Similarity {
       .select(lit(k).as("k"), col("n_queries"),
         col("avg_recall"), col("min_recall"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —
+    * the standard score-free way to combine a lexical ranking (BM25)
+    * with a semantic one (embedding cosine) in a hybrid retrieval
+    * stack: `score(d) = Σ_r 1/(kRrf + rank_r(d))` over the rankers that
+    * returned `d`, re-ranked descending (ties by id ascending). Inputs
+    * are `(idCol, rankCol)` frames (1-based ranks); RRF deliberately
+    * ignores the rankers' raw scores, so incomparable score scales fuse
+    * cleanly.
+    *
+    * 100 TB: the expensive work is the upstream rankers; fusion unions
+    * two ALREADY-TOP-K lists — k rows a side whatever the corpus size —
+    * and one ≤2k-row aggregate computes the fused score (a union-agg
+    * instead of a full-outer join: broadcast hash join does not support
+    * full outer, so the join form would plan a pointless sort-merge).
+    * The division is the same IEEE double op in any engine, and the
+    * output rounds to 6 dp, so fused ranks replay exactly. */
+  def rrfFuse(
+      a: DataFrame, b: DataFrame,
+      idCol: String, rankCol: String,
+      k: Int, kRrf: Int = 60): DataFrame = {
+    require(k > 0, "k must be positive")
+    val side = (df: DataFrame, tag: String) =>
+      df.select(col(idCol), col(rankCol).cast("long").as("__rank"),
+        lit(tag).as("__side"))
+    side(a, "a").unionByName(side(b, "b"))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(lit(1.0) / (lit(kRrf.toDouble) + col("__rank"))), 6)
+          .as("rrf_score"),
+        max(when(col("__side") === "a", col("__rank"))).as("rank_lexical"),
+        max(when(col("__side") === "b", col("__rank"))).as("rank_semantic"))
+      .orderBy(col("rrf_score").desc, col(idCol)).limit(k)
+  }
+
+  /** Nearest-centroid assignment as a NARROW literal-argmax map (the
+    * [[ivfTopK]] assignment stage, exposed for cluster-balance
+    * sampling): each row gains `cluster` = index of the centroid with
+    * the highest cosine (first index wins ties; rows whose vector has
+    * zero norm — null cosine — are dropped, as in IVF). Zero shuffle,
+    * zero UDF: the centroid table rides as a literal array, so the same
+    * projection scores a stream unchanged. */
+  def assignClusters(
+      df: DataFrame, vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    require(cents.nonEmpty, "assignClusters needs at least one centroid")
+    val scores = array(cents.map(c => cosine(col(vecCol), typedlit(c))): _*)
+    df.withColumn("__scores", scores)
+      .withColumn("cluster",
+        (call_function("array_position", col("__scores"),
+          array_max(col("__scores"))) - 1).cast("long"))
+      .filter(col("cluster").isNotNull)
+      .drop("__scores")
+  }
 }

@@ -603,4 +603,103 @@ object TextAnalysis {
       "https?://[^\\s]+", "<URL>")
     regexp_replace(url, "[0-9][0-9 ()+./-]{7,}[0-9]", "<NUMBER>")
   }
+
+  /** Stopword list for [[gopherRules]]'s "has ≥2 stopwords" gate — a
+    * fixed tiny set (the Gopher paper uses a comparable hand list);
+    * membership is tested on the lowercased word. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule battery (Rae et al. 2021, §A.1.1) — the
+    * de-facto standard repetition/format gates for web-scale pretraining
+    * corpora, emitted as PER-RULE fail flags plus the combined `keep`
+    * (same debuggable stance as [[filterReasons]]: when a source
+    * collapses, the per-rule histogram says which gate did it).
+    *
+    * Rules (thresholds from the paper; word = whitespace token, line =
+    * `\n` segment):
+    *   - `fail_word_count`: words < 50 or > 100 000
+    *   - `fail_mean_word_len`: mean word length outside [3, 10]
+    *   - `fail_symbol_ratio`: (#hashes + #ellipses) / words > 0.1
+    *   - `fail_bullet_ratio`: > 90% of lines start with a bullet
+    *   - `fail_ellipsis_ratio`: > 30% of lines end with "..."
+    *   - `fail_alpha_ratio`: < 80% of words contain a letter
+    *   - `fail_stopwords`: fewer than 2 [[GopherStopwords]] hits
+    *
+    * Every threshold compares INTEGERS (ratio `a/b > p/q` is tested as
+    * `a·q > b·p`), so the flags are bitwise engine-portable — no float
+    * rounding seam for the oracle. One narrow codegen'd projection over
+    * split/filter/aggregate higher-order functions: zero shuffle, zero
+    * UDF, and the same column expression scores a stream unchanged. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val words = filter(split(t, "\\s+"), w => w =!= "")
+    val lines = split(t, "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val sumWordLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val nSymbols = (nHash + nEllipsis).cast("long")
+    val nBullet = size(filter(lines,
+      l => substring(ltrim(l), 1, 2).isin("- ", "* ", "• "))).cast("long")
+    val nEllEnd = size(filter(lines,
+      l => call_function("right", rtrim(l), lit(3)) === "...")).cast("long")
+    val nAlphaWords = size(filter(words,
+      w => regexp_like(w, lit("\\p{L}")))).cast("long")
+    val nStop = size(filter(words,
+      w => lower(w).isin(GopherStopwords: _*))).cast("long")
+    val flags = Seq(
+      (nWords < 50L || nWords > 100000L).as("fail_word_count"),
+      (nWords > 0L &&
+        (sumWordLen < nWords * 3L || sumWordLen > nWords * 10L))
+        .as("fail_mean_word_len"),
+      (nSymbols * 10L > nWords).as("fail_symbol_ratio"),
+      (nBullet * 10L > nLines * 9L).as("fail_bullet_ratio"),
+      (nEllEnd * 10L > nLines * 3L).as("fail_ellipsis_ratio"),
+      (nWords > 0L && nAlphaWords * 5L < nWords * 4L).as("fail_alpha_ratio"),
+      (nStop < 2L).as("fail_stopwords"))
+    val keep = flags.map(f => !f).reduce(_ && _)
+    df.select(
+      (col(idCol) +: nWords.as("n_words") +: flags :+ keep.as("keep")): _*)
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, §2.2) — the
+    * other canonical web-corpus cleanup: instead of dropping whole
+    * documents, each LINE must end in terminal punctuation, contain at
+    * least `minLineWords` words, and avoid the blocklist markers
+    * ("lorem ipsum", "javascript", and `{` — the boilerplate/code
+    * tells); the document survives only if at least `minKeptLines`
+    * lines remain. Emits `(id, n_lines, n_kept, cleaned_chars,
+    * cleaned_md5, keep)` where `cleaned_md5` hashes the kept lines
+    * re-joined with `\n` — a content-strength check that the SAME lines
+    * survived, not merely the same number.
+    *
+    * 100 TB: one narrow codegen'd projection (split + higher-order
+    * filter + aggregate) — no shuffle, no UDF, no explode (the
+    * line-level decision never leaves the row), so cleaning cost is one
+    * streaming pass over the corpus regardless of scale. */
+  def cleanC4(
+      df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    def keepLine(l: Column): Column = {
+      val lw = lower(l)
+      call_function("right", rtrim(l), lit(1)).isin(".", "!", "?", "\"") &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords &&
+        instr(lw, "lorem ipsum") === 0 &&
+        instr(lw, "javascript") === 0 &&
+        instr(l, "{") === 0
+    }
+    val kept = filter(lines, keepLine _)
+    val nKept = size(kept).cast("long")
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      nKept.as("n_kept"),
+      aggregate(kept, lit(0L), (acc, l) => acc + length(l))
+        .as("cleaned_chars"),
+      md5(array_join(kept, "\n")).as("cleaned_md5"),
+      (nKept >= minKeptLines).as("keep"))
+  }
 }

@@ -1515,6 +1515,112 @@ object TrainingQueries {
       graft.ops.Corpus.dsirWeights(d, "doc_id", "text",
           d.filter(col("lang") === "en"), "text", buckets = 1024)
         .orderBy(col("doc_id"))
+    }),
+
+    // ── Corpus: snapshot delta between two corpus versions — the
+    // incremental-refresh primitive (recrawl diff → re-process only
+    // added ∪ changed, retire removed). Old = docs except doc_id%17=3;
+    // new = docs except doc_id%13=5, with text amended where
+    // doc_id%11=0 — so all four statuses occur. Each side prunes to
+    // (key, md5) BEFORE the one full-outer hash join. ───────────────────
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val oldSnap = d.filter(col("doc_id") % 17 =!= 3)
+      val newSnap = d.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")))
+      graft.ops.Corpus.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Corpus: the Gopher quality-rule battery — per-rule fail flags
+    // + combined keep; planted degenerates (ids −1..−5) each trip a
+    // specific rule and one planted healthy doc (−6) passes all seven.
+    // Integer-arithmetic thresholds ⇒ bitwise engine parity. ────────────
+    "corpus_gopher_rules" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        -6L -> ("the cat sat on of and that have with mat " * 6),
+        -5L -> ("the of " + ("42 " * 60)),
+        -4L -> ("the of " + ("### " * 60)),
+        -3L -> (("the cat sat on the mat and that is that...\n" * 4) +
+          "but of course not every line trails off here"),
+        -2L -> ("- the first bullet item of the list\n" * 10),
+        -1L -> "a b c").toDF("doc_id", "text")
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.gopherRules(base.unionByName(planted), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Text: C4 line-level cleaning — sentence-ending lines with ≥5
+    // words survive, boilerplate markers (lorem ipsum / javascript /
+    // braces) kill their line, docs keep ≥3 surviving lines. Corpus
+    // text is re-lined on sentence ends ('. ' → '.\n'); planted docs
+    // (ids −1..−4) exercise each blocklist path and the keep boundary.
+    // cleaned_md5 hashes the surviving lines re-joined — the SAME
+    // lines must survive, not merely the same count. ────────────────────
+    "text_clean_c4" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        -4L -> ("this line is long enough to survive the filter.\n" * 4),
+        -3L -> ("this line mentions lorem ipsum so it dies today.\n" +
+          ("a healthy sentence with enough words stays alive.\n" * 3)),
+        -2L -> ("enable javascript to view this page properly now.\n" +
+          "short line.\nno terminal punctuation on this line either\n" +
+          "if (x) { return; } is code not prose.\n" +
+          "one surviving sentence is simply not enough here."),
+        -1L -> "too short.").toDF("doc_id", "text")
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(coalesce(col("text"), lit("")), "\\. ", ".\n")
+            .as("text"))
+      TextAnalysis.cleanC4(base.unionByName(planted), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Search: hybrid retrieval via reciprocal-rank fusion — BM25
+    // lexical top-15 (the text_bm25_topk ranking) fused with the
+    // embedding-cosine top-15 for query vector 0 (doc_id and vec_id
+    // share the id space by construction). RRF is score-free, so the
+    // incomparable BM25/cosine scales fuse cleanly; output is the
+    // fused top-10 with both source ranks. ──────────────────────────────
+    "search_rrf_fusion" -> ((s, dir) => {
+      val lex = TextAnalysis.bm25TopK(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          queryTerms = Seq("spark", "vector", "merge", "window"), k = 15)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      val e = Tables.embeddings(s, dir)
+      val sem = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") === 0)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+          "q_id", "q_vec", "c_id", "c_vec", k = 15)
+        .select(col("c_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(lex.select(col("doc_id"), col("rank")), sem,
+          "doc_id", "rank", k = 10)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
+
+    // ── Corpus: cluster-balanced sampling (SemDeDup/topic-balance
+    // shape) — nearest-centroid assignment to the 8 deterministic seed
+    // centroids (vec_id < 8, the sampleCentroids order), then each
+    // cluster capped at 40 rows by the md5 draw. Emits the KEPT rows
+    // with cluster and qrank — the oracle must reproduce the exact
+    // sampling choice, not just the counts. ─────────────────────────────
+    "corpus_cluster_balance" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = Similarity.sampleCentroids(
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        "c_id", "c_vec", 8)
+      graft.ops.Corpus.clusterBalance(e.select("vec_id", "embedding"),
+          "vec_id", "embedding", cents, quota = 40)
+        .select(col("cluster"), col("qrank"), col("vec_id"))
+        .orderBy(col("cluster"), col("qrank"))
     })
   )
 
@@ -1578,6 +1684,178 @@ object TrainingQueries {
         |SELECT d.doc_id, round(coalesce(pd.w, 0.0), 6) AS llr_weight
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Same full-outer key join over (key, md5) with the same CASE order;
+    // both engines hash the identical amended text.
+    "corpus_snapshot_diff" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        |o AS (SELECT doc_id, md5(text) AS h FROM d WHERE doc_id % 17 <> 3),
+        |n AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [v2]' ELSE text END) AS h
+        | FROM d WHERE doc_id % 13 <> 5)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.h IS NULL THEN 'added'
+        |      WHEN n.h IS NULL THEN 'removed'
+        |      WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Gopher battery replay: identical word/line splits, identical
+    // integer-arithmetic thresholds (a/b > p/q as a·q > b·p — no float
+    // seam anywhere), identical planted degenerates.
+    "corpus_gopher_rules" ->
+      """WITH base AS (
+        | SELECT doc_id, coalesce(text, '') AS t FROM documents
+        | UNION ALL
+        | SELECT * FROM (VALUES
+        |  (-6, repeat('the cat sat on of and that have with mat ', 6)),
+        |  (-5, 'the of ' || repeat('42 ', 60)),
+        |  (-4, 'the of ' || repeat('### ', 60)),
+        |  (-3, repeat('the cat sat on the mat and that is that...' || chr(10), 4)
+        |       || 'but of course not every line trails off here'),
+        |  (-2, repeat('- the first bullet item of the list' || chr(10), 10)),
+        |  (-1, 'a b c')) v(doc_id, t)),
+        |m AS (SELECT doc_id, t,
+        |  list_filter(string_split_regex(t, '\s+'), w -> w <> '') AS words,
+        |  string_split(t, chr(10)) AS lines
+        | FROM base),
+        |c AS (SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS sum_len,
+        |  CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+        |  CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_ell,
+        |  CAST(len(list_filter(lines, l -> left(ltrim(l), 2) IN ('- ', '* ', '• '))) AS BIGINT) AS n_bullet,
+        |  CAST(len(list_filter(lines, l -> right(rtrim(l), 3) = '...')) AS BIGINT) AS n_ellend,
+        |  CAST(len(list_filter(words, w -> regexp_matches(w, '\p{L}'))) AS BIGINT) AS n_alpha,
+        |  CAST(len(list_filter(words, w -> lower(w) IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop,
+        |  CAST(len(lines) AS BIGINT) AS n_lines
+        | FROM m)
+        |SELECT doc_id, n_words,
+        | (n_words < 50 OR n_words > 100000) AS fail_word_count,
+        | (n_words > 0 AND (sum_len < n_words * 3 OR sum_len > n_words * 10)) AS fail_mean_word_len,
+        | ((n_hash + n_ell) * 10 > n_words) AS fail_symbol_ratio,
+        | (n_bullet * 10 > n_lines * 9) AS fail_bullet_ratio,
+        | (n_ellend * 10 > n_lines * 3) AS fail_ellipsis_ratio,
+        | (n_words > 0 AND n_alpha * 5 < n_words * 4) AS fail_alpha_ratio,
+        | (n_stop < 2) AS fail_stopwords,
+        | (NOT (n_words < 50 OR n_words > 100000)
+        |  AND NOT (n_words > 0 AND (sum_len < n_words * 3 OR sum_len > n_words * 10))
+        |  AND NOT ((n_hash + n_ell) * 10 > n_words)
+        |  AND NOT (n_bullet * 10 > n_lines * 9)
+        |  AND NOT (n_ellend * 10 > n_lines * 3)
+        |  AND NOT (n_words > 0 AND n_alpha * 5 < n_words * 4)
+        |  AND NOT (n_stop < 2)) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // C4 line filter replay: same per-line predicate, same re-lining of
+    // the corpus text, md5 over the surviving lines re-joined.
+    "text_clean_c4" ->
+      """WITH base AS (
+        | SELECT doc_id, replace(coalesce(text, ''), '. ', '.' || chr(10)) AS t
+        | FROM documents
+        | UNION ALL
+        | SELECT * FROM (VALUES
+        |  (-4, repeat('this line is long enough to survive the filter.' || chr(10), 4)),
+        |  (-3, 'this line mentions lorem ipsum so it dies today.' || chr(10)
+        |       || repeat('a healthy sentence with enough words stays alive.' || chr(10), 3)),
+        |  (-2, 'enable javascript to view this page properly now.' || chr(10)
+        |       || 'short line.' || chr(10)
+        |       || 'no terminal punctuation on this line either' || chr(10)
+        |       || 'if (x) { return; } is code not prose.' || chr(10)
+        |       || 'one surviving sentence is simply not enough here.'),
+        |  (-1, 'too short.')) v(doc_id, t)),
+        |l AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM base),
+        |k AS (SELECT doc_id, lines,
+        |  list_filter(lines, x ->
+        |    right(rtrim(x), 1) IN ('.', '!', '?', '"')
+        |    AND len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 5
+        |    AND strpos(lower(x), 'lorem ipsum') = 0
+        |    AND strpos(lower(x), 'javascript') = 0
+        |    AND strpos(x, '{') = 0) AS kept
+        | FROM l)
+        |SELECT doc_id,
+        | CAST(len(lines) AS BIGINT) AS n_lines,
+        | CAST(len(kept) AS BIGINT) AS n_kept,
+        | CAST(coalesce(list_sum(list_transform(kept, x -> length(x))), 0) AS BIGINT) AS cleaned_chars,
+        | md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5,
+        | (len(kept) >= 3) AS keep
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // RRF replay: the text_bm25_topk CTE chain gives the lexical ranks,
+    // brute-force cosine for query vector 0 gives the semantic ranks,
+    // and the fusion is one union-aggregate — 1/(60+r) is the same IEEE
+    // division in both engines, rounded at 6 dp.
+    "search_rrf_fusion" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |st AS (SELECT count(*) AS n, avg(CAST(len(toks) AS BIGINT)) AS avgdl FROM d),
+        |tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, max(dl) AS dl,
+        |  count(*) FILTER (WHERE term = 'spark') AS tf_spark,
+        |  count(*) FILTER (WHERE term = 'vector') AS tf_vector,
+        |  count(*) FILTER (WHERE term = 'merge') AS tf_merge,
+        |  count(*) FILTER (WHERE term = 'window') AS tf_window
+        | FROM tk WHERE term IN ('spark', 'vector', 'merge', 'window')
+        | GROUP BY doc_id),
+        |dfq AS (SELECT
+        |  count(*) FILTER (WHERE tf_spark > 0) AS df_spark,
+        |  count(*) FILTER (WHERE tf_vector > 0) AS df_vector,
+        |  count(*) FILTER (WHERE tf_merge > 0) AS df_merge,
+        |  count(*) FILTER (WHERE tf_window > 0) AS df_window
+        | FROM tf),
+        |sc AS (SELECT doc_id,
+        |   ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1.0) * (tf_spark * (1.2 + 1.0)) / (tf_spark + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        | + ln((n - df_vector + 0.5) / (df_vector + 0.5) + 1.0) * (tf_vector * (1.2 + 1.0)) / (tf_vector + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        | + ln((n - df_merge + 0.5) / (df_merge + 0.5) + 1.0) * (tf_merge * (1.2 + 1.0)) / (tf_merge + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        | + ln((n - df_window + 0.5) / (df_window + 0.5) + 1.0) * (tf_window * (1.2 + 1.0)) / (tf_window + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |  AS score
+        | FROM tf, st, dfq),
+        |lex AS (SELECT doc_id, r FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS r FROM sc)
+        | WHERE r <= 15),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |s2 AS (SELECT e.vec_id AS c_id,
+        |  list_dot_product(qv, e.v) /
+        |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+        | FROM e, q),
+        |sem AS (SELECT c_id, r FROM (
+        |  SELECT c_id, CAST(row_number() OVER (ORDER BY cos DESC, c_id) AS BIGINT) AS r
+        |  FROM s2) WHERE r <= 15),
+        |u AS (SELECT doc_id, 'a' AS side, r FROM lex
+        |      UNION ALL SELECT c_id, 'b', r FROM sem)
+        |SELECT doc_id, round(sum(1.0 / (60.0 + r)), 6) AS rrf_score,
+        | max(CASE WHEN side = 'a' THEN r END) AS rank_lexical,
+        | max(CASE WHEN side = 'b' THEN r END) AS rank_semantic
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Cluster-balance replay: centroids are the 8 smallest vec_ids (the
+    // sampleCentroids order, 0-indexed by that order), assignment is
+    // argmax cosine with first-index tie-break, and the per-cluster cap
+    // ranks by the same md5 hex draw — the kept ROWS must match, which
+    // pins assignment, draw, and cap simultaneously.
+    "corpus_cluster_balance" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cidx,
+        |  v AS cv FROM e WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, cents.cidx,
+        |  list_dot_product(e.v, cents.cv) /
+        |   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cv, cents.cv))) AS cos
+        | FROM e, cents),
+        |a AS (SELECT vec_id, cidx AS cluster FROM (
+        |  SELECT vec_id, cidx, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cidx) AS r FROM s) WHERE r = 1),
+        |ranked AS (SELECT cluster, vec_id,
+        |  CAST(row_number() OVER (PARTITION BY cluster
+        |    ORDER BY substr(md5('cluster-balance:' || CAST(vec_id AS VARCHAR)), 1, 8),
+        |      vec_id) AS BIGINT) AS qrank
+        | FROM a)
+        |SELECT cluster, qrank, vec_id FROM ranked WHERE qrank <= 40
+        |ORDER BY cluster, qrank""".stripMargin,
     // Exhaustive enumeration of the ≥0.8 shingle-Jaccard pair set — the
     // LSH-verified Spark result must equal it (same shingle definition:
     // whitespace tokens, 3-token shingles, one shingle when shorter).

@@ -690,4 +690,77 @@ class CorpusSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Corpus.dsirLlrTable(raw, "text", raw, "text", buckets = 0))
   }
+
+  // ── snapshotDiff ──────────────────────────────────────────────────────
+
+  test("snapshotDiff classifies all four statuses") {
+    val s = spark
+    import s.implicits._
+    val oldSnap = Seq(
+      (1L, "same"), (2L, "was this"), (3L, "gone soon")).toDF("id", "body")
+    val newSnap = Seq(
+      (1L, "same"), (2L, "now this"), (4L, "brand new")).toDF("id", "body")
+    val st = Corpus.snapshotDiff(oldSnap, newSnap, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val counts = Corpus.snapshotDiffCounts(oldSnap, newSnap, "id", "body")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("snapshotDiff shuffles hashes, not bodies — md5 computed below the join, text never crosses an exchange") {
+    val oldSnap = docs.filter(col("doc_id") % 2 === 0)
+    val newSnap = docs.filter(col("doc_id") % 3 === 0)
+    val plan = Corpus.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the hash is a project BELOW the join (between scan and exchange)
+    assert(plan.contains("md5"), s"hash must be computed below the join:\n$plan")
+    // nothing at or above the join references the raw text column
+    val aboveScan = plan.linesIterator
+      .filterNot(l => l.contains("FileScan") || l.contains("ReadSchema"))
+      .mkString("\n")
+    val joinLine = aboveScan.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinLine.nonEmpty && !joinLine.contains("text"),
+      s"join must operate on key+hash only:\n$joinLine")
+    aboveScan.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+      assert(!l.contains("text"), s"text must not cross an exchange:\n$l"))
+  }
+
+  // ── clusterBalance ────────────────────────────────────────────────────
+
+  test("clusterBalance assigns to the nearest centroid and caps each cluster") {
+    val s = spark
+    import s.implicits._
+    // axis-aligned centroids; points cluster by dominant coordinate
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val rows = (1 to 30).map(i => (i.toLong, Array(1.0f, 0.1f))) ++
+      (31 to 40).map(i => (i.toLong, Array(0.1f, 1.0f)))
+    val df = rows.toDF("id", "vec")
+    val kept = Corpus.clusterBalance(df, "id", "vec", cents, quota = 5)
+    val byCluster = kept.groupBy(col("cluster")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCluster(0L) === 5L, "over-quota cluster capped")
+    assert(byCluster(1L) === 5L)
+    // determinism: same seed → same kept ids
+    val ids1 = kept.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Corpus.clusterBalance(df, "id", "vec", cents, quota = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // under-quota cluster survives whole
+    val all = Corpus.clusterBalance(df, "id", "vec", cents, quota = 50)
+    assert(all.count() === 40L)
+  }
+
+  test("clusterBalance: assignment is narrow (no exchange before the quota window)") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 20).map(i => (i.toLong, Array(1.0f, 0.5f))).toDF("id", "vec")
+    val assigned = graft.ops.Similarity.assignClusters(df, "vec",
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"centroid assignment must not shuffle:\n$plan")
+  }
 }

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Similarity, TextAnalysis}
+
+/** Specs for the Gopher quality-rule battery, C4 line-level cleaning,
+  * and reciprocal-rank fusion — rule-by-rule ground truth on planted
+  * degenerates plus plan-shape checks (all three are narrow or
+  * tiny-aggregate operators; none may shuffle the corpus). */
+class QualityRulesSpec extends SparkSpec {
+
+  private def gopher(rows: (Long, String)*): Map[Long, Row] = {
+    val s = spark
+    import s.implicits._
+    TextAnalysis.gopherRules(rows.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  private def flag(r: Row, name: String): Boolean =
+    r.getBoolean(r.fieldIndex(name))
+
+  test("gopher: a healthy document passes all seven rules") {
+    val healthy = "the cat sat on of and that have with mat " * 6
+    val r = gopher(1L -> healthy)(1L)
+    Seq("fail_word_count", "fail_mean_word_len", "fail_symbol_ratio",
+      "fail_bullet_ratio", "fail_ellipsis_ratio", "fail_alpha_ratio",
+      "fail_stopwords").foreach(f =>
+      assert(!flag(r, f), s"healthy doc must pass $f"))
+    assert(flag(r, "keep"))
+  }
+
+  test("gopher: each degenerate trips its rule") {
+    val m = gopher(
+      1L -> "a b c",                              // too few words, no stopwords
+      2L -> ("the of " + ("42 " * 60)),           // numeric words → alpha fail
+      3L -> ("the of " + ("### " * 60)),          // hash soup → symbol fail
+      4L -> ("- the first bullet item of the list\n" * 10), // bullets
+      5L -> (("trail off here and there of the mat..." + "\n") * 9 +
+        "a closing line"))                        // 9/10 lines end "..."
+    assert(flag(m(1L), "fail_word_count"))
+    assert(flag(m(1L), "fail_stopwords"))
+    assert(flag(m(1L), "fail_mean_word_len")) // mean 1 < 3
+    assert(flag(m(2L), "fail_alpha_ratio"))
+    assert(flag(m(3L), "fail_symbol_ratio"))
+    assert(flag(m(4L), "fail_bullet_ratio"))
+    assert(flag(m(5L), "fail_ellipsis_ratio"))
+    m.values.foreach(r => assert(!flag(r, "keep")))
+  }
+
+  test("gopher: boundary arithmetic is exact (10/11 bullets > 0.9; 9/10 is not > 0.9... wait)") {
+    // 10 bullet lines + trailing empty segment = 11 lines, 10 bullets:
+    // 10·10 > 11·9 (100 > 99) → fail. Drop the trailing newline: 10
+    // lines, 9 bullets: 9·10 > 10·9 is 90 > 90 → false → pass.
+    val failing = gopher(1L -> ("- the first bullet item of the list\n" * 10))(1L)
+    assert(flag(failing, "fail_bullet_ratio"))
+    val passing = gopher(2L ->
+      (("- the first bullet item of the list\n" * 9) +
+        "a plain closing line of the document"))(2L)
+    assert(!flag(passing, "fail_bullet_ratio"))
+  }
+
+  test("gopher: empty text fails word count but no divide-by-zero rules fire") {
+    val r = gopher(1L -> "")(1L)
+    assert(flag(r, "fail_word_count"))
+    assert(!flag(r, "fail_mean_word_len"))
+    assert(!flag(r, "fail_alpha_ratio"))
+    assert(!flag(r, "keep"))
+  }
+
+  test("gopher: one narrow projection — no exchange, no UDF") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"doc $i text here")).toDF("id", "text")
+    val plan = TextAnalysis.gopherRules(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherRules must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"gopherRules must not use UDFs:\n$plan")
+  }
+
+  // ── cleanC4 ───────────────────────────────────────────────────────────
+
+  private def c4(rows: (Long, String)*): Map[Long, Row] = {
+    val s = spark
+    import s.implicits._
+    TextAnalysis.cleanC4(rows.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("c4: only sentence-ending ≥5-word lines without blockwords survive") {
+    val text = Seq(
+      "this healthy sentence has enough words to survive.",   // kept
+      "short line.",                                          // <5 words
+      "no terminal punctuation on this line at all",          // no punct
+      "this line mentions lorem ipsum so it dies.",           // blockword
+      "please enable javascript to view this content.",       // blockword
+      "if (x) { return y; } looks like code here.",           // brace
+      "a second healthy sentence also has enough words!",     // kept (!)
+      "and a third question counts as terminal too, yes?"     // kept (?)
+    ).mkString("\n")
+    val r = c4(1L -> text)(1L)
+    assert(r.getLong(r.fieldIndex("n_lines")) === 8L)
+    assert(r.getLong(r.fieldIndex("n_kept")) === 3L)
+    assert(r.getBoolean(r.fieldIndex("keep")))
+  }
+
+  test("c4: keep boundary is minKeptLines and md5 pins WHICH lines survived") {
+    val two = c4(1L -> ("good sentence with five words here.\n" * 2))(1L)
+    assert(two.getLong(two.fieldIndex("n_kept")) === 2L)
+    assert(!two.getBoolean(two.fieldIndex("keep")))
+    val three = c4(2L -> ("good sentence with five words here.\n" * 3))(2L)
+    assert(three.getBoolean(three.fieldIndex("keep")))
+    // md5 over re-joined kept lines — order-sensitive, content-sensitive
+    val a = c4(3L -> "first good sentence with enough words.\nsecond good sentence with enough words.")(3L)
+    val b = c4(4L -> "second good sentence with enough words.\nfirst good sentence with enough words.")(4L)
+    assert(a.getString(a.fieldIndex("cleaned_md5")) !==
+      b.getString(b.fieldIndex("cleaned_md5")))
+  }
+
+  test("c4: narrow plan — no exchange, no explode") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"line $i one.\nline $i two.")).toDF("id", "text")
+    val plan = TextAnalysis.cleanC4(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"cleanC4 must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"cleanC4 must not explode lines:\n$plan")
+  }
+
+  // ── rrfFuse ───────────────────────────────────────────────────────────
+
+  test("rrf: fused score is the sum of reciprocal ranks; singles keep one term") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(a, b, "id", "rank", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    def rr(r: Int) = 1.0 / (60.0 + r)
+    assert(math.abs(out(10L)._1 - (rr(1) + rr(2))) < 1e-6)
+    assert(math.abs(out(20L)._1 - (rr(2) + rr(1))) < 1e-6)
+    assert(math.abs(out(30L)._1 - rr(3)) < 1e-6)
+    assert(out(30L)._2 === Some(3L) && out(30L)._3 === None)
+    assert(out(40L)._2 === None && out(40L)._3 === Some(3L))
+    // both-list docs outrank single-list docs at equal ranks
+    val order = Similarity.rrfFuse(a, b, "id", "rank", k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(order.take(2).toSet === Set(10L, 20L))
+  }
+
+  test("rrf: k bounds the output and ties break by id ascending") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((5L, 1L), (3L, 1L)).toDF("id", "rank") // same rank → same score
+    val b = spark.emptyDataFrame
+      .select(lit(0L).as("id"), lit(0L).as("rank")).filter(lit(false))
+    val out = Similarity.rrfFuse(a, b, "id", "rank", k = 1).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 3L, "tie must break to the smaller id")
+  }
+}
