@@ -547,6 +547,44 @@ object Kernels {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Distinct shingle set under the STRICT (ngramList) discipline:
+    * EMPTY when the document has fewer than `n` tokens — unlike
+    * [[shingleStrings]]' whole-document fallback shingle. Containment
+    * semantics need this: a 2-token fragment has no 3-shingle evidence
+    * and must never match. */
+  private def shingleStringsStrict(s: String, n: Int): java.util.HashSet[String] = {
+    val toks = sparkTokens(s)
+    val set = new java.util.HashSet[String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      set.add(sb.toString)
+      i += 1
+    }
+    set
+  }
+
+  /** Near-containment over strict distinct k-shingles:
+    * `max(|A∩B|/|A|, |A∩B|/|B|)`, null when either side has no full
+    * shingle (the `ngramList`-empty discipline — matches the Column
+    * form this kernel replaces: `when(size(sa) > 0 && size(sb) > 0,
+    * greatest(...))`). One fused pass — no per-pair array
+    * materialization, no per-pair hash-set rebuild from a Column
+    * lambda chain. */
+  def shingleContainment(a: UTF8String, b: UTF8String, n: Int): java.lang.Double = {
+    val sa = shingleStringsStrict(a.toString, n)
+    val sb = shingleStringsStrict(b.toString, n)
+    if (sa.isEmpty || sb.isEmpty) return null
+    val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+    var inter = 0
+    val it = small.iterator()
+    while (it.hasNext) if (large.contains(it.next())) inter += 1
+    java.lang.Double.valueOf(
+      math.max(inter.toDouble / sa.size, inter.toDouble / sb.size))
+  }
+
   /** Round-half-away-from-zero without the `floor(y + 0.5)` edge bug
     * (0.49999999999999994 + 0.5 == 1.0 in doubles): matches Spark's
     * BigDecimal HALF_UP and DuckDB's round on every double. */
@@ -770,6 +808,46 @@ case class ShingleJaccard(left: Expression, right: Expression, shingleLen: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.expressions.Kernels.shingleJaccard($a, $b, $shingleLen)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fused near-containment verify kernel
+  * ([[Kernels.shingleContainment]]): `max(|A∩B|/|A|, |A∩B|/|B|)` over
+  * strict distinct k-shingles, SQL NULL when either side has no full
+  * shingle. Replaces a per-pair Column chain (two `graft_ngram_list`
+  * builds + `array_distinct` + `array_intersect` per candidate row)
+  * that dominated `dedup_containment`'s verify stage. */
+case class ShingleContainment(left: Expression, right: Expression, shingleLen: Int)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got $l / $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_shingle_containment"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.shingleContainment(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], shingleLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("cont")
+      s"""
+         |java.lang.Double $boxed =
+         |  graft.expressions.Kernels.shingleContainment($a, $b, $shingleLen);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -1126,6 +1204,7 @@ object GraftExpressions {
     "graft_lsh_bucket"  -> (es => HyperplaneLshBucket(es.head, lit(es(1)))),
     "graft_text_metrics" -> (es => TextMetrics(es.head)),
     "graft_shingle_jaccard" -> (es => ShingleJaccard(es.head, es(1), lit(es(2)))),
+    "graft_shingle_containment" -> (es => ShingleContainment(es.head, es(1), lit(es(2)))),
     "graft_shingle_set" -> (es => ShingleSetExpr(es.head, lit(es(1)))),
     "graft_ngram_stats" -> (es => NgramStats(es.head, lit(es(1)))),
     "graft_dup_ngram_cov" -> (es => DupNgramCov(es.head, lit(es(1)))),

@@ -818,13 +818,11 @@ object Dedup {
       maxDocFreq: Int = 8): DataFrame =
     winnowVerifiedPairs(df, idCol, textCol, k, window, minShared, maxDocFreq,
       scoreName = "containment",
-      score = (a, b) => {
-        val sa = array_distinct(TextAnalysis.ngramList(a, k))
-        val sb = array_distinct(TextAnalysis.ngramList(b, k))
-        val inter = size(array_intersect(sa, sb)).cast("double")
-        when(size(sa) > 0 && size(sb) > 0,
-          round(greatest(inter / size(sa), inter / size(sb)), 6))
-      },
+      // fused codegen kernel — the Column form (two ngram-list builds +
+      // array_distinct + array_intersect PER CANDIDATE PAIR) made the
+      // verify stage the whole query's cost at 118k candidates
+      score = (a, b) => round(
+        call_function("graft_shingle_containment", a, b, lit(k)), 6),
       minScore = minContainment)
 
   private def winnowVerifiedPairs(

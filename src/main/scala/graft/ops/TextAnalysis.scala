@@ -631,8 +631,10 @@ object TextAnalysis {
     * rounding seam for the oracle. One narrow codegen'd projection over
     * split/filter/aggregate higher-order functions: zero shuffle, zero
     * UDF, and the same column expression scores a stream unchanged. */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = coalesce(col(textCol), lit(""))
+  /** The seven Gopher fail-flag expressions for a text column, in rule
+    * order (shared by [[gopherRules]] and [[gopherKeep]]). */
+  private def gopherFlags(t0: Column): Seq[(String, Column)] = {
+    val t = coalesce(t0, lit(""))
     val words = filter(split(t, "\\s+"), w => w =!= "")
     val lines = split(t, "\n")
     val nWords = size(words).cast("long")
@@ -649,19 +651,29 @@ object TextAnalysis {
       w => regexp_like(w, lit("\\p{L}")))).cast("long")
     val nStop = size(filter(words,
       w => lower(w).isin(GopherStopwords: _*))).cast("long")
-    val flags = Seq(
-      (nWords < 50L || nWords > 100000L).as("fail_word_count"),
-      (nWords > 0L &&
-        (sumWordLen < nWords * 3L || sumWordLen > nWords * 10L))
-        .as("fail_mean_word_len"),
-      (nSymbols * 10L > nWords).as("fail_symbol_ratio"),
-      (nBullet * 10L > nLines * 9L).as("fail_bullet_ratio"),
-      (nEllEnd * 10L > nLines * 3L).as("fail_ellipsis_ratio"),
-      (nWords > 0L && nAlphaWords * 5L < nWords * 4L).as("fail_alpha_ratio"),
-      (nStop < 2L).as("fail_stopwords"))
-    val keep = flags.map(f => !f).reduce(_ && _)
+    Seq(
+      "fail_word_count" -> (nWords < 50L || nWords > 100000L),
+      "fail_mean_word_len" -> (nWords > 0L &&
+        (sumWordLen < nWords * 3L || sumWordLen > nWords * 10L)),
+      "fail_symbol_ratio" -> (nSymbols * 10L > nWords),
+      "fail_bullet_ratio" -> (nBullet * 10L > nLines * 9L),
+      "fail_ellipsis_ratio" -> (nEllEnd * 10L > nLines * 3L),
+      "fail_alpha_ratio" -> (nWords > 0L && nAlphaWords * 5L < nWords * 4L),
+      "fail_stopwords" -> (nStop < 2L))
+  }
+
+  /** `true` iff the text passes all seven Gopher rules — the composable
+    * column form (one narrow expression; stream-safe). */
+  def gopherKeep(text: Column): Column =
+    gopherFlags(text).map { case (_, f) => !f }.reduce(_ && _)
+
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val nWords = size(filter(split(t, "\\s+"), w => w =!= "")).cast("long")
+    val flags = gopherFlags(col(textCol)).map { case (n, f) => f.as(n) }
     df.select(
-      (col(idCol) +: nWords.as("n_words") +: flags :+ keep.as("keep")): _*)
+      (col(idCol) +: nWords.as("n_words") +: flags
+        :+ gopherKeep(col(textCol)).as("keep")): _*)
   }
 
   /** C4-style line-level cleaning (Raffel et al. 2020, §2.2) — the
@@ -679,27 +691,87 @@ object TextAnalysis {
     * filter + aggregate) — no shuffle, no UDF, no explode (the
     * line-level decision never leaves the row), so cleaning cost is one
     * streaming pass over the corpus regardless of scale. */
-  def cleanC4(
-      df: DataFrame, idCol: String, textCol: String,
-      minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
-    val t = coalesce(col(textCol), lit(""))
-    val lines = split(t, "\n")
-    def keepLine(l: Column): Column = {
+  /** The surviving-lines array of the C4 filter for a text column (the
+    * composable form [[cleanC4]] and [[qualityReport]] share). */
+  def c4KeptLines(text: Column, minLineWords: Int = 5): Column = {
+    val t = coalesce(text, lit(""))
+    filter(split(t, "\n"), l => {
       val lw = lower(l)
       call_function("right", rtrim(l), lit(1)).isin(".", "!", "?", "\"") &&
         size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords &&
         instr(lw, "lorem ipsum") === 0 &&
         instr(lw, "javascript") === 0 &&
         instr(l, "{") === 0
-    }
-    val kept = filter(lines, keepLine _)
+    })
+  }
+
+  def cleanC4(
+      df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val kept = c4KeptLines(col(textCol), minLineWords)
     val nKept = size(kept).cast("long")
     df.select(col(idCol),
-      size(lines).cast("long").as("n_lines"),
+      size(split(t, "\n")).cast("long").as("n_lines"),
       nKept.as("n_kept"),
       aggregate(kept, lit(0L), (acc, l) => acc + length(l))
         .as("cleaned_chars"),
       md5(array_join(kept, "\n")).as("cleaned_md5"),
       (nKept >= minKeptLines).as("keep"))
+  }
+
+  /** Language decision as a single composable column (the
+    * [[langIdScores]] argmax without the intermediate score columns):
+    * argmax of marker counts, earlier [[LangMarkers]] entry wins ties,
+    * zero markers → "und". */
+  def predictedLang(text: Column): Column = {
+    val m = metrics(text)
+    val scores = LangMarkers.map { case (l, _) => m.getField(s"score_$l") }
+    val best = greatest(scores: _*)
+    val dec = LangMarkers.zip(scores)
+      .foldRight(lit("und")) { case (((l, _), sc), els) =>
+        when(sc === best, lit(l)).otherwise(els)
+      }
+    when(best === 0, lit("und")).otherwise(dec)
+  }
+
+  /** Per-source corpus quality dashboard — the report a mixture owner
+    * reads before deciding budgets: document counts, Gopher pass count,
+    * C4 pass count, language share, token volume and corpus-level alpha
+    * ratio, per source. ONE narrow projection computes every per-doc
+    * signal (fused kernel + the composable keep columns — subexpression
+    * elimination shares the splits), then one map-side-combined
+    * aggregate reduces to a row per source; the ratio divides two exact
+    * integer sums, so the 6-dp round is bitwise engine-portable.
+    *
+    * 100 TB: the whole report is a single streaming pass + a tiny
+    * aggregate keyed on source (bounded cardinality) — no joins, no
+    * windows, no second scan. */
+  def qualityReport(
+      df: DataFrame, textCol: String, sourceCol: String,
+      minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val m = metrics(t)
+    val perDoc = df.select(
+      col(sourceCol).as("source"),
+      gopherKeep(t).as("__gk"),
+      (size(c4KeptLines(t, minLineWords)) >= minKeptLines).as("__ck"),
+      predictedLang(t).as("__lang"),
+      m.getField("n_tokens").as("__tok"),
+      m.getField("alpha_chars").as("__alpha"),
+      m.getField("n_chars").as("__chars"))
+    perDoc.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__gk"), 1L).otherwise(0L)).as("n_pass_gopher"),
+        sum(when(col("__ck"), 1L).otherwise(0L)).as("n_pass_c4"),
+        sum(when(col("__lang") === "en", 1L).otherwise(0L)).as("n_docs_en"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(col("__alpha")).as("__sum_alpha"),
+        sum(col("__chars")).as("__sum_chars"))
+      .select(col("source"), col("n_docs"), col("n_pass_gopher"),
+        col("n_pass_c4"), col("n_docs_en"), col("n_tokens"),
+        when(col("__sum_chars") === 0L, lit(null))
+          .otherwise(round(col("__sum_alpha") * lit(1.0) / col("__sum_chars"), 6))
+          .as("alpha_ratio"))
   }
 }

@@ -1621,7 +1621,19 @@ object TrainingQueries {
           "vec_id", "embedding", cents, quota = 40)
         .select(col("cluster"), col("qrank"), col("vec_id"))
         .orderBy(col("cluster"), col("qrank"))
-    })
+    }),
+
+    // ── Corpus: the per-source quality dashboard — ONE narrow pass
+    // computes every per-doc signal (Gopher keep, C4 keep, language,
+    // token/char counts from the fused kernel), one tiny aggregate
+    // reduces to a row per source. alpha_ratio divides two exact
+    // integer sums, so the 6-dp round replays bitwise. ──────────────────
+    "corpus_quality_report" -> ((s, dir) =>
+      TextAnalysis.qualityReport(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            coalesce(col("text"), lit("")).as("text")),
+          "text", "source")
+        .orderBy(col("source")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1856,6 +1868,62 @@ object TrainingQueries {
         | FROM a)
         |SELECT cluster, qrank, vec_id FROM ranked WHERE qrank <= 40
         |ORDER BY cluster, qrank""".stripMargin,
+
+    // Per-source dashboard replay: the gopher/c4/langid per-doc columns
+    // from their own oracles, reduced per source; alpha_ratio from two
+    // exact integer sums.
+    "corpus_quality_report" ->
+      """WITH base AS (SELECT source, coalesce(text, '') AS t FROM documents),
+        |per AS (SELECT source, t,
+        |  list_filter(string_split_regex(t, '\s+'), w -> w <> '') AS words,
+        |  string_split(t, chr(10)) AS lines,
+        |  CAST(len(regexp_split_to_array(trim(t), '\s+')) AS BIGINT) AS n_tok,
+        |  CAST(length(regexp_replace(t, '[^\p{L}]', '', 'g')) AS BIGINT) AS alpha,
+        |  CAST(length(t) AS BIGINT) AS chars,
+        |  CAST(len(regexp_extract_all(lower(t), '\b(the|and|of|to|is|was)\b')) AS BIGINT) AS score_en,
+        |  CAST(len(regexp_extract_all(lower(t), '\b(der|und|die|nicht|das|ist)\b')) AS BIGINT) AS score_de,
+        |  CAST(len(regexp_extract_all(lower(t), '\b(le|la|et|les|une|est)\b')) AS BIGINT) AS score_fr,
+        |  CAST(len(regexp_extract_all(lower(t), '\b(el|los|una|por|las|este)\b')) AS BIGINT) AS score_es
+        | FROM base),
+        |calc AS (SELECT source, n_tok, alpha, chars,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS sum_len,
+        |  CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+        |  CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_ell,
+        |  CAST(len(list_filter(lines, l -> left(ltrim(l), 2) IN ('- ', '* ', '• '))) AS BIGINT) AS n_bullet,
+        |  CAST(len(list_filter(lines, l -> right(rtrim(l), 3) = '...')) AS BIGINT) AS n_ellend,
+        |  CAST(len(list_filter(words, w -> regexp_matches(w, '\p{L}'))) AS BIGINT) AS n_alpha_w,
+        |  CAST(len(list_filter(words, w -> lower(w) IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(lines, l ->
+        |    right(rtrim(l), 1) IN ('.', '!', '?', '"')
+        |    AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 5
+        |    AND strpos(lower(l), 'lorem ipsum') = 0
+        |    AND strpos(lower(l), 'javascript') = 0
+        |    AND strpos(l, '{') = 0)) AS BIGINT) AS n_kept,
+        |  CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+        |       WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+        |       WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+        |       WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+        |       ELSE 'es' END AS plang
+        | FROM per),
+        |doc AS (SELECT source, n_tok, alpha, chars, plang,
+        |  (NOT (n_words < 50 OR n_words > 100000)
+        |   AND NOT (n_words > 0 AND (sum_len < n_words * 3 OR sum_len > n_words * 10))
+        |   AND NOT ((n_hash + n_ell) * 10 > n_words)
+        |   AND NOT (n_bullet * 10 > n_lines * 9)
+        |   AND NOT (n_ellend * 10 > n_lines * 3)
+        |   AND NOT (n_words > 0 AND n_alpha_w * 5 < n_words * 4)
+        |   AND NOT (n_stop < 2)) AS gk,
+        |  (n_kept >= 3) AS ck
+        | FROM calc)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(*) FILTER (WHERE gk) AS BIGINT) AS n_pass_gopher,
+        | CAST(count(*) FILTER (WHERE ck) AS BIGINT) AS n_pass_c4,
+        | CAST(count(*) FILTER (WHERE plang = 'en') AS BIGINT) AS n_docs_en,
+        | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        | round(sum(alpha) * 1.0 / sum(chars), 6) AS alpha_ratio
+        |FROM doc GROUP BY source ORDER BY source""".stripMargin,
     // Exhaustive enumeration of the ≥0.8 shingle-Jaccard pair set — the
     // LSH-verified Spark result must equal it (same shingle definition:
     // whitespace tokens, 3-token shingles, one shingle when shorter).
