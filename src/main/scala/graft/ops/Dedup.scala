@@ -1185,6 +1185,26 @@ object Dedup {
     require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val b = Similarity.lshBuckets(
       df.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", planes)
+    // Adaptive, like the incremental paths: one tiny aggregate (bucket
+    // cardinality <= 2^planes rows) decides whether any bucket is hot.
+    // The common cold case keeps the PLAIN bucket self-join — no
+    // occupancy join, no group explodes, no 3-key join — which is the
+    // blocked decomposition at G=1, so the pair set is identical by
+    // construction.
+    val maxOccRow = b.groupBy("bucket").agg(count(lit(1)).as("__occ"))
+      .agg(max(col("__occ"))).first()
+    val maxOcc = if (maxOccRow.isNullAt(0)) 0L else maxOccRow.getLong(0)
+    if (maxOcc <= maxBucketSize) {
+      val l = b.select(col("bucket"), col("__id").as("__aid"), col("__v").as("a_v"))
+      val r = b.select(col("bucket"), col("__id").as("__bid"), col("__v").as("b_v"))
+      return l.join(r, Seq("bucket"))
+        .filter(col("__aid") =!= col("__bid"))
+        .select(least(col("__aid"), col("__bid")).as("a_id"),
+          greatest(col("__aid"), col("__bid")).as("b_id"),
+          Similarity.cosine(col("a_v"), col("b_v")).as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+        .distinct()
+    }
     val occRaw = b.groupBy("bucket").agg(count(lit(1)).as("__occ"))
     val occ = if (planes <= 21) broadcast(occRaw) else occRaw
     // __ngroups / __g, NOT __G/__g: column resolution is case-
