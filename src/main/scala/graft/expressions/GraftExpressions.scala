@@ -566,6 +566,31 @@ object Kernels {
     set
   }
 
+  /** Top n-gram concentration: `(n_pos, top_count)` where `n_pos` is
+    * the total number of n-gram positions and `top_count` the
+    * occurrence count of the most frequent n-gram (0 when the document
+    * has fewer than `n` tokens). `top_count / n_pos` is Gopher's
+    * top-n-gram fraction — the "one phrase dominates the document"
+    * repetition signal. One pass, one HashMap; the max count needs no
+    * tie-break (it is unique regardless of which gram attains it). */
+  def ngramTop(input: UTF8String, n: Int): InternalRow = {
+    val toks = sparkTokens(input.toString)
+    if (toks.length < n) return InternalRow(0L, 0L)
+    val total = toks.length - n + 1
+    val counts = new java.util.HashMap[String, Int](total * 2)
+    var i = 0
+    var top = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      val c = counts.merge(sb.toString, 1, Integer.sum)
+      if (c > top) top = c
+      i += 1
+    }
+    InternalRow(total.toLong, top.toLong)
+  }
+
   /** Near-containment over strict distinct k-shingles:
     * `max(|A∩B|/|A|, |A∩B|/|B|)`, null when either side has no full
     * shingle (the `ngramList`-empty discipline — matches the Column
@@ -1049,6 +1074,29 @@ case class DupNgramCov(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Top n-gram concentration ([[Kernels.ngramTop]]):
+  * struct(n_pos, top_count) — Gopher's top-n-gram repetition signal as
+  * one fused pass. */
+case class NgramTop(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pos", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false)))
+  override def prettyName: String = "graft_ngram_top"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.ngramTop(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.ngramTop($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused per-document text metrics — marker-language scores, codepoint
   * length, whitespace-token count, BPE-ish token count, Unicode-letter
   * count, per-script counts — in a single struct from one kernel call
@@ -1208,6 +1256,7 @@ object GraftExpressions {
     "graft_shingle_set" -> (es => ShingleSetExpr(es.head, lit(es(1)))),
     "graft_ngram_stats" -> (es => NgramStats(es.head, lit(es(1)))),
     "graft_dup_ngram_cov" -> (es => DupNgramCov(es.head, lit(es(1)))),
+    "graft_ngram_top"   -> (es => NgramTop(es.head, lit(es(1)))),
     "graft_ngram_list"  -> (es => NgramListExpr(es.head, lit(es(1)))),
     "graft_vec_unit_csv" -> (es => VecUnitMicroCsv(es.head)),
     "graft_vec_q8_csv"   -> (es => VecQuant8Csv(es.head)),

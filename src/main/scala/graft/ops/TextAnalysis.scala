@@ -676,6 +676,56 @@ object TextAnalysis {
         :+ gopherKeep(col(textCol)).as("keep")): _*)
   }
 
+  /** The Gopher REPETITION-rule battery (Rae et al. 2021, §A.1.1 —
+    * the companion of [[gopherRules]]' format gates): per-rule fail
+    * flags for internal repetition, the dominant failure mode of
+    * templated/spam pages that pass every format gate. Token-fraction
+    * variant (the paper measures some rules in characters; token
+    * fractions keep every threshold an exact integer comparison).
+    *
+    * Rules (fraction > threshold fails; `a/b > p%` tested as
+    * `a·100 > b·p` — bitwise engine-portable):
+    *   - `fail_dup_lines`: lines occurring ≥2× in the document > 30%
+    *     of all lines (occurrence-counted, blank lines included);
+    *   - `fail_top_{2,3,4}gram`: the most frequent n-gram's occurrence
+    *     share of all n-gram positions > 20/18/16%;
+    *   - `fail_dup_{5..10}gram`: token positions covered by an n-gram
+    *     occurring ≥2× within the document > 15/14/13/12/11/10%.
+    *
+    * One narrow projection: dup-line counting is a sorted-adjacent
+    * scan on the in-row line array (no explode), the n-gram signals
+    * are the fused [[graft.expressions.Kernels.ngramTop]] /
+    * [[graft.expressions.Kernels.dupNgramCov]] kernels — zero shuffle,
+    * zero UDF, stream-safe. */
+  def gopherRepetition(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    val sorted = array_sort(lines)
+    val nLines = size(lines).cast("long")
+    val dupLines = size(filter(sequence(lit(1), size(lines)), i =>
+      (i > 1 && element_at(sorted, i) === element_at(sorted, i - 1)) ||
+        (i < size(lines) && element_at(sorted, i) === element_at(sorted, i + 1))))
+      .cast("long")
+    val flags: Seq[(String, Column)] =
+      ("fail_dup_lines" -> (dupLines * 100L > nLines * 30L)) +:
+        (Seq(2 -> 20, 3 -> 18, 4 -> 16).map { case (n, pct) =>
+          val st = call_function("graft_ngram_top", t, lit(n))
+          s"fail_top_${n}gram" ->
+            (st.getField("top_count") * 100L > st.getField("n_pos") * pct.toLong)
+        } ++
+        Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10).map {
+          case (n, pct) =>
+            val st = call_function("graft_dup_ngram_cov", t, lit(n))
+            s"fail_dup_${n}gram" ->
+              (st.getField("n_dup_tokens") * 100L > st.getField("n_tokens") * pct.toLong)
+        })
+    val keep = flags.map { case (_, f) => !f }.reduce(_ && _)
+    df.select(
+      (col(idCol) +: nLines.as("n_lines") +:
+        flags.map { case (n, f) => f.as(n) } :+ keep.as("keep")): _*)
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020, §2.2) — the
     * other canonical web-corpus cleanup: instead of dropping whole
     * documents, each LINE must end in terminal punctuation, contain at

@@ -1623,6 +1623,30 @@ object TrainingQueries {
         .orderBy(col("cluster"), col("qrank"))
     }),
 
+    // ── Corpus: the Gopher REPETITION battery — dup-line share, top
+    // n-gram concentration (n=2..4), duplicated-n-gram coverage
+    // (n=5..10), all as integer-threshold fail flags. Planted docs trip
+    // each family in isolation: -1 dup lines, -2 total repetition,
+    // -3 exactly one repeated 5-token run (fails ONLY dup_5gram),
+    // -4 fully distinct (passes everything). ────────────────────────────
+    "corpus_gopher_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val u = (1 to 25).map("u" + _).mkString(" ")
+      val v = (1 to 25).map("v" + _).mkString(" ")
+      val w = (1 to 60).map("w" + _)
+      val planted = Seq(
+        -4L -> (w.take(20).mkString(" ") + "\n" + w.slice(20, 40).mkString(" ") +
+          "\n" + w.drop(40).mkString(" ")),
+        -3L -> ("p1 p2 p3 p4 p5 " + u + " p1 p2 p3 p4 p5 " + v),
+        -2L -> ("ha " * 40).trim,
+        -1L -> (("same line here\n" * 4) + "unique closer")).toDF("doc_id", "text")
+      TextAnalysis.gopherRepetition(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))
+            .unionByName(planted),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Corpus: the per-source quality dashboard — ONE narrow pass
     // computes every per-doc signal (Gopher keep, C4 keep, language,
     // token/char counts from the fused kernel), one tiny aggregate
@@ -1868,6 +1892,91 @@ object TrainingQueries {
         | FROM a)
         |SELECT cluster, qrank, vec_id FROM ranked WHERE qrank <= 40
         |ORDER BY cluster, qrank""".stripMargin,
+
+    // Repetition battery replay: same sorted-adjacent dup-line scan,
+    // same n-gram groupings per n (top share and duplicated-position
+    // coverage), all thresholds as a*100 > b*p integer comparisons.
+    "corpus_gopher_repetition" ->
+      """WITH base AS (
+        | SELECT doc_id, coalesce(text, '') AS t FROM documents
+        | UNION ALL
+        | SELECT * FROM (VALUES
+        |  (-4, array_to_string(list_transform(range(1, 21), i -> 'w' || i), ' ')
+        |       || chr(10) || array_to_string(list_transform(range(21, 41), i -> 'w' || i), ' ')
+        |       || chr(10) || array_to_string(list_transform(range(41, 61), i -> 'w' || i), ' ')),
+        |  (-3, 'p1 p2 p3 p4 p5 '
+        |       || array_to_string(list_transform(range(1, 26), i -> 'u' || i), ' ')
+        |       || ' p1 p2 p3 p4 p5 '
+        |       || array_to_string(list_transform(range(1, 26), i -> 'v' || i), ' ')),
+        |  (-2, trim(repeat('ha ', 40))),
+        |  (-1, repeat('same line here' || chr(10), 4) || 'unique closer')) v(doc_id, t)),
+        |lns AS (SELECT doc_id, string_split(t, chr(10)) AS ls,
+        |  list_sort(string_split(t, chr(10))) AS ss FROM base),
+        |dl AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(range(1, len(ls) + 1), i ->
+        |    (i > 1 AND ss[i] = ss[i - 1]) OR
+        |    (i < len(ls) AND ss[i] = ss[i + 1]))) AS BIGINT) AS n_dup_lines
+        | FROM lns),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS tk FROM base),
+        |ns AS (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n),
+        |g AS (SELECT doc_id, n, CAST(i AS BIGINT) AS i,
+        |  array_to_string(tk[i:i+n-1], ' ') AS gram,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(tk) - n + 1 AS BIGINT) AS n_pos
+        | FROM toks, ns, unnest(range(1, len(tk) - n + 2)) AS u(i)
+        | WHERE len(tk) >= n),
+        |counts AS (SELECT doc_id, n, gram, count(*) AS c,
+        |  min(n_pos) AS n_pos, min(n_tokens) AS n_tokens
+        | FROM g GROUP BY 1, 2, 3),
+        |top AS (SELECT doc_id, n, max(c) AS top_count, min(n_pos) AS n_pos
+        | FROM counts GROUP BY 1, 2),
+        |dupg AS (SELECT doc_id, n, gram, min(n_tokens) AS n_tokens
+        | FROM counts WHERE c >= 2 GROUP BY 1, 2, 3),
+        |cov AS (SELECT DISTINCT doc_id, n, pos FROM (
+        |  SELECT g.doc_id, g.n, unnest(range(g.i, g.i + g.n)) AS pos
+        |  FROM g JOIN dupg USING (doc_id, n, gram)) u0),
+        |covc AS (SELECT doc_id, n, CAST(count(*) AS BIGINT) AS n_dup
+        | FROM cov GROUP BY 1, 2),
+        |tokn AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+        |tflag AS (SELECT doc_id,
+        |  coalesce(bool_or(CASE WHEN n = 2 THEN top_count * 100 > n_pos * 20 END), false) AS fail_top_2gram,
+        |  coalesce(bool_or(CASE WHEN n = 3 THEN top_count * 100 > n_pos * 18 END), false) AS fail_top_3gram,
+        |  coalesce(bool_or(CASE WHEN n = 4 THEN top_count * 100 > n_pos * 16 END), false) AS fail_top_4gram
+        | FROM top GROUP BY doc_id),
+        |dflag AS (SELECT c.doc_id,
+        |  coalesce(bool_or(CASE WHEN n = 5 THEN n_dup * 100 > t.n_tokens * 15 END), false) AS fail_dup_5gram,
+        |  coalesce(bool_or(CASE WHEN n = 6 THEN n_dup * 100 > t.n_tokens * 14 END), false) AS fail_dup_6gram,
+        |  coalesce(bool_or(CASE WHEN n = 7 THEN n_dup * 100 > t.n_tokens * 13 END), false) AS fail_dup_7gram,
+        |  coalesce(bool_or(CASE WHEN n = 8 THEN n_dup * 100 > t.n_tokens * 12 END), false) AS fail_dup_8gram,
+        |  coalesce(bool_or(CASE WHEN n = 9 THEN n_dup * 100 > t.n_tokens * 11 END), false) AS fail_dup_9gram,
+        |  coalesce(bool_or(CASE WHEN n = 10 THEN n_dup * 100 > t.n_tokens * 10 END), false) AS fail_dup_10gram
+        | FROM covc c JOIN tokn t USING (doc_id) GROUP BY c.doc_id)
+        |SELECT b.doc_id, dl.n_lines,
+        | (dl.n_dup_lines * 100 > dl.n_lines * 30) AS fail_dup_lines,
+        | coalesce(tf.fail_top_2gram, false) AS fail_top_2gram,
+        | coalesce(tf.fail_top_3gram, false) AS fail_top_3gram,
+        | coalesce(tf.fail_top_4gram, false) AS fail_top_4gram,
+        | coalesce(df.fail_dup_5gram, false) AS fail_dup_5gram,
+        | coalesce(df.fail_dup_6gram, false) AS fail_dup_6gram,
+        | coalesce(df.fail_dup_7gram, false) AS fail_dup_7gram,
+        | coalesce(df.fail_dup_8gram, false) AS fail_dup_8gram,
+        | coalesce(df.fail_dup_9gram, false) AS fail_dup_9gram,
+        | coalesce(df.fail_dup_10gram, false) AS fail_dup_10gram,
+        | (NOT (dl.n_dup_lines * 100 > dl.n_lines * 30)
+        |  AND NOT coalesce(tf.fail_top_2gram, false)
+        |  AND NOT coalesce(tf.fail_top_3gram, false)
+        |  AND NOT coalesce(tf.fail_top_4gram, false)
+        |  AND NOT coalesce(df.fail_dup_5gram, false)
+        |  AND NOT coalesce(df.fail_dup_6gram, false)
+        |  AND NOT coalesce(df.fail_dup_7gram, false)
+        |  AND NOT coalesce(df.fail_dup_8gram, false)
+        |  AND NOT coalesce(df.fail_dup_9gram, false)
+        |  AND NOT coalesce(df.fail_dup_10gram, false)) AS keep
+        |FROM base b
+        |JOIN dl USING (doc_id)
+        |LEFT JOIN tflag tf USING (doc_id)
+        |LEFT JOIN dflag df USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // Per-source dashboard replay: the gopher/c4/langid per-doc columns
     // from their own oracles, reduced per source; alpha_ratio from two

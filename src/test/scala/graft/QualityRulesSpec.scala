@@ -80,6 +80,55 @@ class QualityRulesSpec extends SparkSpec {
       s"gopherRules must not use UDFs:\n$plan")
   }
 
+  // ── gopherRepetition ──────────────────────────────────────────────────
+
+  private def rep(rows: (Long, String)*): Map[Long, Row] = {
+    val s = spark
+    import s.implicits._
+    TextAnalysis.gopherRepetition(rows.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("repetition: each degenerate trips exactly its family") {
+    val u = (1 to 25).map("u" + _).mkString(" ")
+    val v = (1 to 25).map("v" + _).mkString(" ")
+    val m = rep(
+      1L -> (("same line here\n" * 4) + "unique closer"),
+      2L -> ("ha " * 40).trim,
+      3L -> ("p1 p2 p3 p4 p5 " + u + " p1 p2 p3 p4 p5 " + v),
+      4L -> (1 to 60).map("w" + _).mkString(" "))
+    // 1: 4 of 5 lines identical -> dup-line fail; single line of grams
+    assert(flag(m(1L), "fail_dup_lines"))
+    // 2: one 2-gram is every position -> top fails at all n; coverage too
+    assert(flag(m(2L), "fail_top_2gram"))
+    assert(flag(m(2L), "fail_top_3gram"))
+    assert(flag(m(2L), "fail_dup_5gram"))
+    assert(flag(m(2L), "fail_dup_10gram"))
+    // 3: exactly one repeated 5-token run in 60 tokens: 10/60 = 16.7%
+    // fails ONLY the 5-gram coverage rule (no 6-gram repeats; top-2gram
+    // share is 2/59)
+    assert(flag(m(3L), "fail_dup_5gram"))
+    assert(!flag(m(3L), "fail_dup_6gram"))
+    assert(!flag(m(3L), "fail_top_2gram"))
+    assert(!flag(m(3L), "fail_dup_lines"))
+    // 4: 60 distinct tokens, one line -> everything passes
+    Seq("fail_dup_lines", "fail_top_2gram", "fail_top_3gram",
+      "fail_top_4gram", "fail_dup_5gram", "fail_dup_10gram").foreach(f =>
+      assert(!flag(m(4L), f), s"distinct doc must pass $f"))
+    assert(flag(m(4L), "keep"))
+    assert(!flag(m(1L), "keep") && !flag(m(2L), "keep") && !flag(m(3L), "keep"))
+  }
+
+  test("repetition: narrow plan — no exchange, no explode") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 40).map(i => (i.toLong, s"doc $i words here now")).toDF("id", "text")
+    val plan = TextAnalysis.gopherRepetition(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherRepetition must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"gopherRepetition must not explode:\n$plan")
+  }
+
   // ── cleanC4 ───────────────────────────────────────────────────────────
 
   private def c4(rows: (Long, String)*): Map[Long, Row] = {
