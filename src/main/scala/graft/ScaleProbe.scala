@@ -64,7 +64,10 @@ object ScaleProbe {
     "dedup_cluster" -> "linear: verified pairs are copy-local; union-find is edge-proportional",
     "corpus_snapshot_diff" -> ("linear: each side prunes to (key, md5) before its one " +
       "hash exchange, so shuffle bytes grow with ROW COUNT only (never document size); " +
-      "the full-outer join is key-unique on both sides - no skew, no window"))
+      "the full-outer join is key-unique on both sides - no skew, no window"),
+    "dedup_containment" -> ("linear: winnow fingerprints are copy-disjoint under the " +
+      "token salt, so candidate pairs stay per-copy (df-capped at 8); the verify is one " +
+      "fused kernel call per candidate - no per-pair array materialization"))
 
   /** Materialize `copies` divergent copies of documents + embeddings
     * from `srcDir` into `outDir` (see class doc for the divergence

@@ -63,6 +63,31 @@ class StreamingQualitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityReport runs as a streaming aggregation — per-source counters advance across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val healthy = "the cat sat on of and that have with mat " * 6
+    val in = MemoryStream[(Long, String, String)]
+    val q = TextAnalysis.qualityReport(
+        in.toDF().toDF("id", "text", "src"), "text", "src")
+      .writeStream.format("memory").queryName("qr_stream")
+      .outputMode(OutputMode.Complete()).start()
+    def report(): Map[String, (Long, Long)] =
+      s.sql("SELECT source, n_docs, n_pass_gopher FROM qr_stream")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    try {
+      in.addData((1L, healthy, "a"), (2L, "a b c", "a"))
+      q.processAllAvailable()
+      assert(report() === Map("a" -> ((2L, 1L))))
+      // second batch updates the same source and introduces another —
+      // the aggregate is stateful per source (bounded cardinality)
+      in.addData((3L, healthy, "a"), (4L, healthy, "b"))
+      q.processAllAvailable()
+      assert(report() === Map("a" -> ((3L, 2L)), "b" -> ((1L, 1L))))
+    } finally q.stop()
+  }
+
   test("dsir scoring column works unchanged over a stream once the table is fixed") {
     val s = spark
     import s.implicits._
