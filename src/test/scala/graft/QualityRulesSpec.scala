@@ -178,6 +178,80 @@ class QualityRulesSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"cleanC4 must not explode lines:\n$plan")
   }
 
+  // ── kernel properties ─────────────────────────────────────────────────
+
+  test("property: containment kernel matches a sequential reference on generated texts") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val textGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    def refContainment(a: String, b: String, n: Int): Option[Double] = {
+      def sh(t: String): Set[String] = {
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Set.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val (sa, sb) = (sh(a), sh(b))
+      if (sa.isEmpty || sb.isEmpty) None
+      else {
+        val i = (sa & sb).size.toDouble
+        Some(math.max(i / sa.size, i / sb.size))
+      }
+    }
+    val texts = (0 until 60).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(77L + i)))
+    val pairs = texts.zipWithIndex.flatMap { case (a, i) =>
+      texts.drop(i + 1).take(3).map(b => (a, b)) }
+    val df = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        call_function("graft_shingle_containment", col("a"), col("b"), lit(3))
+          .as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      val want = refContainment(a, b, 3)
+      assert(got(i.toLong) === want, s"pair $i: '$a' vs '$b'")
+    }
+  }
+
+  test("property: ngram_top kernel matches a brute-force count map on generated texts") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val wordGen = Gen.oneOf("x", "y", "z")
+    val textGen = Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    val texts = (0 until 80).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(500L + i)))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (n <- Seq(2, 3)) {
+      val got = df.select(col("id"),
+          call_function("graft_ngram_top", col("text"), lit(n)).as("st"))
+        .select(col("id"), col("st.n_pos"), col("st.top_count"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty) match {
+          case a if t.trim.isEmpty => Array("")
+          case a => a
+        }
+        val want =
+          if (toks.length < n) (0L, 0L)
+          else {
+            val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+            (grams.size.toLong,
+              grams.groupBy(identity).values.map(_.size).max.toLong)
+          }
+        assert(got(i.toLong) === want, s"doc $i n=$n: '$t'")
+      }
+    }
+  }
+
   // ── rrfFuse ───────────────────────────────────────────────────────────
 
   test("rrf: fused score is the sum of reciprocal ranks; singles keep one term") {
