@@ -14,6 +14,14 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every query is oracle-checked — zero rows-only keys") {
+    // the README/SURVEY claim: the driver gate hash-compares EVERY key.
+    // A new query without an oracle silently downgrades to a weaker
+    // rows-only check; fail here instead.
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"query without oracle: $unchecked")
+  }
+
   test("all queries execute and return rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()

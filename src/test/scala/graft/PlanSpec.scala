@@ -407,4 +407,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("shiftleft") || p.contains("<<"),
       s"zval should be shift/mask arithmetic in the projection\n$p")
   }
+
+  test("cluster balance: quota rank bound pushes a partial WindowGroupLimit below the shuffle") {
+    val p = plan("corpus_cluster_balance")
+    assert(p.contains("WindowGroupLimit"),
+      s"qrank <= quota should push a group limit\n$p")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"the limit should run map-side before the cluster exchange\n$p")
+    // assignment is a literal argmax — no join against a centroid table
+    assert(!p.contains("SortMergeJoin"),
+      s"centroid assignment must not join\n$p")
+  }
+
+  test("quality report: one narrow pass + one map-side-combined aggregate, no joins") {
+    val p = plan("corpus_quality_report")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-source counters should combine map-side\n$p")
+    assert(!p.contains("Join"), s"the report must not join\n$p")
+    // exactly one data exchange (source-keyed aggregate); the orderBy
+    // adds a range exchange for presentation only
+    val hashExchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange, got $hashExchanges\n$p")
+  }
+
+  test("rrf fusion: fuses two top-k lists — the corpus never reaches the fusion aggregate") {
+    val p = plan("search_rrf_fusion")
+    // both rankers reduce before the union: bm25's TakeOrdered and the
+    // brute-force top-k's WindowGroupLimit are both present
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 leg should reduce via TakeOrdered\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"cosine leg should reduce via the two-phase top-k\n$p")
+  }
 }
