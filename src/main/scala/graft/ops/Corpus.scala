@@ -167,6 +167,57 @@ object Corpus {
         (tokenEnd % chunkTokens).cast("long").as("end_offset"))
   }
 
+  /** No-split (padded) bin packing — the OTHER standard pretraining
+    * layout next to [[packChunks]]' concat-and-chunk: each document
+    * goes WHOLE into a bin of `binTokens` capacity (greedy next-fit in
+    * id order per shard: if the open bin cannot take the document, a
+    * new bin opens; an oversized document occupies a bin alone). Used
+    * when cross-document attention is off and sequences are padded —
+    * the packing density / padding waste trade a data pipeline tunes.
+    * Emits `(idCol, shard, n_tokens, bin)`; `(shard, bin)` is the
+    * global bin identity, deterministic on any partitioning or retry.
+    *
+    * This operator is genuinely SEQUENTIAL per shard (each placement
+    * depends on the previous fill level — the capacity-reset recursion
+    * no window or aggregate expresses), so it is the one documented
+    * `mapPartitions` case: repartition on shard, sort (shard, id)
+    * within partitions, then one O(1)-memory streaming pass whose
+    * state resets at shard boundaries. Parallelism is the shard count
+    * (a free parameter — 10k shards at 100 TB), and the pass touches
+    * `(id, shard, n_tokens)` rows only, never text. */
+  def packBins(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int,
+      binTokens: Int): DataFrame = {
+    requireFresh(df, "shard", "n_tokens", "bin")
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    require(binTokens >= 1, s"binTokens must be >= 1: $binTokens")
+    val meta = df.select(col(idCol),
+      pmod(col(idCol), lit(nShards)).cast("long").as("shard"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    val parted = meta.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      parted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "bin", org.apache.spark.sql.types.LongType, nullable = false))
+    parted.mapPartitions { it =>
+      var shard = Long.MinValue
+      var bin = -1L
+      var used = 0L
+      var open = false
+      it.map { r =>
+        val s = r.getLong(1)
+        val tok = r.getLong(2)
+        if (s != shard) { shard = s; bin = -1L; used = 0L; open = false }
+        if (!open || used + tok > binTokens) { bin += 1; used = tok; open = true }
+        else used += tok
+        org.apache.spark.sql.Row(r.get(0), s, tok, bin)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Sliding-window chunking with overlap: each document is cut into
     * windows of `chunkTokens` whitespace tokens advancing by
     * `strideTokens` (< chunk ⇒ consecutive chunks overlap) — the

@@ -1647,6 +1647,15 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Corpus: no-split bin packing (padded layout) — greedy next-fit
+    // in id order per shard; the oracle replays the per-shard recursion
+    // with a recursive CTE. (shard, bin) identity is deterministic. ─────
+    "corpus_pack_bins" -> ((s, dir) =>
+      graft.ops.Corpus.packBins(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", nShards = 16, binTokens = 512)
+        .orderBy(col("doc_id"))),
+
     // ── Corpus: the per-source quality dashboard — ONE narrow pass
     // computes every per-doc signal (Gopher keep, C4 keep, language,
     // token/char counts from the fused kernel), one tiny aggregate
@@ -1892,6 +1901,25 @@ object TrainingQueries {
         | FROM a)
         |SELECT cluster, qrank, vec_id FROM ranked WHERE qrank <= 40
         |ORDER BY cluster, qrank""".stripMargin,
+
+    // Greedy next-fit replay: the per-shard capacity-reset recursion as
+    // a recursive CTE joined on rn+1 (set-based: all shards advance one
+    // row per iteration; depth = max rows per shard).
+    "corpus_pack_bins" ->
+      """WITH RECURSIVE d AS (
+        | SELECT doc_id, doc_id % 16 AS shard,
+        |  CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d),
+        |packed AS (
+        | SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS used
+        | FROM r WHERE rn = 1
+        | UNION ALL
+        | SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+        |  CASE WHEN p.used + r.n_tokens <= 512 THEN p.bin ELSE p.bin + 1 END,
+        |  CASE WHEN p.used + r.n_tokens <= 512 THEN p.used + r.n_tokens ELSE r.n_tokens END
+        | FROM r JOIN packed p ON r.shard = p.shard AND r.rn = p.rn + 1)
+        |SELECT doc_id, shard, n_tokens, bin FROM packed ORDER BY doc_id""".stripMargin,
 
     // Repetition battery replay: same sorted-adjacent dup-line scan,
     // same n-gram groupings per n (top share and duplicated-position

@@ -728,6 +728,52 @@ class CorpusSpec extends SparkSpec {
       assert(!l.contains("text"), s"text must not cross an exchange:\n$l"))
   }
 
+  // ── packBins ──────────────────────────────────────────────────────────
+
+  test("packBins: next-fit invariants — no overflow, oversize alone, id-contiguous bins, deterministic") {
+    val s = spark
+    import s.implicits._
+    // shard 0 only (ids are multiples of 4, nShards 4): tokens
+    // 3,4,5,9,2 with capacity 8 → bins [3+4], [5], [9], [2]
+    val rows = Seq(
+      (0L, "a b c"), (4L, "a b c d"), (8L, "a b c d e"),
+      (12L, "a b c d e f g h i"), (16L, "a b"))
+    val out = Corpus.packBins(rows.toDF("id", "text"), "id", "text",
+        nShards = 4, binTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(0L)._3 === 0L && out(4L)._3 === 0L, "3+4 <= 8 share bin 0")
+    assert(out(8L)._3 === 1L, "5 opens bin 1")
+    assert(out(12L)._3 === 2L, "oversize 9 occupies bin 2 alone")
+    assert(out(16L)._3 === 3L, "2 cannot join the oversize bin")
+    // per-bin fill never exceeds capacity except single-doc oversize bins
+    val fills = out.values.groupBy(v => (v._1, v._3))
+      .map { case (_, vs) => (vs.map(_._2).sum, vs.size) }
+    fills.foreach { case (fill, n) =>
+      assert(fill <= 8 || n == 1, s"overflowed multi-doc bin: $fill tokens") }
+    // determinism under different parallelism
+    val again = Corpus.packBins(
+        rows.toDF("id", "text").repartition(7), "id", "text",
+        nShards = 4, binTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.map { case (k, v) => k -> v._3 } === again)
+  }
+
+  test("packBins: bins are id-contiguous per shard (next-fit never reopens a bin)") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 120).map(i => (i.toLong, ("w " * (1 + i % 17)).trim))
+    val out = Corpus.packBins(rows.toDF("id", "text"), "id", "text",
+        nShards = 4, binTokens = 24)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(3)))
+    out.groupBy(_._1).values.foreach { shardRows =>
+      val byId = shardRows.sortBy(_._2).map(_._3)
+      assert(byId === byId.sorted, "bin ids must be monotone in doc id")
+      assert(byId.distinct === (0L until byId.distinct.size).toSeq,
+        "bin ids must be dense from 0")
+    }
+  }
+
   // ── clusterBalance ────────────────────────────────────────────────────
 
   test("clusterBalance assigns to the nearest centroid and caps each cluster") {
