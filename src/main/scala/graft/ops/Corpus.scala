@@ -194,9 +194,12 @@ object Corpus {
     requireFresh(df, "shard", "n_tokens", "bin")
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
     require(binTokens >= 1, s"binTokens must be >= 1: $binTokens")
+    // NULL text coalesces to "" (one empty token — the kernel split
+    // discipline) instead of a NULL n_tokens that would NPE getLong
     val meta = df.select(col(idCol),
       pmod(col(idCol), lit(nShards)).cast("long").as("shard"),
-      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      TextAnalysis.tokenCount(coalesce(col(textCol), lit("")))
+        .as("n_tokens"))
     val parted = meta.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
     val outSchema = org.apache.spark.sql.types.StructType(
@@ -798,15 +801,22 @@ object Corpus {
   def snapshotDiff(
       oldDf: DataFrame, newDf: DataFrame,
       keyCol: String, contentCol: String): DataFrame = {
+    // presence is an explicit marker column, NOT hash nullability: a row
+    // with NULL content hashes to NULL, and reading that as "absent"
+    // would classify a removed NULL-content doc as 'added'. The content
+    // compare is null-SAFE (<=>), so NULL == NULL content is 'unchanged'
+    // and NULL vs non-NULL is 'changed'.
     val o = oldDf.select(col(keyCol).as("__k"),
-      md5(col(contentCol).cast("string")).as("__old_h"))
+      md5(col(contentCol).cast("string")).as("__old_h"),
+      lit(true).as("__in_old"))
     val n = newDf.select(col(keyCol).as("__k"),
-      md5(col(contentCol).cast("string")).as("__new_h"))
+      md5(col(contentCol).cast("string")).as("__new_h"),
+      lit(true).as("__in_new"))
     o.join(n, Seq("__k"), "full_outer")
       .select(col("__k").as(keyCol),
-        when(col("__old_h").isNull, lit("added"))
-          .when(col("__new_h").isNull, lit("removed"))
-          .when(col("__old_h") === col("__new_h"), lit("unchanged"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("__old_h") <=> col("__new_h"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 
@@ -853,11 +863,16 @@ object Corpus {
       cents: Seq[Seq[Double]],
       quota: Int,
       seed: String = "cluster-balance"): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    // assign ONCE; both the before-counts and the quota ranking read the
+    // same assigned frame (the argmax scoring scan is the dominant
+    // per-row cost — don't run it twice)
     val assigned =
       graft.ops.Similarity.assignClusters(emb, vecCol, cents)
     val before = assigned.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_before"))
-    val after = clusterBalance(emb, idCol, vecCol, cents, quota, seed)
+    val after = domainQuota(assigned, "cluster", quota,
+        Seq(uniformHex(col(idCol), seed).asc, col(idCol).asc))
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_after"))
     before.join(after, Seq("cluster"), "left")
       .select(col("cluster"), col("n_before"),

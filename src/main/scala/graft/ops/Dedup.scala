@@ -1183,10 +1183,17 @@ object Dedup {
       planes: Int = 12,
       maxBucketSize: Int = 4096): DataFrame = {
     require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    // PINNED for the whole operator: the adaptive probe is an eager
+    // action and the pair join reads b twice (both join sides) — an
+    // unpersisted b would re-run the hyperplane bucketing (and the
+    // upstream scan) once per use. The winnowVerifiedPairs discipline:
+    // persist, run, eager-checkpoint the small pair output, unpersist.
     val b = Similarity.lshBuckets(
       df.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", planes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // Adaptive, like the incremental paths: one tiny aggregate (bucket
-    // cardinality <= 2^planes rows) decides whether any bucket is hot.
+    // cardinality <= 2^planes rows) decides whether any bucket is hot
+    // (and doubles as the materialization pass for the persisted b).
     // The common cold case keeps the PLAIN bucket self-join — no
     // occupancy join, no group explodes, no 3-key join — which is the
     // blocked decomposition at G=1, so the pair set is identical by
@@ -1197,13 +1204,16 @@ object Dedup {
     if (maxOcc <= maxBucketSize) {
       val l = b.select(col("bucket"), col("__id").as("__aid"), col("__v").as("a_v"))
       val r = b.select(col("bucket"), col("__id").as("__bid"), col("__v").as("b_v"))
-      return l.join(r, Seq("bucket"))
+      val pairs = l.join(r, Seq("bucket"))
         .filter(col("__aid") =!= col("__bid"))
         .select(least(col("__aid"), col("__bid")).as("a_id"),
           greatest(col("__aid"), col("__bid")).as("b_id"),
           Similarity.cosine(col("a_v"), col("b_v")).as("cos_sim"))
         .filter(col("cos_sim") >= threshold)
         .distinct()
+      val out = pairs.localCheckpoint(true)
+      b.unpersist()
+      return out
     }
     val occRaw = b.groupBy("bucket").agg(count(lit(1)).as("__occ"))
     val occ = if (planes <= 21) broadcast(occRaw) else occRaw
@@ -1225,7 +1235,7 @@ object Dedup {
       explode(sequence(lit(0), col("__g"))).as("__glr"),
       col("__g").as("__grr"),
       col("__id").as("__bid"), col("__v").as("b_v"))
-    l.join(r, col("__bkl") === col("__bkr") &&
+    val pairs = l.join(r, col("__bkl") === col("__bkr") &&
         col("__gll") === col("__glr") && col("__grl") === col("__grr"))
       .filter(col("__aid") =!= col("__bid"))
       .select(least(col("__aid"), col("__bid")).as("a_id"),
@@ -1233,5 +1243,8 @@ object Dedup {
         Similarity.cosine(col("a_v"), col("b_v")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .distinct()
+    val out = pairs.localCheckpoint(true)
+    b.unpersist()
+    out
   }
 }

@@ -717,6 +717,12 @@ object Similarity {
       df: DataFrame, vecCol: String,
       cents: Seq[Seq[Double]]): DataFrame = {
     require(cents.nonEmpty, "assignClusters needs at least one centroid")
+    // refuse frames already carrying the output columns rather than
+    // silently clobbering caller data (the Corpus.requireFresh stance)
+    val clash = Seq("cluster", "__scores").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — rename them; " +
+        "these names are produced by assignClusters")
     val scores = array(cents.map(c => cosine(col(vecCol), typedlit(c))): _*)
     df.withColumn("__scores", scores)
       .withColumn("cluster",

@@ -670,10 +670,14 @@ object TextAnalysis {
   def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
     val nWords = size(filter(split(t, "\\s+"), w => w =!= "")).cast("long")
-    val flags = gopherFlags(col(textCol)).map { case (n, f) => f.as(n) }
+    // build the flag expressions ONCE and derive keep from the same
+    // seq (the gopherRepetition pattern) — no duplicate expression
+    // trees for codegen to deduplicate
+    val flags = gopherFlags(col(textCol))
+    val keep = flags.map { case (_, f) => !f }.reduce(_ && _)
     df.select(
-      (col(idCol) +: nWords.as("n_words") +: flags
-        :+ gopherKeep(col(textCol)).as("keep")): _*)
+      (col(idCol) +: nWords.as("n_words") +:
+        flags.map { case (n, f) => f.as(n) } :+ keep.as("keep")): _*)
   }
 
   /** The Gopher REPETITION-rule battery (Rae et al. 2021, §A.1.1 —

@@ -710,6 +710,40 @@ class CorpusSpec extends SparkSpec {
       "removed" -> 1L, "added" -> 1L))
   }
 
+  test("snapshotDiff: NULL content is data, not absence — presence comes from the side markers") {
+    val s = spark
+    import s.implicits._
+    val oldSnap = Seq(
+      (1L, Option.empty[String]),      // removed (null content, old only)
+      (2L, Option.empty[String]),      // unchanged (null == null)
+      (3L, Option.empty[String]),      // changed (null -> value)
+      (4L, Option("x"))                // changed (value -> null)
+    ).toDF("id", "body")
+    val newSnap = Seq(
+      (2L, Option.empty[String]),
+      (3L, Option("x")),
+      (4L, Option.empty[String]),
+      (5L, Option.empty[String])       // added (with null content)
+    ).toDF("id", "body")
+    val st = Corpus.snapshotDiff(oldSnap, newSnap, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "changed", 5L -> "added"))
+  }
+
+  test("packBins: NULL text counts as an empty document, not a task failure") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((0L, Option("a b c")), (4L, Option.empty[String]),
+      (8L, Option("d e")))
+    val out = Corpus.packBins(rows.toDF("id", "text"), "id", "text",
+        nShards = 4, binTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // NULL -> "" -> one empty token under the kernel split discipline
+    assert(out(4L)._1 === 1L)
+    assert(out.size === 3)
+  }
+
   test("snapshotDiff shuffles hashes, not bodies — md5 computed below the join, text never crosses an exchange") {
     val oldSnap = docs.filter(col("doc_id") % 2 === 0)
     val newSnap = docs.filter(col("doc_id") % 3 === 0)

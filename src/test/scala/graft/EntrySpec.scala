@@ -22,6 +22,14 @@ class EntrySpec extends SparkSpec {
     assert(unchecked.isEmpty, s"query without oracle: $unchecked")
   }
 
+  test("reference and training query names never collide") {
+    // SparkEntry merges the two maps with ++ — a duplicate key would
+    // silently shadow the reference query
+    val dup = graft.queries.ReferenceQueries.queries.keySet
+      .intersect(graft.queries.TrainingQueries.queries.keySet)
+    assert(dup.isEmpty, s"colliding query names: $dup")
+  }
+
   test("all queries execute and return rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
