@@ -67,7 +67,10 @@ object ScaleProbe {
       "the full-outer join is key-unique on both sides - no skew, no window"),
     "dedup_containment" -> ("linear: winnow fingerprints are copy-disjoint under the " +
       "token salt, so candidate pairs stay per-copy (df-capped at 8); the verify is one " +
-      "fused kernel call per candidate - no per-pair array materialization"))
+      "fused kernel call per candidate - no per-pair array materialization"),
+    "corpus_pack_bins" -> ("linear: one narrow token-count map + one shard exchange + " +
+      "an O(1)-memory sequential pass per shard; rows carry (id, shard, n_tokens) only, " +
+      "never text, and parallelism is the shard count (a free parameter)"))
 
   /** Materialize `copies` divergent copies of documents + embeddings
     * from `srcDir` into `outDir` (see class doc for the divergence
