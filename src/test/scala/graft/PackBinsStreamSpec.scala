@@ -44,6 +44,36 @@ class PackBinsStreamSpec extends SparkSpec {
     assert(batch === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("restart on the same checkpoint resumes the per-shard fill state") {
+    val s = spark
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-packbins-").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(Paths.get(in))
+    def start() = PackBinsStream(
+        s.readStream.schema("id long, text string").json(in),
+        "id", "text", nShards = 1, binTokens = 8)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // run 1: tokens 3 + 4 fill bin 0 to 7
+    Files.writeString(Paths.get(in, "b1.json"),
+      """{"id":1,"text":"a b c"}
+        |{"id":2,"text":"a b c d"}""".stripMargin)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // run 2 (fresh query on the same checkpoint): the 5-token doc must
+    // see used=7 from the RESTORED state and open bin 1 — a lost state
+    // store would restart it at bin 0
+    Files.writeString(Paths.get(in, "b2.json"),
+      """{"id":3,"text":"a b c d e"}
+        |{"id":4,"text":"a b"}""".stripMargin)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val bins = s.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bin")).toMap
+    assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L),
+      s"restored fill state must continue the open bin: $bins")
+  }
+
   test("shards pack independently and state is one pair per shard") {
     val s = spark
     import s.implicits._
