@@ -808,6 +808,62 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("property: packBins matches a sequential next-fit reference on generated corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val tokGen = Gen.choose(1, 12)
+    val rows = (0 until 200).flatMap { i =>
+      tokGen.apply(Gen.Parameters.default, Seed(900L + i))
+        .map(n => (i.toLong, ("w " * n).trim))
+    }
+    val cap = 10
+    val got = Corpus.packBins(rows.toDF("id", "text"), "id", "text",
+        nShards = 8, binTokens = cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // reference: per shard in id order, next-fit with capacity reset
+    val want = rows.groupBy(_._1 % 8).flatMap { case (_, docs) =>
+      var bin = -1L; var used = 0L; var open = false
+      docs.sortBy(_._1).map { case (id, text) =>
+        val n = text.split(" ").length.toLong
+        if (!open || used + n > cap) { bin += 1; used = n; open = true }
+        else used += n
+        id -> bin
+      }
+    }
+    assert(got === want)
+  }
+
+  test("property: snapshotDiff matches a reference classifier on generated snapshots") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val contentGen = Gen.oneOf("a", "b", "c")
+    def snap(seed: Long): Map[Long, String] =
+      (0 until 60).flatMap { i =>
+        // ~2/3 of keys present per side
+        if ((i * seed) % 3 != 0)
+          contentGen.apply(Gen.Parameters.default, Seed(seed * 100 + i))
+            .map(c => i.toLong -> c)
+        else None
+      }.toMap
+    val o = snap(7); val n = snap(11)
+    val got = Corpus.snapshotDiff(
+        o.toSeq.toDF("id", "body"), n.toSeq.toDF("id", "body"), "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (o.keySet ++ n.keySet).map { k =>
+      k -> ((o.get(k), n.get(k)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a == b => "unchanged"
+        case _ => "changed"
+      })
+    }.toMap
+    assert(got === want)
+  }
+
   // ── clusterBalance ────────────────────────────────────────────────────
 
   test("clusterBalance assigns to the nearest centroid and caps each cluster") {
