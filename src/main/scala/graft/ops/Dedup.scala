@@ -1012,17 +1012,29 @@ object Dedup {
       planes: Int,
       maxBucketSize: Int): DataFrame = {
     val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // pinned: the rep table is read by BOTH the pair stage (which is
+    // eager — embeddingNearDups' adaptive probe) and the member join;
+    // unpersisted it would re-run the vector-keyed groupBy per use
     val reps = v.groupBy(col("__v")).agg(min(col("__id")).as("__rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val repPairs = embeddingNearDups(
       reps.select(col("__rep"), col("__v")), "__rep", "__v",
       threshold, planes, maxBucketSize)
       .select(col("a_id"), col("b_id"))
+    // member join: reps is |distinct vectors| rows — broadcast when the
+    // bounded probe allows (dedup-heavy corpora collapse most rows onto
+    // few reps), shuffle join otherwise (the 100 TB general case)
+    val repsSide =
+      if (fitsBroadcast(reps, 4000000L)) broadcast(reps) else reps
     // rep is the group minimum, so (rep, member) is already ordered
-    val memberEdges = v.join(reps, Seq("__v"))
+    val memberEdges = v.join(repsSide, Seq("__v"))
       .filter(col("__id") =!= col("__rep") &&
         Similarity.cosine(col("__v"), col("__v")) >= threshold)
       .select(col("__rep").as("a_id"), col("__id").as("b_id"))
-    repPairs.unionByName(memberEdges)
+    // materialize the edge set while reps is still pinned, then release
+    val edges = repPairs.unionByName(memberEdges).localCheckpoint(true)
+    reps.unpersist()
+    edges
   }
 
   /** Semantic decontamination: drop every corpus row whose embedding has
