@@ -57,6 +57,12 @@ object Dedup {
       rowsPerBand: Int = 4,
       maxBucketSize: Int = 4096): DataFrame = {
     require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    // NOT the adaptive-probe shape: an eager probe here would need its
+    // own signature pass (the expensive stage), and the window's
+    // occupancy exchange is REUSED by both join sides via
+    // ReuseExchange — measured, converting this to persist+probe
+    // regressed the query 17–50% at sf0.1. The window-carried
+    // occupancy stays.
     val banded = bandedSignatures(df, idCol, textCol, shingleLen, bands, rowsPerBand)
     val w = Window.partitionBy("band", "band_hash")
     val grouped = banded
