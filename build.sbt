@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures `sbt "runMain graft.Bench"` stdout and JSON-parses the
+// LITERAL last line. Two pieces of sbt chrome have kept that parse at
+// "parsed": null for 11 rounds: the "[info] " prefix sbt's logger adds to
+// forked-process output, and the trailing "[success] Total time: ..." line.
+// StdoutOutput passes the forked JVM's stdout through raw (no log prefix);
+// showSuccess drops the success trailer — so the last captured line is
+// exactly Bench's {"metric":"total",...} JSON.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
