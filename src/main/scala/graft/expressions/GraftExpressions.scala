@@ -574,6 +574,7 @@ object Kernels {
     * repetition signal. One pass, one HashMap; the max count needs no
     * tie-break (it is unique regardless of which gram attains it). */
   def ngramTop(input: UTF8String, n: Int): InternalRow = {
+    require(n >= 1, s"ngramTop needs n >= 1, got $n")
     val toks = sparkTokens(input.toString)
     if (toks.length < n) return InternalRow(0L, 0L)
     val total = toks.length - n + 1
@@ -1080,7 +1081,12 @@ case class DupNgramCov(child: Expression, n: Int) extends UnaryExpression {
 case class NgramTop(child: Expression, n: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    // n is validated HERE, at analysis time: n=0 would slip past the
+    // kernel's toks.length<n guard and throw AIOOBE inside executor
+    // tasks — an opaque task failure instead of a plannable error.
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs n >= 1, got $n")
+    else if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
   override def dataType: DataType = StructType(Seq(
     StructField("n_pos", LongType, nullable = false),

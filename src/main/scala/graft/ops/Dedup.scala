@@ -1029,9 +1029,26 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
     // member join: reps is |distinct vectors| rows — broadcast when the
     // bounded probe allows (dedup-heavy corpora collapse most rows onto
-    // few reps), shuffle join otherwise (the 100 TB general case)
+    // few reps), shuffle join otherwise (the 100 TB general case).
+    // The cap is BYTE-aware, not row-only: rep rows carry the full
+    // embedding vector, so a row-count cap alone would green-light a
+    // multi-GB broadcast at production dims (768 floats ≈ 3 KB/row ×
+    // 4M rows ≈ 12 GB — past Spark's 8 GB broadcast limit and a driver
+    // OOM). One row probes the dim; the row cap is 512 MB divided by
+    // the estimated UnsafeRow width, itself bounded by the 1M-row cap
+    // every other narrow-frame call site uses.
+    val vecBytes = reps.select(col("__v")).take(1) match {
+      case Array(r) if !r.isNullAt(0) =>
+        val elemBytes = reps.schema("__v").dataType match {
+          case org.apache.spark.sql.types.ArrayType(et, _) => math.max(4L, et.defaultSize.toLong)
+          case _ => 8L
+        }
+        32L + elemBytes * r.getSeq[Any](0).size
+      case _ => 32L
+    }
+    val byteCapRows = math.max(1L, (512L << 20) / (vecBytes + 16L))
     val repsSide =
-      if (fitsBroadcast(reps, 4000000L)) broadcast(reps) else reps
+      if (fitsBroadcast(reps, math.min(1000000L, byteCapRows))) broadcast(reps) else reps
     // rep is the group minimum, so (rep, member) is already ordered
     val memberEdges = v.join(repsSide, Seq("__v"))
       .filter(col("__id") =!= col("__rep") &&

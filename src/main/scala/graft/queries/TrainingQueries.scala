@@ -1617,6 +1617,14 @@ object TrainingQueries {
       val cents = Similarity.sampleCentroids(
         e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
         "c_id", "c_vec", 8)
+      // sampleCentroids drops zero-norm vectors AFTER taking the 8
+      // smallest ids, while the oracle indexes vec_id < 8
+      // unconditionally — a zero embedding among the seeds would shift
+      // every cluster index and silently desync the comparison. Fail
+      // loudly instead: the seed set must be exactly the oracle's.
+      require(cents.size == 8,
+        "corpus_cluster_balance seeds: a vec_id < 8 embedding is null/zero-norm; " +
+          "the DuckDB oracle indexes vec_id < 8 unconditionally and would desync")
       graft.ops.Corpus.clusterBalance(e.select("vec_id", "embedding"),
           "vec_id", "embedding", cents, quota = 40)
         .select(col("cluster"), col("qrank"), col("vec_id"))
@@ -2059,7 +2067,8 @@ object TrainingQueries {
         | CAST(count(*) FILTER (WHERE ck) AS BIGINT) AS n_pass_c4,
         | CAST(count(*) FILTER (WHERE plang = 'en') AS BIGINT) AS n_docs_en,
         | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-        | round(sum(alpha) * 1.0 / sum(chars), 6) AS alpha_ratio
+        | CASE WHEN sum(chars) = 0 THEN NULL
+        |      ELSE round(sum(alpha) * 1.0 / sum(chars), 6) END AS alpha_ratio
         |FROM doc GROUP BY source ORDER BY source""".stripMargin,
     // Exhaustive enumeration of the ≥0.8 shingle-Jaccard pair set — the
     // LSH-verified Spark result must equal it (same shingle definition:

@@ -252,6 +252,18 @@ class QualityRulesSpec extends SparkSpec {
     }
   }
 
+  test("ngram_top rejects n < 1 at analysis time, not as an executor task failure") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    for (n <- Seq(0, -1)) {
+      val e = intercept[Exception] {
+        df.select(call_function("graft_ngram_top", col("text"), lit(n))).collect()
+      }
+      assert(e.getMessage.contains("n >= 1"), s"n=$n: ${e.getMessage}")
+    }
+  }
+
   // ── rrfFuse ───────────────────────────────────────────────────────────
 
   test("rrf: fused score is the sum of reciprocal ranks; singles keep one term") {
