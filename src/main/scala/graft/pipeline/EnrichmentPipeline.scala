@@ -46,6 +46,14 @@ object DocumentFetcher {
     }
 }
 
+object EnrichmentPipeline {
+  /** Upper bound on the driver-collected queue batch: ~100k header
+    * tuples (id + timestamp + small array + flag) is single-digit MB on
+    * the driver — 1000× the reference's LIMIT 100
+    * (`PostgrePersistenceService.java:291`) while still bounded. */
+  val MaxDriverBatch: Int = 100000
+}
+
 /** Result of one enrichment iteration. */
 case class EnrichmentSummary(
     processed: Long,
@@ -92,6 +100,18 @@ class EnrichmentPipeline(
     sleep: Long => Unit = Thread.sleep(_)) extends Serializable {
   // Serializable so shell/notebook-defined fetchers (anonymous classes
   // whose $outer drags this instance into the task closure) still ship.
+
+  // The drained batch is COLLECTED to the driver (readBatchWithRetry) —
+  // deliberate at the reference's LIMIT-100 contract, but batchSize is
+  // caller-settable, so an unbounded value would turn the collect into
+  // a driver OOM. Bulk backfills should not raise this cap: keep the
+  // queue as a DataFrame, run the fetch via mapPartitions over the
+  // DataFrame itself, and join fetched results back — i.e. drive
+  // runToCompletion over many bounded batches instead of one huge one.
+  require(batchSize >= 1 && batchSize <= EnrichmentPipeline.MaxDriverBatch,
+    s"batchSize must be in [1, ${EnrichmentPipeline.MaxDriverBatch}] " +
+      s"(got $batchSize): the drained batch is collected to the driver; " +
+      "for bulk backfills loop runToCompletion over bounded batches")
 
   import spark.implicits._
 

@@ -388,6 +388,23 @@ class PipelineSpec extends SparkSpec {
     assert(hs.length == 2) // 1044 merged from both pages, 1234 added
     assert(hs(1).getAs[Boolean]("status_is_deleted"))
   }
+
+  test("enrichment: an oversized driver batch is rejected at construction") {
+    val dir = Files.createTempDirectory("graft-batchguard").toString
+    val headers = new BucketedStateTable(spark, s"$dir/h", Seq("record_identifier"))
+    val reporting = new BucketedStateTable(spark, s"$dir/r", Seq("record_identifier"))
+    val e = intercept[IllegalArgumentException] {
+      new EnrichmentPipeline(spark, headers, reporting,
+        batchSize = EnrichmentPipeline.MaxDriverBatch + 1)
+    }
+    assert(e.getMessage.contains("collected to the driver"))
+    intercept[IllegalArgumentException] {
+      new EnrichmentPipeline(spark, headers, reporting, batchSize = 0)
+    }
+    // the cap itself constructs fine
+    new EnrichmentPipeline(spark, headers, reporting,
+      batchSize = EnrichmentPipeline.MaxDriverBatch)
+  }
 }
 
 object PipelineSpec {
