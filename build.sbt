@@ -8,6 +8,12 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // Real-driver integration tests for the JDBC sinks (the reference's
+  // only integration suite runs against live PostgreSQL; DuckDB speaks
+  // the same ON CONFLICT / IS NOT DISTINCT FROM dialect and resolves
+  // from the pre-warmed offline cache). Test-only — the engine itself
+  // depends on java.sql alone.
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test,
 )
 Test / fork := true
 run / fork := true

@@ -11,6 +11,70 @@ import org.apache.spark.sql.types._
   * connection-per-operation; `PostgrePersistenceService.java:227`). */
 trait ConnectionFactory extends (() => Connection) with Serializable
 
+/** The one per-driver SQL variation the sinks cannot hide behind plain
+  * JDBC: how a string-array column is bound. Standard JDBC — PostgreSQL,
+  * the reference's target — binds a `java.sql.Array` via
+  * `createArrayOf`; drivers without array write support (e.g. DuckDB's,
+  * which throws `SQLFeatureNotSupportedException`) route a lossless
+  * JSON encoding through a SQL placeholder expression instead. All
+  * other bindings (primitives, timestamps, nulls) are uniform JDBC. */
+trait SqlDialect extends Serializable {
+  /** Placeholder expression for ONE string-array bind position in
+    * `VALUES (...)` / `WHERE`. Must consume exactly one `?`. */
+  def arrayPlaceholder: String
+  /** Bind a non-null string array at `pos` (null ELEMENTS preserved). */
+  def bindStringArray(conn: Connection, ps: PreparedStatement, pos: Int,
+      values: Seq[String]): Unit
+  /** Engines whose conflict clause cannot update every column type
+    * (DuckDB 1.x: "List Update is not supported") upsert as
+    * delete-by-key + insert inside the same transaction instead — a
+    * full-row replace, semantically identical to `DO UPDATE SET` of
+    * every non-key column. */
+  def upsertByDeleteInsert: Boolean = false
+}
+
+object SqlDialect {
+  /** Standard JDBC array binding (PostgreSQL et al.). */
+  object Standard extends SqlDialect {
+    def arrayPlaceholder: String = "?"
+    def bindStringArray(conn: Connection, ps: PreparedStatement, pos: Int,
+        values: Seq[String]): Unit =
+      ps.setArray(pos, conn.createArrayOf("varchar", values.toArray[AnyRef]))
+  }
+
+  /** DuckDB: `createArrayOf` is unsupported by the driver, so the array
+    * crosses as one JSON string parsed server-side — lossless for
+    * embedded quotes/commas/control chars, empty arrays, and null
+    * elements (JSON escaping is well-defined where a hand-rolled list
+    * literal is not).
+    *
+    * Upserts run as delete+insert (`upsertByDeleteInsert`): DuckDB 1.x
+    * rejects conflict-clause updates of LIST columns ("List Update is
+    * not supported"). Target tables should carry NO unique index on the
+    * keys — the sink's keyed replace maintains uniqueness itself, and
+    * DuckDB's documented ART limitation makes a delete + same-key
+    * reinsert inside one transaction trip the constraint spuriously. */
+  object DuckDb extends SqlDialect {
+    override def upsertByDeleteInsert: Boolean = true
+    def arrayPlaceholder: String = "from_json(?, '[\"VARCHAR\"]')"
+    def bindStringArray(conn: Connection, ps: PreparedStatement, pos: Int,
+        values: Seq[String]): Unit =
+      ps.setString(pos, values.map(jsonString).mkString("[", ",", "]"))
+    private def jsonString(s: String): String =
+      if (s == null) "null"
+      else {
+        val sb = new java.lang.StringBuilder("\"")
+        s.foreach {
+          case '"'  => sb.append("\\\"")
+          case '\\' => sb.append("\\\\")
+          case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+          case c => sb.append(c)
+        }
+        sb.append('"').toString
+      }
+  }
+}
+
 /** U1/U2 as a JDBC sink — Spark's JDBC writer has no upsert mode
   * (SURVEY §7.4), so the merge goes through `foreachPartition` with the
   * reference's exact statement shape
@@ -37,7 +101,14 @@ object JdbcUpsertSink {
 
   /** The PostgreSQL `ON CONFLICT` upsert statement for (table, cols, keys).
     * All-key tables degrade to `DO NOTHING`. */
-  def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): String = {
+  def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): String =
+    upsertSql(table, cols, keys, cols.map(_ => "?"))
+
+  /** General form: `placeholders(i)` is the bind expression for
+    * `cols(i)` (each consuming exactly one `?`) — dialects without
+    * `createArrayOf` route array binds through a SQL expression. */
+  def upsertSql(table: String, cols: Seq[String], keys: Seq[String],
+      placeholders: Seq[String]): String = {
     require(keys.nonEmpty && keys.forall(cols.contains),
       s"keys $keys must be a subset of columns $cols")
     val nonKeys = cols.filterNot(keys.contains)
@@ -46,7 +117,7 @@ object JdbcUpsertSink {
       else "DO UPDATE SET " +
         nonKeys.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
     s"INSERT INTO ${q(table)} (${cols.map(q).mkString(", ")}) " +
-      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"VALUES (${placeholders.mkString(", ")}) " +
       s"ON CONFLICT (${keys.map(q).mkString(", ")}) $conflict"
   }
 
@@ -60,11 +131,25 @@ object JdbcUpsertSink {
     * this sink is schema-agnostic, so null-safe matching is the correct
     * general form. */
   def deleteIfUnmodifiedSql(table: String, cols: Seq[String]): String =
+    deleteIfUnmodifiedSql(table, cols, cols.map(_ => "?"))
+
+  /** General form with per-column bind expressions (see [[upsertSql]]). */
+  def deleteIfUnmodifiedSql(table: String, cols: Seq[String],
+      placeholders: Seq[String]): String =
     s"DELETE FROM ${q(table)} WHERE " +
-      cols.map(c => s"${q(c)} IS NOT DISTINCT FROM ?").mkString(" AND ")
+      cols.zip(placeholders)
+        .map { case (c, p) => s"${q(c)} IS NOT DISTINCT FROM $p" }
+        .mkString(" AND ")
+
+  private def placeholders(fields: Array[StructField],
+      dialect: SqlDialect): Seq[String] =
+    fields.toSeq.map(_.dataType match {
+      case ArrayType(StringType, _) => dialect.arrayPlaceholder
+      case _ => "?"
+    })
 
   private def binder(conn: Connection, ps: PreparedStatement,
-      fields: Array[StructField]): (Row, Int) => Unit = { (row, i) =>
+      fields: Array[StructField], dialect: SqlDialect): (Row, Int) => Unit = { (row, i) =>
     val pos = i + 1
     if (row.isNullAt(i)) ps.setObject(pos, null)
     else fields(i).dataType match {
@@ -75,8 +160,7 @@ object JdbcUpsertSink {
       case DoubleType    => ps.setDouble(pos, row.getDouble(i))
       case TimestampType => ps.setTimestamp(pos, row.getAs[Timestamp](i))
       case ArrayType(StringType, _) =>
-        val arr = row.getSeq[String](i).toArray[AnyRef]
-        ps.setArray(pos, conn.createArrayOf("varchar", arr))
+        dialect.bindStringArray(conn, ps, pos, row.getSeq[String](i))
       case _ => ps.setObject(pos, row.get(i))
     }
   }
@@ -88,7 +172,8 @@ object JdbcUpsertSink {
       df: DataFrame,
       sql: String,
       connectionFactory: ConnectionFactory,
-      batchSize: Int): Unit = {
+      batchSize: Int,
+      dialect: SqlDialect): Unit = {
     val fields = df.schema.fields
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
@@ -97,7 +182,7 @@ object JdbcUpsertSink {
           conn.setAutoCommit(false)
           val ps = conn.prepareStatement(sql)
           try {
-            val bind = binder(conn, ps, fields)
+            val bind = binder(conn, ps, fields, dialect)
             var pending = 0
             rows.foreach { row =>
               var i = 0
@@ -114,15 +199,83 @@ object JdbcUpsertSink {
     }
   }
 
+  /** Plain insert statement (the second half of the delete+insert
+    * upsert strategy). */
+  def insertSql(table: String, cols: Seq[String],
+      placeholders: Seq[String]): String =
+    s"INSERT INTO ${q(table)} (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${placeholders.mkString(", ")})"
+
+  /** Delete+insert upsert for dialects whose conflict clause cannot
+    * update every column type: per chunk, delete the chunk's keys then
+    * insert the chunk's rows, both batched, one transaction per
+    * partition. Within a chunk the LAST row per key wins (the same
+    * visible end state as sequential per-row upserts). */
+  private def upsertDeleteInsert(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      connectionFactory: ConnectionFactory,
+      batchSize: Int,
+      dialect: SqlDialect): Unit = {
+    val fields = df.schema.fields
+    val cols = df.columns.toSeq
+    val keyIdx = keys.map(cols.indexOf).toArray
+    val delSql = deleteIfUnmodifiedSql(table, keys,
+      placeholders(keyIdx.map(fields), dialect))
+    val insSql = insertSql(table, cols, placeholders(fields, dialect))
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn = connectionFactory()
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(delSql)
+          val ins = conn.prepareStatement(insSql)
+          try {
+            val bindDel = binder(conn, del, keyIdx.map(fields), dialect)
+            val bindIns = binder(conn, ins, fields, dialect)
+            rows.grouped(batchSize).foreach { chunk =>
+              // keep-last per key: two same-key rows in one chunk would
+              // otherwise both insert and violate the primary key
+              val deduped = scala.collection.mutable.LinkedHashMap
+                .empty[Seq[Any], Row]
+              chunk.foreach { row =>
+                deduped.put(keyIdx.map(row.get).toSeq, row)
+              }
+              deduped.values.foreach { row =>
+                val keyRow = Row(keyIdx.map(row.get).toIndexedSeq: _*)
+                var k = 0
+                while (k < keyIdx.length) { bindDel(keyRow, k); k += 1 }
+                del.addBatch()
+                var i = 0
+                while (i < fields.length) { bindIns(row, i); i += 1 }
+                ins.addBatch()
+              }
+              del.executeBatch()
+              ins.executeBatch()
+            }
+            conn.commit()
+          } finally { ins.close(); del.close() }
+        } finally conn.close()
+      }
+    }
+  }
+
   /** Upsert `df` into `table` keyed on `keys`. */
   def writeUpsert(
       df: DataFrame,
       table: String,
       keys: Seq[String],
       connectionFactory: ConnectionFactory,
-      batchSize: Int = 500): Unit =
-    executeBatched(df, upsertSql(table, df.columns.toSeq, keys),
-      connectionFactory, batchSize)
+      batchSize: Int = 500,
+      dialect: SqlDialect = SqlDialect.Standard): Unit =
+    if (dialect.upsertByDeleteInsert)
+      upsertDeleteInsert(df, table, keys, connectionFactory, batchSize, dialect)
+    else executeBatched(
+      df,
+      upsertSql(table, df.columns.toSeq, keys,
+        placeholders(df.schema.fields, dialect)),
+      connectionFactory, batchSize, dialect)
 
   /** Conditional full-tuple delete of `df`'s rows from `table` (D1).
     * Rows whose stored tuple changed since they were read survive —
@@ -131,7 +284,11 @@ object JdbcUpsertSink {
       df: DataFrame,
       table: String,
       connectionFactory: ConnectionFactory,
-      batchSize: Int = 500): Unit =
-    executeBatched(df, deleteIfUnmodifiedSql(table, df.columns.toSeq),
-      connectionFactory, batchSize)
+      batchSize: Int = 500,
+      dialect: SqlDialect = SqlDialect.Standard): Unit =
+    executeBatched(
+      df,
+      deleteIfUnmodifiedSql(table, df.columns.toSeq,
+        placeholders(df.schema.fields, dialect)),
+      connectionFactory, batchSize, dialect)
 }
