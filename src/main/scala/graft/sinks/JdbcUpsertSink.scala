@@ -141,14 +141,14 @@ object JdbcUpsertSink {
         .map { case (c, p) => s"${q(c)} IS NOT DISTINCT FROM $p" }
         .mkString(" AND ")
 
-  private def placeholders(fields: Array[StructField],
+  private[graft] def placeholders(fields: Array[StructField],
       dialect: SqlDialect): Seq[String] =
     fields.toSeq.map(_.dataType match {
       case ArrayType(StringType, _) => dialect.arrayPlaceholder
       case _ => "?"
     })
 
-  private def binder(conn: Connection, ps: PreparedStatement,
+  private[graft] def binder(conn: Connection, ps: PreparedStatement,
       fields: Array[StructField], dialect: SqlDialect): (Row, Int) => Unit = { (row, i) =>
     val pos = i + 1
     if (row.isNullAt(i)) ps.setObject(pos, null)

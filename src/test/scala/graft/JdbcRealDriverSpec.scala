@@ -42,8 +42,13 @@ class JdbcRealDriverSpec extends SparkSpec {
   private def withDb(testBody: (String, ConnectionFactory) => Unit): Unit = {
     val dir = Files.createTempDirectory("graft-duckdb").toString
     val url = s"jdbc:duckdb:$dir/it.db"
+    // anchor pins one embedded-database instance for the test (see
+    // JdbcStateTable scaladoc: instance shutdown/reopen between two
+    // operations can drop the previous lifecycle's WAL)
     val cf = new ConnectionFactory {
-      def apply(): Connection = DriverManager.getConnection(url)
+      @transient private lazy val anchor: Connection =
+        DriverManager.getConnection(url)
+      def apply(): Connection = { anchor; DriverManager.getConnection(url) }
     }
     val conn = cf()
     try {
@@ -193,7 +198,9 @@ class JdbcRealDriverSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-duckdb-rep").toString
     val url = s"jdbc:duckdb:$dir/rep.db"
     val cf = new ConnectionFactory {
-      def apply(): Connection = DriverManager.getConnection(url)
+      @transient private lazy val anchor: Connection =
+        DriverManager.getConnection(url)
+      def apply(): Connection = { anchor; DriverManager.getConnection(url) }
     }
     val c0 = cf()
     try c0.createStatement().execute(
