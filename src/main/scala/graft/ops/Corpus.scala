@@ -711,7 +711,7 @@ object Corpus {
     * adjacent word pair hashes into one of `buckets` cells. The hash is
     * the engine-portable md5-prefix integer (same idiom as the winnow
     * gram hash), so a SQL oracle reproduces the bucketing exactly. */
-  private def dsirBuckets(text: Column, buckets: Int): Column = {
+  private[ops] def dsirBuckets(text: Column, buckets: Int): Column = {
     val feats = concat(TextAnalysis.ngramList(coalesce(text, lit("")), 1),
       TextAnalysis.ngramList(coalesce(text, lit("")), 2))
     transform(feats, w =>

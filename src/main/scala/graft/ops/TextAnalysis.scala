@@ -789,6 +789,96 @@ object TextAnalysis {
     when(best === 0, lit("und")).otherwise(dec)
   }
 
+  /** A trained one-vs-rest language model: a `weights(b)` log-odds
+    * table over hashed n-gram buckets plus a document log-prior —
+    * the fastText shape (linear scorer over hashed n-gram features)
+    * with a closed-form multinomial fit. */
+  case class LangIdModel(language: String, logPrior: Double, weights: Seq[Double])
+
+  /** Train one-vs-rest hashed-n-gram language classifiers from labeled
+    * examples — the upgrade path from the 4-marker [[langIdScores]]
+    * heuristic to a real N-language classifier: any language with
+    * labeled data gets a model, no hand-written marker lists.
+    *
+    * Features are the DSIR bucket hash (word unigrams + bigrams,
+    * md5-bucketed — engine-portable, so a DuckDB oracle replays
+    * training exactly). Per language ℓ the bucket weight is the
+    * Laplace-smoothed log-odds
+    * `ln((cℓ(b)+1)/(nℓ+B)) − ln((c¬ℓ(b)+1)/(n¬ℓ+B))` and the prior is
+    * `ln((docsℓ+1)/(docs+L))` — a multinomial naive-Bayes fit, i.e.
+    * the closed-form optimum of the generative objective, computed in
+    * ONE map-side-combined aggregate over (bucket, per-language
+    * counts) however large the labeled set is (the shuffle carries at
+    * most `buckets × partitions` counter cells). A discriminative
+    * refinement can run on top via [[Learn.fitLogistic]] over the same
+    * bucket features; the generative fit is the deterministic,
+    * oracle-replayable core. */
+  def langIdTrain(
+      labeled: DataFrame,
+      textCol: String,
+      labelCol: String,
+      languages: Seq[String],
+      buckets: Int = 256): Seq[LangIdModel] = {
+    require(languages.nonEmpty && languages.distinct == languages,
+      s"languages must be non-empty and distinct: $languages")
+    val fb = labeled.select(col(labelCol).as("__l"),
+      explode(Corpus.dsirBuckets(col(textCol), buckets)).as("__b"))
+    val perLang = languages.map(l =>
+      sum(when(col("__l") === l, 1L).otherwise(0L)).as(s"__c_$l"))
+    val rows = fb.groupBy(col("__b"))
+      .agg(perLang.head, (perLang.tail :+ count(lit(1)).as("__c_all")): _*)
+      .collect()
+    val counts = languages.map(_ => new Array[Long](buckets))
+    val all = new Array[Long](buckets)
+    rows.foreach { r =>
+      val b = r.getLong(0).toInt
+      languages.indices.foreach(i => counts(i)(b) = r.getLong(i + 1))
+      all(b) = r.getLong(languages.size + 1)
+    }
+    val docCounts = labeled.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docsTotal = docCounts.values.sum
+    val nAll = all.sum
+    languages.zipWithIndex.map { case (l, i) =>
+      val nL = counts(i).sum
+      val nOther = nAll - nL
+      val w = (0 until buckets).map { b =>
+        val cL = counts(i)(b)
+        val cOther = all(b) - cL
+        math.log((cL + 1.0) / (nL + buckets)) -
+          math.log((cOther + 1.0) / (nOther + buckets))
+      }
+      LangIdModel(l,
+        math.log((docCounts.getOrElse(l, 0L) + 1.0) / (docsTotal + languages.size)),
+        w)
+    }
+  }
+
+  /** Score + argmax columns for [[langIdTrain]] models: per language a
+    * `score_<lang>` column (prior + Σ bucket weights — the same
+    * zero-shuffle literal-table projection as DSIR scoring) and
+    * `predicted_lang` (ties resolve to the earlier model — fixed,
+    * engine-portable order). */
+  def langIdPredictTrained(
+      df: DataFrame, textCol: String, models: Seq[LangIdModel]): DataFrame = {
+    require(models.nonEmpty, "langIdPredictTrained needs at least one model")
+    val buckets = models.head.weights.size
+    val bs = Corpus.dsirBuckets(col(textCol), buckets)
+    val scored = models.foldLeft(df) { (acc, m) =>
+      val table = typedLit(m.weights)
+      acc.withColumn(s"score_${m.language}",
+        aggregate(bs, lit(m.logPrior),
+          (a, b) => a + element_at(table, (b + 1).cast("int"))))
+    }
+    val scores = models.map(m => col(s"score_${m.language}"))
+    val best = if (scores.size == 1) scores.head else greatest(scores: _*)
+    val pred = models.foldRight(lit(models.last.language): Column) { (m, rest) =>
+      when(col(s"score_${m.language}") === best, m.language).otherwise(rest)
+    }
+    scored.withColumn("predicted_lang", pred)
+  }
+
   /** Per-source corpus quality dashboard — the report a mixture owner
     * reads before deciding budgets: document counts, Gopher pass count,
     * C4 pass count, language share, token volume and corpus-level alpha

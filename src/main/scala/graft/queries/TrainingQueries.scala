@@ -20,6 +20,44 @@ object TrainingQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Labeled training sentences for `text_langid_trained` — DELIBERATELY
+    * unequal per-language counts (4/3/3/2) so no two one-vs-rest models
+    * are symmetric (even fully-OOV documents then score distinctly per
+    * language). ASCII-only so the fixture survives any JVM default
+    * encoding. Shared with the accuracy spec. */
+  val langIdTrainSet: Seq[(String, String)] = Seq(
+    "en" -> "the model learns language structure from data",
+    "en" -> "machine learning needs large amounts of text data",
+    "en" -> "we train a classifier on labeled examples",
+    "en" -> "the quick brown fox jumps over the lazy dog",
+    "de" -> "das modell lernt die struktur der sprache aus daten",
+    "de" -> "maschinelles lernen braucht grosse mengen an text",
+    "de" -> "wir trainieren einen klassifikator mit beispielen",
+    "fr" -> "le modele apprend la structure de la langue a partir des donnees",
+    "fr" -> "apprentissage automatique necessite beaucoup de texte",
+    "fr" -> "nous entrainons un classifieur sur des exemples annotes",
+    "es" -> "el modelo aprende la estructura del idioma a partir de los datos",
+    "es" -> "el aprendizaje automatico necesita grandes cantidades de texto")
+
+  /** Held-out sentences (never trained on) with their expected
+    * language — the spec asserts the trained models classify each
+    * correctly; the oracle replays the scores. */
+  val langIdHeldout: Seq[(Long, String)] = Seq(
+    -4L -> "el modelo necesita los datos",
+    -3L -> "la structure de la langue",
+    -2L -> "wir lernen aus daten und text",
+    -1L -> "the dog learns from labeled examples")
+
+  val langIdHeldoutExpected: Map[Long, String] =
+    Map(-4L -> "es", -3L -> "fr", -2L -> "de", -1L -> "en")
+
+  /** SQL VALUES fixtures generated from the shared rows (fixture and
+    * oracle can never drift; texts are ASCII with no quotes). */
+  private def langIdTrainVals: String =
+    langIdTrainSet.map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+  private def langIdHeldoutVals: String =
+    langIdHeldout.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+
   /** Documents plus planted near-duplicates: every doc_id % 5 == 0 row is
     * copied to doc_id+100000 with three extra trailing tokens, so
     * near-dup detectors have known ground truth at every scale factor. */
@@ -520,6 +558,34 @@ object TrainingQueries {
         .select(col("doc_id"), col("score_en"), col("score_de"),
           col("score_fr"), col("score_es"), col("predicted_lang"))
         .orderBy(col("doc_id"))),
+
+    // ── Text: TRAINED language ID — one-vs-rest hashed-n-gram models
+    // fit from planted labeled sentences (unequal per-language sizes so
+    // no two one-vs-rest models are symmetric), then scored over
+    // held-out planted sentences (negative ids — the accuracy check)
+    // plus a corpus slice. Training is ONE bucket-count aggregate;
+    // scoring is a zero-shuffle literal-table projection. The oracle
+    // replays the ENTIRE fit (same md5 bucket hash, same Laplace
+    // log-odds) in SQL. ─────────────────────────────────────────────────
+    "text_langid_trained" -> ((s, dir) => {
+      import s.implicits._
+      val models = TextAnalysis.langIdTrain(
+        TrainingQueries.langIdTrainSet.toDF("lang", "text"),
+        "text", "lang", Seq("en", "de", "fr", "es"), buckets = 256)
+      val heldout = TrainingQueries.langIdHeldout.toDF("doc_id", "text")
+      val test = Tables.documents(s, dir)
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .unionByName(heldout)
+      TextAnalysis.langIdPredictTrained(test, "text", models)
+        .select(col("doc_id"),
+          round(col("score_en"), 6).as("score_en"),
+          round(col("score_de"), 6).as("score_de"),
+          round(col("score_fr"), 6).as("score_fr"),
+          round(col("score_es"), 6).as("score_es"),
+          col("predicted_lang"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ── Text: token counting (whitespace + BPE-ish) ──────────────────────
     "text_token_count" -> ((s, dir) =>
@@ -2585,6 +2651,63 @@ object TrainingQueries {
         |      WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
         |      ELSE 'es' END AS predicted_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Full training replay: the same md5 bucket hash, Laplace log-odds
+    // and prior arithmetic as TextAnalysis.langIdTrain, over the SAME
+    // shared fixture rows (VALUES generated from langIdTrainSet /
+    // langIdHeldout so the two sides can never drift).
+    "text_langid_trained" ->
+      ("""WITH train(lang, text) AS (VALUES """ + langIdTrainVals + """),
+        |heldout(doc_id, text) AS (VALUES """ + langIdHeldoutVals + """),
+        |test AS (
+        | SELECT doc_id, coalesce(text, '') AS text FROM documents WHERE doc_id < 30
+        | UNION ALL SELECT doc_id, text FROM heldout),
+        |ttok AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS t FROM train),
+        |tfeat AS (
+        | SELECT lang, w FROM ttok, unnest(t) AS u(w)
+        | UNION ALL
+        | SELECT lang, t[i] || ' ' || t[i + 1] FROM ttok, unnest(range(1, len(t))) AS r(i)),
+        |tfb AS (SELECT lang, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 256 AS b FROM tfeat),
+        |cnt AS (SELECT b,
+        |  count(*) FILTER (WHERE lang = 'en') AS c_en,
+        |  count(*) FILTER (WHERE lang = 'de') AS c_de,
+        |  count(*) FILTER (WHERE lang = 'fr') AS c_fr,
+        |  count(*) FILTER (WHERE lang = 'es') AS c_es,
+        |  count(*) AS c_all
+        | FROM tfb GROUP BY b),
+        |tot AS (SELECT
+        |  count(*) FILTER (WHERE lang = 'en') AS n_en,
+        |  count(*) FILTER (WHERE lang = 'de') AS n_de,
+        |  count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+        |  count(*) FILTER (WHERE lang = 'es') AS n_es,
+        |  count(*) AS n_all FROM tfb),
+        |pri AS (SELECT
+        |  ln((count(*) FILTER (WHERE lang = 'en') + 1.0) / (count(*) + 4)) AS p_en,
+        |  ln((count(*) FILTER (WHERE lang = 'de') + 1.0) / (count(*) + 4)) AS p_de,
+        |  ln((count(*) FILTER (WHERE lang = 'fr') + 1.0) / (count(*) + 4)) AS p_fr,
+        |  ln((count(*) FILTER (WHERE lang = 'es') + 1.0) / (count(*) + 4)) AS p_es
+        | FROM train),
+        |qtok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM test),
+        |qfeat AS (
+        | SELECT doc_id, w FROM qtok, unnest(t) AS u(w)
+        | UNION ALL
+        | SELECT doc_id, t[i] || ' ' || t[i + 1] FROM qtok, unnest(range(1, len(t))) AS r(i)),
+        |qfb AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 256 AS b FROM qfeat),
+        |sc AS (SELECT doc_id,
+        |  max(p_en) + sum(ln((coalesce(c_en, 0) + 1.0) / (n_en + 256)) - ln((coalesce(c_all, 0) - coalesce(c_en, 0) + 1.0) / (n_all - n_en + 256))) AS s_en,
+        |  max(p_de) + sum(ln((coalesce(c_de, 0) + 1.0) / (n_de + 256)) - ln((coalesce(c_all, 0) - coalesce(c_de, 0) + 1.0) / (n_all - n_de + 256))) AS s_de,
+        |  max(p_fr) + sum(ln((coalesce(c_fr, 0) + 1.0) / (n_fr + 256)) - ln((coalesce(c_all, 0) - coalesce(c_fr, 0) + 1.0) / (n_all - n_fr + 256))) AS s_fr,
+        |  max(p_es) + sum(ln((coalesce(c_es, 0) + 1.0) / (n_es + 256)) - ln((coalesce(c_all, 0) - coalesce(c_es, 0) + 1.0) / (n_all - n_es + 256))) AS s_es
+        | FROM qfb LEFT JOIN cnt USING (b), tot, pri
+        | GROUP BY doc_id, n_en, n_de, n_fr, n_es, n_all)
+        |SELECT doc_id,
+        | round(s_en, 6) AS score_en, round(s_de, 6) AS score_de,
+        | round(s_fr, 6) AS score_fr, round(s_es, 6) AS score_es,
+        | CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |      WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |      ELSE 'es' END AS predicted_lang
+        |FROM sc ORDER BY doc_id""").stripMargin,
 
     "corpus_filter" ->
       """WITH all_docs AS (

@@ -264,6 +264,26 @@ class QualityRulesSpec extends SparkSpec {
     }
   }
 
+  test("trained langid: held-out sentences in all four languages classify correctly") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.TextAnalysis
+    import graft.queries.TrainingQueries
+    val models = TextAnalysis.langIdTrain(
+      TrainingQueries.langIdTrainSet.toDF("lang", "text"),
+      "text", "lang", Seq("en", "de", "fr", "es"), buckets = 256)
+    assert(models.map(_.language) == Seq("en", "de", "fr", "es"))
+    // unequal training sizes -> asymmetric priors and OOV constants
+    assert(models.map(_.logPrior).distinct.size == 3) // 4/3/3/2 docs
+    val got = TextAnalysis.langIdPredictTrained(
+        TrainingQueries.langIdHeldout.toDF("doc_id", "text"), "text", models)
+      .select("doc_id", "predicted_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    TrainingQueries.langIdHeldoutExpected.foreach { case (id, want) =>
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+  }
+
   // ── rrfFuse ───────────────────────────────────────────────────────────
 
   test("rrf: fused score is the sum of reciprocal ranks; singles keep one term") {
