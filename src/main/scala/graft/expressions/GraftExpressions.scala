@@ -474,6 +474,54 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Viterbi segmentation of one word under a unigram piece model:
+    * the piece sequence maximizing the left-to-right PRODUCT of piece
+    * probabilities, ties broken by fewer pieces then by the
+    * lexicographically smallest U+0001-joined path. Products of
+    * correctly-rounded doubles in a fixed association order are
+    * bitwise engine-portable (unlike sums of `ln`s), and the composite
+    * (score, count, path) order is prefix-stable, so a dynamic program
+    * here equals the full-enumeration argmax a SQL oracle computes.
+    * Returns null when the word cannot be covered by the table (a
+    * character outside the training alphabet). */
+  def unigramSegment(input: UTF8String, t: UnigramTable): ArrayData = {
+    val w = input.toString
+    val n = w.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val score = new Array[Double](n + 1)
+    val count = new Array[Int](n + 1)
+    val path = new Array[String](n + 1) // null = unreachable
+    score(0) = 1.0; count(0) = 0; path(0) = ""
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - t.maxLen)
+      while (i < j) {
+        if (path(i) != null) {
+          val p = t.probMap.get(w.substring(i, j))
+          if (p != null) {
+            val s = score(i) * p.doubleValue()
+            val k = count(i) + 1
+            val pp =
+              if (path(i).isEmpty) w.substring(i, j)
+              else path(i) + "\u0001" + w.substring(i, j)
+            val better = path(j) == null || s > score(j) ||
+              (s == score(j) && (k < count(j) ||
+                (k == count(j) && pp.compareTo(path(j)) < 0)))
+            if (better) { score(j) = s; count(j) = k; path(j) = pp }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    if (path(n) == null) return null
+    val pieces = path(n).split("\u0001")
+    val out = new Array[Any](pieces.length)
+    var k = 0
+    while (k < pieces.length) { out(k) = UTF8String.fromString(pieces(k)); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Total and distinct n-token shingle counts in one pass — the
     * repetition-ratio inputs (distinct/total is the Gopher-style
     * signal). Total counts duplicates: texts shorter than n tokens
@@ -1190,6 +1238,25 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String])
   def merged(i: Int): String = mergedArr(i)
 }
 
+/** The broadcast-able piece→probability table behind
+  * [[UnigramSegment]] / [[Kernels.unigramSegment]]: parallel
+  * piece/prob arrays, a lazily-rebuilt hash (transient — rebuilt per
+  * executor after deserialization), and the max piece length bounding
+  * the DP inner loop. */
+final class UnigramTable(val pieces: Array[String], val probs: Array[Double])
+  extends Serializable {
+  require(pieces.length == probs.length, "piece/prob arrays must align")
+  val size: Int = pieces.length
+  val maxLen: Int =
+    if (pieces.isEmpty) 0 else pieces.iterator.map(_.length).max
+  @transient lazy val probMap: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](size * 2)
+    var i = 0
+    while (i < size) { m.putIfAbsent(pieces(i), probs(i)); i += 1 }
+    m
+  }
+}
+
 /** Vocab-scale BPE apply ([[Kernels.bpeApply]]): tokenizes a document
   * with a learned merge list held as ONE reference object — plan depth
   * and codegen size are O(1) in merge count, versus the k nested
@@ -1217,6 +1284,43 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
       classOf[BpeTable].getName)
     defineCodeGen(ctx, ev, c =>
       s"graft.expressions.Kernels.bpeApply($c, $tRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Unigram-LM Viterbi segmentation ([[Kernels.unigramSegment]]): the
+  * piece table rides as ONE reference object (plan/codegen size O(1)
+  * in vocab size, the [[BpeApply]] discipline). Null for words the
+  * table cannot cover. */
+case class UnigramSegment(child: Expression, pieces: Seq[String],
+    probs: Seq[Double]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (pieces.length != probs.length)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs aligned piece/prob arrays " +
+          s"(${pieces.length} vs ${probs.length})")
+    else if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_unigram_segment"
+
+  @transient private lazy val table =
+    new UnigramTable(pieces.toArray, probs.toArray)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.unigramSegment(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("unigramTable", table,
+      classOf[UnigramTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.Kernels.unigramSegment($c, $tRef);
+      ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -1268,6 +1372,8 @@ object GraftExpressions {
     "graft_vec_q8_csv"   -> (es => VecQuant8Csv(es.head)),
     "graft_pq_encode"    -> (es => PqEncode(es.head, dlits(es(1)), lit(es(2)), lit(es(3)))),
     "graft_bpe_apply"    -> (es => BpeApply(es.head, lits(es(1)).zip(lits(es(2))))),
+    "graft_unigram_segment" -> (es =>
+      UnigramSegment(es.head, lits(es(1)), dlits(es(2)))),
     "graft_pq_adc"       -> (es => PqAdc(es.head, es(1), dlits(es(2)), lit(es(3)), lit(es(4)))),
     // Spark's own runtime-filter bloom expressions, surfaced under
     // graft names (they are not in the public registry): the standard

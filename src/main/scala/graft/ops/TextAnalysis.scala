@@ -789,6 +789,87 @@ object TextAnalysis {
     when(best === 0, lit("und")).otherwise(dec)
   }
 
+  /** SentencePiece-style unigram-LM tokenizer trainer (Kudo 2018's
+    * model, Viterbi-EM fit) — the other half of the tokenizer-training
+    * surface next to [[bpeTrain]]:
+    *
+    *  1. candidate pieces = every substring (≤ `maxPieceLen` chars,
+    *     with multiplicity) of the corpus words, counted in one
+    *     aggregate weighted by word frequency — single characters are
+    *     included by construction, so every corpus word stays coverable;
+    *  2. each EM round: piece probabilities are the Laplace-smoothed
+    *     `(count + 1) / (total + V)`, every DISTINCT word is re-segmented
+    *     by the Viterbi kernel ([[graft.expressions.UnigramSegment]] —
+    *     the piece table rides as one reference object, the `bpeApply`
+    *     plan discipline), and usage counts re-aggregate. Exactly ONE
+    *     action per round (the usage collect), mirroring `bpeTrain`'s
+    *     one-action-per-merge discipline; the E-step is distributed
+    *     over the words frame, the M-step is driver arithmetic.
+    *
+    * Engine-portability is designed in: segmentation maximizes the
+    * left-to-right PRODUCT of probabilities (products and divisions of
+    * doubles are correctly rounded — bitwise reproducible across
+    * engines, unlike sums of `ln`s), with ties broken by fewer pieces
+    * then lexicographic path, so a SQL oracle can replay the ENTIRE
+    * fit by exhaustive segmentation enumeration.
+    *
+    * 100 TB: the words frame is the DISTINCT vocabulary (Heaps-law
+    * sublinear in corpus size) built by one map-side-combined count;
+    * each round is one narrow kernel map over it plus one bounded
+    * aggregate. Corpus size only enters through the initial word count.
+    * Returns `(piece, n_uses, prob)` for pieces used in the final
+    * segmentation, ordered by (uses desc, piece). */
+  def unigramTrain(
+      docs: DataFrame, textCol: Column,
+      maxPieceLen: Int = 4,
+      iterations: Int = 2,
+      maxWordLen: Int = 16,
+      maxVocab: Int = 100000): Seq[(String, Long, Double)] = {
+    require(maxPieceLen >= 1 && iterations >= 1, "maxPieceLen and iterations must be >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val words = docs
+      .select(explode(split(trim(coalesce(textCol, lit(""))), "\\s+")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // candidate substrings WITH multiplicity ("aaa" counts "a" thrice),
+    // weighted by word frequency — one explode + one aggregate
+    val subs = flatten(transform(sequence(lit(1), length(col("w"))), i =>
+      transform(sequence(lit(0), least(length(col("w")) - i, lit(maxPieceLen - 1))),
+        l => col("w").substr(i, l + lit(1)))))
+    val cand = words.select(col("f"), explode(subs).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("c"))
+      .orderBy(col("piece"))
+      .collect()
+    require(cand.length <= maxVocab,
+      s"candidate vocabulary ${cand.length} exceeds maxVocab=$maxVocab " +
+        "(the piece table ships as a plan literal); raise maxVocab or lower maxPieceLen")
+    val pieces = cand.map(_.getString(0)).toSeq
+    val nV = pieces.size
+    var counts: Seq[Long] = cand.map(_.getLong(1)).toSeq
+    var total = counts.sum
+    var round = 0
+    while (round < iterations) {
+      val d = (total + nV).toDouble
+      val probs = counts.map(c => (c + 1.0) / d)
+      val seg = call_function("graft_unigram_segment", col("w"),
+        typedlit(pieces), typedlit(probs))
+      // ONE action per round: the usage collect (it also materializes
+      // nothing new — words stays pinned, the kernel map is stateless)
+      val useMap = words.select(col("f"), explode(seg).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("f")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts = pieces.map(p => useMap.getOrElse(p, 0L))
+      total = counts.sum
+      round += 1
+    }
+    words.unpersist()
+    val d = (total + nV).toDouble
+    pieces.zip(counts).filter(_._2 > 0L)
+      .map { case (p, c) => (p, c, (c + 1.0) / d) }
+      .sortBy { case (p, c, _) => (-c, p) }
+  }
+
   /** A trained one-vs-rest language model: a `weights(b)` log-odds
     * table over hashed n-gram buckets plus a document log-prior —
     * the fastText shape (linear scorer over hashed n-gram features)

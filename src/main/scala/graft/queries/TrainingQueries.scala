@@ -587,6 +587,22 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Text: unigram-LM tokenizer training (SentencePiece shape) —
+    // candidate substrings → 2 Viterbi-EM rounds (one distributed
+    // E-step action per round, driver M-step) → final piece vocab with
+    // usage counts and smoothed probs. Scores are PRODUCTS of exact
+    // ratios (no ln), ties fewest-pieces-then-lex, so the oracle
+    // replays the whole fit by exhaustive segmentation enumeration in
+    // two unrolled recursive CTEs. ──────────────────────────────────────
+    "text_unigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.unigramTrain(Tables.documents(s, dir), col("text"),
+          maxPieceLen = 4, iterations = 2)
+        .toDF("piece", "n_uses", "prob")
+        .select(col("piece"), col("n_uses"), round(col("prob"), 6).as("prob"))
+        .orderBy(col("n_uses").desc, col("piece"))
+    }),
+
     // ── Text: token counting (whitespace + BPE-ish) ──────────────────────
     "text_token_count" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -2651,6 +2667,67 @@ object TrainingQueries {
         |      WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
         |      ELSE 'es' END AS predicted_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Full unigram-LM training replay: same candidate enumeration,
+    // same Laplace ratios, and exhaustive segmentation enumeration per
+    // word (the Spark side's Viterbi DP equals this argmax because the
+    // (product-score, piece-count, lex-path) order is prefix-stable) —
+    // two EM rounds unrolled as two recursive CTEs.
+    "text_unigram_lm" ->
+      """WITH RECURSIVE
+        |words AS (
+        | SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'), x -> x <> '')) AS w
+        |  FROM documents) WHERE len(w) <= 16 GROUP BY w),
+        |cand AS (
+        | SELECT substr(w, i, l) AS piece, CAST(sum(f) AS BIGINT) AS c
+        | FROM words, unnest(range(1, len(w) + 1)) AS a(i), unnest([1, 2, 3, 4]) AS b(l)
+        | WHERE i + l - 1 <= len(w)
+        | GROUP BY 1),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cand),
+        |t0 AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM cand),
+        |p0 AS (SELECT piece, (c + 1.0) / (tot + v) AS p FROM cand, t0, nv),
+        |s1(w, pos, score, k, path) AS (
+        | SELECT w, 0, CAST(1.0 AS DOUBLE), 0, '' FROM words
+        | UNION ALL
+        | SELECT s1.w, s1.pos + len(p0.piece), s1.score * p0.p, s1.k + 1,
+        |  CASE WHEN s1.path = '' THEN p0.piece ELSE s1.path || chr(1) || p0.piece END
+        | FROM s1, unnest([1, 2, 3, 4]) AS e(l), p0
+        | WHERE s1.pos + l <= len(s1.w) AND p0.piece = substr(s1.w, s1.pos + 1, l)),
+        |seg1 AS (
+        | SELECT w, path FROM (
+        |  SELECT w, path, row_number() OVER (
+        |   PARTITION BY w ORDER BY score DESC, k ASC, path ASC) AS rn
+        |  FROM s1 WHERE pos = len(w)) WHERE rn = 1),
+        |u1 AS (
+        | SELECT piece, CAST(sum(f) AS BIGINT) AS c
+        | FROM seg1 JOIN words USING (w), unnest(string_split(path, chr(1))) AS x(piece)
+        | GROUP BY piece),
+        |c1 AS (SELECT cand.piece, CAST(coalesce(u1.c, 0) AS BIGINT) AS c
+        | FROM cand LEFT JOIN u1 ON cand.piece = u1.piece),
+        |t1 AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c1),
+        |p1 AS (SELECT piece, (c + 1.0) / (tot + v) AS p FROM c1, t1, nv),
+        |s2(w, pos, score, k, path) AS (
+        | SELECT w, 0, CAST(1.0 AS DOUBLE), 0, '' FROM words
+        | UNION ALL
+        | SELECT s2.w, s2.pos + len(p1.piece), s2.score * p1.p, s2.k + 1,
+        |  CASE WHEN s2.path = '' THEN p1.piece ELSE s2.path || chr(1) || p1.piece END
+        | FROM s2, unnest([1, 2, 3, 4]) AS e(l), p1
+        | WHERE s2.pos + l <= len(s2.w) AND p1.piece = substr(s2.w, s2.pos + 1, l)),
+        |seg2 AS (
+        | SELECT w, path FROM (
+        |  SELECT w, path, row_number() OVER (
+        |   PARTITION BY w ORDER BY score DESC, k ASC, path ASC) AS rn
+        |  FROM s2 WHERE pos = len(w)) WHERE rn = 1),
+        |u2 AS (
+        | SELECT piece, CAST(sum(f) AS BIGINT) AS c
+        | FROM seg2 JOIN words USING (w), unnest(string_split(path, chr(1))) AS x(piece)
+        | GROUP BY piece),
+        |t2 AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM u2)
+        |SELECT u2.piece, u2.c AS n_uses,
+        | round((u2.c + 1.0) / (t2.tot + nv.v), 6) AS prob
+        |FROM u2, t2, nv
+        |ORDER BY n_uses DESC, piece""".stripMargin,
 
     // Full training replay: the same md5 bucket hash, Laplace log-odds
     // and prior arithmetic as TextAnalysis.langIdTrain, over the SAME

@@ -1462,6 +1462,93 @@ class OpsSpec extends SparkSpec {
         s"marginal=$marginalPerRound vs one-round total=$j1")
   }
 
+  test("unigram lm: segmentation kernel equals the brute-force argmax; frequent words fuse") {
+    val s = spark
+    import s.implicits._
+    // 'alpha' dominates -> its long pieces win their substring mass;
+    // rare 'beta' decomposes over shared chars
+    val docs = Seq.tabulate(30)(i => (i.toLong, "alpha alpha beta")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.unigramTrain(docs, col("text"),
+      maxPieceLen = 4, iterations = 2)
+    val byPiece = vocab.map { case (p, c, _) => p -> c }.toMap
+    // 'beta' fits in one max-len piece: a single piece always beats any
+    // split (products of probabilities < each factor)
+    assert(byPiece.get("beta").contains(30L), s"vocab: $vocab")
+    // 'alpha' (5 chars > maxPieceLen) settles on exactly two pieces,
+    // each used once per occurrence (60), concatenating back to it
+    val alphaPieces = vocab.collect { case (p, 60L, _) => p }
+    assert(alphaPieces.map(_.length).sum == 5, s"vocab: $vocab")
+    assert(alphaPieces.forall("alpha".contains(_)))
+    // probs are the smoothed final-count ratios, all in (0, 1)
+    assert(vocab.forall { case (_, c, p) => c > 0 && p > 0.0 && p < 1.0 })
+
+    // kernel Viterbi equals an exhaustive enumeration under the same
+    // (product, count, lex-path) order for every corpus word
+    val words = Seq("alpha", "beta")
+    val cand = words.flatMap(w =>
+      (0 until w.length).flatMap(i =>
+        (1 to math.min(4, w.length - i)).map(l => w.substring(i, i + l))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val d = (cand.values.sum + cand.size).toDouble
+    val probs = cand.toSeq.sortBy(_._1)
+    val pieceArr = probs.map(_._1)
+    val probArr = probs.map { case (_, c) => (c + 1.0) / d }
+    val pMap = pieceArr.zip(probArr).toMap
+    def brute(w: String): Seq[String] = {
+      def rec(i: Int): Seq[Seq[String]] =
+        if (i == w.length) Seq(Nil)
+        else (1 to math.min(4, w.length - i)).flatMap { l =>
+          val piece = w.substring(i, i + l)
+          if (pMap.contains(piece)) rec(i + l).map(piece +: _) else Nil
+        }
+      rec(0).map { seg =>
+        (seg.foldLeft(1.0)(_ * pMap(_)), seg.size, seg.mkString("\u0001"))
+      }.minBy { case (sc, k, path) => (-sc, k, path) }._3.split("\u0001").toSeq
+    }
+    val got = words.toDF("w")
+      .select(col("w"), call_function("graft_unigram_segment", col("w"),
+        typedlit(pieceArr), typedlit(probArr)).as("seg"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach(w => assert(got(w) == brute(w), s"$w: ${got(w)} vs ${brute(w)}"))
+    // uncoverable word -> null (char outside the table)
+    val un = Seq("zq").toDF("w")
+      .select(call_function("graft_unigram_segment", col("w"),
+        typedlit(pieceArr), typedlit(probArr)))
+      .collect().head
+    assert(un.isNullAt(0))
+  }
+
+  test("unigram lm: one action per EM round — no dedicated materializer job") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq.tabulate(20)(i => (i.toLong, "gamma delta gamma")).toDF("doc_id", "text")
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      s.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(1500) }
+      finally s.sparkContext.removeSparkListener(listener)
+      n.get()
+    }
+    val j1 = jobsDuring {
+      TextAnalysis.unigramTrain(docs, col("text"), iterations = 1)
+    }
+    val j3 = jobsDuring {
+      TextAnalysis.unigramTrain(docs, col("text"), iterations = 3)
+    }
+    val marginalPerRound = (j3 - j1) / 2.0
+    assert(marginalPerRound >= 1.0,
+      s"each round must run its usage collect: marginal=$marginalPerRound")
+    assert(marginalPerRound <= j1,
+      s"a round must cost ONE action (usage collect), not collect+" +
+        s"materializer: marginal=$marginalPerRound vs one-round total=$j1")
+  }
+
   test("containment: fragment-in-document found at 1.0 where Jaccard misses it") {
     val s = spark
     import s.implicits._
