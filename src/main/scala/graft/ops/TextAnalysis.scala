@@ -870,6 +870,36 @@ object TextAnalysis {
       .sortBy { case (p, c, _) => (-c, p) }
   }
 
+  /** Tokenize documents with a trained unigram-LM vocabulary — the
+    * ENCODE half next to [[unigramTrain]] (the [[bpeEncode]] symmetry):
+    * whitespace words each segment through the Viterbi kernel, with the
+    * UNK rule that a word the vocabulary cannot cover — or one past
+    * `maxWordLen`, which training never saw — stays whole as a single
+    * piece. Adds `unigram_tokens` (flattened piece array) and
+    * `n_unigram_tokens`.
+    *
+    * 100 TB: one narrow projection; the piece table rides as one
+    * reference object per kernel call (plan size O(1) in vocab), so the
+    * encode lives in the scan projection and composes with
+    * pushdown/streaming exactly like [[bpeEncode]]. */
+  def unigramEncode(
+      df: DataFrame, textCol: Column,
+      vocab: Seq[(String, Double)],
+      maxWordLen: Int = 16): DataFrame = {
+    val pieces = vocab.map(_._1)
+    val probs = vocab.map(_._2)
+    val words = filter(split(trim(coalesce(textCol, lit(""))), "\\s+"),
+      w => w =!= "")
+    val toks = flatten(transform(words, w =>
+      when(length(w) > maxWordLen, array(w)).otherwise(
+        coalesce(
+          call_function("graft_unigram_segment", w,
+            typedlit(pieces), typedlit(probs)),
+          array(w)))))
+    df.withColumn("unigram_tokens", toks)
+      .withColumn("n_unigram_tokens", size(col("unigram_tokens")).cast("long"))
+  }
+
   /** A trained one-vs-rest language model: a `weights(b)` log-odds
     * table over hashed n-gram buckets plus a document log-prior —
     * the fastText shape (linear scorer over hashed n-gram features)

@@ -58,6 +58,65 @@ object TrainingQueries {
   private def langIdHeldoutVals: String =
     langIdHeldout.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
 
+  /** Shared unigram-LM training replay (candidates → 2 unrolled
+    * Viterbi-EM rounds; `u2`/`t2`/`nv` are the final usage counts,
+    * total, and candidate-vocab size) — the common prefix of the
+    * `text_unigram_lm` and `text_unigram_encode` oracles. The DOUBLE
+    * cast on the recursion anchors is load-bearing: a bare 1.0 types
+    * as DECIMAL(2,1) in DuckDB and silently truncates every product
+    * score to one decimal place. */
+  private val unigramTrainCte: String =
+    """WITH RECURSIVE
+      |words AS (
+      | SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+      |  SELECT unnest(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'), x -> x <> '')) AS w
+      |  FROM documents) WHERE len(w) <= 16 GROUP BY w),
+      |cand AS (
+      | SELECT substr(w, i, l) AS piece, CAST(sum(f) AS BIGINT) AS c
+      | FROM words, unnest(range(1, len(w) + 1)) AS a(i), unnest([1, 2, 3, 4]) AS b(l)
+      | WHERE i + l - 1 <= len(w)
+      | GROUP BY 1),
+      |nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cand),
+      |t0 AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM cand),
+      |p0 AS (SELECT piece, (c + 1.0) / (tot + v) AS p FROM cand, t0, nv),
+      |s1(w, pos, score, k, path) AS (
+      | SELECT w, 0, CAST(1.0 AS DOUBLE), 0, '' FROM words
+      | UNION ALL
+      | SELECT s1.w, s1.pos + len(p0.piece), s1.score * p0.p, s1.k + 1,
+      |  CASE WHEN s1.path = '' THEN p0.piece ELSE s1.path || chr(1) || p0.piece END
+      | FROM s1, unnest([1, 2, 3, 4]) AS e(l), p0
+      | WHERE s1.pos + l <= len(s1.w) AND p0.piece = substr(s1.w, s1.pos + 1, l)),
+      |seg1 AS (
+      | SELECT w, path FROM (
+      |  SELECT w, path, row_number() OVER (
+      |   PARTITION BY w ORDER BY score DESC, k ASC, path ASC) AS rn
+      |  FROM s1 WHERE pos = len(w)) WHERE rn = 1),
+      |u1 AS (
+      | SELECT piece, CAST(sum(f) AS BIGINT) AS c
+      | FROM seg1 JOIN words USING (w), unnest(string_split(path, chr(1))) AS x(piece)
+      | GROUP BY piece),
+      |c1 AS (SELECT cand.piece, CAST(coalesce(u1.c, 0) AS BIGINT) AS c
+      | FROM cand LEFT JOIN u1 ON cand.piece = u1.piece),
+      |t1 AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c1),
+      |p1 AS (SELECT piece, (c + 1.0) / (tot + v) AS p FROM c1, t1, nv),
+      |s2(w, pos, score, k, path) AS (
+      | SELECT w, 0, CAST(1.0 AS DOUBLE), 0, '' FROM words
+      | UNION ALL
+      | SELECT s2.w, s2.pos + len(p1.piece), s2.score * p1.p, s2.k + 1,
+      |  CASE WHEN s2.path = '' THEN p1.piece ELSE s2.path || chr(1) || p1.piece END
+      | FROM s2, unnest([1, 2, 3, 4]) AS e(l), p1
+      | WHERE s2.pos + l <= len(s2.w) AND p1.piece = substr(s2.w, s2.pos + 1, l)),
+      |seg2 AS (
+      | SELECT w, path FROM (
+      |  SELECT w, path, row_number() OVER (
+      |   PARTITION BY w ORDER BY score DESC, k ASC, path ASC) AS rn
+      |  FROM s2 WHERE pos = len(w)) WHERE rn = 1),
+      |u2 AS (
+      | SELECT piece, CAST(sum(f) AS BIGINT) AS c
+      | FROM seg2 JOIN words USING (w), unnest(string_split(path, chr(1))) AS x(piece)
+      | GROUP BY piece),
+      |t2 AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM u2)""".stripMargin
+
   /** Documents plus planted near-duplicates: every doc_id % 5 == 0 row is
     * copied to doc_id+100000 with three extra trailing tokens, so
     * near-dup detectors have known ground truth at every scale factor. */
@@ -601,6 +660,21 @@ object TrainingQueries {
         .toDF("piece", "n_uses", "prob")
         .select(col("piece"), col("n_uses"), round(col("prob"), 6).as("prob"))
         .orderBy(col("n_uses").desc, col("piece"))
+    }),
+
+    // ── Text: unigram-LM ENCODE — train (as above), PRUNE to the used
+    // vocab, tokenize every document with the Viterbi kernel. UNK rule:
+    // a word the pruned vocab cannot cover, or one past maxWordLen,
+    // stays whole as one piece. The oracle replays train + prune + a
+    // third enumeration round under the pruned vocab. ───────────────────
+    "text_unigram_encode" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val vocab = TextAnalysis.unigramTrain(d, col("text"),
+        maxPieceLen = 4, iterations = 2)
+      TextAnalysis.unigramEncode(d, col("text"),
+          vocab.map { case (p, _, pr) => (p, pr) })
+        .select(col("doc_id"), col("n_unigram_tokens"))
+        .orderBy(col("doc_id"))
     }),
 
     // ── Text: token counting (whitespace + BPE-ish) ──────────────────────
@@ -2674,60 +2748,42 @@ object TrainingQueries {
     // (product-score, piece-count, lex-path) order is prefix-stable) —
     // two EM rounds unrolled as two recursive CTEs.
     "text_unigram_lm" ->
-      """WITH RECURSIVE
-        |words AS (
-        | SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
-        |  SELECT unnest(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'), x -> x <> '')) AS w
-        |  FROM documents) WHERE len(w) <= 16 GROUP BY w),
-        |cand AS (
-        | SELECT substr(w, i, l) AS piece, CAST(sum(f) AS BIGINT) AS c
-        | FROM words, unnest(range(1, len(w) + 1)) AS a(i), unnest([1, 2, 3, 4]) AS b(l)
-        | WHERE i + l - 1 <= len(w)
-        | GROUP BY 1),
-        |nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cand),
-        |t0 AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM cand),
-        |p0 AS (SELECT piece, (c + 1.0) / (tot + v) AS p FROM cand, t0, nv),
-        |s1(w, pos, score, k, path) AS (
-        | SELECT w, 0, CAST(1.0 AS DOUBLE), 0, '' FROM words
-        | UNION ALL
-        | SELECT s1.w, s1.pos + len(p0.piece), s1.score * p0.p, s1.k + 1,
-        |  CASE WHEN s1.path = '' THEN p0.piece ELSE s1.path || chr(1) || p0.piece END
-        | FROM s1, unnest([1, 2, 3, 4]) AS e(l), p0
-        | WHERE s1.pos + l <= len(s1.w) AND p0.piece = substr(s1.w, s1.pos + 1, l)),
-        |seg1 AS (
-        | SELECT w, path FROM (
-        |  SELECT w, path, row_number() OVER (
-        |   PARTITION BY w ORDER BY score DESC, k ASC, path ASC) AS rn
-        |  FROM s1 WHERE pos = len(w)) WHERE rn = 1),
-        |u1 AS (
-        | SELECT piece, CAST(sum(f) AS BIGINT) AS c
-        | FROM seg1 JOIN words USING (w), unnest(string_split(path, chr(1))) AS x(piece)
-        | GROUP BY piece),
-        |c1 AS (SELECT cand.piece, CAST(coalesce(u1.c, 0) AS BIGINT) AS c
-        | FROM cand LEFT JOIN u1 ON cand.piece = u1.piece),
-        |t1 AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c1),
-        |p1 AS (SELECT piece, (c + 1.0) / (tot + v) AS p FROM c1, t1, nv),
-        |s2(w, pos, score, k, path) AS (
-        | SELECT w, 0, CAST(1.0 AS DOUBLE), 0, '' FROM words
-        | UNION ALL
-        | SELECT s2.w, s2.pos + len(p1.piece), s2.score * p1.p, s2.k + 1,
-        |  CASE WHEN s2.path = '' THEN p1.piece ELSE s2.path || chr(1) || p1.piece END
-        | FROM s2, unnest([1, 2, 3, 4]) AS e(l), p1
-        | WHERE s2.pos + l <= len(s2.w) AND p1.piece = substr(s2.w, s2.pos + 1, l)),
-        |seg2 AS (
-        | SELECT w, path FROM (
-        |  SELECT w, path, row_number() OVER (
-        |   PARTITION BY w ORDER BY score DESC, k ASC, path ASC) AS rn
-        |  FROM s2 WHERE pos = len(w)) WHERE rn = 1),
-        |u2 AS (
-        | SELECT piece, CAST(sum(f) AS BIGINT) AS c
-        | FROM seg2 JOIN words USING (w), unnest(string_split(path, chr(1))) AS x(piece)
-        | GROUP BY piece),
-        |t2 AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM u2)
+      (unigramTrainCte +
+        """
         |SELECT u2.piece, u2.c AS n_uses,
         | round((u2.c + 1.0) / (t2.tot + nv.v), 6) AS prob
         |FROM u2, t2, nv
-        |ORDER BY n_uses DESC, piece""".stripMargin,
+        |ORDER BY n_uses DESC, piece""").stripMargin,
+
+    // Train + prune + a THIRD enumeration round under the pruned vocab
+    // (probs = final smoothed ratios); per-document piece counts join
+    // each document token to its word's segmentation, UNK (uncoverable
+    // or >16 chars — never in `words`) counting 1 via the LEFT JOIN.
+    "text_unigram_encode" ->
+      (unigramTrainCte +
+        """,
+        |p2 AS (SELECT u2.piece, (u2.c + 1.0) / (t2.tot + nv.v) AS p FROM u2, t2, nv),
+        |s3(w, pos, score, k, path) AS (
+        | SELECT w, 0, CAST(1.0 AS DOUBLE), 0, '' FROM words
+        | UNION ALL
+        | SELECT s3.w, s3.pos + len(p2.piece), s3.score * p2.p, s3.k + 1,
+        |  CASE WHEN s3.path = '' THEN p2.piece ELSE s3.path || chr(1) || p2.piece END
+        | FROM s3, unnest([1, 2, 3, 4]) AS e(l), p2
+        | WHERE s3.pos + l <= len(s3.w) AND p2.piece = substr(s3.w, s3.pos + 1, l)),
+        |seg3 AS (
+        | SELECT w, k FROM (
+        |  SELECT w, k, row_number() OVER (
+        |   PARTITION BY w ORDER BY score DESC, k ASC, path ASC) AS rn
+        |  FROM s3 WHERE pos = len(w)) WHERE rn = 1),
+        |doctok AS (
+        | SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'), x -> x <> '')) AS w
+        | FROM documents),
+        |perdoc AS (
+        | SELECT doc_id, CAST(sum(coalesce(seg3.k, 1)) AS BIGINT) AS n
+        | FROM doctok LEFT JOIN seg3 USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(perdoc.n, 0) AS BIGINT) AS n_unigram_tokens
+        |FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+        |ORDER BY d.doc_id""").stripMargin,
 
     // Full training replay: the same md5 bucket hash, Laplace log-odds
     // and prior arithmetic as TextAnalysis.langIdTrain, over the SAME

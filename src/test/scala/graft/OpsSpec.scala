@@ -1518,6 +1518,31 @@ class OpsSpec extends SparkSpec {
     assert(un.isNullAt(0))
   }
 
+  test("unigram lm: encode applies the pruned vocab; UNK words stay whole; empty/null -> 0") {
+    val s = spark
+    import s.implicits._
+    val train = Seq.tabulate(10)(i => (i.toLong, "alpha alpha beta")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.unigramTrain(train, col("text"),
+      maxPieceLen = 4, iterations = 2)
+    val pv = vocab.map { case (p, _, pr) => (p, pr) }
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "zzz alpha"),          // 'z' not in the vocab -> UNK whole
+      (3L, ""), (4L, null.asInstanceOf[String]),
+      (5L, "a" * 20)              // > maxWordLen -> UNK whole even if coverable
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramEncode(docs, col("text"), pv)
+      .select(col("doc_id"), col("unigram_tokens"), col("n_unigram_tokens"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2)))).toMap
+    // every word's pieces concatenate back to the word (lossless)
+    assert(got(1L)._1.mkString == "alphabeta")
+    assert(got(1L)._2 >= 2L) // alpha (5 chars > maxPieceLen) is >= 2 pieces
+    assert(got(2L)._1.contains("zzz"), s"got ${got(2L)._1}")
+    assert(got(3L) == ((Seq.empty[String], 0L)))
+    assert(got(4L) == ((Seq.empty[String], 0L)))
+    assert(got(5L)._1 == Seq("a" * 20))
+  }
+
   test("unigram lm: one action per EM round — no dedicated materializer job") {
     val s = spark
     import s.implicits._
