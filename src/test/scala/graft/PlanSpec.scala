@@ -110,6 +110,22 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllMatchIn(p).size == 1, p)
   }
 
+  test("unigram encode: tokenization is one kernel projection — no agg, no join, only the sort exchange") {
+    val p = plan("text_unigram_encode")
+    // training ran its bounded EM actions at construction; the ENCODE
+    // plan must be scan → (per-word Viterbi-kernel projection) → sort
+    assert(!p.contains("HashAggregate"), s"aggregate leaked into encode\n$p")
+    assert(!p.contains("Join"), s"join leaked into encode\n$p")
+    assert("Exchange".r.findAllMatchIn(p).size == 1, p)
+  }
+
+  test("trained langid: scoring is a zero-shuffle literal-table projection (only the sort exchange)") {
+    val p = plan("text_langid_trained")
+    assert(!p.contains("HashAggregate"), s"aggregate leaked into scoring\n$p")
+    assert(!p.contains("Join"), s"join leaked into scoring\n$p")
+    assert("Exchange".r.findAllMatchIn(p).size == 1, p)
+  }
+
   test("temperature mixture: the sample is a narrow filter — no join, only the sort exchange") {
     val p = plan("corpus_mix_temperature")
     // per-source totals were collected at construction; the returned

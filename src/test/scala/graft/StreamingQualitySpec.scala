@@ -112,4 +112,29 @@ class StreamingQualitySpec extends SparkSpec {
         s"target-like doc must outscore off-target on the stream: $w")
     } finally q.stop()
   }
+
+  test("trained langid scores a stream at ingestion — stateless, held-out accuracy holds") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val models = TextAnalysis.langIdTrain(
+      graft.queries.TrainingQueries.langIdTrainSet.toDF("lang", "text"),
+      "text", "lang", Seq("en", "de", "fr", "es"), buckets = 256)
+    val in = MemoryStream[(Long, String)]
+    val q = TextAnalysis.langIdPredictTrained(
+        in.toDF().toDF("id", "text"), "text", models)
+      .select(col("id"), col("predicted_lang"))
+      .writeStream.format("memory").queryName("langid_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      graft.queries.TrainingQueries.langIdHeldout
+        .foreach { case (id, t) => in.addData(id -> t) }
+      q.processAllAvailable()
+      val got = s.sql("SELECT id, predicted_lang FROM langid_stream")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      graft.queries.TrainingQueries.langIdHeldoutExpected.foreach {
+        case (id, want) => assert(got(id) == want, s"doc $id: $got")
+      }
+    } finally q.stop()
+  }
 }
