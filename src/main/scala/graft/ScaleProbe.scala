@@ -70,7 +70,14 @@ object ScaleProbe {
       "fused kernel call per candidate - no per-pair array materialization"),
     "corpus_pack_bins" -> ("linear: one narrow token-count map + one shard exchange + " +
       "an O(1)-memory sequential pass per shard; rows carry (id, shard, n_tokens) only, " +
-      "never text, and parallelism is the shard count (a free parameter)"))
+      "never text, and parallelism is the shard count (a free parameter)"),
+    "text_unigram_lm" -> ("sublinear: the corpus enters ONLY through the distinct-word " +
+      "frequency count (one map-side-combined aggregate); candidates, EM rounds and the " +
+      "vocab are functions of the distinct vocabulary, which grows Heaps-law slowly " +
+      "(here: the per-copy token salt multiplies it by N, the worst case)"),
+    "text_unigram_encode" -> ("linear: train as above, then ONE narrow kernel projection " +
+      "over every document; the piece table rides as a single reference object, so plan " +
+      "size is O(1) in vocab and the encode composes with scan pushdown"))
 
   /** Materialize `copies` divergent copies of documents + embeddings
     * from `srcDir` into `outDir` (see class doc for the divergence

@@ -832,42 +832,43 @@ object TextAnalysis {
       .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    // candidate substrings WITH multiplicity ("aaa" counts "a" thrice),
-    // weighted by word frequency — one explode + one aggregate
-    val subs = flatten(transform(sequence(lit(1), length(col("w"))), i =>
-      transform(sequence(lit(0), least(length(col("w")) - i, lit(maxPieceLen - 1))),
-        l => col("w").substr(i, l + lit(1)))))
-    val cand = words.select(col("f"), explode(subs).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("f")).as("c"))
-      .orderBy(col("piece"))
-      .collect()
-    require(cand.length <= maxVocab,
-      s"candidate vocabulary ${cand.length} exceeds maxVocab=$maxVocab " +
-        "(the piece table ships as a plan literal); raise maxVocab or lower maxPieceLen")
-    val pieces = cand.map(_.getString(0)).toSeq
-    val nV = pieces.size
-    var counts: Seq[Long] = cand.map(_.getLong(1)).toSeq
-    var total = counts.sum
-    var round = 0
-    while (round < iterations) {
-      val d = (total + nV).toDouble
-      val probs = counts.map(c => (c + 1.0) / d)
-      val seg = call_function("graft_unigram_segment", col("w"),
-        typedlit(pieces), typedlit(probs))
-      // ONE action per round: the usage collect (it also materializes
-      // nothing new — words stays pinned, the kernel map is stateless)
-      val useMap = words.select(col("f"), explode(seg).as("piece"))
+    try {
+      // candidate substrings WITH multiplicity ("aaa" counts "a" thrice),
+      // weighted by word frequency — one explode + one aggregate
+      val subs = flatten(transform(sequence(lit(1), length(col("w"))), i =>
+        transform(sequence(lit(0), least(length(col("w")) - i, lit(maxPieceLen - 1))),
+          l => col("w").substr(i, l + lit(1)))))
+      val cand = words.select(col("f"), explode(subs).as("piece"))
         .groupBy(col("piece")).agg(sum(col("f")).as("c"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      counts = pieces.map(p => useMap.getOrElse(p, 0L))
-      total = counts.sum
-      round += 1
-    }
-    words.unpersist()
-    val d = (total + nV).toDouble
-    pieces.zip(counts).filter(_._2 > 0L)
-      .map { case (p, c) => (p, c, (c + 1.0) / d) }
-      .sortBy { case (p, c, _) => (-c, p) }
+        .orderBy(col("piece"))
+        .collect()
+      require(cand.length <= maxVocab,
+        s"candidate vocabulary ${cand.length} exceeds maxVocab=$maxVocab " +
+          "(the piece table ships as a plan literal); raise maxVocab or lower maxPieceLen")
+      val pieces = cand.map(_.getString(0)).toSeq
+      val nV = pieces.size
+      var counts: Seq[Long] = cand.map(_.getLong(1)).toSeq
+      var total = counts.sum
+      var round = 0
+      while (round < iterations) {
+        val d = (total + nV).toDouble
+        val probs = counts.map(c => (c + 1.0) / d)
+        val seg = call_function("graft_unigram_segment", col("w"),
+          typedlit(pieces), typedlit(probs))
+        // ONE action per round: the usage collect (it also materializes
+        // nothing new — words stays pinned, the kernel map is stateless)
+        val useMap = words.select(col("f"), explode(seg).as("piece"))
+          .groupBy(col("piece")).agg(sum(col("f")).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        counts = pieces.map(p => useMap.getOrElse(p, 0L))
+        total = counts.sum
+        round += 1
+      }
+      val d = (total + nV).toDouble
+      pieces.zip(counts).filter(_._2 > 0L)
+        .map { case (p, c) => (p, c, (c + 1.0) / d) }
+        .sortBy { case (p, c, _) => (-c, p) }
+    } finally words.unpersist()
   }
 
   /** Tokenize documents with a trained unigram-LM vocabulary — the
@@ -974,6 +975,10 @@ object TextAnalysis {
   def langIdPredictTrained(
       df: DataFrame, textCol: String, models: Seq[LangIdModel]): DataFrame = {
     require(models.nonEmpty, "langIdPredictTrained needs at least one model")
+    require(models.map(_.language).distinct.size == models.size,
+      s"duplicate model languages: ${models.map(_.language)}")
+    require(models.forall(_.weights.size == models.head.weights.size),
+      "all models must share one bucket count (one hash per document)")
     val buckets = models.head.weights.size
     val bs = Corpus.dsirBuckets(col(textCol), buckets)
     val scored = models.foldLeft(df) { (acc, m) =>

@@ -99,8 +99,15 @@ class JdbcStateTable(
     val conn = connectionFactory()
     try {
       conn.setAutoCommit(false)
-      val out = body(conn)
-      out
+      try body(conn)
+      catch {
+        case e: Throwable =>
+          // explicit rollback: JDBC leaves close-with-open-transaction
+          // behavior to the driver, and a driver that commits on close
+          // would turn a failed half-bound batch into committed state
+          try conn.rollback() catch { case _: Throwable => () }
+          throw e
+      }
     } finally conn.close()
   }
 
@@ -226,7 +233,12 @@ class JdbcStateTable(
 
   /** D1: per-row full-tuple conditional delete; the per-statement
     * update counts from the driver ARE the survivor report (a row whose
-    * stored tuple changed deletes 0 rows — ST5), so no second query. */
+    * stored tuple changed deletes 0 rows — ST5), so no second query.
+    *
+    * `processed` must be tuple-unique (the queue contract — it is a
+    * drained keyed batch): a duplicated tuple would count its second
+    * copy as a survivor here, where the dataframe-side
+    * `StateOps.deleteIfUnmodified` anti-join would not. */
   override def deleteWhereUnmodified(processed: DataFrame): Long = {
     val rows = collectBounded(processed, "deleteWhereUnmodified")
     if (rows.isEmpty) 0L
@@ -242,6 +254,12 @@ class JdbcStateTable(
           ps.addBatch()
         }
         val counts = ps.executeBatch()
+        // a driver answering SUCCESS_NO_INFO would make the survivor
+        // count silently wrong — fail loudly instead (ST5 is a
+        // correctness contract, not best-effort)
+        require(counts.forall(_ >= 0),
+          s"JDBC driver returned SUCCESS_NO_INFO for batched deletes on " +
+            s"$table; deleteWhereUnmodified needs real update counts")
         conn.commit()
         counts.count(_ == 0).toLong
       } finally ps.close()
@@ -263,18 +281,23 @@ class JdbcStateTable(
       val check = conn.prepareStatement(
         s"SELECT 1 FROM ${q(markerTable)} WHERE " +
           "\"stream_scope\" = ? AND \"batch_id\" = ?")
-      check.setString(1, streamScope)
-      check.setLong(2, batchId)
-      val seen = { val rs = check.executeQuery(); rs.next() }
+      val seen = try {
+        check.setString(1, streamScope)
+        check.setLong(2, batchId)
+        val rs = check.executeQuery()
+        try rs.next() finally rs.close()
+      } finally check.close()
       if (seen) { conn.commit(); false }
       else {
         if (rows.nonEmpty) upsertRows(conn, rows)
         val mark = conn.prepareStatement(
           s"INSERT INTO ${q(markerTable)} " +
             "(\"stream_scope\", \"batch_id\") VALUES (?, ?)")
-        mark.setString(1, streamScope)
-        mark.setLong(2, batchId)
-        mark.executeUpdate()
+        try {
+          mark.setString(1, streamScope)
+          mark.setLong(2, batchId)
+          mark.executeUpdate()
+        } finally mark.close()
         conn.commit()
         true
       }
