@@ -1542,6 +1542,37 @@ object TrainingQueries {
         .toDF("grad_alpha", "grad_lntok", "grad_rep", "grad_bias", "n_rows")
     }),
 
+    // ── ML: one K-class softmax gradient over document features — the
+    // multiclass twin of ml_logreg_grad (3 classes from lang, 2
+    // features, fixed literal weights): one map-side-combined aggregate
+    // carrying K·(F+1)+1 partial sums. Max-shifted softmax; the oracle
+    // mirrors the exact fold association. ───────────────────────────────
+    "ml_softmax_grad" -> ((s, dir) => {
+      val m = graft.ops.TextAnalysis.metrics(col("text"))
+      val feats = Tables.documents(s, dir).select(
+        (m.getField("alpha_chars") * lit(1.0) /
+          nullif(m.getField("n_chars"), lit(0L))).as("x_alpha"),
+        log(lit(1.0) + m.getField("n_tokens")).as("x_lntok"),
+        when(col("lang") === "en", "en")
+          .when(col("lang") === "de", "de")
+          .otherwise("xx").as("label"))
+      val (gw, gb, n) = graft.ops.Learn.softmaxGradient(
+        feats, Seq("x_alpha", "x_lntok"), "label",
+        classes = Seq("en", "de", "xx"),
+        weights = Seq(Seq(0.8, -0.1), Seq(-0.3, 0.2), Seq(0.1, 0.05)),
+        biases = Seq(0.2, -0.1, 0.0))
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      import s.implicits._
+      Seq((r6(gw(0)(0)), r6(gw(0)(1)), r6(gb(0)),
+        r6(gw(1)(0)), r6(gw(1)(1)), r6(gb(1)),
+        r6(gw(2)(0)), r6(gw(2)(1)), r6(gb(2)), n))
+        .toDF("g_en_alpha", "g_en_lntok", "g_en_bias",
+          "g_de_alpha", "g_de_lntok", "g_de_bias",
+          "g_xx_alpha", "g_xx_lntok", "g_xx_bias", "n_rows")
+    }),
+
     // ── Events: trending types per hour window — the windowed top-k
     // dashboard shape (map-side-combined hourly counts, then a rank
     // whose ≤3 bound pushes a partial WindowGroupLimit). ────────────────
@@ -3829,6 +3860,45 @@ object TrainingQueries {
         | round(avg(r * x2), 6) AS grad_lntok,
         | round(avg(r * x3), 6) AS grad_rep,
         | round(avg(r), 6) AS grad_bias,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM c""".stripMargin,
+
+    // Mirrors Learn.softmaxGradient's exact association: z folds
+    // bias-first then features, softmax max-shifts before exp, the
+    // denominator sums left-to-right.
+    "ml_softmax_grad" ->
+      """WITH toks AS (
+        | SELECT text, lang, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |f AS (SELECT
+        |  length(regexp_replace(text, '[^\p{L}]', '', 'g')) * 1.0 / nullif(length(text), 0) AS x1,
+        |  ln(1.0 + len(t)) AS x2,
+        |  CASE WHEN lang = 'en' THEN 'en' WHEN lang = 'de' THEN 'de' ELSE 'xx' END AS y
+        | FROM toks),
+        |z AS (SELECT x1, x2, y,
+        |  ((0.2 + (x1 * 0.8)) + (x2 * -0.1)) AS z1,
+        |  ((-0.1 + (x1 * -0.3)) + (x2 * 0.2)) AS z2,
+        |  ((0.0 + (x1 * 0.1)) + (x2 * 0.05)) AS z3
+        | FROM f WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND y IS NOT NULL),
+        |e AS (SELECT x1, x2, y,
+        |  exp(z1 - greatest(z1, z2, z3)) AS e1,
+        |  exp(z2 - greatest(z1, z2, z3)) AS e2,
+        |  exp(z3 - greatest(z1, z2, z3)) AS e3
+        | FROM z),
+        |c AS (SELECT x1, x2,
+        |  e1 / ((e1 + e2) + e3) - CASE WHEN y = 'en' THEN 1.0 ELSE 0.0 END AS r1,
+        |  e2 / ((e1 + e2) + e3) - CASE WHEN y = 'de' THEN 1.0 ELSE 0.0 END AS r2,
+        |  e3 / ((e1 + e2) + e3) - CASE WHEN y = 'xx' THEN 1.0 ELSE 0.0 END AS r3
+        | FROM e)
+        |SELECT round(avg(r1 * x1), 6) AS g_en_alpha,
+        | round(avg(r1 * x2), 6) AS g_en_lntok,
+        | round(avg(r1), 6) AS g_en_bias,
+        | round(avg(r2 * x1), 6) AS g_de_alpha,
+        | round(avg(r2 * x2), 6) AS g_de_lntok,
+        | round(avg(r2), 6) AS g_de_bias,
+        | round(avg(r3 * x1), 6) AS g_xx_alpha,
+        | round(avg(r3 * x2), 6) AS g_xx_lntok,
+        | round(avg(r3), 6) AS g_xx_bias,
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM c""".stripMargin,
 

@@ -732,6 +732,49 @@ class OpsSpec extends SparkSpec {
     assert(acc > 0.95, s"separable rule should classify >95%: $acc")
   }
 
+  test("learn: softmax GD fits a 3-class separable rule — loss decreases, classes separate") {
+    val s = spark
+    import s.implicits._
+    // class = low/mid/high by x1 thirds, with margin; x2 is noise
+    val rows = (0 until 600).map { i =>
+      val x1 = (i % 100) / 100.0
+      val x2 = ((i * 37) % 100) / 100.0
+      val y = if (x1 < 0.33) "low" else if (x1 < 0.66) "mid" else "high"
+      (x1, x2, y)
+    }.filter(r => math.abs(r._1 - 0.33) > 0.04 && math.abs(r._1 - 0.66) > 0.04)
+    val df = rows.toDF("x1", "x2", "label")
+    val classes = Seq("low", "mid", "high")
+    val zeroW = classes.map(_ => Seq(0.0, 0.0))
+    val before = graft.ops.Learn.crossEntropyLoss(
+      df, Seq("x1", "x2"), "label", classes, zeroW, Seq(0.0, 0.0, 0.0))
+    val (w, b) = graft.ops.Learn.fitSoftmax(df, Seq("x1", "x2"), "label",
+      classes, learningRate = 4.0, iterations = 120)
+    val after = graft.ops.Learn.crossEntropyLoss(
+      df, Seq("x1", "x2"), "label", classes, w, b)
+    assert(after < before * 0.5, s"loss must halve: $before -> $after")
+    // the x1 weight must order low < mid < high (the discriminative axis)
+    assert(w(0)(0) < w(1)(0) && w(1)(0) < w(2)(0), s"weights: $w")
+    val acc = graft.ops.Learn.predictSoftmax(df, Seq("x1", "x2"), classes, w, b)
+      .select(avg((col("predicted_class") === col("label")).cast("double")))
+      .head().getDouble(0)
+    assert(acc > 0.9, s"separable 3-class rule should classify >90%: $acc")
+  }
+
+  test("learn: softmax gradient residuals sum to zero across classes per component") {
+    val s = spark
+    import s.implicits._
+    // Σ_k p_k = 1 and Σ_k 1[y=k] = 1 for in-class labels, so class
+    // gradients must cancel exactly — a structural invariant of softmax
+    val df = (1 to 50).map(i => (i / 50.0, if (i % 2 == 0) "a" else "b"))
+      .toDF("x", "label")
+    val (gw, gb, n) = graft.ops.Learn.softmaxGradient(
+      df, Seq("x"), "label", Seq("a", "b"),
+      Seq(Seq(0.7), Seq(-0.2)), Seq(0.1, 0.3))
+    assert(n == 50L)
+    assert(math.abs(gw(0).head + gw(1).head) < 1e-12)
+    assert(math.abs(gb(0) + gb(1)) < 1e-12)
+  }
+
   test("learn: gradient at the optimum of a constant label is zero bias direction") {
     val s = spark
     import s.implicits._
