@@ -199,6 +199,56 @@ class JdbcStateTableSpec extends SparkSpec {
     assert(left(0).getAs[Timestamp]("datestamp") == ts("2024-05-05 05:00:00"))
   }
 
+  test("jdbc state: streaming crash-replay is EXACT-once — the replayed batch does not re-merge") {
+    val (headers, _, dir) = mkTables()
+    val pages = s"$dir/pages"
+    Files.createDirectories(java.nio.file.Paths.get(pages))
+    Files.writeString(java.nio.file.Paths.get(pages, "p1.xml"),
+      fixture("/oai/resumptionToken.xml"))
+    val qucosaFilter: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.filter(graft.functions.GraftFunctions.isQucosaId(
+        org.apache.spark.sql.functions.col("record_identifier")))
+
+    // run 1: drains page 1 into the DATABASE-backed state
+    graft.streaming.HarvestStream.start(spark, pages, s"$dir/ckpt", headers,
+      headerFilter = qucosaFilter).awaitTermination()
+    assert(headers.read().get.count() == 1L)
+
+    // page 2 arrives; the stream CRASHES in the worst window — the
+    // merge + marker transaction committed, the engine batch did not
+    Files.writeString(java.nio.file.Paths.get(pages, "p2.xml"),
+      fixture("/oai/listIdentifiers.xml"))
+    val q2 = graft.streaming.HarvestStream.start(spark, pages, s"$dir/ckpt", headers,
+      headerFilter = qucosaFilter,
+      afterBatch = _ => throw new RuntimeException("injected crash"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    assert(headers.read().get.count() == 2L) // merge landed pre-crash
+
+    // out-of-band sentinel: if the replay RE-MERGED, the upsert would
+    // overwrite this value — its survival proves the in-transaction
+    // marker made the replay a true no-op (exact-once, not merely
+    // idempotent-at-least-once)
+    val sentinel = ts("1999-01-01 00:00:00")
+    val c = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$dir/state.db")
+    try {
+      val up = c.prepareStatement(
+        """UPDATE "OAIHeader" SET "datestamp" = ?""")
+      up.setTimestamp(1, sentinel)
+      assert(up.executeUpdate() == 2)
+    } finally c.close()
+
+    // healthy restart on the same checkpoint: the engine replays the
+    // uncommitted batch; the database marker suppresses the merge
+    graft.streaming.HarvestStream.start(spark, pages, s"$dir/ckpt", headers,
+      headerFilter = qucosaFilter).awaitTermination()
+    val after = headers.read().get.collect()
+    assert(after.length == 2)
+    assert(after.forall(_.getAs[Timestamp]("datestamp") == sentinel),
+      s"replayed batch re-merged over the sentinel: ${after.toSeq}")
+  }
+
   test("jdbc state: a mis-sized batch fails loudly instead of flooding the driver") {
     val dir = Files.createTempDirectory("graft-jdbcstate-cap").toString
     val url = s"jdbc:duckdb:$dir/state.db"
