@@ -967,6 +967,84 @@ object TextAnalysis {
     }
   }
 
+  /** Discriminative refinement of [[langIdTrain]] models — softmax
+    * gradient descent over the SAME hashed-bucket features, starting
+    * from the generative fit (the full fastText shape: linear model
+    * over hashed n-grams, closed-form init + discriminative epochs).
+    *
+    * Each iteration is TWO map-side-combined aggregates however large
+    * the labeled set is: one per-document pass computes the softmax
+    * residual per class (scores via the literal weight tables — zero
+    * joins), then one explode-by-bucket aggregate reduces
+    * `(bucket, Σ resid_k)` cells — the shuffle carries at most
+    * `buckets × K × partitions` counters. Priors refine from the
+    * per-document residual means in the same pass. The M-step is
+    * driver arithmetic on the weight arrays. */
+  def langIdRefine(
+      labeled: DataFrame,
+      textCol: String,
+      labelCol: String,
+      models: Seq[LangIdModel],
+      learningRate: Double = 0.5,
+      iterations: Int = 5): Seq[LangIdModel] = {
+    require(models.nonEmpty, "langIdRefine needs initial models")
+    val buckets = models.head.weights.size
+    require(models.forall(_.weights.size == buckets),
+      "all models must share one bucket count")
+    var cur = models
+    val bs = Corpus.dsirBuckets(col(textCol), buckets)
+    val n = labeled.filter(col(textCol).isNotNull && col(labelCol).isNotNull).count()
+    if (n == 0) return models
+    var iter = 0
+    while (iter < iterations) {
+      // per-document class scores -> softmax residuals (stabilized)
+      val zs = cur.map { m =>
+        val table = typedLit(m.weights)
+        aggregate(bs, lit(m.logPrior),
+          (a, b) => a + element_at(table, (b + 1).cast("int")))
+      }
+      val mx = if (zs.size == 1) zs.head else greatest(zs: _*)
+      val es = zs.map(z => exp(z - mx))
+      val denom = es.reduceLeft(_ + _)
+      val resids = cur.zip(es).map { case (m, e) =>
+        (e / denom - (col(labelCol) === m.language).cast("double"))
+          .as(s"__r_${m.language}")
+      }
+      val perDoc = labeled
+        .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
+        .select((col(textCol) +: resids): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // bucket-gradient pass: explode buckets, sum residuals per bucket
+      val residCols = cur.map(m => col(s"__r_${m.language}"))
+      val gradRows = perDoc
+        .select((explode(Corpus.dsirBuckets(col(textCol), buckets)).as("__b") +: residCols): _*)
+        .groupBy(col("__b"))
+        .agg(sum(residCols.head).as("__g0"),
+          residCols.tail.zipWithIndex
+            .map { case (c, i) => sum(c).as(s"__g${i + 1}") }: _*)
+        .collect()
+      // prior gradient: mean residual per class (same persisted pass)
+      val priorRow = perDoc
+        .agg(avg(residCols.head), residCols.tail.map(avg(_)): _*)
+        .first()
+      perDoc.unpersist()
+      val grads = cur.indices.map(_ => new Array[Double](buckets))
+      gradRows.foreach { r =>
+        val b = r.getLong(0).toInt
+        cur.indices.foreach(k => grads(k)(b) = r.getDouble(k + 1))
+      }
+      cur = cur.zipWithIndex.map { case (m, k) =>
+        m.copy(
+          logPrior = m.logPrior - learningRate * priorRow.getDouble(k),
+          weights = m.weights.zipWithIndex.map { case (w, b) =>
+            w - learningRate * grads(k)(b) / n
+          })
+      }
+      iter += 1
+    }
+    cur
+  }
+
   /** Score + argmax columns for [[langIdTrain]] models: per language a
     * `score_<lang>` column (prior + Σ bucket weights — the same
     * zero-shuffle literal-table projection as DSIR scoring) and

@@ -284,6 +284,43 @@ class QualityRulesSpec extends SparkSpec {
     }
   }
 
+  test("trained langid: discriminative refinement lowers training cross-entropy, held-out accuracy holds") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.TextAnalysis
+    import graft.queries.TrainingQueries
+    val train = TrainingQueries.langIdTrainSet.toDF("lang", "text")
+    val langs = Seq("en", "de", "fr", "es")
+    val nb = TextAnalysis.langIdTrain(train, "text", "lang", langs, buckets = 256)
+
+    def xent(models: Seq[TextAnalysis.LangIdModel]): Double = {
+      val rows = TextAnalysis.langIdPredictTrained(train, "text", models)
+        .select((col("lang") +: langs.map(l => col(s"score_$l"))): _*)
+        .collect()
+      rows.map { r =>
+        val zs = langs.indices.map(i => r.getDouble(i + 1))
+        val m = zs.max
+        val es = zs.map(z => math.exp(z - m))
+        val p = es(langs.indexOf(r.getString(0))) / es.sum
+        -math.log(math.max(p, 1e-12))
+      }.sum / rows.length
+    }
+
+    val refined = TextAnalysis.langIdRefine(train, "text", "lang", nb,
+      learningRate = 0.5, iterations = 5)
+    val before = xent(nb)
+    val after = xent(refined)
+    assert(after < before, s"refinement must lower training xent: $before -> $after")
+
+    val got = TextAnalysis.langIdPredictTrained(
+        TrainingQueries.langIdHeldout.toDF("doc_id", "text"), "text", refined)
+      .select("doc_id", "predicted_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    TrainingQueries.langIdHeldoutExpected.foreach { case (id, want) =>
+      assert(got(id) == want, s"doc $id after refinement: got ${got(id)}, want $want")
+    }
+  }
+
   // ── rrfFuse ───────────────────────────────────────────────────────────
 
   test("rrf: fused score is the sum of reciprocal ranks; singles keep one term") {
