@@ -824,8 +824,10 @@ object TextAnalysis {
       maxPieceLen: Int = 4,
       iterations: Int = 2,
       maxWordLen: Int = 16,
-      maxVocab: Int = 100000): Seq[(String, Long, Double)] = {
+      maxVocab: Int = 100000,
+      vocabSize: Option[Int] = None): Seq[(String, Long, Double)] = {
     require(maxPieceLen >= 1 && iterations >= 1, "maxPieceLen and iterations must be >= 1")
+    require(vocabSize.forall(_ >= 1), "vocabSize must be >= 1 when set")
     import org.apache.spark.storage.StorageLevel
     val words = docs
       .select(explode(split(trim(coalesce(textCol, lit(""))), "\\s+")).as("w"))
@@ -864,8 +866,34 @@ object TextAnalysis {
         total = counts.sum
         round += 1
       }
-      val d = (total + nV).toDouble
-      pieces.zip(counts).filter(_._2 > 0L)
+      // optional prune-to-target (SentencePiece's vocab-size control):
+      // keep the top-`vocabSize` pieces by (usage desc, piece) PLUS all
+      // single characters (the coverage floor — every corpus word stays
+      // segmentable), then ONE more E-step under the pruned table so
+      // usage redistributes onto the survivors. Rank-by-usage is the
+      // standard simplification of SentencePiece's likelihood-loss
+      // prune; the coverage floor is exactly its
+      // required_chars guarantee.
+      val (outPieces, outCounts) = vocabSize match {
+        case None => (pieces, counts)
+        case Some(k) =>
+          val top = pieces.indices
+            .sortBy(i => (-counts(i), pieces(i))).take(k).toSet
+          val keptIdx = pieces.indices
+            .filter(i => top(i) || pieces(i).length == 1)
+          val keptPieces = keptIdx.map(pieces)
+          val keptCounts = keptIdx.map(counts)
+          val dK = (keptCounts.sum + keptPieces.size).toDouble
+          val keptProbs = keptCounts.map(c => (c + 1.0) / dK)
+          val seg = call_function("graft_unigram_segment", col("w"),
+            typedlit(keptPieces), typedlit(keptProbs))
+          val useMap = words.select(col("f"), explode(seg).as("piece"))
+            .groupBy(col("piece")).agg(sum(col("f")).as("c"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          (keptPieces, keptPieces.map(p => useMap.getOrElse(p, 0L)))
+      }
+      val d = (outCounts.sum + outPieces.size).toDouble
+      outPieces.zip(outCounts).filter(_._2 > 0L)
         .map { case (p, c) => (p, c, (c + 1.0) / d) }
         .sortBy { case (p, c, _) => (-c, p) }
     } finally words.unpersist()

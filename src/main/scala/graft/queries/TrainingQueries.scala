@@ -662,6 +662,19 @@ object TrainingQueries {
         .orderBy(col("n_uses").desc, col("piece"))
     }),
 
+    // ── Text: unigram-LM PRUNE-TO-TARGET — train, keep the top-24
+    // pieces by usage PLUS all single chars (the coverage floor), one
+    // more E-step under the pruned table. Usage redistributes onto
+    // survivors; the oracle unrolls the extra round. ────────────────────
+    "text_unigram_prune" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.unigramTrain(Tables.documents(s, dir), col("text"),
+          maxPieceLen = 4, iterations = 2, vocabSize = Some(24))
+        .toDF("piece", "n_uses", "prob")
+        .select(col("piece"), col("n_uses"), round(col("prob"), 6).as("prob"))
+        .orderBy(col("n_uses").desc, col("piece"))
+    }),
+
     // ── Text: unigram-LM ENCODE — train (as above), PRUNE to the used
     // vocab, tokenize every document with the Viterbi kernel. UNK rule:
     // a word the pruned vocab cannot cover, or one past maxWordLen,
@@ -2784,6 +2797,44 @@ object TrainingQueries {
         |SELECT u2.piece, u2.c AS n_uses,
         | round((u2.c + 1.0) / (t2.tot + nv.v), 6) AS prob
         |FROM u2, t2, nv
+        |ORDER BY n_uses DESC, piece""").stripMargin,
+
+    // Train, rank-prune to 24 + single-char coverage floor, one more
+    // enumeration round under the pruned table — mirrors
+    // unigramTrain(vocabSize = Some(24)) exactly.
+    "text_unigram_prune" ->
+      (unigramTrainCte +
+        """,
+        |kept AS (
+        | SELECT DISTINCT piece FROM (
+        |  SELECT piece FROM (SELECT piece FROM u2 ORDER BY c DESC, piece LIMIT 24)
+        |  UNION ALL
+        |  SELECT piece FROM cand WHERE len(piece) = 1) kall),
+        |kc AS (SELECT kept.piece, CAST(coalesce(u2.c, 0) AS BIGINT) AS c
+        | FROM kept LEFT JOIN u2 ON kept.piece = u2.piece),
+        |kn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM kc),
+        |kt AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM kc),
+        |p4 AS (SELECT piece, (c + 1.0) / (tot + v) AS p FROM kc, kt, kn),
+        |s4(w, pos, score, k, path) AS (
+        | SELECT w, 0, CAST(1.0 AS DOUBLE), 0, '' FROM words
+        | UNION ALL
+        | SELECT s4.w, s4.pos + len(p4.piece), s4.score * p4.p, s4.k + 1,
+        |  CASE WHEN s4.path = '' THEN p4.piece ELSE s4.path || chr(1) || p4.piece END
+        | FROM s4, unnest([1, 2, 3, 4]) AS e(l), p4
+        | WHERE s4.pos + l <= len(s4.w) AND p4.piece = substr(s4.w, s4.pos + 1, l)),
+        |seg4 AS (
+        | SELECT w, path FROM (
+        |  SELECT w, path, row_number() OVER (
+        |   PARTITION BY w ORDER BY score DESC, k ASC, path ASC) AS rn
+        |  FROM s4 WHERE pos = len(w)) WHERE rn = 1),
+        |u4 AS (
+        | SELECT piece, CAST(sum(f) AS BIGINT) AS c
+        | FROM seg4 JOIN words USING (w), unnest(string_split(path, chr(1))) AS x(piece)
+        | GROUP BY piece),
+        |t4 AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM u4)
+        |SELECT u4.piece, u4.c AS n_uses,
+        | round((u4.c + 1.0) / (t4.tot + kn.v), 6) AS prob
+        |FROM u4, t4, kn
         |ORDER BY n_uses DESC, piece""").stripMargin,
 
     // Train + prune + a THIRD enumeration round under the pruned vocab

@@ -1561,6 +1561,29 @@ class OpsSpec extends SparkSpec {
     assert(un.isNullAt(0))
   }
 
+  test("unigram lm: vocabSize prunes to top-K plus the single-char coverage floor") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq.tabulate(20)(i => (i.toLong, "alpha alpha beta gamma")).toDF("doc_id", "text")
+    val full = TextAnalysis.unigramTrain(docs, col("text"),
+      maxPieceLen = 4, iterations = 2)
+    val pruned = TextAnalysis.unigramTrain(docs, col("text"),
+      maxPieceLen = 4, iterations = 2, vocabSize = Some(2))
+    // the kept table is top-2 pieces + the single-char coverage floor,
+    // so at most 2 multi-char pieces can appear in the output (the
+    // USED set may exceed the full fit's — forced char decomposition)
+    assert(pruned.count(_._1.length > 1) <= 2, s"pruned: $pruned")
+    assert(full.count(_._1.length > 1) > 2, s"unpruned baseline: $full")
+    // coverage floor: every corpus word still segments (usage covers
+    // all corpus char positions — each word's pieces span it fully)
+    val totalChars = 20L * "alphaalphabetagamma".length
+    assert(pruned.map { case (p, c, _) => p.length * c }.sum == totalChars,
+      s"pruned vocab must still cover the corpus: $pruned")
+    // probabilities renormalize over the pruned table
+    val probsSumBound = pruned.map(_._3).sum
+    assert(probsSumBound > 0.0 && probsSumBound <= 1.0)
+  }
+
   test("unigram lm: encode applies the pruned vocab; UNK words stay whole; empty/null -> 0") {
     val s = spark
     import s.implicits._
