@@ -1609,6 +1609,46 @@ class OpsSpec extends SparkSpec {
     assert(got(5L)._1 == Seq("a" * 20))
   }
 
+  test("property: unigram segmentation equals brute force on random words and vocabularies") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val wordGen = Gen.choose(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val words = (0 until 60).flatMap(i =>
+      wordGen.apply(Gen.Parameters.default, Seed(900L + i))).distinct
+    // vocab: all substrings <= 3 chars of the words, deterministic
+    // pseudo-probs from a hash (distinct values -> near-zero tie mass,
+    // plus the tie-break path is still exercised by repeated pieces)
+    val cand = words.flatMap(w =>
+      (0 until w.length).flatMap(i =>
+        (1 to math.min(3, w.length - i)).map(l => w.substring(i, i + l))))
+      .distinct.sorted
+    val probs = cand.map(p =>
+      (math.abs(scala.util.hashing.MurmurHash3.stringHash(p)) % 1000 + 1) / 2000.0)
+    val pMap = cand.zip(probs).toMap
+    def brute(w: String): Seq[String] = {
+      def rec(i: Int): Seq[Seq[String]] =
+        if (i == w.length) Seq(Nil)
+        else (1 to math.min(3, w.length - i)).flatMap { l =>
+          val piece = w.substring(i, i + l)
+          if (pMap.contains(piece)) rec(i + l).map(piece +: _) else Nil
+        }
+      rec(0).map { seg =>
+        (seg.foldLeft(1.0)(_ * pMap(_)), seg.size, seg.mkString("\u0001"))
+      }.minBy { case (sc, k, path) => (-sc, k, path) }._3.split("\u0001").toSeq
+    }
+    val got = words.toDF("w")
+      .select(col("w"), call_function("graft_unigram_segment", col("w"),
+        typedlit(cand), typedlit(probs)).as("seg"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { w =>
+      assert(got(w) == brute(w), s"$w: ${got(w)} vs ${brute(w)}")
+      assert(got(w).mkString == w, s"segmentation must cover $w")
+    }
+  }
+
   test("unigram lm: one action per EM round — no dedicated materializer job") {
     val s = spark
     import s.implicits._

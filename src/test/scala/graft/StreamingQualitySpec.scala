@@ -113,6 +113,32 @@ class StreamingQualitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("unigram encode tokenizes a stream at ingestion — stateless, batch parity") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val train = Seq.tabulate(10)(i => (i.toLong, "alpha alpha beta")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.unigramTrain(train, col("text"),
+      maxPieceLen = 4, iterations = 2).map { case (p, _, pr) => (p, pr) }
+    val in = MemoryStream[(Long, String)]
+    val q = TextAnalysis.unigramEncode(in.toDF().toDF("id", "text"), col("text"), vocab)
+      .select(col("id"), col("n_unigram_tokens"))
+      .writeStream.format("memory").queryName("unigram_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(1L -> "alpha beta", 2L -> "zzz")
+      q.processAllAvailable()
+      val got = s.sql("SELECT id, n_unigram_tokens FROM unigram_stream")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = TextAnalysis.unigramEncode(
+          Seq(1L -> "alpha beta", 2L -> "zzz").toDF("id", "text"), col("text"), vocab)
+        .select(col("id"), col("n_unigram_tokens"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got(2L) == 1L) // UNK word -> one whole piece
+    } finally q.stop()
+  }
+
   test("trained langid scores a stream at ingestion — stateless, held-out accuracy holds") {
     val s = spark
     import s.implicits._
