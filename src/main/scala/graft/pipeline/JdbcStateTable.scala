@@ -188,48 +188,13 @@ class JdbcStateTable(
     }
   }
 
-  private def upsertRows(conn: Connection, rows: Seq[Row]): Unit = {
-    val fields = schema.fields
-    val ph = JdbcUpsertSink.placeholders(fields, dialect)
-    if (dialect.upsertByDeleteInsert) {
-      val keyIdx = keys.map(cols.indexOf).toArray
-      val keyFields = keyIdx.map(fields)
-      val del = conn.prepareStatement(JdbcUpsertSink.deleteIfUnmodifiedSql(
-        table, keys, JdbcUpsertSink.placeholders(keyFields, dialect)))
-      val ins = conn.prepareStatement(
-        JdbcUpsertSink.insertSql(table, cols, ph))
-      try {
-        val bindDel = JdbcUpsertSink.binder(conn, del, keyFields, dialect)
-        val bindIns = JdbcUpsertSink.binder(conn, ins, fields, dialect)
-        // keep-last per key: two same-key rows would both insert
-        val deduped = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Row]
-        rows.foreach(r => deduped.put(keyIdx.map(r.get).toSeq, r))
-        deduped.values.foreach { row =>
-          val keyRow = Row(keyIdx.map(row.get).toIndexedSeq: _*)
-          var k = 0
-          while (k < keyIdx.length) { bindDel(keyRow, k); k += 1 }
-          del.addBatch()
-          var i = 0
-          while (i < fields.length) { bindIns(row, i); i += 1 }
-          ins.addBatch()
-        }
-        del.executeBatch()
-        ins.executeBatch()
-      } finally { ins.close(); del.close() }
-    } else {
-      val ps = conn.prepareStatement(
-        JdbcUpsertSink.upsertSql(table, cols, keys, ph))
-      try {
-        val bind = JdbcUpsertSink.binder(conn, ps, fields, dialect)
-        rows.foreach { row =>
-          var i = 0
-          while (i < fields.length) { bind(row, i); i += 1 }
-          ps.addBatch()
-        }
-        ps.executeBatch()
-      } finally ps.close()
-    }
-  }
+  /** One shared code path with the executor-side sink
+    * ([[JdbcUpsertSink.upsertOnConnection]]) — identical statement
+    * shapes and keep-last semantics by construction. One chunk: the
+    * whole driver batch dedupes globally inside one transaction. */
+  private def upsertRows(conn: Connection, rows: Seq[Row]): Unit =
+    JdbcUpsertSink.upsertOnConnection(conn, rows.iterator, schema.fields,
+      table, keys, batchSize = math.max(1, rows.size), dialect = dialect)
 
   /** D1: per-row full-tuple conditional delete; the per-statement
     * update counts from the driver ARE the survivor report (a row whose

@@ -206,76 +206,88 @@ object JdbcUpsertSink {
     s"INSERT INTO ${q(table)} (${cols.map(q).mkString(", ")}) " +
       s"VALUES (${placeholders.mkString(", ")})"
 
-  /** Delete+insert upsert for dialects whose conflict clause cannot
-    * update every column type: per chunk, delete the chunk's keys then
-    * insert the chunk's rows, both batched, one transaction per
-    * partition. Within a chunk the LAST row per key wins (the same
-    * visible end state as sequential per-row upserts). */
-  private def upsertDeleteInsert(
-      df: DataFrame,
+  /** Connection-level upsert of an iterator of rows — the shared core
+    * of the executor-side sink (once per partition) and the
+    * driver-side `JdbcStateTable` (once per transaction): an
+    * ON CONFLICT statement when the dialect supports it, chunked
+    * delete-by-key + insert keyed replace otherwise (keep-last per key
+    * within a chunk — two same-key rows would otherwise both insert).
+    * The CALLER owns the connection, the transaction, and close. */
+  private[graft] def upsertOnConnection(
+      conn: Connection,
+      rows: Iterator[Row],
+      fields: Array[StructField],
       table: String,
       keys: Seq[String],
-      connectionFactory: ConnectionFactory,
       batchSize: Int,
       dialect: SqlDialect): Unit = {
-    val fields = df.schema.fields
-    val cols = df.columns.toSeq
-    val keyIdx = keys.map(cols.indexOf).toArray
-    val delSql = deleteIfUnmodifiedSql(table, keys,
-      placeholders(keyIdx.map(fields), dialect))
-    val insSql = insertSql(table, cols, placeholders(fields, dialect))
-    df.foreachPartition { rows: Iterator[Row] =>
-      if (rows.nonEmpty) {
-        val conn = connectionFactory()
-        try {
-          conn.setAutoCommit(false)
-          val del = conn.prepareStatement(delSql)
-          val ins = conn.prepareStatement(insSql)
-          try {
-            val bindDel = binder(conn, del, keyIdx.map(fields), dialect)
-            val bindIns = binder(conn, ins, fields, dialect)
-            rows.grouped(batchSize).foreach { chunk =>
-              // keep-last per key: two same-key rows in one chunk would
-              // otherwise both insert and violate the primary key
-              val deduped = scala.collection.mutable.LinkedHashMap
-                .empty[Seq[Any], Row]
-              chunk.foreach { row =>
-                deduped.put(keyIdx.map(row.get).toSeq, row)
-              }
-              deduped.values.foreach { row =>
-                val keyRow = Row(keyIdx.map(row.get).toIndexedSeq: _*)
-                var k = 0
-                while (k < keyIdx.length) { bindDel(keyRow, k); k += 1 }
-                del.addBatch()
-                var i = 0
-                while (i < fields.length) { bindIns(row, i); i += 1 }
-                ins.addBatch()
-              }
-              del.executeBatch()
-              ins.executeBatch()
-            }
-            conn.commit()
-          } finally { ins.close(); del.close() }
-        } finally conn.close()
-      }
+    val cols = fields.map(_.name).toSeq
+    if (dialect.upsertByDeleteInsert) {
+      val keyIdx = keys.map(cols.indexOf).toArray
+      val keyFields = keyIdx.map(fields)
+      val del = conn.prepareStatement(deleteIfUnmodifiedSql(table, keys,
+        placeholders(keyFields, dialect)))
+      val ins = conn.prepareStatement(
+        insertSql(table, cols, placeholders(fields, dialect)))
+      try {
+        val bindDel = binder(conn, del, keyFields, dialect)
+        val bindIns = binder(conn, ins, fields, dialect)
+        rows.grouped(batchSize).foreach { chunk =>
+          val deduped = scala.collection.mutable.LinkedHashMap
+            .empty[Seq[Any], Row]
+          chunk.foreach(row => deduped.put(keyIdx.map(row.get).toSeq, row))
+          deduped.values.foreach { row =>
+            val keyRow = Row(keyIdx.map(row.get).toIndexedSeq: _*)
+            var k = 0
+            while (k < keyIdx.length) { bindDel(keyRow, k); k += 1 }
+            del.addBatch()
+            var i = 0
+            while (i < fields.length) { bindIns(row, i); i += 1 }
+            ins.addBatch()
+          }
+          del.executeBatch()
+          ins.executeBatch()
+        }
+      } finally { ins.close(); del.close() }
+    } else {
+      val ps = conn.prepareStatement(
+        upsertSql(table, cols, keys, placeholders(fields, dialect)))
+      try {
+        val bind = binder(conn, ps, fields, dialect)
+        var pending = 0
+        rows.foreach { row =>
+          var i = 0
+          while (i < fields.length) { bind(row, i); i += 1 }
+          ps.addBatch()
+          pending += 1
+          if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+        }
+        if (pending > 0) ps.executeBatch()
+      } finally ps.close()
     }
   }
 
-  /** Upsert `df` into `table` keyed on `keys`. */
+  /** Upsert `df` into `table` keyed on `keys` — one connection + one
+    * transaction per partition over [[upsertOnConnection]]. */
   def writeUpsert(
       df: DataFrame,
       table: String,
       keys: Seq[String],
       connectionFactory: ConnectionFactory,
       batchSize: Int = 500,
-      dialect: SqlDialect = SqlDialect.Standard): Unit =
-    if (dialect.upsertByDeleteInsert)
-      upsertDeleteInsert(df, table, keys, connectionFactory, batchSize, dialect)
-    else executeBatched(
-      df,
-      upsertSql(table, df.columns.toSeq, keys,
-        placeholders(df.schema.fields, dialect)),
-      connectionFactory, batchSize, dialect)
+      dialect: SqlDialect = SqlDialect.Standard): Unit = {
+    val fields = df.schema.fields
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn = connectionFactory()
+        try {
+          conn.setAutoCommit(false)
+          upsertOnConnection(conn, rows, fields, table, keys, batchSize, dialect)
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
 
   /** Conditional full-tuple delete of `df`'s rows from `table` (D1).
     * Rows whose stored tuple changed since they were read survive —
