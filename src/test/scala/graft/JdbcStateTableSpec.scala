@@ -199,6 +199,35 @@ class JdbcStateTableSpec extends SparkSpec {
     assert(left(0).getAs[Timestamp]("datestamp") == ts("2024-05-05 05:00:00"))
   }
 
+  test("jdbc state: harvest pipeline e2e — paged OAI run merges headers into the database") {
+    val (headers, _, dir) = mkTables()
+    val runs = new graft.pipeline.ParquetStateTable(spark, s"$dir/runs")
+    val p = new graft.pipeline.HarvestPipeline(spark, headers, runs, "http://h/oai",
+      headerFilter = _.filter(graft.functions.GraftFunctions.isQucosaId(
+        org.apache.spark.sql.functions.col("record_identifier"))))
+    val fetch = new graft.pipeline.PageFetcher {
+      def apply(uri: String): Either[String, String] =
+        Map(
+          "resumptionToken=111111111111111" -> fixture("/oai/listIdentifiers.xml"),
+          "metadataPrefix" -> fixture("/oai/resumptionToken.xml"))
+          .collectFirst { case (k, v) if uri.contains(k) => v }
+          .toRight(s"404 for $uri")
+    }
+    val summaries = p.runToCompletion(fetch, ts("2024-03-01 10:00:00"))
+    assert(summaries.map(_.succeeded) == Seq(true, true))
+
+    // the SAME golden end state the parquet-backed harvest test pins —
+    // including the 1044 cross-page merge and the array round-trip
+    val hs = headers.read().get.orderBy("record_identifier").collect()
+    assert(hs.length == 2)
+    assert(hs(0).getAs[String]("record_identifier") == "oai:example.org:qucosa:1044")
+    assert(!hs(0).getAs[Boolean]("status_is_deleted"))
+    assert(hs(1).getAs[String]("record_identifier") == "oai:example.org:qucosa:1234")
+    assert(hs(1).getAs[Boolean]("status_is_deleted"))
+    assert(hs(1).getAs[scala.collection.Seq[String]]("set_spec").toSeq
+      == Seq("test:11", "test:22"))
+  }
+
   test("jdbc state: streaming crash-replay is EXACT-once — the replayed batch does not re-merge") {
     val (headers, _, dir) = mkTables()
     val pages = s"$dir/pages"
