@@ -995,6 +995,59 @@ object TextAnalysis {
     }
   }
 
+  /** Trained-model argmax over an arbitrary text Column (shared by the
+    * document and per-line predictors): prior + Σ bucket weights per
+    * model, ties to the earlier model. */
+  private def langIdPredictExpr(models: Seq[LangIdModel], text: Column): Column = {
+    val buckets = models.head.weights.size
+    val bs = Corpus.dsirBuckets(text, buckets)
+    val zs = models.map { m =>
+      val table = typedLit(m.weights)
+      aggregate(bs, lit(m.logPrior),
+        (a, b) => a + element_at(table, (b + 1).cast("int")))
+    }
+    val best = if (zs.size == 1) zs.head else greatest(zs: _*)
+    models.zip(zs).foldRight(lit(models.last.language): Column) {
+      case ((m, z), rest) => when(z === best, m.language).otherwise(rest)
+    }
+  }
+
+  /** Per-LINE language composition of mixed-language documents — the
+    * line-granular face of the trained models (web documents routinely
+    * interleave languages; real pipelines filter or split by line
+    * language rather than discarding whole documents): for each
+    * document, the non-blank line count, the per-language line counts,
+    * and the majority line language (ties in model order).
+    *
+    * One narrow projection: lines split in-row, each line classified by
+    * the literal-table argmax inside a `transform` lambda — no explode,
+    * no shuffle, stream-safe like every other scoring column. */
+  def langIdLineShares(
+      df: DataFrame, textCol: String, models: Seq[LangIdModel]): DataFrame = {
+    require(models.nonEmpty, "langIdLineShares needs at least one model")
+    require(models.map(_.language).distinct.size == models.size,
+      s"duplicate model languages: ${models.map(_.language)}")
+    val lines = filter(
+      split(coalesce(col(textCol), lit("")), "\n"),
+      l => trim(l) =!= "")
+    val lineLangs = transform(lines, l => langIdPredictExpr(models, l))
+    val withCounts = models.foldLeft(
+        df.withColumn("__line_langs", lineLangs)) { (acc, m) =>
+      acc.withColumn(s"n_lines_${m.language}",
+        size(filter(col("__line_langs"), x => x === m.language)).cast("long"))
+    }
+    val counts = models.map(m => col(s"n_lines_${m.language}"))
+    val top = if (counts.size == 1) counts.head else greatest(counts: _*)
+    val major = models.zip(counts).foldRight(lit(models.last.language): Column) {
+      case ((m, c), rest) => when(c === top, m.language).otherwise(rest)
+    }
+    withCounts
+      .withColumn("n_lines", size(col("__line_langs")).cast("long"))
+      .withColumn("line_major_lang",
+        when(col("n_lines") === 0L, lit("und")).otherwise(major))
+      .drop("__line_langs")
+  }
+
   /** Discriminative refinement of [[langIdTrain]] models — softmax
     * gradient descent over the SAME hashed-bucket features, starting
     * from the generative fit (the full fastText shape: linear model

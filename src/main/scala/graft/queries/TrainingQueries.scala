@@ -51,12 +51,30 @@ object TrainingQueries {
   val langIdHeldoutExpected: Map[Long, String] =
     Map(-4L -> "es", -3L -> "fr", -2L -> "de", -1L -> "en")
 
+  /** Mixed-language documents (doc_id → lines) for the per-line
+    * composition operator: -3 is majority-German with an English line,
+    * -2 ties French/Spanish (model order resolves), -1 is empty. */
+  val langIdLineDocs: Seq[(Long, Seq[String])] = Seq(
+    -3L -> Seq(
+      "the dog learns from labeled examples",
+      "wir lernen aus daten und text",
+      "das modell lernt die struktur der sprache aus daten"),
+    -2L -> Seq(
+      "la structure de la langue",
+      "el modelo necesita los datos"),
+    -1L -> Seq.empty)
+
   /** SQL VALUES fixtures generated from the shared rows (fixture and
     * oracle can never drift; texts are ASCII with no quotes). */
   private def langIdTrainVals: String =
     langIdTrainSet.map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
   private def langIdHeldoutVals: String =
     langIdHeldout.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+  private def langIdLineVals: String =
+    langIdLineDocs.flatMap { case (i, ls) => ls.map(l => s"($i, '$l')") }
+      .mkString(", ")
+  private def langIdLineDocIdVals: String =
+    langIdLineDocs.map { case (i, _) => s"($i)" }.mkString(", ")
 
   /** Shared unigram-LM training replay (candidates → 2 unrolled
     * Viterbi-EM rounds; `u2`/`t2`/`nv` are the final usage counts,
@@ -643,6 +661,30 @@ object TrainingQueries {
           round(col("score_fr"), 6).as("score_fr"),
           round(col("score_es"), 6).as("score_es"),
           col("predicted_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Text: per-LINE language composition of mixed-language docs —
+    // each non-blank line classified by the trained models inside a
+    // transform lambda (no explode, no shuffle), per-doc line counts
+    // per language + majority language. Planted multiline docs mix
+    // held-out sentences; base docs are single-line. ────────────────────
+    "text_langid_lines" -> ((s, dir) => {
+      import s.implicits._
+      val models = TextAnalysis.langIdTrain(
+        TrainingQueries.langIdTrainSet.toDF("lang", "text"),
+        "text", "lang", Seq("en", "de", "fr", "es"), buckets = 256)
+      val planted = TrainingQueries.langIdLineDocs
+        .map { case (id, ls) => (id, ls.mkString("\n")) }
+        .toDF("doc_id", "text")
+      val test = Tables.documents(s, dir)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .unionByName(planted)
+      TextAnalysis.langIdLineShares(test, "text", models)
+        .select(col("doc_id"), col("n_lines"), col("n_lines_en"),
+          col("n_lines_de"), col("n_lines_fr"), col("n_lines_es"),
+          col("line_major_lang"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2865,6 +2907,88 @@ object TrainingQueries {
         | FROM doctok LEFT JOIN seg3 USING (w) GROUP BY doc_id)
         |SELECT d.doc_id, CAST(coalesce(perdoc.n, 0) AS BIGINT) AS n_unigram_tokens
         |FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+        |ORDER BY d.doc_id""").stripMargin,
+
+    // Same trained-model arithmetic applied per LINE (planted multiline
+    // docs from langIdLineDocs; base docs are single-line), then
+    // per-doc language line counts and the majority language.
+    "text_langid_lines" ->
+      ("""WITH train(lang, text) AS (VALUES """ + langIdTrainVals + """),
+        |pl(doc_id, line) AS (VALUES """ + langIdLineVals + """),
+        |pdoc(doc_id) AS (VALUES """ + langIdLineDocIdVals + """),
+        |ttok AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS t FROM train),
+        |tfeat AS (
+        | SELECT lang, w FROM ttok, unnest(t) AS u(w)
+        | UNION ALL
+        | SELECT lang, t[i] || ' ' || t[i + 1] FROM ttok, unnest(range(1, len(t))) AS r(i)),
+        |tfb AS (SELECT lang, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 256 AS b FROM tfeat),
+        |cnt AS (SELECT b,
+        |  count(*) FILTER (WHERE lang = 'en') AS c_en,
+        |  count(*) FILTER (WHERE lang = 'de') AS c_de,
+        |  count(*) FILTER (WHERE lang = 'fr') AS c_fr,
+        |  count(*) FILTER (WHERE lang = 'es') AS c_es,
+        |  count(*) AS c_all
+        | FROM tfb GROUP BY b),
+        |tot AS (SELECT
+        |  count(*) FILTER (WHERE lang = 'en') AS n_en,
+        |  count(*) FILTER (WHERE lang = 'de') AS n_de,
+        |  count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+        |  count(*) FILTER (WHERE lang = 'es') AS n_es,
+        |  count(*) AS n_all FROM tfb),
+        |pri AS (SELECT
+        |  ln((count(*) FILTER (WHERE lang = 'en') + 1.0) / (count(*) + 4)) AS p_en,
+        |  ln((count(*) FILTER (WHERE lang = 'de') + 1.0) / (count(*) + 4)) AS p_de,
+        |  ln((count(*) FILTER (WHERE lang = 'fr') + 1.0) / (count(*) + 4)) AS p_fr,
+        |  ln((count(*) FILTER (WHERE lang = 'es') + 1.0) / (count(*) + 4)) AS p_es
+        | FROM train),
+        |lines AS (
+        | SELECT doc_id, line, row_number() OVER () AS lid FROM (
+        |  SELECT doc_id, line FROM (
+        |   SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
+        |   FROM documents WHERE doc_id < 20) WHERE trim(line) <> ''
+        |  UNION ALL
+        |  SELECT doc_id, line FROM pl WHERE trim(line) <> '') raw),
+        |ltok AS (SELECT doc_id, lid, regexp_split_to_array(trim(line), '\s+') AS t FROM lines),
+        |lfeat AS (
+        | SELECT doc_id, lid, w FROM ltok, unnest(t) AS u(w)
+        | UNION ALL
+        | SELECT doc_id, lid, t[i] || ' ' || t[i + 1] FROM ltok, unnest(range(1, len(t))) AS r(i)),
+        |lfb AS (SELECT doc_id, lid, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 256 AS b FROM lfeat),
+        |ls AS (SELECT doc_id, lid,
+        |  max(p_en) + sum(ln((coalesce(c_en, 0) + 1.0) / (n_en + 256)) - ln((coalesce(c_all, 0) - coalesce(c_en, 0) + 1.0) / (n_all - n_en + 256))) AS s_en,
+        |  max(p_de) + sum(ln((coalesce(c_de, 0) + 1.0) / (n_de + 256)) - ln((coalesce(c_all, 0) - coalesce(c_de, 0) + 1.0) / (n_all - n_de + 256))) AS s_de,
+        |  max(p_fr) + sum(ln((coalesce(c_fr, 0) + 1.0) / (n_fr + 256)) - ln((coalesce(c_all, 0) - coalesce(c_fr, 0) + 1.0) / (n_all - n_fr + 256))) AS s_fr,
+        |  max(p_es) + sum(ln((coalesce(c_es, 0) + 1.0) / (n_es + 256)) - ln((coalesce(c_all, 0) - coalesce(c_es, 0) + 1.0) / (n_all - n_es + 256))) AS s_es
+        | FROM lfb LEFT JOIN cnt USING (b), tot, pri
+        | GROUP BY doc_id, lid, n_en, n_de, n_fr, n_es, n_all),
+        |pred AS (SELECT doc_id,
+        |  CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |       ELSE 'es' END AS pl
+        | FROM ls),
+        |agg AS (SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE pl = 'en') AS BIGINT) AS n_en,
+        |  CAST(count(*) FILTER (WHERE pl = 'de') AS BIGINT) AS n_de,
+        |  CAST(count(*) FILTER (WHERE pl = 'fr') AS BIGINT) AS n_fr,
+        |  CAST(count(*) FILTER (WHERE pl = 'es') AS BIGINT) AS n_es
+        | FROM pred GROUP BY doc_id),
+        |docs_all AS (
+        | SELECT doc_id FROM documents WHERE doc_id < 20
+        | UNION ALL SELECT doc_id FROM pdoc)
+        |SELECT d.doc_id,
+        | CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+        | CAST(coalesce(n_en, 0) AS BIGINT) AS n_lines_en,
+        | CAST(coalesce(n_de, 0) AS BIGINT) AS n_lines_de,
+        | CAST(coalesce(n_fr, 0) AS BIGINT) AS n_lines_fr,
+        | CAST(coalesce(n_es, 0) AS BIGINT) AS n_lines_es,
+        | CASE WHEN coalesce(n_lines, 0) = 0 THEN 'und'
+        |      WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+        |      WHEN n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de'
+        |      WHEN n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr'
+        |      ELSE 'es' END AS line_major_lang
+        |FROM docs_all d LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""").stripMargin,
 
     // Full training replay: the same md5 bucket hash, Laplace log-odds

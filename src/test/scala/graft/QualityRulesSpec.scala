@@ -321,6 +321,28 @@ class QualityRulesSpec extends SparkSpec {
     }
   }
 
+  test("trained langid: per-line composition — mixed doc majority, tie order, empty doc") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.TextAnalysis
+    import graft.queries.TrainingQueries
+    val models = TextAnalysis.langIdTrain(
+      TrainingQueries.langIdTrainSet.toDF("lang", "text"),
+      "text", "lang", Seq("en", "de", "fr", "es"), buckets = 256)
+    val docs = TrainingQueries.langIdLineDocs
+      .map { case (id, ls) => (id, ls.mkString("\n")) }.toDF("doc_id", "text")
+    val got = TextAnalysis.langIdLineShares(docs, "text", models)
+      .select("doc_id", "n_lines", "n_lines_en", "n_lines_de", "line_major_lang")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // -3: one English line among two German -> majority de
+    assert(got(-3L) == ((3L, 1L, 2L, "de")), s"got $got")
+    // -2: fr/es tie -> model order resolves to fr
+    assert(got(-2L)._4 == "fr")
+    // -1: no non-blank lines -> und
+    assert(got(-1L) == ((0L, 0L, 0L, "und")))
+  }
+
   // ── rrfFuse ───────────────────────────────────────────────────────────
 
   test("rrf: fused score is the sum of reciprocal ranks; singles keep one term") {
