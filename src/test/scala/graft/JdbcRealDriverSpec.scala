@@ -194,6 +194,34 @@ class JdbcRealDriverSpec extends SparkSpec {
     }
   }
 
+  test("IT: property — adversarial array values round-trip through the real driver") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    withDb { (_, cf) =>
+      // strings drawn from the troublemaker alphabet: JSON/SQL
+      // metacharacters, control chars, non-ASCII, separators
+      val charGen = Gen.oneOf(
+        Gen.oneOf('"', '\\', ',', '\'', '[', ']', '{', '}', ':'),
+        Gen.oneOf('\n', '\t', '\r', '\u0001', '\u001f'),
+        Gen.oneOf('a', 'z', '0', ' ', 'é', '中'),
+        Gen.alphaNumChar)
+      val strGen = Gen.choose(0, 12).flatMap(n =>
+        Gen.listOfN(n, charGen).map(_.mkString))
+      val arrGen = Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, strGen))
+      val arrays = (0 until 40).flatMap(i =>
+        arrGen.apply(Gen.Parameters.default, Seed(4242L + i)))
+      val rows = arrays.zipWithIndex.map { case (a, i) =>
+        Row(s"k$i", ts("2024-01-01 00:00:00"), a, false)
+      }
+      JdbcUpsertSink.writeUpsert(headerDf(rows), "OAIHeader",
+        Seq("record_identifier"), cf, dialect = SqlDialect.DuckDb)
+      val got = readAll(cf).map(r => r._1 -> r._3).toMap
+      arrays.zipWithIndex.foreach { case (a, i) =>
+        assert(got(s"k$i") == a, s"row $i: ${got(s"k$i")} vs $a")
+      }
+    }
+  }
+
   test("IT: reporting-doc table shape — 5-col upsert insert-then-update through the driver") {
     val dir = Files.createTempDirectory("graft-duckdb-rep").toString
     val url = s"jdbc:duckdb:$dir/rep.db"
