@@ -840,12 +840,19 @@ object TextAnalysis {
       val subs = flatten(transform(sequence(lit(1), length(col("w"))), i =>
         transform(sequence(lit(0), least(length(col("w")) - i, lit(maxPieceLen - 1))),
           l => col("w").substr(i, l + lit(1)))))
+      // Bounded collect: orderBy + limit plans as TakeOrderedAndProject,
+      // so the driver (and each task) holds at most maxVocab+1 rows even
+      // when the distinct-substring table is billions of rows — a noisy
+      // corpus fails the require below instead of OOMing the driver.
+      // When the candidate set fits, the limit never truncates, so this
+      // is still the complete sorted candidate table in one action.
       val cand = words.select(col("f"), explode(subs).as("piece"))
         .groupBy(col("piece")).agg(sum(col("f")).as("c"))
         .orderBy(col("piece"))
+        .limit(maxVocab + 1)
         .collect()
       require(cand.length <= maxVocab,
-        s"candidate vocabulary ${cand.length} exceeds maxVocab=$maxVocab " +
+        s"candidate vocabulary exceeds maxVocab=$maxVocab " +
           "(the piece table ships as a plan literal); raise maxVocab or lower maxPieceLen")
       val pieces = cand.map(_.getString(0)).toSeq
       val nV = pieces.size

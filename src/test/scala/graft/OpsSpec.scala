@@ -1680,6 +1680,41 @@ class OpsSpec extends SparkSpec {
         s"materializer: marginal=$marginalPerRound vs one-round total=$j1")
   }
 
+  test("unigram lm: a too-large candidate vocabulary fails fast WITHOUT materializing it") {
+    val s = spark
+    import s.implicits._
+    // 30k distinct hex words -> tens of thousands of distinct candidate
+    // substrings, far past maxVocab=100. The guard must trip via the
+    // pre-bounded TakeOrdered collect (limit maxVocab+1), so the driver
+    // sees at most ~(partitions x 101) candidate rows, never the full
+    // aggregate. We measure that with the serialized task-result bytes:
+    // a full collect of the candidate table would ship megabytes.
+    val docs = s.range(30000)
+      .select(col("id").as("doc_id"), md5(col("id").cast("string")).substr(1, 8).as("text"))
+    val resultBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null) resultBytes.addAndGet(te.taskMetrics.resultSize)
+        ()
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    val ex = try {
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.unigramTrain(docs, col("text"),
+          maxPieceLen = 4, iterations = 1, maxVocab = 100)
+      }
+      Thread.sleep(1500) // drain listener events
+      e
+    } finally s.sparkContext.removeSparkListener(listener)
+    assert(ex.getMessage.contains("exceeds maxVocab"),
+      s"wrong failure: ${ex.getMessage}")
+    assert(resultBytes.get() < (1L << 20),
+      s"guard must fire from the BOUNDED collect, not after materializing " +
+        s"the candidate table: ${resultBytes.get()} result bytes shipped")
+  }
+
   test("containment: fragment-in-document found at 1.0 where Jaccard misses it") {
     val s = spark
     import s.implicits._
