@@ -1037,7 +1037,10 @@ object Dedup {
     // OOM). One row probes the dim; the row cap is 512 MB divided by
     // the estimated UnsafeRow width, itself bounded by the 1M-row cap
     // every other narrow-frame call site uses.
-    val vecBytes = reps.select(col("__v")).take(1) match {
+    // probe a NON-NULL vector: a null first row would fall through to
+    // the 32-byte default and re-admit a multi-GB broadcast of wide
+    // vectors under the permissive row-only cap
+    val vecBytes = reps.select(col("__v")).filter(col("__v").isNotNull).take(1) match {
       case Array(r) if !r.isNullAt(0) =>
         val elemBytes = reps.schema("__v").dataType match {
           case org.apache.spark.sql.types.ArrayType(et, _) => math.max(4L, et.defaultSize.toLong)

@@ -31,7 +31,10 @@ import graft.sinks.{ConnectionFactory, JdbcUpsertSink, SqlDialect}
   * [[mergeOnceForBatch]] keeps its marker IN the database and commits
   * it atomically WITH the merge: replay after a crash is exact-once,
   * not just idempotent-at-least-once (the marker can never be ahead of
-  * or behind its batch). Cross-process marker races degrade to an
+  * or behind its batch). Cross-process marker races are arbitrated by a
+  * UNIQUE index on the marker table where the dialect supports one
+  * (insert-first; the loser sees a constraint violation and reports
+  * false); on engines without usable unique indexes they degrade to an
   * idempotent re-merge under read-committed isolation, same as the
   * file-backed tables.
   *
@@ -86,12 +89,20 @@ class JdbcStateTable(
         .mkString(", ") + ")"
   }
 
-  /** Create the state + marker tables if absent. */
+  /** Create the state + marker tables if absent. On engines whose
+    * dialect supports it, the marker table gets a UNIQUE index on
+    * (stream_scope, batch_id) so concurrent [[mergeOnceForBatch]]
+    * writers arbitrate on a constraint violation (insert-first) instead
+    * of racing select-then-insert. */
   def ensureTables(): Unit = withConnection { conn =>
     conn.createStatement().execute(ddl)
     conn.createStatement().execute(
       s"CREATE TABLE IF NOT EXISTS ${q(markerTable)} (" +
         "\"stream_scope\" VARCHAR, \"batch_id\" BIGINT)")
+    if (dialect.supportsUniqueIndex)
+      conn.createStatement().execute(
+        s"CREATE UNIQUE INDEX IF NOT EXISTS ${q(markerTable + "__uniq")} " +
+          s"ON ${q(markerTable)} (\"stream_scope\", \"batch_id\")")
     conn.commit()
   }
 
@@ -143,16 +154,32 @@ class JdbcStateTable(
     case other => rs.getObject(pos)
   }
 
+  /** None means the table was never created (nothing initialized) —
+    * matching ParquetStateTable/BucketedStateTable, where None means no
+    * version was ever committed. A table that EXISTS but holds zero rows
+    * (a drained queue) reads as Some(empty), again matching the
+    * file-backed tables once a version is committed. */
   override def read(): Option[DataFrame] = {
-    val rows = withConnection { conn => val r = readRows(conn); conn.commit(); r }
-    if (rows.isEmpty) {
-      // an empty TABLE is an empty state, not an absent one — but the
-      // trait's None contract means "nothing committed yet", and both
-      // coincide for a fresh database table
-      None
-    } else Some(spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000)),
-      schema))
+    val rowsOpt = withConnection { conn =>
+      val r = if (tableExists(conn)) Some(readRows(conn)) else None
+      conn.commit(); r
+    }
+    rowsOpt.map { rows =>
+      if (rows.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000)),
+        schema)
+    }
+  }
+
+  private def tableExists(conn: Connection): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, "%", null)
+    try {
+      var found = false
+      while (!found && rs.next()) found = rs.getString("TABLE_NAME") == table
+      found
+    } finally rs.close()
   }
 
   override def readOrEmpty(like: DataFrame): DataFrame =
@@ -231,43 +258,115 @@ class JdbcStateTable(
     }
   }
 
+  private def markerSeen(conn: Connection, streamScope: String,
+      batchId: Long): Boolean = {
+    val check = conn.prepareStatement(
+      s"SELECT 1 FROM ${q(markerTable)} WHERE " +
+        "\"stream_scope\" = ? AND \"batch_id\" = ?")
+    try {
+      check.setString(1, streamScope)
+      check.setLong(2, batchId)
+      val rs = check.executeQuery()
+      try rs.next() finally rs.close()
+    } finally check.close()
+  }
+
+  private def insertMarker(conn: Connection, streamScope: String,
+      batchId: Long): Unit = {
+    val mark = conn.prepareStatement(
+      s"INSERT INTO ${q(markerTable)} " +
+        "(\"stream_scope\", \"batch_id\") VALUES (?, ?)")
+    try {
+      mark.setString(1, streamScope)
+      mark.setLong(2, batchId)
+      mark.executeUpdate()
+    } finally mark.close()
+    ()
+  }
+
+  /** Bounded marker history, mirroring the file-backed
+    * [[BatchMarkers.runOnce]]: markers far behind the current batch are
+    * dropped in the same transaction, so a long-running stream scans a
+    * ~100-row marker table, not one row per batch forever. */
+  private val markerRetention = 100L
+  private def pruneMarkers(conn: Connection, streamScope: String,
+      batchId: Long): Unit = {
+    val del = conn.prepareStatement(
+      s"DELETE FROM ${q(markerTable)} WHERE " +
+        "\"stream_scope\" = ? AND \"batch_id\" < ?")
+    try {
+      del.setString(1, streamScope)
+      del.setLong(2, batchId - markerRetention)
+      del.executeUpdate()
+    } finally del.close()
+    ()
+  }
+
   /** ST4 exactly-once: the batch marker commits in the SAME transaction
-    * as the merge, so a crash can never separate them. */
+    * as the merge, so a crash can never separate them.
+    *
+    * A cheap marker pre-check runs in its own short transaction BEFORE
+    * the batch is collected, so crash-replay of an already-committed
+    * batch costs one SELECT, not a Spark job. Where the dialect supports
+    * unique indexes the write transaction then inserts the marker FIRST:
+    * under concurrent writers the unique index turns the race into a
+    * constraint violation for the loser, who rolls back (nothing else is
+    * in the transaction yet) and reports false — no duplicate markers,
+    * and exactly one caller sees "write happened". Engines without
+    * usable unique indexes keep select-then-insert, whose race degrades
+    * to an idempotent re-merge. */
   override def mergeOnceForBatch(batchId: Long, streamScope: String,
       updates: DataFrame, keys2: Seq[String],
       versionCols: Seq[String] = Nil): Boolean = {
     require(keys2.toSet == keys.toSet,
       s"merge keys $keys2 must match the table's declared keys $keys")
+    val preSeen = withConnection { conn =>
+      val s = markerSeen(conn, streamScope, batchId); conn.commit(); s
+    }
+    if (preSeen) return false
     val deduped =
       if (versionCols.isEmpty) updates
       else graft.operators.StateOps.dedupLastWriteWins(updates, keys2, versionCols)
     val rows = collectBounded(deduped, "mergeOnceForBatch")
+    commitBatchOnce(batchId, streamScope, rows)
+  }
+
+  /** The write transaction of [[mergeOnceForBatch]], AFTER the replay
+    * pre-check — package-visible so contention specs can drive the
+    * lost-the-race window (another writer committing between the
+    * pre-check and this transaction) deterministically. */
+  private[graft] def commitBatchOnce(batchId: Long, streamScope: String,
+      rows: Seq[Row]): Boolean =
     withConnection { conn =>
-      val check = conn.prepareStatement(
-        s"SELECT 1 FROM ${q(markerTable)} WHERE " +
-          "\"stream_scope\" = ? AND \"batch_id\" = ?")
-      val seen = try {
-        check.setString(1, streamScope)
-        check.setLong(2, batchId)
-        val rs = check.executeQuery()
-        try rs.next() finally rs.close()
-      } finally check.close()
-      if (seen) { conn.commit(); false }
-      else {
-        if (rows.nonEmpty) upsertRows(conn, rows)
-        val mark = conn.prepareStatement(
-          s"INSERT INTO ${q(markerTable)} " +
-            "(\"stream_scope\", \"batch_id\") VALUES (?, ?)")
-        try {
-          mark.setString(1, streamScope)
-          mark.setLong(2, batchId)
-          mark.executeUpdate()
-        } finally mark.close()
-        conn.commit()
-        true
+      if (dialect.supportsUniqueIndex) {
+        val won =
+          try { insertMarker(conn, streamScope, batchId); true }
+          catch {
+            case e: java.sql.SQLException =>
+              // rollback ends the failed transaction; the next statement
+              // opens a fresh one on the same connection
+              conn.rollback()
+              if (markerSeen(conn, streamScope, batchId)) false
+              else throw e // a genuine failure, not the unique index
+          }
+        if (!won) { conn.commit(); false }
+        else {
+          if (rows.nonEmpty) upsertRows(conn, rows)
+          pruneMarkers(conn, streamScope, batchId)
+          conn.commit()
+          true
+        }
+      } else {
+        if (markerSeen(conn, streamScope, batchId)) { conn.commit(); false }
+        else {
+          if (rows.nonEmpty) upsertRows(conn, rows)
+          insertMarker(conn, streamScope, batchId)
+          pruneMarkers(conn, streamScope, batchId)
+          conn.commit()
+          true
+        }
       }
     }
-  }
 
   private lazy val scratchRoot = new Path(scratchPath)
   private[pipeline] override def tableRoot: Path = scratchRoot

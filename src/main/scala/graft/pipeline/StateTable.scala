@@ -14,7 +14,10 @@ import org.apache.spark.sql.DataFrame
   */
 trait StateTable {
 
-  /** Newest committed snapshot, if any. */
+  /** Newest committed snapshot, if any. None means the table was never
+    * initialized (no version committed / table never created); a table
+    * that exists but holds zero rows — e.g. a drained queue — reads as
+    * Some(empty), uniformly across implementations. */
   def read(): Option[DataFrame]
 
   /** Newest committed snapshot or an empty frame shaped like `like`. */

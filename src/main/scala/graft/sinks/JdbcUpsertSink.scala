@@ -31,6 +31,14 @@ trait SqlDialect extends Serializable {
     * full-row replace, semantically identical to `DO UPDATE SET` of
     * every non-key column. */
   def upsertByDeleteInsert: Boolean = false
+  /** Whether the engine supports unique indexes reliably enough for the
+    * batch-marker insert-first scheme (a unique index on the marker
+    * table lets concurrent writers arbitrate on a constraint violation
+    * instead of racing select-then-insert). Engines with documented
+    * index limitations (DuckDB's ART — see [[SqlDialect.DuckDb]]) keep
+    * the select-then-insert scheme, whose race degrades to an
+    * idempotent re-merge. */
+  def supportsUniqueIndex: Boolean = true
 }
 
 object SqlDialect {
@@ -56,6 +64,7 @@ object SqlDialect {
     * reinsert inside one transaction trip the constraint spuriously. */
   object DuckDb extends SqlDialect {
     override def upsertByDeleteInsert: Boolean = true
+    override def supportsUniqueIndex: Boolean = false
     def arrayPlaceholder: String = "from_json(?, '[\"VARCHAR\"]')"
     def bindStringArray(conn: Connection, ps: PreparedStatement, pos: Int,
         values: Seq[String]): Unit =
