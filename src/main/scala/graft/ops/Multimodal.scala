@@ -408,4 +408,56 @@ object Multimodal {
         "doc_id", "phash", bands)
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** One image–text pair awaiting cross-modal dedup: id + encoded image
+    * bytes + caption embedding. */
+  case class PairRecord(pair_id: Long, payload: Array[Byte],
+      embedding: Array[Float])
+
+  /** Cross-modal near-duplicate detection for image–TEXT pairs — the
+    * multimodal-corpus analog of document near-dup: a pair duplicates
+    * another when BOTH modalities agree, i.e. the images are perceptual
+    * near-dups (dHash Hamming <= `maxHamming`; catches re-encodes and
+    * recompressions) AND the captions are semantic near-dups (embedding
+    * cosine >= `cosThreshold`; catches paraphrases). Either modality
+    * alone is not a duplicate: the same stock photo under genuinely
+    * different captions is two training examples, and the same caption
+    * on different images likewise.
+    *
+    * Candidate generation blocks on the IMAGE leg only —
+    * [[imageNearDups]]' banded dHash join, deterministic-complete for
+    * `maxHamming < bands` by pigeonhole — because the conjunction lets
+    * the cheaper, exactly-blockable modality prune for both: any pair
+    * the image bands miss has image Hamming > maxHamming and fails the
+    * AND regardless of its captions. The caption leg then runs as an
+    * exact verify over the surviving candidates: two keyed equi-joins
+    * fetch each side's embedding and the fused cosine kernel
+    * ([[graft.ops.Similarity.cosine]]) filters — never an
+    * embedding-space candidate search, and never all-pairs.
+    *
+    * 100 TB: decode+hash is a narrow batched map over the pair scan;
+    * banding shuffles (band, bits) keys; the verify joins shuffle only
+    * candidate ids against the (id, embedding) projection — candidates
+    * post-blocking are a vanishing fraction of the corpus, so AQE
+    * broadcast-promotes that side when small. Hamming and cosine both
+    * ride in the output for downstream threshold audits. */
+  def pairNearDups(spark: SparkSession, pairs: DataFrame,
+      idCol: String = "pair_id", payloadCol: String = "payload",
+      embCol: String = "embedding",
+      maxHamming: Int = 3, bands: Int = 4, cosThreshold: Double = 0.95,
+      batchSize: Int = 64): DataFrame = {
+    val media = pairs.select(col(idCol).as("doc_id"),
+      lit("image").as("kind"), col(payloadCol).as("payload"))
+    val candidates =
+      imageNearDups(spark, media, maxHamming, bands, batchSize)
+    val emb = pairs.select(col(idCol).as("__eid"), col(embCol).as("__ev"))
+    candidates
+      .join(emb.select(col("__eid").as("a_id"), col("__ev").as("__va")),
+        Seq("a_id"))
+      .join(emb.select(col("__eid").as("b_id"), col("__ev").as("__vb")),
+        Seq("b_id"))
+      .withColumn("cos_sim", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= cosThreshold)
+      .select(col("a_id"), col("b_id"), col("hamming"), col("cos_sim"))
+  }
 }

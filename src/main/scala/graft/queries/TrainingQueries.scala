@@ -898,6 +898,46 @@ object TrainingQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ── Multimodal: CROSS-MODAL pair dedup (image dHash × caption
+    // embedding conjunction). Planted at +100000: a RE-ENCODED image
+    // (dHash one bit off — hamming 1) with a PARAPHRASED caption
+    // (identical embedding — cosine 1): the true duplicate pair. Planted
+    // foils: +200000 keeps the image but swaps the caption embedding
+    // (image-only match — NOT a dup), +300000 keeps the caption but
+    // perturbs 8 dHash bits (caption-only match — NOT a dup; image
+    // banding prunes it, and the conjunction would reject it anyway).
+    // The oracle replays the conjunction arithmetically: dHash = v by
+    // plantedImage construction, cosine in closed list arithmetic. ──────
+    "multimodal_pair_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 64)
+        .select(col("doc_id").as("id"))
+        .join(emb, col("id") === col("vec_id"))
+        .select(col("id"), col("id").as("v"), col("embedding"))
+      val dup = base.filter(col("id") % 8 === 0)
+        .select((col("id") + 100000).as("id"),
+          col("v").bitwiseXOR(lit(1L)).as("v"), col("embedding"))
+      val imgOnly = base.filter(col("id") % 16 === 4)
+        .select(col("id"), col("v"))
+        .join(emb, col("id") + 1 === col("vec_id"))
+        .select((col("id") + 200000).as("id"), col("v"), col("embedding"))
+      val captOnly = base.filter(col("id") % 16 === 8)
+        .select((col("id") + 300000).as("id"),
+          col("v").bitwiseXOR(lit(255L)).as("v"), col("embedding"))
+      val pairs = base.unionByName(dup).unionByName(imgOnly).unionByName(captOnly)
+        .as[(Long, Long, Array[Float])]
+        .map { case (id, v, e) =>
+          Multimodal.PairRecord(id, Multimodal.plantedImage(v), e) }
+        .toDF()
+      Multimodal.pairNearDups(s, pairs,
+          maxHamming = 3, bands = 4, cosThreshold = 0.95)
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast("int").as("hamming"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ── AS-OF join: latest purchase at-or-before each click ─────────────
     // The point-in-time lookup Spark lacks natively, in the scalable
     // union-window shape (one keyed shuffle, no range-join blowup) —
@@ -3119,6 +3159,37 @@ object TrainingQueries {
         | CAST(bit_count(xor(a.v, b.v)) AS INTEGER) AS hamming
         |FROM imgs a JOIN imgs b ON a.id < b.id
         |WHERE bit_count(xor(a.v, b.v)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Cross-modal conjunction replayed arithmetically: dHash = v by
+    // plantedImage construction (so image Hamming is 64-bit XOR
+    // popcount), caption cosine in closed list arithmetic over the same
+    // planted catalog — +100000 re-encode+paraphrase twins (hamming 1,
+    // cos 1), +200000 image-only foils, +300000 caption-only foils.
+    "multimodal_pair_dedup" ->
+      """WITH emb AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |base AS (
+        | SELECT d.doc_id AS bid, d.doc_id AS bv, emb.e
+        | FROM documents d JOIN emb ON emb.vec_id = d.doc_id
+        | WHERE d.doc_id < 64),
+        |all_p AS (
+        | SELECT bid AS id, bv AS v, e FROM base
+        | UNION ALL
+        | SELECT bid + 100000, xor(bv, 1), e FROM base WHERE bid % 8 = 0
+        | UNION ALL
+        | SELECT b.bid + 200000, b.bv, emb.e FROM base b
+        |  JOIN emb ON emb.vec_id = b.bid + 1 WHERE b.bid % 16 = 4
+        | UNION ALL
+        | SELECT bid + 300000, xor(bv, 255), e FROM base WHERE bid % 16 = 8),
+        |p AS (
+        | SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST(bit_count(xor(a.v, b.v)) AS INTEGER) AS hamming,
+        |  list_dot_product(a.e, b.e) /
+        |   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+        | FROM all_p a JOIN all_p b ON a.id < b.id)
+        |SELECT a_id, b_id, hamming, round(cos, 4) AS cos_sim
+        |FROM p WHERE hamming <= 3 AND cos >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
 
     "join_asof" ->

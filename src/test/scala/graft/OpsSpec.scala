@@ -483,6 +483,26 @@ class OpsSpec extends SparkSpec {
       s"got $pairs")
   }
 
+  test("multimodal: pairNearDups needs BOTH modalities — re-encode+paraphrase pairs only") {
+    val s = spark
+    import s.implicits._
+    val v = 0x1234567890ABCDEFL
+    val e1 = Array(1.0f, 0.0f, 2.0f, 0.0f)   // caption A (and its "paraphrase")
+    val e2 = Array(0.0f, 3.0f, 0.0f, 1.0f)   // orthogonal caption: cos 0
+    val pairsDf = Seq(
+      Multimodal.PairRecord(1L, Multimodal.plantedImage(v), e1),        // original
+      Multimodal.PairRecord(2L, Multimodal.plantedImage(v ^ 1L), e1),   // re-encode (hamming 1) + paraphrase -> DUP
+      Multimodal.PairRecord(3L, Multimodal.plantedImage(v), e2),        // same image, different caption -> not a dup
+      Multimodal.PairRecord(4L, Multimodal.plantedImage(v ^ 0xFFL), e1) // same caption, image 8 bits off -> not a dup
+    ).toDF()
+    val got = Multimodal.pairNearDups(s, pairsDf,
+        maxHamming = 3, bands = 4, cosThreshold = 0.95)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int"),
+        round(col("cos_sim"), 4))
+      .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    assert(got == Seq((1L, 2L, 1, 1.0)), s"got $got")
+  }
+
   test("multimodal: WavDecoder handles 8-bit UNSIGNED PCM (WAV's native 8-bit form)") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     import Multimodal.{MediaRecord, WavDecoder}
