@@ -672,4 +672,65 @@ object BucketedStateTable {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(path: String): Object =
     locks.computeIfAbsent(path, _ => new Object)
+
+  /** Ids of the manifests currently published at `path`, oldest →
+    * newest — the static twin of the instance's `commits()`, for
+    * readers that hold no table instance (the DSv2 source). */
+  def snapshotCommits(hadoopConf: org.apache.hadoop.conf.Configuration,
+      path: String): Seq[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(hadoopConf)
+    val commitsDir = new Path(root, "_commits")
+    if (!fs.exists(commitsDir)) Nil
+    else fs.listStatus(commitsDir).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("c") && n.endsWith(".txt") &&
+          n.drop(1).dropRight(4).forall(_.isDigit))
+        Some(n.drop(1).dropRight(4).toLong)
+      else None
+    }.sorted
+  }
+
+  /** Resolve ONE committed snapshot of the table at `path` — the newest
+    * manifest, or the manifest of `commit` (time travel) — to its
+    * concrete bucket-parquet directories. This is the read-only seam the
+    * DSv2 `graft-state` source and the `GraftStateCatalog` stand on: a
+    * manifest is immutable once published and its rename was the atomic
+    * commit point, so the returned path list IS one consistent snapshot
+    * no matter what writers do afterwards (pruning retains `keepCommits`
+    * manifests plus a time floor, the same protection the instance
+    * reader relies on). Nil when the table has no committed snapshot
+    * (or the chosen commit published an empty table). No layout check:
+    * a pure reader does not care how keys were hashed into buckets. */
+  def snapshotPaths(hadoopConf: org.apache.hadoop.conf.Configuration,
+      path: String, commit: Option[Long] = None): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(hadoopConf)
+    val commitsDir = new Path(root, "_commits")
+    if (!fs.exists(commitsDir)) return Nil
+    val manifests = fs.listStatus(commitsDir).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("c") && n.endsWith(".txt") &&
+          n.drop(1).dropRight(4).forall(_.isDigit))
+        Some(n.drop(1).dropRight(4).toLong -> s.getPath)
+      else None
+    }.sortBy(_._1)
+    val chosen = commit match {
+      case Some(c) => manifests.find(_._1 == c).map(_._2).getOrElse(
+        throw new NoSuchElementException(
+          s"commit $c is not retained at $path " +
+            s"(retained: ${manifests.map(_._1).mkString(", ")})"))
+      case None => manifests.lastOption match {
+        case Some((_, p)) => p
+        case None => return Nil
+      }
+    }
+    val in = fs.open(chosen)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(l => l.nonEmpty && l.head.isDigit).toSeq
+      .map { l => val Array(b, c) = l.split("=", 2); b.toInt -> c.toLong }
+      .sortBy(_._1)
+      .map { case (b, c) => new Path(root, f"data/c$c%08d/__bucket=$b").toString }
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.BucketedStateTable
+import graft.sources.GraftStateCatalog
+
+/** The SQL-addressable face of [[BucketedStateTable]]: the `graft-state`
+  * DSv2 source and the `GraftStateCatalog` must resolve the same
+  * manifest snapshot the library reader does, keep a loaded frame on its
+  * snapshot while new commits land, push filters/pruning into the
+  * underlying parquet scan, and refuse mutation — matching how the
+  * reference's users reach its PostgreSQL tables in plain SQL
+  * (`createSequencesAndTablesProductionDB.sql:19-89`). */
+class GraftStateSourceSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-statesrc").toString
+
+  private def seeded(dir: String, name: String = "events",
+      rows: Long = 1000L): BucketedStateTable = {
+    val t = new BucketedStateTable(spark, s"$dir/$name",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)
+    t.merge(spark.range(rows)
+      .select(concat(lit("k"), col("id")).as("k"), col("id").as("v")),
+      keys = Seq("k"))
+    t
+  }
+
+  test("graft-state: format read resolves the same snapshot as the library reader") {
+    val dir = tmp()
+    val t = seeded(dir)
+    val viaSql = spark.read.format("graft-state").load(s"$dir/events")
+    assert(viaSql.count() == 1000L)
+    assert(viaSql.columns.toSeq == Seq("k", "v"))
+    val lib = t.read().get.orderBy("k").collect().toSeq
+    assert(viaSql.orderBy("k").collect().toSeq == lib)
+  }
+
+  test("graft-state: a loaded frame keeps ITS snapshot; a fresh load sees the new commit; commit option time-travels") {
+    val dir = tmp()
+    val t = seeded(dir, rows = 100L)
+    val old = spark.read.format("graft-state").load(s"$dir/events")
+    val oldCommit = t.commits().last
+
+    t.merge(Seq(("k5", 999L)).toDF("k", "v"), keys = Seq("k"))
+
+    assert(old.filter(col("k") === "k5").select("v")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L),
+      "the already-loaded frame must keep its manifest snapshot")
+    val fresh = spark.read.format("graft-state").load(s"$dir/events")
+    assert(fresh.filter(col("k") === "k5").select("v")
+      .collect().map(_.getLong(0)).toSeq == Seq(999L))
+    val pinned = spark.read.format("graft-state")
+      .option("commit", oldCommit).load(s"$dir/events")
+    assert(pinned.filter(col("k") === "k5").select("v")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
+  test("graft-state: filters and column pruning reach the parquet scan") {
+    val dir = tmp()
+    seeded(dir)
+    val plan = spark.read.format("graft-state").load(s"$dir/events")
+      .filter(col("k") === "k42").select("v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,k42)]"),
+      s"filter must push into the parquet scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<k:string,v:bigint>"),
+      s"scan must prune to the referenced columns:\n$plan")
+  }
+
+  test("graft-state: catalog makes state tables plain-SQL addressable; read-only surface refuses") {
+    val dir = tmp()
+    seeded(dir, "oai_headers", rows = 500L)
+    seeded(dir, "reporting_docs", rows = 50L)
+    spark.conf.set("spark.sql.catalog.graft_state",
+      classOf[GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_state.root", dir)
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM graft_state.oai_headers")
+        .collect().head.getLong(0) == 500L)
+      assert(spark.sql(
+        "SELECT v FROM graft_state.reporting_docs WHERE k = 'k7'")
+        .collect().map(_.getLong(0)).toSeq == Seq(7L))
+      val names = spark.sql("SHOW TABLES IN graft_state")
+        .select("tableName").collect().map(_.getString(0)).toSet
+      assert(names == Set("oai_headers", "reporting_docs"))
+      val ex = intercept[Exception] {
+        spark.sql("DROP TABLE graft_state.oai_headers")
+      }
+      assert(ex.getMessage.contains("read-only"), s"got: ${ex.getMessage}")
+      // mutate through the library; a NEW statement sees the commit
+      val t = new BucketedStateTable(spark, s"$dir/oai_headers",
+        keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)
+      t.merge(Seq(("brand-new", 1L)).toDF("k", "v"), keys = Seq("k"))
+      assert(spark.sql("SELECT count(*) AS n FROM graft_state.oai_headers")
+        .collect().head.getLong(0) == 501L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_state")
+      spark.conf.unset("spark.sql.catalog.graft_state.root")
+    }
+  }
+
+  test("graft-state: an uncommitted table refuses with a clear message") {
+    val dir = tmp()
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-state").load(s"$dir/empty").count()
+    }
+    assert(ex.getMessage.contains("no committed snapshot"))
+  }
+
+  private implicit class SeqToDf(s: Seq[(String, Long)]) {
+    def toDF(c1: String, c2: String): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(s).toDF(c1, c2)
+  }
+}
