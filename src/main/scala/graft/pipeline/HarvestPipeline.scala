@@ -51,6 +51,8 @@ object PageFetcher {
   *
   * @param headerFilter F1 plug-point (reference `OaiHeaderFilter`);
   *        identity by default, the qucosa regex filter in production.
+  *        Third-party filters deploy by name through
+  *        [[OaiHeaderFilters]] (`headerFilter = OaiHeaderFilters("qucosa")`).
   * @param onClockSkew invoked with a warning message when the server's
   *        `responseDate` differs from local `now` by more than
   *        [[HarvestPipeline.MaxClockSkewMillis]] (SF3 skew check,

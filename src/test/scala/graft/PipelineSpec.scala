@@ -405,6 +405,46 @@ class PipelineSpec extends SparkSpec {
     new EnrichmentPipeline(spark, headers, reporting,
       batchSize = EnrichmentPipeline.MaxDriverBatch)
   }
+
+  // ── OaiHeaderFilters: the named F1 plug-point registry ────────────────
+
+  test("header filters: named registry resolves builtins, takes third-party filters, rejects typos") {
+    // builtin 'qucosa' behaves as the reference's production filter
+    val dir = tmp()
+    val headers = new ParquetStateTable(spark, s"$dir/headers")
+    val runs = new ParquetStateTable(spark, s"$dir/runs")
+    val p = new HarvestPipeline(spark, headers, runs, "http://h/oai",
+      headerFilter = OaiHeaderFilters("qucosa"))
+    val fetch = fetcher(Map(
+      "metadataPrefix" -> fixture("/oai/ListIdentifiersToFilter.xml")))
+    p.runOnce(fetch, ts("2024-03-01 10:00:00"))
+    val kept = headers.read().get
+      .select("record_identifier").collect().map(_.getString(0)).toSet
+    assert(kept.forall(_.matches(".+qucosa:\\d+")), s"kept: $kept")
+    assert(kept.nonEmpty)
+
+    // a third-party filter registers by name and resolves
+    OaiHeaderFilters.register("only-1044",
+      _.filter(col("record_identifier").endsWith(":1044")))
+    assert(OaiHeaderFilters.names.contains("only-1044"))
+    val dir2 = tmp()
+    val headers2 = new ParquetStateTable(spark, s"$dir2/headers")
+    val p2 = new HarvestPipeline(spark, headers2,
+      new ParquetStateTable(spark, s"$dir2/runs"), "http://h/oai",
+      headerFilter = OaiHeaderFilters("only-1044"))
+    p2.runOnce(fetcher(Map(
+      "metadataPrefix" -> fixture("/oai/listIdentifiers.xml"))),
+      ts("2024-03-01 10:00:00"))
+    val kept2 = headers2.read().get
+      .select("record_identifier").collect().map(_.getString(0)).toSet
+    assert(kept2 == Set("oai:example.org:qucosa:1044"), s"kept: $kept2")
+
+    // a config typo fails loudly with the known names
+    val ex = intercept[IllegalArgumentException] {
+      OaiHeaderFilters("qucosa-typo")
+    }
+    assert(ex.getMessage.contains("qucosa") && ex.getMessage.contains("identity"))
+  }
 }
 
 object PipelineSpec {
