@@ -147,7 +147,7 @@ object Dedup {
     * index slice in cache. The probe is batch-proportional work (the
     * sides are a batch and its pruned slice, never the corpus), so the
     * adaptivity costs O(batch) regardless of corpus size. */
-  private def adaptiveBipartiteJoin(
+  private[ops] def adaptiveBipartiteJoin(
       l: DataFrame, lIdCol: String,
       r: DataFrame, rIdCol: String,
       keys: Seq[String],

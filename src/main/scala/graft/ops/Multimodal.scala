@@ -460,4 +460,101 @@ object Multimodal {
       .filter(col("cos_sim") >= cosThreshold)
       .select(col("a_id"), col("b_id"), col("hamming"), col("cos_sim"))
   }
+
+  /** Banded index rows of an image–text pair batch: one row per
+    * (dHash band, band bits) per pair, carrying the full hash AND the
+    * caption embedding so an incremental probe verifies BOTH modalities
+    * from the index slice alone — no second lookup into the corpus. */
+  private def pairBandRows(spark: SparkSession, pairs: DataFrame,
+      idCol: String, payloadCol: String, embCol: String,
+      bands: Int, batchSize: Int): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val media = pairs.select(col(idCol).as("doc_id"),
+      lit("image").as("kind"), col(payloadCol).as("payload"))
+    val hashed = imageHashes(spark, media, batchSize).toDF()
+    val emb = pairs.select(col(idCol).as("doc_id"), col(embCol).as("embedding"))
+    hashed.join(emb, Seq("doc_id"))
+      .select(col("doc_id").as("pair_id"), col("phash"), col("embedding"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("phash"), b * width)
+              .bitwiseAND(lit(mask)).as("bh"))): _*)).as("__b"))
+      .select(col("__b.band").as("band"), col("__b.bh").as("bh"),
+        col("pair_id"), col("phash"), col("embedding"))
+  }
+
+  /** Index an image–text pair corpus for [[incrementalPairNearDups]]:
+    * banded dHash rows (hash + caption embedding as payload) into a
+    * [[graft.pipeline.BucketedStateTable]] keyed
+    * `(band, bh, pair_id)` and BUCKETED by `(band, bh)`, so a probe
+    * that knows only its band keys is bucket-pruned — the cross-modal
+    * twin of [[graft.ops.Dedup.indexEmbeddings]]. */
+  def indexPairs(index: graft.pipeline.BucketedStateTable,
+      pairs: DataFrame,
+      idCol: String = "pair_id", payloadCol: String = "payload",
+      embCol: String = "embedding",
+      bands: Int = 4, batchSize: Int = 64): Unit =
+    index.merge(
+      pairBandRows(SparkSession.active, pairs, idCol, payloadCol, embCol,
+        bands, batchSize),
+      keys = Seq("band", "bh", "pair_id"))
+
+  /** Incremental cross-modal pair dedup: every pair-of-pairs meeting
+    * BOTH thresholds (image dHash Hamming <= `maxHamming` AND caption
+    * cosine >= `cosThreshold`) with at least one side in `batch`,
+    * against a corpus indexed by [[indexPairs]] — then the batch joins
+    * the index. Same contract as
+    * [[graft.ops.Dedup.incrementalEmbeddingNearDups]]: the probe reads
+    * ONLY the index buckets the batch's band keys hash into, the slice
+    * is pinned before the merge, candidates are batch-proportional
+    * (hot band buckets go through the bounded bipartite decomposition),
+    * and replaying an ingested batch re-emits the same pairs over an
+    * unchanged index (keyed merge — at-least-once safe). Returns
+    * `(a_id, b_id, hamming, cos_sim)` with a_id < b_id. */
+  def incrementalPairNearDups(index: graft.pipeline.BucketedStateTable,
+      batch: DataFrame,
+      idCol: String = "pair_id", payloadCol: String = "payload",
+      embCol: String = "embedding",
+      maxHamming: Int = 3, bands: Int = 4, cosThreshold: Double = 0.95,
+      batchSize: Int = 64, maxBucketSize: Int = 4096): DataFrame = {
+    require(maxHamming < bands,
+      s"maxHamming ($maxHamming) must stay below bands ($bands) for deterministic recall")
+    val spark = SparkSession.active
+    val b = pairBandRows(spark, batch, idCol, payloadCol, embCol,
+        bands, batchSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    b.count()
+    val slice = index.readForKeys(b.select(col("band"), col("bh")), b.limit(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val cross = Dedup.adaptiveBipartiteJoin(
+        b.select(col("band"), col("bh"), col("pair_id").as("__nid"),
+          col("phash").as("__nh"), col("embedding").as("__nv")),
+        "__nid",
+        slice.select(col("band"), col("bh"), col("pair_id").as("__oid"),
+          col("phash").as("__oh"), col("embedding").as("__ov")),
+        "__oid",
+        keys = Seq("band", "bh"), maxBucketSize = maxBucketSize)
+      .filter(col("__oid") =!= col("__nid"))
+      .select(least(col("__oid"), col("__nid")).as("a_id"),
+        greatest(col("__oid"), col("__nid")).as("b_id"),
+        bit_count(col("__nh").bitwiseXOR(col("__oh"))).as("hamming"),
+        Similarity.cosine(col("__nv"), col("__ov")).as("cos_sim"))
+    // intra-batch pairs: the batch itself may carry duplicates
+    val intra = pairNearDups(spark, batch, idCol, payloadCol, embCol,
+      maxHamming, bands, cosThreshold, batchSize)
+    val out = cross
+      .filter(col("hamming") <= maxHamming && col("cos_sim") >= cosThreshold)
+      .unionByName(intra)
+      .distinct()
+      // eager pre-merge checkpoint pins the probe result before the
+      // index mutates (same discipline as the text/embedding paths)
+      .localCheckpoint(true)
+    index.merge(b.select(col("band"), col("bh"), col("pair_id"),
+      col("phash"), col("embedding")), keys = Seq("band", "bh", "pair_id"))
+    b.unpersist()
+    slice.unpersist()
+    out
+  }
 }
