@@ -938,6 +938,52 @@ object TrainingQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ── Multimodal: INCREMENTAL cross-modal pair dedup — the pair
+    // twin of dedup_incr_near/embed_incr_near: index the base catalog's
+    // banded dHash rows (hash + caption embedding) once, then probe a
+    // batch of planted twins and foils bucket-pruned. Base ids < 64,
+    // batch ids >= 100000, so "pairs with at least one side in the
+    // batch" is id >= 100000 and the oracle replays the conjunction
+    // arithmetically over base ∪ batch exactly as multimodal_pair_dedup
+    // does, restricted to batch-involving pairs. ────────────────────────
+    "multimodal_pair_incr" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 64)
+        .select(col("doc_id").as("id"))
+        .join(emb, col("id") === col("vec_id"))
+        .select(col("id"), col("id").as("v"), col("embedding"))
+      def mk(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Array[Float])]
+          .map { case (id, v, e) =>
+            Multimodal.PairRecord(id, Multimodal.plantedImage(v), e) }
+          .toDF()
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-pairidx-").toString
+      val index = new graft.pipeline.BucketedStateTable(
+        s, s"$root/index",
+        keyCols = Seq("band", "bh", "pair_id"), numBuckets = 32,
+        bucketCols = Seq("band", "bh"))
+      Multimodal.indexPairs(index, mk(base))
+      val dup = base.filter(col("id") % 8 === 0)
+        .select((col("id") + 100000).as("id"),
+          col("v").bitwiseXOR(lit(1L)).as("v"), col("embedding"))
+      val imgOnly = base.filter(col("id") % 16 === 4)
+        .select(col("id"), col("v"))
+        .join(emb, col("id") + 1 === col("vec_id"))
+        .select((col("id") + 200000).as("id"), col("v"), col("embedding"))
+      val captOnly = base.filter(col("id") % 16 === 8)
+        .select((col("id") + 300000).as("id"),
+          col("v").bitwiseXOR(lit(255L)).as("v"), col("embedding"))
+      Multimodal.incrementalPairNearDups(index,
+          mk(dup.unionByName(imgOnly).unionByName(captOnly)),
+          maxHamming = 3, bands = 4, cosThreshold = 0.95)
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast("int").as("hamming"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ── AS-OF join: latest purchase at-or-before each click ─────────────
     // The point-in-time lookup Spark lacks natively, in the scalable
     // union-window shape (one keyed shuffle, no range-join blowup) —
@@ -3188,6 +3234,38 @@ object TrainingQueries {
         |  list_dot_product(a.e, b.e) /
         |   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
         | FROM all_p a JOIN all_p b ON a.id < b.id)
+        |SELECT a_id, b_id, hamming, round(cos, 4) AS cos_sim
+        |FROM p WHERE hamming <= 3 AND cos >= 0.95
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Same arithmetic replay as multimodal_pair_dedup, restricted to
+    // pairs with at least one batch side (batch ids >= 100000): the
+    // incremental probe must surface exactly the batch-involving slice
+    // of the full conjunction — nothing extra (no base×base pairs), and
+    // nothing missed (cross via the index, intra via the batch itself).
+    "multimodal_pair_incr" ->
+      """WITH emb AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |base AS (
+        | SELECT d.doc_id AS bid, d.doc_id AS bv, emb.e
+        | FROM documents d JOIN emb ON emb.vec_id = d.doc_id
+        | WHERE d.doc_id < 64),
+        |all_p AS (
+        | SELECT bid AS id, bv AS v, e FROM base
+        | UNION ALL
+        | SELECT bid + 100000, xor(bv, 1), e FROM base WHERE bid % 8 = 0
+        | UNION ALL
+        | SELECT b.bid + 200000, b.bv, emb.e FROM base b
+        |  JOIN emb ON emb.vec_id = b.bid + 1 WHERE b.bid % 16 = 4
+        | UNION ALL
+        | SELECT bid + 300000, xor(bv, 255), e FROM base WHERE bid % 16 = 8),
+        |p AS (
+        | SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST(bit_count(xor(a.v, b.v)) AS INTEGER) AS hamming,
+        |  list_dot_product(a.e, b.e) /
+        |   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+        | FROM all_p a JOIN all_p b ON a.id < b.id
+        | WHERE a.id >= 100000 OR b.id >= 100000)
         |SELECT a_id, b_id, hamming, round(cos, 4) AS cos_sim
         |FROM p WHERE hamming <= 3 AND cos >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
