@@ -217,7 +217,8 @@ class BucketedStateTable(
   // lines) — no JSON parser needed, diffable, and the rename that
   // publishes it is the atomic commit point.
 
-  private case class Manifest(commitId: Long, buckets: Map[Int, Long])
+  private case class Manifest(commitId: Long, buckets: Map[Int, Long],
+      schemaJson: Option[String] = None)
 
   private def manifestFiles(): Seq[(Long, Path)] =
     if (!fs.exists(commitsDir)) Nil
@@ -264,7 +265,8 @@ class BucketedStateTable(
       lines.collect {
         case l if l.nonEmpty && l.head.isDigit =>
           val Array(b, c) = l.split("=", 2); b.toInt -> c.toLong
-      }.toMap)
+      }.toMap,
+      kv.get("schema"))
   }
 
   private def currentManifest(): Option[Manifest] =
@@ -285,8 +287,15 @@ class BucketedStateTable(
   private def writeManifest(m: Manifest, basedOn: Long,
       forNumBuckets: Int = numBuckets): Unit = {
     fs.mkdirs(commitsDir)
+    // schema= records the row schema as single-line JSON so a
+    // committed-but-EMPTY snapshot (e.g. a fully drained queue) still
+    // carries a readable shape — the DSv2 source returns an empty table
+    // instead of failing where tableExists says true. StructType.json
+    // never contains a newline, and the k=v split is first-'=' only, so
+    // the JSON body parses back verbatim.
     val body = (s"commit=${m.commitId}\nnumBuckets=$forNumBuckets\n" +
       s"bucketCols=${effBucketCols.mkString(",")}\n" +
+      m.schemaJson.map(j => s"schema=$j\n").getOrElse("") +
       m.buckets.toSeq.sorted.map { case (b, c) => s"$b=$c\n" }.mkString)
     val tmp = new Path(commitsDir, f".c${m.commitId}%08d.txt.tmp")
     val out = fs.create(tmp, true)
@@ -431,7 +440,8 @@ class BucketedStateTable(
       throw new java.util.ConcurrentModificationException(
         s"planned commit $next but manifest $basedOn is already newer; retry")
     val prev = base.map(_.buckets).getOrElse(Map.empty)
-    writeManifest(Manifest(next, prev -- dirty ++ written.map(_ -> next)), basedOn)
+    writeManifest(Manifest(next, prev -- dirty ++ written.map(_ -> next),
+      Some(rows.schema.json)), basedOn)
     prune()
     val stats = CommitStats(next, dirty, written)
     last = Some(stats)
@@ -617,8 +627,10 @@ class BucketedStateTable(
             .sorted
       }
       val basedOn = currentManifest().map(_.commitId).getOrElse(0L)
-      writeManifest(Manifest(next, written.map(_ -> next).toMap), basedOn,
-        forNumBuckets = newNumBuckets)
+      writeManifest(Manifest(next, written.map(_ -> next).toMap,
+          snapshot.map(_.schema.json)
+            .orElse(currentManifest().flatMap(_.schemaJson))),
+        basedOn, forNumBuckets = newNumBuckets)
       // Truncate pre-rebucket manifests — but ONLY past the retention
       // floor, the same shield prune() honors: a reader that listed a
       // manifest moments ago must still be able to open it (an
@@ -703,11 +715,45 @@ object BucketedStateTable {
     * (or the chosen commit published an empty table). No layout check:
     * a pure reader does not care how keys were hashed into buckets. */
   def snapshotPaths(hadoopConf: org.apache.hadoop.conf.Configuration,
-      path: String, commit: Option[Long] = None): Seq[String] = {
+      path: String, commit: Option[Long] = None): Seq[String] =
+    chosenManifestText(hadoopConf, path, commit) match {
+      case None => Nil
+      case Some(text) =>
+        val root = new Path(path)
+        text.linesIterator.filter(l => l.nonEmpty && l.head.isDigit).toSeq
+          .map { l => val Array(b, c) = l.split("=", 2); b.toInt -> c.toLong }
+          .sortBy(_._1)
+          .map { case (b, c) =>
+            new Path(root, f"data/c$c%08d/__bucket=$b").toString }
+    }
+
+  /** The row schema the chosen snapshot recorded (its manifest's
+    * `schema=` line) — what lets a committed-but-EMPTY table (e.g. a
+    * queue fully drained by `deleteWhereUnmodified`) still present a
+    * typed shape to the DSv2 source instead of erroring where
+    * `tableExists` answers true. None when the manifest predates the
+    * schema line or the table never committed. */
+  def snapshotSchema(hadoopConf: org.apache.hadoop.conf.Configuration,
+      path: String, commit: Option[Long] = None)
+      : Option[org.apache.spark.sql.types.StructType] =
+    chosenManifestText(hadoopConf, path, commit).flatMap { text =>
+      text.linesIterator.find(_.startsWith("schema=")).map { l =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+    }
+
+  /** Full text of the chosen manifest (newest, or `commit`'s) — one
+    * read shared by [[snapshotPaths]] and [[snapshotSchema]] so both
+    * views of a snapshot come from the SAME immutable file. */
+  private def chosenManifestText(
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      path: String, commit: Option[Long]): Option[String] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hadoopConf)
     val commitsDir = new Path(root, "_commits")
-    if (!fs.exists(commitsDir)) return Nil
+    if (!fs.exists(commitsDir)) return None
     val manifests = fs.listStatus(commitsDir).toSeq.flatMap { s =>
       val n = s.getPath.getName
       if (n.startsWith("c") && n.endsWith(".txt") &&
@@ -722,15 +768,11 @@ object BucketedStateTable {
             s"(retained: ${manifests.map(_._1).mkString(", ")})"))
       case None => manifests.lastOption match {
         case Some((_, p)) => p
-        case None => return Nil
+        case None => return None
       }
     }
     val in = fs.open(chosen)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    text.linesIterator.filter(l => l.nonEmpty && l.head.isDigit).toSeq
-      .map { l => val Array(b, c) = l.split("=", 2); b.toInt -> c.toLong }
-      .sortBy(_._1)
-      .map { case (b, c) => new Path(root, f"data/c$c%08d/__bucket=$b").toString }
+    Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close())
   }
 }

@@ -173,13 +173,23 @@ class JdbcStateTable(
     }
   }
 
+  /** Probes the metadata with the table name as the PATTERN, not a
+    * full-catalog "%" scan — one row back, not O(catalog), per read().
+    * Engines case-fold unquoted identifiers differently (upper, lower,
+    * or as-is), so probe the stored-case candidates and compare
+    * case-insensitively rather than trusting either side's folding. */
   private def tableExists(conn: Connection): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, "%", null)
-    try {
-      var found = false
-      while (!found && rs.next()) found = rs.getString("TABLE_NAME") == table
-      found
-    } finally rs.close()
+    val md = conn.getMetaData
+    def probe(pattern: String): Boolean = {
+      val rs = md.getTables(null, null, pattern, null)
+      try {
+        var found = false
+        while (!found && rs.next())
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+        found
+      } finally rs.close()
+    }
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists(probe)
   }
 
   override def readOrEmpty(like: DataFrame): DataFrame =

@@ -103,6 +103,41 @@ class GraftStateSourceSpec extends SparkSpec {
     }
   }
 
+  test("graft-state: a committed-but-EMPTY (drained) table reads as zero rows under its recorded schema") {
+    val dir = tmp()
+    val t = seeded(dir, "queue", rows = 50L)
+    val preDrain = t.commits().last
+    t.deleteWhereUnmodified(t.read().get) // drain the queue completely
+    assert(t.read().isEmpty, "library reader: drained table has no rows")
+
+    // the DSv2 face must agree with tableExists (true), not throw:
+    // SELECT count(*) over a drained state table answers 0
+    val df = spark.read.format("graft-state").load(s"$dir/queue")
+    assert(df.columns.toSeq == Seq("k", "v"))
+    assert(df.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.count() == 0L)
+    // and a filtered projection plans over the empty scan fine
+    assert(df.filter(col("k") === "k1").select("v").count() == 0L)
+
+    // time travel still resolves the pre-drain snapshot's data
+    assert(spark.read.format("graft-state")
+      .option("commit", preDrain).load(s"$dir/queue").count() == 50L)
+
+    // the catalog face agrees end-to-end (a FRESH catalog name: the
+    // session's CatalogManager caches loaded catalogs by name, so the
+    // other test's graft_state instance would keep ITS root)
+    spark.conf.set("spark.sql.catalog.graft_drained",
+      classOf[GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_drained.root", dir)
+    try
+      assert(spark.sql("SELECT count(*) AS n FROM graft_drained.queue")
+        .collect().head.getLong(0) == 0L)
+    finally {
+      spark.conf.unset("spark.sql.catalog.graft_drained")
+      spark.conf.unset("spark.sql.catalog.graft_drained.root")
+    }
+  }
+
   test("graft-state: an uncommitted table refuses with a clear message") {
     val dir = tmp()
     val ex = intercept[IllegalArgumentException] {

@@ -57,13 +57,23 @@ class HarvestBackpressureSpec extends SparkSpec {
     val p = new HarvestPipeline(spark, headers, runs, "http://h/oai")
 
     // bodies are GENERATED per request — the fetcher holds none of them
+    // strongly, but keeps a WEAK reference to each: after the chain, a
+    // body the pipeline retained stays strongly reachable and its weak
+    // ref never clears — a deterministic retention signal that does not
+    // depend on heap-size arithmetic.
+    val weakBodies =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, java.lang.ref.WeakReference[String])]
     val fetch = new PageFetcher {
       def apply(uri: String): Either[String, String] = {
         val i =
           if (uri.contains("resumptionToken=t"))
             uri.split("resumptionToken=t")(1).takeWhile(_.isDigit).toInt
           else 0
-        Right(pageBody(i))
+        val body = pageBody(i)
+        weakBodies.synchronized {
+          weakBodies += i -> new java.lang.ref.WeakReference(body)
+        }
+        Right(body)
       }
     }
 
@@ -89,11 +99,37 @@ class HarvestBackpressureSpec extends SparkSpec {
     // checkpoint advanced once per page
     assert(p.lastRun().id == nPages.toLong)
 
-    // ~60 MB of page bodies crossed the driver after the warm-up mark;
-    // retaining them (or their parsed frames / header lists) would hold
-    // that memory. Allow half the signal as GC/bookkeeping drift.
+    // PRIMARY (deterministic) signal: every early-chain body must be
+    // garbage — only the trailing few may still be pinned by the last
+    // iteration's execution scaffolding. A pipeline that retains bodies
+    // (or parsed frames holding them) keeps ~65 refs live here. GC is
+    // advisory, so retry the collection a few times before judging.
+    val earlyIdx = (i: Int) => i < nPages - 5
+    val earlyCount = weakBodies.count(p => earlyIdx(p._1))
+    def earlyLive(): Seq[Int] = weakBodies
+      .collect { case (i, r) if earlyIdx(i) && r.get != null => i }.toSeq
+    var gcTries = 0
+    while (earlyLive().nonEmpty && gcTries < 10) {
+      System.gc(); Thread.sleep(100); gcTries += 1
+    }
+    assert(earlyLive().isEmpty,
+      s"${earlyLive().size}/$earlyCount early-chain page bodies are still " +
+        s"strongly reachable after $gcTries GC attempts (pages " +
+        s"${earlyLive().take(5).mkString(",")}…) — the chain is retaining " +
+        "per-page state")
+
+    // SECONDARY (coarse) signal: ~60 MB of page bodies crossed the
+    // driver after the warm-up mark; retaining them would hold that
+    // memory. Allow half the signal as GC/bookkeeping drift, and
+    // re-measure a few times before failing — heap arithmetic alone is
+    // noisy (JIT, metaspace, Spark bookkeeping), which is why the weak
+    // refs above carry the verdict.
     val processedAfterWarm = (nPages - warmPages).toLong * padBytes
-    val growth = heapAtEnd - heapAtWarm
+    var growth = heapAtEnd - heapAtWarm
+    var measures = 0
+    while (growth >= processedAfterWarm / 2 && measures < 5) {
+      growth = usedHeap() - heapAtWarm; measures += 1
+    }
     assert(growth < processedAfterWarm / 2,
       s"driver heap grew ${growth / 1024 / 1024} MB over " +
         s"${nPages - warmPages} pages (~${processedAfterWarm / 1024 / 1024} MB " +
