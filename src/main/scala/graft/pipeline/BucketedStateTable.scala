@@ -260,6 +260,13 @@ class BucketedStateTable(
           s"[${effBucketCols.mkString(",")}] — re-bucketing requires a " +
           "full rewrite into a new table")
     }
+    // and the merge KEY: an instance keyed differently would merge with
+    // the wrong uniqueness and silently duplicate or collapse rows
+    if (checkLayout) kv.get("keyCols").foreach { kc =>
+      require(kc == keyCols.mkString(","),
+        s"table at $path is keyed by [$kc]; this instance is keyed by " +
+          s"[${keyCols.mkString(",")}]")
+    }
     Manifest(
       kv("commit").toLong,
       lines.collect {
@@ -293,8 +300,13 @@ class BucketedStateTable(
     // instead of failing where tableExists says true. StructType.json
     // never contains a newline, and the k=v split is first-'=' only, so
     // the JSON body parses back verbatim.
+    // keyCols= records the table's merge key so a handle-less writer
+    // (the DSv2 SQL INSERT surface) can reconstruct the exact layout
+    // and route through merge() — the manifest is the one place the
+    // layout is authoritative.
     val body = (s"commit=${m.commitId}\nnumBuckets=$forNumBuckets\n" +
       s"bucketCols=${effBucketCols.mkString(",")}\n" +
+      s"keyCols=${keyCols.mkString(",")}\n" +
       m.schemaJson.map(j => s"schema=$j\n").getOrElse("") +
       m.buckets.toSeq.sorted.map { case (b, c) => s"$b=$c\n" }.mkString)
     val tmp = new Path(commitsDir, f".c${m.commitId}%08d.txt.tmp")
@@ -742,6 +754,31 @@ object BucketedStateTable {
           .fromJson(l.stripPrefix("schema="))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
       }
+    }
+
+  /** The physical layout a writer must reproduce to mutate the table at
+    * `path` — merge key, bucket columns, bucket count — as its newest
+    * manifest records them. This is what lets a handle-less writer (the
+    * DSv2 SQL INSERT surface) construct the exact
+    * [[BucketedStateTable]] instance and go through the real commit
+    * protocol. None when the table never committed or its manifests
+    * predate the `keyCols=` line. */
+  case class Layout(keyCols: Seq[String], bucketCols: Seq[String],
+      numBuckets: Int)
+
+  def snapshotLayout(hadoopConf: org.apache.hadoop.conf.Configuration,
+      path: String): Option[Layout] =
+    chosenManifestText(hadoopConf, path, None).flatMap { text =>
+      val kv = text.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+      for {
+        kc <- kv.get("keyCols")
+        nb <- kv.get("numBuckets")
+      } yield Layout(
+        kc.split(",").toSeq,
+        kv.get("bucketCols").map(_.split(",").toSeq)
+          .getOrElse(kc.split(",").toSeq),
+        nb.toInt)
     }
 
   /** Full text of the chosen manifest (newest, or `commit`'s) — one

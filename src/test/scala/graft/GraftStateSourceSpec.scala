@@ -138,6 +138,61 @@ class GraftStateSourceSpec extends SparkSpec {
     }
   }
 
+  test("graft-state: INSERT INTO upserts through the commit protocol; SQL and library writers interleave without lost updates") {
+    val dir = tmp()
+    val t = seeded(dir, "sqlw", rows = 100L)
+    spark.conf.set("spark.sql.catalog.graft_sqlw",
+      classOf[GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sqlw.root", dir)
+    try {
+      // a fresh key appends, an existing key UPDATES — INSERT INTO a
+      // state table is a keyed MERGE, exactly the library semantics
+      spark.sql(
+        "INSERT INTO graft_sqlw.sqlw VALUES ('fresh', 1000), ('k5', 555)")
+      val lib = t.read().get
+      assert(lib.count() == 101L)
+      assert(lib.filter(col("k") === "fresh").select("v")
+        .collect().map(_.getLong(0)).toSeq == Seq(1000L))
+      assert(lib.filter(col("k") === "k5").select("v")
+        .collect().map(_.getLong(0)).toSeq == Seq(555L))
+      // a new SQL statement resolves the post-insert snapshot
+      assert(spark.sql("SELECT count(*) AS n FROM graft_sqlw.sqlw")
+        .collect().head.getLong(0) == 101L)
+      // the write went through the commit protocol: one new manifest,
+      // not loose parquet appended into bucket directories
+      assert(t.lastCommit.nonEmpty || t.commits().size >= 2)
+
+      // INSERT OVERWRITE is refused (no truncate capability)
+      val ex = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft_sqlw.sqlw VALUES ('x', CAST(1 AS BIGINT))")
+      }
+      assert(ex.getMessage.toLowerCase.contains("overwrite") ||
+        ex.getMessage.contains("TRUNCATE"), s"got: ${ex.getMessage}")
+
+      // concurrent SQL + library writers: the shared per-path JVM lock
+      // and optimistic manifest publish must lose NOTHING
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val sqlThread = new Thread(() =>
+        try (0 until 4).foreach { i =>
+          spark.sql(s"INSERT INTO graft_sqlw.sqlw VALUES ('s$i', ${2000 + i})")
+        } catch { case e: Throwable => errs.add(e) })
+      val libThread = new Thread(() =>
+        try (0 until 4).foreach { i =>
+          t.merge(Seq((s"m$i", 3000L + i)).toDF("k", "v"), keys = Seq("k"))
+        } catch { case e: Throwable => errs.add(e) })
+      sqlThread.start(); libThread.start()
+      sqlThread.join(120000); libThread.join(120000)
+      assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+      val after = t.read().get
+      assert(after.count() == 109L)
+      assert(after.filter(col("k").startsWith("s")).count() == 4L)
+      assert(after.filter(col("k").startsWith("m")).count() == 4L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_sqlw")
+      spark.conf.unset("spark.sql.catalog.graft_sqlw.root")
+    }
+  }
+
   test("graft-state: an uncommitted table refuses with a clear message") {
     val dir = tmp()
     val ex = intercept[IllegalArgumentException] {
