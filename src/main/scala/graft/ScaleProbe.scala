@@ -62,6 +62,11 @@ object ScaleProbe {
       "candidate cosines; the blocked bipartite decomposition caps per-task pair counts, " +
       "and the measured ratio collapsed from superlinear to ~1.2x at 10x"),
     "dedup_cluster" -> "linear: verified pairs are copy-local; union-find is edge-proportional",
+    "multimodal_pair_incr" -> ("~linear: the stride-relative base filter gives each copy " +
+      "its own 64-pair catalog and 16-pair batch, so index rows, probe band keys and " +
+      "candidates all grow with copies; dHash band values spread across copies (the id " +
+      "stride perturbs every 16-bit band), probes stay bucket-pruned, and the cosine " +
+      "verify only sees image-banded candidates - never embedding-space search"),
     "corpus_snapshot_diff" -> ("linear: each side prunes to (key, md5) before its one " +
       "hash exchange, so shuffle bytes grow with ROW COUNT only (never document size); " +
       "the full-outer join is key-unique on both sides - no skew, no window"),

@@ -522,7 +522,15 @@ object Multimodal {
     require(maxHamming < bands,
       s"maxHamming ($maxHamming) must stay below bands ($bands) for deterministic recall")
     val spark = SparkSession.active
-    val b = pairBandRows(spark, batch, idCol, payloadCol, embCol,
+    // The batch is BATCH-sized by contract, but its lineage may be an
+    // arbitrary upstream plan (scan + joins); it feeds three legs below
+    // (band rows, intra-candidate decode, intra embedding fetch), so pin
+    // it once instead of re-deriving — at corpus scale a re-derivation
+    // is a full upstream re-execution per leg.
+    val batchP = batch
+      .select(col(idCol), col(payloadCol), col(embCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val b = pairBandRows(spark, batchP, idCol, payloadCol, embCol,
         bands, batchSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     b.count()
@@ -542,7 +550,7 @@ object Multimodal {
         bit_count(col("__nh").bitwiseXOR(col("__oh"))).as("hamming"),
         Similarity.cosine(col("__nv"), col("__ov")).as("cos_sim"))
     // intra-batch pairs: the batch itself may carry duplicates
-    val intra = pairNearDups(spark, batch, idCol, payloadCol, embCol,
+    val intra = pairNearDups(spark, batchP, idCol, payloadCol, embCol,
       maxHamming, bands, cosThreshold, batchSize)
     val out = cross
       .filter(col("hamming") <= maxHamming && col("cos_sim") >= cosThreshold)
@@ -554,6 +562,7 @@ object Multimodal {
     index.merge(b.select(col("band"), col("bh"), col("pair_id"),
       col("phash"), col("embedding")), keys = Seq("band", "bh", "pair_id"))
     b.unpersist()
+    batchP.unpersist()
     slice.unpersist()
     out
   }

@@ -945,14 +945,27 @@ object TrainingQueries {
     // batch ids >= 100000, so "pairs with at least one side in the
     // batch" is id >= 100000 and the oracle replays the conjunction
     // arithmetically over base ∪ batch exactly as multimodal_pair_dedup
-    // does, restricted to batch-involving pairs. ────────────────────────
+    // does, restricted to batch-involving pairs. The base filter is
+    // STRIDE-RELATIVE (doc_id % 10000000 < 64 — identical to
+    // doc_id < 64 on every sf dir, whose ids stay far below the
+    // stride) so the ScaleProbe's id-strided N-copies corpus grows the
+    // pair catalog per copy and the probe measures real scaling. The
+    // planted dHash replicates the id at bit 0 and bit 32
+    // (v = id·(2^32+1)) so every 16-bit band carries id-varying bits at
+    // probe scale — a bare v = id zeroes bands 2–3 corpus-wide, the
+    // degenerate single-bucket skew (kept as a separate stress probe in
+    // SCALE.md). The twin/foil xors touch only low bits, so the
+    // conjunction arithmetic (hamming 1 dup, hamming 8 foil) is
+    // unchanged and the oracle replays v in closed form. ────────────────
     "multimodal_pair_incr" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val base = Tables.documents(s, dir).filter(col("doc_id") < 64)
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10000000L < 64)
         .select(col("doc_id").as("id"))
         .join(emb, col("id") === col("vec_id"))
-        .select(col("id"), col("id").as("v"), col("embedding"))
+        .select(col("id"),
+          (col("id") * lit(4294967297L)).as("v"), col("embedding"))
       def mk(df: org.apache.spark.sql.DataFrame) =
         df.as[(Long, Long, Array[Float])]
           .map { case (id, v, e) =>
@@ -3247,9 +3260,9 @@ object TrainingQueries {
       """WITH emb AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |base AS (
-        | SELECT d.doc_id AS bid, d.doc_id AS bv, emb.e
+        | SELECT d.doc_id AS bid, d.doc_id * 4294967297 AS bv, emb.e
         | FROM documents d JOIN emb ON emb.vec_id = d.doc_id
-        | WHERE d.doc_id < 64),
+        | WHERE d.doc_id % 10000000 < 64),
         |all_p AS (
         | SELECT bid AS id, bv AS v, e FROM base
         | UNION ALL

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Balance
+
+/** The parallelism guard must decide from logical-plan statistics
+  * alone: widening a small scan to the session's shuffle width, leaving
+  * a big scan untouched, and never forcing physical planning (the old
+  * `df.rdd` probe planned every widened query twice). */
+class BalanceSpec extends SparkSpec {
+
+  test("widen raises a small scan to the configured shuffle width") {
+    val df = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = Balance.widen(df)
+    assert(w.rdd.getNumPartitions == target,
+      s"small input must widen to $target partitions")
+  }
+
+  test("widen is a no-op when the estimated scan width meets the target") {
+    // shrink the split size so the same small file estimates to many
+    // splits — the at-scale regime without terabytes of test data
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "1KB")
+    try {
+      val df = Tables.documents(spark, sf0001).select("doc_id", "text")
+      val w = Balance.widen(df)
+      assert(w eq df, "a wide-enough scan must come back untouched — " +
+        "no repartition exchange in the plan")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("widen does not trigger physical planning (plan-count)") {
+    val df = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .filter(col("text").isNotNull)
+    Balance.widen(df)
+    val phases = df.queryExecution.tracker.phases.keySet
+    assert(phases.contains("optimization"),
+      s"stats read should have optimized: $phases")
+    assert(!phases.contains("planning"),
+      s"widen must not physically plan its input: $phases")
+  }
+}
