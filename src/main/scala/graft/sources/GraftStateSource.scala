@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -128,13 +128,27 @@ object GraftStateSource {
   * `INSERT OVERWRITE` is refused (no TRUNCATE capability): replacing
   * contents has a library verb (`replaceAll`) with its own semantics.
   *
+  * `DELETE FROM graft_state.t WHERE ...` is supported for conditions
+  * expressible as source filters (comparisons, IN, IS [NOT] NULL,
+  * string prefix/suffix/contains, AND/OR/NOT): the matching rows of the
+  * CURRENT snapshot route through
+  * [[graft.pipeline.BucketedStateTable.deleteWhereUnmodified]] — the
+  * full-tuple-match delete verb, bucket-pruned to the affected buckets,
+  * one atomic commit, and carrying the verb's late-update guard (a row
+  * a concurrent writer modified between the snapshot read and the
+  * commit survives, exactly the reference's modified-since-read
+  * semantics). A condition outside the filter algebra is refused
+  * loudly at analysis (`canDeleteWhere` false), never half-applied.
+  *
   * NOT exposed: a direct parquet append into the bucket directories
   * (what the delegate's own write surface would do) — that would
   * bypass the manifest and corrupt the layout, which is why this
   * wrapper exists instead of returning the delegate. */
 class GraftStateSqlTable(
     rootPath: String,
-    delegate: ParquetTable) extends Table with SupportsRead with SupportsWrite {
+    delegate: ParquetTable) extends Table
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
@@ -143,6 +157,22 @@ class GraftStateSqlTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
+
+  /** The library-side table this SQL surface mutates through, laid out
+    * exactly as the manifest records. */
+  private def stateTable(spark: SparkSession): BucketedStateTable = {
+    val layout = BucketedStateTable.snapshotLayout(
+      spark.sessionState.newHadoopConf(), rootPath).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-state table at $rootPath has no recorded layout " +
+            "(keyCols manifest line) — its manifests predate the " +
+            "SQL write surface; one library merge() refreshes it"))
+    new BucketedStateTable(spark, rootPath,
+      keyCols = layout.keyCols, numBuckets = layout.numBuckets,
+      bucketCols =
+        if (layout.bucketCols == layout.keyCols) Nil
+        else layout.bucketCols)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -155,25 +185,64 @@ class GraftStateSqlTable(
                   "(append-as-merge) only; replace contents through the " +
                   "library's replaceAll")
               val spark = data.sparkSession
-              val layout = BucketedStateTable.snapshotLayout(
-                spark.sessionState.newHadoopConf(), rootPath).getOrElse(
-                  throw new UnsupportedOperationException(
-                    s"graft-state table at $rootPath has no recorded layout " +
-                      "(keyCols manifest line) — its manifests predate the " +
-                      "SQL write surface; one library merge() refreshes it"))
-              val t = new BucketedStateTable(spark, rootPath,
-                keyCols = layout.keyCols, numBuckets = layout.numBuckets,
-                bucketCols =
-                  if (layout.bucketCols == layout.keyCols) Nil
-                  else layout.bucketCols)
+              val t = stateTable(spark)
               // positional column mapping, like every SQL INSERT; the
               // analyzer already cast the query to the table schema
               t.merge(data.toDF(schema().fieldNames.toSeq: _*),
-                keys = layout.keyCols)
+                keys = BucketedStateTable.snapshotLayout(
+                  spark.sessionState.newHadoopConf(), rootPath).get.keyCols)
             }
           }
       }
     }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftStateSqlTable.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val t = stateTable(spark)
+    t.read().foreach { current =>
+      val cond = filters.toSeq.flatMap(GraftStateSqlTable.filterColumn)
+        .reduceOption(_ && _)
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      // SQL DELETE removes rows where the condition IS TRUE; filter()
+      // keeps exactly those (null condition rows survive), and the
+      // full-tuple verb deletes them bucket-pruned under the protocol
+      t.deleteWhereUnmodified(current.filter(cond))
+    }
+  }
+}
+
+object GraftStateSqlTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** V1 source filter → Column, None for anything outside the algebra
+    * (which makes `canDeleteWhere` refuse the whole DELETE loudly). */
+  private[sources] def filterColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) =>
+      for { lc <- filterColumn(l); rc <- filterColumn(r) } yield lc && rc
+    case Or(l, r) =>
+      for { lc <- filterColumn(l); rc <- filterColumn(r) } yield lc || rc
+    case Not(c) => filterColumn(c).map(!_)
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
 }
 
 /** Catalog plugin exposing a DIRECTORY of bucketed state tables to

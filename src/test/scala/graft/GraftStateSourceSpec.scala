@@ -193,6 +193,61 @@ class GraftStateSourceSpec extends SparkSpec {
     }
   }
 
+  test("graft-state: DELETE FROM removes matching rows through the delete verb; full drain reads as empty") {
+    val dir = tmp()
+    val t = seeded(dir, "events", rows = 100L)
+    spark.conf.set("spark.sql.catalog.graft_del",
+      classOf[GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_del.root", dir)
+    try {
+      // simple predicate
+      spark.sql("DELETE FROM graft_del.events WHERE v < 10")
+      assert(t.read().get.count() == 90L)
+      // compound predicate with string + range legs
+      spark.sql("DELETE FROM graft_del.events WHERE k = 'k50' OR v >= 95")
+      val after = t.read().get
+      assert(after.count() == 84L)
+      assert(after.filter(col("k") === "k50").count() == 0L)
+      assert(after.filter(col("v") >= 95).count() == 0L)
+      assert(after.filter(col("v") === 42).count() == 1L)
+      // the deletes were commits, not file surgery: history advanced
+      assert(t.commits().size >= 2)
+      // IN-list predicate
+      spark.sql("DELETE FROM graft_del.events WHERE k IN ('k11', 'k12')")
+      assert(t.read().get.count() == 82L)
+      // unconditional DELETE drains; the drained table still reads
+      spark.sql("DELETE FROM graft_del.events")
+      assert(t.read().isEmpty)
+      assert(spark.sql("SELECT count(*) AS n FROM graft_del.events")
+        .collect().head.getLong(0) == 0L)
+      // and a drained table accepts INSERT again (resurrection via SQL)
+      spark.sql("INSERT INTO graft_del.events VALUES ('back', CAST(7 AS BIGINT))")
+      assert(t.read().get.count() == 1L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_del")
+      spark.conf.unset("spark.sql.catalog.graft_del.root")
+    }
+  }
+
+  test("graft-state: a DELETE condition outside the filter algebra is refused, not half-applied") {
+    val dir = tmp()
+    val t = seeded(dir, "events", rows = 20L)
+    spark.conf.set("spark.sql.catalog.graft_del2",
+      classOf[GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_del2.root", dir)
+    try {
+      val ex = intercept[Exception] {
+        spark.sql("DELETE FROM graft_del2.events WHERE v % 2 = 0")
+      }
+      assert(ex.getMessage.toLowerCase.contains("delete"),
+        s"got: ${ex.getMessage}")
+      assert(t.read().get.count() == 20L, "no row may vanish on refusal")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_del2")
+      spark.conf.unset("spark.sql.catalog.graft_del2.root")
+    }
+  }
+
   test("graft-state: an uncommitted table refuses with a clear message") {
     val dir = tmp()
     val ex = intercept[IllegalArgumentException] {
