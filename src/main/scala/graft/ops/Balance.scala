@@ -11,14 +11,16 @@ import org.apache.spark.sql.DataFrame
   * thousands of input splits) this is a no-op, so the guard never inserts
   * a wasteful exchange into a big plan.
   *
-  * The width estimate comes from LOGICAL-plan statistics run through
-  * Spark's own file-split arithmetic (`maxSplitBytes` =
-  * min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism))) —
-  * no physical planning. The previous probe (`df.rdd.getNumPartitions`)
-  * read the true partition count but forced a second full physical
-  * planning + RDD DAG build per widened query; the estimate agrees with
-  * it in both regimes that matter (tiny input → below target → widen;
-  * big input → splits ≥ target → untouched) and is free.
+  * The width estimate reads the LEAF relations' statistics (raw input
+  * bytes — the same quantity Spark's file-split packing consumes, so
+  * projection/filter stat-scaling higher in the plan cannot skew it)
+  * and runs them through Spark's own split arithmetic (`maxSplitBytes`
+  * = min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism)))
+  * — no physical planning. Sources that report no real size (LogicalRDD,
+  * JDBC — `defaultSizeInBytes` sentinels) fall back to the honest
+  * `df.rdd.getNumPartitions` probe, which pays one physical planning
+  * exactly as every caller did before the estimate existed; file-backed
+  * inputs (the hot path for every query in this repo) never do.
   */
 object Balance {
 
@@ -26,26 +28,38 @@ object Balance {
     val spark = df.sparkSession
     val target =
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    if (estimatedScanPartitions(df) < target) df.repartition(target) else df
+    val width = estimatedScanPartitions(df)
+      .getOrElse(df.rdd.getNumPartitions.toLong)
+    if (width < target) df.repartition(target) else df
   }
 
+  /** Bytes at/above this are size-UNKNOWN sentinels
+    * (`spark.sql.defaultSizeInBytes` defaults to Long.MaxValue), not
+    * data: no real corpus reports an exabyte from one leaf. */
+  private val UnknownSizeFloor = BigInt(1L << 50) // 1 PiB
+
   /** ≈ the number of scan partitions Spark's file-split packing would
-    * produce for `df`'s input, from optimized-plan stats only. */
-  private def estimatedScanPartitions(df: DataFrame): Long = {
+    * produce for `df`'s input, from leaf-relation stats only. None when
+    * any leaf hides its size (caller falls back to the physical probe). */
+  private def estimatedScanPartitions(df: DataFrame): Option[Long] = {
     val spark = df.sparkSession
     def bytesConf(key: String, default: String): Long =
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get(key, default))
-    val maxPartitionBytes =
-      bytesConf("spark.sql.files.maxPartitionBytes", "128MB")
-    val openCost = bytesConf("spark.sql.files.openCostInBytes", "4MB")
-    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
-    // BigInt: unknown-size relations report 8 EB, far past Long
-    val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val bytesPerCore = sizeInBytes / parallelism
-    val maxSplit = BigInt(maxPartitionBytes)
-      .min(BigInt(openCost).max(bytesPerCore))
-    val est = (sizeInBytes + maxSplit - 1) / maxSplit.max(1)
-    est.min(BigInt(Long.MaxValue)).toLong.max(1L)
+    val leafSizes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes)
+    if (leafSizes.isEmpty || leafSizes.exists(_ >= UnknownSizeFloor)) None
+    else {
+      val sizeInBytes = leafSizes.sum
+      val maxPartitionBytes =
+        bytesConf("spark.sql.files.maxPartitionBytes", "128MB")
+      val openCost = bytesConf("spark.sql.files.openCostInBytes", "4MB")
+      val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+      val bytesPerCore = sizeInBytes / parallelism
+      val maxSplit = BigInt(maxPartitionBytes)
+        .min(BigInt(openCost).max(bytesPerCore))
+      val est = (sizeInBytes + maxSplit - 1) / maxSplit.max(1)
+      Some(est.min(BigInt(Long.MaxValue)).toLong.max(1L))
+    }
   }
 }

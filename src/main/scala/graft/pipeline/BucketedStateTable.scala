@@ -303,10 +303,15 @@ class BucketedStateTable(
     // keyCols= records the table's merge key so a handle-less writer
     // (the DSv2 SQL INSERT surface) can reconstruct the exact layout
     // and route through merge() — the manifest is the one place the
-    // layout is authoritative.
+    // layout is authoritative. keepCommits=/retentionFloorMillis=
+    // record the owner's RETENTION policy for the same reason: a SQL
+    // write must not prune history the owning handle was configured to
+    // keep.
     val body = (s"commit=${m.commitId}\nnumBuckets=$forNumBuckets\n" +
       s"bucketCols=${effBucketCols.mkString(",")}\n" +
       s"keyCols=${keyCols.mkString(",")}\n" +
+      s"keepCommits=$keepCommits\n" +
+      s"retentionFloorMillis=$retentionFloorMillis\n" +
       m.schemaJson.map(j => s"schema=$j\n").getOrElse("") +
       m.buckets.toSeq.sorted.map { case (b, c) => s"$b=$c\n" }.mkString)
     val tmp = new Path(commitsDir, f".c${m.commitId}%08d.txt.tmp")
@@ -638,10 +643,10 @@ class BucketedStateTable(
             .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
             .sorted
       }
-      val basedOn = currentManifest().map(_.commitId).getOrElse(0L)
+      val cur = currentManifest()
+      val basedOn = cur.map(_.commitId).getOrElse(0L)
       writeManifest(Manifest(next, written.map(_ -> next).toMap,
-          snapshot.map(_.schema.json)
-            .orElse(currentManifest().flatMap(_.schemaJson))),
+          snapshot.map(_.schema.json).orElse(cur.flatMap(_.schemaJson))),
         basedOn, forNumBuckets = newNumBuckets)
       // Truncate pre-rebucket manifests — but ONLY past the retention
       // floor, the same shield prune() honors: a reader that listed a
@@ -764,7 +769,9 @@ object BucketedStateTable {
     * protocol. None when the table never committed or its manifests
     * predate the `keyCols=` line. */
   case class Layout(keyCols: Seq[String], bucketCols: Seq[String],
-      numBuckets: Int)
+      numBuckets: Int,
+      keepCommits: Option[Int] = None,
+      retentionFloorMillis: Option[Long] = None)
 
   def snapshotLayout(hadoopConf: org.apache.hadoop.conf.Configuration,
       path: String): Option[Layout] =
@@ -778,7 +785,9 @@ object BucketedStateTable {
         kc.split(",").toSeq,
         kv.get("bucketCols").map(_.split(",").toSeq)
           .getOrElse(kc.split(",").toSeq),
-        nb.toInt)
+        nb.toInt,
+        kv.get("keepCommits").map(_.toInt),
+        kv.get("retentionFloorMillis").map(_.toLong))
     }
 
   /** Full text of the chosen manifest (newest, or `commit`'s) — one

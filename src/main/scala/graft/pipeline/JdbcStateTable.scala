@@ -176,8 +176,11 @@ class JdbcStateTable(
   /** Probes the metadata with the table name as the PATTERN, not a
     * full-catalog "%" scan — one row back, not O(catalog), per read().
     * Engines case-fold unquoted identifiers differently (upper, lower,
-    * or as-is), so probe the stored-case candidates and compare
-    * case-insensitively rather than trusting either side's folding. */
+    * or as-is), so probe the stored-case candidates first and compare
+    * case-insensitively; a table created with QUOTED mixed case (e.g.
+    * "Events") matches none of those patterns, so miss falls back to
+    * one full enumeration — correctness over the fast path, paid only
+    * when the cheap probes all come back empty. */
   private def tableExists(conn: Connection): Boolean = {
     val md = conn.getMetaData
     def probe(pattern: String): Boolean = {
@@ -189,7 +192,8 @@ class JdbcStateTable(
         found
       } finally rs.close()
     }
-    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists(probe)
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists(probe) ||
+      probe("%")
   }
 
   override def readOrEmpty(like: DataFrame): DataFrame =

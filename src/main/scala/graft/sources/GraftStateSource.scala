@@ -159,19 +159,28 @@ class GraftStateSqlTable(
     delegate.newScanBuilder(options)
 
   /** The library-side table this SQL surface mutates through, laid out
-    * exactly as the manifest records. */
-  private def stateTable(spark: SparkSession): BucketedStateTable = {
+    * exactly as the manifest records — ONE manifest read per statement.
+    * Retention policy comes from the manifest too: a SQL write must
+    * never prune history the owning handle was configured to keep, so
+    * manifests that predate the policy lines get a never-prune handle
+    * (cleanup stays with the library writers that know the policy). */
+  private def stateTable(
+      spark: SparkSession): (BucketedStateTable, BucketedStateTable.Layout) = {
     val layout = BucketedStateTable.snapshotLayout(
       spark.sessionState.newHadoopConf(), rootPath).getOrElse(
         throw new UnsupportedOperationException(
           s"graft-state table at $rootPath has no recorded layout " +
             "(keyCols manifest line) — its manifests predate the " +
             "SQL write surface; one library merge() refreshes it"))
-    new BucketedStateTable(spark, rootPath,
+    val t = new BucketedStateTable(spark, rootPath,
       keyCols = layout.keyCols, numBuckets = layout.numBuckets,
+      keepCommits = layout.keepCommits.getOrElse(Int.MaxValue),
+      retentionFloorMillis =
+        layout.retentionFloorMillis.getOrElse(Long.MaxValue / 4),
       bucketCols =
         if (layout.bucketCols == layout.keyCols) Nil
         else layout.bucketCols)
+    (t, layout)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -185,12 +194,11 @@ class GraftStateSqlTable(
                   "(append-as-merge) only; replace contents through the " +
                   "library's replaceAll")
               val spark = data.sparkSession
-              val t = stateTable(spark)
+              val (t, layout) = stateTable(spark)
               // positional column mapping, like every SQL INSERT; the
               // analyzer already cast the query to the table schema
               t.merge(data.toDF(schema().fieldNames.toSeq: _*),
-                keys = BucketedStateTable.snapshotLayout(
-                  spark.sessionState.newHadoopConf(), rootPath).get.keyCols)
+                keys = layout.keyCols)
             }
           }
       }
@@ -201,7 +209,7 @@ class GraftStateSqlTable(
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
-    val t = stateTable(spark)
+    val (t, _) = stateTable(spark)
     t.read().foreach { current =>
       val cond = filters.toSeq.flatMap(GraftStateSqlTable.filterColumn)
         .reduceOption(_ && _)

@@ -32,6 +32,20 @@ class BalanceSpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("a source without real size stats still widens via the physical fallback") {
+    val s = spark
+    import s.implicits._
+    // LogicalRDD reports the defaultSizeInBytes sentinel, not data size;
+    // the stat estimate must NOT silently skip the guard for it
+    val rdd = spark.sparkContext
+      .parallelize(Seq(1L -> "a", 2L -> "b"), numSlices = 1)
+    val df = spark.createDataFrame(rdd).toDF("id", "t")
+    assert(df.rdd.getNumPartitions == 1)
+    val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(Balance.widen(df).rdd.getNumPartitions == target,
+      "stat-less source must fall back to the honest probe and widen")
+  }
+
   test("widen does not trigger physical planning (plan-count)") {
     val df = Tables.documents(spark, sf0001).select("doc_id", "text")
       .filter(col("text").isNotNull)

@@ -229,6 +229,43 @@ class GraftStateSourceSpec extends SparkSpec {
     }
   }
 
+  test("graft-state: a SQL write honors the owner's recorded retention policy") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // owner keeps 5 commits with NO time floor — the policy the SQL
+    // surface must adopt instead of its own defaults (a default
+    // keepCommits=3 handle would destroy history the owner retains)
+    val t = new BucketedStateTable(spark, s"$dir/hist",
+      keyCols = Seq("k"), numBuckets = 4, keepCommits = 5,
+      retentionFloorMillis = 0L)
+    (0 until 6).foreach { i =>
+      t.merge(Seq((s"k$i", i.toLong)).toDF("k", "v"), keys = Seq("k"))
+    }
+    assert(t.commits().size == 5)
+    // backdate every manifest: any handle pruning by its own 10-minute
+    // default floor would now really delete
+    val fsRoot = new org.apache.hadoop.fs.Path(s"$dir/hist/_commits")
+    val fs = fsRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(fsRoot).foreach(st =>
+      fs.setTimes(st.getPath, System.currentTimeMillis() - 3600_000L, -1))
+
+    spark.conf.set("spark.sql.catalog.graft_hist",
+      classOf[GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_hist.root", dir)
+    try spark.sql("INSERT INTO graft_hist.hist VALUES ('sql', CAST(99 AS BIGINT))")
+    finally {
+      spark.conf.unset("spark.sql.catalog.graft_hist")
+      spark.conf.unset("spark.sql.catalog.graft_hist.root")
+    }
+    // the SQL commit pruned by the OWNER's policy: newest 5 retained,
+    // and the oldest of them still time-travels
+    val retained = t.commits()
+    assert(retained.size == 5, s"retained $retained")
+    assert(t.readAt(retained.head).isDefined)
+    assert(t.read().get.count() == 7L) // 6 keys + the SQL row
+  }
+
   test("graft-state: a DELETE condition outside the filter algebra is refused, not half-applied") {
     val dir = tmp()
     val t = seeded(dir, "events", rows = 20L)
