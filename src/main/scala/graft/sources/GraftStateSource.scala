@@ -253,6 +253,120 @@ object GraftStateSqlTable {
   }
 }
 
+/** Streaming write face for state tables:
+  * `df.writeStream.format("graft-state-sink").option("path", root)`
+  * routes every micro-batch through
+  * [[graft.pipeline.BucketedStateTable.mergeOnceForBatch]] — the
+  * marker-guarded EXACT-once merge, so an at-least-once replay of a
+  * committed micro-batch is a no-op without any sink-side
+  * deduplication. Keyed on the table's manifest-recorded merge key; a
+  * not-yet-existing table bootstraps from the `keyCols` (comma list)
+  * and optional `numBuckets` options. The marker scope defaults to the
+  * query's checkpoint location — restarting from the SAME checkpoint
+  * replays the same batch ids into the same scope (skipped,
+  * converged), while a FRESH checkpoint gets a fresh scope (its batch
+  * ids start over — pass `option("scope", ...)` to pin one
+  * explicitly). Append and Update modes only: both mean "merge these
+  * rows"; Complete-mode replacement has a library verb.
+  *
+  * A separate short name from the batch `graft-state` provider on
+  * purpose: `DataStreamWriter` prefers a `TableProvider`'s DSv2 path
+  * and would resolve (and so require) an existing snapshot before ever
+  * consulting the V1 sink hook. */
+class GraftStateSinkProvider
+    extends org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-state-sink"
+
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-state sink: partitioning is the table's bucket layout; partitionBy is not supported")
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft-state sink supports Append/Update (merge) only; " +
+        "Complete-mode replacement goes through the library's replaceAll")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-state sink needs option(\"path\", <table root>)"))
+    val scope = parameters.get("scope")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(path)
+    new GraftStateStreamSink(path, scope,
+      parameters.get("keycols").orElse(parameters.get("keyCols"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+      parameters.get("numbuckets").orElse(parameters.get("numBuckets"))
+        .map(_.toInt),
+      parameters.get("maxdriverrows").orElse(parameters.get("maxDriverRows"))
+        .map(_.toInt).getOrElse(1000000))
+  }
+}
+
+/** Exact-once streaming sink into one bucketed state table (see
+  * [[GraftStateSinkProvider]]). Each `addBatch` commits through
+  * `mergeOnceForBatch`: marker and merge publish atomically in one
+  * manifest, so at-least-once delivery converges without
+  * double-merging.
+  *
+  * The micro-batch crosses the driver as a BOUNDED row ferry
+  * (`maxDriverRows`, default 1M — the same batch-sized contract
+  * [[graft.pipeline.JdbcStateTable]] enforces, failing fast via a
+  * streamed iterator rather than materializing first): the V1 sink's
+  * incoming frame is pinned to the stream's incremental execution, so
+  * any derived plan (a direct merge, a write) would re-analyze a
+  * streaming source outside `start()` — the only PUBLIC-api bridge is
+  * through rows. State-table streams are batch-sized by contract;
+  * corpus-scale micro-batches belong on the library's `foreachBatch`
+  * twins ([[graft.streaming.NearDupStream]] et al.), where the batch
+  * frame is a plain DataFrame and nothing crosses the driver. */
+class GraftStateStreamSink(
+    rootPath: String,
+    scope: String,
+    bootstrapKeyCols: Option[Seq[String]],
+    bootstrapNumBuckets: Option[Int],
+    maxDriverRows: Int = 1000000)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def name(): String = s"graft-state-sink `$rootPath`"
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+    val spark = data.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val layout = BucketedStateTable.snapshotLayout(conf, rootPath)
+    val keyCols = layout.map(_.keyCols).orElse(bootstrapKeyCols).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-state sink at $rootPath: the table does not exist yet and " +
+          "no option(\"keyCols\", \"a,b\") was given to bootstrap it"))
+    val t = layout match {
+      case Some(l) => new BucketedStateTable(spark, rootPath,
+        keyCols = l.keyCols, numBuckets = l.numBuckets,
+        keepCommits = l.keepCommits.getOrElse(Int.MaxValue),
+        retentionFloorMillis =
+          l.retentionFloorMillis.getOrElse(Long.MaxValue / 4),
+        bucketCols = if (l.bucketCols == l.keyCols) Nil else l.bucketCols)
+      case None => new BucketedStateTable(spark, rootPath,
+        keyCols = keyCols,
+        numBuckets = bootstrapNumBuckets.getOrElse(64))
+    }
+    // bounded ferry: stream rows off the incremental execution and
+    // abort before the (maxDriverRows+1)-th — never materialize an
+    // over-contract batch just to reject it
+    val it = data.toLocalIterator()
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    while (it.hasNext && rows.size() <= maxDriverRows) rows.add(it.next())
+    require(rows.size() <= maxDriverRows,
+      s"graft-state sink at $rootPath: micro-batch exceeds " +
+        s"maxDriverRows=$maxDriverRows; batches this size belong on the " +
+        "library's foreachBatch mergeOnceForBatch path")
+    val batchDf = spark.createDataFrame(rows, data.schema)
+    t.mergeOnceForBatch(batchId, scope, batchDf, keys = keyCols)
+  }
+}
+
 /** Catalog plugin exposing a DIRECTORY of bucketed state tables to
   * plain SQL — every subdirectory of `root` that has published at least
   * one manifest is a table:

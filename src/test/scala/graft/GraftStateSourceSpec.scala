@@ -285,6 +285,49 @@ class GraftStateSourceSpec extends SparkSpec {
     }
   }
 
+  test("graft-state: writeStream sink merges micro-batches exact-once and converges on checkpoint restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = tmp()
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    def startQ() = in.toDF().toDF("k", "v").writeStream
+      .format("graft-state-sink")
+      .option("path", s"$root/sink")
+      .option("keyCols", "k")
+      .option("numBuckets", "4")
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    val q = startQ()
+    try {
+      in.addData("a" -> 1L, "b" -> 2L); q.processAllAvailable()
+      in.addData("a" -> 10L, "c" -> 3L); q.processAllAvailable()
+    } finally q.stop()
+    val t = new BucketedStateTable(spark, s"$root/sink",
+      keyCols = Seq("k"), numBuckets = 4)
+    def state(): Map[String, Long] = t.read().get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cross-batch merge: batch 2 updated a, inserted c
+    assert(state() == Map("a" -> 10L, "b" -> 2L, "c" -> 3L))
+
+    // at-least-once replay of a committed batch id in the sink's scope
+    // (= the checkpoint location) is marker-skipped, not re-merged
+    t.mergeOnceForBatch(1L, s"$root/ck",
+      Seq("a" -> 999L).toDF("k", "v"), keys = Seq("k"))
+    assert(state() == Map("a" -> 10L, "b" -> 2L, "c" -> 3L),
+      "replayed batch id must be a no-op")
+
+    // restart from the SAME checkpoint: nothing re-merges, new data flows
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      assert(state() == Map("a" -> 10L, "b" -> 2L, "c" -> 3L))
+      in.addData("d" -> 4L); q2.processAllAvailable()
+      assert(state() == Map("a" -> 10L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
+    } finally q2.stop()
+  }
+
   test("graft-state: an uncommitted table refuses with a clear message") {
     val dir = tmp()
     val ex = intercept[IllegalArgumentException] {
