@@ -215,6 +215,11 @@ class GraftStateSourceSpec extends SparkSpec {
       // IN-list predicate
       spark.sql("DELETE FROM graft_del.events WHERE k IN ('k11', 'k12')")
       assert(t.read().get.count() == 82L)
+      // TRUNCATE rides the same delete verb (SupportsDelete default)
+      spark.sql("TRUNCATE TABLE graft_del.events")
+      assert(t.read().isEmpty, "TRUNCATE must drain the table")
+      spark.sql("INSERT INTO graft_del.events VALUES ('again', CAST(1 AS BIGINT))")
+      assert(t.read().get.count() == 1L)
       // unconditional DELETE drains; the drained table still reads
       spark.sql("DELETE FROM graft_del.events")
       assert(t.read().isEmpty)
