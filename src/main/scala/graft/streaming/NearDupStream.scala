@@ -66,9 +66,9 @@ object NearDupStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ingested = docs.read()
-          .map(_.select(col(idCol), col(textCol)))
-          .getOrElse(batch.select(col(idCol), col(textCol)).limit(0))
+        val ingested = docs
+          .readOrEmpty(like = batch.select(col(idCol), col(textCol)))
+          .select(col(idCol), col(textCol))
         val p = Dedup.incrementalNearDups(index, ingested, batch,
           idCol, textCol, minJaccard, shingleLen, bands, rowsPerBand)
         pairs.merge(p, keys = Seq("a_id", "b_id"))

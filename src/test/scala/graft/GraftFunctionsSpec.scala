@@ -256,4 +256,48 @@ class GraftFunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("absMillisBetween: symmetric, zero on equality, exact on known gaps") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("2016-07-26 18:05:24", "2016-07-26 18:05:24", 0L),
+      ("2016-07-26 18:05:24", "2016-07-26 18:06:30", 66000L),
+      ("2016-07-26 19:05:24", "2016-07-26 18:05:24", 3600000L))
+      .toDF("a", "b", "expected")
+      .select(col("a").cast("timestamp").as("a"),
+        col("b").cast("timestamp").as("b"), col("expected"))
+    val rows = df.select(
+      graft.functions.GraftFunctions.absMillisBetween(col("a"), col("b")).as("g"),
+      graft.functions.GraftFunctions.absMillisBetween(col("b"), col("a")).as("r"),
+      col("expected")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2), s"forward: $r")
+      assert(r.getLong(1) == r.getLong(2), s"symmetry: $r")
+    }
+  }
+
+  test("markerScore reference regex agrees with the fused kernel's score fields") {
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      "the cat and the dog of the house",
+      "der Hund und die Katze ist nicht das",
+      "le chat et la maison est une",
+      "El perro por los gatos una este",
+      "THE AND OF TO IS WAS", // case folding
+      "no marker words here whatsoever",
+      "", "the der le el") // one each
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val m = graft.ops.TextAnalysis.metrics(col("t"))
+    graft.ops.TextAnalysis.LangMarkers.foreach { case (lang, pat) =>
+      val rows = df.select(col("id"),
+        graft.ops.TextAnalysis.markerScore(col("t"), pat).as("ref"),
+        m.getField(s"score_$lang").as("kernel")).orderBy("id").collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == r.getLong(2),
+          s"score_$lang mismatch on '${cases(i)}': ref=${r.getLong(1)} kernel=${r.getLong(2)}")
+      }
+    }
+  }
 }
