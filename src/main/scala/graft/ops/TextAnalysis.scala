@@ -279,6 +279,100 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Index `df`'s term postings for [[incrementalBm25TopK]] — the
+    * retrieval member of the persistent-incremental-state family
+    * (exact dedup seen-set, near-dup band index, embedding LSH, IVF,
+    * cross-modal pairs): `postings` holds `(term, doc_id, tf, dl)`
+    * keyed `(term, doc_id)` and BUCKETED by `term`, so a query reads
+    * ONLY its terms' buckets; `docLengths` holds `(doc_id, dl)` keyed
+    * on the id — the corpus stats (N, avgdl) that BM25 needs over ALL
+    * documents, including ones containing no indexed query term.
+    *
+    * Both writes are KEYED merges, so re-ingesting a batch
+    * (at-least-once replay) is a no-op — no accumulator rows that
+    * could double-count. Tokenization is byte-identical to
+    * [[bm25TopK]] (whitespace split, empties dropped, null → empty),
+    * which is what makes incremental == batch exact.
+    *
+    * 100 TB: tokenize+explode is narrow; the postings aggregate
+    * map-side-combines on (term, doc_id); the merge rewrites only the
+    * buckets the batch's terms hash into. Zipf skew is inherent to
+    * exact BM25 — a stopword's posting list is corpus-proportional
+    * (its idf ≈ 0; production term sets drop stopwords or cap df
+    * upstream), while informative terms' lists stay short. */
+  def indexPostings(
+      postings: graft.pipeline.BucketedStateTable,
+      docLengths: graft.pipeline.BucketedStateTable,
+      df: DataFrame,
+      idCol: String,
+      textCol: String): Unit = {
+    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => t =!= "")
+    val withDl = df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        col("__toks"))
+    docLengths.merge(withDl.select(col("doc_id"), col("dl")),
+      keys = Seq("doc_id"))
+    postings.merge(
+      withDl.select(col("doc_id"), col("dl"),
+          explode(col("__toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")),
+      keys = Seq("term", "doc_id"))
+  }
+
+  /** Incremental BM25 top-k against a corpus indexed by
+    * [[indexPostings]] — identical scores to [[bm25TopK]] over the same
+    * ingested corpus (same tokenization, same operation order in the
+    * score expression, same 6-dp rounded ordering), but the query reads
+    * ONLY the posting buckets its terms hash into
+    * ([[graft.pipeline.BucketedStateTable.readForKeys]]) plus one small
+    * aggregate over the compact (doc_id, dl) table for N/avgdl —
+    * query cost tracks the query terms' posting lists, never the
+    * corpus text. Document frequencies are exact: the bucket slice
+    * holds every posting of the probed terms. */
+  def incrementalBm25TopK(
+      postings: graft.pipeline.BucketedStateTable,
+      docLengths: graft.pipeline.BucketedStateTable,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val terms = queryTerms.distinct
+    val statsRow = docLengths.read().map(_.agg(
+      count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first())
+    val nDocs = statsRow.map(_.getLong(0)).getOrElse(0L)
+    val avgdl = statsRow.filter(!_.isNullAt(1)).map(_.getDouble(1))
+      .getOrElse(1.0)
+    val like = Seq.empty[(String, Long, Long, Long)]
+      .toDF("term", "doc_id", "tf", "dl")
+    val slice = postings.readForKeys(terms.toDF("term"), like)
+      .filter(col("term").isin(terms: _*)) // a bucket may hold other terms
+    val perDoc = slice.groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("__dl"),
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf_$i")
+        }: _*)
+    val dfreqAggs = terms.indices.map(i =>
+      sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val dfreqRow = perDoc.agg(dfreqAggs.head, dfreqAggs.tail: _*).first()
+    val dfreq = terms.indices
+      .map(i => if (dfreqRow.isNullAt(i)) 0L else dfreqRow.getLong(i))
+    val score = terms.indices.map { i =>
+      val idf = math.log((nDocs - dfreq(i) + 0.5) / (dfreq(i) + 0.5) + 1.0)
+      val tf = col(s"__tf_$i").cast("double")
+      lit(idf) * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl))
+    }.reduce(_ + _)
+    perDoc
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Bigram language-model quality score — the CCNet/Wikipedia-LM shape
     * of corpus quality filtering: train a token-bigram unigram-smoothed
     * model ON the corpus itself, then score each document by its mean

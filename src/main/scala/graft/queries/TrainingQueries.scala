@@ -1628,6 +1628,28 @@ object TrainingQueries {
         "doc_id", "text",
         queryTerms = Seq("spark", "vector", "merge", "window"), k = 15)),
 
+    // ── Text: INCREMENTAL BM25 against a persistent bucketed postings
+    // index — the retrieval twin of dedup_incremental: ingest the
+    // corpus in two batches (keyed merges → replay-safe), then score
+    // reading only the query terms' buckets. Incremental == batch
+    // exactly, so the oracle is the SAME SQL as text_bm25_topk. ─────────
+    "text_bm25_incr" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25idx-").toString
+      val postings = new graft.pipeline.BucketedStateTable(
+        s, s"$root/postings", keyCols = Seq("term", "doc_id"),
+        numBuckets = 32, bucketCols = Seq("term"))
+      val docLengths = new graft.pipeline.BucketedStateTable(
+        s, s"$root/doclen", keyCols = Seq("doc_id"), numBuckets = 16)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.ops.TextAnalysis.indexPostings(postings, docLengths,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.ops.TextAnalysis.indexPostings(postings, docLengths,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      graft.ops.TextAnalysis.incrementalBm25TopK(postings, docLengths,
+        queryTerms = Seq("spark", "vector", "merge", "window"), k = 15)
+    }),
+
     // ── Text: bigram-LM quality score (CCNet shape) — model trained ON
     // the corpus (one map-side-combined bigram count), documents scored
     // by mean negative log-likelihood via a skew-tolerant join back on
@@ -4032,6 +4054,39 @@ object TrainingQueries {
     // both engines fold identical IEEE values); ln is 1-ulp so ordering
     // and the top-k boundary use the 6-dp ROUNDED score.
     "text_bm25_topk" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |st AS (SELECT count(*) AS n, avg(CAST(len(toks) AS BIGINT)) AS avgdl FROM d),
+        |tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, max(dl) AS dl,
+        |  count(*) FILTER (WHERE term = 'spark') AS tf_spark,
+        |  count(*) FILTER (WHERE term = 'vector') AS tf_vector,
+        |  count(*) FILTER (WHERE term = 'merge') AS tf_merge,
+        |  count(*) FILTER (WHERE term = 'window') AS tf_window
+        | FROM tk WHERE term IN ('spark', 'vector', 'merge', 'window')
+        | GROUP BY doc_id),
+        |dfq AS (SELECT
+        |  count(*) FILTER (WHERE tf_spark > 0) AS df_spark,
+        |  count(*) FILTER (WHERE tf_vector > 0) AS df_vector,
+        |  count(*) FILTER (WHERE tf_merge > 0) AS df_merge,
+        |  count(*) FILTER (WHERE tf_window > 0) AS df_window
+        | FROM tf),
+        |sc AS (SELECT doc_id,
+        |   ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1.0) * (tf_spark * (1.2 + 1.0)) / (tf_spark + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        | + ln((n - df_vector + 0.5) / (df_vector + 0.5) + 1.0) * (tf_vector * (1.2 + 1.0)) / (tf_vector + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        | + ln((n - df_merge + 0.5) / (df_merge + 0.5) + 1.0) * (tf_merge * (1.2 + 1.0)) / (tf_merge + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        | + ln((n - df_window + 0.5) / (df_window + 0.5) + 1.0) * (tf_window * (1.2 + 1.0)) / (tf_window + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |  AS score
+        | FROM tf, st, dfq)
+        |SELECT doc_id, round(score, 6) AS score FROM sc
+        |ORDER BY round(score, 6) DESC, doc_id LIMIT 15""".stripMargin,
+
+    // Incremental == batch exactly (same tokenization, same operation
+    // order, same rounding), so the incremental key reuses the batch
+    // BM25 oracle verbatim.
+    "text_bm25_incr" ->
       """WITH d AS (
         | SELECT doc_id,
         |  list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS toks

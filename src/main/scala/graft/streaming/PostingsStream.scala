@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.TextAnalysis
+import graft.pipeline.BucketedStateTable
+
+/** Structured Streaming twin of
+  * [[graft.ops.TextAnalysis.indexPostings]] — the retrieval member of
+  * the one-streaming-face-per-incremental-op family ([[NearDupStream]],
+  * [[EmbedNearDupStream]], [[IvfIngestStream]], [[PairNearDupStream]]):
+  * each micro-batch of documents tokenizes, aggregates (term, doc_id)
+  * postings, and merges into the persistent term-bucketed postings
+  * index plus the (doc_id, dl) length table. Queries run any time via
+  * [[graft.ops.TextAnalysis.incrementalBm25TopK]] and see exactly the
+  * corpus ingested so far.
+  *
+  * Delivery: at-least-once `foreachBatch` + keyed merges only
+  * (postings on `(term, doc_id)`, lengths on the id) — a replayed
+  * micro-batch recomputes identical rows and every merge is a no-op;
+  * no accumulator rows exist to double-count (N and avgdl derive from
+  * the keyed length table).
+  *
+  * 100 TB: per batch a narrow tokenize + one map-side-combined
+  * aggregate; the merges rewrite only the buckets the batch's terms
+  * and ids hash into — ingest cost is batch-proportional while the
+  * index grows to corpus scale. */
+object PostingsStream {
+
+  /** Start the stream over `batches` (a streaming DataFrame carrying
+    * `idCol` + `textCol`; ids unique across index ∪ stream). */
+  def start(
+      batches: DataFrame,
+      postings: BucketedStateTable,
+      docLengths: BucketedStateTable,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow(),
+      afterBatch: Long => Unit = _ => ()): StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TextAnalysis.indexPostings(postings, docLengths, batch,
+          idCol, textCol)
+        afterBatch(batchId)
+      }
+      .start()
+}

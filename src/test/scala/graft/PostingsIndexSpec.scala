@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+import graft.pipeline.BucketedStateTable
+import graft.streaming.PostingsStream
+
+/** Incremental BM25 over a persistent term-bucketed postings index:
+  * incremental scores must equal the batch operator's exactly
+  * (same tokenization, operation order, rounding), the probe must read
+  * only the query terms' buckets, and re-ingesting a batch must be a
+  * no-op — the same contract the dedup/embedding/pair indexes prove. */
+class PostingsIndexSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-bm25").toString
+
+  private def tables(root: String): (BucketedStateTable, BucketedStateTable) = (
+    new BucketedStateTable(spark, s"$root/postings",
+      keyCols = Seq("term", "doc_id"), numBuckets = 32,
+      bucketCols = Seq("term"), retentionFloorMillis = 0L),
+    new BucketedStateTable(spark, s"$root/doclen",
+      keyCols = Seq("doc_id"), numBuckets = 16, retentionFloorMillis = 0L))
+
+  private val terms = Seq("spark", "vector", "merge", "window")
+
+  private def scores(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("two-batch ingest scores exactly as the batch operator; replay is a no-op") {
+    val (postings, docLengths) = tables(tmp())
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    TextAnalysis.indexPostings(postings, docLengths,
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    TextAnalysis.indexPostings(postings, docLengths,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+
+    val incr = scores(TextAnalysis.incrementalBm25TopK(
+      postings, docLengths, terms, k = 15))
+    val batch = scores(TextAnalysis.bm25TopK(
+      docs, "doc_id", "text", terms, k = 15))
+    assert(incr.nonEmpty, "the fixture corpus must hit the query terms")
+    assert(incr == batch, s"incremental $incr != batch $batch")
+
+    // replay the odd half: keyed merges leave both tables unchanged
+    val (np, nl) = (postings.read().get.count(), docLengths.read().get.count())
+    TextAnalysis.indexPostings(postings, docLengths,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    assert(postings.read().get.count() == np)
+    assert(docLengths.read().get.count() == nl)
+    assert(scores(TextAnalysis.incrementalBm25TopK(
+      postings, docLengths, terms, k = 15)) == incr)
+  }
+
+  test("a query reads only its terms' posting buckets") {
+    val s = spark
+    import s.implicits._
+    val (postings, docLengths) = tables(tmp())
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    TextAnalysis.indexPostings(postings, docLengths, docs, "doc_id", "text")
+
+    val bucketsAll = postings.read().get.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("__bucket="))).distinct
+    assert(bucketsAll.length > 8,
+      s"corpus vocabulary too narrow: ${bucketsAll.length} buckets")
+    val probe = Seq("spark").toDF("term")
+    val bucketsRead = postings
+      .readForKeys(probe,
+        Seq.empty[(String, Long, Long, Long)].toDF("term", "doc_id", "tf", "dl"))
+      .inputFiles
+      .flatMap(_.split("/").find(_.startsWith("__bucket="))).distinct
+    assert(bucketsRead.length == 1,
+      s"one term probed ${bucketsRead.length} buckets")
+  }
+
+  test("unseen terms and an empty index both yield an empty top-k, not an error") {
+    val (postings, docLengths) = tables(tmp())
+    assert(TextAnalysis.incrementalBm25TopK(
+      postings, docLengths, Seq("anything"), k = 5).count() == 0L)
+    TextAnalysis.indexPostings(postings, docLengths,
+      Tables.documents(spark, sf0001).select("doc_id", "text").limit(20),
+      "doc_id", "text")
+    assert(TextAnalysis.incrementalBm25TopK(
+      postings, docLengths, Seq("zzz_not_a_token_zzz"), k = 5).count() == 0L)
+  }
+
+  test("streaming twin: ingest across micro-batches, score equals batch, replay stable") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = tmp()
+    val (postings, docLengths) = tables(root)
+    val corpus = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = PostingsStream.start(
+      in.toDF().toDF("doc_id", "text"), postings, docLengths,
+      checkpointDir = s"$root/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+
+    val incr = scores(TextAnalysis.incrementalBm25TopK(
+      postings, docLengths, terms, k = 10))
+    val batch = scores(TextAnalysis.bm25TopK(
+      corpus, "doc_id", "text", terms, k = 10))
+    assert(incr == batch, s"streamed $incr != batch $batch")
+  }
+}
