@@ -62,6 +62,11 @@ object ScaleProbe {
       "candidate cosines; the blocked bipartite decomposition caps per-task pair counts, " +
       "and the measured ratio collapsed from superlinear to ~1.2x at 10x"),
     "dedup_cluster" -> "linear: verified pairs are copy-local; union-find is edge-proportional",
+    "text_bm25_incr" -> ("~linear, ingest-dominated: the two-batch postings build " +
+      "(tokenize + map-side-combined (term, doc_id) aggregate + term-bucketed merges) " +
+      "grows with the corpus; the per-copy token salt makes the fixed query terms miss " +
+      "at N-times scale, so the probe leg measures the bucket-pruned empty lookup floor " +
+      "(single-bucket probes are file-count-asserted in PostingsIndexSpec)"),
     "multimodal_pair_incr" -> ("~linear: the stride-relative base filter gives each copy " +
       "its own 64-pair catalog and 16-pair batch, so index rows, probe band keys and " +
       "candidates all grow with copies; dHash band values spread across copies (the id " +

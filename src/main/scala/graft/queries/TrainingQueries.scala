@@ -1969,6 +1969,49 @@ object TrainingQueries {
         .orderBy(col("rrf_score").desc, col("doc_id"))
     }),
 
+    // ── Search: hybrid retrieval ENTIRELY over persistent incremental
+    // state — the streaming-RAG shape: the lexical leg scores from the
+    // term-bucketed postings index (two-batch ingest,
+    // incrementalBm25TopK == batch exactly), the semantic leg runs
+    // exact cosine top-k over a keyed embedding STORE ingested in two
+    // batches, and RRF fuses the ranks. Every byte of retrieval state
+    // lives in a replay-safe state table; the oracle is the batch RRF
+    // SQL verbatim. ─────────────────────────────────────────────────────
+    "search_rrf_incr" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-rrfidx-").toString
+      val postings = new graft.pipeline.BucketedStateTable(
+        s, s"$root/postings", keyCols = Seq("term", "doc_id"),
+        numBuckets = 32, bucketCols = Seq("term"))
+      val docLengths = new graft.pipeline.BucketedStateTable(
+        s, s"$root/doclen", keyCols = Seq("doc_id"), numBuckets = 16)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.indexPostings(postings, docLengths,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      TextAnalysis.indexPostings(postings, docLengths,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      val lex = TextAnalysis.incrementalBm25TopK(postings, docLengths,
+          queryTerms = Seq("spark", "vector", "merge", "window"), k = 15)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      val embStore = new graft.pipeline.BucketedStateTable(
+        s, s"$root/emb", keyCols = Seq("vec_id"), numBuckets = 16)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      embStore.merge(e.filter(col("vec_id") % 2 === 0), keys = Seq("vec_id"))
+      embStore.merge(e.filter(col("vec_id") % 2 === 1), keys = Seq("vec_id"))
+      val stored = embStore.read().get
+      val sem = Similarity.bruteForceTopK(
+          stored.filter(col("vec_id") === 0)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          stored.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+          "q_id", "q_vec", "c_id", "c_vec", k = 15)
+        .select(col("c_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(lex.select(col("doc_id"), col("rank")), sem,
+          "doc_id", "rank", k = 10)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
+
     // ── Corpus: cluster-balanced sampling (SemDeDup/topic-balance
     // shape) — nearest-centroid assignment to the 8 deterministic seed
     // centroids (vec_id < 8, the sampleCentroids order), then each
@@ -2202,6 +2245,58 @@ object TrainingQueries {
     // and the fusion is one union-aggregate — 1/(60+r) is the same IEEE
     // division in both engines, rounded at 6 dp.
     "search_rrf_fusion" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |st AS (SELECT count(*) AS n, avg(CAST(len(toks) AS BIGINT)) AS avgdl FROM d),
+        |tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, max(dl) AS dl,
+        |  count(*) FILTER (WHERE term = 'spark') AS tf_spark,
+        |  count(*) FILTER (WHERE term = 'vector') AS tf_vector,
+        |  count(*) FILTER (WHERE term = 'merge') AS tf_merge,
+        |  count(*) FILTER (WHERE term = 'window') AS tf_window
+        | FROM tk WHERE term IN ('spark', 'vector', 'merge', 'window')
+        | GROUP BY doc_id),
+        |dfq AS (SELECT
+        |  count(*) FILTER (WHERE tf_spark > 0) AS df_spark,
+        |  count(*) FILTER (WHERE tf_vector > 0) AS df_vector,
+        |  count(*) FILTER (WHERE tf_merge > 0) AS df_merge,
+        |  count(*) FILTER (WHERE tf_window > 0) AS df_window
+        | FROM tf),
+        |sc AS (SELECT doc_id,
+        |   ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1.0) * (tf_spark * (1.2 + 1.0)) / (tf_spark + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        | + ln((n - df_vector + 0.5) / (df_vector + 0.5) + 1.0) * (tf_vector * (1.2 + 1.0)) / (tf_vector + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        | + ln((n - df_merge + 0.5) / (df_merge + 0.5) + 1.0) * (tf_merge * (1.2 + 1.0)) / (tf_merge + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        | + ln((n - df_window + 0.5) / (df_window + 0.5) + 1.0) * (tf_window * (1.2 + 1.0)) / (tf_window + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |  AS score
+        | FROM tf, st, dfq),
+        |lex AS (SELECT doc_id, r FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS r FROM sc)
+        | WHERE r <= 15),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |s2 AS (SELECT e.vec_id AS c_id,
+        |  list_dot_product(qv, e.v) /
+        |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+        | FROM e, q),
+        |sem AS (SELECT c_id, r FROM (
+        |  SELECT c_id, CAST(row_number() OVER (ORDER BY cos DESC, c_id) AS BIGINT) AS r
+        |  FROM s2) WHERE r <= 15),
+        |u AS (SELECT doc_id, 'a' AS side, r FROM lex
+        |      UNION ALL SELECT c_id, 'b', r FROM sem)
+        |SELECT doc_id, round(sum(1.0 / (60.0 + r)), 6) AS rrf_score,
+        | max(CASE WHEN side = 'a' THEN r END) AS rank_lexical,
+        | max(CASE WHEN side = 'b' THEN r END) AS rank_semantic
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Incremental hybrid == batch hybrid: both legs are exact
+    // (incrementalBm25TopK matches bm25TopK bit-for-bit; the embedding
+    // store round-trips the embeddings table unchanged), so the fused
+    // oracle is the batch RRF replay verbatim.
+    "search_rrf_incr" ->
       """WITH d AS (
         | SELECT doc_id,
         |  list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS toks
