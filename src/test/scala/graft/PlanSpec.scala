@@ -456,4 +456,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"cosine leg should reduce via the two-phase top-k\n$p")
   }
+
+  test("incremental bm25: scoring tops out via TakeOrderedAndProject over the bucket slice") {
+    val pl = plan("text_bm25_incr")
+    assert(pl.contains("TakeOrderedAndProject"),
+      s"top-k must avoid a global sort:\n$pl")
+    // the probe scores from the postings slice; the corpus TEXT never
+    // enters the scoring plan (it lives only in the ingest phase)
+    assert(!pl.contains("ReadSchema: struct<doc_id:bigint,text:string"),
+      s"scoring plan must read the index, not the corpus text:\n$pl")
+  }
 }
