@@ -255,19 +255,29 @@ object TextAnalysis {
         terms.zipWithIndex.map { case (t, i) =>
           sum(when(col("__term") === t, 1L).otherwise(0L)).as(s"__tf_$i")
         }: _*)
+    bm25Rank(perDoc, idCol, terms.size, nDocs, avgdl, k, k1, b)
+  }
+
+  /** Per-term document frequencies + the Okapi score expression + the
+    * rounded top-k — SHARED by [[bm25TopK]] and [[incrementalBm25TopK]]
+    * so their bit-for-bit score parity (and the one SQL oracle both
+    * keys replay) is structural, not maintained by duplication.
+    * `perDoc` carries `__dl` and index-aliased `__tf_i` columns.
+    * Operation order matches the SQL oracle exactly: both engines run
+    * identical IEEE double arithmetic, so only ln's 1-ulp (handled by
+    * the 6-dp rounding) separates them. */
+  private def bm25Rank(perDoc: DataFrame, idCol: String, nTerms: Int,
+      nDocs: Long, avgdl: Double, k: Int, k1: Double, b: Double): DataFrame = {
     // per-term document frequencies: |terms| driver scalars
-    val dfreqAggs = terms.indices.map(i =>
+    val dfreqAggs = (0 until nTerms).map(i =>
       sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
     val dfreqRow = perDoc.agg(dfreqAggs.head, dfreqAggs.tail: _*).first()
     // sums over an EMPTY per-doc frame (no document contains any query
     // term) are SQL NULL — treat as df = 0, yielding an empty top-k
     // instead of a driver NPE
-    val dfreq = terms.indices
+    val dfreq = (0 until nTerms)
       .map(i => if (dfreqRow.isNullAt(i)) 0L else dfreqRow.getLong(i))
-    // same operation order as the SQL oracle: both engines run identical
-    // IEEE double arithmetic, so only ln's 1-ulp (handled by rounding)
-    // separates them
-    val score = terms.indices.map { i =>
+    val score = (0 until nTerms).map { i =>
       val idf = math.log((nDocs - dfreq(i) + 0.5) / (dfreq(i) + 0.5) + 1.0)
       val tf = col(s"__tf_$i").cast("double")
       lit(idf) * (tf * (k1 + 1.0)) /
@@ -294,6 +304,15 @@ object TextAnalysis {
     * [[bm25TopK]] (whitespace split, empties dropped, null → empty),
     * which is what makes incremental == batch exact.
     *
+    * APPEND-ONLY ids, the whole family's contract ([[NearDupStream]]
+    * et al.: "ids unique across index ∪ stream"): re-ingesting an id
+    * with the SAME text replays harmlessly, but re-ingesting an id
+    * with CHANGED text leaves the old text's postings for terms the
+    * new text no longer contains (a keyed merge cannot see them —
+    * they live in other term buckets). Mutable documents need a
+    * delete-then-reingest through a doc→terms side table, not this
+    * index.
+    *
     * 100 TB: tokenize+explode is narrow; the postings aggregate
     * map-side-combines on (term, doc_id); the merge rewrites only the
     * buckets the batch's terms hash into. Zipf skew is inherent to
@@ -308,17 +327,24 @@ object TextAnalysis {
       textCol: String): Unit = {
     val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
       t => t =!= "")
+    // pin the tokenized batch once: each merge below evaluates its
+    // updates twice (dirty-bucket probe + the bucket write), so an
+    // uncached frame would re-scan and re-tokenize the corpus text
+    // four times per ingest
     val withDl = df.select(col(idCol).as("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
         col("__toks"))
-    docLengths.merge(withDl.select(col("doc_id"), col("dl")),
-      keys = Seq("doc_id"))
-    postings.merge(
-      withDl.select(col("doc_id"), col("dl"),
-          explode(col("__toks")).as("term"))
-        .groupBy(col("term"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")),
-      keys = Seq("term", "doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      docLengths.merge(withDl.select(col("doc_id"), col("dl")),
+        keys = Seq("doc_id"))
+      postings.merge(
+        withDl.select(col("doc_id"), col("dl"),
+            explode(col("__toks")).as("term"))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")),
+        keys = Seq("term", "doc_id"))
+    } finally withDl.unpersist()
   }
 
   /** Incremental BM25 top-k against a corpus indexed by
@@ -342,13 +368,17 @@ object TextAnalysis {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     val terms = queryTerms.distinct
-    val statsRow = docLengths.read().map(_.agg(
-      count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first())
-    val nDocs = statsRow.map(_.getLong(0)).getOrElse(0L)
-    val avgdl = statsRow.filter(!_.isNullAt(1)).map(_.getDouble(1))
-      .getOrElse(1.0)
-    val like = Seq.empty[(String, Long, Long, Long)]
-      .toDF("term", "doc_id", "tf", "dl")
+    // the empty shape mirrors the INDEX's real schema when one exists
+    // (string vs long ids must not differ between the empty and
+    // populated paths); the typed default covers the never-seeded case
+    val like = postings.read().map(_.limit(0)).getOrElse(
+      Seq.empty[(String, Long, Long, Long)]
+        .toDF("term", "doc_id", "tf", "dl"))
+    // resolve the postings slice BEFORE the length table: ingest
+    // commits lengths first, so every doc visible in the slice is
+    // already counted in N/avgdl — a concurrent ingest can only add
+    // docs whose postings are not yet visible (they exist in the
+    // corpus; scoring against their N is the honest mid-ingest view)
     val slice = postings.readForKeys(terms.toDF("term"), like)
       .filter(col("term").isin(terms: _*)) // a bucket may hold other terms
     val perDoc = slice.groupBy(col("doc_id"))
@@ -356,21 +386,12 @@ object TextAnalysis {
         terms.zipWithIndex.map { case (t, i) =>
           sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf_$i")
         }: _*)
-    val dfreqAggs = terms.indices.map(i =>
-      sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
-    val dfreqRow = perDoc.agg(dfreqAggs.head, dfreqAggs.tail: _*).first()
-    val dfreq = terms.indices
-      .map(i => if (dfreqRow.isNullAt(i)) 0L else dfreqRow.getLong(i))
-    val score = terms.indices.map { i =>
-      val idf = math.log((nDocs - dfreq(i) + 0.5) / (dfreq(i) + 0.5) + 1.0)
-      val tf = col(s"__tf_$i").cast("double")
-      lit(idf) * (tf * (k1 + 1.0)) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl))
-    }.reduce(_ + _)
-    perDoc
-      .select(col("doc_id"), round(score, 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+    val statsRow = docLengths.read().map(_.agg(
+      count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first())
+    val nDocs = statsRow.map(_.getLong(0)).getOrElse(0L)
+    val avgdl = statsRow.filter(!_.isNullAt(1)).map(_.getDouble(1))
+      .getOrElse(1.0)
+    bm25Rank(perDoc, "doc_id", terms.size, nDocs, avgdl, k, k1, b)
   }
 
   /** Bigram language-model quality score — the CCNet/Wikipedia-LM shape

@@ -127,6 +127,16 @@ class BucketedStateTable(
     finally out.close()
   }
 
+  /** First line of the live lease file — who holds it. None when the
+    * file is absent or unreadable (mid-break window). */
+  private def leaseHolderOnDisk(): Option[String] =
+    try {
+      val in = fs.open(leasePath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.linesIterator.find(_.nonEmpty)
+    } catch { case _: java.io.IOException => None }
+
   /** Refresh the lease's mtime every staleMillis/3 while the holder is
     * alive, so staleness observed by a waiter really means "holder
     * crashed" — without this, any commit outlasting `leaseStaleMillis`
@@ -140,7 +150,17 @@ class BucketedStateTable(
       while (!stop.get) {
         try {
           Thread.sleep(period)
-          if (!stop.get) writeLeaseFile(holder, overwrite = true)
+          // FENCED beat: never refresh a lease someone else now holds.
+          // If a waiter judged us stale and took over, overwriting would
+          // make the usurper's liveness invisible and invite a THIRD
+          // writer to break them — stop beating instead (our own commit
+          // still ends at the manifest conflict check). A missing file
+          // (mid-break window) may be recreated once — the documented
+          // at-most-once recreate, aged out by the next waiter.
+          if (!stop.get) leaseHolderOnDisk() match {
+            case Some(other) if other != holder => stop.set(true)
+            case _ => writeLeaseFile(holder, overwrite = true)
+          }
         } catch {
           case _: InterruptedException => () // loop condition decides
           case _: java.io.IOException => () // transient; retry next beat
@@ -159,9 +179,10 @@ class BucketedStateTable(
     heartbeat = None
   }
 
-  private def acquireLease(): Unit = {
+  private def acquireLease(): String = {
     val holder = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getName + "#" + Thread.currentThread().getId
+      .getRuntimeMXBean.getName + "#" + Thread.currentThread().getId +
+      "#" + java.util.UUID.randomUUID()
     val deadline = System.currentTimeMillis() + leaseAcquireTimeoutMillis
     while (true) {
       try {
@@ -169,7 +190,7 @@ class BucketedStateTable(
         // conditional-put on object stores; best-effort locally)
         writeLeaseFile(holder, overwrite = false)
         startHeartbeat(holder)
-        return
+        return holder
       } catch {
         case _: java.io.IOException =>
           val stale =
@@ -197,17 +218,24 @@ class BucketedStateTable(
           } else Thread.sleep(leasePollMillis)
       }
     }
+    sys.error("unreachable: the acquire loop exits only by return or throw")
   }
 
   private def withLease[T](body: => T): T =
     if (leaseDepth.get > 0) body
     else {
-      acquireLease()
+      val holder = acquireLease()
       leaseDepth.set(1)
       try body finally {
         leaseDepth.set(0)
         stopHeartbeat()
-        try fs.delete(leasePath, false)
+        // FENCED release: after a stale-lease takeover, the old
+        // holder's release must not delete the NEW holder's live lease
+        // (that would let a third writer acquire mid-write). Only
+        // delete what is still ours; a residual unowned file ages past
+        // staleness and the next waiter breaks it.
+        try if (leaseHolderOnDisk().forall(_ == holder))
+          fs.delete(leasePath, false)
         catch { case _: java.io.IOException => () }
       }
     }
@@ -448,6 +476,18 @@ class BucketedStateTable(
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
         .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
         .sorted
+    // A bucket written OUTSIDE the dirty set means `rows` re-evaluated
+    // differently between the dirty-bucket probe and this write (a
+    // non-deterministic expression in the update lineage — rand() salt,
+    // unseeded sample/limit, shuffle-order-dependent ids): its manifest
+    // pointer would replace prior contents that were never read into
+    // the merge. Fail loudly instead of silently losing rows.
+    val dirtySet = dirty.toSet
+    require(written.forall(dirtySet.contains),
+      s"commit wrote buckets ${written.filterNot(dirtySet.contains).mkString(",")} " +
+        s"outside the dirty set ${dirty.sorted.mkString(",")} at $path — " +
+        "the updates DataFrame is non-deterministic; materialize it " +
+        "(cache/checkpoint) before mutating state")
     val base = currentManifest()
     val basedOn = base.map(_.commitId).getOrElse(0L)
     beforePublish()
@@ -465,32 +505,63 @@ class BucketedStateTable(
     stats
   }
 
-  /** Drop data dirs no retained manifest references and manifests beyond
-    * `keepCommits` — but nothing younger than the retention floor, so a
-    * concurrent reader's resolved snapshot outlives a burst of commits
-    * (same contract as [[ParquetStateTable]]). */
+  /** Drop data dirs no surviving manifest references and manifests
+    * beyond `keepCommits` — but nothing within the retention floor of
+    * being CONDEMNED, so a concurrent reader's resolved snapshot
+    * outlives a burst of commits (same contract as
+    * [[ParquetStateTable]]).
+    *
+    * Condemnation is a marker file under `_condemned/`, written the
+    * first time an item is observed delete-eligible; the item is only
+    * deleted once the MARKER is older than the floor. Keying the floor
+    * to the marker, not the item's own mtime, is the point: a COLD
+    * bucket's data dir can be an hour old when a burst of commits
+    * suddenly unreferences it — a creation-time floor would delete it
+    * instantly, breaking the reader who resolved it seconds before the
+    * burst. The live set is computed from EVERY manifest still on disk
+    * (floor-protected old ones included), so any snapshot a reader can
+    * still resolve keeps its data reachable for at least the floor. */
+  private def condemnedDir = new Path(root, "_condemned")
+
+  private def condemnOrReap(marker: String, target: Path,
+      recursive: Boolean, now: Long): Unit = {
+    if (retentionFloorMillis <= 0L) { fs.delete(target, recursive); return }
+    val m = new Path(condemnedDir, marker)
+    val markedAt =
+      try Some(fs.getFileStatus(m).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    markedAt match {
+      case Some(t) if now - t >= retentionFloorMillis =>
+        fs.delete(target, recursive)
+        fs.delete(m, false)
+      case Some(_) => () // condemned, still inside the floor
+      case None =>
+        fs.mkdirs(condemnedDir)
+        fs.create(m, true).close()
+    }
+  }
+
   private def prune(): Unit = {
-    val manifests = manifestFiles()
-    val retained = manifests.takeRight(keepCommits)
+    val now = System.currentTimeMillis()
+    manifestFiles().dropRight(keepCommits).foreach { case (id, p) =>
+      condemnOrReap(s"m$id", p, recursive = false, now)
+    }
+    // live set from every manifest STILL on disk after the reap above —
+    // a floor-protected old manifest keeps its data dirs alive too
+    val surviving = manifestFiles()
     val live: Set[Long] =
-      retained.flatMap { case (_, p) =>
+      surviving.flatMap { case (_, p) =>
         readManifest(p, checkLayout = false).buckets.values
       }.toSet ++
-        retained.map(_._1)
-    val now = System.currentTimeMillis()
-    def oldEnough(p: Path): Boolean =
-      now - fs.getFileStatus(p).getModificationTime >= retentionFloorMillis
-    manifests.dropRight(keepCommits).foreach { case (_, p) =>
-      if (oldEnough(p)) fs.delete(p, false)
-    }
+        surviving.map(_._1)
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { s =>
         val n = s.getPath.getName
         val id = if (n.startsWith("c") && n.drop(1).forall(_.isDigit))
           Some(n.drop(1).toLong) else None
         id match {
-          case Some(i) if !live.contains(i) && oldEnough(s.getPath) =>
-            fs.delete(s.getPath, true)
+          case Some(i) if !live.contains(i) =>
+            condemnOrReap(s"d$i", s.getPath, recursive = true, now)
           case _ => ()
         }
       }
@@ -566,16 +637,31 @@ class BucketedStateTable(
     * `count()` — no data pages are read). Empty table → empty frame. */
   def stats(): DataFrame = {
     import spark.implicits._
-    val rows = currentManifest().toSeq.flatMap { m =>
+    val meta = currentManifest().toSeq.flatMap { m =>
       m.buckets.toSeq.sorted.map { case (bucket, commit) =>
         val dir = bucketPath(bucket, commit)
         val files = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
-        val nRows = spark.read.parquet(dir.toString).count()
-        (bucket, commit, files.length.toLong,
-          files.map(_.getLen).sum, nRows)
+        (bucket, commit, dir.toString, files.length.toLong,
+          files.map(_.getLen).sum)
       }
     }
-    rows.toDF("bucket", "commit", "n_files", "total_bytes", "n_rows")
+    if (meta.isEmpty)
+      Seq.empty[(Int, Long, Long, Long, Long)]
+        .toDF("bucket", "commit", "n_files", "total_bytes", "n_rows")
+    else {
+      // row counts in ONE job over every bucket dir (count-star reads
+      // parquet row-group metadata, no data pages) — a per-bucket
+      // count() loop would serialize numBuckets scheduler round-trips
+      // through the driver for a view a 16k-bucket table wants cheap
+      val counts = spark.read.parquet(meta.map(_._3): _*)
+        .select(regexp_extract(input_file_name(),
+          s"/$BucketCol=(\\d+)/", 1).cast("int").as("bucket"))
+        .groupBy("bucket").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      meta.map { case (b, c, _, nf, bytes) =>
+        (b, c, nf, bytes, counts.getOrElse(b, 0L))
+      }.toDF("bucket", "commit", "n_files", "total_bytes", "n_rows")
+    }
   }
 
   /** Replace the ENTIRE table contents with `rows` in one commit — the
@@ -648,17 +734,15 @@ class BucketedStateTable(
       writeManifest(Manifest(next, written.map(_ -> next).toMap,
           snapshot.map(_.schema.json).orElse(cur.flatMap(_.schemaJson))),
         basedOn, forNumBuckets = newNumBuckets)
-      // Truncate pre-rebucket manifests — but ONLY past the retention
-      // floor, the same shield prune() honors: a reader that listed a
-      // manifest moments ago must still be able to open it (an
-      // unconditional delete raced exactly that listing-to-open window).
-      // Younger old-layout manifests linger briefly; they cannot be
-      // resolved through any handle (the layout check refuses) and
-      // later prunes collect them.
+      // Truncate pre-rebucket manifests — through the same
+      // condemn-then-reap shield prune() uses: a reader that listed a
+      // manifest moments ago must still be able to open it and scan its
+      // data for at least the floor. Younger old-layout manifests
+      // linger briefly; they cannot be resolved through any handle (the
+      // layout check refuses) and later prunes collect them.
       val now = System.currentTimeMillis()
-      manifestFiles().filter(_._1 < next).foreach { case (_, p) =>
-        if (now - fs.getFileStatus(p).getModificationTime >= retentionFloorMillis)
-          fs.delete(p, false)
+      manifestFiles().filter(_._1 < next).foreach { case (id, p) =>
+        condemnOrReap(s"m$id", p, recursive = false, now)
       }
       new BucketedStateTable(spark, path, keyCols, newNumBuckets,
         keepCommits, retentionFloorMillis, bucketCols, leaseStaleMillis,

@@ -512,4 +512,106 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(snap(reportingB) == snap(reportingA))
     assert(snap(reportingB).nonEmpty)
   }
+
+  // ── condemn-then-reap retention: the floor runs from UNREFERENCE ─────
+
+  test("a cold bucket's data outlives the burst that unreferences it; aged condemnation reaps") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = tmp()
+    val floor = 60L * 60 * 1000 // 1 h
+    val t = new BucketedStateTable(spark, s"$dir/t",
+      keyCols = Seq("k"), numBuckets = 2, keepCommits = 2,
+      retentionFloorMillis = floor)
+    t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+    val root = new org.apache.hadoop.fs.Path(s"$dir/t")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val c1 = new org.apache.hadoop.fs.Path(root, "data/c00000001")
+    assert(fs.exists(c1))
+    val reader = t.read().get // snapshot resolved BEFORE the burst
+
+    // backdate every commit artifact 2 h: a creation-time floor would
+    // let the burst below delete c1 immediately
+    def backdate(p: org.apache.hadoop.fs.Path): Unit = {
+      fs.setTimes(p, System.currentTimeMillis() - 2 * floor, -1)
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).foreach(st => backdate(st.getPath))
+    }
+    backdate(new org.apache.hadoop.fs.Path(root, "data"))
+    backdate(new org.apache.hadoop.fs.Path(root, "_commits"))
+
+    // burst: three rewrites of the same key unreference c1 and push
+    // manifest 1 beyond keepCommits
+    (2 to 4).foreach(i =>
+      t.merge(Seq(("a", i.toLong)).toDF("k", "v"), keys = Seq("k")))
+    assert(fs.exists(c1),
+      "cold data just unreferenced must be CONDEMNED, not deleted — " +
+        "the floor protects the reader who resolved it seconds ago")
+    assert(reader.collect().map(_.getLong(1)).toSeq == Seq(1L),
+      "the pre-burst snapshot must still scan")
+
+    // age the condemnation markers past the floor; subsequent commits'
+    // prunes walk the reap chain (manifest first, then its data)
+    val condemned = new org.apache.hadoop.fs.Path(root, "_condemned")
+    var extra = 5
+    while (fs.exists(c1) && extra < 9) {
+      if (fs.exists(condemned))
+        fs.listStatus(condemned).foreach(st =>
+          fs.setTimes(st.getPath, System.currentTimeMillis() - 2 * floor, -1))
+      t.merge(Seq(("a", extra.toLong)).toDF("k", "v"), keys = Seq("k"))
+      extra += 1
+    }
+    assert(!fs.exists(c1), "aged condemnation must eventually reap")
+  }
+
+  test("release and heartbeat never touch a lease another holder took over") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/t",
+      keyCols = Seq("k"), numBuckets = 2, retentionFloorMillis = 0L)
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/t/_lease")
+    val fs = lease.getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a stale-break takeover landing mid-commit: a usurper
+    // replaces our lease between the data write and the publish
+    t.beforePublish = () => {
+      fs.delete(lease, false)
+      val out = fs.create(lease, true)
+      out.write("usurper-holder\n999\n".getBytes("UTF-8"))
+      out.close()
+    }
+    try t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+    finally t.beforePublish = () => ()
+    // fenced release: the usurper's live lease survives our finally
+    assert(fs.exists(lease), "release deleted a lease it no longer held")
+    val in = fs.open(lease)
+    val holder = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().next() finally in.close()
+    assert(holder == "usurper-holder")
+    fs.delete(lease, false) // free the slot for any later mutation
+  }
+
+  test("a non-deterministic updates frame fails the commit loudly instead of losing rows") {
+    val s2 = spark
+    import s2.implicits._
+    var fired = false
+    var attempt = 0
+    while (!fired && attempt < 5) {
+      val dir = tmp()
+      val t = new BucketedStateTable(spark, s"$dir/t",
+        keyCols = Seq("k"), numBuckets = 64, retentionFloorMillis = 0L)
+      // now() re-evaluates per QUERY: the dirty-bucket probe and the
+      // bucket write see different keys -> different buckets
+      val nd = spark.range(1).select(
+        concat(lit("k"), unix_micros(now())).as("k"), lit(1L).as("v"))
+      try t.merge(nd, keys = Seq("k"))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("non-deterministic") => fired = true
+      }
+      attempt += 1
+    }
+    assert(fired,
+      s"the written-outside-dirty guard never fired in $attempt attempts")
+  }
 }

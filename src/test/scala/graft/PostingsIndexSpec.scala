@@ -114,4 +114,30 @@ class PostingsIndexSpec extends SparkSpec {
       corpus, "doc_id", "text", terms, k = 10))
     assert(incr == batch, s"streamed $incr != batch $batch")
   }
+
+  test("string-id corpora keep one id type across populated and empty query paths") {
+    val s2 = spark
+    import s2.implicits._
+    val root = tmp()
+    val postings = new BucketedStateTable(spark, s"$root/postings",
+      keyCols = Seq("term", "doc_id"), numBuckets = 8,
+      bucketCols = Seq("term"), retentionFloorMillis = 0L)
+    val docLengths = new BucketedStateTable(spark, s"$root/doclen",
+      keyCols = Seq("doc_id"), numBuckets = 4, retentionFloorMillis = 0L)
+    TextAnalysis.indexPostings(postings, docLengths,
+      Seq(("docA", "apple banana"), ("docB", "banana cherry"))
+        .toDF("id", "text"), "id", "text")
+    val hit = TextAnalysis.incrementalBm25TopK(
+      postings, docLengths, Seq("banana"), k = 5)
+    assert(hit.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(hit.count() == 2L)
+    // unseen term: the empty frame keeps the INDEX's id type, so a
+    // caller unioning results never hits a type mismatch on the edge
+    val miss = TextAnalysis.incrementalBm25TopK(
+      postings, docLengths, Seq("zzz_nope"), k = 5)
+    assert(miss.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(miss.count() == 0L)
+  }
 }
