@@ -14,9 +14,13 @@ object Dedup {
 
   /** Exact dedup via content hash: one row per distinct fingerprint, the
     * smallest id wins. Single shuffle on the (high-cardinality, uniform)
-    * hash — the cheapest possible plan at scale. */
+    * hash — the cheapest possible plan at scale. Null-text rows are
+    * dropped (the whole file's stance): their fingerprint is NULL, and
+    * a NULL grouping key would silently collapse every null-text
+    * document into one "duplicate" group. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.withColumn("text_md5", TextAnalysis.fingerprint(col(textCol)))
+    df.filter(col(textCol).isNotNull)
+      .withColumn("text_md5", TextAnalysis.fingerprint(col(textCol)))
       .groupBy("text_md5")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
@@ -37,8 +41,8 @@ object Dedup {
     *
     * Returns (a_id, b_id, est_jaccard) with a_id < b_id, where
     * est_jaccard is the signature-agreement fraction.
-    */
-  /** Hot-bucket guard (same decomposition as [[embeddingNearDups]]):
+    *
+    * Hot-bucket guard (same decomposition as [[embeddingNearDups]]):
     * a boilerplate-heavy corpus puts N identical signatures into one
     * (band, band_hash) bucket and a plain self-join would score the
     * whole N² on a single task. Buckets above `maxBucketSize` split
@@ -153,12 +157,16 @@ object Dedup {
       keys: Seq[String],
       maxBucketSize: Int = 4096): DataFrame = {
     val kc = keys.map(col)
-    def maxOcc(df: DataFrame): Long = {
-      val row = df.groupBy(kc: _*).agg(count(lit(1)).as("__c"))
-        .agg(max(col("__c")).as("__m")).collect()(0)
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    }
-    if (maxOcc(l) <= maxBucketSize && maxOcc(r) <= maxBucketSize) {
+    def occMax(df: DataFrame, side: String): DataFrame =
+      df.groupBy(kc: _*).agg(count(lit(1)).as("__c"))
+        .agg(max(col("__c")).as("__m"))
+        .select(lit(side).as("__side"), col("__m"))
+    // ONE action answers both sides' hot-bucket question — the common
+    // cold path previously paid a collect per side per call
+    val maxes = occMax(l, "l").unionByName(occMax(r, "r")).collect()
+      .map(row => row.getString(0) ->
+        (if (row.isNullAt(1)) 0L else row.getLong(1))).toMap
+    if (maxes("l") <= maxBucketSize && maxes("r") <= maxBucketSize) {
       val lPay = l.columns.filterNot(keys.contains).toSeq
       val rPay = r.columns.filterNot(keys.contains).toSeq
       l.join(r, keys).select((lPay ++ rPay).map(col): _*)
@@ -471,8 +479,6 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Exact Jaccard similarity between the distinct-word sets of two text
-    * columns (the verification step behind MinHash candidates). */
   /** C4-style GLOBAL line dedup: across the whole corpus, each distinct
     * non-blank line survives only in the first document that carries it
     * (order: (id, line position)); blank/whitespace-only lines always
@@ -483,12 +489,16 @@ object Dedup {
     * document rebuilt from its surviving lines in original order
     * (documents reduced to nothing come back as "").
     *
-    * 100 TB: one hash shuffle keyed on LINE CONTENT (uniform — a hot
-    * boilerplate line is one key but its group reduces to a first-
-    * occurrence row_number, and blank lines — the one guaranteed-skewed
-    * key — never enter the window at all), then one shuffle back on the
-    * document id to reassemble. Both are plain keyed exchanges; no
-    * global sort. */
+    * 100 TB: one hash shuffle keyed on LINE CONTENT with the owner
+    * elected by a MAP-SIDE-COMBINED `min(struct(id, line_no))`
+    * aggregate — deliberately NOT a per-key window: a cookie-banner
+    * line repeated in millions of pages would co-locate and SORT its
+    * entire group on one task under `row_number`, exactly the
+    * single-key straggler [[exciseRepeatedSpans]] documents avoiding;
+    * the aggregate partial-combines on the mappers instead. Blank
+    * lines — the one guaranteed-skewed key — never enter the election
+    * at all. Then one shuffle back on the document id to reassemble.
+    * Both are plain keyed exchanges; no global sort. */
   def dedupLinesGlobal(
       df: DataFrame,
       idCol: String,
@@ -496,10 +506,12 @@ object Dedup {
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n", -1)).as(Seq("__ln", "__line")))
     val blank = trim(col("__line")) === ""
-    val w = Window.partitionBy(col("__line")).orderBy(col(idCol), col("__ln"))
     val keptNonBlank = lines.filter(!blank)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .groupBy(col("__line"))
+      .agg(min(struct(col(idCol), col("__ln"))).as("__owner"))
+      .select(col("__owner").getField(idCol).as(idCol),
+        col("__owner").getField("__ln").as("__ln"),
+        col("__line"))
     val kept = keptNonBlank.unionByName(lines.filter(blank))
     val rebuilt = kept.groupBy(col(idCol))
       .agg(concat_ws("\n",
@@ -542,7 +554,13 @@ object Dedup {
       textCol: String,
       w: Int = 5): DataFrame = {
     require(w >= 2, s"span width must be at least 2 tokens, got $w")
-    val Sep = "\u001f" // unit separator — cannot occur inside a \S+ token of normal text
+    // Tokens are \s+-separated runs, so a SPACE provably cannot occur
+    // inside one -- the space-joined window key is injective for fixed
+    // w. (A control-char separator like U+001F is NOT safe here: it is
+    // outside Java's \s class, so crawled text can carry it inside a
+    // token and two distinct windows could collide into one key,
+    // falsely excising text.)
+    val Sep = " "
     val toks = df.select(col(idCol),
       filter(split(coalesce(col(textCol), lit("")), "\\s+"), t => t =!= "")
         .as("__ts"))
@@ -585,6 +603,8 @@ object Dedup {
         coalesce(col("__text"), lit("")).as("text"))
   }
 
+  /** Exact Jaccard similarity between the distinct-word sets of two text
+    * columns (the verification step behind MinHash candidates). */
   def wordSetJaccard(a: Column, b: Column): Column = {
     val sa = array_distinct(split(trim(a), "\\s+"))
     val sb = array_distinct(split(trim(b), "\\s+"))
@@ -728,10 +748,19 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
     val cand = cross.unionByName(intra).distinct()
+    // ONE text row per id: a batch row REUSING a corpus id (the
+    // documented at-least-once replay state — the doc store committed,
+    // the pairs merge retried) would otherwise appear twice here and
+    // multiply every joined pair 2–4×; the batch copy wins so changed
+    // text verifies against what is being ingested NOW
     val txt = corpus.select(col(idCol), col(textCol))
-      .unionByName(batch.select(col(idCol), col(textCol)))
+      .withColumn("__p", lit(0))
+      .unionByName(batch.select(col(idCol), col(textCol))
+        .withColumn("__p", lit(1)))
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("__tid"), col(textCol).as("__t"))
+      .groupBy(col(idCol).as("__tid"))
+      .agg(max(struct(col("__p"), col(textCol))).as("__s"))
+      .select(col("__tid"), col("__s").getField(textCol).as("__t"))
     val pairs = cand
       .join(txt.select(col("__tid").as("a_id"), col("__t").as("__at")), "a_id")
       .join(txt.select(col("__tid").as("b_id"), col("__t").as("__bt")), "b_id")
@@ -1163,15 +1192,8 @@ object Dedup {
     val total = planes * bands
     require(planes > 0 && bands > 0 && total <= 63,
       s"planes*bands must be in [1, 63], got $planes*$bands")
-    val mask = (1L << planes) - 1
     def banded(df: DataFrame, keep: Seq[String]): DataFrame =
-      df.select(keep.map(col) :+
-        explode(array((0 until bands).map(band =>
-          struct(lit(band).as("band"),
-            shiftrightunsigned(col("bucket"), band * planes)
-              .bitwiseAND(lit(mask)).as("sub"))): _*)).as("__b"): _*)
-        .select(keep.map(col) :+ col("__b.band").as("band") :+
-          col("__b.sub").as("sub"): _*)
+      Similarity.bandSubBuckets(df, keep, planes, bands)
     val c = banded(Similarity.lshBuckets(
       corpus.select(col(idCol), col(vecCol).as("__cv")), "__cv", total),
       Seq(idCol, "__cv"))

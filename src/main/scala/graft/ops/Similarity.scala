@@ -93,7 +93,11 @@ object Similarity {
       cId: String, cVec: String, cLabel: String,
       k: Int): DataFrame = {
     val joined = Balance.widen(corpus).crossJoin(broadcast(queries))
-      .filter(col(cLabel) =!= col(qLabel))
+      // NULL-SAFE mismatch: a null-labeled corpus row trivially differs
+      // from any labeled query (and vice versa) — the null-unsafe =!=
+      // would evaluate NULL there and silently mine zero negatives for
+      // unlabeled queries and skip every unlabeled corpus row
+      .filter(!(col(cLabel) <=> col(qLabel)))
       .select(col(qId), col(cId),
         cosine(col(qVec), col(cVec)).as("cos_sim"))
     topKPerQuery(joined, qId, cId, k)
@@ -137,16 +141,10 @@ object Similarity {
       excludeSelf: Boolean = false): DataFrame = {
     val total = planes * bands
     require(total <= 63, s"planes*bands must be <= 63, got $total")
-    val mask = (1L << planes) - 1
     def banded(df: DataFrame, id: String, vec: String): DataFrame =
-      lshBuckets(df.select(col(id), col(vec)), vec, total)
-        .select(col(id), col(vec),
-          explode(array((0 until bands).map(b =>
-            struct(lit(b).as("band"),
-              shiftrightunsigned(col("bucket"), b * planes)
-                .bitwiseAND(lit(mask)).as("sub"))): _*)).as("__b"))
-        .select(col(id), col(vec),
-          col("__b.band").as("band"), col("__b.sub").as("sub"))
+      bandSubBuckets(
+        lshBuckets(df.select(col(id), col(vec)), vec, total),
+        Seq(id, vec), planes, bands)
     val qb = banded(queries, qId, qVec)
     val cb = banded(corpus, cId, cVec)
     val joined = cb.join(broadcast(qb), Seq("band", "sub"))
@@ -398,24 +396,6 @@ object Similarity {
       .select(col(qId), col("rank"), col(cId), col("cos_sim"))
   }
 
-  /** IVF (inverted-file) approximate top-k — the classic coarse-quantize
-    * scale path: corpus vectors are assigned to their nearest of
-    * `nCentroids` centroid vectors (one inverted list per centroid), and
-    * each query searches only its `nProbe` nearest lists.
-    *
-    * Centroids here are a deterministic corpus sample (lowest ids); a
-    * production index would k-means-refine them
-    * ([[refineCentroids]]), which changes recall but not the plan shape.
-    * That shape is what matters at 100 TB: centroids are COLLECTED
-    * (tiny) and inlined as literals, so corpus assignment is a narrow
-    * per-row argmax — no window, no corpus shuffle, no pairwise blowup —
-    * and the only exchange is the per-query top-k over the candidate set
-    * (`~nProbe/nCentroids` of the corpus), reduced by the salted
-    * two-phase [[topKPerQuery]].
-    *
-    * Zero vectors have undefined cosine (null) and drop out of both the
-    * index and the probes.
-    */
   /** Deterministic centroid sample: the `n` lowest-id non-null vectors
     * with zero vectors dropped (a null would NPE the driver-side
     * collect and a zero-norm centroid scores null against everything).
@@ -435,6 +415,24 @@ object Similarity {
     }.toSeq).toSeq
     .filter(_.exists(_ != 0.0))
 
+  /** IVF (inverted-file) approximate top-k — the classic coarse-quantize
+    * scale path: corpus vectors are assigned to their nearest of
+    * `nCentroids` centroid vectors (one inverted list per centroid), and
+    * each query searches only its `nProbe` nearest lists.
+    *
+    * Centroids here are a deterministic corpus sample (lowest ids); a
+    * production index would k-means-refine them
+    * ([[refineCentroids]]), which changes recall but not the plan shape.
+    * That shape is what matters at 100 TB: centroids are COLLECTED
+    * (tiny) and inlined as literals, so corpus assignment is a narrow
+    * per-row argmax — no window, no corpus shuffle, no pairwise blowup —
+    * and the only exchange is the per-query top-k over the candidate set
+    * (`~nProbe/nCentroids` of the corpus), reduced by the salted
+    * two-phase [[topKPerQuery]].
+    *
+    * Zero vectors have undefined cosine (null) and drop out of both the
+    * index and the probes.
+    */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -451,17 +449,8 @@ object Similarity {
         refineCentroids(corpus, cVec, sampled, refineIterations)
       else sampled
 
-    def scores(vec: Column): Column =
-      array(cents.map(c => cosine(vec, typedlit(c))): _*)
-
-    // argmax over the literal centroid array — first index wins ties
-    val lists = Balance.widen(corpus)
-      .withColumn("__scores", scores(col(cVec)))
-      .withColumn("__cent",
-        (call_function("array_position", col("__scores"),
-          array_max(col("__scores"))) - 1).cast("long"))
-      .filter(col("__cent").isNotNull)
-      .drop("__scores")
+    val lists =
+      withNearestCentroid(Balance.widen(corpus), cVec, cents, "__cent")
 
     val probes = centroidProbes(queries, qId, qVec, cents, nProbe)
 
@@ -524,14 +513,10 @@ object Similarity {
       vecCol: String,
       centroids: Seq[Seq[Double]]): Unit = {
     require(centroids.nonEmpty, "indexIvf needs at least one centroid")
-    val scores = array(centroids.map(c => cosine(col(vecCol), typedlit(c))): _*)
-    val lists = Balance.widen(df)
-      .filter(col(vecCol).isNotNull)
-      .withColumn("__scores", scores)
-      .withColumn("centroid_id",
-        (call_function("array_position", col("__scores"),
-          array_max(col("__scores"))) - 1).cast("long"))
-      .filter(col("centroid_id").isNotNull) // zero vectors have no list
+    val lists =
+      withNearestCentroid(
+          Balance.widen(df).filter(col(vecCol).isNotNull),
+          vecCol, centroids, "centroid_id")
       // id keeps its NATIVE type (as indexEmbeddings does): a silent
       // cast("long") turned non-numeric ids into all-null vec_ids and
       // corrupted the index keys without any error surfacing
@@ -557,13 +542,8 @@ object Similarity {
     // would silently drop any ingest batch a concurrent writer commits
     // in the gap (the streaming-ingest pattern makes that routine)
     index.replaceAllTransformed { cur =>
-      val scores = array(centroids.map(c => cosine(col("vec"), typedlit(c))): _*)
-      cur
-        .withColumn("__scores", scores)
-        .withColumn("centroid_id",
-          (call_function("array_position", col("__scores"),
-            array_max(col("__scores"))) - 1).cast("long"))
-        .filter(col("centroid_id").isNotNull)
+      withNearestCentroid(cur.drop("centroid_id"), "vec", centroids,
+          "centroid_id")
         .select(col("centroid_id"), col("vec_id"), col("vec"))
     }
   }
@@ -592,13 +572,14 @@ object Similarity {
       case None =>
         // Empty-index schema derives qId from the QUERIES frame (its
         // native type, matching what the populated path's join carries);
-        // rank is INT to match row_number(). A never-written index
-        // carries no evidence of the indexed id type, so vec_id takes
-        // `emptyVecIdType` — callers indexing non-long ids pass theirs
-        // (e.g. StringType) to keep the schema stable across the
-        // empty/populated boundary for unionByName and writers.
+        // rank is LONG to match topKPerQuery's row_number().cast(long).
+        // A never-written index carries no evidence of the indexed id
+        // type, so vec_id takes `emptyVecIdType` — callers indexing
+        // non-long ids pass theirs (e.g. StringType) to keep the schema
+        // stable across the empty/populated boundary for unionByName
+        // and writers.
         return queries.select(col(qId)).limit(0)
-          .withColumn("rank", lit(0))
+          .withColumn("rank", lit(0L))
           .withColumn("vec_id", lit(null).cast(emptyVecIdType))
           .withColumn("cos_sim", lit(0.0))
       case Some(cur) =>
@@ -723,12 +704,45 @@ object Similarity {
     require(clash.isEmpty,
       s"input already has column(s) ${clash.mkString(", ")} — rename them; " +
         "these names are produced by assignClusters")
+    withNearestCentroid(df, vecCol, cents, "cluster")
+  }
+
+  /** Slice a `planes × bands`-bit sign-LSH `bucket` column into `bands`
+    * independent `(band, sub)` sub-bucket rows — the ONE banding layout
+    * shared by [[lshTopK]] and the semantic-contamination path in
+    * `Dedup` (the 64-bit HASH banding in `Dedup.bandPairs64` is a
+    * different layout on purpose: fixed 64/bands width over a full
+    * hash, not plane groups). Sharing the slicer means a probe built
+    * with one caller can never silently stop colliding with an index
+    * built by another. Keeps `keep`, adds `band` + `sub`, drops the
+    * packed `bucket`. */
+  private[ops] def bandSubBuckets(df: DataFrame, keep: Seq[String],
+      planes: Int, bands: Int): DataFrame = {
+    val mask = (1L << planes) - 1
+    df.select(keep.map(col) :+
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("bucket"), b * planes)
+            .bitwiseAND(lit(mask)).as("sub"))): _*)).as("__b"): _*)
+      .select(keep.map(col) :+ col("__b.band").as("band") :+
+        col("__b.sub").as("sub"): _*)
+  }
+
+  /** Nearest-centroid assignment as a named column: cosine argmax over
+    * the literal centroid array (first index wins ties), rows with
+    * null/zero vectors dropped (their cosine is null, so no argmax) —
+    * the ONE definition of IVF list membership, shared by [[ivfTopK]],
+    * [[indexIvf]], [[reclusterIvf]] and [[assignClusters]] so
+    * tie-breaking and null handling cannot drift between an index
+    * build and its probes. */
+  private def withNearestCentroid(df: DataFrame, vecCol: String,
+      cents: Seq[Seq[Double]], outCol: String): DataFrame = {
     val scores = array(cents.map(c => cosine(col(vecCol), typedlit(c))): _*)
     df.withColumn("__scores", scores)
-      .withColumn("cluster",
+      .withColumn(outCol,
         (call_function("array_position", col("__scores"),
           array_max(col("__scores"))) - 1).cast("long"))
-      .filter(col("cluster").isNotNull)
+      .filter(col(outCol).isNotNull)
       .drop("__scores")
   }
 }

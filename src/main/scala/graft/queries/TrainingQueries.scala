@@ -2842,7 +2842,7 @@ object TrainingQueries {
         | SELECT doc_id + 100000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0)
         |SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
         | min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
-        |FROM all_docs GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM all_docs WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_incremental" ->
       """WITH seen AS (
@@ -2881,8 +2881,8 @@ object TrainingQueries {
         | FROM toks),
         |sh AS (
         | SELECT doc_id, p AS start,
-        |  tok || chr(31) || lead(tok, 1) OVER w || chr(31) || lead(tok, 2) OVER w
-        |      || chr(31) || lead(tok, 3) OVER w || chr(31) || lead(tok, 4) OVER w AS key
+        |  tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        |      || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS key
         | FROM pos
         | WINDOW w AS (PARTITION BY doc_id ORDER BY p)
         | QUALIFY lead(tok, 4) OVER w IS NOT NULL),
