@@ -152,12 +152,17 @@ object Corpus {
       nShards: Int,
       chunkTokens: Int): DataFrame = {
     requireFresh(df, "shard", "n_tokens")
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     // last token of the document (inclusive): every text has ≥1 token
-    // under split semantics, so token_end = token_start + n_tokens − 1
+    // under split semantics, so token_end = token_start + n_tokens − 1.
+    // NULL text coalesces to "" (one empty token — packBins' documented
+    // discipline), not a NULL n_tokens that would void the whole span
     val tokenEnd = col("token_start") + col("n_tokens") - 1
     df.withColumn("shard", pmod(col(idCol), lit(nShards)).cast("long"))
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(coalesce(col(textCol), lit(""))))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .withColumn("token_start", col("__cum") - col("n_tokens"))
       .select(col(idCol), col("shard"), col("n_tokens"),
@@ -316,14 +321,17 @@ object Corpus {
     val benchShingles = benchmark
       .select(explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
       .distinct()
-    // clamp BEFORE toInt: a budget above Int.MaxValue would wrap
-    // negative and turn the probe into limit(2)
-    val probe =
-      math.min(maxBroadcastShingles, Int.MaxValue - 1L).toInt.max(1) + 1
-    val broadcastable =
-      benchShingles.limit(probe).count() <= maxBroadcastShingles
-    (corpusShingles,
-      if (broadcastable) broadcast(benchShingles) else benchShingles)
+    (corpusShingles, broadcastIfSmall(benchShingles, maxBroadcastShingles))
+  }
+
+  /** Broadcast `df` when its row count — probed with a bounded
+    * `limit(n+1).count()`, never a full count — fits `maxRows`; the
+    * plain frame otherwise. Clamp BEFORE toInt: a budget above
+    * Int.MaxValue would wrap negative and turn the probe into
+    * limit(2), green-lighting an arbitrarily large broadcast. */
+  private def broadcastIfSmall(df: DataFrame, maxRows: Long): DataFrame = {
+    val probe = math.min(maxRows, Int.MaxValue - 1L).toInt.max(1) + 1
+    if (df.limit(probe).count() <= maxRows) broadcast(df) else df
   }
 
   /** Bloom-filter decontamination — [[decontaminate]]'s plan shape for
@@ -354,30 +362,36 @@ object Corpus {
       expectedShingles: Long = 4_000_000L,
       numBits: Long = 33_554_432L,
       maxBroadcastShingles: Long = 4_000_000L): DataFrame = {
+    // pinned for the call: the bloom aggregate, the broadcast-size
+    // probe, and the exact-verify join would otherwise each re-run the
+    // full benchmark scan + shingle explode (the dominant
+    // benchmark-side cost) from lineage
     val benchShingles = benchmark
       .select(explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
-    val bf = benchShingles
-      .agg(call_function("graft_bloom_agg", xxhash64(col("__sh")),
-        lit(expectedShingles), lit(numBits)).as("bf"))
-      .collect()(0).getAs[Array[Byte]]("bf")
-    if (bf == null) {
-      // empty benchmark: nothing can be contaminated
-      corpus.select(col(idCol)).limit(0)
-    } else {
-      val cand = corpus
-        .select(col(idCol), explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
-        .filter(call_function("graft_bloom_might_contain",
-          lit(bf), xxhash64(col("__sh"))))
-      val benchDistinct = benchShingles.distinct()
-      val probe =
-        math.min(maxBroadcastShingles, Int.MaxValue - 1L).toInt.max(1) + 1
-      val bench =
-        if (benchDistinct.limit(probe).count() <= maxBroadcastShingles)
-          broadcast(benchDistinct)
-        else benchDistinct
-      cand.join(bench, Seq("__sh"), "left_semi")
-        .select(col(idCol)).distinct()
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val bf = benchShingles
+        .agg(call_function("graft_bloom_agg", xxhash64(col("__sh")),
+          lit(expectedShingles), lit(numBits)).as("bf"))
+        .collect()(0).getAs[Array[Byte]]("bf")
+      if (bf == null) {
+        // empty benchmark: nothing can be contaminated
+        corpus.select(col(idCol)).limit(0)
+      } else {
+        val cand = corpus
+          .select(col(idCol), explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
+          .filter(call_function("graft_bloom_might_contain",
+            lit(bf), xxhash64(col("__sh"))))
+        val bench =
+          broadcastIfSmall(benchShingles.distinct(), maxBroadcastShingles)
+        // eager: the contaminated-id set is small by nature, and
+        // materializing it here lets the benchmark cache free in the
+        // finally instead of leaking into the caller's session
+        cand.join(bench, Seq("__sh"), "left_semi")
+          .select(col(idCol)).distinct()
+          .localCheckpoint(true)
+      }
+    } finally benchShingles.unpersist()
   }
 
   /** Graded contamination report: for every corpus document, the
@@ -440,25 +454,27 @@ object Corpus {
     requireFresh(df, "n_tokens")
     val withTokens = df.withColumn("n_tokens",
       TextAnalysis.tokenCount(col(textCol)))
-    // coalesce: a source whose rows are all null-text sums to NULL and
-    // Row.getLong would NPE — report 0 tokens instead (a 0-token source
-    // has nothing to rebalance/budget, so downstream rate rules ignore
-    // or full-keep it, both harmless)
-    val totals = withTokens.groupBy(col(sourceCol))
-      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__t"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = sourceTokenTotals(withTokens, sourceCol)
     val rates = budgets.flatMap { case (src, budget) =>
       totals.get(src).map(t =>
         src -> math.min(1.0, budget.toDouble / t.toDouble))
     }
-    val u = uniformHex(col(idCol), seed)
-    val threshold = rates.foldRight(lit(hexThreshold(1.0))) {
-      case ((src, p), els) =>
-        when(col(sourceCol) === src, lit(hexThreshold(p))).otherwise(els)
-    }
-    withTokens.filter(u < threshold)
+    keepBySourceRates(withTokens, idCol, sourceCol, rates, seed)
   }
+
+  /** Per-source token totals, collected to the driver (rows =
+    * |sources| — mixture specs have tens of sources, not millions) —
+    * shared by [[mixByTokenBudget]] and [[mixByTemperature]]. Coalesce:
+    * a source whose rows are all null-text sums to NULL and
+    * Row.getLong would NPE — report 0 tokens instead (a 0-token source
+    * has nothing to rebalance/budget, so downstream rate rules ignore
+    * or full-keep it, both harmless). */
+  private def sourceTokenTotals(
+      withTokens: DataFrame, sourceCol: String): Map[String, Long] =
+    withTokens.groupBy(col(sourceCol))
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Quality-weighted downsampling: keep each row with probability
     * equal to its own (clamped to [0, 1]) score — soft curation where
@@ -479,7 +495,13 @@ object Corpus {
       idCol: String,
       scoreCol: org.apache.spark.sql.Column,
       seed: String = "score"): DataFrame = {
-    val p = least(greatest(scoreCol, lit(0.0)), lit(1.0))
+    // NaN-safe BEFORE the clamp: greatest/least treat NaN as larger
+    // than everything, so a NaN score (0/0 from upstream ratio
+    // arithmetic — the unscoreable, typically worst documents) would
+    // clamp to 1.0 and be kept with certainty; it drops instead
+    val sc = scoreCol.cast("double")
+    val p = least(greatest(when(isnan(sc), lit(0.0)).otherwise(sc),
+      lit(0.0)), lit(1.0))
     val th = when(p >= 1.0, lit("g0000000"))
       .otherwise(format_string("%08x",
         floor(p * lit(4294967296.0)).cast("long")))
@@ -511,16 +533,8 @@ object Corpus {
     requireFresh(df, "n_tokens")
     val withTokens = df.withColumn("n_tokens",
       TextAnalysis.tokenCount(col(textCol)))
-    // coalesce: a source whose rows are all null-text sums to NULL and
-    // Row.getLong would NPE — report 0 tokens instead (a 0-token source
-    // has nothing to rebalance/budget, so downstream rate rules ignore
-    // or full-keep it, both harmless)
-    val totals = withTokens.groupBy(col(sourceCol))
-      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__t"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     keepBySourceRates(withTokens, idCol, sourceCol,
-      temperatureRates(totals, tau), seed)
+      temperatureRates(sourceTokenTotals(withTokens, sourceCol), tau), seed)
   }
 
   /** The pure temperature rate rule — `(t_min / t_s)^(1-tau)`, 6-dp
@@ -573,7 +587,11 @@ object Corpus {
     * from the fused kernel); the per-bucket stats aggregate is
     * map-side combined into at most |buckets| rows per partition. */
   def lengthBucket(textCol: Column, bounds: Seq[Long] = Seq(32L, 64L, 128L, 256L)): Column = {
-    val n = TextAnalysis.tokenCount(textCol)
+    // NULL text counts as empty: a NULL token count fails every <=
+    // threshold comparison and would fall through to the LARGEST
+    // bucket's otherwise-branch — an absent document padded to the
+    // longest sequence is the worst possible mislabel
+    val n = TextAnalysis.tokenCount(coalesce(textCol, lit("")))
     val labeled = bounds.zipWithIndex.foldRight(
       lit(s"${bounds.size}_gt_${bounds.last}")) { case ((b, i), els) =>
       when(n <= b, lit(s"${i}_le_$b")).otherwise(els)
@@ -604,7 +622,7 @@ object Corpus {
       shardHexChars: Int = 2): DataFrame = {
     require(shardHexChars >= 1 && shardHexChars <= 8,
       s"shardHexChars must be in [1,8], got $shardHexChars")
-    requireFresh(df, "shard", "pos")
+    requireFresh(df, "shard", "pos", "__key")
     val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
     val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
     df.withColumn("__key", key)
@@ -864,11 +882,13 @@ object Corpus {
       quota: Int,
       seed: String = "cluster-balance"): DataFrame = {
     require(quota > 0, s"quota must be positive: $quota")
-    // assign ONCE; both the before-counts and the quota ranking read the
-    // same assigned frame (the argmax scoring scan is the dominant
-    // per-row cost — don't run it twice)
-    val assigned =
-      graft.ops.Similarity.assignClusters(emb, vecCol, cents)
+    // assign ONCE, MATERIALIZED: the before-counts aggregate and the
+    // quota ranking are two independent plan subtrees — without the
+    // checkpoint each would re-execute the argmax scoring scan (the
+    // dominant per-row cost) from lineage
+    val assigned = graft.ops.Similarity.assignClusters(emb, vecCol, cents)
+      .select(col(idCol), col("cluster"))
+      .localCheckpoint(true)
     val before = assigned.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_before"))
     val after = domainQuota(assigned, "cluster", quota,

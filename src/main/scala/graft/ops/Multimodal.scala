@@ -60,21 +60,24 @@ object Multimodal {
     * byte arrays exactly the same way. */
   object FakeDecoder extends MediaDecoder {
     override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
-      batch.map { r =>
+      // a NULL payload (encode(NULL) upstream) is undecodable: DROP per
+      // the contract, never NPE the task
+      batch.filter(_.payload != null).map { r =>
         val n = r.payload.length.toLong
         MediaFeatures(r.doc_id, r.kind, n, n % 512, (n * 7) % 512, n % 30 + 1)
       }
 
     override def frameCount(payload: Array[Byte]): Int =
-      payload.length % 30 + 1
+      if (payload == null) 0 else payload.length % 30 + 1
 
     /** Deterministic 64-byte-capped slice standing in for frame `idx`. */
     override def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte] =
-      payload.take(64)
+      if (payload == null) Array.emptyByteArray else payload.take(64)
 
     /** Truncates/pads to the byte budget of the target resolution. */
     override def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
-      java.util.Arrays.copyOf(payload, math.min(payload.length, w * h))
+      if (payload == null) Array.emptyByteArray
+      else java.util.Arrays.copyOf(payload, math.min(payload.length, w * h))
   }
 
   /** REAL image decoder over the JDK's `javax.imageio` (PNG, JPEG, GIF,
@@ -89,6 +92,7 @@ object Multimodal {
 
     private def withReader[A](payload: Array[Byte])(
         f: javax.imageio.ImageReader => A): Option[A] = {
+      if (payload == null) return None // undecodable: drop, never NPE
       val in = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
       try {
         val readers = ImageIO.getImageReaders(in)
@@ -522,15 +526,11 @@ object Multimodal {
     require(maxHamming < bands,
       s"maxHamming ($maxHamming) must stay below bands ($bands) for deterministic recall")
     val spark = SparkSession.active
-    // The batch is BATCH-sized by contract, but its lineage may be an
-    // arbitrary upstream plan (scan + joins); it feeds three legs below
-    // (band rows, intra-candidate decode, intra embedding fetch), so pin
-    // it once instead of re-deriving — at corpus scale a re-derivation
-    // is a full upstream re-execution per leg.
-    val batchP = batch
-      .select(col(idCol), col(payloadCol), col(embCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val b = pairBandRows(spark, batchP, idCol, payloadCol, embCol,
+    // ONE decode+hash pass: the persisted band rows carry the full hash
+    // AND the caption embedding, so every leg below (cross probe, intra
+    // pairing, index merge) reads this cache — the batch's upstream
+    // lineage and the image decode both run exactly once per batch.
+    val b = pairBandRows(spark, batch, idCol, payloadCol, embCol,
         bands, batchSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     b.count()
@@ -549,12 +549,27 @@ object Multimodal {
         greatest(col("__oid"), col("__nid")).as("b_id"),
         bit_count(col("__nh").bitwiseXOR(col("__oh"))).as("hamming"),
         Similarity.cosine(col("__nv"), col("__ov")).as("cos_sim"))
-    // intra-batch pairs: the batch itself may carry duplicates
-    val intra = pairNearDups(spark, batchP, idCol, payloadCol, embCol,
-      maxHamming, bands, cosThreshold, batchSize)
+    // intra-batch pairs from the SAME persisted band rows (zero extra
+    // decodes — the hashes and embeddings already ride in b), through
+    // the same bounded bipartite decomposition as the cross leg, so an
+    // intra-batch hot bucket cannot go quadratic either. Candidate set
+    // is identical to pairNearDups over the batch: same-bucket pairs,
+    // Hamming cut on the full hash, cosine on the captions.
+    val intra = Dedup.adaptiveBipartiteJoin(
+        b.select(col("band"), col("bh"), col("pair_id").as("__ai"),
+          col("phash").as("__ahh"), col("embedding").as("__av")),
+        "__ai",
+        b.select(col("band"), col("bh"), col("pair_id").as("__bi"),
+          col("phash").as("__bhh"), col("embedding").as("__bv")),
+        "__bi",
+        keys = Seq("band", "bh"), maxBucketSize = maxBucketSize)
+      .filter(col("__ai") < col("__bi"))
+      .select(col("__ai").as("a_id"), col("__bi").as("b_id"),
+        bit_count(col("__ahh").bitwiseXOR(col("__bhh"))).as("hamming"),
+        Similarity.cosine(col("__av"), col("__bv")).as("cos_sim"))
     val out = cross
-      .filter(col("hamming") <= maxHamming && col("cos_sim") >= cosThreshold)
       .unionByName(intra)
+      .filter(col("hamming") <= maxHamming && col("cos_sim") >= cosThreshold)
       .distinct()
       // eager pre-merge checkpoint pins the probe result before the
       // index mutates (same discipline as the text/embedding paths)
@@ -562,7 +577,6 @@ object Multimodal {
     index.merge(b.select(col("band"), col("bh"), col("pair_id"),
       col("phash"), col("embedding")), keys = Seq("band", "bh", "pair_id"))
     b.unpersist()
-    batchP.unpersist()
     slice.unpersist()
     out
   }
