@@ -52,8 +52,41 @@ object Hashing {
     ((splitmix64(plane.toLong * 0x9E3779B97F4A7C15L + dim) >>> 11).toDouble /
       (1L << 53).toDouble) * 2.0 - 1.0
 
-  final def tokenize(text: String): Array[String] =
-    text.trim.split("\\s+")
+  @inline final def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Spark-semantics tokenization — `split(trim(s), "\s+")` with
+    * Spark's SPACE-only trim and kept empty leading/trailing segments —
+    * the ONE token definition shared by the MinHash/SimHash signature
+    * kernels and the exact shingle-set verify kernels: the estimate and
+    * the exact metric must measure the same shingle space (Java's
+    * `String.trim` strips every control char <= 0x20 and silently
+    * diverged on leading/trailing tabs or newlines, biasing
+    * near-threshold candidate recall). */
+  final def tokenize(text: String): Array[String] = {
+    var a = 0
+    var b = text.length
+    while (a < b && text.charAt(a) == ' ') a += 1
+    while (b > a && text.charAt(b - 1) == ' ') b -= 1
+    val s = text.substring(a, b)
+    if (s.isEmpty) Array("")
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        val c = s.charAt(i)
+        if (isAsciiWs(c)) {
+          out += sb.toString; sb.setLength(0)
+          while (i + 1 < n && isAsciiWs(s.charAt(i + 1))) i += 1
+        } else sb.append(c)
+        i += 1
+      }
+      out += sb.toString
+      out.toArray
+    }
+  }
 }
 
 /** Static kernels shared by interpreted eval and generated code —
@@ -91,6 +124,17 @@ object Kernels {
     case 3 => a.getInt(i).toDouble
     case 4 => a.getShort(i).toDouble
     case _ => a.getByte(i).toDouble
+  }
+
+  /** True when any of the first `n` slots is NULL. Array schemas almost
+    * always infer containsNull=true even when no row carries one, so
+    * the type check cannot refuse them — every vector kernel instead
+    * returns NULL for an array with a null slot (reading it as 0 would
+    * silently corrupt the result). */
+  @inline private def anyNull(a: ArrayData, n: Int): Boolean = {
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
   }
 
   def minhashSig(input: UTF8String, shingleLen: Int, numHashes: Int): ArrayData = {
@@ -142,6 +186,7 @@ object Kernels {
   def agree(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = x.numElements()
     if (n != y.numElements()) return null
+    if (anyNull(x, n) || anyNull(y, n)) return null
     if (n == 0) return java.lang.Double.valueOf(0.0)
     var eq = 0
     var i = 0
@@ -152,7 +197,12 @@ object Kernels {
   /** null (boxed) when either vector has zero norm — NaN would sort
     * ABOVE every value in a descending top-k window. */
   def cosine(x: ArrayData, y: ArrayData, cx: Int, cy: Int): java.lang.Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched dimensions (embeddings from different encoders joined
+    // by id) would yield a plausible-but-wrong prefix-only similarity —
+    // NULL instead, the same stance agree() documents
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    if (anyNull(x, n) || anyNull(y, n)) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -172,6 +222,14 @@ object Kernels {
     * engine replaying the same IEEE ops gets identical argmins. */
   def pqEncode(v: ArrayData, code: Int, cb: Array[Double], m: Int, k: Int): ArrayData = {
     val dim = v.numElements()
+    require(m >= 1 && k >= 1, s"graft_pq_encode needs m >= 1 and k >= 1, got m=$m k=$k")
+    require(dim % m == 0,
+      s"graft_pq_encode: vector dim $dim is not divisible by m=$m subspaces")
+    require(cb.length == k * dim,
+      s"graft_pq_encode: codebook has ${cb.length} values, expected k*dim = ${k * dim} " +
+        "(a vector dimension differing from the codebook's training dim would " +
+        "index it with the wrong stride)")
+    if (anyNull(v, dim)) return null
     val sub = dim / m
     val codes = new Array[Int](m)
     var mi = 0
@@ -201,13 +259,25 @@ object Kernels {
     * query vector and a PQ-coded candidate reconstructed from the
     * codebook — the scoring kernel of PQ search, one pass over the
     * query's dimensions. */
-  def pqAdc(q: ArrayData, codes: ArrayData, cq: Int, cb: Array[Double], m: Int, k: Int): Double = {
+  def pqAdc(q: ArrayData, codes: ArrayData, cq: Int, cb: Array[Double],
+      m: Int, k: Int): java.lang.Double = {
     val dim = q.numElements()
+    require(m >= 1 && k >= 1, s"graft_pq_adc needs m >= 1 and k >= 1, got m=$m k=$k")
+    require(dim % m == 0,
+      s"graft_pq_adc: query dim $dim is not divisible by m=$m subspaces")
+    require(cb.length == k * dim,
+      s"graft_pq_adc: codebook has ${cb.length} values, expected k*dim = ${k * dim}")
+    require(codes.numElements() == m,
+      s"graft_pq_adc: code array has ${codes.numElements()} codes, expected m=$m")
+    if (anyNull(q, dim) || anyNull(codes, m)) return null
     val sub = dim / m
     var total = 0.0
     var mi = 0
     while (mi < m) {
-      val base = (mi * k + codes.getInt(mi)) * sub
+      val ki = codes.getInt(mi)
+      require(ki >= 0 && ki < k,
+        s"graft_pq_adc: code $ki at subspace $mi is outside [0, $k)")
+      val base = (mi * k + ki) * sub
       var j = 0
       while (j < sub) {
         val diff = read(q, mi * sub + j, cq) - cb(base + j)
@@ -216,7 +286,7 @@ object Kernels {
       }
       mi += 1
     }
-    total
+    java.lang.Double.valueOf(total)
   }
 
   /** Marker-word tables for the fused text-metrics kernel — MUST stay in
@@ -228,8 +298,7 @@ object Kernels {
     Array("le", "la", "et", "les", "une", "est"),
     Array("el", "los", "una", "por", "las", "este"))
 
-  @inline private def isAsciiWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  @inline private def isAsciiWs(c: Char): Boolean = Hashing.isAsciiWs(c)
 
   @inline private def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
@@ -353,30 +422,7 @@ object Kernels {
     * split keeps empty leading/trailing segments (limit −1) — the exact
     * token list the column-level `Dedup.shingleSet` and the DuckDB
     * oracle (`trim` + `regexp_split_to_array`) produce. */
-  private def sparkTokens(s0: String): Array[String] = {
-    var a = 0
-    var b = s0.length
-    while (a < b && s0.charAt(a) == ' ') a += 1
-    while (b > a && s0.charAt(b - 1) == ' ') b -= 1
-    val s = s0.substring(a, b)
-    if (s.isEmpty) Array("")
-    else {
-      val out = scala.collection.mutable.ArrayBuffer[String]()
-      val sb = new java.lang.StringBuilder
-      var i = 0
-      var n = s.length
-      while (i < n) {
-        val c = s.charAt(i)
-        if (isAsciiWs(c)) {
-          out += sb.toString; sb.setLength(0)
-          while (i + 1 < n && isAsciiWs(s.charAt(i + 1))) i += 1
-        } else sb.append(c)
-        i += 1
-      }
-      out += sb.toString
-      out.toArray
-    }
-  }
+  private def sparkTokens(s0: String): Array[String] = Hashing.tokenize(s0)
 
   private def shingleStrings(s: String, n: Int): java.util.HashSet[String] = {
     val toks = sparkTokens(s)
@@ -678,6 +724,7 @@ object Kernels {
     * that dominated the query. */
   def vecUnitCsv(v: ArrayData, code: Int): InternalRow = {
     val n = v.numElements()
+    if (anyNull(v, n)) return null
     var ss = 0.0
     var i = 0
     while (i < n) { val x = read(v, i, code); ss += x * x; i += 1 }
@@ -699,6 +746,7 @@ object Kernels {
     * zero vectors). */
   def vecQuant8Csv(v: ArrayData, code: Int): InternalRow = {
     val n = v.numElements()
+    if (anyNull(v, n)) return null
     var mx = 0.0
     var i = 0
     while (i < n) {
@@ -720,8 +768,9 @@ object Kernels {
     InternalRow(UTF8String.fromString(sb.toString), scale)
   }
 
-  def lshBucket(v: ArrayData, planes: Int, code: Int): Long = {
+  def lshBucket(v: ArrayData, planes: Int, code: Int): java.lang.Long = {
     val n = v.numElements()
+    if (anyNull(v, n)) return null
     var bucket = 0L
     var p = 0
     while (p < planes) {
@@ -731,7 +780,7 @@ object Kernels {
       if (proj >= 0) bucket |= (1L << p)
       p += 1
     }
-    bucket
+    java.lang.Long.valueOf(bucket)
   }
 }
 
@@ -745,7 +794,14 @@ case class ShingleMinHashSig(child: Expression, shingleLen: Int, numHashes: Int)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    // plan-time constants validated at analysis (the NgramTop
+    // rationale): shingleLen < 1 AIOOBEs in the kernel loop, a
+    // negative numHashes throws NegativeArraySizeException
+    if (shingleLen < 1 || numHashes < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs shingleLen >= 1 and numHashes >= 1, " +
+          s"got $shingleLen / $numHashes")
+    else if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
@@ -869,7 +925,9 @@ case class ShingleJaccard(left: Expression, right: Expression, shingleLen: Int)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
+    if (shingleLen < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs shingleLen >= 1, got $shingleLen")
+    else (left.dataType, right.dataType) match {
       case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got $l / $r")
     }
@@ -897,7 +955,9 @@ case class ShingleContainment(left: Expression, right: Expression, shingleLen: I
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
+    if (shingleLen < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs shingleLen >= 1, got $shingleLen")
+    else (left.dataType, right.dataType) match {
       case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got $l / $r")
     }
@@ -938,11 +998,23 @@ case class VecUnitMicroCsv(child: Expression) extends UnaryExpression {
     StructField("unit_vec_micro", StringType),
     StructField("l2_norm", DoubleType, nullable = false)))
   override def prettyName: String = "graft_vec_unit_csv"
+  override def nullable: Boolean = true
   @transient private lazy val code = Kernels.elemCode(child.dataType)
   override protected def nullSafeEval(input: Any): Any =
     Kernels.vecUnitCsv(input.asInstanceOf[ArrayData], code)
+  // null result (null slot in the vector) → SQL NULL
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.vecUnitCsv($c, $code)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("unitCsv")
+      s"""
+         |InternalRow $res = graft.expressions.Kernels.vecUnitCsv($c, $code);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res;
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -958,11 +1030,23 @@ case class VecQuant8Csv(child: Expression) extends UnaryExpression {
     StructField("q8_csv", StringType, nullable = false),
     StructField("scale", DoubleType)))
   override def prettyName: String = "graft_vec_q8_csv"
+  override def nullable: Boolean = true
   @transient private lazy val code = Kernels.elemCode(child.dataType)
   override protected def nullSafeEval(input: Any): Any =
     Kernels.vecQuant8Csv(input.asInstanceOf[ArrayData], code)
+  // null result (null slot in the vector) → SQL NULL
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.vecQuant8Csv($c, $code)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("q8Csv")
+      s"""
+         |InternalRow $res = graft.expressions.Kernels.vecQuant8Csv($c, $code);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res;
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -981,16 +1065,29 @@ case class PqEncode(child: Expression, codebook: Seq[Double], m: Int, k: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_pq_encode"
 
+  override def nullable: Boolean = true
+
   @transient private lazy val code = Kernels.elemCode(child.dataType)
   @transient private lazy val cbArr: Array[Double] = codebook.toArray
 
   override protected def nullSafeEval(input: Any): Any =
     Kernels.pqEncode(input.asInstanceOf[ArrayData], code, cbArr, m, k)
 
+  // null result (null slot in the vector) → SQL NULL, CosineSim pattern
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.expressions.Kernels.pqEncode($c, $code, $cbRef, $m, $k)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("pqCodes")
+      s"""
+         |ArrayData $res =
+         |  graft.expressions.Kernels.pqEncode($c, $code, $cbRef, $m, $k);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res;
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -1014,6 +1111,8 @@ case class PqAdc(left: Expression, right: Expression,
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_pq_adc"
 
+  override def nullable: Boolean = true
+
   @transient private lazy val cq = Kernels.elemCode(left.dataType)
   @transient private lazy val cbArr: Array[Double] = codebook.toArray
 
@@ -1021,10 +1120,21 @@ case class PqAdc(left: Expression, right: Expression,
     Kernels.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       cq, cbArr, m, k)
 
+  // boxed-null → SQL NULL (null slot in either array), CosineSim pattern
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.expressions.Kernels.pqAdc($a, $b, $cq, $cbRef, $m, $k)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("adc")
+      s"""
+         |java.lang.Double $boxed =
+         |  graft.expressions.Kernels.pqAdc($a, $b, $cq, $cbRef, $m, $k);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.doubleValue();
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -1039,7 +1149,12 @@ case class ShingleSetExpr(child: Expression, shingleLen: Int)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    // shingleLen is a plan-time constant: validate at analysis — a value
+    // < 1 would throw an opaque AIOOBE inside executor tasks (the
+    // NgramTop rationale, applied uniformly)
+    if (shingleLen < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs shingleLen >= 1, got ${shingleLen}")
+    else if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingle_set"
@@ -1061,7 +1176,12 @@ case class ShingleSetExpr(child: Expression, shingleLen: Int)
 case class NgramListExpr(child: Expression, n: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    // n is a plan-time constant: validate at analysis — a value
+    // < 1 would throw an opaque AIOOBE inside executor tasks (the
+    // NgramTop rationale, applied uniformly)
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs n >= 1, got ${n}")
+    else if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_ngram_list"
@@ -1082,7 +1202,12 @@ case class NgramListExpr(child: Expression, n: Int) extends UnaryExpression {
 case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    // n is a plan-time constant: validate at analysis — a value
+    // < 1 would throw an opaque AIOOBE inside executor tasks (the
+    // NgramTop rationale, applied uniformly)
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs n >= 1, got ${n}")
+    else if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
   override def dataType: DataType = StructType(Seq(
     StructField("n_grams", LongType, nullable = false),
@@ -1106,7 +1231,12 @@ case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
 case class DupNgramCov(child: Expression, n: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    // n is a plan-time constant: validate at analysis — a value
+    // < 1 would throw an opaque AIOOBE inside executor tasks (the
+    // NgramTop rationale, applied uniformly)
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs n >= 1, got ${n}")
+    else if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
@@ -1189,20 +1319,40 @@ case class HyperplaneLshBucket(child: Expression, planes: Int)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Kernels.supportsElem(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    // planes is a plan-time constant: validate HERE — planes > 64 would
+    // alias bits through the JVM's shift-mod-64 (plane 64 ORs into
+    // plane 0's bit, silently corrupting bucket assignments), and
+    // planes < 1 would bucket everything together
+    if (planes < 1 || planes > 64)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs planes in [1, 64], got $planes")
+    else if (Kernels.supportsElem(child.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs a fixed-width numeric array, got ${child.dataType}")
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_bucket"
+
+  override def nullable: Boolean = true
 
   @transient private lazy val code = Kernels.elemCode(child.dataType)
 
   override protected def nullSafeEval(input: Any): Any =
     Kernels.lshBucket(input.asInstanceOf[ArrayData], planes, code)
 
+  // boxed-null → SQL NULL (array with a null slot), CosineSim pattern
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.expressions.Kernels.lshBucket($c, $planes, $code)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("bucket")
+      s"""
+         |java.lang.Long $boxed =
+         |  graft.expressions.Kernels.lshBucket($c, $planes, $code);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -1371,7 +1521,14 @@ object GraftExpressions {
     "graft_vec_unit_csv" -> (es => VecUnitMicroCsv(es.head)),
     "graft_vec_q8_csv"   -> (es => VecQuant8Csv(es.head)),
     "graft_pq_encode"    -> (es => PqEncode(es.head, dlits(es(1)), lit(es(2)), lit(es(3)))),
-    "graft_bpe_apply"    -> (es => BpeApply(es.head, lits(es(1)).zip(lits(es(2))))),
+    "graft_bpe_apply"    -> (es => {
+      val l = lits(es(1)); val r = lits(es(2))
+      require(l.length == r.length,
+        s"graft_bpe_apply: left/right merge arrays differ in length " +
+          s"(${l.length} vs ${r.length}) — a silent zip-truncation would " +
+          "drop merges and tokenize wrongly")
+      BpeApply(es.head, l.zip(r))
+    }),
     "graft_unigram_segment" -> (es =>
       UnigramSegment(es.head, lits(es(1)), dlits(es(2)))),
     "graft_pq_adc"       -> (es => PqAdc(es.head, es(1), dlits(es(2)), lit(es(3)), lit(es(4)))),
@@ -1389,6 +1546,12 @@ object GraftExpressions {
     "graft_xpath_struct" -> (es => {
       val names = lits(es(1)); val paths = lits(es(2))
       val prefixes = lits(es(3)); val uris = lits(es(4))
+      require(names.length == paths.length,
+        s"graft_xpath_struct: ${names.length} field names vs " +
+          s"${paths.length} paths — a silent zip-truncation would drop fields")
+      require(prefixes.length == uris.length,
+        s"graft_xpath_struct: ${prefixes.length} namespace prefixes vs " +
+          s"${uris.length} uris — unresolved prefixes would fail every row")
       XPathStructNs(es.head, names.zip(paths), prefixes.zip(uris).toMap)
     }))
 

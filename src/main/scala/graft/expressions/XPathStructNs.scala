@@ -1,6 +1,6 @@
 package graft.expressions
 
-import java.io.ByteArrayInputStream
+import java.io.StringReader
 
 import javax.xml.XMLConstants
 import javax.xml.namespace.NamespaceContext
@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.w3c.dom.Node
+import org.xml.sax.InputSource
 
 /** Namespace-aware multi-field XPath projection: ONE secure DOM parse
   * per document, N compiled XPath evaluations → a struct of strings
@@ -42,9 +43,23 @@ case class XPathStructNs(
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs STRING, got ${child.dataType}")
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs STRING, got ${child.dataType}")
+    else {
+      // compile every path NOW: a syntactically invalid XPath should be
+      // a plannable analysis error, not a first-row executor throw from
+      // inside a ThreadLocal initializer
+      val bad = fields.collectFirst {
+        case (name, path) if scala.util.Try(
+          XPathStructNs.newXPath().compile(path)).isFailure => (name, path)
+      }
+      bad match {
+        case Some((name, path)) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: field '$name' has an invalid XPath '$path'")
+        case None => TypeCheckResult.TypeCheckSuccess
+      }
+    }
 
   override def dataType: DataType =
     StructType(fields.map { case (name, _) => StructField(name, StringType) })
@@ -66,16 +81,25 @@ case class XPathStructNs(
   /** Shared by interpreted eval and generated code. */
   def evalRow(input: UTF8String): InternalRow = {
     val (builder, compiled) = machinery.get()
+    // parse from a CHARACTER stream: the document is already a decoded
+    // Spark string, so an in-document encoding declaration must be
+    // ignored — re-encoding to UTF-8 bytes and letting the parser honor
+    // a declared ISO-8859-1 would mojibake every non-ASCII field, and a
+    // declared UTF-16 would null the whole row despite valid content
     val doc =
       try {
         builder.reset()
-        builder.parse(new ByteArrayInputStream(input.getBytes))
+        builder.parse(new InputSource(new StringReader(input.toString)))
       } catch { case _: Exception => null }
     if (doc == null) {
       InternalRow.fromSeq(Seq.fill(fields.size)(null))
     } else {
       InternalRow.fromSeq(compiled.toSeq.map { xp =>
-        val node = xp.evaluate(doc, XPathConstants.NODE).asInstanceOf[Node]
+        // a compiled path can still fail at EVALUATION (e.g. a numeric
+        // XPath asked for a NODE): null the field, never the task
+        val node =
+          try xp.evaluate(doc, XPathConstants.NODE).asInstanceOf[Node]
+          catch { case _: Exception => null }
         if (node == null) null
         else {
           val text =
@@ -128,10 +152,18 @@ private object XPathStructNs {
     (Seq[(String, String)], Map[String, String]),
     ThreadLocal[(javax.xml.parsers.DocumentBuilder, Array[XPathExpression])]]()
 
+  /** Bound the keyed cache: a long-lived session planning many DISTINCT
+    * generated projections must not pin builders + compiled XPaths for
+    * the JVM lifetime. Eviction is clear-all past the cap — crude but
+    * correct (entries lazily rebuild), and the cap is far above any
+    * static query inventory. */
+  private val MaxCachedProjections = 64
+
   def machineryFor(
       fields: Seq[(String, String)],
       namespaces: Map[String, String])
-      : ThreadLocal[(javax.xml.parsers.DocumentBuilder, Array[XPathExpression])] =
+      : ThreadLocal[(javax.xml.parsers.DocumentBuilder, Array[XPathExpression])] = {
+    if (machineryCache.size() > MaxCachedProjections) machineryCache.clear()
     machineryCache.computeIfAbsent((fields, namespaces), _ =>
       ThreadLocal.withInitial { () =>
         val ctx = new NamespaceContext {
@@ -149,4 +181,5 @@ private object XPathStructNs {
         }.toArray
         (newDocumentBuilder(), compiled)
       })
+  }
 }
