@@ -76,10 +76,21 @@ object StateOps {
     */
   def deleteIfUnmodified(state: DataFrame, processed: DataFrame): DeleteResult = {
     val cols = state.columns.toSeq
-    val p = processed.select(cols.map(col): _*)
+    // NULL-SAFE tuple match (<=>), like the JDBC twin's IS NOT DISTINCT
+    // FROM: with plain equality a header carrying any NULL column (an
+    // unparseable datestamp) could NEVER match its own processed copy —
+    // it would survive every delete and be re-drained and re-fetched
+    // forever, a poison row permanently occupying the batch
+    def nullSafeAnti(l: DataFrame, r: DataFrame): DataFrame = {
+      val la = l.alias("__l")
+      val ra = r.select(cols.map(col): _*).alias("__r")
+      la.join(ra,
+        cols.map(c => col(s"__l.$c") <=> col(s"__r.$c")).reduce(_ && _),
+        "left_anti")
+    }
     DeleteResult(
-      newState = state.join(p, cols, "left_anti"),
-      notRemoved = processed.join(state, cols, "left_anti"))
+      newState = nullSafeAnti(state, processed),
+      notRemoved = nullSafeAnti(processed, state))
   }
 
   /** D2 — retention with keep-latest exception: drop rows at or before

@@ -44,6 +44,19 @@ object DocumentFetcher {
         graft.sources.OaiPageSource.httpFetch(
           urlFor(localId), connectTimeoutMs, readTimeoutMs)
     }
+
+  /** The canonical METS dissemination fetcher for `baseUrl`
+    * (reference `MetsProcessor.java:279-283`). Use THIS, not
+    * `http(id => OaiRequestBuilder.metsUri(base, id))`: the pipeline
+    * hands the fetcher the LOCAL id, while `metsUri` expects the FULL
+    * OAI id and strips again — the composition double-strips
+    * (`qucosa:7455` → `7455`) and silently 404s every fetch. */
+  def mets(baseUrl: String, connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 30000): DocumentFetcher =
+    http(localId => {
+      val sep = if (baseUrl.contains("?")) "&" else "?"
+      s"$baseUrl${sep}pid=${java.net.URLEncoder.encode(localId, "UTF-8")}"
+    }, connectTimeoutMs, readTimeoutMs)
 }
 
 object EnrichmentPipeline {
@@ -153,7 +166,27 @@ class EnrichmentPipeline(
     * the reference holds its `List<OaiHeader>` during its minutes-long
     * fetch loop — the window in which a concurrent harvest may re-upsert
     * a drained record. */
-  def processBatch(fetch: DocumentFetcher): Option[ProcessedBatch] =
+  /** A commit failure or crash between the fetch phase and the commit
+    * leaves its `_inflight/<uuid>` parquet behind (the retry drains a
+    * fresh batch under a new id); without a sweep those leftovers
+    * accumulate under the state root forever. Swept at every drain:
+    * anything older than an hour cannot belong to a live batch —
+    * processBatch and commit run back-to-back on one thread. */
+  private val InflightStaleMillis = 60L * 60 * 1000
+
+  private def sweepStaleInflight(): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(headersTable.tableRoot, "_inflight")
+    val fs = headersTable.fileSystem
+    try if (fs.exists(dir)) {
+      val cutoff = System.currentTimeMillis() - InflightStaleMillis
+      fs.listStatus(dir).foreach { st =>
+        if (st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.IOException => () } // sweep is best-effort
+  }
+
+  def processBatch(fetch: DocumentFetcher): Option[ProcessedBatch] = {
+    sweepStaleInflight()
     readBatchWithRetry().flatMap { case (queueColumns, batchRows) =>
       if (batchRows.isEmpty) None
       else {
@@ -178,6 +211,7 @@ class EnrichmentPipeline(
         Some(ProcessedBatch(inflight, queueColumns))
       }
     }
+  }
 
   /** The bounded batch is COLLECTED (≤ batchSize rows — the reference's
     * in-memory `List<OaiHeader>`): the versioned snapshot is pinned only

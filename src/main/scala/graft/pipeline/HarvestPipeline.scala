@@ -143,16 +143,28 @@ class HarvestPipeline(
 
   /** Drain a full paginated list: iterate while the checkpoint carries a
     * resumption token (ST1 fast-drain — the reference waits only the
-    * 1-second floor between paginated requests). */
+    * 1-second floor between paginated requests).
+    *
+    * Pass `clock` to re-derive "now" PER PAGE on long drains: with the
+    * frozen drain-start default, the clock-skew check compares each
+    * page's live server responseDate against an ever-staler local time
+    * — a 1000-page drain at ~1 s/page would fire spurious skew warnings
+    * on every page past the 2-minute tolerance and stamp every
+    * checkpoint with the same timestampOfRun. The frozen default keeps
+    * short drains (and deterministic tests) exactly reproducible;
+    * backfills should pass
+    * `Some(() => new Timestamp(System.currentTimeMillis))`. */
   def runToCompletion(
       fetch: PageFetcher,
       now: Timestamp,
-      maxPages: Int = 1000): Seq[HarvestRunSummary] = {
+      maxPages: Int = 1000,
+      clock: Option[() => Timestamp] = None): Seq[HarvestRunSummary] = {
+    val pageNow = clock.getOrElse(() => now)
     val out = Seq.newBuilder[HarvestRunSummary]
     var pages = 0
     var continue = true
     while (continue && pages < maxPages) {
-      val s = runOnce(fetch, now)
+      val s = runOnce(fetch, pageNow())
       out += s
       pages += 1
       continue = s.succeeded && s.checkpoint.exists(_.hasResumptionToken)

@@ -68,8 +68,10 @@ object OaiRequestBuilder {
   def localIdentifier(oaiId: String): String =
     oaiId.substring(oaiId.indexOf(':', "oai:".length) + 1)
 
-  /** METS dissemination request for one record
-    * (reference `MetsProcessor.java:279-283`). */
+  /** METS dissemination request for one record, from the FULL OAI id
+    * (reference `MetsProcessor.java:279-283`). NOT a `DocumentFetcher`
+    * `urlFor`: the enrichment pipeline hands that function the LOCAL id
+    * and this helper strips again — use `DocumentFetcher.mets`. */
   def metsUri(baseUrl: String, oaiId: String): String = {
     val sep = if (baseUrl.contains("?")) "&" else "?"
     s"$baseUrl${sep}pid=${enc(localIdentifier(oaiId))}"

@@ -5,6 +5,7 @@ import java.util.concurrent.CountDownLatch
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.model.OaiRunResult
 import graft.streaming.OffsetStateMachine
 
 /** The deployment wiring (reference `ReportingManager.java:51-125`): two
@@ -65,15 +66,33 @@ class ReportingRunner(
 
   private val MinWaitMs = 1000L // reference OaiHarvesterBuilder.java:33
 
+  // The wait policy's checkpoint, cached across cycles: runOnce already
+  // returns the checkpoint it appended, so re-reading the runs table
+  // every ~1 s cycle (two identical top-1 jobs per poll) is pure waste.
+  // Touched only by the harvest loop thread (and direct spec calls).
+  private var cachedLastRun: Option[OaiRunResult] = None
+  private var lastRunLoaded = false
+
   /** One harvest wait+poll cycle; returns the wait that was applied. */
   def harvestIteration(): Long = {
-    val last = Option(harvest.lastRun()).filter(_.id > 0L)
-    val wait = OffsetStateMachine.waitMillis(last, lastHarvestFailed,
+    if (!lastRunLoaded) {
+      cachedLastRun = Option(harvest.lastRun()).filter(_.id > 0L)
+      lastRunLoaded = true
+    }
+    val wait = OffsetStateMachine.waitMillis(cachedLastRun, lastHarvestFailed,
       clock(), config.oaiPollSeconds * 1000L, MinWaitMs)
     if (running && wait > 0) sleeper(wait)
     if (running) {
-      val summary = harvest.runOnce(pageFetcher, new Timestamp(clock()))
+      // a THROW from runOnce (state-table conflict, FS error) must count
+      // as a failed run for the next cycle's wait policy — otherwise the
+      // loop's catch sleeps only the 1 s floor and waitMillis (computed
+      // from the stale checkpoint) re-polls immediately: a hot retry
+      // loop hammering the OAI endpoint for as long as the fault lasts
+      val summary =
+        try harvest.runOnce(pageFetcher, new Timestamp(clock()))
+        catch { case e: Throwable => lastHarvestFailed = true; throw e }
       lastHarvestFailed = !summary.succeeded
+      summary.checkpoint.foreach(cp => cachedLastRun = Some(cp))
     }
     wait
   }

@@ -590,8 +590,10 @@ object ReferenceQueries {
         |    CASE WHEN event_id % 10 = 0 THEN ts + INTERVAL 1 HOUR ELSE ts END AS ts,
         |    user_id, event_type, value, props
         |   FROM events WHERE value >= 100) p
-        | WHERE p.event_id = e.event_id AND p.ts = e.ts AND p.user_id = e.user_id
-        |  AND p.event_type = e.event_type AND p.value = e.value AND p.props = e.props)
+        | WHERE p.event_id IS NOT DISTINCT FROM e.event_id AND p.ts IS NOT DISTINCT FROM e.ts
+        |  AND p.user_id IS NOT DISTINCT FROM e.user_id
+        |  AND p.event_type IS NOT DISTINCT FROM e.event_type
+        |  AND p.value IS NOT DISTINCT FROM e.value AND p.props IS NOT DISTINCT FROM e.props)
         |ORDER BY event_id""".stripMargin,
 
     "d1_survivors" ->

@@ -31,8 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Options:
   *   - `url` (required): OAI endpoint base URL
-  *   - `metadataPrefix` (default `oai_dc`), `from` (optional),
-  *     `fc3` (default true) — request building per `OaiRequestBuilder`
+  *   - `metadataPrefix` (default `oai_dc`), `from` (optional; passed
+  *     through verbatim — format it per the server's grammar, e.g. with
+  *     `OaiRequestBuilder`'s FC3 dual format)
   *   - `maxPages` (batch, default 100), `maxPagesPerTrigger` (streaming,
   *     default 10)
   *   - `fetcher`: name of a transport registered via
@@ -96,6 +97,11 @@ object OaiPageSource {
             }
           } finally http.disconnect()
         case conn =>
+          // same timeout discipline as the HTTP branch: a hung stream
+          // (stale NFS file: mount) must not wedge the DRIVER forever —
+          // the chain walks inside planInputPartitions/latestOffset
+          conn.setConnectTimeout(connectTimeoutMs)
+          conn.setReadTimeout(readTimeoutMs)
           val in = conn.getInputStream
           try Some(new String(in.readAllBytes(), "UTF-8"))
           finally in.close()
@@ -149,6 +155,22 @@ object OaiPageSource {
                 "truncated page set")
           case None => done = true // streaming: stop here, retry next trigger
           case Some(xml) =>
+            // An OAI-level error page (HTTP 200, <error code=...>) ends
+            // the chain (it never carries a token). MID-chain that means
+            // the token expired or the server lost the cursor — in batch
+            // mode that is the same silent truncation the transport
+            // branch above refuses: fewer pages than the harvest has,
+            // indistinguishable from completion. A FIRST-page error
+            // (noRecordsMatch on an empty selection) is a legitimate
+            // one-page result and flows through for the consumer's
+            // error policy (P3) to project.
+            val errCode = errorCode(xml)
+            if (failOnFetchError && n > 0 && errCode.isDefined)
+              throw new java.io.IOException(
+                s"oai-pages: OAI error '${errCode.get}' at $uri after $n " +
+                  "successful page(s) — the resumption chain broke " +
+                  "mid-harvest; failing the batch read rather than " +
+                  "returning a silently truncated page set")
             out += ((uri, xml))
             n += 1
             cur = ChainState(firstRequest = false, token = extractToken(xml))
@@ -161,11 +183,36 @@ object OaiPageSource {
   /** Resumption token of a page (trimmed); None when absent or empty —
     * either way the chain ends (P2's tri-state matters for checkpoint
     * semantics, not for pagination). */
-  private[sources] def extractToken(xml: String): Option[String] = {
+  private[graft] def extractToken(xml: String): Option[String] = {
     val m = "<resumptionToken[^>]*>([\\s\\S]*?)</resumptionToken>".r
       .findFirstMatchIn(xml)
-    m.map(_.group(1).trim).filter(_.nonEmpty)
+    // UNESCAPE before reuse: the token is XML text content, so a server
+    // token like 'offset=100&set=x' arrives as 'offset=100&amp;set=x' —
+    // resending the escaped form corrupts the next request and the
+    // server answers badResumptionToken (the from_xml pipeline path
+    // unescapes automatically; this regex path must match it)
+    m.map(t => xmlUnescape(t.group(1).trim)).filter(_.nonEmpty)
   }
+
+  /** The five predefined XML entities plus numeric character
+    * references — everything a well-formed document can escape in text
+    * content without a DTD. */
+  private[graft] def xmlUnescape(s: String): String = {
+    val numeric = "&#(x?)([0-9a-fA-F]+);".r
+    val named = numeric.replaceAllIn(s, m => {
+      val cp = Integer.parseInt(m.group(2), if (m.group(1).isEmpty) 10 else 16)
+      java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
+    })
+    named
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'")
+      .replace("&amp;", "&") // LAST: &amp;lt; must yield &lt;, not <
+  }
+
+  /** OAI protocol error code of a page, when the page is an error
+    * response (`<error code="...">`). */
+  private[graft] def errorCode(xml: String): Option[String] =
+    "<error[^>]*\\scode=\"([^\"]+)\"".r.findFirstMatchIn(xml).map(_.group(1))
 }
 
 private[sources] case class ChainState(firstRequest: Boolean, token: Option[String])

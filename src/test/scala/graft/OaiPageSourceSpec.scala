@@ -98,4 +98,47 @@ class OaiPageSourceSpec extends SparkSpec {
     assert(chain(ex).exists(_.getMessage != null) &&
       chain(ex).exists(t => Option(t.getMessage).exists(_.contains("transport failure"))))
   }
+
+  test("resumption tokens are XML-unescaped before reuse") {
+    // a server token containing '&' is serialized as '&amp;' in the page
+    // body; resending the escaped form corrupts the next request
+    val xml = """<OAI-PMH><ListIdentifiers>
+      |<resumptionToken>offset=100&amp;set=a&lt;b&#65;</resumptionToken>
+      |</ListIdentifiers></OAI-PMH>""".stripMargin
+    assert(OaiPageSource.extractToken(xml) == Some("offset=100&set=a<bA"))
+    // &amp;lt; must decode to the literal text '&lt;', not '<'
+    assert(OaiPageSource.xmlUnescape("a&amp;lt;b") == "a&lt;b")
+    assert(OaiPageSource.extractToken(
+      "<x><resumptionToken/></x>") == None)
+  }
+
+  test("mid-chain OAI error page FAILS the batch read; a first-page error flows through") {
+    // token expiry mid-harvest answers HTTP 200 with an <error> page —
+    // the same silent truncation as a transport failure
+    val errPage = """<OAI-PMH><error code="badResumptionToken">expired</error></OAI-PMH>"""
+    OaiPageSource.registerFetcher("spec-err-mid",
+      uri => if (uri.contains("resumptionToken")) Some(errPage)
+        else Some(fixture("/oai/resumptionToken.xml")))
+    val ex = intercept[Exception] {
+      spark.read.format("oai-pages")
+        .option("url", "http://h/oai")
+        .option("fetcher", "spec-err-mid")
+        .load().collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      Option(t.getMessage).exists(_.contains("badResumptionToken"))))
+
+    // a FIRST-page error (noRecordsMatch on an empty selection) is a
+    // legitimate one-page result for the consumer's error policy
+    OaiPageSource.registerFetcher("spec-err-first", _ => Some(
+      """<OAI-PMH><error code="noRecordsMatch"/></OAI-PMH>"""))
+    val rows = spark.read.format("oai-pages")
+      .option("url", "http://h/oai")
+      .option("fetcher", "spec-err-first")
+      .load().collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(2).contains("noRecordsMatch"))
+  }
 }

@@ -102,4 +102,25 @@ class StateOpsSpec extends SparkSpec {
     val df = Tables.orders(spark, sf0001)
     assert(StateOps.limitBatch(df, 100).count() == 100)
   }
+
+  test("D1 tuple match is NULL-safe: a row with a NULL column still deletes against its own copy") {
+    val s2 = spark
+    import s2.implicits._
+    // a header whose datestamp failed parsing carries NULL — with plain
+    // equality it could never match its processed copy and would be
+    // re-drained forever (the JDBC twin already uses IS NOT DISTINCT
+    // FROM; the DataFrame path must agree)
+    val state = Seq(("a", Some(1L), "x"), ("b", None, "y"), ("c", Some(3L), "z"))
+      .toDF("k", "seq", "v")
+    val processed = Seq(("b", None: Option[Long], "y"), ("c", Some(3L), "z"))
+      .toDF("k", "seq", "v")
+    val r = StateOps.deleteIfUnmodified(state, processed)
+    assert(r.newState.select("k").collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(r.notRemoved.count() == 0L)
+    // and a MODIFIED null-carrying row still survives (late-update guard)
+    val late = StateOps.deleteIfUnmodified(state,
+      Seq(("b", None: Option[Long], "CHANGED")).toDF("k", "seq", "v"))
+    assert(late.newState.count() == 3L)
+    assert(late.notRemoved.count() == 1L)
+  }
 }
