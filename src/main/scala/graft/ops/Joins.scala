@@ -45,7 +45,13 @@ object Joins {
       key: String,
       ts: String): DataFrame = {
     val payloadCols = right.columns.filterNot(c => c == key).toSeq
+    // a right row with a null ts (or key) can never satisfy the asof
+    // predicate r.ts <= l.ts — but null ts sorts FIRST in the window,
+    // so its payload would be carried to every left row as a phantom
+    // "prior" match (and null keys would co-partition and match each
+    // other, unlike equi-join semantics); drop them from the right side
     val rTagged = right
+      .filter(col(ts).isNotNull && col(key).isNotNull)
       .select(col(key), col(ts),
         struct(payloadCols.map(col): _*).as("__asof_payload"))
       .withColumn("__side", lit(0))

@@ -206,7 +206,12 @@ object Learn {
     val pred = classes.zip(zs).foldRight(lit(classes.last): Column) {
       case ((cls, z), rest) => when(z === best, cls).otherwise(rest)
     }
-    df.withColumn(outputCol, pred)
+    // a row with ANY null feature has every z null and every when()
+    // false — the foldRight base would confidently label it the LAST
+    // class; predict null instead, like the training path excludes
+    // incomplete rows
+    val complete = featureCols.map(col(_).isNotNull).reduce(_ && _)
+    df.withColumn(outputCol, when(complete, pred))
   }
 
   /** Mean log-loss of the model on the frame — the convergence metric

@@ -29,8 +29,14 @@ object Profile {
           distinctAgg(c).as(s"__nd_$c")))
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot via stack: (column, n_rows, n_nonnull, n_distinct)
-    val stackArgs = cols.map(c =>
-      s"'$c', __nn_$c, __nd_$c").mkString(", ")
+    // names go through generated SQL: escape quotes in the literal and
+    // backtick-quote the aliased refs, or a column named "word count"
+    // (or one containing a quote) breaks the expr() parse
+    val stackArgs = cols.map { c =>
+      val litName = c.replace("'", "''")
+      val ref = c.replace("`", "``")
+      s"'$litName', `__nn_$ref`, `__nd_$ref`"
+    }.mkString(", ")
     wide.select(
       expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_nonnull, n_distinct)"),
       col("__n").as("n_rows"))
@@ -51,7 +57,9 @@ object Profile {
   def keySkew(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("n"))
-    val total = df.agg(count(lit(1)).as("__total"))
+    // total from the (tiny) per-key counts — a df.agg(count) would
+    // re-scan the full input a second time just for one scalar
+    val total = counts.agg(sum(col("n")).as("__total"))
     counts.crossJoin(broadcast(total))
       .select(col("key"), col("n"),
         round(col("n") / col("__total"), 6).as("share"))
@@ -99,13 +107,24 @@ object Profile {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
+    // an EMPTY slice (no non-null values — e.g. "the new day has no
+    // data", maximal drift) would make its total 0 and every cdf NaN;
+    // NaN comparisons are false, so a gate thresholding max(ks_gap)
+    // would silently PASS the degenerate case. Define the empty side's
+    // cdf as 0 instead: ks_gap becomes the other side's cdf (→ 1 at the
+    // top bin) and the gate alarms.
+    def cdf(c: String) = when(sum(col(c)).over(tot) === 0L, lit(0.0))
+      .otherwise(sum(col(c)).over(w) / sum(col(c)).over(tot))
     joined
-      .withColumn("cdf_a", sum(col("n_a")).over(w) / sum(col("n_a")).over(tot))
-      .withColumn("cdf_b", sum(col("n_b")).over(w) / sum(col("n_b")).over(tot))
+      .withColumn("cdf_a", cdf("n_a"))
+      .withColumn("cdf_b", cdf("n_b"))
       .withColumn("ks_gap", round(abs(col("cdf_a") - col("cdf_b")), 6))
       .withColumn("psi_term",
-        round(psiTerm(col("n_a") / sum(col("n_a")).over(tot),
-          col("n_b") / sum(col("n_b")).over(tot)), 6))
+        round(psiTerm(
+          when(sum(col("n_a")).over(tot) === 0L, lit(0.0))
+            .otherwise(col("n_a") / sum(col("n_a")).over(tot)),
+          when(sum(col("n_b")).over(tot) === 0L, lit(0.0))
+            .otherwise(col("n_b") / sum(col("n_b")).over(tot))), 6))
       .select(col("bin"), col("n_a"), col("n_b"),
         round(col("cdf_a"), 6).as("cdf_a"),
         round(col("cdf_b"), 6).as("cdf_b"),

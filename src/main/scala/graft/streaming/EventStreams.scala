@@ -22,6 +22,15 @@ case class Session(user_id: Long, session_start: Timestamp,
     session_end: Timestamp, n_events: Long, value_sum: Double,
     closed: Boolean)
 
+/** Keyed sessionization state: the OPEN session plus gap-split older
+  * sessions that are NOT yet final — an event is still legal (above
+  * watermark) that could merge or bridge them, so emitting at split
+  * time would append a session the event-time truth later contradicts
+  * (Append mode cannot retract). A pending session becomes final — and
+  * only then emits — once the watermark passes its end + gap. */
+private[streaming] case class SessionAcc(
+    open: Option[SessionState], pending: List[SessionState])
+
 private[streaming] case class SessionState(
     start: Long, end: Long, n: Long, total: Double)
 
@@ -308,6 +317,7 @@ object EventStreams {
       GroupStateTimeout.EventTimeTimeout()
     }
     events
+      .filter(_.ts != null) // a poisoned null-ts record must not kill the query
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, StageTransition](
         OutputMode.Append(), timeoutConf) {
@@ -344,41 +354,72 @@ object EventStreams {
     import spark.implicits._
     val gapMs = gapSeconds * 1000L
 
+    def toSession(userId: Long, s: SessionState): Session =
+      Session(userId, new Timestamp(s.start), new Timestamp(s.end),
+        s.n, s.total, closed = true)
+
+    // merge a start-sorted session list: adjacent sessions chain when
+    // the gap between them closed (an out-of-order event bridged them)
+    def mergeChain(all: List[SessionState]): List[SessionState] =
+      all.sortBy(_.start).foldLeft(List.empty[SessionState]) { (acc, x) =>
+        acc match {
+          case h :: t if x.start - h.end <= gapMs =>
+            h.copy(start = math.min(h.start, x.start),
+              end = math.max(h.end, x.end),
+              n = h.n + x.n, total = h.total + x.total) :: t
+          case _ => x :: acc
+        }
+      }.reverse
+
     events
+      .filter(_.ts != null) // a null event time has no session position
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionAcc, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionAcc]) =>
           if (state.hasTimedOut) {
-            // Watermark passed end+gap: the open session is closed.
-            val s = state.get
+            // Watermark passed the open session's end+gap — and pending
+            // sessions end earlier still, so everything is final.
+            val acc = state.get
             state.remove()
-            Iterator.single(Session(userId, new Timestamp(s.start),
-              new Timestamp(s.end), s.n, s.total, closed = true))
+            (acc.pending ++ acc.open.toList).sortBy(_.start)
+              .iterator.map(toSession(userId, _))
           } else {
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closedSessions = List.empty[Session]
-            var cur = state.getOption
+            val acc = state.getOption.getOrElse(SessionAcc(None, Nil))
+            var open = acc.open
+            var pending = acc.pending
             sorted.foreach { e =>
               val t = e.ts.getTime
-              cur match {
+              open match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                  // min(start, t): a late-but-legal event EARLIER than
+                  // the session start still belongs to it
+                  open = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1,
                     total = s.total + e.value))
                 case Some(s) =>
-                  closedSessions ::= Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.end), s.n, s.total, closed = true)
-                  cur = Some(SessionState(t, t, 1L, e.value))
+                  // gap split: the older session is a CANDIDATE close
+                  // only — defer emission until the watermark proves no
+                  // legal event can still merge or bridge it
+                  pending ::= s
+                  open = Some(SessionState(t, t, 1L, e.value))
                 case None =>
-                  cur = Some(SessionState(t, t, 1L, e.value))
+                  open = Some(SessionState(t, t, 1L, e.value))
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+            // out-of-order events may have closed gaps between sessions
+            val merged = mergeChain(pending ++ open.toList)
+            val wm = state.getCurrentWatermarkMs()
+            val (fin, live) = merged.partition(_.end + gapMs <= wm)
+            live match {
+              case Nil => state.remove()
+              case ls =>
+                state.update(SessionAcc(Some(ls.last), ls.dropRight(1)))
+                state.setTimeoutTimestamp(ls.last.end + gapMs)
             }
-            closedSessions.reverseIterator
+            fin.iterator.map(toSession(userId, _))
           }
       }
   }

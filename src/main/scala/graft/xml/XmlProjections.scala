@@ -37,7 +37,9 @@ object XmlProjections {
     // fragment. The lookahead pins the element name exactly.
     val frag = explode(
       call_function("regexp_extract_all", xmlCol,
-        lit("<header(?=[\\s/>])[^>]*/>|<header(?=[\\s>])[\\s\\S]*?</header>"),
+        // attribute values may legally contain '>' — consume quoted
+        // runs atomically so a '>' inside quotes cannot end the tag
+        lit("<header(?=[\\s/>])(?:\"[^\"]*\"|'[^']*'|[^>])*/>|<header(?=[\\s>])[\\s\\S]*?</header>"),
         lit(0)))
     // One from_xml parse per fragment (vs 4 xpath parses): the header
     // struct is materialized in its own projection and field-projected.
@@ -84,7 +86,7 @@ object XmlProjections {
       StructField("_expirationDate", StringType)))
     // Self-closing branch FIRST (same pitfall as the P1 fragment regex)
     val frags = call_function("regexp_extract_all", xmlCol,
-      lit("<resumptionToken(?=[\\s/>])[^>]*/>|<resumptionToken(?=[\\s>])[\\s\\S]*?</resumptionToken>"),
+      lit("<resumptionToken(?=[\\s/>])(?:\"[^\"]*\"|'[^']*'|[^>])*/>|<resumptionToken(?=[\\s>])[\\s\\S]*?</resumptionToken>"),
       lit(0))
     val tokText = trimAll(col("__tok._VALUE"))
     df.withColumn("__env", from_xml(xmlCol, envSchema))
@@ -112,12 +114,25 @@ object XmlProjections {
       StructField("error", ArrayType(StructType(Seq(
         StructField("_VALUE", StringType),
         StructField("_code", StringType)))))))
+    // the OAI spec allows REPEATED error codes and map_from_arrays
+    // throws on duplicate (or null) keys under the default dedup
+    // policy — replicate the reference's Map.put last-wins instead:
+    // walk the entries REVERSED keeping each code's first (= last in
+    // document order) occurrence, after dropping code-less entries
+    val entryType = "array<struct<_VALUE:string,_code:string>>"
+    val withCode = filter(col("__e.error"), e => e.getField("_code").isNotNull)
+    val lastWins = aggregate(
+      reverse(withCode),
+      array().cast(entryType),
+      (acc, e) => when(
+        exists(acc, x => x.getField("_code") === e.getField("_code")), acc)
+        .otherwise(array_append(acc, e)))
     df.withColumn("__e", from_xml(xmlCol, errSchema))
       .withColumn("errors",
         coalesce(
           map_from_arrays(
-            transform(col("__e.error"), e => e.getField("_code")),
-            transform(col("__e.error"), e => e.getField("_VALUE"))),
+            transform(lastWins, e => e.getField("_code")),
+            transform(lastWins, e => e.getField("_VALUE"))),
           map_from_arrays(array(), array())))
       .drop("__e")
   }

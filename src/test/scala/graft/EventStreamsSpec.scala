@@ -488,4 +488,44 @@ class EventStreamsSpec extends SparkSpec {
       assert(rows(0).getAs[Long]("n_events") == 2L)
     } finally q.stop()
   }
+
+  test("streaming: a gap split is not final until the watermark passes — a legal late event re-bridges it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+    // gap 30 min, watermark 30 min
+    val q = EventStreams.sessionize(s, in.toDS(), gapSeconds = 1800L,
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("sessions3")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: events at 10:00 and 10:45 — an in-batch gap split, but
+      // the watermark is only 10:15, so the 10:00 session is NOT final:
+      // an event at 10:20 is still legal and would bridge the two
+      in.addData(ev(1, "2024-01-01 10:00:00", user = 5),
+        ev(2, "2024-01-01 10:45:00", user = 5))
+      q.processAllAvailable()
+      assert(s.sql("SELECT count(*) FROM sessions3 WHERE user_id = 5")
+        .collect().head.getLong(0) == 0L,
+        "nothing may emit while a bridging event is still legal")
+
+      // batch 2: the legal late event at 10:20 merges EVERYTHING into
+      // one event-time-true session [10:00, 10:45]
+      in.addData(ev(3, "2024-01-01 10:20:00", user = 5))
+      q.processAllAvailable()
+
+      // advance the watermark far past end+gap: the single session closes
+      in.addData(ev(8, "2024-01-01 20:00:00", user = 99))
+      q.processAllAvailable()
+      in.addData(ev(9, "2024-01-02 20:00:00", user = 99))
+      q.processAllAvailable()
+
+      val rows = s.sql("SELECT * FROM sessions3 WHERE user_id = 5").collect()
+      assert(rows.length == 1, s"expected ONE bridged session, got ${rows.length}")
+      assert(rows(0).getAs[Timestamp]("session_start") == ts("2024-01-01 10:00:00"))
+      assert(rows(0).getAs[Timestamp]("session_end") == ts("2024-01-01 10:45:00"))
+      assert(rows(0).getAs[Long]("n_events") == 3L)
+    } finally q.stop()
+  }
 }
