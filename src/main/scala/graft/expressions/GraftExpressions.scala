@@ -186,11 +186,14 @@ object Kernels {
   def agree(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = x.numElements()
     if (n != y.numElements()) return null
-    if (anyNull(x, n) || anyNull(y, n)) return null
     if (n == 0) return java.lang.Double.valueOf(0.0)
     var eq = 0
     var i = 0
-    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (x.getLong(i) == y.getLong(i)) eq += 1
+      i += 1
+    }
     java.lang.Double.valueOf(eq.toDouble / n)
   }
 
@@ -202,10 +205,13 @@ object Kernels {
     // NULL instead, the same stance agree() documents
     val n = x.numElements()
     if (n != y.numElements()) return null
-    if (anyNull(x, n) || anyNull(y, n)) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      // inline null probe: one pass, two predictable branches — a
+      // separate anyNull pre-pass measurably doubled array reads in
+      // this hottest kernel
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = read(x, i, cx); val yv = read(y, i, cy)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
@@ -770,6 +776,8 @@ object Kernels {
 
   def lshBucket(v: ArrayData, planes: Int, code: Int): java.lang.Long = {
     val n = v.numElements()
+    // one cheap bit-probe pass; the projection loops below read each
+    // element `planes` times, so this pre-pass is already amortized
     if (anyNull(v, n)) return null
     var bucket = 0L
     var p = 0

@@ -498,9 +498,10 @@ object Corpus {
     // NaN-safe BEFORE the clamp: greatest/least treat NaN as larger
     // than everything, so a NaN score (0/0 from upstream ratio
     // arithmetic — the unscoreable, typically worst documents) would
-    // clamp to 1.0 and be kept with certainty; it drops instead
-    val sc = scoreCol.cast("double")
-    val p = least(greatest(when(isnan(sc), lit(0.0)).otherwise(sc),
+    // clamp to 1.0 and be kept with certainty; it drops instead.
+    // nanvl evaluates the (possibly expensive) score expression ONCE —
+    // a when(isnan(sc)).otherwise(sc) form evaluated it twice
+    val p = least(greatest(nanvl(scoreCol.cast("double"), lit(0.0)),
       lit(0.0)), lit(1.0))
     val th = when(p >= 1.0, lit("g0000000"))
       .otherwise(format_string("%08x",
