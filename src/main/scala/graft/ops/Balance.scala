@@ -28,9 +28,33 @@ object Balance {
     val spark = df.sparkSession
     val target =
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val width = estimatedScanPartitions(df)
-      .getOrElse(df.rdd.getNumPartitions.toLong)
-    if (width < target) df.repartition(target) else df
+    // A frame that already contains an exchange (groupBy/join/window/
+    // global sort/repartition) runs at shuffle parallelism regardless of
+    // its leaf scan width — the leaf-stats estimate below measures only
+    // the scans, so small leaves would make it insert a redundant full
+    // shuffle on top of the one the plan already pays. Skip: the guard
+    // exists for narrow maps over raw scans.
+    if (hasExchange(df.queryExecution.optimizedPlan)) df
+    else {
+      val width = estimatedScanPartitions(df)
+        .getOrElse(df.rdd.getNumPartitions.toLong)
+      if (width < target) df.repartition(target) else df
+    }
+  }
+
+  /** Optimized-plan nodes that compile to a shuffle (or an AQE-sized
+    * exchange): their output parallelism is the session's shuffle
+    * setting, not the leaf scan width. Distinct/set-ops rewrite to
+    * Aggregate/Join before this runs on the OPTIMIZED plan. */
+  private def hasExchange(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan.exists {
+      case _: Aggregate | _: Join | _: Window => true
+      case s: Sort => s.global
+      case _: Repartition | _: RepartitionByExpression => true
+      case _ => false
+    }
   }
 
   /** Bytes at/above this are size-UNKNOWN sentinels

@@ -48,9 +48,23 @@ import graft.operators.StateOps
   * detect-and-withdraw check in [[writeManifest]] stays as
   * defense-in-depth: `create(overwrite=false)` is atomic on HDFS and
   * object stores with conditional-put, but only best-effort on the
-  * local filesystem. A transactional format (Delta/Iceberg) is the
-  * production answer where available; this lease gives plain parquet
-  * the same single-writer discipline.
+  * local filesystem.
+  *
+  * RESIDUAL RACE (documented best-effort): the heartbeat's fenced beat
+  * and the fenced release are both read-then-write — between
+  * `leaseHolderOnDisk()` and the `writeLeaseFile(overwrite = true)`
+  * (or the conditional delete in the release), a waiter's stale-break
+  * takeover can still be clobbered, or have its fresh lease deleted.
+  * The fencing NARROWS the window (a beat period / one release) but
+  * cannot close it without a filesystem compare-and-swap; on a store
+  * with conditional-put (S3 If-Match, etcd-style CAS) embed the holder
+  * token in a conditional write to close it fully. CORRECTNESS never
+  * rests on the lease: even with two live writers, the manifest
+  * `basedOn` conflict check in [[writeManifest]] makes the loser's
+  * publish fail — the lease only converts retry storms into waiting.
+  * A transactional format (Delta/Iceberg) is the production answer
+  * where available; this lease gives plain parquet the same
+  * single-writer discipline.
   */
 class BucketedStateTable(
     spark: SparkSession,

@@ -59,9 +59,22 @@ class ReportingRunner(
 
   @volatile private var running = true
   @volatile private var lastHarvestFailed = false
+  // loop threads registered by start(); stop() interrupts them so a loop
+  // parked in sleeper() — or blocked inside a Spark action — wakes
+  // IMMEDIATELY instead of waiting out a full poll interval (reference
+  // shutdownNow semantics, `ReportingManager.java:99-116`)
+  @volatile private var loopThreads: List[Thread] = Nil
 
-  /** ST6 — cooperative stop; loops exit at their next check. */
-  def stop(): Unit = running = false
+  /** ST6 — cooperative stop: flips the flag, then interrupts the
+    * registered loop threads. The flag alone would leave a loop asleep
+    * for up to a full poll interval (hours, under production configs);
+    * the interrupt wakes `Thread.sleep`-based sleepers and aborts an
+    * in-flight Spark action, both of which the loop body absorbs as
+    * `InterruptedException` and re-checks `running`. */
+  def stop(): Unit = {
+    running = false
+    loopThreads.foreach(_.interrupt())
+  }
   def isRunning: Boolean = running
 
   private val MinWaitMs = 1000L // reference OaiHarvesterBuilder.java:33
@@ -137,6 +150,7 @@ class ReportingRunner(
     }
     val h = loop("graft-harvest")(() => harvestIteration())
     val e = loop("graft-enrichment")(() => enrichmentIteration())
+    loopThreads = List(h, e)
     started.await()
     (h, e)
   }

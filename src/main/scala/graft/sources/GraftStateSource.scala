@@ -261,12 +261,13 @@ object GraftStateSqlTable {
   * committed micro-batch is a no-op without any sink-side
   * deduplication. Keyed on the table's manifest-recorded merge key; a
   * not-yet-existing table bootstraps from the `keyCols` (comma list)
-  * and optional `numBuckets` options. The marker scope defaults to the
-  * query's checkpoint location — restarting from the SAME checkpoint
-  * replays the same batch ids into the same scope (skipped,
-  * converged), while a FRESH checkpoint gets a fresh scope (its batch
-  * ids start over — pass `option("scope", ...)` to pin one
-  * explicitly). Append and Update modes only: both mean "merge these
+  * and optional `numBuckets` options. The marker scope is REQUIRED and
+  * comes from the writer's `checkpointLocation` option — restarting
+  * from the SAME checkpoint replays the same batch ids into the same
+  * scope (skipped, converged), while a FRESH checkpoint gets a fresh
+  * scope (its batch ids start over — pass `option("scope", ...)` to
+  * pin one explicitly). `createSink` fails fast when neither option is
+  * present. Append and Update modes only: both mean "merge these
   * rows"; Complete-mode replacement has a library verb.
   *
   * A separate short name from the batch `graft-state` provider on
@@ -292,9 +293,22 @@ class GraftStateSinkProvider
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-state sink needs option(\"path\", <table root>)"))
+    // NO table-path fallback: two queries (or a restart from a fresh
+    // checkpoint) sharing scope=path would restart batch ids at 0 and
+    // mergeOnceForBatch would treat genuinely new micro-batches as
+    // replays — silently dropping them. A session-conf
+    // spark.sql.streaming.checkpointLocation is resolved by the engine
+    // AFTER sink construction and never appears in `parameters`, so the
+    // scope must be explicit here.
     val scope = parameters.get("scope")
       .orElse(parameters.get("checkpointLocation"))
-      .getOrElse(path)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-state sink needs an explicit replay scope: pass " +
+          "option(\"checkpointLocation\", ...) on the writer (the usual " +
+          "choice — restarting from the same checkpoint then skips " +
+          "replayed batch ids) or option(\"scope\", ...) to pin one. A " +
+          "session-level spark.sql.streaming.checkpointLocation is not " +
+          "visible to the sink and cannot scope replay detection."))
     new GraftStateStreamSink(path, scope,
       parameters.get("keycols").orElse(parameters.get("keyCols"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),

@@ -196,18 +196,34 @@ object OaiPageSource {
 
   /** The five predefined XML entities plus numeric character
     * references — everything a well-formed document can escape in text
-    * content without a DTD. */
-  private[graft] def xmlUnescape(s: String): String = {
-    val numeric = "&#(x?)([0-9a-fA-F]+);".r
-    val named = numeric.replaceAllIn(s, m => {
-      val cp = Integer.parseInt(m.group(2), if (m.group(1).isEmpty) 10 else 16)
-      java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
+    * content without a DTD.
+    *
+    * One left-to-right pass over a single alternation, so replacement
+    * text is never rescanned: `&#38;lt;` yields `&lt;` (not `<`), same
+    * as `&amp;lt;`. The digit run is bounded at 8 and the expansion is
+    * `Try`-guarded — an overflowing (`&#99999999999;`) or out-of-range
+    * (`> 0x10FFFF`) reference from a malformed server page is left
+    * VERBATIM instead of throwing on the driver mid-chain-walk. */
+  private[graft] val XmlEntityRe =
+    "&(#(x?)([0-9a-fA-F]{1,8})|lt|gt|quot|apos|amp);".r
+
+  private[graft] def xmlUnescape(s: String): String =
+    XmlEntityRe.replaceAllIn(s, m => {
+      val rep = m.group(1) match {
+        case "lt" => "<"
+        case "gt" => ">"
+        case "quot" => "\""
+        case "apos" => "'"
+        case "amp" => "&"
+        case _ =>
+          scala.util.Try {
+            val cp = Integer.parseInt(m.group(3),
+              if (m.group(2).isEmpty) 10 else 16)
+            new String(Character.toChars(cp)) // throws when cp > 0x10FFFF
+          }.getOrElse(m.matched)
+      }
+      java.util.regex.Matcher.quoteReplacement(rep)
     })
-    named
-      .replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&apos;", "'")
-      .replace("&amp;", "&") // LAST: &amp;lt; must yield &lt;, not <
-  }
 
   /** OAI protocol error code of a page, when the page is an error
     * response (`<error code="...">`). */

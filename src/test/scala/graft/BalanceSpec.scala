@@ -46,6 +46,23 @@ class BalanceSpec extends SparkSpec {
       "stat-less source must fall back to the honest probe and widen")
   }
 
+  test("widen skips a frame that already contains an exchange") {
+    // a groupBy/join/repartition frame runs at shuffle parallelism no
+    // matter how small its leaf scan is — widening it would stack a
+    // redundant full shuffle on top of the one the plan already pays
+    val docs = Tables.documents(spark, sf0001)
+    val agg = docs.groupBy("lang").agg(count("*").as("n"))
+    assert(Balance.widen(agg) eq agg, "aggregate frame must come back untouched")
+    val joined = docs.select("doc_id").join(
+      docs.select(col("doc_id").as("d2")), col("doc_id") === col("d2"))
+    assert(Balance.widen(joined) eq joined, "join frame must come back untouched")
+    val rep = docs.repartition(4)
+    assert(Balance.widen(rep) eq rep, "repartitioned frame must come back untouched")
+    // a global sort range-partitions at shuffle width too
+    val sorted = docs.orderBy("doc_id")
+    assert(Balance.widen(sorted) eq sorted, "sorted frame must come back untouched")
+  }
+
   test("widen does not trigger physical planning (plan-count)") {
     val df = Tables.documents(spark, sf0001).select("doc_id", "text")
       .filter(col("text").isNotNull)

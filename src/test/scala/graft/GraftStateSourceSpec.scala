@@ -333,6 +333,33 @@ class GraftStateSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("graft-state sink: missing replay scope fails fast — no table-path fallback") {
+    // a user relying on the SESSION conf checkpoint dir gets a resolved
+    // location the sink never sees in its parameters; falling back to
+    // scope=path would make two queries (or a fresh-checkpoint restart)
+    // share a scope and silently drop new batches as replays
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = tmp()
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    spark.conf.set("spark.sql.streaming.checkpointLocation", s"$root/session-ck")
+    try {
+      val ex = intercept[Exception] {
+        in.toDF().toDF("k", "v").writeStream
+          .format("graft-state-sink")
+          .option("path", s"$root/sink")
+          .option("keyCols", "k")
+          .start()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(ex).exists(t =>
+        Option(t.getMessage).exists(_.contains("explicit replay scope"))),
+        s"got: ${ex.getMessage}")
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
+
   test("graft-state: an uncommitted table refuses with a clear message") {
     val dir = tmp()
     val ex = intercept[IllegalArgumentException] {

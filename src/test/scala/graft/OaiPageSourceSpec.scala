@@ -108,6 +108,18 @@ class OaiPageSourceSpec extends SparkSpec {
     assert(OaiPageSource.extractToken(xml) == Some("offset=100&set=a<bA"))
     // &amp;lt; must decode to the literal text '&lt;', not '<'
     assert(OaiPageSource.xmlUnescape("a&amp;lt;b") == "a&lt;b")
+    // numeric form of '&' followed by 'lt;' is the same case — single
+    // pass, replacement text never rescanned
+    assert(OaiPageSource.xmlUnescape("a&#38;lt;b") == "a&lt;b")
+    assert(OaiPageSource.xmlUnescape("&#x26;amp;") == "&amp;")
+    // malformed references from a broken server page are left VERBATIM,
+    // never thrown: digit-run overflow, out-of-range code point,
+    // hex digits under a decimal radix
+    assert(OaiPageSource.xmlUnescape("a&#99999999999;b") == "a&#99999999999;b")
+    assert(OaiPageSource.xmlUnescape("a&#xFFFFFF;b") == "a&#xFFFFFF;b")
+    assert(OaiPageSource.xmlUnescape("a&#9a;b") == "a&#9a;b")
+    assert(OaiPageSource.xmlUnescape("a&#x10FFFF;b") == // max valid cp
+      "a" + new String(Character.toChars(0x10FFFF)) + "b")
     assert(OaiPageSource.extractToken(
       "<x><resumptionToken/></x>") == None)
   }

@@ -33,6 +33,51 @@ class ReportingRunnerSpec extends SparkSpec {
     driveRunner(bucketed = true)
   }
 
+  test("ST6: stop() alone wakes loops parked in a full poll-interval sleep") {
+    val root = Files.createTempDirectory("graft-runner-wake").toString
+    // 600 s poll intervals: after the first drain both loops park in a
+    // REAL Thread.sleep for 10 minutes — only an interrupt can wake them
+    val cfg = ReportingConfig.fromMap(Map(
+      "oai.url" -> "http://h/oai",
+      "oai.pollseconds" -> "600",
+      "mets.pollseconds" -> "600"))
+    val pages = new PageFetcher {
+      def apply(uri: String): Either[String, String] =
+        Right(fixture("/oai/listIdentifiers.xml"))
+    }
+    val mets = Map(
+      "qucosa:1044" -> fixture("/mets/qucosa7455-mets.xml"),
+      "qucosa:1234" -> fixture("/mets/qucosa13-mets.xml"))
+    val docs = new DocumentFetcher {
+      def apply(localId: String): Option[String] = mets.get(localId)
+    }
+    val longSleeps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val runner = new ReportingRunner(spark, cfg, root, pages, docs,
+      // full-length interruptible sleep — NOT truncated like driveRunner's
+      sleeper = ms => { if (ms >= 100000L) longSleeps.incrementAndGet(); Thread.sleep(ms) })
+    val threads = runner.start()
+    try {
+      // wait (bounded) until BOTH loops have entered their 600 s park
+      val deadline = System.currentTimeMillis() + 120000L
+      while (longSleeps.get() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100L)
+      assert(longSleeps.get() >= 2, "loops never reached their long sleep")
+      Thread.sleep(200L) // let the increments' sleeps actually begin
+      // stop() by itself — no stopAndAwait interrupt — must wake both
+      // loops immediately; a flag-only stop would leave them parked for
+      // the remaining ~10 minutes
+      val t0 = System.nanoTime()
+      runner.stop()
+      threads._1.join(10000L); threads._2.join(10000L)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(!threads._1.isAlive && !threads._2.isAlive,
+        s"loops still alive ${elapsedMs}ms after stop()")
+      assert(elapsedMs < 10000L, s"stop() took ${elapsedMs}ms to wake the loops")
+    } finally {
+      assert(runner.stopAndAwait(threads, graceMillis = 60000L))
+    }
+  }
+
   private def driveRunner(bucketed: Boolean): Unit = {
     val root = Files.createTempDirectory("graft-runner").toString
     val cfg = ReportingConfig.fromMap(Map(
@@ -73,7 +118,10 @@ class ReportingRunnerSpec extends SparkSpec {
           runner.reportingTable.read().map(_.count()).getOrElse(0L)).getOrElse(n)
       }
     } finally {
-      assert(runner.stopAndAwait(threads, graceMillis = 30000L)) // ST6
+      // reference grants the executor 60 s of shutdown grace
+      // (ReportingManager.java:110) — match it; under suite-wide load a
+      // loop can sit inside a Spark action when the flag flips
+      assert(runner.stopAndAwait(threads, graceMillis = 60000L)) // ST6
     }
     assert(!runner.isRunning)
     // assertions run against QUIESCED tables (no more concurrent pruning)
