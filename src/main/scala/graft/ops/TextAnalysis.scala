@@ -324,7 +324,8 @@ object TextAnalysis {
       docLengths: graft.pipeline.BucketedStateTable,
       df: DataFrame,
       idCol: String,
-      textCol: String): Unit = {
+      textCol: String,
+      stats: Option[graft.pipeline.BucketedStateTable] = None): Unit = {
     val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
       t => t =!= "")
     // pin the tokenized batch once: each merge below evaluates its
@@ -336,8 +337,64 @@ object TextAnalysis {
         col("__toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
+      // Running (n_docs, sum_dl) — the two scalars BM25 needs for
+      // N/avgdl — maintained by a BATCH-proportional delta so the query
+      // path never aggregates the corpus-cardinality docLengths table
+      // (at 100 B documents that is a billions-row scan per query to
+      // produce two numbers that change only on ingest). The delta is
+      // computed against the PRE-merge doc-length state of just the
+      // batch ids' buckets (readForKeys pins the resolved commit's
+      // files, so evaluating around the merge is race-free): a NEW id
+      // contributes (+1, +dl); a replayed id with unchanged text
+      // contributes (0, 0) — replay-exact WITHOUT a marker, which a
+      // plain (batch-id-less) library call couldn't carry anyway; a
+      // changed-dl re-ingest contributes the dl difference, keeping the
+      // row equal to the true aggregate even outside the append-only
+      // contract. First stats-enabled ingest on a pre-existing table
+      // bootstraps the base from one full (final) aggregate.
+      // Single-ingestor contract, as for the whole incremental family:
+      // concurrent ingests may interleave the read-add-merge below.
+      val statDelta: Option[(Long, Long)] = stats.map { _ =>
+        val batch = withDl.select(col("doc_id"), col("dl"))
+          .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        val existing = docLengths
+          .readForKeys(batch.select(col("doc_id")), like = batch)
+          .select(col("doc_id"), col("dl").as("__old"))
+        val d = batch.join(existing, Seq("doc_id"), "left")
+          .agg(
+            sum(when(col("__old").isNull, 1L).otherwise(0L)).as("dn"),
+            sum(col("dl") - coalesce(col("__old"), lit(0L))).as("dsum"))
+          .first()
+        (if (d.isNullAt(0)) 0L else d.getLong(0),
+          if (d.isNullAt(1)) 0L else d.getLong(1))
+      }
       docLengths.merge(withDl.select(col("doc_id"), col("dl")),
         keys = Seq("doc_id"))
+      // stats commit AFTER lengths but BEFORE postings: a query resolves
+      // its postings slice first, so every doc it can see is already in
+      // the committed stats (the same mid-ingest honesty as docLengths)
+      stats.zip(statDelta).foreach { case (st, (dn, dsum)) =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        val base = st.read()
+          .flatMap(_.filter(col("stat") === "bm25")
+            .select(col("n_docs"), col("sum_dl")).collect().headOption)
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .getOrElse {
+            // bootstrap: table indexed before stats tracking began —
+            // one aggregate of the POST-merge lengths replaces the
+            // delta entirely this once (d already folded in)
+            val row = docLengths.read()
+              .map(_.agg(count(lit(1)).as("n"),
+                coalesce(sum(col("dl")), lit(0L)).as("s")).first())
+            (row.map(_.getLong(0)).getOrElse(0L) - dn,
+              row.map(_.getLong(1)).getOrElse(0L) - dsum)
+          }
+        st.merge(
+          Seq(("bm25", base._1 + dn, base._2 + dsum))
+            .toDF("stat", "n_docs", "sum_dl"),
+          keys = Seq("stat"))
+      }
       postings.merge(
         withDl.select(col("doc_id"), col("dl"),
             explode(col("__toks")).as("term"))
@@ -352,18 +409,21 @@ object TextAnalysis {
     * ingested corpus (same tokenization, same operation order in the
     * score expression, same 6-dp rounded ordering), but the query reads
     * ONLY the posting buckets its terms hash into
-    * ([[graft.pipeline.BucketedStateTable.readForKeys]]) plus one small
-    * aggregate over the compact (doc_id, dl) table for N/avgdl —
-    * query cost tracks the query terms' posting lists, never the
-    * corpus text. Document frequencies are exact: the bucket slice
-    * holds every posting of the probed terms. */
+    * ([[graft.pipeline.BucketedStateTable.readForKeys]]) plus — when a
+    * `stats` table is wired — the single running (n_docs, sum_dl) row
+    * for N/avgdl, so query cost tracks the query terms' posting lists,
+    * never corpus cardinality. Without a stats row the fallback is one
+    * aggregate over the compact (doc_id, dl) table. Document
+    * frequencies are exact: the bucket slice holds every posting of
+    * the probed terms. */
   def incrementalBm25TopK(
       postings: graft.pipeline.BucketedStateTable,
       docLengths: graft.pipeline.BucketedStateTable,
       queryTerms: Seq[String],
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      stats: Option[graft.pipeline.BucketedStateTable] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
@@ -386,11 +446,24 @@ object TextAnalysis {
         terms.zipWithIndex.map { case (t, i) =>
           sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf_$i")
         }: _*)
-    val statsRow = docLengths.read().map(_.agg(
-      count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first())
-    val nDocs = statsRow.map(_.getLong(0)).getOrElse(0L)
-    val avgdl = statsRow.filter(!_.isNullAt(1)).map(_.getDouble(1))
-      .getOrElse(1.0)
+    // N/avgdl: prefer the running (n_docs, sum_dl) row maintained by
+    // [[indexPostings]] — two scalars from a one-bucket table, so query
+    // cost tracks the query terms alone instead of aggregating the
+    // corpus-cardinality docLengths table per query. Fall back to the
+    // full aggregate when no stats row exists (table indexed before
+    // stats tracking, or stats not wired).
+    val fromRunning: Option[(Long, Double)] = stats
+      .flatMap(_.read())
+      .flatMap(_.filter(col("stat") === "bm25")
+        .select(col("n_docs"), col("sum_dl")).collect().headOption)
+      .map(r => (r.getLong(0),
+        if (r.getLong(0) > 0) r.getLong(1).toDouble / r.getLong(0) else 1.0))
+    val (nDocs, avgdl) = fromRunning.getOrElse {
+      val statsRow = docLengths.read().map(_.agg(
+        count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first())
+      (statsRow.map(_.getLong(0)).getOrElse(0L),
+        statsRow.filter(!_.isNullAt(1)).map(_.getDouble(1)).getOrElse(1.0))
+    }
     bm25Rank(perDoc, "doc_id", terms.size, nDocs, avgdl, k, k1, b)
   }
 

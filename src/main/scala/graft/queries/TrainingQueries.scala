@@ -1641,13 +1641,18 @@ object TrainingQueries {
         numBuckets = 32, bucketCols = Seq("term"))
       val docLengths = new graft.pipeline.BucketedStateTable(
         s, s"$root/doclen", keyCols = Seq("doc_id"), numBuckets = 16)
+      // running (n_docs, sum_dl) row: the query reads two scalars from
+      // one bucket instead of aggregating corpus-cardinality doc lengths
+      val stats = Some(new graft.pipeline.BucketedStateTable(
+        s, s"$root/stats", keyCols = Seq("stat"), numBuckets = 1))
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       graft.ops.TextAnalysis.indexPostings(postings, docLengths,
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", stats)
       graft.ops.TextAnalysis.indexPostings(postings, docLengths,
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", stats)
       graft.ops.TextAnalysis.incrementalBm25TopK(postings, docLengths,
-        queryTerms = Seq("spark", "vector", "merge", "window"), k = 15)
+        queryTerms = Seq("spark", "vector", "merge", "window"), k = 15,
+        stats = stats)
     }),
 
     // ── Text: bigram-LM quality score (CCNet shape) — model trained ON
@@ -1985,13 +1990,16 @@ object TrainingQueries {
         numBuckets = 32, bucketCols = Seq("term"))
       val docLengths = new graft.pipeline.BucketedStateTable(
         s, s"$root/doclen", keyCols = Seq("doc_id"), numBuckets = 16)
+      val stats = Some(new graft.pipeline.BucketedStateTable(
+        s, s"$root/stats", keyCols = Seq("stat"), numBuckets = 1))
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       TextAnalysis.indexPostings(postings, docLengths,
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", stats)
       TextAnalysis.indexPostings(postings, docLengths,
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", stats)
       val lex = TextAnalysis.incrementalBm25TopK(postings, docLengths,
-          queryTerms = Seq("spark", "vector", "merge", "window"), k = 15)
+          queryTerms = Seq("spark", "vector", "merge", "window"), k = 15,
+          stats = stats)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("score").desc, col("doc_id"))).cast("long"))

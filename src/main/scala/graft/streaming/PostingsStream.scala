@@ -29,7 +29,12 @@ import graft.pipeline.BucketedStateTable
 object PostingsStream {
 
   /** Start the stream over `batches` (a streaming DataFrame carrying
-    * `idCol` + `textCol`; ids unique across index ∪ stream). */
+    * `idCol` + `textCol`; ids unique across index ∪ stream). Wire a
+    * `stats` table to maintain the running (n_docs, sum_dl) row that
+    * frees [[graft.ops.TextAnalysis.incrementalBm25TopK]] queries from
+    * the per-query corpus aggregate — the delta bookkeeping is
+    * replay-exact (a replayed batch's ids already exist and contribute
+    * zero), so at-least-once delivery needs no extra guard. */
   def start(
       batches: DataFrame,
       postings: BucketedStateTable,
@@ -38,13 +43,14 @@ object PostingsStream {
       idCol: String = "doc_id",
       textCol: String = "text",
       trigger: Trigger = Trigger.AvailableNow(),
-      afterBatch: Long => Unit = _ => ()): StreamingQuery =
+      afterBatch: Long => Unit = _ => (),
+      stats: Option[BucketedStateTable] = None): StreamingQuery =
     batches.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         TextAnalysis.indexPostings(postings, docLengths, batch,
-          idCol, textCol)
+          idCol, textCol, stats)
         afterBatch(batchId)
       }
       .start()

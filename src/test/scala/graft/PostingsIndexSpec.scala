@@ -115,6 +115,111 @@ class PostingsIndexSpec extends SparkSpec {
     assert(incr == batch, s"streamed $incr != batch $batch")
   }
 
+  test("running stats row tracks ingest including replay; the query reads the ROW, not the corpus") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val (postings, docLengths) = tables(root)
+    val stats = Some(new BucketedStateTable(spark, s"$root/stats",
+      keyCols = Seq("stat"), numBuckets = 1, retentionFloorMillis = 0L))
+    def statsRow(): (Long, Long) = stats.get.read().get
+      .collect().map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl")))
+      .head
+    def trueAgg(): (Long, Long) = docLengths.read().get
+      .agg(count(lit(1)), sum(col("dl"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head
+
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    TextAnalysis.indexPostings(postings, docLengths,
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", stats)
+    assert(statsRow() == trueAgg(), "after batch 1 the row must equal the aggregate")
+    TextAnalysis.indexPostings(postings, docLengths,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", stats)
+    val afterTwo = statsRow()
+    assert(afterTwo == trueAgg(), "after batch 2 the row must equal the aggregate")
+
+    // at-least-once REPLAY: every replayed id already exists with the
+    // same dl, so the delta is zero — no marker needed
+    TextAnalysis.indexPostings(postings, docLengths,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", stats)
+    assert(statsRow() == afterTwo, "replay must leave the stats row unchanged")
+
+    // scores with the stats row are bit-identical to the aggregate path
+    val viaRow = scores(TextAnalysis.incrementalBm25TopK(
+      postings, docLengths, terms, k = 15, stats = stats))
+    val viaAgg = scores(TextAnalysis.incrementalBm25TopK(
+      postings, docLengths, terms, k = 15))
+    assert(viaRow == viaAgg && viaRow.nonEmpty)
+
+    // the query path reads the ROW: rows merged into docLengths BEHIND
+    // the stats table's back shift the aggregate but not stats-path
+    // scores — proof the corpus-cardinality table is not re-aggregated
+    docLengths.merge(
+      Seq((9999991L, 100000L), (9999992L, 100000L)).toDF("doc_id", "dl"),
+      keys = Seq("doc_id"))
+    val viaRowAfter = scores(TextAnalysis.incrementalBm25TopK(
+      postings, docLengths, terms, k = 15, stats = stats))
+    val viaAggAfter = scores(TextAnalysis.incrementalBm25TopK(
+      postings, docLengths, terms, k = 15))
+    assert(viaRowAfter == viaRow, "stats-path scores must not see the side merge")
+    assert(viaAggAfter != viaRow, "the fallback aggregate must see it (sanity)")
+  }
+
+  test("stats bootstrap: a table indexed before stats tracking catches up on first wired ingest") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val (postings, docLengths) = tables(root)
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    // batch 1 ingested with NO stats table
+    TextAnalysis.indexPostings(postings, docLengths,
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    // batch 2 arrives with stats wired: the row must bootstrap to the
+    // FULL post-merge aggregate, not just batch 2's delta
+    val stats = Some(new BucketedStateTable(spark, s"$root/stats",
+      keyCols = Seq("stat"), numBuckets = 1, retentionFloorMillis = 0L))
+    TextAnalysis.indexPostings(postings, docLengths,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", stats)
+    val row = stats.get.read().get.collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"))).head
+    val agg = docLengths.read().get.agg(count(lit(1)), sum(col("dl")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(row == agg, s"bootstrapped row $row != aggregate $agg")
+  }
+
+  test("streaming twin maintains the stats row across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = tmp()
+    val (postings, docLengths) = tables(root)
+    val stats = Some(new BucketedStateTable(spark, s"$root/stats",
+      keyCols = Seq("stat"), numBuckets = 1, retentionFloorMillis = 0L))
+    val corpus = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = PostingsStream.start(
+      in.toDF().toDF("doc_id", "text"), postings, docLengths,
+      checkpointDir = s"$root/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      stats = stats)
+    try {
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    val row = stats.get.read().get.collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"))).head
+    val agg = docLengths.read().get.agg(count(lit(1)), sum(col("dl")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(row == agg, s"streamed stats row $row != aggregate $agg")
+    assert(scores(TextAnalysis.incrementalBm25TopK(
+        postings, docLengths, terms, k = 10, stats = stats)) ==
+      scores(TextAnalysis.bm25TopK(corpus, "doc_id", "text", terms, k = 10)))
+  }
+
   test("string-id corpora keep one id type across populated and empty query paths") {
     val s2 = spark
     import s2.implicits._
