@@ -71,18 +71,30 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var trialRuns = Vector.empty[(Double, BenchMetrics.Snapshot)]
+      // (full, build, probe, snapshot): `build` is the time spent INSIDE
+      // the query closure — for the incremental-index keys that is the
+      // eager seed/ingest of their persistent state tables — and `probe`
+      // is materializing the returned frame, the user-facing query path.
+      // Splitting them keeps a probe-path regression from hiding under
+      // build noise (plain lazy queries report build ≈ 0). The headline
+      // `full` = build + probe is unchanged for cross-round comparison.
+      var trialRuns =
+        Vector.empty[(Double, Double, Double, BenchMetrics.Snapshot)]
       var trial = 0
       while (trial < trials && !trialRuns.exists(_._1 < 0)) {
         Tables.dropCachedLeftovers(spark)
         metrics.reset()
         val t0 = System.nanoTime()
         val run = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          ((System.nanoTime() - t0) / 1e9, metrics.snapshot(spark.sparkContext))
+          val df = fn(spark, sfDir)
+          val t1 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val t2 = System.nanoTime()
+          ((t2 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9,
+            metrics.snapshot(spark.sparkContext))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          (-1.0, metrics.snapshot(spark.sparkContext))
+          (-1.0, -1.0, -1.0, metrics.snapshot(spark.sparkContext))
         }
         trialRuns :+= run
         trial += 1
@@ -90,19 +102,21 @@ object Bench {
       // Shuffle/spill come from the FASTEST trial: bytes are plan-
       // deterministic (identical across trials), but spill is a
       // pressure symptom and the min-time trial is the one the
-      // headline number describes.
-      val (best, bestSnap) =
-        if (trialRuns.exists(_._1 < 0)) (-1.0, trialRuns.last._2)
+      // headline number describes. The phase split reports the SAME
+      // trial as the headline (not per-phase minima, which could sum
+      // below any real run).
+      val (best, bestBuild, bestProbe, bestSnap) =
+        if (trialRuns.exists(_._1 < 0)) (-1.0, -1.0, -1.0, trialRuns.last._4)
         else trialRuns.minBy(_._1)
       println(s"""{"metric":"query","name":"$name","value":$best,"unit":"sec"}""")
-      (name, best, bestSnap)
+      (name, best, bestBuild, bestProbe, bestSnap)
     }
     // The headline total covers the PASSING queries so one red query
     // can't zero out the whole artifact; `failed` rides alongside so a
     // run missing its slowest queries can never masquerade as a healthy
     // speedup (consumers must treat failed>0 as incomparable).
     val failed = results.filter(_._2 < 0).map(_._1)
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val totalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"failed":${failed.size},"failed_names":$failedJson,"sf":"$sfDir"}"""
@@ -115,20 +129,28 @@ object Bench {
     // sbt), committed per round, so regressions can be diffed without
     // tail archaeology.
     val queriesJson = results
-      .map { case (n, v, _) => s""""$n":$v""" }
+      .map { case (n, v, _, _, _) => s""""$n":$v""" }
       .mkString("{", ",", "}")
     // Resource record per query (shuffle read/write, mem/disk spill from
     // the fastest trial) rides in a PARALLEL map so existing consumers
     // of the numeric "queries" map keep parsing unchanged.
     val metricsJson = results
-      .map { case (n, _, snap) => s""""$n":${snap.json}""" }
+      .map { case (n, _, _, _, snap) => s""""$n":${snap.json}""" }
+      .mkString("{", ",", "}")
+    // Phase split per query (same trial as the headline number): build_s
+    // = time inside the query closure (index seed/ingest for the
+    // incremental keys), probe_s = materializing the returned frame.
+    // A third parallel map — the numeric "queries" contract is untouched.
+    val phasesJson = results
+      .map { case (n, _, b, p, _) =>
+        s""""$n":{"build_s":$b,"probe_s":$p}""" }
       .mkString("{", ",", "}")
     // failed/failed_names ride in the durable record too: the committed
     // artifact must be self-describing — a run missing its slowest
     // queries would otherwise read as a healthy speedup to anyone
     // diffing committed totals across rounds.
     val localJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"trials":$trials,"failed":${failed.size},"failed_names":$failedJson,"sf":"$sfDir","queries":$queriesJson,"resources":$metricsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"trials":$trials,"failed":${failed.size},"failed_names":$failedJson,"sf":"$sfDir","queries":$queriesJson,"resources":$metricsJson,"phases":$phasesJson}"""
     if (only.isEmpty) {
       try {
         val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
