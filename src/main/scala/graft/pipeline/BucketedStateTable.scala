@@ -596,6 +596,34 @@ class BucketedStateTable(
     } }
   }
 
+  /** One ATOMIC keyed delta — the row-level-DML verb behind SQL
+    * `UPDATE`/`MERGE INTO`: upsert every row of `upserts` and remove
+    * every key of `deleteKeys` (key columns only) in a SINGLE commit
+    * over the union of their dirty buckets. An UPDATE arrives as
+    * delete(old key) + upsert(new row), which also covers key-changing
+    * updates; deletes of absent keys are no-ops. A key must not appear
+    * as both a plain delete and an upsert in one call (Spark's MERGE
+    * cardinality check enforces this for the SQL surface; library
+    * callers own the contract) — the delete is applied first, so such
+    * a key would resolve to the upsert. */
+  def applyDelta(upserts: DataFrame, deleteKeys: DataFrame,
+      keys: Seq[String]): Unit = {
+    require(keys == keyCols,
+      s"bucketed table is laid out on $keyCols; cannot apply a delta on $keys")
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      val dirty =
+        (dirtyBucketsOf(upserts) ++ dirtyBucketsOf(deleteKeys))
+          .distinct.sorted
+      if (dirty.nonEmpty) {
+        // `upserts` carries the full table schema (possibly zero rows),
+        // so it shapes the empty state exactly like merge() does
+        val cur = readBucketsOrEmpty(dirty, like = upserts)
+        val kept = cur.join(deleteKeys, keys, "left_anti")
+        commit(StateOps.mergeByKey(kept, upserts, keys), dirty)
+      }
+    } }
+  }
+
   override def deleteWhereUnmodified(processed: DataFrame): Long =
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
       val dirty = dirtyBucketsOf(processed)

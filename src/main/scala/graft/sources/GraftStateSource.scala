@@ -5,10 +5,10 @@ import java.util
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, NoSuchNamespaceException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
@@ -137,21 +137,46 @@ object GraftStateSource {
   * one atomic commit, and carrying the verb's late-update guard (a row
   * a concurrent writer modified between the snapshot read and the
   * commit survives, exactly the reference's modified-since-read
-  * semantics). A condition outside the filter algebra is refused
-  * loudly at analysis (`canDeleteWhere` false), never half-applied.
+  * semantics). A condition outside the filter algebra no longer
+  * refuses: it runs through the row-level delta path below.
+  *
+  * `UPDATE ... SET` and ANSI `MERGE INTO ... WHEN MATCHED UPDATE /
+  * DELETE, WHEN NOT MATCHED INSERT` are supported via Spark's
+  * delta-based row-level rewrite ([[newRowLevelOperationBuilder]]):
+  * the merge key is the row identity, only the TOUCHED rows reach the
+  * write, and the whole statement lands as ONE atomic bucket-pruned
+  * commit through [[graft.pipeline.BucketedStateTable.applyDelta]] —
+  * completing SQL-DML parity with the reference's INSERT ON CONFLICT /
+  * UPDATE / DELETE surface (`PostgrePersistenceService.java:218-280`).
   *
   * NOT exposed: a direct parquet append into the bucket directories
   * (what the delegate's own write surface would do) — that would
   * bypass the manifest and corrupt the layout, which is why this
   * wrapper exists instead of returning the delegate. */
 class GraftStateSqlTable(
-    rootPath: String,
+    private[sources] val rootPath: String,
     delegate: ParquetTable) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with SupportsRowLevelOperations {
 
   override def name(): String = delegate.name
-  override def schema(): StructType = delegate.schema
+
+  // Merge-key columns are the ROW IDENTITY — declared non-null so the
+  // row-level rewrite accepts them as rowId attributes
+  // (NULLABLE_ROW_ID_ATTRIBUTES otherwise); the commit protocol never
+  // admits a null key. Tables whose manifests predate the layout lines
+  // keep the delegate schema (and refuse row-level DML with the
+  // no-recorded-layout message).
+  private lazy val layoutKeyCols: Set[String] = BucketedStateTable
+    .snapshotLayout(
+      SparkSession.active.sessionState.newHadoopConf(), rootPath)
+    .map(_.keyCols.toSet).getOrElse(Set.empty)
+
+  override def schema(): StructType =
+    StructType(delegate.schema.fields.map(f =>
+      if (layoutKeyCols.contains(f.name)) f.copy(nullable = false) else f))
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
@@ -164,7 +189,7 @@ class GraftStateSqlTable(
     * never prune history the owning handle was configured to keep, so
     * manifests that predate the policy lines get a never-prune handle
     * (cleanup stays with the library writers that know the policy). */
-  private def stateTable(
+  private[sources] def stateTable(
       spark: SparkSession): (BucketedStateTable, BucketedStateTable.Layout) = {
     val layout = BucketedStateTable.snapshotLayout(
       spark.sessionState.newHadoopConf(), rootPath).getOrElse(
@@ -203,6 +228,24 @@ class GraftStateSqlTable(
           }
       }
     }
+
+  /** Row-level SQL DML — `UPDATE ... SET`, `MERGE INTO`, and DELETEs
+    * whose condition falls outside the pushable filter algebra — via
+    * Spark's DELTA-based rewrite ([[SupportsDelta]]): the merge key IS
+    * the row identity, so the planner ships only the TOUCHED rows
+    * (operation, key, new row) to the write, and
+    * [[graft.pipeline.BucketedStateTable.applyDelta]] applies them as
+    * one atomic bucket-pruned commit under the full protocol. Simple
+    * DELETEs still collapse to the metadata path
+    * (`OptimizeMetadataOnlyDeleteFromTable` converts back to
+    * [[deleteWhere]] when every filter is pushable), keeping their
+    * scan-free shape. The touched rows cross the driver in commit
+    * messages under the same bounded-batch contract as the streaming
+    * sink (1M rows) — state-table DML is batch-sized by contract;
+    * corpus-scale rewrites belong to the library verbs. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftStateDeltaOperation(this, info.command)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftStateSqlTable.filterColumn(f).isDefined)
@@ -250,6 +293,223 @@ object GraftStateSqlTable {
     case _: AlwaysTrue => Some(lit(true))
     case _: AlwaysFalse => Some(lit(false))
     case _ => None
+  }
+}
+
+/** Delta-based row-level operation for one state table
+  * ([[GraftStateSqlTable.newRowLevelOperationBuilder]]): Spark's
+  * rewrite rules turn `UPDATE`/`MERGE INTO`/non-pushable `DELETE` into
+  * a plan that scans the current snapshot (via the same delegate scan
+  * as reads — pushdown and pruning intact), computes the TOUCHED rows
+  * only, and feeds them to the delta write as
+  * insert/update/delete callbacks keyed by [[rowId]] = the table's
+  * merge key. Updates arrive as (old key, new row) and are applied as
+  * delete+upsert, which also covers key-changing `SET`s. */
+private[sources] class GraftStateDeltaOperation(
+    table: GraftStateSqlTable,
+    cmd: RowLevelOperation.Command) extends SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    table.newScanBuilder(options)
+
+  override def rowId(): Array[NamedReference] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val layout = BucketedStateTable.snapshotLayout(conf, table.rootPath)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"graft-state table at ${table.rootPath} has no recorded layout " +
+          "(keyCols manifest line) — its manifests predate the SQL " +
+          "write surface; one library merge() refreshes it"))
+    layout.keyCols.map(Expressions.column).toArray
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftStateDeltaWrite(table, info.schema(),
+          info.rowIdSchema().orElseThrow(() => new IllegalStateException(
+            "delta write without a rowId schema")))
+    }
+}
+
+private[sources] class GraftStateDeltaWrite(
+    table: GraftStateSqlTable,
+    rowSchema: StructType,
+    idSchema: StructType) extends DeltaWrite {
+  override def toBatch(): DeltaBatchWrite =
+    new GraftStateDeltaBatchWrite(table, rowSchema, idSchema)
+}
+
+/** The driver side of the delta write: each task ships its converted
+  * touched rows back in its commit message (the same bounded driver
+  * ferry as the streaming sink — state-table DML is batch-sized by
+  * contract, [[GraftStateDeltaBatchWrite.MaxDriverRows]]), and commit
+  * applies the union through
+  * [[graft.pipeline.BucketedStateTable.applyDelta]] — ONE atomic
+  * bucket-pruned commit under the JVM lock + lease + optimistic
+  * manifest publish, so SQL DML and concurrent library writers
+  * interleave without lost updates. Abort discards the buffered rows;
+  * nothing is staged on disk before commit. */
+private[sources] class GraftStateDeltaBatchWrite(
+    table: GraftStateSqlTable,
+    rowSchema: StructType,
+    idSchema: StructType) extends DeltaBatchWrite {
+  import scala.jdk.CollectionConverters._
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftStateDeltaWriterFactory(rowSchema, idSchema,
+      GraftStateDeltaBatchWrite.MaxDriverRows)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val msgs = messages.collect { case m: GraftStateDeltaMessage => m }
+    val upserts = msgs.iterator.flatMap(_.upserts).toVector
+    val deletes = msgs.iterator.flatMap(_.deleteIds).toVector
+    require(upserts.size + deletes.size <= GraftStateDeltaBatchWrite.MaxDriverRows,
+      s"graft-state row-level DML at ${table.rootPath} touches " +
+        s"${upserts.size + deletes.size} rows, over the " +
+        s"${GraftStateDeltaBatchWrite.MaxDriverRows}-row driver-ferry " +
+        "contract; rewrites this size belong on the library's " +
+        "merge/replaceAll verbs")
+    val (t, layout) = table.stateTable(spark)
+    val cols = table.schema().fieldNames.toSeq
+    // a pure DELETE ships NO row columns (empty row schema) — the
+    // upserts frame still must carry the full table schema, because it
+    // shapes applyDelta's empty-state read
+    val upDf =
+      if (rowSchema.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          table.schema())
+      else spark.createDataFrame(
+          upserts.map(a => org.apache.spark.sql.Row.fromSeq(a.toSeq)).asJava,
+          rowSchema)
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val delDf = spark.createDataFrame(
+        deletes.map(a => org.apache.spark.sql.Row.fromSeq(a.toSeq)).asJava,
+        idSchema)
+      .select(layout.keyCols.map(org.apache.spark.sql.functions.col): _*)
+    t.applyDelta(upDf, delDf, layout.keyCols)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] object GraftStateDeltaBatchWrite {
+  /** Same bound as the streaming sink's row ferry: SQL DML touches a
+    * batch of keys, never the corpus. */
+  val MaxDriverRows = 1000000
+}
+
+/** Per-task commit message carrying the task's touched rows as
+  * EXTERNAL (JVM-serializable) values. */
+private[sources] case class GraftStateDeltaMessage(
+    upserts: Array[Array[Any]],
+    deleteIds: Array[Array[Any]]) extends WriterCommitMessage
+
+private[sources] class GraftStateDeltaWriterFactory(
+    rowSchema: StructType,
+    idSchema: StructType,
+    maxRows: Int) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long):
+      DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new GraftStateDeltaRowWriter(rowSchema, idSchema, maxRows)
+}
+
+/** Executor-side delta writer: converts each callback's projected
+  * `InternalRow` (a REUSED mutable wrapper — values must be copied out
+  * immediately) to external values and buffers them for the commit
+  * message. Updates become delete(old id) + upsert(new row). */
+private[sources] class GraftStateDeltaRowWriter(
+    rowSchema: StructType,
+    idSchema: StructType,
+    maxRows: Int)
+    extends DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private val upserts = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+  private val deleteIds = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+
+  private def guard(): Unit =
+    require(upserts.size + deleteIds.size <= maxRows,
+      s"row-level DML task exceeds the $maxRows-row driver-ferry contract")
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    deleteIds += GraftStateDeltaRowWriter.toExternal(id, idSchema); guard()
+  }
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    deleteIds += GraftStateDeltaRowWriter.toExternal(id, idSchema)
+    upserts += GraftStateDeltaRowWriter.toExternal(row, rowSchema); guard()
+  }
+  override def insert(row: InternalRow): Unit = {
+    upserts += GraftStateDeltaRowWriter.toExternal(row, rowSchema); guard()
+  }
+  override def commit(): WriterCommitMessage =
+    GraftStateDeltaMessage(upserts.toArray, deleteIds.toArray)
+  override def abort(): Unit = { upserts.clear(); deleteIds.clear() }
+  override def close(): Unit = ()
+}
+
+private[sources] object GraftStateDeltaRowWriter {
+  import org.apache.spark.sql.types._
+
+  /** Internal → external value conversion for the ferry: the commit
+    * message must carry plain JVM-serializable values, and the driver
+    * rebuilds rows via `createDataFrame`, which expects the external
+    * type for each Catalyst type. Covers every type a state table
+    * schema can carry; anything else refuses loudly. */
+  def toExternal(row: org.apache.spark.sql.catalyst.InternalRow,
+      schema: StructType): Array[Any] = {
+    val out = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      out(i) =
+        if (row.isNullAt(i)) null
+        else convert(row.get(i, schema(i).dataType), schema(i).dataType)
+      i += 1
+    }
+    out
+  }
+
+  private def convert(v: Any, dt: DataType): Any = dt match {
+    case StringType => v.toString // UTF8String
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | BooleanType => v
+    case BinaryType =>
+      val b = v.asInstanceOf[Array[Byte]]; java.util.Arrays.copyOf(b, b.length)
+    case TimestampType =>
+      val micros = v.asInstanceOf[Long]
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+    case TimestampNTZType =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(v.asInstanceOf[Long], 1000000L),
+        (Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    case DateType =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Int].toLong))
+    case d: DecimalType =>
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+    case ArrayType(et, _) =>
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(et).map(e => if (e == null) null else convert(e, et))
+        .toSeq
+    case MapType(kt, vt, _) =>
+      val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val ks = m.keyArray().toObjectArray(kt).map(convert(_, kt))
+      val vs = m.valueArray().toObjectArray(vt)
+        .map(e => if (e == null) null else convert(e, vt))
+      ks.zip(vs).toMap
+    case st: StructType =>
+      org.apache.spark.sql.Row.fromSeq(
+        toExternal(v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+          st).toSeq)
+    case other => throw new UnsupportedOperationException(
+      s"graft-state row-level DML: unsupported column type $other")
   }
 }
 

@@ -65,7 +65,10 @@ class GraftStateSourceSpec extends SparkSpec {
     val plan = spark.read.format("graft-state").load(s"$dir/events")
       .filter(col("k") === "k42").select("v")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,k42)]"),
+    // key columns are declared NON-NULL (they are the row identity, and
+    // the row-level rewrite requires it), so Catalyst elides the
+    // IsNotNull guard — only the equality reaches the scan
+    assert(plan.contains("PushedFilters: [EqualTo(k,k42)]"),
       s"filter must push into the parquet scan:\n$plan")
     assert(plan.contains("ReadSchema: struct<k:string,v:bigint>"),
       s"scan must prune to the referenced columns:\n$plan")
@@ -271,22 +274,117 @@ class GraftStateSourceSpec extends SparkSpec {
     assert(t.read().get.count() == 7L) // 6 keys + the SQL row
   }
 
-  test("graft-state: a DELETE condition outside the filter algebra is refused, not half-applied") {
+  test("graft-state: a DELETE condition outside the filter algebra runs through the row-level delta path") {
+    // pre-r15 this was REFUSED; the delta write makes it work: the scan
+    // finds matching rows, their keys ferry back, one atomic commit
     val dir = tmp()
     val t = seeded(dir, "events", rows = 20L)
     spark.conf.set("spark.sql.catalog.graft_del2",
       classOf[GraftStateCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft_del2.root", dir)
     try {
-      val ex = intercept[Exception] {
-        spark.sql("DELETE FROM graft_del2.events WHERE v % 2 = 0")
-      }
-      assert(ex.getMessage.toLowerCase.contains("delete"),
-        s"got: ${ex.getMessage}")
-      assert(t.read().get.count() == 20L, "no row may vanish on refusal")
+      val commitsBefore = t.commits().size
+      spark.sql("DELETE FROM graft_del2.events WHERE v % 2 = 0")
+      val after = t.read().get
+      assert(after.count() == 10L)
+      assert(after.filter(col("v") % 2 === 0).count() == 0L,
+        "every even-v row must be gone")
+      assert(t.commits().size == commitsBefore + 1,
+        "one statement = one atomic commit")
     } finally {
       spark.conf.unset("spark.sql.catalog.graft_del2")
       spark.conf.unset("spark.sql.catalog.graft_del2.root")
+    }
+  }
+
+  test("graft-state: UPDATE ... SET routes through the delta write; key-changing SET included") {
+    val dir = tmp()
+    val t = seeded(dir, "upd", rows = 100L)
+    spark.conf.set("spark.sql.catalog.graft_upd",
+      classOf[GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_upd.root", dir)
+    try {
+      val commitsBefore = t.commits().size
+      spark.sql(
+        "UPDATE graft_upd.upd SET v = v + 1000 WHERE k IN ('k3', 'k7')")
+      val after = t.read().get
+      assert(after.count() == 100L, "UPDATE must not change cardinality")
+      def vOf(k: String): Seq[Long] = after.filter(col("k") === k)
+        .select("v").collect().map(_.getLong(0)).toSeq
+      assert(vOf("k3") == Seq(1003L) && vOf("k7") == Seq(1007L))
+      assert(vOf("k5") == Seq(5L), "untouched rows keep their values")
+      assert(t.commits().size == commitsBefore + 1,
+        "one statement = one atomic commit")
+
+      // updating the KEY relocates the row (delete old id + upsert new
+      // row — the delta pair the writer emits for every update)
+      spark.sql("UPDATE graft_upd.upd SET k = 'k3moved' WHERE k = 'k3'")
+      val moved = t.read().get
+      assert(moved.count() == 100L)
+      assert(moved.filter(col("k") === "k3").count() == 0L)
+      assert(moved.filter(col("k") === "k3moved").select("v")
+        .collect().map(_.getLong(0)).toSeq == Seq(1003L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_upd")
+      spark.conf.unset("spark.sql.catalog.graft_upd.root")
+    }
+  }
+
+  test("graft-state: MERGE INTO updates, deletes, and inserts by key in ONE atomic commit") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = seeded(dir, "mrg", rows = 10L)
+    spark.conf.set("spark.sql.catalog.graft_mrg",
+      classOf[GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mrg.root", dir)
+    try {
+      Seq(("k1", 100L), ("k2", -1L), ("brandnew", 500L))
+        .toDF("k", "v").createOrReplaceTempView("mrg_src")
+      val commitsBefore = t.commits().size
+      spark.sql(
+        """MERGE INTO graft_mrg.mrg t USING mrg_src s ON t.k = s.k
+          |WHEN MATCHED AND s.v < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+          |""".stripMargin)
+      val after = t.read().get
+      assert(after.count() == 10L, "10 - 1 delete + 1 insert")
+      def vOf(k: String): Seq[Long] = after.filter(col("k") === k)
+        .select("v").collect().map(_.getLong(0)).toSeq
+      assert(vOf("k1") == Seq(100L), "WHEN MATCHED UPDATE")
+      assert(after.filter(col("k") === "k2").count() == 0L,
+        "WHEN MATCHED DELETE")
+      assert(vOf("brandnew") == Seq(500L), "WHEN NOT MATCHED INSERT")
+      assert(vOf("k5") == Seq(5L), "untouched rows survive")
+      assert(t.commits().size == commitsBefore + 1,
+        "the whole MERGE statement is one commit")
+
+      // MERGE statements and concurrent library merges interleave
+      // without lost updates — same lock + lease + optimistic publish
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val sqlThread = new Thread(() =>
+        try (0 until 3).foreach { i =>
+          spark.sql(
+            s"""MERGE INTO graft_mrg.mrg t
+               |USING (SELECT 'sq$i' AS k, ${7000 + i}L AS v) s ON t.k = s.k
+               |WHEN MATCHED THEN UPDATE SET v = s.v
+               |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+               |""".stripMargin)
+        } catch { case e: Throwable => errs.add(e) })
+      val libThread = new Thread(() =>
+        try (0 until 3).foreach { i =>
+          t.merge(Seq((s"lm$i", 8000L + i)).toDF("k", "v"), keys = Seq("k"))
+        } catch { case e: Throwable => errs.add(e) })
+      sqlThread.start(); libThread.start()
+      sqlThread.join(120000); libThread.join(120000)
+      assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+      val merged = t.read().get
+      assert(merged.filter(col("k").startsWith("sq")).count() == 3L)
+      assert(merged.filter(col("k").startsWith("lm")).count() == 3L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_mrg")
+      spark.conf.unset("spark.sql.catalog.graft_mrg.root")
     }
   }
 
