@@ -67,6 +67,11 @@ object ScaleProbe {
       "grows with the corpus; the per-copy token salt makes the fixed query terms miss " +
       "at N-times scale, so the probe leg measures the bucket-pruned empty lookup floor " +
       "(single-bucket probes are file-count-asserted in PostingsIndexSpec)"),
+    "search_rrf_incr" -> ("~linear, embedding-leg dominated: the lexical leg is the " +
+      "bucket-pruned postings probe (per-copy token salt makes fixed query terms miss " +
+      "at N-times scale - the empty-lookup floor) plus the ingest; the semantic leg is " +
+      "an exact cosine top-k scan of the keyed embedding store, linear in rows; RRF " +
+      "fuses two already-top-k lists - constant work after the legs"),
     "multimodal_pair_incr" -> ("~linear: the stride-relative base filter gives each copy " +
       "its own 64-pair catalog and 16-pair batch, so index rows, probe band keys and " +
       "candidates all grow with copies; dHash band values spread across copies (the id " +

@@ -342,34 +342,34 @@ object TextAnalysis {
       // path never aggregates the corpus-cardinality docLengths table
       // (at 100 B documents that is a billions-row scan per query to
       // produce two numbers that change only on ingest). The delta is
-      // computed against the PRE-merge doc-length state of just the
-      // batch ids' buckets (readForKeys pins the resolved commit's
-      // files, so evaluating around the merge is race-free): a NEW id
-      // contributes (+1, +dl); a replayed id with unchanged text
-      // contributes (0, 0) — replay-exact WITHOUT a marker, which a
-      // plain (batch-id-less) library call couldn't carry anyway; a
-      // changed-dl re-ingest contributes the dl difference, keeping the
-      // row equal to the true aggregate even outside the append-only
-      // contract. First stats-enabled ingest on a pre-existing table
-      // bootstraps the base from one full (final) aggregate.
+      // the difference of two aggregates over ONLY the batch ids'
+      // buckets — (count, sum dl) of those buckets before and after the
+      // merge (readForKeys pins each read to its resolved commit's
+      // files, so the pre-slice stays pre-merge however late it
+      // evaluates). Replay-exact WITHOUT a marker (a replayed batch
+      // leaves the buckets unchanged → delta 0 — and a plain
+      // batch-id-less library call couldn't carry a marker anyway), and
+      // dl-change-exact even outside the append-only contract. Two
+      // bucket-sliced scans beat the obvious batch⋈state join: at seed
+      // scale that join is corpus×corpus and its sort spills, while
+      // aggregates stream. First stats-enabled ingest on a pre-existing
+      // table bootstraps the base from one full (final) aggregate.
       // Single-ingestor contract, as for the whole incremental family:
-      // concurrent ingests may interleave the read-add-merge below.
-      val statDelta: Option[(Long, Long)] = stats.map { _ =>
-        val batch = withDl.select(col("doc_id"), col("dl"))
-          .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-        val existing = docLengths
-          .readForKeys(batch.select(col("doc_id")), like = batch)
-          .select(col("doc_id"), col("dl").as("__old"))
-        val d = batch.join(existing, Seq("doc_id"), "left")
-          .agg(
-            sum(when(col("__old").isNull, 1L).otherwise(0L)).as("dn"),
-            sum(col("dl") - coalesce(col("__old"), lit(0L))).as("dsum"))
-          .first()
-        (if (d.isNullAt(0)) 0L else d.getLong(0),
-          if (d.isNullAt(1)) 0L else d.getLong(1))
+      // concurrent ingests may interleave the read-aggregate-merge.
+      val lengths = withDl.select(col("doc_id"), col("dl"))
+      def bucketAgg(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("s")).first()
+        (r.getLong(0), r.getLong(1))
       }
-      docLengths.merge(withDl.select(col("doc_id"), col("dl")),
-        keys = Seq("doc_id"))
+      val pre: Option[(Long, Long)] = stats.map { _ =>
+        bucketAgg(docLengths.readForKeys(lengths, like = lengths))
+      }
+      docLengths.merge(lengths, keys = Seq("doc_id"))
+      val statDelta: Option[(Long, Long)] = pre.map { case (n0, s0) =>
+        val (n1, s1) = bucketAgg(docLengths.readForKeys(lengths, like = lengths))
+        (n1 - n0, s1 - s0)
+      }
       // stats commit AFTER lengths but BEFORE postings: a query resolves
       // its postings slice first, so every doc it can see is already in
       // the committed stats (the same mid-ingest honesty as docLengths)
