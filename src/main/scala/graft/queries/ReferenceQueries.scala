@@ -167,6 +167,41 @@ object ReferenceQueries {
         .orderBy(col("id"))
     }),
 
+    // ── U4: SQL row-level DML — a three-clause MERGE INTO, a modulo
+    // UPDATE and a modulo DELETE (both outside the pushable filter
+    // algebra → the delta write path) run against a REAL bucketed state
+    // table through the DSv2 catalog, then the final table is read
+    // back. Every statement is one atomic manifest commit. The catalog
+    // name is fresh per invocation: CatalogManager caches plugins by
+    // name WITH their options, so a reused name would pin the first
+    // trial's table root. ────────────────────────────────────────────────
+    "u4_sql_row_dml" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sqldml-").toString
+      val t = new graft.pipeline.BucketedStateTable(s, s"$root/docs_state",
+        keyCols = Seq("doc_id"), numBuckets = 8)
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      t.merge(d.filter(col("doc_id") < 300), keys = Seq("doc_id"))
+      val cat = "gdml" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftStateCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      d.filter(col("doc_id").between(150, 449))
+        .createOrReplaceTempView("u4_src")
+      s.sql(
+        s"""MERGE INTO $cat.docs_state t USING u4_src s ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.doc_id % 5 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1000000
+           |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars) VALUES (s.doc_id, s.n_chars)
+           |""".stripMargin)
+      s.sql(s"UPDATE $cat.docs_state SET n_chars = CAST(0 AS BIGINT) " +
+        "WHERE doc_id % 7 = 0")
+      s.sql(s"DELETE FROM $cat.docs_state WHERE doc_id % 11 = 0")
+      s.read.format("graft-state").load(s"$root/docs_state")
+        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
+    }),
+
     // ── D1: optimistic delete-if-unmodified (full-tuple anti-join) ───────
     "d1_delete_if_unmodified" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -582,6 +617,25 @@ object ReferenceQueries {
         |  CAST(count(*) AS BIGINT) AS n_events, max(ts) AS max_ts
         | FROM events GROUP BY 1) t
         |ORDER BY id""".stripMargin,
+
+    "u4_sql_row_dml" ->
+      """WITH seed AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 300),
+        |src AS (SELECT doc_id, n_chars FROM documents
+        |        WHERE doc_id BETWEEN 150 AND 449),
+        |merged AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN x.doc_id IS NOT NULL THEN x.n_chars + 1000000
+        |         ELSE s.n_chars END AS n_chars
+        |  FROM seed s LEFT JOIN src x ON s.doc_id = x.doc_id
+        |  WHERE x.doc_id IS NULL OR x.doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars FROM src WHERE doc_id >= 300
+        |),
+        |upd AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE n_chars END AS n_chars FROM merged)
+        |SELECT doc_id, n_chars FROM upd WHERE doc_id % 11 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     "d1_delete_if_unmodified" ->
       """SELECT e.* FROM events e WHERE NOT EXISTS (

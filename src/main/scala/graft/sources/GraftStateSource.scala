@@ -706,20 +706,90 @@ class GraftStateCatalog extends TableCatalog {
       SparkSession.active.sessionState.newHadoopConf(),
       tableDir(ident).toString).nonEmpty
 
-  private def readOnly(): Nothing = throw new UnsupportedOperationException(
-    s"catalog $catalogName is read-only for DDL: graft state tables are " +
-      "created and dropped by the library writers that own the directory " +
-      "layout; row mutations go through INSERT INTO (append-as-merge) or " +
-      "the StateTable commit protocol (merge/deleteWhereUnmodified/" +
-      "mergeOnceForBatch), which is what makes the snapshots this catalog " +
-      "resolves consistent")
+  private def readOnly(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"catalog $catalogName does not support $what: a graft state " +
+        "table's layout (keyCols, bucketing) is fixed at creation — " +
+        "evolve by creating a new table and merging, or use the " +
+        "library's rebucket for bucket-count maintenance")
 
+  /** `CREATE TABLE cat.t (k STRING, v BIGINT) TBLPROPERTIES
+    * ('keycols'='k')` — full SQL lifecycle for state tables. The merge
+    * key comes from the `keycols` property (comma list); bucketing from
+    * `PARTITIONED BY (bucket(n, col...))` (the natural SQL spelling of
+    * the layout — cols must be a key subset) or a `numbuckets`
+    * property, default 64. The table is born as one committed EMPTY
+    * snapshot with the schema and layout recorded in its manifest, so
+    * every reader/writer face (library, SQL DML, streaming sink)
+    * resolves it immediately. CTAS works too: Spark calls this then
+    * routes the query through the INSERT-as-merge write. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = readOnly()
+      properties: util.Map[String, String]): Table = {
+    import scala.jdk.CollectionConverters._
+    val spark = SparkSession.active
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    def prop(k: String): Option[String] = properties.asScala
+      .collectFirst { case (pk, v) if pk.equalsIgnoreCase(k) => v }
+    def splitCols(s: String): Seq[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val bucketSpec: Option[(Int, Seq[String])] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }
+        val cols = t.arguments().collect {
+          case r: NamedReference => r.fieldNames().mkString(".")
+        }.toSeq
+        Some((n.getOrElse(throw new IllegalArgumentException(
+          "bucket transform needs a bucket count")), cols))
+      case other => throw new UnsupportedOperationException(
+        s"graft state tables support only PARTITIONED BY (bucket(n, col...)), " +
+          s"got: ${other.mkString(", ")} — the hash-bucket layout IS the " +
+          "partitioning")
+    }
+    val keyCols = prop("keycols").map(splitCols)
+      .orElse(bucketSpec.map(_._2))
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE in catalog $catalogName needs the merge key: " +
+          "TBLPROPERTIES ('keycols'='a,b') or PARTITIONED BY (bucket(n, a))"))
+    val missing = keyCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"keycols ${missing.mkString(", ")} not in the table schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    val numBuckets = bucketSpec.map(_._1)
+      .orElse(prop("numbuckets").map(_.toInt)).getOrElse(64)
+    val bucketCols = bucketSpec.map(_._2).getOrElse(keyCols)
+    require(bucketCols.forall(keyCols.contains),
+      s"bucket columns (${bucketCols.mkString(", ")}) must be a subset " +
+        s"of keycols (${keyCols.mkString(", ")})")
+    val t = new BucketedStateTable(spark, tableDir(ident).toString,
+      keyCols = keyCols, numBuckets = numBuckets,
+      bucketCols = if (bucketCols == keyCols) Nil else bucketCols)
+    t.replaceAll(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+    loadTable(ident)
+  }
+
+  /** `DROP TABLE cat.t` — removes the table directory. Guarded: only a
+    * directory that actually holds a state-table commit log is deleted
+    * (false otherwise → Spark raises its standard no-such-table error),
+    * so a mis-pointed identifier can never remove arbitrary data. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val spark = SparkSession.active
+    val dir = tableDir(ident)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(dir, "_commits"))) false
+    else fs.delete(dir, true)
+  }
+
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly()
-  override def dropTable(ident: Identifier): Boolean = readOnly()
+      changes: TableChange*): Table = readOnly("ALTER TABLE")
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit = readOnly()
+      newIdent: Identifier): Unit = readOnly("RENAME TABLE")
 }

@@ -74,7 +74,7 @@ class GraftStateSourceSpec extends SparkSpec {
       s"scan must prune to the referenced columns:\n$plan")
   }
 
-  test("graft-state: catalog makes state tables plain-SQL addressable; read-only surface refuses") {
+  test("graft-state: catalog makes state tables plain-SQL addressable; layout-changing DDL refuses") {
     val dir = tmp()
     seeded(dir, "oai_headers", rows = 500L)
     seeded(dir, "reporting_docs", rows = 50L)
@@ -90,10 +90,12 @@ class GraftStateSourceSpec extends SparkSpec {
       val names = spark.sql("SHOW TABLES IN graft_state")
         .select("tableName").collect().map(_.getString(0)).toSet
       assert(names == Set("oai_headers", "reporting_docs"))
+      // layout-changing DDL stays refused (DROP/CREATE live in the
+      // lifecycle test below)
       val ex = intercept[Exception] {
-        spark.sql("DROP TABLE graft_state.oai_headers")
+        spark.sql("ALTER TABLE graft_state.oai_headers ADD COLUMN extra INT")
       }
-      assert(ex.getMessage.contains("read-only"), s"got: ${ex.getMessage}")
+      assert(ex.getMessage.contains("ALTER TABLE"), s"got: ${ex.getMessage}")
       // mutate through the library; a NEW statement sees the commit
       val t = new BucketedStateTable(spark, s"$dir/oai_headers",
         keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)
@@ -429,6 +431,72 @@ class GraftStateSourceSpec extends SparkSpec {
       in.addData("d" -> 4L); q2.processAllAvailable()
       assert(state() == Map("a" -> 10L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
     } finally q2.stop()
+  }
+
+  test("graft-state: full SQL lifecycle — CREATE TABLE, bucket transform, CTAS, DROP") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    spark.conf.set("spark.sql.catalog.graft_ddl",
+      classOf[GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ddl.root", dir)
+    try {
+      // CREATE with keycols property: born as a committed EMPTY
+      // snapshot every face resolves — SELECT, INSERT, MERGE all work
+      spark.sql("CREATE TABLE graft_ddl.fresh (k STRING, v BIGINT) " +
+        "TBLPROPERTIES ('keycols'='k', 'numbuckets'='4')")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ddl.fresh")
+        .collect().head.getLong(0) == 0L)
+      spark.sql("INSERT INTO graft_ddl.fresh VALUES ('a', 1), ('b', 2)")
+      // INSERT INTO a state table is a keyed merge: the second statement
+      // UPDATES 'a' (update-beats-state), no duplicate row appears
+      spark.sql("INSERT INTO graft_ddl.fresh VALUES ('a', 10)")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ddl.fresh")
+        .collect().head.getLong(0) == 2L)
+      val lib = new BucketedStateTable(spark, s"$dir/fresh",
+        keyCols = Seq("k"), numBuckets = 4)
+      assert(lib.read().get.count() == 2L, "library face sees the SQL-created table")
+
+      // PARTITIONED BY (bucket(n, col)) is the SQL spelling of the layout
+      spark.sql("CREATE TABLE graft_ddl.bucketed (term STRING, doc_id BIGINT, tf BIGINT) " +
+        "PARTITIONED BY (bucket(8, term)) TBLPROPERTIES ('keycols'='term,doc_id')")
+      spark.sql("INSERT INTO graft_ddl.bucketed VALUES ('x', 1, 3)")
+      assert(spark.sql("SELECT tf FROM graft_ddl.bucketed WHERE term = 'x'")
+        .collect().map(_.getLong(0)).toSeq == Seq(3L))
+
+      // CTAS: createTable from the query schema + INSERT-as-merge write
+      spark.sql("CREATE TABLE graft_ddl.derived TBLPROPERTIES ('keycols'='k') " +
+        "AS SELECT k, v * 10 AS v10 FROM graft_ddl.fresh")
+      assert(spark.sql("SELECT sum(v10) AS s FROM graft_ddl.derived")
+        .collect().head.getLong(0) == 120L)
+
+      // guards: missing keycols; duplicate create; non-bucket partitioning
+      val noKeys = intercept[Exception] {
+        spark.sql("CREATE TABLE graft_ddl.nokeys (k STRING, v BIGINT)")
+      }
+      assert(noKeys.getMessage.contains("keycols"), s"got: ${noKeys.getMessage}")
+      val dup = intercept[Exception] {
+        spark.sql("CREATE TABLE graft_ddl.fresh (k STRING) TBLPROPERTIES ('keycols'='k')")
+      }
+      assert(dup.getMessage.toUpperCase.contains("EXISTS"), s"got: ${dup.getMessage}")
+
+      // DROP removes the directory; the guarded path refuses to touch a
+      // non-state directory (surfaces as Spark's standard error)
+      spark.sql("DROP TABLE graft_ddl.fresh")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/fresh")))
+      val gone = intercept[Exception] {
+        spark.sql("SELECT count(*) FROM graft_ddl.fresh")
+      }
+      assert(gone.getMessage.contains("fresh"), s"got: ${gone.getMessage}")
+      // re-create after drop works (no stale state)
+      spark.sql("CREATE TABLE graft_ddl.fresh (k STRING, n BIGINT) " +
+        "TBLPROPERTIES ('keycols'='k')")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ddl.fresh")
+        .collect().head.getLong(0) == 0L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_ddl")
+      spark.conf.unset("spark.sql.catalog.graft_ddl.root")
+    }
   }
 
   test("graft-state sink: missing replay scope fails fast — no table-path fallback") {
