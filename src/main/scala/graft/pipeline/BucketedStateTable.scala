@@ -424,12 +424,93 @@ class BucketedStateTable(
     * Throws if the commit has been pruned; `None` for a commit that
     * published an empty table. */
   def readAt(commitId: Long): Option[DataFrame] = {
+    val m = manifestAt(commitId)
+    readFrom(m, m.buckets.keys.toSeq)
+  }
+
+  private def manifestAt(commitId: Long): Manifest = {
     val p = manifestFiles().find(_._1 == commitId).map(_._2)
       .getOrElse(throw new NoSuchElementException(
         s"commit $commitId is not retained at $path " +
           s"(retained: ${commits().mkString(", ")})"))
-    val m = readManifest(p)
-    readFrom(m, m.buckets.keys.toSeq)
+    readManifest(p)
+  }
+
+  /** Change feed between two retained commits: the NET row-level
+    * changes a consumer must apply to move from the `fromCommit`
+    * snapshot to the `toCommit` one, as
+    * `(change_type, <row columns>)` with `change_type` one of
+    * `insert` / `delete` / `update_preimage` / `update_postimage`
+    * (an updated key emits both images, Delta-CDF style). Endpoint
+    * semantics: a row inserted and deleted again between the two
+    * commits does not appear; per-commit CDC is this method over
+    * consecutive [[commits]] ids.
+    *
+    * Bucket-pruned by the manifests themselves: a bucket whose commit
+    * pointer is IDENTICAL in both manifests cannot have changed and is
+    * skipped without reading a byte (`df.inputFiles` is the spec's
+    * evidence), so diffing a 100 TB table after a small merge reads the
+    * few rewritten buckets twice, never the table. The changed buckets
+    * join on the full key (null-safe) — both sides shuffle only
+    * changed-bucket rows, and the classification is one codegen'd
+    * projection (no per-leg re-read of the join).
+    *
+    * SQL access rides a view:
+    * `t.changesBetween(3, 7).createOrReplaceTempView("t_changes")`. */
+  def changesBetween(fromCommit: Long, toCommit: Long): DataFrame = {
+    require(fromCommit <= toCommit,
+      s"changesBetween wants fromCommit <= toCommit, got $fromCommit > $toCommit")
+    val mFrom = manifestAt(fromCommit)
+    val mTo = manifestAt(toCommit)
+    val rowSchema: org.apache.spark.sql.types.StructType =
+      (readFrom(mTo, mTo.buckets.keys.toSeq) orElse
+        readFrom(mFrom, mFrom.buckets.keys.toSeq))
+        .map(_.schema)
+        .orElse(mTo.schemaJson.orElse(mFrom.schemaJson).map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        .getOrElse(throw new IllegalStateException(
+          s"table at $path has neither data nor a recorded schema at " +
+            s"commits $fromCommit/$toCommit"))
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), rowSchema)
+    val changed = (mFrom.buckets.keySet ++ mTo.buckets.keySet).toSeq
+      .filter(b => mFrom.buckets.get(b) != mTo.buckets.get(b)).sorted
+    val cols = rowSchema.fieldNames.toSeq
+    val dataCols = cols.filterNot(keyCols.contains)
+    val oldDf = readFrom(mFrom, changed).getOrElse(empty)
+      .withColumn("__in_old", lit(true))
+    val newDf = readFrom(mTo, changed).getOrElse(empty)
+      .withColumn("__in_new", lit(true))
+    // USING-join on the key (coalesced key columns survive either side
+    // being absent); old non-key columns renamed to keep both images
+    val joined = oldDf
+      .select((keyCols.map(col) :+ col("__in_old")) ++
+        dataCols.map(c => col(c).as(s"__old_$c")): _*)
+      .join(newDf, keyCols.toSeq, "full_outer")
+    val differs =
+      if (dataCols.isEmpty) lit(false)
+      else dataCols.map(c => !(col(c) <=> col(s"__old_$c"))).reduce(_ || _)
+    def img(tpe: String, of: String => org.apache.spark.sql.Column) =
+      struct(lit(tpe).as("change_type") +:
+        cols.map(c => of(c).as(c)): _*)
+    val oldImg: String => org.apache.spark.sql.Column =
+      c => if (keyCols.contains(c)) col(c) else col(s"__old_$c")
+    val newImg: String => org.apache.spark.sql.Column = col(_)
+    // one pass over the join: each row explodes into its 0/1/2 changes
+    val changes = when(col("__in_old").isNull,
+        array(img("insert", newImg)))
+      .when(col("__in_new").isNull,
+        array(img("delete", oldImg)))
+      .when(differs,
+        array(img("update_preimage", oldImg), img("update_postimage", newImg)))
+      .otherwise(array().cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("change_type",
+              org.apache.spark.sql.types.StringType, nullable = false) +:
+              rowSchema.fields.toSeq))))
+    joined.select(explode(changes).as("__ch")).select(col("__ch.*"))
   }
 
   override def readOrEmpty(like: DataFrame): DataFrame =

@@ -202,6 +202,33 @@ object ReferenceQueries {
         .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
     }),
 
+    // ── U5: change feed (CDC) between two retained commits — seed a
+    // bucketed state table, run a merge (updates + inserts) and a keyed
+    // delete as separate commits, then read the NET row-level diff
+    // first→last: Delta-CDF-shaped (insert / delete / update_preimage /
+    // update_postimage), rows inserted-then-deleted in between absent,
+    // value-identical rewrites absent. The oracle recomputes both
+    // snapshots in SQL and diffs them. ───────────────────────────────────
+    "u5_change_feed" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cdf-").toString
+      val t = new graft.pipeline.BucketedStateTable(s, s"$root/docs_state",
+        keyCols = Seq("doc_id"), numBuckets = 8)
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      t.merge(d.filter(col("doc_id") < 400), keys = Seq("doc_id"))
+      val c1 = t.commits().last
+      t.merge(d.filter(col("doc_id").between(200, 599))
+          .withColumn("n_chars",
+            when(col("doc_id") % 3 === 0, col("n_chars") + 1000L)
+              .otherwise(col("n_chars"))),
+        keys = Seq("doc_id"))
+      t.applyDelta(upserts = d.limit(0),
+        deleteKeys = d.filter(col("doc_id") % 5 === 0).select("doc_id"),
+        keys = Seq("doc_id"))
+      t.changesBetween(c1, t.commits().last)
+        .orderBy(col("doc_id"), col("change_type"))
+    }),
+
     // ── D1: optimistic delete-if-unmodified (full-tuple anti-join) ───────
     "d1_delete_if_unmodified" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -636,6 +663,28 @@ object ReferenceQueries {
         |       ELSE n_chars END AS n_chars FROM merged)
         |SELECT doc_id, n_chars FROM upd WHERE doc_id % 11 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    "u5_change_feed" ->
+      """WITH a AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 400),
+        |c AS (SELECT doc_id,
+        |        CASE WHEN doc_id BETWEEN 200 AND 599 AND doc_id % 3 = 0
+        |             THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |      FROM documents WHERE doc_id < 600 AND doc_id % 5 <> 0)
+        |SELECT * FROM (
+        |  SELECT 'delete' AS change_type, a.doc_id, a.n_chars
+        |  FROM a LEFT JOIN c ON a.doc_id = c.doc_id WHERE c.doc_id IS NULL
+        |  UNION ALL
+        |  SELECT 'insert' AS change_type, c.doc_id, c.n_chars
+        |  FROM c LEFT JOIN a ON a.doc_id = c.doc_id WHERE a.doc_id IS NULL
+        |  UNION ALL
+        |  SELECT 'update_preimage' AS change_type, a.doc_id, a.n_chars
+        |  FROM a JOIN c ON a.doc_id = c.doc_id
+        |  WHERE a.n_chars IS DISTINCT FROM c.n_chars
+        |  UNION ALL
+        |  SELECT 'update_postimage' AS change_type, c.doc_id, c.n_chars
+        |  FROM a JOIN c ON a.doc_id = c.doc_id
+        |  WHERE a.n_chars IS DISTINCT FROM c.n_chars
+        |) ORDER BY doc_id, change_type""".stripMargin,
 
     "d1_delete_if_unmodified" ->
       """SELECT e.* FROM events e WHERE NOT EXISTS (
