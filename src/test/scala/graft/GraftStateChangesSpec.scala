@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.BucketedStateTable
+
+/** `graft-state-changes`: the streaming twin of
+  * [[BucketedStateTable.changesBetween]] — offsets are commit ids, each
+  * micro-batch is the net CDC diff of its commit range, checkpoints
+  * make restarts exactly-once, and the creation-time base commit is
+  * persisted so a batch-0 replay diffs from the original base. */
+class GraftStateChangesSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-changes").toString
+
+  private type Change = (String, String, Long, Long) // type, k, v, commit
+
+  test("readStream tails commits as net CDC batches; checkpoint restart re-emits nothing") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val t = new BucketedStateTable(spark, s"$root/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
+
+    // c1: the base world; c2/c3: history before the stream starts
+    t.merge(spark.range(100)
+      .select(concat(lit("k"), col("id")).as("k"), col("id").as("v")),
+      keys = Seq("k"))
+    val c1 = t.commits().last
+    t.merge(Seq(("k7", -7L), ("knew", 1L)).toDF("k", "v"), keys = Seq("k"))
+    t.applyDelta(upserts = Seq(("k7", 70L)).toDF("k", "v"),
+      deleteKeys = Seq("knew", "k11").map(Tuple1(_)).toDF("k"),
+      keys = Seq("k"))
+    val c3 = t.commits().last
+
+    val batches = TrieMap.empty[Long, Seq[Change]]
+    def startQ() = spark.readStream.format("graft-state-changes")
+      .option("startingCommit", c1)
+      .load(s"$root/state")
+      .writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, df.as[Change].collect().toSeq)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+
+    val q = startQ()
+    try {
+      q.processAllAvailable()
+      // batch 0 replays history (c1, c3] as ONE net diff: knew
+      // (inserted then deleted in between) is absent
+      assert(batches(0L).toSet == Set(
+        ("update_preimage", "k7", 7L, c3), ("update_postimage", "k7", 70L, c3),
+        ("delete", "k11", 11L, c3)))
+
+      // a live commit lands → next batch carries exactly its diff
+      t.merge(Seq(("k2", -2L)).toDF("k", "v"), keys = Seq("k"))
+      val c4 = t.commits().last
+      q.processAllAvailable()
+      assert(batches(1L).toSet == Set(
+        ("update_preimage", "k2", 2L, c4), ("update_postimage", "k2", -2L, c4)))
+    } finally q.stop()
+
+    // restart from the same checkpoint: nothing re-emits, new commits flow
+    batches.clear()
+    t.applyDelta(upserts = Seq.empty[(String, Long)].toDF("k", "v"),
+      deleteKeys = Seq(Tuple1("k3")).toDF("k"), keys = Seq("k"))
+    val c5 = t.commits().last
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      val emitted = batches.values.flatten.toSet
+      assert(emitted == Set(("delete", "k3", 3L, c5)),
+        s"restart must emit only the new commit's diff, got $emitted")
+    } finally q2.stop()
+  }
+
+  test("batch-0 replay after restart diffs from the PERSISTED base, not today's latest") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val t = new BucketedStateTable(spark, s"$root/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
+    t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+    t.merge(Seq(("b", 2L)).toDF("k", "v"), keys = Seq("k"))
+    val c2 = t.commits().last
+
+    val batches = TrieMap.empty[Long, Seq[Change]]
+    def startQ(ck: String) = spark.readStream.format("graft-state-changes")
+      .load(s"$root/state")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, df.as[Change].collect().toSeq)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+
+    // the empty first processAllAvailable pins source creation: batch 0
+    // is (base=c2, c2] = empty, and the DEFAULT base c2 is persisted
+    val q = startQ(s"$root/ck")
+    try {
+      q.processAllAvailable()
+      t.merge(Seq(("c", 3L)).toDF("k", "v"), keys = Seq("k"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val c3 = t.commits().last
+    assert(batches(0L).isEmpty)
+    assert(batches(1L).toSet == Set(("insert", "c", 3L, c3)))
+
+    // engineer the V1 recovery trap: a checkpoint whose log holds ONLY
+    // offsets/0 — restart replays batch 0 as getBatch(start=None, c2).
+    // A source that re-resolved "latest" as its base (now c4) would
+    // compute changesBetween(c4, c2) and blow the from<=to contract;
+    // the PERSISTED base c2 makes the replay the original empty batch,
+    // and the uncommitted range is rediscovered as (c2, latest]
+    // afterwards. The pruned copy restarts under a FRESH checkpoint
+    // path (Spark pins opened checkpoint logs and would call in-place
+    // surgery a concurrent writer).
+    def cp(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        from.listFiles().foreach(f => cp(f, new java.io.File(to, f.getName)))
+      } else if (!from.getName.endsWith(".crc")) // stale checksum sidecars
+        java.nio.file.Files.copy(from.toPath, to.toPath)
+    }
+    cp(new java.io.File(s"$root/ck"), new java.io.File(s"$root/ck2"))
+    assert(new java.io.File(s"$root/ck2/commits/0").delete())
+    assert(new java.io.File(s"$root/ck2/commits/1").delete())
+    assert(new java.io.File(s"$root/ck2/offsets/1").delete())
+    t.merge(Seq(("d", 4L)).toDF("k", "v"), keys = Seq("k"))
+    val c4 = t.commits().last
+    batches.clear()
+    val q2 = startQ(s"$root/ck2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches(0L).isEmpty,
+      s"replayed batch 0 must be the original empty range, got ${batches.get(0L)}")
+    assert(batches(1L).toSet == Set(
+      ("insert", "c", 3L, c4), ("insert", "d", 4L, c4)),
+      "the uncommitted range is rediscovered as one net batch")
+
+    // a bogus startingCommit refuses loudly at first creation
+    val provider = new graft.sources.GraftStateChangesProvider
+    val err = intercept[IllegalArgumentException] {
+      provider.createSource(spark.sqlContext, s"$root/meta2", None,
+        "graft-state-changes",
+        Map("path" -> s"$root/state", "startingCommit" -> "999"))
+    }
+    assert(err.getMessage.contains("not a retained commit"))
+  }
+}
