@@ -152,4 +152,59 @@ object StateOps {
       .drop(MaxCol)
     state.unionByName(numbered.select(state.columns.map(col).toSeq: _*))
   }
+
+  /** Incremental view maintenance for a DISTRIBUTIVE aggregate
+    * (`count(*)` + `sum(valueCol)` per `groupCols`) from a CDC change
+    * feed ([[graft.pipeline.BucketedStateTable.changesBetween]] /
+    * the `graft-state-changes` stream): each change row contributes a
+    * signed delta (+1 for `insert`/`update_postimage`, −1 for
+    * `delete`/`update_preimage`), so an UPDATE that moves a row
+    * between groups decrements its old group and increments its new
+    * one for free — both images ride the feed. Groups whose
+    * maintained count reaches zero drop out, matching a from-scratch
+    * `GROUP BY` over the new snapshot exactly.
+    *
+    * The 100 TB point: refreshing an aggregate over a mutating
+    * 100 TB table costs a shuffle of the CHANGED rows only (the feed
+    * is already bucket-pruned) plus a keyed merge into the
+    * group-cardinality view — the base table is never rescanned.
+    * Distributive-only by design: `min`/`max` cannot be maintained
+    * from deltas without the group's full history (re-aggregate those
+    * from the snapshot, or keep per-group sketches). `valueCol` and
+    * `groupCols` are assumed non-null (the usual dimensional contract
+    * — coalesce a sentinel in upstream if a group key can be null;
+    * the equi-join here would otherwise split the null group).
+    *
+    * `agg` must carry `groupCols ++ (n_rows, sum_<valueCol>)` — the
+    * shape [[aggregateShape]] produces; pass it an empty such frame to
+    * bootstrap from nothing. */
+  def maintainSumCount(
+      agg: DataFrame,
+      changes: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val sumCol = s"sum_$valueCol"
+    val sign = when(col("change_type")
+      .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+    val delta = changes
+      .select(groupCols.map(col) :+ sign.as("__sign") :+ col(valueCol): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__sign")).as("__dn"),
+        sum(col("__sign") * col(valueCol)).as("__dsum"))
+    agg.join(delta, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ Seq(
+        (coalesce(col("n_rows"), lit(0L)) +
+          coalesce(col("__dn"), lit(0L))).as("n_rows"),
+        (coalesce(col(sumCol), lit(0L)) +
+          coalesce(col("__dsum"), lit(0L))).as(sumCol)): _*)
+      .filter(col("n_rows") > 0)
+  }
+
+  /** The maintained-view shape [[maintainSumCount]] expects, computed
+    * from scratch — the bootstrap (and the spec's parity oracle). */
+  def aggregateShape(rows: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol)).as(s"sum_$valueCol"))
 }

@@ -727,6 +727,25 @@ class BucketedStateTable(
       }
     } }
 
+  /** Marker-guarded [[applyDelta]] — the exact-once face for streaming
+    * consumers whose per-batch delta is NOT an idempotent keyed merge
+    * (incremental-view increments, running totals): a replayed batch id
+    * is skipped entirely instead of double-applied. Same marker
+    * bookkeeping and crash contract as [[mergeOnceForBatch]] — a crash
+    * in the narrow window between the delta's manifest publish and the
+    * marker write replays as a double-apply, the trade
+    * [[graft.streaming.MixStream]] documents; callers needing stronger
+    * ground must derive the batch from replay-stable inputs. Returns
+    * true when the delta ran. */
+  def applyDeltaOnceForBatch(batchId: Long, streamScope: String,
+      upserts: DataFrame, deleteKeys: DataFrame,
+      keys: Seq[String]): Boolean =
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      BatchMarkers.runOnce(fs, root, batchId, streamScope) {
+        applyDelta(upserts, deleteKeys, keys)
+      }
+    } }
+
   /** D2 — retention with keep-latest, bucket-pruned: one read pass finds
     * the global max `seqCol` and the buckets that actually HOLD expired
     * rows; only those buckets are rewritten (a retention sweep over

@@ -65,14 +65,27 @@ class ReportingRunner(
   // shutdownNow semantics, `ReportingManager.java:99-116`)
   @volatile private var loopThreads: List[Thread] = Nil
 
-  /** ST6 — cooperative stop: flips the flag, then interrupts the
+  // Every loop-thread Spark action carries this job group so stop()
+  // can CANCEL it: a plain interrupt only wakes the blocked driver
+  // thread — the action's tasks keep running on the executor threads
+  // (local mode shares them with everything else in the JVM), and
+  // under load those orphans can starve the loop's exit path past any
+  // join grace. cancelJobGroup is Spark's shutdownNow analogue: tasks
+  // are interrupted too (interruptOnCancel) and the slots free now.
+  private val jobGroup =
+    s"graft-runner-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** ST6 — cooperative stop: flips the flag, cancels the loops'
+    * in-flight Spark jobs (tasks included), then interrupts the
     * registered loop threads. The flag alone would leave a loop asleep
     * for up to a full poll interval (hours, under production configs);
-    * the interrupt wakes `Thread.sleep`-based sleepers and aborts an
-    * in-flight Spark action, both of which the loop body absorbs as
-    * `InterruptedException` and re-checks `running`. */
+    * the cancel + interrupt wake `Thread.sleep`-based sleepers and
+    * abort an in-flight Spark action AND its tasks, all of which the
+    * loop body absorbs and re-checks `running`. */
   def stop(): Unit = {
     running = false
+    try spark.sparkContext.cancelJobGroup(jobGroup)
+    catch { case _: Throwable => () } // a stopped context cancels nothing
     loopThreads.foreach(_.interrupt())
   }
   def isRunning: Boolean = running
@@ -130,6 +143,10 @@ class ReportingRunner(
     val started = new CountDownLatch(2)
     def loop(name: String)(body: () => Unit): Thread = {
       val t = new Thread(() => {
+        // job-group registration is thread-local; interruptOnCancel
+        // makes a stop() cancellation interrupt the TASKS as well
+        spark.sparkContext.setJobGroup(jobGroup,
+          s"ReportingRunner $name loop", interruptOnCancel = true)
         started.countDown()
         while (running) {
           // reference loops log persistence errors and retry next cycle
@@ -156,11 +173,18 @@ class ReportingRunner(
   }
 
   /** Stop and await both loops (reference 60 s executor grace,
-    * `ReportingManager.java:99-116`). Returns true when both exited. */
+    * `ReportingManager.java:99-116`). Returns true when both exited;
+    * on a timeout the straggler's stack is dumped to stderr so a
+    * grace failure carries its own diagnosis. */
   def stopAndAwait(threads: (Thread, Thread), graceMillis: Long = 60000L): Boolean = {
     stop()
     threads._1.interrupt(); threads._2.interrupt()
     threads._1.join(graceMillis); threads._2.join(graceMillis)
+    Seq(threads._1, threads._2).filter(_.isAlive).foreach { t =>
+      System.err.println(s"[stopAndAwait] ${t.getName} still alive after " +
+        s"${graceMillis}ms grace; stack:\n  " +
+        t.getStackTrace.mkString("\n  "))
+    }
     !threads._1.isAlive && !threads._2.isAlive
   }
 }

@@ -229,6 +229,37 @@ object ReferenceQueries {
         .orderBy(col("doc_id"), col("change_type"))
     }),
 
+    // ── U6: incremental view maintenance — a count/sum aggregate kept
+    // current from the change feed alone (signed deltas; group-moving
+    // updates and drained groups included), never rescanning the base
+    // table. The oracle recomputes the aggregate from scratch over the
+    // final snapshot. ────────────────────────────────────────────────────
+    "u6_ivm_aggregate" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivm-").toString
+      val t = new graft.pipeline.BucketedStateTable(s, s"$root/docs_state",
+        keyCols = Seq("doc_id"), numBuckets = 8)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      t.merge(d.filter(col("doc_id") < 400), keys = Seq("doc_id"))
+      val c1 = t.commits().last
+      val agg0 = StateOps.aggregateShape(
+        t.readAt(c1).get, Seq("lang"), "n_chars")
+      t.merge(d.filter(col("doc_id").between(200, 599))
+          .withColumn("n_chars",
+            when(col("doc_id") % 3 === 0, col("n_chars") + 1000L)
+              .otherwise(col("n_chars")))
+          .withColumn("lang",
+            when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang"))),
+        keys = Seq("doc_id"))
+      t.applyDelta(upserts = d.limit(0),
+        deleteKeys = d.filter(col("doc_id") % 5 === 0).select("doc_id"),
+        keys = Seq("doc_id"))
+      StateOps.maintainSumCount(agg0,
+          t.changesBetween(c1, t.commits().last), Seq("lang"), "n_chars")
+        .orderBy(col("lang"))
+    }),
+
     // ── D1: optimistic delete-if-unmodified (full-tuple anti-join) ───────
     "d1_delete_if_unmodified" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -685,6 +716,17 @@ object ReferenceQueries {
         |  FROM a JOIN c ON a.doc_id = c.doc_id
         |  WHERE a.n_chars IS DISTINCT FROM c.n_chars
         |) ORDER BY doc_id, change_type""".stripMargin,
+
+    "u6_ivm_aggregate" ->
+      """WITH c AS (SELECT doc_id,
+        |    CASE WHEN doc_id BETWEEN 200 AND 599 AND doc_id % 7 = 0
+        |         THEN 'xx' ELSE lang END AS lang,
+        |    CASE WHEN doc_id BETWEEN 200 AND 599 AND doc_id % 3 = 0
+        |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id < 600 AND doc_id % 5 <> 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
     "d1_delete_if_unmodified" ->
       """SELECT e.* FROM events e WHERE NOT EXISTS (

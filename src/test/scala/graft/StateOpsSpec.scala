@@ -123,4 +123,44 @@ class StateOpsSpec extends SparkSpec {
     assert(late.newState.count() == 3L)
     assert(late.notRemoved.count() == 1L)
   }
+
+  test("IVM: maintainSumCount from a change feed matches a from-scratch aggregate") {
+    val s = spark
+    import s.implicits._
+    val oldRows = Seq(("k1", "a", 10L), ("k2", "a", 20L),
+      ("k3", "b", 30L), ("k4", "b", 40L)).toDF("k", "g", "v")
+    val newRows = Seq(("k1", "a", 10L), ("k2", "c", 25L),
+      ("k5", "a", 5L)).toDF("k", "g", "v")
+    // the CDC diff old→new: insert k5, drain group b entirely, and a
+    // group-MOVING update (k2: a→c) whose two images must transfer the
+    // row between groups
+    val changes = Seq(
+      ("insert", "k5", "a", 5L),
+      ("delete", "k3", "b", 30L), ("delete", "k4", "b", 40L),
+      ("update_preimage", "k2", "a", 20L),
+      ("update_postimage", "k2", "c", 25L)
+    ).toDF("change_type", "k", "g", "v")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long)].collect().toSet
+
+    val agg0 = StateOps.aggregateShape(oldRows, Seq("g"), "v")
+    val maintained = StateOps.maintainSumCount(agg0, changes, Seq("g"), "v")
+    assert(canon(maintained) ==
+      canon(StateOps.aggregateShape(newRows, Seq("g"), "v")))
+    assert(canon(maintained) == Set(("a", 2L, 15L), ("c", 1L, 25L)),
+      "group b drained, k2's mass moved a→c")
+
+    // bootstrap: an empty view + an all-inserts feed IS the aggregate
+    val empty = agg0.limit(0)
+    val seedFeed = newRows.select(lit("insert").as("change_type"),
+      col("k"), col("g"), col("v"))
+    assert(canon(StateOps.maintainSumCount(empty, seedFeed, Seq("g"), "v")) ==
+      canon(StateOps.aggregateShape(newRows, Seq("g"), "v")))
+
+    // and feeds compose: applying a second diff continues the view
+    val changes2 = Seq(("delete", "k5", "a", 5L)).toDF("change_type", "k", "g", "v")
+    assert(canon(StateOps.maintainSumCount(maintained, changes2, Seq("g"), "v")) ==
+      Set(("a", 1L, 10L), ("c", 1L, 25L)))
+  }
 }
