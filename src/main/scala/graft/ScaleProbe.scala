@@ -92,7 +92,14 @@ object ScaleProbe {
       "(here: the per-copy token salt multiplies it by N, the worst case)"),
     "text_unigram_encode" -> ("linear: train as above, then ONE narrow kernel projection " +
       "over every document; the piece table rides as a single reference object, so plan " +
-      "size is O(1) in vocab and the encode composes with scan pushdown"))
+      "size is O(1) in vocab and the encode composes with scan pushdown"),
+    "u5_change_feed" -> ("~flat: the id stride keeps the doc_id<600 working set copy-0 " +
+      "only, so state size, commits and the diff are FIXED while the corpus grows N-fold " +
+      "- the probe measures that corpus growth does not leak into change-feed cost " +
+      "(parquet min/max prunes the seed scan; the diff reads only rewritten buckets)"),
+    "u6_ivm_aggregate" -> ("~flat, same construction: the maintained view's feed, touched " +
+      "groups and delta commit are all copy-0-sized; a 100x corpus must not change what " +
+      "an incremental view refresh costs"))
 
   /** Materialize `copies` divergent copies of documents + embeddings
     * from `srcDir` into `outDir` (see class doc for the divergence
