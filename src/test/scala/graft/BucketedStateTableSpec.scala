@@ -444,6 +444,11 @@ class BucketedStateTableSpec extends SparkSpec {
     lingering.foreach { c =>
       intercept[IllegalArgumentException] { t16.readAt(c) }
     }
+    // the change feed inherits the refusal: a diff spanning the
+    // rebucket boundary would compare incompatible bucket universes
+    intercept[IllegalArgumentException] {
+      t16.changesBetween(lingering.head, newest)
+    }
     // and post-rebucket mutations stay bucket-pruned on the NEW layout
     t16.merge(Seq(("k2", -2L)).toDF("k", "v"), keys = Seq("k"))
     assert(t16.lastCommit.get.bucketsWritten.size == 1)
