@@ -403,8 +403,60 @@ class BucketedStateTable(
   private def readFrom(m: Manifest, buckets: Seq[Int]): Option[DataFrame] = {
     val paths = buckets.sorted.flatMap(b => m.buckets.get(b).map(c => bucketPath(b, c).toString))
     if (paths.isEmpty) None
-    else Some(spark.read.parquet(paths: _*))
+    // Read under the manifest's RECORDED schema when it carries one:
+    // after a widening merge or [[widenTo]], clean buckets still hold
+    // files written under the narrower pre-widening shape, and the
+    // explicit schema null-fills their missing columns
+    // deterministically (the footer-sampled default would make the
+    // result shape depend on which file the reader samples).
+    // [[readAt]] passes the OLD manifest, so time travel keeps the
+    // snapshot's contemporary schema.
+    else m.schemaJson match {
+      case Some(j) => Some(spark.read.schema(schemaOf(j)).parquet(paths: _*))
+      case None => Some(spark.read.parquet(paths: _*))
+    }
   }
+
+  private def schemaOf(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Require `from → to` to be a pure WIDENING: every `from` column
+    * survives in `to` under the same name and type (new `to` columns
+    * are fine). Anything else — a drop, a rename, a type change — is
+    * refused loudly: those need a full-table rewrite the caller must
+    * own, never a silent cast. */
+  private def widenCheck(from: org.apache.spark.sql.types.StructType,
+      to: org.apache.spark.sql.types.StructType, what: String): Unit =
+    from.fields.foreach { f =>
+      val t = to.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"$what at $path drops column `${f.name}` " +
+            s"(${from.fieldNames.mkString(",")} -> " +
+            s"${to.fieldNames.mkString(",")}) — schema evolution supports " +
+            "ADD COLUMN only; drops/renames need an explicit full rewrite " +
+            "(replaceAll) under the new shape"))
+      require(t.dataType == f.dataType,
+        s"$what at $path changes column `${f.name}` from " +
+          s"${f.dataType.simpleString} to ${t.dataType.simpleString} — " +
+          "schema evolution supports ADD COLUMN only; type changes need " +
+          "an explicit full rewrite (replaceAll) under the new shape")
+    }
+
+  /** Align `df` up to `target`: verify the move is a pure widening,
+    * then null-fill the columns `df` lacks (added columns are nullable
+    * by construction — old rows genuinely have no value). No-op when
+    * the shapes already agree. */
+  private def alignTo(df: DataFrame, target: org.apache.spark.sql.types.StructType,
+      what: String): DataFrame =
+    if (df.schema.fieldNames.sameElements(target.fieldNames)) df
+    else {
+      widenCheck(df.schema, target, what)
+      df.select(target.fields.toIndexedSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
 
   override def read(): Option[DataFrame] =
     currentManifest().flatMap(m => readFrom(m, m.buckets.keys.toSeq))
@@ -478,7 +530,12 @@ class BucketedStateTable(
       .filter(b => mFrom.buckets.get(b) != mTo.buckets.get(b)).sorted
     val cols = rowSchema.fieldNames.toSeq
     val dataCols = cols.filterNot(keyCols.contains)
-    val oldDf = readFrom(mFrom, changed).getOrElse(empty)
+    // across a WIDENING boundary the from-side reads under its own
+    // (narrower) contemporary schema and aligns up: an old row whose
+    // new column gained a value diffs as an update with a null-column
+    // preimage — exactly what a consumer must apply
+    val oldDf = alignTo(readFrom(mFrom, changed).getOrElse(empty),
+        rowSchema, "changesBetween")
       .withColumn("__in_old", lit(true))
     val newDf = readFrom(mTo, changed).getOrElse(empty)
       .withColumn("__in_new", lit(true))
@@ -671,11 +728,57 @@ class BucketedStateTable(
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
       val dirty = dirtyBucketsOf(updates)
       if (dirty.nonEmpty) {
-        val cur = readBucketsOrEmpty(dirty, like = updates)
+        // a widening batch (new columns) aligns the current rows up —
+        // null-filled — and the commit records the widened schema, so
+        // ADD COLUMN rides an ordinary merge; clean buckets keep their
+        // narrower files and read back null-filled via the manifest
+        // schema. Narrowing/type changes are refused inside alignTo.
+        val cur = alignTo(readBucketsOrEmpty(dirty, like = updates),
+          updates.schema, "merge")
         commit(StateOps.mergeByKey(cur, updates, keys, versionCols), dirty)
       }
     } }
   }
+
+  /** ADD COLUMN as a METADATA-ONLY commit — the `ALTER TABLE ... ADD
+    * COLUMNS` verb: publishes a new manifest whose bucket pointers are
+    * UNCHANGED and whose recorded schema is the widened `target`
+    * (added columns forced nullable — existing rows genuinely hold no
+    * value and read back null-filled via the manifest schema). Zero
+    * data is read or written, so widening a 100 TB table costs one
+    * manifest rename regardless of size; subsequent merges under the
+    * widened shape rewrite only their dirty buckets, narrower files in
+    * clean buckets stay valid forever. Narrowing/renames/type changes
+    * are refused (see [[widenCheck]]); widening to the current schema
+    * is a no-op (no empty commit). */
+  def widenTo(target: org.apache.spark.sql.types.StructType): Unit =
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      val base = currentManifest().getOrElse(
+        throw new IllegalStateException(
+          s"widenTo: no committed state at $path — create the table " +
+            "first (replaceAll/merge under the initial schema)"))
+      val from = base.schemaJson.map(schemaOf)
+        .orElse(readFrom(base, base.buckets.keys.toSeq).map(_.schema))
+        .getOrElse(throw new IllegalStateException(
+          s"widenTo: table at $path has neither data nor a recorded " +
+            "schema to widen from"))
+      widenCheck(from, target, "widenTo")
+      // existing columns keep their RECORDED field verbatim (nullability
+      // and metadata included — a caller-side decoration like the SQL
+      // face's non-null key marking must not leak into storage); added
+      // columns are forced nullable
+      val widened = org.apache.spark.sql.types.StructType(
+        target.fields.map { f =>
+          from.fields.find(_.name == f.name).getOrElse(f.copy(nullable = true))
+        })
+      if (widened != from) {
+        val next = nextCommitId()
+        writeManifest(Manifest(next, base.buckets, Some(widened.json)),
+          basedOn = base.commitId)
+        prune()
+        last = Some(CommitStats(next, Nil, Nil))
+      }
+    } }
 
   /** One ATOMIC keyed delta — the row-level-DML verb behind SQL
     * `UPDATE`/`MERGE INTO`: upsert every row of `upserts` and remove
@@ -697,8 +800,10 @@ class BucketedStateTable(
           .distinct.sorted
       if (dirty.nonEmpty) {
         // `upserts` carries the full table schema (possibly zero rows),
-        // so it shapes the empty state exactly like merge() does
-        val cur = readBucketsOrEmpty(dirty, like = upserts)
+        // so it shapes the empty state exactly like merge() does —
+        // including a WIDENED shape (see merge's alignment note)
+        val cur = alignTo(readBucketsOrEmpty(dirty, like = upserts),
+          upserts.schema, "applyDelta")
         val kept = cur.join(deleteKeys, keys, "left_anti")
         commit(StateOps.mergeByKey(kept, upserts, keys), dirty)
       }

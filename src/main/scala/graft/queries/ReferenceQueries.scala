@@ -260,6 +260,27 @@ object ReferenceQueries {
         .orderBy(col("lang"))
     }),
 
+    // ── U7: schema evolution — widen a live state table by a
+    // metadata-only ADD COLUMN ([[BucketedStateTable.widenTo]]: zero
+    // data I/O, one manifest rename regardless of table size), then
+    // backfill through an ordinary bucket-pruned merge. Pre-widening
+    // rows in never-rewritten buckets read back null-filled under the
+    // manifest's recorded schema. The oracle recomputes the final
+    // snapshot in SQL. ───────────────────────────────────────────────────
+    "u7_schema_evolution" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-evo-").toString
+      val t = new graft.pipeline.BucketedStateTable(s, s"$root/docs_state",
+        keyCols = Seq("doc_id"), numBuckets = 8)
+      val narrow = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val wide = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      t.merge(narrow.filter(col("doc_id") < 400), keys = Seq("doc_id"))
+      t.widenTo(wide.schema) // metadata-only: no bucket is read or written
+      t.merge(wide.filter(col("doc_id").between(200, 599)), keys = Seq("doc_id"))
+      t.read().get.orderBy(col("doc_id"))
+    }),
+
     // ── D1: optimistic delete-if-unmodified (full-tuple anti-join) ───────
     "d1_delete_if_unmodified" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -727,6 +748,12 @@ object ReferenceQueries {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "u7_schema_evolution" ->
+      """SELECT doc_id, n_chars,
+        |  CASE WHEN doc_id BETWEEN 200 AND 599 THEN lang END AS lang
+        |FROM documents WHERE doc_id < 600
+        |ORDER BY doc_id""".stripMargin,
 
     "d1_delete_if_unmodified" ->
       """SELECT e.* FROM events e WHERE NOT EXISTS (

@@ -48,7 +48,18 @@ import graft.pipeline.BucketedStateTable
   * Exactly-once composition: pair with an idempotent sink (e.g. the
   * `graft-state-sink` marker+merge face, or `foreachBatch` into
   * `mergeOnceForBatch`) — offsets-in-checkpoint plus deterministic
-  * ranges give the standard Structured Streaming replay story. */
+  * ranges give the standard Structured Streaming replay story.
+  *
+  * Schema evolution: a WIDENING commit
+  * ([[graft.pipeline.BucketedStateTable.widenTo]] / a widened merge)
+  * landing mid-stream flows under the stream's PINNED shape — a V1
+  * source's schema is fixed at start, so the diff's added columns are
+  * projected away (deterministically, by name; never misbound) and an
+  * update whose only change is in an invisible column emits a
+  * no-op-looking image pair the consumer applies harmlessly. A restart
+  * from the same checkpoint re-derives the schema from the manifest and
+  * keeps its offsets: the widened column flows from the first
+  * post-restart batch with null preimages for rows that predate it. */
 class GraftStateChangesProvider extends StreamSourceProvider
     with DataSourceRegister {
 

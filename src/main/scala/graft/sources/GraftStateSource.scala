@@ -93,15 +93,17 @@ object GraftStateSource {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val paths = BucketedStateTable.snapshotPaths(conf, path, commit)
-    // A committed-but-EMPTY snapshot (a fully drained queue) is a real
-    // table with zero rows, not an error — tableExists answers true for
-    // it, so `SELECT count(*)` must answer 0. Its manifest records the
-    // row schema; scan zero files under that shape. The error is
-    // reserved for the truly-never-committed (or pre-schema-manifest)
-    // case, where no shape exists to present.
+    // The manifest's RECORDED schema (when present) is authoritative,
+    // files or no files: a committed-but-EMPTY snapshot (a fully
+    // drained queue) is a real table with zero rows, and after a
+    // widening merge / ALTER ADD COLUMNS the clean buckets still hold
+    // files under the narrower pre-widening shape — footer sampling
+    // would present whichever file it lands on, while the recorded
+    // schema null-fills the missing columns deterministically. The
+    // error is reserved for the truly-never-committed (or
+    // pre-schema-manifest, which falls back to footer inference) case.
     val schema: Option[StructType] =
-      if (paths.nonEmpty) None
-      else BucketedStateTable.snapshotSchema(conf, path, commit)
+      BucketedStateTable.snapshotSchema(conf, path, commit)
     if (paths.isEmpty && schema.isEmpty)
       throw new IllegalArgumentException(
         s"graft-state table at $path has no committed snapshot" +
@@ -788,8 +790,49 @@ class GraftStateCatalog extends TableCatalog {
     else fs.delete(dir, true)
   }
 
+  /** `ALTER TABLE cat.t ADD COLUMNS (c TYPE, ...)` — the ONE schema
+    * change a bucketed state table supports, routed through
+    * [[graft.pipeline.BucketedStateTable.widenTo]]: a metadata-only
+    * commit (no data read or written — widening 100 TB costs one
+    * manifest rename), existing rows read back null-filled, under the
+    * full commit protocol so it serializes against concurrent writers.
+    * Everything else (drop/rename/retype column, table properties,
+    * NOT NULL adds, nested or positioned adds) stays refused — those
+    * would need a full rewrite or break the fixed layout. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("ALTER TABLE")
+      changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val sqlTable = loadTable(ident) match {
+      case t: GraftStateSqlTable => t
+      case _ => readOnly("ALTER TABLE")
+    }
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case other => throw new UnsupportedOperationException(
+        s"graft state tables support ALTER TABLE ... ADD COLUMNS only " +
+          s"(got ${other.getClass.getSimpleName}) — drops/renames/type " +
+          "changes need a full rewrite into a new table")
+    }
+    val existing = sqlTable.schema()
+    val added = adds.map { a =>
+      require(a.fieldNames().length == 1,
+        s"cannot add nested column ${a.fieldNames().mkString(".")} — " +
+          "state-table columns are top-level")
+      require(a.position() == null,
+        s"cannot add column ${a.fieldNames().head} FIRST/AFTER — " +
+          "added columns append (order is metadata; reads bind by name)")
+      require(a.isNullable,
+        s"cannot add NOT NULL column ${a.fieldNames().head} — existing " +
+          "rows hold no value; add it nullable and backfill by merge")
+      require(!existing.fieldNames.contains(a.fieldNames().head),
+        s"column ${a.fieldNames().head} already exists")
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames().head, a.dataType(), nullable = true)
+    }
+    val (t, _) = sqlTable.stateTable(spark)
+    t.widenTo(StructType(existing.fields ++ added))
+    loadTable(ident)
+  }
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
 }

@@ -156,4 +156,78 @@ class GraftStateChangesSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("not a retained commit"))
   }
+
+  test("a widening commit mid-stream keeps the pinned shape; a checkpoint restart carries the new column") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val t = new BucketedStateTable(spark, s"$root/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
+    t.merge(spark.range(50)
+      .select(concat(lit("k"), col("id")).as("k"), col("id").as("v")),
+      keys = Seq("k"))
+    val c1 = t.commits().last
+
+    val batches = TrieMap.empty[Long,
+      (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]
+    def startQ() = spark.readStream.format("graft-state-changes")
+      .option("startingCommit", c1)
+      .load(s"$root/state")
+      .writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, (df.schema, df.collect().toSeq))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+
+    val q = startQ()
+    try {
+      q.processAllAvailable()
+      // widen + a widened merge land WHILE the stream runs: a V1
+      // source's schema is pinned at start, so the diff flows under
+      // the pinned shape — the new column is invisible (not misbound,
+      // not a crash) until the consumer restarts to pick it up
+      t.widenTo(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType))))
+      t.merge(Seq(("k5", 500L, "five")).toDF("k", "v", "w"), keys = Seq("k"))
+      q.processAllAvailable()
+      val pinned = batches.values.filter(_._2.nonEmpty).toSeq
+      assert(pinned.nonEmpty, "the widened commit's diff must flow")
+      assert(pinned.forall(_._1.fieldNames.toSeq ==
+        Seq("change_type", "k", "v", "_commit_id")),
+        s"mid-stream batches keep the pinned shape, got ${pinned.map(_._1)}")
+      val visible = pinned.flatMap(_._2)
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(visible == Set(
+        ("update_preimage", "k5", 5L), ("update_postimage", "k5", 500L)))
+    } finally q.stop()
+
+    // restart from the SAME checkpoint: offsets are kept (nothing
+    // re-emits) and the source re-derives its schema from the manifest,
+    // so the widened column now flows
+    batches.clear()
+    t.merge(Seq(("k9", 900L, "nine")).toDF("k", "v", "w"), keys = Seq("k"))
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      val emitted = batches.values.filter(_._2.nonEmpty).toSeq
+      assert(emitted.forall(_._1.fieldNames.toSeq ==
+        Seq("change_type", "k", "v", "w", "_commit_id")),
+        s"restarted stream must carry the widened shape, got ${emitted.map(_._1)}")
+      val rows = emitted.flatMap(_._2)
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          Option(r.getString(3)).orNull)).toSet
+      assert(rows == Set(
+        ("update_preimage", "k9", 9L, null),
+        ("update_postimage", "k9", 900L, "nine")),
+        s"got $rows")
+    } finally q2.stop()
+  }
 }

@@ -90,12 +90,13 @@ class GraftStateSourceSpec extends SparkSpec {
       val names = spark.sql("SHOW TABLES IN graft_state")
         .select("tableName").collect().map(_.getString(0)).toSet
       assert(names == Set("oai_headers", "reporting_docs"))
-      // layout-changing DDL stays refused (DROP/CREATE live in the
-      // lifecycle test below)
+      // layout-changing DDL stays refused (ADD COLUMNS is now supported
+      // — SchemaEvolutionSpec owns that surface; DROP/CREATE live in
+      // the lifecycle test below)
       val ex = intercept[Exception] {
-        spark.sql("ALTER TABLE graft_state.oai_headers ADD COLUMN extra INT")
+        spark.sql("ALTER TABLE graft_state.oai_headers RENAME COLUMN k TO key")
       }
-      assert(ex.getMessage.contains("ALTER TABLE"), s"got: ${ex.getMessage}")
+      assert(ex.getMessage.contains("ADD COLUMNS only"), s"got: ${ex.getMessage}")
       // mutate through the library; a NEW statement sees the commit
       val t = new BucketedStateTable(spark, s"$dir/oai_headers",
         keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)

@@ -1,0 +1,197 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.BucketedStateTable
+import graft.sources.GraftStateCatalog
+
+/** Schema evolution on the bucketed state table: ADD COLUMN must be a
+  * pure widening — clean buckets keep their narrower files forever and
+  * read back null-filled under the manifest's recorded schema, a
+  * metadata-only [[BucketedStateTable.widenTo]] costs zero data I/O
+  * regardless of table size (the 100 TB ALTER), time travel keeps each
+  * snapshot's contemporary shape, and anything that is not a widening
+  * (drop / rename / retype / NOT NULL add) refuses loudly. Mirrors the
+  * reference's additive Liquibase-style migrations, where new columns
+  * arrive nullable and old rows are never rewritten. */
+class SchemaEvolutionSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-evolve").toString
+
+  private val s = spark
+  import s.implicits._
+
+  import org.apache.spark.sql.DataFrame
+  private def seedFrame(n: Long): DataFrame =
+    spark.range(n).select(concat(lit("k"), col("id")).as("k"), col("id").as("v"))
+
+  test("widening merge rewrites only its dirty buckets; clean buckets read back null-filled") {
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)
+    t.merge(seedFrame(200L), keys = Seq("k"))
+    val preWiden = t.commits().last
+
+    // one-key widened batch: adds column w, touches ONE bucket
+    val upd = Seq(("k7", 700L, "seven")).toDF("k", "v", "w")
+    t.merge(upd, keys = Seq("k"))
+    val stats = t.lastCommit.get
+    assert(stats.bucketsWritten.size == 1,
+      s"a 1-key widening merge must stay bucket-pruned, wrote ${stats.bucketsWritten}")
+
+    val cur = t.read().get
+    assert(cur.schema.fieldNames.toSeq == Seq("k", "v", "w"))
+    assert(cur.count() == 200L)
+    assert(cur.filter(col("k") === "k7").select("v", "w").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1))) == Seq((700L, "seven")))
+    // an untouched row in a CLEAN (never rewritten) bucket is null-filled
+    assert(cur.filter(col("w").isNull).count() == 199L)
+
+    // time travel keeps the pre-widening snapshot's contemporary shape
+    val old = t.readAt(preWiden).get
+    assert(old.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(old.count() == 200L)
+  }
+
+  test("widenTo is a metadata-only commit: zero buckets written, no data dir, 100 TB-invariant") {
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)
+    t.merge(seedFrame(100L), keys = Seq("k"))
+    val dataDirsBefore = new java.io.File(s"$dir/state/data").listFiles().length
+
+    t.widenTo(StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("score", DoubleType))))
+    val stats = t.lastCommit.get
+    assert(stats.bucketsRead.isEmpty && stats.bucketsWritten.isEmpty,
+      "widenTo must not read or write any bucket")
+    assert(new java.io.File(s"$dir/state/data").listFiles().length == dataDirsBefore,
+      "widenTo must not create a data directory")
+
+    val cur = t.read().get
+    assert(cur.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(cur.schema("score").nullable, "added columns are forced nullable")
+    assert(cur.filter(col("score").isNull).count() == 100L)
+
+    // a later merge under the widened shape backfills normally
+    t.merge(Seq(("k3", 3L, 0.5)).toDF("k", "v", "score"), keys = Seq("k"))
+    assert(t.read().get.filter(col("score").isNotNull).count() == 1L)
+
+    // widening to the CURRENT shape is a no-op (no empty commit)
+    val commits = t.commits()
+    t.widenTo(StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("score", DoubleType))))
+    assert(t.commits() == commits, "no-op widen must not publish a commit")
+  }
+
+  test("narrowing, renames, and type changes refuse loudly") {
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)
+    t.merge(seedFrame(50L), keys = Seq("k"))
+    t.widenTo(StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("w", StringType))))
+
+    // a stale writer still on the pre-widening shape must not silently
+    // decide between null-and-overwrite vs keep-old for the column it
+    // does not know about
+    val narrow = intercept[IllegalArgumentException] {
+      t.merge(Seq(("k1", 11L)).toDF("k", "v"), keys = Seq("k"))
+    }
+    assert(narrow.getMessage.contains("drops column `w`"), narrow.getMessage)
+
+    val retype = intercept[IllegalArgumentException] {
+      t.widenTo(StructType(Seq(
+        StructField("k", StringType), StructField("v", IntegerType),
+        StructField("w", StringType))))
+    }
+    assert(retype.getMessage.contains("changes column `v`"), retype.getMessage)
+
+    val drop = intercept[IllegalArgumentException] {
+      t.widenTo(StructType(Seq(
+        StructField("k", StringType), StructField("v", LongType))))
+    }
+    assert(drop.getMessage.contains("drops column `w`"), drop.getMessage)
+  }
+
+  test("change feed diffs across a widening boundary with null-column preimages") {
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)
+    t.merge(seedFrame(20L), keys = Seq("k"))
+    val from = t.commits().last
+
+    t.widenTo(StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("w", StringType))))
+    t.merge(Seq(("k5", 5L, "five"), ("k999", 999L, null: String))
+      .toDF("k", "v", "w"), keys = Seq("k"))
+    val to = t.commits().last
+
+    val ch = t.changesBetween(from, to)
+    assert(ch.schema.fieldNames.toSeq == Seq("change_type", "k", "v", "w"))
+    val byType = ch.collect().toSeq
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.get(3)).map(_.toString).orNull))
+      .groupBy(_._1)
+    assert(byType("insert").map(_._2) == Seq("k999"))
+    // k5's preimage predates the column: null w; postimage carries it
+    assert(byType("update_preimage") == Seq(("update_preimage", "k5", null)))
+    assert(byType("update_postimage") == Seq(("update_postimage", "k5", "five")))
+    // rows in the same (rewritten) bucket whose values did not change
+    // must NOT surface as updates just because the schema widened
+    assert(!byType.contains("delete"))
+    assert(byType("update_preimage").size == 1)
+  }
+
+  test("SQL: ALTER TABLE ADD COLUMNS widens; INSERT backfills; guards refuse") {
+    val dir = tmp()
+    spark.conf.set("spark.sql.catalog.graft_evo",
+      classOf[GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_evo.root", dir)
+    try {
+      spark.sql("CREATE TABLE graft_evo.docs (k STRING, v BIGINT) " +
+        "TBLPROPERTIES ('keycols'='k', 'numbuckets'='8')")
+      spark.sql("INSERT INTO graft_evo.docs VALUES ('a', 1), ('b', 2)")
+
+      spark.sql("ALTER TABLE graft_evo.docs ADD COLUMNS (score DOUBLE, lang STRING)")
+      val widened = spark.sql("SELECT * FROM graft_evo.docs ORDER BY k")
+      assert(widened.schema.fieldNames.toSeq == Seq("k", "v", "score", "lang"))
+      assert(widened.collect().map(r => (r.getString(0), r.isNullAt(2))).toSeq ==
+        Seq(("a", true), ("b", true)))
+
+      // the widened INSERT upserts normally; old rows stay null-filled
+      spark.sql("INSERT INTO graft_evo.docs VALUES ('b', 20, 0.9, 'en')")
+      val rows = spark.sql(
+        "SELECT k, v, score, lang FROM graft_evo.docs ORDER BY k").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+      assert(rows(0).isNullAt(2) && rows(0).isNullAt(3))
+      assert(rows(1).getLong(1) == 20L && rows(1).getDouble(2) == 0.9 &&
+        rows(1).getString(3) == "en")
+
+      // UPDATE can then backfill the new column through the delta path
+      spark.sql("UPDATE graft_evo.docs SET lang = 'de' WHERE k = 'a'")
+      assert(spark.sql("SELECT lang FROM graft_evo.docs WHERE k = 'a'")
+        .collect().head.getString(0) == "de")
+
+      val notNull = intercept[Exception] {
+        spark.sql("ALTER TABLE graft_evo.docs ADD COLUMNS (req INT NOT NULL)")
+      }
+      assert(notNull.getMessage.contains("NOT NULL"), notNull.getMessage)
+      val dropCol = intercept[Exception] {
+        spark.sql("ALTER TABLE graft_evo.docs DROP COLUMN score")
+      }
+      assert(dropCol.getMessage.contains("ADD COLUMNS only"), dropCol.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_evo")
+      spark.conf.unset("spark.sql.catalog.graft_evo.root")
+    }
+  }
+}
