@@ -18,6 +18,45 @@ object StateOps {
   private val SrcCol = "__graft_src"
   private val RnCol  = "__graft_rn"
 
+  /** Require `from → to` to be a pure WIDENING: every `from` column
+    * survives in `to` under the same name and type (new `to` columns are
+    * fine). Anything else — a drop, a rename, a type change — is refused
+    * loudly: those need a full-table rewrite the caller must own, never a
+    * silent cast. Shared by every [[graft.pipeline.StateTable]]
+    * implementation so additive schema evolution means the same thing on
+    * bucketed parquet, snapshot parquet, and JDBC state. */
+  def widenCheck(from: org.apache.spark.sql.types.StructType,
+      to: org.apache.spark.sql.types.StructType, what: String): Unit =
+    from.fields.foreach { f =>
+      val t = to.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"$what drops column `${f.name}` " +
+            s"(${from.fieldNames.mkString(",")} -> " +
+            s"${to.fieldNames.mkString(",")}) — schema evolution supports " +
+            "ADD COLUMN only; drops/renames need an explicit full rewrite " +
+            "under the new shape"))
+      require(t.dataType == f.dataType,
+        s"$what changes column `${f.name}` from " +
+          s"${f.dataType.simpleString} to ${t.dataType.simpleString} — " +
+          "schema evolution supports ADD COLUMN only; type changes need " +
+          "an explicit full rewrite under the new shape")
+    }
+
+  /** Align `df` up to `target`: verify the move is a pure widening
+    * ([[widenCheck]]), then null-fill the columns `df` lacks (added
+    * columns are nullable by construction — old rows genuinely have no
+    * value). No-op when the shapes already agree. */
+  def alignForWidening(df: DataFrame,
+      target: org.apache.spark.sql.types.StructType, what: String): DataFrame =
+    if (df.schema.fieldNames.sameElements(target.fieldNames)) df
+    else {
+      widenCheck(df.schema, target, what)
+      df.select(target.fields.toIndexedSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+
   /** U1/U2 — keyed last-write-wins merge (`INSERT … ON CONFLICT DO UPDATE`;
     * reference `PostgrePersistenceService.java:218-280,413-482`).
     *

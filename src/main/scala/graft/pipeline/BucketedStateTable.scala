@@ -421,42 +421,15 @@ class BucketedStateTable(
     org.apache.spark.sql.types.DataType.fromJson(json)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 
-  /** Require `from → to` to be a pure WIDENING: every `from` column
-    * survives in `to` under the same name and type (new `to` columns
-    * are fine). Anything else — a drop, a rename, a type change — is
-    * refused loudly: those need a full-table rewrite the caller must
-    * own, never a silent cast. */
+  // shared widening contract — one meaning of ADD COLUMN across all
+  // StateTable implementations (StateOps owns the check + null-fill)
   private def widenCheck(from: org.apache.spark.sql.types.StructType,
       to: org.apache.spark.sql.types.StructType, what: String): Unit =
-    from.fields.foreach { f =>
-      val t = to.fields.find(_.name == f.name).getOrElse(
-        throw new IllegalArgumentException(
-          s"$what at $path drops column `${f.name}` " +
-            s"(${from.fieldNames.mkString(",")} -> " +
-            s"${to.fieldNames.mkString(",")}) — schema evolution supports " +
-            "ADD COLUMN only; drops/renames need an explicit full rewrite " +
-            "(replaceAll) under the new shape"))
-      require(t.dataType == f.dataType,
-        s"$what at $path changes column `${f.name}` from " +
-          s"${f.dataType.simpleString} to ${t.dataType.simpleString} — " +
-          "schema evolution supports ADD COLUMN only; type changes need " +
-          "an explicit full rewrite (replaceAll) under the new shape")
-    }
+    StateOps.widenCheck(from, to, s"$what at $path")
 
-  /** Align `df` up to `target`: verify the move is a pure widening,
-    * then null-fill the columns `df` lacks (added columns are nullable
-    * by construction — old rows genuinely have no value). No-op when
-    * the shapes already agree. */
   private def alignTo(df: DataFrame, target: org.apache.spark.sql.types.StructType,
       what: String): DataFrame =
-    if (df.schema.fieldNames.sameElements(target.fieldNames)) df
-    else {
-      widenCheck(df.schema, target, what)
-      df.select(target.fields.toIndexedSeq.map { f =>
-        if (df.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }: _*)
-    }
+    StateOps.alignForWidening(df, target, s"$what at $path")
 
   override def read(): Option[DataFrame] =
     currentManifest().flatMap(m => readFrom(m, m.buckets.keys.toSeq))
@@ -1049,6 +1022,32 @@ object BucketedStateTable {
         Some(n.drop(1).dropRight(4).toLong)
       else None
     }.sorted
+  }
+
+  /** `(commitId, publishedAtMillis, nBuckets)` for every retained
+    * manifest, oldest → newest — the audit/history listing behind the
+    * SQL `t$history` metadata table and `TIMESTAMP AS OF` resolution.
+    * `publishedAtMillis` is the manifest file's modification time: the
+    * atomic rename that published it, i.e. the moment the commit became
+    * visible. Bounded by retention (`keepCommits` + the floor), so the
+    * listing is always small. */
+  def snapshotHistory(hadoopConf: org.apache.hadoop.conf.Configuration,
+      path: String): Seq[(Long, Long, Int)] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(hadoopConf)
+    val commitsDir = new Path(root, "_commits")
+    if (!fs.exists(commitsDir)) return Nil
+    fs.listStatus(commitsDir).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("c") && n.endsWith(".txt") &&
+          n.drop(1).dropRight(4).forall(_.isDigit)) {
+        val in = fs.open(s.getPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val buckets = text.linesIterator.count(l => l.nonEmpty && l.head.isDigit)
+        Some((n.drop(1).dropRight(4).toLong, s.getModificationTime, buckets))
+      } else None
+    }.sortBy(_._1)
   }
 
   /** Resolve ONE committed snapshot of the table at `path` — the newest

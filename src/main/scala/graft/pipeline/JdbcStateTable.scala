@@ -71,22 +71,49 @@ class JdbcStateTable(
   private def q(ident: String): String = "\"" + ident + "\""
   private val markerTable = table + "__batch_markers"
 
+  private def sqlType(dt: DataType): String = dt match {
+    case StringType    => "VARCHAR"
+    case BooleanType   => "BOOLEAN"
+    case IntegerType   => "INTEGER"
+    case LongType      => "BIGINT"
+    case DoubleType    => "DOUBLE PRECISION"
+    case TimestampType => "TIMESTAMP"
+    case ArrayType(StringType, _) => "VARCHAR[]"
+    case other => throw new IllegalArgumentException(
+      s"unsupported state column type $other")
+  }
+
   /** CREATE TABLE DDL for this state table (portable column types). */
-  def ddl: String = {
-    def sqlType(dt: DataType): String = dt match {
-      case StringType    => "VARCHAR"
-      case BooleanType   => "BOOLEAN"
-      case IntegerType   => "INTEGER"
-      case LongType      => "BIGINT"
-      case DoubleType    => "DOUBLE PRECISION"
-      case TimestampType => "TIMESTAMP"
-      case ArrayType(StringType, _) => "VARCHAR[]"
-      case other => throw new IllegalArgumentException(
-        s"unsupported state column type $other")
-    }
+  def ddl: String =
     s"CREATE TABLE IF NOT EXISTS ${q(table)} (" +
       schema.fields.map(f => s"${q(f.name)} ${sqlType(f.dataType)}")
         .mkString(", ") + ")"
+
+  /** ADD COLUMN as the reference's migrate-then-deploy flow: issues
+    * `ALTER TABLE ... ADD COLUMN` for each genuinely new field (in one
+    * transaction) and returns a NEW handle bound to the widened schema
+    * — this instance's statement shapes (upsert, conditional delete)
+    * are fixed at construction and keep working untouched, exactly like
+    * a service instance that predates the migration: it reads and
+    * writes the columns it knows, the database null-fills the rest.
+    * Narrowing/renames/type changes refuse ([[graft.operators.StateOps
+    * .widenCheck]] — same contract as the parquet state tables); added
+    * columns are forced nullable. */
+  def widenTo(target: StructType): JdbcStateTable = {
+    graft.operators.StateOps.widenCheck(schema, target,
+      s"widenTo on JDBC state table $table")
+    val added = target.fields.filterNot(f => schema.fieldNames.contains(f.name))
+    if (added.nonEmpty) withConnection { conn =>
+      added.foreach { f =>
+        conn.createStatement().execute(
+          s"ALTER TABLE ${q(table)} ADD COLUMN ${q(f.name)} ${sqlType(f.dataType)}")
+      }
+      conn.commit()
+    }
+    if (added.isEmpty) this
+    else new JdbcStateTable(spark, table,
+      StructType(schema.fields ++ added.map(_.copy(nullable = true))),
+      keys, connectionFactory, scratchPath, dialect, maxDriverRows)
   }
 
   /** Create the state + marker tables if absent. On engines whose

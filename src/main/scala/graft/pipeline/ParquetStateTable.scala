@@ -63,12 +63,23 @@ class ParquetStateTable(
 
   /** U1/U2 as a [[StateTable]] op: an atomic whole-snapshot rewrite —
     * correct at any size, economical only while the table is small (the
-    * bucket-pruned rewrite lives in [[BucketedStateTable]]). */
+    * bucket-pruned rewrite lives in [[BucketedStateTable]]).
+    *
+    * Additive schema evolution rides the rewrite for free: a WIDENED
+    * batch (new columns) aligns the current snapshot up — null-filled —
+    * and the new version directory carries the widened shape complete
+    * (each version is a full snapshot, so no mixed-schema files ever
+    * exist; older versions keep their contemporary shape). Narrowing
+    * and type changes refuse loudly, same contract as
+    * [[BucketedStateTable]]. */
   override def merge(updates: DataFrame, keys: Seq[String],
       versionCols: Seq[String] = Nil): Unit =
     update { state =>
       graft.operators.StateOps.mergeByKey(
-        state.getOrElse(updates.limit(0)), updates, keys, versionCols)
+        graft.operators.StateOps.alignForWidening(
+          state.getOrElse(updates.limit(0)), updates.schema,
+          s"merge at $path"),
+        updates, keys, versionCols)
     }
 
   /** D1 as a [[StateTable]] op (atomic read-modify-write; ST5). */
@@ -88,7 +99,10 @@ class ParquetStateTable(
       versionCols: Seq[String] = Nil): Boolean =
     writeOnceForBatch(batchId, streamScope) { state =>
       graft.operators.StateOps.mergeByKey(
-        state.getOrElse(updates.limit(0)), updates, keys, versionCols)
+        graft.operators.StateOps.alignForWidening(
+          state.getOrElse(updates.limit(0)), updates.schema,
+          s"mergeOnceForBatch at $path"),
+        updates, keys, versionCols)
     }
 
   /** Every version directory, committed or not — a crashed write leaves

@@ -643,6 +643,73 @@ class GraftStateStreamSink(
   }
 }
 
+/** The `t$history` metadata table: the retained commit log of one state
+  * table as rows — `(commit_id BIGINT, committed_at TIMESTAMP,
+  * n_buckets INT)`, oldest → newest. The listing is captured at LOAD
+  * (one consistent snapshot, like any table load) and is bounded by
+  * retention, so this never scans data — it reads manifest metadata
+  * only. The SQL companion of
+  * [[graft.pipeline.BucketedStateTable.commits]], and the natural
+  * source of `VERSION AS OF` targets. */
+private[sources] class GraftStateHistoryTable(
+    rootPath: String, history: Seq[(Long, Long, Int)])
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft-state-history `$rootPath`"
+
+  override def schema(): StructType = GraftStateHistoryTable.Schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () =>
+    new org.apache.spark.sql.connector.read.Scan {
+      override def readSchema(): StructType = GraftStateHistoryTable.Schema
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        new org.apache.spark.sql.connector.read.Batch {
+          override def planInputPartitions()
+              : Array[org.apache.spark.sql.connector.read.InputPartition] =
+            Array(GraftStateHistoryPartition(history))
+          override def createReaderFactory()
+              : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+            GraftStateHistoryReaderFactory
+        }
+    }
+}
+
+private[sources] object GraftStateHistoryTable {
+  import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType, StructField}
+  val Schema: StructType = StructType(Seq(
+    StructField("commit_id", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("n_buckets", IntegerType, nullable = false)))
+}
+
+private[sources] case class GraftStateHistoryPartition(
+    history: Seq[(Long, Long, Int)])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] object GraftStateHistoryReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val it =
+        partition.asInstanceOf[GraftStateHistoryPartition].history.iterator
+      private var cur: (Long, Long, Int) = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          // committed_at: millis → the micros InternalRow timestamps carry
+          Array[Any](cur._1, cur._2 * 1000L, cur._3))
+      override def close(): Unit = ()
+    }
+}
+
 /** Catalog plugin exposing a DIRECTORY of bucketed state tables to
   * plain SQL — every subdirectory of `root` that has published at least
   * one manifest is a table:
@@ -693,6 +760,19 @@ class GraftStateCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `t$history` is a reserved metadata-table suffix (Iceberg-style):
+    // the retained commit log as rows — commit_id / committed_at /
+    // n_buckets — for audit queries and for picking a `VERSION AS OF`
+    // target in plain SQL.
+    if (ident.name().endsWith("$history")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$history"))
+      val dir = tableDir(base)
+      val history = BucketedStateTable.snapshotHistory(
+        SparkSession.active.sessionState.newHadoopConf(), dir.toString)
+      if (history.isEmpty) throw new NoSuchTableException(ident)
+      return new GraftStateHistoryTable(dir.toString, history)
+    }
     val spark = SparkSession.active
     val dir = tableDir(ident)
     val commits = BucketedStateTable.snapshotCommits(
@@ -701,6 +781,53 @@ class GraftStateCatalog extends TableCatalog {
     new GraftStateSqlTable(dir.toString,
       GraftStateSource.parquetTable(dir.toString, None,
         CaseInsensitiveStringMap.empty()))
+  }
+
+  /** `SELECT ... FROM cat.t VERSION AS OF <commitId>` — the SQL face of
+    * [[graft.pipeline.BucketedStateTable.readAt]]: the snapshot exactly
+    * as that commit's manifest published it, contemporary schema
+    * included. Refuses commits outside retention, listing what IS
+    * retained (query `t$history` for the same list as rows). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val spark = SparkSession.active
+    val dir = tableDir(ident)
+    val commits = BucketedStateTable.snapshotCommits(
+      spark.sessionState.newHadoopConf(), dir.toString)
+    if (commits.isEmpty) throw new NoSuchTableException(ident)
+    val commit =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"VERSION AS OF on a graft state table wants a commit id, " +
+            s"got '$version' (retained: ${commits.mkString(", ")})")
+      }
+    require(commits.contains(commit),
+      s"commit $commit is not retained at ${tableDir(ident)} " +
+        s"(retained: ${commits.mkString(", ")})")
+    new GraftStateSqlTable(dir.toString,
+      GraftStateSource.parquetTable(dir.toString, Some(commit),
+        CaseInsensitiveStringMap.empty()))
+  }
+
+  /** `SELECT ... FROM cat.t TIMESTAMP AS OF <ts>` — resolves to the
+    * newest commit whose manifest was PUBLISHED at or before `ts`
+    * (micros since epoch, Spark's contract for this overload; the
+    * publish rename is the commit's visibility instant). Refuses a
+    * timestamp older than the oldest retained commit — pruned history
+    * cannot be resurrected. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val millis = timestamp / 1000L
+    val dir = tableDir(ident)
+    val history = BucketedStateTable.snapshotHistory(
+      SparkSession.active.sessionState.newHadoopConf(), dir.toString)
+    if (history.isEmpty) throw new NoSuchTableException(ident)
+    val at = history.filter(_._2 <= millis).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(millis)} " +
+          s"predates the oldest retained commit of ${tableDir(ident)} " +
+          s"(oldest: ${history.head._1} at " +
+          s"${java.time.Instant.ofEpochMilli(history.head._2)})"))._1
+    loadTable(ident, at.toString)
   }
 
   override def tableExists(ident: Identifier): Boolean =

@@ -59,6 +59,57 @@ class GraftStateSourceSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(5L))
   }
 
+  test("graft-state: SQL time travel — VERSION AS OF, TIMESTAMP AS OF, and the $history metadata table") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = seeded(dir, rows = 100L)
+    val c1 = t.commits().last
+    t.merge(Seq(("k5", 999L)).toDF("k", "v"), keys = Seq("k"))
+    val c2 = t.commits().last
+
+    spark.conf.set("spark.sql.catalog.graft_tt",
+      classOf[GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tt.root", dir)
+    try {
+      assert(spark.sql(
+        s"SELECT v FROM graft_tt.events VERSION AS OF $c1 WHERE k = 'k5'")
+        .collect().map(_.getLong(0)).toSeq == Seq(5L))
+      assert(spark.sql(
+        s"SELECT v FROM graft_tt.events VERSION AS OF $c2 WHERE k = 'k5'")
+        .collect().map(_.getLong(0)).toSeq == Seq(999L))
+      val badVersion = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_tt.events VERSION AS OF 999").collect()
+      }
+      assert(badVersion.getMessage.contains("not retained"),
+        badVersion.getMessage)
+
+      // $history lists the retained commit log as rows
+      val hist = spark.sql(
+        "SELECT commit_id, n_buckets FROM graft_tt.`events$history` " +
+          "ORDER BY commit_id").collect()
+      assert(hist.map(_.getLong(0)).toSeq == t.commits(),
+        s"history must list the retained commits, got ${hist.toSeq}")
+      assert(hist.forall(_.getInt(1) > 0))
+
+      // TIMESTAMP AS OF resolves through the manifests' publish times:
+      // 'now' resolves to the newest commit; a timestamp before the
+      // oldest retained commit refuses
+      assert(spark.sql(
+        "SELECT v FROM graft_tt.events TIMESTAMP AS OF current_timestamp() " +
+          "WHERE k = 'k5'").collect().map(_.getLong(0)).toSeq == Seq(999L))
+      val tooOld = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_tt.events " +
+          "TIMESTAMP AS OF TIMESTAMP '2000-01-01 00:00:00'").collect()
+      }
+      assert(tooOld.getMessage.contains("predates the oldest retained"),
+        tooOld.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_tt")
+      spark.conf.unset("spark.sql.catalog.graft_tt.root")
+    }
+  }
+
   test("graft-state: filters and column pruning reach the parquet scan") {
     val dir = tmp()
     seeded(dir)

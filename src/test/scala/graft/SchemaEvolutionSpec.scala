@@ -151,6 +151,73 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(byType("update_preimage").size == 1)
   }
 
+  test("ParquetStateTable: a widened merge evolves the snapshot; old versions keep their shape; narrowing refuses") {
+    val dir = tmp()
+    val t = new graft.pipeline.ParquetStateTable(spark, s"$dir/state",
+      retentionFloorMillis = 0L)
+    t.merge(seedFrame(30L), keys = Seq("k"))
+    val v1 = t.latestVersion.get
+
+    t.merge(Seq(("k3", 33L, "three")).toDF("k", "v", "w"), keys = Seq("k"))
+    val cur = t.read().get
+    assert(cur.schema.fieldNames.toSeq == Seq("k", "v", "w"))
+    assert(cur.count() == 30L)
+    assert(cur.filter(col("w").isNull).count() == 29L)
+    assert(cur.filter(col("k") === "k3").select("v", "w").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1))) == Seq((33L, "three")))
+    // each version dir is a COMPLETE snapshot: the old one keeps its shape
+    assert(spark.read.parquet(f"$dir/state/v$v1%08d").schema.fieldNames.toSeq ==
+      Seq("k", "v"))
+
+    val narrow = intercept[IllegalArgumentException] {
+      t.merge(Seq(("k1", 11L)).toDF("k", "v"), keys = Seq("k"))
+    }
+    assert(narrow.getMessage.contains("drops column `w`"), narrow.getMessage)
+  }
+
+  test("JdbcStateTable: widenTo issues ALTER ADD COLUMN and returns a widened handle; the old handle keeps working") {
+    val dir = tmp()
+    val url = s"jdbc:duckdb:$dir/state.db"
+    val cf = new graft.sinks.ConnectionFactory {
+      @transient private lazy val anchor: java.sql.Connection =
+        java.sql.DriverManager.getConnection(url)
+      def apply(): java.sql.Connection = {
+        anchor; java.sql.DriverManager.getConnection(url)
+      }
+    }
+    val narrowSchema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    val t = new graft.pipeline.JdbcStateTable(spark, "docs", narrowSchema,
+      Seq("k"), cf, s"$dir/scratch", graft.sinks.SqlDialect.DuckDb)
+    t.ensureTables()
+    t.merge(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), keys2 = Seq("k"))
+
+    val wide = t.widenTo(StructType(narrowSchema.fields ++ Seq(
+      StructField("w", StringType, nullable = true))))
+    // the widened handle reads old rows null-filled and upserts the new column
+    assert(wide.read().get.schema.fieldNames.toSeq == Seq("k", "v", "w"))
+    wide.merge(Seq(("b", 20L, "bee")).toDF("k", "v", "w"), keys2 = Seq("k"))
+    val rows = wide.read().get.orderBy("k").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1),
+      Option(r.getString(2)).orNull)).toSeq ==
+      Seq(("a", 1L, null), ("b", 20L, "bee")))
+
+    // the pre-migration handle keeps its fixed statement shapes: it
+    // reads and writes the columns it knows, the database null-fills w
+    assert(t.read().get.schema.fieldNames.toSeq == Seq("k", "v"))
+    t.merge(Seq(("c", 3L)).toDF("k", "v"), keys2 = Seq("k"))
+    assert(wide.read().get.filter(col("k") === "c").collect()
+      .map(r => Option(r.getString(2)).orNull).toSeq == Seq(null))
+
+    // same refusal contract as the parquet tables
+    val retype = intercept[IllegalArgumentException] {
+      t.widenTo(StructType(Seq(
+        StructField("k", StringType), StructField("v", IntegerType))))
+    }
+    assert(retype.getMessage.contains("changes column `v`"), retype.getMessage)
+  }
+
   test("SQL: ALTER TABLE ADD COLUMNS widens; INSERT backfills; guards refuse") {
     val dir = tmp()
     spark.conf.set("spark.sql.catalog.graft_evo",
