@@ -99,7 +99,11 @@ object ScaleProbe {
       "(parquet min/max prunes the seed scan; the diff reads only rewritten buckets)"),
     "u6_ivm_aggregate" -> ("~flat, same construction: the maintained view's feed, touched " +
       "groups and delta commit are all copy-0-sized; a 100x corpus must not change what " +
-      "an incremental view refresh costs"))
+      "an incremental view refresh costs"),
+    "u7_schema_evolution" -> ("~flat, same construction as u5/u6: the state (doc_id<600 " +
+      "= copy 0 only), the widen (a metadata-only manifest rename - zero data I/O at ANY " +
+      "table size) and the backfill merge are all copy-0-sized; corpus growth touches " +
+      "only the min/max-pruned seed scans"))
 
   /** Materialize `copies` divergent copies of documents + embeddings
     * from `srcDir` into `outDir` (see class doc for the divergence

@@ -18,6 +18,31 @@ object StateOps {
   private val SrcCol = "__graft_src"
   private val RnCol  = "__graft_rn"
 
+  /** Type equality modulo NULLABILITY, at every nesting level: a
+    * parquet roundtrip or a union flips `containsNull`/`nullable` flags
+    * on array/map/struct types freely (e.g. `array<float>` batches vs
+    * `array<float>` state differing only in `containsNull`), and that
+    * is not a retype. Nested struct field NAMES still count — renaming
+    * a nested field IS a shape change. */
+  private def sameTypeIgnoringNullability(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    (a, b) match {
+      case (x: ArrayType, y: ArrayType) =>
+        sameTypeIgnoringNullability(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameTypeIgnoringNullability(x.keyType, y.keyType) &&
+          sameTypeIgnoringNullability(x.valueType, y.valueType)
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall {
+          case (f, g) =>
+            f.name == g.name && sameTypeIgnoringNullability(f.dataType, g.dataType)
+        }
+      case _ => a == b
+    }
+  }
+
   /** Require `from → to` to be a pure WIDENING: every `from` column
     * survives in `to` under the same name and type (new `to` columns are
     * fine). Anything else — a drop, a rename, a type change — is refused
@@ -35,7 +60,7 @@ object StateOps {
             s"${to.fieldNames.mkString(",")}) — schema evolution supports " +
             "ADD COLUMN only; drops/renames need an explicit full rewrite " +
             "under the new shape"))
-      require(t.dataType == f.dataType,
+      require(sameTypeIgnoringNullability(t.dataType, f.dataType),
         s"$what changes column `${f.name}` from " +
           s"${f.dataType.simpleString} to ${t.dataType.simpleString} — " +
           "schema evolution supports ADD COLUMN only; type changes need " +
@@ -48,7 +73,13 @@ object StateOps {
     * value). No-op when the shapes already agree. */
   def alignForWidening(df: DataFrame,
       target: org.apache.spark.sql.types.StructType, what: String): DataFrame =
-    if (df.schema.fieldNames.sameElements(target.fieldNames)) df
+    // the fast path must compare TYPES too, not just names — a
+    // same-name retype skipping widenCheck would ride unionByName's
+    // silent coercion into the commit, exactly the cast the contract
+    // refuses (nullability intentionally not compared: not a retype)
+    if (df.schema.fieldNames.sameElements(target.fieldNames) &&
+        df.schema.fields.zip(target.fields).forall { case (a, b) =>
+          sameTypeIgnoringNullability(a.dataType, b.dataType) }) df
     else {
       widenCheck(df.schema, target, what)
       df.select(target.fields.toIndexedSeq.map { f =>

@@ -263,16 +263,8 @@ class BucketedStateTable(
       schemaJson: Option[String] = None)
 
   private def manifestFiles(): Seq[(Long, Path)] =
-    if (!fs.exists(commitsDir)) Nil
-    else fs.listStatus(commitsDir).toSeq
-      .flatMap { s =>
-        val n = s.getPath.getName
-        if (n.startsWith("c") && n.endsWith(".txt") &&
-            n.drop(1).dropRight(4).forall(_.isDigit))
-          Some(n.drop(1).dropRight(4).toLong -> s.getPath)
-        else None
-      }
-      .sortBy(_._1)
+    BucketedStateTable.listManifests(fs, root)
+      .map { case (id, s) => id -> s.getPath }
 
   /** `checkLayout = false` is for liveness bookkeeping only ([[prune]]
     * needs the commit ids an old-layout manifest still references, e.g.
@@ -487,13 +479,15 @@ class BucketedStateTable(
       s"changesBetween wants fromCommit <= toCommit, got $fromCommit > $toCommit")
     val mFrom = manifestAt(fromCommit)
     val mTo = manifestAt(toCommit)
+    // the TO manifest's RECORDED schema is authoritative for the diff's
+    // shape — falling back to the from-side's data first would emit a
+    // widen-then-drain range (empty to-snapshot) under the stale narrow
+    // shape, dropping the widened column from the delete preimages
     val rowSchema: org.apache.spark.sql.types.StructType =
-      (readFrom(mTo, mTo.buckets.keys.toSeq) orElse
-        readFrom(mFrom, mFrom.buckets.keys.toSeq))
-        .map(_.schema)
-        .orElse(mTo.schemaJson.orElse(mFrom.schemaJson).map(j =>
-          org.apache.spark.sql.types.DataType.fromJson(j)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+      mTo.schemaJson.map(schemaOf)
+        .orElse(readFrom(mTo, mTo.buckets.keys.toSeq).map(_.schema))
+        .orElse(mFrom.schemaJson.map(schemaOf))
+        .orElse(readFrom(mFrom, mFrom.buckets.keys.toSeq).map(_.schema))
         .getOrElse(throw new IllegalStateException(
           s"table at $path has neither data nor a recorded schema at " +
             s"commits $fromCommit/$toCommit"))
@@ -1006,22 +1000,43 @@ object BucketedStateTable {
   private def lockFor(path: String): Object =
     locks.computeIfAbsent(path, _ => new Object)
 
-  /** Ids of the manifests currently published at `path`, oldest →
-    * newest — the static twin of the instance's `commits()`, for
-    * readers that hold no table instance (the DSv2 source). */
-  def snapshotCommits(hadoopConf: org.apache.hadoop.conf.Configuration,
-      path: String): Seq[Long] = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(hadoopConf)
+  /** The ONE place the `_commits/c<id>.txt` naming convention is
+    * parsed: `(commitId, FileStatus)` of every published manifest under
+    * `root`, oldest → newest. Every static listing path (ids, times,
+    * history, manifest choice) and the instance's own `manifestFiles`
+    * share it, so they can never disagree about which commits exist. */
+  private[pipeline] def listManifests(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
     val commitsDir = new Path(root, "_commits")
     if (!fs.exists(commitsDir)) Nil
     else fs.listStatus(commitsDir).toSeq.flatMap { s =>
       val n = s.getPath.getName
       if (n.startsWith("c") && n.endsWith(".txt") &&
           n.drop(1).dropRight(4).forall(_.isDigit))
-        Some(n.drop(1).dropRight(4).toLong)
+        Some(n.drop(1).dropRight(4).toLong -> s)
       else None
-    }.sorted
+    }.sortBy(_._1)
+  }
+
+  /** Ids of the manifests currently published at `path`, oldest →
+    * newest — the static twin of the instance's `commits()`, for
+    * readers that hold no table instance (the DSv2 source). */
+  def snapshotCommits(hadoopConf: org.apache.hadoop.conf.Configuration,
+      path: String): Seq[Long] = {
+    val root = new Path(path)
+    listManifests(root.getFileSystem(hadoopConf), root).map(_._1)
+  }
+
+  /** `(commitId, publishedAtMillis)` per retained manifest, oldest →
+    * newest, from the directory listing ALONE (no file reads) — what
+    * `TIMESTAMP AS OF` resolution needs; on an object store this is one
+    * LIST, never a GET per manifest. */
+  def snapshotCommitTimes(hadoopConf: org.apache.hadoop.conf.Configuration,
+      path: String): Seq[(Long, Long)] = {
+    val root = new Path(path)
+    listManifests(root.getFileSystem(hadoopConf), root)
+      .map { case (id, st) => (id, st.getModificationTime) }
   }
 
   /** `(commitId, publishedAtMillis, nBuckets)` for every retained
@@ -1035,19 +1050,13 @@ object BucketedStateTable {
       path: String): Seq[(Long, Long, Int)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hadoopConf)
-    val commitsDir = new Path(root, "_commits")
-    if (!fs.exists(commitsDir)) return Nil
-    fs.listStatus(commitsDir).toSeq.flatMap { s =>
-      val n = s.getPath.getName
-      if (n.startsWith("c") && n.endsWith(".txt") &&
-          n.drop(1).dropRight(4).forall(_.isDigit)) {
-        val in = fs.open(s.getPath)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        val buckets = text.linesIterator.count(l => l.nonEmpty && l.head.isDigit)
-        Some((n.drop(1).dropRight(4).toLong, s.getModificationTime, buckets))
-      } else None
-    }.sortBy(_._1)
+    listManifests(fs, root).map { case (id, s) =>
+      val in = fs.open(s.getPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val buckets = text.linesIterator.count(l => l.nonEmpty && l.head.isDigit)
+      (id, s.getModificationTime, buckets)
+    }
   }
 
   /** Resolve ONE committed snapshot of the table at `path` — the newest
@@ -1128,15 +1137,7 @@ object BucketedStateTable {
       path: String, commit: Option[Long]): Option[String] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hadoopConf)
-    val commitsDir = new Path(root, "_commits")
-    if (!fs.exists(commitsDir)) return None
-    val manifests = fs.listStatus(commitsDir).toSeq.flatMap { s =>
-      val n = s.getPath.getName
-      if (n.startsWith("c") && n.endsWith(".txt") &&
-          n.drop(1).dropRight(4).forall(_.isDigit))
-        Some(n.drop(1).dropRight(4).toLong -> s.getPath)
-      else None
-    }.sortBy(_._1)
+    val manifests = listManifests(fs, root).map { case (id, s) => id -> s.getPath }
     val chosen = commit match {
       case Some(c) => manifests.find(_._1 == c).map(_._2).getOrElse(
         throw new NoSuchElementException(

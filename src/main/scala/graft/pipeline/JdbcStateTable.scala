@@ -103,10 +103,16 @@ class JdbcStateTable(
     graft.operators.StateOps.widenCheck(schema, target,
       s"widenTo on JDBC state table $table")
     val added = target.fields.filterNot(f => schema.fieldNames.contains(f.name))
-    if (added.nonEmpty) withConnection { conn =>
-      added.foreach { f =>
-        conn.createStatement().execute(
-          s"ALTER TABLE ${q(table)} ADD COLUMN ${q(f.name)} ${sqlType(f.dataType)}")
+    // map every type BEFORE executing any ALTER: an unsupported type
+    // must fail with zero statements run, not mid-loop — on engines
+    // with auto-committing DDL a half-applied widen would leave the
+    // physical table and the handle schema silently disagreeing
+    val ddls = added.map(f =>
+      s"ALTER TABLE ${q(table)} ADD COLUMN ${q(f.name)} ${sqlType(f.dataType)}")
+    if (ddls.nonEmpty) withConnection { conn =>
+      ddls.foreach { ddl =>
+        val st = conn.createStatement()
+        try st.execute(ddl) finally st.close()
       }
       conn.commit()
     }

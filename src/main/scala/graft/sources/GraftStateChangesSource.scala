@@ -37,6 +37,13 @@ import graft.pipeline.BucketedStateTable
   * the table has moved on — V1 recovery hands back `start = None` and
   * the source must not re-resolve "latest".
   *
+  * Replica bootstrap: `option("initialSnapshot", "true")` additionally
+  * emits the base commit's FULL snapshot as `insert` rows at the head
+  * of batch 0 (Delta-CDF's startingVersion pattern) — a downstream
+  * replica seeds and tails in one stream, no separate backfill job.
+  * The option must accompany every (re)start; batch-0 replays stay
+  * deterministic while the base commit is retained.
+  *
   * Replay determinism and retention: a replayed `(start, end]` range
   * recomputes the same diff as long as BOTH endpoint commits are
   * retained. Size `keepCommits`/`retentionFloorMillis` to cover the
@@ -130,7 +137,9 @@ class GraftStateChangesProvider extends StreamSourceProvider
         try out.write(s"$resolved\n".getBytes("UTF-8")) finally out.close()
         resolved
       }
-    new GraftStateChangesSource(spark, path, base, feedSchema(rowSchema))
+    new GraftStateChangesSource(spark, path, base, feedSchema(rowSchema),
+      initialSnapshot =
+        parameters.get("initialSnapshot").exists(_.toBoolean))
   }
 }
 
@@ -138,7 +147,8 @@ private[sources] class GraftStateChangesSource(
     spark: org.apache.spark.sql.SparkSession,
     path: String,
     base: Long,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    initialSnapshot: Boolean = false) extends Source {
 
   private def conf = spark.sessionState.newHadoopConf()
 
@@ -155,26 +165,57 @@ private[sources] class GraftStateChangesSource(
     Some(LongOffset(latest))
   }
 
+  // the handle is read-only here: layout params beyond keyCols are
+  // irrelevant to manifest-resolved reads
+  private def table(): BucketedStateTable = {
+    val layout = BucketedStateTable.snapshotLayout(conf, path)
+      .getOrElse(throw new IllegalStateException(
+        s"graft-state-changes at $path: manifest lost its layout lines"))
+    new BucketedStateTable(spark, path,
+      keyCols = layout.keyCols, numBuckets = layout.numBuckets,
+      bucketCols =
+        if (layout.bucketCols == layout.keyCols) Nil else layout.bucketCols)
+  }
+
+  /** Project to the PINNED shape by name, null-filling columns `df`
+    * lacks: a restart after a widening can replay a pending batch whose
+    * commit range predates the new column (offset logged, commit log
+    * entry lost) — its narrow diff must flow under the re-derived wide
+    * schema with null preimages, not crash-loop on an unresolved
+    * column. The mid-stream mirror (wide diff, narrow pinned schema)
+    * projects the extras away. */
+  private def pinned(df: DataFrame): DataFrame =
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+  private def emptyBatch: DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(toLong).getOrElse(base)
     val to = toLong(end)
-    val batch =
-      if (from >= to)
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else {
-        // the handle is read-only here: layout params beyond keyCols are
-        // irrelevant to manifest-resolved reads
-        val layout = BucketedStateTable.snapshotLayout(conf, path)
-          .getOrElse(throw new IllegalStateException(
-            s"graft-state-changes at $path: manifest lost its layout lines"))
-        val t = new BucketedStateTable(spark, path,
-          keyCols = layout.keyCols, numBuckets = layout.numBuckets,
-          bucketCols =
-            if (layout.bucketCols == layout.keyCols) Nil else layout.bucketCols)
-        t.changesBetween(from, to).withColumn("_commit_id", lit(to))
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      }
+    // batch 0 under `initialSnapshot`: the base commit's FULL snapshot
+    // as `insert` rows (the replica bootstrap, Delta-CDF's
+    // startingVersion pattern) ahead of any pending diff — replays are
+    // deterministic as long as the base commit is retained (readAt
+    // refuses loudly otherwise, the feed's standard retention contract)
+    val snapshotLeg: Option[DataFrame] =
+      if (start.isEmpty && initialSnapshot)
+        table().readAt(base).map { snap =>
+          pinned(snap
+            .withColumn("change_type", lit("insert"))
+            .withColumn("_commit_id", lit(base)))
+        }
+      else None
+    val diffLeg: Option[DataFrame] =
+      if (from >= to) None
+      else Some(pinned(
+        table().changesBetween(from, to).withColumn("_commit_id", lit(to))))
+    val batch = (snapshotLeg.toSeq ++ diffLeg.toSeq)
+      .reduceOption(_ unionByName _).getOrElse(emptyBatch)
     asStreamingFrame(batch)
   }
 

@@ -818,16 +818,21 @@ class GraftStateCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val millis = timestamp / 1000L
     val dir = tableDir(ident)
-    val history = BucketedStateTable.snapshotHistory(
+    // resolution needs only (id, publish mtime): one directory LISTING,
+    // zero manifest reads — on an object store a time-travel query must
+    // not GET every retained manifest just to pick one
+    val times = BucketedStateTable.snapshotCommitTimes(
       SparkSession.active.sessionState.newHadoopConf(), dir.toString)
-    if (history.isEmpty) throw new NoSuchTableException(ident)
-    val at = history.filter(_._2 <= millis).lastOption.getOrElse(
+    if (times.isEmpty) throw new NoSuchTableException(ident)
+    val at = times.filter(_._2 <= millis).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(millis)} " +
           s"predates the oldest retained commit of ${tableDir(ident)} " +
-          s"(oldest: ${history.head._1} at " +
-          s"${java.time.Instant.ofEpochMilli(history.head._2)})"))._1
-    loadTable(ident, at.toString)
+          s"(oldest: ${times.head._1} at " +
+          s"${java.time.Instant.ofEpochMilli(times.head._2)})"))._1
+    new GraftStateSqlTable(dir.toString,
+      GraftStateSource.parquetTable(dir.toString, Some(at),
+        CaseInsensitiveStringMap.empty()))
   }
 
   override def tableExists(ident: Identifier): Boolean =

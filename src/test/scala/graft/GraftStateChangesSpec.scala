@@ -157,6 +157,61 @@ class GraftStateChangesSpec extends SparkSpec {
     assert(err.getMessage.contains("not a retained commit"))
   }
 
+  test("initialSnapshot seeds a replica: batch 0 = base snapshot as inserts + pending diff; restart re-emits nothing") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val t = new BucketedStateTable(spark, s"$root/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
+    t.merge(Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"),
+      keys = Seq("k"))
+    val c1 = t.commits().last
+    // history AFTER the base: an update and a delete the bootstrap
+    // batch must carry as a net diff alongside the snapshot
+    t.applyDelta(upserts = Seq(("b", 20L)).toDF("k", "v"),
+      deleteKeys = Seq(Tuple1("c")).toDF("k"), keys = Seq("k"))
+
+    val batches = TrieMap.empty[Long, Seq[Change]]
+    def startQ() = spark.readStream.format("graft-state-changes")
+      .option("startingCommit", c1)
+      .option("initialSnapshot", "true")
+      .load(s"$root/state")
+      .writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, df.as[Change].collect().toSeq)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+
+    val q = startQ()
+    try {
+      q.processAllAvailable()
+      val c2 = t.commits().last
+      // snapshot-as-inserts AT c1 (pre-update values, stamped c1) plus
+      // the (c1, c2] net diff — one batch seeds the replica completely
+      assert(batches(0L).toSet == Set(
+        ("insert", "a", 1L, c1), ("insert", "b", 2L, c1),
+        ("insert", "c", 3L, c1),
+        ("update_preimage", "b", 2L, c2), ("update_postimage", "b", 20L, c2),
+        ("delete", "c", 3L, c2)),
+        s"got ${batches(0L).toSet}")
+    } finally q.stop()
+
+    // restart from the same checkpoint: the snapshot does NOT re-emit
+    // (batch 0 is committed); only new commits flow
+    batches.clear()
+    t.merge(Seq(("d", 4L)).toDF("k", "v"), keys = Seq("k"))
+    val c3 = t.commits().last
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      assert(batches.values.flatten.toSet == Set(("insert", "d", 4L, c3)),
+        s"restart must emit only the new diff, got ${batches.values.flatten.toSet}")
+    } finally q2.stop()
+  }
+
   test("a widening commit mid-stream keeps the pinned shape; a checkpoint restart carries the new column") {
     val s = spark
     import s.implicits._
@@ -229,5 +284,70 @@ class GraftStateChangesSpec extends SparkSpec {
         ("update_postimage", "k9", 900L, "nine")),
         s"got $rows")
     } finally q2.stop()
+  }
+
+  test("a pending pre-widening batch replays under the re-derived wide schema (null-filled), not a crash loop") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val t = new BucketedStateTable(spark, s"$root/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
+    t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+    val c1 = t.commits().last
+
+    val batches = TrieMap.empty[Long,
+      (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]
+    def startQ(ck: String) = spark.readStream.format("graft-state-changes")
+      .option("startingCommit", c1)
+      .load(s"$root/state")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, (df.schema, df.collect().toSeq))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+
+    // process one NARROW commit, then engineer the uncommitted-batch
+    // window: a checkpoint whose offset log holds the batch but whose
+    // commit log entry is lost (crash between offset write and commit)
+    val q = startQ(s"$root/ck")
+    try {
+      q.processAllAvailable()
+      t.merge(Seq(("b", 2L)).toDF("k", "v"), keys = Seq("k"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def cp(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        from.listFiles().foreach(f => cp(f, new java.io.File(to, f.getName)))
+      } else if (!from.getName.endsWith(".crc"))
+        java.nio.file.Files.copy(from.toPath, to.toPath)
+    }
+    cp(new java.io.File(s"$root/ck"), new java.io.File(s"$root/ck2"))
+    assert(new java.io.File(s"$root/ck2/commits/1").delete())
+
+    // the table widens WHILE the stream is down
+    t.widenTo(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.StringType))))
+
+    // restart: batch 1 replays a commit range that PREDATES the new
+    // column, under a source schema re-derived wide — it must flow with
+    // w null-filled instead of crash-looping on an unresolved column
+    batches.clear()
+    val q2 = startQ(s"$root/ck2")
+    try q2.processAllAvailable() finally q2.stop()
+    val replayed = batches(1L)
+    assert(replayed._1.fieldNames.toSeq ==
+      Seq("change_type", "k", "v", "w", "_commit_id"), s"got ${replayed._1}")
+    assert(replayed._2.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      Option(r.getString(3)).orNull)).toSet == Set(("insert", "b", 2L, null)),
+      s"got ${replayed._2}")
   }
 }

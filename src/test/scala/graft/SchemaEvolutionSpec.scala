@@ -114,6 +114,16 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
     assert(retype.getMessage.contains("changes column `v`"), retype.getMessage)
 
+    // a SAME-NAME retype arriving through merge must refuse exactly like
+    // widenTo does — it must not ride unionByName's silent coercion into
+    // the commit (the manifest would record the coerced type while clean
+    // buckets still hold the old physical type)
+    val retypeMerge = intercept[IllegalArgumentException] {
+      t.merge(Seq(("k1", 11, "one")).toDF("k", "v", "w"), keys = Seq("k"))
+    }
+    assert(retypeMerge.getMessage.contains("changes column `v`"),
+      retypeMerge.getMessage)
+
     val drop = intercept[IllegalArgumentException] {
       t.widenTo(StructType(Seq(
         StructField("k", StringType), StructField("v", LongType))))
@@ -124,7 +134,8 @@ class SchemaEvolutionSpec extends SparkSpec {
   test("change feed diffs across a widening boundary with null-column preimages") {
     val dir = tmp()
     val t = new BucketedStateTable(spark, s"$dir/state",
-      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)
+      keyCols = Seq("k"), numBuckets = 8, keepCommits = 10,
+      retentionFloorMillis = 0L)
     t.merge(seedFrame(20L), keys = Seq("k"))
     val from = t.commits().last
 
@@ -149,6 +160,17 @@ class SchemaEvolutionSpec extends SparkSpec {
     // must NOT surface as updates just because the schema widened
     assert(!byType.contains("delete"))
     assert(byType("update_preimage").size == 1)
+
+    // widen-then-DRAIN: the to-snapshot is empty, so its RECORDED
+    // schema (not the from-side's narrower data) must shape the diff —
+    // delete preimages carry the widened column (null for rows that
+    // predate it)
+    t.applyDelta(
+      upserts = Seq.empty[(String, Long, String)].toDF("k", "v", "w"),
+      deleteKeys = t.read().get.select("k"), keys = Seq("k"))
+    val drained = t.changesBetween(from, t.commits().last)
+    assert(drained.schema.fieldNames.toSeq == Seq("change_type", "k", "v", "w"))
+    assert(drained.filter(col("change_type") === "delete").count() == 20L)
   }
 
   test("ParquetStateTable: a widened merge evolves the snapshot; old versions keep their shape; narrowing refuses") {
