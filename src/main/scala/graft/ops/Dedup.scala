@@ -702,7 +702,11 @@ object Dedup {
     * probed via a bucket-pruned read — only the state buckets holding
     * the batch's `(band, band_hash)` values are listed and scanned,
     * never the corpus-sized index. Candidates are batch-proportional;
-    * the text lookup joins the tiny candidate list to the doc store.
+    * the text lookup is pruned to the candidate ids BEFORE its per-id
+    * aggregate, and with `docStore` wired (the id-keyed doc store the
+    * streaming twin maintains) the corpus text READ is bucket-pruned to
+    * those ids' buckets too — per-batch verify cost stops growing with
+    * everything ever ingested.
     * Replaying an already-ingested batch re-emits the same pairs and
     * leaves the index unchanged (merge is keyed — at-least-once safe).
     */
@@ -716,7 +720,8 @@ object Dedup {
       shingleLen: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      maxBucketSize: Int = 4096): DataFrame = {
+      maxBucketSize: Int = 4096,
+      docStore: Option[graft.pipeline.BucketedStateTable] = None): DataFrame = {
     val bNew = bandedSignatures(batch, idCol, textCol, shingleLen, bands, rowsPerBand)
       .select(col("band"), col("band_hash"), col("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -748,16 +753,37 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
     val cand = cross.unionByName(intra).distinct()
+    // the verify step needs TEXT for candidate ids ONLY — batch-
+    // proportional, never corpus-proportional. candIds is persisted
+    // because it is read twice (the doc store's bucket probe + the
+    // semi-join prune) and derives from the already-persisted bNew/slice
+    val candIds = cand.select(col("a_id").as(idCol))
+      .unionByName(cand.select(col("b_id").as(idCol)))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // corpus text source: with a doc STORE wired (the streaming twin),
+    // read only the buckets the candidate ids hash into — a file-level
+    // prune, so per-batch verify I/O stops growing with everything ever
+    // streamed; a plain corpus frame is semi-join-pruned to candidates
+    // BEFORE the per-id aggregate (the shuffle is candidate-sized
+    // either way, the scan only avoidable with the store)
+    val corpusTxt = docStore match {
+      case Some(store) => store
+        .readForKeys(candIds, like = corpus.select(col(idCol), col(textCol)).limit(0))
+        .select(col(idCol), col(textCol))
+      case None => corpus.select(col(idCol), col(textCol))
+    }
     // ONE text row per id: a batch row REUSING a corpus id (the
     // documented at-least-once replay state — the doc store committed,
     // the pairs merge retried) would otherwise appear twice here and
     // multiply every joined pair 2–4×; the batch copy wins so changed
     // text verifies against what is being ingested NOW
-    val txt = corpus.select(col(idCol), col(textCol))
+    val txt = corpusTxt
       .withColumn("__p", lit(0))
       .unionByName(batch.select(col(idCol), col(textCol))
         .withColumn("__p", lit(1)))
       .filter(col(textCol).isNotNull)
+      .join(candIds, Seq(idCol), "left_semi")
       .groupBy(col(idCol).as("__tid"))
       .agg(max(struct(col("__p"), col(textCol))).as("__s"))
       .select(col("__tid"), col("__s").getField(textCol).as("__t"))
@@ -784,6 +810,7 @@ object Dedup {
       keys = Seq("band", "band_hash", "doc_id"))
     bNew.unpersist()
     slice.unpersist()
+    candIds.unpersist()
     out
   }
 

@@ -338,62 +338,48 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
       // Running (n_docs, sum_dl) — the two scalars BM25 needs for
-      // N/avgdl — maintained by a BATCH-proportional delta so the query
-      // path never aggregates the corpus-cardinality docLengths table
-      // (at 100 B documents that is a billions-row scan per query to
-      // produce two numbers that change only on ingest). The delta is
-      // the difference of two aggregates over ONLY the batch ids'
-      // buckets — (count, sum dl) of those buckets before and after the
-      // merge (readForKeys pins each read to its resolved commit's
-      // files, so the pre-slice stays pre-merge however late it
-      // evaluates). Replay-exact WITHOUT a marker (a replayed batch
-      // leaves the buckets unchanged → delta 0 — and a plain
-      // batch-id-less library call couldn't carry a marker anyway), and
-      // dl-change-exact even outside the append-only contract. Two
-      // bucket-sliced scans beat the obvious batch⋈state join: at seed
-      // scale that join is corpus×corpus and its sort spills, while
-      // aggregates stream. First stats-enabled ingest on a pre-existing
-      // table bootstraps the base from one full (final) aggregate.
-      // Single-ingestor contract, as for the whole incremental family:
-      // concurrent ingests may interleave the read-aggregate-merge.
+      // N/avgdl — ANCHORED to the docLengths commit that produced them
+      // (`as_of_commit`) and maintained from the table's own CHANGE
+      // FEED, so the query path never aggregates the corpus-cardinality
+      // docLengths table (at 100 B documents that is a billions-row
+      // scan per query to produce two numbers that change only on
+      // ingest). The delta for this ingest is
+      // changesBetween(as_of, postMergeCommit) — bucket-pruned by the
+      // manifests to exactly the buckets the merge rewrote. The anchor
+      // makes the two-commit bookkeeping CRASH-CONSISTENT, not merely
+      // replay-idempotent: a crash between the docLengths merge and the
+      // stats merge leaves the row anchored at the older commit, and
+      // the next ingest (or the query-side staleness fold in
+      // [[incrementalBm25TopK]]) folds the missed window from the
+      // change feed instead of losing it forever. A replayed ingest
+      // whose stats already landed sees a value-identical rewrite —
+      // delta 0. An anchor that fell out of retention (or predates a
+      // rebucket) resyncs from one full aggregate, loudly-degrading
+      // exactly like the feed itself. Single-ingestor contract, as for
+      // the whole incremental family.
       val lengths = withDl.select(col("doc_id"), col("dl"))
-      def bucketAgg(df: DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)).as("n"),
-          coalesce(sum(col("dl")), lit(0L)).as("s")).first()
-        (r.getLong(0), r.getLong(1))
-      }
-      val pre: Option[(Long, Long)] = stats.map { _ =>
-        bucketAgg(docLengths.readForKeys(lengths, like = lengths))
-      }
       docLengths.merge(lengths, keys = Seq("doc_id"))
-      val statDelta: Option[(Long, Long)] = pre.map { case (n0, s0) =>
-        val (n1, s1) = bucketAgg(docLengths.readForKeys(lengths, like = lengths))
-        (n1 - n0, s1 - s0)
-      }
       // stats commit AFTER lengths but BEFORE postings: a query resolves
       // its postings slice first, so every doc it can see is already in
       // the committed stats (the same mid-ingest honesty as docLengths)
-      stats.zip(statDelta).foreach { case (st, (dn, dsum)) =>
+      stats.foreach { st =>
         val spark = df.sparkSession
         import spark.implicits._
-        val base = st.read()
-          .flatMap(_.filter(col("stat") === "bm25")
-            .select(col("n_docs"), col("sum_dl")).collect().headOption)
-          .map(r => (r.getLong(0), r.getLong(1)))
-          .getOrElse {
-            // bootstrap: table indexed before stats tracking began —
-            // one aggregate of the POST-merge lengths replaces the
-            // delta entirely this once (d already folded in)
-            val row = docLengths.read()
-              .map(_.agg(count(lit(1)).as("n"),
-                coalesce(sum(col("dl")), lit(0L)).as("s")).first())
-            (row.map(_.getLong(0)).getOrElse(0L) - dn,
-              row.map(_.getLong(1)).getOrElse(0L) - dsum)
+        val dlCommit = docLengths.commits().last
+        val cur = readStatsRow(st)
+        if (!cur.exists(_._3 == dlCommit)) {
+          val next: (Long, Long) = cur match {
+            case Some((n0, s0, c0)) =>
+              statsDeltaFromChanges(docLengths, c0, dlCommit)
+                .map { case (dn, ds) => (n0 + dn, s0 + ds) }
+                .getOrElse(fullDlAggregate(docLengths))
+            case None => fullDlAggregate(docLengths)
           }
-        st.merge(
-          Seq(("bm25", base._1 + dn, base._2 + dsum))
-            .toDF("stat", "n_docs", "sum_dl"),
-          keys = Seq("stat"))
+          st.merge(
+            Seq(("bm25", next._1, next._2, dlCommit))
+              .toDF("stat", "n_docs", "sum_dl", "as_of_commit"),
+            keys = Seq("stat"))
+        }
       }
       postings.merge(
         withDl.select(col("doc_id"), col("dl"),
@@ -402,6 +388,53 @@ object TextAnalysis {
           .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")),
         keys = Seq("term", "doc_id"))
     } finally withDl.unpersist()
+  }
+
+  /** The running-stats row `(n_docs, sum_dl, as_of_commit)`, when the
+    * table has one under the anchored schema. A pre-anchor (3-column)
+    * row reads as None — its consumer resyncs from the full aggregate
+    * and the next merge widens the table (additive schema evolution). */
+  private def readStatsRow(
+      st: graft.pipeline.BucketedStateTable): Option[(Long, Long, Long)] =
+    st.read()
+      .filter(_.columns.contains("as_of_commit"))
+      .flatMap(_.filter(col("stat") === "bm25")
+        .select(col("n_docs"), col("sum_dl"), col("as_of_commit"))
+        .collect().headOption)
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  /** `(Δn_docs, Δsum_dl)` of the docLengths table between two retained
+    * commits, from the change feed (bucket-pruned: unchanged buckets
+    * are never read). None when the window cannot be diffed — the
+    * from-commit fell out of retention or predates a rebucket — which
+    * callers treat as a full-aggregate resync. */
+  private def statsDeltaFromChanges(
+      docLengths: graft.pipeline.BucketedStateTable,
+      fromCommit: Long, toCommit: Long): Option[(Long, Long)] =
+    try {
+      val r = docLengths.changesBetween(fromCommit, toCommit).agg(
+        coalesce(sum(
+          when(col("change_type") === "insert", 1L)
+            .when(col("change_type") === "delete", -1L)
+            .otherwise(0L)), lit(0L)).as("dn"),
+        coalesce(sum(
+          when(col("change_type").isin("insert", "update_postimage"), col("dl"))
+            .when(col("change_type").isin("delete", "update_preimage"), -col("dl"))
+            .otherwise(lit(0L))), lit(0L)).as("ds")).first()
+      Some((r.getLong(0), r.getLong(1)))
+    } catch {
+      case _: NoSuchElementException => None // fromCommit pruned
+      case _: IllegalArgumentException => None // rebucket boundary
+    }
+
+  private def fullDlAggregate(
+      docLengths: graft.pipeline.BucketedStateTable): (Long, Long) = {
+    val row = docLengths.read()
+      .map(_.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s")).first())
+    (row.map(_.getLong(0)).getOrElse(0L),
+      row.map(_.getLong(1)).getOrElse(0L))
   }
 
   /** Incremental BM25 top-k against a corpus indexed by
@@ -449,15 +482,25 @@ object TextAnalysis {
     // N/avgdl: prefer the running (n_docs, sum_dl) row maintained by
     // [[indexPostings]] — two scalars from a one-bucket table, so query
     // cost tracks the query terms alone instead of aggregating the
-    // corpus-cardinality docLengths table per query. Fall back to the
-    // full aggregate when no stats row exists (table indexed before
-    // stats tracking, or stats not wired).
+    // corpus-cardinality docLengths table per query. The row is
+    // anchored to the docLengths commit it reflects; when the table has
+    // moved past the anchor (an ingest crashed between its two
+    // bookkeeping commits), the missed window folds in from the change
+    // feed IN MEMORY — bucket-pruned, usually empty, never committed by
+    // a read path. Fall back to the full aggregate when no anchored row
+    // exists or the window is no longer diffable.
     val fromRunning: Option[(Long, Double)] = stats
-      .flatMap(_.read())
-      .flatMap(_.filter(col("stat") === "bm25")
-        .select(col("n_docs"), col("sum_dl")).collect().headOption)
-      .map(r => (r.getLong(0),
-        if (r.getLong(0) > 0) r.getLong(1).toDouble / r.getLong(0) else 1.0))
+      .flatMap(readStatsRow)
+      .flatMap { case (n0, s0, c0) =>
+        docLengths.commits().lastOption match {
+          case Some(c) if c != c0 =>
+            statsDeltaFromChanges(docLengths, c0, c)
+              .map { case (dn, ds) => (n0 + dn, s0 + ds) }
+          case _ => Some((n0, s0))
+        }
+      }
+      .map { case (n, s) =>
+        (n, if (n > 0) s.toDouble / n else 1.0) }
     val (nDocs, avgdl) = fromRunning.getOrElse {
       val statsRow = docLengths.read().map(_.agg(
         count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).first())

@@ -182,7 +182,11 @@ object EventStreams {
     val n = stages.size
     var stage = st.stage
     var last = st.lastMs
-    evs.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+    // null event types sort via the empty string — they can never match
+    // a stage, but a null must not NPE the tuple ordering's compareTo
+    // when it ties on ts with a real event
+    evs.sortBy(e => (e.ts.getTime, Option(e.event_type).getOrElse("")))
+      .foreach { e =>
       if (stage < n && e.event_type == stages(stage) && e.ts.getTime > last) {
         stage += 1
         last = e.ts.getTime
@@ -235,6 +239,7 @@ object EventStreams {
       GroupStateTimeout.EventTimeTimeout()
     }
     events
+      .filter(_.ts != null) // a poisoned null-ts record must not kill the query
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, FunnelProgress](timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
@@ -393,9 +398,15 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
-                case Some(s) if t - s.end <= gapMs =>
-                  // min(start, t): a late-but-legal event EARLIER than
-                  // the session start still belongs to it
+                // membership is within gap of the session SPAN on both
+                // sides: an out-of-order event EARLIER than the start
+                // belongs only when start - t <= gap — without the
+                // lower bound, any late event at all would be absorbed
+                // and stretch the session over a gap the batch oracle
+                // splits (a far-earlier event takes the split branch
+                // below and mergeChain re-fuses iff the gap truly
+                // closed)
+                case Some(s) if t - s.end <= gapMs && s.start - t <= gapMs =>
                   open = Some(s.copy(start = math.min(s.start, t),
                     end = math.max(s.end, t), n = s.n + 1,
                     total = s.total + e.value))

@@ -60,9 +60,14 @@ object HarvestStream {
               "status_is_deleted"))
         // batch-id marker (scoped to this checkpoint) upgrades
         // foreachBatch's at-least-once replay to effective exactly-once;
-        // the merge runs as an atomic read-modify-write
+        // the merge runs as an atomic read-modify-write. versionCols:
+        // AvailableNow drains MANY page files into one batch, so a
+        // record re-harvested across pages appears twice with no page
+        // order to break the tie — the newest datestamp must win, the
+        // same row the batch pipeline's sequential page-by-page merges
+        // land on
         headersTable.mergeOnceForBatch(batchId, checkpointDir, headers,
-          keys = Seq("record_identifier"))
+          keys = Seq("record_identifier"), versionCols = Seq("datestamp"))
         afterBatch(batchId)
       }
       .start()

@@ -38,8 +38,9 @@ import graft.pipeline.BucketedStateTable
   * ([[graft.pipeline.BucketedStateTable.readForKeys]]) — ingest cost is
   * batch-proportional, never corpus-proportional, which is what lets
   * the index accumulate to corpus scale while the stream keeps up. The
-  * doc-store read is lazy and only the candidate ids' rows survive the
-  * verification join's key filter.
+  * doc store is passed AS a store (not a frame), so the verification
+  * text read is bucket-pruned to the candidate ids' buckets — the text
+  * lookup never scans everything ever streamed.
   */
 object NearDupStream {
 
@@ -69,8 +70,11 @@ object NearDupStream {
         val ingested = docs
           .readOrEmpty(like = batch.select(col(idCol), col(textCol)))
           .select(col(idCol), col(textCol))
+        // `ingested` shapes the lookup; the STORE handle makes the text
+        // read bucket-pruned to the candidate ids (see incrementalNearDups)
         val p = Dedup.incrementalNearDups(index, ingested, batch,
-          idCol, textCol, minJaccard, shingleLen, bands, rowsPerBand)
+          idCol, textCol, minJaccard, shingleLen, bands, rowsPerBand,
+          docStore = Some(docs))
         pairs.merge(p, keys = Seq("a_id", "b_id"))
         docs.merge(batch.select(col(idCol), col(textCol)), keys = Seq(idCol))
         afterBatch(batchId)

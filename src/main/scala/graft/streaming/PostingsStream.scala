@@ -32,9 +32,12 @@ object PostingsStream {
     * `idCol` + `textCol`; ids unique across index ∪ stream). Wire a
     * `stats` table to maintain the running (n_docs, sum_dl) row that
     * frees [[graft.ops.TextAnalysis.incrementalBm25TopK]] queries from
-    * the per-query corpus aggregate — the delta bookkeeping is
-    * replay-exact (a replayed batch's ids already exist and contribute
-    * zero), so at-least-once delivery needs no extra guard. */
+    * the per-query corpus aggregate — the row is ANCHORED to the
+    * docLengths commit it reflects and maintained from the table's own
+    * change feed, so at-least-once delivery needs no extra guard: a
+    * replayed batch diffs to zero, and a crash between an ingest's
+    * lengths and stats commits heals on the next ingest (or in-memory
+    * at query time) by folding the missed window from the feed. */
   def start(
       batches: DataFrame,
       postings: BucketedStateTable,

@@ -139,6 +139,92 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: a far-earlier late event opens its OWN session — it must not stretch the open one across a gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(s, in.toDS(), gapSeconds = 1800L,
+        watermark = "6 hours") // generous watermark keeps the 08:00 event legal
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 opens session [10:00, 10:10]
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      // batch 2: a legal late event at 08:00 — 2 h before the open
+      // session's start, far beyond the 30 min gap: the batch oracle
+      // (consecutive-gap rule) emits TWO sessions; absorbing it would
+      // fuse them into one [08:00, 10:10] span
+      in.addData(ev(3, "2024-01-01 08:00:00"))
+      q.processAllAvailable()
+      // advance the watermark far past everything → both close
+      in.addData(ev(9, "2024-01-02 12:00:00", user = 99))
+      q.processAllAvailable()
+      in.addData(ev(10, "2024-01-02 18:00:00", user = 99))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT session_start, session_end, n_events " +
+        "FROM late_sessions WHERE user_id = 1 ORDER BY session_start").collect()
+      assert(rows.length == 2, s"expected two sessions, got ${rows.toSeq}")
+      assert(rows(0).getAs[Timestamp]("session_start") == ts("2024-01-01 08:00:00"))
+      assert(rows(0).getAs[Timestamp]("session_end") == ts("2024-01-01 08:00:00"))
+      assert(rows(0).getAs[Long]("n_events") == 1L)
+      assert(rows(1).getAs[Timestamp]("session_start") == ts("2024-01-01 10:00:00"))
+      assert(rows(1).getAs[Long]("n_events") == 2L)
+    } finally q.stop()
+  }
+
+  test("streaming: a late event WITHIN gap of the open session's start still merges (the legal absorb)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(s, in.toDS(), gapSeconds = 1800L,
+        watermark = "6 hours")
+      .writeStream.format("memory").queryName("absorb_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      in.addData(ev(3, "2024-01-01 09:45:00")) // 15 min before start: merges
+      q.processAllAvailable()
+      in.addData(ev(9, "2024-01-02 12:00:00", user = 99))
+      q.processAllAvailable()
+      in.addData(ev(10, "2024-01-02 18:00:00", user = 99))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT session_start, session_end, n_events " +
+        "FROM absorb_sessions WHERE user_id = 1").collect()
+      assert(rows.length == 1, s"expected one merged session, got ${rows.toSeq}")
+      assert(rows(0).getAs[Timestamp]("session_start") == ts("2024-01-01 09:45:00"))
+      assert(rows(0).getAs[Timestamp]("session_end") == ts("2024-01-01 10:10:00"))
+      assert(rows(0).getAs[Long]("n_events") == 3L)
+    } finally q.stop()
+  }
+
+  test("streaming: null ts and null event_type records must not kill the funnel queries") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.funnelStream(s, in.toDS(),
+        stages = Seq("view", "click"))
+      .writeStream.format("memory").queryName("poison_funnel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // a null-ts event (filtered) and a null-type event tying on ts
+      // with a real one (sorted null-safely, can never match a stage)
+      in.addData(
+        Event(1, null, 1L, "view", 1.0),
+        Event(2, ts("2024-01-01 10:00:00"), 2L, null, 1.0),
+        Event(3, ts("2024-01-01 10:00:00"), 2L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT user_id, reached_stage FROM poison_funnel ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(rows == Seq((2L, 1)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming: funnel state advances across micro-batches, matches batch on in-order data, never regresses") {
     val s = spark
     import s.implicits._

@@ -151,18 +151,36 @@ class PostingsIndexSpec extends SparkSpec {
       postings, docLengths, terms, k = 15))
     assert(viaRow == viaAgg && viaRow.nonEmpty)
 
-    // the query path reads the ROW: rows merged into docLengths BEHIND
-    // the stats table's back shift the aggregate but not stats-path
-    // scores — proof the corpus-cardinality table is not re-aggregated
+    // crash consistency: a docLengths commit landing WITHOUT its stats
+    // commit (the crash window between an ingest's two bookkeeping
+    // commits, simulated by a direct side merge) leaves the row
+    // anchored at the older commit. The query path detects the stale
+    // anchor and folds the missed window from the CHANGE FEED — a
+    // bucket-pruned diff of exactly the side-merged buckets, never a
+    // corpus re-aggregate — matching the full-aggregate path; the row
+    // itself is not rewritten by a read.
     docLengths.merge(
       Seq((9999991L, 100000L), (9999992L, 100000L)).toDF("doc_id", "dl"),
       keys = Seq("doc_id"))
+    val rowAfterSideMerge = statsRow()
+    assert(rowAfterSideMerge == afterTwo,
+      "the side merge must leave the committed stats row untouched")
     val viaRowAfter = scores(TextAnalysis.incrementalBm25TopK(
       postings, docLengths, terms, k = 15, stats = stats))
     val viaAggAfter = scores(TextAnalysis.incrementalBm25TopK(
       postings, docLengths, terms, k = 15))
-    assert(viaRowAfter == viaRow, "stats-path scores must not see the side merge")
-    assert(viaAggAfter != viaRow, "the fallback aggregate must see it (sanity)")
+    assert(viaRowAfter == viaAggAfter,
+      "a stale anchor must fold the missed window from the change feed")
+    assert(viaAggAfter != viaRow,
+      "the two giant docs must shift avgdl (sanity)")
+    assert(statsRow() == rowAfterSideMerge, "a read path must not commit")
+
+    // ...and the NEXT wired ingest re-anchors: the row catches up to
+    // the true aggregate, missed window included
+    TextAnalysis.indexPostings(postings, docLengths,
+      docs.filter(col("doc_id") === 2), "doc_id", "text", stats)
+    assert(statsRow() == trueAgg(),
+      "the next ingest must heal the crash window from the change feed")
   }
 
   test("stats bootstrap: a table indexed before stats tracking catches up on first wired ingest") {
