@@ -58,6 +58,17 @@ object Corpus {
         "these names are produced by this operator")
   }
 
+  /** The packers shard by `pmod(id, nShards)`, which needs a numeric id
+    * — a string/UUID id would throw an ANSI cast error at runtime (or,
+    * pre-ANSI, silently collapse every row into one NULL shard and sort
+    * the corpus in a single task). Refuse at PLAN time with guidance. */
+  private def requireNumericId(df: DataFrame, idCol: String, what: String): Unit =
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$what shards by pmod($idCol, nShards) and needs a NUMERIC id " +
+        s"(got ${df.schema(idCol).dataType.simpleString}) — derive one " +
+        s"first, e.g. xxhash64($idCol), and keep the original alongside")
+
   /** Deterministic stratified sampling: keep a row iff its content-hash
     * uniform draw falls under its stratum's rate. This is the mixture
     * step of corpus assembly (downsample over-represented domains /
@@ -154,6 +165,7 @@ object Corpus {
     requireFresh(df, "shard", "n_tokens")
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
     require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    requireNumericId(df, idCol, "packChunks")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     // last token of the document (inclusive): every text has ≥1 token
     // under split semantics, so token_end = token_start + n_tokens − 1.
@@ -199,6 +211,7 @@ object Corpus {
     requireFresh(df, "shard", "n_tokens", "bin")
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
     require(binTokens >= 1, s"binTokens must be >= 1: $binTokens")
+    requireNumericId(df, idCol, "packBins")
     // NULL text coalesces to "" (one empty token — the kernel split
     // discipline) instead of a NULL n_tokens that would NPE getLong
     val meta = df.select(col(idCol),
@@ -318,9 +331,14 @@ object Corpus {
       maxBroadcastShingles: Long): (DataFrame, DataFrame) = {
     val corpusShingles = corpus.select(col(idCol),
       explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
+    // eager localCheckpoint: the broadcast-size probe (limit.count) and
+    // the caller's join would otherwise EACH re-run the benchmark scan +
+    // shingle explode + distinct — the call's dominant cost, paid twice
+    // (decontaminateBloom documents and fixes the same re-run)
     val benchShingles = benchmark
       .select(explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
       .distinct()
+      .localCheckpoint(true)
     (corpusShingles, broadcastIfSmall(benchShingles, maxBroadcastShingles))
   }
 
@@ -456,8 +474,12 @@ object Corpus {
       TextAnalysis.tokenCount(col(textCol)))
     val totals = sourceTokenTotals(withTokens, sourceCol)
     val rates = budgets.flatMap { case (src, budget) =>
+      // a 0-token source (all-null text) must not divide to NaN and
+      // crash hexThreshold: keep-all when it has budget (its rows cost
+      // nothing against it), keep-none when it has none
       totals.get(src).map(t =>
-        src -> math.min(1.0, budget.toDouble / t.toDouble))
+        src -> (if (t == 0L) (if (budget > 0L) 1.0 else 0.0)
+                else math.min(1.0, budget.toDouble / t.toDouble)))
     }
     keepBySourceRates(withTokens, idCol, sourceCol, rates, seed)
   }
@@ -588,6 +610,10 @@ object Corpus {
     * from the fused kernel); the per-bucket stats aggregate is
     * map-side combined into at most |buckets| rows per partition. */
   def lengthBucket(textCol: Column, bounds: Seq[Long] = Seq(32L, 64L, 128L, 256L)): Column = {
+    require(bounds.nonEmpty, "lengthBucket needs at least one bound")
+    require(bounds == bounds.distinct.sorted,
+      s"lengthBucket bounds must be strictly ascending, got $bounds — " +
+        "an out-of-order bound silently mislabels every longer document")
     // NULL text counts as empty: a NULL token count fails every <=
     // threshold comparison and would fall through to the LARGEST
     // bucket's otherwise-branch — an absent document padded to the

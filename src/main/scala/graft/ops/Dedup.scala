@@ -304,20 +304,30 @@ object Dedup {
     * Pigeonhole guarantee (same as the text face): a pair at Hamming
     * distance < `bands` always shares an untouched band and is found
     * DETERMINISTICALLY; larger distances are probabilistic. */
+  /** One `(band, bh)` struct per band of a 64-bit hash — THE slicer
+    * every 64-bit banding path shares (SimHash pairs, image dHash, the
+    * cross-modal pair index). One implementation, one bit layout: an
+    * incremental index built from these keys collides with the batch
+    * path's candidates by construction, and a future change to the
+    * shift/mask cannot silently diverge the two. */
+  private[graft] def bandSlices64(hashCol: Column, bands: Int): Column = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(hashCol, b * width)
+          .bitwiseAND(lit(mask)).as("bh"))): _*)
+  }
+
   def bandPairs64(
       df: DataFrame,
       idCol: String,
       hashCol: String,
       bands: Int): DataFrame = {
-    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     val sh = df.select(col(idCol).as("__id"), col(hashCol).as("__sh"))
     val banded = sh.select(col("__id"), col("__sh"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("__sh"), b * width)
-            .bitwiseAND(lit(mask)).as("bh"))): _*)).as("__b"))
+      explode(bandSlices64(col("__sh"), bands)).as("__b"))
       .select(col("__id"), col("__sh"),
         col("__b.band").as("band"), col("__b.bh").as("bh"))
     val l = banded.select(col("band"), col("bh"),
@@ -752,7 +762,11 @@ object Dedup {
       keys = Seq("band", "band_hash"), maxBucketSize = maxBucketSize)
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
+    // persisted: the pair set is read by the candidate-id derivation
+    // AND the verify joins — without the cache the two guarded
+    // bipartite joins above would run twice
     val cand = cross.unionByName(intra).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // the verify step needs TEXT for candidate ids ONLY — batch-
     // proportional, never corpus-proportional. candIds is persisted
     // because it is read twice (the doc store's bucket probe + the
@@ -810,6 +824,7 @@ object Dedup {
       keys = Seq("band", "band_hash", "doc_id"))
     bNew.unpersist()
     slice.unpersist()
+    cand.unpersist()
     candIds.unpersist()
     out
   }

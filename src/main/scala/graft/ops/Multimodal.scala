@@ -52,6 +52,19 @@ object Multimodal {
     def frameCount(payload: Array[Byte]): Int
     def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte]
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+
+    /** Every `everyNth`-th frame as (index, bytes). The default composes
+      * [[frameCount]] + [[decodeFrame]] — fine for single-frame formats
+      * and opaque stubs — but each `decodeFrame` call opens a fresh
+      * decode session and may re-parse preceding frames, O(frames²/
+      * everyNth) on a long animation; a multi-frame decoder should
+      * override to decode ONCE per payload ([[ImageIoDecoder]] does). */
+    def sampledFrames(payload: Array[Byte],
+        everyNth: Int): Iterator[(Int, Array[Byte])] = {
+      val n = frameCount(payload)
+      (0 until n by math.max(everyNth, 1)).iterator
+        .map(i => i -> decodeFrame(payload, i))
+    }
   }
 
   /** Deterministic stub decoder for non-image payloads (the synthetic
@@ -93,7 +106,14 @@ object Multimodal {
     private def withReader[A](payload: Array[Byte])(
         f: javax.imageio.ImageReader => A): Option[A] = {
       if (payload == null) return None // undecodable: drop, never NPE
-      val in = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      // createImageInputStream is itself fallible: it spills to a disk
+      // cache by default (IOException on a full/unwritable tmp dir) and
+      // returns NULL when no stream SPI matches — both are "this payload
+      // is undecodable HERE", not a reason to fail the whole stage
+      val in =
+        try ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (in == null) return None
       try {
         val readers = ImageIO.getImageReaders(in)
         if (!readers.hasNext) None
@@ -127,6 +147,21 @@ object Multimodal {
     override def decodeFrame(payload: Array[Byte], idx: Int): Array[Byte] =
       withReader(payload)(rd => encodePng(rd.read(idx)))
         .getOrElse(Array.emptyByteArray)
+
+    /** ONE decode session per payload: a single reader serves every
+      * sampled frame (the default would rebuild stream+reader per frame
+      * and re-parse preceding frames each call — O(frames²/everyNth) on
+      * a long GIF). A frame that fails to decode is skipped, same
+      * drop-not-crash contract as the rest of the decoder. */
+    override def sampledFrames(payload: Array[Byte],
+        everyNth: Int): Iterator[(Int, Array[Byte])] =
+      withReader(payload) { rd =>
+        val n = math.max(rd.getNumImages(true), 1)
+        (0 until n by math.max(everyNth, 1)).flatMap { i =>
+          try Some(i -> encodePng(rd.read(i)))
+          catch { case _: Exception => None }
+        }
+      }.getOrElse(Seq.empty).iterator
 
     override def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val img = try ImageIO.read(new ByteArrayInputStream(payload))
@@ -284,9 +319,9 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { iter =>
       iter.flatMap { r =>
-        val nFrames = decoder.frameCount(r.payload)
-        (0 until nFrames by math.max(everyNth, 1)).iterator.map(i =>
-          FrameSample(r.doc_id, i.toLong, decoder.decodeFrame(r.payload, i)))
+        decoder.sampledFrames(r.payload, everyNth).map { case (i, bytes) =>
+          FrameSample(r.doc_id, i.toLong, bytes)
+        }
       }
     }
   }
@@ -408,8 +443,13 @@ object Multimodal {
       batchSize: Int = 64): DataFrame = {
     require(maxHamming < bands,
       s"maxHamming ($maxHamming) must stay below bands ($bands) for deterministic recall")
-    Dedup.bandPairs64(imageHashes(spark, media, batchSize).toDF(),
-        "doc_id", "phash", bands)
+    // eager localCheckpoint: the banded SELF-join below reads the hashed
+    // frame once per side, so an unmaterialized lineage would run the
+    // ImageIO decode of every payload TWICE (decode dominates on a real
+    // image corpus); the checkpointed frame is (id, hash) — tiny. Same
+    // loud-on-executor-loss stance as incrementalNearDups' checkpoint.
+    val hashed = imageHashes(spark, media, batchSize).toDF().localCheckpoint(true)
+    Dedup.bandPairs64(hashed, "doc_id", "phash", bands)
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -472,19 +512,16 @@ object Multimodal {
   private def pairBandRows(spark: SparkSession, pairs: DataFrame,
       idCol: String, payloadCol: String, embCol: String,
       bands: Int, batchSize: Int): DataFrame = {
-    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     val media = pairs.select(col(idCol).as("doc_id"),
       lit("image").as("kind"), col(payloadCol).as("payload"))
     val hashed = imageHashes(spark, media, batchSize).toDF()
     val emb = pairs.select(col(idCol).as("doc_id"), col(embCol).as("embedding"))
+    // band keys come from the ONE shared slicer ([[Dedup.bandSlices64]])
+    // — the incremental index only collides with the batch path's
+    // candidates while both compute bit-identical (band, bh) keys
     hashed.join(emb, Seq("doc_id"))
       .select(col("doc_id").as("pair_id"), col("phash"), col("embedding"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("phash"), b * width)
-              .bitwiseAND(lit(mask)).as("bh"))): _*)).as("__b"))
+        explode(Dedup.bandSlices64(col("phash"), bands)).as("__b"))
       .select(col("__b.band").as("band"), col("__b.bh").as("bh"),
         col("pair_id"), col("phash"), col("embedding"))
   }
@@ -499,11 +536,16 @@ object Multimodal {
       pairs: DataFrame,
       idCol: String = "pair_id", payloadCol: String = "payload",
       embCol: String = "embedding",
-      bands: Int = 4, batchSize: Int = 64): Unit =
-    index.merge(
-      pairBandRows(SparkSession.active, pairs, idCol, payloadCol, embCol,
-        bands, batchSize),
-      keys = Seq("band", "bh", "pair_id"))
+      bands: Int = 4, batchSize: Int = 64): Unit = {
+    // persisted around the merge: merge evaluates its updates twice
+    // (dirty-bucket probe + bucket write), and an unpersisted lineage
+    // would decode every image payload twice per ingest
+    val rows = pairBandRows(SparkSession.active, pairs, idCol, payloadCol,
+        embCol, bands, batchSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try index.merge(rows, keys = Seq("band", "bh", "pair_id"))
+    finally rows.unpersist()
+  }
 
   /** Incremental cross-modal pair dedup: every pair-of-pairs meeting
     * BOTH thresholds (image dHash Hamming <= `maxHamming` AND caption

@@ -29,11 +29,13 @@ object Profile {
           distinctAgg(c).as(s"__nd_$c")))
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot via stack: (column, n_rows, n_nonnull, n_distinct)
-    // names go through generated SQL: escape quotes in the literal and
-    // backtick-quote the aliased refs, or a column named "word count"
-    // (or one containing a quote) breaks the expr() parse
+    // names go through generated SQL: escape BACKSLASHES then quotes in
+    // the literal (the default parser processes \-escapes, so an
+    // unescaped "c:\path" would silently lose its backslash and a
+    // trailing one would swallow the closing quote) and backtick-quote
+    // the aliased refs, or a column named "word count" breaks the parse
     val stackArgs = cols.map { c =>
-      val litName = c.replace("'", "''")
+      val litName = c.replace("\\", "\\\\").replace("'", "''")
       val ref = c.replace("`", "``")
       s"'$litName', `__nn_$ref`, `__nd_$ref`"
     }.mkString(", ")
@@ -131,8 +133,18 @@ object Profile {
         col("ks_gap"), col("psi_term"))
   }
 
-  /** (pa − pb)·ln(pa/pb) when both shares are positive, else null (the
-    * standard skip-one-sided-bins PSI convention). */
-  private def psiTerm(pa: Column, pb: Column): Column =
-    when(pa > 0 && pb > 0, (pa - pb) * log(pa / pb))
+  /** (pa′ − pb′)·ln(pa′/pb′) with both shares FLOORED at 1e-6 — the
+    * standard epsilon-smoothed PSI. The floor is what makes
+    * `sum(psi_term)` a safe threshold scalar: under the
+    * skip-one-sided-bins convention a TOTAL distribution shift (the two
+    * slices share no occupied bin) would make every term null and the
+    * sum NULL/0, silently passing a `> 0.2` gate on the maximal-drift
+    * day; floored, each one-sided bin contributes a large finite term
+    * and the gate alarms. Bins where both shares exceed the floor are
+    * numerically identical to the unfloored convention. */
+  private def psiTerm(pa: Column, pb: Column): Column = {
+    val fa = greatest(pa, lit(1e-6))
+    val fb = greatest(pb, lit(1e-6))
+    (fa - fb) * log(fa / fb)
+  }
 }

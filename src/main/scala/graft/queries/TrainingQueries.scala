@@ -4486,7 +4486,8 @@ object TrainingQueries {
         | CAST(n_b AS BIGINT) AS n_b,
         | round(cdf_a, 6) AS cdf_a, round(cdf_b, 6) AS cdf_b,
         | round(abs(cdf_a - cdf_b), 6) AS ks_gap,
-        | round(CASE WHEN pa > 0 AND pb > 0 THEN (pa - pb) * ln(pa / pb) END, 6) AS psi_term
+        | round((greatest(pa, 0.000001) - greatest(pb, 0.000001))
+        |   * ln(greatest(pa, 0.000001) / greatest(pb, 0.000001)), 6) AS psi_term
         |FROM c ORDER BY bin""".stripMargin,
 
     // The codebook is RECONSTRUCTED in SQL from the same deterministic
