@@ -430,6 +430,17 @@ object Kernels {
     * oracle (`trim` + `regexp_split_to_array`) produce. */
   private def sparkTokens(s0: String): Array[String] = Hashing.tokenize(s0)
 
+  /** The ONE space-joined n-gram builder every gram kernel shares
+    * (shingles, n-gram lists/stats/top, duplicate-gram coverage): a
+    * change to the join discipline must land once, or the estimate
+    * kernels silently desynchronize from the exact-verify kernels. */
+  private def buildGram(toks: Array[String], i: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder(toks(i))
+    var k = 1
+    while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+    sb.toString
+  }
+
   private def shingleStrings(s: String, n: Int): java.util.HashSet[String] = {
     val toks = sparkTokens(s)
     val set = new java.util.HashSet[String]()
@@ -437,10 +448,7 @@ object Kernels {
     else {
       var i = 0
       while (i + n <= toks.length) {
-        val sb = new java.lang.StringBuilder(toks(i))
-        var k = 1
-        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
-        set.add(sb.toString)
+        set.add(buildGram(toks, i, n))
         i += 1
       }
     }
@@ -473,10 +481,7 @@ object Kernels {
     val out = new Array[Any](toks.length - n + 1)
     var i = 0
     while (i + n <= toks.length) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var k = 1
-      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
-      out(i) = UTF8String.fromString(sb.toString)
+      out(i) = UTF8String.fromString(buildGram(toks, i, n))
       i += 1
     }
     new GenericArrayData(out)
@@ -585,10 +590,7 @@ object Kernels {
     val set = new java.util.HashSet[String]()
     var i = 0
     while (i + n <= toks.length) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var k = 1
-      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
-      set.add(sb.toString)
+      set.add(buildGram(toks, i, n))
       i += 1
     }
     InternalRow(total.toLong, set.size.toLong)
@@ -609,10 +611,7 @@ object Kernels {
     val counts = new java.util.HashMap[String, Int](total * 2)
     var i = 0
     while (i < total) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var k = 1
-      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
-      val g = sb.toString
+      val g = buildGram(toks, i, n)
       grams(i) = g
       counts.put(g, counts.getOrDefault(g, 0) + 1)
       i += 1
@@ -657,10 +656,7 @@ object Kernels {
     val set = new java.util.HashSet[String]()
     var i = 0
     while (i + n <= toks.length) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var k = 1
-      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
-      set.add(sb.toString)
+      set.add(buildGram(toks, i, n))
       i += 1
     }
     set
@@ -682,10 +678,7 @@ object Kernels {
     var i = 0
     var top = 0
     while (i < total) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var k = 1
-      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
-      val c = counts.merge(sb.toString, 1, Integer.sum)
+      val c = counts.merge(buildGram(toks, i, n), 1, Integer.sum)
       if (c > top) top = c
       i += 1
     }
@@ -1067,9 +1060,20 @@ case class PqEncode(child: Expression, codebook: Seq[Double], m: Int, k: Int)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Kernels.supportsElem(child.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs a fixed-width numeric array, got ${child.dataType}")
+    if (!Kernels.supportsElem(child.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a fixed-width numeric array, got ${child.dataType}")
+    // the constants are PLAN-fixed: a bad m/k/codebook must be an
+    // analysis error, not a task failure after the job launches (the
+    // per-row dim checks in the kernel stay — dim is data)
+    else if (m < 1 || k < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs m >= 1 and k >= 1, got m=$m k=$k")
+    else if (codebook.isEmpty || codebook.length % (m.toLong * k) != 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: codebook has ${codebook.length} values — expected " +
+          s"k*dim, a positive multiple of m*k = ${m * k}")
+    else TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_pq_encode"
 
@@ -1111,10 +1115,19 @@ case class PqAdc(left: Expression, right: Expression,
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (l, ArrayType(IntegerType, _)) if Kernels.supportsElem(l) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs (numeric array, ARRAY<INT>), got $l / $r")
+      case (l, r) if !(Kernels.supportsElem(l) &&
+          r.isInstanceOf[ArrayType] &&
+          r.asInstanceOf[ArrayType].elementType == IntegerType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (numeric array, ARRAY<INT>), got $l / $r")
+      case _ if m < 1 || k < 1 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs m >= 1 and k >= 1, got m=$m k=$k")
+      case _ if codebook.isEmpty || codebook.length % (m.toLong * k) != 0 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: codebook has ${codebook.length} values — expected " +
+            s"k*dim, a positive multiple of m*k = ${m * k}")
+      case _ => TypeCheckResult.TypeCheckSuccess
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_pq_adc"

@@ -39,9 +39,20 @@ object GraftFunctions {
 
   /** SF4 — strip the `oai:` prefix and authority from an OAI identifier:
     * `oai:example.org:qucosa:7455` → `qucosa:7455`
-    * (reference `MetsProcessor.java:285-287`). */
+    * (reference `MetsProcessor.java:285-287`:
+    * `substring(indexOf(':', 4) + 1)`). EXACT reference semantics, byte
+    * for byte with the driver-side
+    * [[graft.pipeline.OaiRequestBuilder.localIdentifier]] — a
+    * non-canonical id (`qucosa:7455`, no `oai:` prefix) yields the part
+    * after its first `:` at/past index 4, and an id with no such colon
+    * passes through WHOLE, where the previous regex form yielded `""`
+    * for both. Column-side and driver-side ids must key identically or
+    * enrichment joins silently drop rows. */
   def localId(c: Column): Column =
-    regexp_extract(c, "^oai:[^:]+:(.*)$", 1)
+    // locate is 1-based: searching from position 5 = Java's
+    // indexOf(':', 4); absent → 0 → substr(1) = the whole string,
+    // exactly Java's substring(-1 + 1)
+    c.substr(locate(":", c, 5) + lit(1), length(c))
 
   /** Java `String.trim()` semantics: strip ALL leading/trailing whitespace
     * incl. newlines/tabs (Spark's `trim` removes only 0x20 spaces). */
@@ -58,12 +69,13 @@ object GraftFunctions {
   /** SF6 — full-anchored regex match (Java `String.matches` semantics;
     * reference `QucosaDocumentFilter.java:27,38`). Spark's `rlike` is a
     * *find*, so anchor both ends. */
-  def fullMatch(c: Column, pattern: String): Column = {
-    val anchored =
-      (if (pattern.startsWith("^")) "" else "^") + pattern +
-        (if (pattern.endsWith("$")) "" else "$")
-    c.rlike(anchored)
-  }
+  def fullMatch(c: Column, pattern: String): Column =
+    // ALWAYS wrap in a non-capturing group before anchoring: a bare
+    // "^foo|bar$" lets top-level alternation escape the anchors
+    // ("foobar baz" would match), and an escaped trailing \$ would be
+    // mistaken for an existing anchor — String.matches semantics need
+    // the whole pattern anchored as one unit
+    c.rlike("^(?:" + pattern + ")$")
 
   /** F1 — the qucosa record-id predicate `.+qucosa:\d+`
     * (reference `QucosaDocumentFilter.java:27`). */
@@ -71,7 +83,10 @@ object GraftFunctions {
 
   /** SF9 — `equalsIgnoreCase` (reference `OaiHarvester.java:541`). */
   def ciEquals(c: Column, value: String): Column =
-    lower(c) === value.toLowerCase
+    // Locale.ROOT: the default-locale toLowerCase breaks under tr/az
+    // ("ID" -> dotless-i) while equalsIgnoreCase (the SF9 reference,
+    // OaiHarvester.java:541) is locale-independent
+    lower(c) === value.toLowerCase(java.util.Locale.ROOT)
 
   /** SF3 — absolute difference in milliseconds (clock-skew check,
     * reference `OaiHarvester.java:513-517`). */

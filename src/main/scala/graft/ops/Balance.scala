@@ -34,7 +34,11 @@ object Balance {
     // the scans, so small leaves would make it insert a redundant full
     // shuffle on top of the one the plan already pays. Skip: the guard
     // exists for narrow maps over raw scans.
-    if (hasExchange(df.queryExecution.optimizedPlan)) df
+    val optimized = df.queryExecution.optimizedPlan
+    if (hasExchange(optimized)) df
+    else if (hasGlobalLimit(optimized))
+      // a limited frame runs at ONE partition whatever its leaves say
+      df.repartition(target)
     else {
       val width = estimatedScanPartitions(df)
         .getOrElse(df.rdd.getNumPartitions.toLong)
@@ -53,6 +57,21 @@ object Balance {
       case _: Aggregate | _: Join | _: Window => true
       case s: Sort => s.global
       case _: Repartition | _: RepartitionByExpression => true
+      case _ => false
+    }
+  }
+
+  /** A global limit collapses to ONE partition physically — the leaf
+    * stats still report full scan width, so without this case a
+    * `bigTable.limit(n)` feeding a per-row-heavy map would pass the
+    * width check yet run single-core, exactly the regime the guard
+    * exists for. (Not an "exchange" — the limited frame must still be
+    * WIDENED, not skipped, so it gets its own predicate.) */
+  private def hasGlobalLimit(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan.exists {
+      case _: GlobalLimit => true
       case _ => false
     }
   }

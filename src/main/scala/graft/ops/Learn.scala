@@ -80,7 +80,12 @@ object Learn {
     * arithmetic exactly); probabilities are max-shifted before `exp`
     * (softmax is shift-invariant, and the shift keeps `exp` in range
     * for any score magnitude). */
-  private def softmaxParts(
+  /** Validated per-class linear scores `z_k` — the shared front half of
+    * training ([[softmaxParts]]) and prediction ([[predictSoftmax]]), so
+    * the shape checks and the bias-first fold order cannot drift between
+    * fit and serve (an unvalidated predict with a short weight row would
+    * silently TRUNCATE via zip and score a partial model). */
+  private def linearScores(
       featureCols: Seq[String],
       classes: Seq[String],
       weights: Seq[Seq[Double]],
@@ -91,11 +96,19 @@ object Learn {
       s"${weights.size} weight rows / ${biases.size} biases for ${classes.size} classes")
     require(weights.forall(_.size == featureCols.size),
       s"every weight row needs ${featureCols.size} entries")
-    val zs = classes.indices.map { k =>
+    classes.indices.map { k =>
       featureCols.zip(weights(k))
         .map { case (c, w) => col(c) * w }
         .foldLeft(lit(biases(k)): Column)(_ + _)
     }
+  }
+
+  private def softmaxParts(
+      featureCols: Seq[String],
+      classes: Seq[String],
+      weights: Seq[Seq[Double]],
+      biases: Seq[Double]): Seq[Column] = {
+    val zs = linearScores(featureCols, classes, weights, biases)
     val m = greatest(zs: _*)
     val es = zs.map(z => exp(z - m))
     val denom = es.reduceLeft(_ + _)
@@ -195,13 +208,7 @@ object Learn {
       weights: Seq[Seq[Double]],
       biases: Seq[Double],
       outputCol: String = "predicted_class"): DataFrame = {
-    require(classes.size >= 2 && classes.distinct == classes,
-      s"need >= 2 distinct classes: $classes")
-    val zs = classes.indices.map { k =>
-      featureCols.zip(weights(k))
-        .map { case (c, w) => col(c) * w }
-        .foldLeft(lit(biases(k)): Column)(_ + _)
-    }
+    val zs = linearScores(featureCols, classes, weights, biases)
     val best = greatest(zs: _*)
     val pred = classes.zip(zs).foldRight(lit(classes.last): Column) {
       case ((cls, z), rest) => when(z === best, cls).otherwise(rest)

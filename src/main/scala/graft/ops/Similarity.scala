@@ -110,8 +110,12 @@ object Similarity {
     * deterministically from (plane, dim), so no plane matrix is shipped
     * to executors). Cosine-close vectors collide with high probability.
     * Narrow map, no shuffle. */
-  def lshBuckets(df: DataFrame, vecCol: String, planes: Int): DataFrame =
-    Balance.widen(df).withColumn("bucket",
+  def lshBuckets(df: DataFrame, vecCol: String, planes: Int,
+      widen: Boolean = true): DataFrame =
+    // widen=false for a side that is about to be BROADCAST (a small
+    // query batch): widening it would insert a full repartition exchange
+    // only for the broadcast to collect it again
+    (if (widen) Balance.widen(df) else df).withColumn("bucket",
       call_function("graft_lsh_bucket", col(vecCol), lit(planes)))
 
   /** LSH-bucketed approximate top-k: exact cosine, but only within
@@ -140,13 +144,18 @@ object Similarity {
       bands: Int = 1,
       excludeSelf: Boolean = false): DataFrame = {
     val total = planes * bands
-    require(total <= 63, s"planes*bands must be <= 63, got $total")
-    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+    // the same guard Dedup.semanticHits puts on the identical machinery:
+    // a non-positive bands would make (0 until bands) empty and silently
+    // return "no neighbors" instead of failing the precondition
+    require(planes > 0 && bands > 0 && total <= 63,
+      s"need planes > 0, bands > 0, planes*bands <= 63; got planes=$planes bands=$bands")
+    def banded(df: DataFrame, id: String, vec: String,
+        widen: Boolean): DataFrame =
       bandSubBuckets(
-        lshBuckets(df.select(col(id), col(vec)), vec, total),
+        lshBuckets(df.select(col(id), col(vec)), vec, total, widen),
         Seq(id, vec), planes, bands)
-    val qb = banded(queries, qId, qVec)
-    val cb = banded(corpus, cId, cVec)
+    val qb = banded(queries, qId, qVec, widen = false) // broadcast below
+    val cb = banded(corpus, cId, cVec, widen = true)
     val joined = cb.join(broadcast(qb), Seq("band", "sub"))
     val pairs0 =
       if (excludeSelf) joined.filter(col(cId) =!= col(qId)) else joined
@@ -190,19 +199,17 @@ object Similarity {
     var cents = initial
     try for (_ <- 0 until iterations) {
       val current = cents
-      val scores = array(current.map(c =>
-        cosine(col("__v"), typedlit(c))): _*)
-      val means = wide
-        .withColumn("__cent",
-          (call_function("array_position", scores, array_max(scores)) - 1)
-            .cast("int"))
-        .filter(col("__cent").isNotNull)
+      // assignment via the ONE shared argmax ([[withNearestCentroid]]):
+      // the refinement step must use the exact tie-break and null
+      // handling the index build/probe use, or refined centroids
+      // diverge from the lists they will define
+      val means = withNearestCentroid(wide, "__v", current, "__cent")
         .select(col("__cent"), col("__norm"),
           posexplode(col("__v")).as(Seq("__d", "__x")))
         .groupBy("__cent", "__d")
         .agg(avg(col("__x") / col("__norm")).as("__m"))
         .collect()
-        .groupBy(_.getInt(0))
+        .groupBy(_.getLong(0).toInt)
         .map { case (cent, rows) =>
           cent -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
         }
@@ -210,6 +217,16 @@ object Similarity {
     } finally wide.unpersist(blocking = false)
     cents
   }
+
+  /** Driver-side vector extraction: one definition of the Row-element →
+    * Double conversion (Float/Double/other-numeric) shared by every
+    * codebook/centroid sampler, so a fix (a new element type, null
+    * handling) lands once. */
+  private def toDoubleSeq(elems: Seq[Any]): Seq[Double] = elems.map {
+    case f: Float => f.toDouble
+    case d: Double => d
+    case n: java.lang.Number => n.doubleValue
+  }.toSeq
 
   /** Product-quantization codebooks: `kCodes` sample vectors (the
     * corpus's lowest ids — the same deterministic-sample discipline as
@@ -226,11 +243,7 @@ object Similarity {
     val sample: Seq[Seq[Double]] = corpus
       .filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(kCodes)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case n: java.lang.Number => n.doubleValue
-      }.toSeq).toSeq
+      .map(r => toDoubleSeq(r.getSeq[Any](0))).toSeq
     // a short sample would build a codebook the kernels (which loop
     // ki < kCodes) index out of bounds — fail clearly on the driver
     require(sample.size == kCodes,
@@ -291,11 +304,7 @@ object Similarity {
         "lower kCodes for small corpora")
     val picks = (0 until kCodes).map(j => ids(j * ids.size / kCodes))
     val byId = train.filter(col("__id").isin(picks: _*)).collect()
-      .map(r => r.get(0) -> r.getSeq[Any](1).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case n: java.lang.Number => n.doubleValue
-      }.toSeq).toMap
+      .map(r => r.get(0) -> toDoubleSeq(r.getSeq[Any](1))).toMap
     val seed: Seq[Seq[Double]] = picks.map(byId)
     val dim = seed.head.length
     require(seed.forall(_.length == dim), "refinePqCodebooks needs equal-length vectors")
@@ -408,11 +417,7 @@ object Similarity {
       n: Int): Seq[Seq[Double]] = corpus
     .filter(col(cVec).isNotNull).orderBy(col(cId)).limit(n)
     .select(col(cVec)).collect()
-    .map(_.getSeq[Any](0).map {
-      case f: Float => f.toDouble
-      case d: Double => d
-      case nb: java.lang.Number => nb.doubleValue
-    }.toSeq).toSeq
+    .map(r => toDoubleSeq(r.getSeq[Any](0))).toSeq
     .filter(_.exists(_ != 0.0))
 
   /** IVF (inverted-file) approximate top-k — the classic coarse-quantize
@@ -627,7 +632,13 @@ object Similarity {
     // hash-ordered deterministic sample (no rand(): reruns and
     // cross-engine comparisons must see the same queries)
     val sampleQ = queries.orderBy(xxhash64(col(qId)), col(qId)).limit(sampleN)
+    // match the ANN paths' contract: every index filters null cosines
+    // (a zero-norm vector has no defined direction), so truth must not
+    // contain rows the index can never return — a zero-norm query or
+    // corpus row would otherwise pin that query's recall to 0 and drag
+    // the averages regardless of index quality
     val truth = bruteForceTopK(sampleQ, corpus, qId, qVec, cId, cVec, k)
+      .filter(col("cos_sim").isNotNull)
       .select(col(qId), col(cId))
     // prune the index answer to the sampled queries FIRST: after that
     // both intersect sides are sample-bounded (≤ sampleN × per-query

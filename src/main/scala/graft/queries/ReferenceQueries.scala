@@ -802,8 +802,9 @@ object ReferenceQueries {
 
     "sf4_str_local_id" ->
       """SELECT doc_id,
-        | regexp_extract('oai:example.org:qucosa:' || CAST(doc_id AS VARCHAR),
-        |   '^oai:[^:]+:(.*)$', 1) AS local_id
+        | substring('oai:example.org:qucosa:' || CAST(doc_id AS VARCHAR),
+        |   instr(substring('oai:example.org:qucosa:'
+        |     || CAST(doc_id AS VARCHAR), 5), ':') + 5) AS local_id
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p1_xml_headers_project" ->

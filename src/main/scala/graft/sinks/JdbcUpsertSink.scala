@@ -167,11 +167,36 @@ object JdbcUpsertSink {
       case IntegerType   => ps.setInt(pos, row.getInt(i))
       case LongType      => ps.setLong(pos, row.getLong(i))
       case DoubleType    => ps.setDouble(pos, row.getDouble(i))
-      case TimestampType => ps.setTimestamp(pos, row.getAs[Timestamp](i))
+      case TimestampType => row.get(i) match {
+        // java8API sessions hand back Instant, not Timestamp — both
+        // must bind, or every partition dies on a ClassCastException
+        case t: Timestamp => ps.setTimestamp(pos, t)
+        case inst: java.time.Instant => ps.setTimestamp(pos, Timestamp.from(inst))
+        case other => ps.setObject(pos, other)
+      }
       case ArrayType(StringType, _) =>
         dialect.bindStringArray(conn, ps, pos, row.getSeq[String](i))
       case _ => ps.setObject(pos, row.get(i))
     }
+  }
+
+  /** The ONE batched statement loop: bind every row positionally,
+    * execute in `batchSize` batches — shared by [[executeBatched]] and
+    * [[upsertOnConnection]]'s ON CONFLICT branch so a fix to the
+    * batching discipline cannot land in one copy and miss the other. */
+  private def bindAndExecute(conn: Connection, ps: PreparedStatement,
+      fields: Array[StructField], rows: Iterator[Row],
+      batchSize: Int, dialect: SqlDialect): Unit = {
+    val bind = binder(conn, ps, fields, dialect)
+    var pending = 0
+    rows.foreach { row =>
+      var i = 0
+      while (i < fields.length) { bind(row, i); i += 1 }
+      ps.addBatch()
+      pending += 1
+      if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+    }
+    if (pending > 0) ps.executeBatch()
   }
 
   /** Shared per-partition transaction loop: one connection + one
@@ -191,16 +216,7 @@ object JdbcUpsertSink {
           conn.setAutoCommit(false)
           val ps = conn.prepareStatement(sql)
           try {
-            val bind = binder(conn, ps, fields, dialect)
-            var pending = 0
-            rows.foreach { row =>
-              var i = 0
-              while (i < fields.length) { bind(row, i); i += 1 }
-              ps.addBatch()
-              pending += 1
-              if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
-            }
-            if (pending > 0) ps.executeBatch()
+            bindAndExecute(conn, ps, fields, rows, batchSize, dialect)
             conn.commit()
           } finally ps.close()
         } finally conn.close()
@@ -231,6 +247,12 @@ object JdbcUpsertSink {
       batchSize: Int,
       dialect: SqlDialect): Unit = {
     val cols = fields.map(_.name).toSeq
+    // the ON CONFLICT branch gets this check from upsertSql; the
+    // delete+insert branch must fail just as clearly, not with an
+    // opaque fields(-1) AIOOBE inside executor tasks
+    require(keys.nonEmpty && keys.forall(cols.contains),
+      s"upsert keys ${keys.mkString(", ")} must be a subset of " +
+        s"columns ${cols.mkString(", ")}")
     if (dialect.upsertByDeleteInsert) {
       val keyIdx = keys.map(cols.indexOf).toArray
       val keyFields = keyIdx.map(fields)
@@ -261,18 +283,8 @@ object JdbcUpsertSink {
     } else {
       val ps = conn.prepareStatement(
         upsertSql(table, cols, keys, placeholders(fields, dialect)))
-      try {
-        val bind = binder(conn, ps, fields, dialect)
-        var pending = 0
-        rows.foreach { row =>
-          var i = 0
-          while (i < fields.length) { bind(row, i); i += 1 }
-          ps.addBatch()
-          pending += 1
-          if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
-        }
-        if (pending > 0) ps.executeBatch()
-      } finally ps.close()
+      try bindAndExecute(conn, ps, fields, rows, batchSize, dialect)
+      finally ps.close()
     }
   }
 

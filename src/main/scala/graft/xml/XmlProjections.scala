@@ -39,7 +39,7 @@ object XmlProjections {
       call_function("regexp_extract_all", xmlCol,
         // attribute values may legally contain '>' — consume quoted
         // runs atomically so a '>' inside quotes cannot end the tag
-        lit("<header(?=[\\s/>])(?:\"[^\"]*\"|'[^']*'|[^>])*/>|<header(?=[\\s>])[\\s\\S]*?</header>"),
+        lit("<header(?=[\\s/>])(?:\"[^\"]*\"|'[^']*'|[^>\"'])*/>|<header(?=[\\s>])[\\s\\S]*?</header>"),
         lit(0)))
     // One from_xml parse per fragment (vs 4 xpath parses): the header
     // struct is materialized in its own projection and field-projected.
@@ -86,7 +86,7 @@ object XmlProjections {
       StructField("_expirationDate", StringType)))
     // Self-closing branch FIRST (same pitfall as the P1 fragment regex)
     val frags = call_function("regexp_extract_all", xmlCol,
-      lit("<resumptionToken(?=[\\s/>])(?:\"[^\"]*\"|'[^']*'|[^>])*/>|<resumptionToken(?=[\\s>])[\\s\\S]*?</resumptionToken>"),
+      lit("<resumptionToken(?=[\\s/>])(?:\"[^\"]*\"|'[^']*'|[^>\"'])*/>|<resumptionToken(?=[\\s>])[\\s\\S]*?</resumptionToken>"),
       lit(0))
     val tokText = trimAll(col("__tok._VALUE"))
     df.withColumn("__env", from_xml(xmlCol, envSchema))
@@ -177,5 +177,9 @@ object XmlProjections {
       col("distribution_date").isNotNull &&
       col("header_last_modified").isNotNull)
 
-  private def blankToNull(c: Column): Column = when(trim(c) =!= "", trim(c))
+  // trimAll, not Spark's space-only trim: the reference's Java trim()
+  // strips newlines/tabs too, and METS values arrive pretty-printed —
+  // a "\n  Acme\n" mandator must key as "Acme"
+  private def blankToNull(c: Column): Column =
+    when(trimAll(c) =!= "", trimAll(c))
 }

@@ -45,6 +45,29 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(out == "qucosa:7455")
   }
 
+  test("SF4: column localId equals the reference substring semantics — byte-for-byte with the driver-side twin") {
+    val sp = spark
+    import sp.implicits._
+    // the reference (MetsProcessor.java:285-287) is substring after the
+    // first ':' at/past index 4 — non-canonical ids included; the
+    // column form and OaiRequestBuilder.localIdentifier must key
+    // IDENTICALLY or enrichment joins silently drop rows
+    val cases = Seq(
+      "oai:example.org:qucosa:7455", // canonical
+      "qucosa:7455",                 // no oai: prefix
+      "oai::x",                      // empty authority
+      "oai:x",                       // no second colon → passes whole
+      "abc",                         // no colon at/past 4 → passes whole
+      "oai:a:b:c:d")                 // extra colons stay in the local id
+    val got = cases.toDF("x").select(col("x"), localId(col("x")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { id =>
+      val expected = graft.pipeline.OaiRequestBuilder.localIdentifier(id)
+      assert(got(id) == expected,
+        s"'$id': column gave '${got(id)}', driver twin gave '$expected'")
+    }
+  }
+
   test("F1/SF6: anchored full-match semantics equals Java String.matches (property)") {
     val pattern = ".+qucosa:\\d+"
     val gen = Gen.oneOf(
@@ -63,6 +86,23 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(r.getBoolean(1) == r.getString(0).matches(pattern),
         s"mismatch on '${r.getString(0)}'")
     }
+  }
+
+  test("SF6: fullMatch anchors alternation and escaped-dollar patterns like String.matches") {
+    val sp = spark
+    import sp.implicits._
+    // top-level alternation: a bare ^foo|bar$ would find-match
+    // "foobar baz"; String.matches does not
+    val alt = Seq("foo", "bar", "foobar baz", "xfoo").toDF("x")
+      .select(col("x"), fullMatch(col("x"), "foo|bar")).collect()
+    alt.foreach(r => assert(r.getBoolean(1) == r.getString(0).matches("foo|bar"),
+      s"alternation mismatch on '${r.getString(0)}'"))
+    // an escaped trailing \$ is a literal dollar, not an anchor
+    val dollar = Seq("price$", "price$extra").toDF("x")
+      .select(col("x"), fullMatch(col("x"), "price\\$")).collect()
+    dollar.foreach(r =>
+      assert(r.getBoolean(1) == r.getString(0).matches("price\\$"),
+        s"escaped-dollar mismatch on '${r.getString(0)}'"))
   }
 
   test("SF1: format→parse round-trips across the whole timestamp-format union (property)") {

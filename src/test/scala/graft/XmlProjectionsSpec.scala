@@ -112,6 +112,40 @@ class XmlProjectionsSpec extends SparkSpec {
     assert(rows(1).getString(0) == "oai:x:qucosa:7" && !rows(1).getBoolean(1))
   }
 
+  test("P1: text content containing '/>' inside quotes cannot truncate the fragment") {
+    // the self-closing branch's catch-all must not consume a quote and
+    // re-anchor on a later one — with plain [^>] the regex could span
+    // '>content "' and terminate at a '/>' INSIDE text content (legal
+    // raw XML), emitting a malformed truncated fragment and losing the
+    // real header
+    val page = "<OAI-PMH><ListIdentifiers>" +
+      "<header attr=\"x\"><identifier>oai:x:qucosa:9</identifier>" +
+      "<datestamp>2024-01-02T03:04:05Z</datestamp>" +
+      "<setSpec>says \"quoted /> text\" here</setSpec></header>" +
+      "</ListIdentifiers></OAI-PMH>"
+    val rows = XmlProjections.projectOaiHeaders(xmlDf(page), col("xml"))
+      .select("record_identifier").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "oai:x:qucosa:9",
+      s"got ${rows.toSeq}")
+  }
+
+  test("P4: whitespace-padded METS values trim fully (Java trim semantics, not space-only)") {
+    // real METS is pretty-printed: element text arrives newline/tab
+    // padded, and the reference's Java trim() strips it all — a
+    // "\n  slub\n" mandator must key as "slub"
+    val padded =
+      """<mets:mets xmlns:mets="http://www.loc.gov/METS/" xmlns:mods="http://www.loc.gov/mods/v3">
+        |<mets:metsHdr><mets:agent ROLE="EDITOR"><mets:name>
+        |	 slub
+        |</mets:name></mets:agent></mets:metsHdr>
+        |<mets:dmdSec><mods:mods><mods:originInfo eventType="distribution"><mods:dateIssued>2016-05-24</mods:dateIssued></mods:originInfo></mods:mods></mets:dmdSec>
+        |<mets:structMap TYPE="LOGICAL"><mets:div TYPE="article"/></mets:structMap>
+        |</mets:mets>""".stripMargin
+    val row = XmlProjections.projectMets(xmlDf(padded), col("xml")).head
+    assert(row.getAs[String]("mandator") == "slub",
+      s"got '${row.getAs[String]("mandator")}'")
+  }
+
   test("P4: namespace fidelity — identical local names in a foreign namespace do NOT match") {
     // Same element structure, wrong namespace URI: a local-name() match
     // would wrongly project these; the namespace-aware expression must not
