@@ -53,10 +53,8 @@ object DocumentFetcher {
     * (`qucosa:7455` → `7455`) and silently 404s every fetch. */
   def mets(baseUrl: String, connectTimeoutMs: Int = 10000,
       readTimeoutMs: Int = 30000): DocumentFetcher =
-    http(localId => {
-      val sep = if (baseUrl.contains("?")) "&" else "?"
-      s"$baseUrl${sep}pid=${java.net.URLEncoder.encode(localId, "UTF-8")}"
-    }, connectTimeoutMs, readTimeoutMs)
+    http(localId => OaiRequestBuilder.metsUriFromLocal(baseUrl, localId),
+      connectTimeoutMs, readTimeoutMs)
 }
 
 object EnrichmentPipeline {
@@ -136,8 +134,7 @@ class EnrichmentPipeline(
     * state pruning happens meanwhile (a cache would recompute — and
     * silently re-fetch — on block loss once the source snapshot is
     * pruned). */
-  case class ProcessedBatch private[EnrichmentPipeline] (
-      inflightPath: String, queueColumns: Seq[String])
+  case class ProcessedBatch private[EnrichmentPipeline] (inflightPath: String)
 
   def runOnce(fetch: DocumentFetcher): EnrichmentSummary =
     processBatch(fetch) match {
@@ -169,10 +166,19 @@ class EnrichmentPipeline(
   /** A commit failure or crash between the fetch phase and the commit
     * leaves its `_inflight/<uuid>` parquet behind (the retry drains a
     * fresh batch under a new id); without a sweep those leftovers
-    * accumulate under the state root forever. Swept at every drain:
-    * anything older than an hour cannot belong to a live batch —
-    * processBatch and commit run back-to-back on one thread. */
+    * accumulate under the state root forever. Swept at every drain —
+    * but NEVER a batch THIS instance still holds (the live set below):
+    * ProcessedBatch's contract is "however long the caller holds it",
+    * and an operator pausing >1 h between processBatch and commit must
+    * not have the fetches discarded and re-run. A batch another
+    * process/instance holds is indistinguishable from a crash leftover;
+    * it is reclaimed after `InflightStaleMillis` (1 h) — size that
+    * window to the longest cross-process hold, or run one enrichment
+    * instance per queue (the reference's deployment shape). */
   private val InflightStaleMillis = 60L * 60 * 1000
+
+  private val liveInflight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def sweepStaleInflight(): Unit = {
     val dir = new org.apache.hadoop.fs.Path(headersTable.tableRoot, "_inflight")
@@ -180,14 +186,16 @@ class EnrichmentPipeline(
     try if (fs.exists(dir)) {
       val cutoff = System.currentTimeMillis() - InflightStaleMillis
       fs.listStatus(dir).foreach { st =>
-        if (st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+        if (st.getModificationTime < cutoff &&
+            !liveInflight.contains(st.getPath.toString))
+          fs.delete(st.getPath, true)
       }
     } catch { case _: java.io.IOException => () } // sweep is best-effort
   }
 
   def processBatch(fetch: DocumentFetcher): Option[ProcessedBatch] = {
     sweepStaleInflight()
-    readBatchWithRetry().flatMap { case (queueColumns, batchRows) =>
+    readBatchWithRetry().flatMap { batchRows =>
       if (batchRows.isEmpty) None
       else {
         val delay = interRequestDelayMillis
@@ -208,7 +216,8 @@ class EnrichmentPipeline(
         val inflight = new org.apache.hadoop.fs.Path(headersTable.tableRoot,
           s"_inflight/${java.util.UUID.randomUUID()}").toString
         fetched.write.parquet(inflight) // every remote fetch runs exactly once
-        Some(ProcessedBatch(inflight, queueColumns))
+        liveInflight.add(new org.apache.hadoop.fs.Path(inflight).toString)
+        Some(ProcessedBatch(inflight))
       }
     }
   }
@@ -222,7 +231,7 @@ class EnrichmentPipeline(
     * (the reference sleeps without touching persistence,
     * `MetsProcessor.java:110-116`). */
   private def readBatchWithRetry(
-      attempts: Int = 3): Option[(Seq[String], Seq[QueuedHeader])] = {
+      attempts: Int = 3): Option[Seq[QueuedHeader]] = {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
@@ -233,7 +242,7 @@ class EnrichmentPipeline(
             val rows = StateOps.limitBatch(
               queue.orderBy(col("record_identifier")), batchSize)
               .as[QueuedHeader].collect().toSeq
-            return Some((queue.columns.toSeq, rows))
+            return Some(rows)
           } catch {
             case e: Throwable => last = e // snapshot pruned mid-read; re-list
           }
@@ -256,27 +265,42 @@ class EnrichmentPipeline(
     val fetched = spark.read.parquet(pb.inflightPath)
 
     // P4 projection + F2 validation → reporting rows. Null XML (fetch
-    // miss) nulls every projected field, so F2 drops it.
+    // miss) nulls every projected field, so F2 drops it. PERSISTED:
+    // the count and the merge (which evaluates its updates twice on a
+    // bucketed table) would otherwise each re-run the per-document
+    // namespace-aware METS DOM parse — the phase's dominant CPU cost.
     val projected = XmlProjections.projectMets(fetched, col("mets_xml"))
       .withColumn("header_last_modified", col("datestamp"))
     val reportingRows = XmlProjections.validateReportingRow(projected)
       .select("record_identifier", "mandator", "document_type",
         "distribution_date", "header_last_modified")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
-    val processed = fetched.count()
-    val reported = reportingRows.count()
+    try {
+      val processed = fetched.count()
+      val reported = reportingRows.count()
 
-    reportingTable.merge(reportingRows, keys = Seq("record_identifier"))
+      reportingTable.merge(reportingRows, keys = Seq("record_identifier"))
 
-    val processedHeaders = fetched.select(pb.queueColumns.map(col): _*)
-    // atomic read-modify-write: the latest queue snapshot is read and
-    // rewritten under the table's write lock, so a harvest merge cannot
-    // land between them and be clobbered; a bucketed queue rewrites only
-    // the batch's buckets
-    val notRemoved = headersTable.deleteWhereUnmodified(processedHeaders)
-    headersTable.fileSystem.delete(
-      new org.apache.hadoop.fs.Path(pb.inflightPath), true)
+      // the queue tuple is QueuedHeader's FOUR fields, statically — the
+      // inflight parquet can never carry more (readBatchWithRetry fixed
+      // the shape at drain), and a live-column list captured from the
+      // queue would crash every commit the moment the headers table is
+      // widened (ADD COLUMN is supported) while the batch is in flight
+      val processedHeaders = fetched.select(
+        col("record_identifier"), col("datestamp"), col("set_spec"),
+        col("status_is_deleted"))
+      // atomic read-modify-write: the latest queue snapshot is read and
+      // rewritten under the table's write lock, so a harvest merge cannot
+      // land between them and be clobbered; a bucketed queue rewrites only
+      // the batch's buckets
+      val notRemoved = headersTable.deleteWhereUnmodified(processedHeaders)
+      headersTable.fileSystem.delete(
+        new org.apache.hadoop.fs.Path(pb.inflightPath), true)
+      liveInflight.remove(
+        new org.apache.hadoop.fs.Path(pb.inflightPath).toString)
 
-    EnrichmentSummary(processed, reported, processed - reported, notRemoved)
+      EnrichmentSummary(processed, reported, processed - reported, notRemoved)
+    } finally reportingRows.unpersist()
   }
 }

@@ -76,10 +76,14 @@ class HarvestPipeline(
 
   Tables.configure(spark)
 
-  /** Newest checkpoint (A1 top-1-by-sequence over the runs state). */
+  /** Newest checkpoint (A1 top-1-by-sequence over the runs state).
+    * A committed-but-EMPTY runs table (a legal StateTable state — ops
+    * truncation, spec setup) falls back to the initial checkpoint like
+    * a never-written one, instead of throwing on `.head` of nothing. */
   def lastRun(): OaiRunResult =
     runsTable.read()
-      .map(df => StateOps.top1BySeq(df, "id").as[OaiRunResult].head())
+      .flatMap(df =>
+        StateOps.top1BySeq(df, "id").as[OaiRunResult].collect().headOption)
       .getOrElse(OffsetStateMachine.initial)
 
   /** One poll iteration. `now` is injected (the reference's
@@ -100,6 +104,22 @@ class HarvestPipeline(
         val pageDf = Seq(body).toDF("xml")
         val page = parsePage(pageDf)
 
+        // An HTTP-200 body that is not OAI-PMH at all (a proxy's HTML
+        // maintenance page) parses to NO responseDate and NO <error> —
+        // indistinguishable, below, from a clean empty list. Advancing
+        // the checkpoint over it would jump the from-window past the
+        // outage and silently never harvest the gap (and mid-pagination
+        // it would abandon the rest of the backlog). responseDate is
+        // MANDATORY in every valid OAI-PMH response, error responses
+        // included — treat its absence as a failed run: nothing
+        // persists, the next iteration replays the same request (the
+        // same ST3 stance as a transport failure).
+        if (page.responseDate.isEmpty && page.errors.isEmpty)
+          return HarvestRunSummary(succeeded = false, uri, 0L,
+            Map("unparseable" ->
+              ("HTTP 200 but no OAI-PMH responseDate in the body — " +
+                "not an OAI response; checkpoint not advanced")), None)
+
         // SF3 clock-skew check (reference OaiHarvester.java:513-517):
         // warn when |responseDate − now| exceeds the 2-minute tolerance
         page.responseDate.foreach { rd =>
@@ -113,17 +133,24 @@ class HarvestPipeline(
 
         val nHeaders =
           if (page.errors.isEmpty) {
+            // persisted: the count below AND the merge (which evaluates
+            // its updates twice on a bucketed table) would otherwise
+            // each re-run the header regex-explode projection over the
+            // page body — one parse per poll iteration, not three
             val headers = headerFilter(
               XmlProjections.projectOaiHeaders(pageDf, col("xml"))
                 .select("record_identifier", "datestamp", "set_spec",
                   "status_is_deleted"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
             // ST4: headers commit BEFORE the checkpoint row; the merge is
             // an atomic read-modify-write so a concurrent enrichment
             // delete cannot be clobbered. Through the StateTable trait a
             // bucketed headers table rewrites only the page's buckets.
-            val n = headers.count()
-            headersTable.merge(headers, keys = Seq("record_identifier"))
-            n
+            try {
+              val n = headers.count()
+              headersTable.merge(headers, keys = Seq("record_identifier"))
+              n
+            } finally headers.unpersist()
           } else 0L
 
         val next = OffsetStateMachine.advance(last, page, now, fc3CompatibilityMode)
@@ -158,7 +185,9 @@ class HarvestPipeline(
       fetch: PageFetcher,
       now: Timestamp,
       maxPages: Int = 1000,
-      clock: Option[() => Timestamp] = None): Seq[HarvestRunSummary] = {
+      clock: Option[() => Timestamp] = None,
+      interPageDelayMillis: Long = 1000L,
+      sleeper: Long => Unit = Thread.sleep): Seq[HarvestRunSummary] = {
     val pageNow = clock.getOrElse(() => now)
     val out = Seq.newBuilder[HarvestRunSummary]
     var pages = 0
@@ -168,6 +197,10 @@ class HarvestPipeline(
       out += s
       pages += 1
       continue = s.succeeded && s.checkpoint.exists(_.hasResumptionToken)
+      // the reference's 1-second floor BETWEEN paginated requests
+      // (MINIMUM_WAITTIME — a backfill must not hammer the upstream
+      // server); injectable for tests, skipped after the last page
+      if (continue && interPageDelayMillis > 0L) sleeper(interPageDelayMillis)
     }
     out.result()
   }

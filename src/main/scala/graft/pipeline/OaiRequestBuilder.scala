@@ -68,12 +68,20 @@ object OaiRequestBuilder {
   def localIdentifier(oaiId: String): String =
     oaiId.substring(oaiId.indexOf(':', "oai:".length) + 1)
 
+  /** METS dissemination request from an already-LOCAL id — the ONE
+    * place the `?`/`&` separator + URL-encoded `pid` assembly lives
+    * ([[metsUri]] and `DocumentFetcher.mets` both compose through it,
+    * so the two can never drift into the double-strip 404 their doc
+    * comments warn about). */
+  def metsUriFromLocal(baseUrl: String, localId: String): String = {
+    val sep = if (baseUrl.contains("?")) "&" else "?"
+    s"$baseUrl${sep}pid=${enc(localId)}"
+  }
+
   /** METS dissemination request for one record, from the FULL OAI id
     * (reference `MetsProcessor.java:279-283`). NOT a `DocumentFetcher`
     * `urlFor`: the enrichment pipeline hands that function the LOCAL id
     * and this helper strips again — use `DocumentFetcher.mets`. */
-  def metsUri(baseUrl: String, oaiId: String): String = {
-    val sep = if (baseUrl.contains("?")) "&" else "?"
-    s"$baseUrl${sep}pid=${enc(localIdentifier(oaiId))}"
-  }
+  def metsUri(baseUrl: String, oaiId: String): String =
+    metsUriFromLocal(baseUrl, localIdentifier(oaiId))
 }

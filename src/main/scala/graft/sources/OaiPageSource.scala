@@ -235,17 +235,21 @@ private[sources] case class ChainState(firstRequest: Boolean, token: Option[Stri
 
 private[sources] class OaiPageTable(options: CaseInsensitiveStringMap)
   extends Table with SupportsRead {
+  // batch memo — see OaiPageBatch.planInputPartitions: one chain walk
+  // per loaded table, however many actions consume the DataFrame
+  @volatile private[sources] var fetchedOnce: Array[InputPartition] = _
   override def name(): String = s"oai-pages(${options.get("url")})"
   override def schema(): StructType = OaiPageSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    () => new OaiPageScan(opts)
+    () => new OaiPageScan(opts, this)
 }
 
-private[sources] class OaiPageScan(options: CaseInsensitiveStringMap) extends Scan {
+private[sources] class OaiPageScan(options: CaseInsensitiveStringMap,
+    table: OaiPageTable) extends Scan {
   override def readSchema(): StructType = OaiPageSource.Schema
-  override def toBatch: Batch = new OaiPageBatch(options)
+  override def toBatch: Batch = new OaiPageBatch(options, table)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new OaiPageMicroBatchStream(options)
 }
@@ -268,15 +272,39 @@ private[sources] object PageReaderFactory extends PartitionReaderFactory {
   }
 }
 
-private[sources] class OaiPageBatch(options: CaseInsensitiveStringMap) extends Batch {
-  override def planInputPartitions(): Array[InputPartition] = {
-    val max = options.getInt("maxPages", 100)
-    val (pages, _) =
-      OaiPageSource.fetchChain(options, None, max, failOnFetchError = true)
-    pages.zipWithIndex.map { case ((uri, xml), i) =>
-      PagePartition(i.toLong, uri, xml): InputPartition
-    }.toArray
-  }
+private[sources] class OaiPageBatch(options: CaseInsensitiveStringMap,
+    table: OaiPageTable) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    // ONE chain walk per loaded table: every ACTION on the same
+    // DataFrame replans the scan, and re-walking a single-use
+    // resumption-token chain would re-harvest the whole server per
+    // action (df.count(); df.write would fetch everything twice — and
+    // the second walk can die on a consumed token). The table-level
+    // memo pins the batch to its first walk, which also makes
+    // multi-action consumption read ONE consistent page set.
+    table.synchronized {
+      if (table.fetchedOnce == null) {
+        val max = options.getInt("maxPages", 100)
+        val (pages, pending) =
+          OaiPageSource.fetchChain(options, None, max, failOnFetchError = true)
+        // a live token after `max` pages means the harvest CONTINUES —
+        // returning the prefix would be silent truncation
+        // indistinguishable from a complete harvest, the exact failure
+        // the mid-chain branches above throw for. Batch semantics: fail
+        // loudly; raise maxPages (or stream with maxPagesPerTrigger)
+        // for bigger chains.
+        if (pending.exists(_.token.nonEmpty))
+          throw new java.io.IOException(
+            s"oai-pages: resumption chain still live after maxPages=$max " +
+              "pages — refusing to return a silently truncated harvest; " +
+              "raise option(\"maxPages\") or use readStream with " +
+              "maxPagesPerTrigger")
+        table.fetchedOnce = pages.zipWithIndex.map { case ((uri, xml), i) =>
+          PagePartition(i.toLong, uri, xml): InputPartition
+        }.toArray
+      }
+      table.fetchedOnce
+    }
   override def createReaderFactory(): PartitionReaderFactory = PageReaderFactory
 }
 

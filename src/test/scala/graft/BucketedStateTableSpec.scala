@@ -564,7 +564,7 @@ class BucketedStateTableSpec extends SparkSpec {
             .collectFirst { case (k, v) if uri.contains(k) => v }
             .toRight(s"404 for $uri")
       }
-      p.runToCompletion(fetch, ts("2024-03-01 10:00:00"))
+      p.runToCompletion(fetch, ts("2024-03-01 10:00:00"), interPageDelayMillis = 0L)
 
       val mets = Map("qucosa:1044" -> fixture("/mets/qucosa7455-mets.xml"))
       val e = new EnrichmentPipeline(spark, headers, reporting)

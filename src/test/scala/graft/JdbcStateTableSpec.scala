@@ -215,7 +215,7 @@ class JdbcStateTableSpec extends SparkSpec {
           .collectFirst { case (k, v) if uri.contains(k) => v }
           .toRight(s"404 for $uri")
     }
-    val summaries = p.runToCompletion(fetch, ts("2024-03-01 10:00:00"))
+    val summaries = p.runToCompletion(fetch, ts("2024-03-01 10:00:00"), interPageDelayMillis = 0L)
     assert(summaries.map(_.succeeded) == Seq(true, true))
 
     // the SAME golden end state the parquet-backed harvest test pins —

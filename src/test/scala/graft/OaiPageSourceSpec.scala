@@ -32,18 +32,40 @@ class OaiPageSourceSpec extends SparkSpec {
     assert(rows(1).getAs[String]("xml").contains("qucosa:1234"))
   }
 
-  test("batch read respects maxPages and the from option") {
+  test("batch read refuses a live chain at maxPages (no silent truncation); from reaches the request") {
     OaiPageSource.registerFetcher("spec-max", pagedFetcher)
-    val df = spark.read.format("oai-pages")
+    def read(max: Int) = spark.read.format("oai-pages")
       .option("url", "http://h/oai")
       .option("fetcher", "spec-max")
       .option("from", "2024-02-03T04:05:06")
-      .option("maxPages", 1)
+      .option("maxPages", max)
       .load()
-    val rows = df.collect()
-    assert(rows.length == 1)
+    // page 1 carries a live resumption token: stopping there would be a
+    // silently truncated harvest indistinguishable from a complete one —
+    // batch semantics fail loudly instead
+    val ex = intercept[Exception] { read(1).collect() }
+    assert(ex.getMessage.contains("still live after maxPages"), ex.getMessage)
+    // a cap the chain fits under reads completely, from-window applied
+    val rows = read(2).orderBy("page_index").collect()
+    assert(rows.length == 2)
     assert(rows(0).getAs[String]("request_uri")
       .contains("from=2024-02-03T04%3A05%3A06"))
+  }
+
+  test("batch read walks the chain ONCE however many actions consume the frame") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    OaiPageSource.registerFetcher("spec-once", uri => {
+      calls.incrementAndGet(); pagedFetcher(uri)
+    })
+    val df = spark.read.format("oai-pages")
+      .option("url", "http://h/oai")
+      .option("fetcher", "spec-once")
+      .load()
+    assert(df.count() == 2L)
+    assert(df.collect().length == 2) // second ACTION on the same frame
+    assert(calls.get() == 2,
+      s"resumption tokens are single-use: the chain must be walked once " +
+        s"(2 fetches), not per action — saw ${calls.get()} fetches")
   }
 
   test("micro-batch stream pages through the chain one page per trigger") {

@@ -83,7 +83,7 @@ class PipelineSpec extends SparkSpec {
       "resumptionToken=111111111111111" -> fixture("/oai/listIdentifiers.xml")))
 
     val now = ts("2024-03-01 10:00:00")
-    val summaries = p.runToCompletion(fetch, now)
+    val summaries = p.runToCompletion(fetch, now, interPageDelayMillis = 0L)
 
     assert(summaries.map(_.succeeded) == Seq(true, true))
     // page 1 carries the token → page 2 requested with it
@@ -133,6 +133,44 @@ class PipelineSpec extends SparkSpec {
     assert(!s3.succeeded)
     assert(runs.latestVersion == before)
     assert(p.lastRun().id == 2L)
+  }
+
+  test("ST3: an HTTP-200 non-OAI body fails the run — the checkpoint must not advance over an outage") {
+    val dir = tmp()
+    val headers = new ParquetStateTable(spark, s"$dir/headers")
+    val runs = new ParquetStateTable(spark, s"$dir/runs")
+    val p = new HarvestPipeline(spark, headers, runs, "http://h/oai")
+
+    // establish a checkpoint, then serve a proxy's HTML maintenance page
+    // with HTTP 200: parsing yields no responseDate and no <error> —
+    // previously indistinguishable from a clean empty list, so the
+    // from-window would jump past the outage and silently never harvest
+    // the gap
+    p.runOnce(fetcher(Map(
+      "verb" -> fixture("/oai/errorNoRecordsMatch.xml"))), ts("2024-03-01 10:00:00"))
+    val checkpointBefore = p.lastRun()
+    val before = runs.latestVersion
+
+    val s = p.runOnce(fetcher(Map(
+      "verb" -> "<html><body>503 upstream maintenance</body></html>")),
+      ts("2024-03-01 11:00:00"))
+    assert(!s.succeeded, "a non-OAI 200 body must be a FAILED run")
+    assert(s.errors.contains("unparseable"), s.errors)
+    assert(runs.latestVersion == before, "nothing may persist")
+    assert(p.lastRun() == checkpointBefore, "the checkpoint must hold")
+  }
+
+  test("harvest: a committed-but-EMPTY runs table falls back to the initial checkpoint") {
+    val dir = tmp()
+    val headers = new ParquetStateTable(spark, s"$dir/headers")
+    val runs = new ParquetStateTable(spark, s"$dir/runs")
+    val p = new HarvestPipeline(spark, headers, runs, "http://h/oai")
+    p.runOnce(fetcher(Map(
+      "verb" -> fixture("/oai/errorNoRecordsMatch.xml"))), ts("2024-03-01 10:00:00"))
+    // drain the runs table to zero rows — a legal StateTable state that
+    // must read like a never-written table, not throw on .head
+    runs.write(runs.read().get.limit(0))
+    assert(p.lastRun() == graft.streaming.OffsetStateMachine.initial)
   }
 
   test("harvest: D2 retention drops expired checkpoints but keeps the newest") {

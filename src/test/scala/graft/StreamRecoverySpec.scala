@@ -81,7 +81,7 @@ class StreamRecoverySpec extends SparkSpec {
           .collectFirst { case (k, v) if uri.contains(k) => v }
           .toRight(s"404 for $uri")
     }
-    p.runToCompletion(fetch, Timestamp.valueOf("2024-03-01 10:00:00"))
+    p.runToCompletion(fetch, Timestamp.valueOf("2024-03-01 10:00:00"), interPageDelayMillis = 0L)
 
     def snap(t: StateTable): Set[String] =
       t.read().get.orderBy("record_identifier").collect().map(_.toString).toSet
