@@ -324,19 +324,37 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       hashCol: String,
-      bands: Int): DataFrame = {
+      bands: Int,
+      maxBucketSize: Int = 4096): DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val sh = df.select(col(idCol).as("__id"), col(hashCol).as("__sh"))
     val banded = sh.select(col("__id"), col("__sh"),
       explode(bandSlices64(col("__sh"), bands)).as("__b"))
       .select(col("__id"), col("__sh"),
         col("__b.band").as("band"), col("__b.bh").as("bh"))
-    val l = banded.select(col("band"), col("bh"),
-      col("__id").as("a_id"), col("__sh").as("a_sh"))
-    val r = banded.select(col("band"), col("bh"),
-      col("__id").as("b_id"), col("__sh").as("b_sh"))
-    l.join(r, Seq("band", "bh"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+    // hot-bucket guard — the same G×G triangular decomposition as
+    // [[minhashLshPairs]]: a boilerplate-heavy corpus (100k identical
+    // pages → one (band, bh) bucket) would otherwise materialize the
+    // whole bucket² on a single shuffle task. The window-carried
+    // occupancy is reused by both join sides via ReuseExchange.
+    val w = Window.partitionBy("band", "bh")
+    val grouped = banded
+      .withColumn("__ngroups",
+        greatest(lit(1L), ceil(count(lit(1)).over(w) / maxBucketSize)).cast("int"))
+      .withColumn("__g", pmod(xxhash64(col("__id")), col("__ngroups")).cast("int"))
+    val l = grouped.select(col("band").as("__bandl"), col("bh").as("__bhl"),
+      col("__g").as("__gll"),
+      explode(sequence(col("__g"), col("__ngroups") - 1)).as("__grl"),
+      col("__id").as("__aid"), col("__sh").as("a_sh"))
+    val r = grouped.select(col("band").as("__bandr"), col("bh").as("__bhr"),
+      explode(sequence(lit(0), col("__g"))).as("__glr"),
+      col("__g").as("__grr"),
+      col("__id").as("__bid"), col("__sh").as("b_sh"))
+    l.join(r, col("__bandl") === col("__bandr") && col("__bhl") === col("__bhr") &&
+        col("__gll") === col("__glr") && col("__grl") === col("__grr"))
+      .filter(col("__aid") =!= col("__bid"))
+      .select(least(col("__aid"), col("__bid")).as("a_id"),
+        greatest(col("__aid"), col("__bid")).as("b_id"),
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
       .distinct()
   }
@@ -656,14 +674,18 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min_by(struct(col("*")), col(idCol)).as("__r"))
       .select(col("__r.*")) // the struct already carries content_hash
+    // first_id keeps the caller's id type VERBATIM: a cast("long")
+    // here wrote NULL for every non-numeric (UUID/string) id — dedup
+    // still worked via content_hash, but the recorded winner id (the
+    // table's only payload) was silently destroyed
     val like = firsts
-      .select(col("content_hash"), col(idCol).cast("long").as("first_id"))
+      .select(col("content_hash"), col(idCol).as("first_id"))
     val seen = state.readForKeys(firsts.select(col("content_hash")), like)
     val kept = firsts
       .join(seen.select(col("content_hash")), Seq("content_hash"), "left_anti")
       .localCheckpoint(true)
     state.merge(
-      kept.select(col("content_hash"), col(idCol).cast("long").as("first_id")),
+      kept.select(col("content_hash"), col(idCol).as("first_id")),
       keys = Seq("content_hash"))
     kept
   }
@@ -819,14 +841,21 @@ object Dedup {
     // (the batch observing its own hashes), which is worse than a retry.
     // Callers needing executor-loss durability should write the pairs to
     // a reliable sink immediately (they are already materialized).
-    val out = pairs.localCheckpoint(true)
-    index.merge(bNew.select(col("band"), col("band_hash"), col("__id").as("doc_id")),
-      keys = Seq("band", "band_hash", "doc_id"))
-    bNew.unpersist()
-    slice.unpersist()
-    cand.unpersist()
-    candIds.unpersist()
-    out
+    try {
+      val out = pairs.localCheckpoint(true)
+      index.merge(
+        bNew.select(col("band"), col("band_hash"), col("__id").as("doc_id")),
+        keys = Seq("band", "band_hash", "doc_id"))
+      out
+    } finally {
+      // finally, not fall-through: a merge failure (lease timeout,
+      // commit IO) must not leak four persisted frames into the
+      // caller's session — the pool squeeze SURVEY §10 documents
+      bNew.unpersist()
+      slice.unpersist()
+      cand.unpersist()
+      candIds.unpersist()
+    }
   }
 
   /** Near-dup pairs via winnowing fingerprints
@@ -1031,11 +1060,15 @@ object Dedup {
       .distinct()
     // same discipline as incrementalNearDups: eager pre-merge checkpoint
     // pins the snapshot and lets b's persisted blocks free here
-    val out = pairs.localCheckpoint(true)
-    index.merge(b, keys = Seq("bucket", "vec_id"))
-    b.unpersist()
-    slice.unpersist()
-    out
+    try {
+      val out = pairs.localCheckpoint(true)
+      index.merge(b, keys = Seq("bucket", "vec_id"))
+      out
+    } finally {
+      // finally: a merge failure must not leak the persisted frames
+      b.unpersist()
+      slice.unpersist()
+    }
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):

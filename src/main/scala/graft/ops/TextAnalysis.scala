@@ -69,7 +69,15 @@ object TextAnalysis {
     * `alpha_chars` counts Unicode LETTERS (`\p{L}`), not `[a-zA-Z]` —
     * on a multilingual corpus, CJK/Cyrillic/Arabic documents keep a
     * real alpha ratio and survive `alpha_ratio`-based gates instead of
-    * being silently dropped as garbage. */
+    * being silently dropped as garbage.
+    *
+    * DEFINITION NOTE — `mean_token_len` is ALPHA chars per token, not
+    * characters per token: it is a combined length×letterness signal
+    * (a digit/punctuation-heavy document scores LOW by design, which is
+    * the prose-ness this gate wants). Do NOT threshold it with
+    * Gopher-style mean-WORD-length bounds ([3, 10] over characters);
+    * those assume the chars-per-word definition and would reject
+    * numeric tables twice over. */
   def qualityMetrics(df: DataFrame, textCol: Column): DataFrame =
     df.withColumn("n_chars_q", metrics(textCol).getField("n_chars"))
       .withColumn("n_tokens", metrics(textCol).getField("n_tokens"))
@@ -187,11 +195,15 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("term").asc)
     tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))
-      // (N+1) arrives as a LongType column, exactly as the old
-      // `lit(nDocs + 1)` literal did — the long/long Divide casts both
-      // sides to double, so scores are bitwise identical to before.
+      // tf casts to double BEFORE the multiply: a long·long product
+      // tf·(N+1) wraps negative past 2^63 (N ≈ 1e11 documents × a
+      // degenerate tf ≈ 1e8 — the file's own stated regime), ranking
+      // the document's most characteristic term LAST. For products
+      // under 2^53 the double multiply is exact, so scores stay
+      // bitwise identical to the long form everywhere it was correct.
       .withColumn("score",
-        (col("tf") * (col(NCol) + lit(1L))) / (col("df") + lit(1L)))
+        (col("tf").cast("double") * (col(NCol) + lit(1L))) /
+          (col("df") + lit(1L)))
       .drop(NCol)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -532,7 +544,12 @@ object TextAnalysis {
       textCol: String): DataFrame = {
     val grams = df.select(col(idCol),
       explode(ngramList(col(textCol), 2)).as("__g"))
+    // eager localCheckpoint: the T/V scalars below AND the scoring join
+    // both read the model; without materialization each would re-run
+    // the full corpus tokenize+explode+aggregate (the two subtrees
+    // don't qualify for ReuseExchange), tripling the corpus passes
     val model = grams.groupBy(col("__g")).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
     val tv = model.agg(sum(col("__cnt")).as("t"),
       count(lit(1)).as("v")).first()
     // an all-short corpus has no bigrams: sum is SQL NULL; the result is
@@ -547,10 +564,13 @@ object TextAnalysis {
       .select(col(idCol), col("n_bigrams"), round(col("__nll"), 6).as("nll"))
   }
 
-  /** Document fingerprint: md5 over whitespace-normalized, lowercased text
-    * — the exact-dedup key. */
+  /** Document fingerprint: md5 over whitespace-normalized, TRIMMED,
+    * lowercased text — the exact-dedup key. The trim matters: trailing
+    * newlines are pervasive in crawled text, and without it a page and
+    * its trailing-newline twin — the most common trivial duplicate —
+    * hash apart. */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(text, "\\s+", " ")))
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
   /** All `n`-token shingles of a text, duplicates KEPT (unlike
     * [[Dedup.shingleSet]], which is a set) — the column-expression
@@ -768,10 +788,16 @@ object TextAnalysis {
             struct(element_at(col("__ghs"), j).as("gh"),
               (-j).cast("long").as("np")))))))
       .otherwise(array().cast(selType)) // no full window -> no fingerprints
+    // NO trailing distinct: array_distinct above already dedupes the
+    // per-document (gh, np) structs, and rows carry the doc id, so the
+    // exploded (id, fp, fp_pos) rows are unique by construction — a
+    // row-level distinct here would re-shuffle every fingerprint of the
+    // corpus to remove nothing (against the zero-shuffle shape the doc
+    // promises; winnowVerifiedPairs runs its own (id, fp) distinct
+    // anyway)
     df.select(col(idCol), ghs.as("__ghs"))
       .select(col(idCol), explode(sels).as("__s"))
       .select(col(idCol), col("__s.gh").as("fp"), (-col("__s.np")).as("fp_pos"))
-      .distinct()
   }
 
   /** EXACT heavy-hitter tokens (count ≥ `minShare` of all tokens)
@@ -920,8 +946,10 @@ object TextAnalysis {
     *
     * Rules (fraction > threshold fails; `a/b > p%` tested as
     * `a·100 > b·p` — bitwise engine-portable):
-    *   - `fail_dup_lines`: lines occurring ≥2× in the document > 30%
-    *     of all lines (occurrence-counted, blank lines included);
+    *   - `fail_dup_lines`: NON-BLANK lines occurring ≥2× in the
+    *     document > 30% of all non-blank lines (occurrence-counted;
+    *     blank separator lines are excluded — they are the one
+    *     guaranteed-duplicated key in any multi-paragraph document);
     *   - `fail_top_{2,3,4}gram`: the most frequent n-gram's occurrence
     *     share of all n-gram positions > 20/18/16%;
     *   - `fail_dup_{5..10}gram`: token positions covered by an n-gram
@@ -935,13 +963,21 @@ object TextAnalysis {
   def gopherRepetition(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
-    val lines = split(t, "\n")
+    // NON-BLANK lines only: blank separator lines are the one
+    // guaranteed-duplicated key in any multi-paragraph document (the
+    // same reason dedupLinesGlobal excludes them) — counting them as
+    // duplicates failed every ordinary >=3-paragraph document at the
+    // 30% gate
+    val lines = filter(split(t, "\n"), l => l =!= "")
     val sorted = array_sort(lines)
     val nLines = size(lines).cast("long")
-    val dupLines = size(filter(sequence(lit(1), size(lines)), i =>
-      (i > 1 && element_at(sorted, i) === element_at(sorted, i - 1)) ||
-        (i < size(lines) && element_at(sorted, i) === element_at(sorted, i + 1))))
-      .cast("long")
+    // guarded: an all-blank text leaves ZERO lines, and sequence(1, 0)
+    // would step DOWN to [1, 0] — element_at(_, 0) is an error
+    val dupLines = when(size(lines) === 0, lit(0L))
+      .otherwise(size(filter(sequence(lit(1), size(lines)), i =>
+        (i > 1 && element_at(sorted, i) === element_at(sorted, i - 1)) ||
+          (i < size(lines) && element_at(sorted, i) === element_at(sorted, i + 1))))
+        .cast("long"))
     val flags: Seq[(String, Column)] =
       ("fail_dup_lines" -> (dupLines * 100L > nLines * 30L)) +:
         (Seq(2 -> 20, 3 -> 18, 4 -> 16).map { case (n, pct) =>
@@ -1265,6 +1301,12 @@ object TextAnalysis {
     require(models.nonEmpty, "langIdLineShares needs at least one model")
     require(models.map(_.language).distinct.size == models.size,
       s"duplicate model languages: ${models.map(_.language)}")
+    // same bucket-count check as langIdPredictTrained/langIdRefine:
+    // lines are hashed with the HEAD model's bucket count, so a
+    // mixed-bucket model set would index the others' tables out of
+    // range (NULL scores) or on a prefix — silently wrong, never loud
+    require(models.forall(_.weights.size == models.head.weights.size),
+      s"models disagree on bucket count: ${models.map(_.weights.size)}")
     val lines = filter(
       split(coalesce(col(textCol), lit("")), "\n"),
       l => trim(l) =!= "")

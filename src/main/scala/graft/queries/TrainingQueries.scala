@@ -2412,8 +2412,10 @@ object TrainingQueries {
         |       || array_to_string(list_transform(range(1, 26), i -> 'v' || i), ' ')),
         |  (-2, trim(repeat('ha ', 40))),
         |  (-1, repeat('same line here' || chr(10), 4) || 'unique closer')) v(doc_id, t)),
-        |lns AS (SELECT doc_id, string_split(t, chr(10)) AS ls,
-        |  list_sort(string_split(t, chr(10))) AS ss FROM base),
+        |lns AS (SELECT doc_id,
+        |  list_filter(string_split(t, chr(10)), l -> l <> '') AS ls,
+        |  list_sort(list_filter(string_split(t, chr(10)), l -> l <> '')) AS ss
+        | FROM base),
         |dl AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
         |  CAST(len(list_filter(range(1, len(ls) + 1), i ->
         |    (i > 1 AND ss[i] = ss[i - 1]) OR
@@ -2848,13 +2850,13 @@ object TrainingQueries {
         | SELECT doc_id, text FROM documents
         | UNION ALL
         | SELECT doc_id + 100000, text || ' zz yy xx' FROM documents WHERE doc_id % 5 = 0)
-        |SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
+        |SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_md5,
         | min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM all_docs WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_incremental" ->
       """WITH seen AS (
-        | SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h
+        | SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
         | FROM documents),
         |batch AS (
         | SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 1
@@ -2866,7 +2868,7 @@ object TrainingQueries {
         | SELECT doc_id + 600000, text || ' unique' FROM documents WHERE doc_id % 11 = 3),
         |firsts AS (
         | SELECT min(doc_id) AS doc_id,
-        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
         | FROM batch GROUP BY 2)
         |SELECT f.doc_id, f.content_hash
         |FROM firsts f LEFT JOIN seen s ON f.content_hash = s.h
@@ -3034,7 +3036,7 @@ object TrainingQueries {
 
     "text_fingerprint" ->
       """SELECT doc_id,
-        | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
@@ -3295,7 +3297,7 @@ object TrainingQueries {
         |       ELSE 'es' END AS predicted_lang
         | FROM scored),
         |kept AS (
-        | SELECT *, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        | SELECT *, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         | FROM lang
         | WHERE predicted_lang IN ('en', 'de') AND alpha_ratio >= 0.6
         |  AND n_tokens BETWEEN 10 AND 1000)
