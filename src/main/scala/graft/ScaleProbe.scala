@@ -140,15 +140,25 @@ object ScaleProbe {
       trials: Int, selected: Seq[(String, String)]): Map[String, (Double, BenchMetrics.Snapshot)] =
     selected.map { case (name, _) =>
       val fn = SparkEntry.queries(name)
-      val runs = (0 until trials).map { _ =>
-        Tables.dropCachedLeftovers(spark)
-        metrics.reset()
-        val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        (sec, metrics.snapshot(spark.sparkContext))
-      }
-      val best = runs.minBy(_._1)
+      // per-query hardening (the Bench.scala discipline): ONE failing
+      // query at the expensive Nx leg must not abort the probe and lose
+      // every already-measured leg — record a -1 sentinel and move on
+      val best =
+        try {
+          val runs = (0 until trials).map { _ =>
+            Tables.dropCachedLeftovers(spark)
+            metrics.reset()
+            val t0 = System.nanoTime()
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            (sec, metrics.snapshot(spark.sparkContext))
+          }
+          runs.minBy(_._1)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[probe] $name FAILED at $dir: ${e.getMessage}")
+            (-1.0, metrics.snapshot(spark.sparkContext))
+        }
       System.err.println(f"[probe] $name%-22s $dir%s ${best._1}%8.2f s")
       name -> best
     }.toMap
@@ -198,8 +208,12 @@ object ScaleProbe {
       val (s1, m1) = leg1(name)
       val (sN, mN) = legN(name)
       val ratio = if (s1 > 0) sN / s1 else -1.0
-      s""""$name":{"sec_1x":${f"$s1%.3f"},"sec_${copies}x":${f"$sN%.3f"},""" +
-        s""""time_ratio":${f"$ratio%.2f"},"resources_1x":${m1.json},""" +
+      // Locale.ROOT: the f-interpolator uses the JVM default locale and
+      // a comma decimal separator would corrupt the JSON artifact
+      def num(v: Double, digits: Int): String =
+        String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+      s""""$name":{"sec_1x":${num(s1, 3)},"sec_${copies}x":${num(sN, 3)},""" +
+        s""""time_ratio":${num(ratio, 2)},"resources_1x":${m1.json},""" +
         s""""resources_${copies}x":${mN.json},"expected":"${expected.replace("\"", "'")}"}"""
     }
     val json =
@@ -208,6 +222,12 @@ object ScaleProbe {
     java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       (json + "\n").getBytes("UTF-8"))
     println(json)
+    // the materialized corpora are (copies+1) x the base tables —
+    // repeated octave runs would otherwise fill the host's /tmp
+    try {
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rp, true)
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -7,9 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query-name filter for fast
-    // local iteration (the driver always runs the full set)
+    // local iteration (the driver always runs the full set). Trimmed and
+    // VALIDATED: a typo'd or space-padded name matching nothing would
+    // silently write zero outputs (the Bench.scala guard, same rationale)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2)
+        Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"filter names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -40,6 +49,15 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a REUSED outDir must not keep the previous round's passing
+          // output for a now-failing query — the driver's compare would
+          // silently report green on stale results; a missing directory
+          // fails loudly instead
+          try {
+            val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case _: Throwable => () }
         }
       }
     }

@@ -49,10 +49,27 @@ case class XPathStructNs(
     else {
       // compile every path NOW: a syntactically invalid XPath should be
       // a plannable analysis error, not a first-row executor throw from
-      // inside a ThreadLocal initializer
+      // inside a ThreadLocal initializer. Compile WITH the expression's
+      // namespace context, exactly as the runtime machinery does — the
+      // JDK default factory defers prefix resolution past compile, but a
+      // prefix-resolving XPathFactory on the classpath (Saxon registers
+      // itself via the same ServiceLoader) rejects namespaced paths
+      // compiled without a context, which would fail EVERY namespaced
+      // projection at analysis while evaluation would have succeeded
+      val checkCtx = new javax.xml.namespace.NamespaceContext {
+        override def getNamespaceURI(prefix: String): String =
+          namespaces.getOrElse(prefix, javax.xml.XMLConstants.NULL_NS_URI)
+        override def getPrefix(uri: String): String =
+          namespaces.collectFirst { case (p, u) if u == uri => p }.orNull
+        override def getPrefixes(uri: String): java.util.Iterator[String] =
+          java.util.Collections.emptyIterator()
+      }
       val bad = fields.collectFirst {
-        case (name, path) if scala.util.Try(
-          XPathStructNs.newXPath().compile(path)).isFailure => (name, path)
+        case (name, path) if scala.util.Try {
+          val xp = XPathStructNs.newXPath()
+          xp.setNamespaceContext(checkCtx)
+          xp.compile(path)
+        }.isFailure => (name, path)
       }
       bad match {
         case Some((name, path)) => TypeCheckResult.TypeCheckFailure(

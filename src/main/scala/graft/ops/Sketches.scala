@@ -44,7 +44,9 @@ object Sketches {
 
   /** Final summary: total processed count + surviving (item, weight)
     * pairs, weight = the MG lower-bound-ish counter (undercounts by at
-    * most total/(k+1); never overcounts by more than that either). */
+    * most total/k under this implementation's insert-after-reap step —
+    * the classic variant's total/(k+1) does NOT hold here; never
+    * overcounts by more than that either). */
   case class MgSummary(total: Long, items: Array[String], weights: Array[Long])
 
   /** Misra-Gries heavy-hitter summary over a String column with `k`
@@ -138,8 +140,11 @@ object Sketches {
     * at the (k+1)-th largest). Associative and commutative, so batch
     * summaries can accumulate across micro-batches / days / sources in
     * any order while preserving the superset guarantee for the UNION
-    * stream: any item with true total count > (a.total + c.total)/(k+1)
-    * survives the merged summary. */
+    * stream: any item with true total count > (a.total + c.total)/k
+    * survives the merged summary ((k+1) would require the classic
+    * insert-before-reap per-partial bound, which the amortized
+    * insert-after-reap step trades away; heavyHitters' sizing
+    * require(k > 1/minShare) is exactly the /k condition). */
   def mergeSummaries(a: MgSummary, c: MgSummary, k: Int): MgSummary = {
     val sums = mutable.HashMap.empty[String, Long]
     a.items.indices.foreach(i =>

@@ -15,11 +15,17 @@ import graft.ops.Sketches.MgSummary
   * BATCH summary, which the caller merges in.
   *
   * Sketch merges are NOT idempotent (re-merging a batch double-counts —
-  * unlike the engine's keyed merges), so [[updateOnceForBatch]] guards
-  * each update with the same batch-marker discipline as
-  * `StateTable.mergeOnceForBatch`: an at-least-once replay of a
-  * committed micro-batch is a no-op and the accumulated summary
-  * converges. */
+  * unlike the engine's keyed merges), so the replay guard must be
+  * ATOMIC with the publish: the applied (streamScope, batchId) pairs
+  * ride INSIDE the version file (`#applied` header lines) and the one
+  * rename carries summary and marker together. A separate marker file
+  * (the `BatchMarkers` discipline keyed state uses) would leave a crash
+  * window between the summary rename and the marker create in which a
+  * replay re-merges and permanently double-counts — harmless for
+  * idempotent keyed merges, exactly wrong here. A replayed committed
+  * batch is a no-op; a batch whose publish never landed reapplies
+  * cleanly. Per-scope tracking, so several streams can share one store
+  * without masking each other's replays. */
 class MgSummaryStore(spark: SparkSession, rootDir: String) {
 
   private val root = new Path(rootDir)
@@ -33,12 +39,16 @@ class MgSummaryStore(spark: SparkSession, rootDir: String) {
       .map(s => (s.getPath.getName.drop(1).dropRight(4).toLong, s.getPath))
       .sortBy(_._1)
 
-  /** Newest stored summary, if any. */
-  def read(): Option[MgSummary] = versions().lastOption.map { case (_, p) =>
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    val lines = text.split("\n").filter(_.nonEmpty)
+  private def newestText(): Option[String] =
+    versions().lastOption.map { case (_, p) =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+
+  /** Newest stored summary, if any (`#applied` header lines skipped). */
+  def read(): Option[MgSummary] = newestText().map { text =>
+    val lines = text.split("\n").filter(_.nonEmpty).filterNot(_.startsWith("#"))
     val total = lines.head.toLong
     val (items, weights) = lines.tail.map { l =>
       val i = l.lastIndexOf('\t')
@@ -47,20 +57,52 @@ class MgSummaryStore(spark: SparkSession, rootDir: String) {
     MgSummary(total, items, weights)
   }
 
+  /** (streamScope → applied batchIds, a trailing window), from the
+    * newest version's `#applied` header lines — carried forward on
+    * every publish. Bounded like `BatchMarkers`: ids more than 100
+    * behind a scope's newest are dropped (batch ids are monotonic per
+    * checkpoint; replays only ever reach back a few). */
+  private def appliedMap(): Map[String, Set[Long]] =
+    newestText().map { text =>
+      text.split("\n").filter(_.startsWith("#applied\t")).map { l =>
+        val parts = l.split("\t", 3)
+        parts(1) -> parts(2).split(",").filter(_.nonEmpty).map(_.toLong).toSet
+      }.toMap
+    }.getOrElse(Map.empty)
+
   /** Apply `update` to the stored summary and publish the result as the
     * next version — once per (batchId, streamScope); a replay returns
     * false and changes nothing. Serialized per store path in-JVM. */
   def updateOnceForBatch(batchId: Long, streamScope: String)(
       update: Option[MgSummary] => MgSummary): Boolean =
     MgSummaryStore.lockFor(lockKey).synchronized {
-      BatchMarkers.runOnce(fs, root, batchId, streamScope) {
+      require(!streamScope.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"streamScope must not contain tab/newline: '$streamScope'")
+      val applied = appliedMap()
+      if (applied.getOrElse(streamScope, Set.empty).contains(batchId)) false
+      else {
         val next = update(read())
+        // a newline inside an item would split the TSV row and make the
+        // stored state permanently unreadable — refuse loudly (tabs are
+        // fine: the read splits on the LAST tab)
+        next.items.find(_.exists(c => c == '\n' || c == '\r')).foreach(i =>
+          throw new IllegalArgumentException(
+            s"summary item contains a newline/CR and cannot persist: '$i'"))
         val nextId = versions().lastOption.map(_._1 + 1).getOrElse(1L)
         val tmp = new Path(root, f".tmp-s$nextId%012d")
         fs.mkdirs(root)
         val out = fs.create(tmp, true)
         try {
           val sb = new StringBuilder
+          val nextApplied = applied.updatedWith(streamScope) { cur =>
+            val ids = cur.getOrElse(Set.empty) + batchId
+            val floor = ids.max - 100
+            Some(ids.filter(_ >= floor))
+          }
+          nextApplied.foreach { case (sc, ids) =>
+            sb.append("#applied\t").append(sc).append('\t')
+              .append(ids.toSeq.sorted.mkString(",")).append('\n')
+          }
           sb.append(next.total).append('\n')
           next.items.indices.foreach { i =>
             sb.append(next.items(i)).append('\t')
@@ -73,6 +115,7 @@ class MgSummaryStore(spark: SparkSession, rootDir: String) {
           throw new IllegalStateException(s"summary publish lost a race at $dest")
         // keep a short history (time travel is not the point here)
         versions().dropRight(3).foreach { case (_, p) => fs.delete(p, false) }
+        true
       }
     }
 }

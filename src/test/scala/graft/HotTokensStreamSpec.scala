@@ -54,6 +54,30 @@ class HotTokensStreamSpec extends SparkSpec {
       after.items.sameElements(before.items))
   }
 
+  test("the replay marker rides INSIDE the published version (atomic with the summary), per scope") {
+    val root = Files.createTempDirectory("graft-hot-marker").toString
+    val store = new MgSummaryStore(spark, s"$root/summary")
+    def one(total: Long) =
+      Sketches.MgSummary(total, Array("x"), Array(total))
+    assert(store.updateOnceForBatch(1L, "scopeA")(_ => one(10L)))
+    // two scopes sharing one store must not mask each other's replays
+    assert(store.updateOnceForBatch(1L, "scopeB")(prev =>
+      Sketches.mergeSummaries(prev.get, one(5L), 8)))
+    assert(!store.updateOnceForBatch(1L, "scopeA")(_ => one(999L)),
+      "scope A's committed batch must stay a no-op after scope B advanced")
+    assert(store.read().get.total == 15L)
+    // white-box: the newest version FILE carries the applied markers —
+    // one rename publishes summary and replay-guard together, so no
+    // crash window can separate them (the double-count the old
+    // marker-file discipline allowed)
+    val newest = new java.io.File(s"$root/summary").listFiles()
+      .filter(_.getName.endsWith(".tsv")).sortBy(_.getName).last
+    val text = new String(
+      java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
+    assert(text.contains("#applied\tscopeA\t1") &&
+      text.contains("#applied\tscopeB\t1"), text)
+  }
+
   test("per-window trending: each window's hot token finalizes when the watermark closes it") {
     val s = spark
     import s.implicits._
