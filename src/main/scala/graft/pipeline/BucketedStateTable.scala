@@ -424,7 +424,17 @@ class BucketedStateTable(
     StateOps.alignForWidening(df, target, s"$what at $path")
 
   override def read(): Option[DataFrame] =
-    currentManifest().flatMap(m => readFrom(m, m.buckets.keys.toSeq))
+    currentManifest().flatMap { m =>
+      readFrom(m, m.buckets.keys.toSeq)
+        // trait contract: a committed-but-EMPTY (drained) table reads as
+        // Some(empty) under its recorded schema, uniformly with the
+        // parquet/JDBC twins — None is reserved for never-created. Only
+        // manifests predating the schema= line (no shape to present)
+        // still fall through to None.
+        .orElse(m.schemaJson.map(j => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schemaOf(j))))
+    }
 
   /** Ids of the currently-retained commits, oldest → newest — the
     * snapshots [[readAt]] can still resolve ([[prune]] keeps
@@ -506,12 +516,27 @@ class BucketedStateTable(
       .withColumn("__in_old", lit(true))
     val newDf = readFrom(mTo, changed).getOrElse(empty)
       .withColumn("__in_new", lit(true))
-    // USING-join on the key (coalesced key columns survive either side
-    // being absent); old non-key columns renamed to keep both images
-    val joined = oldDf
-      .select((keyCols.map(col) :+ col("__in_old")) ++
+    // NULL-SAFE key join (<=>), not a USING join: mergeByKey's window
+    // treats null keys as equal, so the table can legitimately hold a
+    // null-keyed row — a plain-equality full outer would never match it
+    // to itself and every rewrite of its bucket would emit a phantom
+    // delete+insert pair. Keys coalesce from whichever side is present
+    // (a legitimately-null key stays null on both).
+    val oldPre = oldDf
+      .select((keyCols.map(c => col(c).as(s"__old_k_$c")) :+ col("__in_old")) ++
         dataCols.map(c => col(c).as(s"__old_$c")): _*)
-      .join(newDf, keyCols.toSeq, "full_outer")
+    val newPre = newDf
+      .select((keyCols.map(c => col(c).as(s"__new_k_$c")) :+ col("__in_new")) ++
+        dataCols.map(col): _*)
+    val joined = oldPre
+      .join(newPre,
+        keyCols.map(c => col(s"__old_k_$c") <=> col(s"__new_k_$c")).reduce(_ && _),
+        "full_outer")
+      .select(
+        keyCols.map(c =>
+          coalesce(col(s"__new_k_$c"), col(s"__old_k_$c")).as(c)) ++
+          Seq(col("__in_old"), col("__in_new")) ++
+          dataCols.map(col) ++ dataCols.map(c => col(s"__old_$c")): _*)
     val differs =
       if (dataCols.isEmpty) lit(false)
       else dataCols.map(c => !(col(c) <=> col(s"__old_$c"))).reduce(_ || _)
@@ -690,7 +715,10 @@ class BucketedStateTable(
 
   override def merge(updates: DataFrame, keys: Seq[String],
       versionCols: Seq[String] = Nil): Unit = {
-    require(keys == keyCols,
+    // SET equality, matching the JDBC twin: mergeByKey and the bucket
+    // hash are key-order-insensitive, so a trait caller passing the
+    // same keys in another order must not break on this implementation
+    require(keys.toSet == keyCols.toSet,
       s"bucketed table is laid out on $keyCols; cannot merge on $keys")
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
       val dirty = dirtyBucketsOf(updates)
@@ -759,7 +787,7 @@ class BucketedStateTable(
     * a key would resolve to the upsert. */
   def applyDelta(upserts: DataFrame, deleteKeys: DataFrame,
       keys: Seq[String]): Unit = {
-    require(keys == keyCols,
+    require(keys.toSet == keyCols.toSet,
       s"bucketed table is laid out on $keyCols; cannot apply a delta on $keys")
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
       val dirty =
@@ -851,12 +879,29 @@ class BucketedStateTable(
     * `count()` — no data pages are read). Empty table → empty frame. */
   def stats(): DataFrame = {
     import spark.implicits._
+    // ONE recursive listing per COMMIT directory, not one listStatus per
+    // bucket: a 16k-bucket table on an object store would otherwise pay
+    // 16k sequential LIST round-trips through the driver — the same
+    // per-bucket-round-trip pattern the row-count job below avoids. The
+    // manifest groups buckets by the commit that wrote them, so the
+    // listing cost is O(retained commits).
     val meta = currentManifest().toSeq.flatMap { m =>
+      val byCommit: Map[Long, Map[Int, Seq[org.apache.hadoop.fs.FileStatus]]] =
+        m.buckets.values.toSeq.distinct.map { commit =>
+          val commitDir = new Path(dataDir, f"c$commit%08d")
+          val it = fs.listFiles(commitDir, true)
+          val files = Iterator.continually(it)
+            .takeWhile(_.hasNext).map(_.next()).toSeq
+            .filter(_.getPath.getName.endsWith(".parquet"))
+          commit -> files.groupBy { st =>
+            val parent = st.getPath.getParent.getName
+            parent.stripPrefix(s"$BucketCol=").toInt
+          }
+        }.toMap
       m.buckets.toSeq.sorted.map { case (bucket, commit) =>
-        val dir = bucketPath(bucket, commit)
-        val files = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
-        (bucket, commit, dir.toString, files.length.toLong,
-          files.map(_.getLen).sum)
+        val files = byCommit(commit).getOrElse(bucket, Nil)
+        (bucket, commit, bucketPath(bucket, commit).toString,
+          files.length.toLong, files.map(_.getLen).sum)
       }
     }
     if (meta.isEmpty)
@@ -1019,6 +1064,16 @@ object BucketedStateTable {
     }.sortBy(_._1)
   }
 
+  /** Static marker probe: was (batchId, streamScope) already committed
+    * against the table at `path`? The cheap replay pre-check a sink
+    * runs BEFORE ferrying a batch the guarded merge would discard
+    * ([[graft.pipeline.StateTable]]'s BatchMarkers, same files). */
+  def batchSeen(hadoopConf: org.apache.hadoop.conf.Configuration,
+      path: String, batchId: Long, streamScope: String): Boolean = {
+    val root = new Path(path)
+    BatchMarkers.seen(root.getFileSystem(hadoopConf), root, batchId, streamScope)
+  }
+
   /** Ids of the manifests currently published at `path`, oldest →
     * newest — the static twin of the instance's `commits()`, for
     * readers that hold no table instance (the DSv2 source). */
@@ -1111,6 +1166,22 @@ object BucketedStateTable {
       numBuckets: Int,
       keepCommits: Option[Int] = None,
       retentionFloorMillis: Option[Long] = None)
+
+  /** Construct the exact instance a recorded layout describes — the ONE
+    * place a handle-less consumer (the SQL write surface, the streaming
+    * sink, the change-feed source) maps layout lines to constructor
+    * parameters. Manifests that predate the retention-policy lines map
+    * to NEVER-prune: a handle that does not know the owner's policy
+    * must not prune history the owner keeps. */
+  def fromLayout(spark: SparkSession, path: String,
+      layout: Layout): BucketedStateTable =
+    new BucketedStateTable(spark, path,
+      keyCols = layout.keyCols, numBuckets = layout.numBuckets,
+      keepCommits = layout.keepCommits.getOrElse(Int.MaxValue),
+      retentionFloorMillis =
+        layout.retentionFloorMillis.getOrElse(Long.MaxValue / 4),
+      bucketCols =
+        if (layout.bucketCols == layout.keyCols) Nil else layout.bucketCols)
 
   def snapshotLayout(hadoopConf: org.apache.hadoop.conf.Configuration,
       path: String): Option[Layout] =

@@ -107,10 +107,26 @@ class JdbcStateTable(
     // must fail with zero statements run, not mid-loop — on engines
     // with auto-committing DDL a half-applied widen would leave the
     // physical table and the handle schema silently disagreeing
-    val ddls = added.map(f =>
-      s"ALTER TABLE ${q(table)} ADD COLUMN ${q(f.name)} ${sqlType(f.dataType)}")
-    if (ddls.nonEmpty) withConnection { conn =>
-      ddls.foreach { ddl =>
+    val ddlFor = added.map(f =>
+      f.name -> s"ALTER TABLE ${q(table)} ADD COLUMN ${q(f.name)} ${sqlType(f.dataType)}")
+    if (ddlFor.nonEmpty) withConnection { conn =>
+      // diff against the DATABASE's actual columns, not the handle's
+      // in-memory schema: a concurrent (or crashed half-applied) widen
+      // may already have added some columns, and re-issuing their ALTER
+      // would fail with duplicate-column FOREVER on retry — the handle
+      // schema can be stale, the metadata cannot
+      val existing = {
+        val out = scala.collection.mutable.Set.empty[String]
+        Seq(table, table.toUpperCase, table.toLowerCase).distinct.foreach { t =>
+          val rs = conn.getMetaData.getColumns(null, null, t, "%")
+          try while (rs.next()) out += rs.getString("COLUMN_NAME").toLowerCase
+          finally rs.close()
+        }
+        out
+      }
+      ddlFor.filterNot { case (name, _) =>
+        existing.contains(name.toLowerCase)
+      }.foreach { case (_, ddl) =>
         val st = conn.createStatement()
         try st.execute(ddl) finally st.close()
       }

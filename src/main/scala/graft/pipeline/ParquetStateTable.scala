@@ -159,13 +159,34 @@ class ParquetStateTable(
       val keep = committedVersions().takeRight(keepVersions).map(_._1).toSet
       // one listing: drops superseded committed versions and uncommitted
       // orphans alike (keep ⊆ committed, orphans are never in keep) —
-      // but nothing younger than the retention floor, so a concurrent
-      // reader's snapshot outlives any burst of commits
+      // but nothing within the retention floor of being CONDEMNED.
+      // The floor is keyed to a condemnation MARKER (first observed
+      // delete-eligible), NOT the dir's creation mtime: a version that
+      // was current for an hour and is then superseded by a quick burst
+      // of commits would be hour-old by mtime and deleted INSTANTLY,
+      // breaking the reader who resolved it seconds earlier — the exact
+      // race BucketedStateTable.condemnOrReap documents.
       val now = System.currentTimeMillis()
+      val condemnedDir = new Path(root, "_condemned")
       allVersionDirs().foreach { case (v, p) =>
-        if (v != next && !keep.contains(v) &&
-            now - fs.getFileStatus(p).getModificationTime >= retentionFloorMillis)
-          fs.delete(p, true)
+        if (v != next && !keep.contains(v)) {
+          if (retentionFloorMillis <= 0L) fs.delete(p, true)
+          else {
+            val m = new Path(condemnedDir, s"v$v")
+            val markedAt =
+              try Some(fs.getFileStatus(m).getModificationTime)
+              catch { case _: java.io.FileNotFoundException => None }
+            markedAt match {
+              case Some(t) if now - t >= retentionFloorMillis =>
+                fs.delete(p, true)
+                fs.delete(m, false)
+              case Some(_) => () // condemned, still inside the floor
+              case None =>
+                fs.mkdirs(condemnedDir)
+                fs.create(m, true).close()
+            }
+          }
+        }
       }
       next
     }

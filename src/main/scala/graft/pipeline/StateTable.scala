@@ -53,14 +53,26 @@ trait StateTable {
   * batches. A crash between the state commit and the marker replays as
   * an idempotent re-merge — at-least-once degrading safely. */
 private[pipeline] object BatchMarkers {
+  private def scopeDir(root: Path, streamScope: String): Path =
+    new Path(root,
+      "_batches/" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(streamScope).toLong & 0xffffffffL))
+
+  /** Marker probe WITHOUT the lock — the cheap replay pre-check a sink
+    * runs before paying to materialize a batch it would then discard.
+    * A false answer is only advisory (the guarded runOnce re-checks
+    * under the lock); a true answer is definitive (markers are never
+    * un-written within their retention window). */
+  def seen(fs: FileSystem, root: Path, batchId: Long,
+      streamScope: String): Boolean =
+    fs.exists(new Path(scopeDir(root, streamScope), f"batch$batchId%012d"))
+
   /** Runs `body` unless `batchId` already has a marker; marks after.
     * Caller must hold the table's write lock. Returns true when `body`
     * ran. */
   def runOnce(fs: FileSystem, root: Path, batchId: Long,
       streamScope: String)(body: => Unit): Boolean = {
-    val scopeDir = new Path(root,
-      "_batches/" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(streamScope).toLong & 0xffffffffL))
+    val scopeDir = this.scopeDir(root, streamScope)
     val marker = new Path(scopeDir, f"batch$batchId%012d")
     if (fs.exists(marker)) false
     else {

@@ -66,7 +66,13 @@ import graft.pipeline.BucketedStateTable
   * no-op-looking image pair the consumer applies harmlessly. A restart
   * from the same checkpoint re-derives the schema from the manifest and
   * keeps its offsets: the widened column flows from the first
-  * post-restart batch with null preimages for rows that predate it. */
+  * post-restart batch with null preimages for rows that predate it.
+  * One narrow race is accepted LOUDLY rather than pinned: a widening
+  * commit landing between `readStream.load()` (which resolves the
+  * analyzed schema) and `.start()` (which re-derives it) makes the
+  * first batch fail Spark's output-schema check — restart the stream;
+  * pinning the load-time schema per checkpoint would instead freeze
+  * out the restart-picks-up-widening behavior above. */
 class GraftStateChangesProvider extends StreamSourceProvider
     with DataSourceRegister {
 
@@ -171,10 +177,10 @@ private[sources] class GraftStateChangesSource(
     val layout = BucketedStateTable.snapshotLayout(conf, path)
       .getOrElse(throw new IllegalStateException(
         s"graft-state-changes at $path: manifest lost its layout lines"))
-    new BucketedStateTable(spark, path,
-      keyCols = layout.keyCols, numBuckets = layout.numBuckets,
-      bucketCols =
-        if (layout.bucketCols == layout.keyCols) Nil else layout.bucketCols)
+    // fromLayout (never-prune defaults for missing policy lines): this
+    // handle is read-only today, but a future mutation through it must
+    // not prune history the owner configured to keep
+    BucketedStateTable.fromLayout(spark, path, layout)
   }
 
   /** Project to the PINNED shape by name, null-filling columns `df`

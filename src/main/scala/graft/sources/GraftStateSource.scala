@@ -199,14 +199,7 @@ class GraftStateSqlTable(
           s"graft-state table at $rootPath has no recorded layout " +
             "(keyCols manifest line) — its manifests predate the " +
             "SQL write surface; one library merge() refreshes it"))
-    val t = new BucketedStateTable(spark, rootPath,
-      keyCols = layout.keyCols, numBuckets = layout.numBuckets,
-      keepCommits = layout.keepCommits.getOrElse(Int.MaxValue),
-      retentionFloorMillis =
-        layout.retentionFloorMillis.getOrElse(Long.MaxValue / 4),
-      bucketCols =
-        if (layout.bucketCols == layout.keyCols) Nil
-        else layout.bucketCols)
+    val t = BucketedStateTable.fromLayout(spark, rootPath, layout)
     (t, layout)
   }
 
@@ -261,8 +254,14 @@ class GraftStateSqlTable(
         .getOrElse(org.apache.spark.sql.functions.lit(true))
       // SQL DELETE removes rows where the condition IS TRUE; filter()
       // keeps exactly those (null condition rows survive), and the
-      // full-tuple verb deletes them bucket-pruned under the protocol
-      t.deleteWhereUnmodified(current.filter(cond))
+      // full-tuple verb deletes them bucket-pruned under the protocol.
+      // PERSISTED: the verb evaluates its `processed` frame three times
+      // (dirty-bucket probe, survivor count, commit write) — without
+      // the cache each pass re-runs the filtered FULL-TABLE scan
+      val matching = current.filter(cond)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      try t.deleteWhereUnmodified(matching)
+      finally matching.unpersist()
     }
   }
 }
@@ -612,18 +611,20 @@ class GraftStateStreamSink(
       data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
     val spark = data.sparkSession
     val conf = spark.sessionState.newHadoopConf()
+    // cheap replay pre-check BEFORE the driver ferry: a restart with
+    // batch N pending in the offset log but already committed would
+    // otherwise collect up to maxDriverRows rows just for the marker
+    // inside mergeOnceForBatch to discard them (the JDBC twin's
+    // one-SELECT pre-check, same rationale)
+    if (graft.pipeline.BucketedStateTable.batchSeen(
+        conf, rootPath, batchId, scope)) return
     val layout = BucketedStateTable.snapshotLayout(conf, rootPath)
     val keyCols = layout.map(_.keyCols).orElse(bootstrapKeyCols).getOrElse(
       throw new IllegalArgumentException(
         s"graft-state sink at $rootPath: the table does not exist yet and " +
           "no option(\"keyCols\", \"a,b\") was given to bootstrap it"))
     val t = layout match {
-      case Some(l) => new BucketedStateTable(spark, rootPath,
-        keyCols = l.keyCols, numBuckets = l.numBuckets,
-        keepCommits = l.keepCommits.getOrElse(Int.MaxValue),
-        retentionFloorMillis =
-          l.retentionFloorMillis.getOrElse(Long.MaxValue / 4),
-        bucketCols = if (l.bucketCols == l.keyCols) Nil else l.bucketCols)
+      case Some(l) => BucketedStateTable.fromLayout(spark, rootPath, l)
       case None => new BucketedStateTable(spark, rootPath,
         keyCols = keyCols,
         numBuckets = bootstrapNumBuckets.getOrElse(64))

@@ -468,9 +468,12 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(cur == (1L to 10L).map(i => (s"n$i", -i)).toSet)
     // normal commit semantics: the old snapshot still resolves
     assert(t.readAt(before).get.count() == 100L)
-    // replacing with nothing empties the table
+    // replacing with nothing empties the table — which reads as
+    // Some(empty) under the recorded schema (the trait contract: None
+    // is reserved for never-created)
     t.replaceAll(Seq.empty[(String, Long)].toDF("k", "v"))
-    assert(t.read().isEmpty)
+    assert(t.read().get.count() == 0L)
+    assert(t.read().get.columns.toSeq == Seq("k", "v"))
   }
 
   test("exportTo round-trips the current snapshot into plain columnar files") {

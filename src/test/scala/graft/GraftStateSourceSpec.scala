@@ -165,7 +165,8 @@ class GraftStateSourceSpec extends SparkSpec {
     val t = seeded(dir, "queue", rows = 50L)
     val preDrain = t.commits().last
     t.deleteWhereUnmodified(t.read().get) // drain the queue completely
-    assert(t.read().isEmpty, "library reader: drained table has no rows")
+    assert(t.read().get.count() == 0L,
+      "library reader: drained reads as Some(empty) — the trait contract")
 
     // the DSv2 face must agree with tableExists (true), not throw:
     // SELECT count(*) over a drained state table answers 0
@@ -274,12 +275,12 @@ class GraftStateSourceSpec extends SparkSpec {
       assert(t.read().get.count() == 82L)
       // TRUNCATE rides the same delete verb (SupportsDelete default)
       spark.sql("TRUNCATE TABLE graft_del.events")
-      assert(t.read().isEmpty, "TRUNCATE must drain the table")
+      assert(t.read().get.count() == 0L, "TRUNCATE must drain the table")
       spark.sql("INSERT INTO graft_del.events VALUES ('again', CAST(1 AS BIGINT))")
       assert(t.read().get.count() == 1L)
       // unconditional DELETE drains; the drained table still reads
       spark.sql("DELETE FROM graft_del.events")
-      assert(t.read().isEmpty)
+      assert(t.read().get.count() == 0L)
       assert(spark.sql("SELECT count(*) AS n FROM graft_del.events")
         .collect().head.getLong(0) == 0L)
       // and a drained table accepts INSERT again (resurrection via SQL)
