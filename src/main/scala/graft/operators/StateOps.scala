@@ -88,6 +88,42 @@ object StateOps {
       }: _*)
     }
 
+  /** Align a (state, updates) pair for a keyed merge so schema drift in
+    * EITHER direction rides safely — one meaning across every
+    * [[graft.pipeline.StateTable]] implementation:
+    *
+    *  - updates same-or-wider than `state`: state aligns up
+    *    (null-filled) and the merge output carries the widened shape —
+    *    ADD COLUMN as an ordinary merge;
+    *  - updates NARROWER than `state` — a not-yet-redeployed writer
+    *    still merging the pre-widen shape — follows the JDBC contract
+    *    ([[graft.pipeline.JdbcStateTable.widenTo]]: pre-migration
+    *    instances keep writing the columns they know): known columns
+    *    take the update, columns the writer doesn't know keep the
+    *    matched current row's value via a keyed lookup against `state`
+    *    (null for genuinely new keys) — never a crash-loop, never a
+    *    silent null-overwrite of freshly migrated data.
+    *
+    * State keys are unique, so the preserve join cannot multiply update
+    * rows; renames/retypes refuse inside [[alignForWidening]] either
+    * way. Returns the pair under one common shape. */
+  def alignPairForMerge(state: DataFrame, updates: DataFrame,
+      keys: Seq[String], what: String): (DataFrame, DataFrame) = {
+    val missing =
+      state.schema.fields.filterNot(f => updates.columns.contains(f.name))
+    if (missing.isEmpty) (alignForWidening(state, updates.schema, what), updates)
+    else {
+      val extra = updates.schema.fields
+        .filterNot(f => state.schema.fieldNames.contains(f.name))
+      val target = org.apache.spark.sql.types.StructType(
+        state.schema.fields ++ extra.map(_.copy(nullable = true)))
+      val cur = alignForWidening(state, target, what)
+      val preserved = updates.join(
+        cur.select((keys ++ missing.map(_.name)).map(col): _*), keys, "left")
+      (cur, alignForWidening(preserved, target, what))
+    }
+  }
+
   /** U1/U2 — keyed last-write-wins merge (`INSERT … ON CONFLICT DO UPDATE`;
     * reference `PostgrePersistenceService.java:218-280,413-482`).
     *

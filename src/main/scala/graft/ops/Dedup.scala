@@ -662,7 +662,18 @@ object Dedup {
     * `PostgrePersistenceService.java:218-280`). The survivors are
     * eagerly checkpointed BEFORE the state commit so the returned
     * frame cannot observe its own hashes — and no persisted blocks
-    * escape into the caller's session. */
+    * escape into the caller's session.
+    *
+    * '''State-format note (pre-r15 stores).''' Two r15 changes altered
+    * what persisted seen-state MEANS: [[TextAnalysis.fingerprint]] now
+    * trims before hashing (a store written earlier holds UNTRIMMED
+    * hashes, so documents with edge whitespace would be re-admitted as
+    * "new"), and `first_id` now keeps the caller's id type verbatim (a
+    * store whose `first_id` was cast to long fails `widenCheck`'s
+    * no-retype rule on the first merge with a string id). Stores
+    * created before r15 must be rebuilt once from the retained corpus
+    * via [[rebuildExactState]]; there is no in-place migration because
+    * the old hashes are not recoverable into the new normalization. */
   def incrementalExact(
       state: graft.pipeline.BucketedStateTable,
       batch: DataFrame,
@@ -688,6 +699,28 @@ object Dedup {
       kept.select(col("content_hash"), col(idCol).as("first_id")),
       keys = Seq("content_hash"))
     kept
+  }
+
+  /** One-shot rebuild of an [[incrementalExact]] seen-state from the
+    * retained corpus — the migration path for stores written before
+    * the r15 fingerprint-normalization / id-type changes (see the
+    * state-format note on [[incrementalExact]]), and the recovery path
+    * for any store whose hashes are suspect. Recomputes every
+    * fingerprint under the CURRENT normalization and atomically
+    * replaces the table's contents in one commit (crash-safe: a
+    * failure leaves the old snapshot current). Costs one full corpus
+    * scan + one shuffle by `content_hash` — a deliberate, operator-
+    * invoked price, never paid on the ingest path. */
+  def rebuildExactState(
+      state: graft.pipeline.BucketedStateTable,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String): Unit = {
+    val firsts = corpus.filter(col(textCol).isNotNull)
+      .withColumn("content_hash", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("first_id"))
+    state.replaceAll(firsts.select(col("content_hash"), col("first_id")))
   }
 
   /** Build (or extend) a persistent MinHash-LSH band index over `df`:

@@ -75,7 +75,13 @@ class BucketedStateTable(
     retentionFloorMillis: Long = 10 * 60 * 1000L,
     bucketCols: Seq[String] = Nil,
     leaseStaleMillis: Long = 60_000L,
-    leaseAcquireTimeoutMillis: Long = 10 * 60 * 1000L) extends StateTable {
+    leaseAcquireTimeoutMillis: Long = 10 * 60 * 1000L,
+    // the conditional-write primitive the writer lease runs on: inject
+    // a real CAS ([[InMemoryCasStore]]-shaped; S3 If-Match / GCS
+    // generation / etcd on a real deployment) to close the
+    // stale-takeover race FULLY; None = the filesystem slot with its
+    // documented best-effort windows
+    leaseStore: Option[LeaseStore] = None) extends StateTable {
 
   require(keyCols.nonEmpty, "BucketedStateTable needs at least one key column")
   require(numBuckets > 0, "numBuckets must be positive")
@@ -134,47 +140,34 @@ class BucketedStateTable(
   @volatile private var heartbeat:
     Option[(Thread, java.util.concurrent.atomic.AtomicBoolean)] = None
 
-  private def writeLeaseFile(holder: String, overwrite: Boolean): Unit = {
-    val out = fs.create(leasePath, overwrite)
-    try out.write(
-      s"$holder\n${System.currentTimeMillis()}\n".getBytes("UTF-8"))
-    finally out.close()
-  }
+  /** The conditional-write primitive the lease runs on and the
+    * protocol over it ([[WriterLease]] owns acquire / fenced beat /
+    * fenced release; with an injected CAS store every transition is
+    * fully fenced — the FS slot keeps the documented best-effort
+    * windows). */
+  private lazy val leaseProtocol = new WriterLease(
+    leaseStore.getOrElse(new HadoopLeaseStore(fs, leasePath)),
+    s"table at $path", leaseStaleMillis, leaseAcquireTimeoutMillis,
+    leasePollMillis)
 
-  /** First line of the live lease file — who holds it. None when the
-    * file is absent or unreadable (mid-break window). */
-  private def leaseHolderOnDisk(): Option[String] =
-    try {
-      val in = fs.open(leasePath)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      text.linesIterator.find(_.nonEmpty)
-    } catch { case _: java.io.IOException => None }
-
-  /** Refresh the lease's mtime every staleMillis/3 while the holder is
-    * alive, so staleness observed by a waiter really means "holder
-    * crashed" — without this, any commit outlasting `leaseStaleMillis`
-    * (routine for a large bucket rewrite) looks identical to a crash
-    * and a waiter breaks the lease MID-WRITE, producing exactly the
-    * double-writer interleaving the lease exists to prevent. */
-  private def startHeartbeat(holder: String): Unit = {
+  /** Refresh the lease every staleMillis/3 while the holder is alive,
+    * so staleness observed by a waiter really means "holder crashed" —
+    * without this, any commit outlasting `leaseStaleMillis` (routine
+    * for a large bucket rewrite) looks identical to a crash and a
+    * waiter breaks the lease MID-WRITE, producing exactly the
+    * double-writer interleaving the lease exists to prevent. The beat
+    * is FENCED inside [[WriterLease.Handle.beat]]: it can only refresh
+    * the value this holder last wrote — a usurped holder stops beating
+    * (its in-flight commit still ends at the manifest conflict
+    * check). */
+  private def startHeartbeat(handle: WriterLease#Handle): Unit = {
     val period = math.max(leaseStaleMillis / 3, 10L)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val t = new Thread({ () =>
       while (!stop.get) {
         try {
           Thread.sleep(period)
-          // FENCED beat: never refresh a lease someone else now holds.
-          // If a waiter judged us stale and took over, overwriting would
-          // make the usurper's liveness invisible and invite a THIRD
-          // writer to break them — stop beating instead (our own commit
-          // still ends at the manifest conflict check). A missing file
-          // (mid-break window) may be recreated once — the documented
-          // at-most-once recreate, aged out by the next waiter.
-          if (!stop.get) leaseHolderOnDisk() match {
-            case Some(other) if other != holder => stop.set(true)
-            case _ => writeLeaseFile(holder, overwrite = true)
-          }
+          if (!stop.get && !handle.beat()) stop.set(true)
         } catch {
           case _: InterruptedException => () // loop condition decides
           case _: java.io.IOException => () // transient; retry next beat
@@ -193,63 +186,24 @@ class BucketedStateTable(
     heartbeat = None
   }
 
-  private def acquireLease(): String = {
-    val holder = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getName + "#" + Thread.currentThread().getId +
-      "#" + java.util.UUID.randomUUID()
-    val deadline = System.currentTimeMillis() + leaseAcquireTimeoutMillis
-    while (true) {
-      try {
-        // create-if-absent IS the acquisition (atomic on HDFS;
-        // conditional-put on object stores; best-effort locally)
-        writeLeaseFile(holder, overwrite = false)
-        startHeartbeat(holder)
-        return holder
-      } catch {
-        case _: java.io.IOException =>
-          val stale =
-            try System.currentTimeMillis() -
-              fs.getFileStatus(leasePath).getModificationTime > leaseStaleMillis
-            catch { case _: java.io.FileNotFoundException => false } // just freed
-          if (stale) {
-            // Holder presumed crashed (heartbeat means a LIVE holder never
-            // looks stale). Break by atomic rename to a unique tombstone:
-            // of N waiters that all observed staleness, exactly one rename
-            // wins and frees the slot — delete-then-create would let two
-            // waiters both delete (the second deleting the NEW holder's
-            // fresh lease) and both acquire.
-            val tomb = new Path(
-              root, s"_lease.broken.${java.util.UUID.randomUUID()}")
-            val won =
-              try fs.rename(leasePath, tomb)
-              catch { case _: java.io.IOException => false }
-            if (won) fs.delete(tomb, false)
-          } else if (System.currentTimeMillis() > deadline) {
-            throw new IllegalStateException(
-              s"writer lease $leasePath held by a concurrent writer for " +
-                s"longer than ${leaseAcquireTimeoutMillis}ms — raise the " +
-                "timeout, or check for a wedged (not crashed) holder")
-          } else Thread.sleep(leasePollMillis)
-      }
-    }
-    sys.error("unreachable: the acquire loop exits only by return or throw")
-  }
-
   private def withLease[T](body: => T): T =
     if (leaseDepth.get > 0) body
     else {
-      val holder = acquireLease()
+      val holder = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getName + "#" + Thread.currentThread().getId +
+        "#" + java.util.UUID.randomUUID()
+      val handle = leaseProtocol.acquire(holder)
+      startHeartbeat(handle)
       leaseDepth.set(1)
       try body finally {
         leaseDepth.set(0)
         stopHeartbeat()
-        // FENCED release: after a stale-lease takeover, the old
-        // holder's release must not delete the NEW holder's live lease
-        // (that would let a third writer acquire mid-write). Only
-        // delete what is still ours; a residual unowned file ages past
-        // staleness and the next waiter breaks it.
-        try if (leaseHolderOnDisk().forall(_ == holder))
-          fs.delete(leasePath, false)
+        // FENCED release ([[WriterLease.Handle.release]]): deletes only
+        // this holder's own value — after a stale takeover, the old
+        // holder's release cannot delete the NEW holder's live lease.
+        // A residual unowned file ages past staleness and the next
+        // waiter breaks it.
+        try handle.release()
         catch { case _: java.io.IOException => () }
       }
     }
@@ -260,7 +214,14 @@ class BucketedStateTable(
   // publishes it is the atomic commit point.
 
   private case class Manifest(commitId: Long, buckets: Map[Int, Long],
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      // layout metadata the cross-split change feed needs: the
+      // manifest's OWN bucket count (old manifests stay readable after
+      // a split), and — on a split commit only — the factor and the
+      // pre-split base manifest it snapshotted
+      manifestNumBuckets: Int = -1,
+      splitFactor: Option[Int] = None,
+      splitBasedOn: Option[Long] = None)
 
   private def manifestFiles(): Seq[(Long, Path)] =
     BucketedStateTable.listManifests(fs, root)
@@ -287,8 +248,14 @@ class BucketedStateTable(
           s"was constructed with numBuckets=$numBuckets — re-bucketing " +
           "requires a full rewrite into a new table")
     }
-    // the bucketing COLUMNS equally define the layout
-    if (checkLayout) kv.get("bucketCols").foreach { bc =>
+    // the bucketing COLUMNS equally define the layout. Unlike the
+    // bucket COUNT (which checkLayout=false relaxes so liveness
+    // bookkeeping and the cross-split change feed can read
+    // old-layout manifests), the column identity is checked
+    // unconditionally: no legitimate history ever changes it, and a
+    // relaxed read joining/hashing on the wrong columns would be
+    // silently wrong rather than merely refused.
+    kv.get("bucketCols").foreach { bc =>
       require(bc == effBucketCols.mkString(","),
         s"table at $path is bucketed by [$bc]; this instance buckets by " +
           s"[${effBucketCols.mkString(",")}] — re-bucketing requires a " +
@@ -296,7 +263,7 @@ class BucketedStateTable(
     }
     // and the merge KEY: an instance keyed differently would merge with
     // the wrong uniqueness and silently duplicate or collapse rows
-    if (checkLayout) kv.get("keyCols").foreach { kc =>
+    kv.get("keyCols").foreach { kc =>
       require(kc == keyCols.mkString(","),
         s"table at $path is keyed by [$kc]; this instance is keyed by " +
           s"[${keyCols.mkString(",")}]")
@@ -307,7 +274,11 @@ class BucketedStateTable(
         case l if l.nonEmpty && l.head.isDigit =>
           val Array(b, c) = l.split("=", 2); b.toInt -> c.toLong
       }.toMap,
-      kv.get("schema"))
+      kv.get("schema"),
+      manifestNumBuckets =
+        kv.get("numBuckets").map(_.toInt).getOrElse(numBuckets),
+      splitFactor = kv.get("splitFactor").map(_.toInt),
+      splitBasedOn = kv.get("splitBasedOn").map(_.toLong))
   }
 
   private def currentManifest(): Option[Manifest] =
@@ -346,6 +317,8 @@ class BucketedStateTable(
       s"keyCols=${keyCols.mkString(",")}\n" +
       s"keepCommits=$keepCommits\n" +
       s"retentionFloorMillis=$retentionFloorMillis\n" +
+      m.splitFactor.map(f => s"splitFactor=$f\n").getOrElse("") +
+      m.splitBasedOn.map(b => s"splitBasedOn=$b\n").getOrElse("") +
       m.schemaJson.map(j => s"schema=$j\n").getOrElse("") +
       m.buckets.toSeq.sorted.map { case (b, c) => s"$b=$c\n" }.mkString)
     val tmp = new Path(commitsDir, f".c${m.commitId}%08d.txt.tmp")
@@ -423,6 +396,24 @@ class BucketedStateTable(
       what: String): DataFrame =
     StateOps.alignForWidening(df, target, s"$what at $path")
 
+  /** Aligns the (current, updates) pair for a keyed mutation so BOTH
+    * directions of schema drift ride safely. Updates same-or-wider
+    * than the stored shape: current rows align up (null-filled) and
+    * the commit records the widened schema — ADD COLUMN as an ordinary
+    * merge. Updates NARROWER than the stored shape — a not-yet-
+    * redeployed writer still merging the pre-[[widenTo]] shape — is
+    * the JDBC twin's documented contract ([[JdbcStateTable.widenTo]]):
+    * the writer updates the columns it KNOWS, and columns it doesn't
+    * know keep the matched current row's value (null for genuinely new
+    * keys) — never a crash-loop, and never a silent null-overwrite of
+    * freshly migrated data. The preserve join touches only the already-
+    * read dirty-bucket rows (current keys are unique, so it cannot
+    * multiply update rows); retypes/renames refuse inside alignTo
+    * either way. */
+  private def alignPair(cur0: DataFrame, updates: DataFrame,
+      keys: Seq[String], what: String): (DataFrame, DataFrame) =
+    StateOps.alignPairForMerge(cur0, updates, keys, s"$what at $path")
+
   override def read(): Option[DataFrame] =
     currentManifest().flatMap { m =>
       readFrom(m, m.buckets.keys.toSeq)
@@ -463,6 +454,73 @@ class BucketedStateTable(
     readManifest(p)
   }
 
+  /** [[manifestAt]] for a change-feed endpoint: layout-version
+    * TOLERANT (a pre-[[splitBuckets]] manifest must stay diffable
+    * through the current handle — [[changedAcrossSplits]] owns the
+    * cross-layout mapping), with the key/bucket-column identity —
+    * which no split ever changes — still enforced. */
+  private def manifestForDiff(commitId: Long): Manifest = {
+    val p = manifestFiles().find(_._1 == commitId).map(_._2)
+      .getOrElse(throw new NoSuchElementException(
+        s"commit $commitId is not retained at $path " +
+          s"(retained: ${commits().mkString(", ")})"))
+    readManifest(p, checkLayout = false)
+  }
+
+  /** Changed buckets (in the TO layout) for a diff range crossing one
+    * or more [[splitBuckets]] boundaries. The range decomposes into
+    * constant-layout segments — (from → split₁'s base), (split₁ →
+    * split₂'s base), …, (splitₖ → to) — and within each segment the
+    * ordinary manifest pointer-compare finds the touched buckets; a
+    * touched bucket at layout L maps UP to exactly the final buckets
+    * `b` with `b mod L = touched` (`(n mod L·k) mod L = n mod L`), so
+    * pruning survives the boundary: unchanged data is never read no
+    * matter how many splits the range crosses. An arbitrary
+    * [[rebucket]] in the range (layouts that don't chain by the
+    * recorded factors) refuses with the reseed recipe — that path
+    * truncates feed history by design. */
+  private def changedAcrossSplits(mFrom: Manifest, mTo: Manifest): Seq[Int] = {
+    val splits = manifestFiles()
+      .filter { case (id, _) => id > mFrom.commitId && id <= mTo.commitId }
+      .map { case (_, p) => readManifest(p, checkLayout = false) }
+      .filter(_.splitFactor.isDefined)
+      .sortBy(_.commitId)
+    val chained = splits.foldLeft(Option(mFrom.manifestNumBuckets)) {
+      case (Some(l), s) if s.manifestNumBuckets == l * s.splitFactor.get =>
+        Some(s.manifestNumBuckets)
+      case _ => None
+    }
+    if (splits.isEmpty || !chained.contains(mTo.manifestNumBuckets))
+      throw new IllegalStateException(
+        s"changesBetween(${mFrom.commitId}, ${mTo.commitId}) at $path " +
+          s"crosses a layout change (${mFrom.manifestNumBuckets} -> " +
+          s"${mTo.manifestNumBuckets} buckets) that is not a " +
+          "splitBuckets chain — an arbitrary rebucket truncates feed " +
+          "history by design. Reseed the consumer: restart the stream " +
+          "with a FRESH checkpoint and option(\"initialSnapshot\", " +
+          "\"true\") (plus startingCommit=<a post-rebucket commit> to " +
+          "pin the base) to bootstrap from the post-rebucket snapshot " +
+          "and tail from there")
+    val starts = mFrom +: splits
+    val ends = splits.map(s => manifestForDiff(s.splitBasedOn.get)) :+ mTo
+    val out = scala.collection.mutable.SortedSet.empty[Int]
+    starts.zip(ends).foreach { case (a, b) =>
+      // a and b bound one constant-layout segment (split manifests
+      // snapshot their base, so a split's own segment edge is exact)
+      val touched = (a.buckets.keySet ++ b.buckets.keySet)
+        .filter(x => a.buckets.get(x) != b.buckets.get(x))
+      if (touched.nonEmpty) {
+        val l = a.manifestNumBuckets
+        var bkt = 0
+        while (bkt < mTo.manifestNumBuckets) {
+          if (touched.contains(bkt % l)) out += bkt
+          bkt += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** Change feed between two retained commits: the NET row-level
     * changes a consumer must apply to move from the `fromCommit`
     * snapshot to the `toCommit` one, as
@@ -487,8 +545,8 @@ class BucketedStateTable(
   def changesBetween(fromCommit: Long, toCommit: Long): DataFrame = {
     require(fromCommit <= toCommit,
       s"changesBetween wants fromCommit <= toCommit, got $fromCommit > $toCommit")
-    val mFrom = manifestAt(fromCommit)
-    val mTo = manifestAt(toCommit)
+    val mFrom = manifestForDiff(fromCommit)
+    val mTo = manifestForDiff(toCommit)
     // the TO manifest's RECORDED schema is authoritative for the diff's
     // shape — falling back to the from-side's data first would emit a
     // widen-then-drain range (empty to-snapshot) under the stale narrow
@@ -503,16 +561,37 @@ class BucketedStateTable(
             s"commits $fromCommit/$toCommit"))
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), rowSchema)
-    val changed = (mFrom.buckets.keySet ++ mTo.buckets.keySet).toSeq
-      .filter(b => mFrom.buckets.get(b) != mTo.buckets.get(b)).sorted
+    val sameLayout = mFrom.manifestNumBuckets == mTo.manifestNumBuckets
+    // changed buckets in the TO layout: pointer-compare within one
+    // layout; across a splitBuckets chain, per-segment pointer diffs
+    // mapped up through the parent→children relation (still never
+    // reading a byte of unchanged data)
+    val changed: Seq[Int] =
+      if (sameLayout)
+        (mFrom.buckets.keySet ++ mTo.buckets.keySet).toSeq
+          .filter(b => mFrom.buckets.get(b) != mTo.buckets.get(b)).sorted
+      else changedAcrossSplits(mFrom, mTo)
+    // the from-side buckets holding the changed rows: identical under
+    // one layout (b mod B = b); the unique parents under a split chain
+    val fromBuckets =
+      changed.map(_ % mFrom.manifestNumBuckets).distinct.sorted
     val cols = rowSchema.fieldNames.toSeq
     val dataCols = cols.filterNot(keyCols.contains)
     // across a WIDENING boundary the from-side reads under its own
     // (narrower) contemporary schema and aligns up: an old row whose
     // new column gained a value diffs as an update with a null-column
     // preimage — exactly what a consumer must apply
-    val oldDf = alignTo(readFrom(mFrom, changed).getOrElse(empty),
-        rowSchema, "changesBetween")
+    val oldRaw = readFrom(mFrom, fromBuckets).getOrElse(empty)
+    // under a split chain a parent bucket also holds rows of UNCHANGED
+    // children (not read on the to-side) — without this filter each
+    // would surface as a phantom delete
+    val oldScoped =
+      if (sameLayout) oldRaw
+      else oldRaw.filter(
+        pmod(xxhash64(effBucketCols.map(col): _*),
+            lit(mTo.manifestNumBuckets.toLong)).cast("int")
+          .isin(changed.map(Integer.valueOf): _*))
+    val oldDf = alignTo(oldScoped, rowSchema, "changesBetween")
       .withColumn("__in_old", lit(true))
     val newDf = readFrom(mTo, changed).getOrElse(empty)
       .withColumn("__in_new", lit(true))
@@ -723,14 +802,16 @@ class BucketedStateTable(
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
       val dirty = dirtyBucketsOf(updates)
       if (dirty.nonEmpty) {
-        // a widening batch (new columns) aligns the current rows up —
-        // null-filled — and the commit records the widened schema, so
-        // ADD COLUMN rides an ordinary merge; clean buckets keep their
+        // schema drift in either direction rides an ordinary merge —
+        // widening batches align the current rows up (null-filled, the
+        // commit records the widened schema; clean buckets keep their
         // narrower files and read back null-filled via the manifest
-        // schema. Narrowing/type changes are refused inside alignTo.
-        val cur = alignTo(readBucketsOrEmpty(dirty, like = updates),
-          updates.schema, "merge")
-        commit(StateOps.mergeByKey(cur, updates, keys, versionCols), dirty)
+        // schema), and post-widenTo narrow writers preserve the
+        // columns they don't know (see alignPair). Renames/type
+        // changes are refused inside alignTo.
+        val (cur, up) = alignPair(
+          readBucketsOrEmpty(dirty, like = updates), updates, keys, "merge")
+        commit(StateOps.mergeByKey(cur, up, keys, versionCols), dirty)
       }
     } }
   }
@@ -794,13 +875,15 @@ class BucketedStateTable(
         (dirtyBucketsOf(upserts) ++ dirtyBucketsOf(deleteKeys))
           .distinct.sorted
       if (dirty.nonEmpty) {
-        // `upserts` carries the full table schema (possibly zero rows),
-        // so it shapes the empty state exactly like merge() does —
-        // including a WIDENED shape (see merge's alignment note)
-        val cur = alignTo(readBucketsOrEmpty(dirty, like = upserts),
-          upserts.schema, "applyDelta")
+        // `upserts` shapes the empty state exactly like merge() does,
+        // and drifts in either direction the same way (see alignPair) —
+        // wider upserts widen the commit, narrower (pre-widenTo writer)
+        // upserts preserve the columns they don't know
+        val (cur, up) = alignPair(
+          readBucketsOrEmpty(dirty, like = upserts), upserts, keys,
+          "applyDelta")
         val kept = cur.join(deleteKeys, keys, "left_anti")
-        commit(StateOps.mergeByKey(kept, upserts, keys), dirty)
+        commit(StateOps.mergeByKey(kept, up, keys), dirty)
       }
     } }
   }
@@ -1005,7 +1088,65 @@ class BucketedStateTable(
       }
       new BucketedStateTable(spark, path, keyCols, newNumBuckets,
         keepCommits, retentionFloorMillis, bucketCols, leaseStaleMillis,
-        leaseAcquireTimeoutMillis)
+        leaseAcquireTimeoutMillis, leaseStore)
+    } }
+
+  /** Grow the layout by an integer `factor` (B → B·factor buckets) —
+    * the rebucket shape a LIVE table with change-feed consumers needs,
+    * because the feed can diff ACROSS it ([[changesBetween]]): under
+    * `bucket = hash mod B`, every new bucket `b'` descends from
+    * exactly one parent `b' mod B` (for any n, `(n mod B·k) mod B =
+    * n mod B`), so a pre-split commit range maps onto post-split
+    * buckets without losing bucket pruning — a CDC replica keeps
+    * tailing through the boundary instead of being stranded
+    * ([[rebucket]] truncates history and the feed refuses, its
+    * documented behavior for an arbitrary layout change).
+    *
+    * Physically this is the same full rewrite as [[rebucket]] (a
+    * layout change must move rows; the heartbeat keeps the lease alive
+    * however long it takes) with two differences: the split manifest
+    * records `splitFactor`/`splitBasedOn` (the mapping evidence), and
+    * pre-split manifests are NOT truncated — they age out through the
+    * ordinary retention policy, which therefore also bounds how far
+    * back a cross-split diff can reach (the feed's standard retention
+    * contract). The split itself is a pure rewrite: zero NET row
+    * changes, so a feed batch spanning only the split emits nothing.
+    *
+    * Returns the NEW handle; this instance refuses further reads and
+    * writes (layout check), same as after [[rebucket]]. */
+  def splitBuckets(factor: Int): BucketedStateTable =
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      require(factor >= 2, s"splitBuckets wants a factor >= 2, got $factor")
+      val newNumBuckets = math.multiplyExact(numBuckets, factor)
+      val snapshot = read()
+      val cur = currentManifest()
+      val basedOn = cur.map(_.commitId).getOrElse(0L)
+      val next = nextCommitId()
+      val newBucketOf = pmod(xxhash64(effBucketCols.map(col): _*),
+        lit(newNumBuckets.toLong)).cast("int")
+      val written: Seq[Int] = snapshot match {
+        case None => Nil
+        case Some(df) =>
+          val out = new Path(dataDir, f"c$next%08d")
+          df.withColumn(BucketCol, newBucketOf)
+            .repartition(newNumBuckets, col(BucketCol))
+            .sortWithinPartitions(BucketCol, keyCols: _*)
+            .write.partitionBy(BucketCol).mode("errorifexists")
+            .parquet(out.toString)
+          fs.listStatus(out).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+            .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
+            .sorted
+      }
+      writeManifest(Manifest(next, written.map(_ -> next).toMap,
+          snapshot.map(_.schema.json).orElse(cur.flatMap(_.schemaJson)),
+          splitFactor = Some(factor),
+          splitBasedOn = Some(basedOn)),
+        basedOn, forNumBuckets = newNumBuckets)
+      prune()
+      new BucketedStateTable(spark, path, keyCols, newNumBuckets,
+        keepCommits, retentionFloorMillis, bucketCols, leaseStaleMillis,
+        leaseAcquireTimeoutMillis, leaseStore)
     } }
 
   /** Export the current snapshot to `outPath` in `format` — the

@@ -117,10 +117,34 @@ class JdbcStateTable(
       // schema can be stale, the metadata cannot
       val existing = {
         val out = scala.collection.mutable.Set.empty[String]
+        val md = conn.getMetaData
+        // the table-name argument is a JDBC search PATTERN: '_' matches
+        // any character, and state table names are underscore-heavy
+        // ("doc_lengths" also matches "docXlengths"). Unescaped, plus
+        // null catalog/schema matching EVERY schema, a sibling table
+        // that already has the new column makes this ALTER silently
+        // skip, leaving the returned handle's schema disagreeing with
+        // the physical table. Pattern ESCAPING is not portable (DuckDB
+        // 1.0 returns a null escape string and its getColumns ignores
+        // ESCAPE entirely — an escaped probe matches NOTHING), so keep
+        // the literal name as the pattern (it always matches itself;
+        // '_' also matching the literal char is harmless here) and
+        // post-filter the rows by EXACT table name plus the
+        // connection's current catalog/schema.
+        val curCat =
+          scala.util.Try(conn.getCatalog).toOption.flatMap(Option(_))
+        val curSch =
+          scala.util.Try(conn.getSchema).toOption.flatMap(Option(_))
+        def sameScope(rowVal: String, cur: Option[String]): Boolean =
+          rowVal == null || cur.forall(_.equalsIgnoreCase(rowVal))
         Seq(table, table.toUpperCase, table.toLowerCase).distinct.foreach { t =>
-          val rs = conn.getMetaData.getColumns(null, null, t, "%")
-          try while (rs.next()) out += rs.getString("COLUMN_NAME").toLowerCase
-          finally rs.close()
+          val rs = md.getColumns(curCat.orNull, curSch.orNull, t, "%")
+          try while (rs.next()) {
+            if (rs.getString("TABLE_NAME") == t &&
+                sameScope(rs.getString("TABLE_CAT"), curCat) &&
+                sameScope(rs.getString("TABLE_SCHEM"), curSch))
+              out += rs.getString("COLUMN_NAME").toLowerCase
+          } finally rs.close()
         }
         out
       }

@@ -46,11 +46,25 @@ class MgSummaryStore(spark: SparkSession, rootDir: String) {
       finally in.close()
     }
 
-  /** Newest stored summary, if any (`#applied` header lines skipped). */
+  /** Split a version file into (header lines, body lines). `#applied`
+    * headers are written as a CONTIGUOUS prefix, so only that prefix is
+    * stripped — summary items are arbitrary corpus tokens (`#include`,
+    * `#hashtag`, even a literal `#applied\t...`), and a blanket
+    * "drop lines starting with #" would silently lose a tracked item
+    * from the body (and the next publish would republish without it —
+    * permanent undercount). The body always starts at the total line,
+    * which is numeric and can never match the header prefix. */
+  private def splitHeader(text: String): (Seq[String], Seq[String]) = {
+    val (hdr, body) =
+      text.split("\n").toSeq.span(_.startsWith("#applied\t"))
+    (hdr, body.filter(_.nonEmpty))
+  }
+
+  /** Newest stored summary, if any (`#applied` header prefix skipped). */
   def read(): Option[MgSummary] = newestText().map { text =>
-    val lines = text.split("\n").filter(_.nonEmpty).filterNot(_.startsWith("#"))
+    val lines = splitHeader(text)._2
     val total = lines.head.toLong
-    val (items, weights) = lines.tail.map { l =>
+    val (items, weights) = lines.tail.toArray.map { l =>
       val i = l.lastIndexOf('\t')
       (l.substring(0, i), l.substring(i + 1).toLong)
     }.unzip
@@ -64,7 +78,7 @@ class MgSummaryStore(spark: SparkSession, rootDir: String) {
     * checkpoint; replays only ever reach back a few). */
   private def appliedMap(): Map[String, Set[Long]] =
     newestText().map { text =>
-      text.split("\n").filter(_.startsWith("#applied\t")).map { l =>
+      splitHeader(text)._1.map { l =>
         val parts = l.split("\t", 3)
         parts(1) -> parts(2).split(",").filter(_.nonEmpty).map(_.toLong).toSet
       }.toMap
@@ -79,7 +93,14 @@ class MgSummaryStore(spark: SparkSession, rootDir: String) {
       require(!streamScope.exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"streamScope must not contain tab/newline: '$streamScope'")
       val applied = appliedMap()
-      if (applied.getOrElse(streamScope, Set.empty).contains(batchId)) false
+      // Legacy fallback: stores written before the in-file `#applied`
+      // headers recorded replays as separate `BatchMarkers` files. A
+      // stream restarted across that upgrade finds an empty appliedMap
+      // and would re-merge its last committed batch — the permanent
+      // double-count this guard exists to prevent — so a header miss
+      // still consults any legacy marker before applying.
+      if (applied.getOrElse(streamScope, Set.empty).contains(batchId) ||
+          BatchMarkers.seen(fs, root, batchId, streamScope)) false
       else {
         val next = update(read())
         // a newline inside an item would split the TSV row and make the

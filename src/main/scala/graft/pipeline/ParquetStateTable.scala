@@ -69,17 +69,17 @@ class ParquetStateTable(
     * batch (new columns) aligns the current snapshot up — null-filled —
     * and the new version directory carries the widened shape complete
     * (each version is a full snapshot, so no mixed-schema files ever
-    * exist; older versions keep their contemporary shape). Narrowing
+    * exist; older versions keep their contemporary shape). A NARROWER
+    * batch — a pre-widen writer — preserves the columns it doesn't
+    * know ([[graft.operators.StateOps.alignPairForMerge]]); renames
     * and type changes refuse loudly, same contract as
     * [[BucketedStateTable]]. */
   override def merge(updates: DataFrame, keys: Seq[String],
       versionCols: Seq[String] = Nil): Unit =
     update { state =>
-      graft.operators.StateOps.mergeByKey(
-        graft.operators.StateOps.alignForWidening(
-          state.getOrElse(updates.limit(0)), updates.schema,
-          s"merge at $path"),
-        updates, keys, versionCols)
+      val (cur, up) = graft.operators.StateOps.alignPairForMerge(
+        state.getOrElse(updates.limit(0)), updates, keys, s"merge at $path")
+      graft.operators.StateOps.mergeByKey(cur, up, keys, versionCols)
     }
 
   /** D1 as a [[StateTable]] op (atomic read-modify-write; ST5). */
@@ -98,11 +98,10 @@ class ParquetStateTable(
       updates: DataFrame, keys: Seq[String],
       versionCols: Seq[String] = Nil): Boolean =
     writeOnceForBatch(batchId, streamScope) { state =>
-      graft.operators.StateOps.mergeByKey(
-        graft.operators.StateOps.alignForWidening(
-          state.getOrElse(updates.limit(0)), updates.schema,
-          s"mergeOnceForBatch at $path"),
-        updates, keys, versionCols)
+      val (cur, up) = graft.operators.StateOps.alignPairForMerge(
+        state.getOrElse(updates.limit(0)), updates, keys,
+        s"mergeOnceForBatch at $path")
+      graft.operators.StateOps.mergeByKey(cur, up, keys, versionCols)
     }
 
   /** Every version directory, committed or not — a crashed write leaves

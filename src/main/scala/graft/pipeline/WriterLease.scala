@@ -1,0 +1,253 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Conditional-write primitive behind the writer lease — the seam that
+  * closes the stale-takeover race where the backing store can
+  * ([[BucketedStateTable]]'s class doc, "RESIDUAL RACE"). Every
+  * mutation is conditioned on the lease's CURRENT VALUE (value-CAS,
+  * no etag bookkeeping): a holder's heartbeat can only refresh the
+  * exact lease it last wrote, a waiter's stale break can only replace
+  * the exact stale value it judged, and a release can only delete the
+  * holder's own value — so with an atomic implementation, two writers
+  * racing through takeover/beat/release can never clobber each other.
+  *
+  * Implementations:
+  *  - [[HadoopLeaseStore]] — the local-FS / HDFS fallback. `tryCreate`
+  *    is atomic where the filesystem's create-if-absent is;
+  *    `takeOver` keeps the rename-to-tombstone election (of N waiters
+  *    exactly one rename wins); `replaceIf`/`deleteIf` are
+  *    read-compare-write, best-effort by nature — the documented
+  *    residual window, unchanged from before this seam existed.
+  *  - [[InMemoryCasStore]] — a genuinely atomic value-CAS
+  *    (AtomicReference), the reference implementation an object-store
+  *    adapter (S3 If-Match, GCS generation preconditions, etcd) should
+  *    mirror; also what the contention spec drives to prove the fenced
+  *    protocol. One instance per coordination scope, shared by all
+  *    in-process writers.
+  *
+  * Lease values are small opaque byte strings; content equality is the
+  * condition. The protocol ([[WriterLease]]) makes every value unique
+  * per write (holder UUID + stamp), so value-CAS is as strong as
+  * version-CAS here. */
+trait LeaseStore {
+  /** Create-if-absent. True iff this call created the value. */
+  def tryCreate(content: Array[Byte]): Boolean
+  /** Current value, if any. */
+  def read(): Option[Array[Byte]]
+  /** Holder's refresh: replace `expect` with `next` iff the current
+    * value equals `expect`. */
+  def replaceIf(expect: Array[Byte], next: Array[Byte]): Boolean
+  /** Waiter's stale break: same condition as [[replaceIf]], but
+    * implementations without a true CAS may use a stronger-than-
+    * overwrite election primitive here (the FS tombstone rename). */
+  def takeOver(expect: Array[Byte], next: Array[Byte]): Boolean
+  /** Delete iff the current value equals `expect`. */
+  def deleteIf(expect: Array[Byte]): Boolean
+}
+
+/** Filesystem lease slot (`_lease` under the table root) — the
+  * best-effort fallback: create-if-absent is atomic on HDFS (and on
+  * object stores that implement it conditionally); the conditional
+  * replace/delete are read-compare-write with the residual window the
+  * table doc names. Correctness never rests on it — the manifest
+  * `basedOn` check fences the loser — the lease only converts retry
+  * storms into waiting. */
+final class HadoopLeaseStore(fs: FileSystem, path: Path) extends LeaseStore {
+
+  override def tryCreate(content: Array[Byte]): Boolean =
+    try {
+      val out = fs.create(path, false)
+      try out.write(content) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  override def read(): Option[Array[Byte]] =
+    try {
+      val in = fs.open(path)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(buf.toByteArray)
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  override def replaceIf(expect: Array[Byte], next: Array[Byte]): Boolean =
+    read().exists(java.util.Arrays.equals(_, expect)) && {
+      try {
+        val out = fs.create(path, true)
+        try out.write(next) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+
+  override def takeOver(expect: Array[Byte], next: Array[Byte]): Boolean =
+    read().exists(java.util.Arrays.equals(_, expect)) && {
+      // rename to a unique tombstone: of N waiters that all judged the
+      // same stale value, exactly one rename wins and frees the slot —
+      // delete-then-create would let two waiters both delete (the
+      // second deleting the NEW holder's fresh lease) and both acquire
+      val tomb = new Path(path.getParent,
+        s"${path.getName}.broken.${java.util.UUID.randomUUID()}")
+      val won =
+        try fs.rename(path, tomb)
+        catch { case _: java.io.IOException => false }
+      if (won) {
+        try fs.delete(tomb, false)
+        catch { case _: java.io.IOException => () }
+        tryCreate(next)
+      } else false
+    }
+
+  override def deleteIf(expect: Array[Byte]): Boolean =
+    read().exists(java.util.Arrays.equals(_, expect)) && {
+      try fs.delete(path, false)
+      catch { case _: java.io.IOException => false }
+    }
+}
+
+/** Atomic value-CAS lease slot — the semantics a conditional-put
+  * object store gives. Linearized on the instance monitor with VALUE
+  * comparison (an AtomicReference.compareAndSet would compare the
+  * Option wrapper by reference and never match a value re-read through
+  * [[read]]); in-process, so it also serves as real coordination for
+  * multiple writer THREADS sharing a JVM, and as the contention spec's
+  * probe that the [[WriterLease]] protocol is fully fenced when the
+  * primitive is. */
+final class InMemoryCasStore extends LeaseStore {
+  private var cur: Option[Seq[Byte]] = None
+
+  override def tryCreate(content: Array[Byte]): Boolean = synchronized {
+    if (cur.isEmpty) { cur = Some(content.toSeq); true } else false
+  }
+
+  override def read(): Option[Array[Byte]] =
+    synchronized { cur.map(_.toArray) }
+
+  override def replaceIf(expect: Array[Byte], next: Array[Byte]): Boolean =
+    synchronized {
+      if (cur.contains(expect.toSeq)) { cur = Some(next.toSeq); true }
+      else false
+    }
+
+  override def takeOver(expect: Array[Byte], next: Array[Byte]): Boolean =
+    replaceIf(expect, next)
+
+  override def deleteIf(expect: Array[Byte]): Boolean = synchronized {
+    if (cur.contains(expect.toSeq)) { cur = None; true } else false
+  }
+}
+
+/** The writer-lease protocol over a [[LeaseStore]]: acquire by
+  * create-if-absent, keep alive by a heartbeat that refreshes only the
+  * value it last wrote, break a stale holder by replacing exactly the
+  * stale value observed, release by deleting only one's own value.
+  * Staleness is judged from the STAMP inside the lease value (a live
+  * holder's heartbeat refreshes it every `staleMillis/3`), against an
+  * injectable `clock` — so a spec can force the takeover interleaving
+  * without wall-clock sleeps.
+  *
+  * With an atomic store every transition is fenced: the usurped
+  * holder's zombie beat fails its CAS and stops; its release fails its
+  * CAS and leaves the usurper's lease intact. With the FS fallback the
+  * same protocol runs with the documented best-effort windows. */
+final class WriterLease(
+    store: LeaseStore,
+    what: String,
+    staleMillis: Long,
+    acquireTimeoutMillis: Long,
+    pollMillis: Long = 50L,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  /** One acquired lease: beat/release operate on the exact value this
+    * holder last wrote. */
+  final class Handle private[WriterLease] (val holder: String,
+      @volatile private var current: Array[Byte]) {
+
+    /** One heartbeat refresh. Returns false when the lease was lost
+      * (usurped after a stale judgment) — the holder must stop
+      * beating; its in-flight commit still ends at the manifest
+      * conflict check. A missing value (mid-break window) may be
+      * recreated at most once per observation — the documented
+      * at-most-once recreate, aged out by the next waiter. */
+    def beat(): Boolean = {
+      val next = content(holder)
+      if (store.replaceIf(current, next)) { current = next; true }
+      else store.read() match {
+        case Some(cur) if holderOf(cur).contains(holder) =>
+          // our own earlier write under a weak store — adopt and go on
+          current = cur; true
+        case Some(_) => false // genuinely usurped
+        case None =>
+          if (store.tryCreate(next)) { current = next; true }
+          else store.read() match {
+            case Some(cur) if holderOf(cur).contains(holder) =>
+              current = cur; true
+            case _ => false
+          }
+      }
+    }
+
+    /** Fenced release: deletes only this holder's own value; a
+      * usurper's lease survives an old holder's release. */
+    def release(): Unit = {
+      if (!store.deleteIf(current))
+        // weak-store fallback: the value may have been refreshed by a
+        // racing beat of OUR OWN thread's last write; only ever delete
+        // a value that still names this holder
+        store.read() match {
+          case Some(cur) if holderOf(cur).contains(holder) =>
+            store.deleteIf(cur); ()
+          case _ => ()
+        }
+      ()
+    }
+  }
+
+  private def content(holder: String): Array[Byte] =
+    s"$holder\n${clock()}\n".getBytes("UTF-8")
+
+  private def holderOf(bytes: Array[Byte]): Option[String] =
+    new String(bytes, "UTF-8").linesIterator.find(_.nonEmpty)
+
+  private def stampOf(bytes: Array[Byte]): Option[Long] =
+    new String(bytes, "UTF-8").linesIterator.filter(_.nonEmpty)
+      .toSeq.lift(1).flatMap(_.toLongOption)
+
+  /** Blocks until acquired (create-if-absent, or a CAS break of a
+    * stale value), up to the configured timeout. */
+  def acquire(holder: String): Handle = {
+    val deadline = clock() + acquireTimeoutMillis
+    while (true) {
+      val mine = content(holder)
+      if (store.tryCreate(mine)) return new Handle(holder, mine)
+      store.read() match {
+        case None => () // just freed — retry the create immediately
+        case Some(cur) =>
+          val stale = stampOf(cur).forall(clock() - _ > staleMillis)
+          if (stale) {
+            // break by replacing EXACTLY the stale value observed: of
+            // N waiters that judged the same value, one CAS wins; with
+            // a fresh beat landing in between, everyone's CAS fails
+            // and the holder is (correctly) treated as live again. A
+            // failed break still honors the deadline — a pathological
+            // store that churns the value forever must not hot-loop
+            if (store.takeOver(cur, mine)) return new Handle(holder, mine)
+            else if (clock() > deadline)
+              throw new IllegalStateException(
+                s"writer lease for $what: stale-break lost its CAS " +
+                  s"repeatedly past ${acquireTimeoutMillis}ms — a " +
+                  "live writer churn or a store that never matches")
+          } else if (clock() > deadline) {
+            throw new IllegalStateException(
+              s"writer lease for $what held by a concurrent writer for " +
+                s"longer than ${acquireTimeoutMillis}ms — raise the " +
+                "timeout, or check for a wedged (not crashed) holder")
+          } else Thread.sleep(pollMillis)
+      }
+    }
+    sys.error("unreachable: the acquire loop exits only by return or throw")
+  }
+}

@@ -25,6 +25,7 @@ object ReferenceQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+
   def queries: Map[String, Q] = Map(
     // ── A2/A3 aggregate showcase (TPC-H Q1 shape) ─────────────────────────
     "q1_pricing_summary" -> ((s, dir) => {
@@ -171,34 +172,29 @@ object ReferenceQueries {
     // UPDATE and a modulo DELETE (both outside the pushable filter
     // algebra → the delta write path) run against a REAL bucketed state
     // table through the DSv2 catalog, then the final table is read
-    // back. Every statement is one atomic manifest commit. The catalog
-    // name is fresh per invocation: CatalogManager caches plugins by
-    // name WITH their options, so a reused name would pin the first
-    // trial's table root. ────────────────────────────────────────────────
+    // back. Every statement is one atomic manifest commit. Scratch
+    // hygiene lives in [[QueryScratch]]: one catalog registration per
+    // session, a fresh TABLE per trial under its fixed root, previous
+    // trials reaped. ─────────────────────────────────────────────────────
     "u4_sql_row_dml" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-sqldml-").toString
-      val t = new graft.pipeline.BucketedStateTable(s, s"$root/docs_state",
+      val (root, tbl) = QueryScratch.freshDir("u4")
+      val t = new graft.pipeline.BucketedStateTable(s, s"$root/$tbl",
         keyCols = Seq("doc_id"), numBuckets = 8)
       val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
       t.merge(d.filter(col("doc_id") < 300), keys = Seq("doc_id"))
-      val cat = "gdml" +
-        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.sources.GraftStateCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val cat = QueryScratch.catalog(s)
       d.filter(col("doc_id").between(150, 449))
         .createOrReplaceTempView("u4_src")
       s.sql(
-        s"""MERGE INTO $cat.docs_state t USING u4_src s ON t.doc_id = s.doc_id
+        s"""MERGE INTO $cat.$tbl t USING u4_src s ON t.doc_id = s.doc_id
            |WHEN MATCHED AND s.doc_id % 5 = 0 THEN DELETE
            |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1000000
            |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars) VALUES (s.doc_id, s.n_chars)
            |""".stripMargin)
-      s.sql(s"UPDATE $cat.docs_state SET n_chars = CAST(0 AS BIGINT) " +
+      s.sql(s"UPDATE $cat.$tbl SET n_chars = CAST(0 AS BIGINT) " +
         "WHERE doc_id % 7 = 0")
-      s.sql(s"DELETE FROM $cat.docs_state WHERE doc_id % 11 = 0")
-      s.read.format("graft-state").load(s"$root/docs_state")
+      s.sql(s"DELETE FROM $cat.$tbl WHERE doc_id % 11 = 0")
+      s.read.format("graft-state").load(s"$root/$tbl")
         .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
     }),
 
@@ -210,9 +206,8 @@ object ReferenceQueries {
     // value-identical rewrites absent. The oracle recomputes both
     // snapshots in SQL and diffs them. ───────────────────────────────────
     "u5_change_feed" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-cdf-").toString
-      val t = new graft.pipeline.BucketedStateTable(s, s"$root/docs_state",
+      val (root, tbl) = QueryScratch.freshDir("u5")
+      val t = new graft.pipeline.BucketedStateTable(s, s"$root/$tbl",
         keyCols = Seq("doc_id"), numBuckets = 8)
       val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
       t.merge(d.filter(col("doc_id") < 400), keys = Seq("doc_id"))
@@ -235,9 +230,8 @@ object ReferenceQueries {
     // table. The oracle recomputes the aggregate from scratch over the
     // final snapshot. ────────────────────────────────────────────────────
     "u6_ivm_aggregate" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-ivm-").toString
-      val t = new graft.pipeline.BucketedStateTable(s, s"$root/docs_state",
+      val (root, tbl) = QueryScratch.freshDir("u6")
+      val t = new graft.pipeline.BucketedStateTable(s, s"$root/$tbl",
         keyCols = Seq("doc_id"), numBuckets = 8)
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -268,9 +262,8 @@ object ReferenceQueries {
     // manifest's recorded schema. The oracle recomputes the final
     // snapshot in SQL. ───────────────────────────────────────────────────
     "u7_schema_evolution" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-evo-").toString
-      val t = new graft.pipeline.BucketedStateTable(s, s"$root/docs_state",
+      val (root, tbl) = QueryScratch.freshDir("u7")
+      val t = new graft.pipeline.BucketedStateTable(s, s"$root/$tbl",
         keyCols = Seq("doc_id"), numBuckets = 8)
       val narrow = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
       val wide = Tables.documents(s, dir)

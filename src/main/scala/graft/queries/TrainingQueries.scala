@@ -172,8 +172,7 @@ object TrainingQueries {
         .unionByName(d.filter(col("doc_id") % 11 === 3)
           .select((col("doc_id") + 600000).as("doc_id"),
             concat(col("text"), lit(" unique")).as("text")))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-incr-").toString
+      val root = QueryScratch.freshPath("incr")
       val state = new graft.pipeline.BucketedStateTable(
         s, s"$root/seen", keyCols = Seq("content_hash"), numBuckets = 16)
       state.merge(
@@ -238,8 +237,7 @@ object TrainingQueries {
       val batch = d.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" zz yy xx")).as("text"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-incrnd-").toString
+      val root = QueryScratch.freshPath("incrnd")
       val index = new graft.pipeline.BucketedStateTable(
         s, s"$root/index",
         keyCols = Seq("band", "band_hash", "doc_id"), numBuckets = 32,
@@ -362,8 +360,7 @@ object TrainingQueries {
       val e = Tables.embeddings(s, dir)
       val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       val cents = Similarity.sampleCentroids(c, "c_id", "c_vec", 16)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-ivfidx-").toString
+      val root = QueryScratch.freshPath("ivfidx")
       val index = new graft.pipeline.BucketedStateTable(
         s, s"$root/index",
         keyCols = Seq("centroid_id", "vec_id"), numBuckets = 16,
@@ -500,8 +497,7 @@ object TrainingQueries {
     // oracle enumerates all ≥-threshold pairs involving the batch. ──────
     "embed_incr_near" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-embidx-").toString
+      val root = QueryScratch.freshPath("embidx")
       val index = new graft.pipeline.BucketedStateTable(
         s, s"$root/index",
         keyCols = Seq("bucket", "vec_id"), numBuckets = 16,
@@ -971,8 +967,7 @@ object TrainingQueries {
           .map { case (id, v, e) =>
             Multimodal.PairRecord(id, Multimodal.plantedImage(v), e) }
           .toDF()
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-pairidx-").toString
+      val root = QueryScratch.freshPath("pairidx")
       val index = new graft.pipeline.BucketedStateTable(
         s, s"$root/index",
         keyCols = Seq("band", "bh", "pair_id"), numBuckets = 32,
@@ -1460,8 +1455,7 @@ object TrainingQueries {
     // contract, READ BACK and count per partition: the oracle checks
     // the full write→read round trip, not just the routing columns. ─────
     "corpus_write_layout" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-layout-").toString
+      val root = QueryScratch.freshPath("layout")
       val routed = graft.ops.TextAnalysis
         .langIdScores(Tables.documents(s, dir), col("text"))
         .select(col("doc_id"), col("text"), col("predicted_lang"),
@@ -1634,8 +1628,7 @@ object TrainingQueries {
     // reading only the query terms' buckets. Incremental == batch
     // exactly, so the oracle is the SAME SQL as text_bm25_topk. ─────────
     "text_bm25_incr" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-bm25idx-").toString
+      val root = QueryScratch.freshPath("bm25idx")
       val postings = new graft.pipeline.BucketedStateTable(
         s, s"$root/postings", keyCols = Seq("term", "doc_id"),
         numBuckets = 32, bucketCols = Seq("term"))
@@ -1983,8 +1976,7 @@ object TrainingQueries {
     // lives in a replay-safe state table; the oracle is the batch RRF
     // SQL verbatim. ─────────────────────────────────────────────────────
     "search_rrf_incr" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-rrfidx-").toString
+      val root = QueryScratch.freshPath("rrfidx")
       val postings = new graft.pipeline.BucketedStateTable(
         s, s"$root/postings", keyCols = Seq("term", "doc_id"),
         numBuckets = 32, bucketCols = Seq("term"))

@@ -331,10 +331,13 @@ class BucketedStateTableSpec extends SparkSpec {
       keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L,
       leaseStaleMillis = 60_000L, leaseAcquireTimeoutMillis = 60_000L)
     // simulate ANOTHER PROCESS holding the lease (the JVM per-path lock
-    // can't see it — only the filesystem lease can)
+    // can't see it — only the filesystem lease can); a live peer's
+    // lease carries a FRESH stamp, which is what a real process writes
+    // at acquisition and every heartbeat
     val lease = new java.io.File(s"$dir/state/_lease")
     lease.getParentFile.mkdirs()
-    Files.write(lease.toPath, "other-process#1\n0\n".getBytes("UTF-8"))
+    Files.write(lease.toPath,
+      s"other-process#1\n${System.currentTimeMillis()}\n".getBytes("UTF-8"))
     @volatile var committed = false
     val writer = new Thread(() => {
       t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
@@ -358,10 +361,13 @@ class BucketedStateTableSpec extends SparkSpec {
     val t = new BucketedStateTable(spark, s"$dir/state",
       keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L,
       leaseStaleMillis = 500L, leaseAcquireTimeoutMillis = 60_000L)
+    // a crashed holder's lease: the stamp (its last heartbeat) is far
+    // older than leaseStaleMillis
     val lease = new java.io.File(s"$dir/state/_lease")
     lease.getParentFile.mkdirs()
-    Files.write(lease.toPath, "crashed-process#1\n0\n".getBytes("UTF-8"))
-    assert(lease.setLastModified(System.currentTimeMillis() - 10_000))
+    Files.write(lease.toPath,
+      s"crashed-process#1\n${System.currentTimeMillis() - 10_000}\n"
+        .getBytes("UTF-8"))
     val t0 = System.nanoTime()
     t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
     assert((System.nanoTime() - t0) / 1e9 < 30.0)
@@ -444,15 +450,87 @@ class BucketedStateTableSpec extends SparkSpec {
     lingering.foreach { c =>
       intercept[IllegalArgumentException] { t16.readAt(c) }
     }
-    // the change feed inherits the refusal: a diff spanning the
-    // rebucket boundary would compare incompatible bucket universes
-    intercept[IllegalArgumentException] {
+    // the change feed refuses a diff spanning an ARBITRARY rebucket
+    // boundary (incompatible bucket universes, no recorded split
+    // mapping) — loudly, with the reseed recipe for stranded consumers
+    val feedErr = intercept[IllegalStateException] {
       t16.changesBetween(lingering.head, newest)
     }
+    assert(feedErr.getMessage.contains("not a splitBuckets chain") &&
+      feedErr.getMessage.contains("initialSnapshot"), feedErr.getMessage)
     // and post-rebucket mutations stay bucket-pruned on the NEW layout
     t16.merge(Seq(("k2", -2L)).toDF("k", "v"), keys = Seq("k"))
     assert(t16.lastCommit.get.bucketsWritten.size == 1)
     assert(t16.read().get.count() == 500L)
+  }
+
+  test("splitBuckets: the change feed diffs ACROSS the boundary — snapshot parity, net semantics, pruning intact") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, keepCommits = 10,
+      retentionFloorMillis = 60_000L)
+    t.merge((1L to 400L).map(i => (s"k$i", i)).toDF("k", "v"), keys = Seq("k"))
+    val c1 = t.commits().last
+    // pre-split activity after the feed base: an update and an insert
+    // that will be deleted AFTER the split (net-absent across the
+    // boundary — the cross-layout endpoint semantics)
+    t.merge(Seq(("k5", -5L), ("kpre", 1L)).toDF("k", "v"), keys = Seq("k"))
+    val preSplit = t.commits().last
+    val snapC1 = t.readAt(c1).get.as[(String, Long)].collect().toMap
+
+    val t8 = t.splitBuckets(2)
+    // the stale handle refuses, same contract as rebucket
+    intercept[IllegalArgumentException] { t.read() }
+    assert(t8.read().get.count() == 401L)
+    // a range spanning ONLY the split is a pure rewrite: zero net rows
+    assert(t8.changesBetween(preSplit, t8.commits().last).count() == 0L)
+
+    // post-split activity: update, insert, deletes (one killing kpre)
+    t8.merge(Seq(("k5", 55L), ("kpost", 9L)).toDF("k", "v"), keys = Seq("k"))
+    t8.applyDelta(upserts = Seq.empty[(String, Long)].toDF("k", "v"),
+      deleteKeys = Seq("k9", "kpre").map(Tuple1(_)).toDF("k"),
+      keys = Seq("k"))
+    val cEnd = t8.commits().last
+    val finalSnap = t8.read().get.as[(String, Long)].collect().toMap
+
+    // parity: the cross-boundary net diff equals the snapshot diff
+    val feed = t8.changesBetween(c1, cEnd)
+      .as[(String, String, Long)].collect().toSet
+    val ins = (finalSnap.keySet -- snapC1.keySet)
+      .map(k => ("insert", k, finalSnap(k)))
+    val del = (snapC1.keySet -- finalSnap.keySet)
+      .map(k => ("delete", k, snapC1(k)))
+    val upd = (snapC1.keySet & finalSnap.keySet)
+      .filter(k => snapC1(k) != finalSnap(k))
+      .flatMap(k => Seq(("update_preimage", k, snapC1(k)),
+        ("update_postimage", k, finalSnap(k))))
+    assert(feed == (ins ++ del ++ upd),
+      s"cross-split diff lost parity: extra=${feed -- (ins ++ del ++ upd)} " +
+        s"missing=${(ins ++ del ++ upd) -- feed}")
+    assert(!feed.exists(_._2 == "kpre"),
+      "a row inserted pre-split and deleted post-split must be net-absent")
+
+    // pruning survives the boundary: on a quiet table, one post-split
+    // single-key merge diffs by reading ONLY that key's new bucket and
+    // its unique parent — never the other 10 bucket dirs
+    val t2 = new BucketedStateTable(spark, s"$dir/state2",
+      keyCols = Seq("k"), numBuckets = 4, keepCommits = 10,
+      retentionFloorMillis = 60_000L)
+    t2.merge((1L to 400L).map(i => (s"k$i", i)).toDF("k", "v"), keys = Seq("k"))
+    val qa = t2.commits().last
+    val t2w = t2.splitBuckets(2)
+    t2w.merge(Seq(("k2", -2L)).toDF("k", "v"), keys = Seq("k"))
+    val diff = t2w.changesBetween(qa, t2w.commits().last)
+    assert(diff.as[(String, String, Long)].collect().toSet == Set(
+      ("update_preimage", "k2", 2L), ("update_postimage", "k2", -2L)))
+    val touchedDirs = diff.inputFiles.toSeq
+      .map(_.replaceAll(".*__bucket=", "").replaceAll("/.*", "").toInt)
+      .distinct
+    assert(touchedDirs.size <= 2,
+      s"cross-split diff must read one parent + one child bucket, " +
+        s"read __bucket=$touchedDirs")
   }
 
   test("replaceAll swaps the whole contents in one commit; history stays time-travelable") {

@@ -121,4 +121,54 @@ class HotTokensStreamSpec extends SparkSpec {
       assert(!h10.exists(_._2 == "beta"))
     } finally q.stop()
   }
+
+  test("items starting with '#' survive the read/publish cycle (only the header PREFIX is stripped)") {
+    val root = Files.createTempDirectory("graft-hot-hash").toString
+    val store = new MgSummaryStore(spark, s"$root/summary")
+    // corpus tokens are arbitrary — '#include' from code, '#hashtag'
+    // from social text, even an item that LOOKS like a header line
+    val items = Array("#include", "#hashtag", "#applied\tfake", "plain")
+    assert(store.updateOnceForBatch(1L, "s")(_ =>
+      Sketches.MgSummary(40L, items, Array(10L, 10L, 10L, 10L))))
+    val r1 = store.read().get
+    assert(r1.items.sorted.sameElements(items.sorted),
+      s"items lost on read: ${r1.items.mkString(",")}")
+    // and they must survive a REPUBLISH (read -> merge -> write): the
+    // old blanket '#' filter dropped them here permanently
+    assert(store.updateOnceForBatch(2L, "s")(prev =>
+      Sketches.mergeSummaries(prev.get,
+        Sketches.MgSummary(5L, Array("plain"), Array(5L)), 8)))
+    val r2 = store.read().get
+    assert(r2.total == 45L)
+    items.foreach(i => assert(r2.items.contains(i),
+      s"'$i' dropped across republish: ${r2.items.mkString(",")}"))
+    // the replay guard still parses its headers from the same file
+    assert(!store.updateOnceForBatch(1L, "s")(_ =>
+      Sketches.MgSummary(999L, Array("bogus"), Array(999L))))
+  }
+
+  test("a legacy BatchMarkers file (pre-header store) still blocks a replay") {
+    val root = Files.createTempDirectory("graft-hot-legacy").toString
+    val store = new MgSummaryStore(spark, s"$root/summary")
+    assert(store.updateOnceForBatch(7L, "ck")(_ =>
+      Sketches.MgSummary(10L, Array("x"), Array(10L))))
+    // simulate the pre-upgrade marker layout: batch 8 was committed by
+    // the OLD store version as a _batches/<scope-hash>/batchNNN file,
+    // so the new in-file '#applied' headers know nothing about it
+    val scopeDir = new java.io.File(s"$root/summary/_batches/" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash("ck").toLong & 0xffffffffL))
+    assert(scopeDir.mkdirs())
+    assert(new java.io.File(scopeDir, f"batch${8L}%012d").createNewFile())
+    // the upgraded store must consult the legacy marker on a header
+    // miss — replaying batch 8 would double-count the sketch forever
+    assert(!store.updateOnceForBatch(8L, "ck")(_ =>
+      Sketches.MgSummary(999L, Array("bogus"), Array(999L))),
+      "legacy-marked batch replayed after the header upgrade")
+    assert(store.read().get.total == 10L)
+    // an actually-new batch still runs
+    assert(store.updateOnceForBatch(9L, "ck")(prev =>
+      Sketches.mergeSummaries(prev.get,
+        Sketches.MgSummary(1L, Array("x"), Array(1L)), 8)))
+  }
 }

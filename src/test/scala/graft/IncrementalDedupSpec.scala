@@ -56,6 +56,36 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(t.read().get.count() == 4L) // 2 seeded + 2 new
   }
 
+  test("rebuildExactState: one-shot migration recomputes every fingerprint under the CURRENT normalization") {
+    val t = state(tmp())
+    // simulate a pre-r15 store: UNTRIMMED-normalization hashes (edge
+    // whitespace hashed apart) — the state-format break documented on
+    // incrementalExact
+    t.merge(
+      docs(1L -> "alpha beta\n", 2L -> "gamma delta")
+        .select(md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+          .as("content_hash"), col("doc_id").as("first_id")),
+      keys = Seq("content_hash"))
+    // under the stale hashes, the trimmed twin of doc 1 is wrongly
+    // re-admitted as "new" — the drift the rebuild exists to heal
+    val drifted = Dedup.incrementalExact(
+      t, docs(10L -> "alpha beta"), "doc_id", "text")
+    assert(drifted.count() == 1L, "precondition: stale hashes re-admit")
+
+    // one-shot rebuild from the retained corpus, atomic replace
+    Dedup.rebuildExactState(t,
+      docs(1L -> "alpha beta\n", 2L -> "gamma delta"), "doc_id", "text")
+    val st = t.read().get
+    assert(st.count() == 2L)
+    assert(st.schema.fieldNames.toSeq == Seq("content_hash", "first_id"))
+    // now the trimmed twin dedups correctly...
+    assert(Dedup.incrementalExact(
+      t, docs(11L -> "  Alpha beta  "), "doc_id", "text").count() == 0L)
+    // ...and genuinely fresh text still survives
+    assert(Dedup.incrementalExact(
+      t, docs(12L -> "epsilon zeta"), "doc_id", "text").count() == 1L)
+  }
+
   test("probe reads and commit writes only the batch's buckets against a large seen-set") {
     val s = spark
     import s.implicits._

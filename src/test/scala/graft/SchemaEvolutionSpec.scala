@@ -99,14 +99,6 @@ class SchemaEvolutionSpec extends SparkSpec {
       StructField("k", StringType), StructField("v", LongType),
       StructField("w", StringType))))
 
-    // a stale writer still on the pre-widening shape must not silently
-    // decide between null-and-overwrite vs keep-old for the column it
-    // does not know about
-    val narrow = intercept[IllegalArgumentException] {
-      t.merge(Seq(("k1", 11L)).toDF("k", "v"), keys = Seq("k"))
-    }
-    assert(narrow.getMessage.contains("drops column `w`"), narrow.getMessage)
-
     val retype = intercept[IllegalArgumentException] {
       t.widenTo(StructType(Seq(
         StructField("k", StringType), StructField("v", IntegerType),
@@ -129,6 +121,51 @@ class SchemaEvolutionSpec extends SparkSpec {
         StructField("k", StringType), StructField("v", LongType))))
     }
     assert(drop.getMessage.contains("drops column `w`"), drop.getMessage)
+  }
+
+  test("a pre-widenTo narrow writer keeps working: known columns update, unknown columns preserve (JDBC-twin contract)") {
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)
+    t.merge(seedFrame(50L), keys = Seq("k"))
+    t.widenTo(StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("w", StringType))))
+    // backfill w for two keys under the widened shape
+    t.merge(Seq(("k1", 1L, "one"), ("k2", 2L, "two")).toDF("k", "v", "w"),
+      keys = Seq("k"))
+
+    // a not-yet-redeployed writer still merges the OLD narrow shape —
+    // JdbcStateTable.widenTo documents the contract: it updates the
+    // columns it knows; columns it doesn't know keep the current row's
+    // value (NOT null-overwritten), null for genuinely new keys
+    t.merge(Seq(("k1", 111L), ("knew", 999L)).toDF("k", "v"), keys = Seq("k"))
+    val cur = t.read().get
+    assert(cur.schema.fieldNames.toSeq == Seq("k", "v", "w"),
+      "a narrow merge must not narrow the recorded schema")
+    val k1 = cur.filter(col("k") === "k1").select("v", "w").collect().head
+    assert(k1.getLong(0) == 111L, "the known column must take the update")
+    assert(k1.getString(1) == "one",
+      "the unknown column must keep the freshly migrated value, not null")
+    val knew = cur.filter(col("k") === "knew").select("v", "w").collect().head
+    assert(knew.getLong(0) == 999L && knew.isNullAt(1))
+    assert(cur.count() == 51L)
+
+    // same contract on the row-level-DML verb (applyDelta upserts)
+    t.applyDelta(
+      upserts = Seq(("k2", 222L)).toDF("k", "v"),
+      deleteKeys = Seq(Tuple1("knew")).toDF("k"), keys = Seq("k"))
+    val after = t.read().get
+    val k2 = after.filter(col("k") === "k2").select("v", "w").collect().head
+    assert(k2.getLong(0) == 222L && k2.getString(1) == "two")
+    assert(after.filter(col("k") === "knew").count() == 0L)
+    assert(after.schema.fieldNames.toSeq == Seq("k", "v", "w"))
+
+    // a narrow update carrying a RETYPE still refuses
+    val retype = intercept[IllegalArgumentException] {
+      t.merge(Seq(("k1", 1)).toDF("k", "v"), keys = Seq("k"))
+    }
+    assert(retype.getMessage.contains("changes column `v`"), retype.getMessage)
   }
 
   test("change feed diffs across a widening boundary with null-column preimages") {
@@ -173,7 +210,7 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(drained.filter(col("change_type") === "delete").count() == 20L)
   }
 
-  test("ParquetStateTable: a widened merge evolves the snapshot; old versions keep their shape; narrowing refuses") {
+  test("ParquetStateTable: a widened merge evolves the snapshot; old versions keep their shape; narrow writers preserve") {
     val dir = tmp()
     val t = new graft.pipeline.ParquetStateTable(spark, s"$dir/state",
       retentionFloorMillis = 0L)
@@ -191,10 +228,18 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(spark.read.parquet(f"$dir/state/v$v1%08d").schema.fieldNames.toSeq ==
       Seq("k", "v"))
 
-    val narrow = intercept[IllegalArgumentException] {
-      t.merge(Seq(("k1", 11L)).toDF("k", "v"), keys = Seq("k"))
+    // a pre-widen narrow writer: known columns update, w preserves
+    // (JDBC-twin contract; full contract spec'd on BucketedStateTable)
+    t.merge(Seq(("k3", 34L)).toDF("k", "v"), keys = Seq("k"))
+    val after = t.read().get
+    assert(after.schema.fieldNames.toSeq == Seq("k", "v", "w"))
+    assert(after.filter(col("k") === "k3").select("v", "w").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1))) == Seq((34L, "three")))
+    // a narrow RETYPE still refuses
+    val retype = intercept[IllegalArgumentException] {
+      t.merge(Seq(("k1", 11)).toDF("k", "v"), keys = Seq("k"))
     }
-    assert(narrow.getMessage.contains("drops column `w`"), narrow.getMessage)
+    assert(retype.getMessage.contains("changes column `v`"), retype.getMessage)
   }
 
   test("JdbcStateTable: widenTo issues ALTER ADD COLUMN and returns a widened handle; the old handle keeps working") {
@@ -238,6 +283,50 @@ class SchemaEvolutionSpec extends SparkSpec {
         StructField("k", StringType), StructField("v", IntegerType))))
     }
     assert(retype.getMessage.contains("changes column `v`"), retype.getMessage)
+  }
+
+  test("JdbcStateTable: widenTo escapes metadata wildcards — a sibling matching the '_' pattern must not suppress the ALTER") {
+    val dir = tmp()
+    val url = s"jdbc:duckdb:$dir/state.db"
+    val cf = new graft.sinks.ConnectionFactory {
+      @transient private lazy val anchor: java.sql.Connection =
+        java.sql.DriverManager.getConnection(url)
+      def apply(): java.sql.Connection = {
+        anchor; java.sql.DriverManager.getConnection(url)
+      }
+    }
+    // decoy: "docXlengths" matches an UNESCAPED JDBC search pattern
+    // "doc_lengths" ('_' = any char) and already carries the new
+    // column — the unescaped metadata probe saw w as "existing",
+    // silently skipped the real table's ALTER, and left the widened
+    // handle disagreeing with the physical table
+    val raw = cf()
+    try raw.createStatement().execute(
+      "CREATE TABLE \"docXlengths\" " +
+        "(\"k\" VARCHAR, \"v\" BIGINT, \"w\" VARCHAR)")
+    finally raw.close()
+
+    val narrowSchema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    val t = new graft.pipeline.JdbcStateTable(spark, "doc_lengths",
+      narrowSchema, Seq("k"), cf, s"$dir/scratch",
+      graft.sinks.SqlDialect.DuckDb)
+    t.ensureTables()
+    t.merge(Seq(("a", 1L)).toDF("k", "v"), keys2 = Seq("k"))
+
+    val wide = t.widenTo(StructType(narrowSchema.fields ++ Seq(
+      StructField("w", StringType, nullable = true))))
+    // if the ALTER was skipped, this upsert (or the read of w) blows up
+    wide.merge(Seq(("a", 10L, "aye")).toDF("k", "v", "w"), keys2 = Seq("k"))
+    assert(wide.read().get.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("a", 10L, "aye")))
+    // and the already-added fast path stays idempotent under escaping
+    // (re-widening to the same shape must not re-issue the ALTER)
+    val again = wide.widenTo(StructType(narrowSchema.fields ++ Seq(
+      StructField("w", StringType, nullable = true))))
+    assert(again.read().get.count() == 1L)
   }
 
   test("SQL: ALTER TABLE ADD COLUMNS widens; INSERT backfills; guards refuse") {

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.pipeline.{BucketedStateTable, HadoopLeaseStore, InMemoryCasStore, WriterLease}
+
+/** The writer-lease CAS seam: with an atomic conditional-write store,
+  * the stale-takeover interleavings the table doc names as the FS
+  * fallback's residual race are FULLY fenced — a usurped holder's
+  * zombie beat fails its CAS and stops, its release cannot delete the
+  * usurper's lease, N waiters judging the same stale value elect
+  * exactly one winner, and a live holder's beat landing between a
+  * waiter's judgment and its break defeats the break. All clock-driven
+  * (injectable), no wall-clock sleeps. */
+class WriterLeaseSpec extends SparkSpec {
+
+  private def protoOver(store: InMemoryCasStore,
+      clock: java.util.concurrent.atomic.AtomicLong) =
+    new WriterLease(store, "spec", staleMillis = 1000L,
+      acquireTimeoutMillis = 60_000L, pollMillis = 1L,
+      clock = () => clock.get())
+
+  test("forced stale takeover: the usurped holder's zombie beat and release cannot clobber the new lease") {
+    val store = new InMemoryCasStore
+    val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+    val lease = protoOver(store, clock)
+
+    val hA = lease.acquire("writerA")
+    assert(new String(store.read().get, "UTF-8").startsWith("writerA\n"))
+
+    // A stalls (no beats); the clock advances past staleness and B
+    // breaks the lease by CAS-replacing exactly the stale value
+    clock.set(2000L)
+    val hB = lease.acquire("writerB")
+    assert(new String(store.read().get, "UTF-8").startsWith("writerB\n"),
+      "B must hold after the stale break")
+
+    // A's zombie heartbeat: its CAS names A's old value — it must fail
+    // and tell A to stop, leaving B's lease byte-identical
+    val bBytes = store.read().get
+    assert(!hA.beat(), "a usurped holder's beat must report the loss")
+    assert(java.util.Arrays.equals(store.read().get, bBytes),
+      "a failed beat must not touch the usurper's lease")
+
+    // A's release: CAS on A's old value — must NOT delete B's lease
+    // (the third-writer window the FS fallback documents)
+    hA.release()
+    assert(store.read().isDefined &&
+      new String(store.read().get, "UTF-8").startsWith("writerB\n"),
+      "an old holder's release must leave the usurper's lease intact")
+
+    // B is unharmed: its beat refreshes, its release frees the slot
+    assert(hB.beat(), "the live holder's beat must keep working")
+    hB.release()
+    assert(store.read().isEmpty, "the rightful release frees the slot")
+  }
+
+  test("N waiters judging the same stale value elect exactly one winner") {
+    val store = new InMemoryCasStore
+    val stale = "crashed\n0\n".getBytes("UTF-8")
+    assert(store.tryCreate(stale))
+    val mine1 = "waiter1\n5000\n".getBytes("UTF-8")
+    val mine2 = "waiter2\n5000\n".getBytes("UTF-8")
+    val wins = Seq(store.takeOver(stale, mine1), store.takeOver(stale, mine2))
+    assert(wins.count(identity) == 1,
+      s"exactly one of two racing breaks may win, got $wins")
+    assert(new String(store.read().get, "UTF-8").startsWith("waiter1\n"),
+      "the first CAS wins; the second must observe the new value and lose")
+  }
+
+  test("a live holder's beat landing between a waiter's stale judgment and its break defeats the break") {
+    val store = new InMemoryCasStore
+    val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+    val lease = protoOver(store, clock)
+    val hA = lease.acquire("writerA")
+    // waiter B reads and judges the value stale...
+    clock.set(2000L)
+    val judged = store.read().get
+    // ...but A's heartbeat lands first (A was slow, not dead)
+    assert(hA.beat())
+    // B's break conditions on the JUDGED value — it must lose
+    assert(!store.takeOver(judged, "writerB\n2000\n".getBytes("UTF-8")),
+      "a break conditioned on a refreshed-away value must fail")
+    assert(new String(store.read().get, "UTF-8").startsWith("writerA\n"))
+    hA.release()
+    assert(store.read().isEmpty)
+  }
+
+  test("acquire honors its timeout against a LIVE (fresh-stamped) holder") {
+    val store = new InMemoryCasStore
+    val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+    val lease = new WriterLease(store, "spec", staleMillis = 1000L,
+      acquireTimeoutMillis = 50L, pollMillis = 1L,
+      clock = () => clock.getAndAdd(10L)) // each observation ticks time
+    assert(store.tryCreate(s"other\n${clock.get()}\n".getBytes("UTF-8")))
+    // keep the foreign stamp fresh relative to the ticking clock by
+    // re-stamping it: the holder is alive, so acquire must time out
+    val err = intercept[IllegalStateException] {
+      val t = new Thread(() => while (true) {
+        val cur = store.read().getOrElse(Array.emptyByteArray)
+        store.replaceIf(cur, s"other\n${clock.get()}\n".getBytes("UTF-8"))
+        Thread.sleep(1)
+      })
+      t.setDaemon(true); t.start()
+      lease.acquire("me")
+    }
+    assert(err.getMessage.contains("held by a concurrent writer"))
+  }
+
+  test("HadoopLeaseStore: the FS fallback keeps the tombstone election and value-conditioned ops") {
+    val dir = Files.createTempDirectory("graft-lease-store").toString
+    val p = new Path(s"$dir/_lease")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new HadoopLeaseStore(fs, p)
+
+    val v0 = "a\n1\n".getBytes("UTF-8")
+    assert(store.tryCreate(v0))
+    assert(!store.tryCreate(v0), "create-if-absent must refuse a second create")
+    assert(java.util.Arrays.equals(store.read().get, v0))
+
+    // conditional ops condition on the VALUE, not on mtime (whose 1s
+    // granularity could alias two same-length leases)
+    val v1 = "b\n2\n".getBytes("UTF-8")
+    assert(!store.replaceIf(v1, v1), "replace of a non-matching value must fail")
+    assert(store.replaceIf(v0, v1))
+    assert(!store.deleteIf(v0), "delete of a non-matching value must fail")
+    assert(fs.exists(p))
+    assert(!store.takeOver(v0, v1), "takeover of a non-matching value must fail")
+    // a matching takeover renames through a unique tombstone and
+    // leaves no residue
+    val v2 = "c\n3\n".getBytes("UTF-8")
+    assert(store.takeOver(v1, v2))
+    assert(java.util.Arrays.equals(store.read().get, v2))
+    assert(fs.listStatus(new Path(dir)).map(_.getPath.getName).toSet == Set("_lease"),
+      "the tombstone must not linger")
+    assert(store.deleteIf(v2))
+    assert(store.read().isEmpty)
+  }
+
+  test("end-to-end: a BucketedStateTable over the CAS store commits and releases cleanly") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-lease-e2e").toString
+    val store = new InMemoryCasStore
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L,
+      leaseStore = Some(store))
+    t.merge(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), keys = Seq("k"))
+    assert(t.read().get.count() == 2L)
+    assert(store.read().isEmpty, "the CAS lease must release after the commit")
+    // no _lease FILE exists — the injected store replaced the FS slot
+    assert(!new java.io.File(s"$dir/state/_lease").exists())
+  }
+}
