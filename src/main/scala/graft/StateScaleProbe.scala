@@ -93,9 +93,14 @@ object StateScaleProbe {
         keepCommits = 10, retentionFloorMillis = 0L)
       t.merge(docs, keys = Seq("doc_id"))
       val c1 = t.commits().last
-      val agg0 = StateOps.aggregateShape(t.readAt(c1).get,
+      // the maintained view EXISTS before pricing starts — collected to
+      // the driver and rebuilt as a local frame (a per-lang aggregate,
+      // a handful of rows) because the timed legs run
+      // dropCachedLeftovers, which would evict a localCheckpoint
+      val shaped = StateOps.aggregateShape(t.readAt(c1).get,
         Seq("lang"), "n_chars")
-        .localCheckpoint(true) // the view EXISTS; pricing starts at the delta
+      val agg0 = spark.createDataFrame(
+        java.util.Arrays.asList(shaped.collect(): _*), shaped.schema)
       val touched = docs.filter(col("doc_id") % lit(nDocs / vol) === 0)
       t.merge(touched.filter(col("doc_id") % 3 =!= 0)
           .withColumn("n_chars", col("n_chars") + 1000L),

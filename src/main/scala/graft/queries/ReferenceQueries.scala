@@ -261,6 +261,33 @@ object ReferenceQueries {
     // rows in never-rewritten buckets read back null-filled under the
     // manifest's recorded schema. The oracle recomputes the final
     // snapshot in SQL. ───────────────────────────────────────────────────
+    // ── U8: change feed ACROSS a splitBuckets boundary — the same
+    // logical history as U5 with an 8 → 16 layout split in the middle
+    // of the diffed range. The split is a pure rewrite (zero net
+    // rows), so the cross-boundary net diff must be IDENTICAL to the
+    // un-split one ([[graft.pipeline.BucketedStateTable.splitBuckets]]
+    // maps post-split buckets to their unique parent) — and the
+    // oracle is u5's snapshot diff verbatim. ────────────────────────────
+    "u8_split_feed" -> ((s, dir) => {
+      val (root, tbl) = QueryScratch.freshDir("u8")
+      val t = new graft.pipeline.BucketedStateTable(s, s"$root/$tbl",
+        keyCols = Seq("doc_id"), numBuckets = 8, keepCommits = 10)
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      t.merge(d.filter(col("doc_id") < 400), keys = Seq("doc_id"))
+      val c1 = t.commits().last
+      t.merge(d.filter(col("doc_id").between(200, 599))
+          .withColumn("n_chars",
+            when(col("doc_id") % 3 === 0, col("n_chars") + 1000L)
+              .otherwise(col("n_chars"))),
+        keys = Seq("doc_id"))
+      val t16 = t.splitBuckets(2)
+      t16.applyDelta(upserts = d.limit(0),
+        deleteKeys = d.filter(col("doc_id") % 5 === 0).select("doc_id"),
+        keys = Seq("doc_id"))
+      t16.changesBetween(c1, t16.commits().last)
+        .orderBy(col("doc_id"), col("change_type"))
+    }),
+
     "u7_schema_evolution" -> ((s, dir) => {
       val (root, tbl) = QueryScratch.freshDir("u7")
       val t = new graft.pipeline.BucketedStateTable(s, s"$root/$tbl",
@@ -710,6 +737,30 @@ object ReferenceQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "u5_change_feed" ->
+      """WITH a AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 400),
+        |c AS (SELECT doc_id,
+        |        CASE WHEN doc_id BETWEEN 200 AND 599 AND doc_id % 3 = 0
+        |             THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |      FROM documents WHERE doc_id < 600 AND doc_id % 5 <> 0)
+        |SELECT * FROM (
+        |  SELECT 'delete' AS change_type, a.doc_id, a.n_chars
+        |  FROM a LEFT JOIN c ON a.doc_id = c.doc_id WHERE c.doc_id IS NULL
+        |  UNION ALL
+        |  SELECT 'insert' AS change_type, c.doc_id, c.n_chars
+        |  FROM c LEFT JOIN a ON a.doc_id = c.doc_id WHERE a.doc_id IS NULL
+        |  UNION ALL
+        |  SELECT 'update_preimage' AS change_type, a.doc_id, a.n_chars
+        |  FROM a JOIN c ON a.doc_id = c.doc_id
+        |  WHERE a.n_chars IS DISTINCT FROM c.n_chars
+        |  UNION ALL
+        |  SELECT 'update_postimage' AS change_type, c.doc_id, c.n_chars
+        |  FROM a JOIN c ON a.doc_id = c.doc_id
+        |  WHERE a.n_chars IS DISTINCT FROM c.n_chars
+        |) ORDER BY doc_id, change_type""".stripMargin,
+
+    // the split is a pure rewrite: the cross-boundary net diff equals
+    // u5's un-split one, so the oracle is the same snapshot diff
+    "u8_split_feed" ->
       """WITH a AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 400),
         |c AS (SELECT doc_id,
         |        CASE WHEN doc_id BETWEEN 200 AND 599 AND doc_id % 3 = 0

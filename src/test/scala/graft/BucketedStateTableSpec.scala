@@ -533,6 +533,45 @@ class BucketedStateTableSpec extends SparkSpec {
         s"read __bucket=$touchedDirs")
   }
 
+  test("splitBuckets chains: a diff across TWO boundaries (4 -> 8 -> 16) maps segment-by-segment") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t4 = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, keepCommits = 20,
+      retentionFloorMillis = 60_000L)
+    t4.merge((1L to 300L).map(i => (s"k$i", i)).toDF("k", "v"), keys = Seq("k"))
+    val c1 = t4.commits().last
+    val snapC1 = t4.read().get.as[(String, Long)].collect().toMap
+    // activity in EVERY constant-layout segment of the range
+    t4.merge(Seq(("k1", -1L)).toDF("k", "v"), keys = Seq("k"))
+    val t8 = t4.splitBuckets(2)
+    t8.merge(Seq(("k2", -2L), ("kmid", 1L)).toDF("k", "v"), keys = Seq("k"))
+    val t16 = t8.splitBuckets(2)
+    t16.applyDelta(upserts = Seq(("k3", -3L)).toDF("k", "v"),
+      deleteKeys = Seq(Tuple1("kmid")).toDF("k"), keys = Seq("k"))
+    val cEnd = t16.commits().last
+    val finalSnap = t16.read().get.as[(String, Long)].collect().toMap
+
+    val feed = t16.changesBetween(c1, cEnd)
+      .as[(String, String, Long)].collect().toSet
+    val ins = (finalSnap.keySet -- snapC1.keySet)
+      .map(k => ("insert", k, finalSnap(k)))
+    val del = (snapC1.keySet -- finalSnap.keySet)
+      .map(k => ("delete", k, snapC1(k)))
+    val upd = (snapC1.keySet & finalSnap.keySet)
+      .filter(k => snapC1(k) != finalSnap(k))
+      .flatMap(k => Seq(("update_preimage", k, snapC1(k)),
+        ("update_postimage", k, finalSnap(k))))
+    assert(feed == (ins ++ del ++ upd),
+      s"two-boundary diff lost parity: extra=${feed -- (ins ++ del ++ upd)} " +
+        s"missing=${(ins ++ del ++ upd) -- feed}")
+    // kmid (inserted between the splits, deleted after the second) is
+    // net-absent; k1/k2/k3 (one update per segment) all surface
+    assert(!feed.exists(_._2 == "kmid"))
+    assert(Seq("k1", "k2", "k3").forall(k => feed.exists(_._2 == k)))
+  }
+
   test("replaceAll swaps the whole contents in one commit; history stays time-travelable") {
     val s = spark
     import s.implicits._
