@@ -730,9 +730,36 @@ private[sources] object GraftStateHistoryReaderFactory
   * [[GraftStateSqlTable]]); DDL (create/drop/alter/rename) stays
   * refused — the table inventory is the directory layout the library
   * writers own. */
-class GraftStateCatalog extends TableCatalog {
+class GraftStateCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var rootPath: String = _
+
+  /** `CALL cat.system.split_buckets(table => 't', factor => 2)` /
+    * `CALL cat.system.rebucket(table => 't', num_buckets => 32)` — the
+    * SQL face of the two layout-maintenance verbs. `split_buckets`
+    * preserves change-feed continuity (consumers keep tailing across
+    * the boundary); `rebucket` is the arbitrary relayout that
+    * truncates feed history by design. Each returns one summary row
+    * (table, old and new bucket counts). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    (ident.namespace().toSeq, ident.name().toLowerCase) match {
+      case (Seq("system"), "split_buckets") =>
+        new GraftStateProcedures.SplitBuckets(rootPath)
+      case (Seq("system"), "rebucket") =>
+        new GraftStateProcedures.Rebucket(rootPath)
+      case _ => throw new IllegalArgumentException(
+        s"catalog $catalogName has no procedure $ident — available: " +
+          "system.split_buckets(table, factor), " +
+          "system.rebucket(table, num_buckets)")
+    }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "split_buckets"),
+        Identifier.of(Array("system"), "rebucket"))
+    else Array.empty
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -845,8 +872,9 @@ class GraftStateCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       s"catalog $catalogName does not support $what: a graft state " +
         "table's layout (keyCols, bucketing) is fixed at creation — " +
-        "evolve by creating a new table and merging, or use the " +
-        "library's rebucket for bucket-count maintenance")
+        "evolve by creating a new table and merging, or use " +
+        s"CALL $catalogName.system.split_buckets / rebucket for " +
+        "bucket-count maintenance")
 
   /** `CREATE TABLE cat.t (k STRING, v BIGINT) TBLPROPERTIES
     * ('keycols'='k')` — full SQL lifecycle for state tables. The merge
@@ -968,4 +996,90 @@ class GraftStateCatalog extends TableCatalog {
   }
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+}
+
+/** The catalog's stored procedures ([[GraftStateCatalog.loadProcedure]])
+  * — layout maintenance as SQL `CALL`s, so an operator never needs a
+  * library handle for the two relayout verbs. Each runs under the full
+  * commit protocol (lock + lease + manifest conflict check) exactly
+  * like the library call it routes to, and returns one summary row via
+  * a [[org.apache.spark.sql.connector.read.LocalScan]]. */
+private[sources] object GraftStateProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  private val resultSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("old_num_buckets", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("new_num_buckets", IntegerType, nullable = false)))
+
+  private def summary(table: String, oldB: Int, newB: Int): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def readSchema(): StructType = resultSchema
+      override def rows(): Array[InternalRow] = Array(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(table),
+            oldB, newB)))
+      override def description(): String = s"relayout summary of $table"
+    }).iterator()
+
+  /** Resolve `table` (a path under the catalog root, '/'-separable for
+    * namespaced tables) to a live writable handle. */
+  private def handleFor(rootPath: String, table: String)
+      : (String, BucketedStateTable, Int) = {
+    val spark = SparkSession.active
+    val dir = table.split("/").filter(_.nonEmpty)
+      .foldLeft(new Path(rootPath))((p, seg) => new Path(p, seg)).toString
+    val layout = BucketedStateTable.snapshotLayout(
+      spark.sessionState.newHadoopConf(), dir)
+      .getOrElse(throw new NoSuchTableException(
+        Identifier.of(Array.empty[String], table)))
+    (dir, BucketedStateTable.fromLayout(spark, dir, layout), layout.numBuckets)
+  }
+
+  sealed abstract class Relayout private[GraftStateProcedures] (
+      procName: String, argName: String,
+      rootPath: String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path under the catalog root").build(),
+      ProcedureParameter.in(argName, IntegerType).build())
+    protected def relayout(t: BucketedStateTable, arg: Int): BucketedStateTable
+    protected def newBuckets(oldB: Int, arg: Int): Int
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val arg = input.getInt(1)
+      val (_, t, oldB) = handleFor(rootPath, table)
+      relayout(t, arg)
+      summary(table, oldB, newBuckets(oldB, arg))
+    }
+  }
+
+  final class SplitBuckets(rootPath: String)
+      extends Relayout("split_buckets", "factor", rootPath) {
+    override def description(): String =
+      "grow the table's layout B -> B*factor preserving change-feed " +
+        "continuity (a full data rewrite under the commit protocol; " +
+        "CDC consumers keep tailing across the boundary)"
+    override protected def relayout(t: BucketedStateTable, arg: Int) =
+      t.splitBuckets(arg)
+    override protected def newBuckets(oldB: Int, arg: Int): Int = oldB * arg
+  }
+
+  final class Rebucket(rootPath: String)
+      extends Relayout("rebucket", "num_buckets", rootPath) {
+    override def description(): String =
+      "re-shard the table into an arbitrary bucket count (a full data " +
+        "rewrite; history truncates and change-feed consumers must " +
+        "reseed — prefer split_buckets on a table with CDC consumers)"
+    override protected def relayout(t: BucketedStateTable, arg: Int) =
+      t.rebucket(arg)
+    override protected def newBuckets(oldB: Int, arg: Int): Int = arg
+  }
 }

@@ -591,4 +591,58 @@ class GraftStateSourceSpec extends SparkSpec {
     def toDF(c1: String, c2: String): org.apache.spark.sql.DataFrame =
       spark.createDataFrame(s).toDF(c1, c2)
   }
+
+  test("SQL: CALL system.split_buckets/rebucket relayout in place; the feed diffs across the SQL split") {
+    val dir = tmp()
+    val t = seeded(dir, "docs", rows = 200L)
+    val c1 = t.commits().last
+    spark.conf.set("spark.sql.catalog.graft_proc",
+      classOf[GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_proc.root", dir)
+    try {
+      // CALL returns one summary row and the relayout is live at once
+      val split = spark.sql(
+        "CALL graft_proc.system.split_buckets(table => 'docs', factor => 2)")
+        .collect()
+      assert(split.map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+        .toSeq == Seq(("docs", 8, 16)))
+      assert(spark.sql("SELECT count(*) FROM graft_proc.docs")
+        .head().getLong(0) == 200L)
+
+      // post-split SQL write, then a cross-boundary library diff: the
+      // SQL-driven split preserves change-feed continuity
+      spark.sql("INSERT INTO graft_proc.docs VALUES ('k3', -3)")
+      val layout = BucketedStateTable.snapshotLayout(
+        spark.sessionState.newHadoopConf(), s"$dir/docs").get
+      assert(layout.numBuckets == 16)
+      val t16 = BucketedStateTable.fromLayout(spark, s"$dir/docs", layout)
+      val feed = t16.changesBetween(c1, t16.commits().last).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(feed == Set(("update_preimage", "k3", 3L),
+        ("update_postimage", "k3", -3L)), feed.toString)
+
+      // the arbitrary relayout verb works too (and, per its contract,
+      // strands the feed — that refusal is spec'd in
+      // BucketedStateTableSpec)
+      val re = spark.sql(
+        "CALL graft_proc.system.rebucket(table => 'docs', num_buckets => 4)")
+        .collect()
+      assert(re.map(r => (r.getInt(1), r.getInt(2))).toSeq == Seq((16, 4)))
+      assert(spark.sql("SELECT count(*) FROM graft_proc.docs")
+        .head().getLong(0) == 200L)
+
+      // unknown procedures refuse (Spark wraps as FAILED_TO_LOAD_ROUTINE;
+      // the catalog's inventory message rides the cause chain)
+      val bad = intercept[Exception] {
+        spark.sql("CALL graft_proc.system.nope(table => 'docs')").collect()
+      }
+      val msgs = Iterator.iterate(bad: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("nope"), msgs)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_proc")
+      spark.conf.unset("spark.sql.catalog.graft_proc.root")
+    }
+  }
 }
