@@ -175,10 +175,45 @@ object StateScaleProbe {
     val dml1 = dmlLeg("x1", 1)
     val dmlN = dmlLeg(s"x$copies", copies)
 
+    // ── leg 3: splitBuckets at table scale ────────────────────────────
+    // The split is a full rewrite (priced here, honestly linear in
+    // table size) — the CLAIM under test is what follows: a
+    // cross-boundary diff of one small post-split change stays
+    // bucket-pruned (reads one parent + its children, never the
+    // table), so CDC consumers pay change-volume cost through a
+    // relayout of ANY size.
+    def splitLeg(tag: String, nCopies: Int): String = {
+      val dataDir = s"$scratch/corpus_$tag" // reuses dmlLeg's corpus
+      val d = Tables.documents(spark, dataDir)
+        .select(col("doc_id"), col("n_chars"))
+      val root = s"$scratch/split_$tag"
+      val t = new BucketedStateTable(spark, root,
+        keyCols = Seq("doc_id"), numBuckets = 64,
+        keepCommits = 10, retentionFloorMillis = 0L)
+      t.merge(d, keys = Seq("doc_id"))
+      val rows = t.read().get.count()
+      val preSplit = t.commits().last
+      val (t2, splitSec, splitSnap) = timed { t.splitBuckets(2) }
+      t2.merge(d.filter(col("doc_id").between(150, 165))
+        .withColumn("n_chars", col("n_chars") + 1L), keys = Seq("doc_id"))
+      val (nDiff, diffSec, diffSnap) = timed {
+        val diff = t2.changesBetween(preSplit, t2.commits().last)
+        diff.write.format("noop").mode("overwrite").save()
+        diff.count()
+      }
+      s""""$tag":{"table_rows":$rows,"split_sec":${num(splitSec)},""" +
+        s""""split_resources":${splitSnap.json},""" +
+        s""""cross_diff_rows":$nDiff,"cross_diff_sec":${num(diffSec)},""" +
+        s""""cross_diff_resources":${diffSnap.json}}"""
+    }
+    val split1 = splitLeg("x1", 1)
+    val splitN = splitLeg(s"x$copies", copies)
+
     val json =
       s"""{"base_sf_dir":"$sfDir","vol_factor":$volFactor,"copies":$copies,""" +
         s""""note":"leg cdc_volume: FIXED corpus ($nDocs docs, 64 buckets), change volume grows - prices changesBetween rewritten-bucket reads and maintainSumCount group-delta shuffle by CHANGED rows; leg sql_dml: fixed 16-key MERGE/UPDATE/DELETE vs a table grown by divergent copies (256 buckets) - manifest pointer diff counts the rewritten buckets",""" +
-        s""""cdc_volume":{$cdc1,$cdcN},"sql_dml":{$dml1,$dmlN}}"""
+        s""""cdc_volume":{$cdc1,$cdcN},"sql_dml":{$dml1,$dmlN},""" +
+        s""""split_at_scale":{$split1,$splitN}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("SCALE_PROBE_CDC_VOL.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -118,8 +118,15 @@ object StateOps {
       val target = org.apache.spark.sql.types.StructType(
         state.schema.fields ++ extra.map(_.copy(nullable = true)))
       val cur = alignForWidening(state, target, what)
-      val preserved = updates.join(
-        cur.select((keys ++ missing.map(_.name)).map(col): _*), keys, "left")
+      // NULL-SAFE key match (<=>), consistent with mergeByKey's window
+      // (null keys group together): a legitimately-null-keyed row must
+      // preserve its widened columns exactly like any other
+      val curVals = cur.select(
+        (keys.map(c => col(c).as(s"__pres_$c")) ++
+          missing.map(f => col(f.name))).toIndexedSeq: _*)
+      val preserved = updates.join(curVals,
+          keys.map(c => col(c) <=> col(s"__pres_$c")).reduce(_ && _), "left")
+        .drop(keys.map("__pres_" + _): _*)
       (cur, alignForWidening(preserved, target, what))
     }
   }

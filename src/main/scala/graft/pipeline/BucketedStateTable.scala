@@ -431,9 +431,10 @@ class BucketedStateTable(
     * snapshots [[readAt]] can still resolve ([[prune]] keeps
     * `keepCommits` manifests plus whatever the retention floor
     * shields). Exception: right after a [[rebucket]], PRE-rebucket ids
-    * may linger inside the retention floor but refuse [[readAt]] (the
-    * layout check) — audit loops should skip ids below the rebucket
-    * commit or catch the refusal. */
+    * may linger inside the retention floor but refuse [[readAt]] —
+    * audit loops should skip ids below the rebucket commit or catch
+    * the refusal. (Pre-[[splitBuckets]] ids resolve normally: a split
+    * chain keeps history readable.) */
   def commits(): Seq[Long] = manifestFiles().map(_._1)
 
   /** Time-travel read: the whole table AS OF `commitId`, resolved from
@@ -442,8 +443,41 @@ class BucketedStateTable(
     * Throws if the commit has been pruned; `None` for a commit that
     * published an empty table. */
   def readAt(commitId: Long): Option[DataFrame] = {
-    val m = manifestAt(commitId)
+    val m = manifestForDiff(commitId)
+    // time travel works ACROSS a splitBuckets chain (the old manifest's
+    // pointers still resolve their data dirs — the layout only governs
+    // where MUTATIONS hash); an arbitrary rebucket still truncates
+    // history by design, matching the SQL VERSION AS OF face
+    if (m.manifestNumBuckets != numBuckets)
+      require(layoutChains(m, currentCommitIdOrZero(), numBuckets),
+        s"commit $commitId at $path predates a rebucket " +
+          s"(${m.manifestNumBuckets} -> $numBuckets buckets, not a " +
+          "splitBuckets chain) — history truncates at an arbitrary " +
+          "relayout; re-snapshot from a post-rebucket commit")
     readFrom(m, m.buckets.keys.toSeq)
+  }
+
+  private def currentCommitIdOrZero(): Long =
+    manifestFiles().lastOption.map(_._1).getOrElse(0L)
+
+  /** The splitBuckets manifests in `(fromId, toId]`, oldest first. */
+  private def splitsIn(fromId: Long, toId: Long): Seq[Manifest] =
+    manifestFiles()
+      .filter { case (id, _) => id > fromId && id <= toId }
+      .map { case (_, p) => readManifest(p, checkLayout = false) }
+      .filter(_.splitFactor.isDefined)
+      .sortBy(_.commitId)
+
+  /** True iff `mOld`'s layout multiplies into `toBuckets` through the
+    * recorded split factors between it and `toId`. */
+  private def layoutChains(mOld: Manifest, toId: Long, toBuckets: Int): Boolean = {
+    val chained = splitsIn(mOld.commitId, toId)
+      .foldLeft(Option(mOld.manifestNumBuckets)) {
+        case (Some(l), s) if s.splitFactor.exists(f => s.manifestNumBuckets == l * f) =>
+          Some(s.manifestNumBuckets)
+        case _ => None
+      }
+    chained.contains(toBuckets)
   }
 
   private def manifestAt(commitId: Long): Manifest = {
@@ -480,17 +514,9 @@ class BucketedStateTable(
     * recorded factors) refuses with the reseed recipe — that path
     * truncates feed history by design. */
   private def changedAcrossSplits(mFrom: Manifest, mTo: Manifest): Seq[Int] = {
-    val splits = manifestFiles()
-      .filter { case (id, _) => id > mFrom.commitId && id <= mTo.commitId }
-      .map { case (_, p) => readManifest(p, checkLayout = false) }
-      .filter(_.splitFactor.isDefined)
-      .sortBy(_.commitId)
-    val chained = splits.foldLeft(Option(mFrom.manifestNumBuckets)) {
-      case (Some(l), s) if s.manifestNumBuckets == l * s.splitFactor.get =>
-        Some(s.manifestNumBuckets)
-      case _ => None
-    }
-    if (splits.isEmpty || !chained.contains(mTo.manifestNumBuckets))
+    val splits = splitsIn(mFrom.commitId, mTo.commitId)
+    if (splits.isEmpty ||
+        !layoutChains(mFrom, mTo.commitId, mTo.manifestNumBuckets))
       throw new IllegalStateException(
         s"changesBetween(${mFrom.commitId}, ${mTo.commitId}) at $path " +
           s"crosses a layout change (${mFrom.manifestNumBuckets} -> " +

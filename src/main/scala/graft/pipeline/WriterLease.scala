@@ -224,7 +224,16 @@ final class WriterLease(
       val mine = content(holder)
       if (store.tryCreate(mine)) return new Handle(holder, mine)
       store.read() match {
-        case None => () // just freed — retry the create immediately
+        case None =>
+          // just freed — retry the create immediately, but still honor
+          // the deadline: a store whose create persistently fails while
+          // reads see nothing (permissions, a dead backend) must not
+          // hot-loop forever
+          if (clock() > deadline)
+            throw new IllegalStateException(
+              s"writer lease for $what: create-if-absent kept failing " +
+                s"against an EMPTY slot past ${acquireTimeoutMillis}ms — " +
+                "check store permissions/health")
         case Some(cur) =>
           val stale = stampOf(cur).forall(clock() - _ > staleMillis)
           if (stale) {

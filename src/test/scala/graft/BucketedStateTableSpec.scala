@@ -484,6 +484,9 @@ class BucketedStateTableSpec extends SparkSpec {
     // the stale handle refuses, same contract as rebucket
     intercept[IllegalArgumentException] { t.read() }
     assert(t8.read().get.count() == 401L)
+    // time travel works ACROSS the split (old pointers still resolve;
+    // only an arbitrary rebucket truncates history)
+    assert(t8.readAt(c1).get.count() == 400L)
     // a range spanning ONLY the split is a pure rewrite: zero net rows
     assert(t8.changesBetween(preSplit, t8.commits().last).count() == 0L)
 

@@ -166,6 +166,18 @@ class SchemaEvolutionSpec extends SparkSpec {
       t.merge(Seq(("k1", 1)).toDF("k", "v"), keys = Seq("k"))
     }
     assert(retype.getMessage.contains("changes column `v`"), retype.getMessage)
+
+    // null-keyed rows preserve too: mergeByKey groups null keys
+    // together, so the preserve lookup is null-safe to match
+    t.merge(Seq((null.asInstanceOf[String], 7L, "nullw")).toDF("k", "v", "w"),
+      keys = Seq("k"))
+    t.merge(Seq((null.asInstanceOf[String], 8L)).toDF("k", "v"),
+      keys = Seq("k"))
+    val nk = t.read().get.filter(col("k").isNull)
+      .select("v", "w").collect()
+    assert(nk.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((8L, "nullw")),
+      "a null-keyed narrow update must keep the widened column")
   }
 
   test("change feed diffs across a widening boundary with null-column preimages") {
