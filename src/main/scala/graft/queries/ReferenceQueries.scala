@@ -25,7 +25,6 @@ object ReferenceQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
-
   def queries: Map[String, Q] = Map(
     // ── A2/A3 aggregate showcase (TPC-H Q1 shape) ─────────────────────────
     "q1_pricing_summary" -> ((s, dir) => {

@@ -1031,7 +1031,14 @@ private[sources] object GraftStateProcedures {
   private def handleFor(rootPath: String, table: String)
       : (String, BucketedStateTable, Int) = {
     val spark = SparkSession.active
-    val dir = table.split("/").filter(_.nonEmpty)
+    val segs = table.split("/").filter(_.nonEmpty)
+    // the argument names a table UNDER the catalog root — a '..'
+    // segment would walk out of it and relayout an arbitrary
+    // directory that happens to hold a commit log
+    require(segs.nonEmpty && segs.forall(s => s != ".." && s != "."),
+      s"procedure table argument must be a path under the catalog " +
+        s"root (got '$table')")
+    val dir = segs
       .foldLeft(new Path(rootPath))((p, seg) => new Path(p, seg)).toString
     val layout = BucketedStateTable.snapshotLayout(
       spark.sessionState.newHadoopConf(), dir)
