@@ -749,16 +749,20 @@ class GraftStateCatalog extends TableCatalog
         new GraftStateProcedures.SplitBuckets(rootPath)
       case (Seq("system"), "rebucket") =>
         new GraftStateProcedures.Rebucket(rootPath)
+      case (Seq("system"), "export") =>
+        new GraftStateProcedures.Export(rootPath)
       case _ => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure $ident — available: " +
           "system.split_buckets(table, factor), " +
-          "system.rebucket(table, num_buckets)")
+          "system.rebucket(table, num_buckets), " +
+          "system.export(table, path)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "split_buckets"),
-        Identifier.of(Array("system"), "rebucket"))
+        Identifier.of(Array("system"), "rebucket"),
+        Identifier.of(Array("system"), "export"))
     else Array.empty
 
   override def initialize(name: String,
@@ -1088,5 +1092,51 @@ private[sources] object GraftStateProcedures {
     override protected def relayout(t: BucketedStateTable, arg: Int) =
       t.rebucket(arg)
     override protected def newBuckets(oldB: Int, arg: Int): Int = arg
+  }
+
+  /** `CALL cat.system.export(table => 't', path => '/out')` — the SQL
+    * face of [[BucketedStateTable.exportTo]], the migration bridge out
+    * of the bespoke commit log into a production format's import path
+    * (write parquet, then `CONVERT TO DELTA` / Iceberg `add_files` on
+    * a deployment that has those on the classpath). One consistent
+    * snapshot regardless of concurrent writers; returns
+    * (table, path, rows_exported). */
+  final class Export(rootPath: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "export"
+    override def description(): String =
+      "export the current snapshot as plain parquet at the given path " +
+        "(the CONVERT TO DELTA / add_files migration bridge)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path under the catalog root").build(),
+      ProcedureParameter.in("path", StringType)
+        .comment("output directory for the parquet snapshot").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val out = input.getUTF8String(1).toString
+      val (_, t, _) = handleFor(rootPath, table)
+      // NOT named `rows`: inside the anonymous LocalScan below that
+      // identifier resolves to the scan's own rows() method and the
+      // summary row would recurse itself into a stack overflow
+      val exported = t.exportTo(out)
+      val schema = StructType(Seq(
+        org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("path", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("rows_exported",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(table),
+              org.apache.spark.unsafe.types.UTF8String.fromString(out),
+              exported)))
+        override def description(): String = s"export summary of $table"
+      }).iterator()
+    }
   }
 }

@@ -640,9 +640,51 @@ class GraftStateSourceSpec extends SparkSpec {
         .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
         .mkString(" | ")
       assert(msgs.contains("nope"), msgs)
+
+      // a traversal attempt in the table argument refuses up front
+      val esc = intercept[Exception] {
+        spark.sql("CALL graft_proc.system.rebucket(" +
+          "table => '../outside', num_buckets => 2)").collect()
+      }
+      val escMsgs = Iterator.iterate(esc: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(escMsgs.contains("under the catalog root"), escMsgs)
+
+      // export: the migration bridge as a CALL — one consistent
+      // parquet snapshot plus a (table, path, rows) summary row
+      val out = s"$dir/exported"
+      val exp = spark.sql(
+        s"CALL graft_proc.system.export(table => 'docs', path => '$out')")
+        .collect()
+      assert(exp.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+        Seq(("docs", 200L)))
+      assert(spark.read.parquet(out).count() == 200L)
     } finally {
       spark.conf.unset("spark.sql.catalog.graft_proc")
       spark.conf.unset("spark.sql.catalog.graft_proc.root")
     }
+  }
+
+  test("splitBuckets on an EMPTY (drained) table publishes the layout change; the feed spans it") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, keepCommits = 10,
+      retentionFloorMillis = 0L)
+    t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+    val c1 = t.commits().last
+    // drain, then split while empty
+    t.applyDelta(upserts = Seq.empty[(String, Long)].toDF("k", "v"),
+      deleteKeys = Seq(Tuple1("a")).toDF("k"), keys = Seq("k"))
+    val t8 = t.splitBuckets(2)
+    assert(t8.read().get.count() == 0L,
+      "a drained table reads as zero rows after the split")
+    // refill under the new layout; the cross-boundary diff nets out
+    t8.merge(Seq(("b", 2L)).toDF("k", "v"), keys = Seq("k"))
+    val feed = t8.changesBetween(c1, t8.commits().last).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed == Set(("delete", "a", 1L), ("insert", "b", 2L)), feed)
   }
 }
