@@ -34,8 +34,12 @@ import graft.operators.StateOps
   * ~6 GB), so a merge's write amplification is bounded by
   * `dirtyBuckets * bucketSize` and a single bucket rewrite is one
   * healthy task-set. The bucket count is fixed at table creation (it
-  * defines the layout); re-bucketing is a full rewrite, as with any
-  * hash-bucketed table.
+  * defines the layout); growing it is a full rewrite, as with any
+  * hash-bucketed table — but a table that outgrows its layout has two
+  * verbs: [[splitBuckets]] (B → B·factor) records the parent→children
+  * mapping so the change feed, time travel, and CDC replicas keep
+  * working ACROSS the boundary, while [[rebucket]] (arbitrary count)
+  * truncates history by design.
   *
   * Concurrency: writers to the same path serialize on a JVM-wide
   * per-path lock (in-process) and on a create-if-absent FILESYSTEM
@@ -50,21 +54,22 @@ import graft.operators.StateOps
   * object stores with conditional-put, but only best-effort on the
   * local filesystem.
   *
-  * RESIDUAL RACE (documented best-effort): the heartbeat's fenced beat
-  * and the fenced release are both read-then-write — between
-  * `leaseHolderOnDisk()` and the `writeLeaseFile(overwrite = true)`
-  * (or the conditional delete in the release), a waiter's stale-break
-  * takeover can still be clobbered, or have its fresh lease deleted.
-  * The fencing NARROWS the window (a beat period / one release) but
-  * cannot close it without a filesystem compare-and-swap; on a store
-  * with conditional-put (S3 If-Match, etcd-style CAS) embed the holder
-  * token in a conditional write to close it fully. CORRECTNESS never
-  * rests on the lease: even with two live writers, the manifest
-  * `basedOn` conflict check in [[writeManifest]] makes the loser's
-  * publish fail — the lease only converts retry storms into waiting.
-  * A transactional format (Delta/Iceberg) is the production answer
-  * where available; this lease gives plain parquet the same
-  * single-writer discipline.
+  * The lease protocol lives in [[WriterLease]] over a pluggable
+  * conditional-write [[LeaseStore]]: inject a real value-CAS
+  * (`leaseStore =` an [[InMemoryCasStore]]-shaped adapter — S3
+  * If-Match, GCS generation preconditions, etcd) and every transition
+  * (stale-break takeover, heartbeat, release) is FULLY fenced — the
+  * interleavings the contention spec forces clock-driven in
+  * `WriterLeaseSpec`. The default [[HadoopLeaseStore]] keeps the
+  * best-effort windows a plain filesystem allows (its conditional
+  * replace/delete are read-compare-write; `tryCreate` and the
+  * tombstone-rename election are its strongest primitives).
+  * CORRECTNESS never rests on the lease either way: even with two
+  * live writers, the manifest `basedOn` conflict check in
+  * [[writeManifest]] makes the loser's publish fail — the lease only
+  * converts retry storms into waiting. A transactional format
+  * (Delta/Iceberg) is the production answer where available; this
+  * lease gives plain parquet the same single-writer discipline.
   */
 class BucketedStateTable(
     spark: SparkSession,

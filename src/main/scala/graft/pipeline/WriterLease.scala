@@ -3,8 +3,8 @@ package graft.pipeline
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Conditional-write primitive behind the writer lease — the seam that
-  * closes the stale-takeover race where the backing store can
-  * ([[BucketedStateTable]]'s class doc, "RESIDUAL RACE"). Every
+  * closes the stale-takeover race where the backing store can (the
+  * read-then-write windows a plain filesystem forces). Every
   * mutation is conditioned on the lease's CURRENT VALUE (value-CAS,
   * no etag bookkeeping): a holder's heartbeat can only refresh the
   * exact lease it last wrote, a waiter's stale break can only replace
