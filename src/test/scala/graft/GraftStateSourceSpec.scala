@@ -651,6 +651,12 @@ class GraftStateSourceSpec extends SparkSpec {
         .mkString(" | ")
       assert(escMsgs.contains("under the catalog root"), escMsgs)
 
+      // SHOW PROCEDURES surfaces the inventory (listProcedures)
+      val shown = spark.sql("SHOW PROCEDURES IN graft_proc.system")
+        .collect().map(_.mkString("|")).mkString(";")
+      assert(shown.contains("split_buckets") && shown.contains("rebucket") &&
+        shown.contains("export"), shown)
+
       // export: the migration bridge as a CALL — one consistent
       // parquet snapshot plus a (table, path, rows) summary row
       val out = s"$dir/exported"
