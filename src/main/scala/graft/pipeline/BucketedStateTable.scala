@@ -571,6 +571,15 @@ class BucketedStateTable(
     * changed-bucket rows, and the classification is one codegen'd
     * projection (no per-leg re-read of the join).
     *
+    * The range may cross one or more [[splitBuckets]] boundaries: the
+    * recorded split mapping decomposes it into constant-layout
+    * segments whose pointer diffs map up parent→children
+    * ([[changedAcrossSplits]]), so pruning — and every consumer
+    * tailing the feed — survives a relayout; the split itself is a
+    * pure rewrite and contributes zero net rows. Only an arbitrary
+    * [[rebucket]] in the range refuses (with the snapshot-reseed
+    * recipe), because that path truncates history by design.
+    *
     * SQL access rides a view:
     * `t.changesBetween(3, 7).createOrReplaceTempView("t_changes")`. */
   def changesBetween(fromCommit: Long, toCommit: Long): DataFrame = {
