@@ -684,10 +684,28 @@ class BucketedStateTable(
   override def readOrEmpty(like: DataFrame): DataFrame =
     read().getOrElse(like.limit(0))
 
-  /** The listed buckets' current rows (empty-shaped like `like` when
-    * none exist) — the only state a bucket-pruned mutation reads. */
+  /** The listed buckets' current rows — the only state a bucket-pruned
+    * mutation reads. When the buckets hold no data, the empty frame is
+    * shaped from the manifest's RECORDED schema, not from `like`: a
+    * post-[[widenTo]] narrow writer whose dirty buckets are all empty
+    * would otherwise present a narrow "current" to the merge alignment,
+    * and the commit would record the narrow schema — silently dropping
+    * the freshly widened column from every subsequent read (the exact
+    * null-overwrite the narrow-writer contract exists to prevent).
+    * `like` only shapes the result for a never-committed table (no
+    * manifest) or a pre-schema-line manifest. */
   private def readBucketsOrEmpty(buckets: Seq[Int], like: DataFrame): DataFrame =
-    currentManifest().flatMap(readFrom(_, buckets)).getOrElse(like.limit(0))
+    currentManifest() match {
+      case None => like.limit(0)
+      case Some(m) =>
+        readFrom(m, buckets).getOrElse {
+          m.schemaJson
+            .map(j => spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              schemaOf(j)))
+            .getOrElse(like.limit(0))
+        }
+    }
 
   /** Current rows of ONLY the buckets that `probe`'s bucket-column
     * values hash into — the state slice an incremental anti-join or

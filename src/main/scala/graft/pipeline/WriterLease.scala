@@ -31,6 +31,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * per write (holder UUID + stamp), so value-CAS is as strong as
   * version-CAS here. */
 trait LeaseStore {
+  // Error contract, shared by every method: a boolean `false` (or a
+  // `None`) means the CONDITION genuinely failed — the value exists /
+  // mismatches / is absent — never that the store was unreachable. A
+  // transient store failure must surface as `java.io.IOException`
+  // instead, so the protocol can retry it: a heartbeat that read
+  // "usurped" from a network blip would stop beating permanently, a
+  // long commit would then look stale, and a waiter would break the
+  // lease MID-WRITE — the exact double-writer interleaving the lease
+  // exists to prevent.
+
   /** Create-if-absent. True iff this call created the value. */
   def tryCreate(content: Array[Byte]): Boolean
   /** Current value, if any. */
@@ -60,7 +70,22 @@ final class HadoopLeaseStore(fs: FileSystem, path: Path) extends LeaseStore {
       val out = fs.create(path, false)
       try out.write(content) finally out.close()
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      // the existence signal, NOT a transient error (HDFS and the local
+      // FS both raise it from create-if-absent)
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException =>
+        // an exotic FS may signal existence with a plain IOException —
+        // probe: a present file still answers false; anything else is a
+        // transient store failure and must propagate per the trait
+        // contract (a partially-written slot from a failed create parses
+        // as holderless/stampless and is broken as stale by the next
+        // waiter)
+        val exists =
+          try fs.exists(path)
+          catch { case _: java.io.IOException => throw e }
+        if (exists) false else throw e
+    }
 
   override def read(): Option[Array[Byte]] =
     try {
@@ -72,15 +97,20 @@ final class HadoopLeaseStore(fs: FileSystem, path: Path) extends LeaseStore {
         while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
         Some(buf.toByteArray)
       } finally in.close()
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // absent is the only IOException that MEANS "no value"; a
+      // transient failure propagates so a heartbeat doesn't read it as
+      // "usurped" and stop beating
+      case _: java.io.FileNotFoundException => None
+    }
 
   override def replaceIf(expect: Array[Byte], next: Array[Byte]): Boolean =
     read().exists(java.util.Arrays.equals(_, expect)) && {
-      try {
-        val out = fs.create(path, true)
-        try out.write(next) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      // create failures here are transient (the path exists and matched
+      // a moment ago) — propagate per the trait contract
+      val out = fs.create(path, true)
+      try out.write(next) finally out.close()
+      true
     }
 
   override def takeOver(expect: Array[Byte], next: Array[Byte]): Boolean =
@@ -88,24 +118,21 @@ final class HadoopLeaseStore(fs: FileSystem, path: Path) extends LeaseStore {
       // rename to a unique tombstone: of N waiters that all judged the
       // same stale value, exactly one rename wins and frees the slot —
       // delete-then-create would let two waiters both delete (the
-      // second deleting the NEW holder's fresh lease) and both acquire
+      // second deleting the NEW holder's fresh lease) and both acquire.
+      // A FALSE rename is the lost election; an IOException is a store
+      // failure and propagates.
       val tomb = new Path(path.getParent,
         s"${path.getName}.broken.${java.util.UUID.randomUUID()}")
-      val won =
-        try fs.rename(path, tomb)
-        catch { case _: java.io.IOException => false }
-      if (won) {
+      if (fs.rename(path, tomb)) {
         try fs.delete(tomb, false)
-        catch { case _: java.io.IOException => () }
+        catch { case _: java.io.IOException => () } // residue is harmless
         tryCreate(next)
       } else false
     }
 
   override def deleteIf(expect: Array[Byte]): Boolean =
-    read().exists(java.util.Arrays.equals(_, expect)) && {
-      try fs.delete(path, false)
-      catch { case _: java.io.IOException => false }
-    }
+    read().exists(java.util.Arrays.equals(_, expect)) &&
+      fs.delete(path, false)
 }
 
 /** Atomic value-CAS lease slot — the semantics a conditional-put
@@ -166,12 +193,17 @@ final class WriterLease(
   final class Handle private[WriterLease] (val holder: String,
       @volatile private var current: Array[Byte]) {
 
-    /** One heartbeat refresh. Returns false when the lease was lost
-      * (usurped after a stale judgment) — the holder must stop
-      * beating; its in-flight commit still ends at the manifest
-      * conflict check. A missing value (mid-break window) may be
-      * recreated at most once per observation — the documented
-      * at-most-once recreate, aged out by the next waiter. */
+    /** One heartbeat refresh. Returns false ONLY when the lease was
+      * genuinely lost (usurped after a stale judgment) — the holder
+      * must stop beating; its in-flight commit still ends at the
+      * manifest conflict check. A transient store failure propagates
+      * as IOException instead (the [[LeaseStore]] error contract), so
+      * the heartbeat loop's existing catch retries on the next beat —
+      * one network blip must not permanently silence a live holder's
+      * heartbeat and invite a mid-write stale break. A missing value
+      * (mid-break window) may be recreated at most once per
+      * observation — the documented at-most-once recreate, aged out by
+      * the next waiter. */
     def beat(): Boolean = {
       val next = content(holder)
       if (store.replaceIf(current, next)) { current = next; true }
@@ -222,39 +254,55 @@ final class WriterLease(
     val deadline = clock() + acquireTimeoutMillis
     while (true) {
       val mine = content(holder)
-      if (store.tryCreate(mine)) return new Handle(holder, mine)
-      store.read() match {
-        case None =>
-          // just freed — retry the create immediately, but still honor
-          // the deadline: a store whose create persistently fails while
-          // reads see nothing (permissions, a dead backend) must not
-          // hot-loop forever
+      try {
+        if (store.tryCreate(mine)) return new Handle(holder, mine)
+        store.read() match {
+          case None =>
+            // just freed — but sleep before the re-create all the same:
+            // a store whose create persistently fails while reads see
+            // nothing (permissions, a dead backend) must neither
+            // busy-spin the CPU nor hammer the store, and must still
+            // honor the deadline
+            if (clock() > deadline)
+              throw new IllegalStateException(
+                s"writer lease for $what: create-if-absent kept failing " +
+                  s"against an EMPTY slot past ${acquireTimeoutMillis}ms — " +
+                  "check store permissions/health")
+            else Thread.sleep(pollMillis)
+          case Some(cur) =>
+            val stale = stampOf(cur).forall(clock() - _ > staleMillis)
+            if (stale) {
+              // break by replacing EXACTLY the stale value observed: of
+              // N waiters that judged the same value, one CAS wins; with
+              // a fresh beat landing in between, everyone's CAS fails
+              // and the holder is (correctly) treated as live again. A
+              // failed break sleeps and still honors the deadline — a
+              // pathological store that churns the value forever must
+              // not hot-loop
+              if (store.takeOver(cur, mine)) return new Handle(holder, mine)
+              else if (clock() > deadline)
+                throw new IllegalStateException(
+                  s"writer lease for $what: stale-break lost its CAS " +
+                    s"repeatedly past ${acquireTimeoutMillis}ms — a " +
+                    "live writer churn or a store that never matches")
+              else Thread.sleep(pollMillis)
+            } else if (clock() > deadline) {
+              throw new IllegalStateException(
+                s"writer lease for $what held by a concurrent writer for " +
+                  s"longer than ${acquireTimeoutMillis}ms — raise the " +
+                  "timeout, or check for a wedged (not crashed) holder")
+            } else Thread.sleep(pollMillis)
+        }
+      } catch {
+        // transient store failure (the LeaseStore error contract):
+        // retry after a poll — the slot's true state is unknown, so
+        // neither arm above applies — but never past the deadline
+        case e: java.io.IOException =>
           if (clock() > deadline)
             throw new IllegalStateException(
-              s"writer lease for $what: create-if-absent kept failing " +
-                s"against an EMPTY slot past ${acquireTimeoutMillis}ms — " +
-                "check store permissions/health")
-        case Some(cur) =>
-          val stale = stampOf(cur).forall(clock() - _ > staleMillis)
-          if (stale) {
-            // break by replacing EXACTLY the stale value observed: of
-            // N waiters that judged the same value, one CAS wins; with
-            // a fresh beat landing in between, everyone's CAS fails
-            // and the holder is (correctly) treated as live again. A
-            // failed break still honors the deadline — a pathological
-            // store that churns the value forever must not hot-loop
-            if (store.takeOver(cur, mine)) return new Handle(holder, mine)
-            else if (clock() > deadline)
-              throw new IllegalStateException(
-                s"writer lease for $what: stale-break lost its CAS " +
-                  s"repeatedly past ${acquireTimeoutMillis}ms — a " +
-                  "live writer churn or a store that never matches")
-          } else if (clock() > deadline) {
-            throw new IllegalStateException(
-              s"writer lease for $what held by a concurrent writer for " +
-                s"longer than ${acquireTimeoutMillis}ms — raise the " +
-                "timeout, or check for a wedged (not crashed) holder")
-          } else Thread.sleep(pollMillis)
+              s"writer lease for $what: the lease store kept failing " +
+                s"past ${acquireTimeoutMillis}ms", e)
+          else Thread.sleep(pollMillis)
       }
     }
     sys.error("unreachable: the acquire loop exits only by return or throw")

@@ -180,6 +180,49 @@ class SchemaEvolutionSpec extends SparkSpec {
       "a null-keyed narrow update must keep the widened column")
   }
 
+  test("a narrow merge whose dirty buckets are ALL empty must not narrow the recorded schema") {
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 64, retentionFloorMillis = 0L)
+    // one wide row -> exactly one populated bucket; w carries real data
+    t.merge(Seq(("k1", 1L, "one")).toDF("k", "v", "w"), keys = Seq("k"))
+
+    // candidate keys hashed the way the table buckets them, one job
+    val buckets = (2 to 200).map(i => s"k$i").toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(64L)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val b1 = buckets.getOrElse("k1",
+      Seq(("k1", 0)).toDF("k", "z").select(
+        pmod(xxhash64(col("k")), lit(64L)).cast("int")).collect().head.getInt(0))
+    val elsewhere = buckets.collect {
+      case (k, b) if b != b1 => k }.toSeq.sorted
+
+    // a pre-widen NARROW writer whose dirty bucket holds NO data: the
+    // empty "current" must take the MANIFEST's recorded wide shape, or
+    // the commit records the narrow schema and w vanishes from every
+    // subsequent read (the regression the advisor named)
+    t.merge(Seq((elsewhere.head, 2L)).toDF("k", "v"), keys = Seq("k"))
+    val cur = t.read().get
+    assert(cur.schema.fieldNames.toSeq == Seq("k", "v", "w"),
+      "an all-empty-bucket narrow merge must not narrow the recorded schema")
+    assert(cur.filter(col("k") === "k1").select("w").collect()
+      .head.getString(0) == "one",
+      "the widened column's data must survive the narrow merge")
+    assert(cur.filter(col("k") === elsewhere.head).select("w")
+      .collect().head.isNullAt(0))
+
+    // same hole on the row-level-DML verb: narrow upsert + a delete of
+    // a key in another empty bucket
+    t.applyDelta(
+      upserts = Seq((elsewhere(1), 3L)).toDF("k", "v"),
+      deleteKeys = Seq(Tuple1(elsewhere(2))).toDF("k"), keys = Seq("k"))
+    val after = t.read().get
+    assert(after.schema.fieldNames.toSeq == Seq("k", "v", "w"),
+      "an all-empty-bucket narrow applyDelta must not narrow the schema")
+    assert(after.filter(col("k") === "k1").select("w").collect()
+      .head.getString(0) == "one")
+  }
+
   test("change feed diffs across a widening boundary with null-column preimages") {
     val dir = tmp()
     val t = new BucketedStateTable(spark, s"$dir/state",

@@ -114,6 +114,60 @@ class WriterLeaseSpec extends SparkSpec {
       err.getMessage)
   }
 
+  test("a transient store failure propagates as IOException — beat() retries instead of reading it as usurpation") {
+    // wraps the atomic store; every op throws ONCE per arm() call —
+    // the network-blip shape the LeaseStore error contract names
+    class FlakyStore(inner: InMemoryCasStore) extends graft.pipeline.LeaseStore {
+      @volatile var failNext = false
+      private def blip(): Unit =
+        if (failNext) { failNext = false; throw new java.io.IOException("blip") }
+      def tryCreate(c: Array[Byte]) = { blip(); inner.tryCreate(c) }
+      def read() = { blip(); inner.read() }
+      def replaceIf(e: Array[Byte], n: Array[Byte]) = { blip(); inner.replaceIf(e, n) }
+      def takeOver(e: Array[Byte], n: Array[Byte]) = { blip(); inner.takeOver(e, n) }
+      def deleteIf(e: Array[Byte]) = { blip(); inner.deleteIf(e) }
+    }
+    val store = new FlakyStore(new InMemoryCasStore)
+    val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+    val lease = new WriterLease(store, "spec", staleMillis = 1000L,
+      acquireTimeoutMillis = 60_000L, pollMillis = 1L,
+      clock = () => clock.getAndAdd(1L))
+    val h = lease.acquire("writerA")
+
+    // one blip: beat() must PROPAGATE (the heartbeat loop's catch
+    // retries next period) — never return false, which would stop the
+    // heartbeat for good and invite a mid-write stale break
+    store.failNext = true
+    intercept[java.io.IOException] { h.beat() }
+    assert(h.beat(), "the next beat after a blip must refresh normally")
+    val held = new String(store.read().get, "UTF-8")
+    assert(held.startsWith("writerA\n"), held)
+    h.release()
+    assert(store.read().isEmpty)
+
+    // acquire() rides THROUGH a blip (retry after a poll) instead of
+    // surfacing it or busy-spinning
+    store.failNext = true
+    val h2 = lease.acquire("writerB")
+    assert(new String(store.read().get, "UTF-8").startsWith("writerB\n"))
+    h2.release()
+  }
+
+  test("HadoopLeaseStore: a genuinely absent value still reads as None; create-if-absent still refuses on presence") {
+    // the IO-contract change must not reclassify the NORMAL conditional
+    // outcomes: missing file -> None (not an exception), present file
+    // -> tryCreate false (FileAlreadyExists is the existence signal)
+    val dir = Files.createTempDirectory("graft-lease-io").toString
+    val p = new Path(s"$dir/_lease")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new HadoopLeaseStore(fs, p)
+    assert(store.read().isEmpty, "missing lease must read as None")
+    assert(!store.deleteIf("x".getBytes("UTF-8")))
+    assert(store.tryCreate("a\n1\n".getBytes("UTF-8")))
+    assert(!store.tryCreate("b\n2\n".getBytes("UTF-8")),
+      "existence must answer false, not throw")
+  }
+
   test("HadoopLeaseStore: the FS fallback keeps the tombstone election and value-conditioned ops") {
     val dir = Files.createTempDirectory("graft-lease-store").toString
     val p = new Path(s"$dir/_lease")
