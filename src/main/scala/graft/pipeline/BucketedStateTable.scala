@@ -102,9 +102,13 @@ class BucketedStateTable(
     if (bucketCols.isEmpty) keyCols else bucketCols
 
   /** What one commit touched — the spec's evidence that mutations are
-    * bucket-pruned. */
+    * bucket-pruned. `rebases` counts how many times the publish was
+    * rebased onto a concurrent-but-bucket-disjoint commit (0 on the
+    * uncontended path): the spec's evidence that disjoint writers land
+    * without retry-from-scratch. */
   case class CommitStats(
-      commitId: Long, bucketsRead: Seq[Int], bucketsWritten: Seq[Int])
+      commitId: Long, bucketsRead: Seq[Int], bucketsWritten: Seq[Int],
+      rebases: Int = 0)
 
   @volatile private var last: Option[CommitStats] = None
   /** Stats of the most recent commit through this instance. */
@@ -300,7 +304,11 @@ class BucketedStateTable(
     * the competing commit, which is consistent) and fail loudly for the
     * caller to retry. Detection, not prevention: the window shrinks to
     * the rename itself; full prevention needs a filesystem lease or a
-    * transactional table format. */
+    * transactional table format. [[commit]] layers LOGICAL conflict
+    * resolution on top: a withdrawn data commit whose dirty-bucket set
+    * is disjoint from every intervening commit's rewritten set rebases
+    * onto the new head and republishes instead of failing — only true
+    * overlaps (and layout/schema changes) reach the caller. */
   private def writeManifest(m: Manifest, basedOn: Long,
       forNumBuckets: Int = numBuckets): Unit = {
     fs.mkdirs(commitsDir)
@@ -337,8 +345,14 @@ class BucketedStateTable(
           "is now newest — a concurrent writer committed first; retry the mutation")
     }
     val dest = new Path(commitsDir, f"c${m.commitId}%08d.txt")
-    if (!fs.rename(tmp, dest))
-      throw new IllegalStateException(s"commit ${m.commitId} lost a publish race at $dest")
+    if (!fs.rename(tmp, dest)) {
+      // a concurrent writer published the SAME id first — a race like
+      // any other: surface it as one so the caller's rebase/retry
+      // protocol applies uniformly
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"commit ${m.commitId} lost a publish race at $dest; retry the mutation")
+    }
     val intervening = manifestFiles().map(_._1)
       .filter(id => id > basedOn && id < m.commitId)
     if (intervening.nonEmpty) {
@@ -695,16 +709,28 @@ class BucketedStateTable(
     * `like` only shapes the result for a never-committed table (no
     * manifest) or a pre-schema-line manifest. */
   private def readBucketsOrEmpty(buckets: Seq[Int], like: DataFrame): DataFrame =
+    readBucketsWithBase(buckets, like)._1
+
+  /** [[readBucketsOrEmpty]] plus the manifest the read RESOLVED — the
+    * mutation's plan-time base. [[commit]] conditions its publish on
+    * exactly this manifest, so the conflict check covers the whole
+    * mutation window (plan → publish), not just the publish itself: a
+    * foreign commit landing anywhere inside it is either rebased over
+    * (bucket-disjoint) or withdrawn from (overlapping), never silently
+    * overwritten with rows merged against its predecessor's content. */
+  private def readBucketsWithBase(buckets: Seq[Int],
+      like: DataFrame): (DataFrame, Option[Manifest]) =
     currentManifest() match {
-      case None => like.limit(0)
+      case None => (like.limit(0), None)
       case Some(m) =>
-        readFrom(m, buckets).getOrElse {
+        val df = readFrom(m, buckets).getOrElse {
           m.schemaJson
             .map(j => spark.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               schemaOf(j)))
             .getOrElse(like.limit(0))
         }
+        (df, Some(m))
     }
 
   /** Current rows of ONLY the buckets that `probe`'s bucket-column
@@ -734,11 +760,35 @@ class BucketedStateTable(
     * commit can land in. */
   private[graft] var beforePublish: () => Unit = () => ()
 
+  /** How many times a raced publish may rebase onto a disjoint head
+    * before giving up — a liveness bound against pathological churn,
+    * far above anything a sane writer population produces. */
+  private val maxRebases = 5
+
   /** Write `rows` as the new contents of exactly the `dirty` buckets and
     * publish. Buckets in `dirty` that end up with zero rows drop out of
     * the manifest (partitioned writes materialize no empty directories —
-    * the listing after the write is the truth). */
-  private def commit(rows: DataFrame, dirty: Seq[Int]): CommitStats = {
+    * the listing after the write is the truth).
+    *
+    * `planBase` is the manifest the mutation READ its current-bucket
+    * rows from (None for a creating write or a read-less full rewrite,
+    * which conditions on the manifest observed here). The publish is
+    * fenced on it; on a detected race the commit resolves LOGICALLY
+    * instead of always failing: if every intervening commit's
+    * rewritten-bucket set (manifest pointer diff — free, no data read)
+    * is disjoint from our `dirty` set, and neither the layout nor the
+    * recorded schema moved, the already-written data directory is
+    * simply republished under a manifest based on the new head —
+    * disjoint writers both land, no retry-from-scratch of the data
+    * write. A true overlap (or a layout/schema change, or a never-
+    * committed base) still withdraws with
+    * `ConcurrentModificationException` for the caller to retry — the
+    * rows it merged are stale against the interleaved rewrite of the
+    * same bucket. The reference's two pipeline stages write disjoint
+    * tables concurrently by design (`ReportingManager.java:93-95`);
+    * this is the bucket-granular version of the same guarantee. */
+  private def commit(rows: DataFrame, dirty: Seq[Int],
+      planBase: Option[Manifest] = None): CommitStats = {
     val next = nextCommitId()
     val out = new Path(dataDir, f"c$next%08d")
     // one task per dirty bucket: the write's file count tracks the dirty
@@ -769,21 +819,66 @@ class BucketedStateTable(
         s"outside the dirty set ${dirty.sorted.mkString(",")} at $path — " +
         "the updates DataFrame is non-deterministic; materialize it " +
         "(cache/checkpoint) before mutating state")
-    val base = currentManifest()
-    val basedOn = base.map(_.commitId).getOrElse(0L)
+    // the base the publish is conditioned on: the manifest the mutation
+    // read its rows against when it has one; otherwise whatever is
+    // current here (a creating write, or replaceAll's deliberate
+    // full-overwrite semantics)
+    var base = planBase.orElse(currentManifest())
     beforePublish()
-    if (basedOn >= next)
-      // a concurrent process consumed our id space after we planned the
-      // commit; our data dir is an orphan (pruned later) — fail for retry
-      throw new java.util.ConcurrentModificationException(
-        s"planned commit $next but manifest $basedOn is already newer; retry")
-    val prev = base.map(_.buckets).getOrElse(Map.empty)
-    writeManifest(Manifest(next, prev -- dirty ++ written.map(_ -> next),
-      Some(rows.schema.json)), basedOn)
-    prune()
-    val stats = CommitStats(next, dirty, written)
-    last = Some(stats)
-    stats
+    var rebases = 0
+    while (true) {
+      val basedOn = base.map(_.commitId).getOrElse(0L)
+      // the manifest id must order after the base even when an
+      // intervening commit consumed our planned id space; the DATA dir
+      // keeps its own id (`next`) — manifest pointers name data dirs,
+      // the two namespaces need not agree
+      val manifestId = math.max(next, basedOn + 1)
+      val prev = base.map(_.buckets).getOrElse(Map.empty)
+      try {
+        writeManifest(Manifest(manifestId,
+          prev -- dirty ++ written.map(_ -> next),
+          Some(rows.schema.json)), basedOn)
+        prune()
+        val stats = CommitStats(manifestId, dirty, written, rebases)
+        last = Some(stats)
+        return stats
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // tolerant read: the head may record a different layout (a
+          // raced split/rebucket) — that must surface as an ineligible
+          // rebase, not an assertion from inside this catch
+          val head = manifestFiles().lastOption
+            .map { case (_, p) => readManifest(p, checkLayout = false) }
+          head.filter(_.manifestNumBuckets != numBuckets).foreach { h =>
+            throw new java.util.ConcurrentModificationException(
+              s"commit raced a layout change at $path ($numBuckets -> " +
+                s"${h.manifestNumBuckets} buckets) — this handle is stale; " +
+                "reopen the table at the recorded layout (BucketedStateTable" +
+                ".snapshotLayout + fromLayout) and retry the mutation")
+          }
+          val dirtySet = dirty.toSet
+          val eligible = rebases < maxRebases && head.exists { h =>
+            // same recorded schema (a raced widenTo must not be
+            // silently narrowed back by our republish)...
+            h.schemaJson == base.flatMap(_.schemaJson) &&
+            // ...and the intervening commits' rewritten buckets —
+            // pointer diff base -> head, covering adds, rewrites, and
+            // drops — never touch our dirty set. `base` advances on
+            // every rebase, so each round checks only the NEWLY
+            // intervened commits.
+            {
+              val prevB = base.map(_.buckets).getOrElse(Map.empty[Int, Long])
+              (h.buckets.keySet ++ prevB.keySet)
+                .filter(b => h.buckets.get(b) != prevB.get(b))
+                .forall(!dirtySet.contains(_))
+            }
+          }
+          if (!eligible) throw e
+          rebases += 1
+          base = head
+      }
+    }
+    sys.error("unreachable: the publish loop exits only by return or throw")
   }
 
   /** Drop data dirs no surviving manifest references and manifests
@@ -867,9 +962,9 @@ class BucketedStateTable(
         // schema), and post-widenTo narrow writers preserve the
         // columns they don't know (see alignPair). Renames/type
         // changes are refused inside alignTo.
-        val (cur, up) = alignPair(
-          readBucketsOrEmpty(dirty, like = updates), updates, keys, "merge")
-        commit(StateOps.mergeByKey(cur, up, keys, versionCols), dirty)
+        val (cur0, base) = readBucketsWithBase(dirty, like = updates)
+        val (cur, up) = alignPair(cur0, updates, keys, "merge")
+        commit(StateOps.mergeByKey(cur, up, keys, versionCols), dirty, base)
       }
     } }
   }
@@ -937,11 +1032,10 @@ class BucketedStateTable(
         // and drifts in either direction the same way (see alignPair) —
         // wider upserts widen the commit, narrower (pre-widenTo writer)
         // upserts preserve the columns they don't know
-        val (cur, up) = alignPair(
-          readBucketsOrEmpty(dirty, like = upserts), upserts, keys,
-          "applyDelta")
+        val (cur0, base) = readBucketsWithBase(dirty, like = upserts)
+        val (cur, up) = alignPair(cur0, upserts, keys, "applyDelta")
         val kept = cur.join(deleteKeys, keys, "left_anti")
-        commit(StateOps.mergeByKey(kept, up, keys), dirty)
+        commit(StateOps.mergeByKey(kept, up, keys), dirty, base)
       }
     } }
   }
@@ -951,10 +1045,10 @@ class BucketedStateTable(
       val dirty = dirtyBucketsOf(processed)
       if (dirty.isEmpty) 0L
       else {
-        val cur = readBucketsOrEmpty(dirty, like = processed)
+        val (cur, base) = readBucketsWithBase(dirty, like = processed)
         val res = StateOps.deleteIfUnmodified(cur, processed)
         val notRemoved = res.notRemoved.count()
-        commit(res.newState, dirty)
+        commit(res.newState, dirty, base)
         notRemoved
       }
     } }
@@ -1002,10 +1096,10 @@ class BucketedStateTable(
           .filter(col(tsCol) <= cutoff && col(seqCol) =!= lit(maxSeq))
           .select(bucketOf.as("b")).distinct().as[Int].collect().toSeq.sorted
         if (dirty.nonEmpty) {
-          val cur = readBucketsOrEmpty(dirty, like = df)
+          val (cur, base) = readBucketsWithBase(dirty, like = df)
           commit(
             cur.filter(col(tsCol) > cutoff || col(seqCol) === lit(maxSeq)),
-            dirty)
+            dirty, base)
         }
       }
     } }
@@ -1196,6 +1290,11 @@ class BucketedStateTable(
             .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
             .sorted
       }
+      // same publish-window seam as commit(): a relayout must detect a
+      // commit landing between its snapshot rewrite and its manifest
+      // publish — the rewrite is stale against it and must WITHDRAW
+      // (never rebase: a layout change conflicts with everything)
+      beforePublish()
       writeManifest(Manifest(next, written.map(_ -> next).toMap,
           snapshot.map(_.schema.json).orElse(cur.flatMap(_.schemaJson)),
           splitFactor = Some(factor),

@@ -291,7 +291,20 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(drainFeed.collect().toSet == Set(("delete", "x", 1L)))
   }
 
-  test("cross-process race: a commit landing in the publish window is detected, never silently lost") {
+  /** Keys of `df`'s column `k`, grouped by the bucket they hash into
+    * under `nBuckets` — how the contention specs pick key sets with
+    * KNOWN disjoint (or overlapping) bucket footprints. */
+  private def keysByBucket(keys: Seq[String], nBuckets: Int): Map[Int, Seq[String]] = {
+    val s = spark
+    import s.implicits._
+    keys.toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(nBuckets.toLong))
+        .cast("int").as("b"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      .groupBy(_._2).map { case (b, ks) => b -> ks.map(_._1) }
+  }
+
+  test("cross-process race, OVERLAPPING buckets: the raced commit is withdrawn, never silently lost") {
     val s = spark
     import s.implicits._
     val dir = tmp()
@@ -299,28 +312,162 @@ class BucketedStateTableSpec extends SparkSpec {
       keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
     t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
 
-    // simulate a SECOND PROCESS committing between our data write and
-    // manifest publish: copy the newest manifest under the next id
+    // a SECOND PROCESS (own lease scope — the manifest check must not
+    // depend on the lease) commits to the SAME key, hence the same
+    // bucket, inside our publish window
+    val t2 = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L,
+      leaseStore = Some(new InMemoryCasStore))
     t.beforePublish = () => {
-      val commits = new java.io.File(s"$dir/state/_commits")
-      val latest = commits.listFiles().filter(_.getName.endsWith(".txt"))
-        .maxBy(_.getName)
-      val id = latest.getName.stripPrefix("c").stripSuffix(".txt").toLong
-      val body = new String(Files.readAllBytes(latest.toPath), "UTF-8")
-        .replaceFirst("commit=\\d+", s"commit=${id + 2}")
-      Files.write(new java.io.File(commits, f"c${id + 2}%08d.txt").toPath,
-        body.getBytes("UTF-8"))
       t.beforePublish = () => () // fire once
+      t2.merge(Seq(("a", 999L)).toDF("k", "v"), keys = Seq("k"))
     }
     val ex = intercept[java.util.ConcurrentModificationException] {
-      t.merge(Seq(("b", 2L)).toDF("k", "v"), keys = Seq("k"))
+      t.merge(Seq(("a", 2L)).toDF("k", "v"), keys = Seq("k"))
     }
     assert(ex.getMessage.contains("retry"))
-    // the competing commit's state is intact; ours was withdrawn/aborted
-    assert(t.read().get.as[(String, Long)].collect().toSet == Set(("a", 1L)))
+    // the competing commit's state is intact; ours was withdrawn — our
+    // rows were merged against the bucket content ITS rewrite replaced
+    assert(t.read().get.as[(String, Long)].collect().toSet == Set(("a", 999L)))
     // and the failed mutation can simply be retried
-    t.merge(Seq(("b", 2L)).toDF("k", "v"), keys = Seq("k"))
-    assert(t.read().get.count() == 2L)
+    t.merge(Seq(("a", 2L)).toDF("k", "v"), keys = Seq("k"))
+    assert(t.read().get.as[(String, Long)].collect().toSet == Set(("a", 2L)))
+    assert(t.lastCommit.get.rebases == 0, "a clean retry is not a rebase")
+  }
+
+  test("cross-process race, DISJOINT buckets: the raced commit rebases onto the new head and BOTH land") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 60_000L,
+      keepCommits = 10)
+    // two key pools with provably disjoint bucket footprints
+    val pools = keysByBucket((1 to 64).map(i => s"k$i"), 8)
+    val bOurs = pools.keys.min
+    val bTheirs = pools.keys.max
+    assert(bOurs != bTheirs)
+    val ourKey = pools(bOurs).head
+    val theirKey = pools(bTheirs).head
+
+    t.merge(Seq((s"seed-$ourKey", 0L)).toDF("k", "v"), keys = Seq("k"))
+    val seedCommit = t.commits().last
+
+    val t2 = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 60_000L,
+      keepCommits = 10, leaseStore = Some(new InMemoryCasStore))
+    t.beforePublish = () => {
+      t.beforePublish = () => ()
+      t2.merge(Seq((theirKey, 99L)).toDF("k", "v"), keys = Seq("k"))
+    }
+    // our merge touches a bucket the foreign commit did NOT rewrite:
+    // it must land WITHOUT an exception and WITHOUT redoing the data
+    // write — the already-written directory republishes under a
+    // manifest based on the new head
+    t.merge(Seq((ourKey, 2L)).toDF("k", "v"), keys = Seq("k"))
+    val stats = t.lastCommit.get
+    assert(stats.rebases == 1, s"expected one rebase, got $stats")
+
+    // NOTHING was lost: both racing commits' rows are in the snapshot
+    assert(t.read().get.as[(String, Long)].collect().toSet ==
+      Set((s"seed-$ourKey", 0L), (theirKey, 99L), (ourKey, 2L)))
+
+    // the rebased manifest is a consistent lineage point: the feed
+    // from the seed shows BOTH inserts, and from the foreign commit
+    // only ours
+    val foreignCommit = t.commits().dropRight(1).last
+    assert(t.changesBetween(seedCommit, stats.commitId)
+      .as[(String, String, Long)].collect().toSet ==
+      Set(("insert", theirKey, 99L), ("insert", ourKey, 2L)))
+    assert(t.changesBetween(foreignCommit, stats.commitId)
+      .as[(String, String, Long)].collect().toSet ==
+      Set(("insert", ourKey, 2L)))
+
+    // manifest ids stay strictly ordered and time travel resolves the
+    // rebased commit exactly
+    assert(t.commits() == t.commits().sorted)
+    assert(t.readAt(stats.commitId).get.count() == 3L)
+    assert(t.readAt(foreignCommit).get.as[(String, Long)].collect().toSet ==
+      Set((s"seed-$ourKey", 0L), (theirKey, 99L)))
+  }
+
+  test("relayout race: a merge racing a splitBuckets withdraws; its retry lands on the NEW layout; the feed stays exact") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L,
+      keepCommits = 10)
+    t.merge(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), keys = Seq("k"))
+    val seedCommit = t.commits().last
+
+    // ordering 1: the SPLIT lands inside the merge's publish window —
+    // the merge must refuse to rebase (a layout change conflicts with
+    // everything) and point at the reopen-at-recorded-layout recipe
+    val t2 = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L,
+      keepCommits = 10, leaseStore = Some(new InMemoryCasStore))
+    t.beforePublish = () => {
+      t.beforePublish = () => ()
+      t2.splitBuckets(2) // 4 -> 8 buckets
+    }
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.merge(Seq(("c", 3L)).toDF("k", "v"), keys = Seq("k"))
+    }
+    assert(ex.getMessage.contains("layout change"), ex.getMessage)
+
+    // the loser reopens at the RECORDED layout and its retry lands
+    val conf = spark.sparkContext.hadoopConfiguration
+    val layout = BucketedStateTable.snapshotLayout(conf, s"$dir/state").get
+    assert(layout.numBuckets == 8)
+    val t8 = BucketedStateTable.fromLayout(spark, s"$dir/state", layout)
+    t8.merge(Seq(("c", 3L)).toDF("k", "v"), keys = Seq("k"))
+    assert(t8.read().get.as[(String, Long)].collect().toSet ==
+      Set(("a", 1L), ("b", 2L), ("c", 3L)))
+    // the feed crosses the interleaved split exactly: one net insert
+    assert(t8.changesBetween(seedCommit, t8.commits().last)
+      .as[(String, String, Long)].collect().toSet ==
+      Set(("insert", "c", 3L)))
+  }
+
+  test("relayout race: a commit landing inside splitBuckets' publish window withdraws the SPLIT; its retry sees the merge") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L,
+      keepCommits = 10)
+    t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+    val seedCommit = t.commits().last
+
+    // ordering 2: a merge lands between the split's snapshot rewrite
+    // and its manifest publish — the split's rewrite is STALE (it does
+    // not contain z) and must withdraw rather than publish a layout
+    // that silently drops the merge
+    val t2 = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L,
+      keepCommits = 10, leaseStore = Some(new InMemoryCasStore))
+    t.beforePublish = () => {
+      t.beforePublish = () => ()
+      t2.merge(Seq(("z", 5L)).toDF("k", "v"), keys = Seq("k"))
+    }
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.splitBuckets(2)
+    }
+    assert(ex.getMessage.contains("retry"), ex.getMessage)
+
+    // the table is intact at the OLD layout, merge included; the same
+    // handle retries the split and the new layout holds everything
+    assert(t.read().get.as[(String, Long)].collect().toSet ==
+      Set(("a", 1L), ("z", 5L)))
+    val t8 = t.splitBuckets(2)
+    assert(t8.read().get.as[(String, Long)].collect().toSet ==
+      Set(("a", 1L), ("z", 5L)))
+    // the feed across (seed -> merge -> failed split -> split) nets to
+    // exactly the merge; the splits contribute zero rows
+    assert(t8.changesBetween(seedCommit, t8.commits().last)
+      .as[(String, String, Long)].collect().toSet ==
+      Set(("insert", "z", 5L)))
   }
 
   test("writer lease: a second writer WAITS for the lease instead of failing, then proceeds") {
