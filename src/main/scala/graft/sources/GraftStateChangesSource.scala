@@ -57,6 +57,16 @@ import graft.pipeline.BucketedStateTable
   * `mergeOnceForBatch`) — offsets-in-checkpoint plus deterministic
   * ranges give the standard Structured Streaming replay story.
   *
+  * Admission control: `option("maxCommitsPerTrigger", m)` bounds every
+  * micro-batch to at most `m` source commits, so a consumer recovering
+  * from long downtime drains its backlog in ⌈backlog/m⌉ batches instead
+  * of taking the whole range as ONE unbounded batch (net-diff keeps
+  * that smaller than replay, but nothing bounded it before). Counted in
+  * COMMITS, not ids — ids are sparse after withdrawn publishes. The cap
+  * rides the source's own persisted "admitted floor" (see the field
+  * doc), so it keeps binding across restarts; a crash inside the window
+  * can at most double one batch. Unset = the old jump-to-latest.
+  *
   * Schema evolution: a WIDENING commit
   * ([[graft.pipeline.BucketedStateTable.widenTo]] / a widened merge)
   * landing mid-stream flows under the stream's PINNED shape — a V1
@@ -143,9 +153,16 @@ class GraftStateChangesProvider extends StreamSourceProvider
         try out.write(s"$resolved\n".getBytes("UTF-8")) finally out.close()
         resolved
       }
+    val maxCommits = parameters.get("maxCommitsPerTrigger").map { v =>
+      val m = v.toInt
+      require(m > 0, s"maxCommitsPerTrigger must be positive, got $m")
+      m
+    }
     new GraftStateChangesSource(spark, path, base, feedSchema(rowSchema),
       initialSnapshot =
-        parameters.get("initialSnapshot").exists(_.toBoolean))
+        parameters.get("initialSnapshot").exists(_.toBoolean),
+      maxCommitsPerTrigger = maxCommits,
+      metadataPath = Some(metadataPath))
   }
 }
 
@@ -154,7 +171,9 @@ private[sources] class GraftStateChangesSource(
     path: String,
     base: Long,
     override val schema: StructType,
-    initialSnapshot: Boolean = false) extends Source {
+    initialSnapshot: Boolean = false,
+    maxCommitsPerTrigger: Option[Int] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   private def conf = spark.sessionState.newHadoopConf()
 
@@ -165,10 +184,69 @@ private[sources] class GraftStateChangesSource(
       s"graft-state-changes: unexpected offset type $other")
   }
 
+  // ── admission control (maxCommitsPerTrigger) ───────────────────────
+  // The cap needs the consumer's POSITION, which a V1 getOffset is not
+  // handed — so the source keeps its own "admitted floor": the highest
+  // batch end it has seen EXECUTE (getBatch ratchets it; a tiny file
+  // under the stream's own metadata dir persists it, like
+  // FileStreamSource's seen-files log). On restart the floor equals the
+  // last executed batch's end — a pending-batch replay rewrites the
+  // same value before the next getOffset runs — so a recovering
+  // consumer drains a long backlog in ⌈backlog/max⌉ bounded batches
+  // instead of one unbounded one. Crash-window caveat: a ceiling
+  // admitted but never executed is forgotten, so the post-crash first
+  // batch can span up to 2× the cap — bounded either way. The floor
+  // only ratchets FORWARD; offsets never move backward.
+
+  private def floorFile = metadataPath.map(p =>
+    new Path(p, "graft-changes-admitted"))
+
+  @volatile private var admittedFloor: Option[Long] = None
+
+  private def readFloor(): Long = admittedFloor.getOrElse {
+    val v = floorFile.flatMap { f =>
+      val fs = f.getFileSystem(conf)
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toLong)
+        finally in.close()
+      }
+    }.getOrElse(base)
+    admittedFloor = Some(v)
+    v
+  }
+
+  private def ratchetFloor(to: Long): Unit =
+    if (maxCommitsPerTrigger.isDefined && to > readFloor()) {
+      admittedFloor = Some(to)
+      floorFile.foreach { f =>
+        val fs = f.getFileSystem(conf)
+        val tmp = new Path(f.getParent, s".${f.getName}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(s"$to\n".getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, f)) { // rename-over-existing: delete first
+          fs.delete(f, false)
+          fs.rename(tmp, f)
+        }
+      }
+    }
+
   override def getOffset: Option[Offset] = {
     val commits = BucketedStateTable.snapshotCommits(conf, path)
     val latest = if (commits.isEmpty) base else math.max(base, commits.max)
-    Some(LongOffset(latest))
+    maxCommitsPerTrigger match {
+      case None => Some(LongOffset(latest))
+      case Some(m) =>
+        // admit the next m RETAINED commits above the floor — counted
+        // as commits, not id arithmetic (ids can be sparse after
+        // withdrawn publishes and orphan data dirs)
+        val floor = readFloor()
+        val pending = commits.filter(_ > floor)
+        val end = if (pending.isEmpty) floor else pending.take(m).last
+        Some(LongOffset(math.max(end, floor)))
+    }
   }
 
   // the handle is read-only here: layout params beyond keyCols are
@@ -203,6 +281,10 @@ private[sources] class GraftStateChangesSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(toLong).getOrElse(base)
     val to = toLong(end)
+    // the engine has logged `end` — it IS the consumer's next position;
+    // ratchet the admission floor so the next getOffset caps above it
+    // (a replayed batch rewrites the same value, monotone either way)
+    ratchetFloor(to)
     // batch 0 under `initialSnapshot`: the base commit's FULL snapshot
     // as `insert` rows (the replica bootstrap, Delta-CDF's
     // startingVersion pattern) ahead of any pending diff — replays are

@@ -82,6 +82,86 @@ class GraftStateChangesSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxCommitsPerTrigger drains a long backlog in bounded batches with exactly-once snapshot parity") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val t = new BucketedStateTable(spark, s"$root/state",
+      keyCols = Seq("k"), numBuckets = 4, keepCommits = 30,
+      retentionFloorMillis = 60_000L)
+    t.merge(Seq(("base", 0L)).toDF("k", "v"), keys = Seq("k"))
+    val c1 = t.commits().last
+    // a 6-commit backlog accumulated while the consumer was down —
+    // including an update and a delete so per-segment NET semantics are
+    // visible, not just inserts
+    (1 to 4).foreach(i =>
+      t.merge(Seq((s"k$i", i.toLong)).toDF("k", "v"), keys = Seq("k")))
+    t.merge(Seq(("k1", 11L)).toDF("k", "v"), keys = Seq("k"))
+    t.applyDelta(upserts = Seq.empty[(String, Long)].toDF("k", "v"),
+      deleteKeys = Seq(Tuple1("k2")).toDF("k"), keys = Seq("k"))
+    val backlog = t.commits().filter(_ > c1)
+    assert(backlog.size == 6)
+
+    val batches = TrieMap.empty[Long, Seq[Change]]
+    def startQ() = spark.readStream.format("graft-state-changes")
+      .option("startingCommit", c1)
+      .option("maxCommitsPerTrigger", "2")
+      .load(s"$root/state")
+      .writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, df.as[Change].collect().toSeq)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+
+    val q = startQ()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.keySet == Set(0L, 1L, 2L),
+      s"a 6-commit backlog under cap 2 must drain in 3 batches, got ${batches.keySet}")
+
+    // each batch is exactly the net diff of its 2-commit segment, and
+    // ends exactly at the 2nd/4th/6th backlog commit
+    val ends = Seq(backlog(1), backlog(3), backlog(5))
+    val starts = c1 +: ends.dropRight(1)
+    starts.zip(ends).zipWithIndex.foreach { case ((st, en), i) =>
+      val expect = t.changesBetween(st, en)
+        .as[(String, String, Long)].collect().toSet
+        .map((x: (String, String, Long)) => (x._1, x._2, x._3, en))
+      assert(batches(i.toLong).toSet == expect, s"batch $i range ($st,$en]")
+    }
+
+    // exactly-once parity: applying the capped batches IN ORDER over
+    // the base snapshot reproduces the table snapshot a single
+    // uncapped batch would have
+    val replica = scala.collection.mutable.Map.empty[String, Long]
+    replica ++= t.readAt(c1).get.as[(String, Long)].collect()
+    def apply(ch: Seq[Change]): Unit = ch.foreach {
+      case ("insert", k, v, _) => replica(k) = v
+      case ("update_postimage", k, v, _) => replica(k) = v
+      case ("delete", k, _, _) => replica.remove(k); ()
+      case _ => () // preimages carry no apply action
+    }
+    batches.keys.toSeq.sorted.foreach(id => apply(batches(id)))
+    assert(replica.toMap ==
+      t.read().get.as[(String, Long)].collect().toMap)
+
+    // a checkpoint restart with fresh backlog: the cap still binds (the
+    // admitted floor persisted under the stream metadata keeps the
+    // recovery batch bounded too)
+    batches.clear()
+    (7 to 9).foreach(i =>
+      t.merge(Seq((s"k$i", i.toLong)).toDF("k", "v"), keys = Seq("k")))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.keySet == Set(3L, 4L),
+      s"3 new commits under cap 2 must drain in 2 batches, got ${batches.keySet}")
+    batches.keys.toSeq.sorted.foreach(id => apply(batches(id)))
+    assert(replica.toMap ==
+      t.read().get.as[(String, Long)].collect().toMap)
+  }
+
   test("batch-0 replay after restart diffs from the PERSISTED base, not today's latest") {
     val s = spark
     import s.implicits._
