@@ -487,12 +487,18 @@ class BucketedStateTable(
       .filter(_.splitFactor.isDefined)
       .sortBy(_.commitId)
 
-  /** True iff `mOld`'s layout multiplies into `toBuckets` through the
-    * recorded split factors between it and `toId`. */
+  /** True iff `mOld`'s layout chains into `toBuckets` through the
+    * recorded relayout factors between it and `toId` — a SIGNED factor
+    * chain: `splitFactor = f ≥ 2` multiplies ([[splitBuckets]]),
+    * `splitFactor = -f` divides ([[coalesceBuckets]], the recorded
+    * inverse). Mixed chains (grow then shrink and back) verify
+    * step-by-step. */
   private def layoutChains(mOld: Manifest, toId: Long, toBuckets: Int): Boolean = {
     val chained = splitsIn(mOld.commitId, toId)
       .foldLeft(Option(mOld.manifestNumBuckets)) {
-        case (Some(l), s) if s.splitFactor.exists(f => s.manifestNumBuckets == l * f) =>
+        case (Some(l), s) if s.splitFactor.exists(f =>
+            (f >= 2 && s.manifestNumBuckets == l * f) ||
+            (f <= -2 && l % -f == 0 && s.manifestNumBuckets == l / -f)) =>
           Some(s.manifestNumBuckets)
         case _ => None
       }
@@ -520,19 +526,35 @@ class BucketedStateTable(
     readManifest(p, checkLayout = false)
   }
 
-  /** Changed buckets (in the TO layout) for a diff range crossing one
-    * or more [[splitBuckets]] boundaries. The range decomposes into
-    * constant-layout segments — (from → split₁'s base), (split₁ →
-    * split₂'s base), …, (splitₖ → to) — and within each segment the
-    * ordinary manifest pointer-compare finds the touched buckets; a
-    * touched bucket at layout L maps UP to exactly the final buckets
-    * `b` with `b mod L = touched` (`(n mod L·k) mod L = n mod L`), so
-    * pruning survives the boundary: unchanged data is never read no
-    * matter how many splits the range crosses. An arbitrary
-    * [[rebucket]] in the range (layouts that don't chain by the
-    * recorded factors) refuses with the reseed recipe — that path
+  /** Remap a touched-bucket set across one recorded layout change.
+    * Growing (`toL = fromL·f`): a bucket `t`'s rows land in exactly the
+    * children `b` with `b mod fromL = t` (`(n mod L·f) mod L = n mod
+    * L`). Shrinking (`toL = fromL/f`): all of `t`'s rows land in the
+    * ONE parent `t mod toL`. The same function also computes stepwise
+    * PREIMAGES (walked in reverse), because the row-containment
+    * relation between two adjacent layouts is symmetric in `mod`. */
+  private def mapBuckets(set: Set[Int], fromL: Int, toL: Int): Set[Int] =
+    if (toL == fromL) set
+    else if (toL > fromL) (0 until toL).filter(b => set.contains(b % fromL)).toSet
+    else set.map(_ % toL)
+
+  /** Changed buckets for a diff range crossing one or more recorded
+    * relayout boundaries ([[splitBuckets]] / [[coalesceBuckets]] — a
+    * SIGNED factor chain), as `(changed in the TO layout, the FROM-
+    * layout buckets holding those rows)`. The range decomposes into
+    * constant-layout segments — (from → relayout₁'s base), (relayout₁ →
+    * relayout₂'s base), …, (relayoutₖ → to) — the ordinary manifest
+    * pointer-compare finds each segment's touched buckets, and the
+    * accumulated set remaps through every boundary ([[mapBuckets]]), so
+    * pruning survives arbitrarily mixed grow/shrink chains: unchanged
+    * data is never read. The from-side read set is the stepwise
+    * PREIMAGE of the changed set walked back through the same layouts
+    * (endpoint layouts need not divide each other once a chain mixes
+    * directions, so a direct `mod` between them would be wrong). An
+    * arbitrary [[rebucket]] in the range (layouts that don't chain by
+    * the recorded factors) refuses with the reseed recipe — that path
     * truncates feed history by design. */
-  private def changedAcrossSplits(mFrom: Manifest, mTo: Manifest): Seq[Int] = {
+  private def changedAcrossSplits(mFrom: Manifest, mTo: Manifest): (Seq[Int], Seq[Int]) = {
     val splits = splitsIn(mFrom.commitId, mTo.commitId)
     if (splits.isEmpty ||
         !layoutChains(mFrom, mTo.commitId, mTo.manifestNumBuckets))
@@ -540,30 +562,37 @@ class BucketedStateTable(
         s"changesBetween(${mFrom.commitId}, ${mTo.commitId}) at $path " +
           s"crosses a layout change (${mFrom.manifestNumBuckets} -> " +
           s"${mTo.manifestNumBuckets} buckets) that is not a " +
-          "splitBuckets chain — an arbitrary rebucket truncates feed " +
-          "history by design. Reseed the consumer: restart the stream " +
+          "splitBuckets/coalesceBuckets chain — an arbitrary rebucket " +
+          "truncates feed history by design. Reseed the consumer: " +
+          "restart the stream " +
           "with a FRESH checkpoint and option(\"initialSnapshot\", " +
           "\"true\") (plus startingCommit=<a post-rebucket commit> to " +
           "pin the base) to bootstrap from the post-rebucket snapshot " +
           "and tail from there")
     val starts = mFrom +: splits
     val ends = splits.map(s => manifestForDiff(s.splitBasedOn.get)) :+ mTo
-    val out = scala.collection.mutable.SortedSet.empty[Int]
+    // forward pass: per-segment pointer diffs, the accumulated set
+    // remapped at each boundary (a and b bound one constant-layout
+    // segment — relayout manifests snapshot their base, so a
+    // relayout's own segment edge is exact)
+    var cur = Set.empty[Int]
+    var curLayout = mFrom.manifestNumBuckets
     starts.zip(ends).foreach { case (a, b) =>
-      // a and b bound one constant-layout segment (split manifests
-      // snapshot their base, so a split's own segment edge is exact)
-      val touched = (a.buckets.keySet ++ b.buckets.keySet)
-        .filter(x => a.buckets.get(x) != b.buckets.get(x))
-      if (touched.nonEmpty) {
-        val l = a.manifestNumBuckets
-        var bkt = 0
-        while (bkt < mTo.manifestNumBuckets) {
-          if (touched.contains(bkt % l)) out += bkt
-          bkt += 1
-        }
+      if (a.manifestNumBuckets != curLayout) {
+        cur = mapBuckets(cur, curLayout, a.manifestNumBuckets)
+        curLayout = a.manifestNumBuckets
       }
+      cur ++= (a.buckets.keySet ++ b.buckets.keySet)
+        .filter(x => a.buckets.get(x) != b.buckets.get(x))
     }
-    out.toSeq
+    // backward pass: stepwise preimage of the changed set down to the
+    // FROM layout — the buckets whose old rows the diff must read
+    val layouts = starts.map(_.manifestNumBuckets)
+    var pre: Set[Int] = cur
+    layouts.indices.reverse.drop(1).foreach { i =>
+      pre = mapBuckets(pre, layouts(i + 1), layouts(i))
+    }
+    (cur.toSeq.sorted, pre.toSeq.sorted)
   }
 
   /** Change feed between two retained commits: the NET row-level
@@ -585,14 +614,16 @@ class BucketedStateTable(
     * changed-bucket rows, and the classification is one codegen'd
     * projection (no per-leg re-read of the join).
     *
-    * The range may cross one or more [[splitBuckets]] boundaries: the
-    * recorded split mapping decomposes it into constant-layout
-    * segments whose pointer diffs map up parent→children
-    * ([[changedAcrossSplits]]), so pruning — and every consumer
-    * tailing the feed — survives a relayout; the split itself is a
-    * pure rewrite and contributes zero net rows. Only an arbitrary
-    * [[rebucket]] in the range refuses (with the snapshot-reseed
-    * recipe), because that path truncates history by design.
+    * The range may cross one or more [[splitBuckets]] /
+    * [[coalesceBuckets]] boundaries: the recorded signed factor chain
+    * decomposes it into constant-layout segments whose pointer diffs
+    * remap across each boundary — parent→children on a split, children
+    * →parent on a coalesce ([[changedAcrossSplits]]) — so pruning, and
+    * every consumer tailing the feed, survives a relayout in either
+    * direction; the relayout itself is a pure rewrite and contributes
+    * zero net rows. Only an arbitrary [[rebucket]] in the range
+    * refuses (with the snapshot-reseed recipe), because that path
+    * truncates history by design.
     *
     * SQL access rides a view:
     * `t.changesBetween(3, 7).createOrReplaceTempView("t_changes")`. */
@@ -620,15 +651,13 @@ class BucketedStateTable(
     // layout; across a splitBuckets chain, per-segment pointer diffs
     // mapped up through the parent→children relation (still never
     // reading a byte of unchanged data)
-    val changed: Seq[Int] =
-      if (sameLayout)
-        (mFrom.buckets.keySet ++ mTo.buckets.keySet).toSeq
+    val (changed: Seq[Int], fromBuckets: Seq[Int]) =
+      if (sameLayout) {
+        val c = (mFrom.buckets.keySet ++ mTo.buckets.keySet).toSeq
           .filter(b => mFrom.buckets.get(b) != mTo.buckets.get(b)).sorted
-      else changedAcrossSplits(mFrom, mTo)
-    // the from-side buckets holding the changed rows: identical under
-    // one layout (b mod B = b); the unique parents under a split chain
-    val fromBuckets =
-      changed.map(_ % mFrom.manifestNumBuckets).distinct.sorted
+        // one layout: the from-side buckets ARE the changed buckets
+        (c, c)
+      } else changedAcrossSplits(mFrom, mTo)
     val cols = rowSchema.fieldNames.toSeq
     val dataCols = cols.filterNot(keyCols.contains)
     // across a WIDENING boundary the from-side reads under its own
@@ -1298,6 +1327,65 @@ class BucketedStateTable(
       writeManifest(Manifest(next, written.map(_ -> next).toMap,
           snapshot.map(_.schema.json).orElse(cur.flatMap(_.schemaJson)),
           splitFactor = Some(factor),
+          splitBasedOn = Some(basedOn)),
+        basedOn, forNumBuckets = newNumBuckets)
+      prune()
+      new BucketedStateTable(spark, path, keyCols, newNumBuckets,
+        keepCommits, retentionFloorMillis, bucketCols, leaseStaleMillis,
+        leaseAcquireTimeoutMillis, leaseStore)
+    } }
+
+  /** Shrink the layout by an integer `factor` (B → B/factor buckets) —
+    * the inverse of [[splitBuckets]], for a table that retention shrank
+    * far below its widest layout (an over-split table pays per-bucket
+    * file and listing overhead forever otherwise). Same full-rewrite
+    * mechanics and the SAME feed continuity: the manifest records the
+    * factor NEGATED (`splitFactor = -factor`, `splitBasedOn` = the
+    * pre-coalesce base), so the signed chain in
+    * [[changedAcrossSplits]] keeps [[changesBetween]] — and every
+    * change-feed consumer — exact and bucket-pruned across the
+    * boundary in either direction (every old bucket `b`'s rows land in
+    * exactly the one parent `b mod B/factor`). Pre-coalesce manifests
+    * age out through ordinary retention, which bounds how far back a
+    * cross-boundary diff reaches, as with a split. The coalesce itself
+    * is a pure rewrite: zero net rows.
+    *
+    * Returns the NEW handle; this instance refuses further reads and
+    * writes (layout check), same as after [[splitBuckets]]. */
+  def coalesceBuckets(factor: Int): BucketedStateTable =
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      require(factor >= 2, s"coalesceBuckets wants a factor >= 2, got $factor")
+      require(numBuckets % factor == 0,
+        s"coalesceBuckets($factor) must divide the layout evenly; " +
+          s"$numBuckets buckets do not — coalesce by a divisor, or " +
+          "rebucket (history-truncating) for an arbitrary count")
+      val newNumBuckets = numBuckets / factor
+      val snapshot = read()
+      val cur = currentManifest()
+      val basedOn = cur.map(_.commitId).getOrElse(0L)
+      val next = nextCommitId()
+      val newBucketOf = pmod(xxhash64(effBucketCols.map(col): _*),
+        lit(newNumBuckets.toLong)).cast("int")
+      val written: Seq[Int] = snapshot match {
+        case None => Nil
+        case Some(df) =>
+          val out = new Path(dataDir, f"c$next%08d")
+          df.withColumn(BucketCol, newBucketOf)
+            .repartition(newNumBuckets, col(BucketCol))
+            .sortWithinPartitions(BucketCol, keyCols: _*)
+            .write.partitionBy(BucketCol).mode("errorifexists")
+            .parquet(out.toString)
+          fs.listStatus(out).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+            .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
+            .sorted
+      }
+      // same publish-window discipline as splitBuckets: any interleaved
+      // commit withdraws the relayout (its rewrite is stale against it)
+      beforePublish()
+      writeManifest(Manifest(next, written.map(_ -> next).toMap,
+          snapshot.map(_.schema.json).orElse(cur.flatMap(_.schemaJson)),
+          splitFactor = Some(-factor),
           splitBasedOn = Some(basedOn)),
         basedOn, forNumBuckets = newNumBuckets)
       prune()

@@ -260,13 +260,14 @@ object ReferenceQueries {
     // rows in never-rewritten buckets read back null-filled under the
     // manifest's recorded schema. The oracle recomputes the final
     // snapshot in SQL. ───────────────────────────────────────────────────
-    // ── U8: change feed ACROSS a splitBuckets boundary — the same
-    // logical history as U5 with an 8 → 16 layout split in the middle
-    // of the diffed range. The split is a pure rewrite (zero net
-    // rows), so the cross-boundary net diff must be IDENTICAL to the
-    // un-split one ([[graft.pipeline.BucketedStateTable.splitBuckets]]
-    // maps post-split buckets to their unique parent) — and the
-    // oracle is u5's snapshot diff verbatim. ────────────────────────────
+    // ── U8: change feed ACROSS relayout boundaries — the same logical
+    // history as U5 with an 8 → 16 layout SPLIT and then a 16 → 8
+    // COALESCE inside the diffed range (the signed factor chain). Both
+    // relayouts are pure rewrites (zero net rows), so the
+    // cross-boundary net diff must be IDENTICAL to the un-relayouted
+    // one ([[graft.pipeline.BucketedStateTable.changedAcrossSplits]]
+    // remaps the touched set through each boundary) — and the oracle
+    // is u5's snapshot diff verbatim. ───────────────────────────────────
     "u8_split_feed" -> ((s, dir) => {
       val (root, tbl) = QueryScratch.freshDir("u8")
       val t = new graft.pipeline.BucketedStateTable(s, s"$root/$tbl",
@@ -283,7 +284,8 @@ object ReferenceQueries {
       t16.applyDelta(upserts = d.limit(0),
         deleteKeys = d.filter(col("doc_id") % 5 === 0).select("doc_id"),
         keys = Seq("doc_id"))
-      t16.changesBetween(c1, t16.commits().last)
+      val t8b = t16.coalesceBuckets(2)
+      t8b.changesBetween(c1, t8b.commits().last)
         .orderBy(col("doc_id"), col("change_type"))
     }),
 

@@ -736,10 +736,12 @@ class GraftStateCatalog extends TableCatalog
   private var rootPath: String = _
 
   /** `CALL cat.system.split_buckets(table => 't', factor => 2)` /
+    * `CALL cat.system.coalesce_buckets(table => 't', factor => 2)` /
     * `CALL cat.system.rebucket(table => 't', num_buckets => 32)` — the
-    * SQL face of the two layout-maintenance verbs. `split_buckets`
-    * preserves change-feed continuity (consumers keep tailing across
-    * the boundary); `rebucket` is the arbitrary relayout that
+    * SQL face of the layout-maintenance verbs. `split_buckets` and
+    * `coalesce_buckets` preserve change-feed continuity in their
+    * respective directions (consumers keep tailing across the
+    * boundary); `rebucket` is the arbitrary relayout that
     * truncates feed history by design. Each returns one summary row
     * (table, old and new bucket counts). */
   override def loadProcedure(ident: Identifier)
@@ -747,6 +749,8 @@ class GraftStateCatalog extends TableCatalog
     (ident.namespace().toSeq, ident.name().toLowerCase) match {
       case (Seq("system"), "split_buckets") =>
         new GraftStateProcedures.SplitBuckets(rootPath)
+      case (Seq("system"), "coalesce_buckets") =>
+        new GraftStateProcedures.CoalesceBuckets(rootPath)
       case (Seq("system"), "rebucket") =>
         new GraftStateProcedures.Rebucket(rootPath)
       case (Seq("system"), "export") =>
@@ -754,6 +758,7 @@ class GraftStateCatalog extends TableCatalog
       case _ => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure $ident — available: " +
           "system.split_buckets(table, factor), " +
+          "system.coalesce_buckets(table, factor), " +
           "system.rebucket(table, num_buckets), " +
           "system.export(table, path)")
     }
@@ -761,6 +766,7 @@ class GraftStateCatalog extends TableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "split_buckets"),
+        Identifier.of(Array("system"), "coalesce_buckets"),
         Identifier.of(Array("system"), "rebucket"),
         Identifier.of(Array("system"), "export"))
     else Array.empty
@@ -1081,6 +1087,17 @@ private[sources] object GraftStateProcedures {
     override protected def relayout(t: BucketedStateTable, arg: Int) =
       t.splitBuckets(arg)
     override protected def newBuckets(oldB: Int, arg: Int): Int = oldB * arg
+  }
+
+  final class CoalesceBuckets(rootPath: String)
+      extends Relayout("coalesce_buckets", "factor", rootPath) {
+    override def description(): String =
+      "shrink the table's layout B -> B/factor preserving change-feed " +
+        "continuity (the recorded inverse of split_buckets; a full " +
+        "data rewrite under the commit protocol)"
+    override protected def relayout(t: BucketedStateTable, arg: Int) =
+      t.coalesceBuckets(arg)
+    override protected def newBuckets(oldB: Int, arg: Int): Int = oldB / arg
   }
 
   final class Rebucket(rootPath: String)

@@ -603,7 +603,7 @@ class BucketedStateTableSpec extends SparkSpec {
     val feedErr = intercept[IllegalStateException] {
       t16.changesBetween(lingering.head, newest)
     }
-    assert(feedErr.getMessage.contains("not a splitBuckets chain") &&
+    assert(feedErr.getMessage.contains("not a splitBuckets/coalesceBuckets chain") &&
       feedErr.getMessage.contains("initialSnapshot"), feedErr.getMessage)
     // and post-rebucket mutations stay bucket-pruned on the NEW layout
     t16.merge(Seq(("k2", -2L)).toDF("k", "v"), keys = Seq("k"))
@@ -720,6 +720,123 @@ class BucketedStateTableSpec extends SparkSpec {
     // net-absent; k1/k2/k3 (one update per segment) all surface
     assert(!feed.exists(_._2 == "kmid"))
     assert(Seq("k1", "k2", "k3").forall(k => feed.exists(_._2 == k)))
+  }
+
+  test("coalesceBuckets: the change feed diffs ACROSS the boundary — snapshot parity, net semantics, pruning intact") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, keepCommits = 10,
+      retentionFloorMillis = 60_000L)
+    t.merge((1L to 400L).map(i => (s"k$i", i)).toDF("k", "v"), keys = Seq("k"))
+    val c1 = t.commits().last
+    // pre-coalesce activity after the feed base, incl. a row deleted
+    // AFTER the boundary (net-absent across it)
+    t.merge(Seq(("k5", -5L), ("kpre", 1L)).toDF("k", "v"), keys = Seq("k"))
+    val preCoalesce = t.commits().last
+    val snapC1 = t.readAt(c1).get.as[(String, Long)].collect().toMap
+
+    val t4 = t.coalesceBuckets(2)
+    // the stale handle refuses, same contract as split/rebucket
+    intercept[IllegalArgumentException] { t.read() }
+    assert(t4.read().get.count() == 401L)
+    // time travel works ACROSS the coalesce (recorded inverse chain)
+    assert(t4.readAt(c1).get.count() == 400L)
+    // a range spanning ONLY the coalesce is a pure rewrite: zero net rows
+    assert(t4.changesBetween(preCoalesce, t4.commits().last).count() == 0L)
+
+    // post-coalesce activity: update, insert, deletes (one killing kpre)
+    t4.merge(Seq(("k5", 55L), ("kpost", 9L)).toDF("k", "v"), keys = Seq("k"))
+    t4.applyDelta(upserts = Seq.empty[(String, Long)].toDF("k", "v"),
+      deleteKeys = Seq("k9", "kpre").map(Tuple1(_)).toDF("k"),
+      keys = Seq("k"))
+    val cEnd = t4.commits().last
+    val finalSnap = t4.read().get.as[(String, Long)].collect().toMap
+
+    val feed = t4.changesBetween(c1, cEnd)
+      .as[(String, String, Long)].collect().toSet
+    val ins = (finalSnap.keySet -- snapC1.keySet)
+      .map(k => ("insert", k, finalSnap(k)))
+    val del = (snapC1.keySet -- finalSnap.keySet)
+      .map(k => ("delete", k, snapC1(k)))
+    val upd = (snapC1.keySet & finalSnap.keySet)
+      .filter(k => snapC1(k) != finalSnap(k))
+      .flatMap(k => Seq(("update_preimage", k, snapC1(k)),
+        ("update_postimage", k, finalSnap(k))))
+    assert(feed == (ins ++ del ++ upd),
+      s"cross-coalesce diff lost parity: extra=${feed -- (ins ++ del ++ upd)} " +
+        s"missing=${(ins ++ del ++ upd) -- feed}")
+    assert(!feed.exists(_._2 == "kpre"),
+      "a row inserted pre-coalesce and deleted post-coalesce must be net-absent")
+
+    // pruning survives the boundary DOWNWARD too: a 1-key post-coalesce
+    // merge diffs by reading that key's new (parent) bucket plus its
+    // f=2 pre-coalesce children — never the other 8 dirs
+    val t2 = new BucketedStateTable(spark, s"$dir/state2",
+      keyCols = Seq("k"), numBuckets = 8, keepCommits = 10,
+      retentionFloorMillis = 60_000L)
+    t2.merge((1L to 400L).map(i => (s"k$i", i)).toDF("k", "v"), keys = Seq("k"))
+    val qa = t2.commits().last
+    val t2n = t2.coalesceBuckets(2)
+    t2n.merge(Seq(("k2", -2L)).toDF("k", "v"), keys = Seq("k"))
+    val diff = t2n.changesBetween(qa, t2n.commits().last)
+    assert(diff.as[(String, String, Long)].collect().toSet == Set(
+      ("update_preimage", "k2", 2L), ("update_postimage", "k2", -2L)))
+    val touchedDirs = diff.inputFiles.toSeq
+      .map(_.replaceAll(".*__bucket=", "").replaceAll("/.*", "").toInt)
+      .distinct
+    assert(touchedDirs.size <= 3,
+      s"cross-coalesce diff must read one parent + its two children, " +
+        s"read __bucket=$touchedDirs")
+
+    // refusals: a non-divisor factor, and an arbitrary rebucket still
+    // strands the feed with the reseed recipe
+    val odd = intercept[IllegalArgumentException] { t4.coalesceBuckets(3) }
+    assert(odd.getMessage.contains("divide"), odd.getMessage)
+  }
+
+  test("mixed relayout chains: a diff across split AND coalesce boundaries (4 -> 8 -> 4 -> 2) maps segment-by-segment") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t4 = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, keepCommits = 30,
+      retentionFloorMillis = 60_000L)
+    t4.merge((1L to 300L).map(i => (s"k$i", i)).toDF("k", "v"), keys = Seq("k"))
+    val c1 = t4.commits().last
+    val snapC1 = t4.read().get.as[(String, Long)].collect().toMap
+    // activity in EVERY constant-layout segment of the range
+    t4.merge(Seq(("k1", -1L)).toDF("k", "v"), keys = Seq("k"))
+    val t8 = t4.splitBuckets(2)
+    t8.merge(Seq(("k2", -2L), ("kmid", 1L)).toDF("k", "v"), keys = Seq("k"))
+    val tBack = t8.coalesceBuckets(2)
+    tBack.merge(Seq(("k3", -3L)).toDF("k", "v"), keys = Seq("k"))
+    val t2 = tBack.coalesceBuckets(2)
+    t2.applyDelta(upserts = Seq(("k4", -4L)).toDF("k", "v"),
+      deleteKeys = Seq(Tuple1("kmid")).toDF("k"), keys = Seq("k"))
+    val cEnd = t2.commits().last
+    val finalSnap = t2.read().get.as[(String, Long)].collect().toMap
+
+    val feed = t2.changesBetween(c1, cEnd)
+      .as[(String, String, Long)].collect().toSet
+    val ins = (finalSnap.keySet -- snapC1.keySet)
+      .map(k => ("insert", k, finalSnap(k)))
+    val del = (snapC1.keySet -- finalSnap.keySet)
+      .map(k => ("delete", k, snapC1(k)))
+    val upd = (snapC1.keySet & finalSnap.keySet)
+      .filter(k => snapC1(k) != finalSnap(k))
+      .flatMap(k => Seq(("update_preimage", k, snapC1(k)),
+        ("update_postimage", k, finalSnap(k))))
+    assert(feed == (ins ++ del ++ upd),
+      s"mixed-chain diff lost parity: extra=${feed -- (ins ++ del ++ upd)} " +
+        s"missing=${(ins ++ del ++ upd) -- feed}")
+    // kmid (inserted between the relayouts, deleted after the last) is
+    // net-absent; k1..k4 (one update per segment) all surface
+    assert(!feed.exists(_._2 == "kmid"))
+    assert(Seq("k1", "k2", "k3", "k4").forall(k => feed.exists(_._2 == k)))
+    // and time travel resolves through the whole signed chain
+    assert(t2.readAt(c1).get.count() == 300L)
   }
 
   test("replaceAll swaps the whole contents in one commit; history stays time-travelable") {

@@ -594,7 +594,15 @@ class GraftStateSourceSpec extends SparkSpec {
 
   test("SQL: CALL system.split_buckets/rebucket relayout in place; the feed diffs across the SQL split") {
     val dir = tmp()
-    val t = seeded(dir, "docs", rows = 200L)
+    // keepCommits must cover the whole split+coalesce chain so the feed
+    // base stays retained (fromLayout reconstructs this policy from the
+    // manifest for every CALL)
+    val t = new BucketedStateTable(spark, s"$dir/docs",
+      keyCols = Seq("k"), numBuckets = 8, keepCommits = 10,
+      retentionFloorMillis = 0L)
+    t.merge(spark.range(200L)
+      .select(concat(lit("k"), col("id")).as("k"), col("id").as("v")),
+      keys = Seq("k"))
     val c1 = t.commits().last
     spark.conf.set("spark.sql.catalog.graft_proc",
       classOf[GraftStateCatalog].getName)
@@ -621,13 +629,29 @@ class GraftStateSourceSpec extends SparkSpec {
       assert(feed == Set(("update_preimage", "k3", 3L),
         ("update_postimage", "k3", -3L)), feed.toString)
 
+      // the SQL inverse: coalesce back down — and the library feed
+      // still diffs the whole split+coalesce chain exactly
+      val co = spark.sql(
+        "CALL graft_proc.system.coalesce_buckets(table => 'docs', factor => 2)")
+        .collect()
+      assert(co.map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+        .toSeq == Seq(("docs", 16, 8)))
+      val layout8 = BucketedStateTable.snapshotLayout(
+        spark.sessionState.newHadoopConf(), s"$dir/docs").get
+      assert(layout8.numBuckets == 8)
+      val t8 = BucketedStateTable.fromLayout(spark, s"$dir/docs", layout8)
+      val feed2 = t8.changesBetween(c1, t8.commits().last).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(feed2 == Set(("update_preimage", "k3", 3L),
+        ("update_postimage", "k3", -3L)), feed2.toString)
+
       // the arbitrary relayout verb works too (and, per its contract,
       // strands the feed — that refusal is spec'd in
       // BucketedStateTableSpec)
       val re = spark.sql(
         "CALL graft_proc.system.rebucket(table => 'docs', num_buckets => 4)")
         .collect()
-      assert(re.map(r => (r.getInt(1), r.getInt(2))).toSeq == Seq((16, 4)))
+      assert(re.map(r => (r.getInt(1), r.getInt(2))).toSeq == Seq((8, 4)))
       assert(spark.sql("SELECT count(*) FROM graft_proc.docs")
         .head().getLong(0) == 200L)
 
@@ -654,7 +678,8 @@ class GraftStateSourceSpec extends SparkSpec {
       // SHOW PROCEDURES surfaces the inventory (listProcedures)
       val shown = spark.sql("SHOW PROCEDURES IN graft_proc.system")
         .collect().map(_.mkString("|")).mkString(";")
-      assert(shown.contains("split_buckets") && shown.contains("rebucket") &&
+      assert(shown.contains("split_buckets") &&
+        shown.contains("coalesce_buckets") && shown.contains("rebucket") &&
         shown.contains("export"), shown)
 
       // export: the migration bridge as a CALL — one consistent
