@@ -209,11 +209,108 @@ object StateScaleProbe {
     val split1 = splitLeg("x1", 1)
     val splitN = splitLeg(s"x$copies", copies)
 
+    // ── leg 4: coalesceBuckets at table scale ────────────────────────
+    // The inverse relayout, same claim inverted: the coalesce is an
+    // honest full rewrite, and a small post-coalesce change diffs
+    // across the boundary reading one new bucket + its f children —
+    // never the table — no matter the table's size.
+    def coalesceLeg(tag: String, nCopies: Int): String = {
+      val dataDir = s"$scratch/corpus_$tag" // reuses dmlLeg's corpus
+      val d = Tables.documents(spark, dataDir)
+        .select(col("doc_id"), col("n_chars"))
+      val root = s"$scratch/coal_$tag"
+      val t = new BucketedStateTable(spark, root,
+        keyCols = Seq("doc_id"), numBuckets = 128,
+        keepCommits = 10, retentionFloorMillis = 0L)
+      t.merge(d, keys = Seq("doc_id"))
+      val rows = t.read().get.count()
+      val preCoal = t.commits().last
+      val (t2, coalSec, coalSnap) = timed { t.coalesceBuckets(2) }
+      t2.merge(d.filter(col("doc_id").between(150, 165))
+        .withColumn("n_chars", col("n_chars") + 1L), keys = Seq("doc_id"))
+      val (nDiff, diffSec, diffSnap) = timed {
+        val diff = t2.changesBetween(preCoal, t2.commits().last)
+        diff.write.format("noop").mode("overwrite").save()
+        diff.count()
+      }
+      s""""$tag":{"table_rows":$rows,"coalesce_sec":${num(coalSec)},""" +
+        s""""coalesce_resources":${coalSnap.json},""" +
+        s""""cross_diff_rows":$nDiff,"cross_diff_sec":${num(diffSec)},""" +
+        s""""cross_diff_resources":${diffSnap.json}}"""
+    }
+    val coal1 = coalesceLeg("x1", 1)
+    val coalN = coalesceLeg(s"x$copies", copies)
+
+    // ── leg 5: change-feed backlog drain under admission control ─────
+    // 24 commits of backlog against the FULL corpus; a recovering
+    // consumer drains it capped (maxCommitsPerTrigger=4 -> 6 bounded
+    // batches) vs uncapped (one batch). The claim: the cap bounds the
+    // PEAK batch (memory/sink pressure) at a modest total-wall cost —
+    // the knob trades latency for boundedness, it does not multiply
+    // work (net-diff reads each rewritten bucket range once per batch).
+    def backlogLeg(tag: String, nCopies: Int): String = {
+      val dataDir = s"$scratch/corpus_$tag"
+      val d = Tables.documents(spark, dataDir)
+        .select(col("doc_id"), col("n_chars"))
+      def build(root: String): (BucketedStateTable, Long) = {
+        val t = new BucketedStateTable(spark, root,
+          keyCols = Seq("doc_id"), numBuckets = 64,
+          keepCommits = 40, retentionFloorMillis = 0L)
+        t.merge(d, keys = Seq("doc_id"))
+        val base = t.commits().last
+        (0 until 24).foreach { i =>
+          t.merge(d.filter(col("doc_id").between(1000 + i * 16, 1015 + i * 16))
+            .withColumn("n_chars", col("n_chars") + lit(i.toLong + 1L)),
+            keys = Seq("doc_id"))
+        }
+        (t, base)
+      }
+      def drain(root: String, base: Long,
+          cap: Option[Int]): (Double, Int, Long) = {
+        val batches = new java.util.concurrent.atomic.AtomicInteger
+        val maxRows = new java.util.concurrent.atomic.AtomicLong
+        val reader0 = spark.readStream.format("graft-state-changes")
+          .option("startingCommit", base)
+        val reader = cap.fold(reader0)(m =>
+          reader0.option("maxCommitsPerTrigger", m.toString))
+        val (_, sec, _) = timed {
+          val q = reader.load(root).writeStream
+            .option("checkpointLocation", s"$root-ck-${cap.getOrElse(0)}")
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              val n = df.count()
+              if (n > 0) batches.incrementAndGet()
+              maxRows.getAndAccumulate(n, math.max(_, _))
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        (sec, batches.get, maxRows.get)
+      }
+      val (tCap, baseCap) = build(s"$scratch/backlog_cap_$tag")
+      val (capSec, capBatches, capPeak) =
+        drain(s"$scratch/backlog_cap_$tag", baseCap, Some(4))
+      val (tUn, baseUn) = build(s"$scratch/backlog_un_$tag")
+      val (unSec, unBatches, unPeak) =
+        drain(s"$scratch/backlog_un_$tag", baseUn, None)
+      val _ = (tCap, tUn)
+      s""""$tag":{"backlog_commits":24,""" +
+        s""""capped":{"max_commits_per_trigger":4,"batches":$capBatches,""" +
+        s""""peak_batch_rows":$capPeak,"wall_sec":${num(capSec)}},""" +
+        s""""uncapped":{"batches":$unBatches,"peak_batch_rows":$unPeak,""" +
+        s""""wall_sec":${num(unSec)}}}"""
+    }
+    val backlog1 = backlogLeg("x1", 1)
+    val backlogN = backlogLeg(s"x$copies", copies)
+
     val json =
       s"""{"base_sf_dir":"$sfDir","vol_factor":$volFactor,"copies":$copies,""" +
-        s""""note":"leg cdc_volume: FIXED corpus ($nDocs docs, 64 buckets), change volume grows - prices changesBetween rewritten-bucket reads and maintainSumCount group-delta shuffle by CHANGED rows; leg sql_dml: fixed 16-key MERGE/UPDATE/DELETE vs a table grown by divergent copies (256 buckets) - manifest pointer diff counts the rewritten buckets",""" +
+        s""""note":"leg cdc_volume: FIXED corpus ($nDocs docs, 64 buckets), change volume grows - prices changesBetween rewritten-bucket reads and maintainSumCount group-delta shuffle by CHANGED rows; leg sql_dml: fixed 16-key MERGE/UPDATE/DELETE vs a table grown by divergent copies (256 buckets) - manifest pointer diff counts the rewritten buckets; leg coalesce_at_scale: the inverse relayout priced like split_at_scale; leg feed_backlog: a 24-commit backlog drained with maxCommitsPerTrigger=4 vs uncapped - the cap bounds the peak batch at modest wall cost",""" +
         s""""cdc_volume":{$cdc1,$cdcN},"sql_dml":{$dml1,$dmlN},""" +
-        s""""split_at_scale":{$split1,$splitN}}"""
+        s""""split_at_scale":{$split1,$splitN},""" +
+        s""""coalesce_at_scale":{$coal1,$coalN},""" +
+        s""""feed_backlog":{$backlog1,$backlogN}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("SCALE_PROBE_CDC_VOL.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -1008,9 +1008,30 @@ class BucketedStateTable(
     * widened shape rewrite only their dirty buckets, narrower files in
     * clean buckets stay valid forever. Narrowing/renames/type changes
     * are refused (see [[widenCheck]]); widening to the current schema
-    * is a no-op (no empty commit). */
+    * is a no-op (no empty commit).
+    *
+    * Raced publishes RETRY here rather than withdraw: a metadata-only
+    * commit re-derives everything (pointers, recorded schema) from the
+    * head manifest on each attempt, so absorbing a concurrent DATA
+    * commit is always safe — the ALTER lands with the interleaved
+    * commit's pointers intact. (The inverse race — a data commit
+    * racing a widenTo — withdraws in [[commit]]'s rebase check, since
+    * republishing the data commit's narrower recorded schema would
+    * silently undo the ALTER.) */
   def widenTo(target: org.apache.spark.sql.types.StructType): Unit =
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      var attempts = 0
+      while (true) {
+        try { widenOnce(target); return }
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempts += 1
+            if (attempts > maxRebases) throw e
+        }
+      }
+    } }
+
+  private def widenOnce(target: org.apache.spark.sql.types.StructType): Unit = {
       val base = currentManifest().getOrElse(
         throw new IllegalStateException(
           s"widenTo: no committed state at $path — create the table " +
@@ -1031,12 +1052,13 @@ class BucketedStateTable(
         })
       if (widened != from) {
         val next = nextCommitId()
+        beforePublish() // same publish-window seam as every commit path
         writeManifest(Manifest(next, base.buckets, Some(widened.json)),
           basedOn = base.commitId)
         prune()
         last = Some(CommitStats(next, Nil, Nil))
       }
-    } }
+  }
 
   /** One ATOMIC keyed delta — the row-level-DML verb behind SQL
     * `UPDATE`/`MERGE INTO`: upsert every row of `upserts` and remove

@@ -223,6 +223,55 @@ class SchemaEvolutionSpec extends SparkSpec {
       .head.getString(0) == "one")
   }
 
+  test("a widenTo racing a data commit retries and lands; a data commit racing a widenTo withdraws") {
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, keepCommits = 10,
+      retentionFloorMillis = 60_000L)
+    t.merge(seedFrame(20L), keys = Seq("k"))
+    val t2 = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, keepCommits = 10,
+      retentionFloorMillis = 60_000L,
+      leaseStore = Some(new graft.pipeline.InMemoryCasStore))
+
+    // a foreign DATA commit lands inside the widenTo's publish window:
+    // the metadata-only ALTER re-derives pointers from the new head and
+    // retries — it must land WITH the interleaved row intact
+    t.beforePublish = () => {
+      t.beforePublish = () => ()
+      t2.merge(Seq(("knew", 999L)).toDF("k", "v"), keys = Seq("k"))
+    }
+    t.widenTo(StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("w", StringType))))
+    val cur = t.read().get
+    assert(cur.schema.fieldNames.toSeq == Seq("k", "v", "w"))
+    assert(cur.count() == 21L, "the interleaved data commit must survive the ALTER")
+    assert(cur.filter(col("k") === "knew").select("v", "w").collect()
+      .map(r => (r.getLong(0), r.isNullAt(1))).toSeq == Seq((999L, true)))
+
+    // the INVERSE race: a data commit whose publish races a concurrent
+    // widenTo withdraws (republishing its narrower recorded schema
+    // would silently undo the ALTER) — and the retry then preserves
+    // the newly added column per the narrow-writer contract
+    t.beforePublish = () => {
+      t.beforePublish = () => ()
+      t2.widenTo(StructType(Seq(
+        StructField("k", StringType), StructField("v", LongType),
+        StructField("w", StringType), StructField("x", LongType))))
+    }
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.merge(Seq(("k1", 111L)).toDF("k", "v"), keys = Seq("k"))
+    }
+    assert(ex.getMessage.contains("retry"), ex.getMessage)
+    t.merge(Seq(("k1", 111L)).toDF("k", "v"), keys = Seq("k"))
+    val after = t.read().get
+    assert(after.schema.fieldNames.toSeq == Seq("k", "v", "w", "x"),
+      "the concurrent ALTER must survive the retried data commit")
+    assert(after.filter(col("k") === "k1").select("v").collect()
+      .head.getLong(0) == 111L)
+  }
+
   test("change feed diffs across a widening boundary with null-column preimages") {
     val dir = tmp()
     val t = new BucketedStateTable(spark, s"$dir/state",
