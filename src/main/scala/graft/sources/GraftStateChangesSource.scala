@@ -67,6 +67,17 @@ import graft.pipeline.BucketedStateTable
   * doc), so it keeps binding across restarts; a crash inside the window
   * can at most double one batch. Unset = the old jump-to-latest.
   *
+  * The bootstrap has the same knob:
+  * `option("maxSnapshotBucketsPerTrigger", m)` (requires
+  * `initialSnapshot`) walks the base snapshot in chunks of m bucket
+  * directories — ⌈populated buckets / m⌉ bounded batches through the
+  * offset space below the base commit, each reading ONLY its chunk's
+  * directories — so seeding a 100 TB replica is a stream of bounded
+  * batches, not one unbounded one. Restart-safe mid-bootstrap (the
+  * chunk walk resumes at the checkpoint's offset); the diff phase
+  * begins when the walk reaches the base commit. Unset = the whole
+  * snapshot in batch 0, the original behavior.
+  *
   * Schema evolution: a WIDENING commit
   * ([[graft.pipeline.BucketedStateTable.widenTo]] / a widened merge)
   * landing mid-stream flows under the stream's PINNED shape — a V1
@@ -158,10 +169,21 @@ class GraftStateChangesProvider extends StreamSourceProvider
       require(m > 0, s"maxCommitsPerTrigger must be positive, got $m")
       m
     }
+    val maxSnapBuckets =
+      parameters.get("maxSnapshotBucketsPerTrigger").map { v =>
+        val m = v.toInt
+        require(m > 0,
+          s"maxSnapshotBucketsPerTrigger must be positive, got $m")
+        require(parameters.get("initialSnapshot").exists(_.toBoolean),
+          "maxSnapshotBucketsPerTrigger bounds the initialSnapshot " +
+            "bootstrap — set initialSnapshot=true with it")
+        m
+      }
     new GraftStateChangesSource(spark, path, base, feedSchema(rowSchema),
       initialSnapshot =
         parameters.get("initialSnapshot").exists(_.toBoolean),
       maxCommitsPerTrigger = maxCommits,
+      maxSnapshotBucketsPerTrigger = maxSnapBuckets,
       metadataPath = Some(metadataPath))
   }
 }
@@ -173,9 +195,48 @@ private[sources] class GraftStateChangesSource(
     override val schema: StructType,
     initialSnapshot: Boolean = false,
     maxCommitsPerTrigger: Option[Int] = None,
+    maxSnapshotBucketsPerTrigger: Option[Int] = None,
     metadataPath: Option[String] = None) extends Source {
 
   private def conf = spark.sessionState.newHadoopConf()
+
+  // ── chunked replica bootstrap (maxSnapshotBucketsPerTrigger) ───────
+  // Without it, `initialSnapshot` emits the whole base snapshot as ONE
+  // micro-batch — the admission problem all over again at bootstrap
+  // time (a 100 TB replica seed must not be one batch). With it, the
+  // bootstrap WALKS the offset space BELOW `base`: the base manifest's
+  // populated buckets, sorted, in chunks of the cap; offset
+  // `base - K + c` means "snapshot chunks 1..c emitted". The chunk
+  // list derives from the IMMUTABLE base manifest, so replays are
+  // deterministic exactly as long as the base commit is retained (the
+  // feed's standing retention contract), and each batch reads ONLY its
+  // chunk's bucket directories — bounded memory AND bounded I/O per
+  // trigger. After the last chunk the offset reaches `base` and the
+  // ordinary diff phase takes over (composing with
+  // maxCommitsPerTrigger if set).
+
+  private def chunked: Boolean =
+    initialSnapshot && maxSnapshotBucketsPerTrigger.isDefined
+
+  /** Populated buckets of the base snapshot in cap-sized chunks —
+    * lazily derived so post-bootstrap restarts (floor ≥ base, chunk
+    * list never consulted) don't require the base commit to still be
+    * retained. */
+  private lazy val snapshotChunks: Seq[(Seq[Int], Seq[String])] =
+    maxSnapshotBucketsPerTrigger match {
+      case Some(m) if initialSnapshot =>
+        BucketedStateTable.snapshotPaths(conf, path, Some(base))
+          .map { p =>
+            val b = p.substring(p.lastIndexOf("=") + 1).toInt
+            (b, p)
+          }
+          .sortBy(_._1)
+          .grouped(m).toSeq
+          .map(g => (g.map(_._1), g.map(_._2)))
+      case _ => Nil
+    }
+
+  private def bootstrapStart: Long = base - snapshotChunks.size
 
   private def toLong(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -213,13 +274,16 @@ private[sources] class GraftStateChangesSource(
           .mkString.trim.toLong)
         finally in.close()
       }
-    }.getOrElse(base)
+      // a truly fresh chunked-bootstrap stream starts below base; any
+      // progress at all persists a floor, so the chunk list is only
+      // computed while the base commit must be retained anyway
+    }.getOrElse(if (chunked) bootstrapStart else base)
     admittedFloor = Some(v)
     v
   }
 
   private def ratchetFloor(to: Long): Unit =
-    if (maxCommitsPerTrigger.isDefined && to > readFloor()) {
+    if ((maxCommitsPerTrigger.isDefined || chunked) && to > readFloor()) {
       admittedFloor = Some(to)
       floorFile.foreach { f =>
         val fs = f.getFileSystem(conf)
@@ -234,6 +298,10 @@ private[sources] class GraftStateChangesSource(
     }
 
   override def getOffset: Option[Offset] = {
+    val floor = readFloor()
+    if (chunked && floor < base)
+      // bootstrap phase: admit exactly ONE snapshot chunk per trigger
+      return Some(LongOffset(floor + 1))
     val commits = BucketedStateTable.snapshotCommits(conf, path)
     val latest = if (commits.isEmpty) base else math.max(base, commits.max)
     maxCommitsPerTrigger match {
@@ -242,7 +310,6 @@ private[sources] class GraftStateChangesSource(
         // admit the next m RETAINED commits above the floor — counted
         // as commits, not id arithmetic (ids can be sparse after
         // withdrawn publishes and orphan data dirs)
-        val floor = readFloor()
         val pending = commits.filter(_ > floor)
         val end = if (pending.isEmpty) floor else pending.take(m).last
         Some(LongOffset(math.max(end, floor)))
@@ -279,29 +346,50 @@ private[sources] class GraftStateChangesSource(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(toLong).getOrElse(base)
+    val from = start.map(toLong)
+      .getOrElse(if (chunked) bootstrapStart else base)
     val to = toLong(end)
     // the engine has logged `end` — it IS the consumer's next position;
     // ratchet the admission floor so the next getOffset caps above it
     // (a replayed batch rewrites the same value, monotone either way)
     ratchetFloor(to)
-    // batch 0 under `initialSnapshot`: the base commit's FULL snapshot
-    // as `insert` rows (the replica bootstrap, Delta-CDF's
-    // startingVersion pattern) ahead of any pending diff — replays are
-    // deterministic as long as the base commit is retained (readAt
-    // refuses loudly otherwise, the feed's standard retention contract)
+    // the replica-bootstrap leg (Delta-CDF's startingVersion pattern):
+    // the base commit's snapshot as `insert` rows — the WHOLE snapshot
+    // in batch 0 by default, or only this batch's bucket chunks under
+    // maxSnapshotBucketsPerTrigger (offsets below `base` walk the
+    // chunk list; each batch reads ONLY its chunks' bucket dirs).
+    // Replays are deterministic as long as the base commit is retained
+    // (the lookup refuses loudly otherwise, the feed's standard
+    // retention contract).
     val snapshotLeg: Option[DataFrame] =
-      if (start.isEmpty && initialSnapshot)
+      if (chunked) {
+        val lo = math.max(from, bootstrapStart)
+        val hi = math.min(to, base)
+        if (lo >= hi) None
+        else {
+          val dirs = ((lo - bootstrapStart) until (hi - bootstrapStart))
+            .flatMap(i => snapshotChunks(i.toInt)._2)
+          val raw = BucketedStateTable
+            .snapshotSchema(conf, path, Some(base)) match {
+              case Some(rs) => spark.read.schema(rs).parquet(dirs: _*)
+              case None => spark.read.parquet(dirs: _*)
+            }
+          Some(pinned(raw
+            .withColumn("change_type", lit("insert"))
+            .withColumn("_commit_id", lit(base))))
+        }
+      } else if (start.isEmpty && initialSnapshot)
         table().readAt(base).map { snap =>
           pinned(snap
             .withColumn("change_type", lit("insert"))
             .withColumn("_commit_id", lit(base)))
         }
       else None
+    val diffFrom = math.max(from, base)
     val diffLeg: Option[DataFrame] =
-      if (from >= to) None
+      if (diffFrom >= to) None
       else Some(pinned(
-        table().changesBetween(from, to).withColumn("_commit_id", lit(to))))
+        table().changesBetween(diffFrom, to).withColumn("_commit_id", lit(to))))
     val batch = (snapshotLeg.toSeq ++ diffLeg.toSeq)
       .reduceOption(_ unionByName _).getOrElse(emptyBatch)
     asStreamingFrame(batch)

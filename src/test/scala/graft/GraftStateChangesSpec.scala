@@ -162,6 +162,86 @@ class GraftStateChangesSpec extends SparkSpec {
       t.read().get.as[(String, Long)].collect().toMap)
   }
 
+  test("maxSnapshotBucketsPerTrigger seeds a replica in bounded bucket chunks; a mid-bootstrap crash resumes exactly") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val t = new BucketedStateTable(spark, s"$root/state",
+      keyCols = Seq("k"), numBuckets = 8, keepCommits = 20,
+      retentionFloorMillis = 60_000L)
+    t.merge((0 until 100).map(i => (s"k$i", i.toLong)).toDF("k", "v"),
+      keys = Seq("k"))
+    val c1 = t.commits().last
+    t.merge(Seq(("k5", -5L)).toDF("k", "v"), keys = Seq("k"))
+    val c2 = t.commits().last
+
+    val bucketOfKey: Map[String, Int] =
+      (0 until 100).map(i => s"k$i").toDF("k")
+        .select(col("k"),
+          pmod(xxhash64(col("k")), lit(8L)).cast("int").as("b"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val populated = bucketOfKey.values.toSet.size
+    val chunks = math.ceil(populated / 3.0).toInt
+
+    val batches = TrieMap.empty[Long, Seq[Change]]
+    @volatile var failOnce = true
+    def startQ() = spark.readStream.format("graft-state-changes")
+      .option("startingCommit", c1)
+      .option("initialSnapshot", "true")
+      .option("maxSnapshotBucketsPerTrigger", "3")
+      .option("maxCommitsPerTrigger", "1")
+      .load(s"$root/state")
+      .writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.as[Change].collect().toSeq
+        // crash AFTER the engine logged batch 1's offsets but BEFORE
+        // the sink committed it — the classic mid-bootstrap failure;
+        // the restart must replay exactly this chunk and walk on
+        if (id == 1L && failOnce) { failOnce = false; sys.error("injected crash") }
+        batches.put(id, rows)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+
+    val q = startQ()
+    intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // ⌈populated/3⌉ snapshot chunks then exactly one capped diff batch
+    assert(batches.keySet == (0 to chunks.toInt).map(_.toLong).toSet,
+      s"expected $chunks snapshot batches + 1 diff batch, got ${batches.keySet}")
+    val snapRows = (0 until chunks).flatMap(i => batches(i.toLong))
+    assert(snapRows.forall(r => r._1 == "insert" && r._4 == c1),
+      "bootstrap batches must be pure base-snapshot inserts")
+    // each chunk touches at most 3 DISTINCT buckets — the bounded-I/O
+    // claim, asserted through the same hash the table buckets by
+    (0 until chunks).foreach { i =>
+      val bs = batches(i.toLong).map(r => bucketOfKey(r._2)).distinct
+      assert(bs.size <= 3, s"chunk $i read ${bs.size} buckets: $bs")
+    }
+    // the union is the exact base snapshot: every key once, base values
+    assert(snapRows.map(r => (r._2, r._3)).sorted ==
+      (0 until 100).map(i => (s"k$i", i.toLong)).sorted,
+      "chunks must cover the base snapshot exactly once (no loss, no dup)")
+    // then the pending commit's diff flows as an ordinary capped batch
+    assert(batches(chunks.toLong).toSet == Set(
+      ("update_preimage", "k5", 5L, c2), ("update_postimage", "k5", -5L, c2)))
+
+    // replica parity end-to-end
+    val replica = scala.collection.mutable.Map.empty[String, Long]
+    batches.keys.toSeq.sorted.foreach(id => batches(id).foreach {
+      case ("insert", k, v, _) => replica(k) = v
+      case ("update_postimage", k, v, _) => replica(k) = v
+      case ("delete", k, _, _) => replica.remove(k); ()
+      case _ => ()
+    })
+    assert(replica.toMap == t.read().get.as[(String, Long)].collect().toMap)
+  }
+
   test("batch-0 replay after restart diffs from the PERSISTED base, not today's latest") {
     val s = spark
     import s.implicits._
