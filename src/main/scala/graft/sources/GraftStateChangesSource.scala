@@ -362,7 +362,11 @@ private[sources] class GraftStateChangesSource(
     // (the lookup refuses loudly otherwise, the feed's standard
     // retention contract).
     val snapshotLeg: Option[DataFrame] =
-      if (chunked) {
+      // `from < base` gates BOTH the leg and the lazy chunk-list
+      // evaluation: a post-bootstrap batch must never consult the base
+      // manifest again (it may legitimately have pruned by then —
+      // only bootstrap-phase batches need it retained)
+      if (chunked && from < base) {
         val lo = math.max(from, bootstrapStart)
         val hi = math.min(to, base)
         if (lo >= hi) None
