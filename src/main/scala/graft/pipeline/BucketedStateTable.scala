@@ -647,12 +647,16 @@ class BucketedStateTable(
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), rowSchema)
     val sameLayout = mFrom.manifestNumBuckets == mTo.manifestNumBuckets
-    // changed buckets in the TO layout: pointer-compare within one
-    // layout; across a splitBuckets chain, per-segment pointer diffs
-    // mapped up through the parent→children relation (still never
-    // reading a byte of unchanged data)
+    // The pointer-compare fast path gates on NO RELAYOUT IN THE RANGE,
+    // not on endpoint layout equality: a split+coalesce round trip
+    // (8→16→8) has equal endpoints but rewrote every bucket twice, so
+    // the plain pointer diff would mark ALL buckets changed and read
+    // the whole table to net out nothing — the segment walk instead
+    // sees the relayout rewrites as segment EDGES (zero contribution)
+    // and keeps the diff pruned to the genuinely touched buckets.
+    val walked = splitsIn(mFrom.commitId, mTo.commitId).nonEmpty || !sameLayout
     val (changed: Seq[Int], fromBuckets: Seq[Int]) =
-      if (sameLayout) {
+      if (!walked) {
         val c = (mFrom.buckets.keySet ++ mTo.buckets.keySet).toSeq
           .filter(b => mFrom.buckets.get(b) != mTo.buckets.get(b)).sorted
         // one layout: the from-side buckets ARE the changed buckets
@@ -665,11 +669,11 @@ class BucketedStateTable(
     // new column gained a value diffs as an update with a null-column
     // preimage — exactly what a consumer must apply
     val oldRaw = readFrom(mFrom, fromBuckets).getOrElse(empty)
-    // under a split chain a parent bucket also holds rows of UNCHANGED
-    // children (not read on the to-side) — without this filter each
-    // would surface as a phantom delete
+    // under a relayout chain a from-side bucket can also hold rows of
+    // UNCHANGED to-side buckets (not read on the to-side) — without
+    // this filter each would surface as a phantom delete
     val oldScoped =
-      if (sameLayout) oldRaw
+      if (!walked) oldRaw
       else oldRaw.filter(
         pmod(xxhash64(effBucketCols.map(col): _*),
             lit(mTo.manifestNumBuckets.toLong)).cast("int")
@@ -737,21 +741,26 @@ class BucketedStateTable(
     * null-overwrite the narrow-writer contract exists to prevent).
     * `like` only shapes the result for a never-committed table (no
     * manifest) or a pre-schema-line manifest. */
-  private def readBucketsOrEmpty(buckets: Seq[Int], like: DataFrame): DataFrame =
-    readBucketsWithBase(buckets, like)._1
-
-  /** [[readBucketsOrEmpty]] plus the manifest the read RESOLVED — the
-    * mutation's plan-time base. [[commit]] conditions its publish on
-    * exactly this manifest, so the conflict check covers the whole
-    * mutation window (plan → publish), not just the publish itself: a
-    * foreign commit landing anywhere inside it is either rebased over
-    * (bucket-disjoint) or withdrawn from (overlapping), never silently
-    * overwritten with rows merged against its predecessor's content. */
+  /** The listed buckets' current rows plus the manifest the read
+    * RESOLVED — the mutation's plan-time base. [[commit]] conditions
+    * its publish on exactly this manifest, so the conflict check
+    * covers the whole mutation window (plan → publish), not just the
+    * publish itself: a foreign commit landing anywhere inside it is
+    * either rebased over (bucket-disjoint) or withdrawn from
+    * (overlapping), never silently overwritten with rows merged
+    * against its predecessor's content. */
   private def readBucketsWithBase(buckets: Seq[Int],
       like: DataFrame): (DataFrame, Option[Manifest]) =
     currentManifest() match {
       case None => (like.limit(0), None)
       case Some(m) =>
+        // an empty slice of an EXISTING table shapes from the
+        // manifest's RECORDED schema, not from `like`: a post-widenTo
+        // narrow writer whose dirty buckets are all empty would
+        // otherwise present a narrow "current" to the merge alignment
+        // and the commit would record the narrow schema — silently
+        // dropping the freshly widened column from every later read.
+        // `like` only shapes a pre-schema-line manifest's fallback.
         val df = readFrom(m, buckets).getOrElse {
           m.schemaJson
             .map(j => spark.createDataFrame(
@@ -903,6 +912,15 @@ class BucketedStateTable(
             }
           }
           if (!eligible) throw e
+          // a concurrent writer's prune may have reaped our data dir —
+          // it is an ORPHAN until a manifest lands (a zero floor reaps
+          // orphans immediately; a positive floor only condemns, and
+          // the post-publish prune un-condemns live dirs). Republishing
+          // pointers to deleted files would be durable corruption where
+          // withdrawing is merely a retry — verify before rebasing.
+          if (written.nonEmpty &&
+              !fs.exists(new Path(dataDir, f"c$next%08d")))
+            throw e
           rebases += 1
           base = head
       }
@@ -969,6 +987,20 @@ class BucketedStateTable(
             condemnOrReap(s"d$i", s.getPath, recursive = true, now)
           case _ => ()
         }
+      }
+    // UN-condemn any data dir that became live again: a rebased publish
+    // adopts a directory that was an orphan (and possibly condemned by
+    // a concurrent writer's prune) during its publish window. A
+    // lingering marker would age past the retention floor while the dir
+    // is live, and the INSTANT the dir is next unreferenced it would be
+    // reaped with zero floor — stranding a reader who resolved its last
+    // referencing manifest moments earlier.
+    if (fs.exists(condemnedDir))
+      fs.listStatus(condemnedDir).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("d") && n.drop(1).forall(_.isDigit) &&
+            live.contains(n.drop(1).toLong))
+          fs.delete(s.getPath, false)
       }
   }
 

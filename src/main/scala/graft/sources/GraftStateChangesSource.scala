@@ -179,6 +179,39 @@ class GraftStateChangesProvider extends StreamSourceProvider
             "bootstrap — set initialSnapshot=true with it")
         m
       }
+    // The snapshot cap DEFINES the bootstrap offset space (chunk count
+    // and boundaries), so it is pinned per checkpoint lineage exactly
+    // like the base commit: recorded at first creation, and any later
+    // (re)start must present the same value — a silently different cap
+    // would remap checkpointed offsets onto different bucket chunks,
+    // skipping or duplicating snapshot data. Dropping the option while
+    // the record exists refuses too (a mid-bootstrap restart without it
+    // would silently abandon the unseeded chunks).
+    val capFile = new Path(metadataPath, "graft-changes-snapshot-cap")
+    val recordedCap: Option[Int] =
+      if (fs.exists(capFile)) {
+        val in = fs.open(capFile)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toInt)
+        finally in.close()
+      } else None
+    (maxSnapBuckets, recordedCap) match {
+      case (Some(m), Some(r)) =>
+        require(m == r,
+          s"maxSnapshotBucketsPerTrigger=$m differs from this " +
+            s"checkpoint's recorded cap $r — bootstrap chunk offsets are " +
+            "defined by the recorded value; keep it, or reseed with a " +
+            "fresh checkpoint")
+      case (Some(m), None) =>
+        val out = fs.create(capFile, false) // atomic create-if-absent
+        try out.write(s"$m\n".getBytes("UTF-8")) finally out.close()
+      case (None, Some(r)) =>
+        throw new IllegalArgumentException(
+          s"this checkpoint recorded a chunked bootstrap " +
+            s"(maxSnapshotBucketsPerTrigger=$r) — keep the option on " +
+            "every (re)start, or reseed with a fresh checkpoint")
+      case (None, None) => ()
+    }
     new GraftStateChangesSource(spark, path, base, feedSchema(rowSchema),
       initialSnapshot =
         parameters.get("initialSnapshot").exists(_.toBoolean),
@@ -264,8 +297,11 @@ private[sources] class GraftStateChangesSource(
 
   @volatile private var admittedFloor: Option[Long] = None
 
-  private def readFloor(): Long = admittedFloor.getOrElse {
-    val v = floorFile.flatMap { f =>
+  /** The persisted floor alone (no defaulting, no refusal) — what
+    * [[ratchetFloor]] compares against from inside getBatch, where the
+    * engine-provided batch end IS the authoritative position. */
+  private def readPersistedFloor(): Option[Long] =
+    floorFile.flatMap { f =>
       val fs = f.getFileSystem(conf)
       if (!fs.exists(f)) None
       else {
@@ -274,16 +310,54 @@ private[sources] class GraftStateChangesSource(
           .mkString.trim.toLong)
         finally in.close()
       }
+    }
+
+  private def readFloor(): Long = admittedFloor.getOrElse {
+    val v = readPersistedFloor().getOrElse {
+      // No floor on record: fine for a brand-new stream (position = the
+      // bootstrap start / base), DANGEROUS for a checkpoint with prior
+      // progress — admitting from the base would hand the engine an
+      // offset BELOW its committed position, and as the floor walked
+      // back up every in-between commit would re-emit as duplicates.
+      // Detect prior progress via the engine's own offsets dir
+      // (existence only, no log parsing) and refuse with the recipe.
+      // Every getBatch persists the floor (capped or not), so any
+      // checkpoint that ran one batch under this version carries one —
+      // this catches caps newly enabled on a pre-admission-control
+      // checkpoint, and a floor lost to the rename fallback's window.
+      if (maxCommitsPerTrigger.isDefined || chunked)
+        metadataPath.foreach { mp =>
+          val offsets = new Path(new Path(mp).getParent.getParent, "offsets")
+          val fs = offsets.getFileSystem(conf)
+          val hasProgress =
+            try fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
+            catch { case _: java.io.IOException => false }
+          if (hasProgress)
+            throw new IllegalStateException(
+              s"graft-state-changes at $path: admission control " +
+                "(maxCommitsPerTrigger / maxSnapshotBucketsPerTrigger) " +
+                "is set on a checkpoint with prior progress but no " +
+                "admitted-floor record — admitting from the base would " +
+                "re-emit already-processed commits as duplicates. Run " +
+                "the stream once WITHOUT the cap (any batch persists " +
+                "the floor), then re-enable it")
+        }
       // a truly fresh chunked-bootstrap stream starts below base; any
       // progress at all persists a floor, so the chunk list is only
       // computed while the base commit must be retained anyway
-    }.getOrElse(if (chunked) bootstrapStart else base)
+      if (chunked) bootstrapStart else base
+    }
     admittedFloor = Some(v)
     v
   }
 
-  private def ratchetFloor(to: Long): Unit =
-    if ((maxCommitsPerTrigger.isDefined || chunked) && to > readFloor()) {
+  private def ratchetFloor(to: Long): Unit = {
+    // cache-first (only this source writes the file); the one uncached
+    // read is a restart's first getBatch. Never goes through
+    // readFloor() — the engine-provided batch end IS the position, so
+    // no refusal/defaulting applies here.
+    val cur = admittedFloor.orElse(readPersistedFloor())
+    if (cur.forall(to > _)) {
       admittedFloor = Some(to)
       floorFile.foreach { f =>
         val fs = f.getFileSystem(conf)
@@ -295,7 +369,8 @@ private[sources] class GraftStateChangesSource(
           fs.rename(tmp, f)
         }
       }
-    }
+    } else if (admittedFloor.isEmpty) admittedFloor = cur
+  }
 
   override def getOffset: Option[Offset] = {
     val floor = readFloor()

@@ -389,6 +389,56 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(t.readAt(stats.commitId).get.count() == 3L)
     assert(t.readAt(foreignCommit).get.as[(String, Long)].collect().toSet ==
       Set((s"seed-$ourKey", 0L), (theirKey, 99L)))
+
+    // the foreign commit's prune CONDEMNED our then-orphan data dir;
+    // our rebase made it live — the marker must be gone (a lingering
+    // one would age past the floor and reap the dir with ZERO floor
+    // the moment it is next unreferenced)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val liveDataIds = BucketedStateTable.snapshotPaths(conf, s"$dir/state")
+      .map(p => p.replaceAll(".*/data/c", "").replaceAll("/.*", "").toLong)
+      .toSet
+    val condemned = Option(new java.io.File(s"$dir/state/_condemned")
+      .listFiles()).toSeq.flatten.map(_.getName)
+    val staleMarkers = condemned.filter(m =>
+      m.startsWith("d") && m.drop(1).forall(_.isDigit) &&
+        liveDataIds.contains(m.drop(1).toLong))
+    assert(staleMarkers.isEmpty,
+      s"live data dirs must not stay condemned, found markers $staleMarkers")
+  }
+
+  test("a rebase never republishes pointers to data a concurrent prune reaped (zero floor); the retry lands") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // ZERO retention floor: the foreign commit's prune deletes our
+    // not-yet-published (orphan) data dir instantly — the rebase must
+    // detect that and withdraw rather than publish pointers to deleted
+    // files (durable corruption vs a mere retry)
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, keepCommits = 10,
+      retentionFloorMillis = 0L)
+    val pools = keysByBucket((1 to 64).map(i => s"k$i"), 8)
+    val ourKey = pools(pools.keys.min).head
+    val theirKey = pools(pools.keys.max).head
+    t.merge(Seq((s"seed-$ourKey", 0L)).toDF("k", "v"), keys = Seq("k"))
+    val t2 = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, keepCommits = 10,
+      retentionFloorMillis = 0L, leaseStore = Some(new InMemoryCasStore))
+    t.beforePublish = () => {
+      t.beforePublish = () => ()
+      t2.merge(Seq((theirKey, 99L)).toDF("k", "v"), keys = Seq("k"))
+    }
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.merge(Seq((ourKey, 2L)).toDF("k", "v"), keys = Seq("k"))
+    }
+    assert(ex.getMessage.contains("retry"), ex.getMessage)
+    // nothing corrupted: every surviving pointer resolves, and the
+    // retry simply lands
+    assert(t.read().get.count() == 2L)
+    t.merge(Seq((ourKey, 2L)).toDF("k", "v"), keys = Seq("k"))
+    assert(t.read().get.as[(String, Long)].collect().toSet ==
+      Set((s"seed-$ourKey", 0L), (theirKey, 99L), (ourKey, 2L)))
   }
 
   test("relayout race: a merge racing a splitBuckets withdraws; its retry lands on the NEW layout; the feed stays exact") {
@@ -837,6 +887,35 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(Seq("k1", "k2", "k3", "k4").forall(k => feed.exists(_._2 == k)))
     // and time travel resolves through the whole signed chain
     assert(t2.readAt(c1).get.count() == 300L)
+  }
+
+  test("a split+coalesce ROUND TRIP inside the range stays bucket-pruned (equal endpoints must not fool the fast path)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t8 = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, keepCommits = 30,
+      retentionFloorMillis = 60_000L)
+    t8.merge((1L to 400L).map(i => (s"k$i", i)).toDF("k", "v"), keys = Seq("k"))
+    val c1 = t8.commits().last
+    // 8 -> 16 -> 8: endpoint layouts EQUAL, but both relayouts rewrote
+    // every bucket — a plain endpoint pointer-compare would mark ALL
+    // buckets changed and read the whole table to net out one key
+    val t16 = t8.splitBuckets(2)
+    val tBack = t16.coalesceBuckets(2)
+    tBack.merge(Seq(("k2", -2L)).toDF("k", "v"), keys = Seq("k"))
+    val diff = tBack.changesBetween(c1, tBack.commits().last)
+    assert(diff.as[(String, String, Long)].collect().toSet == Set(
+      ("update_preimage", "k2", 2L), ("update_postimage", "k2", -2L)))
+    val touchedDirs = diff.inputFiles.toSeq
+      .map(_.replaceAll(".*__bucket=", "").replaceAll("/.*", "").toInt)
+      .distinct
+    assert(touchedDirs.size <= 3,
+      s"a round-trip diff must stay pruned to the touched lineage, " +
+        s"read __bucket=$touchedDirs")
+    // and a range spanning ONLY the round trip nets to zero rows
+    assert(tBack.changesBetween(c1, tBack.commits().dropRight(1).last)
+      .count() == 0L)
   }
 
   test("replaceAll swaps the whole contents in one commit; history stays time-travelable") {

@@ -162,6 +162,77 @@ class GraftStateChangesSpec extends SparkSpec {
       t.read().get.as[(String, Long)].collect().toMap)
   }
 
+  test("enabling maxCommitsPerTrigger on an existing checkpoint stays exactly-once; a lost floor refuses loudly") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val t = new BucketedStateTable(spark, s"$root/state",
+      keyCols = Seq("k"), numBuckets = 4, keepCommits = 30,
+      retentionFloorMillis = 60_000L)
+    t.merge(Seq(("base", 0L)).toDF("k", "v"), keys = Seq("k"))
+    val c1 = t.commits().last
+    t.merge(Seq(("k1", 1L)).toDF("k", "v"), keys = Seq("k"))
+
+    val batches = TrieMap.empty[Long, Seq[Change]]
+    def startQ(cap: Option[Int]) = {
+      val r0 = spark.readStream.format("graft-state-changes")
+        .option("startingCommit", c1)
+      cap.fold(r0)(m => r0.option("maxCommitsPerTrigger", m.toString))
+        .load(s"$root/state")
+        .writeStream
+        .option("checkpointLocation", s"$root/ck")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches.put(id, df.as[Change].collect().toSeq)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+        .start()
+    }
+
+    // phase 1: an UNCAPPED run processes history (and, with this
+    // version, persists the admitted floor as a side effect)
+    val q1 = startQ(None)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(batches.values.flatten.exists(_._2 == "k1"))
+
+    // phase 2: a 5-commit backlog, then a restart WITH the cap — the
+    // floor keeps the admission above the engine's position, so the
+    // backlog drains capped and NOTHING already processed re-emits
+    batches.clear()
+    (2 to 6).foreach(i =>
+      t.merge(Seq((s"k$i", i.toLong)).toDF("k", "v"), keys = Seq("k")))
+    val q2 = startQ(Some(2))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.size == 3,
+      s"5 commits under cap 2 must drain in 3 batches, got ${batches.keySet}")
+    val emitted = batches.values.flatten.map(_._2).toSet
+    assert(emitted == (2 to 6).map(i => s"k$i").toSet,
+      s"no re-emission of processed commits allowed, got $emitted")
+
+    // phase 3: the floor file vanishes (pre-admission-control
+    // checkpoint / the rename fallback's crash window) — the engine's
+    // restart protocol SELF-HEALS it: the last committed batch's
+    // getBatch replays first and re-ratchets the floor to the
+    // committed position, so the capped restart emits NOTHING already
+    // processed and keeps the cap (the readFloor refusal stays as
+    // defense-in-depth for an engine that skips the replay)
+    val floor = new java.io.File(s"$root/ck/sources/0/graft-changes-admitted")
+    assert(floor.exists(),
+      "every getBatch must persist the floor, capped or not")
+    Files.delete(floor.toPath)
+    batches.clear()
+    (7 to 9).foreach(i =>
+      t.merge(Seq((s"k$i", i.toLong)).toDF("k", "v"), keys = Seq("k")))
+    val q3 = startQ(Some(2))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(batches.size == 2,
+      s"3 commits under cap 2 must drain in 2 batches, got ${batches.keySet}")
+    assert(batches.values.flatten.map(_._2).toSet ==
+      (7 to 9).map(i => s"k$i").toSet,
+      "a healed floor must not re-emit processed commits")
+    assert(floor.exists(), "the replayed getBatch must re-persist the floor")
+  }
+
   test("maxSnapshotBucketsPerTrigger seeds a replica in bounded bucket chunks; a mid-bootstrap crash resumes exactly") {
     val s = spark
     import s.implicits._
@@ -185,10 +256,14 @@ class GraftStateChangesSpec extends SparkSpec {
 
     val batches = TrieMap.empty[Long, Seq[Change]]
     @volatile var failOnce = true
-    def startQ() = spark.readStream.format("graft-state-changes")
-      .option("startingCommit", c1)
-      .option("initialSnapshot", "true")
-      .option("maxSnapshotBucketsPerTrigger", "3")
+    def readerWith(snapCap: Option[Int]) = {
+      val r0 = spark.readStream.format("graft-state-changes")
+        .option("startingCommit", c1)
+        .option("initialSnapshot", "true")
+      snapCap.fold(r0)(m =>
+        r0.option("maxSnapshotBucketsPerTrigger", m.toString))
+    }
+    def startQWith(snapCap: Option[Int]) = readerWith(snapCap)
       .option("maxCommitsPerTrigger", "1")
       .load(s"$root/state")
       .writeStream
@@ -205,10 +280,10 @@ class GraftStateChangesSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       .start()
 
-    val q = startQ()
+    val q = startQWith(Some(3))
     intercept[Exception] { q.processAllAvailable() }
     q.stop()
-    val q2 = startQ()
+    val q2 = startQWith(Some(3))
     try q2.processAllAvailable() finally q2.stop()
 
     // ⌈populated/3⌉ snapshot chunks then exactly one capped diff batch
@@ -240,6 +315,28 @@ class GraftStateChangesSpec extends SparkSpec {
       case _ => ()
     })
     assert(replica.toMap == t.read().get.as[(String, Long)].collect().toMap)
+
+    // the recorded cap PINS the bootstrap offset space: a different
+    // value (or dropping the option) on the same checkpoint refuses —
+    // it would remap checkpointed offsets onto different bucket chunks
+    def messagesOf(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    t.merge(Seq(("k5", 55L)).toDF("k", "v"), keys = Seq("k"))
+    val qBad = startQWith(Some(5))
+    val badErr = intercept[Exception] { qBad.processAllAvailable() }
+    qBad.stop()
+    assert(messagesOf(badErr).contains("recorded cap"), messagesOf(badErr))
+    val qDrop = startQWith(None)
+    val dropErr = intercept[Exception] { qDrop.processAllAvailable() }
+    qDrop.stop()
+    assert(messagesOf(dropErr).contains("recorded a chunked bootstrap"),
+      messagesOf(dropErr))
+    // the matching cap keeps tailing normally
+    val q5 = startQWith(Some(3))
+    try q5.processAllAvailable() finally q5.stop()
+    assert(batches.values.flatten.exists(r =>
+      r._1 == "update_postimage" && r._2 == "k5" && r._3 == 55L))
   }
 
   test("batch-0 replay after restart diffs from the PERSISTED base, not today's latest") {
