@@ -66,8 +66,14 @@ import graft.operators.StateOps
   * tombstone-rename election are its strongest primitives).
   * CORRECTNESS never rests on the lease either way: even with two
   * live writers, the manifest `basedOn` conflict check in
-  * [[writeManifest]] makes the loser's publish fail — the lease only
-  * converts retry storms into waiting. A transactional format
+  * [[writeManifest]] makes the loser's publish fail (or rebase, when
+  * bucket-disjoint) — the lease only converts retry storms into
+  * waiting. Lease-blind concurrency additionally requires a POSITIVE
+  * `retentionFloorMillis`: a zero floor reaps unreferenced data
+  * instantly, so a concurrent prune can race an in-flight publish's
+  * adoption of its own (still-orphan) data directory — condemn-then-
+  * reap plus the un-condemn pass close that window, but only the
+  * floor gives them time to act. A transactional format
   * (Delta/Iceberg) is the production answer where available; this
   * lease gives plain parquet the same single-writer discipline.
   */
@@ -479,13 +485,32 @@ class BucketedStateTable(
   private def currentCommitIdOrZero(): Long =
     manifestFiles().lastOption.map(_._1).getOrElse(0L)
 
-  /** The splitBuckets manifests in `(fromId, toId]`, oldest first. */
-  private def splitsIn(fromId: Long, toId: Long): Seq[Manifest] =
-    manifestFiles()
+  /** `(id, length, mtime)` → parsed manifest. A manifest file is
+    * immutable once published; a WITHDRAWN id can be reused by a later
+    * publish, but never with the same length+mtime pair, so the key is
+    * re-read-safe. This keeps the relayout probe — which every
+    * [[changesBetween]] runs over its whole commit range — a pure
+    * lookup instead of O(range) manifest reads per diff on the feed's
+    * hot path (an object store pays a GET per read). Bounded by a
+    * clear-on-overflow: retained manifests are few, the cache only
+    * ever holds this table's. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long, Long), Manifest]()
+
+  /** The relayout (split/coalesce) manifests in `(fromId, toId]`,
+    * oldest first. */
+  private def splitsIn(fromId: Long, toId: Long): Seq[Manifest] = {
+    if (manifestCache.size > 256) manifestCache.clear()
+    BucketedStateTable.listManifests(fs, root)
       .filter { case (id, _) => id > fromId && id <= toId }
-      .map { case (_, p) => readManifest(p, checkLayout = false) }
+      .map { case (id, st) =>
+        manifestCache.computeIfAbsent(
+          (id, st.getLen, st.getModificationTime),
+          _ => readManifest(st.getPath, checkLayout = false))
+      }
       .filter(_.splitFactor.isDefined)
       .sortBy(_.commitId)
+  }
 
   /** True iff `mOld`'s layout chains into `toBuckets` through the
     * recorded relayout factors between it and `toId` — a SIGNED factor
@@ -731,16 +756,6 @@ class BucketedStateTable(
   override def readOrEmpty(like: DataFrame): DataFrame =
     read().getOrElse(like.limit(0))
 
-  /** The listed buckets' current rows — the only state a bucket-pruned
-    * mutation reads. When the buckets hold no data, the empty frame is
-    * shaped from the manifest's RECORDED schema, not from `like`: a
-    * post-[[widenTo]] narrow writer whose dirty buckets are all empty
-    * would otherwise present a narrow "current" to the merge alignment,
-    * and the commit would record the narrow schema — silently dropping
-    * the freshly widened column from every subsequent read (the exact
-    * null-overwrite the narrow-writer contract exists to prevent).
-    * `like` only shapes the result for a never-committed table (no
-    * manifest) or a pre-schema-line manifest. */
   /** The listed buckets' current rows plus the manifest the read
     * RESOLVED — the mutation's plan-time base. [[commit]] conditions
     * its publish on exactly this manifest, so the conflict check
@@ -876,6 +891,20 @@ class BucketedStateTable(
         writeManifest(Manifest(manifestId,
           prev -- dirty ++ written.map(_ -> next),
           Some(rows.schema.json)), basedOn)
+        // TOCTOU backstop for a REBASED publish: a concurrent prune
+        // whose live set was computed before this manifest appeared
+        // can reap the adopted (then-orphan) data dir between the
+        // eligibility check and the rename — self-withdraw rather
+        // than leave a manifest pointing at deleted files (only a
+        // ZERO retention floor deletes instantly; a positive floor
+        // closes this via condemn-then-reap + the un-condemn pass)
+        if (rebases > 0 && written.nonEmpty &&
+            !fs.exists(new Path(dataDir, f"c$next%08d"))) {
+          fs.delete(new Path(commitsDir, f"c$manifestId%08d.txt"), false)
+          throw new java.util.ConcurrentModificationException(
+            s"commit $manifestId adopted data c$next that a concurrent " +
+              "prune reaped mid-rebase and was withdrawn; retry the mutation")
+        }
         prune()
         val stats = CommitStats(manifestId, dirty, written, rebases)
         last = Some(stats)
@@ -912,15 +941,24 @@ class BucketedStateTable(
             }
           }
           if (!eligible) throw e
-          // a concurrent writer's prune may have reaped our data dir —
-          // it is an ORPHAN until a manifest lands (a zero floor reaps
-          // orphans immediately; a positive floor only condemns, and
-          // the post-publish prune un-condemns live dirs). Republishing
-          // pointers to deleted files would be durable corruption where
-          // withdrawing is merely a retry — verify before rebasing.
-          if (written.nonEmpty &&
-              !fs.exists(new Path(dataDir, f"c$next%08d")))
-            throw e
+          if (written.nonEmpty) {
+            // adoption hygiene: the racing writer's prune may have
+            // CONDEMNED our then-orphan data dir (positive floor);
+            // clear the marker BEFORE publishing, so even a crash
+            // right after the rename cannot leave a LIVE dir carrying
+            // an aging marker (which would reap it floor-less the
+            // moment it is next unreferenced)
+            try fs.delete(new Path(condemnedDir, s"d$next"), false)
+            catch { case _: java.io.IOException => () }
+            // and a ZERO floor reaps orphans instantly — republishing
+            // pointers to deleted files would be durable corruption
+            // where withdrawing is merely a retry. (The residual
+            // check-to-rename window is re-verified after the publish
+            // above; fully closing it needs a positive floor, the
+            // documented requirement for lease-blind concurrency.)
+            if (!fs.exists(new Path(dataDir, f"c$next%08d")))
+              throw e
+          }
           rebases += 1
           base = head
       }

@@ -181,20 +181,36 @@ class GraftStateChangesProvider extends StreamSourceProvider
       }
     // The snapshot cap DEFINES the bootstrap offset space (chunk count
     // and boundaries), so it is pinned per checkpoint lineage exactly
-    // like the base commit: recorded at first creation, and any later
-    // (re)start must present the same value — a silently different cap
-    // would remap checkpointed offsets onto different bucket chunks,
+    // like the base commit: recorded at FIRST creation — and only on a
+    // genuinely fresh checkpoint; enabling a chunked bootstrap on a
+    // checkpoint with prior progress is meaningless (its snapshot
+    // already emitted un-chunked) and recording the cap there would
+    // wedge the checkpoint between two refusals. Any later (re)start
+    // must present the recorded value — a silently different cap would
+    // remap checkpointed offsets onto different bucket chunks,
     // skipping or duplicating snapshot data. Dropping the option while
-    // the record exists refuses too (a mid-bootstrap restart without it
-    // would silently abandon the unseeded chunks).
+    // the record exists refuses only MID-bootstrap (it would abandon
+    // the unseeded chunks); once the admitted floor reached the base
+    // commit the walk is complete and the option no longer matters.
     val capFile = new Path(metadataPath, "graft-changes-snapshot-cap")
-    val recordedCap: Option[Int] =
-      if (fs.exists(capFile)) {
-        val in = fs.open(capFile)
+    def smallLong(p: Path): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
         try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim.toInt)
+          .mkString.trim.toLong)
         finally in.close()
-      } else None
+      }
+    val recordedCap: Option[Int] = smallLong(capFile).map(_.toInt)
+    def hasPriorProgress: Boolean = {
+      val offsets = new Path(new Path(metadataPath).getParent.getParent,
+        "offsets")
+      try fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
+      catch { case _: java.io.IOException => false }
+    }
+    def bootstrapDone: Boolean =
+      smallLong(new Path(metadataPath, "graft-changes-admitted"))
+        .exists(_ >= base)
     (maxSnapBuckets, recordedCap) match {
       case (Some(m), Some(r)) =>
         require(m == r,
@@ -202,15 +218,22 @@ class GraftStateChangesProvider extends StreamSourceProvider
             s"checkpoint's recorded cap $r — bootstrap chunk offsets are " +
             "defined by the recorded value; keep it, or reseed with a " +
             "fresh checkpoint")
+      case (Some(_), None) if hasPriorProgress =>
+        throw new IllegalArgumentException(
+          "cannot enable a chunked bootstrap " +
+            "(maxSnapshotBucketsPerTrigger) on a checkpoint with prior " +
+            "progress — its base snapshot already emitted un-chunked; " +
+            "reseed with a fresh checkpoint to re-bootstrap in chunks")
       case (Some(m), None) =>
         val out = fs.create(capFile, false) // atomic create-if-absent
         try out.write(s"$m\n".getBytes("UTF-8")) finally out.close()
-      case (None, Some(r)) =>
+      case (None, Some(r)) if !bootstrapDone =>
         throw new IllegalArgumentException(
           s"this checkpoint recorded a chunked bootstrap " +
-            s"(maxSnapshotBucketsPerTrigger=$r) — keep the option on " +
-            "every (re)start, or reseed with a fresh checkpoint")
-      case (None, None) => ()
+            s"(maxSnapshotBucketsPerTrigger=$r) that has not finished — " +
+            "keep the option until the walk reaches the base commit, or " +
+            "reseed with a fresh checkpoint")
+      case _ => () // no cap anywhere, or dropped after a completed walk
     }
     new GraftStateChangesSource(spark, path, base, feedSchema(rowSchema),
       initialSnapshot =

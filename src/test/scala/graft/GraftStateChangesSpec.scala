@@ -280,9 +280,27 @@ class GraftStateChangesSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       .start()
 
+    def messagesOf(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+
     val q = startQWith(Some(3))
     intercept[Exception] { q.processAllAvailable() }
     q.stop()
+
+    // MID-bootstrap the recorded cap pins the chunk space: restarting
+    // with a different value (or without the option — that would
+    // abandon the unseeded chunks) refuses
+    val qBad = startQWith(Some(5))
+    val badErr = intercept[Exception] { qBad.processAllAvailable() }
+    qBad.stop()
+    assert(messagesOf(badErr).contains("recorded cap"), messagesOf(badErr))
+    val qDrop = startQWith(None)
+    val dropErr = intercept[Exception] { qDrop.processAllAvailable() }
+    qDrop.stop()
+    assert(messagesOf(dropErr).contains("has not finished"),
+      messagesOf(dropErr))
+
     val q2 = startQWith(Some(3))
     try q2.processAllAvailable() finally q2.stop()
 
@@ -316,24 +334,10 @@ class GraftStateChangesSpec extends SparkSpec {
     })
     assert(replica.toMap == t.read().get.as[(String, Long)].collect().toMap)
 
-    // the recorded cap PINS the bootstrap offset space: a different
-    // value (or dropping the option) on the same checkpoint refuses —
-    // it would remap checkpointed offsets onto different bucket chunks
-    def messagesOf(e: Throwable): String =
-      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    // POST-bootstrap the walk is complete, so the option may be
+    // dropped — the stream keeps tailing the diff phase normally
     t.merge(Seq(("k5", 55L)).toDF("k", "v"), keys = Seq("k"))
-    val qBad = startQWith(Some(5))
-    val badErr = intercept[Exception] { qBad.processAllAvailable() }
-    qBad.stop()
-    assert(messagesOf(badErr).contains("recorded cap"), messagesOf(badErr))
-    val qDrop = startQWith(None)
-    val dropErr = intercept[Exception] { qDrop.processAllAvailable() }
-    qDrop.stop()
-    assert(messagesOf(dropErr).contains("recorded a chunked bootstrap"),
-      messagesOf(dropErr))
-    // the matching cap keeps tailing normally
-    val q5 = startQWith(Some(3))
+    val q5 = startQWith(None)
     try q5.processAllAvailable() finally q5.stop()
     assert(batches.values.flatten.exists(r =>
       r._1 == "update_postimage" && r._2 == "k5" && r._3 == 55L))
