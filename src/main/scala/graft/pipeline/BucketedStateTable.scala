@@ -1292,6 +1292,27 @@ class BucketedStateTable(
       ()
     } }
 
+  /** Publish the CREATING commit — an empty snapshot under `rowSchema`
+    * — iff the table has NEVER committed. Unlike [[replaceAll]] (whose
+    * full-rewrite semantics overwrite unconditionally), the publish is
+    * fenced on `basedOn = 0`, so two lease-blind racing creators
+    * resolve to exactly ONE winner: the loser's publish sees the
+    * winner's manifest and fails loudly instead of silently emptying a
+    * table the winner already filled — the check-then-act window a SQL
+    * `CREATE TABLE` / CTAS pair would otherwise race through. */
+  def createExclusive(rowSchema: org.apache.spark.sql.types.StructType): Unit =
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      if (currentManifest().nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"table at $path already has a committed snapshot — " +
+            "createExclusive is the creating commit only")
+      val next = nextCommitId()
+      beforePublish()
+      writeManifest(Manifest(next, Map.empty, Some(rowSchema.json)),
+        basedOn = 0L)
+      last = Some(CommitStats(next, Nil, Nil))
+    } }
+
   /** Read-transform-replace as ONE exclusive operation: `f` maps the
     * current snapshot to the new contents, and BOTH the read and the
     * replacing commit happen under the lock + lease — a caller doing

@@ -99,11 +99,24 @@ class GraftStateChangesProvider extends StreamSourceProvider
 
   override def shortName(): String = "graft-state-changes"
 
-  private def feedSchema(rowSchema: StructType): StructType =
+  private def feedSchema(rowSchema: StructType): StructType = {
+    // the feed ADDS these two columns; a table that already has one
+    // would produce a duplicate-name stream schema that crash-loops
+    // with an ambiguous-reference error at the first batch — refuse at
+    // creation with the actual cause instead
+    val clash = rowSchema.fieldNames
+      .filter(GraftStateChangesSource.ReservedCols.contains)
+    require(clash.isEmpty,
+      s"graft-state-changes reserves column name(s) " +
+        s"${GraftStateChangesSource.ReservedCols.mkString(", ")} for the " +
+        s"feed envelope, but the table's schema already has " +
+        s"${clash.mkString(", ")} — rename the column(s) to stream this " +
+        "table's changes")
     StructType(
       StructField("change_type", StringType, nullable = false) +:
         rowSchema.fields :+
         StructField("_commit_id", LongType, nullable = false))
+  }
 
   private def tablePath(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -143,11 +156,7 @@ class GraftStateChangesProvider extends StreamSourceProvider
     val baseFile = new Path(metadataPath, "graft-changes-base")
     val fs = baseFile.getFileSystem(conf)
     val base: Long =
-      if (fs.exists(baseFile)) {
-        val in = fs.open(baseFile)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      } else {
+      GraftStateChangesSource.readSmallLong(fs, baseFile).getOrElse {
         val commits = BucketedStateTable.snapshotCommits(conf, path)
         require(commits.nonEmpty,
           s"graft-state-changes at $path: table has no commits")
@@ -193,24 +202,13 @@ class GraftStateChangesProvider extends StreamSourceProvider
     // the unseeded chunks); once the admitted floor reached the base
     // commit the walk is complete and the option no longer matters.
     val capFile = new Path(metadataPath, "graft-changes-snapshot-cap")
-    def smallLong(p: Path): Option[Long] =
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim.toLong)
-        finally in.close()
-      }
-    val recordedCap: Option[Int] = smallLong(capFile).map(_.toInt)
-    def hasPriorProgress: Boolean = {
-      val offsets = new Path(new Path(metadataPath).getParent.getParent,
-        "offsets")
-      try fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
-      catch { case _: java.io.IOException => false }
-    }
+    val recordedCap: Option[Int] =
+      GraftStateChangesSource.readSmallLong(fs, capFile).map(_.toInt)
+    def hasPriorProgress: Boolean =
+      GraftStateChangesSource.engineHasProgress(fs, metadataPath)
     def bootstrapDone: Boolean =
-      smallLong(new Path(metadataPath, "graft-changes-admitted"))
-        .exists(_ >= base)
+      GraftStateChangesSource.readSmallLong(fs,
+        new Path(metadataPath, "graft-changes-admitted")).exists(_ >= base)
     (maxSnapBuckets, recordedCap) match {
       case (Some(m), Some(r)) =>
         require(m == r,
@@ -244,6 +242,37 @@ class GraftStateChangesProvider extends StreamSourceProvider
   }
 }
 
+private[sources] object GraftStateChangesSource {
+  /** Feed-envelope column names the source adds to every batch — a
+    * table whose own schema uses one cannot be streamed (refused at
+    * creation). */
+  val ReservedCols: Set[String] = Set("change_type", "_commit_id")
+
+  /** One tiny-number-in-a-file reader shared by every metadata slot
+    * this source keeps (base commit, snapshot cap, admitted floor) —
+    * one place for charset and absent-file handling. */
+  private[sources] def readSmallLong(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLong)
+      finally in.close()
+    }
+
+  /** Has the owning stream's checkpoint logged ANY offsets? An
+    * existence-only probe of the engine's offsets dir (metadataPath is
+    * `<ck>/sources/<i>`), shared by the cap-enable guards. */
+  private[sources] def engineHasProgress(
+      fs: org.apache.hadoop.fs.FileSystem, metadataPath: String): Boolean = {
+    val offsets = new Path(new Path(metadataPath).getParent.getParent,
+      "offsets")
+    try fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
+    catch { case _: java.io.IOException => false }
+  }
+}
+
 private[sources] class GraftStateChangesSource(
     spark: org.apache.spark.sql.SparkSession,
     path: String,
@@ -274,14 +303,18 @@ private[sources] class GraftStateChangesSource(
   private def chunked: Boolean =
     initialSnapshot && maxSnapshotBucketsPerTrigger.isDefined
 
-  /** Populated buckets of the base snapshot in cap-sized chunks —
-    * lazily derived so post-bootstrap restarts (floor ≥ base, chunk
-    * list never consulted) don't require the base commit to still be
-    * retained. */
-  private lazy val snapshotChunks: Seq[(Seq[Int], Seq[String])] =
+  /** Populated buckets of the base snapshot in cap-sized chunks PLUS
+    * the base manifest's recorded row schema — one lazy read of the
+    * immutable base manifest for the whole bootstrap (not one per
+    * batch: on an object store that would be a GET per trigger for a
+    * 100 TB seed). Lazy so post-bootstrap restarts (floor ≥ base, the
+    * chunk list never consulted) don't require the base commit to
+    * still be retained. */
+  private lazy val bootstrapMeta
+      : (Seq[(Seq[Int], Seq[String])], Option[StructType]) =
     maxSnapshotBucketsPerTrigger match {
       case Some(m) if initialSnapshot =>
-        BucketedStateTable.snapshotPaths(conf, path, Some(base))
+        val chunks = BucketedStateTable.snapshotPaths(conf, path, Some(base))
           .map { p =>
             val b = p.substring(p.lastIndexOf("=") + 1).toInt
             (b, p)
@@ -289,8 +322,11 @@ private[sources] class GraftStateChangesSource(
           .sortBy(_._1)
           .grouped(m).toSeq
           .map(g => (g.map(_._1), g.map(_._2)))
-      case _ => Nil
+        (chunks, BucketedStateTable.snapshotSchema(conf, path, Some(base)))
+      case _ => (Nil, None)
     }
+
+  private def snapshotChunks: Seq[(Seq[Int], Seq[String])] = bootstrapMeta._1
 
   private def bootstrapStart: Long = base - snapshotChunks.size
 
@@ -324,16 +360,8 @@ private[sources] class GraftStateChangesSource(
     * [[ratchetFloor]] compares against from inside getBatch, where the
     * engine-provided batch end IS the authoritative position. */
   private def readPersistedFloor(): Option[Long] =
-    floorFile.flatMap { f =>
-      val fs = f.getFileSystem(conf)
-      if (!fs.exists(f)) None
-      else {
-        val in = fs.open(f)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim.toLong)
-        finally in.close()
-      }
-    }
+    floorFile.flatMap(f =>
+      GraftStateChangesSource.readSmallLong(f.getFileSystem(conf), f))
 
   private def readFloor(): Long = admittedFloor.getOrElse {
     val v = readPersistedFloor().getOrElse {
@@ -350,12 +378,8 @@ private[sources] class GraftStateChangesSource(
       // checkpoint, and a floor lost to the rename fallback's window.
       if (maxCommitsPerTrigger.isDefined || chunked)
         metadataPath.foreach { mp =>
-          val offsets = new Path(new Path(mp).getParent.getParent, "offsets")
-          val fs = offsets.getFileSystem(conf)
-          val hasProgress =
-            try fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
-            catch { case _: java.io.IOException => false }
-          if (hasProgress)
+          if (GraftStateChangesSource.engineHasProgress(
+              new Path(mp).getFileSystem(conf), mp))
             throw new IllegalStateException(
               s"graft-state-changes at $path: admission control " +
                 "(maxCommitsPerTrigger / maxSnapshotBucketsPerTrigger) " +
@@ -471,11 +495,10 @@ private[sources] class GraftStateChangesSource(
         else {
           val dirs = ((lo - bootstrapStart) until (hi - bootstrapStart))
             .flatMap(i => snapshotChunks(i.toInt)._2)
-          val raw = BucketedStateTable
-            .snapshotSchema(conf, path, Some(base)) match {
-              case Some(rs) => spark.read.schema(rs).parquet(dirs: _*)
-              case None => spark.read.parquet(dirs: _*)
-            }
+          val raw = bootstrapMeta._2 match {
+            case Some(rs) => spark.read.schema(rs).parquet(dirs: _*)
+            case None => spark.read.parquet(dirs: _*)
+          }
           Some(pinned(raw
             .withColumn("change_type", lit("insert"))
             .withColumn("_commit_id", lit(base))))

@@ -191,14 +191,20 @@ class GraftStateSqlTable(
     * never prune history the owning handle was configured to keep, so
     * manifests that predate the policy lines get a never-prune handle
     * (cleanup stays with the library writers that know the policy). */
+  /** The recorded layout, or the ONE no-recorded-layout refusal every
+    * SQL write path shares (INSERT and the row-level delta rewrite must
+    * never drift in wording or contract). */
+  private[sources] def layoutOrRefuse(
+      conf: org.apache.hadoop.conf.Configuration): BucketedStateTable.Layout =
+    BucketedStateTable.snapshotLayout(conf, rootPath).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-state table at $rootPath has no recorded layout " +
+          "(keyCols manifest line) — its manifests predate the " +
+          "SQL write surface; one library merge() refreshes it"))
+
   private[sources] def stateTable(
       spark: SparkSession): (BucketedStateTable, BucketedStateTable.Layout) = {
-    val layout = BucketedStateTable.snapshotLayout(
-      spark.sessionState.newHadoopConf(), rootPath).getOrElse(
-        throw new UnsupportedOperationException(
-          s"graft-state table at $rootPath has no recorded layout " +
-            "(keyCols manifest line) — its manifests predate the " +
-            "SQL write surface; one library merge() refreshes it"))
+    val layout = layoutOrRefuse(spark.sessionState.newHadoopConf())
     val t = BucketedStateTable.fromLayout(spark, rootPath, layout)
     (t, layout)
   }
@@ -315,15 +321,9 @@ private[sources] class GraftStateDeltaOperation(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     table.newScanBuilder(options)
 
-  override def rowId(): Array[NamedReference] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val layout = BucketedStateTable.snapshotLayout(conf, table.rootPath)
-      .getOrElse(throw new UnsupportedOperationException(
-        s"graft-state table at ${table.rootPath} has no recorded layout " +
-          "(keyCols manifest line) — its manifests predate the SQL " +
-          "write surface; one library merge() refreshes it"))
-    layout.keyCols.map(Expressions.column).toArray
-  }
+  override def rowId(): Array[NamedReference] =
+    table.layoutOrRefuse(SparkSession.active.sessionState.newHadoopConf())
+      .keyCols.map(Expressions.column).toArray
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
@@ -787,12 +787,18 @@ class GraftStateCatalog extends TableCatalog
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
     val base = namespace.foldLeft(new Path(rootPath))((p, s) => new Path(p, s))
-    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = base.getFileSystem(conf)
     if (!fs.exists(base)) throw new NoSuchNamespaceException(
       catalogName +: namespace.toSeq)
     fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_commits")))
+      // the SAME predicate as tableExists/loadTable (a published
+      // manifest, not a bare _commits dir): SHOW TABLES must never list
+      // an identifier SELECT then refuses — a crashed first commit can
+      // leave the directory skeleton with nothing published
+      .filter(s => s.isDirectory &&
+        BucketedStateTable.snapshotCommits(conf, s.getPath.toString).nonEmpty)
       .map(s => Identifier.of(namespace, s.getPath.getName))
       .toArray
   }
@@ -803,6 +809,9 @@ class GraftStateCatalog extends TableCatalog
     // n_buckets — for audit queries and for picking a `VERSION AS OF`
     // target in plain SQL.
     if (ident.name().endsWith("$history")) {
+      // a bare `$history` strips to an empty base name — that is no
+      // table, not an internal Path-construction error
+      if (ident.name() == "$history") throw new NoSuchTableException(ident)
       val base = Identifier.of(ident.namespace(),
         ident.name().stripSuffix("$history"))
       val dir = tableDir(base)
@@ -944,20 +953,32 @@ class GraftStateCatalog extends TableCatalog
     val t = new BucketedStateTable(spark, tableDir(ident).toString,
       keyCols = keyCols, numBuckets = numBuckets,
       bucketCols = if (bucketCols == keyCols) Nil else bucketCols)
-    t.replaceAll(spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+    // the CREATING commit is fenced on never-committed (basedOn = 0):
+    // two racing CREATE/CTAS that both passed the tableExists probe
+    // resolve to one winner — the loser fails here instead of
+    // replaceAll-ing an empty snapshot over rows the winner already
+    // merged
+    try t.createExclusive(schema)
+    catch {
+      case _: java.util.ConcurrentModificationException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(
+            (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    }
     loadTable(ident)
   }
 
-  /** `DROP TABLE cat.t` — removes the table directory. Guarded: only a
-    * directory that actually holds a state-table commit log is deleted
+  /** `DROP TABLE cat.t` — removes the table directory. Guarded by the
+    * SAME predicate as `tableExists` (a published manifest): only a
+    * directory that actually holds a committed state table is deleted
     * (false otherwise → Spark raises its standard no-such-table error),
-    * so a mis-pointed identifier can never remove arbitrary data. */
+    * so a mis-pointed identifier can never remove arbitrary data, and
+    * DROP can never delete something `tableExists` denies exists. */
   override def dropTable(ident: Identifier): Boolean = {
     val spark = SparkSession.active
     val dir = tableDir(ident)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new Path(dir, "_commits"))) false
+    if (!tableExists(ident)) false
     else fs.delete(dir, true)
   }
 

@@ -106,7 +106,17 @@ object OaiPageSource {
           try Some(new String(in.readAllBytes(), "UTF-8"))
           finally in.close()
       }
-    } catch { case _: Exception => None }
+    } catch {
+      // fetch misses are retryable (the ST3 error policy upstream) —
+      // but ONLY genuinely non-fatal ones: an interrupt during the
+      // driver-side chain walk is a cancellation, and mapping it to
+      // None would clear the flag and keep walking instead of honoring
+      // the stop; re-assert it and let the walk unwind
+      case _: InterruptedException | _: java.io.InterruptedIOException =>
+        Thread.currentThread().interrupt()
+        None
+      case scala.util.control.NonFatal(_) => None
+    }
 
   private[sources] def resolveFetcher(options: CaseInsensitiveStringMap): Fetch =
     Option(options.get("fetcher")) match {
@@ -354,8 +364,16 @@ private[sources] class OaiPageMicroBatchStream(options: CaseInsensitiveStringMap
   }
 
   override def deserializeOffset(json: String): Offset = {
+    // STRICT: a corrupted/truncated checkpoint offset must fail HERE
+    // with its actual cause — silently mapping it to page 0 would
+    // restart ordinals from scratch and surface later as a misleading
+    // missing-cache error (or as silently re-walked pages)
     val off = "\"pagesConsumed\":(\\d+)".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong).getOrElse(0L)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"oai-pages: unparseable checkpoint offset '$json' — the " +
+          "offsets log entry is corrupt; restore the checkpoint or " +
+          "restart the harvest with a fresh one"))
     synchronized { restoredFloor = math.max(restoredFloor, off) }
     PageOffset(off)
   }

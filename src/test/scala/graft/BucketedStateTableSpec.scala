@@ -441,6 +441,37 @@ class BucketedStateTableSpec extends SparkSpec {
       Set((s"seed-$ourKey", 0L), (theirKey, 99L), (ourKey, 2L)))
   }
 
+  test("createExclusive: of two racing creators exactly one wins; the loser can never empty the winner's table") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val schema = Seq(("x", 1L)).toDF("k", "v").schema
+    // both "processes" passed a tableExists probe before either
+    // published (the SQL CREATE/CTAS check-then-act window)
+    val t1 = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
+    val t2 = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L,
+      leaseStore = Some(new InMemoryCasStore))
+    t1.createExclusive(schema)
+    t1.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+    // the raced second creator must FAIL — not publish an empty
+    // snapshot over the winner's rows (replaceAll's unconditional
+    // overwrite is exactly what the creating commit must not be)
+    intercept[java.util.ConcurrentModificationException] {
+      t2.createExclusive(schema)
+    }
+    assert(t1.read().get.as[(String, Long)].collect().toSet ==
+      Set(("a", 1L)))
+    // and the creating commit presents the schema immediately (an
+    // empty committed snapshot, like the SQL CREATE TABLE face needs)
+    val t3 = new BucketedStateTable(spark, s"$dir/state2",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
+    t3.createExclusive(schema)
+    assert(t3.read().get.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(t3.read().get.count() == 0L)
+  }
+
   test("relayout race: a merge racing a splitBuckets withdraws; its retry lands on the NEW layout; the feed stays exact") {
     val s = spark
     import s.implicits._

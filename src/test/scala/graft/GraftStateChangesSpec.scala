@@ -162,6 +162,19 @@ class GraftStateChangesSpec extends SparkSpec {
       t.read().get.as[(String, Long)].collect().toMap)
   }
 
+  test("a table using a reserved feed column name refuses at creation, not with an ambiguous-reference crash-loop") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val t = new BucketedStateTable(spark, s"$root/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
+    t.merge(Seq(("a", "ins")).toDF("k", "change_type"), keys = Seq("k"))
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft-state-changes").load(s"$root/state")
+    }
+    assert(ex.getMessage.contains("reserves column"), ex.getMessage)
+  }
+
   test("enabling maxCommitsPerTrigger on an existing checkpoint stays exactly-once; a lost floor refuses loudly") {
     val s = spark
     import s.implicits._
