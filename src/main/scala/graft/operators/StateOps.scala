@@ -223,7 +223,12 @@ object StateOps {
     val MaxCol = "__graft_max_seq"
     val mx = df.agg(max(col(seqCol)).as(MaxCol))
     df.crossJoin(broadcast(mx))
-      .filter(col(tsCol) > cutoff || col(seqCol) === col(MaxCol))
+      // NULL-ts rows survive, matching the reference's DELETE form
+      // (`ts <= ? AND id != ?` evaluates UNKNOWN on NULL → not
+      // deleted): an unparseable datestamp must never be silently
+      // expired — a keep-filter without the isNull arm would drop it
+      .filter(col(tsCol) > cutoff || col(tsCol).isNull ||
+        col(seqCol) === col(MaxCol))
       .drop(MaxCol)
   }
 

@@ -501,10 +501,17 @@ class BucketedStateTable(
     * oldest first. */
   private def splitsIn(fromId: Long, toId: Long): Seq[Manifest] = {
     if (manifestCache.size > 256) manifestCache.clear()
+    val now = System.currentTimeMillis()
     BucketedStateTable.listManifests(fs, root)
       .filter { case (id, _) => id > fromId && id <= toId }
       .map { case (id, st) =>
-        manifestCache.computeIfAbsent(
+        // young files bypass the cache: withdraw-and-republish of the
+        // same id happens at the head within moments, and a filesystem
+        // with second-granularity mtimes could alias the two when byte
+        // lengths also match — a settled (old) manifest can't change
+        if (now - st.getModificationTime < 5000L)
+          readManifest(st.getPath, checkLayout = false)
+        else manifestCache.computeIfAbsent(
           (id, st.getLen, st.getModificationTime),
           _ => readManifest(st.getPath, checkLayout = false))
       }
@@ -530,15 +537,7 @@ class BucketedStateTable(
     chained.contains(toBuckets)
   }
 
-  private def manifestAt(commitId: Long): Manifest = {
-    val p = manifestFiles().find(_._1 == commitId).map(_._2)
-      .getOrElse(throw new NoSuchElementException(
-        s"commit $commitId is not retained at $path " +
-          s"(retained: ${commits().mkString(", ")})"))
-    readManifest(p)
-  }
-
-  /** [[manifestAt]] for a change-feed endpoint: layout-version
+  /** Manifest resolution for a change-feed endpoint: layout-version
     * TOLERANT (a pre-[[splitBuckets]] manifest must stay diffable
     * through the current handle — [[changedAcrossSplits]] owns the
     * cross-layout mapping), with the key/bucket-column identity —
@@ -1218,8 +1217,13 @@ class BucketedStateTable(
           .select(bucketOf.as("b")).distinct().as[Int].collect().toSeq.sorted
         if (dirty.nonEmpty) {
           val (cur, base) = readBucketsWithBase(dirty, like = df)
+          // NULL-ts rows survive the bucket rewrite too (the reference
+          // DELETE form keeps them) — without the isNull arm a NULL-ts
+          // row sharing a bucket with an expired one would vanish
+          // nondeterministically by hash placement
           commit(
-            cur.filter(col(tsCol) > cutoff || col(seqCol) === lit(maxSeq)),
+            cur.filter(col(tsCol) > cutoff || col(tsCol).isNull ||
+              col(seqCol) === lit(maxSeq)),
             dirty, base)
         }
       }
@@ -1344,29 +1348,43 @@ class BucketedStateTable(
     * Returns the NEW handle; this instance refuses further reads and
     * writes (its layout check no longer matches the manifest — by
     * design, so a stale handle cannot hash keys into wrong buckets). */
+  /** The relayout data rewrite shared by [[rebucket]] /
+    * [[splitBuckets]] / [[coalesceBuckets]]: re-hash the snapshot into
+    * `newNumBuckets` buckets under data commit `next`, returning the
+    * bucket ids actually written (empty snapshot → Nil). One body so
+    * the three verbs can never drift in write options or listing. */
+  private def rewriteSnapshot(snapshot: Option[DataFrame],
+      newNumBuckets: Int, next: Long): Seq[Int] = snapshot match {
+    case None => Nil
+    case Some(df) =>
+      val out = new Path(dataDir, f"c$next%08d")
+      val newBucketOf = pmod(xxhash64(effBucketCols.map(col): _*),
+        lit(newNumBuckets.toLong)).cast("int")
+      df.withColumn(BucketCol, newBucketOf)
+        .repartition(newNumBuckets, col(BucketCol))
+        .sortWithinPartitions(BucketCol, keyCols: _*)
+        .write.partitionBy(BucketCol).mode("errorifexists")
+        .parquet(out.toString)
+      fs.listStatus(out).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+        .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
+        .sorted
+  }
+
   def rebucket(newNumBuckets: Int): BucketedStateTable =
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
       require(newNumBuckets > 0, "newNumBuckets must be positive")
-      val snapshot = read()
-      val next = nextCommitId()
-      val newBucketOf = pmod(xxhash64(effBucketCols.map(col): _*),
-        lit(newNumBuckets.toLong)).cast("int")
-      val written: Seq[Int] = snapshot match {
-        case None => Nil
-        case Some(df) =>
-          val out = new Path(dataDir, f"c$next%08d")
-          df.withColumn(BucketCol, newBucketOf)
-            .repartition(newNumBuckets, col(BucketCol))
-            .sortWithinPartitions(BucketCol, keyCols: _*)
-            .write.partitionBy(BucketCol).mode("errorifexists")
-            .parquet(out.toString)
-          fs.listStatus(out).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
-            .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
-            .sorted
-      }
+      // base captured BEFORE the rewrite and re-checked at the publish
+      // (same fence as splitBuckets/coalesceBuckets): a commit landing
+      // during the potentially hours-long rewrite must WITHDRAW this
+      // relayout — reading the base afterwards would absorb the
+      // interloper as basedOn and publish a snapshot missing its rows
       val cur = currentManifest()
       val basedOn = cur.map(_.commitId).getOrElse(0L)
+      val snapshot = cur.flatMap(m => readFrom(m, m.buckets.keys.toSeq))
+      val next = nextCommitId()
+      val written = rewriteSnapshot(snapshot, newNumBuckets, next)
+      beforePublish()
       writeManifest(Manifest(next, written.map(_ -> next).toMap,
           snapshot.map(_.schema.json).orElse(cur.flatMap(_.schemaJson))),
         basedOn, forNumBuckets = newNumBuckets)
@@ -1412,26 +1430,11 @@ class BucketedStateTable(
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
       require(factor >= 2, s"splitBuckets wants a factor >= 2, got $factor")
       val newNumBuckets = math.multiplyExact(numBuckets, factor)
-      val snapshot = read()
       val cur = currentManifest()
       val basedOn = cur.map(_.commitId).getOrElse(0L)
+      val snapshot = cur.flatMap(m => readFrom(m, m.buckets.keys.toSeq))
       val next = nextCommitId()
-      val newBucketOf = pmod(xxhash64(effBucketCols.map(col): _*),
-        lit(newNumBuckets.toLong)).cast("int")
-      val written: Seq[Int] = snapshot match {
-        case None => Nil
-        case Some(df) =>
-          val out = new Path(dataDir, f"c$next%08d")
-          df.withColumn(BucketCol, newBucketOf)
-            .repartition(newNumBuckets, col(BucketCol))
-            .sortWithinPartitions(BucketCol, keyCols: _*)
-            .write.partitionBy(BucketCol).mode("errorifexists")
-            .parquet(out.toString)
-          fs.listStatus(out).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
-            .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
-            .sorted
-      }
+      val written = rewriteSnapshot(snapshot, newNumBuckets, next)
       // same publish-window seam as commit(): a relayout must detect a
       // commit landing between its snapshot rewrite and its manifest
       // publish — the rewrite is stale against it and must WITHDRAW
@@ -1473,26 +1476,11 @@ class BucketedStateTable(
           s"$numBuckets buckets do not — coalesce by a divisor, or " +
           "rebucket (history-truncating) for an arbitrary count")
       val newNumBuckets = numBuckets / factor
-      val snapshot = read()
       val cur = currentManifest()
       val basedOn = cur.map(_.commitId).getOrElse(0L)
+      val snapshot = cur.flatMap(m => readFrom(m, m.buckets.keys.toSeq))
       val next = nextCommitId()
-      val newBucketOf = pmod(xxhash64(effBucketCols.map(col): _*),
-        lit(newNumBuckets.toLong)).cast("int")
-      val written: Seq[Int] = snapshot match {
-        case None => Nil
-        case Some(df) =>
-          val out = new Path(dataDir, f"c$next%08d")
-          df.withColumn(BucketCol, newBucketOf)
-            .repartition(newNumBuckets, col(BucketCol))
-            .sortWithinPartitions(BucketCol, keyCols: _*)
-            .write.partitionBy(BucketCol).mode("errorifexists")
-            .parquet(out.toString)
-          fs.listStatus(out).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
-            .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
-            .sorted
-      }
+      val written = rewriteSnapshot(snapshot, newNumBuckets, next)
       // same publish-window discipline as splitBuckets: any interleaved
       // commit withdraws the relayout (its rewrite is stale against it)
       beforePublish()

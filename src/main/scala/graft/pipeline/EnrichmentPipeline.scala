@@ -216,7 +216,11 @@ class EnrichmentPipeline(
         val inflight = new org.apache.hadoop.fs.Path(headersTable.tableRoot,
           s"_inflight/${java.util.UUID.randomUUID()}").toString
         fetched.write.parquet(inflight) // every remote fetch runs exactly once
-        liveInflight.add(new org.apache.hadoop.fs.Path(inflight).toString)
+        // QUALIFIED, because the sweep compares against listStatus's
+        // fully-qualified paths — an unqualified entry would never
+        // match and the live guard would be a no-op
+        liveInflight.add(headersTable.fileSystem
+          .makeQualified(new org.apache.hadoop.fs.Path(inflight)).toString)
         Some(ProcessedBatch(inflight))
       }
     }
@@ -297,10 +301,17 @@ class EnrichmentPipeline(
       val notRemoved = headersTable.deleteWhereUnmodified(processedHeaders)
       headersTable.fileSystem.delete(
         new org.apache.hadoop.fs.Path(pb.inflightPath), true)
-      liveInflight.remove(
-        new org.apache.hadoop.fs.Path(pb.inflightPath).toString)
 
       EnrichmentSummary(processed, reported, processed - reported, notRemoved)
-    } finally reportingRows.unpersist()
+    } finally {
+      reportingRows.unpersist()
+      // unpin in EVERY outcome: a commit that threw (e.g. a raced
+      // mutation) abandons the batch — the caller drains a fresh one —
+      // and a forever-pinned entry would shield the leftover parquet
+      // from the stale sweep for the instance's whole lifetime
+      liveInflight.remove(headersTable.fileSystem.makeQualified(
+        new org.apache.hadoop.fs.Path(pb.inflightPath)).toString)
+      ()
+    }
   }
 }

@@ -154,15 +154,23 @@ class HarvestPipeline(
           } else 0L
 
         val next = OffsetStateMachine.advance(last, page, now, fc3CompatibilityMode)
-        val runs = runsTable.read() match {
-          case Some(df) => df.unionByName(Seq(next).toDF())
-          case None     => Seq(next).toDF()
-        }
         // D2 retention with keep-latest runs in the same commit; cutoff =
         // start of current run minus the configured history length.
+        // ATOMIC read-union-retain-write (runsTable.update holds the
+        // table's write lock across the read and the write): a separate
+        // read() + write() would let a concurrent appender's checkpoint
+        // row vanish from the union — a backfill racing the poll loop
+        // would then resume from the older checkpoint, dropping a
+        // mid-pagination resumption token and the backlog behind it.
         val cutoff = new Timestamp(now.getTime - historyLengthHours * 3600_000L)
-        runsTable.write(StateOps.retentionKeepLatest(
-          runs, seqCol = "id", tsCol = "timestampOfRun", cutoff = lit(cutoff)))
+        runsTable.update { cur =>
+          val runs = cur match {
+            case Some(df) => df.unionByName(Seq(next).toDF())
+            case None     => Seq(next).toDF()
+          }
+          StateOps.retentionKeepLatest(
+            runs, seqCol = "id", tsCol = "timestampOfRun", cutoff = lit(cutoff))
+        }
 
         HarvestRunSummary(succeeded = true, uri, nHeaders, page.errors, Some(next))
     }

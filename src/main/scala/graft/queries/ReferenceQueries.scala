@@ -822,7 +822,8 @@ object ReferenceQueries {
 
     "d2_retention_keep_latest" ->
       """SELECT e.* FROM events e, (SELECT max(event_id) AS mx FROM events) m
-        |WHERE e.ts > TIMESTAMP '2024-01-25 00:00:00' OR e.event_id = m.mx
+        |WHERE e.ts > TIMESTAMP '2024-01-25 00:00:00' OR e.ts IS NULL
+        |   OR e.event_id = m.mx
         |ORDER BY event_id""".stripMargin,
 
     "sf1_ts_parse" ->

@@ -600,7 +600,20 @@ class BucketedStateTableSpec extends SparkSpec {
     t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
     assert((System.nanoTime() - t0) / 1e9 < 30.0)
     assert(t.read().get.count() == 1L)
-    assert(!lease.exists())
+    // the documented at-most-once heartbeat-straggler recreate can race
+    // this assert under a loaded host (join(2000) timing out leaves one
+    // in-flight refresh landing moments after the release). Releases
+    // don't retro-delete it — the residue ages out via the next
+    // waiter's stale break — so accept EITHER a clean slot or a
+    // residue that names THIS process (never a foreign holder's loss)
+    if (lease.exists()) {
+      val residue = new String(Files.readAllBytes(lease.toPath), "UTF-8")
+      val thisJvm = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getName
+      assert(residue.startsWith(thisJvm),
+        s"post-release lease residue must be this holder's straggler " +
+          s"refresh, found: $residue")
+    }
   }
 
   test("writer lease: heartbeat keeps a slow commit's lease fresh past the staleness window") {
@@ -918,6 +931,38 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(Seq("k1", "k2", "k3", "k4").forall(k => feed.exists(_._2 == k)))
     // and time travel resolves through the whole signed chain
     assert(t2.readAt(c1).get.count() == 300L)
+  }
+
+  test("relayout race: a commit landing inside rebucket's publish window withdraws the REBUCKET; nothing is lost") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L,
+      keepCommits = 10)
+    t.merge(Seq(("a", 1L)).toDF("k", "v"), keys = Seq("k"))
+
+    // a merge lands between rebucket's snapshot rewrite and its
+    // publish: the rewrite does not contain z, so absorbing the merge
+    // as basedOn would silently lose it — the rebucket must withdraw
+    // (the same fence splitBuckets/coalesceBuckets carry)
+    val t2 = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L,
+      keepCommits = 10, leaseStore = Some(new InMemoryCasStore))
+    t.beforePublish = () => {
+      t.beforePublish = () => ()
+      t2.merge(Seq(("z", 5L)).toDF("k", "v"), keys = Seq("k"))
+    }
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.rebucket(8)
+    }
+    assert(ex.getMessage.contains("retry"), ex.getMessage)
+    assert(t.read().get.as[(String, Long)].collect().toSet ==
+      Set(("a", 1L), ("z", 5L)),
+      "the interleaved merge must survive the withdrawn rebucket")
+    val t8 = t.rebucket(8)
+    assert(t8.read().get.as[(String, Long)].collect().toSet ==
+      Set(("a", 1L), ("z", 5L)))
   }
 
   test("a split+coalesce ROUND TRIP inside the range stays bucket-pruned (equal endpoints must not fool the fast path)") {
