@@ -304,13 +304,70 @@ object StateScaleProbe {
     val backlog1 = backlogLeg("x1", 1)
     val backlogN = backlogLeg(s"x$copies", copies)
 
+    // ── leg 6: zone-map / hash bucket pruning at table scale ──────────
+    // The freshness pattern zone maps exist for: seed everything at
+    // updated_at=0, touch 16 fixed keys at updated_at=1, then ask
+    // "what changed since?" — [[BucketedStateTable.readWhere]] must
+    // plan ONLY the touched buckets (their recorded max moved; every
+    // clean bucket's max says 0), while the unpruned scan pays the
+    // whole table. A key-equality point lookup prunes via the bucket
+    // hash — 1 of 256 at any scale, no clustering required. Reported:
+    // wall for both paths at 1× and N×, surviving bucket counts, and
+    // the row-count parity that proves the pruned read lost nothing.
+    def zonemapLeg(tag: String, nCopies: Int): String = {
+      val dataDir = s"$scratch/corpus_$tag" // dmlLeg materialized it
+      val d = Tables.documents(spark, dataDir)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("updated_at", lit(0L))
+      val root = s"$scratch/zmap_$tag"
+      val t = new BucketedStateTable(spark, root,
+        keyCols = Seq("doc_id"), numBuckets = 256,
+        keepCommits = 5, retentionFloorMillis = 0L,
+        statsCols = Seq("updated_at"))
+      t.merge(d, keys = Seq("doc_id"))
+      t.merge(d.filter(col("doc_id").between(150, 165))
+          .withColumn("updated_at", lit(1L)),
+        keys = Seq("doc_id"))
+      import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+      val fresh = Seq(GreaterThanOrEqual("updated_at", 1L))
+      val freshBuckets = t.readWhere(fresh).get.inputFiles.toSeq
+        .map(_.replaceAll(".*__bucket=", "").replaceAll("/.*", ""))
+        .distinct.length
+      val (fullRows, fullSec, fullSnap) = timed {
+        t.read().get.filter(col("updated_at") >= 1L).count()
+      }
+      val (prunedRows, prunedSec, prunedSnap) = timed {
+        t.readWhere(fresh).get.filter(col("updated_at") >= 1L).count()
+      }
+      require(fullRows == prunedRows,
+        s"pruned freshness scan lost rows: $prunedRows vs $fullRows")
+      val (pointRows, pointSec, _) = timed {
+        t.readWhere(Seq(EqualTo("doc_id", 155L))).get
+          .filter(col("doc_id") === 155L).count()
+      }
+      val (_, fullPointSec, _) = timed {
+        t.read().get.filter(col("doc_id") === 155L).count()
+      }
+      require(pointRows == 1L, s"point lookup found $pointRows rows")
+      s""""$tag":{"fresh_rows":$fullRows,"fresh_buckets":$freshBuckets,""" +
+        s""""buckets_total":256,"fresh_full_sec":${num(fullSec)},""" +
+        s""""fresh_pruned_sec":${num(prunedSec)},""" +
+        s""""fresh_full_resources":${fullSnap.json},""" +
+        s""""fresh_pruned_resources":${prunedSnap.json},""" +
+        s""""point_pruned_sec":${num(pointSec)},""" +
+        s""""point_full_sec":${num(fullPointSec)}}"""
+    }
+    val zmap1 = zonemapLeg("x1", 1)
+    val zmapN = zonemapLeg(s"x$copies", copies)
+
     val json =
       s"""{"base_sf_dir":"$sfDir","vol_factor":$volFactor,"copies":$copies,""" +
-        s""""note":"leg cdc_volume: FIXED corpus ($nDocs docs, 64 buckets), change volume grows - prices changesBetween rewritten-bucket reads and maintainSumCount group-delta shuffle by CHANGED rows; leg sql_dml: fixed 16-key MERGE/UPDATE/DELETE vs a table grown by divergent copies (256 buckets) - manifest pointer diff counts the rewritten buckets; leg coalesce_at_scale: the inverse relayout priced like split_at_scale; leg feed_backlog: a 24-commit backlog drained with maxCommitsPerTrigger=4 vs uncapped - the cap bounds the peak batch at modest wall cost",""" +
+        s""""note":"leg cdc_volume: FIXED corpus ($nDocs docs, 64 buckets), change volume grows - prices changesBetween rewritten-bucket reads and maintainSumCount group-delta shuffle by CHANGED rows; leg sql_dml: fixed 16-key MERGE/UPDATE/DELETE vs a table grown by divergent copies (256 buckets) - manifest pointer diff counts the rewritten buckets; leg coalesce_at_scale: the inverse relayout priced like split_at_scale; leg feed_backlog: a 24-commit backlog drained with maxCommitsPerTrigger=4 vs uncapped - the cap bounds the peak batch at modest wall cost; leg zonemap_prune: manifest zone maps (statsCols=updated_at) - a freshness scan plans only the buckets touched since T and a key point lookup hash-prunes to 1 of 256, against full scans of the same table",""" +
         s""""cdc_volume":{$cdc1,$cdcN},"sql_dml":{$dml1,$dmlN},""" +
         s""""split_at_scale":{$split1,$splitN},""" +
         s""""coalesce_at_scale":{$coal1,$coalN},""" +
-        s""""feed_backlog":{$backlog1,$backlogN}}"""
+        s""""feed_backlog":{$backlog1,$backlogN},""" +
+        s""""zonemap_prune":{$zmap1,$zmapN}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("SCALE_PROBE_CDC_VOL.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -92,7 +92,15 @@ class BucketedStateTable(
     // generation / etcd on a real deployment) to close the
     // stale-takeover race FULLY; None = the filesystem slot with its
     // documented best-effort windows
-    leaseStore: Option[LeaseStore] = None) extends StateTable {
+    leaseStore: Option[LeaseStore] = None,
+    // columns to record per-bucket ZONE MAPS for (min/max/null-count in
+    // the manifest, see [[ZoneMaps]]): [[readWhere]] and the DSv2 scan
+    // skip whole buckets a pushed predicate cannot match. Opt-in
+    // because stats cost one extra column-pruned pass over each
+    // commit's dirty buckets — and they only prune when the column's
+    // values CLUSTER by bucket. Row/byte counts ride along and feed
+    // scan-size estimates. Nil (default) = no stats job, no lines.
+    statsCols: Seq[String] = Nil) extends StateTable {
 
   require(keyCols.nonEmpty, "BucketedStateTable needs at least one key column")
   require(numBuckets > 0, "numBuckets must be positive")
@@ -236,7 +244,11 @@ class BucketedStateTable(
       // pre-split base manifest it snapshotted
       manifestNumBuckets: Int = -1,
       splitFactor: Option[Int] = None,
-      splitBasedOn: Option[Long] = None)
+      splitBasedOn: Option[Long] = None,
+      // per-bucket zone-map stats as OPAQUE one-line JSON payloads
+      // (decoded on demand by [[ZoneMaps.decode]]); a bucket absent
+      // here is simply un-statted — pruning must keep it
+      bucketStats: Map[Int, String] = Map.empty)
 
   private def manifestFiles(): Seq[(Long, Path)] =
     BucketedStateTable.listManifests(fs, root)
@@ -293,7 +305,12 @@ class BucketedStateTable(
       manifestNumBuckets =
         kv.get("numBuckets").map(_.toInt).getOrElse(numBuckets),
       splitFactor = kv.get("splitFactor").map(_.toInt),
-      splitBasedOn = kv.get("splitBasedOn").map(_.toLong))
+      splitBasedOn = kv.get("splitBasedOn").map(_.toLong),
+      bucketStats = lines.collect {
+        case l if l.startsWith("zmap.") =>
+          val Array(k, j) = l.split("=", 2)
+          k.stripPrefix("zmap.").toInt -> j
+      }.toMap)
   }
 
   private def currentManifest(): Option[Manifest] =
@@ -338,7 +355,11 @@ class BucketedStateTable(
       s"retentionFloorMillis=$retentionFloorMillis\n" +
       m.splitFactor.map(f => s"splitFactor=$f\n").getOrElse("") +
       m.splitBasedOn.map(b => s"splitBasedOn=$b\n").getOrElse("") +
+      (if (statsCols.nonEmpty) s"statsCols=${statsCols.mkString(",")}\n"
+       else "") +
       m.schemaJson.map(j => s"schema=$j\n").getOrElse("") +
+      m.bucketStats.toSeq.sortBy(_._1)
+        .map { case (b, j) => s"zmap.$b=$j\n" }.mkString +
       m.buckets.toSeq.sorted.map { case (b, c) => s"$b=$c\n" }.mkString)
     val tmp = new Path(commitsDir, f".c${m.commitId}%08d.txt.tmp")
     val out = fs.create(tmp, true)
@@ -800,12 +821,99 @@ class BucketedStateTable(
       .flatMap(readFrom(_, dirtyBucketsOf(probe)))
       .getOrElse(like.limit(0))
 
+  /** Current rows of ONLY the buckets the conjunction of `filters`
+    * can possibly match, via [[ZoneMaps.surviving]] — hash pruning
+    * when the filters pin every bucket column by equality
+    * (distribution-free: a point lookup reads ONE bucket of 16,384),
+    * zone-map elimination on `statsCols` columns otherwise. SUPERSET
+    * semantics: the result still contains every non-matching row of
+    * the surviving buckets — apply the predicate on top (exactly like
+    * a partition-pruned scan). None = never committed. An empty
+    * surviving set returns an empty frame under the recorded schema:
+    * "provably no matching rows" is an answer, not an error.
+    * Manifests that predate the schema line skip pruning entirely
+    * (no column types to compare with — conservative full read). */
+  def readWhere(
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[DataFrame] =
+    currentManifest().flatMap { m =>
+      val surv = m.schemaJson match {
+        case Some(j) => ZoneMaps.surviving(filters, schemaOf(j),
+          effBucketCols, numBuckets,
+          m.bucketStats.flatMap { case (b, s) =>
+            ZoneMaps.decode(s).map(b -> _) },
+          m.buckets.keySet)
+        case None => m.buckets.keySet
+      }
+      if (surv.isEmpty && m.buckets.nonEmpty)
+        m.schemaJson.map(j => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schemaOf(j)))
+      else readFrom(m, surv.toSeq.sorted).orElse(
+        m.schemaJson.map(j => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schemaOf(j))))
+    }
+
   private def dirtyBucketsOf(batch: DataFrame): Seq[Int] = {
     import spark.implicits._
     batch.select(bucketOf.as("b")).distinct().as[Int].collect().toSeq.sorted
   }
 
   // ---- commit -------------------------------------------------------
+
+  /** Per-bucket zone-map payloads for the dirty buckets just written
+    * under `out` — row count, bytes, and min/max/null-count for every
+    * `statsCols` column present in `rowSchema` with a
+    * [[ZoneMaps.supported]] type. ONE column-pruned aggregation job
+    * over the freshly-written files (count-star and min/max ride the
+    * parquet footers — no full data-page scan of wide rows) plus one
+    * recursive listing of the commit dir for bytes; both are bounded
+    * by the DIRTY set, never the table. The collect is ≤ one row per
+    * dirty bucket — the same bounded-driver-read shape as [[stats]]. */
+  private def collectBucketStats(out: Path,
+      rowSchema: org.apache.spark.sql.types.StructType): Map[Int, String] = {
+    import org.apache.spark.sql.types._
+    val eligible = statsCols.distinct
+      .flatMap(c => rowSchema.fields.find(_.name == c))
+      .filter(f => ZoneMaps.supported(f.dataType))
+    val bytes: Map[Int, Long] = {
+      val it = fs.listFiles(out, true)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+        .groupBy(_.getPath.getParent.getName
+          .stripPrefix(s"$BucketCol=").toInt)
+        .map { case (b, fsz) => b -> fsz.map(_.getLen).sum }
+    }
+    // canonical forms: timestamps → epoch micros, dates → epoch days,
+    // everything else via Spark's own string cast (decimals plain,
+    // floats Java-parseable incl. NaN/Infinity)
+    def canon(c: org.apache.spark.sql.Column,
+        dt: DataType): org.apache.spark.sql.Column = dt match {
+      case TimestampType => unix_micros(c).cast("string")
+      case DateType => unix_date(c).cast("string")
+      case _ => c.cast("string")
+    }
+    val aggs = Seq(count(lit(1)).as("__zn")) ++ eligible.flatMap { f =>
+      Seq(canon(min(col(f.name)), f.dataType).as(s"__zmin_${f.name}"),
+        canon(max(col(f.name)), f.dataType).as(s"__zmax_${f.name}"),
+        (count(lit(1)) - count(col(f.name))).as(s"__znul_${f.name}"))
+    }
+    spark.read.parquet(out.toString)
+      .groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val b = r.getAs[Number](BucketCol).intValue
+        val cols = eligible.map { f =>
+          def bound(s: String): Option[String] =
+            Option(r.getAs[String](s)).filter(v =>
+              f.dataType != StringType || v.length <= ZoneMaps.MaxStatString)
+          f.name -> ZoneMaps.ColStat(
+            bound(s"__zmin_${f.name}"), bound(s"__zmax_${f.name}"),
+            r.getAs[Number](s"__znul_${f.name}").longValue)
+        }.toMap
+        b -> ZoneMaps.encode(ZoneMaps.BucketStat(
+          r.getAs[Number]("__zn").longValue, bytes.getOrElse(b, 0L), cols))
+      }.toMap
+  }
 
   /** Injection seam for the concurrency spec: runs between the data
     * write and the manifest publish — the window a concurrent process's
@@ -875,6 +983,12 @@ class BucketedStateTable(
     // read its rows against when it has one; otherwise whatever is
     // current here (a creating write, or replaceAll's deliberate
     // full-overwrite semantics)
+    // zone maps for the rewritten buckets (one bounded job; see
+    // [[collectBucketStats]]) — computed ONCE, outside the publish
+    // loop: a rebase republishes the same data, so the same stats hold
+    val zstats: Map[Int, String] =
+      if (statsCols.isEmpty || written.isEmpty) Map.empty
+      else collectBucketStats(out, rows.schema)
     var base = planBase.orElse(currentManifest())
     beforePublish()
     var rebases = 0
@@ -889,7 +1003,13 @@ class BucketedStateTable(
       try {
         writeManifest(Manifest(manifestId,
           prev -- dirty ++ written.map(_ -> next),
-          Some(rows.schema.json)), basedOn)
+          Some(rows.schema.json),
+          // clean buckets CARRY the base's stats; every dirty bucket's
+          // stale entry drops even when this handle records none — a
+          // stats-less rewrite must never leave another handle's
+          // now-wrong bounds behind
+          bucketStats = base.map(_.bucketStats).getOrElse(Map.empty) --
+            dirty ++ zstats), basedOn)
         // TOCTOU backstop for a REBASED publish: a concurrent prune
         // whose live set was computed before this manifest appeared
         // can reap the adopted (then-orphan) data dir between the
@@ -1122,7 +1242,11 @@ class BucketedStateTable(
       if (widened != from) {
         val next = nextCommitId()
         beforePublish() // same publish-window seam as every commit path
-        writeManifest(Manifest(next, base.buckets, Some(widened.json)),
+        // metadata-only: no bucket moved, so every recorded zone map
+        // still bounds its bucket exactly (the added column simply has
+        // no stats anywhere — conservative, never pruned on)
+        writeManifest(Manifest(next, base.buckets, Some(widened.json),
+            bucketStats = base.bucketStats),
           basedOn = base.commitId)
         prune()
         last = Some(CommitStats(next, Nil, Nil))
@@ -1371,6 +1495,20 @@ class BucketedStateTable(
         .sorted
   }
 
+  /** Zone maps for a relayout's freshly-rewritten snapshot: a layout
+    * change rewrites EVERY bucket, so the new manifest's stats are
+    * rebuilt whole-table here (one bounded stats job over data the
+    * rewrite just produced) instead of silently dropping — a 100-TB
+    * table splitting its layout must not lose bucket pruning until the
+    * next incidental rewrite of each bucket. */
+  private def relayoutStats(snapshot: Option[DataFrame], written: Seq[Int],
+      next: Long): Map[Int, String] =
+    snapshot match {
+      case Some(df) if statsCols.nonEmpty && written.nonEmpty =>
+        collectBucketStats(new Path(dataDir, f"c$next%08d"), df.schema)
+      case _ => Map.empty
+    }
+
   def rebucket(newNumBuckets: Int): BucketedStateTable =
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
       require(newNumBuckets > 0, "newNumBuckets must be positive")
@@ -1386,7 +1524,8 @@ class BucketedStateTable(
       val written = rewriteSnapshot(snapshot, newNumBuckets, next)
       beforePublish()
       writeManifest(Manifest(next, written.map(_ -> next).toMap,
-          snapshot.map(_.schema.json).orElse(cur.flatMap(_.schemaJson))),
+          snapshot.map(_.schema.json).orElse(cur.flatMap(_.schemaJson)),
+          bucketStats = relayoutStats(snapshot, written, next)),
         basedOn, forNumBuckets = newNumBuckets)
       // Truncate pre-rebucket manifests — through the same
       // condemn-then-reap shield prune() uses: a reader that listed a
@@ -1400,7 +1539,7 @@ class BucketedStateTable(
       }
       new BucketedStateTable(spark, path, keyCols, newNumBuckets,
         keepCommits, retentionFloorMillis, bucketCols, leaseStaleMillis,
-        leaseAcquireTimeoutMillis, leaseStore)
+        leaseAcquireTimeoutMillis, leaseStore, statsCols)
     } }
 
   /** Grow the layout by an integer `factor` (B → B·factor buckets) —
@@ -1443,12 +1582,13 @@ class BucketedStateTable(
       writeManifest(Manifest(next, written.map(_ -> next).toMap,
           snapshot.map(_.schema.json).orElse(cur.flatMap(_.schemaJson)),
           splitFactor = Some(factor),
-          splitBasedOn = Some(basedOn)),
+          splitBasedOn = Some(basedOn),
+          bucketStats = relayoutStats(snapshot, written, next)),
         basedOn, forNumBuckets = newNumBuckets)
       prune()
       new BucketedStateTable(spark, path, keyCols, newNumBuckets,
         keepCommits, retentionFloorMillis, bucketCols, leaseStaleMillis,
-        leaseAcquireTimeoutMillis, leaseStore)
+        leaseAcquireTimeoutMillis, leaseStore, statsCols)
     } }
 
   /** Shrink the layout by an integer `factor` (B → B/factor buckets) —
@@ -1487,12 +1627,13 @@ class BucketedStateTable(
       writeManifest(Manifest(next, written.map(_ -> next).toMap,
           snapshot.map(_.schema.json).orElse(cur.flatMap(_.schemaJson)),
           splitFactor = Some(-factor),
-          splitBasedOn = Some(basedOn)),
+          splitBasedOn = Some(basedOn),
+          bucketStats = relayoutStats(snapshot, written, next)),
         basedOn, forNumBuckets = newNumBuckets)
       prune()
       new BucketedStateTable(spark, path, keyCols, newNumBuckets,
         keepCommits, retentionFloorMillis, bucketCols, leaseStaleMillis,
-        leaseAcquireTimeoutMillis, leaseStore)
+        leaseAcquireTimeoutMillis, leaseStore, statsCols)
     } }
 
   /** Export the current snapshot to `outPath` in `format` — the
@@ -1652,7 +1793,10 @@ object BucketedStateTable {
   case class Layout(keyCols: Seq[String], bucketCols: Seq[String],
       numBuckets: Int,
       keepCommits: Option[Int] = None,
-      retentionFloorMillis: Option[Long] = None)
+      retentionFloorMillis: Option[Long] = None,
+      // the owner's zone-map policy: a handle-less writer (SQL INSERT/
+      // DML) must keep recording the stats the owner's readers prune by
+      statsCols: Seq[String] = Nil)
 
   /** Construct the exact instance a recorded layout describes — the ONE
     * place a handle-less consumer (the SQL write surface, the streaming
@@ -1668,7 +1812,8 @@ object BucketedStateTable {
       retentionFloorMillis =
         layout.retentionFloorMillis.getOrElse(Long.MaxValue / 4),
       bucketCols =
-        if (layout.bucketCols == layout.keyCols) Nil else layout.bucketCols)
+        if (layout.bucketCols == layout.keyCols) Nil else layout.bucketCols,
+      statsCols = layout.statsCols)
 
   def snapshotLayout(hadoopConf: org.apache.hadoop.conf.Configuration,
       path: String): Option[Layout] =
@@ -1684,7 +1829,56 @@ object BucketedStateTable {
           .getOrElse(kc.split(",").toSeq),
         nb.toInt,
         kv.get("keepCommits").map(_.toInt),
-        kv.get("retentionFloorMillis").map(_.toLong))
+        kv.get("retentionFloorMillis").map(_.toLong),
+        kv.get("statsCols").map(_.split(",").toSeq).getOrElse(Nil))
+    }
+
+  /** Everything the DSv2 scan needs to bucket-prune a snapshot from
+    * pushed-down filters without a table handle: the chosen manifest's
+    * bucket→commit pointers (and their data paths), decoded zone maps,
+    * bucketing columns + count, and the recorded row schema. One
+    * manifest read, same immutable file as [[snapshotPaths]]. */
+  case class ZoneInfo(rootPath: String, buckets: Map[Int, Long],
+      stats: Map[Int, ZoneMaps.BucketStat],
+      bucketCols: Seq[String], numBuckets: Int,
+      schema: Option[org.apache.spark.sql.types.StructType]) {
+    def pathOf(b: Int): String = {
+      val c = buckets(b)
+      new Path(new Path(rootPath), f"data/c$c%08d/__bucket=$b").toString
+    }
+    /** The paths a scan constrained by `filters` must read (sorted for
+      * plan determinism) — None when nothing prunes, so the caller can
+      * keep its already-built full scan. */
+    def prunedPaths(
+        filters: Seq[org.apache.spark.sql.sources.Filter])
+        : Option[Seq[String]] = schema.flatMap { sch =>
+      val surv = ZoneMaps.surviving(
+        filters, sch, bucketCols, numBuckets, stats, buckets.keySet)
+      if (surv.size == buckets.size) None
+      else Some(surv.toSeq.sorted.map(pathOf))
+    }
+  }
+
+  def snapshotZoneInfo(hadoopConf: org.apache.hadoop.conf.Configuration,
+      path: String, commit: Option[Long] = None): Option[ZoneInfo] =
+    chosenManifestText(hadoopConf, path, commit).flatMap { text =>
+      val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+      val kv = lines.map { l =>
+        val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+      kv.get("numBuckets").map(_.toInt).map { nb =>
+        val kc = kv.get("keyCols").map(_.split(",").toSeq).getOrElse(Nil)
+        ZoneInfo(path,
+          lines.filter(l => l.head.isDigit).map { l =>
+            val Array(b, c) = l.split("=", 2); b.toInt -> c.toLong }.toMap,
+          lines.filter(_.startsWith("zmap.")).flatMap { l =>
+            val Array(k, j) = l.split("=", 2)
+            ZoneMaps.decode(j).map(k.stripPrefix("zmap.").toInt -> _)
+          }.toMap,
+          kv.get("bucketCols").map(_.split(",").toSeq).getOrElse(kc), nb,
+          kv.get("schema").map(j => org.apache.spark.sql.types.DataType
+            .fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+      }
     }
 
   /** Full text of the chosen manifest (newest, or `commit`'s) — one

@@ -268,6 +268,28 @@ object ReferenceQueries {
     // one ([[graft.pipeline.BucketedStateTable.changedAcrossSplits]]
     // remaps the touched set through each boundary) — and the oracle
     // is u5's snapshot diff verbatim. ───────────────────────────────────
+    // ── U9: zone-map pruned read — a state table bucketed by `lang`
+    // with manifest zone maps on `n_chars`
+    // ([[graft.pipeline.BucketedStateTable.readWhere]]): the lang
+    // equality pins ONE bucket via the driver-side hash, the n_chars
+    // range consults the recorded per-bucket min/max, and the result
+    // (superset read + residual filter) must equal the plain SQL
+    // predicate over the same rows. ─────────────────────────────────────
+    "u9_zonemap_scan" -> ((s, dir) => {
+      val (root, tbl) = QueryScratch.freshDir("u9")
+      val t = new graft.pipeline.BucketedStateTable(s, s"$root/$tbl",
+        keyCols = Seq("lang", "doc_id"), bucketCols = Seq("lang"),
+        numBuckets = 16, statsCols = Seq("n_chars"))
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      t.merge(d, keys = Seq("lang", "doc_id"))
+      import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+      t.readWhere(Seq(EqualTo("lang", "en"), GreaterThan("n_chars", 300L)))
+        .get
+        .filter(col("lang") === "en" && col("n_chars") > 300L)
+        .orderBy(col("doc_id"))
+    }),
+
     "u8_split_feed" -> ((s, dir) => {
       val (root, tbl) = QueryScratch.freshDir("u8")
       val t = new graft.pipeline.BucketedStateTable(s, s"$root/$tbl",
@@ -758,6 +780,13 @@ object ReferenceQueries {
         |  FROM a JOIN c ON a.doc_id = c.doc_id
         |  WHERE a.n_chars IS DISTINCT FROM c.n_chars
         |) ORDER BY doc_id, change_type""".stripMargin,
+
+    // the pruned read is a superset + residual filter, so the oracle
+    // is the plain predicate over the same rows
+    "u9_zonemap_scan" ->
+      """SELECT lang, doc_id, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars > 300
+        |ORDER BY doc_id""".stripMargin,
 
     // the split is a pure rewrite: the cross-boundary net diff equals
     // u5's un-split one, so the oracle is the same snapshot diff

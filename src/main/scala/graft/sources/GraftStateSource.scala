@@ -85,14 +85,19 @@ object GraftStateSource {
       throw new IllegalArgumentException(
         "graft-state needs a path: spark.read.format(\"graft-state\").load(<table root>)"))
     val commit = Option(options.get("commit")).map(_.toLong)
-    new GraftStateSqlTable(path, parquetTable(path, commit, options))
+    val zi = BucketedStateTable.snapshotZoneInfo(
+      SparkSession.active.sessionState.newHadoopConf(), path, commit)
+    sqlTable(path, commit, zi, options)
   }
 
-  private[sources] def parquetTable(path: String, commit: Option[Long],
-      options: CaseInsensitiveStringMap): ParquetTable = {
-    val spark = SparkSession.active
-    val conf = spark.sessionState.newHadoopConf()
-    val paths = BucketedStateTable.snapshotPaths(conf, path, commit)
+  /** The DSv2 table over ONE resolved manifest: data paths, recorded
+    * schema, and zone maps all come from the SAME [[ZoneInfo]] read —
+    * a commit landing between two separate manifest reads could
+    * otherwise hand the scan a different snapshot than the pruning
+    * metadata describes (the load-time pinning guarantee). */
+  private[sources] def sqlTable(path: String, commit: Option[Long],
+      zi: Option[BucketedStateTable.ZoneInfo],
+      options: CaseInsensitiveStringMap): GraftStateSqlTable = {
     // The manifest's RECORDED schema (when present) is authoritative,
     // files or no files: a committed-but-EMPTY snapshot (a fully
     // drained queue) is a real table with zero rows, and after a
@@ -102,15 +107,20 @@ object GraftStateSource {
     // schema null-fills the missing columns deterministically. The
     // error is reserved for the truly-never-committed (or
     // pre-schema-manifest, which falls back to footer inference) case.
-    val schema: Option[StructType] =
-      BucketedStateTable.snapshotSchema(conf, path, commit)
-    if (paths.isEmpty && schema.isEmpty)
+    val z = zi.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-state table at $path has no committed snapshot" +
+          commit.map(c => s" readable at commit $c").getOrElse("")))
+    if (z.buckets.isEmpty && z.schema.isEmpty)
       throw new IllegalArgumentException(
         s"graft-state table at $path has no committed snapshot" +
           commit.map(c => s" readable at commit $c").getOrElse(""))
-    ParquetTable(s"graft-state `$path`", spark, options, paths,
-      userSpecifiedSchema = schema,
-      fallbackFileFormat = classOf[ParquetFileFormat])
+    val paths = z.buckets.keys.toSeq.sorted.map(z.pathOf)
+    new GraftStateSqlTable(path,
+      ParquetTable(s"graft-state `$path`", SparkSession.active, options,
+        paths, userSpecifiedSchema = z.schema,
+        fallbackFileFormat = classOf[ParquetFileFormat]),
+      Some(z))
   }
 }
 
@@ -157,7 +167,12 @@ object GraftStateSource {
   * wrapper exists instead of returning the delegate. */
 class GraftStateSqlTable(
     private[sources] val rootPath: String,
-    delegate: ParquetTable) extends Table
+    delegate: ParquetTable,
+    // the LOAD-TIME manifest's pruning metadata — pinned, so every scan
+    // of this table instance prunes against exactly the snapshot the
+    // delegate's paths came from, commits since load notwithstanding
+    private[sources] val zoneInfo: Option[BucketedStateTable.ZoneInfo] = None)
+    extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with SupportsRowLevelOperations {
@@ -182,8 +197,18 @@ class GraftStateSqlTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
+  /** Scans interpose manifest-level BUCKET PRUNING between Spark's
+    * filter pushdown and the delegate parquet scan: pushed predicates
+    * are checked against the manifest's bucket hash (a point lookup on
+    * the full bucket key plans ONE bucket) and recorded zone maps
+    * ([[graft.pipeline.ZoneMaps]]) before any file listing happens —
+    * then the surviving buckets ride the stock parquet path (footer
+    * row-group stats, column pruning, partition coalescing) exactly as
+    * before. Pruning is a SUPERSET read and the residual filters stay
+    * post-scan, so results are identical; only the planned file set
+    * shrinks. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    new GraftZonePrunedScanBuilder(rootPath, zoneInfo, options, delegate)
 
   /** The library-side table this SQL surface mutates through, laid out
     * exactly as the manifest records — ONE manifest read per statement.
@@ -269,6 +294,187 @@ class GraftStateSqlTable(
       try t.deleteWhereUnmodified(matching)
       finally matching.unpersist()
     }
+  }
+}
+
+/** The scan-side seam where manifest metadata meets Catalyst's
+  * pushdown: receives the query's filter expressions
+  * ([[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]]
+  * — the same contract the file-source builders implement), translates
+  * them to V1 source filters, and asks
+  * [[BucketedStateTable.snapshotZoneInfo]] which buckets can possibly
+  * match. When that is a proper subset, the inner builder is REBUILT
+  * over only the surviving bucket directories (same snapshot manifest,
+  * same recorded schema) before filters, required columns, and
+  * aggregates are forwarded — so everything downstream (parquet filter
+  * pushdown, row-group skipping, vectorized read, column pruning)
+  * behaves exactly as it would on the full scan, minus the buckets
+  * that provably hold no matching rows.
+  *
+  * Correctness never depends on the pruning: it yields a SUPERSET of
+  * the matching buckets and the forwarded builder keeps every data
+  * filter as a post-scan residual (the file-source contract), so a
+  * stale or absent zone map costs only speed. Aggregate pushdown
+  * (count-star over footers) only fires on filterless scans — which
+  * never prune — so a pushed aggregate always sees the whole table. */
+private[sources] class GraftZonePrunedScanBuilder(
+    rootPath: String,
+    zoneInfo: Option[BucketedStateTable.ZoneInfo],
+    options: CaseInsensitiveStringMap,
+    full: ParquetTable) extends ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.connector.read.{Scan, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+  import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+
+  private var inner: ScanBuilder = full.newScanBuilder(options)
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val v1 = filters.flatMap(ZonePruneFilters.necessary)
+    if (v1.nonEmpty) {
+      zoneInfo.flatMap(z => z.prunedPaths(v1).map((z, _)))
+        .foreach { case (z, paths) =>
+          inner = ParquetTable(
+            s"graft-state `$rootPath` (bucket-pruned ${paths.size}/" +
+              s"${z.buckets.size})",
+            SparkSession.active, options, paths,
+            userSpecifiedSchema = z.schema,
+            fallbackFileFormat = classOf[ParquetFileFormat])
+            .newScanBuilder(options)
+        }
+    }
+    inner match {
+      case c: SupportsPushDownCatalystFilters => c.pushFilters(filters)
+      case _ => filters
+    }
+  }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner match {
+      case c: SupportsPushDownCatalystFilters => c.pushedFilters
+      case _ => Array.empty
+    }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner match {
+      case c: SupportsPushDownRequiredColumns => c.pruneColumns(requiredSchema)
+      case _ => ()
+    }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    inner match {
+      case a: SupportsPushDownAggregates => a.pushAggregation(agg)
+      case _ => false
+    }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    inner match {
+      case a: SupportsPushDownAggregates => a.supportCompletePushDown(agg)
+      case _ => false
+    }
+
+  override def build(): Scan = inner.build()
+}
+
+/** Catalyst expression → V1 source filter, weakened to a NECESSARY
+  * condition: the result may admit more rows than the expression, never
+  * fewer. That asymmetry is exactly what bucket pruning wants — a
+  * conjunct it cannot translate is simply dropped (the pruning gets
+  * weaker, the superset read gets bigger, correctness is untouched),
+  * where Spark's own exact translator would have to reject the whole
+  * predicate. Disjunctions stay all-or-nothing: weakening ONE arm of an
+  * OR does not yield a necessary condition for the whole. */
+private[sources] object ZonePruneFilters {
+  import org.apache.spark.sql.catalyst.expressions
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Literal => CLit}
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.types.Decimal
+
+  /** Catalyst-internal literal value → the external form V1 filters
+    * carry (what [[graft.pipeline.ZoneMaps]] expects). None for null or
+    * anything outside the zone-map type set. */
+  private def external(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (null, _) => None
+    case (s: UTF8String, _) => Some(s.toString)
+    case (d: Decimal, _) => Some(d.toJavaBigDecimal)
+    case (days: Int, DateType) =>
+      Some(java.time.LocalDate.ofEpochDay(days.toLong))
+    case (micros: Long, TimestampType) =>
+      Some(java.time.Instant.ofEpochSecond(
+        java.lang.Math.floorDiv(micros, 1000000L),
+        java.lang.Math.floorMod(micros, 1000000L) * 1000L))
+    case (x: Byte, _) => Some(x)
+    case (x: Short, _) => Some(x)
+    case (x: Int, _) => Some(x)
+    case (x: Long, _) => Some(x)
+    case (x: Float, _) => Some(x)
+    case (x: Double, _) => Some(x)
+    case (x: Boolean, _) => Some(x)
+    case _ => None
+  }
+
+  def necessary(e: Expression): Option[Filter] = e match {
+    case expressions.And(l, r) =>
+      // partial conjunctions are fine: each translated arm is already
+      // a necessary condition of the whole AND
+      (necessary(l), necessary(r)) match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case (a, b) => a.orElse(b)
+      }
+    case expressions.Or(l, r) =>
+      for { a <- necessary(l); b <- necessary(r) } yield Or(a, b)
+    case expressions.EqualTo(a: Attribute, CLit(v, dt)) =>
+      external(v, dt).map(EqualTo(a.name, _))
+    case expressions.EqualTo(CLit(v, dt), a: Attribute) =>
+      external(v, dt).map(EqualTo(a.name, _))
+    case expressions.EqualNullSafe(a: Attribute, CLit(v, dt)) =>
+      if (v == null) Some(IsNull(a.name))
+      else external(v, dt).map(EqualNullSafe(a.name, _))
+    case expressions.EqualNullSafe(CLit(v, dt), a: Attribute) =>
+      if (v == null) Some(IsNull(a.name))
+      else external(v, dt).map(EqualNullSafe(a.name, _))
+    case expressions.GreaterThan(a: Attribute, CLit(v, dt)) =>
+      external(v, dt).map(GreaterThan(a.name, _))
+    case expressions.GreaterThan(CLit(v, dt), a: Attribute) =>
+      external(v, dt).map(LessThan(a.name, _))
+    case expressions.GreaterThanOrEqual(a: Attribute, CLit(v, dt)) =>
+      external(v, dt).map(GreaterThanOrEqual(a.name, _))
+    case expressions.GreaterThanOrEqual(CLit(v, dt), a: Attribute) =>
+      external(v, dt).map(LessThanOrEqual(a.name, _))
+    case expressions.LessThan(a: Attribute, CLit(v, dt)) =>
+      external(v, dt).map(LessThan(a.name, _))
+    case expressions.LessThan(CLit(v, dt), a: Attribute) =>
+      external(v, dt).map(GreaterThan(a.name, _))
+    case expressions.LessThanOrEqual(a: Attribute, CLit(v, dt)) =>
+      external(v, dt).map(LessThanOrEqual(a.name, _))
+    case expressions.LessThanOrEqual(CLit(v, dt), a: Attribute) =>
+      external(v, dt).map(GreaterThanOrEqual(a.name, _))
+    case expressions.In(a: Attribute, values)
+        if values.forall(_.isInstanceOf[CLit]) =>
+      val ext = values.map { case CLit(v, dt) => external(v, dt) }
+      if (ext.exists(_.isEmpty)) None
+      else Some(In(a.name, ext.flatten.toArray))
+    case expressions.InSet(a: Attribute, set) =>
+      val ext = set.toSeq.filter(_ != null)
+        .map(external(_, a.dataType))
+      // dropped nulls only WIDEN nothing: null ∈ IN-set matches no row
+      if (ext.exists(_.isEmpty)) None
+      else Some(In(a.name, ext.flatten.toArray))
+    case expressions.IsNull(a: Attribute) => Some(IsNull(a.name))
+    case expressions.IsNotNull(a: Attribute) => Some(IsNotNull(a.name))
+    case expressions.StartsWith(a: Attribute, CLit(v, dt)) =>
+      external(v, dt).collect { case s: String => StringStartsWith(a.name, s) }
+    case _ => None
   }
 }
 
@@ -825,9 +1031,10 @@ class GraftStateCatalog extends TableCatalog
     val commits = BucketedStateTable.snapshotCommits(
       spark.sessionState.newHadoopConf(), dir.toString)
     if (commits.isEmpty) throw new NoSuchTableException(ident)
-    new GraftStateSqlTable(dir.toString,
-      GraftStateSource.parquetTable(dir.toString, None,
-        CaseInsensitiveStringMap.empty()))
+    GraftStateSource.sqlTable(dir.toString, None,
+      BucketedStateTable.snapshotZoneInfo(
+        spark.sessionState.newHadoopConf(), dir.toString),
+      CaseInsensitiveStringMap.empty())
   }
 
   /** `SELECT ... FROM cat.t VERSION AS OF <commitId>` — the SQL face of
@@ -851,9 +1058,10 @@ class GraftStateCatalog extends TableCatalog
     require(commits.contains(commit),
       s"commit $commit is not retained at ${tableDir(ident)} " +
         s"(retained: ${commits.mkString(", ")})")
-    new GraftStateSqlTable(dir.toString,
-      GraftStateSource.parquetTable(dir.toString, Some(commit),
-        CaseInsensitiveStringMap.empty()))
+    GraftStateSource.sqlTable(dir.toString, Some(commit),
+      BucketedStateTable.snapshotZoneInfo(
+        spark.sessionState.newHadoopConf(), dir.toString, Some(commit)),
+      CaseInsensitiveStringMap.empty())
   }
 
   /** `SELECT ... FROM cat.t TIMESTAMP AS OF <ts>` — resolves to the
@@ -877,9 +1085,11 @@ class GraftStateCatalog extends TableCatalog
           s"predates the oldest retained commit of ${tableDir(ident)} " +
           s"(oldest: ${times.head._1} at " +
           s"${java.time.Instant.ofEpochMilli(times.head._2)})"))._1
-    new GraftStateSqlTable(dir.toString,
-      GraftStateSource.parquetTable(dir.toString, Some(at),
-        CaseInsensitiveStringMap.empty()))
+    GraftStateSource.sqlTable(dir.toString, Some(at),
+      BucketedStateTable.snapshotZoneInfo(
+        SparkSession.active.sessionState.newHadoopConf(),
+        dir.toString, Some(at)),
+      CaseInsensitiveStringMap.empty())
   }
 
   override def tableExists(ident: Identifier): Boolean =

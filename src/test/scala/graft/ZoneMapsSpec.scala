@@ -1,0 +1,296 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+import graft.pipeline._
+
+/** Zone maps + bucket pruning: manifest-recorded per-bucket stats must
+  * prune exactly (never below the matching set), the driver-side hash
+  * must agree with the table's own bucket assignment, and both the
+  * library read and the DSv2 scan must plan only surviving buckets. */
+class ZoneMapsSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-zonemap").toString
+
+  private def stat(rows: Long, cols: (String, ZoneMaps.ColStat)*) =
+    ZoneMaps.BucketStat(rows, 1000L, cols.toMap)
+
+  private def cs(min: String, max: String, nulls: Long = 0) =
+    ZoneMaps.ColStat(Some(min), Some(max), nulls)
+
+  private val schema = org.apache.spark.sql.types.StructType.fromDDL(
+    "k STRING, score BIGINT, name STRING, ts TIMESTAMP, d DOUBLE")
+
+  // ── encode/decode ─────────────────────────────────────────────────────
+
+  test("bucket stats survive the manifest JSON roundtrip") {
+    val s = stat(42, "score" -> cs("-5", "99"),
+      "name" -> ZoneMaps.ColStat(Some("aa\"b\nc"), None, 7),
+      "allnull" -> ZoneMaps.ColStat(None, None, 42))
+    val enc = ZoneMaps.encode(s)
+    assert(!enc.contains("\n"), "manifest lines must stay single-line")
+    assert(ZoneMaps.decode(enc).contains(s))
+    assert(ZoneMaps.decode("{not json").isEmpty)
+    assert(ZoneMaps.decode("""{"x":1}""").isEmpty)
+  }
+
+  // ── byte successor (string prefix upper bound) ───────────────────────
+
+  test("byteSucc increments the rightmost non-0xFF byte") {
+    assert(ZoneMaps.byteSucc(Array[Byte](1, 2, 3)).get.toSeq == Seq[Byte](1, 2, 4))
+    assert(ZoneMaps.byteSucc(Array[Byte](1, -1, -1)).get.toSeq == Seq[Byte](2))
+    assert(ZoneMaps.byteSucc(Array[Byte](-1, -1)).isEmpty)
+  }
+
+  // ── mayMatch semantics ───────────────────────────────────────────────
+
+  test("range and equality predicates eliminate disjoint buckets only") {
+    val b = stat(10, "score" -> cs("100", "200"))
+    def may(f: Filter) = ZoneMaps.mayMatch(f, b, schema)
+    assert(!may(EqualTo("score", 99L)) && may(EqualTo("score", 100L)) &&
+      may(EqualTo("score", 150L)) && !may(EqualTo("score", 201L)))
+    assert(!may(GreaterThan("score", 200L)) && may(GreaterThan("score", 199L)))
+    assert(!may(GreaterThanOrEqual("score", 201L)) &&
+      may(GreaterThanOrEqual("score", 200L)))
+    assert(!may(LessThan("score", 100L)) && may(LessThan("score", 101L)))
+    assert(!may(LessThanOrEqual("score", 99L)) &&
+      may(LessThanOrEqual("score", 100L)))
+    assert(may(In("score", Array(5L, 150L))) &&
+      !may(In("score", Array(5L, 300L))))
+    // conjunction prunes when either side does; disjunction needs both
+    assert(!may(And(GreaterThan("score", 500L), IsNotNull("score"))))
+    assert(may(Or(GreaterThan("score", 500L), EqualTo("score", 150L))))
+    assert(!may(Or(GreaterThan("score", 500L), EqualTo("score", 50L))))
+    // unknown column / unsupported shape: conservative
+    assert(may(EqualTo("nope", 1L)) && may(Not(EqualTo("score", 1L))))
+    // type-mismatched value: conservative, never a crash
+    assert(may(EqualTo("score", "not-a-long")))
+  }
+
+  test("null accounting: IsNull, IsNotNull, and all-null buckets") {
+    val someNulls = stat(10, "name" -> cs("a", "z", nulls = 3))
+    val noNulls = stat(10, "name" -> cs("a", "z", nulls = 0))
+    val allNull = stat(10, "name" -> ZoneMaps.ColStat(None, None, 10))
+    assert(ZoneMaps.mayMatch(IsNull("name"), someNulls, schema))
+    assert(!ZoneMaps.mayMatch(IsNull("name"), noNulls, schema))
+    assert(ZoneMaps.mayMatch(IsNotNull("name"), someNulls, schema))
+    assert(!ZoneMaps.mayMatch(IsNotNull("name"), allNull, schema))
+    // no value predicate survives an all-null bucket
+    assert(!ZoneMaps.mayMatch(EqualTo("name", "x"), allNull, schema))
+    assert(!ZoneMaps.mayMatch(GreaterThan("name", ""), allNull, schema))
+    assert(!ZoneMaps.mayMatch(StringStartsWith("name", "a"), allNull, schema))
+  }
+
+  test("string bounds compare in UTF-8 byte order, not UTF-16") {
+    // U+10000 (surrogate pair) sorts ABOVE U+FFFD in UTF-8 bytes but
+    // BELOW it in UTF-16 code units — a code-unit comparison would
+    // wrongly prune the lookup for U+FFFD
+    val b = stat(5, "name" -> cs("a", "𐀀"))
+    assert("�".compareTo("𐀀") > 0) // the trap exists
+    assert(ZoneMaps.mayMatch(EqualTo("name", "�"), b, schema))
+  }
+
+  test("prefix predicates bound both ends") {
+    val b = stat(5, "name" -> cs("mm", "mz"))
+    assert(ZoneMaps.mayMatch(StringStartsWith("name", "m"), b, schema))
+    assert(ZoneMaps.mayMatch(StringStartsWith("name", "mz"), b, schema))
+    assert(!ZoneMaps.mayMatch(StringStartsWith("name", "n"), b, schema))
+    assert(!ZoneMaps.mayMatch(StringStartsWith("name", "l"), b, schema))
+  }
+
+  // ── hash pruning agrees with the engine ──────────────────────────────
+
+  test("driver-side bucket hash matches the table's bucket assignment") {
+    import org.apache.spark.sql.types._
+    val sp = spark
+    import sp.implicits._
+    val keys = Seq("a", "k123456", "", "Ünïcödé-✓", "𐀀mixed")
+    for (n <- Seq(8, 64, 16384)) {
+      val engine = keys.toDF("k")
+        .select(col("k"), pmod(xxhash64(col("k")), lit(n.toLong))
+          .cast("int").as("b"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      keys.foreach { k =>
+        assert(ZoneMaps.bucketOfValues(Seq(k), Seq(StringType), n)
+          .contains(engine(k)), s"key $k at numBuckets=$n")
+      }
+    }
+    // multi-column keys hash the tuple in bucket-column order
+    val twoCol = Seq(("g1", 7L), ("g2", 9L))
+    val engine2 = twoCol.toDF("g", "i")
+      .select(col("g"), col("i"),
+        pmod(xxhash64(col("g"), col("i")), lit(32L)).cast("int").as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    twoCol.foreach { case (g, i) =>
+      assert(ZoneMaps.bucketOfValues(Seq(g, i),
+        Seq(StringType, LongType), 32).contains(engine2((g, i))))
+    }
+  }
+
+  test("surviving: equality on all bucket columns pins the hash bucket") {
+    import org.apache.spark.sql.types._
+    val sch = StructType.fromDDL("grp STRING, id BIGINT, score BIGINT")
+    val all = (0 until 16).toSet
+    val expected = ZoneMaps.bucketOfValues(Seq("g3"), Seq(StringType), 16).get
+    val surv = ZoneMaps.surviving(Seq(EqualTo("grp", "g3")), sch,
+      Seq("grp"), 16, Map.empty, all)
+    assert(surv == Set(expected))
+    // no equality on the bucket column: everything survives (no stats)
+    assert(ZoneMaps.surviving(Seq(GreaterThan("score", 5L)), sch,
+      Seq("grp"), 16, Map.empty, all) == all)
+    // contradictory equalities: provably empty
+    assert(ZoneMaps.surviving(
+      Seq(EqualTo("grp", "g3"), EqualTo("grp", "g4")), sch,
+      Seq("grp"), 16, Map.empty, all).isEmpty)
+  }
+
+  // ── table integration ────────────────────────────────────────────────
+
+  /** 16 groups bucketed by grp (bucketCols narrowing), score clustered
+    * per group so zone maps have something to prune on. */
+  private def seededTable(dir: String): BucketedStateTable = {
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("grp", "id"), numBuckets = 16,
+      bucketCols = Seq("grp"), statsCols = Seq("score", "ts"),
+      retentionFloorMillis = 0L)
+    val rows = spark.range(1600).select(
+      concat(lit("g"), col("id") % 16).as("grp"),
+      col("id").as("id"),
+      (col("id") % 16) * lit(100L) + col("id") % 7).toDF("grp", "id", "score")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("score")))
+    t.merge(rows, keys = Seq("grp", "id"))
+    t
+  }
+
+  private def touchedBuckets(df: org.apache.spark.sql.DataFrame): Set[Int] =
+    df.inputFiles.toSeq
+      .map(_.replaceAll(".*__bucket=", "").replaceAll("/.*", "").toInt).toSet
+
+  test("readWhere zone-prunes a clustered range predicate, exactly") {
+    val t = seededTable(tmp())
+    val full = t.read().get
+    val pruned = t.readWhere(Seq(GreaterThanOrEqual("score", 1400L))).get
+    assert(touchedBuckets(pruned).size < touchedBuckets(full).size,
+      "the range predicate must eliminate buckets")
+    // superset semantics: filtered results match exactly
+    assert(pruned.filter(col("score") >= 1400).exceptAll(
+      full.filter(col("score") >= 1400)).isEmpty)
+    assert(full.filter(col("score") >= 1400).exceptAll(
+      pruned.filter(col("score") >= 1400)).isEmpty)
+    // timestamps prune through the epoch-micros canonical form
+    val tsPruned = t.readWhere(Seq(GreaterThan("ts",
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700001400L)))))
+      .get
+    assert(touchedBuckets(tsPruned).size < 16)
+    assert(tsPruned.filter(col("ts") >
+        timestamp_seconds(lit(1700001400L))).count() ==
+      full.filter(col("ts") > timestamp_seconds(lit(1700001400L))).count())
+  }
+
+  test("readWhere hash-prunes a point lookup to one bucket") {
+    val t = seededTable(tmp())
+    val pruned = t.readWhere(Seq(EqualTo("grp", "g5"))).get
+    assert(touchedBuckets(pruned).size == 1)
+    assert(pruned.filter(col("grp") === "g5").count() == 100)
+    // provably-empty survivor set: typed empty frame, not an error
+    val none = t.readWhere(Seq(And(EqualTo("grp", "g5"),
+      GreaterThan("score", 100000L)))).get
+    assert(none.count() == 0 && none.schema.fieldNames.contains("score"))
+  }
+
+  test("a stats-less writer drops the stale zone map of its dirty bucket") {
+    val dir = tmp()
+    val t = seededTable(dir)
+    def zmapBuckets(): Set[Int] = {
+      val commits = new java.io.File(s"$dir/state/_commits").listFiles()
+        .filter(_.getName.endsWith(".txt")).sortBy(_.getName)
+      scala.io.Source.fromFile(commits.last).getLines()
+        .filter(_.startsWith("zmap."))
+        .map(_.stripPrefix("zmap.").takeWhile(_ != '=').toInt).toSet
+    }
+    // every NONEMPTY bucket (group hashing leaves some buckets empty)
+    // carries a zone map after the seeding commit
+    val nonEmpty = touchedBuckets(t.read().get)
+    assert(zmapBuckets() == nonEmpty && nonEmpty.nonEmpty)
+    // a handle with NO statsCols rewrites one group's bucket
+    val plain = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("grp", "id"), numBuckets = 16,
+      bucketCols = Seq("grp"), retentionFloorMillis = 0L)
+    val one = spark.range(1).select(lit("g5").as("grp"), lit(9999L).as("id"),
+      lit(123456L).as("score"),
+      timestamp_seconds(lit(1700000000L)).as("ts"))
+    plain.merge(one, keys = Seq("grp", "id"))
+    val dirty = plain.lastCommit.get.bucketsWritten.toSet
+    assert(zmapBuckets() == nonEmpty -- dirty,
+      "the rewritten bucket's stale bounds must not survive")
+    // pruning now KEEPS the un-statted bucket (conservative) and the
+    // new out-of-range row is still found
+    val found = t.readWhere(Seq(GreaterThan("score", 100000L))).get
+    assert(found.filter(col("score") > 100000L).count() == 1)
+  }
+
+  test("zone maps survive a layout split and widenTo") {
+    val t = seededTable(tmp())
+    val t32 = t.splitBuckets(2)
+    val pruned = t32.readWhere(Seq(GreaterThanOrEqual("score", 1400L))).get
+    val all = t32.read().get
+    assert(touchedBuckets(pruned).size < touchedBuckets(all).size,
+      "relayout must rebuild stats, not drop them")
+    assert(pruned.filter(col("score") >= 1400).count() ==
+      all.filter(col("score") >= 1400).count())
+    // widenTo: metadata-only, stats carried verbatim
+    val wide = org.apache.spark.sql.types.StructType(
+      all.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "extra", org.apache.spark.sql.types.StringType, true))
+    t32.widenTo(wide)
+    val afterWiden = t32.readWhere(Seq(GreaterThanOrEqual("score", 1400L))).get
+    assert(touchedBuckets(afterWiden) == touchedBuckets(pruned))
+    assert(afterWiden.schema.fieldNames.contains("extra"))
+  }
+
+  // ── DSv2 scan integration ────────────────────────────────────────────
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.flatMap {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.fileIndex.inputFiles.toSeq
+      case _ => Nil
+    }
+  }
+
+  test("SQL point lookup plans one bucket; range predicate zone-prunes") {
+    val dir = tmp()
+    seededTable(dir)
+    val sql = spark.read.format("graft-state").load(s"$dir/state")
+    val allFiles = plannedFiles(sql)
+    assert(allFiles.nonEmpty)
+
+    val point = sql.where(col("grp") === "g5")
+    val pointFiles = plannedFiles(point)
+    assert(pointFiles.forall(_.contains("__bucket=")) &&
+      pointFiles.map(_.replaceAll(".*__bucket=", "").replaceAll("/.*", ""))
+        .distinct.size == 1,
+      s"point lookup planned ${pointFiles.size} files across buckets")
+    assert(point.count() == 100)
+
+    val range = sql.where(col("score") >= 1400)
+    assert(plannedFiles(range).size < allFiles.size,
+      "zone maps must shrink the planned file set")
+    assert(range.count() ==
+      sql.count() - sql.where(col("score") < 1400).count())
+
+    // provably empty: planned set empty, result empty, no error
+    val none = sql.where(col("grp") === "g5" && col("score") > 100000)
+    assert(plannedFiles(none).isEmpty && none.count() == 0)
+
+    // filterless scans never prune (and count-star pushdown sees all)
+    assert(sql.count() == 1600)
+  }
+}
