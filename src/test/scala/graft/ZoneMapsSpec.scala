@@ -265,6 +265,25 @@ class ZoneMapsSpec extends SparkSpec {
     }
   }
 
+  test("SQL DML through the catalog maintains the owner's zone maps") {
+    val dir = tmp()
+    val t = seededTable(dir)
+    spark.conf.set("spark.sql.catalog.gzmap",
+      classOf[graft.sources.GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gzmap.root", dir)
+    // the handle-less SQL writer reconstructs the layout FROM the
+    // manifest — statsCols included — so its rewrite of g5's bucket
+    // must REFRESH that bucket's bounds, not drop them
+    spark.sql("UPDATE gzmap.state SET score = 999999 WHERE grp = 'g5'")
+    val afterUpdate = t.readWhere(Seq(GreaterThan("score", 500000L))).get
+    assert(touchedBuckets(afterUpdate).size == 1,
+      "the refreshed bounds must confine the new max to g5's bucket")
+    assert(afterUpdate.filter(col("score") > 500000L).count() == 100)
+    // and a value below every refreshed bound still prunes to nothing
+    val below = t.readWhere(Seq(LessThan("score", 0L))).get
+    assert(below.count() == 0)
+  }
+
   test("SQL point lookup plans one bucket; range predicate zone-prunes") {
     val dir = tmp()
     seededTable(dir)
