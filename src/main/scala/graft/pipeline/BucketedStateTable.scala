@@ -1859,6 +1859,32 @@ object BucketedStateTable {
     }
   }
 
+  /** Bucket pointers + recorded per-bucket row counts of ONE manifest —
+    * the unit the change feed's row-based admission estimates batch
+    * cost from (a commit's diff reads the rewritten buckets on both
+    * sides). Counts are present only for buckets written by a
+    * stats-recording handle ([[ZoneMaps]]); a bucket without one maps
+    * to None and the consumer must treat its cost as unknown. The
+    * manifest file is immutable under its id, so callers may memoize
+    * by id alone. */
+  def snapshotPointersAndCounts(
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      path: String, commit: Long)
+      : Option[(Map[Int, Long], Map[Int, Option[Long]])] =
+    (try chosenManifestText(hadoopConf, path, Some(commit))
+     catch { case _: NoSuchElementException => None } // pruned: unknown
+    ).map { text =>
+      val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+      val ptrs = lines.filter(_.head.isDigit).map { l =>
+        val Array(b, c) = l.split("=", 2); b.toInt -> c.toLong }.toMap
+      val counts = lines.filter(_.startsWith("zmap.")).flatMap { l =>
+        val Array(k, j) = l.split("=", 2)
+        ZoneMaps.decode(j).map(s =>
+          k.stripPrefix("zmap.").toInt -> s.rows)
+      }.toMap
+      (ptrs, ptrs.keySet.map(b => b -> counts.get(b)).toMap)
+    }
+
   def snapshotZoneInfo(hadoopConf: org.apache.hadoop.conf.Configuration,
       path: String, commit: Option[Long] = None): Option[ZoneInfo] =
     chosenManifestText(hadoopConf, path, commit).flatMap { text =>

@@ -67,6 +67,17 @@ import graft.pipeline.BucketedStateTable
   * doc), so it keeps binding across restarts; a crash inside the window
   * can at most double one batch. Unset = the old jump-to-latest.
   *
+  * `option("maxChangeRowsPerTrigger", r)` caps by estimated ROWS
+  * instead of commit count (composable with the commit cap): each
+  * pending commit is priced from the manifests' recorded per-bucket
+  * row counts (zone-map stats — the pointer diff names the rewritten
+  * buckets, the counts say what reading both sides costs) and commits
+  * are admitted until the estimate would exceed `r`. The first pending
+  * commit always lands (progress guarantee), so a single oversized
+  * commit still drains — as its own batch. On a table without
+  * recorded counts (no `statsCols`) the estimate is UNKNOWN and the
+  * cap degrades to one commit per trigger — bounded, just blunter.
+  *
   * The bootstrap has the same knob:
   * `option("maxSnapshotBucketsPerTrigger", m)` (requires
   * `initialSnapshot`) walks the base snapshot in chunks of m bucket
@@ -178,6 +189,11 @@ class GraftStateChangesProvider extends StreamSourceProvider
       require(m > 0, s"maxCommitsPerTrigger must be positive, got $m")
       m
     }
+    val maxRows = parameters.get("maxChangeRowsPerTrigger").map { v =>
+      val m = v.toLong
+      require(m > 0, s"maxChangeRowsPerTrigger must be positive, got $m")
+      m
+    }
     val maxSnapBuckets =
       parameters.get("maxSnapshotBucketsPerTrigger").map { v =>
         val m = v.toInt
@@ -237,6 +253,7 @@ class GraftStateChangesProvider extends StreamSourceProvider
       initialSnapshot =
         parameters.get("initialSnapshot").exists(_.toBoolean),
       maxCommitsPerTrigger = maxCommits,
+      maxChangeRowsPerTrigger = maxRows,
       maxSnapshotBucketsPerTrigger = maxSnapBuckets,
       metadataPath = Some(metadataPath))
   }
@@ -247,6 +264,36 @@ private[sources] object GraftStateChangesSource {
     * table whose own schema uses one cannot be streamed (refused at
     * creation). */
   val ReservedCols: Set[String] = Set("change_type", "_commit_id")
+
+  /** Estimated rows a diff admitting `cur` on top of `prev` must read:
+    * the recorded per-bucket counts of every bucket whose pointer
+    * moved, summed over BOTH sides (pre- and post-image buckets are
+    * both scanned). A dropped or newly-created bucket contributes only
+    * its existing side. -1 = UNKNOWN: a side's manifest is unreadable
+    * (pruned) or an involved bucket carries no recorded count (written
+    * by a stats-less handle) — the admission loop then stops after the
+    * commit rather than guessing. */
+  private[sources] def commitCost(
+      prev: Option[(Map[Int, Long], Map[Int, Option[Long]])],
+      cur: Option[(Map[Int, Long], Map[Int, Option[Long]])]): Long =
+    (prev, cur) match {
+      case (Some((pPtr, pCnt)), Some((cPtr, cCnt))) =>
+        var total = 0L
+        val it = (pPtr.keySet ++ cPtr.keySet).iterator
+        while (it.hasNext) {
+          val b = it.next()
+          if (pPtr.get(b) != cPtr.get(b)) {
+            val p = if (pPtr.contains(b)) pCnt.getOrElse(b, None) else Some(0L)
+            val c = if (cPtr.contains(b)) cCnt.getOrElse(b, None) else Some(0L)
+            (p, c) match {
+              case (Some(x), Some(y)) => total += x + y
+              case _ => return -1L
+            }
+          }
+        }
+        total
+      case _ => -1L
+    }
 
   /** One tiny-number-in-a-file reader shared by every metadata slot
     * this source keeps (base commit, snapshot cap, admitted floor) —
@@ -280,6 +327,7 @@ private[sources] class GraftStateChangesSource(
     override val schema: StructType,
     initialSnapshot: Boolean = false,
     maxCommitsPerTrigger: Option[Int] = None,
+    maxChangeRowsPerTrigger: Option[Long] = None,
     maxSnapshotBucketsPerTrigger: Option[Int] = None,
     metadataPath: Option[String] = None) extends Source {
 
@@ -376,7 +424,8 @@ private[sources] class GraftStateChangesSource(
       // checkpoint that ran one batch under this version carries one —
       // this catches caps newly enabled on a pre-admission-control
       // checkpoint, and a floor lost to the rename fallback's window.
-      if (maxCommitsPerTrigger.isDefined || chunked)
+      if (maxCommitsPerTrigger.isDefined ||
+          maxChangeRowsPerTrigger.isDefined || chunked)
         metadataPath.foreach { mp =>
           if (GraftStateChangesSource.engineHasProgress(
               new Path(mp).getFileSystem(conf), mp))
@@ -426,15 +475,71 @@ private[sources] class GraftStateChangesSource(
       return Some(LongOffset(floor + 1))
     val commits = BucketedStateTable.snapshotCommits(conf, path)
     val latest = if (commits.isEmpty) base else math.max(base, commits.max)
-    maxCommitsPerTrigger match {
-      case None => Some(LongOffset(latest))
-      case Some(m) =>
-        // admit the next m RETAINED commits above the floor — counted
-        // as commits, not id arithmetic (ids can be sparse after
-        // withdrawn publishes and orphan data dirs)
-        val pending = commits.filter(_ > floor)
-        val end = if (pending.isEmpty) floor else pending.take(m).last
+    if (maxCommitsPerTrigger.isEmpty && maxChangeRowsPerTrigger.isEmpty)
+      Some(LongOffset(latest))
+    else {
+      // admit the next commits above the floor — counted as RETAINED
+      // commits, not id arithmetic (ids can be sparse after withdrawn
+      // publishes and orphan data dirs) — until either cap binds
+      val pending = commits.filter(_ > floor)
+      if (pending.isEmpty) Some(LongOffset(floor))
+      else {
+        val capped =
+          pending.take(maxCommitsPerTrigger.getOrElse(Int.MaxValue))
+        val end = maxChangeRowsPerTrigger match {
+          case None => capped.last
+          case Some(capR) =>
+            // estimated batch cost of admitting commit c: the recorded
+            // row counts of every bucket whose pointer moved between
+            // the previous admitted manifest and c, on BOTH sides (the
+            // diff reads pre- and post-image buckets). A bucket with
+            // no recorded count, or an unreadable predecessor, costs
+            // UNKNOWN — the loop admits that commit and stops, so a
+            // table without zone-map stats degrades to one commit per
+            // trigger, never an unbounded batch. The FIRST pending
+            // commit is always admitted (progress guarantee).
+            var prev = commits.filter(_ <= floor).lastOption
+              .flatMap(pointersAndCounts)
+            var est = 0L
+            var end = capped.head
+            var i = 0
+            var stop = false
+            while (i < capped.size && !stop) {
+              val cur = pointersAndCounts(capped(i))
+              val cost = GraftStateChangesSource.commitCost(prev, cur)
+              val over = cost < 0 || est + cost > capR
+              if (i == 0) { // progress guarantee: the first always lands
+                end = capped(i); prev = cur; i += 1
+                est = if (cost < 0) Long.MaxValue / 2 else cost
+                stop = over
+              } else if (over) stop = true
+              else { est += cost; end = capped(i); prev = cur; i += 1 }
+            }
+            end
+        }
         Some(LongOffset(math.max(end, floor)))
+      }
+    }
+  }
+
+  // manifests are immutable under their id once published, so the
+  // admission estimator memoizes them — a capped backlog drain would
+  // otherwise re-read the same small files on every trigger
+  private val manifestMemo = new java.util.LinkedHashMap[
+      Long, Option[(Map[Int, Long], Map[Int, Option[Long]])]](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        Long, Option[(Map[Int, Long], Map[Int, Option[Long]])]]): Boolean =
+      size() > 512
+  }
+
+  private def pointersAndCounts(
+      commit: Long): Option[(Map[Int, Long], Map[Int, Option[Long]])] = {
+    val cached = manifestMemo.get(commit)
+    if (cached != null) cached
+    else {
+      val v = BucketedStateTable.snapshotPointersAndCounts(conf, path, commit)
+      manifestMemo.put(commit, v)
+      v
     }
   }
 

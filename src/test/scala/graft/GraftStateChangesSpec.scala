@@ -162,6 +162,78 @@ class GraftStateChangesSpec extends SparkSpec {
       t.read().get.as[(String, Long)].collect().toMap)
   }
 
+  test("maxChangeRowsPerTrigger prices commits from the manifest counts; stats-less tables degrade to one per trigger") {
+    val s = spark
+    import s.implicits._
+
+    def backlogTable(root: String, stats: Boolean): BucketedStateTable = {
+      val t = new BucketedStateTable(spark, s"$root/state",
+        keyCols = Seq("k"), numBuckets = 4, keepCommits = 30,
+        retentionFloorMillis = 60_000L,
+        statsCols = if (stats) Seq("v") else Nil)
+      t.merge(Seq(("base", 0L)).toDF("k", "v"), keys = Seq("k"))
+      (1 to 6).foreach(i =>
+        t.merge(Seq((s"k$i", i.toLong)).toDF("k", "v"), keys = Seq("k")))
+      t
+    }
+    def drain(root: String, from: Long, capRows: Long): Map[Long, Set[Change]] = {
+      val batches = TrieMap.empty[Long, Seq[Change]]
+      val q = spark.readStream.format("graft-state-changes")
+        .option("startingCommit", from)
+        .option("maxChangeRowsPerTrigger", capRows.toString)
+        .load(s"$root/state")
+        .writeStream
+        .option("checkpointLocation", s"$root/ck-$capRows")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches.put(id, df.as[Change].collect().toSeq)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      batches.toMap.view.mapValues(_.toSet).toMap
+    }
+    def replay(t: BucketedStateTable, from: Long,
+        batches: Map[Long, Set[Change]]): Unit = {
+      val replica = scala.collection.mutable.Map.empty[String, Long]
+      replica ++= t.readAt(from).get.as[(String, Long)].collect()
+      batches.keys.toSeq.sorted.foreach(id => batches(id).foreach {
+        case ("insert", k, v, _) => replica(k) = v
+        case ("update_postimage", k, v, _) => replica(k) = v
+        case ("delete", k, _, _) => replica.remove(k); ()
+        case _ => ()
+      })
+      assert(replica.toMap == t.read().get.as[(String, Long)].collect().toMap)
+    }
+
+    // stats-enabled: a 1-row cap forces one commit per batch (every
+    // commit costs more), a huge cap takes the whole backlog in one
+    val r1 = tmp()
+    val t1 = backlogTable(r1, stats = true)
+    val from1 = t1.commits().head
+    val capped = drain(r1, from1, capRows = 1L)
+    assert(capped.size == 6,
+      s"cap=1 row must admit one commit per batch, got ${capped.size}")
+    replay(t1, from1, capped)
+    val r2 = tmp()
+    val t2 = backlogTable(r2, stats = true)
+    val from2 = t2.commits().head
+    val one = drain(r2, from2, capRows = 1000000L)
+    assert(one.size == 1,
+      s"a cap above the whole backlog must drain in one batch, got ${one.size}")
+    replay(t2, from2, one)
+
+    // stats-less: every commit's cost is UNKNOWN — bounded to one
+    // commit per trigger instead of one unbounded batch
+    val r3 = tmp()
+    val t3 = backlogTable(r3, stats = false)
+    val from3 = t3.commits().head
+    val blunt = drain(r3, from3, capRows = 1000000L)
+    assert(blunt.size == 6,
+      s"unknown costs must degrade to one commit per trigger, got ${blunt.size}")
+    replay(t3, from3, blunt)
+  }
+
   test("a table using a reserved feed column name refuses at creation, not with an ambiguous-reference crash-loop") {
     val s = spark
     import s.implicits._
