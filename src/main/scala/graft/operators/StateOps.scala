@@ -43,13 +43,44 @@ object StateOps {
     }
   }
 
+  /** Is `from → to` a LOSSLESS type promotion every reader of old data
+    * can apply on the fly? The set is deliberately the one Spark 4's
+    * vectorized parquet reader widens natively when the requested
+    * schema is wider than the file footer (integral up-chain,
+    * float→double), so a metadata-only retype leaves old bucket files
+    * untouched and still reads exactly. NOT included: long→double and
+    * int→float (lossy above 2^53/2^24), decimal changes (scale
+    * semantics), string/binary crossovers, date→timestamp (timezone
+    * semantics) — those need an explicit rewrite. */
+  def wideningPromotion(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** Same shape, or a [[wideningPromotion]] — what the align paths and
+    * widen checks accept for an existing column. */
+  private[graft] def sameOrWidens(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    sameTypeIgnoringNullability(from, to) || wideningPromotion(from, to)
+
   /** Require `from → to` to be a pure WIDENING: every `from` column
-    * survives in `to` under the same name and type (new `to` columns are
-    * fine). Anything else — a drop, a rename, a type change — is refused
-    * loudly: those need a full-table rewrite the caller must own, never a
-    * silent cast. Shared by every [[graft.pipeline.StateTable]]
-    * implementation so additive schema evolution means the same thing on
-    * bucketed parquet, snapshot parquet, and JDBC state. */
+    * survives in `to` under the same name and the same type — or a
+    * [[wideningPromotion]] of it (new `to` columns are fine). Anything
+    * else — a drop, a rename, a lossy or sideways retype — is refused
+    * loudly: those need a full-table rewrite the caller must own, never
+    * a silent cast. Shared by every [[graft.pipeline.StateTable]]
+    * implementation so schema evolution means the same thing on
+    * bucketed parquet, snapshot parquet, and JDBC state (the JDBC twin
+    * additionally refuses promotions — it cannot retype a live DB
+    * column safely). */
   def widenCheck(from: org.apache.spark.sql.types.StructType,
       to: org.apache.spark.sql.types.StructType, what: String): Unit =
     from.fields.foreach { f =>
@@ -60,17 +91,20 @@ object StateOps {
             s"${to.fieldNames.mkString(",")}) — schema evolution supports " +
             "ADD COLUMN only; drops/renames need an explicit full rewrite " +
             "under the new shape"))
-      require(sameTypeIgnoringNullability(t.dataType, f.dataType),
+      require(sameOrWidens(f.dataType, t.dataType),
         s"$what changes column `${f.name}` from " +
           s"${f.dataType.simpleString} to ${t.dataType.simpleString} — " +
-          "schema evolution supports ADD COLUMN only; type changes need " +
-          "an explicit full rewrite under the new shape")
+          "schema evolution supports ADD COLUMN and lossless widening " +
+          "promotions (byte<short<int<long, float<double) only; other " +
+          "type changes need an explicit full rewrite under the new shape")
     }
 
   /** Align `df` up to `target`: verify the move is a pure widening
-    * ([[widenCheck]]), then null-fill the columns `df` lacks (added
-    * columns are nullable by construction — old rows genuinely have no
-    * value). No-op when the shapes already agree. */
+    * ([[widenCheck]]), null-fill the columns `df` lacks (added columns
+    * are nullable by construction — old rows genuinely have no value),
+    * and UPCAST columns `target` records under a promoted type (the
+    * cast is lossless by [[wideningPromotion]]; anything else already
+    * refused). No-op when the shapes already agree. */
   def alignForWidening(df: DataFrame,
       target: org.apache.spark.sql.types.StructType, what: String): DataFrame =
     // the fast path must compare TYPES too, not just names — a
@@ -83,8 +117,13 @@ object StateOps {
     else {
       widenCheck(df.schema, target, what)
       df.select(target.fields.toIndexedSeq.map { f =>
-        if (df.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        df.schema.fields.find(_.name == f.name) match {
+          case Some(old)
+              if sameTypeIgnoringNullability(old.dataType, f.dataType) =>
+            col(f.name)
+          case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }: _*)
     }
 
@@ -109,14 +148,39 @@ object StateOps {
     * way. Returns the pair under one common shape. */
   def alignPairForMerge(state: DataFrame, updates: DataFrame,
       keys: Seq[String], what: String): (DataFrame, DataFrame) = {
+    // per-column WIDEST type across the pair: a wider-typed update
+    // promotes the state (type widening as an ordinary merge), a
+    // NARROWER-typed update — a not-yet-redeployed writer merging the
+    // pre-promotion type — upcasts into the state's type instead of
+    // refusing (the type twin of the narrow-writer column contract
+    // below); sideways/lossy combinations refuse inside widenCheck
+    def widest(a: org.apache.spark.sql.types.StructField,
+        b: org.apache.spark.sql.types.StructField) =
+      if (wideningPromotion(a.dataType, b.dataType))
+        a.copy(dataType = b.dataType)
+      else a
     val missing =
       state.schema.fields.filterNot(f => updates.columns.contains(f.name))
-    if (missing.isEmpty) (alignForWidening(state, updates.schema, what), updates)
-    else {
+    if (missing.isEmpty) {
+      val target = org.apache.spark.sql.types.StructType(
+        updates.schema.fields.map { uf =>
+          state.schema.fields.find(_.name == uf.name) match {
+            case Some(sf) => widest(uf, sf)
+            case None => uf
+          }
+        })
+      (alignForWidening(state, target, what),
+        alignForWidening(updates, target, what))
+    } else {
       val extra = updates.schema.fields
         .filterNot(f => state.schema.fieldNames.contains(f.name))
       val target = org.apache.spark.sql.types.StructType(
-        state.schema.fields ++ extra.map(_.copy(nullable = true)))
+        state.schema.fields.map { sf =>
+          updates.schema.fields.find(_.name == sf.name) match {
+            case Some(uf) => widest(sf, uf)
+            case None => sf
+          }
+        } ++ extra.map(_.copy(nullable = true)))
       val cur = alignForWidening(state, target, what)
       // NULL-SAFE key match (<=>), consistent with mergeByKey's window
       // (null keys group together): a legitimately-null-keyed row must

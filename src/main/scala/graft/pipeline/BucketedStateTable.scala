@@ -1233,11 +1233,20 @@ class BucketedStateTable(
       widenCheck(from, target, "widenTo")
       // existing columns keep their RECORDED field verbatim (nullability
       // and metadata included — a caller-side decoration like the SQL
-      // face's non-null key marking must not leak into storage); added
-      // columns are forced nullable
+      // face's non-null key marking must not leak into storage) except
+      // for a checked WIDENING PROMOTION, which takes the target's
+      // (wider) type while preserving the recorded nullability — old
+      // bucket files stay untouched; the parquet reader upcasts them
+      // under the recorded schema on every read. Added columns are
+      // forced nullable.
       val widened = org.apache.spark.sql.types.StructType(
         target.fields.map { f =>
-          from.fields.find(_.name == f.name).getOrElse(f.copy(nullable = true))
+          from.fields.find(_.name == f.name) match {
+            case Some(old)
+                if StateOps.sameOrWidens(f.dataType, old.dataType) => old
+            case Some(old) => old.copy(dataType = f.dataType)
+            case None => f.copy(nullable = true)
+          }
         })
       if (widened != from) {
         val next = nextCommitId()

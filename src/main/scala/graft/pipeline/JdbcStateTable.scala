@@ -102,6 +102,23 @@ class JdbcStateTable(
   def widenTo(target: StructType): JdbcStateTable = {
     graft.operators.StateOps.widenCheck(schema, target,
       s"widenTo on JDBC state table $table")
+    // the shared check admits WIDENING PROMOTIONS (int→long etc.) —
+    // fine for parquet state, whose readers upcast old files under the
+    // recorded schema, but a JDBC column's physical type is the
+    // database's: accepting the promotion without DDL would leave this
+    // handle's schema silently disagreeing with the table (and ALTER
+    // COLUMN TYPE DDL is too engine-specific to issue blind). Refuse.
+    schema.fields.foreach { f =>
+      target.fields.find(_.name == f.name).foreach { t =>
+        require(!graft.operators.StateOps.wideningPromotion(
+            f.dataType, t.dataType),
+          s"widenTo on JDBC state table $table cannot retype column " +
+            s"`${f.name}` ${f.dataType.simpleString} -> " +
+            s"${t.dataType.simpleString}: column types are the " +
+            "database's — run the engine-specific ALTER COLUMN TYPE " +
+            "yourself, then reopen the handle under the new schema")
+      }
+    }
     val added = target.fields.filterNot(f => schema.fieldNames.contains(f.name))
     // map every type BEFORE executing any ALTER: an unsupported type
     // must fail with zero statements run, not mid-loop — on engines

@@ -1192,13 +1192,16 @@ class GraftStateCatalog extends TableCatalog
     else fs.delete(dir, true)
   }
 
-  /** `ALTER TABLE cat.t ADD COLUMNS (c TYPE, ...)` — the ONE schema
-    * change a bucketed state table supports, routed through
+  /** `ALTER TABLE cat.t ADD COLUMNS (c TYPE, ...)` and
+    * `ALTER TABLE cat.t ALTER COLUMN c TYPE <wider>` — the two schema
+    * changes a bucketed state table supports, both routed through
     * [[graft.pipeline.BucketedStateTable.widenTo]]: a metadata-only
     * commit (no data read or written — widening 100 TB costs one
-    * manifest rename), existing rows read back null-filled, under the
+    * manifest rename), existing rows read back null-filled (adds) or
+    * upcast by the parquet reader under the recorded schema (lossless
+    * widening promotions: byte<short<int<long, float<double), under the
     * full commit protocol so it serializes against concurrent writers.
-    * Everything else (drop/rename/retype column, table properties,
+    * Everything else (drop/rename/lossy retype, table properties,
     * NOT NULL adds, nested or positioned adds) stays refused — those
     * would need a full rewrite or break the fixed layout. */
   override def alterTable(ident: Identifier,
@@ -1208,15 +1211,22 @@ class GraftStateCatalog extends TableCatalog
       case t: GraftStateSqlTable => t
       case _ => readOnly("ALTER TABLE")
     }
-    val adds = changes.map {
-      case a: TableChange.AddColumn => a
-      case other => throw new UnsupportedOperationException(
-        s"graft state tables support ALTER TABLE ... ADD COLUMNS only " +
-          s"(got ${other.getClass.getSimpleName}) — drops/renames/type " +
-          "changes need a full rewrite into a new table")
-    }
     val existing = sqlTable.schema()
-    val added = adds.map { a =>
+    val (addChanges, retypeChanges) = {
+      val adds = Seq.newBuilder[TableChange.AddColumn]
+      val retypes = Seq.newBuilder[TableChange.UpdateColumnType]
+      changes.foreach {
+        case a: TableChange.AddColumn => adds += a
+        case u: TableChange.UpdateColumnType => retypes += u
+        case other => throw new UnsupportedOperationException(
+          s"graft state tables support ALTER TABLE ... ADD COLUMNS and " +
+            s"ALTER COLUMN ... TYPE <widening> only " +
+            s"(got ${other.getClass.getSimpleName}) — drops/renames/other " +
+            "type changes need a full rewrite into a new table")
+      }
+      (adds.result(), retypes.result())
+    }
+    val added = addChanges.map { a =>
       require(a.fieldNames().length == 1,
         s"cannot add nested column ${a.fieldNames().mkString(".")} — " +
           "state-table columns are top-level")
@@ -1231,8 +1241,20 @@ class GraftStateCatalog extends TableCatalog
       org.apache.spark.sql.types.StructField(
         a.fieldNames().head, a.dataType(), nullable = true)
     }
+    // ALTER COLUMN ... TYPE: metadata-only when the move is a lossless
+    // widening promotion — widenTo validates and records it; old bucket
+    // files are upcast by the reader under the recorded schema
+    val retyped = retypeChanges.map { u =>
+      require(u.fieldNames().length == 1,
+        s"cannot retype nested column ${u.fieldNames().mkString(".")} — " +
+          "state-table columns are top-level")
+      require(existing.fieldNames.contains(u.fieldNames().head),
+        s"column ${u.fieldNames().head} does not exist")
+      u.fieldNames().head -> u.newDataType()
+    }.toMap
     val (t, _) = sqlTable.stateTable(spark)
-    t.widenTo(StructType(existing.fields ++ added))
+    t.widenTo(StructType(existing.fields.map(f =>
+      retyped.get(f.name).fold(f)(dt => f.copy(dataType = dt))) ++ added))
     loadTable(ident)
   }
   override def renameTable(oldIdent: Identifier,

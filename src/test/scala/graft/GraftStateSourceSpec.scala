@@ -147,7 +147,7 @@ class GraftStateSourceSpec extends SparkSpec {
       val ex = intercept[Exception] {
         spark.sql("ALTER TABLE graft_state.oai_headers RENAME COLUMN k TO key")
       }
-      assert(ex.getMessage.contains("ADD COLUMNS only"), s"got: ${ex.getMessage}")
+      assert(ex.getMessage.contains("full rewrite into a new table"), s"got: ${ex.getMessage}")
       // mutate through the library; a NEW statement sees the commit
       val t = new BucketedStateTable(spark, s"$dir/oai_headers",
         keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)

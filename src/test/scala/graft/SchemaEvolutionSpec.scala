@@ -106,12 +106,15 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
     assert(retype.getMessage.contains("changes column `v`"), retype.getMessage)
 
-    // a SAME-NAME retype arriving through merge must refuse exactly like
+    // a SIDEWAYS retype arriving through merge must refuse exactly like
     // widenTo does — it must not ride unionByName's silent coercion into
     // the commit (the manifest would record the coerced type while clean
-    // buckets still hold the old physical type)
+    // buckets still hold the old physical type). A NARROWER-typed batch
+    // (int into long) is no longer a refusal: it upcasts — see the
+    // type-widening tests below.
     val retypeMerge = intercept[IllegalArgumentException] {
-      t.merge(Seq(("k1", 11, "one")).toDF("k", "v", "w"), keys = Seq("k"))
+      t.merge(Seq(("k1", "eleven", "one")).toDF("k", "v", "w"),
+        keys = Seq("k"))
     }
     assert(retypeMerge.getMessage.contains("changes column `v`"),
       retypeMerge.getMessage)
@@ -161,9 +164,10 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(after.filter(col("k") === "knew").count() == 0L)
     assert(after.schema.fieldNames.toSeq == Seq("k", "v", "w"))
 
-    // a narrow update carrying a RETYPE still refuses
+    // a narrow update carrying a SIDEWAYS retype still refuses (an
+    // int-into-long batch now upcasts instead — the widening contract)
     val retype = intercept[IllegalArgumentException] {
-      t.merge(Seq(("k1", 1)).toDF("k", "v"), keys = Seq("k"))
+      t.merge(Seq(("k1", 0.5)).toDF("k", "v"), keys = Seq("k"))
     }
     assert(retype.getMessage.contains("changes column `v`"), retype.getMessage)
 
@@ -339,9 +343,9 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(after.schema.fieldNames.toSeq == Seq("k", "v", "w"))
     assert(after.filter(col("k") === "k3").select("v", "w").collect().toSeq
       .map(r => (r.getLong(0), r.getString(1))) == Seq((34L, "three")))
-    // a narrow RETYPE still refuses
+    // a SIDEWAYS retype still refuses (int-into-long upcasts instead)
     val retype = intercept[IllegalArgumentException] {
-      t.merge(Seq(("k1", 11)).toDF("k", "v"), keys = Seq("k"))
+      t.merge(Seq(("k1", 0.5)).toDF("k", "v"), keys = Seq("k"))
     }
     assert(retype.getMessage.contains("changes column `v`"), retype.getMessage)
   }
@@ -470,10 +474,145 @@ class SchemaEvolutionSpec extends SparkSpec {
       val dropCol = intercept[Exception] {
         spark.sql("ALTER TABLE graft_evo.docs DROP COLUMN score")
       }
-      assert(dropCol.getMessage.contains("ADD COLUMNS only"), dropCol.getMessage)
+      assert(dropCol.getMessage.contains("full rewrite into a new table"),
+        dropCol.getMessage)
     } finally {
       spark.conf.unset("spark.sql.catalog.graft_evo")
       spark.conf.unset("spark.sql.catalog.graft_evo.root")
     }
+  }
+
+  // ── type widening (lossless promotions) ───────────────────────────────
+
+  test("widenTo promotes int to long metadata-only; old int files read back upcast") {
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L,
+      keepCommits = 10)
+    t.merge(spark.range(200L).select(
+        concat(lit("k"), col("id")).as("k"), col("id").cast("int").as("v")),
+      keys = Seq("k"))
+    val preWiden = t.commits().last
+
+    t.widenTo(StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))))
+    val stats = t.lastCommit.get
+    assert(stats.bucketsRead.isEmpty && stats.bucketsWritten.isEmpty,
+      "a promotion must be metadata-only: zero buckets touched")
+
+    // every bucket still holds int32 files; the recorded schema upcasts
+    val rd = t.read().get
+    assert(rd.schema("v").dataType == LongType)
+    assert(rd.count() == 200L &&
+      rd.agg(sum(col("v"))).head.getLong(0) == (0L until 200L).sum)
+
+    // a value only a long can hold lands through an ordinary merge and
+    // coexists with never-rewritten int buckets
+    t.merge(Seq(("k7", 5000000000L)).toDF("k", "v"), keys = Seq("k"))
+    val after = t.read().get
+    assert(after.filter(col("k") === "k7").head.getLong(1) == 5000000000L)
+    assert(after.filter(col("k") === "k123").head.getLong(1) == 123L)
+
+    // a NARROW-typed late writer (pre-promotion int batch) upcasts in
+    val narrow = Seq(("k9", 99)).toDF("k", "v")
+    assert(narrow.schema("v").dataType == IntegerType)
+    t.merge(narrow, keys = Seq("k"))
+    assert(t.read().get.filter(col("k") === "k9").head.getLong(1) == 99L)
+
+    // time travel keeps the snapshot's contemporary (narrow) type
+    assert(t.readAt(preWiden).get.schema("v").dataType == IntegerType)
+
+    // the change feed diffs ACROSS the promotion boundary: int
+    // preimages flow upcast next to long postimages (k7 and k9 both
+    // pre-exist in the seed, so both emit as updates)
+    val feed = t.changesBetween(preWiden, t.commits().last)
+      .orderBy(col("k"), col("change_type")).collect()
+    assert(feed.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("update_postimage", "k7", 5000000000L),
+        ("update_preimage", "k7", 7L),
+        ("update_postimage", "k9", 99L),
+        ("update_preimage", "k9", 9L)))
+
+    // narrowing back refuses
+    val narrowBack = intercept[IllegalArgumentException] {
+      t.widenTo(StructType(Seq(
+        StructField("k", StringType), StructField("v", IntegerType))))
+    }
+    assert(narrowBack.getMessage.contains("changes column `v`"))
+  }
+
+  test("a wider-typed merge promotes the column without an explicit widenTo") {
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)
+    t.merge(spark.range(100L).select(
+        concat(lit("k"), col("id")).as("k"), col("id").cast("int").as("v")),
+      keys = Seq("k"))
+    t.merge(Seq(("k3", 6000000000L)).toDF("k", "v"), keys = Seq("k"))
+    val rd = t.read().get
+    assert(rd.schema("v").dataType == LongType)
+    assert(rd.filter(col("k") === "k3").head.getLong(1) == 6000000000L)
+    // clean buckets (still int files) read upcast under the new schema
+    assert(rd.filter(col("k") === "k42").head.getLong(1) == 42L)
+    // float → double rides the same path
+    val f = new BucketedStateTable(spark, s"$dir/fstate",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L)
+    f.merge(Seq(("a", 1.5f), ("b", 2.5f)).toDF("k", "x"), keys = Seq("k"))
+    f.merge(Seq(("c", 3.25)).toDF("k", "x"), keys = Seq("k"))
+    val fr = f.read().get
+    assert(fr.schema("x").dataType == DoubleType)
+    assert(fr.filter(col("k") === "a").head.getDouble(1) == 1.5)
+  }
+
+  test("SQL: ALTER COLUMN TYPE widens metadata-only; lossy or narrowing retypes refuse") {
+    val dir = tmp()
+    spark.conf.set("spark.sql.catalog.graft_tw",
+      classOf[GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tw.root", dir)
+    try {
+      spark.sql("CREATE TABLE graft_tw.m (k STRING, v INT) " +
+        "TBLPROPERTIES ('keycols'='k', 'numbuckets'='4')")
+      spark.sql("INSERT INTO graft_tw.m VALUES ('a', 1), ('b', 2)")
+      spark.sql("ALTER TABLE graft_tw.m ALTER COLUMN v TYPE BIGINT")
+      spark.sql("INSERT INTO graft_tw.m VALUES ('c', 5000000000)")
+      val rows = spark.sql("SELECT k, v FROM graft_tw.m ORDER BY k").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 1L), ("b", 2L), ("c", 5000000000L)))
+
+      // Spark's own analyzer refuses a narrowing before the catalog
+      // even sees it (NOT_SUPPORTED_CHANGE_COLUMN) — either refusal
+      // layer is fine, the statement must not land
+      val narrow = intercept[Exception] {
+        spark.sql("ALTER TABLE graft_tw.m ALTER COLUMN v TYPE INT")
+      }
+      assert(narrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+        narrow.getMessage.contains("changes column `v`"),
+        narrow.getMessage)
+      val lossy = intercept[Exception] {
+        spark.sql("ALTER TABLE graft_tw.m ALTER COLUMN v TYPE DOUBLE")
+      }
+      assert(lossy.getMessage.contains("changes column `v`"),
+        lossy.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_tw")
+      spark.conf.unset("spark.sql.catalog.graft_tw.root")
+    }
+  }
+
+  test("JdbcStateTable: a widening promotion refuses (column types are the database's)") {
+    // the refusal fires before any DDL, so no live connection is needed
+    val t = new graft.pipeline.JdbcStateTable(spark, "tw_refuse",
+      StructType(Seq(StructField("k", StringType), StructField("v", IntegerType))),
+      Seq("k"),
+      new graft.sinks.ConnectionFactory {
+        def apply(): java.sql.Connection =
+          fail("the type-promotion refusal must not touch the database")
+      },
+      tmp() + "/scratch")
+    val ex = intercept[IllegalArgumentException] {
+      t.widenTo(StructType(Seq(
+        StructField("k", StringType), StructField("v", LongType))))
+    }
+    assert(ex.getMessage.contains("cannot retype column"), ex.getMessage)
   }
 }
