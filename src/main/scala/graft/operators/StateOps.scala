@@ -71,6 +71,16 @@ object StateOps {
       to: org.apache.spark.sql.types.DataType): Boolean =
     sameTypeIgnoringNullability(from, to) || wideningPromotion(from, to)
 
+  /** [[sameTypeIgnoringNullability]] for callers outside this object
+    * that must distinguish "same type" from "mere promotion" — the
+    * bucketed table's key-column guard (hash placement is type-
+    * sensitive, so a promoted BUCKETING column is never a pure
+    * widening there). */
+  private[graft] def sameShape(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean =
+    sameTypeIgnoringNullability(a, b)
+
   /** Require `from → to` to be a pure WIDENING: every `from` column
     * survives in `to` under the same name and the same type — or a
     * [[wideningPromotion]] of it (new `to` columns are fine). Anything

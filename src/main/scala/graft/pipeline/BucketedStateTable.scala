@@ -854,9 +854,51 @@ class BucketedStateTable(
           schemaOf(j))))
     }
 
+  /** Buckets a batch/probe touches — hashed under the table's RECORDED
+    * bucket-column types, never the batch's own. Bucket placement
+    * hashes the VALUE AND ITS TYPE (`xxhash64(int 5)` ≠ `xxhash64(long
+    * 5)`), so:
+    *
+    *  - a batch whose bucketing column arrives NARROWER than recorded
+    *    (a not-yet-redeployed writer merging int keys into a table
+    *    whose key was replaced long) is UPCAST before hashing — its
+    *    rows land in the buckets where the long-placed rows live, and
+    *    the align paths upcast the data identically downstream;
+    *  - a batch whose bucketing column arrives WIDER than recorded (a
+    *    type-promotion attempt on the key) REFUSES: admitting it would
+    *    hash new rows under the wide type while existing rows sit
+    *    under the narrow hash — logical duplicates on merge, silent
+    *    misses on probe. Retyping a bucketing column needs a FULL
+    *    rewrite ([[replaceAll]] into a fresh handle, or [[rebucket]]),
+    *    which re-hashes every row consistently. Sideways types refuse
+    *    for the same reason (and would refuse in align regardless). */
   private def dirtyBucketsOf(batch: DataFrame): Seq[Int] = {
     import spark.implicits._
-    batch.select(bucketOf.as("b")).distinct().as[Int].collect().toSeq.sorted
+    val adjusted = currentManifest().flatMap(_.schemaJson).map(schemaOf)
+      .fold(batch) { rec =>
+        effBucketCols.foldLeft(batch) { (df, c) =>
+          (batch.schema.fields.find(_.name == c),
+            rec.fields.find(_.name == c)) match {
+            case (Some(b), Some(r))
+                if StateOps.sameShape(b.dataType, r.dataType) => df
+            case (Some(b), Some(r))
+                if StateOps.wideningPromotion(b.dataType, r.dataType) =>
+              df.withColumn(c, col(c).cast(r.dataType))
+            case (Some(b), Some(r)) =>
+              throw new IllegalArgumentException(
+                s"bucketing column `$c` arrives as " +
+                  s"${b.dataType.simpleString} but the table at $path " +
+                  s"is placed by ${r.dataType.simpleString} — the " +
+                  "bucket hash is type-sensitive, so retyping a " +
+                  "bucketing column (even a lossless widening) strands " +
+                  "existing rows under the old hash; rewrite the table " +
+                  "(replaceAll into a fresh handle, or rebucket) to " +
+                  "retype the key")
+            case _ => df
+          }
+        }
+      }
+    adjusted.select(bucketOf.as("b")).distinct().as[Int].collect().toSeq.sorted
   }
 
   // ---- commit -------------------------------------------------------
@@ -1231,6 +1273,22 @@ class BucketedStateTable(
           s"widenTo: table at $path has neither data nor a recorded " +
             "schema to widen from"))
       widenCheck(from, target, "widenTo")
+      // a BUCKETING column's type is part of the physical layout: the
+      // bucket hash is type-sensitive, so even a lossless promotion
+      // would strand every existing row under the old hash (see
+      // [[dirtyBucketsOf]]) — refuse; retyping the key is a full
+      // rewrite (replaceAll into a fresh handle, or rebucket)
+      effBucketCols.foreach { c =>
+        for {
+          o <- from.fields.find(_.name == c)
+          n <- target.fields.find(_.name == c)
+        } require(StateOps.sameShape(o.dataType, n.dataType),
+          s"widenTo at $path cannot retype bucketing column `$c` " +
+            s"${o.dataType.simpleString} -> ${n.dataType.simpleString}: " +
+            "bucket placement hashes the type — rewrite the table " +
+            "(replaceAll into a fresh handle, or rebucket) to retype " +
+            "the key")
+      }
       // existing columns keep their RECORDED field verbatim (nullability
       // and metadata included — a caller-side decoration like the SQL
       // face's non-null key marking must not leak into storage) except

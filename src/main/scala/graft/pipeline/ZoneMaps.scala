@@ -275,6 +275,10 @@ object ZoneMaps {
     * count explodes past [[MaxHashCombos]]). */
   def hashCandidates(filters: Seq[Filter], schema: StructType,
       bucketCols: Seq[String], numBuckets: Int): Option[Set[Int]] = {
+    // no recorded bucket columns (a manifest predating the layout
+    // lines): there is NO key to pin — a zero-column "tuple" would
+    // hash the bare seed and wrongly pin one arbitrary bucket
+    if (bucketCols.isEmpty) return None
     // top-level conjunction, Ands flattened
     def conj(f: Filter): Seq[Filter] = f match {
       case And(l, r) => conj(l) ++ conj(r)

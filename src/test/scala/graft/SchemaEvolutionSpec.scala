@@ -564,6 +564,50 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(fr.filter(col("k") === "a").head.getDouble(1) == 1.5)
   }
 
+  test("bucketing columns never retype: the hash is type-sensitive") {
+    val dir = tmp()
+    // long-keyed table: bucket placement hashed over LongType values
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("id"), numBuckets = 8, retentionFloorMillis = 0L)
+    t.merge(spark.range(100L).select(col("id"), col("id").as("v")),
+      keys = Seq("id"))
+
+    // a NARROWER-typed key batch (int ids) upcasts BEFORE hashing: it
+    // must land in the buckets where the long-placed rows live — an
+    // update, never a duplicate
+    val narrowKeys = Seq((7, -7L)).toDF("id", "v")
+    assert(narrowKeys.schema("id").dataType == IntegerType)
+    t.merge(narrowKeys, keys = Seq("id"))
+    val cur = t.read().get
+    assert(cur.count() == 100L, "an int-keyed update must not duplicate")
+    assert(cur.filter(col("id") === 7).select("v").head.getLong(0) == -7L)
+
+    // promoting the KEY type refuses in every incremental path
+    val intKeyed = new BucketedStateTable(spark, s"$dir/intkeyed",
+      keyCols = Seq("id"), numBuckets = 8, retentionFloorMillis = 0L)
+    intKeyed.merge(spark.range(50L)
+        .select(col("id").cast("int").as("id"), col("id").as("v")),
+      keys = Seq("id"))
+    val widerKey = intercept[IllegalArgumentException] {
+      intKeyed.merge(Seq((5L, 55L)).toDF("id", "v"), keys = Seq("id"))
+    }
+    assert(widerKey.getMessage.contains("bucketing column `id`"),
+      widerKey.getMessage)
+    val widenKey = intercept[IllegalArgumentException] {
+      intKeyed.widenTo(StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType))))
+    }
+    assert(widenKey.getMessage.contains("cannot retype bucketing column"),
+      widenKey.getMessage)
+    // the probe side refuses too (a long probe would silently MISS)
+    val probe = intercept[IllegalArgumentException] {
+      intKeyed.readForKeys(Seq(Tuple1(5L)).toDF("id"),
+        like = intKeyed.read().get)
+    }
+    assert(probe.getMessage.contains("bucketing column `id`"),
+      probe.getMessage)
+  }
+
   test("SQL: ALTER COLUMN TYPE widens metadata-only; lossy or narrowing retypes refuse") {
     val dir = tmp()
     spark.conf.set("spark.sql.catalog.graft_tw",

@@ -146,6 +146,10 @@ class ZoneMapsSpec extends SparkSpec {
     assert(ZoneMaps.surviving(
       Seq(EqualTo("grp", "g3"), EqualTo("grp", "g4")), sch,
       Seq("grp"), 16, Map.empty, all).isEmpty)
+    // NO recorded bucket columns (legacy manifest): a zero-column
+    // "tuple" must never pin a bucket — everything survives
+    assert(ZoneMaps.surviving(Seq(EqualTo("grp", "g3")), sch,
+      Nil, 16, Map.empty, all) == all)
   }
 
   // ── table integration ────────────────────────────────────────────────
