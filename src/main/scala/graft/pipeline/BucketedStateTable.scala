@@ -914,10 +914,7 @@ class BucketedStateTable(
     * dirty bucket — the same bounded-driver-read shape as [[stats]]. */
   private def collectBucketStats(out: Path,
       rowSchema: org.apache.spark.sql.types.StructType): Map[Int, String] = {
-    import org.apache.spark.sql.types._
-    val eligible = statsCols.distinct
-      .flatMap(c => rowSchema.fields.find(_.name == c))
-      .filter(f => ZoneMaps.supported(f.dataType))
+    val eligible = statsEligible(statsCols, rowSchema)
     val bytes: Map[Int, Long] = {
       val it = fs.listFiles(out, true)
       Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
@@ -926,6 +923,23 @@ class BucketedStateTable(
           .stripPrefix(s"$BucketCol=").toInt)
         .map { case (b, fsz) => b -> fsz.map(_.getLen).sum }
     }
+    statsAggRows(spark.read.parquet(out.toString), eligible, bytes)
+  }
+
+  private def statsEligible(cols: Seq[String],
+      rowSchema: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.types.StructField] =
+    cols.distinct
+      .flatMap(c => rowSchema.fields.find(_.name == c))
+      .filter(f => ZoneMaps.supported(f.dataType))
+
+  /** The ONE stats aggregation both producers share: `df` must carry
+    * [[BucketCol]]; one column-pruned job, ≤ one collected row per
+    * bucket (the same bounded driver shape as [[stats]]). */
+  private def statsAggRows(df: DataFrame,
+      eligible: Seq[org.apache.spark.sql.types.StructField],
+      bytes: Map[Int, Long]): Map[Int, String] = {
+    import org.apache.spark.sql.types._
     // canonical forms: timestamps → epoch micros, dates → epoch days,
     // everything else via Spark's own string cast (decimals plain,
     // floats Java-parseable incl. NaN/Infinity)
@@ -940,8 +954,7 @@ class BucketedStateTable(
         canon(max(col(f.name)), f.dataType).as(s"__zmax_${f.name}"),
         (count(lit(1)) - count(col(f.name))).as(s"__znul_${f.name}"))
     }
-    spark.read.parquet(out.toString)
-      .groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*)
+    df.groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val b = r.getAs[Number](BucketCol).intValue
         val cols = eligible.map { f =>
@@ -956,6 +969,80 @@ class BucketedStateTable(
           r.getAs[Number]("__zn").longValue, bytes.getOrElse(b, 0L), cols))
       }.toMap
   }
+
+  /** Retrofit zone maps onto the CURRENT snapshot without rewriting a
+    * byte of data — the `ANALYZE` verb for tables created before
+    * `statsCols` (or relayouted by a stats-less handle): one
+    * column-pruned aggregation job over the resolved buckets (reads
+    * only `cols` plus footers), one recursive listing per referenced
+    * commit dir for bytes, then a METADATA-ONLY manifest publish
+    * carrying the same pointers plus the fresh `zmap.` lines. A commit
+    * racing the publish retries like [[widenTo]]; stats survive the
+    * retry only for buckets whose POINTER still matches the analyzed
+    * manifest's (a moved bucket's bounds are stale — the interleaved
+    * commit's own stats, if any, win). Returns the number of buckets
+    * whose stats landed. One-shot: steady-state maintenance needs a
+    * handle constructed with `statsCols` (stats drop with every dirty
+    * rewrite by a stats-less writer, by design). */
+  def analyzeStats(cols: Seq[String] = statsCols): Int =
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      val m0 = currentManifest().getOrElse(throw new IllegalStateException(
+        s"analyzeStats: no committed state at $path"))
+      val rec = m0.schemaJson.map(schemaOf).getOrElse(
+        throw new IllegalStateException(
+          s"analyzeStats: the manifest at $path records no schema " +
+            "(pre-schema-line table) — commit once under this version " +
+            "first"))
+      val eligible = statsEligible(cols, rec)
+      require(eligible.nonEmpty,
+        s"analyzeStats: none of [${cols.mkString(",")}] is a " +
+          s"supported stats column of ${rec.fieldNames.mkString(",")}")
+      if (m0.buckets.isEmpty) return 0
+      val bytes: Map[Int, Long] = {
+        val byCommit = m0.buckets.values.toSeq.distinct.map { commit =>
+          val commitDir = new Path(dataDir, f"c$commit%08d")
+          val it = fs.listFiles(commitDir, true)
+          commit -> Iterator.continually(it).takeWhile(_.hasNext)
+            .map(_.next())
+            .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+            .groupBy(_.getPath.getParent.getName
+              .stripPrefix(s"$BucketCol=").toInt)
+            .map { case (b, fsz) => b -> fsz.map(_.getLen).sum }
+        }.toMap
+        m0.buckets.map { case (b, c) =>
+          b -> byCommit(c).getOrElse(b, 0L) }
+      }
+      val paths = m0.buckets.toSeq.sorted
+        .map { case (b, c) => bucketPath(b, c).toString }
+      val df = spark.read.schema(rec).parquet(paths: _*)
+        .withColumn(BucketCol, regexp_extract(input_file_name(),
+          s"/$BucketCol=(\\d+)/", 1).cast("int"))
+      val fresh = statsAggRows(df, eligible, bytes)
+      var attempts = 0
+      while (true) {
+        val head = currentManifest().getOrElse(m0)
+        val valid = fresh.filter { case (b, _) =>
+          head.buckets.get(b) == m0.buckets.get(b) }
+        val next = nextCommitId()
+        beforePublish() // same publish-window seam as every commit path
+        try {
+          // split metadata is NOT copied: it belongs to the split
+          // commit alone (a republished factor would corrupt the
+          // feed's boundary walk), exactly as widenTo publishes
+          writeManifest(Manifest(next, head.buckets, head.schemaJson,
+              bucketStats = head.bucketStats ++ valid),
+            basedOn = head.commitId)
+          prune()
+          last = Some(CommitStats(next, Nil, Nil))
+          return valid.size
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempts += 1
+            if (attempts > maxRebases) throw e
+        }
+      }
+      sys.error("unreachable: the publish loop exits only by return or throw")
+    } }
 
   /** Injection seam for the concurrency spec: runs between the data
     * write and the manifest publish — the window a concurrent process's
@@ -1427,8 +1514,29 @@ class BucketedStateTable(
     * over- or under-bucketed for its volume (`numBuckets ≈ bytes /
     * 1–16 GB`, §10). File counts and byte sizes come from filesystem
     * metadata; row counts from parquet footers (a metadata-only
-    * `count()` — no data pages are read). Empty table → empty frame. */
+    * `count()` — no data pages are read). Empty table → empty frame.
+    *
+    * FAST PATH: when EVERY bucket of the current manifest carries a
+    * zone-map payload (a stats-recording handle, or after
+    * [[analyzeStats]]), rows and bytes come straight from the
+    * manifest — zero filesystem listings, zero jobs; file counts
+    * report -1 (not recorded). One un-statted bucket falls back to
+    * the listing+footers path for the whole view, so the two sources
+    * are never mixed in one frame. */
   def stats(): DataFrame = {
+    import spark.implicits._
+    currentManifest().foreach { m =>
+      if (m.buckets.nonEmpty &&
+          m.buckets.keySet.forall(m.bucketStats.contains)) {
+        val decoded = m.buckets.keySet.toSeq.sorted.flatMap { b =>
+          ZoneMaps.decode(m.bucketStats(b)).map(s =>
+            (b, m.buckets(b), -1L, s.bytes, s.rows))
+        }
+        if (decoded.size == m.buckets.size)
+          return decoded.toDF("bucket", "commit", "n_files",
+            "total_bytes", "n_rows")
+      }
+    }
     import spark.implicits._
     // ONE recursive listing per COMMIT directory, not one listStatus per
     // bucket: a 16k-bucket table on an object store would otherwise pay

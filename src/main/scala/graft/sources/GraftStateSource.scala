@@ -959,6 +959,8 @@ class GraftStateCatalog extends TableCatalog
         new GraftStateProcedures.CoalesceBuckets(rootPath)
       case (Seq("system"), "rebucket") =>
         new GraftStateProcedures.Rebucket(rootPath)
+      case (Seq("system"), "analyze") =>
+        new GraftStateProcedures.Analyze(rootPath)
       case (Seq("system"), "export") =>
         new GraftStateProcedures.Export(rootPath)
       case _ => throw new IllegalArgumentException(
@@ -966,6 +968,7 @@ class GraftStateCatalog extends TableCatalog
           "system.split_buckets(table, factor), " +
           "system.coalesce_buckets(table, factor), " +
           "system.rebucket(table, num_buckets), " +
+          "system.analyze(table, cols), " +
           "system.export(table, path)")
     }
 
@@ -974,6 +977,7 @@ class GraftStateCatalog extends TableCatalog
       Array(Identifier.of(Array("system"), "split_buckets"),
         Identifier.of(Array("system"), "coalesce_buckets"),
         Identifier.of(Array("system"), "rebucket"),
+        Identifier.of(Array("system"), "analyze"),
         Identifier.of(Array("system"), "export"))
     else Array.empty
 
@@ -1362,6 +1366,51 @@ private[sources] object GraftStateProcedures {
     override protected def relayout(t: BucketedStateTable, arg: Int) =
       t.rebucket(arg)
     override protected def newBuckets(oldB: Int, arg: Int): Int = arg
+  }
+
+  /** `CALL cat.system.analyze(table => 't', cols => 'a,b')` — the SQL
+    * face of [[BucketedStateTable.analyzeStats]]: retrofit zone maps
+    * for the named columns onto the current snapshot with ONE
+    * column-pruned scan and a metadata-only manifest publish (no data
+    * rewritten). Returns (table, cols, buckets_analyzed). */
+  final class Analyze(rootPath: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "analyze"
+    override def description(): String =
+      "record per-bucket zone maps (row/byte counts, min/max/null " +
+        "counts) for the given comma-separated columns — one " +
+        "column-pruned scan, metadata-only publish, no data rewrite; " +
+        "readWhere and pushed SQL filters then bucket-prune on them"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path under the catalog root").build(),
+      ProcedureParameter.in("cols", StringType)
+        .comment("comma-separated stats columns").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val cols = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val (_, t, _) = handleFor(rootPath, table)
+      val analyzed = t.analyzeStats(cols)
+      val schema = StructType(Seq(
+        org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cols", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("buckets_analyzed",
+          IntegerType, nullable = false)))
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(table),
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                cols.mkString(",")),
+              analyzed)))
+        override def description(): String = s"analyze summary of $table"
+      }).iterator()
+    }
   }
 
   /** `CALL cat.system.export(table => 't', path => '/out')` — the SQL

@@ -680,7 +680,7 @@ class GraftStateSourceSpec extends SparkSpec {
         .collect().map(_.mkString("|")).mkString(";")
       assert(shown.contains("split_buckets") &&
         shown.contains("coalesce_buckets") && shown.contains("rebucket") &&
-        shown.contains("export"), shown)
+        shown.contains("analyze") && shown.contains("export"), shown)
 
       // export: the migration bridge as a CALL — one consistent
       // parquet snapshot plus a (table, path, rows) summary row

@@ -195,6 +195,16 @@ class ZoneMapsSpec extends SparkSpec {
       full.filter(col("ts") > timestamp_seconds(lit(1700001400L))).count())
   }
 
+  test("stats() answers from the manifest when every bucket is statted") {
+    val t = seededTable(tmp())
+    val viaManifest = t.stats().collect()
+    assert(viaManifest.nonEmpty && viaManifest.forall(_.getLong(2) == -1L),
+      "all buckets statted: the manifest fast path (n_files = -1) answers")
+    assert(viaManifest.map(_.getLong(4)).sum == 1600L,
+      "manifest row counts must sum to the table")
+    assert(viaManifest.forall(_.getLong(3) > 0L), "bytes ride along")
+  }
+
   test("readWhere hash-prunes a point lookup to one bucket") {
     val t = seededTable(tmp())
     val pruned = t.readWhere(Seq(EqualTo("grp", "g5"))).get
@@ -254,6 +264,67 @@ class ZoneMapsSpec extends SparkSpec {
     val afterWiden = t32.readWhere(Seq(GreaterThanOrEqual("score", 1400L))).get
     assert(touchedBuckets(afterWiden) == touchedBuckets(pruned))
     assert(afterWiden.schema.fieldNames.contains("extra"))
+  }
+
+  test("analyzeStats retrofits pruning onto a stats-less table; CALL system.analyze is its SQL face") {
+    val dir = tmp()
+    // built WITHOUT statsCols: no zmap lines, no pruning
+    val plain = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("grp", "id"), numBuckets = 16,
+      bucketCols = Seq("grp"), retentionFloorMillis = 0L)
+    val rows = spark.range(1600).select(
+      concat(lit("g"), col("id") % 16).as("grp"),
+      col("id").as("id"),
+      (col("id") % 16) * lit(100L) + col("id") % 7).toDF("grp", "id", "score")
+    plain.merge(rows, keys = Seq("grp", "id"))
+    val before = plain.readWhere(Seq(GreaterThanOrEqual("score", 1400L))).get
+    val nonEmpty = touchedBuckets(plain.read().get)
+    assert(touchedBuckets(before) == nonEmpty,
+      "without stats nothing zone-prunes")
+
+    val analyzed = plain.analyzeStats(Seq("score"))
+    assert(analyzed == nonEmpty.size,
+      s"every populated bucket gains stats, got $analyzed")
+    val zeroData = plain.lastCommit.get
+    assert(zeroData.bucketsRead.isEmpty && zeroData.bucketsWritten.isEmpty,
+      "analyze must publish metadata only")
+    val after = plain.readWhere(Seq(GreaterThanOrEqual("score", 1400L))).get
+    assert(touchedBuckets(after).size < nonEmpty.size,
+      "analyzed bounds must prune")
+    assert(after.filter(col("score") >= 1400).count() ==
+      plain.read().get.filter(col("score") >= 1400).count())
+
+    // unsupported / absent columns refuse loudly
+    val bad = intercept[IllegalArgumentException] {
+      plain.analyzeStats(Seq("no_such_col"))
+    }
+    assert(bad.getMessage.contains("supported stats column"), bad.getMessage)
+
+    // the SQL face over a second stats-less table
+    val t2root = s"$dir/state2"
+    val t2 = new BucketedStateTable(spark, t2root,
+      keyCols = Seq("grp", "id"), numBuckets = 16,
+      bucketCols = Seq("grp"), retentionFloorMillis = 0L)
+    t2.merge(rows, keys = Seq("grp", "id"))
+    spark.conf.set("spark.sql.catalog.gzanalyze",
+      classOf[graft.sources.GraftStateCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gzanalyze.root", dir)
+    try {
+      val out = spark.sql(
+        "CALL gzanalyze.system.analyze(table => 'state2', cols => 'score')")
+        .collect().head
+      assert(out.getString(0) == "state2" && out.getString(1) == "score" &&
+        out.getInt(2) > 0)
+      val sqlPruned = spark.read.format("graft-state").load(t2root)
+        .where(col("score") >= 1400)
+      assert(plannedFiles(sqlPruned).size <
+        plannedFiles(spark.read.format("graft-state").load(t2root)).size,
+        "the DSv2 scan must prune on the analyzed bounds")
+      assert(sqlPruned.count() == 200L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gzanalyze")
+      spark.conf.unset("spark.sql.catalog.gzanalyze.root")
+    }
   }
 
   // ── DSv2 scan integration ────────────────────────────────────────────
