@@ -327,6 +327,47 @@ class ZoneMapsSpec extends SparkSpec {
     }
   }
 
+  test("analyze racing a commit retries; the rewritten bucket's stale bounds never land") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = tmp()
+    val t = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("grp", "id"), numBuckets = 16,
+      bucketCols = Seq("grp"), retentionFloorMillis = 60_000L)
+    val rows = spark.range(1600).select(
+      concat(lit("g"), col("id") % 16).as("grp"),
+      col("id").as("id"),
+      (col("id") % 16) * lit(100L) + col("id") % 7).toDF("grp", "id", "score")
+    t.merge(rows, keys = Seq("grp", "id"))
+
+    // a second process rewrites g5's bucket INSIDE the analyze's
+    // publish window with a score far outside the analyzed bounds —
+    // if g5's stale bounds landed anyway, the range probe below would
+    // wrongly prune the bucket holding the new row
+    val t2 = new BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("grp", "id"), numBuckets = 16,
+      bucketCols = Seq("grp"), retentionFloorMillis = 60_000L,
+      leaseStore = Some(new InMemoryCasStore))
+    t.beforePublish = () => {
+      t.beforePublish = () => ()
+      t2.merge(Seq(("g5", 9999L, 777777L)).toDF("grp", "id", "score"),
+        keys = Seq("grp", "id"))
+    }
+    val landed = t.analyzeStats(Seq("score"))
+    val racedBucket = t2.lastCommit.get.bucketsWritten.toSet
+    val statted = touchedBuckets(t.read().get) -- racedBucket
+    assert(landed == statted.size,
+      s"the raced bucket's stale bounds must drop: landed $landed of " +
+        s"${statted.size} still-valid buckets")
+    // the out-of-bounds row in the raced (now un-statted) bucket is
+    // FOUND — an un-statted bucket always survives pruning
+    val probe = t.readWhere(Seq(GreaterThan("score", 500000L))).get
+    assert(probe.filter(col("score") > 500000L).count() == 1L)
+    // and the analyzed bounds still prune elsewhere
+    val range = t.readWhere(Seq(GreaterThanOrEqual("score", 1400L))).get
+    assert(touchedBuckets(range).size < touchedBuckets(t.read().get).size)
+  }
+
   // ── DSv2 scan integration ────────────────────────────────────────────
 
   private def plannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
