@@ -947,6 +947,12 @@ class BucketedStateTable(
         dt: DataType): org.apache.spark.sql.Column = dt match {
       case TimestampType => unix_micros(c).cast("string")
       case DateType => unix_date(c).cast("string")
+      // `+ 0` collapses -0.0 to 0.0 before stringifying (same-type
+      // literal, no widening): a recorded "-0.0" bound would diverge
+      // from predicate evaluation, which treats -0.0 = 0.0. NaN and
+      // infinities pass through unchanged.
+      case FloatType => (c + lit(0.0f)).cast("string")
+      case DoubleType => (c + lit(0.0d)).cast("string")
       case _ => c.cast("string")
     }
     val aggs = Seq(count(lit(1)).as("__zn")) ++ eligible.flatMap { f =>
@@ -1886,6 +1892,21 @@ object BucketedStateTable {
     listManifests(root.getFileSystem(hadoopConf), root).map(_._1)
   }
 
+  /** `(commitId, fileLength, mtimeMillis)` per retained manifest,
+    * oldest → newest, from the directory listing alone. The length +
+    * mtime pair is the manifest's CACHE IDENTITY: a withdrawn id can be
+    * reused by a later publish, but never with the same length+mtime
+    * (the in-table [[manifestCache]] documents the same invariant) —
+    * so a consumer memoizing parsed manifests must key by the triple,
+    * not the id. */
+  def snapshotCommitStats(hadoopConf: org.apache.hadoop.conf.Configuration,
+      path: String): Seq[(Long, Long, Long)] = {
+    val root = new Path(path)
+    listManifests(root.getFileSystem(hadoopConf), root).map {
+      case (id, st) => (id, st.getLen, st.getModificationTime)
+    }
+  }
+
   /** `(commitId, publishedAtMillis)` per retained manifest, oldest →
     * newest, from the directory listing ALONE (no file reads) — what
     * `TIMESTAMP AS OF` resolution needs; on an object store this is one
@@ -2040,8 +2061,9 @@ object BucketedStateTable {
     * sides). Counts are present only for buckets written by a
     * stats-recording handle ([[ZoneMaps]]); a bucket without one maps
     * to None and the consumer must treat its cost as unknown. The
-    * manifest file is immutable under its id, so callers may memoize
-    * by id alone. */
+    * manifest FILE is immutable, but a withdrawn id can be reused by a
+    * later publish — memoize by the (id, length, mtime) triple from
+    * [[snapshotCommitStats]], never by id alone. */
   def snapshotPointersAndCounts(
       hadoopConf: org.apache.hadoop.conf.Configuration,
       path: String, commit: Long)

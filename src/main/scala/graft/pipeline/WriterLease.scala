@@ -65,26 +65,83 @@ trait LeaseStore {
   * storms into waiting. */
 final class HadoopLeaseStore(fs: FileSystem, path: Path) extends LeaseStore {
 
+  // Publication is ATOMIC: a reader observes the slot absent, the old
+  // value, or the new value — never empty or partial bytes. The old
+  // create-then-write shape had an observable window (a concurrent
+  // read between create and write saw zero bytes), and an empty slot
+  // parses holderless → the next waiter breaks a LIVE holder's lease
+  // mid-commit, the exact interleaving the heartbeat exists to
+  // prevent. Full content goes to a hidden temp name first, then
+  // lands in one filesystem-atomic step:
+  //  - local FS: a hard link (create-if-absent WITH content; fails
+  //    with FileAlreadyExistsException when the slot is held) or an
+  //    atomic rename-over for the holder's refresh. Raw java.nio on
+  //    the underlying file — Hadoop's local rename delegates to
+  //    POSIX rename(2), which silently REPLACES an existing
+  //    destination and would let two racing creates both "win".
+  //  - HDFS-style FS: `rename(tmp, path)`, atomic and refusing an
+  //    existing destination — exactly create-if-absent.
+
+  /** The underlying java.io.File when `fs` is the local filesystem
+    * (checksummed or raw); None → go through the Hadoop API. */
+  private def localFile(p: Path): Option[java.io.File] = fs match {
+    case l: org.apache.hadoop.fs.LocalFileSystem => Some(l.pathToFile(p))
+    case r: org.apache.hadoop.fs.RawLocalFileSystem => Some(r.pathToFile(p))
+    case _ => None
+  }
+
+  /** Drop a stale ChecksumFileSystem sidecar after a raw-nio publish:
+    * the lease value never goes through `fs.create` on the local FS
+    * anymore, so a leftover `.name.crc` from an older writer would
+    * mismatch and fail reads forever. */
+  private def dropCrcSidecar(dst: java.io.File): Unit = {
+    val crc = new java.io.File(dst.getParentFile, s".${dst.getName}.crc")
+    if (crc.exists()) crc.delete()
+  }
+
+  private def tmpFor(dst: java.io.File): java.io.File =
+    new java.io.File(dst.getParentFile,
+      s".${dst.getName}.tmp.${java.util.UUID.randomUUID()}")
+
   override def tryCreate(content: Array[Byte]): Boolean =
-    try {
-      val out = fs.create(path, false)
-      try out.write(content) finally out.close()
-      true
-    } catch {
-      // the existence signal, NOT a transient error (HDFS and the local
-      // FS both raise it from create-if-absent)
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case e: java.io.IOException =>
-        // an exotic FS may signal existence with a plain IOException —
-        // probe: a present file still answers false; anything else is a
-        // transient store failure and must propagate per the trait
-        // contract (a partially-written slot from a failed create parses
-        // as holderless/stampless and is broken as stale by the next
-        // waiter)
-        val exists =
-          try fs.exists(path)
-          catch { case _: java.io.IOException => throw e }
-        if (exists) false else throw e
+    localFile(path) match {
+      case Some(dst) =>
+        java.nio.file.Files.createDirectories(dst.getParentFile.toPath)
+        val tmp = tmpFor(dst)
+        java.nio.file.Files.write(tmp.toPath, content)
+        try {
+          java.nio.file.Files.createLink(dst.toPath, tmp.toPath)
+          dropCrcSidecar(dst)
+          true
+        } catch {
+          // the existence signal — the slot is held
+          case _: java.nio.file.FileAlreadyExistsException => false
+          // anything else is a transient store failure: propagates
+          // per the trait contract
+        } finally java.nio.file.Files.deleteIfExists(tmp.toPath)
+      case None =>
+        val tmp = new Path(path.getParent,
+          s".${path.getName}.tmp.${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        try out.write(content) finally out.close()
+        try {
+          if (fs.rename(tmp, path)) true
+          else {
+            // rename refuses an existing destination (the held slot);
+            // any OTHER refusal is a store failure and must propagate,
+            // not read as "held"
+            val exists =
+              try fs.exists(path)
+              catch { case e: java.io.IOException => throw e }
+            if (exists) false
+            else throw new java.io.IOException(
+              s"lease publish: rename($tmp -> $path) refused with no " +
+                "existing destination")
+          }
+        } finally {
+          try fs.delete(tmp, false)
+          catch { case _: java.io.IOException => () } // residue harmless
+        }
     }
 
   override def read(): Option[Array[Byte]] =
@@ -106,11 +163,37 @@ final class HadoopLeaseStore(fs: FileSystem, path: Path) extends LeaseStore {
 
   override def replaceIf(expect: Array[Byte], next: Array[Byte]): Boolean =
     read().exists(java.util.Arrays.equals(_, expect)) && {
-      // create failures here are transient (the path exists and matched
-      // a moment ago) — propagate per the trait contract
-      val out = fs.create(path, true)
-      try out.write(next) finally out.close()
-      true
+      // the read-compare-write window is the documented best-effort
+      // residual; the PUBLICATION itself is atomic — old value or new
+      // value, never empty bytes
+      localFile(path) match {
+        case Some(dst) =>
+          val tmp = tmpFor(dst)
+          java.nio.file.Files.write(tmp.toPath, next)
+          try {
+            java.nio.file.Files.move(tmp.toPath, dst.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            dropCrcSidecar(dst)
+            true
+          } finally java.nio.file.Files.deleteIfExists(tmp.toPath)
+        case None =>
+          // HDFS rename refuses an existing destination, so the
+          // overwrite is delete-then-rename: the in-between window
+          // reads ABSENT (holderless — a waiter may claim the free
+          // slot, and this refresh then genuinely loses), never empty
+          val tmp = new Path(path.getParent,
+            s".${path.getName}.tmp.${java.util.UUID.randomUUID()}")
+          val out = fs.create(tmp, false)
+          try out.write(next) finally out.close()
+          try {
+            fs.delete(path, false)
+            fs.rename(tmp, path) // false: a racer claimed the slot first
+          } finally {
+            try fs.delete(tmp, false)
+            catch { case _: java.io.IOException => () }
+          }
+      }
     }
 
   override def takeOver(expect: Array[Byte], next: Array[Byte]): Boolean =

@@ -136,11 +136,22 @@ object ZoneMaps {
       case ByteType | ShortType | IntegerType | LongType =>
         Some(java.lang.Long.compare(bound.toLong,
           v.asInstanceOf[Number].longValue))
-      case FloatType | DoubleType =>
+      case FloatType =>
+        // parse as FLOAT first: the bound is Spark's shortest-round-trip
+        // float string ("0.1"), and Double.parseDouble("0.1") is a
+        // DIFFERENT double than (double) 0.1f — widening after the
+        // float parse makes the bound round-trip to the exact stored
+        // value instead of wrongly excluding it. `+ 0.0` collapses
+        // -0.0 to 0.0 on both sides (Spark predicates treat them
+        // equal; Double.compare does not).
+        Some(java.lang.Double.compare(
+          java.lang.Float.parseFloat(bound).toDouble + 0.0,
+          v.asInstanceOf[Number].doubleValue + 0.0))
+      case DoubleType =>
         // java.lang.Double.compare orders NaN greatest — Spark's own
         // float ordering, so a NaN bound behaves like the engine would
-        Some(java.lang.Double.compare(bound.toDouble,
-          v.asInstanceOf[Number].doubleValue))
+        Some(java.lang.Double.compare(bound.toDouble + 0.0,
+          v.asInstanceOf[Number].doubleValue + 0.0))
       case _: DecimalType =>
         Some(new java.math.BigDecimal(bound)
           .compareTo(v.asInstanceOf[Decimal].toJavaBigDecimal))
@@ -269,6 +280,22 @@ object ZoneMaps {
     }
   } catch { case NonFatal(_) => None }
 
+  /** Value equality as SPARK PREDICATES judge it: -0.0 = 0.0 for
+    * floats/doubles, decimals by numeric value regardless of scale;
+    * everything else by plain equality. Used to intersect conjoined
+    * equality constraints on one bucket column. */
+  private def semEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Float, y: java.lang.Float) =>
+      java.lang.Double.compare(x.toDouble + 0.0, y.toDouble + 0.0) == 0
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      java.lang.Double.compare(x + 0.0, y + 0.0) == 0
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+      x.compareTo(y) == 0
+    case (x: scala.math.BigDecimal, y: scala.math.BigDecimal) =>
+      x.compare(y) == 0
+    case _ => a == b
+  }
+
   /** Buckets that can hold a row satisfying the conjunction of
     * `filters`, via equality constraints covering EVERY bucket column;
     * None when the filters don't pin all of them (or the combination
@@ -296,8 +323,12 @@ object ZoneMaps {
             vs.forall(_ != null) => vs.toSeq
       }
       // several equality constraints on one column conjoin: intersect
+      // SEMANTICALLY (compareTo == 0), not by boxed equals — boxed
+      // -0.0 != 0.0 and scale-sensitive BigDecimal.equals would turn
+      // x = 0.0 AND x = -0.0 into a false-EMPTY surviving set, i.e.
+      // silently dropped rows
       if (vss.isEmpty) None
-      else Some(vss.reduce((x, y) => x.filter(y.contains(_))))
+      else Some(vss.reduce((x, y) => x.filter(xv => y.exists(semEq(xv, _)))))
     }
     if (valueSets.exists(_.isEmpty)) return None
     val sets = valueSets.map(_.get)

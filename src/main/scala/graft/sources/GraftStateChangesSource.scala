@@ -473,7 +473,10 @@ private[sources] class GraftStateChangesSource(
     if (chunked && floor < base)
       // bootstrap phase: admit exactly ONE snapshot chunk per trigger
       return Some(LongOffset(floor + 1))
-    val commits = BucketedStateTable.snapshotCommits(conf, path)
+    val commitStats = BucketedStateTable.snapshotCommitStats(conf, path)
+    val statOf = commitStats.map { case (id, len, mt) =>
+      id -> (len, mt) }.toMap
+    val commits = commitStats.map(_._1)
     val latest = if (commits.isEmpty) base else math.max(base, commits.max)
     if (maxCommitsPerTrigger.isEmpty && maxChangeRowsPerTrigger.isEmpty)
       Some(LongOffset(latest))
@@ -499,13 +502,13 @@ private[sources] class GraftStateChangesSource(
             // trigger, never an unbounded batch. The FIRST pending
             // commit is always admitted (progress guarantee).
             var prev = commits.filter(_ <= floor).lastOption
-              .flatMap(pointersAndCounts)
+              .flatMap(id => pointersAndCounts(id, statOf.get(id)))
             var est = 0L
             var end = capped.head
             var i = 0
             var stop = false
             while (i < capped.size && !stop) {
-              val cur = pointersAndCounts(capped(i))
+              val cur = pointersAndCounts(capped(i), statOf.get(capped(i)))
               val cost = GraftStateChangesSource.commitCost(prev, cur)
               val over = cost < 0 || est + cost > capR
               if (i == 0) { // progress guarantee: the first always lands
@@ -522,26 +525,38 @@ private[sources] class GraftStateChangesSource(
     }
   }
 
-  // manifests are immutable under their id once published, so the
-  // admission estimator memoizes them — a capped backlog drain would
-  // otherwise re-read the same small files on every trigger
+  // a manifest FILE is immutable once published, but its commit ID is
+  // not a durable identity — a withdrawn id can be reused by a later
+  // publish — so the admission estimator memoizes by the same
+  // (id, length, mtime) triple the table's own manifestCache uses,
+  // with the same young-file bypass (second-granularity mtimes could
+  // alias a withdraw-and-republish at the head). A transiently
+  // unreadable manifest (None) is NEVER memoized: pinning None would
+  // permanently degrade admission to one commit per trigger. A capped
+  // backlog drain still hits the memo on every settled manifest.
   private val manifestMemo = new java.util.LinkedHashMap[
-      Long, Option[(Map[Int, Long], Map[Int, Option[Long]])]](64, 0.75f, true) {
+      (Long, Long, Long), (Map[Int, Long], Map[Int, Option[Long]])](
+      64, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[
-        Long, Option[(Map[Int, Long], Map[Int, Option[Long]])]]): Boolean =
-      size() > 512
+        (Long, Long, Long), (Map[Int, Long], Map[Int, Option[Long]])])
+        : Boolean = size() > 512
   }
 
-  private def pointersAndCounts(
-      commit: Long): Option[(Map[Int, Long], Map[Int, Option[Long]])] = {
-    val cached = manifestMemo.get(commit)
-    if (cached != null) cached
-    else {
-      val v = BucketedStateTable.snapshotPointersAndCounts(conf, path, commit)
-      manifestMemo.put(commit, v)
-      v
+  private def pointersAndCounts(commit: Long, stat: Option[(Long, Long)])
+      : Option[(Map[Int, Long], Map[Int, Option[Long]])] =
+    stat match {
+      case Some((len, mtime))
+          if System.currentTimeMillis() - mtime >= 5000L =>
+        val key = (commit, len, mtime)
+        Option(manifestMemo.get(key)).orElse {
+          val v =
+            BucketedStateTable.snapshotPointersAndCounts(conf, path, commit)
+          v.foreach(manifestMemo.put(key, _))
+          v
+        }
+      case _ => // unlisted or too young to have a stable identity
+        BucketedStateTable.snapshotPointersAndCounts(conf, path, commit)
     }
-  }
 
   // the handle is read-only here: layout params beyond keyCols are
   // irrelevant to manifest-resolved reads

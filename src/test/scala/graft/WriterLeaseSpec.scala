@@ -268,6 +268,41 @@ class WriterLeaseSpec extends SparkSpec {
     assert(store.read().isEmpty, "the lease must release after the commit")
   }
 
+  test("HadoopLeaseStore: publication is ATOMIC — hammering readers never observe empty or partial bytes") {
+    // the r17 full-suite flake in one picture: create-then-write let a
+    // concurrent read land between the two and observe ZERO bytes — an
+    // empty slot parses holderless, so a waiter would break a LIVE
+    // holder's lease mid-commit. With link/rename publication a reader
+    // sees absent, the old value, or the new value — nothing else.
+    val dir = Files.createTempDirectory("graft-lease-atomic").toString
+    val p = new Path(s"$dir/_lease")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new HadoopLeaseStore(fs, p)
+    val vA = "holderA\n1111111\n".getBytes("UTF-8")
+    val vB = "holderB\n2222222\n".getBytes("UTF-8")
+    val ok = Set(vA.toSeq, vB.toSeq)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var go = true
+    val readers = (1 to 4).map(_ => new Thread(() => {
+      while (go) store.read().foreach { bytes =>
+        if (!ok.contains(bytes.toSeq))
+          bad.add(s"observed ${bytes.length} bytes: " +
+            new String(bytes, "UTF-8"))
+      }
+    }))
+    readers.foreach(_.start())
+    val deadline = System.currentTimeMillis() + 3000
+    while (System.currentTimeMillis() < deadline && bad.isEmpty) {
+      assert(store.tryCreate(vA))
+      store.replaceIf(vA, vB)
+      store.deleteIf(vB)
+    }
+    go = false
+    readers.foreach(_.join(10_000))
+    assert(bad.isEmpty,
+      s"readers observed non-published lease bytes: ${bad.peek()}")
+  }
+
   test("end-to-end: a BucketedStateTable over the CAS store commits and releases cleanly") {
     val s = spark
     import s.implicits._

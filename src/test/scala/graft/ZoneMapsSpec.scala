@@ -71,6 +71,57 @@ class ZoneMapsSpec extends SparkSpec {
     assert(may(EqualTo("score", "not-a-long")))
   }
 
+  test("float bounds round-trip through the shortest float string — 0.1f is not pruned away") {
+    // Spark writes float stats as shortest-round-trip strings ("0.1");
+    // Double.parseDouble("0.1") != (double) 0.1f, so the bound must be
+    // re-parsed as a FLOAT first or a bucket whose max is 0.1f would
+    // wrongly prune EqualTo(0.1f) — silent missing rows
+    val fschema = org.apache.spark.sql.types.StructType.fromDDL(
+      "f FLOAT, d DOUBLE")
+    def may(b: ZoneMaps.BucketStat, f: Filter) =
+      ZoneMaps.mayMatch(f, b, fschema)
+    val b = stat(10, "f" -> cs("0.1", "0.1"))
+    assert(may(b, EqualTo("f", 0.1f)),
+      "a bucket whose recorded bounds are exactly 0.1f must match x = 0.1f")
+    assert(may(b, GreaterThanOrEqual("f", 0.1f)) &&
+      may(b, LessThanOrEqual("f", 0.1f)))
+    assert(!may(b, GreaterThan("f", 0.1f)) && !may(b, LessThan("f", 0.1f)))
+    // the same value as a DOUBLE bound keeps double precision
+    val bd = stat(10, "d" -> cs("0.1", "0.1"))
+    assert(may(bd, EqualTo("d", 0.1d)) && !may(bd, GreaterThan("d", 0.1d)))
+    // a non-dyadic float strictly between bounds still matches
+    val wide = stat(10, "f" -> cs("0.05", "0.3"))
+    assert(may(wide, EqualTo("f", 0.1f)))
+  }
+
+  test("signed zero: -0.0 bounds and predicates behave as Spark's -0.0 = 0.0") {
+    val fschema = org.apache.spark.sql.types.StructType.fromDDL(
+      "f FLOAT, d DOUBLE")
+    def may(b: ZoneMaps.BucketStat, f: Filter) =
+      ZoneMaps.mayMatch(f, b, fschema)
+    // a recorded "-0.0" bound (written by a pre-normalization manifest)
+    // must not prune x = 0.0, and a "0.0" bound must not prune x = -0.0
+    assert(may(stat(5, "d" -> cs("-0.0", "-0.0")), EqualTo("d", 0.0d)))
+    assert(may(stat(5, "d" -> cs("0.0", "0.0")), EqualTo("d", -0.0d)))
+    assert(may(stat(5, "f" -> cs("-0.0", "-0.0")), EqualTo("f", 0.0f)))
+    // conjoined equality constraints on a bucket column intersect
+    // SEMANTICALLY: x = 0.0 AND x = -0.0 is satisfiable, so hash
+    // pruning must not produce a false-empty surviving set
+    val hs = org.apache.spark.sql.types.StructType.fromDDL("d DOUBLE")
+    val cands = ZoneMaps.hashCandidates(
+      Seq(EqualTo("d", 0.0d), EqualTo("d", -0.0d)), hs, Seq("d"), 16)
+    assert(cands.forall(_.nonEmpty),
+      s"x=0.0 AND x=-0.0 must keep its bucket, got $cands")
+    // scale-sensitive BigDecimal.equals must not empty the intersect
+    val ds = org.apache.spark.sql.types.StructType.fromDDL("m DECIMAL(10,2)")
+    val one = new java.math.BigDecimal("1.0")
+    val oneScaled = new java.math.BigDecimal("1.00")
+    val dc = ZoneMaps.hashCandidates(
+      Seq(EqualTo("m", one), EqualTo("m", oneScaled)), ds, Seq("m"), 16)
+    assert(dc.forall(_.nonEmpty),
+      s"m=1.0 AND m=1.00 must keep its bucket, got $dc")
+  }
+
   test("null accounting: IsNull, IsNotNull, and all-null buckets") {
     val someNulls = stat(10, "name" -> cs("a", "z", nulls = 3))
     val noNulls = stat(10, "name" -> cs("a", "z", nulls = 0))
