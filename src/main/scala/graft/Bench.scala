@@ -21,6 +21,34 @@ import org.apache.spark.sql.SparkSession
   * ever ADDS time). The headline total is the sum of per-query minima.
   */
 object Bench {
+
+  /** Host-calibration kernel: a FIXED, data- and code-independent
+    * workload (64M synthetic rows → xxhash64 → 1000-group hash
+    * aggregate over 32 fixed partitions) whose cost depends only on
+    * the host's momentary CPU capacity — never on the repo's operators
+    * or the SF dir. Emitted with every bench run so any reader can
+    * normalize cross-round totals: identical code has measured 99.9 s
+    * vs 189 s across same-day runs of one round (r17), and without a
+    * code-independent yardstick that spread is indistinguishable from
+    * a real regression. Reported as min-of-`trials` both BEFORE and
+    * AFTER the query sweep (drift within a run is part of the noise
+    * model). */
+  private def calibrationKernel(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.range(0L, 64L * 1000 * 1000, 1L, 32)
+      .select((xxhash64(col("id")) % 1000).as("g"),
+        xxhash64(col("id"), lit(1)).as("v"))
+      .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
+  }
+
+  private def calibrate(spark: SparkSession, trials: Int): Double =
+    (1 to trials.max(1)).map { _ =>
+      val t0 = System.nanoTime()
+      calibrationKernel(spark)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,6 +72,11 @@ object Bench {
     // the plan, not first-use classloading.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+
+    // Host calibration, leg 1 (see calibrationKernel): the first
+    // calibrate() call doubles as kernel warmup via min-of-trials.
+    val calPre = calibrate(spark, trials)
+    println(s"""{"metric":"calibration","phase":"pre","value":$calPre,"unit":"sec"}""")
 
     // A failed query reports -1, not its elapsed time — a broken query
     // must never masquerade as a fast one in the JSON — and FAILS FAST:
@@ -117,9 +150,19 @@ object Bench {
     // speedup (consumers must treat failed>0 as incomparable).
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+
+    // Host calibration, leg 2: the same fixed kernel after the sweep.
+    // pre/post disagreement IS the within-run host drift; the min of
+    // the two is the best estimate of the host's clean capacity.
+    val calPost = calibrate(spark, trials)
+    println(s"""{"metric":"calibration","phase":"post","value":$calPost,"unit":"sec"}""")
+    val cal = math.min(calPre, calPost)
+    val calJson =
+      s"""{"pre_s":$calPre,"post_s":$calPost,"value":$cal,"unit":"sec"}"""
+
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"failed":${failed.size},"failed_names":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"failed":${failed.size},"failed_names":$failedJson,"calibration":$cal,"sf":"$sfDir"}"""
 
     // Durable record: stdout passes through a bounded (~2k char) tail
     // capture that can hold ~21 of 120+ per-query lines, so the official
@@ -150,7 +193,7 @@ object Bench {
     // queries would otherwise read as a healthy speedup to anyone
     // diffing committed totals across rounds.
     val localJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"trials":$trials,"failed":${failed.size},"failed_names":$failedJson,"sf":"$sfDir","queries":$queriesJson,"resources":$metricsJson,"phases":$phasesJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"trials":$trials,"failed":${failed.size},"failed_names":$failedJson,"calibration":$calJson,"sf":"$sfDir","queries":$queriesJson,"resources":$metricsJson,"phases":$phasesJson}"""
     if (only.isEmpty) {
       try {
         val out = java.nio.file.Paths.get("BENCH_LOCAL.json")

@@ -3,7 +3,7 @@ package graft
 import java.util.concurrent.atomic.LongAdder
 
 import org.apache.spark.SparkContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 
 /** Per-query resource accounting for the bench/probe mains: a
   * [[SparkListener]] summing executor task metrics — shuffle read/write
@@ -27,6 +27,9 @@ final class BenchMetrics extends SparkListener {
   private val shuffleWrite = new LongAdder
   private val memorySpill = new LongAdder
   private val diskSpill = new LongAdder
+  private val inputRead = new LongAdder
+  private val jobCount = new LongAdder
+  private val stageCount = new LongAdder
 
   override def onTaskEnd(ev: SparkListenerTaskEnd): Unit = {
     val m = ev.taskMetrics
@@ -35,12 +38,23 @@ final class BenchMetrics extends SparkListener {
       shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
       memorySpill.add(m.memoryBytesSpilled)
       diskSpill.add(m.diskBytesSpilled)
+      inputRead.add(m.inputMetrics.bytesRead)
     }
   }
+
+  // Job/stage COUNTS are the wall-time-independent unit of commit
+  // overhead: "does stats maintenance add a Spark job per commit, and
+  // how many bytes does it read" is answerable from these when
+  // elapsed seconds drown in host noise (the r17 lesson).
+  override def onJobStart(ev: SparkListenerJobStart): Unit =
+    jobCount.add(1L)
+  override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
+    stageCount.add(1L)
 
   def reset(): Unit = {
     shuffleRead.reset(); shuffleWrite.reset()
     memorySpill.reset(); diskSpill.reset()
+    inputRead.reset(); jobCount.reset(); stageCount.reset()
   }
 
   /** Drain pending listener events, then read the counters. */
@@ -50,7 +64,10 @@ final class BenchMetrics extends SparkListener {
       shuffleReadBytes = shuffleRead.sum(),
       shuffleWriteBytes = shuffleWrite.sum(),
       memorySpillBytes = memorySpill.sum(),
-      diskSpillBytes = diskSpill.sum())
+      diskSpillBytes = diskSpill.sum(),
+      inputBytes = inputRead.sum(),
+      jobs = jobCount.sum(),
+      stages = stageCount.sum())
   }
 }
 
@@ -59,10 +76,14 @@ object BenchMetrics {
       shuffleReadBytes: Long,
       shuffleWriteBytes: Long,
       memorySpillBytes: Long,
-      diskSpillBytes: Long) {
+      diskSpillBytes: Long,
+      inputBytes: Long = 0L,
+      jobs: Long = 0L,
+      stages: Long = 0L) {
     def json: String =
       s"""{"shuffle_read_bytes":$shuffleReadBytes,"shuffle_write_bytes":$shuffleWriteBytes,""" +
-        s""""memory_spill_bytes":$memorySpillBytes,"disk_spill_bytes":$diskSpillBytes}"""
+        s""""memory_spill_bytes":$memorySpillBytes,"disk_spill_bytes":$diskSpillBytes,""" +
+        s""""input_bytes":$inputBytes,"jobs":$jobs,"stages":$stages}"""
   }
 
   /** Register a fresh accumulator on the context. */

@@ -304,6 +304,87 @@ object StateScaleProbe {
     val backlog1 = backlogLeg("x1", 1)
     val backlogN = backlogLeg(s"x$copies", copies)
 
+    // ── leg 5b: ROW-capped drain of a volume-scaled backlog, restarted
+    // at every batch boundary ──
+    // maxChangeRowsPerTrigger against a backlog whose commits span two
+    // orders of magnitude — several small commits and one oversized
+    // (volFactor×) commit — drained with Trigger.Once so every batch
+    // is a full stop + checkpoint restart. Recorded: the per-batch
+    // emitted-row DISTRIBUTION. The claims: multi-commit batches stay
+    // under the cap, the oversized commit drains ALONE (first-commit
+    // progress guarantee, never an unbounded coalesced batch), and a
+    // restart never re-emits (exactly-once parity asserted in-leg).
+    def rowcapLeg(tag: String): String = {
+      val dataDir = s"$scratch/corpus_x1"
+      val d = Tables.documents(spark, dataDir)
+        .select(col("doc_id"), col("n_chars"))
+      val root = s"$scratch/rowcap_$tag"
+      val t = new BucketedStateTable(spark, root,
+        keyCols = Seq("doc_id"), numBuckets = 64,
+        keepCommits = 40, retentionFloorMillis = 0L,
+        statsCols = Seq("n_chars"))
+      t.merge(d, keys = Seq("doc_id"))
+      val base = t.commits().last
+      (0 until 8).foreach { i => // small commits: 16 docs each
+        t.merge(d.filter(col("doc_id").between(1000 + i * 16, 1015 + i * 16))
+          .withColumn("n_chars", col("n_chars") + lit(i + 1L)),
+          keys = Seq("doc_id"))
+      }
+      // the oversized commit: volFactor× the small ones
+      t.merge(d.limit(16 * volFactor)
+        .withColumn("n_chars", col("n_chars") + lit(999L)),
+        keys = Seq("doc_id"))
+      // sized so ~3 small commits coalesce per batch (each costs
+      // ~14 touched buckets × ~156 pre+post rows ≈ 2.2k estimated)
+      // while the oversized commit (all 64 buckets dirty, ~10k+) can
+      // only ride the first-commit progress guarantee — alone
+      val capRows = 8000L
+      val backlog = t.commits().filter(_ > base)
+      val batchRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val batchEnds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val (_, drainSec, drainSnap) = timed {
+        var before = -1
+        while (batchRows.size != before) {
+          before = batchRows.size
+          val q = spark.readStream.format("graft-state-changes")
+            .option("startingCommit", base)
+            .option("maxChangeRowsPerTrigger", capRows.toString)
+            .load(root)
+            .writeStream
+            .option("checkpointLocation", s"$root-ck")
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              // rows are tagged with the batch's range-END commit
+              val agg = df.groupBy("_commit_id").count().collect()
+              if (agg.nonEmpty) {
+                batchRows += agg.map(_.getLong(1)).sum
+                batchEnds += agg.map(_.getLong(0)).max
+              }
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+            .start()
+          q.awaitTermination(120_000)
+          ()
+        }
+      }
+      // commit grouping = partition of the backlog by the range ends
+      val starts = base +: batchEnds.dropRight(1)
+      val batchCommits = starts.zip(batchEnds).map { case (st, en) =>
+        backlog.count(c => c > st && c <= en) }
+      val multi = batchRows.zip(batchCommits).filter(_._2 > 1)
+      require(multi.forall(_._1 <= capRows),
+        s"a multi-commit batch exceeded the row cap: $batchRows / $batchCommits")
+      require(batchCommits.sum == 9,
+        s"drain must cover all 9 backlog commits exactly once, got $batchCommits")
+      s""""$tag":{"cap_rows":$capRows,"backlog_commits":9,""" +
+        s""""oversized_factor":$volFactor,""" +
+        s""""batches":${batchRows.size},""" +
+        s""""batch_rows":[${batchRows.mkString(",")}],""" +
+        s""""batch_commits":[${batchCommits.mkString(",")}],""" +
+        s""""wall_sec":${num(drainSec)},"resources":${drainSnap.json}}"""
+    }
+    val rowcap = rowcapLeg(s"vol$volFactor")
+
     // ── leg 6: zone-map / hash bucket pruning at table scale ──────────
     // The freshness pattern zone maps exist for: seed everything at
     // updated_at=0, touch 16 fixed keys at updated_at=1, then ask
@@ -367,6 +448,7 @@ object StateScaleProbe {
         s""""split_at_scale":{$split1,$splitN},""" +
         s""""coalesce_at_scale":{$coal1,$coalN},""" +
         s""""feed_backlog":{$backlog1,$backlogN},""" +
+        s""""feed_rowcap_drain":{$rowcap},""" +
         s""""zonemap_prune":{$zmap1,$zmapN}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("SCALE_PROBE_CDC_VOL.json"),

@@ -1026,18 +1026,39 @@ class BucketedStateTable(
       val fresh = statsAggRows(df, eligible, bytes)
       var attempts = 0
       while (true) {
-        val head = currentManifest().getOrElse(m0)
+        // A RELAYOUT (split/coalesce/rebucket) landing mid-analyze
+        // makes the head manifest unreadable through this handle (the
+        // layout check refuses a foreign numBuckets): the analyzed
+        // bounds describe a DEAD layout, so WITHDRAW them — return 0,
+        // publish nothing. The relayout rebuilt its own stats
+        // whole-table if its handle records statsCols; this handle is
+        // stale and every subsequent verb on it refuses loudly.
+        val head =
+          try currentManifest().getOrElse(m0)
+          catch { case _: IllegalArgumentException => return 0 }
         val valid = fresh.filter { case (b, _) =>
           head.buckets.get(b) == m0.buckets.get(b) }
+        // nothing left to land (every analyzed bucket was rewritten —
+        // or RELAYOUTED — since m0): WITHDRAW instead of publishing a
+        // stats-free manifest. This is also the relayout-race guard: a
+        // split/coalesce/rebucket moves every pointer, so no analyzed
+        // bound can leak onto the new layout.
+        if (valid.isEmpty && head.commitId != m0.commitId) return 0
         val next = nextCommitId()
         beforePublish() // same publish-window seam as every commit path
         try {
           // split metadata is NOT copied: it belongs to the split
           // commit alone (a republished factor would corrupt the
-          // feed's boundary walk), exactly as widenTo publishes
+          // feed's boundary walk), exactly as widenTo publishes.
+          // forNumBuckets comes from the HEAD being based on, not this
+          // handle: a concurrent relayout's bucket count must survive
+          // the metadata-only republish (the handle's own count
+          // describes the layout it was constructed for, which may
+          // just have died).
           writeManifest(Manifest(next, head.buckets, head.schemaJson,
               bucketStats = head.bucketStats ++ valid),
-            basedOn = head.commitId)
+            basedOn = head.commitId,
+            forNumBuckets = head.manifestNumBuckets)
           prune()
           last = Some(CommitStats(next, Nil, Nil))
           return valid.size
@@ -2042,14 +2063,20 @@ object BucketedStateTable {
       val c = buckets(b)
       new Path(new Path(rootPath), f"data/c$c%08d/__bucket=$b").toString
     }
+    /** The buckets a scan constrained by `filters` must read — always a
+      * superset of the matching set; None when the manifest records no
+      * schema (nothing to evaluate bounds against). */
+    def survivingBuckets(
+        filters: Seq[org.apache.spark.sql.sources.Filter])
+        : Option[Set[Int]] = schema.map(sch =>
+      ZoneMaps.surviving(
+        filters, sch, bucketCols, numBuckets, stats, buckets.keySet))
     /** The paths a scan constrained by `filters` must read (sorted for
       * plan determinism) — None when nothing prunes, so the caller can
       * keep its already-built full scan. */
     def prunedPaths(
         filters: Seq[org.apache.spark.sql.sources.Filter])
-        : Option[Seq[String]] = schema.flatMap { sch =>
-      val surv = ZoneMaps.surviving(
-        filters, sch, bucketCols, numBuckets, stats, buckets.keySet)
+        : Option[Seq[String]] = survivingBuckets(filters).flatMap { surv =>
       if (surv.size == buckets.size) None
       else Some(surv.toSeq.sorted.map(pathOf))
     }

@@ -331,20 +331,28 @@ private[sources] class GraftZonePrunedScanBuilder(
   import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 
   private var inner: ScanBuilder = full.newScanBuilder(options)
+  // the bucket set the (possibly rebuilt) inner scan reads — what the
+  // reported statistics must describe; None = the full snapshot
+  private var survivors: Option[Set[Int]] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val v1 = filters.flatMap(ZonePruneFilters.necessary)
     if (v1.nonEmpty) {
-      zoneInfo.flatMap(z => z.prunedPaths(v1).map((z, _)))
-        .foreach { case (z, paths) =>
-          inner = ParquetTable(
-            s"graft-state `$rootPath` (bucket-pruned ${paths.size}/" +
-              s"${z.buckets.size})",
-            SparkSession.active, options, paths,
-            userSpecifiedSchema = z.schema,
-            fallbackFileFormat = classOf[ParquetFileFormat])
-            .newScanBuilder(options)
+      zoneInfo.foreach { z =>
+        z.survivingBuckets(v1).foreach { surv =>
+          survivors = Some(surv)
+          if (surv.size != z.buckets.size) {
+            val paths = surv.toSeq.sorted.map(z.pathOf)
+            inner = ParquetTable(
+              s"graft-state `$rootPath` (bucket-pruned ${paths.size}/" +
+                s"${z.buckets.size})",
+              SparkSession.active, options, paths,
+              userSpecifiedSchema = z.schema,
+              fallbackFileFormat = classOf[ParquetFileFormat])
+              .newScanBuilder(options)
+          }
         }
+      }
     }
     inner match {
       case c: SupportsPushDownCatalystFilters => c.pushFilters(filters)
@@ -381,7 +389,98 @@ private[sources] class GraftZonePrunedScanBuilder(
       case _ => false
     }
 
-  override def build(): Scan = inner.build()
+  /** The built scan, decorated with MANIFEST statistics when the zone
+    * maps cover every planned bucket: exact row and byte counts are
+    * already in the manifest, so a COLD plan (no AQE, no CBO table
+    * stats) sees the real size at join-strategy time — a small state
+    * dimension joined to a large fact plans a broadcast-hash join
+    * without waiting for AQE's runtime re-plan, and a point lookup's
+    * statistics shrink to the one surviving bucket. A bucket without
+    * recorded stats degrades that field to the delegate's own
+    * file-listing estimate — never a guess. */
+  override def build(): Scan = {
+    val built = inner.build()
+    zoneInfo match {
+      case Some(z) =>
+        val set = survivors.getOrElse(z.buckets.keySet)
+        val statted = set.toSeq.flatMap(z.stats.get)
+        val covered = statted.size == set.size
+        val rows = if (covered) Some(statted.map(_.rows).sum) else None
+        // a statted-but-zero-byte bucket holding rows means the byte
+        // accounting is unknown (pre-bytes manifest line): fall back
+        val bytes =
+          if (covered && statted.forall(s => s.rows == 0L || s.bytes > 0L))
+            Some(statted.map(_.bytes).sum)
+          else None
+        if (rows.isEmpty && bytes.isEmpty) built
+        else new ManifestStatsScan(built, rows, bytes)
+      case None => built
+    }
+  }
+}
+
+/** Statistics decorator over the built parquet scan: everything
+  * delegates (the inner [[org.apache.spark.sql.execution.datasources.v2.FileScan]]
+  * IS the Batch and carries the explain metadata), but
+  * `estimateStatistics` answers from the MANIFEST's zone-map lines —
+  * exact rows/bytes for exactly the buckets this scan reads — falling
+  * back per-field to the delegate's estimate. Equality forwards to the
+  * delegate so exchange/scan reuse still dedupes identical subplans. */
+private[graft] class ManifestStatsScan(
+    private[graft] val inner: org.apache.spark.sql.connector.read.Scan,
+    rows: Option[Long],
+    bytes: Option[Long])
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.internal.connector.SupportsMetadata {
+  import org.apache.spark.sql.connector.read.{Scan => V2Scan, _}
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = inner.description()
+  override def toBatch: Batch = inner.toBatch
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    inner.toMicroBatchStream(checkpointLocation)
+  override def toContinuousStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+    inner.toContinuousStream(checkpointLocation)
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.reportDriverMetrics()
+  override def columnarSupportMode(): V2Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+
+  override def estimateStatistics(): Statistics = {
+    val fallback = inner match {
+      case s: SupportsReportStatistics => Some(s.estimateStatistics())
+      case _ => None
+    }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytes.map(java.util.OptionalLong.of)
+          .orElse(fallback.map(_.sizeInBytes()))
+          .getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of)
+          .orElse(fallback.map(_.numRows()))
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
+  override def getMetaData(): Map[String, String] = inner match {
+    case m: org.apache.spark.sql.internal.connector.SupportsMetadata =>
+      m.getMetaData()
+    case _ => Map.empty
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case m: ManifestStatsScan => inner == m.inner
+    case _ => false
+  }
+  override def hashCode(): Int = inner.hashCode()
 }
 
 /** Catalyst expression → V1 source filter, weakened to a NECESSARY

@@ -46,6 +46,25 @@ class BenchMetricsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(m)
   }
 
+  test("job/stage/input counters: a materialized shuffle counts jobs, stages, and scan bytes") {
+    // the wall-time-independent overhead unit: commit-cost questions
+    // ("does stats maintenance add a job per commit?") are answered in
+    // these counts, which host load cannot inflate
+    val m = BenchMetrics.install(spark.sparkContext)
+    try {
+      m.reset()
+      Tables.lineitem(spark, sf0001).groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+      val s = m.snapshot(spark.sparkContext)
+      assert(s.jobs >= 1 && s.stages >= 2,
+        s"a shuffling write must count a job with ≥2 stages, got jobs=${s.jobs} stages=${s.stages}")
+      assert(s.inputBytes > 0, "the parquet scan must account input bytes")
+      m.reset()
+      val idle = m.snapshot(spark.sparkContext)
+      assert(idle.jobs == 0 && idle.stages == 0 && idle.inputBytes == 0)
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
+
   test("representative non-state-building bench queries run spill-free") {
     // the zero-spill claim the cache-hygiene work implies, pinned for
     // the queries that shuffle hardest without building persistent

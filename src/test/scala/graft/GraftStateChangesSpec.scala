@@ -234,6 +234,118 @@ class GraftStateChangesSpec extends SparkSpec {
     replay(t3, from3, blunt)
   }
 
+  test("row-capped drain of a high-volume backlog across per-batch restarts: bounded batches, oversized commit alone, exactly-once") {
+    val s = spark
+    import s.implicits._
+
+    def rowsDf(from: Int, n: Int, v: Long) =
+      (from until from + n).map(i => (s"k$i", v)).toDF("k", "v")
+    def build(root: String, stats: Boolean): (BucketedStateTable, Long) = {
+      val t = new BucketedStateTable(spark, s"$root/state",
+        keyCols = Seq("k"), numBuckets = 8, keepCommits = 40,
+        retentionFloorMillis = 60_000L,
+        statsCols = if (stats) Seq("v") else Nil)
+      t.merge(rowsDf(0, 40, 0L), keys = Seq("k")) // seed
+      val base = t.commits().last
+      // four small commits, then ONE 100×-volume commit: the admission
+      // estimator must coalesce the smalls under the cap and admit the
+      // oversized one ALONE (first-commit progress guarantee)
+      (1 to 4).foreach(i =>
+        t.merge(rowsDf(1000 * i, 10, i.toLong), keys = Seq("k")))
+      t.merge(rowsDf(100000, 5000, 9L), keys = Seq("k"))
+      (t, base)
+    }
+
+    // drain ONE trigger per query start (Trigger.Once): every batch
+    // boundary is a full stop + checkpoint restart — the mid-drain
+    // restart is not an extra scenario, it is the loop itself
+    def drainRestarting(root: String, base: Long, capRows: Long)
+        : Seq[(Long, Seq[Change])] = {
+      val collected = TrieMap.empty[Long, Seq[Change]]
+      var rounds = 0
+      var before = -1
+      while (collected.size != before && rounds < 20) {
+        before = collected.size
+        rounds += 1
+        val q = spark.readStream.format("graft-state-changes")
+          .option("startingCommit", base)
+          .option("maxChangeRowsPerTrigger", capRows.toString)
+          .load(s"$root/state")
+          .writeStream
+          .option("checkpointLocation", s"$root/ck")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            val got = df.selectExpr("change_type", "k", "v", "_commit_id")
+              .as[Change].collect().toSeq
+            if (got.nonEmpty) collected.put(id, got)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        q.awaitTermination(60_000)
+      }
+      collected.toSeq.sortBy(_._1)
+    }
+
+    val capRows = 400L
+    val root = tmp()
+    val (t, base) = build(root, stats = true)
+    val backlog = t.commits().filter(_ > base)
+    val batches = drainRestarting(root, base, capRows)
+
+    // every row of a batch is tagged with the batch's range END
+    // commit (net-diff semantics); the admitted COMMIT GROUPING is
+    // therefore the partition of the backlog by those ends
+    val ends = batches.map(_._2.map(_._4).max)
+    assert(ends == ends.sorted && ends.distinct == ends,
+      s"range ends must strictly advance across restarts: $ends")
+    assert(ends.last == backlog.max,
+      s"the drain must reach the newest commit: $ends vs $backlog")
+    val starts = base +: ends.dropRight(1)
+    val perBatchCommits = starts.zip(ends).map { case (st, en) =>
+      backlog.filter(c => c > st && c <= en) }
+    assert(perBatchCommits.flatten == backlog.sorted,
+      s"batches must cover the backlog exactly once: $perBatchCommits vs $backlog")
+    assert(batches.size >= 2 && batches.size < backlog.size,
+      s"the cap must both bind (≥2 batches) and coalesce small commits " +
+        s"(<${backlog.size} batches), got ${batches.size}: " +
+        perBatchCommits.map(_.size).mkString(","))
+    // the oversized commit drains ALONE
+    val bigCommit = backlog.max // the 5000-row merge is the newest
+    val bigIdx = perBatchCommits.indexWhere(_.contains(bigCommit))
+    assert(perBatchCommits(bigIdx) == Seq(bigCommit),
+      s"an over-cap commit must drain alone, batch held ${perBatchCommits(bigIdx)}")
+    // every multi-commit batch stays under the row cap (the estimator
+    // counts rewritten-bucket rows, an overestimate of emitted rows)
+    perBatchCommits.zip(batches).filter(_._1.size > 1).foreach {
+      case (_, (id, rows)) =>
+        assert(rows.size <= capRows,
+          s"batch $id: ${rows.size} rows admitted over the $capRows cap")
+    }
+    // replica parity: applying the batches in order reproduces the table
+    val replica = scala.collection.mutable.Map.empty[String, Long]
+    replica ++= t.readAt(base).get.as[(String, Long)].collect()
+    batches.foreach(_._2.foreach {
+      case ("insert", k, v, _) => replica(k) = v
+      case ("update_postimage", k, v, _) => replica(k) = v
+      case ("delete", k, _, _) => replica.remove(k); ()
+      case _ => ()
+    })
+    assert(replica.toMap == t.read().get.as[(String, Long)].collect().toMap)
+
+    // the stats-less twin under the SAME restart loop: every commit's
+    // cost is unknown, so the drain degrades to one commit per batch —
+    // never an unbounded batch
+    val rootB = tmp()
+    val (tB, baseB) = build(rootB, stats = false)
+    val backlogB = tB.commits().filter(_ > baseB)
+    val bluntBatches = drainRestarting(rootB, baseB, capRows)
+    assert(bluntBatches.size == backlogB.size,
+      s"unknown costs must degrade to one commit per trigger across " +
+        s"restarts: ${bluntBatches.size} batches for ${backlogB.size} commits")
+    assert(bluntBatches.map(_._2.map(_._4).max) == backlogB.sorted,
+      "each degraded batch must end at the next single commit")
+  }
+
   test("a table using a reserved feed column name refuses at creation, not with an ambiguous-reference crash-loop") {
     val s = spark
     import s.implicits._

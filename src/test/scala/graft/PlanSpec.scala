@@ -466,4 +466,51 @@ class PlanSpec extends SparkSpec {
     assert(!pl.contains("ReadSchema: struct<doc_id:bigint,text:string"),
       s"scoring plan must read the index, not the corpus text:\n$pl")
   }
+
+  test("state-table scan reports manifest statistics: exact rows/bytes cold, broadcast without AQE") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-plan-stats").toString
+    val t = new graft.pipeline.BucketedStateTable(spark, s"$dir/state",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L,
+      statsCols = Seq("v"))
+    t.merge(spark.range(500)
+      .select(concat(lit("k"), col("id")).as("k"), col("id").as("v")),
+      keys = Seq("k"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dim = spark.read.format("graft-state").load(s"$dir/state")
+      val fact = spark.range(200000)
+        .select(concat(lit("k"), col("id") % 1000).as("k"),
+          col("id").as("x"))
+      val joined = fact.join(dim, Seq("k"))
+      // COLD broadcast: no AQE, no catalog stats — the join strategy
+      // must see the manifest-reported size at plan time
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        s"a small state dimension must broadcast cold:\n${joined.queryExecution.executedPlan}")
+      // the reported statistics are the manifest's zone-map sums, not
+      // a file-listing guess: rowCount is EXACT
+      val scanStats = joined.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.computeStats()
+      }
+      assert(scanStats.nonEmpty)
+      assert(scanStats.head.rowCount.contains(BigInt(500)),
+        s"rowCount must equal the manifest's zone-map rows sum, got ${scanStats.head.rowCount}")
+      assert(scanStats.head.sizeInBytes > 0)
+
+      // a bucket-pinning point lookup shrinks the statistics to the
+      // one surviving bucket's recorded rows
+      val point = dim.where(col("k") === "k7")
+      val pointStats = point.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.computeStats()
+      }.head
+      val full = scanStats.head.rowCount.get
+      assert(pointStats.rowCount.exists(rc => rc > 0 && rc < full),
+        s"a point lookup's stats must shrink to its bucket: $pointStats vs full $full")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

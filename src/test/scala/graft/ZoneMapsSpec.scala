@@ -419,12 +419,94 @@ class ZoneMapsSpec extends SparkSpec {
     assert(touchedBuckets(range).size < touchedBuckets(t.read().get).size)
   }
 
+  test("analyze racing a relayout: the loser withdraws both ways; bounds only ever describe the surviving layout") {
+    val s2 = spark
+    import s2.implicits._
+    def rows = spark.range(400).select(
+      concat(lit("g"), col("id") % 8).as("grp"),
+      col("id").as("id"),
+      ((col("id") % 8) * lit(100L) + col("id") % 7).as("score"))
+        .toDF("grp", "id", "score")
+    def newestManifestText(root: String): String = {
+      val f = new java.io.File(s"$root/_commits").listFiles()
+        .filter(_.getName.matches("c\\d+\\.txt")).maxBy(_.getName)
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    }
+
+    // ── ordering A: the SPLIT lands inside the ANALYZE's publish
+    // window. The analyzed bounds describe the dead 4-bucket layout,
+    // so the analyze must WITHDRAW (return 0) — never stamp them (or
+    // the old numBuckets) onto the split's manifest chain.
+    val dirA = tmp()
+    val tA = new BucketedStateTable(spark, s"$dirA/state",
+      keyCols = Seq("grp", "id"), numBuckets = 4,
+      bucketCols = Seq("grp"), retentionFloorMillis = 60_000L)
+    tA.merge(rows, keys = Seq("grp", "id"))
+    val tA2 = new BucketedStateTable(spark, s"$dirA/state",
+      keyCols = Seq("grp", "id"), numBuckets = 4,
+      bucketCols = Seq("grp"), retentionFloorMillis = 60_000L,
+      leaseStore = Some(new InMemoryCasStore))
+    @volatile var split: BucketedStateTable = null
+    tA.beforePublish = () => {
+      tA.beforePublish = () => ()
+      split = tA2.splitBuckets(2)
+    }
+    assert(tA.analyzeStats(Seq("score")) == 0,
+      "an analyze raced by a relayout must withdraw, landing nothing")
+    val headA = newestManifestText(s"$dirA/state")
+    assert(headA.contains("numBuckets=8"),
+      s"the split's layout must survive the race, manifest was:\n$headA")
+    assert(!headA.contains("zmap."),
+      "no dead-layout bound may reach the surviving manifest")
+    assert(split.read().get.count() == 400L,
+      "every row must stay readable through the surviving layout")
+
+    // ── ordering B: the ANALYZE lands inside the SPLIT's publish
+    // window. The split's snapshot rewrite is now based on a stale
+    // head, so the SPLIT withdraws; the analyzed bounds stay on the
+    // surviving 4-bucket layout and prune there.
+    val dirB = tmp()
+    val tB = new BucketedStateTable(spark, s"$dirB/state",
+      keyCols = Seq("grp", "id"), numBuckets = 4,
+      bucketCols = Seq("grp"), retentionFloorMillis = 60_000L)
+    tB.merge(rows, keys = Seq("grp", "id"))
+    val tB2 = new BucketedStateTable(spark, s"$dirB/state",
+      keyCols = Seq("grp", "id"), numBuckets = 4,
+      bucketCols = Seq("grp"), retentionFloorMillis = 60_000L,
+      leaseStore = Some(new InMemoryCasStore))
+    tB.beforePublish = () => {
+      tB.beforePublish = () => ()
+      assert(tB2.analyzeStats(Seq("score")) > 0,
+        "the interleaved analyze itself must land on the still-live layout")
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      tB.splitBuckets(2)
+    }
+    val headB = newestManifestText(s"$dirB/state")
+    assert(headB.contains("numBuckets=4") && headB.contains("zmap."),
+      s"the analyzed 4-bucket layout must survive with its bounds:\n$headB")
+    val pruned = tB.readWhere(Seq(GreaterThanOrEqual("score", 600L))).get
+    assert(touchedBuckets(pruned).size <
+      touchedBuckets(tB.read().get).size,
+      "the surviving bounds must prune")
+    assert(pruned.filter(col("score") >= 600L).count() ==
+      tB.read().get.filter(col("score") >= 600L).count())
+    // the same handle retries the split; the new layout carries all rows
+    val tB8 = tB.splitBuckets(2)
+    assert(tB8.read().get.count() == 400L)
+  }
+
   // ── DSv2 scan integration ────────────────────────────────────────────
 
   private def plannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     df.queryExecution.executedPlan.collect {
       case b: BatchScanExec => b.scan
+    }.map {
+      // the stats decorator wraps the parquet scan — unwrap to reach
+      // the planned file set
+      case m: graft.sources.ManifestStatsScan => m.inner
+      case s => s
     }.flatMap {
       case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
         p.fileIndex.inputFiles.toSeq
