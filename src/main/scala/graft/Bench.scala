@@ -38,7 +38,9 @@ object Bench {
     spark.range(0L, 64L * 1000 * 1000, 1L, 32)
       .select((xxhash64(col("id")) % 1000).as("g"),
         xxhash64(col("id"), lit(1)).as("v"))
-      .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      // bit_xor, not sum: summing 64M full-range hashes overflows
+      // Long under ANSI mode; xor is overflow-free and just as CPU-real
+      .groupBy("g").agg(bit_xor(col("v")).as("s"), count(lit(1)).as("n"))
       .write.format("noop").mode("overwrite").save()
   }
 

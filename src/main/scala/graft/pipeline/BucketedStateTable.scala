@@ -923,7 +923,15 @@ class BucketedStateTable(
           .stripPrefix(s"$BucketCol=").toInt)
         .map { case (b, fsz) => b -> fsz.map(_.getLen).sum }
     }
-    statsAggRows(spark.read.parquet(out.toString), eligible, bytes)
+    // explicit schema (row fields + the bucket partition column): the
+    // freshly-written shape is KNOWN, so footer-driven schema inference
+    // — a whole extra Spark job per commit (measured in
+    // SCALE_PROBE_STATSCOST.json) — has nothing to add
+    val readSchema = org.apache.spark.sql.types.StructType(
+      rowSchema.fields :+ org.apache.spark.sql.types.StructField(
+        BucketCol, org.apache.spark.sql.types.IntegerType))
+    statsAggRows(spark.read.schema(readSchema).parquet(out.toString),
+      eligible, bytes)
   }
 
   private def statsEligible(cols: Seq[String],
