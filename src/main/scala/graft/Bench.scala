@@ -75,10 +75,20 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (iterating on one
+    // query / re-measuring outliers in isolation); BENCH_LOCAL.json is
+    // NOT overwritten for partial runs so the committed record always
+    // covers the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     // Host calibration, leg 1 (see calibrationKernel): the first
     // calibrate() call doubles as kernel warmup via min-of-trials.
-    val calPre = calibrate(spark, trials)
-    println(s"""{"metric":"calibration","phase":"pre","value":$calPre,"unit":"sec"}""")
+    // FULL runs only — a partial (BENCH_ONLY) iteration loop never
+    // commits its record, so the fixed kernel cost would be pure tax.
+    val calPre = if (only.isEmpty) calibrate(spark, trials) else 0.0
+    if (only.isEmpty)
+      println(s"""{"metric":"calibration","phase":"pre","value":$calPre,"unit":"sec"}""")
 
     // A failed query reports -1, not its elapsed time — a broken query
     // must never masquerade as a fast one in the JSON — and FAILS FAST:
@@ -90,12 +100,6 @@ object Bench {
     // from a clean cache state (Tables.dropCachedLeftovers runs OUTSIDE
     // the timed window — leftover persisted blocks were measured causing
     // multi-× slowdowns late in a 90+-query run).
-    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (iterating on one
-    // query / re-measuring outliers in isolation); BENCH_LOCAL.json is
-    // NOT overwritten for partial runs so the committed record always
-    // covers the full suite.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // A typo'd name would silently shrink the run to an empty/partial
     // set and print total=0 — easy to mistake for a real measurement.
     only.foreach { names =>
@@ -156,8 +160,9 @@ object Bench {
     // Host calibration, leg 2: the same fixed kernel after the sweep.
     // pre/post disagreement IS the within-run host drift; the min of
     // the two is the best estimate of the host's clean capacity.
-    val calPost = calibrate(spark, trials)
-    println(s"""{"metric":"calibration","phase":"post","value":$calPost,"unit":"sec"}""")
+    val calPost = if (only.isEmpty) calibrate(spark, trials) else 0.0
+    if (only.isEmpty)
+      println(s"""{"metric":"calibration","phase":"post","value":$calPost,"unit":"sec"}""")
     val cal = math.min(calPre, calPost)
     val calJson =
       s"""{"pre_s":$calPre,"post_s":$calPost,"value":$cal,"unit":"sec"}"""

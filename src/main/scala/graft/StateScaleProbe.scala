@@ -330,8 +330,12 @@ object StateScaleProbe {
           .withColumn("n_chars", col("n_chars") + lit(i + 1L)),
           keys = Seq("doc_id"))
       }
-      // the oversized commit: volFactor× the small ones
-      t.merge(d.limit(16 * volFactor)
+      // the oversized commit: volFactor× the small ones. A key-range
+      // FILTER, not limit(): an unordered limit is the exact
+      // non-deterministic update lineage commit() refuses (it could
+      // select a different subset between the dirty-bucket probe and
+      // the write)
+      t.merge(d.filter(col("doc_id") < lit(16L * volFactor))
         .withColumn("n_chars", col("n_chars") + lit(999L)),
         keys = Seq("doc_id"))
       // sized so ~3 small commits coalesce per batch (each costs

@@ -1916,10 +1916,8 @@ object BucketedStateTable {
     * newest — the static twin of the instance's `commits()`, for
     * readers that hold no table instance (the DSv2 source). */
   def snapshotCommits(hadoopConf: org.apache.hadoop.conf.Configuration,
-      path: String): Seq[Long] = {
-    val root = new Path(path)
-    listManifests(root.getFileSystem(hadoopConf), root).map(_._1)
-  }
+      path: String): Seq[Long] =
+    snapshotCommitStats(hadoopConf, path).map(_._1)
 
   /** `(commitId, fileLength, mtimeMillis)` per retained manifest,
     * oldest → newest, from the directory listing alone. The length +
@@ -1941,11 +1939,8 @@ object BucketedStateTable {
     * `TIMESTAMP AS OF` resolution needs; on an object store this is one
     * LIST, never a GET per manifest. */
   def snapshotCommitTimes(hadoopConf: org.apache.hadoop.conf.Configuration,
-      path: String): Seq[(Long, Long)] = {
-    val root = new Path(path)
-    listManifests(root.getFileSystem(hadoopConf), root)
-      .map { case (id, st) => (id, st.getModificationTime) }
-  }
+      path: String): Seq[(Long, Long)] =
+    snapshotCommitStats(hadoopConf, path).map { case (id, _, mt) => (id, mt) }
 
   /** `(commitId, publishedAtMillis, nBuckets)` for every retained
     * manifest, oldest → newest — the audit/history listing behind the
@@ -2079,15 +2074,6 @@ object BucketedStateTable {
         : Option[Set[Int]] = schema.map(sch =>
       ZoneMaps.surviving(
         filters, sch, bucketCols, numBuckets, stats, buckets.keySet))
-    /** The paths a scan constrained by `filters` must read (sorted for
-      * plan determinism) — None when nothing prunes, so the caller can
-      * keep its already-built full scan. */
-    def prunedPaths(
-        filters: Seq[org.apache.spark.sql.sources.Filter])
-        : Option[Seq[String]] = survivingBuckets(filters).flatMap { surv =>
-      if (surv.size == buckets.size) None
-      else Some(surv.toSeq.sorted.map(pathOf))
-    }
   }
 
   /** Bucket pointers + recorded per-bucket row counts of ONE manifest —

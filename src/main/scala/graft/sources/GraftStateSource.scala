@@ -334,6 +334,11 @@ private[sources] class GraftZonePrunedScanBuilder(
   // the bucket set the (possibly rebuilt) inner scan reads — what the
   // reported statistics must describe; None = the full snapshot
   private var survivors: Option[Set[Int]] = None
+  // a COMPLETELY pushed aggregate changes what the scan emits (one
+  // pre-aggregated row per file, not table rows) — the manifest sums
+  // would then describe the wrong relation, so build() must not
+  // decorate
+  private var aggPushed = false
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val v1 = filters.flatMap(ZonePruneFilters.necessary)
@@ -377,7 +382,10 @@ private[sources] class GraftZonePrunedScanBuilder(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
     inner match {
-      case a: SupportsPushDownAggregates => a.pushAggregation(agg)
+      case a: SupportsPushDownAggregates =>
+        val pushed = a.pushAggregation(agg)
+        aggPushed ||= pushed
+        pushed
       case _ => false
     }
 
@@ -401,7 +409,7 @@ private[sources] class GraftZonePrunedScanBuilder(
   override def build(): Scan = {
     val built = inner.build()
     zoneInfo match {
-      case Some(z) =>
+      case Some(z) if !aggPushed =>
         val set = survivors.getOrElse(z.buckets.keySet)
         val statted = set.toSeq.flatMap(z.stats.get)
         val covered = statted.size == set.size
@@ -414,7 +422,7 @@ private[sources] class GraftZonePrunedScanBuilder(
           else None
         if (rows.isEmpty && bytes.isEmpty) built
         else new ManifestStatsScan(built, rows, bytes)
-      case None => built
+      case _ => built // no zone info, or an aggregate was pushed
     }
   }
 }

@@ -511,6 +511,24 @@ class PlanSpec extends SparkSpec {
       val full = scanStats.head.rowCount.get
       assert(pointStats.rowCount.exists(rc => rc > 0 && rc < full),
         s"a point lookup's stats must shrink to its bucket: $pointStats vs full $full")
+
+      // a COMPLETELY pushed aggregate changes what the scan emits
+      // (one pre-aggregated row per file): the manifest sums would
+      // describe the wrong relation, so the decoration must skip
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      try {
+        val cnt = dim.agg(count(lit(1)).as("n"))
+        val scans = cnt.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan
+        }
+        assert(scans.nonEmpty)
+        assert(scans.forall(
+          !_.isInstanceOf[graft.sources.ManifestStatsScan]),
+          "a pushed-aggregate scan must not carry manifest statistics")
+        assert(cnt.collect().head.getLong(0) == 500L)
+      } finally
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
