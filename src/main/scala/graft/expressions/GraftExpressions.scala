@@ -94,7 +94,7 @@ object Hashing {
   * participate in whole-stage codegen instead of falling back (a
   * fallback splits the codegen span and re-wraps rows per expression).
   * Element-type dispatch uses int codes fixed at plan time:
-  * 0=float 1=double 2=long 3=int. */
+  * 0=float 1=double 2=long 3=int 4=short 5=byte (see elemCode). */
 object Kernels {
 
   /** Every fixed-width numeric element type is supported — int8/int16
@@ -217,7 +217,15 @@ object Kernels {
       i += 1
     }
     if (nx == 0.0 || ny == 0.0) null
-    else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    else {
+      val r = dot / (math.sqrt(nx) * math.sqrt(ny))
+      // NaN guard, same stance as the zero-norm guard: a corrupted
+      // component (NaN, or an overflow-to-Inf pair yielding Inf/Inf)
+      // would otherwise occupy the whole descending top-k — the exact
+      // failure the NULL contract exists to prevent. One check on the
+      // RESULT covers every propagation path.
+      if (java.lang.Double.isNaN(r)) null else java.lang.Double.valueOf(r)
+    }
   }
 
   /** Product-quantization encode: argmin-L2 code per contiguous
@@ -313,8 +321,15 @@ object Kernels {
   /** One fused pass computing every per-document text metric the
     * text-analysis operators need — replaces ~10 independent regex scans
     * (4 marker passes + alpha strip + token split + BPE-ish extract)
-    * with two tight char loops (raw + lowercased). Semantics mirror the
-    * regex definitions exactly so the DuckDB oracles keep matching:
+    * with two tight char loops (raw + lowercased). Semantics mirror
+    * SPARK's (Java-regex) definitions exactly — pinned by the
+    * fused-vs-regex equivalence spec — and the DuckDB oracles match on
+    * every input except one documented boundary: Java's `\s` includes
+    * U+000B (vertical tab) while DuckDB/RE2's does not, so a corpus
+    * containing VT would tokenize differently in the oracle. The
+    * in-engine contract (kernel ≡ Spark `split`/`regexp_*`) is the
+    * authoritative one; the oracle agreement is exact for VT-free
+    * corpora (all shipped testdata):
     *
     *  - score_xx: count of `\b(marker|…)\b` matches in lower(text) —
     *    i.e. maximal ASCII-word-char runs equal to a marker word;
@@ -749,7 +764,14 @@ object Kernels {
     var mx = 0.0
     var i = 0
     while (i < n) {
-      val a = Math.abs(read(v, i, code)); if (a > mx) mx = a; i += 1
+      val a = Math.abs(read(v, i, code))
+      // a NaN component would slip the `a > mx` comparison (always
+      // false), quantize to "0" via roundHalfAway(NaN), and emit a
+      // VALID-LOOKING CSV that silently corrupts downstream hashes —
+      // NULL out the whole row instead, the null-slot stance
+      if (java.lang.Double.isNaN(a)) return null
+      if (a > mx) mx = a
+      i += 1
     }
     val sb = new java.lang.StringBuilder(n * 5)
     if (!(mx > 0.0)) {
@@ -1391,7 +1413,10 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String])
   require(lefts.length == rights.length,
     "left/right merge arrays must align")
   val size: Int = lefts.length
-  private val mergedArr: Array[String] =
+  // transient like rankMap: derivable from lefts/rights, so shipping
+  // the precomputed concatenations would roughly double the
+  // serialized table (32k merges = 32k extra strings per task deser)
+  @transient private lazy val mergedArr: Array[String] =
     Array.tabulate(size)(i => lefts(i) + " " + rights(i))
   @transient private lazy val rankMap: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](size * 2)
@@ -1512,7 +1537,13 @@ object GraftExpressions {
   private def lit(e: Expression): Int =
     e.eval(null) match {
       case i: Int  => i
-      case l: Long => l.toInt
+      case l: Long =>
+        // toInt WRAPS out-of-range longs (4294967297L.toInt == 1) —
+        // a wrapped hash count would pass the >= 1 checks and run
+        // silently wrong; refuse instead
+        require(l.isValidInt,
+          s"integer literal out of Int range: $l")
+        l.toInt
       case other   => throw new IllegalArgumentException(
         s"expected integer literal, got $other")
     }
@@ -1525,7 +1556,24 @@ object GraftExpressions {
     e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toDoubleArray().toSeq
 
-  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  // declared arity per function: the builders below index es(1)/es(2)
+  // positionally, so a wrong argument count would surface as a bare
+  // IndexOutOfBoundsException with no function name — the wrapper in
+  // `builders` turns it into a named arity error at plan time
+  private val arities: Map[String, Int] = Map(
+    "graft_minhash_sig" -> 3, "graft_simhash" -> 1,
+    "graft_sig_agree" -> 2, "graft_cosine_sim" -> 2,
+    "graft_lsh_bucket" -> 2, "graft_text_metrics" -> 1,
+    "graft_shingle_jaccard" -> 3, "graft_shingle_containment" -> 3,
+    "graft_shingle_set" -> 2, "graft_ngram_stats" -> 2,
+    "graft_dup_ngram_cov" -> 2, "graft_ngram_top" -> 2,
+    "graft_ngram_list" -> 2, "graft_vec_unit_csv" -> 1,
+    "graft_vec_q8_csv" -> 1, "graft_pq_encode" -> 4,
+    "graft_bpe_apply" -> 3, "graft_unigram_segment" -> 3,
+    "graft_pq_adc" -> 5, "graft_bloom_agg" -> 3,
+    "graft_bloom_might_contain" -> 2, "graft_xpath_struct" -> 5)
+
+  private val rawBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_sig" -> (es => ShingleMinHashSig(es.head, lit(es(1)), lit(es(2)))),
     "graft_simhash"     -> (es => SimHash(es.head)),
     "graft_sig_agree"   -> (es => LongArrayAgree(es.head, es(1))),
@@ -1575,6 +1623,16 @@ object GraftExpressions {
           s"${uris.length} uris — unresolved prefixes would fail every row")
       XPathStructNs(es.head, names.zip(paths), prefixes.zip(uris).toMap)
     }))
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] =
+    rawBuilders.map { case (name, f) =>
+      val n = arities(name)
+      name -> ((es: Seq[Expression]) => {
+        require(es.length == n,
+          s"$name expects $n arguments, got ${es.length}")
+        f(es)
+      })
+    }
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry

@@ -56,14 +56,7 @@ case class XPathStructNs(
       // itself via the same ServiceLoader) rejects namespaced paths
       // compiled without a context, which would fail EVERY namespaced
       // projection at analysis while evaluation would have succeeded
-      val checkCtx = new javax.xml.namespace.NamespaceContext {
-        override def getNamespaceURI(prefix: String): String =
-          namespaces.getOrElse(prefix, javax.xml.XMLConstants.NULL_NS_URI)
-        override def getPrefix(uri: String): String =
-          namespaces.collectFirst { case (p, u) if u == uri => p }.orNull
-        override def getPrefixes(uri: String): java.util.Iterator[String] =
-          java.util.Collections.emptyIterator()
-      }
+      val checkCtx = XPathStructNs.nsContext(namespaces)
       val bad = fields.collectFirst {
         case (name, path) if scala.util.Try {
           val xp = XPathStructNs.newXPath()
@@ -83,9 +76,6 @@ case class XPathStructNs(
 
   override def prettyName: String = "graft_xpath_struct"
 
-  @transient private lazy val machinery =
-    XPathStructNs.machineryFor(fields, namespaces)
-
   override protected def nullSafeEval(input: Any): Any =
     evalRow(input.asInstanceOf[UTF8String])
 
@@ -97,7 +87,7 @@ case class XPathStructNs(
 
   /** Shared by interpreted eval and generated code. */
   def evalRow(input: UTF8String): InternalRow = {
-    val (builder, compiled) = machinery.get()
+    val (builder, compiled) = XPathStructNs.machineryFor(fields, namespaces)
     // parse from a CHARACTER stream: the document is already a decoded
     // Spark string, so an in-document encoding declaration must be
     // ignored — re-encoding to UTF-8 bytes and letting the parser honor
@@ -108,24 +98,28 @@ case class XPathStructNs(
         builder.reset()
         builder.parse(new InputSource(new StringReader(input.toString)))
       } catch { case _: Exception => null }
-    if (doc == null) {
-      InternalRow.fromSeq(Seq.fill(fields.size)(null))
-    } else {
-      InternalRow.fromSeq(compiled.toSeq.map { xp =>
+    // one preallocated slot array per row (a null-filled array IS the
+    // all-null row for unparseable documents) — no intermediate Seqs
+    // on the per-document hot path
+    val slots = new Array[Any](compiled.length)
+    if (doc != null) {
+      var i = 0
+      while (i < compiled.length) {
         // a compiled path can still fail at EVALUATION (e.g. a numeric
         // XPath asked for a NODE): null the field, never the task
         val node =
-          try xp.evaluate(doc, XPathConstants.NODE).asInstanceOf[Node]
+          try compiled(i).evaluate(doc, XPathConstants.NODE).asInstanceOf[Node]
           catch { case _: Exception => null }
-        if (node == null) null
-        else {
+        if (node != null) {
           val text =
             if (node.getNodeType == Node.ATTRIBUTE_NODE) node.getNodeValue
             else node.getTextContent
-          if (text == null) null else UTF8String.fromString(text)
+          if (text != null) slots(i) = UTF8String.fromString(text)
         }
-      })
+        i += 1
+      }
     }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(slots)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -142,13 +136,13 @@ case class XPathStructNs(
   * factory classes are not thread-safe.
   *
   * Machinery: the per-thread (DocumentBuilder, compiled XPaths) pairs
-  * are cached JVM-globally KEYED BY (fields, namespaces), not held per
-  * expression instance — every query run plans a fresh expression
-  * instance, and instance-local ThreadLocals made all 32 task threads
+  * are cached JVM-globally KEYED BY (fields, namespaces, thread) —
+  * not held per expression instance (every query run plans a fresh
+  * instance, and instance-local caching made all 32 task threads
   * re-create builders and re-compile XPaths under the factory locks on
-  * every run (measured as multi-second run-to-run jitter on the METS
-  * projection). With the keyed cache each thread builds its machinery
-  * once per JVM per distinct projection. */
+  * every run — measured as multi-second run-to-run jitter on the METS
+  * projection). Each thread builds its machinery once per JVM per
+  * distinct projection. */
 private object XPathStructNs {
   private lazy val dbf = {
     val f = DocumentBuilderFactory.newInstance()
@@ -165,32 +159,46 @@ private object XPathStructNs {
   def newXPath(): javax.xml.xpath.XPath =
     xpf.synchronized { xpf.newXPath() }
 
+  // keyed by (projection, THREAD id), not projection → ThreadLocal:
+  // a ThreadLocal-valued cache's clear() only drops the map entries —
+  // each task thread's ThreadLocalMap keeps the builder + compiled
+  // XPaths alive until that thread happens to expunge stale slots, so
+  // the size bound was never promptly realized. A flat keyed map frees
+  // everything the moment clear() runs. Per-row cost is one hash
+  // lookup — noise next to the DOM parse it guards.
   private val machineryCache = new java.util.concurrent.ConcurrentHashMap[
-    (Seq[(String, String)], Map[String, String]),
-    ThreadLocal[(javax.xml.parsers.DocumentBuilder, Array[XPathExpression])]]()
+    (Seq[(String, String)], Map[String, String], Long),
+    (javax.xml.parsers.DocumentBuilder, Array[XPathExpression])]()
 
   /** Bound the keyed cache: a long-lived session planning many DISTINCT
     * generated projections must not pin builders + compiled XPaths for
     * the JVM lifetime. Eviction is clear-all past the cap — crude but
-    * correct (entries lazily rebuild), and the cap is far above any
-    * static query inventory. */
-  private val MaxCachedProjections = 64
+    * correct (entries lazily rebuild), and the cap (projections ×
+    * task threads) is far above any static query inventory. */
+  private val MaxCachedEntries = 64 * 64
+
+  /** The ONE NamespaceContext both analysis-time path checking and the
+    * runtime machinery use — they must resolve identically or analysis
+    * accepts paths the runtime rejects (or vice versa, under a
+    * prefix-resolving XPathFactory like Saxon). */
+  def nsContext(namespaces: Map[String, String]): NamespaceContext =
+    new NamespaceContext {
+      override def getNamespaceURI(prefix: String): String =
+        namespaces.getOrElse(prefix, XMLConstants.NULL_NS_URI)
+      override def getPrefix(uri: String): String =
+        namespaces.collectFirst { case (p, u) if u == uri => p }.orNull
+      override def getPrefixes(uri: String): java.util.Iterator[String] =
+        java.util.Collections.emptyIterator()
+    }
 
   def machineryFor(
       fields: Seq[(String, String)],
       namespaces: Map[String, String])
-      : ThreadLocal[(javax.xml.parsers.DocumentBuilder, Array[XPathExpression])] = {
-    if (machineryCache.size() > MaxCachedProjections) machineryCache.clear()
-    machineryCache.computeIfAbsent((fields, namespaces), _ =>
-      ThreadLocal.withInitial { () =>
-        val ctx = new NamespaceContext {
-          override def getNamespaceURI(prefix: String): String =
-            namespaces.getOrElse(prefix, XMLConstants.NULL_NS_URI)
-          override def getPrefix(uri: String): String =
-            namespaces.collectFirst { case (p, u) if u == uri => p }.orNull
-          override def getPrefixes(uri: String): java.util.Iterator[String] =
-            java.util.Collections.emptyIterator()
-        }
+      : (javax.xml.parsers.DocumentBuilder, Array[XPathExpression]) = {
+    if (machineryCache.size() > MaxCachedEntries) machineryCache.clear()
+    machineryCache.computeIfAbsent(
+      (fields, namespaces, Thread.currentThread().getId), _ => {
+        val ctx = nsContext(namespaces)
         val compiled = fields.map { case (_, path) =>
           val xp = newXPath()
           xp.setNamespaceContext(ctx)

@@ -340,4 +340,44 @@ class GraftFunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("vector kernels NULL out NaN inputs; function misuse errors are named") {
+    val sp = spark
+    import sp.implicits._
+    // a corrupted embedding (NaN component) must yield NULL, never a
+    // NaN that tops every descending top-k, and never a valid-looking
+    // quantized CSV
+    val rows = Seq(
+      (1L, Array(1.0f, 2.0f), Array(1.0f, 1.0f)),       // clean
+      (2L, Array(Float.NaN, 0.0f), Array(1.0f, 1.0f)),  // NaN left
+      (3L, Array(1.0f, 1.0f), Array(Float.NaN, 1.0f)),  // NaN right
+      (4L, Array(0.0f, 0.0f), Array(1.0f, 1.0f)))       // zero norm
+      .toDF("id", "x", "y")
+    val cos = rows.selectExpr("id", "graft_cosine_sim(x, y) AS c")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+    assert(cos(1L) != null && math.abs(cos(1L) - 3.0 / math.sqrt(10.0)) < 1e-9)
+    assert(cos(2L) == null, "NaN component must NULL the similarity")
+    assert(cos(3L) == null)
+    assert(cos(4L) == null, "zero norm stays NULL")
+    val q8 = rows.selectExpr("id", "graft_vec_q8_csv(x) AS q")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else r.getStruct(1).getString(0))).toMap
+    assert(q8(1L) == "64,127")
+    assert(q8(2L) == null,
+      "a NaN component must NULL the row, not quantize to '0'")
+    assert(q8(4L) == "0,0", "a zero vector still serializes as zeros")
+
+    // misuse surfaces as a NAMED error, not IndexOutOfBounds/wrapping
+    val arity = intercept[Exception] {
+      rows.selectExpr("graft_minhash_sig(cast(id as string))").collect()
+    }
+    assert(arity.getMessage.contains("graft_minhash_sig") &&
+      arity.getMessage.contains("3 arguments"), arity.getMessage)
+    val range = intercept[Exception] {
+      rows.selectExpr(
+        "graft_minhash_sig(cast(id as string), 3, 4294967297)").collect()
+    }
+    assert(range.getMessage.contains("out of Int range"), range.getMessage)
+  }
 }
