@@ -383,8 +383,20 @@ object StateOps {
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("__sign")).as("__dn"),
         sum(col("__sign") * col(valueCol)).as("__dsum"))
-    agg.join(delta, groupCols, "full_outer")
-      .select(groupCols.map(col) ++ Seq(
+    // NULL-SAFE join + key coalesce: SQL GROUP BY folds every NULL
+    // into ONE group, but a plain equality join never matches
+    // null = null — the view's null group would split into a stale
+    // row and a delta-only row, and the keyed upsert would then keep
+    // one of them arbitrarily (delta lost or history lost)
+    // explicit aliases, not dataframe-column refs: `agg` can share
+    // `changes`' lineage (an empty view read falls back to a
+    // feed-derived like-frame), which Spark flags as an ambiguous
+    // self-join under bare references
+    val cond = groupCols.map(c =>
+      col(s"__agg.$c") <=> col(s"__dlt.$c")).reduce(_ && _)
+    agg.as("__agg").join(delta.as("__dlt"), cond, "full_outer")
+      .select(groupCols.map(c =>
+        coalesce(col(s"__agg.$c"), col(s"__dlt.$c")).as(c)) ++ Seq(
         (coalesce(col("n_rows"), lit(0L)) +
           coalesce(col("__dn"), lit(0L))).as("n_rows"),
         (coalesce(col(sumCol), lit(0L)) +

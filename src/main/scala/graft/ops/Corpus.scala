@@ -62,7 +62,7 @@ object Corpus {
     * — a string/UUID id would throw an ANSI cast error at runtime (or,
     * pre-ANSI, silently collapse every row into one NULL shard and sort
     * the corpus in a single task). Refuse at PLAN time with guidance. */
-  private def requireNumericId(df: DataFrame, idCol: String, what: String): Unit =
+  private[graft] def requireNumericId(df: DataFrame, idCol: String, what: String): Unit =
     require(df.schema(idCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"$what shards by pmod($idCol, nShards) and needs a NUMERIC id " +

@@ -1467,7 +1467,15 @@ class BucketedStateTable(
         // upserts preserve the columns they don't know
         val (cur0, base) = readBucketsWithBase(dirty, like = upserts)
         val (cur, up) = alignPair(cur0, upserts, keys, "applyDelta")
-        val kept = cur.join(deleteKeys, keys, "left_anti")
+        // NULL-SAFE anti-join: mergeByKey documents null keys as equal
+        // (the table can legitimately hold a null-keyed row), so a
+        // delete of that key must match it — a plain equality join
+        // never matches null = null and would keep the row forever
+        val delKeys = deleteKeys.select(keys.map(col): _*).as("__del")
+        val kept = cur.as("__cur").join(delKeys,
+          keys.map(c => col(s"__cur.$c") <=> col(s"__del.$c"))
+            .reduce(_ && _),
+          "left_anti")
         commit(StateOps.mergeByKey(kept, up, keys), dirty, base)
       }
     } }

@@ -35,7 +35,8 @@ private[streaming] case class SessionState(
     start: Long, end: Long, n: Long, total: Double)
 
 /** Per-user funnel progress carried between micro-batches. */
-private[streaming] case class FunnelState(stage: Int, lastMs: Long)
+private[streaming] case class FunnelState(stage: Int, lastMs: Long,
+    seenMs: Long = Long.MinValue)
 
 /** One funnel-progress update (emitted whenever a user's batch could
   * change their stage). */
@@ -57,6 +58,10 @@ object EventStreams {
       window: String = "1 hour",
       watermark: String = "30 minutes"): DataFrame =
     events
+      // a null-ts event has no window; window(NULL) would otherwise
+      // pin a NULL window group whose eviction predicate never fires —
+      // state held forever, rows never emitted in Append mode
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
         col("event_type"))
@@ -79,6 +84,10 @@ object EventStreams {
       watermark: String = "30 minutes",
       keys: Seq[String] = Seq("event_id")): DataFrame =
     events
+      // null-ts rows would each add a never-evicted state entry (the
+      // eviction predicate is NULL → false) — an unbounded leak on a
+      // feed with a fraction of null stamps
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
@@ -132,7 +141,7 @@ object EventStreams {
     // put every event in one NULL bin
     require(binWidth > 0, s"binWidth must be positive: $binWidth")
     events
-      .filter(col("value").isNotNull)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
         floor(col("value") / binWidth).as("bin"))
@@ -153,6 +162,7 @@ object EventStreams {
       gap: String = "30 minutes",
       watermark: String = "30 minutes"): DataFrame =
     events
+      .filter(col("ts").isNotNull) // same stance as the custom-state twin
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
@@ -185,14 +195,16 @@ object EventStreams {
     // null event types sort via the empty string — they can never match
     // a stage, but a null must not NPE the tuple ordering's compareTo
     // when it ties on ts with a real event
+    var seen = st.seenMs
     evs.sortBy(e => (e.ts.getTime, Option(e.event_type).getOrElse("")))
       .foreach { e =>
+      if (e.ts.getTime > seen) seen = e.ts.getTime
       if (stage < n && e.event_type == stages(stage) && e.ts.getTime > last) {
         stage += 1
         last = e.ts.getTime
       }
     }
-    FunnelState(stage, last)
+    FunnelState(stage, last, seen)
   }
 
   /** Arm an event-time idle timeout: the user's state is dropped once
@@ -202,8 +214,13 @@ object EventStreams {
     * are all older than (watermark − ttl) gets the earliest legal
     * deadline instead, i.e. eviction at the next watermark advance. */
   private def armIdleTimeout(
-      state: GroupState[FunnelState], evs: Seq[Event], ttlMs: Long): Unit = {
-    val lastSeen = evs.iterator.map(_.ts.getTime).max
+      state: GroupState[FunnelState], ttlMs: Long): Unit = {
+    // deadline from the MONOTONE max-seen stamp carried in state, not
+    // this batch's events: a late straggler (older than the recorded
+    // newest event, but above the lagging watermark) must never move
+    // the eviction deadline BACKWARDS — that would evict a user up to
+    // a full TTL early and regress their funnel on return
+    val lastSeen = state.get.seenMs
     state.setTimeoutTimestamp(
       math.max(lastSeen + ttlMs, state.getCurrentWatermarkMs() + 1))
   }
@@ -224,7 +241,15 @@ object EventStreams {
     * anyway. Requires event-time watermarking on `events`
     * (`withWatermark` upstream — timeouts fire as the watermark
     * advances); with `None` (the default) state is exact and unbounded,
-    * the original contract. */
+    * the original contract.
+    *
+    * One further divergence the TTL buys: with an event-time timeout
+    * armed, the ENGINE drops below-watermark events before this
+    * function ever sees them, so a late event inside the watermark
+    * lag can still advance the funnel but one behind the watermark
+    * cannot — where the `None` configuration would still have
+    * advanced on it. Size the watermark lag, not just the TTL, to
+    * the lateness the report must absorb. */
   def funnelStream(
       spark: SparkSession,
       events: Dataset[Event],
@@ -256,7 +281,7 @@ object EventStreams {
               state.getOption.getOrElse(FunnelState(0, Long.MinValue)),
               evs, stages)
             state.update(st)
-            idleTtlSeconds.foreach(t => armIdleTimeout(state, evs, t * 1000L))
+            idleTtlSeconds.foreach(t => armIdleTimeout(state, t * 1000L))
             FunnelProgress(userId, st.stage, st.stage == n)
           }
       }
@@ -337,7 +362,7 @@ object EventStreams {
             val before = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
             val after = advanceFunnel(before, evs, stages)
             state.update(after)
-            idleTtlSeconds.foreach(t => armIdleTimeout(state, evs, t * 1000L))
+            idleTtlSeconds.foreach(t => armIdleTimeout(state, t * 1000L))
             ((before.stage + 1) to after.stage).iterator
               .map(i => StageTransition(userId, i))
           }

@@ -48,10 +48,13 @@ object HotTokensStream {
           // empty/whitespace-only text splits to [""] — without this an
           // "" pseudo-token occupies one of the k counters
           .filter(col("token") =!= "")
-        val bs = Sketches.misraGries(toks, "token", k)
+        // the sketch runs INSIDE the marker guard: a marker-skipped
+        // replay (crash after the marker write) must not re-pay the
+        // full tokenize+sketch pass just to discard it
         store.updateOnceForBatch(batchId, checkpointDir) {
-          case Some(prev) => Sketches.mergeSummaries(prev, bs, k)
-          case None => bs
+          case Some(prev) =>
+            Sketches.mergeSummaries(prev, Sketches.misraGries(toks, "token", k), k)
+          case None => Sketches.misraGries(toks, "token", k)
         }
         afterBatch(batchId)
       }

@@ -51,8 +51,16 @@ object MaterializedAggStream {
     val touched = feed.select(groupCols.map(col): _*).distinct()
     val current = view.readForKeys(touched, like = like)
     val updated = StateOps.maintainSumCount(current, feed, groupCols, valueCol)
-    val drained = current.select(groupCols.map(col): _*)
-      .join(updated, groupCols, "left_anti")
+    // null-safe anti-join, same reason as maintainSumCount's join: a
+    // legitimately-NULL group must drain exactly when its view row
+    // disappears, not be re-flagged (or missed) on every batch
+    // explicit aliases: `updated` derives FROM `current`, so bare
+    // dataframe-column references would be an ambiguous self-join
+    val curKeys = current.select(groupCols.map(col): _*).as("__cur")
+    val drained = curKeys.join(updated.as("__upd"),
+      groupCols.map(c =>
+        col(s"__cur.$c") <=> col(s"__upd.$c")).reduce(_ && _),
+      "left_anti")
     view.applyDeltaOnceForBatch(batchId, streamScope,
       upserts = updated, deleteKeys = drained, keys = groupCols)
   }

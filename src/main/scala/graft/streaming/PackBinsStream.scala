@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.ops.TextAnalysis
+import graft.ops.{Corpus, TextAnalysis}
 
 /** Streaming no-split bin packing — the continuous-ingestion face of
   * [[graft.ops.Corpus.packBins]]: documents arriving on a stream are
@@ -46,6 +46,11 @@ object PackBinsStream {
       binTokens: Int): Dataset[Placed] = {
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
     require(binTokens >= 1, s"binTokens must be >= 1: $binTokens")
+    // same plan-time guard as the batch twin (Corpus.packBins): a
+    // string id would cast to NULL longs here — crashing the
+    // long-running stream mid-batch on encoder deserialization, and
+    // mis-sharding any partially-numeric ids before that
+    Corpus.requireNumericId(df, idCol, "PackBinsStream")
     val spark = df.sparkSession
     import spark.implicits._
     val meta = df.select(

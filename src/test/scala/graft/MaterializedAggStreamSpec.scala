@@ -82,4 +82,49 @@ class MaterializedAggStreamSpec extends SparkSpec {
       assert(viewRows() == Set(("b", 3L, 95L), ("c", 1L, 9L)))
     } finally q2.stop()
   }
+
+  test("a NULL group value maintains as ONE group (null-safe joins), exactly like GROUP BY") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val base = new BucketedStateTable(spark, s"$root/base",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 60_000L)
+    val view = new BucketedStateTable(spark, s"$root/view",
+      keyCols = Seq("g"), numBuckets = 4, retentionFloorMillis = 60_000L)
+    base.replaceAll(Seq.empty[(String, Option[String], Long)].toDF("k", "g", "v"))
+    val c1 = base.commits().last
+    // the null group exists from the start alongside a real one
+    base.merge(Seq(("k1", None, 5L), ("k2", None, 7L),
+      ("k3", Some("a"), 1L)).toDF("k", "g", "v"), keys = Seq("k"))
+
+    def viewRows(): Set[(Option[String], Long, Long)] =
+      view.read().map(_.select("g", "n_rows", "sum_v")
+        .as[(Option[String], Long, Long)].collect().toSet).getOrElse(Set.empty)
+
+    val q = MaterializedAggStream.start(spark, s"$root/base", view,
+      groupCols = Seq("g"), valueCol = "v",
+      checkpointDir = s"$root/ck", startingCommit = Some(c1))
+    try {
+      q.processAllAvailable()
+      assert(viewRows() == Set((None, 2L, 12L), (Some("a"), 1L, 1L)))
+
+      // a delta touching the null group must FOLD into its existing
+      // row — a plain equality join would split it into a stale row
+      // and a delta-only row and keep one arbitrarily
+      base.merge(Seq(("k4", Option.empty[String], 3L)).toDF("k", "g", "v"),
+        keys = Seq("k"))
+      q.processAllAvailable()
+      assert(viewRows() == Set((None, 3L, 15L), (Some("a"), 1L, 1L)),
+        s"null group must accumulate as one row, got ${viewRows()}")
+
+      // draining the null group must delete exactly its view row
+      base.applyDelta(
+        upserts = Seq.empty[(String, Option[String], Long)].toDF("k", "g", "v"),
+        deleteKeys = Seq("k1", "k2", "k4").map(Tuple1(_)).toDF("k"),
+        keys = Seq("k"))
+      q.processAllAvailable()
+      assert(viewRows() == Set((Some("a"), 1L, 1L)),
+        "a fully-drained null group must vanish from the view")
+    } finally q.stop()
+  }
 }
