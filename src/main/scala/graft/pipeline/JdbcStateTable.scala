@@ -68,7 +68,8 @@ class JdbcStateTable(
     s"keys $keys must be a subset of ${schema.fieldNames.toSeq}")
 
   private val cols = schema.fieldNames.toSeq
-  private def q(ident: String): String = "\"" + ident + "\""
+  private def q(ident: String): String =
+    "\"" + ident.replace("\"", "\"\"") + "\""
   private val markerTable = table + "__batch_markers"
 
   private def sqlType(dt: DataType): String = dt match {
@@ -148,18 +149,13 @@ class JdbcStateTable(
         // '_' also matching the literal char is harmless here) and
         // post-filter the rows by EXACT table name plus the
         // connection's current catalog/schema.
-        val curCat =
-          scala.util.Try(conn.getCatalog).toOption.flatMap(Option(_))
-        val curSch =
-          scala.util.Try(conn.getSchema).toOption.flatMap(Option(_))
-        def sameScope(rowVal: String, cur: Option[String]): Boolean =
-          rowVal == null || cur.forall(_.equalsIgnoreCase(rowVal))
+        val (curCat, curSch) = JdbcStateTable.currentScope(conn)
         Seq(table, table.toUpperCase, table.toLowerCase).distinct.foreach { t =>
           val rs = md.getColumns(curCat.orNull, curSch.orNull, t, "%")
           try while (rs.next()) {
             if (rs.getString("TABLE_NAME") == t &&
-                sameScope(rs.getString("TABLE_CAT"), curCat) &&
-                sameScope(rs.getString("TABLE_SCHEM"), curSch))
+                JdbcStateTable.inScope(rs.getString("TABLE_CAT"), curCat) &&
+                JdbcStateTable.inScope(rs.getString("TABLE_SCHEM"), curSch))
               out += rs.getString("COLUMN_NAME").toLowerCase
           } finally rs.close()
         }
@@ -216,13 +212,16 @@ class JdbcStateTable(
     val rs = conn.createStatement().executeQuery(
       s"SELECT ${cols.map(q).mkString(", ")} FROM ${q(table)}")
     val out = Seq.newBuilder[Row]
+    // hoisted: rebuilt per row, this zip + closure pair was a million
+    // avoidable allocations on a maximal driver read
+    val fieldsIdx = schema.fields.toSeq.zipWithIndex
     var n = 0
     while (rs.next()) {
       n += 1
       require(n <= maxDriverRows,
         s"state table $table exceeds maxDriverRows=$maxDriverRows on read; " +
           "state this size belongs in BucketedStateTable")
-      out += Row.fromSeq(schema.fields.toSeq.zipWithIndex.map {
+      out += Row.fromSeq(fieldsIdx.map {
         case (f, i) => readValue(rs, i + 1, f.dataType)
       })
     }
@@ -273,12 +272,20 @@ class JdbcStateTable(
     * when the cheap probes all come back empty. */
   private def tableExists(conn: Connection): Boolean = {
     val md = conn.getMetaData
+    // scope to the CURRENT catalog/schema, like widenTo's column
+    // probe: a same-named table in another schema (search_path
+    // sibling, archive copy) must not make read() think this one
+    // exists — the SELECT would then hit the current schema and throw
+    // where the contract says None
+    val (curCat, curSch) = JdbcStateTable.currentScope(conn)
     def probe(pattern: String): Boolean = {
-      val rs = md.getTables(null, null, pattern, null)
+      val rs = md.getTables(curCat.orNull, curSch.orNull, pattern, null)
       try {
         var found = false
         while (!found && rs.next())
-          found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(table) &&
+            JdbcStateTable.inScope(rs.getString("TABLE_CAT"), curCat) &&
+            JdbcStateTable.inScope(rs.getString("TABLE_SCHEM"), curSch)
         found
       } finally rs.close()
     }
@@ -321,11 +328,22 @@ class JdbcStateTable(
 
   /** One shared code path with the executor-side sink
     * ([[JdbcUpsertSink.upsertOnConnection]]) — identical statement
-    * shapes and keep-last semantics by construction. One chunk: the
-    * whole driver batch dedupes globally inside one transaction. */
-  private def upsertRows(conn: Connection, rows: Seq[Row]): Unit =
-    JdbcUpsertSink.upsertOnConnection(conn, rows.iterator, schema.fields,
-      table, keys, batchSize = math.max(1, rows.size), dialect = dialect)
+    * shapes. The whole driver batch dedupes globally (keep-last) HERE,
+    * then executes in bounded 500-row chunks: a single
+    * rows.size-sized chunk made the JDBC driver buffer up to
+    * maxDriverRows (×2 on the delete+insert dialect) bound statement
+    * sets in one executeBatch. Rows bind in a deterministic key order
+    * so two overlapping merges acquire row locks the same way —
+    * serialization instead of a database deadlock abort. */
+  private def upsertRows(conn: Connection, rows: Seq[Row]): Unit = {
+    val keyIdx = keys.map(cols.indexOf).toArray
+    val deduped = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Row]
+    rows.foreach(r => deduped.put(keyIdx.map(r.get).toSeq, r))
+    val ordered = deduped.values.toSeq.sortBy(r =>
+      keyIdx.map(i => String.valueOf(r.get(i))).mkString("\u0000"))
+    JdbcUpsertSink.upsertOnConnection(conn, ordered.iterator, schema.fields,
+      table, keys, batchSize = 500, dialect = dialect)
+  }
 
   /** D1: per-row full-tuple conditional delete; the per-statement
     * update counts from the driver ARE the survivor report (a row whose
@@ -476,4 +494,20 @@ class JdbcStateTable(
   private[pipeline] override def tableRoot: Path = scratchRoot
   private[pipeline] override def fileSystem: FileSystem =
     scratchRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+}
+
+object JdbcStateTable {
+  /** The connection's current (catalog, schema) — the scope both
+    * metadata probes (tableExists, widenTo's column scan) filter by,
+    * shared so a scoping fix cannot land in one and miss the other. */
+  private[pipeline] def currentScope(conn: java.sql.Connection)
+      : (Option[String], Option[String]) =
+    (scala.util.Try(conn.getCatalog).toOption.flatMap(Option(_)),
+      scala.util.Try(conn.getSchema).toOption.flatMap(Option(_)))
+
+  /** Does a metadata row's catalog/schema value belong to the current
+    * scope? A null row value means the driver doesn't report it —
+    * conservative match. */
+  private[pipeline] def inScope(rowVal: String, cur: Option[String]): Boolean =
+    rowVal == null || cur.forall(_.equalsIgnoreCase(rowVal))
 }

@@ -106,7 +106,8 @@ object SqlDialect {
   */
 object JdbcUpsertSink {
 
-  private def q(ident: String): String = "\"" + ident + "\""
+  private def q(ident: String): String =
+    "\"" + ident.replace("\"", "\"\"") + "\""
 
   /** The PostgreSQL `ON CONFLICT` upsert statement for (table, cols, keys).
     * All-key tables degrade to `DO NOTHING`. */
@@ -149,6 +150,28 @@ object JdbcUpsertSink {
       cols.zip(placeholders)
         .map { case (c, p) => s"${q(c)} IS NOT DISTINCT FROM $p" }
         .mkString(" AND ")
+
+  /** Driver-side refusal of types [[binder]] cannot bind portably —
+    * without it a struct/map/non-string-array column dies per-partition
+    * with an opaque driver "can't infer SQL type" after executors spin
+    * up. Mirrors the construction-time whitelist JdbcStateTable.sqlType
+    * applies to its own schema. */
+  private[graft] def requireBindable(fields: Array[StructField],
+      what: String): Unit =
+    fields.foreach { f =>
+      f.dataType match {
+        case StringType | BooleanType | IntegerType | LongType |
+             DoubleType | FloatType | ShortType | ByteType |
+             TimestampType | DateType | BinaryType => ()
+        case _: DecimalType => ()
+        case ArrayType(StringType, _) => ()
+        case dt => throw new IllegalArgumentException(
+          s"$what: column `${f.name}` has JDBC-unbindable type " +
+            s"${dt.simpleString} — primitives, decimal, date/timestamp, " +
+            "binary, and ARRAY<STRING> bind; serialize anything else " +
+            "first (e.g. to_json)")
+      }
+    }
 
   private[graft] def placeholders(fields: Array[StructField],
       dialect: SqlDialect): Seq[String] =
@@ -214,11 +237,21 @@ object JdbcUpsertSink {
         val conn = connectionFactory()
         try {
           conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(sql)
           try {
-            bindAndExecute(conn, ps, fields, rows, batchSize, dialect)
-            conn.commit()
-          } finally ps.close()
+            val ps = conn.prepareStatement(sql)
+            try {
+              bindAndExecute(conn, ps, fields, rows, batchSize, dialect)
+              conn.commit()
+            } finally ps.close()
+          } catch {
+            case e: Throwable =>
+              // explicit rollback before close: a driver that commits
+              // on close would turn a failed half-bound partition into
+              // committed state (same discipline as
+              // JdbcStateTable.withConnection)
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
+          }
         } finally conn.close()
       }
     }
@@ -298,13 +331,27 @@ object JdbcUpsertSink {
       batchSize: Int = 500,
       dialect: SqlDialect = SqlDialect.Standard): Unit = {
     val fields = df.schema.fields
-    df.foreachPartition { rows: Iterator[Row] =>
+    requireBindable(fields, "writeUpsert")
+    // key-ordered within each partition (no shuffle, Spark's spillable
+    // sort): concurrent transactions over overlapping keys then acquire
+    // row locks in one global order and serialize on the database
+    // instead of aborting each other with a deadlock
+    val ordered = df.sortWithinPartitions(
+      keys.map(org.apache.spark.sql.functions.col): _*)
+    ordered.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn = connectionFactory()
         try {
           conn.setAutoCommit(false)
-          upsertOnConnection(conn, rows, fields, table, keys, batchSize, dialect)
-          conn.commit()
+          try {
+            upsertOnConnection(conn, rows, fields, table, keys, batchSize,
+              dialect)
+            conn.commit()
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
+          }
         } finally conn.close()
       }
     }
@@ -318,10 +365,14 @@ object JdbcUpsertSink {
       table: String,
       connectionFactory: ConnectionFactory,
       batchSize: Int = 500,
-      dialect: SqlDialect = SqlDialect.Standard): Unit =
+      dialect: SqlDialect = SqlDialect.Standard): Unit = {
+    requireBindable(df.schema.fields, "deleteIfUnmodified")
     executeBatched(
-      df,
+      // tuple-ordered for the same lock-order reason as writeUpsert
+      df.sortWithinPartitions(
+        df.columns.toSeq.map(org.apache.spark.sql.functions.col): _*),
       deleteIfUnmodifiedSql(table, df.columns.toSeq,
         placeholders(df.schema.fields, dialect)),
       connectionFactory, batchSize, dialect)
+  }
 }
