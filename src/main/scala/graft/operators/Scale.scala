@@ -49,8 +49,23 @@ object Scale {
       keys: Seq[String],
       saltFactor: Int,
       saltOn: Seq[String] = Nil): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor" +
+      " (0 divides by zero in the salt pmod; negatives would replicate " +
+      "the dimension zero times and silently return an empty join)")
     val SaltCol = "__graft_salt"
-    val saltCols = if (saltOn.nonEmpty) saltOn else fact.columns.toSeq
+    // default salt source: every HASHABLE fact column — xxhash64
+    // refuses MapType at analysis, and an unhashable column must not
+    // break the documented all-columns default
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fields.exists(f => hasMap(f.dataType))
+      case at: org.apache.spark.sql.types.ArrayType => hasMap(at.elementType)
+      case _ => false
+    }
+    val hashable = fact.schema.fields
+      .filterNot(f => hasMap(f.dataType)).map(_.name).toSeq
+    val saltCols = if (saltOn.nonEmpty) saltOn else hashable
     val salted = fact.withColumn(SaltCol,
       pmod(xxhash64(saltCols.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = dim.withColumn(SaltCol,
@@ -70,7 +85,11 @@ object Scale {
     * `bits` = 16 covers keys < 65,536 per dimension (z < 2^32); raise it
     * toward 31 for wider domains (2·bits ≤ 63 keeps the interleave in a
     * positive long). Values are masked to `bits` (callers with wider
-    * domains should pre-scale, e.g. bucket timestamps to days). */
+    * domains should pre-scale, e.g. bucket timestamps to days).
+    * NEGATIVE inputs interleave their two's-complement low bits — all
+    * ones, so every negative row clusters at the TOP of the z range and
+    * file skipping silently degrades; shift the domain to non-negative
+    * first (the contract, now stated rather than implied). */
   def zorderValue(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column, bits: Int = 16): org.apache.spark.sql.Column = {
     require(bits >= 1 && 2 * bits <= 63, s"bits must be in [1,31]: $bits")
@@ -95,13 +114,27 @@ object Scale {
       colA: String,
       colB: String,
       numPartitions: Int,
-      bits: Int = 16): DataFrame =
+      bits: Int = 16): DataFrame = {
+    // zval is part of the OUTPUT contract (readers push zval ranges),
+    // so it cannot hide behind a dunder name — but silently replacing
+    // a caller's same-named column would lose their data
+    require(!df.columns.contains("zval"),
+      "zorderRepartition emits a `zval` column; the input frame " +
+        "already has one — rename it first")
     df.withColumn("zval", zorderValue(col(colA), col(colB), bits))
       .repartitionByRange(numPartitions, col("zval"))
       .sortWithinPartitions(col("zval"))
+  }
 
-  /** True when the physical plan of `df` contains no shuffle exchange —
-    * the assertion behind co-located joins. */
-  def isExchangeFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+  /** True when the physical plan of `df` contains no SHUFFLE exchange —
+    * the assertion behind co-located joins. Broadcast and reused
+    * exchanges don't count: a broadcast-hash join moves no partitioned
+    * data, and flagging it spuriously failed co-location assertions
+    * whenever AQE converted the probe join to broadcast. */
+  def isExchangeFree(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+      .replace("BroadcastExchange", "")
+      .replace("ReusedExchange", "")
+    !plan.contains("Exchange")
+  }
 }

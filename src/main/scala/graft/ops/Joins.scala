@@ -63,10 +63,13 @@ object Joins {
     val carried = unioned
       .withColumn("__asof", last(col("__asof_payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side", "__asof_payload")
-    payloadCols.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"asof_$c", col(s"__asof.$c"))
-    }.drop("__asof")
+    // one projection via getField, not a withColumn-per-payload fold:
+    // the fold stacked a Project (and an analysis pass) per column, and
+    // col("__asof.name") would mis-parse a payload name containing
+    // dots as a nested-field path where getField takes it literally
+    carried.select(
+      left.columns.toSeq.map(col) ++
+        payloadCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Bucketed RANGE join: pair every left row with the right rows whose
@@ -96,14 +99,27 @@ object Joins {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val lb = left.withColumn("__bucket",
       floor(col(valueCol) / bucketWidth).cast("long"))
+    // non-finite bounds are REFUSED per row, loudly: an open-ended
+    // interval encoded as +Infinity would overflow the long cast under
+    // ANSI (killing the whole job) or saturate into an impossible
+    // sequence() without it — either way one bad row must not take the
+    // pipeline down silently. Encode open intervals with an explicit
+    // finite horizon instead.
+    val finite = (c: org.apache.spark.sql.Column) =>
+      when(isnan(c) || c === Double.PositiveInfinity ||
+        c === Double.NegativeInfinity,
+        raise_error(concat(lit("rangeJoinBucketed: non-finite interval " +
+          "bound "), c.cast("string"),
+          lit(" — encode open intervals with a finite horizon"))))
+        .otherwise(c)
     val rb = right.withColumn("__bucket",
       explode(sequence(
-        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(finite(col(loCol)) / bucketWidth).cast("long"),
         // hi is EXCLUSIVE: an interval ending exactly on a bucket
         // boundary does not reach into that bucket
         greatest(
-          floor(col(loCol) / bucketWidth).cast("long"),
-          ceil(col(hiCol) / bucketWidth).cast("long") - 1L))))
+          floor(finite(col(loCol)) / bucketWidth).cast("long"),
+          ceil(finite(col(hiCol)) / bucketWidth).cast("long") - 1L))))
     lb.join(rb, Seq("__bucket"))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bucket")
