@@ -40,11 +40,22 @@ object Similarity {
       qId: String, cId: String,
       k: Int,
       salts: Int = 32): DataFrame = {
+    // loud preconditions: k = 0 silently empties the frame (looks like
+    // an empty index), salts = 0 nulls the pmod and collapses phase 1
+    // to the single unsalted partition the salting exists to prevent
+    require(k >= 1, s"topKPerQuery needs k >= 1, got $k")
+    require(salts >= 1, s"topKPerQuery needs salts >= 1, got $salts")
     val wLocal = Window.partitionBy(col(qId), col("__salt"))
       .orderBy(col("cos_sim").desc, col(cId))
     val wGlobal = Window.partitionBy(col(qId))
       .orderBy(col("cos_sim").desc, col(cId))
     scored
+      // a NULL score (zero-norm / corrupted vector) is "no similarity",
+      // never a neighbor: without this, a query with fewer than k real
+      // candidates padded its top-k with phantom null-score rows — and
+      // only on the paths that didn't pre-filter (lsh/brute/negatives),
+      // diverging from ivf/pq on identical input
+      .filter(col("cos_sim").isNotNull)
       .withColumn("__salt", pmod(xxhash64(col(cId)), lit(salts)))
       .withColumn("__lr", row_number().over(wLocal))
       .filter(col("__lr") <= k)
@@ -158,7 +169,9 @@ object Similarity {
     val cb = banded(corpus, cId, cVec, widen = true)
     val joined = cb.join(broadcast(qb), Seq("band", "sub"))
     val pairs0 =
-      if (excludeSelf) joined.filter(col(cId) =!= col(qId)) else joined
+      // null-safe: =!= evaluates NULL for a null-id row and would drop
+      // every such candidate, not just self-matches
+      if (excludeSelf) joined.filter(!(col(cId) <=> col(qId))) else joined
     // a pair colliding in several bands must score once, not `bands` times
     val cand = pairs0.dropDuplicates(qId, cId)
       .select(col(qId), col(cId),
@@ -187,9 +200,7 @@ object Similarity {
     val wide = Balance.widen(corpus)
       .filter(col(vecCol).isNotNull)
       .select(col(vecCol).as("__v"))
-      .withColumn("__norm", expr(
-        "sqrt(aggregate(transform(__v, x -> cast(x as double) * x), " +
-          "cast(0.0 as double), (a, b) -> a + b))"))
+      .withColumn("__norm", sqrt(Embeddings.l2NormSq(col("__v"))))
       .filter(col("__norm") > 0.0)
       // every iteration re-reads this projection; cache it for the loop
       // (vectors + one double ≪ the source table — at 100 TB the
@@ -241,7 +252,10 @@ object Similarity {
       m: Int,
       kCodes: Int): Seq[Double] = {
     val sample: Seq[Seq[Double]] = corpus
-      .filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(kCodes)
+      // element-level nulls too: the kernel nulls such vectors' codes,
+      // but the driver-side toDoubleSeq would MatchError on the slot
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), x => x.isNull))
+      .orderBy(col(idCol)).limit(kCodes)
       .select(col(vecCol)).collect()
       .map(r => toDoubleSeq(r.getSeq[Any](0))).toSeq
     // a short sample would build a codebook the kernels (which loop
@@ -286,7 +300,9 @@ object Similarity {
       trainLimit: Int = 4096): Seq[Double] = {
     if (iterations <= 0) return pqCodebooks(corpus, vecCol, idCol, m, kCodes)
     val train = Balance.widen(corpus)
-      .filter(col(vecCol).isNotNull)
+      // element-null rows would encode to NULL codes (null __ki groups
+      // NPE the driver collect) and MatchError toDoubleSeq in the seed
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), x => x.isNull))
       .orderBy(col(idCol)).limit(trainLimit)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       // each iteration re-encodes the same bounded sample; keep it hot
@@ -384,8 +400,8 @@ object Similarity {
       else pqCodebooks(corpus, cVec, cId, m, kCodes)
     val coded = pqEncode(corpus, cVec, cb, m, kCodes).select(col(cId), col("pq_codes"))
     val scored0 = coded.crossJoin(broadcast(queries.select(col(qId), col(qVec))))
-    val scored1 =
-      if (excludeSelf) scored0.filter(col(cId) =!= col(qId)) else scored0
+    val scored1 = // null-safe, same reason as lshTopK
+      if (excludeSelf) scored0.filter(!(col(cId) <=> col(qId))) else scored0
     // topKPerQuery ranks cos_sim DESCENDING; negated ADC distance has
     // exactly the right order (closer = larger)
     val cand = topKPerQuery(
@@ -415,10 +431,16 @@ object Similarity {
       corpus: DataFrame,
       cId: String, cVec: String,
       n: Int): Seq[Seq[Double]] = corpus
-    .filter(col(cVec).isNotNull).orderBy(col(cId)).limit(n)
+    // usability filters run BEFORE the limit: filtering zero/degenerate
+    // vectors after it could return an EMPTY sample from a corpus whose
+    // n lowest ids happen to be unusable — and empty centroids turn
+    // centroidProbes' sequence(0, -1) into phantom probe ids
+    .filter(col(cVec).isNotNull &&
+      !exists(col(cVec), x => x.isNull) &&
+      Embeddings.l2NormSq(col(cVec)) > 0.0)
+    .orderBy(col(cId)).limit(n)
     .select(col(cVec)).collect()
     .map(r => toDoubleSeq(r.getSeq[Any](0))).toSeq
-    .filter(_.exists(_ != 0.0))
 
   /** IVF (inverted-file) approximate top-k — the classic coarse-quantize
     * scale path: corpus vectors are assigned to their nearest of
@@ -476,6 +498,12 @@ object Similarity {
       qId: String, qVec: String,
       cents: Seq[Seq[Double]],
       nProbe: Int): DataFrame = {
+    // empty centroids would make idx = sequence(0, -1) = [0, -1] and
+    // explode phantom probes for centroid ids -1 and 0 — silently
+    // wrong neighbors; nProbe = 0 would slice() everything away and
+    // silently return "no neighbors"
+    require(cents.nonEmpty, "centroid probing needs at least one centroid")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val scores = array(cents.map(c => cosine(col(qVec), typedlit(c))): _*)
     val idx = sequence(lit(0), lit(cents.length - 1))
     queries
@@ -547,9 +575,20 @@ object Similarity {
     // would silently drop any ingest batch a concurrent writer commits
     // in the gap (the streaming-ingest pattern makes that routine)
     index.replaceAllTransformed { cur =>
-      withNearestCentroid(cur.drop("centroid_id"), "vec", centroids,
-          "centroid_id")
-        .select(col("centroid_id"), col("vec_id"), col("vec"))
+      val assigned =
+        withNearestCentroid(cur.drop("centroid_id"), "vec", centroids,
+            "centroid_id")
+          .select(col("centroid_id"), col("vec_id"), col("vec"))
+      // the legal stale-row state (one vec_id under two OLD centroids
+      // with different embeddings) can collapse onto one new centroid;
+      // replaceAll writes rows as-is, so dedupe here or the rewritten
+      // index would hold duplicate (centroid_id, vec_id) keys and a
+      // probe would return the same vec twice. Deterministic winner:
+      // max content hash.
+      val w = Window.partitionBy(col("centroid_id"), col("vec_id"))
+        .orderBy(xxhash64(col("vec")).desc)
+      assigned.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
     }
   }
 
@@ -591,7 +630,8 @@ object Similarity {
         index.readForKeys(probes.select(col("centroid_id")), cur.limit(0))
     }
     val joined = slice.join(broadcast(probes), Seq("centroid_id"))
-    val cand = (if (excludeSelf) joined.filter(col("vec_id") =!= col(qId))
+    val cand = // null-safe, same reason as lshTopK
+      (if (excludeSelf) joined.filter(!(col("vec_id") <=> col(qId)))
       else joined)
       .select(col(qId), col("vec_id"),
         cosine(col(qVec), col("vec")).as("cos_sim"))
@@ -630,8 +670,13 @@ object Similarity {
     require(k > 0, "k must be positive")
     require(sampleN > 0, "sampleN must be positive")
     // hash-ordered deterministic sample (no rand(): reruns and
-    // cross-engine comparisons must see the same queries)
-    val sampleQ = queries.orderBy(xxhash64(col(qId)), col(qId)).limit(sampleN)
+    // cross-engine comparisons must see the same queries). Collected
+    // ONCE and rebuilt as a local frame: sampleQ is referenced by two
+    // broadcasts, and each would otherwise re-run the full
+    // scan-and-top-N job over the queries table
+    val sampled = queries.orderBy(xxhash64(col(qId)), col(qId)).limit(sampleN)
+    val sampleQ = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(sampled.collect(): _*), sampled.schema)
     // match the ANN paths' contract: every index filters null cosines
     // (a zero-norm vector has no defined direction), so truth must not
     // contain rows the index can never return — a zero-norm query or

@@ -257,7 +257,7 @@ class OpsSpec extends SparkSpec {
     assert(approx.intersect(exact).size == exact.size)
   }
 
-  test("similarity: zero vectors yield null cosine, never rank in top-k") {
+  test("similarity: zero vectors yield null cosine and are EXCLUDED from every top-k") {
     val s = spark
     import s.implicits._
     val q = Seq((1L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
@@ -265,10 +265,17 @@ class OpsSpec extends SparkSpec {
       (3L, Array(0.5f, 0.5f))).toDF("c_id", "c_vec")
     val top = Similarity.bruteForceTopK(q, c, "q_id", "q_vec", "c_id", "c_vec", 3)
       .orderBy(col("rank")).collect()
-    // the zero vector's cosine is null (NOT NaN, which Spark sorts first)
-    // so it ranks LAST
-    assert(top.map(_.getAs[Long]("c_id")).toSeq == Seq(1L, 3L, 2L))
-    assert(top.last.isNullAt(top.last.fieldIndex("cos_sim")))
+    // a null cosine is "no similarity", never a neighbor — ONE contract
+    // across brute/lsh/ivf/pq (the brute path used to pad short top-ks
+    // with null-score phantoms while ivf filtered them; diffing
+    // exact-vs-ANN answers then showed spurious rows on one side only)
+    assert(top.map(_.getAs[Long]("c_id")).toSeq == Seq(1L, 3L),
+      "the zero vector must not occupy a top-k slot")
+    assert(top.forall(!_.isNullAt(top.head.fieldIndex("cos_sim"))))
+    val lsh = Similarity.lshTopK(q, c, "q_id", "q_vec", "c_id", "c_vec",
+      k = 3, planes = 4)
+      .collect().map(_.getAs[Long]("c_id")).toSet
+    assert(!lsh.contains(2L), "LSH must exclude the zero vector too")
   }
 
   test("similarity: IVF top-k self-match recall is exact") {
