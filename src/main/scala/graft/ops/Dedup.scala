@@ -294,16 +294,6 @@ object Dedup {
         .select(col(idCol), simhash64(col(textCol)).as("__hash64")),
       idCol, "__hash64", bands)
 
-  /** Banded candidate pairing over ANY precomputed 64-bit hash column —
-    * the generator behind [[simhashBandPairs]] (text) and
-    * [[graft.ops.Multimodal.imageNearDups]] (perceptual image hashes):
-    * the hash is sliced into `bands` equal bit-bands and rows bucket-join
-    * per band, so pairs only form inside a (band, band-bits) bucket,
-    * never across the corpus. Returns (a_id, b_id, hamming), a_id < b_id.
-    *
-    * Pigeonhole guarantee (same as the text face): a pair at Hamming
-    * distance < `bands` always shares an untouched band and is found
-    * DETERMINISTICALLY; larger distances are probabilistic. */
   /** One `(band, bh)` struct per band of a 64-bit hash — THE slicer
     * every 64-bit banding path shares (SimHash pairs, image dHash, the
     * cross-modal pair index). One implementation, one bit layout: an
@@ -320,6 +310,16 @@ object Dedup {
           .bitwiseAND(lit(mask)).as("bh"))): _*)
   }
 
+  /** Banded candidate pairing over ANY precomputed 64-bit hash column —
+    * the generator behind [[simhashBandPairs]] (text) and
+    * [[graft.ops.Multimodal.imageNearDups]] (perceptual image hashes):
+    * the hash is sliced into `bands` equal bit-bands and rows bucket-join
+    * per band, so pairs only form inside a (band, band-bits) bucket,
+    * never across the corpus. Returns (a_id, b_id, hamming), a_id < b_id.
+    *
+    * Pigeonhole guarantee (same as the text face): a pair at Hamming
+    * distance < `bands` always shares an untouched band and is found
+    * DETERMINISTICALLY; larger distances are probabilistic. */
   def bandPairs64(
       df: DataFrame,
       idCol: String,
@@ -392,6 +392,11 @@ object Dedup {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    // try/finally below: a failure anywhere (an executor loss mid
+    // pointer-jumping round, a driver OOM in the collect) must not leak
+    // the pinned edge frame into the caller's session — the SURVEY §10
+    // pool squeeze the incremental operators already guard against
+    try {
     // materialize the edge cache EAGERLY: round 0 references the edge
     // subtree several times (neighbor join, label init, jump), and racing
     // cache population would re-run the upstream pair pipeline — typically
@@ -437,7 +442,6 @@ object Dedup {
       val it = parent.keySet().iterator()
       var i = 0
       while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
-      edges.unpersist()
       return spark.createDataset(out.toSeq).toDF("id", "cluster")
     }
     var labels = edges.select(col("src").as("id")).distinct()
@@ -471,7 +475,6 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
     if (!converged) {
       throw new IllegalStateException(
         s"clusterPairs did not converge in $maxIter rounds (component " +
@@ -481,6 +484,7 @@ object Dedup {
     // already lineage-cut by the final round's checkpoint; intermediate
     // checkpoint blocks are GC-cleaned once their frames are dropped
     labels
+    } finally edges.unpersist(blocking = false)
   }
 
   /** One-call near-duplicate corpus dedup: MinHash-LSH candidate pairs,
@@ -685,6 +689,11 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min_by(struct(col("*")), col(idCol)).as("__r"))
       .select(col("__r.*")) // the struct already carries content_hash
+      // pinned: readForKeys' dirty-bucket probe is an eager collect and
+      // the kept-checkpoint re-executes the plan — without this the
+      // batch scan + fingerprint + min_by shuffle ran twice per ingest
+      // (the same probe-then-join shape incrementalNearDups persists)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // first_id keeps the caller's id type VERBATIM: a cast("long")
     // here wrote NULL for every non-numeric (UUID/string) id — dedup
     // still worked via content_hash, but the recorded winner id (the
@@ -692,13 +701,16 @@ object Dedup {
     val like = firsts
       .select(col("content_hash"), col(idCol).as("first_id"))
     val seen = state.readForKeys(firsts.select(col("content_hash")), like)
-    val kept = firsts
-      .join(seen.select(col("content_hash")), Seq("content_hash"), "left_anti")
-      .localCheckpoint(true)
-    state.merge(
-      kept.select(col("content_hash"), col(idCol).as("first_id")),
-      keys = Seq("content_hash"))
-    kept
+    try {
+      val kept = firsts
+        .join(seen.select(col("content_hash")), Seq("content_hash"),
+          "left_anti")
+        .localCheckpoint(true)
+      state.merge(
+        kept.select(col("content_hash"), col(idCol).as("first_id")),
+        keys = Seq("content_hash"))
+      kept
+    } finally firsts.unpersist(blocking = false)
   }
 
   /** One-shot rebuild of an [[incrementalExact]] seen-state from the
@@ -1014,10 +1026,11 @@ object Dedup {
         score(col("__at"), col("__bt")).as(scoreName))
       .filter(col(scoreName) >= minScore)
     // eager checkpoint cuts the lineage back to fps so its persisted
-    // blocks free here instead of leaking into the caller's session
-    val out = verified.localCheckpoint(true)
-    fps.unpersist()
-    out
+    // blocks free here instead of leaking into the caller's session —
+    // and the unpersist runs in finally so a failure mid-checkpoint
+    // frees them too
+    try verified.localCheckpoint(true)
+    finally fps.unpersist(blocking = false)
   }
 
   /** Build (or extend) a persistent hyperplane-LSH index over an
@@ -1195,9 +1208,9 @@ object Dedup {
         Similarity.cosine(col("__v"), col("__v")) >= threshold)
       .select(col("__rep").as("a_id"), col("__id").as("b_id"))
     // materialize the edge set while reps is still pinned, then release
-    val edges = repPairs.unionByName(memberEdges).localCheckpoint(true)
-    reps.unpersist()
-    edges
+    // (finally: a failure mid-checkpoint must not leak the pinned reps)
+    try repPairs.unionByName(memberEdges).localCheckpoint(true)
+    finally reps.unpersist(blocking = false)
   }
 
   /** Semantic decontamination: drop every corpus row whose embedding has
@@ -1229,15 +1242,24 @@ object Dedup {
       planes: Int = 12,
       bands: Int = 1,
       maxBroadcastRows: Long = 1_000_000L): DataFrame = {
+    // PERSISTED across the broadcast probe and the anti-join: the hit
+    // set is the whole corpus-scale LSH + verify pipeline, and the two
+    // actions would otherwise each run it in full (the probe
+    // discipline adaptiveBipartiteJoin documents)
     val contaminated = semanticHits(corpus, idCol, vecCol,
         benchmark, benchVecCol, threshold, planes, bands, maxBroadcastRows)
       .select(col(idCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // post-aggregation stats are opaque to the planner (a sort-merge
     // anti join here would shuffle the WHOLE corpus), so probe and hint
     // explicitly, exactly like the candidate side
     val drop =
       if (fitsBroadcast(contaminated, maxBroadcastRows)) broadcast(contaminated)
       else contaminated
+    // the persisted ids stay pinned while the RETURNED lazy frame is
+    // alive — the same caller-visible lifetime as every persisted
+    // candidate side in this file; Bench's cache hygiene (and any
+    // long-lived session's) reclaims them between queries
     corpus.join(drop, Seq(idCol), "left_anti")
   }
 
@@ -1357,8 +1379,15 @@ object Dedup {
     // upstream scan) once per use. The winnowVerifiedPairs discipline:
     // persist, run, eager-checkpoint the small pair output, unpersist.
     val b = Similarity.lshBuckets(
-      df.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", planes)
+      // null vectors can never pair (null-unsafe equi-join) but their
+      // NULL bucket WOULD count as a real group in the occupancy probe:
+      // enough of them (a partially failed embedding job) flipped the
+      // operator onto the blocked decomposition for rows that produce
+      // zero pairs — filter like indexEmbeddings/incrementalEmbeddingNearDups
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", planes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
     // Adaptive, like the incremental paths: one tiny aggregate (bucket
     // cardinality <= 2^planes rows) decides whether any bucket is hot
     // (and doubles as the materialization pass for the persisted b).
@@ -1379,9 +1408,7 @@ object Dedup {
           Similarity.cosine(col("a_v"), col("b_v")).as("cos_sim"))
         .filter(col("cos_sim") >= threshold)
         .distinct()
-      val out = pairs.localCheckpoint(true)
-      b.unpersist()
-      return out
+      return pairs.localCheckpoint(true)
     }
     val occRaw = b.groupBy("bucket").agg(count(lit(1)).as("__occ"))
     val occ = if (planes <= 21) broadcast(occRaw) else occRaw
@@ -1411,8 +1438,7 @@ object Dedup {
         Similarity.cosine(col("a_v"), col("b_v")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .distinct()
-    val out = pairs.localCheckpoint(true)
-    b.unpersist()
-    out
+    pairs.localCheckpoint(true)
+    } finally b.unpersist(blocking = false) // leak-safe on any failure
   }
 }
