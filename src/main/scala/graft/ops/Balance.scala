@@ -35,10 +35,12 @@ object Balance {
     // shuffle on top of the one the plan already pays. Skip: the guard
     // exists for narrow maps over raw scans.
     val optimized = df.queryExecution.optimizedPlan
-    if (hasExchange(optimized)) df
-    else if (hasGlobalLimit(optimized))
-      // a limited frame runs at ONE partition whatever its leaves say
-      df.repartition(target)
+    // limit FIRST: a global limit collapses to one partition even when
+    // an exchange sits BELOW it (join-then-limit), so the exchange
+    // check must not short-circuit the widen for exactly the
+    // single-partition regime this guard exists for
+    if (hasGlobalLimit(optimized)) df.repartition(target)
+    else if (hasExchange(optimized)) df
     else {
       val width = estimatedScanPartitions(df)
         .getOrElse(df.rdd.getNumPartitions.toLong)
@@ -56,7 +58,11 @@ object Balance {
     plan.exists {
       case _: Aggregate | _: Join | _: Window => true
       case s: Sort => s.global
-      case _: Repartition | _: RepartitionByExpression => true
+      // shuffle=false is coalesce(n): it NARROWS parallelism with no
+      // exchange, so it must not claim shuffle-width output — a
+      // coalesce(1) feeding a heavy map still needs the widen
+      case r: Repartition => r.shuffle
+      case _: RepartitionByExpression => true
       case _ => false
     }
   }

@@ -166,7 +166,15 @@ object Corpus {
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
     require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
     requireNumericId(df, idCol, "packChunks")
+    // rowsBetween, not the default RANGE frame: duplicate ids within a
+    // shard would be RANGE-frame peers and both receive the combined
+    // cumulative sum — two overlapping spans, a silently corrupt chunk
+    // layout. With a ROWS frame duplicates still pack (arbitrary but
+    // valid relative order); ids SHOULD be unique per the layout
+    // contract (hash-derived ids can collide at ~10^11 docs — dedupe
+    // first or widen the id).
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // last token of the document (inclusive): every text has ≥1 token
     // under split semantics, so token_end = token_start + n_tokens − 1.
     // NULL text coalesces to "" (one empty token — packBins' documented
@@ -270,7 +278,11 @@ object Corpus {
     val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
       t => t =!= "")
     val n = size(toks).cast("long")
-    val nChunks = when(n <= chunkTokens, lit(1L)).otherwise(
+    // the guard reads the child Project's __n, NOT the raw `n`
+    // expression: codegen subexpression elimination cannot span the
+    // Generate boundary, so referencing `n` here re-tokenized every
+    // document a second time inside the explode
+    val nChunks = when(col("__n") <= chunkTokens, lit(1L)).otherwise(
       expr(s"(__n - $chunkTokens + $strideTokens - 1) div $strideTokens") + 1L)
     val start = col("chunk_idx") * strideTokens
     val end = least(start + chunkTokens, col("__n"))
@@ -400,8 +412,11 @@ object Corpus {
           .select(col(idCol), explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
           .filter(call_function("graft_bloom_might_contain",
             lit(bf), xxhash64(col("__sh"))))
-        val bench =
-          broadcastIfSmall(benchShingles.distinct(), maxBroadcastShingles)
+        // distinct MATERIALIZED once: the broadcast-size probe and the
+        // verify join would otherwise each run the full distinct
+        // shuffle over the (cached) exploded shingles
+        val benchDistinct = benchShingles.distinct().localCheckpoint(true)
+        val bench = broadcastIfSmall(benchDistinct, maxBroadcastShingles)
         // eager: the contaminated-id set is small by nature, and
         // materializing it here lets the benchmark cache free in the
         // finally instead of leaking into the caller's session
@@ -470,8 +485,11 @@ object Corpus {
       budgets: Map[String, Long],
       seed: String = "mix"): DataFrame = {
     requireFresh(df, "n_tokens")
+    // coalesce like packBins/packChunks: a null-text row would carry a
+    // NULL n_tokens in the RETURNED contract column (downstream getLong
+    // NPEs; SQL aggregates silently skip it)
     val withTokens = df.withColumn("n_tokens",
-      TextAnalysis.tokenCount(col(textCol)))
+      TextAnalysis.tokenCount(coalesce(col(textCol), lit(""))))
     val totals = sourceTokenTotals(withTokens, sourceCol)
     val rates = budgets.flatMap { case (src, budget) =>
       // a 0-token source (all-null text) must not divide to NaN and
@@ -496,6 +514,9 @@ object Corpus {
     withTokens.groupBy(col(sourceCol))
       .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__t"))
       .collect()
+      // a NULL source maps under the null key — a real group that
+      // keepBySourceRates matches with isNull, so malformed rows are
+      // rebalanced like any source instead of silently kept whole
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Quality-weighted downsampling: keep each row with probability
@@ -554,8 +575,8 @@ object Corpus {
       tau: Double,
       seed: String = "mix"): DataFrame = {
     requireFresh(df, "n_tokens")
-    val withTokens = df.withColumn("n_tokens",
-      TextAnalysis.tokenCount(col(textCol)))
+    val withTokens = df.withColumn("n_tokens", // coalesce: see mixByTokenBudget
+      TextAnalysis.tokenCount(coalesce(col(textCol), lit(""))))
     keepBySourceRates(withTokens, idCol, sourceCol,
       temperatureRates(sourceTokenTotals(withTokens, sourceCol), tau), seed)
   }
@@ -595,7 +616,14 @@ object Corpus {
     val u = uniformHex(col(idCol), seed)
     val threshold = rates.foldRight(lit(hexThreshold(1.0))) {
       case ((src, p), els) =>
-        when(col(sourceCol) === src, lit(hexThreshold(p))).otherwise(els)
+        // a NULL source is a real group (sourceTokenTotals' groupBy
+        // collects it, temperatureRates can rate it): === null never
+        // matches, which silently kept every null-source row while the
+        // null group's tokens still anchored the temperature floor
+        val cond =
+          if (src == null) col(sourceCol).isNull
+          else col(sourceCol) === src
+        when(cond, lit(hexThreshold(p))).otherwise(els)
     }
     df.filter(u < threshold)
   }

@@ -521,6 +521,12 @@ object Dedup {
     * document rebuilt from its surviving lines in original order
     * (documents reduced to nothing come back as "").
     *
+    * NULL-text documents also come back as "" — posexplode of a null
+    * split drops the row, and the reassembly coalesce fills the blank.
+    * A pipeline using `text IS NULL` to mean "body never fetched" must
+    * snapshot that marker BEFORE this pass; after it, never-fetched
+    * and fully-boilerplate documents are indistinguishable.
+    *
     * 100 TB: one hash shuffle keyed on LINE CONTENT with the owner
     * elected by a MAP-SIDE-COMBINED `min(struct(id, line_no))`
     * aggregate — deliberately NOT a per-key window: a cookie-banner
