@@ -82,10 +82,16 @@ object TextAnalysis {
     df.withColumn("n_chars_q", metrics(textCol).getField("n_chars"))
       .withColumn("n_tokens", metrics(textCol).getField("n_tokens"))
       .withColumn("alpha_chars", metrics(textCol).getField("alpha_chars"))
+      // nullif: an EMPTY document has n_chars = 0, and a bare division
+      // crashes the whole scan with DIVIDE_BY_ZERO under ANSI (Spark 4
+      // default) — the same guard qualityLogistic and qualityReport
+      // already apply; the NULL ratio fails quality gates conservatively
       .withColumn("alpha_ratio",
-        round(col("alpha_chars") * lit(1.0) / col("n_chars_q"), 6))
+        round(col("alpha_chars") * lit(1.0) /
+          nullif(col("n_chars_q"), lit(0L)), 6))
       .withColumn("mean_token_len",
-        round(col("alpha_chars") * lit(1.0) / col("n_tokens"), 6))
+        round(col("alpha_chars") * lit(1.0) /
+          nullif(col("n_tokens"), lit(0L)), 6))
 
   /** Script order for [[scriptMetrics]]'s dominant-script decision:
     * earlier wins ties (same explicit-priority pattern as
@@ -377,7 +383,10 @@ object TextAnalysis {
       stats.foreach { st =>
         val spark = df.sparkSession
         import spark.implicits._
-        val dlCommit = docLengths.commits().last
+        // lastOption: an EMPTY first-ever ingest commits nothing (merge
+        // no-ops on an empty dirty set), so a fresh table has no commit
+        // and .last would crash a harmless no-op batch
+        docLengths.commits().lastOption.foreach { dlCommit =>
         val cur = readStatsRow(st)
         if (!cur.exists(_._3 == dlCommit)) {
           val next: (Long, Long) = cur match {
@@ -391,6 +400,7 @@ object TextAnalysis {
             Seq(("bm25", next._1, next._2, dlCommit))
               .toDF("stat", "n_docs", "sum_dl", "as_of_commit"),
             keys = Seq("stat"))
+        }
         }
       }
       postings.merge(
@@ -437,7 +447,12 @@ object TextAnalysis {
       Some((r.getLong(0), r.getLong(1)))
     } catch {
       case _: NoSuchElementException => None // fromCommit pruned
-      case _: IllegalArgumentException => None // rebucket boundary
+      case _: IllegalArgumentException => None // layout refusal (handle)
+      // the cross-relayout refusal (`changesBetween` over a boundary
+      // that is not a split/coalesce chain) throws IllegalStateException
+      // — the exact case the docstring's "predates a rebucket resyncs
+      // from one full aggregate" contract exists for
+      case _: IllegalStateException => None
     }
 
   private def fullDlAggregate(
@@ -680,6 +695,10 @@ object TextAnalysis {
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
+    // try/finally: a mid-round collect failure must not leak up to two
+    // persisted corpus-sized frames into the session (the Dedup-file
+    // discipline; indexPostings/unigramTrain here already follow it)
+    try {
     while (step <= merges && !exhausted) {
       // NOT trim(s, S): the two-arg TRIM signature WARNs as deprecated
       // in Spark 4 and this loop must keep bench stderr clean
@@ -713,8 +732,10 @@ object TextAnalysis {
         step += 1
       }
     }
-    prev.foreach(_.unpersist())
-    state.unpersist()
+    } finally {
+      prev.foreach(_.unpersist(blocking = false))
+      state.unpersist(blocking = false)
+    }
     learned.toSeq
   }
 
@@ -1377,18 +1398,24 @@ object TextAnalysis {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       // bucket-gradient pass: explode buckets, sum residuals per bucket
       val residCols = cur.map(m => col(s"__r_${m.language}"))
-      val gradRows = perDoc
-        .select((explode(Corpus.dsirBuckets(col(textCol), buckets)).as("__b") +: residCols): _*)
-        .groupBy(col("__b"))
-        .agg(sum(residCols.head).as("__g0"),
-          residCols.tail.zipWithIndex
-            .map { case (c, i) => sum(c).as(s"__g${i + 1}") }: _*)
-        .collect()
-      // prior gradient: mean residual per class (same persisted pass)
-      val priorRow = perDoc
-        .agg(avg(residCols.head), residCols.tail.map(avg(_)): _*)
-        .first()
-      perDoc.unpersist()
+      // finally: a mid-iteration collect failure must not leak the
+      // persisted residual frame (same discipline as bpeTrain)
+      val (gradRows, priorRow) =
+        try {
+          val g = perDoc
+            .select((explode(Corpus.dsirBuckets(col(textCol), buckets))
+              .as("__b") +: residCols): _*)
+            .groupBy(col("__b"))
+            .agg(sum(residCols.head).as("__g0"),
+              residCols.tail.zipWithIndex
+                .map { case (c, i) => sum(c).as(s"__g${i + 1}") }: _*)
+            .collect()
+          // prior gradient: mean residual per class (same persisted pass)
+          val pr = perDoc
+            .agg(avg(residCols.head), residCols.tail.map(avg(_)): _*)
+            .first()
+          (g, pr)
+        } finally perDoc.unpersist(blocking = false)
       val grads = cur.indices.map(_ => new Array[Double](buckets))
       gradRows.foreach { r =>
         val b = r.getLong(0).toInt
