@@ -18,6 +18,22 @@ object StateOps {
   private val SrcCol = "__graft_src"
   private val RnCol  = "__graft_rn"
 
+  /** `col("<alias>.<name>")` with the name segment backtick-quoted: a
+    * bare `col(s"$alias.$c")` parses a dot INSIDE the column name as a
+    * nested-field path and mis-resolves (or errors) — quoting keeps
+    * any legal column name addressing the aliased frame's column.
+    * Backticks inside the name itself are escaped by doubling, per the
+    * parser's quoted-identifier rule. */
+  private[graft] def aliasedCol(alias: String,
+      c: String): org.apache.spark.sql.Column =
+    col(s"$alias.`${c.replace("`", "``")}`")
+
+  /** Plain quoted column ref for a CALLER-SUPPLIED name: `col(c)`
+    * parses a dotted name as a nested-field path (same hazard as
+    * [[aliasedCol]], minus the alias). */
+  private[graft] def qcol(c: String): org.apache.spark.sql.Column =
+    col(s"`${c.replace("`", "``")}`")
+
   /** Type equality modulo NULLABILITY, at every nesting level: a
     * parquet roundtrip or a union flips `containsNull`/`nullable` flags
     * on array/map/struct types freely (e.g. `array<float>` batches vs
@@ -270,9 +286,10 @@ object StateOps {
     // forever, a poison row permanently occupying the batch
     def nullSafeAnti(l: DataFrame, r: DataFrame): DataFrame = {
       val la = l.alias("__l")
-      val ra = r.select(cols.map(col): _*).alias("__r")
+      val ra = r.select(cols.map(qcol): _*).alias("__r")
       la.join(ra,
-        cols.map(c => col(s"__l.$c") <=> col(s"__r.$c")).reduce(_ && _),
+        cols.map(c => aliasedCol("__l", c) <=> aliasedCol("__r", c))
+          .reduce(_ && _),
         "left_anti")
     }
     DeleteResult(
@@ -379,10 +396,10 @@ object StateOps {
     val sign = when(col("change_type")
       .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
     val delta = changes
-      .select(groupCols.map(col) :+ sign.as("__sign") :+ col(valueCol): _*)
-      .groupBy(groupCols.map(col): _*)
+      .select(groupCols.map(qcol) :+ sign.as("__sign") :+ qcol(valueCol): _*)
+      .groupBy(groupCols.map(qcol): _*)
       .agg(sum(col("__sign")).as("__dn"),
-        sum(col("__sign") * col(valueCol)).as("__dsum"))
+        sum(col("__sign") * qcol(valueCol)).as("__dsum"))
     // NULL-SAFE join + key coalesce: SQL GROUP BY folds every NULL
     // into ONE group, but a plain equality join never matches
     // null = null — the view's null group would split into a stale
@@ -393,13 +410,13 @@ object StateOps {
     // feed-derived like-frame), which Spark flags as an ambiguous
     // self-join under bare references
     val cond = groupCols.map(c =>
-      col(s"__agg.$c") <=> col(s"__dlt.$c")).reduce(_ && _)
+      aliasedCol("__agg", c) <=> aliasedCol("__dlt", c)).reduce(_ && _)
     agg.as("__agg").join(delta.as("__dlt"), cond, "full_outer")
       .select(groupCols.map(c =>
-        coalesce(col(s"__agg.$c"), col(s"__dlt.$c")).as(c)) ++ Seq(
+        coalesce(aliasedCol("__agg", c), aliasedCol("__dlt", c)).as(c)) ++ Seq(
         (coalesce(col("n_rows"), lit(0L)) +
           coalesce(col("__dn"), lit(0L))).as("n_rows"),
-        (coalesce(col(sumCol), lit(0L)) +
+        (coalesce(qcol(sumCol), lit(0L)) +
           coalesce(col("__dsum"), lit(0L))).as(sumCol)): _*)
       .filter(col("n_rows") > 0)
   }
@@ -408,7 +425,7 @@ object StateOps {
     * from scratch — the bootstrap (and the spec's parity oracle). */
   def aggregateShape(rows: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame =
-    rows.groupBy(groupCols.map(col): _*)
+    rows.groupBy(groupCols.map(qcol): _*)
       .agg(count(lit(1)).as("n_rows"),
-        sum(col(valueCol)).as(s"sum_$valueCol"))
+        sum(qcol(valueCol)).as(s"sum_$valueCol"))
 }

@@ -700,14 +700,16 @@ object Dedup {
       // batch scan + fingerprint + min_by shuffle ran twice per ingest
       // (the same probe-then-join shape incrementalNearDups persists)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // first_id keeps the caller's id type VERBATIM: a cast("long")
-    // here wrote NULL for every non-numeric (UUID/string) id — dedup
-    // still worked via content_hash, but the recorded winner id (the
-    // table's only payload) was silently destroyed
-    val like = firsts
-      .select(col("content_hash"), col(idCol).as("first_id"))
-    val seen = state.readForKeys(firsts.select(col("content_hash")), like)
     try {
+      // first_id keeps the caller's id type VERBATIM: a cast("long")
+      // here wrote NULL for every non-numeric (UUID/string) id — dedup
+      // still worked via content_hash, but the recorded winner id (the
+      // table's only payload) was silently destroyed
+      val like = firsts
+        .select(col("content_hash"), col(idCol).as("first_id"))
+      // inside the try: readForKeys eagerly collects the dirty-bucket
+      // probe over `firsts`, so a failure HERE must also unpersist
+      val seen = state.readForKeys(firsts.select(col("content_hash")), like)
       val kept = firsts
         .join(seen.select(col("content_hash")), Seq("content_hash"),
           "left_anti")

@@ -60,10 +60,12 @@ import graft.operators.StateOps
   * If-Match, GCS generation preconditions, etcd) and every transition
   * (stale-break takeover, heartbeat, release) is FULLY fenced — the
   * interleavings the contention spec forces clock-driven in
-  * `WriterLeaseSpec`. The default [[HadoopLeaseStore]] keeps the
-  * best-effort windows a plain filesystem allows (its conditional
-  * replace/delete are read-compare-write; `tryCreate` and the
-  * tombstone-rename election are its strongest primitives).
+  * `WriterLeaseSpec`. The default [[HadoopLeaseStore]] is a true
+  * version-election CAS on HDFS-style stores (the [[VersionedSlotStore]]
+  * layout — no transition passes through an observable ABSENT slot)
+  * and keeps only the local filesystem's read-compare-write windows
+  * (`tryCreate`, atomic publication, and the tombstone-rename
+  * election are the local path's strongest primitives).
   * CORRECTNESS never rests on the lease either way: even with two
   * live writers, the manifest `basedOn` conflict check in
   * [[writeManifest]] makes the loser's publish fail (or rebase, when
@@ -1473,8 +1475,8 @@ class BucketedStateTable(
         // never matches null = null and would keep the row forever
         val delKeys = deleteKeys.select(keys.map(col): _*).as("__del")
         val kept = cur.as("__cur").join(delKeys,
-          keys.map(c => col(s"__cur.$c") <=> col(s"__del.$c"))
-            .reduce(_ && _),
+          keys.map(c => StateOps.aliasedCol("__cur", c) <=>
+            StateOps.aliasedCol("__del", c)).reduce(_ && _),
           "left_anti")
         commit(StateOps.mergeByKey(kept, up, keys), dirty, base)
       }

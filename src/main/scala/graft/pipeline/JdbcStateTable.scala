@@ -79,6 +79,7 @@ class JdbcStateTable(
     case LongType      => "BIGINT"
     case DoubleType    => "DOUBLE PRECISION"
     case TimestampType => "TIMESTAMP"
+    case BinaryType    => "BLOB"
     case ArrayType(StringType, _) => "VARCHAR[]"
     case other => throw new IllegalArgumentException(
       s"unsupported state column type $other")
@@ -235,6 +236,18 @@ class JdbcStateTable(
     case IntegerType   => val v = rs.getInt(pos); if (rs.wasNull()) null else v
     case LongType      => val v = rs.getLong(pos); if (rs.wasNull()) null else v
     case DoubleType    => val v = rs.getDouble(pos); if (rs.wasNull()) null else v
+    case BinaryType    =>
+      // some drivers (DuckDB 1.x) answer getBytes with
+      // SQLFeatureNotSupportedException but serve the same value
+      // through the Blob interface
+      try rs.getBytes(pos)
+      catch {
+        case _: java.sql.SQLFeatureNotSupportedException =>
+          val blob = rs.getBlob(pos)
+          if (blob == null) null
+          else try blob.getBytes(1L, blob.length().toInt)
+          finally blob.free()
+      }
     case ArrayType(StringType, _) =>
       val arr = rs.getArray(pos)
       if (arr == null) null
@@ -338,9 +351,20 @@ class JdbcStateTable(
   private def upsertRows(conn: Connection, rows: Seq[Row]): Unit = {
     val keyIdx = keys.map(cols.indexOf).toArray
     val deduped = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Row]
-    rows.foreach(r => deduped.put(keyIdx.map(r.get).toSeq, r))
+    // value-equality dedup key — a raw Array[Byte] component compares
+    // by reference, so duplicate binary keys would BOTH survive and
+    // collide in the database (PK violation on delete+insert dialects)
+    rows.foreach(r => deduped.put(
+      keyIdx.map(i => JdbcUpsertSink.dedupKeyComponent(r.get(i))).toSeq, r))
+    // the lock order must be CONTENT-deterministic across JVMs:
+    // String.valueOf on an Array[Byte] renders an identity hash, so two
+    // overlapping merges could sort the same keys differently and
+    // deadlock — render bytes as hex instead
     val ordered = deduped.values.toSeq.sortBy(r =>
-      keyIdx.map(i => String.valueOf(r.get(i))).mkString("\u0000"))
+      keyIdx.map(i => r.get(i) match {
+        case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+        case v => String.valueOf(v)
+      }).mkString("\u0000"))
     JdbcUpsertSink.upsertOnConnection(conn, ordered.iterator, schema.fields,
       table, keys, batchSize = 500, dialect = dialect)
   }

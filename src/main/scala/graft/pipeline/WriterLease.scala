@@ -13,12 +13,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * racing through takeover/beat/release can never clobber each other.
   *
   * Implementations:
-  *  - [[HadoopLeaseStore]] — the local-FS / HDFS fallback. `tryCreate`
-  *    is atomic where the filesystem's create-if-absent is;
-  *    `takeOver` keeps the rename-to-tombstone election (of N waiters
-  *    exactly one rename wins); `replaceIf`/`deleteIf` are
-  *    read-compare-write, best-effort by nature — the documented
-  *    residual window, unchanged from before this seam existed.
+  *  - [[HadoopLeaseStore]] — the local-FS / HDFS fallback. On the
+  *    local FS: `tryCreate` via hard-link create-if-absent, refresh
+  *    via ATOMIC_MOVE, `takeOver` via the rename-to-tombstone
+  *    election. On any non-local FS it runs a VERSIONED-SLOT layout
+  *    ([[VersionedSlotStore]]) in which every conditional write is a
+  *    rename-refusing-existing election on the next version name —
+  *    a true CAS wherever rename is atomic (HDFS is), and a holder's
+  *    refresh NEVER passes through an absent slot (the pre-r19
+  *    delete-then-rename window that let a waiter claim a LIVE
+  *    holder's slot mid-heartbeat is gone).
   *  - [[InMemoryCasStore]] — a genuinely atomic value-CAS
   *    (AtomicReference), the reference implementation an object-store
   *    adapter (S3 If-Match, GCS generation preconditions, etcd) should
@@ -56,31 +60,32 @@ trait LeaseStore {
   def deleteIf(expect: Array[Byte]): Boolean
 }
 
-/** Filesystem lease slot (`_lease` under the table root) — the
-  * best-effort fallback: create-if-absent is atomic on HDFS (and on
-  * object stores that implement it conditionally); the conditional
-  * replace/delete are read-compare-write with the residual window the
-  * table doc names. Correctness never rests on it — the manifest
-  * `basedOn` check fences the loser — the lease only converts retry
-  * storms into waiting. */
+/** Filesystem lease slot (`_lease` under the table root).
+  *
+  * Two layouts, picked once at construction:
+  *  - '''Local FS''' — a single file at `path`. Publication is atomic
+  *    via raw java.nio on the underlying file (Hadoop's local rename
+  *    delegates to POSIX rename(2), which silently REPLACES an
+  *    existing destination and would let two racing creates both
+  *    "win"): `tryCreate` = hard-link create-if-absent WITH content,
+  *    refresh = ATOMIC_MOVE rename-over, `takeOver` = the
+  *    rename-to-tombstone election. `replaceIf`/`deleteIf` keep the
+  *    read-compare-write window (best-effort), but a reader observes
+  *    absent, the old value, or the new value — never empty bytes.
+  *  - '''Non-local FS (HDFS-style)''' — delegates every operation to
+  *    a [[VersionedSlotStore]] at `path` (a DIRECTORY of version
+  *    files). There the version-name rename election makes every
+  *    conditional write a true CAS wherever rename-refusing-existing
+  *    is atomic (HDFS's namenode rename is), and — the r19 fix — a
+  *    holder's heartbeat refresh never passes through an ABSENT slot,
+  *    so a polling waiter can no longer claim a LIVE holder's slot
+  *    mid-refresh (the old delete-then-rename overwrite's window).
+  *
+  * Correctness never rests on the lease — the manifest `basedOn`
+  * check fences the loser — the lease only converts retry storms
+  * into waiting; the versioned layout additionally removes the
+  * spurious-lease-loss churn under contention. */
 final class HadoopLeaseStore(fs: FileSystem, path: Path) extends LeaseStore {
-
-  // Publication is ATOMIC: a reader observes the slot absent, the old
-  // value, or the new value — never empty or partial bytes. The old
-  // create-then-write shape had an observable window (a concurrent
-  // read between create and write saw zero bytes), and an empty slot
-  // parses holderless → the next waiter breaks a LIVE holder's lease
-  // mid-commit, the exact interleaving the heartbeat exists to
-  // prevent. Full content goes to a hidden temp name first, then
-  // lands in one filesystem-atomic step:
-  //  - local FS: a hard link (create-if-absent WITH content; fails
-  //    with FileAlreadyExistsException when the slot is held) or an
-  //    atomic rename-over for the holder's refresh. Raw java.nio on
-  //    the underlying file — Hadoop's local rename delegates to
-  //    POSIX rename(2), which silently REPLACES an existing
-  //    destination and would let two racing creates both "win".
-  //  - HDFS-style FS: `rename(tmp, path)`, atomic and refusing an
-  //    existing destination — exactly create-if-absent.
 
   /** The underlying java.io.File when `fs` is the local filesystem
     * (checksummed or raw); None → go through the Hadoop API. */
@@ -89,6 +94,11 @@ final class HadoopLeaseStore(fs: FileSystem, path: Path) extends LeaseStore {
     case r: org.apache.hadoop.fs.RawLocalFileSystem => Some(r.pathToFile(p))
     case _ => None
   }
+
+  /** Non-local FS → the versioned-slot layout (see class doc). */
+  private val versioned: Option[VersionedSlotStore] =
+    if (localFile(path).isDefined) None
+    else Some(new VersionedSlotStore(fs, path))
 
   /** Drop a stale ChecksumFileSystem sidecar after a raw-nio publish:
     * the lease value never goes through `fs.create` on the local FS
@@ -104,8 +114,10 @@ final class HadoopLeaseStore(fs: FileSystem, path: Path) extends LeaseStore {
       s".${dst.getName}.tmp.${java.util.UUID.randomUUID()}")
 
   override def tryCreate(content: Array[Byte]): Boolean =
-    localFile(path) match {
-      case Some(dst) =>
+    versioned match {
+      case Some(v) => v.tryCreate(content)
+      case None =>
+        val dst = localFile(path).get
         java.nio.file.Files.createDirectories(dst.getParentFile.toPath)
         val tmp = tmpFor(dst)
         java.nio.file.Files.write(tmp.toPath, content)
@@ -119,55 +131,37 @@ final class HadoopLeaseStore(fs: FileSystem, path: Path) extends LeaseStore {
           // anything else is a transient store failure: propagates
           // per the trait contract
         } finally java.nio.file.Files.deleteIfExists(tmp.toPath)
-      case None =>
-        val tmp = new Path(path.getParent,
-          s".${path.getName}.tmp.${java.util.UUID.randomUUID()}")
-        val out = fs.create(tmp, false)
-        try out.write(content) finally out.close()
-        try {
-          if (fs.rename(tmp, path)) true
-          else {
-            // rename refuses an existing destination (the held slot);
-            // any OTHER refusal is a store failure and must propagate,
-            // not read as "held"
-            val exists =
-              try fs.exists(path)
-              catch { case e: java.io.IOException => throw e }
-            if (exists) false
-            else throw new java.io.IOException(
-              s"lease publish: rename($tmp -> $path) refused with no " +
-                "existing destination")
-          }
-        } finally {
-          try fs.delete(tmp, false)
-          catch { case _: java.io.IOException => () } // residue harmless
-        }
     }
 
-  override def read(): Option[Array[Byte]] =
-    try {
-      val in = fs.open(path)
+  override def read(): Option[Array[Byte]] = versioned match {
+    case Some(v) => v.read()
+    case None =>
       try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](4096)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        Some(buf.toByteArray)
-      } finally in.close()
-    } catch {
-      // absent is the only IOException that MEANS "no value"; a
-      // transient failure propagates so a heartbeat doesn't read it as
-      // "usurped" and stop beating
-      case _: java.io.FileNotFoundException => None
-    }
+        val in = fs.open(path)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](4096)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          Some(buf.toByteArray)
+        } finally in.close()
+      } catch {
+        // absent is the only IOException that MEANS "no value"; a
+        // transient failure propagates so a heartbeat doesn't read it
+        // as "usurped" and stop beating
+        case _: java.io.FileNotFoundException => None
+      }
+  }
 
   override def replaceIf(expect: Array[Byte], next: Array[Byte]): Boolean =
-    read().exists(java.util.Arrays.equals(_, expect)) && {
-      // the read-compare-write window is the documented best-effort
-      // residual; the PUBLICATION itself is atomic — old value or new
-      // value, never empty bytes
-      localFile(path) match {
-        case Some(dst) =>
+    versioned match {
+      case Some(v) => v.replaceIf(expect, next)
+      case None =>
+        read().exists(java.util.Arrays.equals(_, expect)) && {
+          // the read-compare-write window is the documented local
+          // best-effort residual; the PUBLICATION itself is atomic —
+          // old value or new value, never empty bytes, never ABSENT
+          val dst = localFile(path).get
           val tmp = tmpFor(dst)
           java.nio.file.Files.write(tmp.toPath, next)
           try {
@@ -177,45 +171,188 @@ final class HadoopLeaseStore(fs: FileSystem, path: Path) extends LeaseStore {
             dropCrcSidecar(dst)
             true
           } finally java.nio.file.Files.deleteIfExists(tmp.toPath)
-        case None =>
-          // HDFS rename refuses an existing destination, so the
-          // overwrite is delete-then-rename: the in-between window
-          // reads ABSENT (holderless — a waiter may claim the free
-          // slot, and this refresh then genuinely loses), never empty
-          val tmp = new Path(path.getParent,
-            s".${path.getName}.tmp.${java.util.UUID.randomUUID()}")
-          val out = fs.create(tmp, false)
-          try out.write(next) finally out.close()
-          try {
-            fs.delete(path, false)
-            fs.rename(tmp, path) // false: a racer claimed the slot first
-          } finally {
-            try fs.delete(tmp, false)
-            catch { case _: java.io.IOException => () }
-          }
-      }
+        }
     }
 
   override def takeOver(expect: Array[Byte], next: Array[Byte]): Boolean =
-    read().exists(java.util.Arrays.equals(_, expect)) && {
-      // rename to a unique tombstone: of N waiters that all judged the
-      // same stale value, exactly one rename wins and frees the slot —
-      // delete-then-create would let two waiters both delete (the
-      // second deleting the NEW holder's fresh lease) and both acquire.
-      // A FALSE rename is the lost election; an IOException is a store
-      // failure and propagates.
-      val tomb = new Path(path.getParent,
-        s"${path.getName}.broken.${java.util.UUID.randomUUID()}")
-      if (fs.rename(path, tomb)) {
-        try fs.delete(tomb, false)
-        catch { case _: java.io.IOException => () } // residue is harmless
-        tryCreate(next)
-      } else false
+    versioned match {
+      // the version-name election IS the break CAS: of N waiters that
+      // judged the same stale value (same version), exactly one
+      // publish of version+1 wins — no tombstone pass-through-absent
+      case Some(v) => v.takeOver(expect, next)
+      case None =>
+        read().exists(java.util.Arrays.equals(_, expect)) && {
+          // rename to a unique tombstone: of N waiters that all judged
+          // the same stale value, exactly one rename wins and frees the
+          // slot — delete-then-create would let two waiters both delete
+          // (the second deleting the NEW holder's fresh lease) and both
+          // acquire. A FALSE rename is the lost election; an
+          // IOException is a store failure and propagates.
+          val tomb = new Path(path.getParent,
+            s"${path.getName}.broken.${java.util.UUID.randomUUID()}")
+          if (fs.rename(path, tomb)) {
+            try fs.delete(tomb, false)
+            catch { case _: java.io.IOException => () } // residue is harmless
+            tryCreate(next)
+          } else false
+        }
     }
 
+  override def deleteIf(expect: Array[Byte]): Boolean = versioned match {
+    case Some(v) => v.deleteIf(expect)
+    case None =>
+      read().exists(java.util.Arrays.equals(_, expect)) &&
+        fs.delete(path, false)
+  }
+}
+
+/** Versioned lease slot for HDFS-style filesystems: `dir` holds zero
+  * or more version files `v<19-digit-seq>`; the slot's CURRENT value
+  * is the highest version's bytes (empty bytes = a published
+  * tombstone = absent). Every mutation publishes the NEXT version
+  * under its exact name via rename — and rename-refusing-existing is
+  * atomic on HDFS — so of N writers that judged the same current
+  * version, exactly one election wins: a true value-CAS, with the
+  * version number as the fencing token.
+  *
+  * The property this layout buys over a single overwritten file
+  * (HDFS rename refuses an existing destination, forcing
+  * delete-then-rename): '''no transition ever passes through an
+  * observable ABSENT state'''. A holder's heartbeat refresh publishes
+  * v(n+1) while v(n) still exists; readers take the max, so they see
+  * the old value or the new value, never a holderless slot — the
+  * pre-r19 window in which a polling waiter could legitimately claim
+  * a LIVE holder's slot mid-refresh is structurally gone. Even a
+  * conditional DELETE publishes (a tombstone) rather than removing,
+  * so a racing `tryCreate` must still win the next version's
+  * election.
+  *
+  * Old versions are garbage-collected after each successful publish
+  * (best-effort — readers take the max, so residue is harmless; a
+  * reader whose listed top version vanishes mid-read simply rescans,
+  * because a vanished top version PROVES a newer one exists). */
+final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
+
+  private val VersionName = raw"v(\d{19})".r
+
+  private def fileFor(v: Long): Path = new Path(dir, f"v$v%019d")
+
+  /** (version, bytes) of the highest published version; None when the
+    * slot directory is missing or holds no version file. Retries when
+    * the top version is GC'd between list and open (progress proof:
+    * each retry means a strictly newer version was published). */
+  private def scan(): Option[(Long, Array[Byte])] = {
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val listed =
+        try fs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => return None }
+      var top = -1L
+      listed.foreach { st =>
+        st.getPath.getName match {
+          case VersionName(d) => val v = d.toLong; if (v > top) top = v
+          case _ => ()
+        }
+      }
+      if (top < 0L) return None
+      try {
+        val in = fs.open(fileFor(top))
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](4096)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          return Some((top, buf.toByteArray))
+        } finally in.close()
+      } catch {
+        // GC'd under us — a newer version exists; rescan
+        case _: java.io.FileNotFoundException => ()
+      }
+    }
+    // pathological churn: surface as the transient-failure arm of the
+    // LeaseStore error contract (the protocol retries after a poll)
+    throw new java.io.IOException(
+      s"versioned lease slot $dir: the top version kept vanishing " +
+        "across 64 scans — extreme churn or a broken store")
+  }
+
+  /** Election publish of version `v`: true iff THIS call created it.
+    * A refused rename against an existing destination is the lost
+    * election; any other refusal is a store failure and propagates. */
+  private def publish(v: Long, content: Array[Byte]): Boolean = {
+    fs.mkdirs(dir)
+    val dst = fileFor(v)
+    val tmp = new Path(dir, s".v.tmp.${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(content) finally out.close()
+    val won =
+      try {
+        if (fs.rename(tmp, dst)) true
+        else if (fs.exists(dst)) false
+        else throw new java.io.IOException(
+          s"lease publish: rename($tmp -> $dst) refused with no " +
+            "existing destination")
+      } finally {
+        try fs.delete(tmp, false)
+        catch { case _: java.io.IOException => () } // residue harmless
+      }
+    if (won) gcBelow(v)
+    won
+  }
+
+  /** Best-effort GC of versions `< v` — failures are harmless (readers
+    * take the max) and must not fail the publish that already won. */
+  private def gcBelow(v: Long): Unit =
+    try fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case VersionName(d) if d.toLong < v =>
+          try fs.delete(st.getPath, false)
+          catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
+    } catch { case _: java.io.IOException => () }
+
+  /** Empty bytes encode the tombstone; the lease protocol never writes
+    * an empty value (`holder\nstamp\n`), so nothing legitimate is
+    * excluded — but refuse loudly rather than silently publish an
+    * "absent" that reads back as None. */
+  private def requireNonEmpty(value: Array[Byte]): Unit =
+    require(value.nonEmpty,
+      "empty lease values are reserved for the tombstone encoding")
+
+  override def tryCreate(content: Array[Byte]): Boolean = {
+    requireNonEmpty(content)
+    scan() match {
+      case Some((_, bytes)) if bytes.nonEmpty => false // held
+      case Some((v, _)) => publish(v + 1, content) // tombstone → elect next
+      case None => publish(1L, content)
+    }
+  }
+
+  override def read(): Option[Array[Byte]] =
+    scan().collect { case (_, bytes) if bytes.nonEmpty => bytes }
+
+  override def replaceIf(expect: Array[Byte], next: Array[Byte]): Boolean = {
+    requireNonEmpty(next)
+    scan() match {
+      case Some((v, bytes))
+          if bytes.nonEmpty && java.util.Arrays.equals(bytes, expect) =>
+        publish(v + 1, next)
+      case _ => false
+    }
+  }
+
+  override def takeOver(expect: Array[Byte], next: Array[Byte]): Boolean =
+    replaceIf(expect, next)
+
   override def deleteIf(expect: Array[Byte]): Boolean =
-    read().exists(java.util.Arrays.equals(_, expect)) &&
-      fs.delete(path, false)
+    scan() match {
+      case Some((v, bytes))
+          if bytes.nonEmpty && java.util.Arrays.equals(bytes, expect) =>
+        publish(v + 1, Array.emptyByteArray) // published "absent"
+      case _ => false
+    }
 }
 
 /** Atomic value-CAS lease slot — the semantics a conditional-put

@@ -257,6 +257,18 @@ object JdbcUpsertSink {
     }
   }
 
+  /** Value-equality key component for Map-based keep-last dedup:
+    * `Row.get` on a BinaryType column yields `Array[Byte]`, whose
+    * equals/hashCode are REFERENTIAL — two identical byte keys would
+    * both survive the dedup and then collide in the database (a PK
+    * violation on the delete+insert dialect). Wrapping in an immutable
+    * Seq restores content equality; every other JDBC-bindable type
+    * already has it. */
+  private[graft] def dedupKeyComponent(v: Any): Any = v match {
+    case b: Array[Byte] => b.toSeq
+    case other => other
+  }
+
   /** Plain insert statement (the second half of the delete+insert
     * upsert strategy). */
   def insertSql(table: String, cols: Seq[String],
@@ -299,7 +311,8 @@ object JdbcUpsertSink {
         rows.grouped(batchSize).foreach { chunk =>
           val deduped = scala.collection.mutable.LinkedHashMap
             .empty[Seq[Any], Row]
-          chunk.foreach(row => deduped.put(keyIdx.map(row.get).toSeq, row))
+          chunk.foreach(row => deduped.put(
+            keyIdx.map(i => dedupKeyComponent(row.get(i))).toSeq, row))
           deduped.values.foreach { row =>
             val keyRow = Row(keyIdx.map(row.get).toIndexedSeq: _*)
             var k = 0

@@ -34,7 +34,20 @@ private[streaming] case class SessionAcc(
 private[streaming] case class SessionState(
     start: Long, end: Long, n: Long, total: Double)
 
-/** Per-user funnel progress carried between micro-batches. */
+/** Per-user funnel progress carried between micro-batches.
+  *
+  * '''CHECKPOINT-BREAKING in r18''': `seenMs` was added (the monotone
+  * max-seen stamp the idle-timeout deadline derives from), which
+  * changes the keyed-state encoder schema of every funnel stream.
+  * Structured Streaming's state-schema compatibility check REFUSES to
+  * restart a pre-r18 funnel checkpoint against this class (and with
+  * the check disabled the old 2-field rows would mis-decode) — there
+  * is no in-place migration because the old state never recorded the
+  * max-seen stamp. Upgrading a running funnel stream requires a NEW
+  * checkpoint directory; re-reading the source from an earlier offset
+  * rebuilds equivalent state (the fold is deterministic), minus any
+  * source retention that has already aged out. The default value here
+  * only covers fresh Scala construction, not checkpoint decode. */
 private[streaming] case class FunnelState(stage: Int, lastMs: Long,
     seenMs: Long = Long.MinValue)
 
@@ -249,7 +262,12 @@ object EventStreams {
     * lag can still advance the funnel but one behind the watermark
     * cannot — where the `None` configuration would still have
     * advanced on it. Size the watermark lag, not just the TTL, to
-    * the lateness the report must absorb. */
+    * the lateness the report must absorb.
+    *
+    * UPGRADE NOTE: restarting from a checkpoint written before r18
+    * fails the state-schema check — see [[FunnelState]] (new
+    * checkpoint required; the same applies to
+    * [[funnelCountsStream]]). */
   def funnelStream(
       spark: SparkSession,
       events: Dataset[Event],

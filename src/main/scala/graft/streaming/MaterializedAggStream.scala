@@ -58,8 +58,8 @@ object MaterializedAggStream {
     // dataframe-column references would be an ambiguous self-join
     val curKeys = current.select(groupCols.map(col): _*).as("__cur")
     val drained = curKeys.join(updated.as("__upd"),
-      groupCols.map(c =>
-        col(s"__cur.$c") <=> col(s"__upd.$c")).reduce(_ && _),
+      groupCols.map(c => StateOps.aliasedCol("__cur", c) <=>
+        StateOps.aliasedCol("__upd", c)).reduce(_ && _),
       "left_anti")
     view.applyDeltaOnceForBatch(batchId, streamScope,
       upserts = updated, deleteKeys = drained, keys = groupCols)

@@ -299,4 +299,49 @@ class JdbcStateTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxDriverRows"))
   }
+
+  test("jdbc state: BINARY keys dedup by CONTENT, not reference — duplicate byte keys keep-last instead of colliding") {
+    // Row.get on a BinaryType column yields Array[Byte] (referential
+    // equals/hashCode): pre-fix, two rows with the same byte key both
+    // survived the driver-side keep-last dedup and collided as a
+    // duplicate insert on the delete+insert dialect; and the
+    // deterministic lock-order sort keyed on String.valueOf rendered
+    // an identity hash (JVM-run-dependent order)
+    val dir = Files.createTempDirectory("graft-jdbc-binkey").toString
+    val url = s"jdbc:duckdb:$dir/bin.db"
+    val cf = new ConnectionFactory {
+      @transient private lazy val anchor: Connection =
+        DriverManager.getConnection(url)
+      def apply(): Connection = { anchor; DriverManager.getConnection(url) }
+    }
+    val schema = StructType(Seq(
+      StructField("fingerprint", BinaryType, nullable = false),
+      StructField("label", StringType, nullable = true)))
+    val t = new JdbcStateTable(spark, "BinKeyed", schema,
+      Seq("fingerprint"), cf, s"$dir/scratch", SqlDialect.DuckDb)
+    t.ensureTables()
+
+    val s = spark
+    import s.implicits._
+    val k1 = Array[Byte](1, 2, 3)
+    val k2 = Array[Byte](9, 9)
+    // the two k1 copies are DISTINCT Array instances with equal content
+    val batch = Seq(
+      (k1.clone(), "first"), (k2, "other"), (k1.clone(), "last"))
+      .toDF("fingerprint", "label")
+    t.merge(batch, Seq("fingerprint"))
+
+    val got = t.read().get.as[(Array[Byte], String)].collect()
+      .map { case (k, v) => (k.toSeq, v) }.toMap
+    assert(got.size == 2, s"duplicate binary keys must keep-last, got $got")
+    assert(got(k1.toSeq) == "last", "within one batch the LAST copy wins")
+    assert(got(k2.toSeq) == "other")
+
+    // a second merge on the same byte key must UPDATE, not collide
+    t.merge(Seq((k1.clone(), "updated")).toDF("fingerprint", "label"),
+      Seq("fingerprint"))
+    val after = t.read().get.as[(Array[Byte], String)].collect()
+      .map { case (k, v) => (k.toSeq, v) }.toMap
+    assert(after(k1.toSeq) == "updated" && after.size == 2)
+  }
 }

@@ -163,4 +163,28 @@ class StateOpsSpec extends SparkSpec {
     assert(canon(StateOps.maintainSumCount(maintained, changes2, Seq("g"), "v")) ==
       Set(("a", 1L, 10L), ("c", 1L, 25L)))
   }
+
+  test("group/key columns whose NAMES contain dots resolve as columns, not nested-field paths") {
+    // the aliased null-safe joins build conditions as col("__agg.<c>");
+    // unquoted, a dotted name parses as a nested path and mis-resolves
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("a", 10L), ("a", 20L), ("b", 5L))
+      .toDF("dim.group", "val.v")
+    val agg0 = StateOps.aggregateShape(rows, Seq("dim.group"), "val.v")
+    val changes = Seq(
+      ("insert", "b", 7L), ("delete", "a", 10L)
+    ).toDF("change_type", "dim.group", "val.v")
+    val maintained =
+      StateOps.maintainSumCount(agg0, changes, Seq("dim.group"), "val.v")
+    assert(maintained.as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 1L, 20L), ("b", 2L, 12L)))
+
+    // deleteIfUnmodified's null-safe anti-join takes the same path
+    val state = Seq(("a", 1L), ("b", 2L)).toDF("id.key", "seq.n")
+    val res = StateOps.deleteIfUnmodified(state,
+      Seq(("a", 1L)).toDF("id.key", "seq.n"))
+    assert(res.newState.as[(String, Long)].collect().toSet == Set(("b", 2L)))
+    assert(res.notRemoved.count() == 0L)
+  }
 }

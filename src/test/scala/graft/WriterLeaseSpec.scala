@@ -303,6 +303,134 @@ class WriterLeaseSpec extends SparkSpec {
       s"readers observed non-published lease bytes: ${bad.peek()}")
   }
 
+  /** HDFS rename semantics over the local FS: refuses an existing
+    * destination, ATOMICALLY (the namenode's linearized rename,
+    * emulated with a lock — POSIX rename(2) would silently replace).
+    * Not a LocalFileSystem subtype, so [[HadoopLeaseStore]] takes its
+    * NON-local branch: the versioned-slot layout under test. */
+  private class HdfsSemanticsFs(inner: org.apache.hadoop.fs.FileSystem)
+      extends org.apache.hadoop.fs.FilterFileSystem(inner) {
+    private val renameLock = new Object
+    override def rename(src: Path, dst: Path): Boolean =
+      renameLock.synchronized {
+        if (fs.exists(dst)) false else fs.rename(src, dst)
+      }
+  }
+
+  private def versionedStore(tag: String): (HadoopLeaseStore, Path,
+      org.apache.hadoop.fs.FileSystem) = {
+    val dir = Files.createTempDirectory(tag).toString
+    val p = new Path(s"$dir/_lease")
+    val fs = new HdfsSemanticsFs(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    (new HadoopLeaseStore(fs, p), p, fs)
+  }
+
+  test("VersionedSlotStore: the non-local branch keeps the full conditional-op matrix (now a version-election CAS)") {
+    val (store, p, fs) = versionedStore("graft-lease-vslot")
+    assert(store.read().isEmpty, "missing slot must read as None")
+    assert(!store.deleteIf("x".getBytes("UTF-8")))
+
+    val v0 = "a\n1\n".getBytes("UTF-8")
+    assert(store.tryCreate(v0))
+    assert(!store.tryCreate("b\n2\n".getBytes("UTF-8")),
+      "create-if-absent must refuse while held")
+    assert(java.util.Arrays.equals(store.read().get, v0))
+
+    val v1 = "b\n2\n".getBytes("UTF-8")
+    assert(!store.replaceIf(v1, v1), "replace of a non-matching value must fail")
+    assert(store.replaceIf(v0, v1))
+    assert(!store.deleteIf(v0), "delete of a non-matching value must fail")
+    assert(store.read().isDefined)
+    assert(!store.takeOver(v0, v1), "takeover of a non-matching value must fail")
+    val v2 = "c\n3\n".getBytes("UTF-8")
+    assert(store.takeOver(v1, v2))
+    assert(java.util.Arrays.equals(store.read().get, v2))
+    // deleteIf publishes a tombstone (never an observable ABSENT);
+    // re-create must then win the NEXT version's election normally
+    assert(store.deleteIf(v2))
+    assert(store.read().isEmpty)
+    val v3 = "d\n4\n".getBytes("UTF-8")
+    assert(store.tryCreate(v3))
+    assert(java.util.Arrays.equals(store.read().get, v3))
+    // GC: a settled slot holds exactly ONE version file (+ nothing else)
+    val names = fs.listStatus(p).map(_.getPath.getName).toSeq
+    assert(names.size == 1 && names.head.matches("v\\d{19}"),
+      s"expected one GC'd version file, got $names")
+  }
+
+  test("VersionedSlotStore: N concurrent breaks of the same stale value elect exactly one winner") {
+    val (store, _, _) = versionedStore("graft-lease-vslot-elect")
+    val stale = "crashed\n0\n".getBytes("UTF-8")
+    assert(store.tryCreate(stale))
+    val n = 8
+    val ready = new java.util.concurrent.CountDownLatch(n)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to n).map(i => new Thread(() => {
+      val mine = s"waiter$i\n5000\n".getBytes("UTF-8")
+      ready.countDown(); go.await()
+      if (store.takeOver(stale, mine)) wins.incrementAndGet()
+      ()
+    }))
+    threads.foreach(_.start())
+    ready.await(); go.countDown()
+    threads.foreach(_.join(10_000))
+    assert(wins.get() == 1,
+      s"exactly one of $n racing version-name elections may win, got ${wins.get()}")
+    val held = new String(store.read().get, "UTF-8")
+    assert(held.startsWith("waiter"), held)
+  }
+
+  test("VersionedSlotStore hammer: a beating holder is NEVER usurped by polling waiters (refresh never passes through ABSENT)") {
+    // the r19 fix in one picture: the old non-local replaceIf was
+    // delete-then-rename, so EVERY heartbeat refresh exposed a window
+    // in which the slot read ABSENT and a polling waiter legitimately
+    // acquired — spurious lease loss mid-commit. The versioned layout
+    // publishes v(n+1) while v(n) still exists; this hammer drives
+    // refresh-vs-acquire cycles down the non-local branch and asserts
+    // no waiter ever gets in and no beat ever reports a loss.
+    val (store, _, _) = versionedStore("graft-lease-vslot-hammer")
+    val lease = new WriterLease(store, "hammer", staleMillis = 60_000L,
+      acquireTimeoutMillis = 150L, pollMillis = 1L)
+    val h = lease.acquire("holder")
+    val lostBeats = new java.util.concurrent.atomic.AtomicInteger(0)
+    val usurpations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var go = true
+    val beater = new Thread(() => {
+      while (go) if (!h.beat()) lostBeats.incrementAndGet()
+    })
+    val waiters = (1 to 4).map(i => new Thread(() => {
+      while (go) {
+        try {
+          val w = lease.acquire(s"waiter$i")
+          usurpations.add(s"waiter$i acquired over a live beating holder")
+          w.release()
+        } catch {
+          // the ONLY legal outcome while the holder lives: acquire
+          // times out against a fresh-stamped lease
+          case e: IllegalStateException =>
+            if (!e.getMessage.contains("held by a concurrent writer"))
+              failures.add(e.getMessage)
+        }
+      }
+    }))
+    beater.start(); waiters.foreach(_.start())
+    Thread.sleep(3000)
+    go = false
+    (beater +: waiters).foreach(_.join(10_000))
+    assert(usurpations.isEmpty, String.valueOf(usurpations.peek()))
+    assert(lostBeats.get() == 0,
+      s"${lostBeats.get()} beats reported a lost lease under pure refresh-vs-acquire contention")
+    assert(failures.isEmpty, String.valueOf(failures.peek()))
+    // the holder is still in charge; release frees the slot for real
+    assert(h.beat())
+    h.release()
+    assert(store.read().isEmpty)
+    lease.acquire("after-release").release()
+  }
+
   test("end-to-end: a BucketedStateTable over the CAS store commits and releases cleanly") {
     val s = spark
     import s.implicits._
