@@ -19,6 +19,24 @@ import org.apache.spark.sql.SparkSession
   * documented run-to-run CPU contention of up to +50%, and the min is
   * the standard low-noise estimator of a query's true cost (noise only
   * ever ADDS time). The headline total is the sum of per-query minima.
+  *
+  * Self-describing under SUSTAINED noise (r19): min-of-3 inside a slow
+  * host window still records the slow value with no hint of spread —
+  * BENCH_r18 carried a 10× phantom (`embed_incr_near` 39.46 s vs
+  * 3.93 s isolated, byte-identical resources). Two additions make the
+  * committed record diagnosable without a re-run:
+  *  - `queries` values in BENCH_LOCAL.json are now OBJECTS
+  *    `{"min":…,"median":…,"max":…}` over the trials: a genuine plan
+  *    regression shows min ≈ median ≈ max at the new level, while a
+  *    noise phantom shows max ≫ min (or a min far above the resources-
+  *    identical sibling round) — the spread IS the disposition.
+  *  - the calibration kernel runs every [[SegmentEvery]] queries
+  *    (`calibration.segments`), so capacity drift is localizable to a
+  *    ~40-query window of the sweep instead of smeared across the
+  *    whole run.
+  * Stdout's per-query lines and the final total line are UNCHANGED
+  * (still the min / sum-of-minima) — the driver's parse contract and
+  * cross-round comparability stay intact.
   */
 object Bench {
 
@@ -109,7 +127,19 @@ object Bench {
     }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Interleaved calibration: one kernel leg every SegmentEvery
+    // queries (FULL runs only — and single-trial: the pre leg's
+    // min-of-trials already warmed the kernel), so a capacity dip is
+    // attributable to the ~40-query window it actually covered.
+    val SegmentEvery = 40
+    val calSegments = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), qIdx) =>
+      if (only.isEmpty && qIdx > 0 && qIdx % SegmentEvery == 0) {
+        val c = calibrate(spark, 1)
+        calSegments += c
+        println(s"""{"metric":"calibration","phase":"seg${calSegments.size}","value":$c,"unit":"sec"}""")
+      }
       // (full, build, probe, snapshot): `build` is the time spent INSIDE
       // the query closure — for the incremental-index keys that is the
       // eager seed/ingest of their persistent state tables — and `probe`
@@ -147,15 +177,22 @@ object Bench {
       val (best, bestBuild, bestProbe, bestSnap) =
         if (trialRuns.exists(_._1 < 0)) (-1.0, -1.0, -1.0, trialRuns.last._4)
         else trialRuns.minBy(_._1)
+      // spread across the trials (durable record only): sustained-slow
+      // host windows are diagnosable from min/median/max without an
+      // isolated re-run — see the class doc
+      val fulls = trialRuns.map(_._1).sorted
+      val (qMed, qMax) =
+        if (best < 0) (-1.0, -1.0) else (fulls(fulls.size / 2), fulls.last)
       println(s"""{"metric":"query","name":"$name","value":$best,"unit":"sec"}""")
-      (name, best, bestBuild, bestProbe, bestSnap)
+      (name, best, qMed, qMax, bestBuild, bestProbe, bestSnap)
     }
     // The headline total covers the PASSING queries so one red query
     // can't zero out the whole artifact; `failed` rides alongside so a
     // run missing its slowest queries can never masquerade as a healthy
     // speedup (consumers must treat failed>0 as incomparable).
     val failed = results.filter(_._2 < 0).map(_._1)
-    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    val total = results.collect {
+      case (_, v, _, _, _, _, _) if v >= 0 => v }.sum
 
     // Host calibration, leg 2: the same fixed kernel after the sweep.
     // pre/post disagreement IS the within-run host drift; the min of
@@ -164,8 +201,12 @@ object Bench {
     if (only.isEmpty)
       println(s"""{"metric":"calibration","phase":"post","value":$calPost,"unit":"sec"}""")
     val cal = math.min(calPre, calPost)
+    // interior segment legs ride in the durable record: pre, seg1..segN
+    // (one per SegmentEvery queries, in sweep order), post — a drift is
+    // localizable to the window between two adjacent legs
+    val segJson = calSegments.map(v => s"$v").mkString("[", ",", "]")
     val calJson =
-      s"""{"pre_s":$calPre,"post_s":$calPost,"value":$cal,"unit":"sec"}"""
+      s"""{"pre_s":$calPre,"post_s":$calPost,"value":$cal,"segment_every":$SegmentEvery,"segments":$segJson,"unit":"sec"}"""
 
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val totalLine =
@@ -179,20 +220,21 @@ object Bench {
     // sbt), committed per round, so regressions can be diffed without
     // tail archaeology.
     val queriesJson = results
-      .map { case (n, v, _, _, _) => s""""$n":$v""" }
+      .map { case (n, v, med, mx, _, _, _) =>
+        s""""$n":{"min":$v,"median":$med,"max":$mx}""" }
       .mkString("{", ",", "}")
     // Resource record per query (shuffle read/write, mem/disk spill from
     // the fastest trial) rides in a PARALLEL map so existing consumers
     // of the numeric "queries" map keep parsing unchanged.
     val metricsJson = results
-      .map { case (n, _, _, _, snap) => s""""$n":${snap.json}""" }
+      .map { case (n, _, _, _, _, _, snap) => s""""$n":${snap.json}""" }
       .mkString("{", ",", "}")
     // Phase split per query (same trial as the headline number): build_s
     // = time inside the query closure (index seed/ingest for the
     // incremental keys), probe_s = materializing the returned frame.
     // A third parallel map — the numeric "queries" contract is untouched.
     val phasesJson = results
-      .map { case (n, _, b, p, _) =>
+      .map { case (n, _, _, _, b, p, _) =>
         s""""$n":{"build_s":$b,"probe_s":$p}""" }
       .mkString("{", ",", "}")
     // failed/failed_names ride in the durable record too: the committed

@@ -1883,6 +1883,65 @@ class BucketedStateTable(
         spark.read.format(format).load(outPath).count()
     }
 
+  /** Adopt an existing plain-columnar snapshot directory as this
+    * table's CREATING commit — the import half of the §7.6 migration
+    * contract ([[exportTo]] is the out-bridge; the reference's
+    * deployment equivalently assumes pre-populated state tables,
+    * `createSequencesAndTablesProductionDB.sql:19-89`). The foreign
+    * rows are hash-bucketed into THIS handle's layout (one shuffle on
+    * the bucket hash), written per bucket sorted by key, and published
+    * as one manifest; afterwards the directory at `inPath` is
+    * independent history — the table owns its own copy, so deleting
+    * the import source never touches the adopted state. With
+    * `analyzeAfter = true` (requires a `statsCols` handle) an ANALYZE
+    * pass retrofits zone-map bounds in a metadata-only second commit,
+    * so point-lookup bucket pruning works from the first post-import
+    * read.
+    *
+    * Creating-commit only, same discipline as [[createExclusive]]: a
+    * table that already committed refuses loudly (merge into it
+    * instead — an unconditional adopt would silently replace live
+    * state). The snapshot must carry every key column; extra columns
+    * import as payload; rows are adopted VERBATIM, including any
+    * duplicate keys — dedup the source first if it is not keyed (a
+    * later merge resolves duplicates last-write-wins per its own
+    * contract, but the imported snapshot itself is not deduped).
+    * Returns the adopted row count.
+    *
+    * 100 TB: one full-snapshot shuffle + write — the unavoidable
+    * one-time price of re-bucketing foreign data; every later
+    * incremental op is bucket-pruned as usual. Size `numBuckets` for
+    * the imported volume UP FRONT (`numBuckets ≈ bytes /
+    * targetBucketBytes`) — a rebucket right after an import is a
+    * second full rewrite. */
+  def importFrom(inPath: String, format: String = "parquet",
+      analyzeAfter: Boolean = false): Long =
+    BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      if (currentManifest().nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"table at $path already has a committed snapshot — importFrom " +
+            "adopts a foreign snapshot as the CREATING commit only; " +
+            "merge() into the live table instead")
+      require(!analyzeAfter || statsCols.nonEmpty,
+        "importFrom(analyzeAfter = true) needs a handle constructed " +
+          "with statsCols — there is nothing to ANALYZE otherwise")
+      val rows =
+        try spark.read.format(format).load(inPath)
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"importFrom: no readable $format snapshot at $inPath " +
+              "(an empty export has no schema — bootstrap an empty " +
+              "table with createExclusive instead)", e)
+        }
+      val missing = keyCols.filterNot(rows.columns.contains)
+      require(missing.isEmpty,
+        s"imported snapshot at $inPath lacks key column(s) " +
+          s"${missing.mkString(", ")} of table $path")
+      commit(rows, (0 until numBuckets).toSeq)
+      if (analyzeAfter) analyzeStats()
+      read().map(_.count()).getOrElse(0L)
+    } }
+
   private[pipeline] override def tableRoot: Path = root
   private[pipeline] override def fileSystem = fs
 }

@@ -1236,4 +1236,78 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(fired,
       s"the written-outside-dirty guard never fired in $attempt attempts")
   }
+
+  test("§7.6 migration round-trip: exportTo → importFrom adopts the snapshot as commit 1, diff-empty, zone maps populated") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val src = new BucketedStateTable(spark, s"$dir/src",
+      keyCols = Seq("k"), numBuckets = 8, retentionFloorMillis = 0L)
+    val rows = spark.range(5000)
+      .select(concat(lit("k"), col("id")).as("k"), col("id").as("v"),
+        (col("id") % 7).cast("int").as("grp"))
+    src.merge(rows, keys = Seq("k"))
+    // two commits so the export is a real multi-commit snapshot
+    src.merge(Seq(("k42", -42L, 0), ("kNEW", 1L, 1)).toDF("k", "v", "grp"),
+      keys = Seq("k"))
+    val exported = src.exportTo(s"$dir/export")
+    assert(exported == 5001L)
+
+    // adopt into a DIFFERENT layout (re-bucketing is the point of the
+    // import) with stats retrofit
+    val dst = new BucketedStateTable(spark, s"$dir/dst",
+      keyCols = Seq("k"), numBuckets = 16, retentionFloorMillis = 0L,
+      statsCols = Seq("k", "v"))
+    val adopted = dst.importFrom(s"$dir/export", analyzeAfter = true)
+    assert(adopted == 5001L)
+
+    // snapshot diff EMPTY both ways (full-tuple)
+    val a = src.read().get
+    val b = dst.read().get
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "imported snapshot must equal the exported one, tuple for tuple")
+
+    // zone maps populated: stats() answers from decoded manifest zone
+    // maps (its fast path marks n_files = -1) for EVERY bucket
+    val st = dst.stats().collect()
+    assert(st.nonEmpty && st.forall(_.getAs[Long]("n_files") == -1L),
+      s"ANALYZE retrofit must leave every bucket zone-mapped, got ${st.mkString(";")}")
+
+    // a second import refuses — the live state must never be replaced
+    intercept[java.util.ConcurrentModificationException] {
+      dst.importFrom(s"$dir/export")
+    }
+    // and incremental life continues normally on the adopted table
+    dst.merge(Seq(("k42", 999L, 0)).toDF("k", "v", "grp"), keys = Seq("k"))
+    assert(dst.read().get.filter(col("k") === "k42")
+      .select("v").as[Long].head() == 999L)
+  }
+
+  test("importFrom refuses a key-less snapshot, a stats request without statsCols, and an empty export") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    Seq((1L, "x")).toDF("id", "payload").write.parquet(s"$dir/foreign")
+
+    val t = new BucketedStateTable(spark, s"$dir/t",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L)
+    val e1 = intercept[IllegalArgumentException] {
+      t.importFrom(s"$dir/foreign")
+    }
+    assert(e1.getMessage.contains("lacks key column"))
+
+    val e2 = intercept[IllegalArgumentException] {
+      t.importFrom(s"$dir/foreign", analyzeAfter = true)
+    }
+    assert(e2.getMessage.contains("statsCols"))
+
+    // an empty export directory (empty-table exportTo) has no schema
+    val empty = new BucketedStateTable(spark, s"$dir/empty",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L)
+    assert(empty.exportTo(s"$dir/export-empty") == 0L)
+    val e3 = intercept[IllegalArgumentException] {
+      t.importFrom(s"$dir/export-empty")
+    }
+    assert(e3.getMessage.contains("createExclusive"))
+  }
 }
