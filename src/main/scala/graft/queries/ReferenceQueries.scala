@@ -76,6 +76,33 @@ object ReferenceQueries {
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
 
+    // ── Skew-heavy multi-join (TPC-H Q9 shape, sans partsupp — the
+    // testdata carries no ps_supplycost, so profit reduces to the
+    // revenue term; the join graph is the point: a filtered part dim
+    // and the full supplier/nation dims BROADCAST, so the only
+    // shuffle join is lineitem⋈orders on the fact key. At 100 TB the
+    // same plan holds: dims are orders-of-magnitude below the
+    // broadcast threshold, the fact-fact join shuffles once on
+    // l_orderkey, and per-(nation, year) aggregation map-side
+    // combines before the final exchange. ──────────────────────────
+    "q9_product_type_profit" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_name").contains("red"))
+      val sup = Tables.supplier(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val n = Tables.nation(s, dir)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_profit_cents"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
     // ── F1: anchored-regex record filter ─────────────────────────────────
     "f1_filter_qucosa_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -681,6 +708,19 @@ object ReferenceQueries {
         | JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
+    "q9_product_type_profit" ->
+      """SELECT n_name AS nation,
+        | CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_profit_cents,
+        | CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
 
     "f1_filter_qucosa_id" ->
       """SELECT doc_id, record_identifier FROM (

@@ -32,6 +32,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q9: part/supplier/nation dims broadcast, only the fact-fact join shuffles, no cartesian") {
+    val p = plan("q9_product_type_profit")
+    // three dimension joins broadcast (part is filter-shrunk, supplier
+    // and nation are small); lineitem⋈orders is the one legitimate
+    // shuffle join
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q9 fell back to a product\n$p")
+    // the p_name filter reaches the part scan (no full-part broadcast)
+    assert(p.contains("StringContains(p_name,red)"), p)
+    // per-(nation, year) aggregate combines map-side before the exchange
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("d1: full-tuple conditional delete plans as a broadcast anti-join") {
     val p = plan("d1_delete_if_unmodified")
     assert(p.contains("LeftAnti"))
