@@ -37,9 +37,13 @@ object ScaleProbe {
     "corpus_decontaminate_semantic" -> ("linear: the benchmark (every 40th vector) grows " +
       "with the corpus but stays broadcast-small; the corpus side is a narrow bucket map + " +
       "broadcast candidate join + broadcast anti join — zero corpus shuffles either leg"),
-    "ann_pq_topk" -> ("linear: codebooks train on a BOUNDED sample (trainLimit rows — " +
-      "constant work); corpus coding and the ADC scan are per-row kernels; the query " +
-      "set is fixed, so per-query cost grows only with corpus rows"),
+    "ann_pq_topk" -> ("N-SQUARED BY PROBE CONSTRUCTION, linear per query: this key's " +
+      "query set is every 50th vector, so BOTH sides grow N-fold and the ADC stage " +
+      "is (corpus x queries) slim rows - the salted top-k absorbs the pair blowup " +
+      "with bounded memory (spills, never OOM; wall grew 4.7x at 30x against a 900x " +
+      "pair count). Codebooks train on a BOUNDED sample (constant work); with a " +
+      "production FIXED query set the same plan is corpus-linear - see ann_ivf_topk " +
+      "(fixed 8-id queries) for the fixed-query measurement"),
     "ann_pq_refined" -> ("linear: same bounded-train + linear ADC scan as ann_pq_topk; " +
       "the exact-rerank leg re-scores a FIXED candidate count per query (broadcast " +
       "fetch), so refinement adds O(queries x candidates) constant work"),
@@ -83,6 +87,17 @@ object ScaleProbe {
     "dedup_containment" -> ("linear: winnow fingerprints are copy-disjoint under the " +
       "token salt, so candidate pairs stay per-copy (df-capped at 8); the verify is one " +
       "fused kernel call per candidate - no per-pair array materialization"),
+    "dedup_minhash_lsh" -> ("linear: banded minhash signatures are one narrow kernel " +
+      "map per document; candidate pairs form ONLY inside equal (band, band_hash) " +
+      "buckets, which are copy-disjoint under the token salt, so candidates stay " +
+      "per-copy (never all-pairs); verify is one fused jaccard kernel per candidate"),
+    "ann_ivf_topk" -> ("linear: centroids train on a BOUNDED sample (constant work); " +
+      "list assignment is a narrow per-row map; the fixed query set probes nprobe " +
+      "lists whose sizes grow with the corpus - per-query scan cost is corpus-linear " +
+      "with no all-pairs term"),
+    "corpus_global_shuffle" -> ("linear: ONE full-corpus exchange on a uniform " +
+      "per-row hash - shuffle bytes grow with row count; the key is uniform by " +
+      "construction so no reducer skews, and nothing collects to the driver"),
     "corpus_pack_bins" -> ("linear: one narrow token-count map + one shard exchange + " +
       "an O(1)-memory sequential pass per shard; rows carry (id, shard, n_tokens) only, " +
       "never text, and parallelism is the shard count (a free parameter)"),
@@ -166,7 +181,13 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val copies = sys.env.getOrElse("SPARK_GRAFT_PROBE_COPIES", "10").toInt.max(2)
+    // one octave ("10") or several ("10,30"): multi-octave runs measure
+    // the TREND (1x -> 10x -> 30x) in one artifact, so a superlinear
+    // term shows as a growing ratio-per-copy instead of hiding inside a
+    // single pairwise ratio
+    val octaves = sys.env.getOrElse("SPARK_GRAFT_PROBE_COPIES", "10")
+      .split(",").map(_.trim.toInt).filter(_ >= 2).distinct.sorted.toSeq
+    require(octaves.nonEmpty, "SPARK_GRAFT_PROBE_COPIES must name at least one N >= 2")
     val trials = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIALS", "2").toInt.max(1)
     // SPARK_GRAFT_PROBE_ONLY=a,b restricts to named queries (deeper-
     // octave runs on a tail subset); SPARK_GRAFT_PROBE_OUT renames the
@@ -193,31 +214,40 @@ object ScaleProbe {
 
     val root = java.nio.file.Files.createTempDirectory("graft-probe-").toString
     val dir1 = s"$root/x1"
-    val dirN = s"$root/x$copies"
     materialize(spark, sfDir, dir1, 1)
-    materialize(spark, sfDir, dirN, copies)
+    val dirsN = octaves.map { n =>
+      val d = s"$root/x$n"
+      materialize(spark, sfDir, d, n)
+      n -> d
+    }
 
     // warmup so leg-1 queries do not pay first-use classloading
     SparkEntry.queries("dedup_exact")(spark, dir1)
       .write.format("noop").mode("overwrite").save()
 
     val leg1 = runLeg(spark, metrics, dir1, trials, selected)
-    val legN = runLeg(spark, metrics, dirN, trials, selected)
+    val legsN = dirsN.map { case (n, d) =>
+      n -> runLeg(spark, metrics, d, trials, selected)
+    }
 
+    // Locale.ROOT: the f-interpolator uses the JVM default locale and
+    // a comma decimal separator would corrupt the JSON artifact
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val rows = selected.map { case (name, expected) =>
       val (s1, m1) = leg1(name)
-      val (sN, mN) = legN(name)
-      val ratio = if (s1 > 0) sN / s1 else -1.0
-      // Locale.ROOT: the f-interpolator uses the JVM default locale and
-      // a comma decimal separator would corrupt the JSON artifact
-      def num(v: Double, digits: Int): String =
-        String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-      s""""$name":{"sec_1x":${num(s1, 3)},"sec_${copies}x":${num(sN, 3)},""" +
-        s""""time_ratio":${num(ratio, 2)},"resources_1x":${m1.json},""" +
-        s""""resources_${copies}x":${mN.json},"expected":"${expected.replace("\"", "'")}"}"""
+      val perOctave = legsN.map { case (n, leg) =>
+        val (sN, mN) = leg(name)
+        val ratio = if (s1 > 0 && sN >= 0) sN / s1 else -1.0
+        s""""sec_${n}x":${num(sN, 3)},"ratio_${n}x":${num(ratio, 2)},""" +
+          s""""resources_${n}x":${mN.json}"""
+      }.mkString(",")
+      s""""$name":{"sec_1x":${num(s1, 3)},"resources_1x":${m1.json},""" +
+        s"""$perOctave,"expected":"${expected.replace("\"", "'")}"}"""
     }
+    val octJson = octaves.mkString("[", ",", "]")
     val json =
-      s"""{"base_sf_dir":"$sfDir","copies":$copies,"trials":$trials,""" +
+      s"""{"base_sf_dir":"$sfDir","copies":$octJson,"trials":$trials,""" +
         s""""note":"N-times corpus = per-copy token-salted documents / circular-shifted embeddings with id stride 10000000; 1x leg is copy 0 of the same transformation","queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       (json + "\n").getBytes("UTF-8"))

@@ -445,15 +445,49 @@ object StateScaleProbe {
     val zmap1 = zonemapLeg("x1", 1)
     val zmapN = zonemapLeg(s"x$copies", copies)
 
+    // ── leg 7: §7.6 migration round-trip at table scale ───────────────
+    // exportTo writes one consistent columnar snapshot; importFrom
+    // adopts it as commit 1 of a FRESH table under a DIFFERENT layout
+    // (re-bucket 256 -> 128) with the ANALYZE zone-map retrofit. Both
+    // sides are one full-snapshot pass — the one-time migration price —
+    // so expected ~row-linear with zero spill; the full-tuple diff
+    // parity proves the adopted state byte-equals the source.
+    def migrationLeg(tag: String): String = {
+      val srcRoot = s"$scratch/zmap_$tag" // zonemapLeg's table, populated
+      val t = new BucketedStateTable(spark, srcRoot,
+        keyCols = Seq("doc_id"), numBuckets = 256,
+        keepCommits = 5, retentionFloorMillis = 0L,
+        statsCols = Seq("updated_at"))
+      val (exRows, exSec, exSnap) = timed { t.exportTo(s"$scratch/export_$tag") }
+      val dst = new BucketedStateTable(spark, s"$scratch/import_$tag",
+        keyCols = Seq("doc_id"), numBuckets = 128,
+        retentionFloorMillis = 0L, statsCols = Seq("updated_at"))
+      val (imRows, imSec, imSnap) = timed {
+        dst.importFrom(s"$scratch/export_$tag", analyzeAfter = true)
+      }
+      require(exRows == imRows,
+        s"migration leg $tag: exported $exRows rows but adopted $imRows")
+      val a = t.read().get
+      val b = dst.read().get
+      val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+      require(diff == 0L, s"migration leg $tag: round-trip diff $diff rows")
+      s""""$tag":{"rows":$exRows,"export_sec":${num(exSec)},""" +
+        s""""import_sec":${num(imSec)},"export_resources":${exSnap.json},""" +
+        s""""import_resources":${imSnap.json},"diff_rows":$diff}"""
+    }
+    val mig1 = migrationLeg("x1")
+    val migN = migrationLeg(s"x$copies")
+
     val json =
       s"""{"base_sf_dir":"$sfDir","vol_factor":$volFactor,"copies":$copies,""" +
-        s""""note":"leg cdc_volume: FIXED corpus ($nDocs docs, 64 buckets), change volume grows - prices changesBetween rewritten-bucket reads and maintainSumCount group-delta shuffle by CHANGED rows; leg sql_dml: fixed 16-key MERGE/UPDATE/DELETE vs a table grown by divergent copies (256 buckets) - manifest pointer diff counts the rewritten buckets; leg coalesce_at_scale: the inverse relayout priced like split_at_scale; leg feed_backlog: a 24-commit backlog drained with maxCommitsPerTrigger=4 vs uncapped - the cap bounds the peak batch at modest wall cost; leg zonemap_prune: manifest zone maps (statsCols=updated_at) - a freshness scan plans only the buckets touched since T and a key point lookup hash-prunes to 1 of 256, against full scans of the same table",""" +
+        s""""note":"leg cdc_volume: FIXED corpus ($nDocs docs, 64 buckets), change volume grows - prices changesBetween rewritten-bucket reads and maintainSumCount group-delta shuffle by CHANGED rows; leg sql_dml: fixed 16-key MERGE/UPDATE/DELETE vs a table grown by divergent copies (256 buckets) - manifest pointer diff counts the rewritten buckets; leg coalesce_at_scale: the inverse relayout priced like split_at_scale; leg feed_backlog: a 24-commit backlog drained with maxCommitsPerTrigger=4 vs uncapped - the cap bounds the peak batch at modest wall cost; leg zonemap_prune: manifest zone maps (statsCols=updated_at) - a freshness scan plans only the buckets touched since T and a key point lookup hash-prunes to 1 of 256, against full scans of the same table; leg migration_roundtrip: exportTo then importFrom (re-bucket 256 to 128, ANALYZE retrofit) priced at 1x and Nx with full-tuple diff parity - the one-time full-snapshot migration cost",""" +
         s""""cdc_volume":{$cdc1,$cdcN},"sql_dml":{$dml1,$dmlN},""" +
         s""""split_at_scale":{$split1,$splitN},""" +
         s""""coalesce_at_scale":{$coal1,$coalN},""" +
         s""""feed_backlog":{$backlog1,$backlogN},""" +
         s""""feed_rowcap_drain":{$rowcap},""" +
-        s""""zonemap_prune":{$zmap1,$zmapN}}"""
+        s""""zonemap_prune":{$zmap1,$zmapN},""" +
+        s""""migration_roundtrip":{$mig1,$migN}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("SCALE_PROBE_CDC_VOL.json"),
       (json + "\n").getBytes("UTF-8"))

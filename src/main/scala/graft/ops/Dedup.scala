@@ -67,28 +67,54 @@ object Dedup {
     // ReuseExchange — measured, converting this to persist+probe
     // regressed the query 17–50% at sf0.1. The window-carried
     // occupancy stays.
+    //
+    // The self-join rides SLIM rows — (__id, band, band_hash, groups),
+    // never __sig (r19, SCALE_PROBE_BATCH): carrying the 512-byte
+    // signatures through the occupancy window and both join exchanges
+    // tripled shuffle bytes at 30× corpus, and Catalyst's
+    // post-explode row estimate broadcast the signature-carrying side
+    // at GB scale (a driver OOM at real volume). Candidates are
+    // LSH-bounded and tiny, so the signatures are fetched AFTER the
+    // pair set exists: two id-keyed joins against a per-doc signature
+    // projection (the kernel recomputes per consumer — a narrow map,
+    // no exchange — which measures cheaper than shuffling sigs
+    // per-band). The merge hint keeps the self-join a shuffle join
+    // regardless of stats: neither side of a corpus-scale self-join
+    // may ever be broadcast.
     val banded = bandedSignatures(df, idCol, textCol, shingleLen, bands, rowsPerBand)
     val w = Window.partitionBy("band", "band_hash")
     val grouped = banded
+      .select(col("__id"), col("band"), col("band_hash"))
       .withColumn("__ngroups",
         greatest(lit(1L), ceil(count(lit(1)).over(w) / maxBucketSize)).cast("int"))
       .withColumn("__g", pmod(xxhash64(col("__id")), col("__ngroups")).cast("int"))
     val l = grouped.select(col("band").as("__bandl"), col("band_hash").as("__bhl"),
       col("__g").as("__gll"),
       explode(sequence(col("__g"), col("__ngroups") - 1)).as("__grl"),
-      col("__id").as("__aid"), col("__sig").as("a_sig"))
+      col("__id").as("__aid"))
     val r = grouped.select(col("band").as("__bandr"), col("band_hash").as("__bhr"),
       explode(sequence(lit(0), col("__g"))).as("__glr"),
       col("__g").as("__grr"),
-      col("__id").as("__bid"), col("__sig").as("b_sig"))
-    l.join(r, col("__bandl") === col("__bandr") && col("__bhl") === col("__bhr") &&
+      col("__id").as("__bid"))
+    val cand = l.hint("merge")
+      .join(r, col("__bandl") === col("__bandr") && col("__bhl") === col("__bhr") &&
         col("__gll") === col("__glr") && col("__grl") === col("__grr"))
       .filter(col("__aid") =!= col("__bid"))
       .select(least(col("__aid"), col("__bid")).as("a_id"),
-        greatest(col("__aid"), col("__bid")).as("b_id"),
+        greatest(col("__aid"), col("__bid")).as("b_id"))
+      .distinct()
+    val sigs = Balance.widen(df.filter(col(textCol).isNotNull))
+      .select(col(idCol).as("__sid"),
+        minhashSignature(col(textCol), shingleLen, bands * rowsPerBand)
+          .as("__fsig"))
+    cand
+      .join(sigs.select(col("__sid").as("a_id"), col("__fsig").as("a_sig")),
+        Seq("a_id"))
+      .join(sigs.select(col("__sid").as("b_id"), col("__fsig").as("b_sig")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
         round(call_function("graft_sig_agree", col("a_sig"), col("b_sig")), 6)
           .as("est_jaccard"))
-      .distinct()
   }
 
   /** All (left row, right row) pairs sharing `keys`, via a BIPARTITE
