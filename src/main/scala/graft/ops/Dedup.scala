@@ -376,7 +376,12 @@ object Dedup {
       explode(sequence(lit(0), col("__g"))).as("__glr"),
       col("__g").as("__grr"),
       col("__id").as("__bid"), col("__sh").as("b_sh"))
-    l.join(r, col("__bandl") === col("__bandr") && col("__bhl") === col("__bhr") &&
+    // merge hint, same reason as minhashLshPairs (r19): the sides here
+    // are slim (the hash is one long, unlike minhash's 512-byte sigs),
+    // but Catalyst's post-explode row estimate can still elect to
+    // BROADCAST a corpus-scale side — a driver-size hazard at volume
+    l.hint("merge")
+      .join(r, col("__bandl") === col("__bandr") && col("__bhl") === col("__bhr") &&
         col("__gll") === col("__glr") && col("__grl") === col("__grr"))
       .filter(col("__aid") =!= col("__bid"))
       .select(least(col("__aid"), col("__bid")).as("a_id"),
