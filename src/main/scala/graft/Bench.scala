@@ -181,8 +181,16 @@ object Bench {
       // host windows are diagnosable from min/median/max without an
       // isolated re-run — see the class doc
       val fulls = trialRuns.map(_._1).sorted
-      val (qMed, qMax) =
-        if (best < 0) (-1.0, -1.0) else (fulls(fulls.size / 2), fulls.last)
+      // true median for even trial counts (average of the two middle
+      // values): with trials=2 the upper-middle form would always
+      // report median == max, making every noise phantom read as a
+      // flat elevated spread — the exact ambiguity the field exists
+      // to resolve
+      val qMed =
+        if (best < 0) -1.0
+        else if (fulls.size % 2 == 1) fulls(fulls.size / 2)
+        else (fulls(fulls.size / 2 - 1) + fulls(fulls.size / 2)) / 2.0
+      val qMax = if (best < 0) -1.0 else fulls.last
       println(s"""{"metric":"query","name":"$name","value":$best,"unit":"sec"}""")
       (name, best, qMed, qMax, bestBuild, bestProbe, bestSnap)
     }

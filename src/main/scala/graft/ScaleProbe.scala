@@ -186,8 +186,12 @@ object ScaleProbe {
     // term shows as a growing ratio-per-copy instead of hiding inside a
     // single pairwise ratio
     val octaves = sys.env.getOrElse("SPARK_GRAFT_PROBE_COPIES", "10")
-      .split(",").map(_.trim.toInt).filter(_ >= 2).distinct.sorted.toSeq
-    require(octaves.nonEmpty, "SPARK_GRAFT_PROBE_COPIES must name at least one N >= 2")
+      .split(",").map(_.trim.toInt).distinct.sorted.toSeq
+    // fail loudly on ANY invalid entry — silently dropping a typo'd
+    // octave would ship an artifact that LOOKS complete but is missing
+    // a requested leg
+    require(octaves.nonEmpty && octaves.forall(_ >= 2),
+      s"SPARK_GRAFT_PROBE_COPIES entries must all be >= 2, got $octaves")
     val trials = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIALS", "2").toInt.max(1)
     // SPARK_GRAFT_PROBE_ONLY=a,b restricts to named queries (deeper-
     // octave runs on a tail subset); SPARK_GRAFT_PROBE_OUT renames the

@@ -146,8 +146,8 @@ object StateOps {
         df.schema.fields.find(_.name == f.name) match {
           case Some(old)
               if sameTypeIgnoringNullability(old.dataType, f.dataType) =>
-            col(f.name)
-          case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+            qcol(f.name)
+          case Some(_) => qcol(f.name).cast(f.dataType).as(f.name)
           case None => lit(null).cast(f.dataType).as(f.name)
         }
       }: _*)
@@ -212,10 +212,10 @@ object StateOps {
       // (null keys group together): a legitimately-null-keyed row must
       // preserve its widened columns exactly like any other
       val curVals = cur.select(
-        (keys.map(c => col(c).as(s"__pres_$c")) ++
-          missing.map(f => col(f.name))).toIndexedSeq: _*)
+        (keys.map(c => qcol(c).as(s"__pres_$c")) ++
+          missing.map(f => qcol(f.name))).toIndexedSeq: _*)
       val preserved = updates.join(curVals,
-          keys.map(c => col(c) <=> col(s"__pres_$c")).reduce(_ && _), "left")
+          keys.map(c => qcol(c) <=> qcol(s"__pres_$c")).reduce(_ && _), "left")
         .drop(keys.map("__pres_" + _): _*)
       (cur, alignForWidening(preserved, target, what))
     }
@@ -242,8 +242,8 @@ object StateOps {
     require(keys.nonEmpty, "mergeByKey needs at least one key column")
     val all = state.withColumn(SrcCol, lit(0))
       .unionByName(updates.withColumn(SrcCol, lit(1)))
-    val ordering = (col(SrcCol).desc +: versionCols.map(col(_).desc))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    val ordering = (col(SrcCol).desc +: versionCols.map(qcol(_).desc))
+    val w = Window.partitionBy(keys.map(qcol): _*).orderBy(ordering: _*)
     all.withColumn(RnCol, row_number().over(w))
       .filter(col(RnCol) === 1)
       .drop(RnCol, SrcCol)
@@ -255,8 +255,8 @@ object StateOps {
       df: DataFrame,
       keys: Seq[String],
       orderDescCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(orderDescCols.map(col(_).desc): _*)
+    val w = Window.partitionBy(keys.map(qcol): _*)
+      .orderBy(orderDescCols.map(qcol(_).desc): _*)
     df.withColumn(RnCol, row_number().over(w))
       .filter(col(RnCol) === 1)
       .drop(RnCol)

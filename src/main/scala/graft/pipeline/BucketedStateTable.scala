@@ -108,6 +108,20 @@ class BucketedStateTable(
   require(numBuckets > 0, "numBuckets must be positive")
   require(bucketCols.forall(keyCols.contains),
     s"bucketCols $bucketCols must be a subset of keyCols $keyCols")
+  // Layout column names are a PERSISTENT contract (manifest lines,
+  // bucket hashing, dirty-bucket probes, the delta feed) built through
+  // many string-composed column refs; a name containing a dot or a
+  // backtick parses as a nested-field path (or breaks quoting) in SOME
+  // of those paths — refuse loudly at construction instead of
+  // half-working. Payload columns may be named anything; StateOps'
+  // pure transforms quote caller names and accept dots.
+  (keyCols ++ bucketCols ++ statsCols).find(c =>
+    c.contains(".") || c.contains("`")).foreach { c =>
+    throw new IllegalArgumentException(
+      s"BucketedStateTable at $path: layout column `$c` contains a dot " +
+        "or backtick — rename the key/bucket/stats column (quote-" +
+        "hazardous names are refused for the persistent layout)")
+  }
 
   /** Columns rows are BUCKETED by — defaults to the full key. A proper
     * subset makes the table an index: rows stay unique per `keyCols`
@@ -1927,11 +1941,18 @@ class BucketedStateTable(
           "with statsCols — there is nothing to ANALYZE otherwise")
       val rows =
         try spark.read.format(format).load(inPath)
-        catch { case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            s"importFrom: no readable $format snapshot at $inPath " +
-              "(an empty export has no schema — bootstrap an empty " +
-              "table with createExclusive instead)", e)
+        catch {
+          // ONLY the no-schema case gets the createExclusive advice —
+          // a wrong format, a corrupt footer, or a missing path must
+          // surface with their real cause, not be misdiagnosed as an
+          // empty export
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition)
+                .exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+            throw new IllegalArgumentException(
+              s"importFrom: the $format snapshot at $inPath has no " +
+                "inferable schema (an empty export has no data files — " +
+                "bootstrap an empty table with createExclusive instead)", e)
         }
       val missing = keyCols.filterNot(rows.columns.contains)
       require(missing.isEmpty,

@@ -79,7 +79,9 @@ class JdbcStateTable(
     case LongType      => "BIGINT"
     case DoubleType    => "DOUBLE PRECISION"
     case TimestampType => "TIMESTAMP"
-    case BinaryType    => "BLOB"
+    // dialect-owned: PostgreSQL spells it BYTEA, DuckDB BLOB — the one
+    // mapping here that is not portable SQL
+    case BinaryType    => dialect.binaryType
     case ArrayType(StringType, _) => "VARCHAR[]"
     case other => throw new IllegalArgumentException(
       s"unsupported state column type $other")

@@ -218,7 +218,9 @@ final class HadoopLeaseStore(fs: FileSystem, path: Path) extends LeaseStore {
   * The property this layout buys over a single overwritten file
   * (HDFS rename refuses an existing destination, forcing
   * delete-then-rename): '''no transition ever passes through an
-  * observable ABSENT state'''. A holder's heartbeat refresh publishes
+  * observable ABSENT state''' (sole exception: the one-time migration
+  * of a pre-r19 single-file slot, see `publish`). A holder's
+  * heartbeat refresh publishes
   * v(n+1) while v(n) still exists; readers take the max, so they see
   * the old value or the new value, never a holderless slot — the
   * pre-r19 window in which a polling waiter could legitimately claim
@@ -237,14 +239,48 @@ final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
 
   private def fileFor(v: Long): Path = new Path(dir, f"v$v%019d")
 
+  /** Pre-r19 layouts left the lease as a single FILE at `dir`; the
+    * versioned layout needs a DIRECTORY there. The legacy value reads
+    * as version 0 (so conditional ops can judge and break it), and the
+    * first publish migrates: it wins a one-time rename-aside election
+    * on the file, then creates the directory. Without this, a live or
+    * crashed old-layout holder would read as ABSENT and every publish
+    * would fail against the occupying file — a permanently wedged slot
+    * after an upgrade. */
+  private def legacyFile(): Option[org.apache.hadoop.fs.FileStatus] =
+    try {
+      val st = fs.getFileStatus(dir)
+      if (st.isFile) Some(st) else None
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  private def readFully(p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
   /** (version, bytes) of the highest published version; None when the
-    * slot directory is missing or holds no version file. Retries when
-    * the top version is GC'd between list and open (progress proof:
-    * each retry means a strictly newer version was published). */
+    * slot directory is missing or holds no version file. A pre-r19
+    * single-file slot reads as version 0. Retries when the top version
+    * is GC'd between list and open (progress proof: each retry means a
+    * strictly newer version was published). */
   private def scan(): Option[(Long, Array[Byte])] = {
     var attempts = 0
     while (attempts < 64) {
       attempts += 1
+      if (legacyFile().isDefined) {
+        try return Some((0L, readFully(dir)))
+        catch {
+          // migrated (renamed aside) between the probe and the read —
+          // the directory layout exists now; rescan
+          case _: java.io.FileNotFoundException => ()
+        }
+      }
       val listed =
         try fs.listStatus(dir)
         catch { case _: java.io.FileNotFoundException => return None }
@@ -256,16 +292,8 @@ final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
         }
       }
       if (top < 0L) return None
-      try {
-        val in = fs.open(fileFor(top))
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](4096)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          return Some((top, buf.toByteArray))
-        } finally in.close()
-      } catch {
+      try return Some((top, readFully(fileFor(top))))
+      catch {
         // GC'd under us — a newer version exists; rescan
         case _: java.io.FileNotFoundException => ()
       }
@@ -277,16 +305,39 @@ final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
         "across 64 scans — extreme churn or a broken store")
   }
 
-  /** Election publish of version `v`: true iff THIS call created it.
-    * A refused rename against an existing destination is the lost
-    * election; any other refusal is a store failure and propagates. */
+  /** Election publish of version `v`: true iff THIS call created it
+    * AND it is still the top version afterwards. A refused rename
+    * against an existing destination is the lost election; any other
+    * refusal is a store failure and propagates.
+    *
+    * The post-win TOP CHECK closes a GC re-win hole: after a holder
+    * publishes v6 then v7, its GC deletes v6 — so a slow writer that
+    * judged at v5 could now create the FREED name v6 and believe it
+    * won, while v7 is the real current version (two holders). A name
+    * can only be re-created after some HIGHER version already exists
+    * (GC deletes strictly below the top, so the top itself never
+    * vanishes without a successor), therefore: top == v after the
+    * rename ⟺ the win is genuine; top > v ⟹ withdraw (the file is
+    * invisible to readers, who take the max) and report the loss. */
   private def publish(v: Long, content: Array[Byte]): Boolean = {
+    // one-time legacy migration (see [[legacyFile]]): win the
+    // rename-aside election on the pre-r19 single-file slot, then lay
+    // the directory down. The migration is the ONLY transition that
+    // passes through an observable ABSENT window — once per upgraded
+    // slot, never per heartbeat.
+    if (legacyFile().isDefined) {
+      val aside = new Path(dir.getParent,
+        s"${dir.getName}.legacy.${java.util.UUID.randomUUID()}")
+      if (!fs.rename(dir, aside)) return false // a racer migrated first
+      try fs.delete(aside, false)
+      catch { case _: java.io.IOException => () } // residue harmless
+    }
     fs.mkdirs(dir)
     val dst = fileFor(v)
     val tmp = new Path(dir, s".v.tmp.${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(content) finally out.close()
-    val won =
+    val renamed =
       try {
         if (fs.rename(tmp, dst)) true
         else if (fs.exists(dst)) false
@@ -297,6 +348,20 @@ final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
         try fs.delete(tmp, false)
         catch { case _: java.io.IOException => () } // residue harmless
       }
+    val won = renamed && {
+      val stillTop = !fs.listStatus(dir).exists(st =>
+        st.getPath.getName match {
+          case VersionName(d) => d.toLong > v
+          case _ => false
+        })
+      if (!stillTop) {
+        // superseded while we raced: our file can never be the max a
+        // reader resolves — withdraw it and lose the election
+        try fs.delete(dst, false)
+        catch { case _: java.io.IOException => () }
+      }
+      stillTop
+    }
     if (won) gcBelow(v)
     won
   }

@@ -39,6 +39,10 @@ trait SqlDialect extends Serializable {
     * the select-then-insert scheme, whose race degrades to an
     * idempotent re-merge. */
   def supportsUniqueIndex: Boolean = true
+  /** DDL type for a BinaryType column — the one portable-looking name
+    * that is NOT portable: PostgreSQL has no BLOB (it is BYTEA), while
+    * DuckDB has no BYTEA spelled that way pre-1.x aliasing. */
+  def binaryType: String = "BYTEA"
 }
 
 object SqlDialect {
@@ -65,6 +69,7 @@ object SqlDialect {
   object DuckDb extends SqlDialect {
     override def upsertByDeleteInsert: Boolean = true
     override def supportsUniqueIndex: Boolean = false
+    override def binaryType: String = "BLOB"
     def arrayPlaceholder: String = "from_json(?, '[\"VARCHAR\"]')"
     def bindStringArray(conn: Connection, ps: PreparedStatement, pos: Int,
         values: Seq[String]): Unit =

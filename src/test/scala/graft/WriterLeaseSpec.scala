@@ -382,6 +382,88 @@ class WriterLeaseSpec extends SparkSpec {
     assert(held.startsWith("waiter"), held)
   }
 
+  test("VersionedSlotStore: a GC-freed version name cannot be re-won — the slow waiter loses, no double holder") {
+    // the r19 review hole: holder H publishes v2 then v3; its GC
+    // deletes v2 — so a waiter W that judged the slot at v1 can now
+    // CREATE the freed name v2 and (pre-fix) believe it won while v3
+    // is the real current version: two holders. The post-win top check
+    // must withdraw W's file and report the loss. Forced
+    // deterministically: a hook on W's first tmp-file create (which
+    // sits exactly between W's scan and W's rename) runs H's two
+    // refreshes through a separate, unhooked store.
+    val dir = Files.createTempDirectory("graft-lease-vslot-gcrace").toString
+    val p = new Path(s"$dir/_lease")
+    val plain = new HdfsSemanticsFs(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    val holderStore = new HadoopLeaseStore(plain, p)
+
+    val a = "holder\n1\n".getBytes("UTF-8")
+    val b = "holder\n2\n".getBytes("UTF-8")
+    val c = "holder\n3\n".getBytes("UTF-8")
+    assert(holderStore.tryCreate(a)) // v1
+
+    @volatile var fired = false
+    val hooked = new HdfsSemanticsFs(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)) {
+      override def create(f: Path,
+          overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream = {
+        if (!fired && f.getName.startsWith(".v.tmp.")) {
+          fired = true
+          // H refreshes twice while W sits between scan and rename:
+          // v2 lands (GC v1), then v3 (GC v2 — freeing the name W
+          // is about to create)
+          assert(holderStore.replaceIf(a, b))
+          assert(holderStore.replaceIf(b, c))
+        }
+        super.create(f, overwrite)
+      }
+    }
+    val waiterStore = new HadoopLeaseStore(hooked, p)
+    assert(!waiterStore.takeOver(a, "waiter\n9\n".getBytes("UTF-8")),
+      "a break that raced two GC'd refreshes must LOSE, not re-win the freed version name")
+    assert(fired, "the interleaving hook must have run")
+    assert(new String(holderStore.read().get, "UTF-8").startsWith("holder\n3"),
+      "the live holder's newest value must survive")
+    // and the withdrawn file is really gone: the holder's next refresh
+    // and release work normally
+    assert(holderStore.replaceIf(c, "holder\n4\n".getBytes("UTF-8")))
+    assert(holderStore.deleteIf("holder\n4\n".getBytes("UTF-8")))
+    assert(holderStore.read().isEmpty)
+  }
+
+  test("VersionedSlotStore: a pre-r19 single-FILE slot reads as the live value and migrates on the first conditional write") {
+    // upgrade path: the old layout left a plain file at <root>/_lease;
+    // the versioned store must neither read it as ABSENT (a waiter
+    // would instantly break a live holder) nor wedge every publish
+    // against the occupying file
+    val dir = Files.createTempDirectory("graft-lease-vslot-legacy").toString
+    val p = new Path(s"$dir/_lease")
+    val fs = new HdfsSemanticsFs(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    val legacy = "oldholder\n0\n".getBytes("UTF-8")
+    val out = fs.create(p, false)
+    try out.write(legacy) finally out.close()
+
+    val store = new HadoopLeaseStore(fs, p)
+    assert(java.util.Arrays.equals(store.read().get, legacy),
+      "the legacy file's value must be visible, not ABSENT")
+    assert(!store.tryCreate("x\n1\n".getBytes("UTF-8")),
+      "create-if-absent must refuse while the legacy value is live")
+
+    // the stale break migrates: rename-aside election, then v1
+    val mine = "newholder\n5\n".getBytes("UTF-8")
+    assert(store.takeOver(legacy, mine))
+    assert(java.util.Arrays.equals(store.read().get, mine))
+    assert(fs.getFileStatus(p).isDirectory,
+      "after migration the slot is the versioned directory layout")
+    // normal life continues on the migrated slot
+    val nxt = "newholder\n6\n".getBytes("UTF-8")
+    assert(store.replaceIf(mine, nxt))
+    assert(store.deleteIf(nxt))
+    assert(store.read().isEmpty)
+    assert(store.tryCreate("again\n7\n".getBytes("UTF-8")))
+  }
+
   test("VersionedSlotStore hammer: a beating holder is NEVER usurped by polling waiters (refresh never passes through ABSENT)") {
     // the r19 fix in one picture: the old non-local replaceIf was
     // delete-then-rename, so EVERY heartbeat refresh exposed a window
