@@ -312,14 +312,14 @@ object StateOps {
       tsCol: String,
       cutoff: org.apache.spark.sql.Column): DataFrame = {
     val MaxCol = "__graft_max_seq"
-    val mx = df.agg(max(col(seqCol)).as(MaxCol))
+    val mx = df.agg(max(qcol(seqCol)).as(MaxCol))
     df.crossJoin(broadcast(mx))
       // NULL-ts rows survive, matching the reference's DELETE form
       // (`ts <= ? AND id != ?` evaluates UNKNOWN on NULL → not
       // deleted): an unparseable datestamp must never be silently
       // expired — a keep-filter without the isNull arm would drop it
-      .filter(col(tsCol) > cutoff || col(tsCol).isNull ||
-        col(seqCol) === col(MaxCol))
+      .filter(qcol(tsCol) > cutoff || qcol(tsCol).isNull ||
+        qcol(seqCol) === col(MaxCol))
       .drop(MaxCol)
   }
 
@@ -331,7 +331,7 @@ object StateOps {
     * one row per partition; no full sort, no shuffle.
     */
   def top1BySeq(df: DataFrame, seqCol: String): DataFrame =
-    df.orderBy(col(seqCol).desc).limit(1)
+    df.orderBy(qcol(seqCol).desc).limit(1)
 
   /** L1/S4 — bounded work batch (`LIMIT 100`;
     * reference `PostgrePersistenceService.java:288-336`). The reference
@@ -354,12 +354,12 @@ object StateOps {
       orderCols: Seq[String]): DataFrame = {
     val MaxCol = "__graft_max_seq"
     graft.util.Logs.quietGlobalWindowWarning()
-    val mx = state.agg(coalesce(max(col(seqCol)), lit(0L)).as(MaxCol))
-    val w = Window.orderBy(orderCols.map(col): _*)
+    val mx = state.agg(coalesce(max(qcol(seqCol)), lit(0L)).as(MaxCol))
+    val w = Window.orderBy(orderCols.map(qcol): _*)
     val numbered = newRows.crossJoin(broadcast(mx))
       .withColumn(seqCol, (col(MaxCol) + row_number().over(w)).cast("long"))
       .drop(MaxCol)
-    state.unionByName(numbered.select(state.columns.map(col).toSeq: _*))
+    state.unionByName(numbered.select(state.columns.map(qcol).toSeq: _*))
   }
 
   /** Incremental view maintenance for a DISTRIBUTIVE aggregate

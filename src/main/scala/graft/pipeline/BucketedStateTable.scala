@@ -110,17 +110,22 @@ class BucketedStateTable(
     s"bucketCols $bucketCols must be a subset of keyCols $keyCols")
   // Layout column names are a PERSISTENT contract (manifest lines,
   // bucket hashing, dirty-bucket probes, the delta feed) built through
-  // many string-composed column refs; a name containing a dot or a
-  // backtick parses as a nested-field path (or breaks quoting) in SOME
-  // of those paths — refuse loudly at construction instead of
-  // half-working. Payload columns may be named anything; StateOps'
-  // pure transforms quote caller names and accept dots.
+  // many string-composed column refs AND a comma-joined newline-
+  // terminated manifest encoding: a dot or backtick mis-parses as a
+  // nested-field path (or breaks quoting), and a comma/newline/CR
+  // makes the manifest's `keyCols=a,b` line parse back as the WRONG
+  // layout (Seq("a,b") and Seq("a","b") are indistinguishable) —
+  // refuse loudly at construction instead of half-working. Payload
+  // columns may be named anything; StateOps' pure transforms quote
+  // caller names and accept dots.
+  private val LayoutUnsafe = Seq('.', '`', ',', '\n', '\r')
   (keyCols ++ bucketCols ++ statsCols).find(c =>
-    c.contains(".") || c.contains("`")).foreach { c =>
+    c.exists(LayoutUnsafe.contains)).foreach { c =>
     throw new IllegalArgumentException(
-      s"BucketedStateTable at $path: layout column `$c` contains a dot " +
-        "or backtick — rename the key/bucket/stats column (quote-" +
-        "hazardous names are refused for the persistent layout)")
+      s"BucketedStateTable at $path: layout column `$c` contains a " +
+        "dot, backtick, comma, or line break — rename the key/bucket/" +
+        "stats column (quote- or manifest-hazardous names are refused " +
+        "for the persistent layout)")
   }
 
   /** Columns rows are BUCKETED by — defaults to the full key. A proper
@@ -1548,9 +1553,10 @@ class BucketedStateTable(
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
       read().foreach { df =>
         import spark.implicits._
-        val maxSeq = df.agg(max(col(seqCol))).first().get(0)
+        val maxSeq = df.agg(max(StateOps.qcol(seqCol))).first().get(0)
         val dirty = df
-          .filter(col(tsCol) <= cutoff && col(seqCol) =!= lit(maxSeq))
+          .filter(StateOps.qcol(tsCol) <= cutoff &&
+            StateOps.qcol(seqCol) =!= lit(maxSeq))
           .select(bucketOf.as("b")).distinct().as[Int].collect().toSeq.sorted
         if (dirty.nonEmpty) {
           val (cur, base) = readBucketsWithBase(dirty, like = df)
@@ -1559,8 +1565,9 @@ class BucketedStateTable(
           // row sharing a bucket with an expired one would vanish
           // nondeterministically by hash placement
           commit(
-            cur.filter(col(tsCol) > cutoff || col(tsCol).isNull ||
-              col(seqCol) === lit(maxSeq)),
+            cur.filter(StateOps.qcol(tsCol) > cutoff ||
+              StateOps.qcol(tsCol).isNull ||
+              StateOps.qcol(seqCol) === lit(maxSeq)),
             dirty, base)
         }
       }

@@ -273,17 +273,23 @@ final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
     var attempts = 0
     while (attempts < 64) {
       attempts += 1
-      if (legacyFile().isDefined) {
-        try return Some((0L, readFully(dir)))
-        catch {
-          // migrated (renamed aside) between the probe and the read —
-          // the directory layout exists now; rescan
-          case _: java.io.FileNotFoundException => ()
-        }
-      }
       val listed =
         try fs.listStatus(dir)
         catch { case _: java.io.FileNotFoundException => return None }
+      // legacy single-file slot: listStatus on a FILE path returns that
+      // file's own status (no extra getFileStatus round-trip per scan —
+      // reads and heartbeats stay one namenode RPC). A version file can
+      // never alias this shape: their names are v-prefixed, not the
+      // slot's own name.
+      if (listed.length == 1 && listed(0).isFile &&
+          listed(0).getPath.getName == dir.getName) {
+        try return Some((0L, readFully(dir)))
+        catch {
+          // migrated (renamed aside) between the list and the read —
+          // the directory layout exists now (or is being laid); rescan
+          case _: java.io.IOException => ()
+        }
+      }
       var top = -1L
       listed.foreach { st =>
         st.getPath.getName match {
@@ -319,16 +325,43 @@ final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
     * vanishes without a successor), therefore: top == v after the
     * rename ⟺ the win is genuine; top > v ⟹ withdraw (the file is
     * invisible to readers, who take the max) and report the loss. */
-  private def publish(v: Long, content: Array[Byte]): Boolean = {
+  private def publish(v: Long, content: Array[Byte],
+      judged: Array[Byte]): Boolean = {
     // one-time legacy migration (see [[legacyFile]]): win the
-    // rename-aside election on the pre-r19 single-file slot, then lay
-    // the directory down. The migration is the ONLY transition that
-    // passes through an observable ABSENT window — once per upgraded
-    // slot, never per heartbeat.
+    // rename-aside election on the pre-r19 single-file slot, VERIFY
+    // the win, then lay the directory down. The migration is the ONLY
+    // transition that passes through an observable ABSENT window —
+    // once per upgraded slot, never per heartbeat. Two post-rename
+    // verifications keep the election honest:
+    //  - the renamed-aside object must be a FILE: a racer that
+    //    migrated between our probe and our rename leaves a LIVE
+    //    versioned DIRECTORY at the slot, and renaming THAT aside
+    //    would destroy the racer's current lease — restore and lose;
+    //  - its bytes must still equal `judged` (what the caller's scan
+    //    observed): a live pre-r19 holder's in-place refresh landing
+    //    between judgment and rename must defeat the break, the same
+    //    value-conditional contract every other transition honors.
     if (legacyFile().isDefined) {
       val aside = new Path(dir.getParent,
         s"${dir.getName}.legacy.${java.util.UUID.randomUUID()}")
       if (!fs.rename(dir, aside)) return false // a racer migrated first
+      val asideIsFile =
+        try fs.getFileStatus(aside).isFile
+        catch { case _: java.io.FileNotFoundException => false }
+      val intact = asideIsFile &&
+        java.util.Arrays.equals(readFully(aside), judged)
+      if (!intact) {
+        // put the slot back exactly as we found it and lose. A failed
+        // restore means a concurrent writer already rebuilt the slot
+        // inside our (tiny) window — surface loudly as a transient
+        // store failure; the manifest basedOn fence backs correctness.
+        if (!fs.rename(aside, dir)) throw new java.io.IOException(
+          s"lease slot $dir: lost migration election AND could not " +
+            s"restore the renamed-aside slot $aside — a concurrent " +
+            "writer rebuilt the slot; manual cleanup of the aside " +
+            "object may be needed")
+        return false
+      }
       try fs.delete(aside, false)
       catch { case _: java.io.IOException => () } // residue harmless
     }
@@ -390,8 +423,9 @@ final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
     requireNonEmpty(content)
     scan() match {
       case Some((_, bytes)) if bytes.nonEmpty => false // held
-      case Some((v, _)) => publish(v + 1, content) // tombstone → elect next
-      case None => publish(1L, content)
+      case Some((v, bytes)) => // tombstone → elect next
+        publish(v + 1, content, judged = bytes)
+      case None => publish(1L, content, judged = Array.emptyByteArray)
     }
   }
 
@@ -403,7 +437,7 @@ final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
     scan() match {
       case Some((v, bytes))
           if bytes.nonEmpty && java.util.Arrays.equals(bytes, expect) =>
-        publish(v + 1, next)
+        publish(v + 1, next, judged = bytes)
       case _ => false
     }
   }
@@ -415,7 +449,7 @@ final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
     scan() match {
       case Some((v, bytes))
           if bytes.nonEmpty && java.util.Arrays.equals(bytes, expect) =>
-        publish(v + 1, Array.emptyByteArray) // published "absent"
+        publish(v + 1, Array.emptyByteArray, judged = bytes) // published "absent"
       case _ => false
     }
 }

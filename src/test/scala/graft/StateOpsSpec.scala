@@ -186,5 +186,47 @@ class StateOpsSpec extends SparkSpec {
       Seq(("a", 1L)).toDF("id.key", "seq.n"))
     assert(res.newState.as[(String, Long)].collect().toSet == Set(("b", 2L)))
     assert(res.notRemoved.count() == 0L)
+
+    // the remaining pure transforms accept dotted payload names too —
+    // the contract the BucketedStateTable layout guard leans on
+    val merged = StateOps.mergeByKey(
+      state, Seq(("a", 9L)).toDF("id.key", "seq.n"),
+      keys = Seq("id.key"), versionCols = Seq("seq.n"))
+    assert(merged.as[(String, Long)].collect().toSet ==
+      Set(("a", 9L), ("b", 2L)))
+    assert(StateOps.dedupLastWriteWins(
+      state.unionByName(Seq(("a", 5L)).toDF("id.key", "seq.n")),
+      Seq("id.key"), Seq("seq.n"))
+      .as[(String, Long)].collect().toSet == Set(("a", 5L), ("b", 2L)))
+    assert(StateOps.top1BySeq(state, "seq.n")
+      .as[(String, Long)].head() == ("b", 2L))
+    val withTs = Seq(("a", 1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")),
+      ("b", 2L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("id.key", "seq.n", "ts.at")
+    assert(StateOps.retentionKeepLatest(withTs, "seq.n", "ts.at",
+        lit("2025-01-01").cast("timestamp"))
+      .select(col("`id.key`")).as[String].collect().toSet == Set("b"))
+    val appended = StateOps.appendWithSeq(
+      withTs.limit(0).select(col("`id.key`"), col("`seq.n`")),
+      Seq(("z", 0L)).toDF("id.key", "seq.n"), "seq.n", Seq("id.key"))
+    assert(appended.as[(String, Long)].collect().toSeq == Seq(("z", 1L)))
+  }
+
+  test("BucketedStateTable refuses quote- or manifest-hazardous LAYOUT column names at construction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout-guard").toString
+    for (bad <- Seq("dim.group", "a,b", "tick`", "nl\ncol")) {
+      val e = intercept[IllegalArgumentException] {
+        new graft.pipeline.BucketedStateTable(spark, s"$dir/t",
+          keyCols = Seq(bad), numBuckets = 4, retentionFloorMillis = 0L)
+      }
+      assert(e.getMessage.contains("layout column"), s"$bad: ${e.getMessage}")
+    }
+    // payload columns with dots ride fine through a real table
+    val s = spark
+    import s.implicits._
+    val t = new graft.pipeline.BucketedStateTable(spark, s"$dir/ok",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L)
+    t.merge(Seq(("a", 1L)).toDF("k", "pay.load"), keys = Seq("k"))
+    assert(t.read().get.select(col("`pay.load`")).as[Long].head() == 1L)
   }
 }
