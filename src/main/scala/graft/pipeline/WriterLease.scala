@@ -286,22 +286,30 @@ final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
         try return Some((0L, readFully(dir)))
         catch {
           // migrated (renamed aside) between the list and the read —
-          // the directory layout exists now (or is being laid); rescan
-          case _: java.io.IOException => ()
+          // the directory layout exists now (or is being laid). Loop
+          // back for a FRESH listing: the stale single-entry list has
+          // no version names and would mis-answer None for a live
+          // slot. Only FileNotFound means "migrated" (open on a
+          // directory throws it on both local FS and HDFS); any other
+          // IOException is a transient store failure and PROPAGATES
+          // per the LeaseStore error contract — a blip must never
+          // read as "absent".
+          case _: java.io.FileNotFoundException => ()
         }
-      }
-      var top = -1L
-      listed.foreach { st =>
-        st.getPath.getName match {
-          case VersionName(d) => val v = d.toLong; if (v > top) top = v
-          case _ => ()
+      } else {
+        var top = -1L
+        listed.foreach { st =>
+          st.getPath.getName match {
+            case VersionName(d) => val v = d.toLong; if (v > top) top = v
+            case _ => ()
+          }
         }
-      }
-      if (top < 0L) return None
-      try return Some((top, readFully(fileFor(top))))
-      catch {
-        // GC'd under us — a newer version exists; rescan
-        case _: java.io.FileNotFoundException => ()
+        if (top < 0L) return None
+        try return Some((top, readFully(fileFor(top))))
+        catch {
+          // GC'd under us — a newer version exists; rescan
+          case _: java.io.FileNotFoundException => ()
+        }
       }
     }
     // pathological churn: surface as the transient-failure arm of the
@@ -345,23 +353,20 @@ final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
       val aside = new Path(dir.getParent,
         s"${dir.getName}.legacy.${java.util.UUID.randomUUID()}")
       if (!fs.rename(dir, aside)) return false // a racer migrated first
-      val asideIsFile =
-        try fs.getFileStatus(aside).isFile
-        catch { case _: java.io.FileNotFoundException => false }
-      val intact = asideIsFile &&
-        java.util.Arrays.equals(readFully(aside), judged)
-      if (!intact) {
-        // put the slot back exactly as we found it and lose. A failed
-        // restore means a concurrent writer already rebuilt the slot
-        // inside our (tiny) window — surface loudly as a transient
-        // store failure; the manifest basedOn fence backs correctness.
-        if (!fs.rename(aside, dir)) throw new java.io.IOException(
-          s"lease slot $dir: lost migration election AND could not " +
-            s"restore the renamed-aside slot $aside — a concurrent " +
-            "writer rebuilt the slot; manual cleanup of the aside " +
-            "object may be needed")
-        return false
-      }
+      // From here until the verified win, ANY failure must put the
+      // slot back before surfacing — a thrown blip after the rename
+      // would otherwise leave the live lease marooned under a UUID
+      // name and the slot reading absent.
+      val intact =
+        try {
+          val asideIsFile =
+            try fs.getFileStatus(aside).isFile
+            catch { case _: java.io.FileNotFoundException => false }
+          asideIsFile && java.util.Arrays.equals(readFully(aside), judged)
+        } catch {
+          case e: java.io.IOException => restoreAside(aside); throw e
+        }
+      if (!intact) { restoreAside(aside); return false }
       try fs.delete(aside, false)
       catch { case _: java.io.IOException => () } // residue harmless
     }
@@ -397,6 +402,37 @@ final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
     }
     if (won) gcBelow(v)
     won
+  }
+
+  /** Undo a migration rename-aside: the slot must currently be ABSENT
+    * for the restore to mean "exactly as we found it" — Hadoop rename
+    * into an EXISTING directory succeeds by NESTING the source inside
+    * it (burying a racer's live slot or the legacy lease), so a
+    * rebuilt slot fails the restore loudly instead; if a racer slips
+    * in between the check and the rename, the nested object is pulled
+    * back out before failing, so nothing is ever silently buried.
+    * Correctness under the loud failure is backed by the manifest
+    * `basedOn` fence, as for every lease anomaly. */
+  private def restoreAside(aside: Path): Unit = {
+    def fail(): Nothing = throw new java.io.IOException(
+      s"lease slot $dir: could not restore the renamed-aside slot " +
+        s"$aside — a concurrent writer rebuilt the slot; manual " +
+        "cleanup of the aside object may be needed")
+    val occupied =
+      try { fs.getFileStatus(dir); true }
+      catch { case _: java.io.FileNotFoundException => false }
+    if (occupied || !fs.rename(aside, dir)) fail()
+    val nested = new Path(dir, aside.getName)
+    val wasNested =
+      try { fs.getFileStatus(nested); true }
+      catch { case _: java.io.FileNotFoundException => false }
+    if (wasNested) {
+      // a racer rebuilt the slot between the check and the rename and
+      // our restore nested into it — pull it back out, then fail loud
+      try fs.rename(nested, aside)
+      catch { case _: java.io.IOException => () }
+      fail()
+    }
   }
 
   /** Best-effort GC of versions `< v` — failures are harmless (readers
