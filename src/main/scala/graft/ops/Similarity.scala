@@ -45,6 +45,13 @@ object Similarity {
     // to the single unsalted partition the salting exists to prevent
     require(k >= 1, s"topKPerQuery needs k >= 1, got $k")
     require(salts >= 1, s"topKPerQuery needs salts >= 1, got $salts")
+    // never silently clobber caller data (the Corpus.requireFresh
+    // stance, same as assignClusters): the two scratch names are
+    // dropped on the way out and "rank" is OVERWRITTEN by the output
+    Seq("__salt", "__lr", "rank").find(scored.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"topKPerQuery: input already carries a `$c` column — rename it " +
+          "first (the reduction writes __salt/__lr/rank itself)"))
     val wLocal = Window.partitionBy(col(qId), col("__salt"))
       .orderBy(col("cos_sim").desc, col(cId))
     val wGlobal = Window.partitionBy(col(qId))
@@ -78,7 +85,12 @@ object Similarity {
       qId: String, qVec: String,
       cId: String, cVec: String,
       k: Int): DataFrame = {
-    val joined = Balance.widen(corpus).crossJoin(broadcast(queries))
+    // narrow the query side BEFORE broadcasting: a payload column
+    // riding next to the embedding (raw text, metadata) would be
+    // broadcast whole and replicated onto every corpus row of the
+    // cross join — only the id and vector are needed here
+    val q = queries.select(col(qId), col(qVec))
+    val joined = Balance.widen(corpus).crossJoin(broadcast(q))
       .select(col(qId), col(cId),
         cosine(col(qVec), col(cVec)).as("cos_sim"))
     topKPerQuery(joined, qId, cId, k)
@@ -103,7 +115,9 @@ object Similarity {
       qId: String, qVec: String, qLabel: String,
       cId: String, cVec: String, cLabel: String,
       k: Int): DataFrame = {
-    val joined = Balance.widen(corpus).crossJoin(broadcast(queries))
+    // narrow before broadcast, same reason as bruteForceTopK
+    val q = queries.select(col(qId), col(qVec), col(qLabel))
+    val joined = Balance.widen(corpus).crossJoin(broadcast(q))
       // NULL-SAFE mismatch: a null-labeled corpus row trivially differs
       // from any labeled query (and vice versa) — the null-unsafe =!=
       // would evaluate NULL there and silently mine zero negatives for
@@ -172,10 +186,14 @@ object Similarity {
       // null-safe: =!= evaluates NULL for a null-id row and would drop
       // every such candidate, not just self-matches
       if (excludeSelf) joined.filter(!(col(cId) <=> col(qId))) else joined
-    // a pair colliding in several bands must score once, not `bands` times
-    val cand = pairs0.dropDuplicates(qId, cId)
+    // a pair colliding in several bands must score once, not `bands`
+    // times — but the dedup exchange rides SLIM (id, id, score) rows:
+    // scoring first costs one cheap kernel call per collision, where
+    // deduplicating first shuffled both full vectors per candidate
+    val cand = pairs0
       .select(col(qId), col(cId),
         cosine(col(qVec), col(cVec)).as("cos_sim"))
+      .dropDuplicates(qId, cId)
     topKPerQuery(cand, qId, cId, k)
       .select(col(qId), col("rank"), col(cId), col("cos_sim"))
   }
@@ -301,9 +319,17 @@ object Similarity {
     if (iterations <= 0) return pqCodebooks(corpus, vecCol, idCol, m, kCodes)
     val train = Balance.widen(corpus)
       // element-null rows would encode to NULL codes (null __ki groups
-      // NPE the driver collect) and MatchError toDoubleSeq in the seed
-      .filter(col(vecCol).isNotNull && !exists(col(vecCol), x => x.isNull))
-      .orderBy(col(idCol)).limit(trainLimit)
+      // NPE the driver collect) and MatchError toDoubleSeq in the seed;
+      // a NULL id would land first in the sort, stride into `picks`,
+      // never match the isin (null = null is NULL) and NPE the seed map
+      .filter(col(idCol).isNotNull &&
+        col(vecCol).isNotNull && !exists(col(vecCol), x => x.isNull))
+      // ties on id break by content hash: duplicate ids (an
+      // at-least-once ingest) would otherwise make BOTH the sampled
+      // set and the seed's id->vector map partition-order-dependent —
+      // the codebook, codes, and ranks must replay identically
+      .orderBy(col(idCol), xxhash64(col(vecCol)))
+      .limit(trainLimit)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       // each iteration re-encodes the same bounded sample; keep it hot
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -314,13 +340,21 @@ object Similarity {
     // clustered corpus may all be ONE cluster — leaves refinement stuck
     // where it started. Striding the sorted training sample is as
     // deterministic and spans whatever diversity the sample has.
-    val ids = train.select(col("__id")).collect().map(_.get(0)).toSeq
+    // stride over DISTINCT ids: duplicate ids would collapse picks into
+    // duplicate seed codewords — the exact stuck-Lloyd state the strided
+    // init exists to avoid
+    val ids = train.select(col("__id")).collect().map(_.get(0)).toSeq.distinct
     require(ids.size >= kCodes,
-      s"refinePqCodebooks needs >= $kCodes non-null vectors, found ${ids.size}; " +
+      s"refinePqCodebooks needs >= $kCodes distinct non-null ids, found ${ids.size}; " +
         "lower kCodes for small corpora")
     val picks = (0 until kCodes).map(j => ids(j * ids.size / kCodes))
-    val byId = train.filter(col("__id").isin(picks: _*)).collect()
-      .map(r => r.get(0) -> toDoubleSeq(r.getSeq[Any](1))).toMap
+    // keep the FIRST row per picked id in the (id, hash)-sorted order —
+    // deterministic even when one id carries two different vectors
+    val byId = scala.collection.mutable.LinkedHashMap.empty[Any, Seq[Double]]
+    train.filter(col("__id").isin(picks: _*)).collect().foreach { r =>
+      if (!byId.contains(r.get(0)))
+        byId(r.get(0)) = toDoubleSeq(r.getSeq[Any](1))
+    }
     val seed: Seq[Seq[Double]] = picks.map(byId)
     val dim = seed.head.length
     require(seed.forall(_.length == dim), "refinePqCodebooks needs equal-length vectors")
@@ -574,11 +608,26 @@ object Similarity {
     // read + rewrite as ONE exclusive op: a separate read()-then-replace
     // would silently drop any ingest batch a concurrent writer commits
     // in the gap (the streaming-ingest pattern makes that routine)
+    require(centroids.map(_.length).distinct.size == 1,
+      "reclusterIvf centroids must share one dimension")
     index.replaceAllTransformed { cur =>
+      val total = cur.count()
       val assigned =
         withNearestCentroid(cur.drop("centroid_id"), "vec", centroids,
             "centroid_id")
           .select(col("centroid_id"), col("vec_id"), col("vec"))
+      // refuse a SHRINKING rewrite: withNearestCentroid drops rows whose
+      // cosine against every centroid is null — with mismatched-dimension
+      // centroids that is EVERY row, and the replace would silently
+      // commit an empty index (recoverable only via time travel). A
+      // well-formed index holds no null/zero vectors, so any drop here
+      // is an incompatibility, not data hygiene.
+      val kept = assigned.count()
+      require(kept == total,
+        s"reclusterIvf: nearest-centroid assignment dropped ${total - kept} " +
+          s"of $total indexed rows — the new centroids are incompatible " +
+          "with the indexed vectors (dimension mismatch or degenerate " +
+          "centroids); refusing to commit a shrunken index")
       // the legal stale-row state (one vec_id under two OLD centroids
       // with different embeddings) can collapse onto one new centroid;
       // replaceAll writes rows as-is, so dedupe here or the rewritten
@@ -610,8 +659,19 @@ object Similarity {
       excludeSelf: Boolean = false,
       emptyVecIdType: org.apache.spark.sql.types.DataType =
         org.apache.spark.sql.types.LongType): DataFrame = {
+    // probe-side columns ride under RESERVED names through the join:
+    // the index slice carries the fixed columns (centroid_id, vec_id,
+    // vec), so a caller whose query columns are ALSO named vec/vec_id
+    // (the natural choice — it is what the index stores) would
+    // otherwise hit AMBIGUOUS_REFERENCE in the cosine/self-filter.
+    // qId = "vec_id" stays impossible: the OUTPUT carries both columns
+    require(qId != "vec_id",
+      "probeIvf: qId cannot be named vec_id — the result carries the " +
+        "index's vec_id next to the query id; alias the query id first")
     val probes = centroidProbes(queries, qId, qVec, centroids, nProbe)
-      .withColumnRenamed("__cent", "centroid_id")
+      .select(col("__cent").as("centroid_id"),
+        col(s"`${qId.replace("`", "``")}`").as("__qid"),
+        col(s"`${qVec.replace("`", "``")}`").as("__qvec"))
     val slice = index.read() match {
       case None =>
         // Empty-index schema derives qId from the QUERIES frame (its
@@ -631,10 +691,10 @@ object Similarity {
     }
     val joined = slice.join(broadcast(probes), Seq("centroid_id"))
     val cand = // null-safe, same reason as lshTopK
-      (if (excludeSelf) joined.filter(!(col("vec_id") <=> col(qId)))
+      (if (excludeSelf) joined.filter(!(col("vec_id") <=> col("__qid")))
       else joined)
-      .select(col(qId), col("vec_id"),
-        cosine(col(qVec), col("vec")).as("cos_sim"))
+      .select(col("__qid").as(qId), col("vec_id"),
+        cosine(col("__qvec"), col("vec")).as("cos_sim"))
       .filter(col("cos_sim").isNotNull)
     topKPerQuery(cand, qId, "vec_id", k)
       .select(col(qId), col("rank"), col("vec_id"), col("cos_sim"))

@@ -147,4 +147,51 @@ class IvfIndexSpec extends SparkSpec {
     Similarity.indexIvf(index, batch, "vec_id", "embedding", cents)
     assert(index.read().get.count() == n)
   }
+
+  test("reclusterIvf REFUSES dimension-mismatched centroids instead of silently committing an empty index") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(spark, sf0001)
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val cents = Similarity.sampleCentroids(c, "c_id", "c_vec", 8)
+    val index = new BucketedStateTable(spark, s"${tmp()}/refuse",
+      keyCols = Seq("centroid_id", "vec_id"), numBuckets = 8,
+      bucketCols = Seq("centroid_id"), retentionFloorMillis = 0L)
+    Similarity.indexIvf(index, c, "c_id", "c_vec", cents)
+    val before = index.read().get.count()
+    assert(before > 0)
+    // centroids from a different (half-dimension) model: every cosine
+    // is null, every row would drop — the rewrite must refuse
+    val wrongDim = cents.map(_.take(cents.head.length / 2))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.reclusterIvf(index, wrongDim)
+    }
+    assert(err.getMessage.contains("incompatible"), err.getMessage)
+    assert(index.read().get.count() == before,
+      "a refused recluster must leave the index untouched")
+  }
+
+  test("probeIvf accepts query columns named vec/vec_id-adjacent (reserved internal names)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val cents = Similarity.sampleCentroids(c, "c_id", "c_vec", 8)
+    val index = new BucketedStateTable(spark, s"${tmp()}/names",
+      keyCols = Seq("centroid_id", "vec_id"), numBuckets = 8,
+      bucketCols = Seq("centroid_id"), retentionFloorMillis = 0L)
+    Similarity.indexIvf(index, c, "c_id", "c_vec", cents)
+    // the natural naming: the query frame uses the SAME column names
+    // the index stores — pre-fix this threw AMBIGUOUS_REFERENCE
+    val q = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("vec"))
+    val got = Similarity.probeIvf(index, q, "q_id", "vec", cents,
+      k = 1, nProbe = 4)
+    assert(got.count() == 4)
+    // and qId = vec_id refuses loudly (the output carries both)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.probeIvf(index,
+        q.withColumnRenamed("q_id", "vec_id"), "vec_id", "vec", cents,
+        k = 1, nProbe = 4)
+    }
+    assert(err.getMessage.contains("vec_id"), err.getMessage)
+  }
 }
