@@ -44,21 +44,26 @@ object Joins {
       right: DataFrame,
       key: String,
       ts: String): DataFrame = {
+    requireFresh(left, Seq("__asof_payload", "__side", "__asof"), "asofJoin left")
     val payloadCols = right.columns.filterNot(c => c == key).toSeq
     // a right row with a null ts (or key) can never satisfy the asof
     // predicate r.ts <= l.ts — but null ts sorts FIRST in the window,
     // so its payload would be carried to every left row as a phantom
     // "prior" match (and null keys would co-partition and match each
     // other, unlike equi-join semantics); drop them from the right side
+    import graft.operators.StateOps.qcol
     val rTagged = right
-      .filter(col(ts).isNotNull && col(key).isNotNull)
-      .select(col(key), col(ts),
-        struct(payloadCols.map(col): _*).as("__asof_payload"))
+      .filter(qcol(ts).isNotNull && qcol(key).isNotNull)
+      // qcol, not col: a name containing dots would parse as a
+      // nested-field path here (the getField note below covers only the
+      // UNPACKING side; packing and the key/ts refs must quote too)
+      .select(qcol(key), qcol(ts),
+        struct(payloadCols.map(qcol): _*).as("__asof_payload"))
       .withColumn("__side", lit(0))
     val lTagged = left.withColumn("__side", lit(1))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+    val w = Window.partitionBy(qcol(key))
+      .orderBy(qcol(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__asof", last(col("__asof_payload"), ignoreNulls = true).over(w))
@@ -68,9 +73,21 @@ object Joins {
     // col("__asof.name") would mis-parse a payload name containing
     // dots as a nested-field path where getField takes it literally
     carried.select(
-      left.columns.toSeq.map(col) ++
+      left.columns.toSeq.map(qcol) ++
         payloadCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
+
+  /** Refuse inputs that already carry one of an operator's internal
+    * column names — silently clobbering (or, worse, unionByName
+    * ALIGNING a caller's same-named column into the carry logic and
+    * producing phantom matches) is never acceptable; the caller
+    * renames and retries. */
+  private def requireFresh(df: DataFrame, names: Seq[String],
+      what: String): Unit =
+    names.find(df.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"$what: input already carries internal column `$c` — rename it " +
+          "first"))
 
   /** Bucketed RANGE join: pair every left row with the right rows whose
     * half-open interval `[lo, hi)` contains `left.value`.
@@ -97,29 +114,56 @@ object Joins {
       hiCol: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val lb = left.withColumn("__bucket",
-      floor(col(valueCol) / bucketWidth).cast("long"))
-    // non-finite bounds are REFUSED per row, loudly: an open-ended
-    // interval encoded as +Infinity would overflow the long cast under
-    // ANSI (killing the whole job) or saturate into an impossible
-    // sequence() without it — either way one bad row must not take the
-    // pipeline down silently. Encode open intervals with an explicit
-    // finite horizon instead.
-    val finite = (c: org.apache.spark.sql.Column) =>
+    requireFresh(left, Seq("__bucket"), "rangeJoinBucketed left")
+    requireFresh(right, Seq("__bucket", "__lo", "__hi"),
+      "rangeJoinBucketed right")
+    val lb = left
+      // a non-finite point can match no finite [lo, hi) interval — and
+      // under ANSI (Spark 4 default) the long cast of floor(NaN/width)
+      // would kill the whole JOB instead of dropping the row. Nulls
+      // drop too (they satisfy no interval predicate; pruning them
+      // before the shuffle is pure savings).
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol)) &&
+        col(valueCol) =!= Double.PositiveInfinity &&
+        col(valueCol) =!= Double.NegativeInfinity)
+      .withColumn("__bucket",
+        floor(col(valueCol) / bucketWidth).cast("long"))
+    // Interval bounds are REFUSED per row, loudly, when non-finite OR
+    // too large for the bucket-id space: +Infinity (and a "finite
+    // horizon" like 1e300) would overflow the long cast under ANSI
+    // (killing the whole job) or saturate into an impossible
+    // sequence() without it — either way one bad row must not take
+    // the pipeline down with an opaque error. Encode open intervals
+    // with a REALISTIC finite horizon instead. A half-null interval
+    // gets NO bucket at all (sequence(null, …) explodes to nothing) —
+    // the documented "null bounds drop out", previously true only for
+    // null lo. Each guard evaluates ONCE per bound via these derived
+    // columns, not once per use site.
+    val guard = (c: org.apache.spark.sql.Column) =>
       when(isnan(c) || c === Double.PositiveInfinity ||
         c === Double.NegativeInfinity,
         raise_error(concat(lit("rangeJoinBucketed: non-finite interval " +
           "bound "), c.cast("string"),
           lit(" — encode open intervals with a finite horizon"))))
+        .when(abs(c / bucketWidth) > 4.0e18,
+          raise_error(concat(lit("rangeJoinBucketed: interval bound "),
+            c.cast("string"),
+            lit(s" overflows the bucket-id space at bucketWidth=" +
+              s"$bucketWidth — use a realistic horizon"))))
         .otherwise(c)
-    val rb = right.withColumn("__bucket",
-      explode(sequence(
-        floor(finite(col(loCol)) / bucketWidth).cast("long"),
-        // hi is EXCLUSIVE: an interval ending exactly on a bucket
-        // boundary does not reach into that bucket
-        greatest(
-          floor(finite(col(loCol)) / bucketWidth).cast("long"),
-          ceil(finite(col(hiCol)) / bucketWidth).cast("long") - 1L))))
+    val bothBounds = !(col(loCol).isNull || col(hiCol).isNull)
+    val rb = right
+      .withColumn("__lo", when(bothBounds, guard(col(loCol))))
+      .withColumn("__hi", when(bothBounds, guard(col(hiCol))))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(col("__lo") / bucketWidth).cast("long"),
+          // hi is EXCLUSIVE: an interval ending exactly on a bucket
+          // boundary does not reach into that bucket
+          greatest(
+            floor(col("__lo") / bucketWidth).cast("long"),
+            ceil(col("__hi") / bucketWidth).cast("long") - 1L))))
+      .drop("__lo", "__hi")
     lb.join(rb, Seq("__bucket"))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bucket")

@@ -288,8 +288,12 @@ private[queries] object AnalyticsQueries {
       val p = Tables.part(s, dir).groupBy(col("p_name"))
         .agg(min(col("p_partkey")).as("id"))
         .select(col("id"), col("p_name").as("name"))
+      // NEGATED typo ids, not id + offset: an additive offset collides
+      // with real ids once min-partkeys exceed it (sf ≳ 0.5), silently
+      // dropping pairs to the a_id < b_id filter and making the output
+      // order nondeterministic on the duplicate id
       val typos = p.filter(col("id") % 3 === 0)
-        .select((col("id") + 100000).as("id"),
+        .select((col("id") * -1).as("id"),
           concat(expr("substring(name, 1, length(name) - 1)"), lit("x"))
             .as("name"))
       graft.ops.Joins.fuzzyJoinBlocked(p.unionByName(typos),
@@ -643,7 +647,7 @@ private[queries] object AnalyticsQueries {
         |p AS (
         | SELECT id, name FROM ents
         | UNION ALL
-        | SELECT id + 100000, substr(name, 1, length(name) - 1) || 'x'
+        | SELECT -id, substr(name, 1, length(name) - 1) || 'x'
         | FROM ents WHERE id % 3 = 0),
         |b AS (SELECT id, name, substr(name, 1, 6) AS blk FROM p)
         |SELECT a.id AS a_id, b2.id AS b_id,
