@@ -33,7 +33,14 @@ object Corpus {
     * it encodes, so Spark, DuckDB, and any SQL engine agree without
     * any hex→int parsing. */
   def uniformHex(id: Column, seed: String): Column =
-    substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 8)
+    // NULL ids draw from a sentinel, not NULL: md5(NULL) is NULL and a
+    // NULL draw fails every `u < threshold` compare — every sampler
+    // built on this silently DROPPED null-id rows, even from keep-all
+    // sources. All null-id rows share one deterministic draw (they are
+    // indistinguishable by id); callers needing per-row draws for such
+    // rows must key on content instead.
+    substring(md5(concat(lit(seed + ":"),
+      coalesce(id.cast("string"), lit("\u0000null")))), 1, 8)
 
   /** The 8-hex-char threshold encoding probability `p` (e.g. 0.25 →
     * "40000000"): floor(p·2^32) zero-padded to 8 nibbles. `p = 1.0`
@@ -85,13 +92,23 @@ object Corpus {
       rates: Map[String, Double],
       defaultRate: Double,
       seed: String = "graft"): DataFrame = {
-    val u = uniformHex(col(idCol), seed)
-    val threshold = rates.foldRight(lit(hexThreshold(defaultRate))) {
-      case ((stratum, p), els) =>
-        when(col(strataCol) === stratum, lit(hexThreshold(p))).otherwise(els)
-    }
-    df.filter(u < threshold)
+    df.filter(uniformHex(col(idCol), seed) <
+      rateThreshold(strataCol, rates, defaultRate))
   }
+
+  /** The shared hash-threshold when-chain behind [[sampleStratified]]
+    * and [[keepBySourceRates]] (one implementation, one null-group
+    * rule): a NULL rates key matches NULL group values via isNull —
+    * `===` never matches NULL, which silently ignored the caller's
+    * null-group rate. */
+  private def rateThreshold(groupCol: String,
+      rates: Map[String, Double], defaultRate: Double): Column =
+    rates.foldRight(lit(hexThreshold(defaultRate))) {
+      case ((g, p), els) =>
+        val cond = if (g == null) col(groupCol).isNull
+          else col(groupCol) === g
+        when(cond, lit(hexThreshold(p))).otherwise(els)
+    }
 
   /** Exact-SIZE deterministic sample: the `n` rows of each stratum whose
     * content-hash draw ranks lowest — the fixed-size counterpart of
@@ -392,6 +409,17 @@ object Corpus {
       expectedShingles: Long = 4_000_000L,
       numBits: Long = 33_554_432L,
       maxBroadcastShingles: Long = 4_000_000L): DataFrame = {
+    // plan-time bounds (the dsirLlrTable discipline): the bloom BYTES
+    // are collected to the driver and shipped to every task as a
+    // literal, so an oversized numBits is a driver OOM / task-binary
+    // blowup mid-job; non-positive parameters would fail deep inside
+    // the kernel aggregate instead of here with guidance
+    require(expectedShingles > 0,
+      s"decontaminateBloom: expectedShingles must be positive, got $expectedShingles")
+    require(numBits > 0 && numBits <= (1L << 31),
+      s"decontaminateBloom: numBits must be in (0, 2^31] (= 256 MB of " +
+        s"bloom bytes shipped to every task), got $numBits — shard the " +
+        "benchmark across several calls instead of one giant filter")
     // pinned for the call: the bloom aggregate, the broadcast-size
     // probe, and the exact-verify join would otherwise each re-run the
     // full benchmark scan + shingle explode (the dominant
@@ -414,15 +442,22 @@ object Corpus {
             lit(bf), xxhash64(col("__sh"))))
         // distinct MATERIALIZED once: the broadcast-size probe and the
         // verify join would otherwise each run the full distinct
-        // shuffle over the (cached) exploded shingles
-        val benchDistinct = benchShingles.distinct().localCheckpoint(true)
-        val bench = broadcastIfSmall(benchDistinct, maxBroadcastShingles)
-        // eager: the contaminated-id set is small by nature, and
-        // materializing it here lets the benchmark cache free in the
-        // finally instead of leaking into the caller's session
-        cand.join(bench, Seq("__sh"), "left_semi")
-          .select(col(idCol)).distinct()
-          .localCheckpoint(true)
+        // shuffle over the (cached) exploded shingles. persist, NOT
+        // localCheckpoint: checkpoint blocks have no unpersist hook
+        // here and LEAKED the largest cached artifact into the
+        // caller's session (exactly what the eager result
+        // materialization below exists to prevent)
+        val benchDistinct = benchShingles.distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        try {
+          val bench = broadcastIfSmall(benchDistinct, maxBroadcastShingles)
+          // eager: the contaminated-id set is small by nature, and
+          // materializing it here lets the benchmark caches free in the
+          // finally instead of leaking into the caller's session
+          cand.join(bench, Seq("__sh"), "left_semi")
+            .select(col(idCol)).distinct()
+            .localCheckpoint(true)
+        } finally benchDistinct.unpersist(blocking = false)
       }
     } finally benchShingles.unpersist()
   }
@@ -516,8 +551,16 @@ object Corpus {
       .collect()
       // a NULL source maps under the null key — a real group that
       // keepBySourceRates matches with isNull, so malformed rows are
-      // rebalanced like any source instead of silently kept whole
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // rebalanced like any source instead of silently kept whole.
+      // Non-string source columns (an int source id) render via
+      // toString — getString threw a bare ClassCastException AFTER the
+      // full corpus aggregate had already run; the rendered key matches
+      // rateThreshold's === compare, which casts the column the same way
+      .map(r => (r.get(0) match {
+        case null => null
+        case s: String => s
+        case other => other.toString
+      }) -> r.getLong(1)).toMap
 
   /** Quality-weighted downsampling: keep each row with probability
     * equal to its own (clamped to [0, 1]) score — soft curation where
@@ -613,19 +656,11 @@ object Corpus {
       sourceCol: String,
       rates: Map[String, Double],
       seed: String): DataFrame = {
-    val u = uniformHex(col(idCol), seed)
-    val threshold = rates.foldRight(lit(hexThreshold(1.0))) {
-      case ((src, p), els) =>
-        // a NULL source is a real group (sourceTokenTotals' groupBy
-        // collects it, temperatureRates can rate it): === null never
-        // matches, which silently kept every null-source row while the
-        // null group's tokens still anchored the temperature floor
-        val cond =
-          if (src == null) col(sourceCol).isNull
-          else col(sourceCol) === src
-        when(cond, lit(hexThreshold(p))).otherwise(els)
-    }
-    df.filter(u < threshold)
+    // a NULL source is a real group (sourceTokenTotals' groupBy
+    // collects it, temperatureRates can rate it) — rateThreshold's
+    // isNull arm covers it; sources absent from `rates` keep all
+    df.filter(uniformHex(col(idCol), seed) <
+      rateThreshold(sourceCol, rates, defaultRate = 1.0))
   }
 
   /** Length-bucket assignment for batch assembly: documents grouped
@@ -678,7 +713,12 @@ object Corpus {
     require(shardHexChars >= 1 && shardHexChars <= 8,
       s"shardHexChars must be in [1,8], got $shardHexChars")
     requireFresh(df, "shard", "pos", "__key")
-    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    // the sentinel keeps a null-id row's (shard, pos) DEFINED and
+    // deterministic (a NULL key sorted arbitrarily); SEVERAL null-id
+    // rows still tie (nothing distinguishes them) — reproducibility
+    // requires unique ids, as the contract states
+    val key = md5(concat(lit(seed + ":"),
+      coalesce(col(idCol).cast("string"), lit("\u0000null"))))
     val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
     df.withColumn("__key", key)
       .withColumn("shard", substring(col("__key"), 1, shardHexChars))
@@ -885,8 +925,13 @@ object Corpus {
     val n = newDf.select(col(keyCol).as("__k"),
       md5(col(contentCol).cast("string")).as("__new_h"),
       lit(true).as("__in_new"))
-    o.join(n, Seq("__k"), "full_outer")
-      .select(col("__k").as(keyCol),
+    // NULL-SAFE key join: a USING join never matches NULL keys, so a
+    // NULL-key doc present in both snapshots emitted 'removed' PLUS
+    // 'added' (and double-counted downstream) instead of matching
+    // itself — the same hazard the content compare already guards
+    o.as("__o").join(n.as("__n"),
+        col("__o.__k") <=> col("__n.__k"), "full_outer")
+      .select(coalesce(col("__o.__k"), col("__n.__k")).as(keyCol),
         when(col("__in_old").isNull, lit("added"))
           .when(col("__in_new").isNull, lit("removed"))
           .when(col("__old_h") <=> col("__new_h"), lit("unchanged"))

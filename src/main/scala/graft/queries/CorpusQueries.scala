@@ -835,7 +835,7 @@ private[queries] object CorpusQueries {
 
     "corpus_pack_chunks" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS BIGINT) AS n_tokens
         | FROM documents),
         |c AS (SELECT *, sum(n_tokens) OVER (
         |  PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum

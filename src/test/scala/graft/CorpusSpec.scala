@@ -710,6 +710,39 @@ class CorpusSpec extends SparkSpec {
       "removed" -> 1L, "added" -> 1L))
   }
 
+  test("snapshotDiff: a NULL-KEY doc present in both snapshots matches itself (null-safe key join)") {
+    val s = spark
+    import s.implicits._
+    val oldSnap = Seq((Option.empty[Long], "same"), (Some(1L), "x"))
+      .toDF("id", "body")
+    val newSnap = Seq((Option.empty[Long], "same"), (Some(1L), "y"))
+      .toDF("id", "body")
+    val st = Corpus.snapshotDiff(oldSnap, newSnap, "id", "body").collect()
+      .map(r => (if (r.isNullAt(0)) -999L else r.getLong(0)) -> r.getString(1))
+      .toMap
+    // pre-fix the NULL-key row emitted 'removed' PLUS 'added'
+    assert(st === Map(-999L -> "unchanged", 1L -> "changed"), st.toString)
+  }
+
+  test("uniformHex samplers keep NULL-id rows deterministically instead of silently dropping them") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Option.empty[Long], "web"), (Some(1L), "web"),
+      (Some(2L), "web")).toDF("doc_id", "source")
+    // rate 1.0 for every source: NOTHING may drop — pre-fix the null-id
+    // row's NULL draw failed the threshold compare and vanished
+    val kept = Corpus.keepBySourceRates(df, "doc_id", "source",
+      Map("web" -> 1.0), "seed")
+    assert(kept.count() == 3L,
+      "keep-all rates must keep null-id rows too")
+    // and the null-id row's draw is deterministic (same seed, same draw)
+    val d1 = Corpus.keepBySourceRates(df, "doc_id", "source",
+      Map("web" -> 0.5), "seed").count()
+    val d2 = Corpus.keepBySourceRates(df, "doc_id", "source",
+      Map("web" -> 0.5), "seed").count()
+    assert(d1 == d2)
+  }
+
   test("snapshotDiff: NULL content is data, not absence — presence comes from the side markers") {
     val s = spark
     import s.implicits._
