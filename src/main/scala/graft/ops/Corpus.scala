@@ -828,7 +828,7 @@ object Corpus {
     val feats = concat(TextAnalysis.ngramList(coalesce(text, lit("")), 1),
       TextAnalysis.ngramList(coalesce(text, lit("")), 2))
     transform(feats, w =>
-      pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), lit(buckets)))
+      pmod(TextAnalysis.portableHash32(w), lit(buckets)))
   }
 
   /** Per-bucket feature counts of a corpus: `buckets` rows of

@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Portable 32-bit content hash — `conv(substring(md5(x),1,8),16,10)`
+    * cast to long: the ONE idiom winnow fingerprints and DSIR buckets
+    * both replay byte-identically in SQL oracles. Any change here
+    * desynchronizes every oracle built on it; that is why there is
+    * exactly one definition. */
+  private[graft] def portableHash32(c: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+
   /** Marker-word sets per language for the n-gram/stopword language-ID
     * heuristic. Kept deliberately small and disjoint so scores are cheap
     * (one regex pass per language) and the tie-break order is explicit. */
@@ -286,22 +296,30 @@ object TextAnalysis {
     * the 6-dp rounding) separates them. */
   private def bm25Rank(perDoc: DataFrame, idCol: String, nTerms: Int,
       nDocs: Long, avgdl: Double, k: Int, k1: Double, b: Double): DataFrame = {
-    // per-term document frequencies: |terms| driver scalars
+    // per-term document frequencies as a 1-row BROADCAST frame, not a
+    // driver first(): the eager collect was a second action over the
+    // unpersisted perDoc plan, re-running the whole corpus tokenize +
+    // explode + aggregate (exchange reuse does not span actions) — as
+    // a broadcast branch of ONE plan, ReuseExchange shares perDoc's
+    // aggregation exchange between the dfreq row and the scoring scan.
+    // Arithmetic parity with the old driver form (and the SQL oracle):
+    // counts sit far below 2^53, so double subtraction == exact long
+    // subtraction, and column log() is the same Math.log.
     val dfreqAggs = (0 until nTerms).map(i =>
-      sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
-    val dfreqRow = perDoc.agg(dfreqAggs.head, dfreqAggs.tail: _*).first()
-    // sums over an EMPTY per-doc frame (no document contains any query
-    // term) are SQL NULL — treat as df = 0, yielding an empty top-k
-    // instead of a driver NPE
-    val dfreq = (0 until nTerms)
-      .map(i => if (dfreqRow.isNullAt(i)) 0L else dfreqRow.getLong(i))
+      sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))
+    val dfreqRow = perDoc.agg(dfreqAggs.head, dfreqAggs.tail: _*)
     val score = (0 until nTerms).map { i =>
-      val idf = math.log((nDocs - dfreq(i) + 0.5) / (dfreq(i) + 0.5) + 1.0)
+      // sums over an EMPTY per-doc frame (no document contains any
+      // query term) are SQL NULL — treat as df = 0 (the frame is empty
+      // anyway, so the top-k is empty either way)
+      val dfc = coalesce(col(s"__df_$i"), lit(0L)).cast("double")
+      val idf = log((lit(nDocs.toDouble) - dfc + lit(0.5)) /
+        (dfc + lit(0.5)) + lit(1.0))
       val tf = col(s"__tf_$i").cast("double")
-      lit(idf) * (tf * (k1 + 1.0)) /
+      idf * (tf * (k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl))
     }.reduce(_ + _)
-    perDoc
+    perDoc.crossJoin(broadcast(dfreqRow))
       .select(col(idCol), round(score, 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -682,7 +700,16 @@ object TextAnalysis {
     val S = "\u0001"
     import org.apache.spark.storage.StorageLevel
     var state = docs.filter(textCol.isNotNull)
-      .select(concat(lit(S), array_join(split(trim(textCol), "\\s+"), S + S),
+      // tokens CONTAINING the U+0001 sentinel are excluded from pair
+      // counting: joined unescaped they would forge phantom token
+      // boundaries ("a\u0001b" reads back as two tokens), skewing
+      // which merge wins — and the encoder kernel (whitespace
+      // tokenization) would then disagree with training on the same
+      // corpus. Control-char tokens are crawl garbage; dropping them
+      // from TRAINING (encoding still handles them like any token)
+      // keeps the learned merges well-defined.
+      .select(concat(lit(S), array_join(
+        filter(split(trim(textCol), "\\s+"), t => !t.contains(S)), S + S),
         lit(S)).as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // Each round runs exactly ONE action: its top-pair collect. That
@@ -796,7 +823,7 @@ object TextAnalysis {
       window: Int = 4): DataFrame = {
     require(k > 0 && window > 0, "k and window must be positive")
     val ghs = transform(ngramList(col(textCol), k), g =>
-      conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+      portableHash32(g))
     val selType = "array<struct<gh:bigint,np:bigint>>"
     // per window start i (1-based): fold (hash, -pos) structs with
     // least() — smallest hash, rightmost position on ties
@@ -855,6 +882,12 @@ object TextAnalysis {
         s"(need k > ${1.0 / minShare})")
     val toks = df.filter(textCol.isNotNull)
       .select(explode(split(trim(textCol), "\\s+")).as("token"))
+      // split of a whitespace-only text yields [""] — the same ""
+      // pseudo-token the STREAMING twin already filters
+      // (HotTokensStream); unfiltered it could both surface as a
+      // "heavy hitter" and inflate total (raising the cutoff past a
+      // real token at the boundary)
+      .filter(col("token") =!= "")
     val summary = Sketches.misraGries(toks, "token", kEff)
     val cutoff = math.ceil(summary.total * minShare).toLong
     val spark = df.sparkSession

@@ -903,8 +903,10 @@ private[queries] object TextQueries {
     // with the Spark side's math.ceil(total * minShare).
     "text_heavy_hitters" ->
       """WITH toks AS (
-        | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        | FROM documents WHERE text IS NOT NULL),
+        | SELECT token FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL)
+        | WHERE token <> ''),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
         |SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
         |FROM toks, tot
@@ -918,7 +920,9 @@ private[queries] object TextQueries {
     // (n DESC, pair ASC, l ASC) in both engines.
     "text_bpe_merges" ->
       """WITH state0 AS (
-        | SELECT chr(1) || array_to_string(regexp_split_to_array(trim(text), '\s+'), chr(1)||chr(1)) || chr(1) AS s
+        | SELECT chr(1) || array_to_string(
+        |   list_filter(regexp_split_to_array(trim(text), '\s+'), t -> strpos(t, chr(1)) = 0),
+        |   chr(1)||chr(1)) || chr(1) AS s
         | FROM documents WHERE text IS NOT NULL),
         |cnt1 AS (
         | SELECT l, r, l || ' ' || r AS pair, CAST(count(*) AS BIGINT) AS n
