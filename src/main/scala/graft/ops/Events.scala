@@ -63,6 +63,12 @@ object Events {
       .select(col(userCol),
         graft.functions.GraftFunctions.tsEpochMicros(col(tsCol)).as("__t"),
         col(typeCol).as("__ty"))
+      // a NULL ts can never satisfy the strict `__t > last` chain, so
+      // the fold already ignores such events — but chainReached's
+      // per-stage min() would yield a NULL frontier for a user whose
+      // stage-1 events are ALL null-ts and report stage 1 where the
+      // fold reports 0 (routing must never change the answer)
+      .filter(col("__t").isNotNull)
     // The routing guard stays IN the lazy plan: an eager existence
     // check here would freeze the decision at BUILD time, and a plan
     // re-executed later over a grown source (new files, cache refresh)
@@ -86,9 +92,15 @@ object Events {
           .unionByName(chainReached(
             pruned.join(overflow, Seq(userCol), "left_semi"), userCol, stages))
       }
-    events.select(col(userCol)).distinct()
-      .join(perUser, Seq(userCol), "left")
-      .select(col(userCol),
+    // NULL-SAFE user join: groupBy forms a null-user group and folds
+    // its progress, but a plain left join never matches NULL = NULL —
+    // the null user's computed stage was silently zeroed (the row
+    // existed, its progress vanished)
+    import graft.operators.StateOps.aliasedCol
+    events.select(col(userCol)).distinct().as("__au")
+      .join(perUser.as("__pu"),
+        aliasedCol("__au", userCol) <=> aliasedCol("__pu", userCol), "left")
+      .select(aliasedCol("__au", userCol).as(userCol),
         coalesce(col("reached_stage"), lit(0)).as("reached_stage"),
         (coalesce(col("reached_stage"), lit(0)) === n).as("completed"))
   }

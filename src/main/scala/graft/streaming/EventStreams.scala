@@ -17,7 +17,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class Event(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
-/** One closed (or in-flight) session per user. */
+/** One CLOSED session per user span: Append-mode emission happens
+  * only at watermark-proven finality, so an in-flight variant cannot
+  * be emitted (`closed` is always true; kept for schema stability
+  * with sinks that model both). */
 case class Session(user_id: Long, session_start: Timestamp,
     session_end: Timestamp, n_events: Long, value_sum: Double,
     closed: Boolean)
@@ -31,14 +34,21 @@ case class Session(user_id: Long, session_start: Timestamp,
 private[streaming] case class SessionAcc(
     open: Option[SessionState], pending: List[SessionState])
 
+/** Session span in epoch MICROS (r19 — `startUs`/`endUs` renamed with
+  * the precision change so pre-r19 millisecond checkpoints break
+  * LOUDLY on the state-schema check instead of re-reading ms as µs). */
 private[streaming] case class SessionState(
-    start: Long, end: Long, n: Long, total: Double)
+    startUs: Long, endUs: Long, n: Long, total: Double)
 
 /** Per-user funnel progress carried between micro-batches.
   *
-  * '''CHECKPOINT-BREAKING in r18''': `seenMs` was added (the monotone
-  * max-seen stamp the idle-timeout deadline derives from), which
-  * changes the keyed-state encoder schema of every funnel stream.
+  * '''CHECKPOINT-BREAKING in r18 and r19''': r18 added the monotone
+  * max-seen stamp the idle-timeout deadline derives from; r19 renamed
+  * both stamps to `lastUs`/`seenUs` when funnel chaining moved from
+  * millisecond to MICROSECOND precision (the rename is deliberate:
+  * same-named fields would have silently re-read old millisecond
+  * state as microseconds). Each changes the keyed-state encoder
+  * schema of every funnel stream.
   * Structured Streaming's state-schema compatibility check REFUSES to
   * restart a pre-r18 funnel checkpoint against this class (and with
   * the check disabled the old 2-field rows would mis-decode) — there
@@ -48,8 +58,8 @@ private[streaming] case class SessionState(
   * rebuilds equivalent state (the fold is deterministic), minus any
   * source retention that has already aged out. The default value here
   * only covers fresh Scala construction, not checkpoint decode. */
-private[streaming] case class FunnelState(stage: Int, lastMs: Long,
-    seenMs: Long = Long.MinValue)
+private[streaming] case class FunnelState(stage: Int, lastUs: Long,
+    seenUs: Long = Long.MinValue)
 
 /** One funnel-progress update (emitted whenever a user's batch could
   * change their stage). */
@@ -95,7 +105,9 @@ object EventStreams {
   def dedupWithinWatermark(
       events: DataFrame,
       watermark: String = "30 minutes",
-      keys: Seq[String] = Seq("event_id")): DataFrame =
+      keys: Seq[String] = Seq("event_id")): DataFrame = {
+    require(keys.nonEmpty,
+      "dedupWithinWatermark needs at least one key column")
     events
       // null-ts rows would each add a never-evicted state entry (the
       // eviction predicate is NULL → false) — an unbounded leak on a
@@ -103,6 +115,7 @@ object EventStreams {
       .filter(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Stream-stream interval join: each left event pairs with right
     * events of the same user within `[left.ts, left.ts + interval]`.
@@ -123,6 +136,10 @@ object EventStreams {
       intervalSeconds: Long = 600L,
       watermark: String = "30 minutes",
       joinType: String = "inner"): DataFrame = {
+    // a negative interval builds an always-false predicate — silently
+    // empty (inner) or all-null (left_outer) output
+    require(intervalSeconds >= 0,
+      s"intervalSeconds must be non-negative, got $intervalSeconds")
     val l = left.withWatermark("ts", watermark)
       .select(col("user_id"), col("event_id").as("l_event_id"),
         col("ts").as("l_ts"), col("event_type").as("l_type"))
@@ -198,23 +215,34 @@ object EventStreams {
     * funnels over arbitrarily late data belong to the batch operator
     * over the closed corpus; per-user state here is two fields, bounded
     * regardless of stream length. */
+  /** Epoch MICROS of a Timestamp — the precision of the parquet
+    * source and the batch twins (`GraftFunctions.tsEpochMicros`).
+    * `getTime` alone truncates to milliseconds: two stage events less
+    * than 1 ms apart could never chain (`ts > last` strict), and a
+    * sub-millisecond session-gap overshoot merged what the batch
+    * oracle splits. */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   /** The shared per-batch fold: advance `st` through this batch's
-    * events (event-time sorted, strict `ts > last` between stages). */
+    * events (event-time sorted, strict `ts > last` between stages,
+    * all in epoch micros — the batch min-chain's precision). */
   private def advanceFunnel(
       st: FunnelState, evs: Seq[Event], stages: Seq[String]): FunnelState = {
     val n = stages.size
     var stage = st.stage
-    var last = st.lastMs
+    var last = st.lastUs
     // null event types sort via the empty string — they can never match
     // a stage, but a null must not NPE the tuple ordering's compareTo
     // when it ties on ts with a real event
-    var seen = st.seenMs
-    evs.sortBy(e => (e.ts.getTime, Option(e.event_type).getOrElse("")))
+    var seen = st.seenUs
+    evs.sortBy(e => (micros(e.ts), Option(e.event_type).getOrElse("")))
       .foreach { e =>
-      if (e.ts.getTime > seen) seen = e.ts.getTime
-      if (stage < n && e.event_type == stages(stage) && e.ts.getTime > last) {
+      val t = micros(e.ts)
+      if (t > seen) seen = t
+      if (stage < n && e.event_type == stages(stage) && t > last) {
         stage += 1
-        last = e.ts.getTime
+        last = t
       }
     }
     FunnelState(stage, last, seen)
@@ -233,9 +261,11 @@ object EventStreams {
     // newest event, but above the lagging watermark) must never move
     // the eviction deadline BACKWARDS — that would evict a user up to
     // a full TTL early and regress their funnel on return
-    val lastSeen = state.get.seenMs
+    // seenUs is MICROS; the engine deadline is millis — ceil so the
+    // timeout can never fire a sub-millisecond early
+    val lastSeenMs = Math.floorDiv(state.get.seenUs + 999L, 1000L)
     state.setTimeoutTimestamp(
-      math.max(lastSeen + ttlMs, state.getCurrentWatermarkMs() + 1))
+      math.max(lastSeenMs + ttlMs, state.getCurrentWatermarkMs() + 1))
   }
 
   /** Streaming funnel progression; see the semantics note above.
@@ -298,8 +328,14 @@ object EventStreams {
             val st = advanceFunnel(
               state.getOption.getOrElse(FunnelState(0, Long.MinValue)),
               evs, stages)
-            state.update(st)
-            idleTtlSeconds.foreach(t => armIdleTimeout(state, t * 1000L))
+            // shed stage-0 state: for an advance-only fold, ABSENT is
+            // semantically FunnelState(0, MinValue) — storing it would
+            // grow one keyed entry per never-entered user (typically
+            // the dominant population) for no output difference
+            if (st.stage > 0 || state.exists) {
+              state.update(st)
+              idleTtlSeconds.foreach(t => armIdleTimeout(state, t * 1000L))
+            }
             FunnelProgress(userId, st.stage, st.stage == n)
           }
       }
@@ -379,8 +415,12 @@ object EventStreams {
             val evs = it.toSeq
             val before = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
             val after = advanceFunnel(before, evs, stages)
-            state.update(after)
-            idleTtlSeconds.foreach(t => armIdleTimeout(state, t * 1000L))
+            // same stage-0 shedding as funnelStream: crossings only
+            // emit on advance, so absent state loses nothing
+            if (after.stage > 0 || state.exists) {
+              state.update(after)
+              idleTtlSeconds.foreach(t => armIdleTimeout(state, t * 1000L))
+            }
             ((before.stage + 1) to after.stage).iterator
               .map(i => StageTransition(userId, i))
           }
@@ -400,20 +440,29 @@ object EventStreams {
       gapSeconds: Long = 1800L,
       watermark: String = "30 minutes"): Dataset[Session] = {
     import spark.implicits._
-    val gapMs = gapSeconds * 1000L
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    // gap arithmetic in MICROS — the batch oracle splits on strict
+    // microsecond gaps, and millisecond truncation merged sessions a
+    // sub-millisecond gap overshoot should split
+    val gapUs = gapSeconds * 1000000L
 
+    def tsOf(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     def toSession(userId: Long, s: SessionState): Session =
-      Session(userId, new Timestamp(s.start), new Timestamp(s.end),
+      Session(userId, tsOf(s.startUs), tsOf(s.endUs),
         s.n, s.total, closed = true)
 
     // merge a start-sorted session list: adjacent sessions chain when
     // the gap between them closed (an out-of-order event bridged them)
     def mergeChain(all: List[SessionState]): List[SessionState] =
-      all.sortBy(_.start).foldLeft(List.empty[SessionState]) { (acc, x) =>
+      all.sortBy(_.startUs).foldLeft(List.empty[SessionState]) { (acc, x) =>
         acc match {
-          case h :: t if x.start - h.end <= gapMs =>
-            h.copy(start = math.min(h.start, x.start),
-              end = math.max(h.end, x.end),
+          case h :: t if x.startUs - h.endUs <= gapUs =>
+            h.copy(startUs = math.min(h.startUs, x.startUs),
+              endUs = math.max(h.endUs, x.endUs),
               n = h.n + x.n, total = h.total + x.total) :: t
           case _ => x :: acc
         }
@@ -431,15 +480,15 @@ object EventStreams {
             // sessions end earlier still, so everything is final.
             val acc = state.get
             state.remove()
-            (acc.pending ++ acc.open.toList).sortBy(_.start)
+            (acc.pending ++ acc.open.toList).sortBy(_.startUs)
               .iterator.map(toSession(userId, _))
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             val acc = state.getOption.getOrElse(SessionAcc(None, Nil))
             var open = acc.open
             var pending = acc.pending
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               open match {
                 // membership is within gap of the session SPAN on both
                 // sides: an out-of-order event EARLIER than the start
@@ -449,9 +498,9 @@ object EventStreams {
                 // splits (a far-earlier event takes the split branch
                 // below and mergeChain re-fuses iff the gap truly
                 // closed)
-                case Some(s) if t - s.end <= gapMs && s.start - t <= gapMs =>
-                  open = Some(s.copy(start = math.min(s.start, t),
-                    end = math.max(s.end, t), n = s.n + 1,
+                case Some(s) if t - s.endUs <= gapUs && s.startUs - t <= gapUs =>
+                  open = Some(s.copy(startUs = math.min(s.startUs, t),
+                    endUs = math.max(s.endUs, t), n = s.n + 1,
                     total = s.total + e.value))
                 case Some(s) =>
                   // gap split: the older session is a CANDIDATE close
@@ -465,13 +514,18 @@ object EventStreams {
             }
             // out-of-order events may have closed gaps between sessions
             val merged = mergeChain(pending ++ open.toList)
-            val wm = state.getCurrentWatermarkMs()
-            val (fin, live) = merged.partition(_.end + gapMs <= wm)
+            // the engine watermark is MILLIS; finality compares in
+            // micros (wm ms = wm*1000 us is exact)
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (fin, live) = merged.partition(_.endUs + gapUs <= wmUs)
             live match {
               case Nil => state.remove()
               case ls =>
                 state.update(SessionAcc(Some(ls.last), ls.dropRight(1)))
-                state.setTimeoutTimestamp(ls.last.end + gapMs)
+                // CEIL to millis: an early-firing timeout could emit a
+                // session an in-window event may still extend
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(ls.last.endUs + gapUs + 999L, 1000L))
             }
             fin.iterator.map(toSession(userId, _))
           }
