@@ -11,9 +11,18 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
+  /** A filter fragment appears inside a scan's PushedFilters list,
+    * regardless of where Catalyst ordered it — inferred IsNotNull
+    * constraints can sort ahead of the interesting predicate, so literal
+    * list-prefix asserts are order-brittle (r19 shipped red on exactly
+    * that).
+    */
+  private def pushedToScan(p: String, frag: String): Boolean =
+    p.linesIterator.exists(l => l.contains("PushedFilters: [") && l.contains(frag))
+
   test("q1: shipdate filter pushed to scan, columns pruned, map-side combine") {
     val p = plan("q1_pricing_summary")
-    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(pushedToScan(p, "LessThanOrEqual(l_shipdate"), s"shipdate bound not pushed\n$p")
     // 6 of 11 lineitem columns read; the partkey/suppkey/tax trio must not be
     assert(!p.contains("l_partkey") && !p.contains("l_suppkey") && !p.contains("l_tax"))
     assert(p.contains("partial_sum"))
@@ -23,7 +32,7 @@ class PlanSpec extends SparkSpec {
     val p = plan("q3_shipping_priority")
     assert(p.contains("BroadcastHashJoin"))
     assert(p.contains("TakeOrderedAndProject"))
-    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"))
+    assert(pushedToScan(p, "EqualTo(c_mktsegment,BUILDING)"), s"segment filter not pushed\n$p")
   }
 
   test("q5: every dimension join broadcasts (no shuffle join in the chain)") {
@@ -108,7 +117,7 @@ class PlanSpec extends SparkSpec {
   test("strict funnel: one keyed shuffle over type-pruned events, stage filter at the scan") {
     val p = plan("events_funnel_strict")
     // the stage-type isin prune must reach the parquet scan
-    assert(p.contains("PushedFilters: [In(event_type"), s"type prune not pushed\n$p")
+    assert(pushedToScan(p, "In(event_type"), s"type prune not pushed\n$p")
     // no per-stage join chain over the event table: the funnel fold is
     // one aggregate; joins are only the tiny distinct-users stitch
     assert(!p.contains("SortMergeJoin"), p)
