@@ -392,14 +392,19 @@ object Corpus {
     * 100 TB shape: the benchmark aggregates once into a `numBits`-wide
     * bloom (Spark's own runtime-filter aggregate, ~`numBits/8` bytes —
     * megabytes where the distinct shingle set would be gigabytes),
-    * which ships to every task as a LITERAL; the corpus side is then a
+    * which reaches the probe as a SCALAR SUBQUERY — the same plan shape
+    * Spark's own `InjectRuntimeFilter` emits. The corpus side is then a
     * narrow explode + bloom probe with NO shuffle and no broadcast of
     * benchmark data. Only the surviving candidate rows — true leaks
     * plus the bloom's small false-positive mass — reach the exact
     * verify join, so where [[decontaminate]]'s non-broadcast fallback
     * shuffles EVERY corpus shingle, this path shuffles only candidates.
-    * The driver materializes just the bloom bytes (bounded by
-    * `numBits`), never benchmark rows. */
+    * The bloom bytes never exist as a driver-side Catalyst literal:
+    * an `Array[Byte]` `Literal` is hashed/compared O(bytes) on every
+    * analyzer/optimizer pass that canonicalizes the tree, which at the
+    * 4 MB default cost ~6 s of pure driver time per call (measured
+    * r20); the subquery result materializes only at execution, inside
+    * the physical plan. */
   def decontaminateBloom(
       corpus: DataFrame,
       benchmark: DataFrame,
@@ -410,56 +415,57 @@ object Corpus {
       numBits: Long = 33_554_432L,
       maxBroadcastShingles: Long = 4_000_000L): DataFrame = {
     // plan-time bounds (the dsirLlrTable discipline): the bloom BYTES
-    // are collected to the driver and shipped to every task as a
-    // literal, so an oversized numBits is a driver OOM / task-binary
-    // blowup mid-job; non-positive parameters would fail deep inside
-    // the kernel aggregate instead of here with guidance
+    // materialize on the driver as the scalar-subquery result and ship
+    // inside the probe stage's task binary, so an oversized numBits is
+    // a driver OOM / task-binary blowup mid-job; non-positive
+    // parameters would fail deep inside the kernel aggregate instead
+    // of here with guidance
     require(expectedShingles > 0,
       s"decontaminateBloom: expectedShingles must be positive, got $expectedShingles")
     require(numBits > 0 && numBits <= (1L << 31),
       s"decontaminateBloom: numBits must be in (0, 2^31] (= 256 MB of " +
         s"bloom bytes shipped to every task), got $numBits — shard the " +
         "benchmark across several calls instead of one giant filter")
-    // pinned for the call: the bloom aggregate, the broadcast-size
-    // probe, and the exact-verify join would otherwise each re-run the
-    // full benchmark scan + shingle explode (the dominant
-    // benchmark-side cost) from lineage
-    val benchShingles = benchmark
+    // ONE pinned artifact: the DISTINCT benchmark shingles. Every
+    // consumer — the bloom aggregate (insertion is idempotent, so a
+    // bloom over distinct shingles is the same filter, with a tighter
+    // fit to expectedShingles), the broadcast-size probe, and the
+    // exact-verify join — reads this one cache, so the benchmark scan +
+    // explode runs once and the distinct shuffle runs once. (r19
+    // persisted the RAW exploded frame AND its distinct — two caches,
+    // the larger one serialized only to feed the distinct; that double
+    // persist was the round's one real wall regression.) persist, NOT
+    // localCheckpoint: checkpoint blocks have no unpersist hook here
+    // and LEAKED the largest cached artifact into the caller's session
+    // (exactly what the eager result materialization below prevents).
+    val benchDistinct = benchmark
       .select(explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
-      val bf = benchShingles
+      // the bloom rides into the probe as a scalar subquery — computed
+      // once at execution over the cached distinct shingles, never a
+      // driver literal (see the scaladoc: a 4 MB binary Literal costs
+      // seconds of O(bytes) driver-side canonicalization per call). An
+      // EMPTY benchmark yields a null bloom → might_contain is null →
+      // the filter drops every corpus shingle, which is exactly the
+      // right answer (nothing can be contaminated).
+      val bloom = benchDistinct
         .agg(call_function("graft_bloom_agg", xxhash64(col("__sh")),
           lit(expectedShingles), lit(numBits)).as("bf"))
-        .collect()(0).getAs[Array[Byte]]("bf")
-      if (bf == null) {
-        // empty benchmark: nothing can be contaminated
-        corpus.select(col(idCol)).limit(0)
-      } else {
-        val cand = corpus
-          .select(col(idCol), explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
-          .filter(call_function("graft_bloom_might_contain",
-            lit(bf), xxhash64(col("__sh"))))
-        // distinct MATERIALIZED once: the broadcast-size probe and the
-        // verify join would otherwise each run the full distinct
-        // shuffle over the (cached) exploded shingles. persist, NOT
-        // localCheckpoint: checkpoint blocks have no unpersist hook
-        // here and LEAKED the largest cached artifact into the
-        // caller's session (exactly what the eager result
-        // materialization below exists to prevent)
-        val benchDistinct = benchShingles.distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        try {
-          val bench = broadcastIfSmall(benchDistinct, maxBroadcastShingles)
-          // eager: the contaminated-id set is small by nature, and
-          // materializing it here lets the benchmark caches free in the
-          // finally instead of leaking into the caller's session
-          cand.join(bench, Seq("__sh"), "left_semi")
-            .select(col(idCol)).distinct()
-            .localCheckpoint(true)
-        } finally benchDistinct.unpersist(blocking = false)
-      }
-    } finally benchShingles.unpersist()
+        .scalar()
+      val cand = corpus
+        .select(col(idCol), explode(Dedup.shingleSet(col(textCol), shingleLen)).as("__sh"))
+        .filter(call_function("graft_bloom_might_contain",
+          bloom, xxhash64(col("__sh"))))
+      val bench = broadcastIfSmall(benchDistinct, maxBroadcastShingles)
+      // eager: the contaminated-id set is small by nature, and
+      // materializing it here lets the benchmark cache free in the
+      // finally instead of leaking into the caller's session
+      cand.join(bench, Seq("__sh"), "left_semi")
+        .select(col(idCol)).distinct()
+        .localCheckpoint(true)
+    } finally benchDistinct.unpersist(blocking = false)
   }
 
   /** Graded contamination report: for every corpus document, the
