@@ -37,6 +37,18 @@ import org.apache.spark.sql.SparkSession
   * Stdout's per-query lines and the final total line are UNCHANGED
   * (still the min / sum-of-minima) — the driver's parse contract and
   * cross-round comparability stay intact.
+  *
+  * Sweep-major trials (r20): the trials run as full passes over the
+  * whole query set (pass 1 of every query, then pass 2, …), not
+  * back-to-back per query. Query-major trials all landed inside the
+  * same few seconds, so a sustained slow-host window could cover every
+  * trial of each key it touched and poison even the min (BENCH_r19:
+  * a 73× phantom whose all-three trials sat inside one window).
+  * Sweep-major spaces a key's trials a full pass (~minutes) apart; the
+  * durable record additionally stamps each trial's start offset
+  * (`at_s`) and raw seconds (`trial_s`) so any remaining window is
+  * localizable per trial. Per-query minima and stdout are computed
+  * exactly as before.
   */
 object Bench {
 
@@ -77,6 +89,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // static conf, must be set before the session exists: the default
+      // 100-entry codegen class cache thrashes under sweep-major trials
+      // (161 interleaved queries evict every compiled class between
+      // passes, so every trial would pay a recompile that back-to-back
+      // trials never did — inflating even the min)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -128,46 +146,71 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     // Interleaved calibration: one kernel leg every SegmentEvery
-    // queries (FULL runs only — and single-trial: the pre leg's
-    // min-of-trials already warmed the kernel), so a capacity dip is
-    // attributable to the ~40-query window it actually covered.
+    // measurement slots (FULL runs only — and single-trial: the pre
+    // leg's min-of-trials already warmed the kernel), so a capacity dip
+    // is attributable to the ~40-measurement window it actually covered.
     val SegmentEvery = 40
     val calSegments = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((name, fn), qIdx) =>
-      if (only.isEmpty && qIdx > 0 && qIdx % SegmentEvery == 0) {
+    // SWEEP-MAJOR trials (r20): pass 1 runs every query once, then pass
+    // 2, then pass 3 — NOT 3 back-to-back runs per query. Back-to-back
+    // trials all sit inside the same few seconds, so one sustained
+    // slow-host window used to poison even the MIN of every key it
+    // covered (BENCH_r19: sf2_ts_format_dual min 16.4 s, a 73× phantom
+    // — ALL THREE adjacent trials were inside the window). Sweep-major
+    // spaces one key's trials minutes apart (a full sweep pass each),
+    // so a window now inflates at most one trial per key and the min
+    // recovers from any quiet pass. Each trial also records its start
+    // offset from run start (`at_s` in the durable record), so a slow
+    // window is localizable per trial after the fact.
+    val sortedQueries = selected.toSeq.sortBy(_._1)
+    val runStart = System.nanoTime()
+    // per-query trial log: (full, build, probe, snapshot, startOffset)
+    val trialLog = scala.collection.mutable.LinkedHashMap(
+      sortedQueries.map { case (n, _) =>
+        n -> Vector.empty[(Double, Double, Double, BenchMetrics.Snapshot, Double)]
+      }: _*)
+    var slot = 0
+    for (_ <- 1 to trials; (name, fn) <- sortedQueries) {
+      if (only.isEmpty && slot > 0 && slot % SegmentEvery == 0) {
         val c = calibrate(spark, 1)
         calSegments += c
         println(s"""{"metric":"calibration","phase":"seg${calSegments.size}","value":$c,"unit":"sec"}""")
       }
-      // (full, build, probe, snapshot): `build` is the time spent INSIDE
-      // the query closure — for the incremental-index keys that is the
-      // eager seed/ingest of their persistent state tables — and `probe`
-      // is materializing the returned frame, the user-facing query path.
-      // Splitting them keeps a probe-path regression from hiding under
-      // build noise (plain lazy queries report build ≈ 0). The headline
-      // `full` = build + probe is unchanged for cross-round comparison.
-      var trialRuns =
-        Vector.empty[(Double, Double, Double, BenchMetrics.Snapshot)]
-      var trial = 0
-      while (trial < trials && !trialRuns.exists(_._1 < 0)) {
+      slot += 1
+      // fail-fast across passes: once any trial of a query threw, later
+      // passes skip it (it is recorded broken either way — no
+      // cherry-picking a lucky run)
+      if (!trialLog(name).exists(_._1 < 0)) {
         Tables.dropCachedLeftovers(spark)
         metrics.reset()
+        val at = (System.nanoTime() - runStart) / 1e9
         val t0 = System.nanoTime()
+        // (full, build, probe, snapshot): `build` is the time spent
+        // INSIDE the query closure — for the incremental-index keys that
+        // is the eager seed/ingest of their persistent state tables —
+        // and `probe` is materializing the returned frame, the
+        // user-facing query path. Splitting them keeps a probe-path
+        // regression from hiding under build noise (plain lazy queries
+        // report build ≈ 0). The headline `full` = build + probe is
+        // unchanged for cross-round comparison.
         val run = try {
           val df = fn(spark, sfDir)
           val t1 = System.nanoTime()
           df.write.format("noop").mode("overwrite").save()
           val t2 = System.nanoTime()
           ((t2 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9,
-            metrics.snapshot(spark.sparkContext))
+            metrics.snapshot(spark.sparkContext), at)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          (-1.0, -1.0, -1.0, metrics.snapshot(spark.sparkContext))
+          (-1.0, -1.0, -1.0, metrics.snapshot(spark.sparkContext), at)
         }
-        trialRuns :+= run
-        trial += 1
+        trialLog(name) :+= run
       }
+    }
+    val results = sortedQueries.map { case (name, _) =>
+      val trialRuns = trialLog(name).map {
+        case (f, b, p, s, _) => (f, b, p, s) }
+      val atOffsets = trialLog(name).map(_._5)
       // Shuffle/spill come from the FASTEST trial: bytes are plan-
       // deterministic (identical across trials), but spill is a
       // pressure symptom and the min-time trial is the one the
@@ -192,7 +235,8 @@ object Bench {
         else (fulls(fulls.size / 2 - 1) + fulls(fulls.size / 2)) / 2.0
       val qMax = if (best < 0) -1.0 else fulls.last
       println(s"""{"metric":"query","name":"$name","value":$best,"unit":"sec"}""")
-      (name, best, qMed, qMax, bestBuild, bestProbe, bestSnap)
+      (name, best, qMed, qMax, bestBuild, bestProbe, bestSnap,
+        trialLog(name).map(_._1), atOffsets)
     }
     // The headline total covers the PASSING queries so one red query
     // can't zero out the whole artifact; `failed` rides alongside so a
@@ -200,7 +244,7 @@ object Bench {
     // speedup (consumers must treat failed>0 as incomparable).
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.collect {
-      case (_, v, _, _, _, _, _) if v >= 0 => v }.sum
+      case (_, v, _, _, _, _, _, _, _) if v >= 0 => v }.sum
 
     // Host calibration, leg 2: the same fixed kernel after the sweep.
     // pre/post disagreement IS the within-run host drift; the min of
@@ -227,22 +271,29 @@ object Bench {
     // BENCH_LOCAL.json in the working directory (the repo root under
     // sbt), committed per round, so regressions can be diffed without
     // tail archaeology.
+    // Per-query objects: min/median/max over the (sweep-major) trials,
+    // plus the raw per-trial seconds (`trial_s`, in pass order) and each
+    // trial's start offset from run start (`at_s`) — together they
+    // localize a sustained slow-host window to the exact trials it
+    // covered. NOTE this is the r19+ OBJECT-valued format; consumers of
+    // the pre-r19 numeric map must read `.min`.
     val queriesJson = results
-      .map { case (n, v, med, mx, _, _, _) =>
-        s""""$n":{"min":$v,"median":$med,"max":$mx}""" }
+      .map { case (n, v, med, mx, _, _, _, ts, ats) =>
+        val tsJson = ts.map(t => s"$t").mkString("[", ",", "]")
+        val atJson = ats.map(a => f"$a%.2f").mkString("[", ",", "]")
+        s""""$n":{"min":$v,"median":$med,"max":$mx,"trial_s":$tsJson,"at_s":$atJson}""" }
       .mkString("{", ",", "}")
     // Resource record per query (shuffle read/write, mem/disk spill from
-    // the fastest trial) rides in a PARALLEL map so existing consumers
-    // of the numeric "queries" map keep parsing unchanged.
+    // the fastest trial) rides in a PARALLEL map keyed by the same
+    // query names.
     val metricsJson = results
-      .map { case (n, _, _, _, _, _, snap) => s""""$n":${snap.json}""" }
+      .map { case (n, _, _, _, _, _, snap, _, _) => s""""$n":${snap.json}""" }
       .mkString("{", ",", "}")
     // Phase split per query (same trial as the headline number): build_s
     // = time inside the query closure (index seed/ingest for the
     // incremental keys), probe_s = materializing the returned frame.
-    // A third parallel map — the numeric "queries" contract is untouched.
     val phasesJson = results
-      .map { case (n, _, _, _, b, p, _) =>
+      .map { case (n, _, _, _, b, p, _, _, _) =>
         s""""$n":{"build_s":$b,"probe_s":$p}""" }
       .mkString("{", ",", "}")
     // failed/failed_names ride in the durable record too: the committed
