@@ -349,43 +349,77 @@ final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
     //    observed): a live pre-r19 holder's in-place refresh landing
     //    between judgment and rename must defeat the break, the same
     //    value-conditional contract every other transition honors.
-    if (legacyFile().isDefined) {
-      val aside = new Path(dir.getParent,
-        s"${dir.getName}.legacy.${java.util.UUID.randomUUID()}")
-      if (!fs.rename(dir, aside)) return false // a racer migrated first
-      // From here until the verified win, ANY failure must put the
-      // slot back before surfacing — a thrown blip after the rename
-      // would otherwise leave the live lease marooned under a UUID
-      // name and the slot reading absent.
-      val intact =
-        try {
-          val asideIsFile =
-            try fs.getFileStatus(aside).isFile
-            catch { case _: java.io.FileNotFoundException => false }
-          asideIsFile && java.util.Arrays.equals(readFully(aside), judged)
-        } catch {
-          case e: java.io.IOException => restoreAside(aside); throw e
+    val asideOpt: Option[Path] =
+      if (legacyFile().isDefined) {
+        val aside = new Path(dir.getParent,
+          s"${dir.getName}.legacy.${java.util.UUID.randomUUID()}")
+        if (!fs.rename(dir, aside)) return false // a racer migrated first
+        // From here until the verified win, ANY failure must put the
+        // slot back before surfacing — a thrown blip after the rename
+        // would otherwise leave the live lease marooned under a UUID
+        // name and the slot reading absent.
+        val intact =
+          try {
+            val asideIsFile =
+              try fs.getFileStatus(aside).isFile
+              catch { case _: java.io.FileNotFoundException => false }
+            asideIsFile && java.util.Arrays.equals(readFully(aside), judged)
+          } catch {
+            case e: java.io.IOException => restoreAside(aside); throw e
+          }
+        if (!intact) { restoreAside(aside); return false }
+        // the verified legacy bytes stay renamed-aside until a
+        // replacement VERSION FILE is durably in place — deleting them
+        // here would let a crash or transient IOException in the
+        // following mkdirs/create/rename destroy the lease value
+        // permanently while the slot reads absent (r19 ADVICE)
+        Some(aside)
+      } else None
+    // exception-path rollback for the migration: if no version file
+    // made it into the slot, remove the partial directory and put the
+    // legacy file back; if a racer's version DID land during the
+    // window, the slot is live under a successor — never delete it,
+    // and leave the aside as inspectable residue. Best-effort: we are
+    // already surfacing the original exception.
+    def rollbackMigration(): Unit = asideOpt.foreach { aside =>
+      try {
+        val hasVersion = fs.exists(dir) && fs.listStatus(dir).exists(st =>
+          st.getPath.getName match {
+            case VersionName(_) => true
+            case _ => false
+          })
+        if (!hasVersion) {
+          fs.delete(dir, true)
+          restoreAside(aside)
         }
-      if (!intact) { restoreAside(aside); return false }
+      } catch { case _: java.io.IOException => () }
+    }
+    val dst = fileFor(v)
+    val renamed =
+      try {
+        fs.mkdirs(dir)
+        val tmp = new Path(dir, s".v.tmp.${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        try out.write(content) finally out.close()
+        try {
+          if (fs.rename(tmp, dst)) true
+          else if (fs.exists(dst)) false
+          else throw new java.io.IOException(
+            s"lease publish: rename($tmp -> $dst) refused with no " +
+              "existing destination")
+        } finally {
+          try fs.delete(tmp, false)
+          catch { case _: java.io.IOException => () } // residue harmless
+        }
+      } catch { case e: Throwable => rollbackMigration(); throw e }
+    // migration completes only now: either our version file is durably
+    // named, or a racer's is (renamed == false ⟹ dst already existed)
+    // — in both cases the slot holds a successor and the aside bytes
+    // are superseded
+    asideOpt.foreach { aside =>
       try fs.delete(aside, false)
       catch { case _: java.io.IOException => () } // residue harmless
     }
-    fs.mkdirs(dir)
-    val dst = fileFor(v)
-    val tmp = new Path(dir, s".v.tmp.${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
-    try out.write(content) finally out.close()
-    val renamed =
-      try {
-        if (fs.rename(tmp, dst)) true
-        else if (fs.exists(dst)) false
-        else throw new java.io.IOException(
-          s"lease publish: rename($tmp -> $dst) refused with no " +
-            "existing destination")
-      } finally {
-        try fs.delete(tmp, false)
-        catch { case _: java.io.IOException => () } // residue harmless
-      }
     val won = renamed && {
       val stillTop = !fs.listStatus(dir).exists(st =>
         st.getPath.getName match {

@@ -464,6 +464,58 @@ class WriterLeaseSpec extends SparkSpec {
     assert(store.tryCreate("again\n7\n".getBytes("UTF-8")))
   }
 
+  test("legacy migration crash between aside and version publish restores the legacy file — the lease value is never destroyed") {
+    // r19 ADVICE: the migration deleted the verified renamed-aside
+    // legacy file BEFORE the first version file landed, so a crash in
+    // the following mkdirs/create/rename destroyed the lease value
+    // permanently and left the slot observably absent. The aside must
+    // outlive the window, and the failure path must roll the slot back.
+    val dir = Files.createTempDirectory("graft-lease-mig-crash").toString
+    val p = new Path(s"$dir/_lease")
+    val fs = new CrashOnTmpCreateFs(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    val legacy = "oldholder\n0\n".getBytes("UTF-8")
+    val out = fs.create(p, false)
+    try out.write(legacy) finally out.close()
+    val store = new HadoopLeaseStore(fs, p)
+
+    fs.failTmpCreates = true
+    val mine = "newholder\n5\n".getBytes("UTF-8")
+    intercept[java.io.IOException](store.takeOver(legacy, mine))
+    // the slot reads the legacy value again — NOT absent, NOT marooned
+    assert(store.read().exists(java.util.Arrays.equals(_, legacy)),
+      "legacy value lost across the failed migration")
+    assert(fs.getFileStatus(p).isFile,
+      "slot must roll back to the legacy single-file layout")
+    val residue = fs.listStatus(p.getParent).map(_.getPath.getName)
+      .filter(_.contains(".legacy."))
+    assert(residue.isEmpty, s"aside residue left behind: ${residue.mkString(",")}")
+
+    // once the fault clears, the same takeover migrates cleanly
+    fs.failTmpCreates = false
+    assert(store.takeOver(legacy, mine))
+    assert(store.read().exists(java.util.Arrays.equals(_, mine)))
+    assert(fs.getFileStatus(p).isDirectory)
+  }
+
+  /** Injects an IOException into the version-tmp-file create — the
+    * exact middle of the migration's mkdirs/create/rename window. */
+  private class CrashOnTmpCreateFs(inner: org.apache.hadoop.fs.FileSystem)
+      extends HdfsSemanticsFs(inner) {
+    @volatile var failTmpCreates = false
+    override def create(f: Path,
+        permission: org.apache.hadoop.fs.permission.FsPermission,
+        overwrite: Boolean, bufferSize: Int, replication: Short,
+        blockSize: Long,
+        progress: org.apache.hadoop.util.Progressable)
+        : org.apache.hadoop.fs.FSDataOutputStream = {
+      if (failTmpCreates && f.getName.startsWith(".v.tmp"))
+        throw new java.io.IOException("injected create failure")
+      super.create(f, permission, overwrite, bufferSize, replication,
+        blockSize, progress)
+    }
+  }
+
   test("VersionedSlotStore hammer: a beating holder is NEVER usurped by polling waiters (refresh never passes through ABSENT)") {
     // the r19 fix in one picture: the old non-local replaceIf was
     // delete-then-rename, so EVERY heartbeat refresh exposed a window
