@@ -38,9 +38,13 @@ object Corpus {
     // built on this silently DROPPED null-id rows, even from keep-all
     // sources. All null-id rows share one deterministic draw (they are
     // indistinguishable by id); callers needing per-row draws for such
-    // rows must key on content instead.
-    substring(md5(concat(lit(seed + ":"),
-      coalesce(id.cast("string"), lit("\u0000null")))), 1, 8)
+    // rows must key on content instead. The null branch swaps the
+    // SEPARATOR (";" for ":"), so no real id value can ever alias the
+    // null draw — "seed:anything" and "seed;null" differ at the
+    // separator byte — while every non-null draw (and the oracle SQL
+    // that replays it) is untouched.
+    substring(md5(when(id.isNull, lit(seed + ";null"))
+      .otherwise(concat(lit(seed + ":"), id.cast("string")))), 1, 8)
 
   /** The 8-hex-char threshold encoding probability `p` (e.g. 0.25 →
     * "40000000"): floor(p·2^32) zero-padded to 8 nibbles. `p = 1.0`
@@ -722,9 +726,10 @@ object Corpus {
     // the sentinel keeps a null-id row's (shard, pos) DEFINED and
     // deterministic (a NULL key sorted arbitrarily); SEVERAL null-id
     // rows still tie (nothing distinguishes them) — reproducibility
-    // requires unique ids, as the contract states
-    val key = md5(concat(lit(seed + ":"),
-      coalesce(col(idCol).cast("string"), lit("\u0000null"))))
+    // requires unique ids, as the contract states. Separator-swapped
+    // null branch as in [[uniformHex]]: no real id aliases the null key
+    val key = md5(when(col(idCol).isNull, lit(seed + ";null"))
+      .otherwise(concat(lit(seed + ":"), col(idCol).cast("string"))))
     val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
     df.withColumn("__key", key)
       .withColumn("shard", substring(col("__key"), 1, shardHexChars))
