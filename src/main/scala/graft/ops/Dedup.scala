@@ -1058,9 +1058,21 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
     val txt = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__tid"), col(textCol).as("__t"))
-    val verified = cand
+    // shuffle-HASH, not sort-merge, for the text fetch: sort-merge
+    // SORTS text-carrying rows, and the 60× probe measured ~6 GB of
+    // sort spill from exactly this (r19 watch item). Build sides are
+    // chosen so neither hash relation is ever pairs×text: the first
+    // join builds on the SLIM pair set (two longs per row,
+    // LSH-bounded); the second builds on the per-doc text projection —
+    // one row per document, strictly smaller than the streamed
+    // pairs-with-text side (pairs duplicate texts) and bounded per
+    // partition by the standard shuffle-partition sizing rule. (A
+    // build on pairs-with-text OOM'd the hash relation at the 60× leg;
+    // measured before this shape landed.)
+    val verified = cand.hint("shuffle_hash")
       .join(txt.select(col("__tid").as("a_id"), col("__t").as("__at")), "a_id")
-      .join(txt.select(col("__tid").as("b_id"), col("__t").as("__bt")), "b_id")
+      .join(txt.select(col("__tid").as("b_id"), col("__t").as("__bt"))
+        .hint("shuffle_hash"), "b_id")
       .select(col("a_id"), col("b_id"),
         score(col("__at"), col("__bt")).as(scoreName))
       .filter(col(scoreName) >= minScore)
