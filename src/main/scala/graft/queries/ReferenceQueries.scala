@@ -103,6 +103,38 @@ object ReferenceQueries {
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
+    // ── High-cardinality aggregate with HAVING (TPC-H Q18 shape —
+    // large-volume customers): the groupBy(l_orderkey) runs at ORDER
+    // cardinality (the highest-cardinality aggregate in the headline
+    // set — partial aggregation barely combines because nearly every
+    // group has its rows on one partition's worth of input), and the
+    // HAVING shrinks it to a rare-order key set. The per-order sum the
+    // final projection needs IS the HAVING aggregate, so lineitem is
+    // read and aggregated ONCE — no second pass, no re-join of
+    // lineitem (the canonical SQL's self-semi-join collapses into
+    // reuse). The shrunken aggregate then joins orders on the fact
+    // key and customer on custkey; at 100 TB both joins shuffle at
+    // MOST the qualifying-order cardinality on the left (HAVING-bound,
+    // orders of magnitude below lineitem), AQE broadcasts at small SF,
+    // and TakeOrderedAndProject bounds the top-100 without a global
+    // sort. ──────────────────────────────────────────────────────────
+    "q18_large_volume_customer" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity"))).cast("long").as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), cents(col("o_totalprice")).as("o_totalprice_cents"),
+          col("sum_qty"))
+        .orderBy(col("o_totalprice_cents").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
+    }),
+
     // ── F1: anchored-regex record filter ─────────────────────────────────
     "f1_filter_qucosa_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -721,6 +753,18 @@ object ReferenceQueries {
         |WHERE p_name LIKE '%red%'
         |GROUP BY n_name, year(o_orderdate)
         |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q18_large_volume_customer" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        | CAST(round(o_totalprice*100) AS BIGINT) AS o_totalprice_cents,
+        | sum_qty
+        |FROM (SELECT l_orderkey, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING CAST(round(sum(l_quantity)) AS BIGINT) > 300) big
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice_cents DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "f1_filter_qucosa_id" ->
       """SELECT doc_id, record_identifier FROM (

@@ -55,6 +55,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q18: order-cardinality aggregate combines map-side, lineitem read once, top-100 is TakeOrderedAndProject, no cartesian") {
+    val p = plan("q18_large_volume_customer")
+    // the HAVING aggregate IS the projection aggregate — lineitem must
+    // be scanned exactly once (the canonical SQL's self-semi-join
+    // collapses into reuse)
+    assert("lineitem\\.parquet".r.findAllMatchIn(p).size == 1,
+      s"lineitem scanned more than once\n$p")
+    // order-cardinality group-by still combines map-side
+    assert(p.contains("partial_sum"), p)
+    // top-100 bounds via TakeOrderedAndProject, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q18 fell back to a product\n$p")
+  }
+
   test("d1: full-tuple conditional delete plans as a broadcast anti-join") {
     val p = plan("d1_delete_if_unmodified")
     assert(p.contains("LeftAnti"))
