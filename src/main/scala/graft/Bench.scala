@@ -280,7 +280,11 @@ object Bench {
     val queriesJson = results
       .map { case (n, v, med, mx, _, _, _, ts, ats) =>
         val tsJson = ts.map(t => s"$t").mkString("[", ",", "]")
-        val atJson = ats.map(a => f"$a%.2f").mkString("[", ",", "]")
+        // Locale.ROOT: the f interpolator is locale-sensitive and a
+        // comma-decimal default locale would corrupt the JSON array
+        val atJson = ats
+          .map(a => "%.2f".formatLocal(java.util.Locale.ROOT, a))
+          .mkString("[", ",", "]")
         s""""$n":{"min":$v,"median":$med,"max":$mx,"trial_s":$tsJson,"at_s":$atJson}""" }
       .mkString("{", ",", "}")
     // Resource record per query (shuffle read/write, mem/disk spill from

@@ -447,13 +447,17 @@ object Corpus {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
+      // an EMPTY benchmark short-circuits BEFORE the corpus is touched:
+      // the null bloom from the subquery would drop every row at
+      // execution anyway, but only after a full corpus-side explode +
+      // probe pass — a plan-time-known-empty result must not cost a
+      // corpus scan. isEmpty reads the already-persisted distinct frame.
+      if (benchDistinct.isEmpty)
+        return corpus.select(col(idCol)).limit(0)
       // the bloom rides into the probe as a scalar subquery — computed
       // once at execution over the cached distinct shingles, never a
       // driver literal (see the scaladoc: a 4 MB binary Literal costs
-      // seconds of O(bytes) driver-side canonicalization per call). An
-      // EMPTY benchmark yields a null bloom → might_contain is null →
-      // the filter drops every corpus shingle, which is exactly the
-      // right answer (nothing can be contaminated).
+      // seconds of O(bytes) driver-side canonicalization per call)
       val bloom = benchDistinct
         .agg(call_function("graft_bloom_agg", xxhash64(col("__sh")),
           lit(expectedShingles), lit(numBits)).as("bf"))

@@ -1965,19 +1965,18 @@ class BucketedStateTable(
       require(missing.isEmpty,
         s"imported snapshot at $inPath lacks key column(s) " +
           s"${missing.mkString(", ")} of table $path")
-      // stats columns validate BEFORE the creating commit: analyzeStats
-      // runs after the commit has published, so a snapshot missing a
-      // stats column would otherwise leave a committed table behind a
-      // thrown import — and the retry then refuses because the table
-      // has a commit
-      val missingStats =
-        if (analyzeAfter) statsCols.filterNot(rows.columns.contains)
-        else Seq.empty
-      require(missingStats.isEmpty,
-        s"imported snapshot at $inPath lacks stats column(s) " +
-          s"${missingStats.mkString(", ")} the handle's analyzeAfter pass " +
-          s"would ANALYZE — import with analyzeAfter = false or export " +
-          "those columns")
+      // stats columns validate BEFORE the creating commit, with the
+      // EXACT predicate analyzeStats will apply (presence AND zone-map
+      // type eligibility): analyzeStats runs after the commit has
+      // published, so a snapshot it would reject would otherwise leave
+      // a committed table behind a thrown import — and the retry then
+      // refuses because the table has a commit
+      require(!analyzeAfter || statsEligible(statsCols, rows.schema).nonEmpty,
+        s"imported snapshot at $inPath carries none of the handle's " +
+          s"stats column(s) [${statsCols.mkString(",")}] as a " +
+          "zone-map-supported type — the analyzeAfter pass would refuse " +
+          "AFTER the creating commit; import with analyzeAfter = false " +
+          "or export an eligible column")
       commit(rows, (0 until numBuckets).toSeq)
       if (analyzeAfter) analyzeStats()
       read().map(_.count()).getOrElse(0L)

@@ -375,30 +375,29 @@ final class VersionedSlotStore(fs: FileSystem, dir: Path) extends LeaseStore {
         // permanently while the slot reads absent (r19 ADVICE)
         Some(aside)
       } else None
-    // exception-path rollback for the migration: if no version file
-    // made it into the slot, remove the partial directory and put the
-    // legacy file back; if a racer's version DID land during the
-    // window, the slot is live under a successor — never delete it,
-    // and leave the aside as inspectable residue. Best-effort: we are
-    // already surfacing the original exception.
+    // exception-path rollback for the migration: put the legacy file
+    // back ONLY if the slot can be emptied without touching anyone
+    // else's work — we delete OUR tmp file (exact name) and then the
+    // directory NON-recursively, which the filesystem refuses if any
+    // other object (a racer's version file, a racer's tmp) landed in
+    // the window. A recursive delete here could destroy a racer's
+    // just-won lease between our emptiness check and the delete —
+    // check-then-delete is not atomic; delete-if-empty is. If the dir
+    // cannot be emptied, a racer owns the slot and the aside stays as
+    // inspectable residue. Best-effort: we are already surfacing the
+    // original exception.
+    val dst = fileFor(v)
+    val tmp = new Path(dir, s".v.tmp.${java.util.UUID.randomUUID()}")
     def rollbackMigration(): Unit = asideOpt.foreach { aside =>
       try {
-        val hasVersion = fs.exists(dir) && fs.listStatus(dir).exists(st =>
-          st.getPath.getName match {
-            case VersionName(_) => true
-            case _ => false
-          })
-        if (!hasVersion) {
-          fs.delete(dir, true)
-          restoreAside(aside)
-        }
+        try fs.delete(tmp, false)
+        catch { case _: java.io.IOException => () }
+        if (!fs.exists(dir) || fs.delete(dir, false)) restoreAside(aside)
       } catch { case _: java.io.IOException => () }
     }
-    val dst = fileFor(v)
     val renamed =
       try {
         fs.mkdirs(dir)
-        val tmp = new Path(dir, s".v.tmp.${java.util.UUID.randomUUID()}")
         val out = fs.create(tmp, false)
         try out.write(content) finally out.close()
         try {

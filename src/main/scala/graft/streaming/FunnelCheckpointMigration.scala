@@ -97,6 +97,21 @@ object FunnelCheckpointMigration {
       .maxOption.getOrElse(throw new IllegalStateException(
         s"$oldCheckpoint has no committed batch — nothing to migrate"))
 
+    val oldStateRoot = new Path(oldRoot, "state/0")
+    val partitions = fs.listStatus(oldStateRoot).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toInt).sorted
+    require(partitions.nonEmpty,
+      s"$oldCheckpoint has no state partitions under state/0")
+    // EVERY partition's schema record validates before anything is
+    // written: a non-funnel checkpoint must fail with the target
+    // directory untouched — control files written first would poison
+    // the target against retry (the no-overwrite guard would refuse)
+    // and leave a plausible-looking checkpoint with no state behind
+    partitions.foreach { p =>
+      validateLegacySchema(fs, new Path(oldStateRoot, s"$p/_metadata/schema"))
+    }
+
     // control files, rebased to batch 0 (content verbatim: source
     // offsets, watermark, and the pinned conf map must survive)
     copyFile(fs, new Path(oldRoot, s"offsets/$lastBatch"),
@@ -106,16 +121,7 @@ object FunnelCheckpointMigration {
     copyFile(fs, new Path(oldRoot, "metadata"),
       new Path(newRoot, "metadata"), hc)
 
-    val oldStateRoot = new Path(oldRoot, "state/0")
-    val partitions = fs.listStatus(oldStateRoot).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.forall(_.isDigit)).map(_.toInt).sorted
-    require(partitions.nonEmpty,
-      s"$oldCheckpoint has no state partitions under state/0")
-
     val rows = partitions.map { p =>
-      validateLegacySchema(fs,
-        new Path(oldStateRoot, s"$p/_metadata/schema"))
       p -> migratePartition(spark, hc,
         oldRoot.toString, newRoot.toString, p, lastBatch + 1)
     }.toMap

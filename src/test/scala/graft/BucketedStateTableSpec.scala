@@ -1301,6 +1301,23 @@ class BucketedStateTableSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("statsCols"))
 
+    // stats eligibility validates BEFORE the creating commit with the
+    // exact predicate analyzeStats applies: a snapshot whose only
+    // declared stats column is a zone-map-UNSUPPORTED type must refuse
+    // with NO commit published (the retry below must not hit the
+    // already-committed guard)
+    Seq((1L, Seq(1L, 2L))).toDF("k", "vals")
+      .write.parquet(s"$dir/foreign-arr")
+    val tArr = new BucketedStateTable(spark, s"$dir/t-arr",
+      keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L,
+      statsCols = Seq("vals"))
+    val e4 = intercept[IllegalArgumentException] {
+      tArr.importFrom(s"$dir/foreign-arr", analyzeAfter = true)
+    }
+    assert(e4.getMessage.contains("zone-map-supported"), e4.getMessage)
+    // nothing committed — the same import without the stats pass adopts
+    assert(tArr.importFrom(s"$dir/foreign-arr") == 1L)
+
     // an empty export directory (empty-table exportTo) has no schema
     val empty = new BucketedStateTable(spark, s"$dir/empty",
       keyCols = Seq("k"), numBuckets = 4, retentionFloorMillis = 0L)

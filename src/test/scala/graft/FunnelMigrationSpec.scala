@@ -48,6 +48,33 @@ class FunnelMigrationSpec extends SparkSpec {
       }
   }
 
+  test("migration refuses a non-funnel checkpoint BEFORE writing anything — the target stays clean for retry") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-funnel-mig-wrong").toString
+    val in = MemoryStream[Event]
+    // a sessionization checkpoint: real, committed, NOT the funnel layout
+    val q = EventStreams.sessionize(s, in.toDS(), gapSeconds = 1800L,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("mig_wrong_kind")
+      .option("checkpointLocation", s"$root/old")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00", user = 1, typ = "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val e = intercept[IllegalArgumentException] {
+      FunnelCheckpointMigration.migrate(s, s"$root/old", s"$root/new")
+    }
+    assert(e.getMessage.contains("refusing to migrate"), e.getMessage)
+    // nothing written: a half-written target would poison the retry
+    // against the no-overwrite guard and masquerade as a checkpoint
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/new")),
+      "failed validation must leave the migration target absent")
+  }
+
   test("funnel stream survives the 2-field->3-field checkpoint upgrade via migration") {
     val s = spark
     val root = java.nio.file.Files.createTempDirectory("graft-funnel-mig").toString
