@@ -1348,6 +1348,45 @@ class BucketedStateTable(
 
   // ---- mutations (all bucket-pruned, all under the write lock) ------
 
+  /** Every mutation evaluates its input batch TWICE — the dirty-bucket
+    * probe and the commit's bucket write (deleteWhereUnmodified: three
+    * times). For a batch that is a plain scan/projection the probe is
+    * column-pruned to the bucket columns and the double evaluation is
+    * nearly free — but the incremental-index family feeds merges whose
+    * lineage is a shuffle (tokenize→explode→aggregate postings, LSH
+    * banding, IVF assignment), and re-running that shuffle per
+    * evaluation doubles the ingest cost (guide §1.2: fix the algorithm
+    * — don't compute things twice — before per-task work). Pin such a
+    * batch ONCE (MEMORY_AND_DISK_SER, spills instead of evicting) for
+    * the duration of the mutation; plans with no shuffle/generate stage
+    * skip the cache (the pin would cost more than the pruned re-read,
+    * and the non-deterministic-batch guard in [[commit]] keeps its
+    * teeth for exactly the cheap-plan shapes that reach it). A batch
+    * the CALLER already persisted is reused as-is and never unpinned
+    * here. A side benefit for pinned batches: both evaluations see the
+    * SAME materialized rows, so a non-deterministic expensive batch
+    * (e.g. a salted aggregate) commits consistently instead of tripping
+    * the written-outside-dirty guard. */
+  private def pinIfExpensive(df: DataFrame): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val heavy = df.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE &&
+      df.queryExecution.optimizedPlan.exists {
+        case _: Aggregate | _: Join | _: Generate | _: Window => true
+        case _ => false
+      }
+    if (heavy)
+      (df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER),
+        true)
+    else (df, false)
+  }
+
+  private def withPinned[T](df: DataFrame)(body: DataFrame => T): T = {
+    val (pinned, unpin) = pinIfExpensive(df)
+    try body(pinned)
+    finally if (unpin) pinned.unpersist(false)
+  }
+
   override def merge(updates: DataFrame, keys: Seq[String],
       versionCols: Seq[String] = Nil): Unit = {
     // SET equality, matching the JDBC twin: mergeByKey and the bucket
@@ -1356,6 +1395,7 @@ class BucketedStateTable(
     require(keys.toSet == keyCols.toSet,
       s"bucketed table is laid out on $keyCols; cannot merge on $keys")
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      withPinned(updates) { updates =>
       val dirty = dirtyBucketsOf(updates)
       if (dirty.nonEmpty) {
         // schema drift in either direction rides an ordinary merge —
@@ -1368,6 +1408,7 @@ class BucketedStateTable(
         val (cur0, base) = readBucketsWithBase(dirty, like = updates)
         val (cur, up) = alignPair(cur0, updates, keys, "merge")
         commit(StateOps.mergeByKey(cur, up, keys, versionCols), dirty, base)
+      }
       }
     } }
   }
@@ -1478,6 +1519,7 @@ class BucketedStateTable(
     require(keys.toSet == keyCols.toSet,
       s"bucketed table is laid out on $keyCols; cannot apply a delta on $keys")
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      withPinned(upserts) { upserts =>
       val dirty =
         (dirtyBucketsOf(upserts) ++ dirtyBucketsOf(deleteKeys))
           .distinct.sorted
@@ -1499,11 +1541,13 @@ class BucketedStateTable(
           "left_anti")
         commit(StateOps.mergeByKey(kept, up, keys), dirty, base)
       }
+      }
     } }
   }
 
   override def deleteWhereUnmodified(processed: DataFrame): Long =
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
+      withPinned(processed) { processed =>
       val dirty = dirtyBucketsOf(processed)
       if (dirty.isEmpty) 0L
       else {
@@ -1512,6 +1556,7 @@ class BucketedStateTable(
         val notRemoved = res.notRemoved.count()
         commit(res.newState, dirty, base)
         notRemoved
+      }
       }
     } }
 
