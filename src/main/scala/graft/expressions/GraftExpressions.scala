@@ -502,6 +502,81 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue: java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Winnowing fingerprint selection (Schleimer et al. 2003) fused into
+    * one pass — the kernel form of the `transform(sequence(...),
+    * aggregate(..., least(...)))` Column pipeline that built, per row,
+    * a gram-string array, an md5 Column call per gram, and a
+    * window-sized struct fold per window position. Semantics are
+    * BIT-IDENTICAL to that pipeline (and to the SQL oracles that replay
+    * it): grams are the space-joined `k`-token runs of the Spark-
+    * semantics token list ([[Hashing.tokenize]]), the gram hash is the
+    * first 8 hex digits of md5 read as an unsigned 32-bit value
+    * (`conv(substring(md5(g),1,8),16,10)`), each window of `window`
+    * consecutive gram hashes selects its minimum with ties to the
+    * RIGHTMOST position, and the distinct `(fp, fp_pos)` pairs emit in
+    * first-occurrence window order (the `array_distinct` order).
+    * Documents with fewer than `window + k - 1` tokens emit nothing.
+    * Positions are 1-based gram indices, as before. */
+  def winnowFps(input: UTF8String, k: Int, window: Int): ArrayData = {
+    val toks = Hashing.tokenize(input.toString)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val g = toks.length - k + 1
+    if (g < window) return new GenericArrayData(Array.empty[Any])
+    val tb = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      tb(i) = toks(i).getBytes(StandardCharsets.UTF_8); i += 1
+    }
+    val md = md5Local.get()
+    val dig = new Array[Byte](16)
+    val ghs = new Array[Long](g)
+    i = 0
+    while (i < g) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(tb(i + j))
+        j += 1
+      }
+      md.digest(dig, 0, 16)
+      ghs(i) = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      i += 1
+    }
+    // windowed rightmost-min; packed (pos << 32 | hash) dedupes the
+    // (fp, fp_pos) pairs in first-occurrence order (hash fits 32 bits
+    // by construction, positions are gram indices < 2^31)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var s = 0
+    while (s + window <= g) {
+      var bestH = Long.MaxValue
+      var bestJ = -1
+      var j = s
+      while (j < s + window) {
+        if (ghs(j) <= bestH) { bestH = ghs(j); bestJ = j }
+        j += 1
+      }
+      seen.add((bestJ.toLong << 32) | bestH)
+      s += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) {
+      val packed = it.next().longValue()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](packed & 0xFFFFFFFFL, (packed >>> 32) + 1L))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Apply an ordered BPE merge list to one document — the vocab-scale
     * tokenizer-apply kernel ([[BpeApply]]): tokens from the same
     * whitespace discipline as the other text kernels, then repeatedly
@@ -1008,6 +1083,39 @@ case class ShingleContainment(left: Expression, right: Expression, shingleLen: I
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Fused winnowing-fingerprint selection ([[Kernels.winnowFps]]):
+  * md5-derived gram hashes + rightmost-min window selection + distinct
+  * (fp, fp_pos) pairs in one pass, replacing a per-row Column pipeline
+  * of one md5 call per gram and one struct fold per window. */
+case class WinnowFpsExpr(child: Expression, k: Int, window: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1 || window < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs k >= 1 and window >= 1, got k=$k window=$window")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs STRING, got $other")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("fp", LongType, nullable = false),
+    StructField("fp_pos", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_winnow_fps"
+
+  override protected def nullSafeEval(a: Any): Any =
+    Kernels.winnowFps(a.asInstanceOf[UTF8String], k, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.Kernels.winnowFps($a, $k, $window)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** One-pass L2-normalize + micro-int CSV + norm
@@ -1571,7 +1679,8 @@ object GraftExpressions {
     "graft_vec_q8_csv" -> 1, "graft_pq_encode" -> 4,
     "graft_bpe_apply" -> 3, "graft_unigram_segment" -> 3,
     "graft_pq_adc" -> 5, "graft_bloom_agg" -> 3,
-    "graft_bloom_might_contain" -> 2, "graft_xpath_struct" -> 5)
+    "graft_bloom_might_contain" -> 2, "graft_xpath_struct" -> 5,
+    "graft_winnow_fps" -> 3)
 
   private val rawBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_sig" -> (es => ShingleMinHashSig(es.head, lit(es(1)), lit(es(2)))),
@@ -1622,7 +1731,8 @@ object GraftExpressions {
         s"graft_xpath_struct: ${prefixes.length} namespace prefixes vs " +
           s"${uris.length} uris — unresolved prefixes would fail every row")
       XPathStructNs(es.head, names.zip(paths), prefixes.zip(uris).toMap)
-    }))
+    }),
+    "graft_winnow_fps" -> (es => WinnowFpsExpr(es.head, lit(es(1)), lit(es(2)))))
 
   val builders: Seq[(String, Seq[Expression] => Expression)] =
     rawBuilders.map { case (name, f) =>

@@ -822,30 +822,26 @@ object TextAnalysis {
       k: Int = 3,
       window: Int = 4): DataFrame = {
     require(k > 0 && window > 0, "k and window must be positive")
-    val ghs = transform(ngramList(col(textCol), k), g =>
-      portableHash32(g))
-    val selType = "array<struct<gh:bigint,np:bigint>>"
-    // per window start i (1-based): fold (hash, -pos) structs with
-    // least() — smallest hash, rightmost position on ties
-    val zero = struct(lit(Long.MaxValue).as("gh"), lit(0L).as("np"))
-    val sels = when(size(col("__ghs")) >= window,
-      array_distinct(transform(
-        sequence(lit(1), size(col("__ghs")) - window + 1),
-        i => aggregate(sequence(i, i + window - 1), zero,
-          (acc, j) => least(acc,
-            struct(element_at(col("__ghs"), j).as("gh"),
-              (-j).cast("long").as("np")))))))
-      .otherwise(array().cast(selType)) // no full window -> no fingerprints
-    // NO trailing distinct: array_distinct above already dedupes the
-    // per-document (gh, np) structs, and rows carry the doc id, so the
-    // exploded (id, fp, fp_pos) rows are unique by construction — a
-    // row-level distinct here would re-shuffle every fingerprint of the
-    // corpus to remove nothing (against the zero-shuffle shape the doc
-    // promises; winnowVerifiedPairs runs its own (id, fp) distinct
-    // anyway)
-    df.select(col(idCol), ghs.as("__ghs"))
-      .select(col(idCol), explode(sels).as("__s"))
-      .select(col(idCol), col("__s.gh").as("fp"), (-col("__s.np")).as("fp_pos"))
+    // One fused kernel call per row ([[graft.expressions.WinnowFpsExpr]]):
+    // gram md5 hashes + rightmost-min window selection + per-document
+    // (fp, fp_pos) dedupe in a single primitive-array pass. The previous
+    // Column pipeline paid one md5 Column call per gram plus a
+    // window-sized struct fold per window position — measured as the
+    // dominant cost of the winnow/containment dedup family (r20). The
+    // kernel's selection is bit-identical (same portable md5-derived
+    // 32-bit gram hash, same ties-to-rightmost rule, same
+    // first-occurrence dedupe order), so every SQL oracle built on the
+    // md5 idiom still matches.
+    // NO trailing distinct: the kernel dedupes the per-document
+    // (fp, fp_pos) structs, and rows carry the doc id, so the exploded
+    // (id, fp, fp_pos) rows are unique by construction — a row-level
+    // distinct here would re-shuffle every fingerprint of the corpus to
+    // remove nothing (winnowVerifiedPairs runs its own (id, fp)
+    // distinct anyway).
+    df.select(col(idCol),
+        explode(call_function("graft_winnow_fps",
+          col(textCol), lit(k), lit(window))).as("__s"))
+      .select(col(idCol), col("__s.fp").as("fp"), col("__s.fp_pos").as("fp_pos"))
   }
 
   /** EXACT heavy-hitter tokens (count ≥ `minShare` of all tokens)
