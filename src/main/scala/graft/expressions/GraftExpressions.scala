@@ -577,6 +577,80 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** md5-prefix bucket of the space-joined n-gram at `i` — the shared
+    * arithmetic of the DSIR kernels: first 8 hex digits of md5 as an
+    * unsigned 32-bit value (`conv(substring(md5(g),1,8),16,10)`), mod
+    * `buckets`. The hash is non-negative, so `%` equals `pmod`. */
+  @inline private def md5Bucket(md: java.security.MessageDigest,
+      dig: Array[Byte], tb: Array[Array[Byte]], i: Int, n: Int,
+      buckets: Int): Long = {
+    md.reset()
+    var k = 0
+    while (k < n) {
+      if (k > 0) md.update(' '.toByte)
+      md.update(tb(i + k)); k += 1
+    }
+    md.digest(dig, 0, 16)
+    val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+    h % buckets
+  }
+
+  /** DSIR hashed unigram+bigram feature buckets of one document in ONE
+    * pass — the kernel form of `transform(concat(ngramList(text, 1),
+    * ngramList(text, 2)), w => pmod(portableHash32(w), buckets))`,
+    * whose per-element md5 Column call ran through the interpreted
+    * lambda walker. Order (all unigrams in token order, then all
+    * bigrams) and values are bit-identical; texts with fewer than two
+    * tokens contribute no bigrams, exactly like `ngramList(_, 2)`. */
+  def dsirBuckets(input: UTF8String, buckets: Int): ArrayData = {
+    val toks = Hashing.tokenize(input.toString)
+    val nUni = toks.length
+    val nBi = if (toks.length < 2) 0 else toks.length - 1
+    val tb = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      tb(i) = toks(i).getBytes(StandardCharsets.UTF_8); i += 1
+    }
+    val md = md5Local.get()
+    val dig = new Array[Byte](16)
+    val out = new Array[Any](nUni + nBi)
+    i = 0
+    while (i < nUni) { out(i) = md5Bucket(md, dig, tb, i, 1, buckets); i += 1 }
+    i = 0
+    while (i < nBi) {
+      out(nUni + i) = md5Bucket(md, dig, tb, i, 2, buckets); i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** DSIR importance log-weight of one document — Σ `llr(bucket)` over
+    * the [[dsirBuckets]] features, summed in feature order, so the
+    * IEEE-754 accumulation order (and therefore the rounded score)
+    * matches the Column fold `aggregate(buckets, 0.0, acc +
+    * element_at(table, b + 1))` bit-for-bit. */
+  def dsirScore(input: UTF8String, llr: Array[Double]): Double = {
+    val buckets = llr.length
+    val toks = Hashing.tokenize(input.toString)
+    val tb = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      tb(i) = toks(i).getBytes(StandardCharsets.UTF_8); i += 1
+    }
+    val md = md5Local.get()
+    val dig = new Array[Byte](16)
+    var sum = 0.0
+    i = 0
+    while (i < toks.length) {
+      sum += llr(md5Bucket(md, dig, tb, i, 1, buckets).toInt); i += 1
+    }
+    i = 0
+    while (i + 2 <= toks.length) {
+      sum += llr(md5Bucket(md, dig, tb, i, 2, buckets).toInt); i += 1
+    }
+    sum
+  }
+
   /** Apply an ordered BPE merge list to one document — the vocab-scale
     * tokenizer-apply kernel ([[BpeApply]]): tokens from the same
     * whitespace discipline as the other text kernels, then repeatedly
@@ -1113,6 +1187,66 @@ case class WinnowFpsExpr(child: Expression, k: Int, window: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a =>
       s"graft.expressions.Kernels.winnowFps($a, $k, $window)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Fused DSIR feature-bucket list ([[Kernels.dsirBuckets]]). */
+case class DsirBucketsExpr(child: Expression, buckets: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (buckets < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs buckets >= 1, got $buckets")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs STRING, got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_dsir_buckets"
+
+  override protected def nullSafeEval(a: Any): Any =
+    Kernels.dsirBuckets(a.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.Kernels.dsirBuckets($a, $buckets)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Fused DSIR importance score ([[Kernels.dsirScore]]): the llr table
+  * rides as one plan-time array reference, not a 1024-entry literal
+  * array expression folded per feature. */
+case class DsirScoreExpr(child: Expression, llr: Seq[Double])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (llr.isEmpty)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs a non-empty llr table")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs STRING, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dsir_score"
+
+  @transient private lazy val table: Array[Double] = llr.toArray
+
+  override protected def nullSafeEval(a: Any): Any =
+    Kernels.dsirScore(a.asInstanceOf[UTF8String], table)
+
+  // the table is referenced from generated code via ctx.addReferenceObj,
+  // the standard vehicle for plan-time constants too big to inline
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dsirLlr", table, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.Kernels.dsirScore($a, $ref)")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -1680,7 +1814,8 @@ object GraftExpressions {
     "graft_bpe_apply" -> 3, "graft_unigram_segment" -> 3,
     "graft_pq_adc" -> 5, "graft_bloom_agg" -> 3,
     "graft_bloom_might_contain" -> 2, "graft_xpath_struct" -> 5,
-    "graft_winnow_fps" -> 3)
+    "graft_winnow_fps" -> 3, "graft_dsir_buckets" -> 2,
+    "graft_dsir_score" -> 2)
 
   private val rawBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_sig" -> (es => ShingleMinHashSig(es.head, lit(es(1)), lit(es(2)))),
@@ -1732,7 +1867,9 @@ object GraftExpressions {
           s"${uris.length} uris — unresolved prefixes would fail every row")
       XPathStructNs(es.head, names.zip(paths), prefixes.zip(uris).toMap)
     }),
-    "graft_winnow_fps" -> (es => WinnowFpsExpr(es.head, lit(es(1)), lit(es(2)))))
+    "graft_winnow_fps" -> (es => WinnowFpsExpr(es.head, lit(es(1)), lit(es(2)))),
+    "graft_dsir_buckets" -> (es => DsirBucketsExpr(es.head, lit(es(1)))),
+    "graft_dsir_score" -> (es => DsirScoreExpr(es.head, dlits(es(1)))))
 
   val builders: Seq[(String, Seq[Expression] => Expression)] =
     rawBuilders.map { case (name, f) =>

@@ -839,12 +839,12 @@ object Corpus {
     * adjacent word pair hashes into one of `buckets` cells. The hash is
     * the engine-portable md5-prefix integer (same idiom as the winnow
     * gram hash), so a SQL oracle reproduces the bucketing exactly. */
-  private[ops] def dsirBuckets(text: Column, buckets: Int): Column = {
-    val feats = concat(TextAnalysis.ngramList(coalesce(text, lit("")), 1),
-      TextAnalysis.ngramList(coalesce(text, lit("")), 2))
-    transform(feats, w =>
-      pmod(TextAnalysis.portableHash32(w), lit(buckets)))
-  }
+  private[ops] def dsirBuckets(text: Column, buckets: Int): Column =
+    // fused kernel ([[graft.expressions.DsirBucketsExpr]]): the previous
+    // transform(concat(ngramList 1, ngramList 2), md5-bucket) paid one
+    // md5 Column call per feature through the interpreted lambda walker,
+    // in every counting AND scoring pass — same order, same values
+    call_function("graft_dsir_buckets", coalesce(text, lit("")), lit(buckets))
 
   /** Per-bucket feature counts of a corpus: `buckets` rows of
     * `(bucket, count)`, map-side combined — the shuffle moves at most
@@ -885,11 +885,14 @@ object Corpus {
     * narrow codegen'd projection (kernel n-gram list + literal-array
     * lookup + fold): scoring shuffles NOTHING, whatever the corpus
     * size, and the same column works unchanged over a stream. */
-  def dsirScore(llr: Seq[Double], text: Column): Column = {
-    val table = typedLit(llr)
-    aggregate(dsirBuckets(text, llr.size), lit(0.0),
-      (acc, b) => acc + element_at(table, (b + 1).cast("int")))
-  }
+  def dsirScore(llr: Seq[Double], text: Column): Column =
+    // fused kernel ([[graft.expressions.DsirScoreExpr]]): same feature
+    // order and the same left-fold IEEE accumulation as the previous
+    // aggregate(dsirBuckets, 0.0, acc + element_at(table, b + 1)) —
+    // bit-identical scores with the llr table as ONE reference object
+    // instead of a buckets-sized literal array walked per feature
+    call_function("graft_dsir_score", coalesce(text, lit("")),
+      typedLit(llr))
 
   /** DSIR importance weights for every `raw` document against a
     * `target` domain sample: rows of `(idCol, llr_weight)` where
