@@ -795,6 +795,72 @@ object Kernels {
     InternalRow(nt, dup)
   }
 
+  /** All nine Gopher repetition signals in one kernel call — top-n-gram
+    * concentration for n=2..4 ([[ngramTop]] semantics) and duplicated-
+    * n-gram coverage for n=5..10 ([[dupNgramCov]] semantics) — sharing
+    * ONE tokenize pass. The separate per-n kernel calls each paid a
+    * full UTF8String→String copy plus re-tokenization of the document;
+    * nine of them dominated `corpus_gopher_repetition`. Field values
+    * are computed by the same per-n loops as the standalone kernels,
+    * so every integer-threshold flag (and the SQL oracle) is
+    * unchanged. Returns struct(n_tokens, top2_pos, top2_cnt, top3_pos,
+    * top3_cnt, top4_pos, top4_cnt, dup5..dup10). */
+  def gopherRep(input: UTF8String): InternalRow = {
+    val toks = sparkTokens(input.toString)
+    val nt = toks.length.toLong
+    val out = new Array[Any](13)
+    out(0) = nt
+    var f = 1
+    var n = 2
+    while (n <= 4) { // ngramTop(n): (n_pos, top_count); short docs (0, 0)
+      if (toks.length < n) { out(f) = 0L; out(f + 1) = 0L }
+      else {
+        val total = toks.length - n + 1
+        val counts = new java.util.HashMap[String, Int](total * 2)
+        var i = 0
+        var top = 0
+        while (i < total) {
+          val c = counts.merge(buildGram(toks, i, n), 1, Integer.sum)
+          if (c > top) top = c
+          i += 1
+        }
+        out(f) = total.toLong; out(f + 1) = top.toLong
+      }
+      f += 2; n += 1
+    }
+    n = 5
+    while (n <= 10) { // dupNgramCov(n): covered-position count; short docs 0
+      if (toks.length < n) out(f) = 0L
+      else {
+        val total = toks.length - n + 1
+        val grams = new Array[String](total)
+        val counts = new java.util.HashMap[String, Int](total * 2)
+        var i = 0
+        while (i < total) {
+          val g = buildGram(toks, i, n)
+          grams(i) = g
+          counts.put(g, counts.getOrDefault(g, 0) + 1)
+          i += 1
+        }
+        val covered = new Array[Boolean](toks.length)
+        i = 0
+        while (i < total) {
+          if (counts.get(grams(i)) >= 2) {
+            var k = 0
+            while (k < n) { covered(i + k) = true; k += 1 }
+          }
+          i += 1
+        }
+        var dup = 0L
+        i = 0
+        while (i < toks.length) { if (covered(i)) dup += 1; i += 1 }
+        out(f) = dup
+      }
+      f += 1; n += 1
+    }
+    InternalRow.fromSeq(out.toIndexedSeq)
+  }
+
   /** Exact Jaccard of the distinct n-token-shingle sets of two texts —
     * one kernel call per CANDIDATE pair (the LSH-verified set is tiny),
     * replacing interpreted higher-order array lambdas that dominated the
@@ -1187,6 +1253,42 @@ case class WinnowFpsExpr(child: Expression, k: Int, window: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a =>
       s"graft.expressions.Kernels.winnowFps($a, $k, $window)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Fused Gopher repetition battery ([[Kernels.gopherRep]]): all nine
+  * per-n signals from one tokenize pass. */
+case class GopherRepExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs STRING, got $other")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("top2_pos", LongType, nullable = false),
+    StructField("top2_cnt", LongType, nullable = false),
+    StructField("top3_pos", LongType, nullable = false),
+    StructField("top3_cnt", LongType, nullable = false),
+    StructField("top4_pos", LongType, nullable = false),
+    StructField("top4_cnt", LongType, nullable = false),
+    StructField("dup5", LongType, nullable = false),
+    StructField("dup6", LongType, nullable = false),
+    StructField("dup7", LongType, nullable = false),
+    StructField("dup8", LongType, nullable = false),
+    StructField("dup9", LongType, nullable = false),
+    StructField("dup10", LongType, nullable = false)))
+  override def prettyName: String = "graft_gopher_rep"
+
+  override protected def nullSafeEval(a: Any): Any =
+    Kernels.gopherRep(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expressions.Kernels.gopherRep($a)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -1815,7 +1917,7 @@ object GraftExpressions {
     "graft_pq_adc" -> 5, "graft_bloom_agg" -> 3,
     "graft_bloom_might_contain" -> 2, "graft_xpath_struct" -> 5,
     "graft_winnow_fps" -> 3, "graft_dsir_buckets" -> 2,
-    "graft_dsir_score" -> 2)
+    "graft_dsir_score" -> 2, "graft_gopher_rep" -> 1)
 
   private val rawBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_sig" -> (es => ShingleMinHashSig(es.head, lit(es(1)), lit(es(2)))),
@@ -1869,7 +1971,8 @@ object GraftExpressions {
     }),
     "graft_winnow_fps" -> (es => WinnowFpsExpr(es.head, lit(es(1)), lit(es(2)))),
     "graft_dsir_buckets" -> (es => DsirBucketsExpr(es.head, lit(es(1)))),
-    "graft_dsir_score" -> (es => DsirScoreExpr(es.head, dlits(es(1)))))
+    "graft_dsir_score" -> (es => DsirScoreExpr(es.head, dlits(es(1)))),
+    "graft_gopher_rep" -> (es => GopherRepExpr(es.head)))
 
   val builders: Seq[(String, Seq[Expression] => Expression)] =
     rawBuilders.map { case (name, f) =>

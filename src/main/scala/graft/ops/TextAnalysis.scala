@@ -1028,18 +1028,24 @@ object TextAnalysis {
         (i > 1 && element_at(sorted, i) === element_at(sorted, i - 1)) ||
           (i < size(lines) && element_at(sorted, i) === element_at(sorted, i + 1))))
         .cast("long"))
+    // ONE fused kernel call per row ([[graft.expressions.GopherRepExpr]])
+    // instead of nine per-n kernel calls each re-tokenizing the document
+    // (r20: nine UTF8String→String copies + splits dominated the query);
+    // the repeated getFields collapse to one evaluation via Spark's
+    // subexpression elimination, same per-n values and flags as before
+    val rep = call_function("graft_gopher_rep", t)
     val flags: Seq[(String, Column)] =
       ("fail_dup_lines" -> (dupLines * 100L > nLines * 30L)) +:
         (Seq(2 -> 20, 3 -> 18, 4 -> 16).map { case (n, pct) =>
-          val st = call_function("graft_ngram_top", t, lit(n))
           s"fail_top_${n}gram" ->
-            (st.getField("top_count") * 100L > st.getField("n_pos") * pct.toLong)
+            (rep.getField(s"top${n}_cnt") * 100L >
+              rep.getField(s"top${n}_pos") * pct.toLong)
         } ++
         Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10).map {
           case (n, pct) =>
-            val st = call_function("graft_dup_ngram_cov", t, lit(n))
             s"fail_dup_${n}gram" ->
-              (st.getField("n_dup_tokens") * 100L > st.getField("n_tokens") * pct.toLong)
+              (rep.getField(s"dup$n") * 100L >
+                rep.getField("n_tokens") * pct.toLong)
         })
     val keep = flags.map { case (_, f) => !f }.reduce(_ && _)
     df.select(
