@@ -34,6 +34,17 @@ object Tables {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // ObjectHashAggregate (min_by/collect_list/collect_set — the owner
+    // elections and per-doc rebuilds) falls back to SORT-based
+    // aggregation once a task's hash map passes this many distinct
+    // keys; the 128 default re-sorts every high-cardinality rebuild.
+    // 8192 boxed buffers per task is a bounded, data-size-independent
+    // memory cost (~1 MB/task for the struct buffers used here) and
+    // keeps the hash path for realistic per-task group counts at any
+    // scale — the threshold is per TASK, so it needs no retuning for
+    // cluster size (guide §2.3 map-side aggregation).
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
     graft.expressions.GraftExpressions.ensureRegistered(spark)
     spark
   }

@@ -861,6 +861,38 @@ object Kernels {
     InternalRow.fromSeq(out.toIndexedSeq)
   }
 
+  /** Excise covered token positions and rebuild the document in one
+    * linear pass — the rebuild half of span-level dedup
+    * ([[graft.ops.Dedup.exciseRepeatedSpans]]): `ts` is the document's
+    * token array, `covered` the (possibly duplicated, unsorted) 1-based
+    * positions to remove; returns struct(n_kept, text) with the kept
+    * tokens space-joined in position order. Replaces a corpus-wide
+    * posexplode → anti-join → collect_list/array_sort reassembly: the
+    * decision data (covered spans) shuffles per document, the tokens
+    * never leave their row. Sort + two-pointer walk = O(n + m log m),
+    * no per-token hashing even for fully-covered documents. */
+  def exciseTokens(ts: ArrayData, covered: ArrayData): InternalRow = {
+    val n = ts.numElements()
+    val m = covered.numElements()
+    val cov = new Array[Long](m)
+    var i = 0
+    while (i < m) { cov(i) = covered.getLong(i); i += 1 }
+    java.util.Arrays.sort(cov)
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var ci = 0
+    i = 0
+    while (i < n) {
+      val pos = i + 1L
+      while (ci < m && cov(ci) < pos) ci += 1
+      if (!(ci < m && cov(ci) == pos)) kept.add(ts.getUTF8String(i))
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val joined = UTF8String.concatWs(sep,
+      kept.toArray(new Array[UTF8String](kept.size)): _*)
+    InternalRow(kept.size.toLong, joined)
+  }
+
   /** Exact Jaccard of the distinct n-token-shingle sets of two texts —
     * one kernel call per CANDIDATE pair (the LSH-verified set is tiny),
     * replacing interpreted higher-order array lambdas that dominated the
@@ -1256,6 +1288,33 @@ case class WinnowFpsExpr(child: Expression, k: Int, window: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Covered-position token excision ([[Kernels.exciseTokens]]). */
+case class ExciseTokens(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (ARRAY<STRING>, ARRAY<BIGINT>), got $l / $r")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_kept", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+  override def prettyName: String = "graft_excise_tokens"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.exciseTokens(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.Kernels.exciseTokens($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** Fused Gopher repetition battery ([[Kernels.gopherRep]]): all nine
@@ -1917,7 +1976,8 @@ object GraftExpressions {
     "graft_pq_adc" -> 5, "graft_bloom_agg" -> 3,
     "graft_bloom_might_contain" -> 2, "graft_xpath_struct" -> 5,
     "graft_winnow_fps" -> 3, "graft_dsir_buckets" -> 2,
-    "graft_dsir_score" -> 2, "graft_gopher_rep" -> 1)
+    "graft_dsir_score" -> 2, "graft_gopher_rep" -> 1,
+    "graft_excise_tokens" -> 2)
 
   private val rawBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_sig" -> (es => ShingleMinHashSig(es.head, lit(es(1)), lit(es(2)))),
@@ -1972,7 +2032,8 @@ object GraftExpressions {
     "graft_winnow_fps" -> (es => WinnowFpsExpr(es.head, lit(es(1)), lit(es(2)))),
     "graft_dsir_buckets" -> (es => DsirBucketsExpr(es.head, lit(es(1)))),
     "graft_dsir_score" -> (es => DsirScoreExpr(es.head, dlits(es(1)))),
-    "graft_gopher_rep" -> (es => GopherRepExpr(es.head)))
+    "graft_gopher_rep" -> (es => GopherRepExpr(es.head)),
+    "graft_excise_tokens" -> (es => ExciseTokens(es.head, es(1))))
 
   val builders: Seq[(String, Seq[Expression] => Expression)] =
     rawBuilders.map { case (name, f) =>

@@ -577,7 +577,12 @@ object Dedup {
     val blank = trim(col("__line")) === ""
     val keptNonBlank = lines.filter(!blank)
       .groupBy(col("__line"))
-      .agg(min(struct(col(idCol), col("__ln"))).as("__owner"))
+      // min_by for the same reason as [[exciseRepeatedSpans]]' owner
+      // election: min(struct) plans as SortAggregate (full sort of every
+      // corpus line); min_by hash-aggregates, and (id, line_no) is
+      // unique per row so there are no ties to break
+      .agg(min_by(struct(col(idCol), col("__ln")),
+        struct(col(idCol), col("__ln"))).as("__owner"))
       .select(col("__owner").getField(idCol).as(idCol),
         col("__owner").getField("__ln").as("__ln"),
         col("__line"))
@@ -644,32 +649,50 @@ object Dedup {
           .otherwise(array().cast("array<struct<__start:bigint,__key:string>>")))
         .as("__s"))
       .select(col(idCol), col("__s.__start").as("__start"), col("__s.__key").as("__key"))
-    // skew-immune: duplicated-test + owner election as one combinable agg
+    // skew-immune: duplicated-test + owner election as one combinable agg.
+    // min_by, not min(struct): a struct-typed min buffer is not
+    // hash-aggregable, so Catalyst planned the election as SortAggregate
+    // — a full sort of every corpus shingle on both sides of the
+    // exchange (r20 plan audit). min_by is a TypedImperativeAggregate
+    // and plans as ObjectHashAggregate (hash-based, map-side partials);
+    // the result is identical because (id, start) pairs are unique per
+    // key, so the lexicographic minimum has no ties for min_by to
+    // break arbitrarily.
     val owners = sh.groupBy(col("__key"))
       .agg(min(col(idCol)).as("__mind"), max(col(idCol)).as("__maxd"),
-        min(struct(col(idCol).as("__oid"), col("__start").as("__ostart"))).as("__owner"))
+        min_by(struct(col(idCol).as("__oid"), col("__start").as("__ostart")),
+          struct(col(idCol), col("__start"))).as("__owner"))
       .filter(col("__mind") =!= col("__maxd"))
       .select(col("__key"), col("__owner"))
     val nonOwner = sh.join(owners, Seq("__key"))
       .filter(struct(col(idCol).as("__oid"), col("__start").as("__ostart")) =!= col("__owner"))
-    val covered = nonOwner
+    // Rebuild shape (r20): aggregate each document's covered SPANS into
+    // one positions array (the shuffle carries only duplicated-span
+    // occurrences — decision data, never tokens), then excise + rejoin
+    // inside the row via the linear two-pointer kernel
+    // ([[graft.expressions.ExciseTokens]]). The previous shape
+    // posexploded EVERY corpus token into the exchange, anti-joined the
+    // covered positions, and re-assembled documents with a
+    // collect_list/array_sort aggregate — three corpus-token-cardinality
+    // shuffles to carry decisions about a few covered spans (guide §8:
+    // shuffle the lightweight proxy, never the payload). shuffle_hash,
+    // not sort-merge: a sort would order the token-array-carrying rows
+    // (the containment/winnow text-fetch lesson, r20 commit 4619cfb);
+    // broadcast is wrong at scale (every doc can carry dup spans).
+    val coveredAgg = nonOwner
       .select(col(idCol),
-        explode(sequence(col("__start"), col("__start") + (w - 1))).as("__p"))
-      .distinct()
-    val pos = toks
-      .select(col(idCol), posexplode(col("__ts")).as(Seq("__p0", "__tok")))
-      .select(col(idCol), (col("__p0") + 1).cast("long").as("__p"), col("__tok"))
-    val rebuilt = pos.join(covered, Seq(idCol, "__p"), "left_anti")
+        sequence(col("__start"), col("__start") + (w - 1)).as("__span"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__nkept"),
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("__p"), col("__tok")))),
-            x => x.getField("__tok"))).as("__text"))
-    toks.select(col(idCol), col("__n"))
-      .join(rebuilt, Seq(idCol), "left")
+      .agg(flatten(collect_list(col("__span"))).as("__cov"))
+    toks
+      .join(coveredAgg.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol), col("__n").as("n_tokens"),
-        (col("__n") - coalesce(col("__nkept"), lit(0L))).as("n_removed"),
-        coalesce(col("__text"), lit("")).as("text"))
+        call_function("graft_excise_tokens", col("__ts"),
+          coalesce(col("__cov"),
+            array().cast("array<bigint>"))).as("__r"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - col("__r.n_kept")).as("n_removed"),
+        col("__r.text").as("text"))
   }
 
   /** Exact Jaccard similarity between the distinct-word sets of two text
