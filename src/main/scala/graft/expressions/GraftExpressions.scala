@@ -861,6 +861,44 @@ object Kernels {
     InternalRow.fromSeq(out.toIndexedSeq)
   }
 
+  /** Adjacent token pairs of one BPE training-state string — the
+    * per-round pair extraction of
+    * [[graft.ops.TextAnalysis.bpeTrain]] fused into one pass. The
+    * state string is `␁tok␁␁tok␁…` (U+0001 sentinels); this replicates
+    * `split(regexp_replace(s, "^␁|␁$", ""), "␁␁")` (one leading and
+    * one trailing sentinel stripped; every segment kept, trailing
+    * empties included, exactly Spark's limit&nbsp;-1 split) and emits
+    * `struct(l, r)` for each adjacent pair — empty when fewer than two
+    * tokens, which replays the `size(t) >= 2` filter through the
+    * explode. The Column form walked an interpreted
+    * transform/element_at lambda per pair, per round. */
+  def bpeAdjacentPairs(input: UTF8String): ArrayData = {
+    var s = input.toString
+    if (s.startsWith("\u0001")) s = s.substring(1)
+    if (s.endsWith("\u0001")) s = s.substring(0, s.length - 1)
+    // manual split on the literal two-sentinel separator, KEEPING
+    // trailing empty segments (Spark split limit -1 semantics)
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var from = 0
+    var idx = s.indexOf("\u0001\u0001", from)
+    while (idx >= 0) {
+      toks += s.substring(from, idx)
+      from = idx + 2
+      idx = s.indexOf("\u0001\u0001", from)
+    }
+    toks += s.substring(from)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(toks(i)),
+          UTF8String.fromString(toks(i + 1))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Excise covered token positions and rebuild the document in one
     * linear pass — the rebuild half of span-level dedup
     * ([[graft.ops.Dedup.exciseRepeatedSpans]]): `ts` is the document's
@@ -1285,6 +1323,31 @@ case class WinnowFpsExpr(child: Expression, k: Int, window: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a =>
       s"graft.expressions.Kernels.winnowFps($a, $k, $window)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** BPE training-round pair extraction ([[Kernels.bpeAdjacentPairs]]). */
+case class BpeAdjacentPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs STRING, got $other")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("l", StringType, nullable = true),
+    StructField("r", StringType, nullable = true))), containsNull = false)
+  override def prettyName: String = "graft_bpe_adjacent_pairs"
+
+  override protected def nullSafeEval(a: Any): Any =
+    Kernels.bpeAdjacentPairs(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.Kernels.bpeAdjacentPairs($a)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -1977,7 +2040,7 @@ object GraftExpressions {
     "graft_bloom_might_contain" -> 2, "graft_xpath_struct" -> 5,
     "graft_winnow_fps" -> 3, "graft_dsir_buckets" -> 2,
     "graft_dsir_score" -> 2, "graft_gopher_rep" -> 1,
-    "graft_excise_tokens" -> 2)
+    "graft_excise_tokens" -> 2, "graft_bpe_adjacent_pairs" -> 1)
 
   private val rawBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_sig" -> (es => ShingleMinHashSig(es.head, lit(es(1)), lit(es(2)))),
@@ -2033,7 +2096,8 @@ object GraftExpressions {
     "graft_dsir_buckets" -> (es => DsirBucketsExpr(es.head, lit(es(1)))),
     "graft_dsir_score" -> (es => DsirScoreExpr(es.head, dlits(es(1)))),
     "graft_gopher_rep" -> (es => GopherRepExpr(es.head)),
-    "graft_excise_tokens" -> (es => ExciseTokens(es.head, es(1))))
+    "graft_excise_tokens" -> (es => ExciseTokens(es.head, es(1))),
+    "graft_bpe_adjacent_pairs" -> (es => BpeAdjacentPairs(es.head)))
 
   val builders: Seq[(String, Seq[Expression] => Expression)] =
     rawBuilders.map { case (name, f) =>

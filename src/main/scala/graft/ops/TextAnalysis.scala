@@ -727,14 +727,14 @@ object TextAnalysis {
     // discipline; indexPostings/unigramTrain here already follow it)
     try {
     while (step <= merges && !exhausted) {
-      // NOT trim(s, S): the two-arg TRIM signature WARNs as deprecated
-      // in Spark 4 and this loop must keep bench stderr clean
-      val t = split(regexp_replace(col("s"), "^" + S + "|" + S + "$", ""), S + S)
+      // fused pair extraction ([[graft.expressions.BpeAdjacentPairs]]):
+      // replicates strip-one-sentinel + split(S+S, limit -1) + adjacent
+      // pairing (empty under two tokens = the old size >= 2 filter) in
+      // one kernel pass — the Column form walked an interpreted
+      // transform/element_at lambda per pair, per training round
       val top = state
-        .select(t.as("t")).filter(size(col("t")) >= 2)
-        .select(explode(transform(slice(col("t"), lit(1), size(col("t")) - 1),
-          (x, i) => struct(x.as("l"), element_at(col("t"), i + lit(2)).as("r"))))
-          .as("p"))
+        .select(explode(
+          call_function("graft_bpe_adjacent_pairs", col("s"))).as("p"))
         .select(col("p.l").as("l"), col("p.r").as("r"),
           concat(col("p.l"), lit(" "), col("p.r")).as("pair"))
         .groupBy(col("l"), col("r"), col("pair"))
