@@ -67,11 +67,16 @@ private[queries] object CorpusQueries {
           expr("transform(embedding, x -> cast(x as double))").as("bv"))
       val variants = Seq((1, 1, 0.20), (2, 2, -0.25), (3, 3, 0.30), (4, 4, -0.35))
         .toDF("variant", "coord", "delta")
+      // planted and the two scalar aggregates are read by BOTH band
+      // rows (and nLeaks is a brute-force cosine cross join) — pinned so
+      // each computes once instead of once per recallRow (r20; the
+      // bench's clean-state hygiene unpersists them after the query)
       val planted = bench.crossJoin(broadcast(variants))
         .select((col("src_id") * 10 + col("variant")).as("leak_id"),
           expr("concat(slice(bv, 1, coord - 1), " +
             "array(element_at(bv, coord) + delta), " +
             "slice(bv, coord + 1, size(bv) - coord))").as("lv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val benchV = bench.select(col("bv"))
       // ground truth: planted rows whose EXACT cosine reaches the
       // threshold against any benchmark vector (brute force)
@@ -79,7 +84,9 @@ private[queries] object CorpusQueries {
         .filter(Similarity.cosine(col("lv"), col("bv")) >= 0.95)
         .select(col("leak_id")).distinct()
         .agg(count(lit(1)).as("n_leaks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       def recallRow(bands: Int): DataFrame = {
         // every dropped row is exact-cosine-verified, so caught ⊆ leaks
         val surv = Dedup.decontaminateSemantic(planted, "leak_id", "lv",
