@@ -445,15 +445,65 @@ object Kernels {
     * oracle (`trim` + `regexp_split_to_array`) produce. */
   private def sparkTokens(s0: String): Array[String] = Hashing.tokenize(s0)
 
-  /** The ONE space-joined n-gram builder every gram kernel shares
-    * (shingles, n-gram lists/stats/top, duplicate-gram coverage): a
-    * change to the join discipline must land once, or the estimate
-    * kernels silently desynchronize from the exact-verify kernels. */
+  /** The ONE space-joined n-gram builder every gram kernel that EMITS
+    * gram strings shares (shingle sets/lists, cross-document Jaccard/
+    * containment): a change to the join discipline must land once, or
+    * the estimate kernels silently desynchronize from the exact-verify
+    * kernels. Kernels whose grams never leave the call (counts,
+    * coverage, top-gram — [[ngramStats]]/[[dupNgramCov]]/[[ngramTop]]/
+    * [[gopherRep]]) use the interned-id [[Gram]] windows below instead:
+    * same equality, zero per-gram string building. */
   private def buildGram(toks: Array[String], i: Int, n: Int): String = {
     val sb = new java.lang.StringBuilder(toks(i))
     var k = 1
     while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
     sb.toString
+  }
+
+  /** Dense per-document token ids: interning is injective within the
+    * call, and tokens are whitespace-free, so id-WINDOW equality is
+    * exactly space-joined gram-STRING equality ([[buildGram]]) — the
+    * count/coverage kernels can compare O(n)-int windows instead of
+    * building (and hashing) one concatenated String per gram per n. */
+  private def internTokenIds(toks: Array[String]): Array[Int] = {
+    val ids = new Array[Int](toks.length)
+    val intern = new java.util.HashMap[String, Integer](
+      math.max(8, toks.length * 2))
+    var i = 0
+    while (i < toks.length) {
+      val nextId = Integer.valueOf(intern.size)
+      val prev = intern.putIfAbsent(toks(i), nextId)
+      ids(i) = if (prev == null) nextId.intValue else prev.intValue
+      i += 1
+    }
+    ids
+  }
+
+  /** One n-gram as a window over the interned-id array — hash and
+    * equality over the id window only (no string materialization).
+    * Instances from ONE document/interning share the backing array;
+    * never mix Grams across interning calls. */
+  private final class Gram(val ids: Array[Int], val start: Int, val n: Int) {
+    private[this] val h: Int = {
+      var x = n
+      var i = start
+      val e = start + n
+      while (i < e) { x = 31 * x + ids(i); i += 1 }
+      x
+    }
+    override def hashCode: Int = h
+    override def equals(o: Any): Boolean = o match {
+      case g: Gram =>
+        (g eq this) || (g.n == n && g.hashCode == h && {
+          var i = 0
+          var eq = true
+          while (eq && i < n) {
+            eq = ids(start + i) == g.ids(g.start + i); i += 1
+          }
+          eq
+        })
+      case _ => false
+    }
   }
 
   private def shingleStrings(s: String, n: Int): java.util.HashSet[String] = {
@@ -750,11 +800,12 @@ object Kernels {
   def ngramStats(input: UTF8String, n: Int): InternalRow = {
     val toks = sparkTokens(input.toString)
     if (toks.length < n) return InternalRow(1L, 1L)
+    val ids = internTokenIds(toks)
     val total = toks.length - n + 1
-    val set = new java.util.HashSet[String]()
+    val set = new java.util.HashSet[Gram](total * 2)
     var i = 0
     while (i + n <= toks.length) {
-      set.add(buildGram(toks, i, n))
+      set.add(new Gram(ids, i, n))
       i += 1
     }
     InternalRow(total.toLong, set.size.toLong)
@@ -770,17 +821,25 @@ object Kernels {
     val toks = sparkTokens(input.toString)
     val nt = toks.length.toLong
     if (toks.length < n) return InternalRow(nt, 0L)
-    val total = toks.length - n + 1
-    val grams = new Array[String](total)
-    val counts = new java.util.HashMap[String, Int](total * 2)
+    val ids = internTokenIds(toks)
+    InternalRow(nt, dupCoverage(ids, toks.length, n))
+  }
+
+  /** Token positions covered by a ≥2-occurrence n-gram — the shared
+    * core of [[dupNgramCov]] and [[gopherRep]]'s n=5..10 fields, over
+    * already-interned ids. */
+  private def dupCoverage(ids: Array[Int], nToks: Int, n: Int): Long = {
+    val total = nToks - n + 1
+    val grams = new Array[Gram](total)
+    val counts = new java.util.HashMap[Gram, Int](total * 2)
     var i = 0
     while (i < total) {
-      val g = buildGram(toks, i, n)
+      val g = new Gram(ids, i, n)
       grams(i) = g
-      counts.put(g, counts.getOrDefault(g, 0) + 1)
+      counts.merge(g, 1, Integer.sum)
       i += 1
     }
-    val covered = new Array[Boolean](toks.length)
+    val covered = new Array[Boolean](nToks)
     i = 0
     while (i < total) {
       if (counts.get(grams(i)) >= 2) {
@@ -791,8 +850,8 @@ object Kernels {
     }
     var dup = 0L
     i = 0
-    while (i < toks.length) { if (covered(i)) dup += 1; i += 1 }
-    InternalRow(nt, dup)
+    while (i < nToks) { if (covered(i)) dup += 1; i += 1 }
+    dup
   }
 
   /** All nine Gopher repetition signals in one kernel call — top-n-gram
@@ -808,6 +867,12 @@ object Kernels {
   def gopherRep(input: UTF8String): InternalRow = {
     val toks = sparkTokens(input.toString)
     val nt = toks.length.toLong
+    // tokens intern to dense ids ONCE (r20.2): the nine per-n maps then
+    // hash O(n)-int windows instead of building one concatenated String
+    // per gram per n — the interning is injective and tokens are
+    // whitespace-free, so id-window equality IS gram-string equality
+    // and every count below is bit-identical to the buildGram form
+    val ids = if (toks.length >= 2) internTokenIds(toks) else null
     val out = new Array[Any](13)
     out(0) = nt
     var f = 1
@@ -816,11 +881,11 @@ object Kernels {
       if (toks.length < n) { out(f) = 0L; out(f + 1) = 0L }
       else {
         val total = toks.length - n + 1
-        val counts = new java.util.HashMap[String, Int](total * 2)
+        val counts = new java.util.HashMap[Gram, Int](total * 2)
         var i = 0
         var top = 0
         while (i < total) {
-          val c = counts.merge(buildGram(toks, i, n), 1, Integer.sum)
+          val c = counts.merge(new Gram(ids, i, n), 1, Integer.sum)
           if (c > top) top = c
           i += 1
         }
@@ -830,32 +895,7 @@ object Kernels {
     }
     n = 5
     while (n <= 10) { // dupNgramCov(n): covered-position count; short docs 0
-      if (toks.length < n) out(f) = 0L
-      else {
-        val total = toks.length - n + 1
-        val grams = new Array[String](total)
-        val counts = new java.util.HashMap[String, Int](total * 2)
-        var i = 0
-        while (i < total) {
-          val g = buildGram(toks, i, n)
-          grams(i) = g
-          counts.put(g, counts.getOrDefault(g, 0) + 1)
-          i += 1
-        }
-        val covered = new Array[Boolean](toks.length)
-        i = 0
-        while (i < total) {
-          if (counts.get(grams(i)) >= 2) {
-            var k = 0
-            while (k < n) { covered(i + k) = true; k += 1 }
-          }
-          i += 1
-        }
-        var dup = 0L
-        i = 0
-        while (i < toks.length) { if (covered(i)) dup += 1; i += 1 }
-        out(f) = dup
-      }
+      out(f) = if (toks.length < n) 0L else dupCoverage(ids, toks.length, n)
       f += 1; n += 1
     }
     InternalRow.fromSeq(out.toIndexedSeq)
@@ -937,8 +977,12 @@ object Kernels {
     * verify join. Matches `Dedup.shingleSet` + array_intersect/union
     * column semantics bit-for-bit (integer counts divided as doubles). */
   def shingleJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
-    val sa = shingleStrings(a.toString, n)
-    val sb = shingleStrings(b.toString, n)
+    // PAIR-shared interning (r20.2): both sides' tokens intern through
+    // one map, so cross-document Gram equality is exactly gram-string
+    // equality and the per-pair cost drops the 2×grams string builds
+    val intern = new java.util.HashMap[String, Integer](64)
+    val sa = gramSetInterned(a.toString, n, intern, strict = false)
+    val sb = gramSetInterned(b.toString, n, intern, strict = false)
     var inter = 0
     val it = sa.iterator()
     while (it.hasNext) if (sb.contains(it.next())) inter += 1
@@ -946,18 +990,34 @@ object Kernels {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
-  /** Distinct shingle set under the STRICT (ngramList) discipline:
-    * EMPTY when the document has fewer than `n` tokens — unlike
-    * [[shingleStrings]]' whole-document fallback shingle. Containment
-    * semantics need this: a 2-token fragment has no 3-shingle evidence
-    * and must never match. */
-  private def shingleStringsStrict(s: String, n: Int): java.util.HashSet[String] = {
+  /** Distinct shingle set over ids interned through the CALLER's map
+    * (pair-shared, so Grams compare across the two documents of one
+    * kernel call). strict=false adds [[shingleStrings]]' whole-document
+    * fallback shingle for sub-n texts (as one whole-token-list window —
+    * fallback strings only ever equal other same-length fallbacks,
+    * since tokens are whitespace-free); strict=true is the ngramList
+    * discipline (empty set below n tokens). */
+  private def gramSetInterned(s: String, n: Int,
+      intern: java.util.HashMap[String, Integer],
+      strict: Boolean): java.util.HashSet[Gram] = {
     val toks = sparkTokens(s)
-    val set = new java.util.HashSet[String]()
+    val ids = new Array[Int](toks.length)
     var i = 0
-    while (i + n <= toks.length) {
-      set.add(buildGram(toks, i, n))
+    while (i < toks.length) {
+      val nextId = Integer.valueOf(intern.size)
+      val prev = intern.putIfAbsent(toks(i), nextId)
+      ids(i) = if (prev == null) nextId.intValue else prev.intValue
       i += 1
+    }
+    val set = new java.util.HashSet[Gram](math.max(8, toks.length * 2))
+    if (toks.length < n) {
+      if (!strict) set.add(new Gram(ids, 0, toks.length))
+    } else {
+      i = 0
+      while (i + n <= toks.length) {
+        set.add(new Gram(ids, i, n))
+        i += 1
+      }
     }
     set
   }
@@ -973,12 +1033,13 @@ object Kernels {
     require(n >= 1, s"ngramTop needs n >= 1, got $n")
     val toks = sparkTokens(input.toString)
     if (toks.length < n) return InternalRow(0L, 0L)
+    val ids = internTokenIds(toks)
     val total = toks.length - n + 1
-    val counts = new java.util.HashMap[String, Int](total * 2)
+    val counts = new java.util.HashMap[Gram, Int](total * 2)
     var i = 0
     var top = 0
     while (i < total) {
-      val c = counts.merge(buildGram(toks, i, n), 1, Integer.sum)
+      val c = counts.merge(new Gram(ids, i, n), 1, Integer.sum)
       if (c > top) top = c
       i += 1
     }
@@ -993,8 +1054,9 @@ object Kernels {
     * materialization, no per-pair hash-set rebuild from a Column
     * lambda chain. */
   def shingleContainment(a: UTF8String, b: UTF8String, n: Int): java.lang.Double = {
-    val sa = shingleStringsStrict(a.toString, n)
-    val sb = shingleStringsStrict(b.toString, n)
+    val intern = new java.util.HashMap[String, Integer](64)
+    val sa = gramSetInterned(a.toString, n, intern, strict = true)
+    val sb = gramSetInterned(b.toString, n, intern, strict = true)
     if (sa.isEmpty || sb.isEmpty) return null
     val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
     var inter = 0

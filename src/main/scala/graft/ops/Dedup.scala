@@ -182,22 +182,43 @@ object Dedup {
       r: DataFrame, rIdCol: String,
       keys: Seq[String],
       maxBucketSize: Int = 4096): DataFrame = {
-    val kc = keys.map(col)
-    def occMax(df: DataFrame, side: String): DataFrame =
-      df.groupBy(kc: _*).agg(count(lit(1)).as("__c"))
+    val maxes = occupancyMax(Seq(("l", l, keys), ("r", r, keys)))
+    bipartiteJoinPre(l, lIdCol, maxes("l"), r, rIdCol, maxes("r"),
+      keys, maxBucketSize)
+  }
+
+  /** Max per-key occupancy of each tagged frame, in ONE action — the
+    * incremental ops ask the hot-bucket question for the same persisted
+    * frames two or three times per ingest (cross probe left/right,
+    * intra left/right), and each [[adaptiveBipartiteJoin]] call was a
+    * separate driver barrier. One union of the (≤ keys-cardinality)
+    * per-side aggregates answers every decision at once. An empty side
+    * reads as occupancy 0 (its agg(max) row is null). */
+  private[ops] def occupancyMax(
+      sides: Seq[(String, DataFrame, Seq[String])]): Map[String, Long] =
+    sides.map { case (tag, df, keys) =>
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
         .agg(max(col("__c")).as("__m"))
-        .select(lit(side).as("__side"), col("__m"))
-    // ONE action answers both sides' hot-bucket question — the common
-    // cold path previously paid a collect per side per call
-    val maxes = occMax(l, "l").unionByName(occMax(r, "r")).collect()
+        .select(lit(tag).as("__side"), col("__m"))
+    }.reduce(_ unionByName _).collect()
       .map(row => row.getString(0) ->
         (if (row.isNullAt(1)) 0L else row.getLong(1))).toMap
-    if (maxes("l") <= maxBucketSize && maxes("r") <= maxBucketSize) {
+
+  /** [[adaptiveBipartiteJoin]] with the occupancy maxima already known
+    * (via [[occupancyMax]]) — plan-only, NO action: the common cold
+    * case keeps the plain equi-join, the hot case takes the blocked
+    * decomposition. Callers own the accuracy of the maxima (they must
+    * describe the frames as joined). */
+  private[ops] def bipartiteJoinPre(
+      l: DataFrame, lIdCol: String, lMax: Long,
+      r: DataFrame, rIdCol: String, rMax: Long,
+      keys: Seq[String],
+      maxBucketSize: Int = 4096): DataFrame =
+    if (lMax <= maxBucketSize && rMax <= maxBucketSize) {
       val lPay = l.columns.filterNot(keys.contains).toSeq
       val rPay = r.columns.filterNot(keys.contains).toSeq
       l.join(r, keys).select((lPay ++ rPay).map(col): _*)
     } else blockedBipartiteJoin(l, lIdCol, r, rIdCol, keys, maxBucketSize)
-  }
 
   /** `(__id, __sig, band, band_hash)` banding of the non-null-text rows
     * — the shared candidate-generation core of [[minhashLshPairs]] and
@@ -862,10 +883,12 @@ object Dedup {
       rowsPerBand: Int = 4,
       maxBucketSize: Int = 4096,
       docStore: Option[graft.pipeline.BucketedStateTable] = None): DataFrame = {
+    // persisted, NOT eagerly counted: the first action over bNew is the
+    // bucket probe inside readForKeys below, which materializes the pin
+    // — a count() here was one extra full pass over the cached banding
     val bNew = bandedSignatures(batch, idCol, textCol, shingleLen, bands, rowsPerBand)
       .select(col("band"), col("band_hash"), col("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    bNew.count()
     val like = bNew.select(col("band"), col("band_hash"),
       col("__id").as("doc_id")).limit(0)
     // pinned eagerly to the CURRENT commit's files — the merge below
@@ -876,20 +899,24 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // hot-bucket-guarded joins: an accumulated boilerplate index makes
     // a slice bucket huge, a duplicated batch makes its own bucket
-    // huge — both decompose into bounded bipartite cells (bNew is
-    // persisted, so the occupancy aggregates read cache, not a third
+    // huge — both decompose into bounded bipartite cells. ONE occupancy
+    // action answers all three adaptive decisions (cross left/right,
+    // intra both sides are bNew) — this also doubles as the slice pin's
+    // materialization pass, and bNew reads cache (never a third
     // signature pass)
-    val cross = adaptiveBipartiteJoin(
-      bNew.select(col("band"), col("band_hash"), col("__id").as("__nid")), "__nid",
-      slice.select(col("band"), col("band_hash"), col("doc_id").as("__oid")), "__oid",
-      keys = Seq("band", "band_hash"), maxBucketSize = maxBucketSize)
+    val keys = Seq("band", "band_hash")
+    val occ = occupancyMax(Seq(("b", bNew, keys), ("slice", slice, keys)))
+    val cross = bipartiteJoinPre(
+      bNew.select(col("band"), col("band_hash"), col("__id").as("__nid")), "__nid", occ("b"),
+      slice.select(col("band"), col("band_hash"), col("doc_id").as("__oid")), "__oid", occ("slice"),
+      keys = keys, maxBucketSize = maxBucketSize)
       .filter(col("__oid") =!= col("__nid"))
       .select(least(col("__oid"), col("__nid")).as("a_id"),
         greatest(col("__oid"), col("__nid")).as("b_id"))
-    val intra = adaptiveBipartiteJoin(
-      bNew.select(col("band"), col("band_hash"), col("__id").as("a_id")), "a_id",
-      bNew.select(col("band"), col("band_hash"), col("__id").as("b_id")), "b_id",
-      keys = Seq("band", "band_hash"), maxBucketSize = maxBucketSize)
+    val intra = bipartiteJoinPre(
+      bNew.select(col("band"), col("band_hash"), col("__id").as("a_id")), "a_id", occ("b"),
+      bNew.select(col("band"), col("band_hash"), col("__id").as("b_id")), "b_id", occ("b"),
+      keys = keys, maxBucketSize = maxBucketSize)
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
     // persisted: the pair set is read by the candidate-id derivation
@@ -921,16 +948,24 @@ object Dedup {
     // documented at-least-once replay state — the doc store committed,
     // the pairs merge retried) would otherwise appear twice here and
     // multiply every joined pair 2–4×; the batch copy wins so changed
-    // text verifies against what is being ingested NOW
+    // text verifies against what is being ingested NOW. The collision
+    // is resolved by an anti-join of the corpus side against the
+    // batch's non-null-text ids — bNew's distinct __id set, already
+    // pinned in cache (banding filters null text, so it IS that set) —
+    // instead of a max(struct(__p, text)) aggregate: the aggregate
+    // planned as a SortAggregate ORDERING candidate text rows through
+    // an exchange, where the anti-join ships only ids and the text
+    // rows never sort or shuffle (the containment/winnow slim-row
+    // lesson applied to the verify fetch)
+    val batchIds = bNew.select(col("__id").as(idCol)).distinct()
     val txt = corpusTxt
-      .withColumn("__p", lit(0))
-      .unionByName(batch.select(col(idCol), col(textCol))
-        .withColumn("__p", lit(1)))
       .filter(col(textCol).isNotNull)
       .join(candIds, Seq(idCol), "left_semi")
-      .groupBy(col(idCol).as("__tid"))
-      .agg(max(struct(col("__p"), col(textCol))).as("__s"))
-      .select(col("__tid"), col("__s").getField(textCol).as("__t"))
+      .join(batchIds, Seq(idCol), "left_anti")
+      .unionByName(batch.select(col(idCol), col(textCol))
+        .filter(col(textCol).isNotNull)
+        .join(candIds, Seq(idCol), "left_semi"))
+      .select(col(idCol).as("__tid"), col(textCol).as("__t"))
     val pairs = cand
       .join(txt.select(col("__tid").as("a_id"), col("__t").as("__at")), "a_id")
       .join(txt.select(col("__tid").as("b_id"), col("__t").as("__bt")), "b_id")
@@ -1147,35 +1182,55 @@ object Dedup {
       threshold: Double,
       planes: Int = 12,
       maxBucketSize: Int = 4096): DataFrame = {
+    // persisted, NOT eagerly counted: the first action over b is the
+    // bucket probe inside readForKeys below, which materializes the pin
     val b = Similarity.lshBuckets(
       batch.filter(col(vecCol).isNotNull)
         .select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
       "vec", planes)
       .select(col("bucket"), col("vec_id"), col("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    b.count()
     // persisted: the guarded join reads the slice twice (occupancy +
     // pairing) and a second bucket-pruned read would double probe I/O
     val slice = index.readForKeys(b.select(col("bucket")), b.limit(0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // ONE occupancy action answers the cross AND intra hot-bucket
+    // decisions (both sides of intra are b) — and doubles as the slice
+    // pin's materialization pass
+    val occ = occupancyMax(Seq(
+      ("b", b, Seq("bucket")), ("slice", slice, Seq("bucket"))))
     // hot-bucket-guarded batch x index-slice pairing (same bounded
     // bipartite decomposition as the text path)
-    val cross = adaptiveBipartiteJoin(
+    val cross = bipartiteJoinPre(
       b.select(col("bucket"), col("vec_id").as("__nid"), col("vec").as("__nv")),
-      "__nid",
+      "__nid", occ("b"),
       slice.select(col("bucket"), col("vec_id").as("__oid"), col("vec").as("__ov")),
-      "__oid",
+      "__oid", occ("slice"),
       keys = Seq("bucket"), maxBucketSize = maxBucketSize)
       .filter(col("__oid") =!= col("__nid"))
       .select(least(col("__oid"), col("__nid")).as("a_id"),
         greatest(col("__oid"), col("__nid")).as("b_id"),
         Similarity.cosine(col("__nv"), col("__ov")).as("cos_sim"))
-    // intra-batch pairs through the hot-bucket-guarded join (a
-    // boilerplate-heavy BATCH has the same one-task quadratic shape);
-    // bucketing recomputes over b's persisted blocks — a narrow map
-    val intra = embeddingNearDups(
-      b.select(col("vec_id"), col("vec")), "vec_id", "vec",
-      threshold, planes, maxBucketSize)
+    // intra-batch pairs from the SAME persisted bucket rows, through
+    // the same bounded bipartite decomposition — this used to call
+    // [[embeddingNearDups]], which re-bucketed b (identical buckets:
+    // deterministic hyperplanes), re-persisted the result, ran its own
+    // occupancy action, and eagerly checkpointed the intra pairs; the
+    // inline join reads b's cache and emits the identical pair set
+    // ((x,y) meets exactly once per ordered pair in both the plain and
+    // blocked shapes; least/greatest + the union-level distinct below
+    // dedupe the orientation exactly as embeddingNearDups' own
+    // least/greatest + distinct did)
+    val intra = bipartiteJoinPre(
+      b.select(col("bucket"), col("vec_id").as("__ai"), col("vec").as("__av")),
+      "__ai", occ("b"),
+      b.select(col("bucket"), col("vec_id").as("__bi"), col("vec").as("__bv")),
+      "__bi", occ("b"),
+      keys = Seq("bucket"), maxBucketSize = maxBucketSize)
+      .filter(col("__ai") =!= col("__bi"))
+      .select(least(col("__ai"), col("__bi")).as("a_id"),
+        greatest(col("__ai"), col("__bi")).as("b_id"),
+        Similarity.cosine(col("__av"), col("__bv")).as("cos_sim"))
     val pairs = cross.unionByName(intra)
       .filter(col("cos_sim") >= threshold)
       .distinct()

@@ -572,19 +572,26 @@ object Multimodal {
     // AND the caption embedding, so every leg below (cross probe, intra
     // pairing, index merge) reads this cache — the batch's upstream
     // lineage and the image decode both run exactly once per batch.
+    // persisted, NOT eagerly counted: the first action over b is the
+    // bucket probe inside readForKeys below, which materializes the pin
+    // (one decode pass) — a count() here was an extra cache scan
     val b = pairBandRows(spark, batch, idCol, payloadCol, embCol,
         bands, batchSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    b.count()
     val slice = index.readForKeys(b.select(col("band"), col("bh")), b.limit(0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val cross = Dedup.adaptiveBipartiteJoin(
+    // ONE occupancy action answers the cross AND intra hot-bucket
+    // decisions (both sides of intra are b) — and doubles as the slice
+    // pin's materialization pass
+    val occ = Dedup.occupancyMax(Seq(
+      ("b", b, Seq("band", "bh")), ("slice", slice, Seq("band", "bh"))))
+    val cross = Dedup.bipartiteJoinPre(
         b.select(col("band"), col("bh"), col("pair_id").as("__nid"),
           col("phash").as("__nh"), col("embedding").as("__nv")),
-        "__nid",
+        "__nid", occ("b"),
         slice.select(col("band"), col("bh"), col("pair_id").as("__oid"),
           col("phash").as("__oh"), col("embedding").as("__ov")),
-        "__oid",
+        "__oid", occ("slice"),
         keys = Seq("band", "bh"), maxBucketSize = maxBucketSize)
       .filter(col("__oid") =!= col("__nid"))
       .select(least(col("__oid"), col("__nid")).as("a_id"),
@@ -597,13 +604,13 @@ object Multimodal {
     // intra-batch hot bucket cannot go quadratic either. Candidate set
     // is identical to pairNearDups over the batch: same-bucket pairs,
     // Hamming cut on the full hash, cosine on the captions.
-    val intra = Dedup.adaptiveBipartiteJoin(
+    val intra = Dedup.bipartiteJoinPre(
         b.select(col("band"), col("bh"), col("pair_id").as("__ai"),
           col("phash").as("__ahh"), col("embedding").as("__av")),
-        "__ai",
+        "__ai", occ("b"),
         b.select(col("band"), col("bh"), col("pair_id").as("__bi"),
           col("phash").as("__bhh"), col("embedding").as("__bv")),
-        "__bi",
+        "__bi", occ("b"),
         keys = Seq("band", "bh"), maxBucketSize = maxBucketSize)
       .filter(col("__ai") < col("__bi"))
       .select(col("__ai").as("a_id"), col("__bi").as("b_id"),

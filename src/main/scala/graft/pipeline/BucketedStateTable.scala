@@ -1143,6 +1143,12 @@ class BucketedStateTable(
     // bucket directory, the footer stats narrow further to the row
     // groups holding the keys (free at write time: the sort is per
     // already-shuffled bucket partition, no extra exchange).
+    // (r20 measured the alternative: size-adaptive task counts below
+    // dirty.size serialize the per-FILE cost — parquet writer init +
+    // footer, ~30 ms each — into fewer tasks and LOSE to the per-task
+    // overhead they save; one task per bucket keeps the file writes
+    // parallel and is already scale-correct, since task count tracks
+    // the dirty set, never the cluster.)
     rows.withColumn(BucketCol, bucketOf)
       .repartition(math.max(dirty.size, 1), col(BucketCol))
       .sortWithinPartitions(BucketCol, keyCols: _*)

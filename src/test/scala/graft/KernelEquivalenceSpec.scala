@@ -218,4 +218,97 @@ class KernelEquivalenceSpec extends SparkSpec {
       .select(explode(call_function("graft_bpe_adjacent_pairs", col("s"))).as("p"))
     assert(one.count() == 1L)
   }
+
+  // ── r20.2: interned-id gram windows vs string grams ────────────────
+  // The count/coverage/verify kernels now compare interned-id windows
+  // instead of building one concatenated String per gram; these
+  // references rebuild the ORIGINAL string-gram semantics independently
+  // (Spark trim/split discipline: trim strips spaces only, split keeps
+  // empty segments) and must match bit-for-bit on every planted shape.
+  private def refToks(s: String): Array[String] =
+    s.replaceAll("^ +", "").replaceAll(" +$", "").split("\\s+", -1)
+  private def refGrams(toks: Array[String], n: Int): Seq[String] =
+    (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+
+  test("interned-gram count kernels == string-gram references, every shape") {
+    val t = coalesce(col("text"), lit(""))
+    val got = docs.select(col("doc_id"), t.as("__t"),
+        call_function("graft_ngram_stats", t, lit(3)).as("st"),
+        call_function("graft_ngram_top", t, lit(2)).as("tp"),
+        call_function("graft_dup_ngram_cov", t, lit(5)).as("cv"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val s = r.getString(1)
+      val toks = refToks(s)
+      // ngramStats(3): (total, distinct); sub-n docs count (1, 1)
+      val (tot, dist) =
+        if (toks.length < 3) (1L, 1L)
+        else { val g = refGrams(toks, 3); (g.size.toLong, g.distinct.size.toLong) }
+      assert(r.getStruct(2).getLong(0) == tot && r.getStruct(2).getLong(1) == dist,
+        s"ngram_stats mismatch for doc ${r.getLong(0)}")
+      // ngramTop(2): (n_pos, top count); sub-n docs (0, 0)
+      val (pos, top) =
+        if (toks.length < 2) (0L, 0L)
+        else { val g = refGrams(toks, 2)
+          (g.size.toLong, g.groupBy(identity).values.map(_.size).max.toLong) }
+      assert(r.getStruct(3).getLong(0) == pos && r.getStruct(3).getLong(1) == top,
+        s"ngram_top mismatch for doc ${r.getLong(0)}")
+      // dupNgramCov(5): positions covered by a >=2-occurrence 5-gram
+      val cov =
+        if (toks.length < 5) 0L
+        else {
+          val g = refGrams(toks, 5)
+          val counts = g.groupBy(identity).map { case (k, v) => k -> v.size }
+          val covered = Array.fill(toks.length)(false)
+          g.zipWithIndex.foreach { case (gram, i) =>
+            if (counts(gram) >= 2) (i until i + 5).foreach(covered(_) = true) }
+          covered.count(identity).toLong
+        }
+      assert(r.getStruct(4).getLong(0) == toks.length.toLong &&
+        r.getStruct(4).getLong(1) == cov,
+        s"dup_ngram_cov mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("pair-interned jaccard/containment kernels == string-set references") {
+    val s2 = spark; import s2.implicits._
+    // pair every planted/corpus doc with its neighbor AND itself —
+    // covers sub-n fallbacks meeting full grams, unicode, identical
+    // and disjoint texts
+    val txts = docs.orderBy("doc_id").collect()
+      .map(r => Option(r.getString(1)).getOrElse("")).toVector
+    val pairs = (txts.indices.map(i => (txts(i), txts((i + 1) % txts.size))) ++
+      txts.indices.map(i => (txts(i), txts(i)))).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+    val got = pairs.toDF("id", "a", "b")
+      .select(col("id"),
+        call_function("graft_shingle_jaccard", col("a"), col("b"), lit(3)).as("j"),
+        call_function("graft_shingle_containment", col("a"), col("b"), lit(3)).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    pairs.foreach { case (id, a, b) =>
+      def setOf(s: String): Set[String] = {
+        val toks = refToks(s)
+        if (toks.length < 3) Set(toks.mkString(" ")) else refGrams(toks, 3).toSet
+      }
+      def strictSetOf(s: String): Set[String] = {
+        val toks = refToks(s)
+        if (toks.length < 3) Set.empty else refGrams(toks, 3).toSet
+      }
+      val (sa, sb) = (setOf(a), setOf(b))
+      val inter = (sa & sb).size
+      val union = sa.size + sb.size - inter
+      val refJ = if (union == 0) 0.0 else inter.toDouble / union
+      assert(got(id)._1 == refJ, s"jaccard mismatch for pair $id")
+      val (ta, tb) = (strictSetOf(a), strictSetOf(b))
+      val refC: Any =
+        if (ta.isEmpty || tb.isEmpty) null
+        else {
+          val i2 = (ta & tb).size
+          math.max(i2.toDouble / ta.size, i2.toDouble / tb.size)
+        }
+      assert(got(id)._2 == refC, s"containment mismatch for pair $id")
+    }
+  }
 }
