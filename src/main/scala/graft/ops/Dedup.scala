@@ -894,8 +894,12 @@ object Dedup {
     // pinned eagerly to the CURRENT commit's files — the merge below
     // cannot make the probe see the batch's own rows; persisted because
     // the guarded join reads it twice (occupancy + pairing), and a
-    // second bucket-pruned file read would double the probe I/O
-    val slice = index.readForKeys(bNew.select(col("band"), col("band_hash")), like)
+    // second bucket-pruned file read would double the probe I/O. The
+    // probed bucket set is kept for the closing merge (same batch,
+    // same bucket values — one bucket probe per ingest)
+    val (slice0, probedDirty) = index.readForKeysProbed(
+      bNew.select(col("band"), col("band_hash")), like)
+    val slice = slice0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // hot-bucket-guarded joins: an accumulated boilerplate index makes
     // a slice bucket huge, a duplicated batch makes its own bucket
@@ -986,9 +990,9 @@ object Dedup {
     // a reliable sink immediately (they are already materialized).
     try {
       val out = pairs.localCheckpoint(true)
-      index.merge(
+      index.mergeProbed(
         bNew.select(col("band"), col("band_hash"), col("__id").as("doc_id")),
-        keys = Seq("band", "band_hash", "doc_id"))
+        keys = Seq("band", "band_hash", "doc_id"), dirty = probedDirty)
       out
     } finally {
       // finally, not fall-through: a merge failure (lease timeout,
@@ -1191,8 +1195,11 @@ object Dedup {
       .select(col("bucket"), col("vec_id"), col("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // persisted: the guarded join reads the slice twice (occupancy +
-    // pairing) and a second bucket-pruned read would double probe I/O
-    val slice = index.readForKeys(b.select(col("bucket")), b.limit(0))
+    // pairing) and a second bucket-pruned read would double probe I/O.
+    // The probed bucket set is kept for the closing merge (same batch)
+    val (slice0, probedDirty) =
+      index.readForKeysProbed(b.select(col("bucket")), b.limit(0))
+    val slice = slice0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // ONE occupancy action answers the cross AND intra hot-bucket
     // decisions (both sides of intra are b) — and doubles as the slice
@@ -1238,7 +1245,8 @@ object Dedup {
     // pins the snapshot and lets b's persisted blocks free here
     try {
       val out = pairs.localCheckpoint(true)
-      index.merge(b, keys = Seq("bucket", "vec_id"))
+      index.mergeProbed(b, keys = Seq("bucket", "vec_id"),
+        dirty = probedDirty)
       out
     } finally {
       // finally: a merge failure must not leak the persisted frames
@@ -1467,7 +1475,19 @@ object Dedup {
     val bRaw = banded(Similarity.lshBuckets(
       benchmark.select(col(benchVecCol).as("__bv")), "__bv", total),
       Seq("__bv")).distinct()
-    val b = if (fitsBroadcast(bRaw, maxBroadcastRows)) broadcast(bRaw) else bRaw
+    // Broadcast decision from the RAW benchmark row count: |bRaw| ≤
+    // benchmark rows × bands (each row bands to at most `bands` rows;
+    // distinct only shrinks), so the conservative bound never
+    // broadcasts anything the old probe would refuse — and the probe
+    // stops evaluating the banding + its distinct EXCHANGE a second
+    // time per call (the recall key paid that four times per run). A
+    // heavily-duplicated benchmark may now take the shuffle join where
+    // the old probe broadcast its post-distinct rows — same output,
+    // and the guarded regime (huge benchmark) is where the cheap probe
+    // matters most.
+    val b = if (fitsBroadcast(benchmark.select(col(benchVecCol)),
+        math.max(1L, maxBroadcastRows / bands))) broadcast(bRaw)
+      else bRaw
     c.join(b, Seq("band", "sub"))
       .dropDuplicates(idCol, "__bv")
       .select(col(idCol),

@@ -578,7 +578,9 @@ object Multimodal {
     val b = pairBandRows(spark, batch, idCol, payloadCol, embCol,
         bands, batchSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val slice = index.readForKeys(b.select(col("band"), col("bh")), b.limit(0))
+    val (slice0, probedDirty) =
+      index.readForKeysProbed(b.select(col("band"), col("bh")), b.limit(0))
+    val slice = slice0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // ONE occupancy action answers the cross AND intra hot-bucket
     // decisions (both sides of intra are b) — and doubles as the slice
@@ -623,8 +625,9 @@ object Multimodal {
       // eager pre-merge checkpoint pins the probe result before the
       // index mutates (same discipline as the text/embedding paths)
       .localCheckpoint(true)
-    index.merge(b.select(col("band"), col("bh"), col("pair_id"),
-      col("phash"), col("embedding")), keys = Seq("band", "bh", "pair_id"))
+    index.mergeProbed(b.select(col("band"), col("bh"), col("pair_id"),
+      col("phash"), col("embedding")), keys = Seq("band", "bh", "pair_id"),
+      dirty = probedDirty)
     b.unpersist()
     slice.unpersist()
     out

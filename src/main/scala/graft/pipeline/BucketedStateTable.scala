@@ -838,9 +838,22 @@ class BucketedStateTable(
     * concurrent commit does not shift it mid-query (old commits
     * outlive the retention floor). */
   def readForKeys(probe: DataFrame, like: DataFrame): DataFrame =
-    currentManifest()
-      .flatMap(readFrom(_, dirtyBucketsOf(probe)))
-      .getOrElse(like.limit(0))
+    readForKeysProbed(probe, like)._1
+
+  /** [[readForKeys]] that also RETURNS the probed bucket set, so an
+    * incremental op that later merges a batch with the SAME bucket-
+    * column values can hand it to [[mergeProbed]] and skip the second
+    * dirty-bucket job per ingest. The set is a pure function of the
+    * probe's bucket-column values and the table's recorded bucket
+    * types (which can never be retyped in place), so it stays valid
+    * across the probe→merge window regardless of concurrent commits. */
+  def readForKeysProbed(probe: DataFrame,
+      like: DataFrame): (DataFrame, Seq[Int]) = {
+    val dirty = dirtyBucketsOf(probe)
+    (currentManifest()
+      .flatMap(readFrom(_, dirty))
+      .getOrElse(like.limit(0)), dirty)
+  }
 
   /** Current rows of ONLY the buckets the conjunction of `filters`
     * can possibly match, via [[ZoneMaps.surviving]] — hash pruning
@@ -1394,7 +1407,23 @@ class BucketedStateTable(
   }
 
   override def merge(updates: DataFrame, keys: Seq[String],
-      versionCols: Seq[String] = Nil): Unit = {
+      versionCols: Seq[String] = Nil): Unit =
+    mergeImpl(updates, keys, versionCols, precomputedDirty = None)
+
+  /** [[merge]] with the dirty-bucket set already known — from
+    * [[readForKeysProbed]] over a frame with the SAME bucket-column
+    * VALUES as `updates` — so one bucket probe serves both the
+    * incremental read and the closing merge of an ingest. The caller
+    * owns that equality; safety net: a set that MISSES a bucket the
+    * batch actually writes still fails the commit's written⊆dirty
+    * guard loudly (an over-set merely rewrites extra buckets
+    * verbatim — correct, wasteful — so pass exactly the probed set). */
+  private[graft] def mergeProbed(updates: DataFrame, keys: Seq[String],
+      dirty: Seq[Int], versionCols: Seq[String] = Nil): Unit =
+    mergeImpl(updates, keys, versionCols, precomputedDirty = Some(dirty))
+
+  private def mergeImpl(updates: DataFrame, keys: Seq[String],
+      versionCols: Seq[String], precomputedDirty: Option[Seq[Int]]): Unit = {
     // SET equality, matching the JDBC twin: mergeByKey and the bucket
     // hash are key-order-insensitive, so a trait caller passing the
     // same keys in another order must not break on this implementation
@@ -1402,7 +1431,7 @@ class BucketedStateTable(
       s"bucketed table is laid out on $keyCols; cannot merge on $keys")
     BucketedStateTable.lockFor(lockKey).synchronized { withLease {
       withPinned(updates) { updates =>
-      val dirty = dirtyBucketsOf(updates)
+      val dirty = precomputedDirty.getOrElse(dirtyBucketsOf(updates))
       if (dirty.nonEmpty) {
         // schema drift in either direction rides an ordinary merge —
         // widening batches align the current rows up (null-filled, the

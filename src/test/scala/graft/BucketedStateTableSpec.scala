@@ -60,6 +60,37 @@ class BucketedStateTableSpec extends SparkSpec {
     assert(t.read().get.filter(col("k") === "k123456").head().getLong(1) == -1L)
   }
 
+  test("mergeProbed with the probed set == merge; an under-set fails loudly") {
+    val dir = tmp()
+    def seed(path: String): BucketedStateTable = {
+      val t = new BucketedStateTable(spark, path,
+        keyCols = Seq("k"), numBuckets = 16, retentionFloorMillis = 0L)
+      t.merge(spark.range(200)
+        .select(concat(lit("k"), col("id")).as("k"), col("id").as("v")),
+        keys = Seq("k"))
+      t
+    }
+    val a = seed(s"$dir/a")
+    val b = seed(s"$dir/b")
+    val batch = spark.range(50, 120)
+      .select(concat(lit("k"), col("id")).as("k"), (col("id") * 10).as("v"))
+    // the incremental-op shape: probe first, then merge the SAME batch
+    // values under the probed set — must land identically to merge()
+    val (_, probed) = a.readForKeysProbed(batch.select("k"), batch.limit(0))
+    a.mergeProbed(batch, keys = Seq("k"), dirty = probed)
+    b.merge(batch, keys = Seq("k"))
+    val rows = (t: BucketedStateTable) =>
+      t.read().get.orderBy("k").collect().map(_.toString).toSeq
+    assert(rows(a) == rows(b))
+    assert(a.lastCommit.get.bucketsWritten == b.lastCommit.get.bucketsWritten)
+    // an under-set (missing a bucket the batch writes) must fail the
+    // written-outside-dirty guard, never silently drop rows
+    val err = intercept[IllegalArgumentException] {
+      a.mergeProbed(batch, keys = Seq("k"), dirty = probed.take(1))
+    }
+    assert(err.getMessage.contains("outside the dirty set"))
+  }
+
   test("bucket files are key-sorted so row-group stats prune point probes") {
     val dir = tmp()
     val t = new BucketedStateTable(spark, s"$dir/state",
