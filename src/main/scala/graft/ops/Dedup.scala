@@ -1160,14 +1160,20 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      planes: Int = 12): Unit =
-    index.merge(
-      Similarity.lshBuckets(
-        df.filter(col(vecCol).isNotNull)
-          .select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
-        "vec", planes)
-        .select(col("bucket"), col("vec_id"), col("vec")),
-      keys = Seq("bucket", "vec_id"))
+      planes: Int = 12): Unit = {
+    // pinned around the merge: the bucketing is a PROJECTION (the
+    // mutation's plan-shape pin heuristic rightly skips it) but its
+    // per-row cost is `planes` hyperplane dot products — without the
+    // pin the merge's probe and bucket write each re-run it
+    val rows = Similarity.lshBuckets(
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
+      "vec", planes)
+      .select(col("bucket"), col("vec_id"), col("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try index.merge(rows, keys = Seq("bucket", "vec_id"))
+    finally rows.unpersist()
+  }
 
   /** Incremental embedding near-dup detection: every cosine ≥
     * `threshold` pair involving at least one vector of `batch`, against

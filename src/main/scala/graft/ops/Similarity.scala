@@ -589,7 +589,14 @@ object Similarity {
       // corrupted the index keys without any error surfacing
       .select(col("centroid_id"), col(idCol).as("vec_id"),
         col(vecCol).as("vec"))
-    index.merge(lists, keys = Seq("centroid_id", "vec_id"))
+      // pinned around the merge: the assignment is a PROJECTION (the
+      // mutation's plan-shape pin heuristic rightly skips it) but its
+      // per-row cost is the full argmax over every centroid — without
+      // the pin the merge's probe and bucket write each re-run it
+      // (the Multimodal.indexPairs discipline)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try index.merge(lists, keys = Seq("centroid_id", "vec_id"))
+    finally lists.unpersist()
   }
 
   /** Re-cluster a persistent IVF index onto NEW centroids — the index

@@ -348,9 +348,18 @@ private[queries] object SimilarityQueries {
       embStore.merge(e.filter(col("vec_id") % 2 === 0), keys = Seq("vec_id"))
       embStore.merge(e.filter(col("vec_id") % 2 === 1), keys = Seq("vec_id"))
       val stored = embStore.read().get
+      // query-vector fetch is a POINT LOOKUP on the store's bucket
+      // column: readWhere hash-prunes to the one bucket vec_id=0 lives
+      // in (superset semantics — the equality filter still applies on
+      // top) instead of scanning all 16 bucket directories; the
+      // candidate side legitimately reads the whole store (brute-force
+      // is the semantics)
+      val qRow = embStore.readWhere(Seq(
+          org.apache.spark.sql.sources.EqualTo("vec_id", 0L)))
+        .getOrElse(stored.limit(0))
+        .filter(col("vec_id") === 0)
       val sem = Similarity.bruteForceTopK(
-          stored.filter(col("vec_id") === 0)
-            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          qRow.select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
           stored.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
           "q_id", "q_vec", "c_id", "c_vec", k = 15)
         .select(col("c_id").as("doc_id"), col("rank"))
